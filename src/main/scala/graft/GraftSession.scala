@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's default tuning.
+  *
+  * Local runs use `local[N]`; on a real cluster the same confs apply —
+  * AQE re-plans shuffle partition counts and splits skewed joins at
+  * runtime, so the static `shuffle.partitions` value only seeds the
+  * initial plan.
+  */
+object GraftSession {
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // The events table carries TIMESTAMP(NANOS) which parquet-mr maps
+      // to no Spark type; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/benchmarks. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession = {
+    val s = builder(cores).master(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.Sessionize
+
+/** Core relational query family (SURVEY.md §2 F1-F5).
+  *
+  * TPC-H-shaped plans proving the engine runs reference-grade SQL:
+  * multi-agg scans, selective joins with broadcast dims, top-N, window
+  * functions, sessionization. All aggregates over 2-decimal double
+  * columns go through decimal (see [[graft.queries.exactSum]]) so the
+  * results are engine-portable bit-for-bit.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // F1 — pricing summary: one scan, map-side partial aggregation.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          exactAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // F2 — shipping-priority shape: selective dim filter broadcast into
+    // the fact-fact join, then top-N with a deterministic tiebreak.
+    "q3_topn" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // F3 — star join: all dims broadcast, single shuffle on the
+    // lineitem⋈orders key.
+    "q5_join" -> { (s, dir) =>
+      val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, dir)
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // F4/C11 — per-customer running order total + rank. The running sum
+    // accumulates in a total order (date, orderkey) so the double
+    // addition sequence is identical in any engine.
+    "win_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("order_seq", row_number().over(w))
+        // decimal inside the window sum: engines disagree on windowed
+        // double-summation order (segment trees vs running), decimal is
+        // associative so the result is portable.
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+    },
+
+    // F4 — gap-based sessionization (30-minute inactivity gap).
+    "sess_gap_sessions" -> { (s, dir) =>
+      Sessionize.batchGapSessions(Tables.events(s, dir),
+        userCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valueCol = "value", gapMinutes = 30)
+    },
+
+    // F5 — tumbling-window aggregation, the batch twin of the
+    // Structured Streaming query in graft.streaming.EventsStream.
+    "stream_tumbling_hour" -> { (s, dir) =>
+      Sessionize.tumblingHour(Tables.events(s, dir))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topn" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "win_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS order_seq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "sess_gap_sessions" -> Sessionize.gapSessionsOracle,
+    "stream_tumbling_hour" -> Sessionize.tumblingHourOracle
+  )
+}
