@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * printing one JSON line the driver parses.
+  *
+  * Each query gets an untimed warmup execution first (JIT + codegen +
+  * parquet footer caching dominate the first run in a fresh JVM), then
+  * the timed run. A failing query is reported in an "errors" object
+  * with a negative timing sentinel instead of being silently folded
+  * into the totals.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,15 +18,34 @@ object Bench {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timings = SparkEntry.queries.map { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count() // warmup: JIT, codegen, file listing
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(300))}" }
+      .mkString("{", ",", "}")
+    val ok = timings.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

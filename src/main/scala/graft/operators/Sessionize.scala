@@ -6,10 +6,11 @@ import org.apache.spark.sql.expressions.Window
 
 /** Sessionization and time-window aggregation (SURVEY.md §2 F4/F5).
   *
-  * Batch twin of the streaming operators in [[graft.streaming]]: the
-  * gap-session logic here matches `StatefulSessions` and the tumbling
-  * window matches `EventsStream`, so pipelines can replay history in
-  * batch and tail live data with the same semantics.
+  * Batch form of the gap-session semantics; the streaming twin lives in
+  * [[graft.streaming.StatefulSessions]] (flatMapGroupsWithState) and
+  * the tumbling window in [[graft.streaming.EventsStream]], so
+  * pipelines can replay history in batch and tail live data with the
+  * same definitions.
   *
   * Scale notes: one shuffle on the user key serves both the window
   * pass and the final aggregation (Catalyst reuses the partitioning);
@@ -17,26 +18,67 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sessionize {
 
+  /** Parameters for gap sessionization — a single config drives both
+    * the Spark plan and the DuckDB oracle SQL so the two can never
+    * silently desynchronize.
+    */
+  final case class GapConfig(userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value", gapMinutes: Int = 30) {
+    def gapMicros: Long = gapMinutes * 60_000_000L
+  }
+
   /** Split each user's event stream into sessions separated by more
     * than `gapMinutes` of inactivity, then aggregate per session.
+    *
+    * The gap test compares exact integer microseconds
+    * (`unix_micros(ts) - unix_micros(lag(ts)) > gap`), never doubles:
+    * a double roundtrip loses ~2.4e-7 s at epoch magnitude, enough to
+    * flip a strict comparison when a gap equals the threshold exactly.
     */
-  def batchGapSessions(events: DataFrame, userCol: String, tsCol: String,
-      idCol: String, valueCol: String, gapMinutes: Int): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val gapSec = gapMinutes * 60L
+  def batchGapSessions(events: DataFrame, cfg: GapConfig): DataFrame = {
+    val w = Window.partitionBy(col(cfg.userCol))
+      .orderBy(col(cfg.tsCol), col(cfg.idCol))
     events
       .withColumn("new_sess",
-        when(lag(col(tsCol), 1).over(w).isNull ||
-          col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double")
-            > gapSec, 1L).otherwise(0L))
+        when(lag(col(cfg.tsCol), 1).over(w).isNull ||
+          unix_micros(col(cfg.tsCol)) -
+            unix_micros(lag(col(cfg.tsCol), 1).over(w)) > cfg.gapMicros,
+          1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(userCol), col("session_id"))
+      .groupBy(col(cfg.userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(col(tsCol)).as("session_start"),
-        max(col(tsCol)).as("session_end"),
-        graft.queries.exactSum(col(valueCol)).as("total_value"))
+        min(col(cfg.tsCol)).as("session_start"),
+        max(col(cfg.tsCol)).as("session_end"),
+        graft.queries.exactSum(col(cfg.valueCol)).as("total_value"))
+  }
+
+  /** DuckDB oracle generated from the SAME config as the Spark plan.
+    * `epoch_us(a - b)` is the exact integer microsecond difference, so
+    * the strict `>` boundary matches Spark's `unix_micros` compare
+    * bit-for-bit.
+    */
+  def gapSessionsOracle(cfg: GapConfig): String = {
+    import cfg._
+    s"""WITH flagged AS (
+       |  SELECT $userCol, $tsCol, $idCol, $valueCol,
+       |    CASE WHEN lag($tsCol) OVER w IS NULL
+       |           OR epoch_us($tsCol - lag($tsCol) OVER w) > $gapMicros
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY $userCol ORDER BY $tsCol, $idCol)
+       |), sess AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY $userCol
+       |    ORDER BY $tsCol, $idCol ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT $userCol, session_id, count(*) AS n_events,
+       |  min($tsCol) AS session_start, max($tsCol) AS session_end,
+       |  CAST(sum(CAST($valueCol AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM sess
+       |GROUP BY $userCol, session_id""".stripMargin
   }
 
   /** Hourly tumbling-window counts/sums — batch equivalent of the
@@ -51,25 +93,6 @@ object Sessionize {
         graft.queries.exactSum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
-
-  val gapSessionsOracle: String =
-    """WITH flagged AS (
-      |  SELECT user_id, ts, event_id, value,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-      |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |), sess AS (
-      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      |  FROM flagged
-      |)
-      |SELECT user_id, session_id, count(*) AS n_events,
-      |  min(ts) AS session_start, max(ts) AS session_end,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-      |FROM sess
-      |GROUP BY user_id, session_id""".stripMargin
 
   val tumblingHourOracle: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,

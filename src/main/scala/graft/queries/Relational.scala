@@ -15,6 +15,9 @@ import graft.operators.Sessionize
   */
 object Relational {
 
+  /** Single source of truth for sess_gap_sessions + its oracle. */
+  val gapCfg: Sessionize.GapConfig = Sessionize.GapConfig()
+
   val queries: Map[String, Q] = Map(
     // F1 — pricing summary: one scan, map-side partial aggregation.
     "q1_agg" -> { (s, dir) =>
@@ -32,8 +35,12 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
-    // F2 — shipping-priority shape: selective dim filter broadcast into
-    // the fact-fact join, then top-N with a deterministic tiebreak.
+    // F2 — shipping-priority shape: the selective dim filter (customer,
+    // 1-in-5 mktsegment) is broadcast; lineitem⋈orders stays a shuffle
+    // join on the order key — the orders side keeps ~95% of its rows
+    // after the date filter, so it is fact-scale and must never be
+    // force-broadcast. AQE demotes the shuffle to broadcast at runtime
+    // if the filtered side actually fits.
     "q3_topn" -> { (s, dir) =>
       val cust = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
@@ -44,8 +51,8 @@ object Relational {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      li.join(broadcast(ord.join(broadcast(cust),
-          col("o_custkey") === col("c_custkey"))),
+      li.join(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
@@ -54,20 +61,25 @@ object Relational {
         .limit(10)
     },
 
-    // F3 — star join: all dims broadcast, single shuffle on the
-    // lineitem⋈orders key.
+    // F3 — star join: only the genuinely bounded dims (nation: 25 rows,
+    // region: 5 rows) carry explicit broadcast hints. customer and
+    // supplier scale linearly with the data (tens of GB at the 100-TB
+    // target), so they join by shuffle on their keys; AQE converts
+    // those to broadcast at runtime when the filtered side fits.
     "q5_join" -> { (s, dir) =>
       val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
       val nation = Tables.nation(s, dir)
-      val cust = Tables.customer(s, dir)
-      val supp = Tables.supplier(s, dir)
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
       val ord = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
       val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -95,11 +107,10 @@ object Relational {
             .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
     },
 
-    // F4 — gap-based sessionization (30-minute inactivity gap).
+    // F4 — gap-based sessionization (30-minute inactivity gap). The
+    // same GapConfig instance drives the oracle below.
     "sess_gap_sessions" -> { (s, dir) =>
-      Sessionize.batchGapSessions(Tables.events(s, dir),
-        userCol = "user_id", tsCol = "ts", idCol = "event_id",
-        valueCol = "value", gapMinutes = 30)
+      Sessionize.batchGapSessions(Tables.events(s, dir), gapCfg)
     },
 
     // F5 — tumbling-window aggregation, the batch twin of the
@@ -155,7 +166,7 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
-    "sess_gap_sessions" -> Sessionize.gapSessionsOracle,
+    "sess_gap_sessions" -> Sessionize.gapSessionsOracle(gapCfg),
     "stream_tumbling_hour" -> Sessionize.tumblingHourOracle
   )
 }

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [out_dir] [--skip-verify] [names...]
+
+Runs graft.Verify via sbt (unless --skip-verify), then executes each
+oracle_sql.json entry in DuckDB over the same parquet tables and
+compares: rows, schema (column names), and exact values after sorting
+columns by name and rows by all columns — the same discipline the
+driver's hash compare implies.
+"""
+import json, subprocess, sys, os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+SKIP = "--skip-verify" in sys.argv
+ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def run_verify():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:])
+        sys.exit("sbt Verify failed")
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps → iso string, floats stay float64
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def compare(name, sql, con):
+    spark_df = pd.read_parquet(f"{OUT_DIR}/{name}")
+    try:
+        ora_df = con.execute(sql).df()
+    except Exception as e:
+        return f"ORACLE SQL ERROR: {e}"
+    if len(spark_df) != len(ora_df):
+        return f"rows differ: spark={len(spark_df)} oracle={len(ora_df)}"
+    if sorted(spark_df.columns) != sorted(ora_df.columns):
+        return (f"schema differs: spark={sorted(spark_df.columns)} "
+                f"oracle={sorted(ora_df.columns)}")
+    a, b = canon(spark_df), canon(ora_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            af = a[c].astype(float).to_numpy()
+            bf = b[c].astype(float).to_numpy()
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                return (f"col {c} differs at sorted-row {i}: "
+                        f"spark={af[i]!r} oracle={bf[i]!r} (exact FP compare)")
+        else:
+            eq = (av == bv) | (pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy())
+            if not np.asarray(eq).all():
+                i = int(np.argmin(np.asarray(eq)))
+                return (f"col {c} differs at sorted-row {i}: "
+                        f"spark={av[i]!r} oracle={bv[i]!r}")
+    return None
+
+def main():
+    if not SKIP:
+        run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if ONLY and name not in ONLY:
+            continue
+        if not os.path.isdir(f"{OUT_DIR}/{name}"):
+            print(f"FAIL {name}: no spark output (query failed in Verify)")
+            n_fail += 1
+            continue
+        err = compare(name, sql, con)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"pass {name}")
+            n_pass += 1
+    # rows-only entries (queries without oracle SQL)
+    for name in sorted(os.listdir(OUT_DIR)):
+        if name in oracles or not os.path.isdir(f"{OUT_DIR}/{name}"):
+            continue
+        if ONLY and name not in ONLY:
+            continue
+        n = len(pd.read_parquet(f"{OUT_DIR}/{name}"))
+        print(f"rows {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
