@@ -1,0 +1,88 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{CleanFns, TimeFns}
+
+/** Silver-layer conformance builders (SURVEY.md §2 B3-B6) — the Spark
+  * re-expression of the reference's silver SQL
+  * (/root/reference/airflow/dags/mobility_ingestion_pipeline.py:201-397,
+  * 547-567): dedup mapping dims, surrogate-key dims, cross-join dims,
+  * and the multi-dim fact build.
+  *
+  * Scale notes: every builder is a declarative plan. `dedupMapping` is
+  * a single hash aggregation (map-side partial); `dimWithSurrogateKey`
+  * sorts once globally — correct only for dimension-sized inputs, which
+  * is what surrogate keys are for (the reference's dim_zones is a few
+  * thousand rows; never call it on a fact). `buildFact` joins facts to
+  * dims with plain equi-joins and lets AQE pick broadcast when a dim
+  * fits.
+  */
+object Silver {
+
+  /** Canonical many→one mapping dim: GROUP BY the source key, MIN as
+    * the deterministic representative (reference's unique_mapping CTE,
+    * pipeline.py:212-222).
+    */
+  def dedupMapping(src: DataFrame, srcKey: String, target: String): DataFrame = {
+    // TRIM only string keys: trimming a numeric would silently cast it
+    // to string (changing the output type and breaking numeric joins).
+    def keyed(name: String): Column =
+      if (src.schema(name).dataType == org.apache.spark.sql.types.StringType)
+        CleanFns.cleanKey(col(name))
+      else col(name)
+    src
+      .filter(col(srcKey).isNotNull && col(target).isNotNull)
+      .groupBy(keyed(srcKey).as("src_key"))
+      .agg(min(keyed(target)).as("canonical"),
+        count(lit(1)).as("n_src_rows"))
+  }
+
+  /** Dimension with a dense surrogate key: ROW_NUMBER() OVER (ORDER BY
+    * natural key) — reference's zone_id (pipeline.py:236). Global sort;
+    * dims only.
+    */
+  def dimWithSurrogateKey(dim: DataFrame, orderCol: String, skName: String)
+      : DataFrame =
+    dim.withColumn(skName,
+      row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+
+  /** Every zone × every holiday (reference's dim_zone_holidays,
+    * pipeline.py:324-349). The holiday side is bounded (dates of one
+    * year) and explicitly broadcast.
+    */
+  def crossJoinDim(zones: DataFrame, holidays: DataFrame): DataFrame =
+    zones.crossJoin(broadcast(holidays))
+
+  /** Fact build (reference's fact_mobility INSERT, pipeline.py:547-567):
+    * reconstruct the period timestamp from date + hour, conform the
+    * origin/destination zone keys through INNER dim joins, drop rows
+    * with null measures, and stamp the partition column.
+    *
+    * `events.user_id` plays the reference's `origen` (conformed through
+    * the customer dim to its nation = origin zone) and the JSON payload
+    * key `props.k mod 25` plays `destino` (a deterministic zone code,
+    * joined against nation to guarantee referential integrity).
+    */
+  def buildFactEvents(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull)
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("dest_code",
+        get_json_object(col("props"), "$.k").cast("int") % 25)
+    e.join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"))),
+        col("dest_code") === col("n_nationkey"))
+      .select(
+        col("event_id"),
+        TimeFns.periodTimestamp(col("event_date"), hour(col("ts")))
+          .as("period"),
+        col("c_nationkey").cast("long").as("origin_zone_id"),
+        col("dest_code").cast("long").as("destination_zone_id"),
+        col("value").as("trips"),
+        col("event_date").as("partition_date"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CleanFns, TimeFns}
+import graft.lakehouse.Silver
+import graft.operators.Profile
+import graft.sources.Tables
+
+class SilverSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("CleanFns") {
+    it("try-casts garbage to null, numbers to values") {
+      val df = Seq("12", "x12", " 7 ", "1.5", "").toDF("s")
+        .select(CleanFns.tryCastLong($"s").as("l"),
+          CleanFns.tryCastDouble($"s").as("d"))
+      df.collect().map(r => (r.isNullAt(0), r.isNullAt(1))) shouldBe
+        Array((false, false), (true, true), (false, false), (true, false),
+          (true, true))
+    }
+    it("parses thousands-separated values like the INE rent column") {
+      Seq("13.500", ".", "1.234.567").toDF("s")
+        .select(CleanFns.parseThousandsSeparated($"s").as("v"))
+        .as[Option[Double]].collect() shouldBe
+        Array(Some(13500.0), None, Some(1234567.0))
+    }
+    it("splits delimited fields 1-based") {
+      Seq("01001 Vitoria").toDF("s")
+        .select(CleanFns.splitPart($"s", " ", 1)).as[String]
+        .head() shouldBe "01001"
+    }
+  }
+
+  describe("TimeFns") {
+    it("roundtrips yyyyMMdd and reconstructs the period") {
+      val r = Seq(("20240115", 13)).toDF("d", "h")
+        .select(TimeFns.periodTimestamp(
+          TimeFns.parseYyyymmdd($"d"), $"h").as("p"))
+        .as[java.sql.Timestamp].head()
+      r.toString shouldBe "2024-01-15 13:00:00.0"
+    }
+    it("computes ISO dow and weekend flags") {
+      // 2024-01-15 is a Monday, 2024-01-21 a Sunday
+      val df = Seq("2024-01-15", "2024-01-21").toDF("d")
+        .select(to_date($"d").as("d"))
+        .select(TimeFns.isodow($"d"), TimeFns.dayName($"d"),
+          TimeFns.isWeekend($"d"))
+      df.as[(Int, String, Boolean)].collect() shouldBe
+        Array((1, "Monday", false), (7, "Sunday", true))
+    }
+  }
+
+  describe("Silver builders") {
+    it("dedupMapping keeps one deterministic row per key") {
+      val m = Silver.dedupMapping(
+        Seq(("a", "z"), ("a", "b"), ("b", "c"), (null, "x"))
+          .toDF("k", "v"), "k", "v")
+      m.orderBy("src_key").as[(String, String, Long)].collect() shouldBe
+        Array(("a", "b", 2L), ("b", "c", 1L))
+    }
+    it("does not cast numeric keys to string") {
+      val m = Silver.dedupMapping(
+        Seq((1L, "z")).toDF("k", "v"), "k", "v")
+      m.schema("src_key").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+    }
+    it("assigns dense surrogate keys in natural-key order") {
+      val d = Silver.dimWithSurrogateKey(
+        Seq("c", "a", "b").toDF("k"), "k", "sk")
+      d.orderBy("sk").as[(String, Long)].collect() shouldBe
+        Array(("a", 1L), ("b", 2L), ("c", 3L))
+    }
+    it("builds the fact with conformed zones and no null measures") {
+      val fact = Silver.buildFactEvents(Tables.events(spark, sf),
+        Tables.customer(spark, sf), Tables.nation(spark, sf))
+      fact.filter($"trips".isNull || $"origin_zone_id".isNull ||
+        $"destination_zone_id".isNull).count() shouldBe 0
+      fact.agg(max($"destination_zone_id")).as[Long].head() should be < 25L
+      // period is always date-aligned to the hour
+      fact.filter(minute($"period") =!= 0 || second($"period") =!= 0)
+        .count() shouldBe 0
+    }
+  }
+
+  describe("Profile") {
+    it("summarize reports nulls/distincts/min/max per column") {
+      val p = Profile.summarize(
+        Seq((1, Some("a")), (2, None), (2, Some("b")))
+          .toDF("i", "s"))
+      val rows = p.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+      rows("i") shouldBe ((3L, 0L, 2L, "1", "2"))
+      rows("s") shouldBe ((3L, 1L, 2L, "a", "b"))
+    }
+    it("describe lists the schema without running a job") {
+      Profile.describe(Tables.orders(spark, sf))
+        .as[(String, String, Boolean)].collect()
+        .map(_._1) should contain("o_orderkey")
+    }
+  }
+}

@@ -38,12 +38,15 @@ def run_verify():
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: timestamps → iso string, floats stay float64
+    import datetime
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray))
+                else str(v) if isinstance(v, (datetime.date, datetime.datetime))
+                else v)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def compare(name, sql, con):
