@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.SilverQueries.queries ++
-      graft.queries.GoldQueries.queries
+      graft.queries.GoldQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.SilverQueries.oracles ++
-      graft.queries.GoldQueries.oracles
+      graft.queries.GoldQueries.oracles ++
+      graft.queries.TextQueries.oracles
 }

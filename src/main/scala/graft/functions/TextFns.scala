@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM training-data pipelines
+  * (SURVEY.md §2 E7-E10): language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything is a composition of codegen'd built-in expressions — no
+  * UDFs — and every arithmetic step is integer or a single
+  * correctly-rounded IEEE op, so all outputs are engine-portable and
+  * hash-gated against DuckDB oracles.
+  */
+object TextFns {
+
+  /** Whitespace tokens with empties dropped (split on single spaces,
+    * filter zero-length — deterministic under repeated spaces).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Count of a specific token — exact token equality, no regex
+    * engine semantics involved.
+    */
+  def tokenOccurrences(c: Column, word: String): Column =
+    size(filter(split(c, " "), t => t === lit(word)))
+
+  /** Marker languages for [[langId]]: language → marker tokens.
+    * Order is the deterministic tie-break priority.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "de" -> Seq("der", "die", "und"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** Marker-token score for one language. */
+  def langScore(c: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(w => tokenOccurrences(c, w))
+      .reduce(_ + _)
+
+  /** N-gram-marker language ID: argmax of marker-token counts with a
+    * fixed priority tie-break; "und" when no marker appears.
+    */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(maxScore > 0 && s === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Stopwords for the quality heuristic. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "[.,!?;:]", "")))
+        .cast("double") / length(c).cast("double"))
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(c: Column): Column = {
+    val n = wordCount(c)
+    val stops = stopwords.map(w => tokenOccurrences(c, w)).reduce(_ + _)
+    when(n === 0, 0.0).otherwise(stops.cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: mean of a length score
+    * (saturating at 100 words), a natural-language score (stopwords
+    * present), and a low-punctuation score. Pure rational arithmetic —
+    * no transcendentals — so it is bit-portable.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(wordCount(c), lit(100)).cast("double") / 100.0
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - punctRatio(c)
+    (lenScore + stopScore + punctScore) / 3.0
+  }
+
+  /** BPE-ish token count: runs of letters, single digits, or single
+    * non-alphanumeric marks — the classic pre-tokenizer shape.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"),
+      lit(0)))
+
+  /** Polynomial rolling hash (base 131, mod 1e9+7) over the ASCII
+    * projection of the text — a compact, order-sensitive document
+    * fingerprint computable identically in any engine with 64-bit
+    * integer arithmetic.
+    */
+  def fingerprint(c: Column): Column = {
+    val asciiOnly = regexp_replace(c, "[^ -~]", "")
+    val codes = transform(
+      regexp_extract_all(asciiOnly, lit("."), lit(0)),
+      ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L),
+      (h, code) => (h * lit(131L) + code) % lit(1000000007L))
+  }
+}

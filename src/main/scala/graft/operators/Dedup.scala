@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md
+  * §2 E1-E4): exact content dedup and n-gram Jaccard similarity join.
+  * The sub-quadratic near-dup paths (MinHash+LSH, SimHash) live beside
+  * these in [[MinHashLsh]] and [[SimHash]].
+  *
+  * Scale notes: `exact` is one shuffle on the content hash — the
+  * canonical 100-TB dedup plan (hash is computed map-side, so the
+  * shuffle carries 32-byte keys, not documents). `ngramJaccard` builds
+  * an inverted shingle index and generates candidate pairs only for
+  * docs sharing a shingle — still worst-case quadratic under heavy
+  * collisions (its role is verify/small-corpus; at 100 TB run
+  * [[MinHashLsh]] first and feed surviving candidate pairs here).
+  */
+object Dedup {
+
+  /** Group-level exact-dedup summary: one row per distinct content
+    * hash with the surviving (minimum) id and the copy count.
+    */
+  def exactGroups(df: DataFrame, contentCol: String, idCol: String)
+      : DataFrame =
+    df.groupBy(sha2(col(contentCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep-first exact dedup: returns the input rows minus duplicate
+    * content (the row with the smallest id survives).
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(contentCol), 256))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of a text column, as an array. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+  }
+
+  /** N-gram Jaccard similarity join over one corpus: pairs (id1 < id2)
+    * sharing at least one shingle, with exact Jaccard >= threshold.
+    * Returns (id1, id2, inter, n1, n2, jaccard).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("n1") + col("n2") - col("inter")).cast("double")
+    pairs
+      .join(card.withColumnRenamed("n_sh", "n1"),
+        col("id1") === col("doc_id")).drop("doc_id")
+      .join(card.withColumnRenamed("n_sh", "n2"),
+        col("id2") === col("doc_id")).drop("doc_id")
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Text-pipeline query family (SURVEY.md §2 E1, E4, E7-E10) over the
+  * `documents` table — each hash-gated against a DuckDB oracle.
+  */
+object TextQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // E7 — marker-token language ID with per-language scores.
+    "text_langid" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val scored = TextFns.langMarkers.foldLeft(d) { case (df, (l, _)) =>
+        df.withColumn(s"score_$l", TextFns.langScore(col("text"), l))
+      }
+      scored.select(col("doc_id") +:
+        TextFns.langMarkers.map { case (l, _) => col(s"score_$l") } :+
+        TextFns.langId(col("text")).as("lang_pred"): _*)
+    },
+
+    // E8 — quality scoring components + composite.
+    "text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFns.wordCount(col("text")).as("n_words"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        TextFns.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFns.qualityScore(col("text")).as("quality_score"))
+    },
+
+    // E9 — whitespace + BPE-ish token counting.
+    "text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.wordCount(col("text")).as("ws_tokens"),
+        TextFns.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    },
+
+    // E10 — polynomial rolling-hash fingerprint (arith-only).
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    // E1 — exact dedup groups (hash → surviving id + copy count).
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // E4 — n-gram Jaccard similarity join (3-gram shingles, >= 0.5).
+    "dedup_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }
+  )
+
+  private def tokCount(word: String): String =
+    s"len(list_filter(string_split(text, ' '), t -> t = '$word'))"
+
+  private def langScoreSql(lang: String): String =
+    TextFns.langMarkers.toMap.apply(lang)
+      .map(tokCount).mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> {
+      val scores = TextFns.langMarkers.map { case (l, _) =>
+        s"(${langScoreSql(l)}) AS score_$l"
+      }
+      val maxE = TextFns.langMarkers
+        .map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val caseE = TextFns.langMarkers.reverse
+        .foldLeft("'und'") { case (acc, (l, _)) =>
+          s"CASE WHEN $maxE > 0 AND score_$l = $maxE THEN '$l' ELSE $acc END"
+        }
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${scores.mkString(",\n    ")}
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${TextFns.langMarkers.map { case (l, _) => s"CAST(score_$l AS INT) AS score_$l" }.mkString(", ")},
+         |  $caseE AS lang_pred
+         |FROM scored""".stripMargin
+    },
+    "text_quality" -> {
+      val nWords = "len(list_filter(string_split(text, ' '), t -> len(t) > 0))"
+      val stops = TextFns.stopwords.map(tokCount).mkString(" + ")
+      val punct =
+        "CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - " +
+          "len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) " +
+          "/ CAST(len(text) AS DOUBLE) END"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(text) AS INT) AS n_chars,
+         |    CAST($nWords AS INT) AS n_words,
+         |    $punct AS punct_ratio,
+         |    CASE WHEN $nWords = 0 THEN 0.0
+         |         ELSE CAST(($stops) AS DOUBLE) / CAST($nWords AS DOUBLE)
+         |    END AS stopword_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_words, punct_ratio, stopword_ratio,
+         |  (CAST(least(n_words, 100) AS DOUBLE) / 100.0
+         |   + least(stopword_ratio * 5.0, 1.0)
+         |   + (1.0 - punct_ratio)) / 3.0 AS quality_score
+         |FROM base""".stripMargin
+    },
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+        |    AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+        |    AS INT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        regexp_extract_all(regexp_replace(text, '[^ -~]', '', 'g'), '.'),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, inter, ca.n_sh AS n1, cb.n_sh AS n2,
+        |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM pairs
+        |JOIN card ca ON id1 = ca.doc_id
+        |JOIN card cb ON id2 = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("TextFns") {
+    it("identifies marker languages with deterministic tie-break") {
+      val df = Seq(
+        "the cat and the dog", // en
+        "le chat et la mer",   // fr
+        "el perro y los gatos", // es
+        "xyz qrs")             // none
+        .toDF("text").select(TextFns.langId($"text").as("l"))
+      df.as[String].collect() shouldBe Array("en", "fr", "es", "und")
+    }
+    it("counts words ignoring repeated spaces") {
+      Seq("a  b   c").toDF("text")
+        .select(TextFns.wordCount($"text")).as[Int].head() shouldBe 3
+    }
+    it("scores punctuation-free prose higher") {
+      val Array(clean, noisy) = Seq(
+        "the report and the summary of the findings go to the board",
+        "!!!,,,...??? ;;; ::: !!!")
+        .toDF("text").select(TextFns.qualityScore($"text"))
+        .as[Double].collect()
+      clean should be > noisy
+    }
+    it("fingerprints are order-sensitive and stable") {
+      val Array(a, b, a2) = Seq("ab", "ba", "ab").toDF("text")
+        .select(TextFns.fingerprint($"text")).as[Long].collect()
+      a should not be b
+      a shouldBe a2
+      // h("ab") = ((0*131+97)%p*131+98)%p
+      a shouldBe ((97L * 131 + 98) % 1000000007)
+    }
+  }
+
+  describe("Dedup") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1
+      (3L, "alpha beta gamma epsilon"), // near dup of 1
+      (4L, "completely different text here")
+    ).toDF("doc_id", "text")
+
+    it("exact keeps the first copy of duplicate content") {
+      val kept = Dedup.exact(docs, "text", "doc_id")
+        .select("doc_id").as[Long].collect().sorted
+      kept shouldBe Array(1L, 3L, 4L)
+    }
+    it("exactGroups reports copy counts") {
+      Dedup.exactGroups(docs, "text", "doc_id")
+        .filter($"n_copies" > 1).select("keep_doc_id", "n_copies")
+        .as[(Long, Long)].collect() shouldBe Array((1L, 2L))
+    }
+    it("ngramJaccard finds planted near-dups and skips unrelated docs") {
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 2, threshold = 0.3)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      pairs should contain((1L, 2L)) // exact dup: jaccard 1.0
+      pairs should contain((1L, 3L)) // near dup
+      pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+    }
+    it("shingles are distinct n-grams") {
+      Seq("a b a b a").toDF("t")
+        .select(Dedup.shingles($"t", 2).as("s"))
+        .as[Seq[String]].head().sorted shouldBe Seq("a b", "b a")
+    }
+  }
+}
