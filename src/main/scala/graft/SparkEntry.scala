@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.SilverQueries.queries ++
       graft.queries.GoldQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.SilverQueries.oracles ++
       graft.queries.GoldQueries.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.VectorQueries.oracles
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.TimeFns
+import graft.lakehouse.Gold
+
+/** K-Means daily-pattern clustering (SURVEY.md §2 C8-C10) — the Spark
+  * form of the reference's gold clustering task
+  * (/root/reference/airflow/dags/mobility_ingestion_pipeline.py:645-742):
+  * pivot each day's demand into a normalized 24-hour profile, K-Means
+  * (k=3, fixed seed) over the profiles, then join assignments back to
+  * the fact for per-cluster typical days and interpret clusters by
+  * day count + modal day name.
+  *
+  * Scale notes: the feature matrix is one row per DATE (bounded:
+  * years × 365), so KMeans training data is tiny no matter how large
+  * the fact is — the heavy lifting is the pivot aggregation, which is
+  * a single shuffle on partition_date. Assignments (dates × cluster)
+  * broadcast back into the fact join. Only the k×24 centroid matrix
+  * ever reaches the driver.
+  */
+object Clustering {
+
+  /** (date, cluster_id) assignments from KMeans over normalized
+    * daily profiles (reference's fit_predict, pipeline.py:687-698).
+    */
+  def assignments(fact: DataFrame, k: Int = 3, seed: Long = 42L)
+      : DataFrame = {
+    val profiles = Gold.pivotHourlyProfile(fact)
+    val features = array((0 to 23).map(h => col(s"h$h")): _*)
+    val feat = profiles.select(col("date"),
+      array_to_vector(features).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+    model.fit(feat).transform(feat)
+      .select(col("date"), col("cluster_id").cast("long").as("cluster_id"))
+  }
+
+  /** Per-cluster typical day: AVG + SUM of trips per (cluster, hour)
+    * (reference's typical_day_by_cluster, pipeline.py:708-727).
+    */
+  def typicalDayByCluster(fact: DataFrame, assign: DataFrame): DataFrame =
+    fact.join(broadcast(assign),
+        fact("partition_date") === assign("date"))
+      .groupBy(col("cluster_id"), hour(col("period")).as("hour"))
+      .agg(
+        round(graft.queries.exactAvg(col("trips")), 2).as("avg_trips"),
+        graft.queries.exactSum(col("trips")).as("total_trips_sample"))
+
+  /** Cluster interpretation: days per cluster + modal day name
+    * (reference's MODE(dayname(date)), pipeline.py:734-742).
+    */
+  def interpret(assign: DataFrame): DataFrame =
+    assign
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("days_in_cluster"),
+        mode(TimeFns.dayName(col("date"))).as("typical_day"))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2 E5/E6).
+  *
+  * Scale notes: `bruteForceTopK` broadcasts the QUERY side (queries
+  * are assumed few; the corpus is the 100-TB side) and scans the
+  * corpus once — O(|corpus|·|queries|) scoring but no shuffle of the
+  * corpus. `ivfTopK` is the scale path: a KMeans coarse quantizer
+  * (trained on a sample, centroid count `nlist`) buckets the corpus;
+  * each query probes only its `nprobe` nearest cells, cutting scored
+  * candidates to ~nprobe/nlist of the corpus. Both rank with a
+  * per-query window on the scored candidates only.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query against every corpus vector.
+    * Inputs: (idCol, vecCol) on both sides. Returns
+    * (query_id, cand_id, cosine, rank<=k).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorFns.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-bucketed ANN: KMeans coarse quantizer, probe the `nprobe`
+    * nearest cells per query, exact cosine within the probed buckets.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val train = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+
+    // centroids: O(nlist) rows — broadcast everywhere
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray) }
+      .toDF("cell", "centroid")
+
+    // corpus → cell assignment: nearest centroid, one corpus scan
+    val cw = Window.partitionBy(col("cand_id"))
+      .orderBy(col("d2"), col("cell"))
+    val corpusCells = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        VectorFns.norm(col(vecCol)).as("cn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", VectorFns.sqDist(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") === 1)
+      .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
+
+    // query → nprobe nearest cells
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFns.norm(col(vecCol)).as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", VectorFns.sqDist(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+
+    // scored candidates: only corpus vectors in probed cells
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.lakehouse.Silver
+import graft.operators.{Clustering, Similarity}
+
+/** Vector similarity + clustering query family (SURVEY.md §2 E5/E6,
+  * C8-C10). `ann_topk` is oracle-gated (its ordered-fold dot product
+  * is bit-portable); the IVF and K-Means entries are [R] rows-checked
+  * (iterative training is not expressible in DuckDB) and spec-gated in
+  * SimilaritySpec/ClusteringSpec.
+  */
+object VectorQueries {
+
+  private def fact(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Silver.buildFactEvents(Tables.events(s, dir),
+      Tables.customer(s, dir), Tables.nation(s, dir))
+
+  val queries: Map[String, Q] = Map(
+
+    // E5 — brute-force cosine top-10 for queries vec_id < 8.
+    "ann_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10)
+    },
+
+    // E6 — IVF-bucketed ANN, same queries ([R]; recall vs brute force
+    // is asserted in SimilaritySpec).
+    "ann_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10)
+    },
+
+    // C8 — K-Means (k=3, seed=42) daily-pattern assignments.
+    "gold_cluster_assignments" -> { (s, dir) =>
+      Clustering.assignments(fact(s, dir))
+    },
+
+    // C9 — per-cluster typical day.
+    "gold_cluster_typical_day" -> { (s, dir) =>
+      val f = fact(s, dir)
+      Clustering.typicalDayByCluster(f, Clustering.assignments(f))
+    },
+
+    // C10 — cluster sizes + modal day name.
+    "gold_cluster_sizes" -> { (s, dir) =>
+      Clustering.interpret(Clustering.assignments(fact(s, dir)))
+    }
+  )
+
+  private val foldDot = (a: String, b: String) =>
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |   FOR i IN generate_series(1, len($a))]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |    sqrt(${foldDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (
+         |  SELECT vec_id AS cand_id, embedding AS cv,
+         |    sqrt(${foldDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    ${foldDot("qv", "cv")} / (qn * cn) AS cosine
+         |  FROM c, q WHERE cand_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, cosine, rank
+         |FROM ranked WHERE rank <= 10""".stripMargin
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lakehouse.Silver
+import graft.operators.Clustering
+import graft.sources.Tables
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fact = Silver.buildFactEvents(Tables.events(spark, sf),
+    Tables.customer(spark, sf), Tables.nation(spark, sf)).cache()
+
+  describe("assignments") {
+    it("assigns every date to one of k clusters, deterministically") {
+      val a1 = Clustering.assignments(fact, k = 3, seed = 42L)
+      val a2 = Clustering.assignments(fact, k = 3, seed = 42L)
+      val m1 = a1.as[(java.sql.Date, Long)].collect().toMap
+      val m2 = a2.as[(java.sql.Date, Long)].collect().toMap
+      m1 shouldBe m2 // fixed seed → stable assignment
+      m1.values.toSet.subsetOf(Set(0L, 1L, 2L)) shouldBe true
+      m1.size shouldBe fact.select("partition_date").distinct().count()
+    }
+  }
+
+  describe("typicalDayByCluster") {
+    it("produces at most cluster x 24 hour rows with rounded averages") {
+      val assign = Clustering.assignments(fact)
+      val t = Clustering.typicalDayByCluster(fact, assign)
+      t.count() should be <= (3L * 24)
+      t.filter($"hour" < 0 || $"hour" > 23).count() shouldBe 0
+      // avg_trips is rounded to 2 decimals
+      t.filter(round($"avg_trips", 2) =!= $"avg_trips").count() shouldBe 0
+    }
+  }
+
+  describe("interpret") {
+    it("counts all days across clusters and names a modal day") {
+      val assign = Clustering.assignments(fact)
+      val i = Clustering.interpret(assign)
+      i.agg(sum($"days_in_cluster")).as[Long].head() shouldBe assign.count()
+      val dayNames = Set("Monday", "Tuesday", "Wednesday", "Thursday",
+        "Friday", "Saturday", "Sunday")
+      i.select("typical_day").as[String].collect()
+        .forall(dayNames.contains) shouldBe true
+    }
+  }
+}
