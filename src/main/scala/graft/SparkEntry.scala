@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.SilverQueries.queries ++
       graft.queries.GoldQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.GeoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.SilverQueries.oracles ++
       graft.queries.GoldQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.GeoQueries.oracles
 }

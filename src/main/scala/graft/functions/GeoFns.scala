@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Spatial column functions (SURVEY.md §2 D1-D5) — the Spark form of
+  * the reference's DuckDB-spatial calls: ST_GeomFromText /
+  * ST_Intersects / ST_Centroid / st_distance_spheroid
+  * (/root/reference/airflow/dags/mobility_consultations.py:66-68,
+  * mobility_ingestion_pipeline.py:240,838).
+  *
+  * Polygons are `array<struct<x:double,y:double>>` (closed ring, last
+  * vertex = first). Everything is built-in expressions over that
+  * representation — parse once in silver, evaluate predicates
+  * per-row with no UDFs, so spatial filters stay inside whole-stage
+  * codegen'd projections and pushable scans.
+  */
+object GeoFns {
+
+  private val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance in km (haversine, mean-Earth radius).
+    * Trig-based — deterministic within one engine, [R]/spec-checked
+    * rather than hash-gated (libm sin/cos are not exactly rounded).
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column)
+      : Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Parse "POLYGON((x y, x y, ...))" into the ring representation.
+    * Null for non-matching text (the reference's geometry rows are
+    * occasionally junk — parse failures must not kill the scan).
+    */
+  def parseWktPolygon(wkt: Column): Column = {
+    val body = regexp_extract(wkt,
+      "POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)", 1)
+    val ring = transform(split(body, "\\s*,\\s*"), p => {
+      val xy = split(trim(p), "\\s+")
+      struct(element_at(xy, 1).cast("double").as("x"),
+        element_at(xy, 2).cast("double").as("y"))
+    })
+    when(length(body) > 0, ring)
+  }
+
+  /** Even-odd ray casting: true when (x, y) is inside the ring.
+    * One fold over the edges — no UDF, no collect.
+    */
+  def pointInPolygon(x: Column, y: Column, ring: Column): Column = {
+    val crossings = aggregate(
+      sequence(lit(1), size(ring) - 1), lit(0L),
+      (acc, i) => {
+        val v1 = element_at(ring, i)
+        val v2 = element_at(ring, i + 1)
+        val x1 = v1.getField("x"); val y1 = v1.getField("y")
+        val x2 = v2.getField("x"); val y2 = v2.getField("y")
+        val straddles = (y1 > y) =!= (y2 > y)
+        val xCross = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        acc + when(straddles && x < xCross, 1L).otherwise(0L)
+      })
+    crossings % 2 === 1
+  }
+
+  /** Planar bounding-box containment. */
+  def inBBox(x: Column, y: Column,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column =
+    x >= xmin && x <= xmax && y >= ymin && y <= ymax
+
+  /** Bounding box of a ring as struct(xmin, ymin, xmax, ymax). */
+  def ringBBox(ring: Column): Column =
+    struct(
+      array_min(transform(ring, v => v.getField("x"))).as("xmin"),
+      array_min(transform(ring, v => v.getField("y"))).as("ymin"),
+      array_max(transform(ring, v => v.getField("x"))).as("xmax"),
+      array_max(transform(ring, v => v.getField("y"))).as("ymax"))
+
+  /** Polygon centroid (shoelace formula) as struct(x, y). Falls back
+    * to the vertex mean for degenerate (zero-area) rings.
+    */
+  def centroid(ring: Column): Column = {
+    val terms = transform(sequence(lit(1), size(ring) - 1), i => {
+      val v1 = element_at(ring, i)
+      val v2 = element_at(ring, i + 1)
+      val cross = v1.getField("x") * v2.getField("y") -
+        v2.getField("x") * v1.getField("y")
+      struct(cross.as("a"),
+        ((v1.getField("x") + v2.getField("x")) * cross).as("cx"),
+        ((v1.getField("y") + v2.getField("y")) * cross).as("cy"))
+    })
+    val area2 = aggregate(terms, lit(0.0), (acc, t) => acc + t.getField("a"))
+    val cx = aggregate(terms, lit(0.0), (acc, t) => acc + t.getField("cx"))
+    val cy = aggregate(terms, lit(0.0), (acc, t) => acc + t.getField("cy"))
+    val n = (size(ring) - 1).cast("double")
+    val openRing = slice(ring, lit(1), size(ring) - 1)
+    val meanX = aggregate(openRing, lit(0.0),
+      (acc, v) => acc + v.getField("x")) / n
+    val meanY = aggregate(openRing, lit(0.0),
+      (acc, v) => acc + v.getField("y")) / n
+    when(area2 =!= 0.0,
+      struct((cx / (lit(3.0) * area2)).as("x"),
+        (cy / (lit(3.0) * area2)).as("y")))
+      .otherwise(struct(meanX.as("x"), meanY.as("y")))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.GeoFns
+import graft.operators.Gravity
+
+/** Spatial query family (SURVEY.md §2 D1-D5) over the synthetic zone
+  * grid (planar centroids derived from nation keys — the testdata has
+  * no real geometry). `geo_bbox_filter` is oracle-gated (pure
+  * comparisons); the trig/parse paths are [R] + GeoFnsSpec.
+  */
+object GeoQueries {
+
+  /** The consultation polygon (a rotated-square WKT) used by the [R]
+    * polygon filter — plays the reference's DEFAULT_POLYGON
+    * (mobility_consultations.py:11).
+    */
+  val consultationWkt: String =
+    "POLYGON((50 -50, 50 250, 350 250, 350 -50, 50 -50))"
+
+  val queries: Map[String, Q] = Map(
+
+    // D4 — planar bbox filter over zone centroids ([O]: arithmetic
+    // and comparisons only).
+    "geo_bbox_filter" -> { (s, dir) =>
+      val zones = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("zone_id"),
+          Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
+          Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
+      zones.filter(GeoFns.inBBox(col("x_km"), col("y_km"),
+        0.0, 0.0, 250.0, 150.0))
+    },
+
+    // D1 — haversine distance between all zone pairs on a synthetic
+    // lat/lon grid ([R]: trig).
+    "geo_distance_pairs" -> { (s, dir) =>
+      val z = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("zone_id"),
+        (col("n_nationkey") * 2.0 - 25.0).as("lat"),
+        (col("n_nationkey") * 5.0 - 60.0).as("lon"))
+      val a = z.select(col("zone_id").as("zone_a"),
+        col("lat").as("lat_a"), col("lon").as("lon_a"))
+      val b = z.select(col("zone_id").as("zone_b"),
+        col("lat").as("lat_b"), col("lon").as("lon_b"))
+      a.join(b, col("zone_a") < col("zone_b"))
+        .select(col("zone_a"), col("zone_b"),
+          GeoFns.haversineKm(col("lat_a"), col("lon_a"),
+            col("lat_b"), col("lon_b")).as("dist_km"))
+    },
+
+    // D2 + D3 — WKT parse + point-in-polygon filter ([R]).
+    "geo_polygon_filter" -> { (s, dir) =>
+      val ring = GeoFns.parseWktPolygon(lit(consultationWkt))
+      Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("zone_id"),
+          Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
+          Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
+        .filter(GeoFns.pointInPolygon(col("x_km"), col("y_km"), ring))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "geo_bbox_filter" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+        |  CAST(n_nationkey % 5 AS DOUBLE) * 100.0 AS x_km,
+        |  floor(n_nationkey / 5.0) * 100.0 AS y_km
+        |FROM nation
+        |WHERE CAST(n_nationkey % 5 AS DOUBLE) * 100.0 BETWEEN 0.0 AND 250.0
+        |  AND floor(n_nationkey / 5.0) * 100.0 BETWEEN 0.0 AND 150.0""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFns
+
+class GeoFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val square = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+  describe("haversineKm") {
+    it("matches known reference distances") {
+      // Madrid (40.4168, -3.7038) ↔ Barcelona (41.3874, 2.1686) ≈ 505 km
+      val d = Seq((40.4168, -3.7038, 41.3874, 2.1686))
+        .toDF("lat1", "lon1", "lat2", "lon2")
+        .select(GeoFns.haversineKm($"lat1", $"lon1", $"lat2", $"lon2"))
+        .as[Double].head()
+      d shouldBe 504.6 +- 2.0
+    }
+    it("is zero for identical points and symmetric") {
+      val df = Seq((10.0, 20.0, 35.0, -40.0)).toDF("a", "b", "c", "d")
+      df.select(GeoFns.haversineKm($"a", $"b", $"a", $"b"))
+        .as[Double].head() shouldBe 0.0 +- 1e-9
+      val fwd = df.select(GeoFns.haversineKm($"a", $"b", $"c", $"d"))
+        .as[Double].head()
+      val rev = df.select(GeoFns.haversineKm($"c", $"d", $"a", $"b"))
+        .as[Double].head()
+      fwd shouldBe rev +- 1e-9
+    }
+    it("one degree of longitude at the equator is ~111.19 km") {
+      Seq((0.0, 0.0, 0.0, 1.0)).toDF("a", "b", "c", "d")
+        .select(GeoFns.haversineKm($"a", $"b", $"c", $"d"))
+        .as[Double].head() shouldBe 111.19 +- 0.1
+    }
+  }
+
+  describe("parseWktPolygon") {
+    it("parses a square ring with coordinates in order") {
+      val ring = Seq(square).toDF("wkt")
+        .select(GeoFns.parseWktPolygon($"wkt").as("r"))
+        .selectExpr("transform(r, v -> array(v.x, v.y)) AS pts")
+        .as[Seq[Seq[Double]]].head()
+      ring.length shouldBe 5
+      ring.head shouldBe Seq(0.0, 0.0)
+      ring(2) shouldBe Seq(10.0, 10.0)
+      ring.last shouldBe ring.head
+    }
+    it("returns null for junk text") {
+      Seq("not a polygon").toDF("wkt")
+        .select(GeoFns.parseWktPolygon($"wkt").isNull)
+        .as[Boolean].head() shouldBe true
+    }
+  }
+
+  describe("pointInPolygon") {
+    it("classifies inside/outside for a square") {
+      val ring = GeoFns.parseWktPolygon(lit(square))
+      val pts = Seq((5.0, 5.0, true), (15.0, 5.0, false),
+        (-1.0, -1.0, false), (9.99, 0.01, true))
+      val got = pts.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+        .select(GeoFns.pointInPolygon($"x", $"y", ring))
+        .as[Boolean].collect()
+      got shouldBe pts.map(_._3).toArray
+    }
+    it("handles a concave polygon") {
+      // L-shape: notch cut from the top-right
+      val l = "POLYGON((0 0, 10 0, 10 5, 5 5, 5 10, 0 10, 0 0))"
+      val ring = GeoFns.parseWktPolygon(lit(l))
+      Seq((7.0, 7.0), (2.0, 7.0), (7.0, 2.0)).toDF("x", "y")
+        .select(GeoFns.pointInPolygon($"x", $"y", ring))
+        .as[Boolean].collect() shouldBe Array(false, true, true)
+    }
+  }
+
+  describe("bbox + centroid") {
+    it("computes the ring bbox") {
+      val r = Seq(square).toDF("wkt")
+        .select(GeoFns.ringBBox(GeoFns.parseWktPolygon($"wkt")).as("b"))
+        .selectExpr("b.xmin", "b.ymin", "b.xmax", "b.ymax")
+        .as[(Double, Double, Double, Double)].head()
+      r shouldBe ((0.0, 0.0, 10.0, 10.0))
+    }
+    it("centroid of a square is its center") {
+      val c = Seq(square).toDF("wkt")
+        .select(GeoFns.centroid(GeoFns.parseWktPolygon($"wkt")).as("c"))
+        .selectExpr("c.x", "c.y").as[(Double, Double)].head()
+      c._1 shouldBe 5.0 +- 1e-9
+      c._2 shouldBe 5.0 +- 1e-9
+    }
+    it("centroid of an asymmetric triangle is the vertex mean") {
+      val t = "POLYGON((0 0, 9 0, 0 9, 0 0))"
+      val c = Seq(t).toDF("wkt")
+        .select(GeoFns.centroid(GeoFns.parseWktPolygon($"wkt")).as("c"))
+        .selectExpr("c.x", "c.y").as[(Double, Double)].head()
+      c._1 shouldBe 3.0 +- 1e-9
+      c._2 shouldBe 3.0 +- 1e-9
+    }
+  }
+}
