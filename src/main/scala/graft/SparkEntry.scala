@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.GoldQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.GeoQueries.queries
+      graft.queries.GeoQueries.queries ++
+      graft.queries.BronzeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.GoldQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
-      graft.queries.GeoQueries.oracles
+      graft.queries.GeoQueries.oracles ++
+      graft.queries.BronzeQueries.oracles
 }

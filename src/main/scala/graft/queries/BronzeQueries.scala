@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.{PartitionedLake, Tables}
+import graft.lakehouse.Silver
+import graft.operators.Salt
+
+/** Bronze + scale-hardening query family (SURVEY.md §2 A2-A4, F8, F9):
+  * audit lineage, idempotent partition upsert proven end-to-end through
+  * the lake, salted aggregation equivalence, approx sketches.
+  */
+object BronzeQueries {
+
+  /** Lake scratch dir for the upsert proof (inside the repo target so
+    * nothing outside /root/repo is touched).
+    */
+  private val lakeScratch = "/root/repo/target/lake/bronze_upsert"
+
+  val queries: Map[String, Q] = Map(
+
+    // A2/A3 — audit lineage over a parquet-read source: the filename
+    // comes from input_file_name(), so this also asserts the scan
+    // reads exactly the expected file.
+    "bronze_audit" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("source_url", lit("synthetic://events"))
+        .withColumn("filename",
+          regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .groupBy(col("source_url"), col("filename"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
+    // A4 — idempotent partition upsert, proven END-TO-END: write all
+    // fact partitions, re-upsert one day's partition, read the lake
+    // back and aggregate. If dynamic overwrite duplicated or dropped
+    // rows, the per-partition counts diverge from the oracle (which
+    // computes the same aggregate straight from the source).
+    "bronze_partition_upsert" -> { (s, dir) =>
+      val fact = Silver.buildFactEvents(Tables.events(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))
+      PartitionedLake.upsertPartitions(fact, lakeScratch, "partition_date")
+      PartitionedLake.upsertPartitions(
+        fact.filter(col("partition_date") === lit("2024-01-05").cast("date")),
+        lakeScratch, "partition_date")
+      PartitionedLake.read(s, lakeScratch)
+        .groupBy(col("partition_date"))
+        .agg(count(lit(1)).as("n_rows"), exactSum(col("trips")).as("trips"))
+    },
+
+    // F9 — salted two-phase aggregation; decimal routing makes it
+    // bit-identical to the plain single-phase plan, so DuckDB's plain
+    // GROUP BY is a valid oracle for the salted plan.
+    "salt_agg" -> { (s, dir) =>
+      Salt.saltedSumCount(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = "value",
+        saltOn = Seq("event_id"), buckets = 16)
+    },
+
+    // F8 — approx sketches ([R]: HLL/KLL internals are engine-
+    // specific; tolerance vs exact is asserted in ApproxSpec).
+    "approx_stats" -> { (s, dir) =>
+      Tables.events(s, dir).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("value_p50_p95"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bronze_audit" ->
+      """SELECT 'synthetic://events' AS source_url,
+        |  'events.parquet' AS filename, count(*) AS n_rows
+        |FROM events""".stripMargin,
+    "bronze_partition_upsert" ->
+      """SELECT CAST(ts AS DATE) AS partition_date, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS trips
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n
+        |  ON CAST(json_extract_string(e.props, '$.k') AS INT) % 25 = n.n_nationkey
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "salt_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partitioned parquet lake with idempotent partition upsert
+  * (SURVEY.md §2 A3/A4) — the Spark form of the reference's
+  * DELETE-partition + INSERT pattern
+  * (/root/reference/airflow/dags/mobility_ingestion_pipeline.py:519-566):
+  * with `spark.sql.sources.partitionOverwriteMode=dynamic` (set in
+  * [[graft.GraftSession]]), `mode("overwrite")` replaces ONLY the
+  * partitions present in the incoming batch — re-ingesting a day is
+  * idempotent and never rewrites the rest of the table.
+  *
+  * Scale notes: writes shuffle-free (partitionBy reuses the incoming
+  * distribution); date partitioning gives partition pruning on every
+  * downstream date-filtered scan.
+  */
+object PartitionedLake {
+
+  /** Overwrite exactly the partitions contained in `batch`. */
+  def upsertPartitions(batch: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    batch.write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Append-only write (first load / immutable partitions). */
+  def append(batch: DataFrame, path: String, partitionCols: String*): Unit =
+    batch.write
+      .partitionBy(partitionCols: _*)
+      .mode("append")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

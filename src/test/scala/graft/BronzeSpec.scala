@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.Charset
+import org.apache.spark.sql.functions._
+import graft.sources.{CsvIngest, PartitionedLake}
+import graft.operators.Salt
+import graft.sources.Tables
+
+class BronzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scratch = "/root/repo/target/test-scratch"
+
+  private def writeFile(name: String, content: String,
+      cs: String = "UTF-8"): String = {
+    val p = Paths.get(scratch, name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(Charset.forName(cs)))
+    p.toString
+  }
+
+  describe("CsvIngest") {
+    it("reads all columns as varchar with a custom separator") {
+      val f = writeFile("sep.csv", "id;name;val\n1;ana;2.5\n2;bo;3.5\n")
+      val df = CsvIngest.read(spark, f, sep = ";")
+      df.schema.fields.foreach(_.dataType.typeName shouldBe "string")
+      CsvIngest.cleanRows(df).count() shouldBe 2
+      df.columns should contain allOf ("id", "name", "val")
+    }
+    it("reads headerless files with assigned column names") {
+      val f = writeFile("nohead.csv", "1,x\n2,y\n")
+      val df = CsvIngest.read(spark, f, header = false,
+        columns = Seq("code", "label"))
+      CsvIngest.cleanRows(df).select("code", "label")
+        .as[(String, String)].collect().sorted shouldBe
+        Array(("1", "x"), ("2", "y"))
+    }
+    it("captures malformed rows instead of failing") {
+      // declared 3 columns; second data row has 5 fields
+      val f = writeFile("bad.csv", "a,b,c\n1,2,3\n1,2,3,4,5\n7,8,9\n")
+      val df = CsvIngest.read(spark, f,
+        columns = Seq("a", "b", "c"), header = true)
+      CsvIngest.corruptRows(df).count() shouldBe 1
+      CsvIngest.cleanRows(df).count() shouldBe 2
+    }
+    it("honors non-UTF8 encodings") {
+      val f = writeFile("latin.csv", "name\nmuñón\n", cs = "ISO-8859-1")
+      val df = CsvIngest.read(spark, f, encoding = "ISO-8859-1")
+      CsvIngest.cleanRows(df).select("name").as[String]
+        .head() shouldBe "muñón"
+    }
+    it("stamps audit lineage columns") {
+      val f = writeFile("audit.csv", "x\n1\n")
+      val df = CsvIngest.withAudit(CsvIngest.read(spark, f), "http://src")
+      val r = df.select("source_url", "filename").as[(String, String)].head()
+      r shouldBe (("http://src", "audit.csv"))
+      df.schema.fieldNames should contain("ingestion_timestamp")
+    }
+  }
+
+  describe("PartitionedLake") {
+    it("re-upserting a partition is idempotent and leaves others alone") {
+      val lake = s"$scratch/lake"
+      val day1 = Seq((1, "2024-01-01"), (2, "2024-01-01"))
+        .toDF("id", "day")
+      val day2 = Seq((3, "2024-01-02")).toDF("id", "day")
+      PartitionedLake.upsertPartitions(day1.unionAll(day2), lake, "day")
+      // re-ingest day1 twice over
+      PartitionedLake.upsertPartitions(day1, lake, "day")
+      PartitionedLake.upsertPartitions(day1, lake, "day")
+      val back = PartitionedLake.read(spark, lake)
+      back.count() shouldBe 3
+      back.filter($"day" === "2024-01-02").count() shouldBe 1
+    }
+    it("upsert replaces only the partitions present in the batch") {
+      val lake = s"$scratch/lake2"
+      PartitionedLake.upsertPartitions(
+        Seq((1, "a"), (2, "b")).toDF("id", "part"), lake, "part")
+      PartitionedLake.upsertPartitions(
+        Seq((99, "a")).toDF("id", "part"), lake, "part")
+      val back = PartitionedLake.read(spark, lake)
+        .select("id", "part").as[(Int, String)].collect().toSet
+      back shouldBe Set((99, "a"), (2, "b"))
+    }
+  }
+
+  describe("Salt") {
+    it("salted aggregation equals the plain plan exactly") {
+      val ev = Tables.events(spark, sf)
+      val salted = Salt.saltedSumCount(ev, Seq("event_type"), "value",
+        saltOn = Seq("event_id"), buckets = 8)
+        .orderBy("event_type").as[(String, Double, Long)].collect()
+      val plain = Salt.plainSumCount(ev, Seq("event_type"), "value")
+        .orderBy("event_type").as[(String, Double, Long)].collect()
+      salted shouldBe plain
+    }
+  }
+
+  describe("approx sketches") {
+    it("approx_count_distinct is within 5% of exact") {
+      val ev = Tables.events(spark, sf)
+      val approx = ev.agg(approx_count_distinct($"user_id"))
+        .as[Long].head().toDouble
+      val exact = ev.agg(countDistinct($"user_id")).as[Long].head().toDouble
+      math.abs(approx - exact) / exact should be <= 0.05
+    }
+    it("approx median is within the value range and near exact") {
+      val ev = Tables.events(spark, sf)
+      val p50 = ev.agg(percentile_approx($"value", lit(0.5), lit(10000)))
+        .as[Double].head()
+      val exact = ev.agg(expr("percentile(value, 0.5)")).as[Double].head()
+      p50 shouldBe exact +- (exact * 0.05)
+    }
+  }
+}
