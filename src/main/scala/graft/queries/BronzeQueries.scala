@@ -63,6 +63,16 @@ object BronzeQueries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
           lit(10000)).as("value_p50_p95"))
+    },
+
+    // E11 — multimodal feature plumbing over binary payloads ([R]:
+    // kernels are deterministic stubs; shape/determinism asserted in
+    // MultimodalSpec). Documents' text bytes stand in for media blobs.
+    "mm_features" -> { (s, dir) =>
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text",
+          kind = "image")).toDF()
     }
   )
 

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventsStream, SessionEvent, StatefulSessions}
+import graft.operators.Sessionize
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  describe("EventsStream.hourlyCounts") {
+    it("aggregates a stream into the same shape as the batch twin") {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val events = in.toDF().toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventsStream.hourlyCounts(events)
+        .writeStream.format("memory").queryName("hourly")
+        .outputMode("complete").start()
+      try {
+        in.addData(
+          (1L, t("2024-01-01 10:05:00"), 1L, "view", 1.5, "{}"),
+          (2L, t("2024-01-01 10:55:00"), 1L, "view", 2.5, "{}"),
+          (3L, t("2024-01-01 11:00:00"), 2L, "click", 4.0, "{}"))
+        q.processAllAvailable()
+        val rows = spark.table("hourly")
+          .orderBy("window_start", "event_type")
+          .select("event_type", "n_events", "total_value")
+          .as[(String, Long, Double)].collect()
+        rows shouldBe Array(("view", 2L, 4.0), ("click", 1L, 4.0))
+      } finally q.stop()
+    }
+  }
+
+  describe("StatefulSessions") {
+    it("closes sessions on gap within a batch and matches batch semantics") {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[SessionEvent]
+      val q = StatefulSessions.sessionize(in.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").start()
+      try {
+        in.addData(
+          SessionEvent(1L, t("2024-01-01 10:00:00"), 1L, 1.0),
+          SessionEvent(1L, t("2024-01-01 10:10:00"), 2L, 2.0),
+          // 40-minute gap: closes the first session immediately
+          SessionEvent(1L, t("2024-01-01 10:50:00"), 3L, 4.0))
+        q.processAllAvailable()
+        val closed = spark.table("sessions")
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect()
+        closed shouldBe Array((1L, 2L, 3.0))
+        // advancing the watermark far past the gap flushes the open session
+        in.addData(SessionEvent(99L, t("2024-01-01 15:00:00"), 9L, 0.5))
+        q.processAllAvailable()
+        in.addData(SessionEvent(99L, t("2024-01-01 18:00:00"), 10L, 0.5))
+        q.processAllAvailable()
+        val all = spark.table("sessions")
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect().toSet
+        all should contain((1L, 1L, 4.0)) // the flushed open session
+      } finally q.stop()
+    }
+
+    it("agrees with the batch operator on closed sessions") {
+      implicit val sqlCtx = spark.sqlContext
+      val evs = Seq(
+        SessionEvent(1L, t("2024-01-01 08:00:00"), 1L, 1.25),
+        SessionEvent(1L, t("2024-01-01 08:20:00"), 2L, 2.25),
+        SessionEvent(1L, t("2024-01-01 09:30:00"), 3L, 1.0),
+        SessionEvent(2L, t("2024-01-01 08:00:00"), 4L, 7.5))
+      val in = MemoryStream[SessionEvent]
+      val q = StatefulSessions.sessionize(in.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_parity")
+        .outputMode("append").start()
+      try {
+        in.addData(evs: _*)
+        q.processAllAvailable()
+        // push watermark forward to flush everything
+        in.addData(SessionEvent(50L, t("2024-01-02 00:00:00"), 99L, 0.0))
+        q.processAllAvailable()
+        in.addData(SessionEvent(50L, t("2024-01-03 00:00:00"), 100L, 0.0))
+        q.processAllAvailable()
+        val streamed = spark.table("sess_parity")
+          .filter($"user_id" < 50)
+          .select("user_id", "session_start", "session_end", "n_events",
+            "total_value")
+          .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+        val batch = Sessionize.batchGapSessions(
+          evs.toDF(), Sessionize.GapConfig())
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("total_value"))
+          .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+        streamed shouldBe batch
+      } finally q.stop()
+    }
+  }
+}
