@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (SURVEY.md §2 E2) — the
+  * standard sub-quadratic pipeline: shingle → 64-bit shingle hashes →
+  * k-permutation MinHash signature → band the signature → bucket-join
+  * candidates → verify with exact Jaccard.
+  *
+  * Scale notes: this is the 100-TB near-dedup path. Candidate
+  * generation shuffles only (band, bucket-hash, doc_id) triples — the
+  * join key space is the LSH buckets, never all-pairs. With b bands of
+  * r rows, P(candidate) ≈ 1-(1-j^r)^b: the default 16 bands × 4 rows
+  * catches j ≥ 0.7 pairs with > 99.8% probability while keeping
+  * j ≤ 0.3 noise below 2.5%. The exact-Jaccard verify runs only on
+  * surviving candidates.
+  */
+object MinHashLsh {
+
+  /** 2^31-1: permutations live in 31-bit space so a*h + b stays under
+    * 2^62 — no long overflow under ANSI arithmetic.
+    */
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Deterministic permutation coefficients (seeded, not random at
+    * plan time — the same seed always builds the same signatures).
+    */
+  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+        math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature (array<long>, length numHashes) of a document's
+    * shingle set. One pass per permutation over the shingle-hash
+    * array — pure column expressions, evaluated map-side.
+    */
+  def signature(shingleSet: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column = {
+    val hashes = transform(shingleSet, s =>
+      pmod(xxhash64(s), lit(MersennePrime)))
+    array(perms(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashes, h =>
+        pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: documents whose signatures collide in at
+    * least one band. Returns distinct (id1 < id2).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = signature(Dedup.shingles(col(textCol), shingleN),
+      numHashes, seed)
+    val banded = df
+      .select(col(idCol).as("doc_id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0) // docs too short to shingle
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
+            .as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Candidates verified with exact Jaccard ≥ threshold — the full
+    * near-dedup output (id1, id2, jaccard).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes,
+      bands, seed)
+    val sh = df.select(col(idCol).as("doc_id"),
+      Dedup.shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -58,6 +58,20 @@ object TextQueries {
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5)
+    },
+
+    // E2 — MinHash+LSH near-dedup ([R]: banding uses xxhash64, not
+    // expressible in DuckDB; candidate completeness vs exact Jaccard
+    // is asserted in NearDupSpec).
+    "dedup_minhash" -> { (s, dir) =>
+      graft.operators.MinHashLsh.nearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+    },
+
+    // E3 — SimHash near-dedup ([R] + NearDupSpec).
+    "dedup_simhash" -> { (s, dir) =>
+      graft.operators.SimHash.nearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
     }
   )
 

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MinHashLsh, SimHash}
+import graft.sources.Tables
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a base doc, a near-identical copy (one word changed), and noise
+  private lazy val planted = {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok30", "changed")
+    Seq(
+      (1L, base), (2L, near),
+      (3L, (100 to 160).map(i => s"other$i").mkString(" ")),
+      (4L, (200 to 260).map(i => s"unrel$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  describe("MinHashLsh") {
+    it("signatures are deterministic and permutation-count sized") {
+      val sig = planted.select(
+        MinHashLsh.signature(Dedup.shingles($"text", 3), 32).as("s"))
+      sig.selectExpr("size(s)").as[Int].collect().forall(_ == 32) shouldBe true
+      val a = sig.as[Seq[Long]].collect()
+      val b = planted.select(
+        MinHashLsh.signature(Dedup.shingles($"text", 3), 32).as("s"))
+        .as[Seq[Long]].collect()
+      a shouldBe b
+    }
+    it("finds the planted near-dup pair and nothing else") {
+      val out = MinHashLsh.nearDuplicates(planted, "doc_id", "text",
+        threshold = 0.7)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      out shouldBe Set((1L, 2L))
+    }
+    it("recovers the high-jaccard pairs the exact join finds on real docs") {
+      val docs = Tables.documents(spark, sf)
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val lsh = MinHashLsh.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.8)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // LSH at j>=0.8 with 16x4 banding: miss probability < 1e-8
+      lsh shouldBe exact
+    }
+  }
+
+  describe("SimHash") {
+    it("near-identical docs have small hamming distance, unrelated large") {
+      val fps = planted.select($"doc_id",
+        SimHash.simHash64(graft.functions.TextFns.tokens($"text")).as("fp"))
+        .as[(Long, Long)].collect().toMap
+      java.lang.Long.bitCount(fps(1L) ^ fps(2L)) should be <= 8
+      java.lang.Long.bitCount(fps(1L) ^ fps(3L)) should be >= 16
+    }
+    it("nearDuplicates returns exactly the pairs within maxDist") {
+      val out = SimHash.nearDuplicates(planted, "doc_id", "text",
+        maxDist = 8, chunks = 16)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      out should contain((1L, 2L))
+      out should not contain ((1L, 3L))
+    }
+    it("hamming is exact bit_count of xor") {
+      Seq((0L, 0L), (1L, 0L), (-1L, 0L)).toDF("a", "b")
+        .select(SimHash.hamming($"a", $"b")).as[Int].collect() shouldBe
+        Array(0, 1, 64)
+    }
+  }
+}
