@@ -73,7 +73,10 @@ object Gold {
         lit(null).cast("double").as("generated"), col("trips").as("attracted")))
     val zoneFlow = flows.groupBy(col("zone_id"))
       .agg(dsum(col("generated")).as("g"), dsum(col("attracted")).as("a"))
-    broadcast(tiers).join(zoneFlow, Seq("zone_id"), "left")
+    // both sides are zone-cardinality; the broadcast hint goes on the
+    // RIGHT side — a left-outer BroadcastHashJoin can only build right
+    // (a left-side hint would silently fall back to sort-merge)
+    tiers.join(broadcast(zoneFlow), Seq("zone_id"), "left")
       .groupBy(col("tier"), col("tier_label"))
       .agg(count(lit(1)).as("n_zones"),
         coalesce(sum(col("g")), lit(0)).cast("double").as("trips_generated"),

@@ -55,7 +55,12 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("shingle"))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // merge hint: the exploded inverted index is many× the input (the
+    // planner's size estimate misses that and would broadcast it,
+    // building millions of rows single-threaded on the driver — fatal
+    // at scale). A sort-merge join shuffles on the shingle key and
+    // lets AQE split skewed buckets (common shingles are hot keys).
+    val pairs = sh.as("a").join(sh.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

@@ -57,7 +57,10 @@ object SimHash {
         .as("ch"))
       .select(col("doc_id"), col("fp"),
         col("ch.chunk_idx"), col("ch.chunk_val"))
-    chunked.as("a").join(chunked.as("b"),
+    // merge hint: chunked is chunks× the input — shuffle-join on the
+    // (chunk_idx, chunk_val) bucket, never broadcast (see
+    // Dedup.ngramJaccard).
+    chunked.as("a").join(chunked.as("b").hint("merge"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))

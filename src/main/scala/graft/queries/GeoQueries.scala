@@ -57,6 +57,38 @@ object GeoQueries {
           Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
           Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
         .filter(GeoFns.pointInPolygon(col("x_km"), col("y_km"), ring))
+    },
+
+    // Flagship consultation (reference mobility_consultations.py:28-127):
+    // demand profile INSIDE a user-supplied WKT polygon, broken down by
+    // the gold cluster assignments — spatial filter × clustering × fact
+    // in one plan ([R]: depends on KMeans).
+    "consult_polygon_clusters" -> { (s, dir) =>
+      val ring = GeoFns.parseWktPolygon(lit(consultationWkt))
+      val zonesIn = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("zone_id"),
+          Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
+          Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
+        .filter(GeoFns.pointInPolygon(col("x_km"), col("y_km"), ring))
+        .select(col("zone_id"))
+      val fact = graft.lakehouse.Silver.buildFactEvents(
+        Tables.events(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))
+      val local = fact
+        .join(broadcast(zonesIn.withColumnRenamed("zone_id", "o_zone")),
+          col("origin_zone_id") === col("o_zone"))
+        .join(broadcast(zonesIn.withColumnRenamed("zone_id", "d_zone")),
+          col("destination_zone_id") === col("d_zone"))
+        .groupBy(col("partition_date").as("date"),
+          hour(col("period")).as("hour"))
+        .agg(graft.queries.exactSum(col("trips")).as("local_trips"))
+      val assign = graft.operators.Clustering.assignments(fact)
+      local.join(broadcast(assign), Seq("date"))
+        .groupBy(col("cluster_id"), col("hour"))
+        .agg((sum(col("local_trips").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+            / count(lit(1))).as("avg_trips"),
+          countDistinct(col("date")).as("days_in_sample"))
     }
   )
 
