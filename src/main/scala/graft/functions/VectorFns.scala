@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Ordered-fold dot product of two equal-length float arrays. */
+  /** Ordered-fold dot product of two equal-length float arrays —
+    * native kernel ([[graft.expressions.NativeKernels.dotFloat]]):
+    * the same left-to-right addition sequence as [[dotReference]]
+    * (spec-gated parity; `ann_topk` also hash-matches DuckDB through
+    * this path) in one tight JVM loop.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.NativeKernels.dotFloatCol(a, b)
+
+  /** Declarative reference form of [[dot]]. */
+  def dotReference(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -23,24 +23,32 @@ object MinHashLsh {
     */
   private val MersennePrime = (1L << 31) - 1
 
-  /** Deterministic permutation coefficients (seeded, not random at
-    * plan time — the same seed always builds the same signatures).
+  /** Deterministic permutation coefficients — shared with the native
+    * kernel so both implementations always agree.
     */
   private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-        math.abs(rnd.nextLong()) % MersennePrime))
+    val ab = graft.expressions.NativeKernels.perms(numHashes, seed)
+    (0 until numHashes).map(k => (ab(2 * k), ab(2 * k + 1)))
   }
 
   /** MinHash signature (array<long>, length numHashes) of a document's
-    * shingle set — ONE fold over the shingles carrying a numHashes-slot
-    * min accumulator, so each shingle is hashed once and each
-    * permutation multiply happens once (64 separate array_min passes
-    * would re-evaluate the whole shingle pipeline per permutation —
-    * measured 28× slower). Pure column expressions, evaluated map-side.
+    * shingle set — native kernel
+    * ([[graft.expressions.NativeKernels.minHashSignature]]): one
+    * xx-hash per shingle and a tight perm loop, invoked from generated
+    * code. Parity with [[signatureReference]] is spec-gated.
     */
   def signature(shingleSet: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    graft.expressions.NativeKernels
+      .minHashSignatureCol(shingleSet, numHashes, seed)
+
+  /** Declarative reference implementation: ONE fold over the shingles
+    * carrying a numHashes-slot min accumulator, so each shingle is
+    * hashed once and each permutation multiply happens once (64
+    * separate array_min passes would re-evaluate the whole shingle
+    * pipeline per permutation — measured 28× slower).
+    */
+  def signatureReference(shingleSet: Column, numHashes: Int = 64,
       seed: Long = 42L): Column = {
     val ps = perms(numHashes, seed)
     val hashes = transform(shingleSet, s =>

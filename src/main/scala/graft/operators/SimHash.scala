@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash of a token array: per bit position, sum +1/-1
-    * votes weighted by each token's hash bit; the sign becomes the
-    * fingerprint bit. A single fold carrying a 64-slot vote array.
+  /** 64-bit SimHash of a token array — native kernel
+    * ([[graft.expressions.NativeKernels.simHash64]]): one tight JVM
+    * loop per row instead of a 64-wide interpreted fold (≈10× at
+    * sf0.1). Parity with [[simHash64Reference]] is spec-gated.
     */
-  def simHash64(tokens: Column): Column = {
+  def simHash64(tokens: Column): Column =
+    graft.expressions.NativeKernels.simHash64Col(tokens)
+
+  /** Declarative reference implementation: per bit position, sum
+    * +1/-1 votes weighted by each token's hash bit; the sign becomes
+    * the fingerprint bit. A single fold carrying a 64-slot vote array.
+    */
+  def simHash64Reference(tokens: Column): Column = {
     val votes = aggregate(tokens,
       array_repeat(lit(0L), 64),
       (acc, t) => {

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression
+  * converters (Spark 4 wraps Columns in ColumnNodes; building a Column
+  * from a raw Catalyst `Expression` — needed to attach
+  * [[graft.expressions.NativeKernels]] via StaticInvoke — goes through
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * package-private). This object lives under `org.apache.spark.sql`
+  * purely for access; it adds no behavior.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
