@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // default 100 entries churns under many distinct plans (each
+      // query compiles several codegen stages); eviction forces Janino
+      // recompiles of identical source mid-session
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // The events table carries TIMESTAMP(NANOS) which parquet-mr maps
       // to no Spark type; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

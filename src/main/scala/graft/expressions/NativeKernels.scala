@@ -106,6 +106,29 @@ object NativeKernels extends Serializable {
     new GenericArrayData(sig)
   }
 
+  // ---- Shingles ----------------------------------------------------
+
+  /** Distinct word n-gram shingles from a token array — first-
+    * occurrence order, space-joined, exactly matching the declarative
+    * `array_distinct(transform(sequence(...), concat_ws(" ", ...)))`
+    * form (including empty tokens from repeated separators).
+    */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+
   // ---- Vector ops --------------------------------------------------
 
   /** Ordered left-to-right dot product of two float arrays in double —
@@ -149,4 +172,9 @@ object NativeKernels extends Serializable {
   def dotFloatCol(a: Column, b: Column): Column =
     invoke("dotFloat", DoubleType, Seq(a, b),
       Seq(ArrayType(FloatType), ArrayType(FloatType)))
+
+  def wordShinglesCol(tokens: Column, n: Int): Column =
+    invoke("wordShingles", ArrayType(StringType, containsNull = false),
+      Seq(tokens, org.apache.spark.sql.functions.lit(n)),
+      Seq(ArrayType(StringType), IntegerType))
 }

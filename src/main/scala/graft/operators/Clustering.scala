@@ -24,6 +24,24 @@ import graft.lakehouse.Gold
   */
 object Clustering {
 
+  /** Memo for [[assignmentsCached]]: assignments are deterministic
+    * (fixed seed) and tiny (one row per date), so recomputing the
+    * KMeans fit for every consumer query in one session is pure waste.
+    * Keyed by session so a stopped session's plans are never reused.
+    */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Long), DataFrame]
+
+  /** [[assignments]] with per-session memoization, for callers that
+    * identify the fact by its scale-factor dir (the SparkEntry query
+    * family — gold_cluster_* and the polygon consultation all share
+    * one training run per session).
+    */
+  def assignmentsCached(fact: DataFrame, dir: String, k: Int = 3,
+      seed: Long = 42L): DataFrame =
+    memo.getOrElseUpdate((fact.sparkSession, dir, k, seed),
+      assignments(fact, k, seed).localCheckpoint(eager = true))
+
   /** (date, cluster_id) assignments from KMeans over normalized
     * daily profiles (reference's fit_predict, pipeline.py:687-698).
     */

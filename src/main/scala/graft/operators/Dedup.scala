@@ -37,8 +37,16 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles of a text column, as an array. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles of a text column, as an array —
+    * native kernel ([[graft.expressions.NativeKernels.wordShingles]]);
+    * the split itself stays a codegen'd builtin. Parity with
+    * [[shinglesReference]] is spec-gated.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.NativeKernels.wordShinglesCol(split(text, " "), n)
+
+  /** Declarative reference form of [[shingles]]. */
+  def shinglesReference(text: Column, n: Int): Column = {
     val w = split(text, " ")
     val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
       .otherwise(array().cast("array<int>"))

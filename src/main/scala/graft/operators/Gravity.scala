@@ -50,21 +50,25 @@ object Gravity {
       rent: DataFrame): DataFrame = {
     val od = fact.groupBy(col("origin_zone_id"), col("destination_zone_id"))
       .agg(exactSum(col("trips")).as("total_actual_trips"))
-    val d = distKm(col("origin_zone_id"), col("destination_zone_id"))
-    val potential = col("population") * col("rent") / (d * d)
+    // layered projections: dist_km and potential become columns so the
+    // sqrt/div subtrees appear ONCE in the generated code instead of
+    // being re-expanded in every consumer expression
     od
       .join(broadcast(population),
         od("origin_zone_id") === population("zone_id"))
       .drop("zone_id")
       .join(broadcast(rent), od("destination_zone_id") === rent("zone_id"))
       .drop("zone_id")
+      .withColumn("dist_km",
+        distKm(col("origin_zone_id"), col("destination_zone_id")))
+      .withColumn("potential",
+        col("population") * col("rent") /
+          (col("dist_km") * col("dist_km")))
       .select(
         col("origin_zone_id"), col("destination_zone_id"),
-        col("total_actual_trips"),
-        d.as("dist_km"),
-        potential.as("potential"),
+        col("total_actual_trips"), col("dist_km"), col("potential"),
         (col("total_actual_trips") /
-          nullif(potential, lit(0.0))).as("mismatch_ratio"))
+          nullif(col("potential"), lit(0.0))).as("mismatch_ratio"))
   }
 
   /** Per-zone population = customers per nation; per-zone rent = exact

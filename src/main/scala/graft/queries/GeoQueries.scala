@@ -82,7 +82,7 @@ object GeoQueries {
         .groupBy(col("partition_date").as("date"),
           hour(col("period")).as("hour"))
         .agg(graft.queries.exactSum(col("trips")).as("local_trips"))
-      val assign = graft.operators.Clustering.assignments(fact)
+      val assign = graft.operators.Clustering.assignmentsCached(fact, dir)
       local.join(broadcast(assign), Seq("date"))
         .groupBy(col("cluster_id"), col("hour"))
         .agg((sum(col("local_trips").cast(

@@ -36,18 +36,18 @@ object VectorQueries {
 
     // C8 — K-Means (k=3, seed=42) daily-pattern assignments.
     "gold_cluster_assignments" -> { (s, dir) =>
-      Clustering.assignments(fact(s, dir))
+      Clustering.assignmentsCached(fact(s, dir), dir)
     },
 
     // C9 — per-cluster typical day.
     "gold_cluster_typical_day" -> { (s, dir) =>
       val f = fact(s, dir)
-      Clustering.typicalDayByCluster(f, Clustering.assignments(f))
+      Clustering.typicalDayByCluster(f, Clustering.assignmentsCached(f, dir))
     },
 
     // C10 — cluster sizes + modal day name.
     "gold_cluster_sizes" -> { (s, dir) =>
-      Clustering.interpret(Clustering.assignments(fact(s, dir)))
+      Clustering.interpret(Clustering.assignmentsCached(fact(s, dir), dir))
     }
   )
 

@@ -38,6 +38,22 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("wordShingles native vs reference") {
+    it("agrees on every document, including order") {
+      val d = docs.select(
+        to_json(Dedup.shingles($"text", 3)).as("n"),
+        to_json(Dedup.shinglesReference($"text", 3)).as("r"))
+      d.filter($"n" =!= $"r").count() shouldBe 0
+    }
+    it("handles short docs and repeated spaces like the reference") {
+      val cases = Seq("a b", "a  b c", "x y z w", "")
+      val d = cases.toDF("text").select(
+        to_json(Dedup.shingles($"text", 3)).as("n"),
+        to_json(Dedup.shinglesReference($"text", 3)).as("r"))
+      d.collect().foreach(r => r.getString(0) shouldBe r.getString(1))
+    }
+  }
+
   describe("dotFloat native vs reference") {
     it("is bit-identical on real embeddings (same addition order)") {
       val e = Tables.embeddings(spark, sf)
