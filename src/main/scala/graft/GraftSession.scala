@@ -24,6 +24,8 @@ object GraftSession {
       // query compiles several codegen stages); eviction forces Janino
       // recompiles of identical source mid-session
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // graft's Catalyst extensions (polygon bbox pruning rule)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // The events table carries TIMESTAMP(NANOS) which parquet-mr maps
       // to no Spark type; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -129,6 +129,30 @@ object NativeKernels extends Serializable {
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
 
+  // ---- Geo ---------------------------------------------------------
+
+  /** Even-odd ray casting over a ring of struct(x,y) — one native loop
+    * per row, matching [[graft.functions.GeoFns.pointInPolygonReference]]
+    * (same strict comparisons and edge arithmetic).
+    */
+  def rayCast(x: Double, y: Double, ring: ArrayData): Boolean = {
+    val n = ring.numElements()
+    var crossings = 0L
+    var i = 0
+    while (i < n - 1) {
+      val v1 = ring.getStruct(i, 2)
+      val v2 = ring.getStruct(i + 1, 2)
+      val x1 = v1.getDouble(0); val y1 = v1.getDouble(1)
+      val x2 = v2.getDouble(0); val y2 = v2.getDouble(1)
+      if ((y1 > y) != (y2 > y)) {
+        val xCross = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        if (x < xCross) crossings += 1
+      }
+      i += 1
+    }
+    crossings % 2 == 1
+  }
+
   // ---- Vector ops --------------------------------------------------
 
   /** Ordered left-to-right dot product of two float arrays in double —
@@ -177,4 +201,12 @@ object NativeKernels extends Serializable {
     invoke("wordShingles", ArrayType(StringType, containsNull = false),
       Seq(tokens, org.apache.spark.sql.functions.lit(n)),
       Seq(ArrayType(StringType), IntegerType))
+
+  /** The ring struct type shared by GeoFns and the bbox-pruning rule. */
+  val ringType: DataType = ArrayType(
+    StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))
+
+  def rayCastCol(x: Column, y: Column, ring: Column): Column =
+    invoke("rayCast", BooleanType, Seq(x, y, ring),
+      Seq(DoubleType, DoubleType, ringType))
 }

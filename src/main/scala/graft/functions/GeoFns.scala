@@ -47,10 +47,22 @@ object GeoFns {
     when(length(body) > 0, ring)
   }
 
-  /** Even-odd ray casting: true when (x, y) is inside the ring.
-    * One fold over the edges — no UDF, no collect.
+  /** Even-odd ray casting: true when (x, y) is inside the ring —
+    * native kernel ([[graft.expressions.NativeKernels.rayCast]]). When
+    * the ring is a literal (the consultation pattern: one user-supplied
+    * WKT filtering a huge fact), the optimizer rule
+    * [[graft.plans.PolygonBBoxPruning]] conjoins a derived bounding-box
+    * predicate that CAN push down to parquet scans — the ray cast
+    * itself never can.
     */
-  def pointInPolygon(x: Column, y: Column, ring: Column): Column = {
+  def pointInPolygon(x: Column, y: Column, ring: Column): Column =
+    graft.expressions.NativeKernels
+      .rayCastCol(x.cast("double"), y.cast("double"), ring)
+
+  /** Declarative reference form of [[pointInPolygon]]: one fold over
+    * the edges — no UDF, no collect.
+    */
+  def pointInPolygonReference(x: Column, y: Column, ring: Column): Column = {
     val crossings = aggregate(
       sequence(lit(1), size(ring) - 1), lit(0L),
       (acc, i) => {

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.expressions.NativeKernels
+
+/** Catalyst optimizer rule (SURVEY.md §2 custom-plan tier): a
+  * point-in-polygon filter against a LITERAL ring — the consultation
+  * pattern, one user-supplied WKT polygon filtering a huge fact — is
+  * opaque to every storage optimization: the ray-cast invocation can
+  * never reach parquet's PushedFilters, so the scan reads everything.
+  *
+  * This rule computes the ring's bounding box at plan time and
+  * conjoins `x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax`
+  * with the ray cast. The bbox conjuncts are plain comparisons on the
+  * input columns, so they push down to the scan (row-group pruning at
+  * 100 TB) and short-circuit the ray-cast loop for far-away rows.
+  *
+  * Idempotent: bounds already present as conjuncts (semantic equality)
+  * are not re-added, so the optimizer reaching fixpoint does not grow
+  * the predicate.
+  */
+case class PolygonBBoxPruning() extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Plan-time evaluable: deterministic and input-independent. HOF
+    * trees like `transform(parseWkt(lit))` are never `foldable`, but
+    * they evaluate fine interpreted — which is exactly the
+    * consultation's literal-polygon shape.
+    */
+  private def planTimeConstant(e: Expression): Boolean =
+    e.deterministic && e.references.isEmpty
+
+  private def bboxOf(ringLit: Expression): Option[(Double, Double, Double, Double)] = {
+    val data = scala.util.Try(ringLit.eval(null)).getOrElse(null)
+      .asInstanceOf[ArrayData]
+    if (data == null || data.numElements() == 0) return None
+    var (xmin, ymin) = (Double.MaxValue, Double.MaxValue)
+    var (xmax, ymax) = (Double.MinValue, Double.MinValue)
+    var i = 0
+    while (i < data.numElements()) {
+      val v = data.getStruct(i, 2)
+      if (v.isNullAt(0) || v.isNullAt(1)) return None
+      val x = v.getDouble(0); val y = v.getDouble(1)
+      if (x < xmin) xmin = x; if (x > xmax) xmax = x
+      if (y < ymin) ymin = y; if (y > ymax) ymax = y
+      i += 1
+    }
+    Some((xmin, ymin, xmax, ymax))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      val existing = conjuncts(cond)
+      val additions = existing.flatMap {
+        case si: StaticInvoke
+            if si.functionName == "rayCast" &&
+              si.staticObject == NativeKernels.getClass &&
+              si.arguments.size >= 3 &&
+              planTimeConstant(si.arguments(2)) =>
+          val Seq(xe, ye, ringE) = si.arguments.take(3)
+          bboxOf(ringE).toSeq.flatMap { case (xmin, ymin, xmax, ymax) =>
+            Seq(
+              GreaterThanOrEqual(xe, Literal(xmin)),
+              LessThanOrEqual(xe, Literal(xmax)),
+              GreaterThanOrEqual(ye, Literal(ymin)),
+              LessThanOrEqual(ye, Literal(ymax)))
+          }.filterNot(b => existing.exists(_.semanticEquals(b)))
+        case _ => Nil
+      }
+      if (additions.isEmpty) f
+      else Filter((additions :+ cond).reduce(And), child)
+  }
+}
+
+/** Session extensions entry point — registered via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
+  * [[graft.GraftSession]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => PolygonBBoxPruning())
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFns
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val square = "POLYGON((10 20, 30 20, 30 40, 10 40, 10 20))"
+
+  describe("PolygonBBoxPruning") {
+    it("conjoins pushable bbox bounds for a literal-ring filter") {
+      val dir = "/root/repo/target/test-scratch/geo_parquet_opt"
+      Seq((5.0, 5.0), (20.0, 30.0), (50.0, 50.0)).toDF("x", "y")
+        .write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir)
+        .filter(GeoFns.pointInPolygon($"x", $"y",
+          GeoFns.parseWktPolygon(lit(square))))
+      val opt = q.queryExecution.optimizedPlan.toString
+      opt should include(">= 10.0")
+      opt should include("<= 30.0")
+      opt should include(">= 20.0")
+      opt should include("<= 40.0")
+      // rule is idempotent: bounds appear exactly once each
+      "(?<![0-9.])>= 10\\.0".r.findAllIn(opt).size shouldBe 1
+      q.as[(Double, Double)].collect() shouldBe Array((20.0, 30.0))
+    }
+
+    it("pushes the derived bounds down to the parquet scan") {
+      val dir = "/root/repo/target/test-scratch/geo_parquet"
+      Seq((5.0, 5.0), (20.0, 30.0), (50.0, 50.0)).toDF("x", "y")
+        .write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir)
+        .filter(GeoFns.pointInPolygon($"x", $"y",
+          GeoFns.parseWktPolygon(lit(square))))
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get
+      val pushed = scan.metadata("PushedFilters")
+      pushed should include("GreaterThanOrEqual(x,10.0)")
+      pushed should include("LessThanOrEqual(x,30.0)")
+      pushed should include("GreaterThanOrEqual(y,20.0)")
+      pushed should include("LessThanOrEqual(y,40.0)")
+      q.count() shouldBe 1
+    }
+
+    it("matches the declarative reference on real zone data") {
+      val ring = GeoFns.parseWktPolygon(
+        lit(graft.queries.GeoQueries.consultationWkt))
+      val zones = graft.sources.Tables.nation(spark, sf)
+        .select(col("n_nationkey").cast("long").as("zone_id"),
+          graft.operators.Gravity.zoneXKm(col("n_nationkey")).as("x"),
+          graft.operators.Gravity.zoneYKm(col("n_nationkey")).as("y"))
+      val native = zones.filter(
+        GeoFns.pointInPolygon($"x", $"y", ring))
+        .select("zone_id").as[Long].collect().sorted
+      val ref = zones.filter(
+        GeoFns.pointInPolygonReference($"x", $"y", ring))
+        .select("zone_id").as[Long].collect().sorted
+      native shouldBe ref
+      native.length should be > 0
+    }
+  }
+}
