@@ -34,4 +34,21 @@ object PartitionedLake {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed managed table: rows are hash-distributed into `buckets`
+    * files per partition by `bucketCol` at WRITE time, so two tables
+    * bucketed the same way join with NO shuffle on either side — the
+    * 100-TB answer for repeated fact⋈fact joins on a stable key
+    * (lineitem⋈orders every day): pay the distribution once at ingest,
+    * never at query. Requires the session catalog (bucket metadata
+    * lives there, not in the parquet files).
+    */
+  def writeBucketed(batch: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    batch.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }

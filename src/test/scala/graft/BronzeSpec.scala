@@ -85,6 +85,29 @@ class BronzeSpec extends SparkSpec {
     }
   }
 
+  describe("PartitionedLake.writeBucketed") {
+    it("same-bucketed tables join without a shuffle") {
+      val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      PartitionedLake.writeBucketed(ord, "b_orders", "o_orderkey", 4)
+      PartitionedLake.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
+      // disable auto-broadcast so the tiny test tables take the same
+      // join strategy fact-fact data would at scale
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("b_lineitem")
+          .join(spark.table("b_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        // co-located: sort-merge join with NO Exchange on either side
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange hashpartitioning"
+        joined.count() shouldBe li.count()
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   describe("Salt") {
     it("salted aggregation equals the plain plan exactly") {
       val ev = Tables.events(spark, sf)

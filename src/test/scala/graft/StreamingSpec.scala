@@ -35,6 +35,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("EventsStream.read (file source)") {
+    it("tails a parquet directory end-to-end into the hourly aggregation") {
+      val dir = "/root/repo/target/test-scratch/stream_in"
+      val ck = "/root/repo/target/test-scratch/stream_ck"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      // first file lands before the stream starts
+      Seq((1L, t("2024-01-01 10:05:00"), 1L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      val q = EventsStream.hourlyCounts(EventsStream.read(spark, dir))
+        .writeStream.format("memory").queryName("file_hourly")
+        .option("checkpointLocation", ck)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        // a second file arrives while the stream is live
+        Seq((2L, t("2024-01-01 10:35:00"), 2L, "view", 2.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val rows = spark.table("file_hourly")
+          .select("event_type", "n_events", "total_value")
+          .as[(String, Long, Double)].collect()
+        rows shouldBe Array(("view", 2L, 3.0))
+      } finally q.stop()
+    }
+  }
+
   describe("StatefulSessions") {
     it("closes sessions on gap within a batch and matches batch semantics") {
       implicit val sqlCtx = spark.sqlContext
