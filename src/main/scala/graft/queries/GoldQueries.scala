@@ -83,6 +83,24 @@ object GoldQueries {
     // C7 — pivot long→wide (24 hour share columns) + row normalize.
     "gold_pivot_profile" -> { (s, dir) =>
       Gold.pivotHourlyProfile(fact(s, dir))
+    },
+
+    // C6 presentation form — the reference consultation's exact output
+    // shape (mobility_consultations.py:141-157): integer potential,
+    // 4-dp mismatch, 2-dp distance. floor/round on bit-identical
+    // doubles stay bit-identical.
+    "consult_top_gaps" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      Gravity.infrastructureGaps(fact(s, dir),
+        Gravity.zonePopulation(cust), Gravity.zoneRent(cust))
+        .select(col("origin_zone_id"), col("destination_zone_id"),
+          col("total_actual_trips").as("actual_trips"),
+          floor(col("potential")).cast("long").as("potential"),
+          round(col("mismatch_ratio"), 4).as("mismatch_ratio"),
+          round(col("dist_km"), 2).as("dist_km"))
+        .orderBy(col("mismatch_ratio").asc_nulls_last,
+          col("origin_zone_id"), col("destination_zone_id"))
+        .limit(10)
     }
   )
 
@@ -181,6 +199,16 @@ object GoldQueries {
          |    AS avg_trips
          |FROM fact GROUP BY 1, 2""".stripMargin,
     "gold_gravity_gaps" -> gravitySql,
+    "consult_top_gaps" ->
+      s"""SELECT origin_zone_id, destination_zone_id,
+         |  total_actual_trips AS actual_trips,
+         |  CAST(floor(potential) AS BIGINT) AS potential,
+         |  round(mismatch_ratio, 4) AS mismatch_ratio,
+         |  round(dist_km, 2) AS dist_km
+         |FROM ($gravitySql) g
+         |ORDER BY mismatch_ratio ASC NULLS LAST,
+         |  origin_zone_id, destination_zone_id
+         |LIMIT 10""".stripMargin,
     "gold_top_gaps" ->
       s"""$gravitySql
          |ORDER BY mismatch_ratio ASC NULLS LAST,
