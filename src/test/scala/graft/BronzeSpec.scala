@@ -85,6 +85,27 @@ class BronzeSpec extends SparkSpec {
     }
   }
 
+  describe("Bronze.ingestCsv") {
+    it("lands clean rows partitioned, quarantines corrupt, re-ingest idempotent") {
+      val src = writeFile("bronze.csv",
+        "id,day,v\n1,2024-01-01,10\n2,2024-01-01,20\nbad,row,has,too,many\n3,2024-01-02,30\n")
+      val lake = s"$scratch/bronze_lake"
+      val (clean, corrupt) = graft.lakehouse.Bronze.ingestCsv(
+        spark, src, lake, "http://src/bronze.csv",
+        columns = Seq("id", "day", "v"), partitionCols = Seq("day"))
+      clean.count() shouldBe 3
+      corrupt.count() shouldBe 1
+      // second ingest of the same file: same lake state, no duplicates
+      graft.lakehouse.Bronze.ingestCsv(
+        spark, src, lake, "http://src/bronze.csv",
+        columns = Seq("id", "day", "v"), partitionCols = Seq("day"))
+      val back = PartitionedLake.read(spark, lake)
+      back.count() shouldBe 3
+      back.columns should contain allOf ("source_url", "filename",
+        "ingestion_timestamp")
+    }
+  }
+
   describe("PartitionedLake.writeBucketed") {
     it("same-bucketed tables join without a shuffle") {
       val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
