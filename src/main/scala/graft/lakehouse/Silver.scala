@@ -55,6 +55,25 @@ object Silver {
   def crossJoinDim(zones: DataFrame, holidays: DataFrame): DataFrame =
     zones.crossJoin(broadcast(holidays))
 
+  /** Memoized silver fact per (session, dir) — the medallion
+    * architecture's contract: gold NEVER re-derives silver; it reads
+    * the materialized fact table (the reference materializes
+    * lakehouse.silver.fact_mobility once and every gold task queries
+    * it). Locally the materialization is an in-memory cache; in
+    * production it is a [[graft.sources.PartitionedLake]] write at
+    * ingest time and a plain parquet read here.
+    */
+  private val factMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def factEventsCached(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    factMemo.getOrElseUpdate((spark, dir), {
+      import graft.sources.Tables
+      buildFactEvents(Tables.events(spark, dir),
+        Tables.customer(spark, dir), Tables.nation(spark, dir)).cache()
+    })
+
   /** Fact build (reference's fact_mobility INSERT, pipeline.py:547-567):
     * reconstruct the period timestamp from date + hour, conform the
     * origin/destination zone keys through INNER dim joins, drop rows

@@ -71,9 +71,7 @@ object GeoQueries {
           Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
         .filter(GeoFns.pointInPolygon(col("x_km"), col("y_km"), ring))
         .select(col("zone_id"))
-      val fact = graft.lakehouse.Silver.buildFactEvents(
-        Tables.events(s, dir), Tables.customer(s, dir),
-        Tables.nation(s, dir))
+      val fact = graft.lakehouse.Silver.factEventsCached(s, dir)
       val local = fact
         .join(broadcast(zonesIn.withColumnRenamed("zone_id", "o_zone")),
           col("origin_zone_id") === col("o_zone"))

@@ -17,8 +17,7 @@ import graft.operators.Gravity
 object GoldQueries {
 
   private def fact(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Silver.buildFactEvents(Tables.events(s, dir),
-      Tables.customer(s, dir), Tables.nation(s, dir))
+    Silver.factEventsCached(s, dir)
 
   /** The silver fact as a DuckDB CTE — single source for all gold
     * oracles (mirrors SilverQueries.silver_fact_events).

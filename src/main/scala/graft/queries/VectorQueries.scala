@@ -14,8 +14,7 @@ import graft.operators.{Clustering, Similarity}
 object VectorQueries {
 
   private def fact(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Silver.buildFactEvents(Tables.events(s, dir),
-      Tables.customer(s, dir), Tables.nation(s, dir))
+    Silver.factEventsCached(s, dir)
 
   val queries: Map[String, Q] = Map(
 
