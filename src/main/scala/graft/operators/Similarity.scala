@@ -42,6 +42,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: corpus vectors whose
+    * cosine similarity ≥ threshold, found WITHOUT an all-pairs join —
+    * a KMeans coarse quantizer buckets the corpus and each vector is
+    * assigned to its `nprobe` nearest cells; only same-cell pairs are
+    * scored. Multi-probe assignment keeps near-dup pairs that straddle
+    * a cell boundary (a near-dup's two vectors are nearly coincident,
+    * so their top-nprobe cell sets overlap with high probability).
+    *
+    * Scale notes: the candidate join shuffles (cell, id, vec) rows —
+    * nprobe× the corpus, never corpus² — and the per-cell self-join is
+    * bounded by cell population; AQE splits hot cells. Returns
+    * (id1 < id2, cosine).
+    */
+  def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray) }
+      .toDF("cell", "centroid")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("d2"), col("cell"))
+    val celled = corpus
+      .select(col(idCol).as("doc_id"), col(vecCol).as("v"),
+        VectorFns.norm(col(vecCol)).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", VectorFns.sqDist(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("cell"), col("doc_id"), col("v"), col("nrm"))
+    celled.as("a").join(celled.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        VectorFns.cosine(VectorFns.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** IVF-bucketed ANN: KMeans coarse quantizer, probe the `nprobe`
     * nearest cells per query, exact cosine within the probed buckets.
     */

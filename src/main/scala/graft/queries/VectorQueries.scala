@@ -33,6 +33,16 @@ object VectorQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // E2-family — embedding-cosine near-dup over the whole corpus via
+    // IVF-cell bucketing ([R]; recall vs brute force in SimilaritySpec).
+    // The synthetic embeddings carry no true near-dups (max pairwise
+    // cosine ≈ 0.51), so the demo threshold mines the most-similar
+    // pairs; production near-dedup runs the same operator at ~0.95.
+    "dedup_embedding" -> { (s, dir) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4, nprobe = 3)
+    },
+
     // C8 — K-Means (k=3, seed=42) daily-pattern assignments.
     "gold_cluster_assignments" -> { (s, dir) =>
       Clustering.assignmentsCached(fact(s, dir), dir)
