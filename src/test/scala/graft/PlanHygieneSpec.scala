@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.sources.{PartitionedLake, Tables}
+
+/** Plan-shape regression guards: the properties that make these
+  * queries survive a 100× scale-up, asserted on the actual physical
+  * plans so a refactor can't silently lose them.
+  */
+class PlanHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  // sparkPlan, not executedPlan: AQE wraps multi-stage plans in an
+  // AdaptiveSparkPlanExec whose leaves aren't exposed pre-execution
+  private def scans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: FileSourceScanExec => s }
+
+  describe("scan hygiene") {
+    it("q1_agg prunes columns and pushes the date filter to parquet") {
+      val q = SparkEntry.queries("q1_agg")(spark, sf)
+      val scan = scans(q).head
+      val read = scan.metadata("ReadSchema")
+      read should not include "l_orderkey" // pruned
+      read should not include "l_partkey"
+      scan.metadata("PushedFilters") should include("LessThanOrEqual(l_shipdate")
+    }
+    it("silver_clean_events never reads the ts column it does not need") {
+      val q = SparkEntry.queries("silver_clean_events")(spark, sf)
+      scans(q).head.metadata("ReadSchema") should not include "ts"
+    }
+  }
+
+  describe("partition pruning through the lake") {
+    it("a date-filtered read scans only the matching partitions") {
+      val lake = "/root/repo/target/test-scratch/prune_lake"
+      Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
+        .toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(lake)
+      val q = PartitionedLake.read(spark, lake).filter($"day" === "2024-01-02")
+      val scan = scans(q).head
+      scan.metadata("PartitionFilters") should include("day")
+      // only one of the three partition directories is actually read
+      scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters).map(_.files.size).sum shouldBe 1
+      q.select("id").as[Int].collect() shouldBe Array(2)
+    }
+  }
+
+  describe("no accidental cartesian products") {
+    it("every catalog query plans without CartesianProduct at scale settings") {
+      // intentional exceptions: the zone-pair enumeration (bounded 25x25)
+      // and ANN brute force (broadcast query side is the design)
+      val exempt = Set("geo_distance_pairs", "ann_topk", "ann_ivf_topk",
+        "dedup_embedding")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          withClue(s"$name: ") {
+            plan should not include "CartesianProduct"
+          }
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
