@@ -86,36 +86,66 @@ object Similarity {
       .distinct()
   }
 
+  /** An IVF index: the centroid table (nlist rows, broadcastable) and
+    * the cell-assigned corpus — in production both are materialized to
+    * the lake at build time (an ANN index IS a materialized artifact);
+    * [[ivfIndex]] memoizes per (session, inputs) locally.
+    */
+  final case class IvfIndex(cents: DataFrame, corpusCells: DataFrame)
+
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String, String, Int, Long),
+      IvfIndex]
+
+  /** Build (or reuse) the IVF index for a corpus. `corpusTag` keys the
+    * memo — pass the data location (e.g. the sf dir) or "" to force a
+    * fresh build.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long, corpusTag: String = ""): IvfIndex = {
+    def build: IvfIndex = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val train = corpus.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      val model = new KMeans().setK(nlist).setSeed(seed)
+        .setFeaturesCol("features").fit(train)
+      // centroids: O(nlist) rows — broadcast everywhere
+      val cents = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray) }
+        .toDF("cell", "centroid")
+      // corpus → cell assignment: nearest centroid, one corpus scan
+      val cw = Window.partitionBy(col("cand_id"))
+        .orderBy(col("d2"), col("cell"))
+      val corpusCells = corpus
+        .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+          VectorFns.norm(col(vecCol)).as("cn"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", VectorFns.sqDist(col("cv"), col("centroid")))
+        .withColumn("rn", row_number().over(cw))
+        .filter(col("rn") === 1)
+        .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
+      IvfIndex(cents, if (corpusTag.nonEmpty) corpusCells.cache()
+        else corpusCells)
+    }
+    if (corpusTag.isEmpty) build
+    else ivfMemo.getOrElseUpdate(
+      (corpus.sparkSession, corpusTag, idCol, vecCol, nlist, seed), build)
+  }
+
   /** IVF-bucketed ANN: KMeans coarse quantizer, probe the `nprobe`
     * nearest cells per query, exact cosine within the probed buckets.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+      corpusTag: String = ""): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val train = corpus.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").fit(train)
-
-    // centroids: O(nlist) rows — broadcast everywhere
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toArray) }
-      .toDF("cell", "centroid")
-
-    // corpus → cell assignment: nearest centroid, one corpus scan
-    val cw = Window.partitionBy(col("cand_id"))
-      .orderBy(col("d2"), col("cell"))
-    val corpusCells = corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-        VectorFns.norm(col(vecCol)).as("cn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", VectorFns.sqDist(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(cw))
-      .filter(col("rn") === 1)
-      .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
+    val idx = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+    val cents = idx.cents
+    val corpusCells = idx.corpusCells
 
     // query → nprobe nearest cells
     val qw = Window.partitionBy(col("query_id"))

@@ -30,7 +30,7 @@ object VectorQueries {
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 10)
+        "vec_id", "embedding", k = 10, corpusTag = dir)
     },
 
     // E2-family — embedding-cosine near-dup over the whole corpus via
