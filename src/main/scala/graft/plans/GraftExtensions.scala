@@ -84,9 +84,49 @@ case class PolygonBBoxPruning() extends Rule[LogicalPlan] {
 /** Session extensions entry point — registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]).
+  *
+  * Besides the optimizer rule, registers the spatial functions under
+  * the reference's SQL names
+  * (/root/reference/airflow/dags/mobility_consultations.py:66-68 uses
+  * ST_GeomFromText / ST_Intersects / ST_Centroid in raw SQL), so a
+  * reference user's SQL consultations run through `spark.sql` with
+  * only the geometry representation changed (ring arrays instead of
+  * GEOMETRY blobs).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.graftbridge.Bridge
+  import graft.functions.GeoFns
+
+  private def register(ext: SparkSessionExtensions, name: String,
+      usage: String, arity: Int)(
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.GeoFns", name, usage),
+      (children: Seq[Expression]) => {
+        require(children.size == arity,
+          s"$name expects $arity arguments, got ${children.size}")
+        Bridge.toExpression(build(children.map(Bridge.column)))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PolygonBBoxPruning())
+    register(ext, "st_geomfromtext",
+      "st_geomfromtext(wkt) - parse a WKT POLYGON to a ring", 1) {
+      c => GeoFns.parseWktPolygon(c(0))
+    }
+    register(ext, "st_centroid",
+      "st_centroid(ring) - polygon centroid as struct(x, y)", 1) {
+      c => GeoFns.centroid(c(0))
+    }
+    register(ext, "st_contains_point",
+      "st_contains_point(ring, x, y) - even-odd point-in-polygon", 3) {
+      c => GeoFns.pointInPolygon(c(1), c(2), c(0))
+    }
+    register(ext, "haversine_km",
+      "haversine_km(lat1, lon1, lat2, lon2) - great-circle km", 4) {
+      c => GeoFns.haversineKm(c(0), c(1), c(2), c(3))
+    }
   }
 }

@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column tree to a catalyst Expression
+    * (UnresolvedFunction nodes and all). `expression` wraps lazily in
+    * a ColumnNodeExpression, which the analyzer only unwraps when the
+    * column flows through a DataFrame operation — a SQL
+    * FunctionBuilder needs the real tree immediately.
+    */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

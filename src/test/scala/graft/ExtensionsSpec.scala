@@ -45,6 +45,24 @@ class ExtensionsSpec extends SparkSpec {
       q.count() shouldBe 1
     }
 
+    it("registers the reference's spatial SQL surface") {
+      spark.sql("SELECT haversine_km(0.0, 0.0, 0.0, 1.0) AS d")
+        .collect()(0).getDouble(0) shouldBe 111.19 +- 0.1
+      val r = spark.sql(
+        s"""SELECT st_contains_point(st_geomfromtext('$square'), 20.0, 30.0) AS inside,
+           |       st_centroid(st_geomfromtext('$square')).x AS cx""".stripMargin)
+        .collect()(0)
+      r.getBoolean(0) shouldBe true
+      r.getDouble(1) shouldBe 20.0 +- 1e-9
+      // the optimizer rule fires on SQL-path filters too
+      val dir = "/root/repo/target/test-scratch/geo_parquet"
+      spark.read.parquet(dir).createOrReplaceTempView("pts")
+      val opt = spark.sql(
+        s"SELECT * FROM pts WHERE st_contains_point(st_geomfromtext('$square'), x, y)")
+        .queryExecution.optimizedPlan.toString
+      opt should include(">= 10.0")
+    }
+
     it("matches the declarative reference on real zone data") {
       val ring = GeoFns.parseWktPolygon(
         lit(graft.queries.GeoQueries.consultationWkt))
