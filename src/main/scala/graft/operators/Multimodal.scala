@@ -65,6 +65,31 @@ object Multimodal {
     out
   }
 
+  /** STUB resize kernel: deterministic byte-decimation to a target
+    * "pixel" budget — stands in for a real bilinear/area resampler;
+    * the per-partition batching and output shape are the real part.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      val step = payload.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload((i * step).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** STUB frame sampler: every k-th frame index for a decoded stream
+    * of `nFrames` — the uniform-stride policy real video pipelines
+    * start from.
+    */
+  def frameSampleStub(nFrames: Int, every: Int): Array[Int] =
+    (0 until nFrames by math.max(every, 1)).toArray
+
   private def crc(payload: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32()
     c.update(payload)

@@ -57,16 +57,10 @@ object Similarity {
     */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val train = corpus.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").fit(train)
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toArray) }
-      .toDF("cell", "centroid")
+      seed: Long = 42L, corpusTag: String = ""): DataFrame = {
+    // reuse the memoized quantizer when the corpus is tagged (the
+    // near-dup pass and ANN queries share one trained index)
+    val cents = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag).cents
     val w = Window.partitionBy(col("doc_id")).orderBy(col("d2"), col("cell"))
     val celled = corpus
       .select(col(idCol).as("doc_id"), col(vecCol).as("v"),

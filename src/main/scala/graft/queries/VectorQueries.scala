@@ -40,7 +40,8 @@ object VectorQueries {
     // pairs; production near-dedup runs the same operator at ~0.95.
     "dedup_embedding" -> { (s, dir) =>
       Similarity.cosineNearDup(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4, nprobe = 3)
+        "vec_id", "embedding", threshold = 0.4, nprobe = 3,
+        corpusTag = dir)
     },
 
     // C8 — K-Means (k=3, seed=42) daily-pattern assignments.

@@ -38,6 +38,16 @@ class MultimodalSpec extends SparkSpec {
       f("video") should be >= 1
       f("audio") should be >= 1
     }
+    it("resize decimates deterministically; frame sampling is uniform") {
+      val payload = Array.tabulate(1000)(i => (i % 127).toByte)
+      val small = Multimodal.resizeStub(payload, 100)
+      small.length shouldBe 100
+      small.toSeq shouldBe Multimodal.resizeStub(payload, 100).toSeq
+      Multimodal.resizeStub(small, 1000).toSeq shouldBe small.toSeq // no upscale
+      Multimodal.frameSampleStub(10, 3).toSeq shouldBe Seq(0, 3, 6, 9)
+      Multimodal.frameSampleStub(5, 1).toSeq shouldBe Seq(0, 1, 2, 3, 4)
+    }
+
     it("is a narrow plan - no shuffle in the physical plan") {
       val media = Multimodal.asMedia(Tables.documents(spark, sf),
         "doc_id", "text", kind = "image")
