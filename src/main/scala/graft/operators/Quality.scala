@@ -25,16 +25,34 @@ object Quality {
   /** The engine's standard audit over the events fact + customer dim:
     * row counts, exact trip sum, days loaded, referential bad-row %,
     * and dim coverage %.
+    *
+    * All per-table aggregates of one input compute in a SINGLE pass
+    * (one agg row exploded to long format) — the fact is scanned once
+    * for its four metrics, plus one scan for the referential left
+    * join; a per-metric scan would read the 100-TB fact four times.
     */
   def auditMetrics(events: DataFrame, customer: DataFrame): DataFrame = {
-    val totalRows = metricRow("events", "total_rows", count(lit(1)),
-      "bronze row count", events)
-    val totalTrips = metricRow("events", "total_trips",
-      graft.queries.exactSum(col("value")), "sum of value", events)
-    val daysLoaded = metricRow("events", "days_loaded",
-      countDistinct(to_date(col("ts"))), "distinct partition dates", events)
-    val nullValues = metricRow("events", "null_value_rows",
-      count(when(col("value").isNull, 1)), "rows with null measure", events)
+    // one events pass: rows, exact sum, distinct days, nulls, coverage
+    val evAgg = events.agg(
+      count(lit(1)).as("n"),
+      graft.queries.exactSum(col("value")).as("s"),
+      countDistinct(to_date(col("ts"))).cast("double").as("d"),
+      count(when(col("value").isNull, 1)).as("nv"),
+      countDistinct(col("user_id")).as("nu"))
+    val custAgg = customer.agg(count(lit(1)).as("n_cust"))
+    def m(table: String, metric: String, value: Column, notes: String) =
+      struct(lit(table).as("table_name"), lit(metric).as("metric"),
+        value.cast("double").as("value"), lit(notes).as("notes"))
+    val evMetrics = evAgg.crossJoin(broadcast(custAgg)).select(explode(array(
+      m("events", "total_rows", col("n"), "bronze row count"),
+      m("events", "total_trips", col("s"), "sum of value"),
+      m("events", "days_loaded", col("d"), "distinct partition dates"),
+      m("events", "null_value_rows", col("nv"), "rows with null measure"),
+      m("customer", "total_rows", col("n_cust"), "dim row count"),
+      m("customer", "user_coverage_pct",
+        col("nu") * lit(100.0) / col("n_cust"),
+        "customers active in events"))).as("mm"))
+      .select(col("mm.*"))
     // Referential quality: % of event rows whose user has no customer
     // row (the reference's NULL-zone bad_rows check, pipeline.py:610).
     val badPct = metricRow("events", "bad_rows_pct",
@@ -42,17 +60,7 @@ object Quality {
       "events with unmatched user", events.join(
         customer.select(col("c_custkey")),
         col("user_id") === col("c_custkey"), "left"))
-    val custRows = metricRow("customer", "total_rows", count(lit(1)),
-      "dim row count", customer)
-    // Coverage: % of customers that appear in events (reference's
-    // income_data_coverage_pct shape, pipeline.py:391).
-    val coverage = metricRow("customer", "user_coverage_pct",
-      countDistinct(col("user_id")) * lit(100.0) /
-        first(col("n_cust")), "customers active in events",
-      events.crossJoin(broadcast(
-        customer.agg(count(lit(1)).as("n_cust")))))
-    totalRows.unionAll(totalTrips).unionAll(daysLoaded).unionAll(nullValues)
-      .unionAll(badPct).unionAll(custRows).unionAll(coverage)
+    evMetrics.unionAll(badPct)
   }
 
   /** Oracle SQL for [[auditMetrics]] — same metrics via scalar

@@ -24,6 +24,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def run_verify():
+    # clear stale outputs: Verify catches per-query failures and would
+    # otherwise leave a previous run's (passing) parquet in place
+    import shutil
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(
         ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
