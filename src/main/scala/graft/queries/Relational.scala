@@ -89,6 +89,21 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // F1-adjacent — forecasting-revenue shape (TPC-H q6): every
+    // predicate reaches the parquet scan as a pushed filter, the
+    // aggregation is a single map-side-combined scalar — the plan that
+    // proves filter pushdown end-to-end.
+    "q6_filter_sum" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(sum(revenueProduct(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // F4/C11 — per-customer running order total + rank. The running sum
     // accumulates in a total order (date, orderkey) so the double
     // addition sequence is identical in any engine.
@@ -159,6 +174,15 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_filter_sum" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.05
+        |  AND l_quantity < 24""".stripMargin,
     "win_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(row_number() OVER w AS INT) AS order_seq,

@@ -28,4 +28,8 @@ package object queries {
   def revenueTerm(price: Column, discount: Column): Column =
     price.cast(DecimalType(18, 4)) *
       (lit(1).cast(DecimalType(18, 4)) - discount.cast(DecimalType(18, 4)))
+
+  /** Exact product term: price * discount in decimal (q6 shape). */
+  def revenueProduct(price: Column, discount: Column): Column =
+    price.cast(DecimalType(18, 4)) * discount.cast(DecimalType(18, 4))
 }

@@ -93,6 +93,18 @@ class SilverSpec extends SparkSpec {
       rows("i") shouldBe ((3L, 0L, 2L, "1", "2"))
       rows("s") shouldBe ((3L, 1L, 2L, "a", "b"))
     }
+    it("approx mode swaps exact distincts for HLL sketches within 5%") {
+      val orders = Tables.orders(spark, sf)
+      val exact = Profile.summarize(orders).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      val approx = Profile.summarize(orders, exact = false).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      approx.keySet shouldBe exact.keySet
+      // HLL default rsd is 5%; individual columns can land ~2 sigma out
+      exact.foreach { case (c, n) =>
+        math.abs(approx(c) - n).toDouble / math.max(n, 1) should be <= 0.10
+      }
+    }
     it("describe lists the schema without running a job") {
       Profile.describe(Tables.orders(spark, sf))
         .as[(String, String, Boolean)].collect()
