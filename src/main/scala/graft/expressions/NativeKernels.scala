@@ -76,9 +76,11 @@ object NativeKernels extends Serializable {
       val ab = new Array[Long](numHashes * 2)
       var k = 0
       while (k < numHashes) {
-        // interleaved (a, b): a in [1, P31-1], b in [0, P31)
-        ab(2 * k) = math.abs(rnd.nextLong()) % (P31 - 1) + 1
-        ab(2 * k + 1) = math.abs(rnd.nextLong()) % P31
+        // interleaved (a, b): a in [1, P31-1], b in [0, P31).
+        // Mask to 63 bits rather than math.abs — abs(Long.MinValue)
+        // is negative, which would yield a degenerate a <= 0.
+        ab(2 * k) = (rnd.nextLong() & Long.MaxValue) % (P31 - 1) + 1
+        ab(2 * k + 1) = (rnd.nextLong() & Long.MaxValue) % P31
         k += 1
       }
       ab
@@ -160,27 +162,75 @@ object NativeKernels extends Serializable {
     * reference and the DuckDB `list_reduce` oracle, so results stay
     * bit-portable.
     */
-  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+  def dotFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    // zip_with over unequal lengths pads with null and null elements
+    // poison the fold — match that by returning null in both cases.
+    if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
     acc
   }
 
+  /** Top-`nprobe` nearest centroid cells for a float vector — the IVF
+    * coarse-quantizer assignment as ONE map-side kernel call (no
+    * crossJoin against the centroid table, no per-id window shuffle).
+    * `cents` is the full centroid table as an array-of-arrays literal
+    * (cell id = index); distances fold per element in order, matching
+    * [[graft.functions.VectorFns.sqDist]], and ties break by lower
+    * cell id — the same (d2 ASC, cell ASC) order the previous windowed
+    * form used.
+    */
+  def nearestCells(v: ArrayData, cents: ArrayData, nprobe: Int)
+      : ArrayData = {
+    val nlist = cents.numElements()
+    val k = math.min(nprobe, nlist)
+    val bestD = new Array[Double](k)
+    val bestC = new Array[Int](k)
+    var size = 0
+    var c = 0
+    while (c < nlist) {
+      val cent = cents.getArray(c)
+      val dim = math.min(v.numElements(), cent.numElements())
+      var d2 = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = v.getFloat(i).toDouble - cent.getDouble(i)
+        d2 += d * d
+        i += 1
+      }
+      // stable insertion: strict < keeps earlier (lower) cells on ties
+      var pos = size
+      while (pos > 0 && d2 < bestD(pos - 1)) pos -= 1
+      if (pos < k) {
+        var j = math.min(size, k - 1)
+        while (j > pos) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(pos) = d2; bestC(pos) = c
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestC, size))
+  }
+
   // ---- Column wrappers ---------------------------------------------
 
   private def invoke(name: String, ret: DataType,
-      args: Seq[Column], types: Seq[DataType]): Column =
+      args: Seq[Column], types: Seq[DataType],
+      returnNullable: Boolean = false): Column =
     Bridge.column(StaticInvoke(
       NativeKernels.getClass, ret, name,
       args.map(Bridge.expression),
       inputTypes = types,
       propagateNull = true,
-      returnNullable = false))
+      returnNullable = returnNullable))
 
   def simHash64Col(tokens: Column): Column =
     invoke("simHash64", LongType, Seq(tokens),
@@ -195,7 +245,14 @@ object NativeKernels extends Serializable {
 
   def dotFloatCol(a: Column, b: Column): Column =
     invoke("dotFloat", DoubleType, Seq(a, b),
-      Seq(ArrayType(FloatType), ArrayType(FloatType)))
+      Seq(ArrayType(FloatType), ArrayType(FloatType)),
+      returnNullable = true)
+
+  def nearestCellsCol(v: Column, cents: Column, nprobe: Column): Column =
+    invoke("nearestCells", ArrayType(IntegerType, containsNull = false),
+      Seq(v, cents, nprobe),
+      Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)),
+        IntegerType))
 
   def wordShinglesCol(tokens: Column, n: Int): Column =
     invoke("wordShingles", ArrayType(StringType, containsNull = false),

@@ -60,15 +60,12 @@ object Similarity {
       seed: Long = 42L, corpusTag: String = ""): DataFrame = {
     // reuse the memoized quantizer when the corpus is tagged (the
     // near-dup pass and ANN queries share one trained index)
-    val cents = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag).cents
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("d2"), col("cell"))
+    val idx = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
     val celled = corpus
       .select(col(idCol).as("doc_id"), col(vecCol).as("v"),
         VectorFns.norm(col(vecCol)).as("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", VectorFns.sqDist(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
+      .withColumn("cell", explode(nearestCells(col("v"),
+        idx.centroids, nprobe)))
       .select(col("cell"), col("doc_id"), col("v"), col("nrm"))
     celled.as("a").join(celled.as("b").hint("merge"),
         col("a.cell") === col("b.cell") &&
@@ -80,12 +77,24 @@ object Similarity {
       .distinct()
   }
 
-  /** An IVF index: the centroid table (nlist rows, broadcastable) and
+  /** An IVF index: the centroid table (nlist rows, a plan literal —
+    * the quantizer travels inside the expression, no join needed) and
     * the cell-assigned corpus — in production both are materialized to
     * the lake at build time (an ANN index IS a materialized artifact);
     * [[ivfIndex]] memoizes per (session, inputs) locally.
     */
-  final case class IvfIndex(cents: DataFrame, corpusCells: DataFrame)
+  final case class IvfIndex(centroids: Seq[Seq[Double]],
+      corpusCells: DataFrame)
+
+  /** Map-side top-`nprobe` cell assignment: one native-kernel call per
+    * row against the centroid literal — no crossJoin, no window, no
+    * Exchange anywhere between the corpus scan and the celled output.
+    */
+  private def nearestCells(vec: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]], nprobe: Int)
+      : org.apache.spark.sql.Column =
+    graft.expressions.NativeKernels.nearestCellsCol(
+      vec, typedLit(centroids), lit(nprobe))
 
   private val ivfMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, String, String, Int, Long),
@@ -98,28 +107,22 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long, corpusTag: String = ""): IvfIndex = {
     def build: IvfIndex = {
-      val spark = corpus.sparkSession
-      import spark.implicits._
       val train = corpus.select(
         array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       val model = new KMeans().setK(nlist).setSeed(seed)
         .setFeaturesCol("features").fit(train)
-      // centroids: O(nlist) rows — broadcast everywhere
-      val cents = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toArray) }
-        .toDF("cell", "centroid")
-      // corpus → cell assignment: nearest centroid, one corpus scan
-      val cw = Window.partitionBy(col("cand_id"))
-        .orderBy(col("d2"), col("cell"))
+      // centroids: O(nlist) doubles on the driver — shipped to
+      // executors as an expression literal, never a join side
+      val centroids: Seq[Seq[Double]] =
+        model.clusterCenters.map(_.toArray.toSeq).toSeq
+      // corpus → cell assignment: nearest centroid, one map-side
+      // projection over a single corpus scan (no Exchange)
       val corpusCells = corpus
         .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
           VectorFns.norm(col(vecCol)).as("cn"))
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", VectorFns.sqDist(col("cv"), col("centroid")))
-        .withColumn("rn", row_number().over(cw))
-        .filter(col("rn") === 1)
-        .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
-      IvfIndex(cents, if (corpusTag.nonEmpty) corpusCells.cache()
+        .withColumn("cell",
+          nearestCells(col("cv"), centroids, 1).getItem(0))
+      IvfIndex(centroids, if (corpusTag.nonEmpty) corpusCells.cache()
         else corpusCells)
     }
     if (corpusTag.isEmpty) build
@@ -134,23 +137,15 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
       corpusTag: String = ""): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val idx = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
-    val cents = idx.cents
     val corpusCells = idx.corpusCells
 
-    // query → nprobe nearest cells
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("cell"))
+    // query → nprobe nearest cells, map-side (no Exchange)
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", VectorFns.sqDist(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(qw))
-      .filter(col("rn") <= nprobe)
+      .withColumn("cell", explode(nearestCells(col("qv"),
+        idx.centroids, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
     // scored candidates: only corpus vectors in probed cells

@@ -36,13 +36,21 @@ object BronzeQueries {
     // rows, the per-partition counts diverge from the oracle (which
     // computes the same aggregate straight from the source).
     "bronze_partition_upsert" -> { (s, dir) =>
+      // Scratch is keyed by sf dir and wiped up front: dynamic
+      // overwrite only replaces partitions present in the batch, so
+      // leftovers from a previous run on a different sf would survive
+      // and contaminate the read-back.
+      val scratch = s"$lakeScratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(scratchPath, true)
       val fact = Silver.buildFactEvents(Tables.events(s, dir),
         Tables.customer(s, dir), Tables.nation(s, dir))
-      PartitionedLake.upsertPartitions(fact, lakeScratch, "partition_date")
+      PartitionedLake.upsertPartitions(fact, scratch, "partition_date")
       PartitionedLake.upsertPartitions(
         fact.filter(col("partition_date") === lit("2024-01-05").cast("date")),
-        lakeScratch, "partition_date")
-      PartitionedLake.read(s, lakeScratch)
+        scratch, "partition_date")
+      PartitionedLake.read(s, scratch)
         .groupBy(col("partition_date"))
         .agg(count(lit(1)).as("n_rows"), exactSum(col("trips")).as("trips"))
     },
@@ -58,21 +66,31 @@ object BronzeQueries {
 
     // F8 — approx sketches ([R]: HLL/KLL internals are engine-
     // specific; tolerance vs exact is asserted in ApproxSpec).
+    // Percentiles are projected to scalar columns — the grading
+    // harness' pandas compare cannot sort array cells.
     "approx_stats" -> { (s, dir) =>
       Tables.events(s, dir).agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
           lit(10000)).as("value_p50_p95"))
+        .select(col("approx_users"),
+          col("value_p50_p95").getItem(0).as("value_p50"),
+          col("value_p50_p95").getItem(1).as("value_p95"))
     },
 
     // E11 — multimodal feature plumbing over binary payloads ([R]:
     // kernels are deterministic stubs; shape/determinism asserted in
     // MultimodalSpec). Documents' text bytes stand in for media blobs.
+    // The embedding array is hashed to a scalar for the grading
+    // harness (the typed API keeps the full array).
     "mm_features" -> { (s, dir) =>
       import graft.operators.Multimodal
       Multimodal.extractFeatures(
         Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text",
           kind = "image")).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("checksum"), col("width"), col("height"), col("n_frames"),
+          xxhash64(to_json(col("embedding"))).as("embedding_hash"))
     }
   )
 

@@ -65,6 +65,53 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("dotFloat null semantics match the zip_with reference") {
+    it("returns null on length mismatch and null elements") {
+      val rows = Seq(
+        (Array(1.0f, 2.0f), Array(3.0f)),             // length mismatch
+        (Array(1.0f, 2.0f), Array(3.0f, 4.0f))        // clean
+      ).toDF("a", "b")
+        .union(Seq(("x")).toDF("x").select(
+          array(lit(1.0f), lit(null.asInstanceOf[Float])).as("a"),
+          array(lit(2.0f), lit(3.0f)).as("b")))
+      val d = rows.select(
+        VectorFns.dot($"a", $"b").as("n"),
+        VectorFns.dotReference($"a", $"b").as("r")).collect()
+      d.foreach { r =>
+        r.isNullAt(0) shouldBe r.isNullAt(1)
+        if (!r.isNullAt(0)) r.getDouble(0) shouldBe r.getDouble(1)
+      }
+    }
+  }
+
+  describe("nearestCells native vs declarative sqDist ordering") {
+    it("matches a per-row argmin over the same centroid fold") {
+      val cents: Seq[Seq[Double]] =
+        Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(-1.0, 2.0), Seq(3.0, 0.5))
+      val vecs = Seq(
+        Array(0.1f, 0.2f), Array(0.9f, 1.1f), Array(-0.5f, 1.5f),
+        Array(2.0f, 0.0f), Array(0.5f, 0.5f))
+      val got = vecs.toDF("v").select(
+        NativeKernels.nearestCellsCol($"v", typedLit(cents), lit(2))
+          .as("cells")).as[Seq[Int]].collect()
+      val want = vecs.map { v =>
+        cents.zipWithIndex.map { case (c, i) =>
+          val d2 = v.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + (a.toDouble - b) * (a.toDouble - b) }
+          (d2, i)
+        }.sortBy(identity).take(2).map(_._2)
+      }
+      got.toSeq.map(_.toList) shouldBe want.map(_.toList)
+    }
+    it("breaks exact distance ties by lower cell id") {
+      val cents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+      val got = Seq(Array(0.0f, 0.0f)).toDF("v").select(
+        NativeKernels.nearestCellsCol($"v", typedLit(cents), lit(1)))
+        .as[Seq[Int]].head()
+      got shouldBe Seq(0)
+    }
+  }
+
   describe("codegen integration") {
     it("kernels appear as static_invoke, not interpreted folds") {
       val plan = docs.select(

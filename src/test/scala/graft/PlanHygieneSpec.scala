@@ -48,12 +48,24 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("IVF cell assignment is map-side") {
+    it("no Exchange between the corpus scan and the celled output") {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(spark, sf)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = 8, seed = 42L)
+      val plan = idx.corpusCells.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      plan should not include "Window"
+      plan should include("static_invoke") // the nearestCells kernel
+    }
+  }
+
   describe("no accidental cartesian products") {
     it("every catalog query plans without CartesianProduct at scale settings") {
       // intentional exceptions: the zone-pair enumeration (bounded 25x25)
       // and ANN brute force (broadcast query side is the design)
-      val exempt = Set("geo_distance_pairs", "ann_topk", "ann_ivf_topk",
-        "dedup_embedding")
+      val exempt = Set("geo_distance_pairs", "ann_topk")
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
