@@ -40,13 +40,40 @@ object Silver {
   }
 
   /** Dimension with a dense surrogate key: ROW_NUMBER() OVER (ORDER BY
-    * natural key) — reference's zone_id (pipeline.py:236). Global sort;
-    * dims only.
+    * natural key) — reference's zone_id (pipeline.py:236). Global
+    * single-partition sort: ONLY for provably bounded dims (the
+    * reference's dim_zones is a few thousand rows). Anything that
+    * scales with the data goes through [[dimWithDenseKey]].
     */
   def dimWithSurrogateKey(dim: DataFrame, orderCol: String, skName: String)
       : DataFrame =
     dim.withColumn(skName,
       row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+
+  /** Scale-safe dense surrogate keys — same output as
+    * `ROW_NUMBER() OVER (ORDER BY orderCol)` for a unique key, with no
+    * single-partition global sort: range-partition by the key, sort
+    * within each partition (parallel, each task sorts ~N/buckets), and
+    * zip per-partition indexes with cumulative offsets. The offset pass
+    * moves O(buckets) counts to the driver, never rows; both jobs share
+    * one lineage so the sampled range boundaries are identical.
+    */
+  def dimWithDenseKey(dim: DataFrame, orderCol: String, skName: String,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = dim
+      .repartitionByRange(buckets, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(skName, LongType, nullable = false))
+    // zipWithIndex = per-partition count job + offset zip: exactly the
+    // two-phase dense-id assignment, deterministic within one lineage
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
 
   /** Every zone × every holiday (reference's dim_zone_holidays,
     * pipeline.py:324-349). The holiday side is bounded (dates of one

@@ -68,7 +68,9 @@ object SilverQueries {
             .as("name_seq"),
           CleanFns.canonLabel(col("c_mktsegment")).as("segment"),
           col("c_nationkey"))
-      Silver.dimWithSurrogateKey(cleaned, "c_custkey", "customer_sk")
+      // customer scales with the data → dense keys via the two-phase
+      // builder, not the single-partition global window
+      Silver.dimWithDenseKey(cleaned, "c_custkey", "customer_sk")
     },
 
     // B5 — cross-join dim: every zone (nation) × every holiday

@@ -48,6 +48,14 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("surrogate keys avoid the single-partition window") {
+    it("silver_dim_customer plans without any partition-less Window") {
+      val q = SparkEntry.queries("silver_dim_customer")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      plan should not include "Window"
+    }
+  }
+
   describe("IVF cell assignment is map-side") {
     it("no Exchange between the corpus scan and the celled output") {
       import graft.operators.Similarity

@@ -70,6 +70,22 @@ class SilverSpec extends SparkSpec {
       d.orderBy("sk").as[(String, Long)].collect() shouldBe
         Array(("a", 1L), ("b", 2L), ("c", 3L))
     }
+    it("dense-key builder matches the global-window form exactly") {
+      val cust = Tables.customer(spark, sf)
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+      val dense = Silver.dimWithDenseKey(cust, "c_custkey", "sk",
+        buckets = 7)
+      val window = Silver.dimWithSurrogateKey(cust, "c_custkey", "sk")
+      dense.count() shouldBe window.count()
+      // same (natural key → surrogate) mapping, bit for bit
+      dense.select("c_custkey", "sk")
+        .except(window.select("c_custkey", "sk")).count() shouldBe 0
+      // keys are dense 1..N
+      dense.agg(min($"sk"), max($"sk"), count(lit(1)))
+        .as[(Long, Long, Long)].head() match {
+        case (lo, hi, n) => lo shouldBe 1L; hi shouldBe n
+      }
+    }
     it("builds the fact with conformed zones and no null measures") {
       val fact = Silver.buildFactEvents(Tables.events(spark, sf),
         Tables.customer(spark, sf), Tables.nation(spark, sf))
