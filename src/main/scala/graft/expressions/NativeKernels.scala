@@ -155,6 +155,88 @@ object NativeKernels extends Serializable {
     crossings % 2 == 1
   }
 
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  private def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Boolean =
+    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  /** Segment–segment intersection, boundary-inclusive (collinear
+    * touches count — ST_Intersects semantics).
+    */
+  private def segsIntersect(ax1: Double, ay1: Double, ax2: Double,
+      ay2: Double, bx1: Double, by1: Double, bx2: Double, by2: Double)
+      : Boolean = {
+    val d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    val d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    val d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    val d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else if (d1 == 0 && onSeg(bx1, by1, bx2, by2, ax1, ay1)) true
+    else if (d2 == 0 && onSeg(bx1, by1, bx2, by2, ax2, ay2)) true
+    else if (d3 == 0 && onSeg(ax1, ay1, ax2, ay2, bx1, by1)) true
+    else d4 == 0 && onSeg(ax1, ay1, ax2, ay2, bx2, by2)
+  }
+
+  /** Polygon–polygon ST_Intersects over two closed rings: true when
+    * any edge pair crosses or touches, or either ring contains the
+    * other (tested via one representative vertex each — sufficient
+    * once no edges intersect). An O(n+m) bounding-box precheck guards
+    * the O(n·m) edge sweep, so far-apart polygons exit early.
+    */
+  def ringsIntersect(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na < 2 || nb < 2) return false
+    // bbox precheck
+    var aXmin = Double.MaxValue; var aYmin = Double.MaxValue
+    var aXmax = Double.MinValue; var aYmax = Double.MinValue
+    var i = 0
+    while (i < na) {
+      val v = a.getStruct(i, 2)
+      val x = v.getDouble(0); val y = v.getDouble(1)
+      if (x < aXmin) aXmin = x; if (x > aXmax) aXmax = x
+      if (y < aYmin) aYmin = y; if (y > aYmax) aYmax = y
+      i += 1
+    }
+    var bXmin = Double.MaxValue; var bYmin = Double.MaxValue
+    var bXmax = Double.MinValue; var bYmax = Double.MinValue
+    var j = 0
+    while (j < nb) {
+      val v = b.getStruct(j, 2)
+      val x = v.getDouble(0); val y = v.getDouble(1)
+      if (x < bXmin) bXmin = x; if (x > bXmax) bXmax = x
+      if (y < bYmin) bYmin = y; if (y > bYmax) bYmax = y
+      j += 1
+    }
+    if (aXmax < bXmin || bXmax < aXmin || aYmax < bYmin || bYmax < aYmin)
+      return false
+    // edge-pair sweep
+    i = 0
+    while (i < na - 1) {
+      val a1 = a.getStruct(i, 2); val a2 = a.getStruct(i + 1, 2)
+      val ax1 = a1.getDouble(0); val ay1 = a1.getDouble(1)
+      val ax2 = a2.getDouble(0); val ay2 = a2.getDouble(1)
+      j = 0
+      while (j < nb - 1) {
+        val b1 = b.getStruct(j, 2); val b2 = b.getStruct(j + 1, 2)
+        if (segsIntersect(ax1, ay1, ax2, ay2,
+            b1.getDouble(0), b1.getDouble(1),
+            b2.getDouble(0), b2.getDouble(1))) return true
+        j += 1
+      }
+      i += 1
+    }
+    // no edge contact: intersects iff one ring contains the other
+    val a0 = a.getStruct(0, 2)
+    val b0 = b.getStruct(0, 2)
+    rayCast(a0.getDouble(0), a0.getDouble(1), b) ||
+      rayCast(b0.getDouble(0), b0.getDouble(1), a)
+  }
+
   // ---- Vector ops --------------------------------------------------
 
   /** Ordered left-to-right dot product of two float arrays in double —
@@ -266,4 +348,8 @@ object NativeKernels extends Serializable {
   def rayCastCol(x: Column, y: Column, ring: Column): Column =
     invoke("rayCast", BooleanType, Seq(x, y, ring),
       Seq(DoubleType, DoubleType, ringType))
+
+  def ringsIntersectCol(a: Column, b: Column): Column =
+    invoke("ringsIntersect", BooleanType, Seq(a, b),
+      Seq(ringType, ringType))
 }

@@ -77,6 +77,20 @@ object GeoFns {
     crossings % 2 === 1
   }
 
+  /** Polygon–polygon ST_Intersects over two closed rings — the
+    * predicate the reference's consultations actually evaluate
+    * (mobility_consultations.py:67-68,153-154:
+    * `ST_Intersects(zo.polygon, ST_GeomFromText('{wkt}'))`): true on
+    * any edge crossing/touch OR containment either way. A zone whose
+    * polygon overlaps the query but whose centroid lies outside is
+    * correctly kept (the centroid-containment stand-in dropped it).
+    * Native kernel with an internal bbox precheck; for 100-TB scans
+    * materialize [[ringBBox]] as scalar columns and conjoin the box
+    * compare so it reaches parquet's PushedFilters.
+    */
+  def polygonsIntersect(a: Column, b: Column): Column =
+    graft.expressions.NativeKernels.ringsIntersectCol(a, b)
+
   /** Planar bounding-box containment. */
   def inBBox(x: Column, y: Column,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column =

@@ -124,6 +124,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_contains_point(ring, x, y) - even-odd point-in-polygon", 3) {
       c => GeoFns.pointInPolygon(c(1), c(2), c(0))
     }
+    register(ext, "st_intersects",
+      "st_intersects(ring_a, ring_b) - polygon-polygon intersection", 2) {
+      c => GeoFns.polygonsIntersect(c(0), c(1))
+    }
     register(ext, "haversine_km",
       "haversine_km(lat1, lon1, lat2, lon2) - great-circle km", 4) {
       c => GeoFns.haversineKm(c(0), c(1), c(2), c(3))

@@ -19,6 +19,28 @@ object GeoQueries {
   val consultationWkt: String =
     "POLYGON((50 -50, 50 250, 350 250, 350 -50, 50 -50))"
 
+  /** Zones with square polygons (±60 km around the grid centroid),
+    * stored as WKT and parsed back — the reference's dim_zones keeps
+    * polygon WKT per zone (pipeline.py:240) and consultations parse it
+    * with ST_GeomFromText before intersecting.
+    */
+  private def zonePolygons(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val half = 60.0
+    val z = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("zone_id"),
+        Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
+        Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
+    z.withColumn("polygon_wkt", format_string(
+        "POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+        col("x_km") - half, col("y_km") - half,
+        col("x_km") - half, col("y_km") + half,
+        col("x_km") + half, col("y_km") + half,
+        col("x_km") + half, col("y_km") - half,
+        col("x_km") - half, col("y_km") - half))
+      .withColumn("ring", GeoFns.parseWktPolygon(col("polygon_wkt")))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // D4 — planar bbox filter over zone centroids ([O]: arithmetic
@@ -59,19 +81,32 @@ object GeoQueries {
         .filter(GeoFns.pointInPolygon(col("x_km"), col("y_km"), ring))
     },
 
+    // D3 — polygon×polygon ST_Intersects: zones whose square polygon
+    // overlaps the consultation polygon ([R] + GeoFnsSpec). Strictly
+    // wider than the centroid-containment stand-in: a boundary zone
+    // whose centroid is outside but whose polygon straddles the query
+    // edge is kept, matching the reference's
+    // ST_Intersects(zo.polygon, ST_GeomFromText('{wkt}')).
+    "geo_polygon_intersects" -> { (s, dir) =>
+      val qring = GeoFns.parseWktPolygon(lit(consultationWkt))
+      zonePolygons(s, dir)
+        .filter(GeoFns.polygonsIntersect(col("ring"), qring))
+        .select(col("zone_id"), col("x_km"), col("y_km"),
+          GeoFns.pointInPolygon(col("x_km"), col("y_km"), qring)
+            .as("centroid_inside"))
+    },
+
     // Flagship consultation (reference mobility_consultations.py:28-127):
-    // demand profile INSIDE a user-supplied WKT polygon, broken down by
-    // the gold cluster assignments — spatial filter × clustering × fact
-    // in one plan ([R]: depends on KMeans).
+    // demand profile for zones INTERSECTING a user-supplied WKT polygon
+    // within a date window, broken down by the gold cluster
+    // assignments — spatial filter × clustering × fact in one plan
+    // ([R]: depends on KMeans).
     "consult_polygon_clusters" -> { (s, dir) =>
-      val ring = GeoFns.parseWktPolygon(lit(consultationWkt))
-      val zonesIn = Tables.nation(s, dir)
-        .select(col("n_nationkey").cast("long").as("zone_id"),
-          Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
-          Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
-        .filter(GeoFns.pointInPolygon(col("x_km"), col("y_km"), ring))
+      val qring = GeoFns.parseWktPolygon(lit(consultationWkt))
+      val zonesIn = zonePolygons(s, dir)
+        .filter(GeoFns.polygonsIntersect(col("ring"), qring))
         .select(col("zone_id"))
-      val fact = graft.lakehouse.Silver.factEventsCached(s, dir)
+      val fact = GoldQueries.factWindowed(s, dir)
       val local = fact
         .join(broadcast(zonesIn.withColumnRenamed("zone_id", "o_zone")),
           col("origin_zone_id") === col("o_zone"))
@@ -80,7 +115,10 @@ object GeoQueries {
         .groupBy(col("partition_date").as("date"),
           hour(col("period")).as("hour"))
         .agg(graft.queries.exactSum(col("trips")).as("local_trips"))
-      val assign = graft.operators.Clustering.assignmentsCached(fact, dir)
+      // cluster model is trained on the FULL fact (assignments are a
+      // gold artifact); the date window restricts the demand rows only
+      val assign = graft.operators.Clustering.assignmentsCached(
+        graft.lakehouse.Silver.factEventsCached(s, dir), dir)
       local.join(broadcast(assign), Seq("date"))
         .groupBy(col("cluster_id"), col("hour"))
         .agg((sum(col("local_trips").cast(

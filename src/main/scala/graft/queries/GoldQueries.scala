@@ -19,6 +19,21 @@ object GoldQueries {
   private def fact(s: org.apache.spark.sql.SparkSession, dir: String) =
     Silver.factEventsCached(s, dir)
 
+  /** Consultation date window — the reference's consultations take
+    * start/end parameters and filter `partition_date BETWEEN start AND
+    * end` (mobility_consultations.py:52,65). On the partitioned lake
+    * this predicate prunes partitions at the scan; here it filters the
+    * memoized fact.
+    */
+  val consultStart = "2024-01-03"
+  val consultEnd = "2024-01-28"
+
+  private[queries] def factWindowed(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    fact(s, dir).filter(
+      col("partition_date").between(lit(consultStart).cast("date"),
+        lit(consultEnd).cast("date")))
+
   /** The silver fact as a DuckDB CTE — single source for all gold
     * oracles (mirrors SilverQueries.silver_fact_events).
     */
@@ -90,7 +105,7 @@ object GoldQueries {
     // doubles stay bit-identical.
     "consult_top_gaps" -> { (s, dir) =>
       val cust = Tables.customer(s, dir)
-      Gravity.infrastructureGaps(fact(s, dir),
+      Gravity.infrastructureGaps(factWindowed(s, dir),
         Gravity.zonePopulation(cust), Gravity.zoneRent(cust))
         .select(col("origin_zone_id"), col("destination_zone_id"),
           col("total_actual_trips").as("actual_trips"),
@@ -103,12 +118,12 @@ object GoldQueries {
     }
   )
 
-  private val gravitySql: String =
+  private def gravitySqlWhere(factWhere: String): String =
     s"""WITH $factCte,
        |od AS (
        |  SELECT origin_zone_id, destination_zone_id,
        |    CAST(sum(CAST(trips AS DECIMAL(18,4))) AS DOUBLE) AS total_actual_trips
-       |  FROM fact GROUP BY 1, 2),
+       |  FROM fact $factWhere GROUP BY 1, 2),
        |pop AS (
        |  SELECT CAST(c_nationkey AS BIGINT) AS zone_id,
        |    CAST(count(*) AS DOUBLE) AS population
@@ -141,6 +156,14 @@ object GoldQueries {
        |    / nullif(population * rent / (dist_km * dist_km), 0.0)
        |    AS mismatch_ratio
        |FROM model""".stripMargin
+
+  private val gravitySql: String = gravitySqlWhere("")
+
+  /** Windowed variant for the consultation oracle — same model, fact
+    * restricted to [consultStart, consultEnd].
+    */
+  private val gravityConsultSql: String = gravitySqlWhere(
+    s"WHERE partition_date BETWEEN DATE '$consultStart' AND DATE '$consultEnd'")
 
   val oracles: Map[String, String] = Map(
     "gold_hourly_profile" ->
@@ -204,7 +227,7 @@ object GoldQueries {
          |  CAST(floor(potential) AS BIGINT) AS potential,
          |  round(mismatch_ratio, 4) AS mismatch_ratio,
          |  round(dist_km, 2) AS dist_km
-         |FROM ($gravitySql) g
+         |FROM ($gravityConsultSql) g
          |ORDER BY mismatch_ratio ASC NULLS LAST,
          |  origin_zone_id, destination_zone_id
          |LIMIT 10""".stripMargin,

@@ -54,6 +54,12 @@ class ExtensionsSpec extends SparkSpec {
         .collect()(0)
       r.getBoolean(0) shouldBe true
       r.getDouble(1) shouldBe 20.0 +- 1e-9
+      // polygon×polygon predicate under its reference SQL name
+      spark.sql(
+        s"""SELECT st_intersects(st_geomfromtext('$square'),
+           |  st_geomfromtext('POLYGON((25 35, 60 35, 60 60, 25 60, 25 35))'))
+           |  AS hit""".stripMargin)
+        .collect()(0).getBoolean(0) shouldBe true
       // the optimizer rule fires on SQL-path filters too
       val dir = "/root/repo/target/test-scratch/geo_parquet"
       spark.read.parquet(dir).createOrReplaceTempView("pts")

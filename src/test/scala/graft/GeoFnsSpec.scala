@@ -72,6 +72,45 @@ class GeoFnsSpec extends SparkSpec {
     }
   }
 
+  describe("polygonsIntersect") {
+    def ri(a: String, b: String): Boolean =
+      Seq((a, b)).toDF("a", "b").select(
+        GeoFns.polygonsIntersect(
+          GeoFns.parseWktPolygon($"a"), GeoFns.parseWktPolygon($"b")))
+        .collect()(0).getBoolean(0)
+
+    it("detects plus-sign overlap where no vertex is inside the other") {
+      // vertical bar × horizontal bar: edges cross, all vertices outside
+      val vert = "POLYGON((4 -10, 6 -10, 6 20, 4 20, 4 -10))"
+      val horiz = "POLYGON((-10 4, 20 4, 20 6, -10 6, -10 4))"
+      ri(vert, horiz) shouldBe true
+      ri(horiz, vert) shouldBe true
+    }
+    it("detects containment in both directions") {
+      val inner = "POLYGON((3 3, 7 3, 7 7, 3 7, 3 3))"
+      ri(square, inner) shouldBe true
+      ri(inner, square) shouldBe true
+    }
+    it("rejects disjoint polygons") {
+      val far = "POLYGON((100 100, 110 100, 110 110, 100 110, 100 100))"
+      ri(square, far) shouldBe false
+      ri(far, square) shouldBe false
+    }
+    it("accepts a shared-edge boundary touch (ST_Intersects semantics)") {
+      val adjacent = "POLYGON((10 0, 20 0, 20 10, 10 10, 10 0))"
+      ri(square, adjacent) shouldBe true
+    }
+    it("keeps a boundary-straddling zone the centroid test drops") {
+      // centroid (15, 5) is right of the square, polygon straddles x=10
+      val straddle = "POLYGON((8 2, 22 2, 22 8, 8 8, 8 2))"
+      val centroidInside = Seq(1).toDF("i").select(
+        GeoFns.pointInPolygon(lit(15.0), lit(5.0),
+          GeoFns.parseWktPolygon(lit(square)))).collect()(0).getBoolean(0)
+      centroidInside shouldBe false
+      ri(square, straddle) shouldBe true
+    }
+  }
+
   describe("bbox + centroid") {
     it("computes the ring bbox") {
       val r = Seq(square).toDF("wkt")
