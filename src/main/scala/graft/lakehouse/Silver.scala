@@ -90,16 +90,15 @@ object Silver {
     * production it is a [[graft.sources.PartitionedLake]] write at
     * ingest time and a plain parquet read here.
     */
-  private val factMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val factMemo = new graft.sources.SessionMemo[String, DataFrame]
 
   def factEventsCached(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    factMemo.getOrElseUpdate((spark, dir), {
+    factMemo.getOrElseUpdate(spark, dir) {
       import graft.sources.Tables
       buildFactEvents(Tables.events(spark, dir),
         Tables.customer(spark, dir), Tables.nation(spark, dir)).cache()
-    })
+    }
 
   /** Fact build (reference's fact_mobility INSERT, pipeline.py:547-567):
     * reconstruct the period timestamp from date + hour, conform the

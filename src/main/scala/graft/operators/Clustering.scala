@@ -29,8 +29,8 @@ object Clustering {
     * KMeans fit for every consumer query in one session is pure waste.
     * Keyed by session so a stopped session's plans are never reused.
     */
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Long), DataFrame]
+  private val memo =
+    new graft.sources.SessionMemo[(String, Int, Long), DataFrame]
 
   /** [[assignments]] with per-session memoization, for callers that
     * identify the fact by its scale-factor dir (the SparkEntry query
@@ -39,8 +39,9 @@ object Clustering {
     */
   def assignmentsCached(fact: DataFrame, dir: String, k: Int = 3,
       seed: Long = 42L): DataFrame =
-    memo.getOrElseUpdate((fact.sparkSession, dir, k, seed),
-      assignments(fact, k, seed).localCheckpoint(eager = true))
+    memo.getOrElseUpdate(fact.sparkSession, (dir, k, seed)) {
+      assignments(fact, k, seed).localCheckpoint(eager = true)
+    }
 
   /** (date, cluster_id) assignments from KMeans over normalized
     * daily profiles (reference's fit_predict, pipeline.py:687-698).

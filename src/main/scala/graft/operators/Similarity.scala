@@ -96,8 +96,8 @@ object Similarity {
     graft.expressions.NativeKernels.nearestCellsCol(
       vec, typedLit(centroids), lit(nprobe))
 
-  private val ivfMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String, String, Int, Long),
+  private val ivfMemo =
+    new graft.sources.SessionMemo[(String, String, String, Int, Long),
       IvfIndex]
 
   /** Build (or reuse) the IVF index for a corpus. `corpusTag` keys the
@@ -126,8 +126,8 @@ object Similarity {
         else corpusCells)
     }
     if (corpusTag.isEmpty) build
-    else ivfMemo.getOrElseUpdate(
-      (corpus.sparkSession, corpusTag, idCol, vecCol, nlist, seed), build)
+    else ivfMemo.getOrElseUpdate(corpus.sparkSession,
+      (corpusTag, idCol, vecCol, nlist, seed))(build)
   }
 
   /** IVF-bucketed ANN: KMeans coarse quantizer, probe the `nprobe`

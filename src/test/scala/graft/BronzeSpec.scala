@@ -50,6 +50,27 @@ class BronzeSpec extends SparkSpec {
       CsvIngest.cleanRows(df).select("name").as[String]
         .head() shouldBe "muñón"
     }
+    it("ingests from a URL end-to-end: fetch, stage, parse, audit") {
+      val f = writeFile("urlsrc.csv", "id;city\n1;madrid\n2;sevilla\n")
+      val url = Paths.get(f).toUri.toString // file:// — container has no egress
+      val df = CsvIngest.fromUrl(spark, url, sep = ";",
+        stagingDir = s"$scratch/staging")
+      CsvIngest.cleanRows(df).select("id", "city")
+        .as[(String, String)].collect().sorted shouldBe
+        Array(("1", "madrid"), ("2", "sevilla"))
+      // audit: source_url is the ORIGINAL url, filename the staged file
+      val a = df.select("source_url", "filename")
+        .distinct().as[(String, String)].head()
+      a._1 shouldBe url
+      a._2 shouldBe "urlsrc.csv"
+      // re-ingest overwrites the same staging slot (idempotent)
+      CsvIngest.cleanRows(CsvIngest.fromUrl(spark, url, sep = ";",
+        stagingDir = s"$scratch/staging")).count() shouldBe 2
+    }
+    it("rejects unsupported URL schemes") {
+      an[IllegalArgumentException] should be thrownBy
+        CsvIngest.fromUrl(spark, "ftp://host/x.csv")
+    }
     it("stamps audit lineage columns") {
       val f = writeFile("audit.csv", "x\n1\n")
       val df = CsvIngest.withAudit(CsvIngest.read(spark, f), "http://src")
