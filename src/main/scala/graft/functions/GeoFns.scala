@@ -32,6 +32,41 @@ object GeoFns {
     lit(2 * EarthRadiusKm) * asin(sqrt(a))
   }
 
+  // WGS84 ellipsoid
+  private val SemiMajorKm = 6378.137
+  private val Flattening = 1.0 / 298.257223563
+
+  /** Ellipsoidal (spheroid) distance in km — Andoyer–Lambert
+    * first-order flattening correction over WGS84, the engine's
+    * counterpart of the reference's `st_distance_spheroid` (sprint1 nb
+    * cell 49). Agrees with true geodesics to ~10 m at continental
+    * scale (breaks down only near antipodal pairs, like every
+    * first-order formula); [[haversineKm]] (mean-Earth sphere) differs
+    * from this by up to ~0.5% — use that one when speed matters more
+    * than ellipsoidal accuracy.
+    */
+  def geodesicKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column)
+      : Column = {
+    val oneMinusF = lit(1.0 - Flattening)
+    val b1 = atan(oneMinusF * tan(radians(lat1)))
+    val b2 = atan(oneMinusF * tan(radians(lat2)))
+    val dLon = radians(lon2 - lon1)
+    // central angle on the reduced-latitude sphere (haversine form —
+    // stable for small angles)
+    val sigma = lit(2.0) * asin(sqrt(
+      pow(sin((b2 - b1) / 2), 2) +
+        cos(b1) * cos(b2) * pow(sin(dLon / 2), 2)))
+    val p = (b1 + b2) / 2
+    val q = (b2 - b1) / 2
+    val x = (sigma - sin(sigma)) * pow(sin(p) * cos(q), 2) /
+      pow(cos(sigma / 2), 2)
+    val y = (sigma + sin(sigma)) * pow(cos(p) * sin(q), 2) /
+      pow(sin(sigma / 2), 2)
+    when(sigma === 0.0, lit(0.0))
+      .otherwise(lit(SemiMajorKm) *
+        (sigma - lit(Flattening / 2) * (x + y)))
+  }
+
   /** Parse "POLYGON((x y, x y, ...))" into the ring representation.
     * Null for non-matching text (the reference's geometry rows are
     * occasionally junk — parse failures must not kill the scan).

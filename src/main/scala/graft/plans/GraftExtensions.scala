@@ -132,5 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "haversine_km(lat1, lon1, lat2, lon2) - great-circle km", 4) {
       c => GeoFns.haversineKm(c(0), c(1), c(2), c(3))
     }
+    register(ext, "st_distance_spheroid_km",
+      "st_distance_spheroid_km(lat1, lon1, lat2, lon2) - WGS84 km", 4) {
+      c => GeoFns.geodesicKm(c(0), c(1), c(2), c(3))
+    }
   }
 }

@@ -34,6 +34,33 @@ class GeoFnsSpec extends SparkSpec {
     }
   }
 
+  describe("geodesicKm (WGS84 Andoyer–Lambert)") {
+    def g(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+      Seq((lat1, lon1, lat2, lon2)).toDF("a", "b", "c", "d")
+        .select(GeoFns.geodesicKm($"a", $"b", $"c", $"d"))
+        .collect()(0).getDouble(0)
+
+    it("matches known WGS84 geodesic distances") {
+      // one degree of longitude along the equator: a*pi/180 = 111.3195 km
+      g(0, 0, 0, 1) shouldBe 111.3195 +- 0.01
+      // one degree of meridian arc from the equator: 110.574 km
+      g(0, 0, 1, 0) shouldBe 110.574 +- 0.05
+      // Paris <-> Marseille WGS84 geodesic ~ 661 km
+      g(48.8566, 2.3522, 43.2965, 5.3698) shouldBe 661.0 +- 1.5
+    }
+    it("is zero for identical points") {
+      g(40.0, -3.0, 40.0, -3.0) shouldBe 0.0
+    }
+    it("differs from haversine by well under 0.5%") {
+      val (hv, gd) = Seq((40.4168, -3.7038, 41.3874, 2.1686))
+        .toDF("a", "b", "c", "d")
+        .select(GeoFns.haversineKm($"a", $"b", $"c", $"d"),
+          GeoFns.geodesicKm($"a", $"b", $"c", $"d"))
+        .as[(Double, Double)].head()
+      math.abs(hv - gd) / gd should be < 0.005
+    }
+  }
+
   describe("parseWktPolygon") {
     it("parses a square ring with coordinates in order") {
       val ring = Seq(square).toDF("wkt")

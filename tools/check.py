@@ -83,6 +83,48 @@ def compare(name, sql, con):
                         f"spark={av[i]!r} oracle={bv[i]!r}")
     return None
 
+# Tolerance-gated numeric cross-checks for [R] queries whose outputs are
+# trig-based (libm results differ in the last ulps between engines, so
+# they can never hash-match, but a relative-tolerance compare still
+# cross-validates the math against DuckDB). NOT part of the driver's
+# oracle set — local harness only (SURVEY.md §6).
+TOLERANCE_ORACLES = {
+    "geo_distance_pairs": ("""
+        WITH z AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+            CAST(n_nationkey AS DOUBLE) * 2.0 - 25.0 AS lat,
+            CAST(n_nationkey AS DOUBLE) * 5.0 - 60.0 AS lon
+          FROM nation)
+        SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+          2 * 6371.0088 * asin(sqrt(
+            pow(sin(radians(b.lat - a.lat) / 2), 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist_km
+        FROM z a JOIN z b ON a.zone_id < b.zone_id""", 1e-9),
+}
+
+def compare_tolerance(name, sql, rtol, con):
+    spark_df = pd.read_parquet(f"{OUT_DIR}/{name}")
+    ora_df = con.execute(sql).df()
+    if len(spark_df) != len(ora_df):
+        return f"rows differ: spark={len(spark_df)} oracle={len(ora_df)}"
+    if sorted(spark_df.columns) != sorted(ora_df.columns):
+        return (f"schema differs: spark={sorted(spark_df.columns)} "
+                f"oracle={sorted(ora_df.columns)}")
+    a, b = canon(spark_df), canon(ora_df)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            af, bf = a[c].astype(float).to_numpy(), b[c].astype(float).to_numpy()
+            ok = np.isclose(af, bf, rtol=rtol, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                return (f"col {c} beyond rtol={rtol} at sorted-row {i}: "
+                        f"spark={af[i]!r} oracle={bf[i]!r}")
+        else:
+            if not (a[c].to_numpy() == b[c].to_numpy()).all():
+                return f"col {c} differs"
+    return None
+
 def main():
     if not SKIP:
         run_verify()
@@ -107,9 +149,23 @@ def main():
         else:
             print(f"pass {name}")
             n_pass += 1
+    # tolerance-gated numeric cross-checks (trig outputs)
+    for name, (sql, rtol) in sorted(TOLERANCE_ORACLES.items()):
+        if ONLY and name not in ONLY:
+            continue
+        if not os.path.isdir(f"{OUT_DIR}/{name}"):
+            continue
+        err = compare_tolerance(name, sql, rtol, con)
+        if err:
+            print(f"FAIL {name} (tolerance): {err}")
+            n_fail += 1
+        else:
+            print(f"pass {name} (tolerance rtol<={rtol})")
+            n_pass += 1
     # rows-only entries (queries without oracle SQL)
     for name in sorted(os.listdir(OUT_DIR)):
-        if name in oracles or not os.path.isdir(f"{OUT_DIR}/{name}"):
+        if name in oracles or name in TOLERANCE_ORACLES \
+                or not os.path.isdir(f"{OUT_DIR}/{name}"):
             continue
         if ONLY and name not in ONLY:
             continue
