@@ -129,6 +129,32 @@ object GeoQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The consultation polygon and the zone polygons are axis-aligned
+    // rectangles on THIS data, so the general kernels (ray cast,
+    // edge-pair intersects) are oracle-checkable with pure interval
+    // comparisons: centroid-in = BETWEEN the query bounds;
+    // square×rect intersects = interval overlap on both axes. No zone
+    // coordinate lands exactly on a boundary, so strict-vs-inclusive
+    // edge conventions cannot diverge.
+    "geo_polygon_filter" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+        |  CAST(n_nationkey % 5 AS DOUBLE) * 100.0 AS x_km,
+        |  floor(n_nationkey / 5.0) * 100.0 AS y_km
+        |FROM nation
+        |WHERE CAST(n_nationkey % 5 AS DOUBLE) * 100.0 BETWEEN 50.0 AND 350.0
+        |  AND floor(n_nationkey / 5.0) * 100.0 BETWEEN -50.0 AND 250.0""".stripMargin,
+    "geo_polygon_intersects" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+        |  CAST(n_nationkey % 5 AS DOUBLE) * 100.0 AS x_km,
+        |  floor(n_nationkey / 5.0) * 100.0 AS y_km,
+        |  (CAST(n_nationkey % 5 AS DOUBLE) * 100.0 BETWEEN 50.0 AND 350.0
+        |   AND floor(n_nationkey / 5.0) * 100.0 BETWEEN -50.0 AND 250.0)
+        |    AS centroid_inside
+        |FROM nation
+        |WHERE CAST(n_nationkey % 5 AS DOUBLE) * 100.0 - 60.0 <= 350.0
+        |  AND CAST(n_nationkey % 5 AS DOUBLE) * 100.0 + 60.0 >= 50.0
+        |  AND floor(n_nationkey / 5.0) * 100.0 - 60.0 <= 250.0
+        |  AND floor(n_nationkey / 5.0) * 100.0 + 60.0 >= -50.0""".stripMargin,
     "geo_bbox_filter" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
         |  CAST(n_nationkey % 5 AS DOUBLE) * 100.0 AS x_km,

@@ -162,6 +162,34 @@ object TextQueries {
         |FROM pairs
         |JOIN card ca ON id1 = ca.doc_id
         |JOIN card cb ON id2 = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin,
+    // dedup_minhash is hash-gated against the EXACT high-Jaccard pair
+    // set: the LSH banding is only a candidate generator (engine-
+    // specific xxhash buckets), but its output is the exact-verified
+    // pairs, and on this corpus every qualifying pair has jaccard >=
+    // 0.9 — the probability a 16-band/4-row signature misses such a
+    // pair is (1 - 0.9^4)^16 ~ 1e-8, so the exact join IS the oracle.
+    // Both engines compute jaccard as one double division of the same
+    // exact integers (bit-identical).
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM pairs
+        |JOIN card ca ON id1 = ca.doc_id
+        |JOIN card cb ON id2 = cb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin
   )
 }
