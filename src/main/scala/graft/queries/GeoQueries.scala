@@ -19,27 +19,9 @@ object GeoQueries {
   val consultationWkt: String =
     "POLYGON((50 -50, 50 250, 350 250, 350 -50, 50 -50))"
 
-  /** Zones with square polygons (±60 km around the grid centroid),
-    * stored as WKT and parsed back — the reference's dim_zones keeps
-    * polygon WKT per zone (pipeline.py:240) and consultations parse it
-    * with ST_GeomFromText before intersecting.
-    */
   private def zonePolygons(s: org.apache.spark.sql.SparkSession,
-      dir: String) = {
-    val half = 60.0
-    val z = Tables.nation(s, dir)
-      .select(col("n_nationkey").cast("long").as("zone_id"),
-        Gravity.zoneXKm(col("n_nationkey")).as("x_km"),
-        Gravity.zoneYKm(col("n_nationkey")).as("y_km"))
-    z.withColumn("polygon_wkt", format_string(
-        "POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
-        col("x_km") - half, col("y_km") - half,
-        col("x_km") - half, col("y_km") + half,
-        col("x_km") + half, col("y_km") + half,
-        col("x_km") + half, col("y_km") - half,
-        col("x_km") - half, col("y_km") - half))
-      .withColumn("ring", GeoFns.parseWktPolygon(col("polygon_wkt")))
-  }
+      dir: String) =
+    graft.lakehouse.Consultations.zonePolygons(s, dir)
 
   val queries: Map[String, Q] = Map(
 
@@ -100,31 +82,11 @@ object GeoQueries {
     // demand profile for zones INTERSECTING a user-supplied WKT polygon
     // within a date window, broken down by the gold cluster
     // assignments — spatial filter × clustering × fact in one plan
-    // ([R]: depends on KMeans).
+    // ([R]: depends on KMeans). A fixed instantiation of the
+    // parameterized Consultations API.
     "consult_polygon_clusters" -> { (s, dir) =>
-      val qring = GeoFns.parseWktPolygon(lit(consultationWkt))
-      val zonesIn = zonePolygons(s, dir)
-        .filter(GeoFns.polygonsIntersect(col("ring"), qring))
-        .select(col("zone_id"))
-      val fact = GoldQueries.factWindowed(s, dir)
-      val local = fact
-        .join(broadcast(zonesIn.withColumnRenamed("zone_id", "o_zone")),
-          col("origin_zone_id") === col("o_zone"))
-        .join(broadcast(zonesIn.withColumnRenamed("zone_id", "d_zone")),
-          col("destination_zone_id") === col("d_zone"))
-        .groupBy(col("partition_date").as("date"),
-          hour(col("period")).as("hour"))
-        .agg(graft.queries.exactSum(col("trips")).as("local_trips"))
-      // cluster model is trained on the FULL fact (assignments are a
-      // gold artifact); the date window restricts the demand rows only
-      val assign = graft.operators.Clustering.assignmentsCached(
-        graft.lakehouse.Silver.factEventsCached(s, dir), dir)
-      local.join(broadcast(assign), Seq("date"))
-        .groupBy(col("cluster_id"), col("hour"))
-        .agg((sum(col("local_trips").cast(
-            org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
-            / count(lit(1))).as("avg_trips"),
-          countDistinct(col("date")).as("days_in_sample"))
+      graft.lakehouse.Consultations.polygonClusterDemand(s, dir,
+        consultationWkt, GoldQueries.consultStart, GoldQueries.consultEnd)
     }
   )
 

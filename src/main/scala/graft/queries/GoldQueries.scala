@@ -102,19 +102,11 @@ object GoldQueries {
     // C6 presentation form — the reference consultation's exact output
     // shape (mobility_consultations.py:141-157): integer potential,
     // 4-dp mismatch, 2-dp distance. floor/round on bit-identical
-    // doubles stay bit-identical.
+    // doubles stay bit-identical. A fixed instantiation of the
+    // parameterized Consultations API.
     "consult_top_gaps" -> { (s, dir) =>
-      val cust = Tables.customer(s, dir)
-      Gravity.infrastructureGaps(factWindowed(s, dir),
-        Gravity.zonePopulation(cust), Gravity.zoneRent(cust))
-        .select(col("origin_zone_id"), col("destination_zone_id"),
-          col("total_actual_trips").as("actual_trips"),
-          floor(col("potential")).cast("long").as("potential"),
-          round(col("mismatch_ratio"), 4).as("mismatch_ratio"),
-          round(col("dist_km"), 2).as("dist_km"))
-        .orderBy(col("mismatch_ratio").asc_nulls_last,
-          col("origin_zone_id"), col("destination_zone_id"))
-        .limit(10)
+      graft.lakehouse.Consultations.topInfrastructureGaps(s, dir,
+        consultStart, consultEnd, topN = 10)
     }
   )
 
