@@ -57,6 +57,15 @@ object Dedup {
   /** N-gram Jaccard similarity join over one corpus: pairs (id1 < id2)
     * sharing at least one shingle, with exact Jaccard >= threshold.
     * Returns (id1, id2, inter, n1, n2, jaccard).
+    *
+    * Why no prefix filtering: SSJoin/PPJoin-style prefix pruning was
+    * implemented and measured (round 3) — on this corpus the trigram
+    * distribution leaves 310-430k candidate pairs at t=0.5 under both
+    * hash and document-frequency prefix orders, so the extra
+    * distinct + verify stages cost 3× more than the direct
+    * index-join-and-count below (1.2s vs 3.9s at sf0.1). When the
+    * corpus is too large for this join at all, the scale path is
+    * [[MinHashLsh]] first, this operator on survivors only.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
