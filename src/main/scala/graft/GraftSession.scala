@@ -16,6 +16,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce to the advisory size instead of preserving max
+      // parallelism: post-shuffle stages over small exchanges collapse
+      // to few tasks (less scheduling); at scale AQE still targets the
+      // same advisory bytes per partition (Spark docs' recommendation)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
