@@ -42,4 +42,18 @@ object EventsStream {
         graft.queries.exactSum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup — the ingest-time twin of
+    * [[graft.operators.Dedup.exact]]: drop rows whose key columns were
+    * already seen, keeping dedup state only within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`), so state is bounded by
+    * the event-time window instead of growing with the stream. An
+    * at-least-once upstream (replayed files, redelivered messages)
+    * becomes exactly-once content into the lake.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -35,6 +35,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("EventsStream.dedupWithinWatermark") {
+    it("drops redelivered keys across micro-batches, keeps distinct ones") {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val events = in.toDF().toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventsStream.dedupWithinWatermark(events, Seq("event_id"))
+        .writeStream.format("memory").queryName("deduped")
+        .outputMode("append").start()
+      try {
+        in.addData(
+          (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+          (2L, t("2024-01-01 10:01:00"), 1L, "view", 2.0, "{}"),
+          (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}")) // same batch dup
+        q.processAllAvailable()
+        // redelivery in a LATER micro-batch (at-least-once upstream)
+        in.addData(
+          (2L, t("2024-01-01 10:01:00"), 1L, "view", 2.0, "{}"),
+          (3L, t("2024-01-01 10:02:00"), 2L, "click", 3.0, "{}"))
+        q.processAllAvailable()
+        val ids = spark.table("deduped").select("event_id")
+          .as[Long].collect().sorted
+        ids shouldBe Array(1L, 2L, 3L)
+      } finally q.stop()
+    }
+  }
+
   describe("EventsStream.read (file source)") {
     it("tails a parquet directory end-to-end into the hourly aggregation") {
       val dir = "/root/repo/target/test-scratch/stream_in"
