@@ -109,7 +109,10 @@ object Similarity {
     def build: IvfIndex = {
       val train = corpus.select(
         array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      val model = new KMeans().setK(nlist).setSeed(seed)
+      // coarse quantizer: cell QUALITY is insensitive to k-means
+      // convergence (probing covers boundary error), so cap the
+      // iterations — recall is spec-gated either way
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
         .setFeaturesCol("features").fit(train)
       // centroids: O(nlist) doubles on the driver — shipped to
       // executors as an expression literal, never a join side
