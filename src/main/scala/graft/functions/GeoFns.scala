@@ -74,12 +74,19 @@ object GeoFns {
   def parseWktPolygon(wkt: Column): Column = {
     val body = regexp_extract(wkt,
       "POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)", 1)
+    // try_cast: under ANSI a junk coordinate would otherwise kill the
+    // whole scan at runtime
     val ring = transform(split(body, "\\s*,\\s*"), p => {
       val xy = split(trim(p), "\\s+")
-      struct(element_at(xy, 1).cast("double").as("x"),
-        element_at(xy, 2).cast("double").as("y"))
+      struct(element_at(xy, 1).try_cast("double").as("x"),
+        element_at(xy, 2).try_cast("double").as("y"))
     })
-    when(length(body) > 0, ring)
+    // any unparseable coordinate poisons the whole ring (null, the
+    // ST_GeomFromText reject-invalid behavior) — downstream kernels
+    // must never see half-parsed vertices as silent zeros
+    when(length(body) > 0 &&
+      !exists(ring, v => v.getField("x").isNull || v.getField("y").isNull),
+      ring)
   }
 
   /** Even-odd ray casting: true when (x, y) is inside the ring —

@@ -72,6 +72,12 @@ class GeoFnsSpec extends SparkSpec {
       ring(2) shouldBe Seq(10.0, 10.0)
       ring.last shouldBe ring.head
     }
+    it("returns null when any coordinate is unparseable") {
+      val rings = Seq("POLYGON((a b, 1 2, 3 4, a b))",
+          "POLYGON((1 2, 3 junk, 1 2))")
+        .toDF("wkt").select(GeoFns.parseWktPolygon($"wkt")).collect()
+      rings.foreach(_.isNullAt(0) shouldBe true)
+    }
     it("returns null for junk text") {
       Seq("not a polygon").toDF("wkt")
         .select(GeoFns.parseWktPolygon($"wkt").isNull)
