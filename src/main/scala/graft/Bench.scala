@@ -32,15 +32,15 @@ object Bench {
     // whichever query the suite happens to hit first. In production
     // these ARE materialized tables built at ingest time, not query
     // time.
+    // Warm through the SAME catalog closures the timed loop runs, so
+    // the memo keys (index params, cluster seeds) can never drift from
+    // what the queries actually use.
     val tPrep = System.nanoTime()
     val prepare = try {
-      val fact = graft.lakehouse.Silver.factEventsCached(spark, sfDir)
-      fact.count()
-      graft.operators.Similarity.ivfIndex(
-        graft.sources.Tables.embeddings(spark, sfDir),
-        "vec_id", "embedding", nlist = 16, seed = 42L, corpusTag = sfDir)
-        .corpusCells.count()
-      graft.operators.Clustering.assignmentsCached(fact, sfDir).count()
+      Seq("gold_hourly_profile",      // silver fact cache
+          "ann_ivf_topk",             // IVF index (same params, same tag)
+          "gold_cluster_assignments") // K-Means assignments
+        .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
       (System.nanoTime() - tPrep) / 1e9
     } catch { case _: Throwable => -1.0 }
 

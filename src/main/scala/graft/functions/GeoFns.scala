@@ -74,12 +74,12 @@ object GeoFns {
   def parseWktPolygon(wkt: Column): Column = {
     val body = regexp_extract(wkt,
       "POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)", 1)
-    // try_cast: under ANSI a junk coordinate would otherwise kill the
-    // whole scan at runtime
+    // try_element_at + try_cast: under ANSI a vertex with missing or
+    // junk coordinates would otherwise kill the whole scan at runtime
     val ring = transform(split(body, "\\s*,\\s*"), p => {
       val xy = split(trim(p), "\\s+")
-      struct(element_at(xy, 1).try_cast("double").as("x"),
-        element_at(xy, 2).try_cast("double").as("y"))
+      struct(try_element_at(xy, lit(1)).try_cast("double").as("x"),
+        try_element_at(xy, lit(2)).try_cast("double").as("y"))
     })
     // any unparseable coordinate poisons the whole ring (null, the
     // ST_GeomFromText reject-invalid behavior) — downstream kernels

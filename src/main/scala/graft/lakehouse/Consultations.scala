@@ -26,8 +26,25 @@ object Consultations {
     * polygon, within [start, end], broken down by the gold cluster
     * assignments (mobility_consultations.py:28-127).
     */
+  /** The reference's ST_GeomFromText RAISES on invalid WKT; a null
+    * ring here would instead silently drop every zone — fail fast at
+    * the user-facing entry point. Mirrors [[GeoFns.parseWktPolygon]]:
+    * a POLYGON((...)) body whose every vertex is two numbers.
+    */
+  private def requireValidWkt(wkt: String): Unit = {
+    val body = "(?s)POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)".r
+      .findFirstMatchIn(wkt).map(_.group(1)).getOrElse("")
+    val ok = body.nonEmpty && body.split("\\s*,\\s*").forall { p =>
+      val xy = p.trim.split("\\s+")
+      xy.length >= 2 &&
+        xy.take(2).forall(t => scala.util.Try(t.toDouble).isSuccess)
+    }
+    require(ok, s"invalid WKT polygon: $wkt")
+  }
+
   def polygonClusterDemand(spark: SparkSession, dir: String, wkt: String,
       start: String, end: String): DataFrame = {
+    requireValidWkt(wkt)
     val qring = GeoFns.parseWktPolygon(lit(wkt))
     val zonesIn = zonePolygons(spark, dir)
       .filter(GeoFns.polygonsIntersect(col("ring"), qring))

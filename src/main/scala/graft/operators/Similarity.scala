@@ -92,9 +92,13 @@ object Similarity {
     */
   private def nearestCells(vec: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], nprobe: Int)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    // fail at plan time: nprobe <= 0 would otherwise crash the kernel
+    // (negative array size) or silently explode() away every row
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     graft.expressions.NativeKernels.nearestCellsCol(
       vec, typedLit(centroids), lit(nprobe))
+  }
 
   private val ivfMemo =
     new graft.sources.SessionMemo[(String, String, String, Int, Long),

@@ -28,12 +28,6 @@ object GoldQueries {
   val consultStart = "2024-01-03"
   val consultEnd = "2024-01-28"
 
-  private[queries] def factWindowed(s: org.apache.spark.sql.SparkSession,
-      dir: String) =
-    fact(s, dir).filter(
-      col("partition_date").between(lit(consultStart).cast("date"),
-        lit(consultEnd).cast("date")))
-
   /** The silver fact as a DuckDB CTE — single source for all gold
     * oracles (mirrors SilverQueries.silver_fact_events).
     */

@@ -78,21 +78,30 @@ object CsvIngest {
       stagingDir: String = "/root/repo/target/staging",
       sep: String = ",", encoding: String = "UTF-8",
       header: Boolean = true, columns: Seq[String] = Nil): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val uri = java.net.URI.create(url)
-    val name = Paths.get(uri.getPath).getFileName.toString
-    val slot = Paths.get(stagingDir,
-      String.format("%08x", Integer.valueOf(url.hashCode)))
+    val fileName = Option(Paths.get(uri.getPath).getFileName)
+      .map(_.toString).getOrElse("")
+    require(fileName.nonEmpty, s"URL has no file name: $url")
+    // slot keyed by a full SHA-256 of the URL: collision-proof, so two
+    // distinct URLs sharing a basename never race one staging file
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(url.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val slot = Paths.get(stagingDir, digest.take(16))
     Files.createDirectories(slot)
-    val dest = slot.resolve(name)
+    val dest = slot.resolve(fileName)
     uri.getScheme match {
       case "http" | "https" =>
         val client = java.net.http.HttpClient.newBuilder()
           .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
           .build()
         val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
+        // TRUNCATE_EXISTING: re-ingesting a source whose content
+        // shrank must not leave stale trailing bytes in the staged CSV
         val resp = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofFile(dest))
+          java.net.http.HttpResponse.BodyHandlers.ofFile(dest,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+            StandardOpenOption.TRUNCATE_EXISTING))
         require(resp.statusCode() / 100 == 2,
           s"fetch $url failed: HTTP ${resp.statusCode()}")
       case "file" =>

@@ -40,6 +40,17 @@ class ConsultationsSpec extends SparkSpec {
     }
   }
 
+  describe("input validation") {
+    it("rejects invalid WKT instead of silently returning empty") {
+      an[IllegalArgumentException] should be thrownBy
+        Consultations.polygonClusterDemand(spark, sf,
+          "POLYGON(50 -50, 50 250)", "2024-01-01", "2024-01-30")
+      an[IllegalArgumentException] should be thrownBy
+        Consultations.polygonClusterDemand(spark, sf,
+          "POLYGON((1 2, 3 junk, 1 2))", "2024-01-01", "2024-01-30")
+    }
+  }
+
   describe("topInfrastructureGaps") {
     it("honors topN and the deterministic tiebreak order") {
       val t5 = Consultations.topInfrastructureGaps(spark, sf,

@@ -74,7 +74,9 @@ class GeoFnsSpec extends SparkSpec {
     }
     it("returns null when any coordinate is unparseable") {
       val rings = Seq("POLYGON((a b, 1 2, 3 4, a b))",
-          "POLYGON((1 2, 3 junk, 1 2))")
+          "POLYGON((1 2, 3 junk, 1 2))",
+          "POLYGON((1 2, 3, 4 5, 1 2))", // vertex with one token
+          "POLYGON((1 2,,3 4,1 2))")     // empty vertex
         .toDF("wkt").select(GeoFns.parseWktPolygon($"wkt")).collect()
       rings.foreach(_.isNullAt(0) shouldBe true)
     }

@@ -111,7 +111,16 @@ def compare_tolerance(name, sql, rtol, con):
     if sorted(spark_df.columns) != sorted(ora_df.columns):
         return (f"schema differs: spark={sorted(spark_df.columns)} "
                 f"oracle={sorted(ora_df.columns)}")
-    a, b = canon(spark_df), canon(ora_df)
+    # align rows by the NON-float columns only: the float columns are
+    # the ones allowed to differ within rtol, so letting them drive the
+    # row sort could misalign rows that differ by one ulp
+    def canon_tol(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        keys = [c for c in df.columns
+                if not pd.api.types.is_float_dtype(df[c])]
+        return df.sort_values(by=keys or list(df.columns)) \
+                 .reset_index(drop=True)
+    a, b = canon_tol(spark_df), canon_tol(ora_df)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
             af, bf = a[c].astype(float).to_numpy(), b[c].astype(float).to_numpy()
@@ -154,6 +163,10 @@ def main():
         if ONLY and name not in ONLY:
             continue
         if not os.path.isdir(f"{OUT_DIR}/{name}"):
+            # missing output is as loud here as in the hash-gated loop
+            print(f"FAIL {name} (tolerance): no spark output "
+                  "(query failed in Verify)")
+            n_fail += 1
             continue
         err = compare_tolerance(name, sql, rtol, con)
         if err:
