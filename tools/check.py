@@ -101,6 +101,15 @@ TOLERANCE_ORACLES = {
             + cos(radians(a.lat)) * cos(radians(b.lat))
               * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist_km
         FROM z a JOIN z b ON a.zone_id < b.zone_id""", 1e-9),
+    # sketch estimates vs DuckDB's EXACT answers: HLL relative error is
+    # ~2% at this cardinality and percentile_approx(accuracy=10000) is
+    # near-exact, so a 10% band is a real check that the sketches
+    # estimate the right quantities (rows-only showed nothing).
+    "approx_stats": ("""
+        SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS approx_users,
+          CAST(quantile_cont(value, 0.5) AS DOUBLE) AS value_p50,
+          CAST(quantile_cont(value, 0.95) AS DOUBLE) AS value_p95
+        FROM events""", 0.1),
 }
 
 def compare_tolerance(name, sql, rtol, con):
