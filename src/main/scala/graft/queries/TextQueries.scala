@@ -54,6 +54,27 @@ object TextQueries {
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
     },
 
+    // Composite training-data pipeline — the operators composed the
+    // way a corpus-cleaning job actually chains them: quality gate →
+    // exact dedup (keep-first) → near-dup removal (drop the higher id
+    // of each MinHash-verified pair among survivors) → per-doc stats.
+    // Hash-gated end-to-end: every stage's arithmetic is engine-
+    // portable and the near-dup pair set equals the exact-Jaccard set
+    // (see dedup_minhash).
+    "pipe_clean_corpus" -> { (s, dir) =>
+      val q = Tables.documents(s, dir)
+        .withColumn("quality_score", TextFns.qualityScore(col("text")))
+        .filter(col("quality_score") >= 0.55)
+      val uniq = Dedup.exact(q, "text", "doc_id")
+      val losers = graft.operators.MinHashLsh
+        .nearDuplicates(uniq, "doc_id", "text", threshold = 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      uniq.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextFns.wordCount(col("text")).as("ws_tokens"),
+          col("quality_score"))
+    },
+
     // E4 — n-gram Jaccard similarity join (3-gram shingles, >= 0.5).
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
@@ -171,6 +192,55 @@ object TextQueries {
     // pair is (1 - 0.9^4)^16 ~ 1e-8, so the exact join IS the oracle.
     // Both engines compute jaccard as one double division of the same
     // exact integers (bit-identical).
+    // Composite pipeline oracle: the same four stages chained in SQL.
+    // The quality formula and ws_tokens mirror the text_quality /
+    // text_tokens oracles (both hash-gated, so the 0.55 gate compares
+    // bit-identical doubles); near-dup pairs use the exact-Jaccard
+    // join (= the MinHash output, see dedup_minhash).
+    "pipe_clean_corpus" -> {
+      val nWords = "len(list_filter(string_split(text, ' '), t -> len(t) > 0))"
+      val stops = TextFns.stopwords.map(tokCount).mkString(" + ")
+      val punct =
+        "CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - " +
+          "len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) " +
+          "/ CAST(len(text) AS DOUBLE) END"
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    (CAST(least($nWords, 100) AS DOUBLE) / 100.0
+         |     + least((CASE WHEN $nWords = 0 THEN 0.0
+         |              ELSE CAST(($stops) AS DOUBLE) / CAST($nWords AS DOUBLE)
+         |              END) * 5.0, 1.0)
+         |     + (1.0 - $punct)) / 3.0 AS quality_score
+         |  FROM documents),
+         |q AS (SELECT * FROM base WHERE quality_score >= 0.55),
+         |uniq AS (
+         |  SELECT doc_id, text, quality_score FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM uniq),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(w) - 2, 0))) AS gs) i),
+         |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT id2 FROM pairs
+         |  JOIN card ca ON id1 = ca.doc_id
+         |  JOIN card cb ON id2 = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5)
+         |SELECT u.doc_id,
+         |  CAST($nWords AS INT) AS ws_tokens,
+         |  u.quality_score
+         |FROM uniq u
+         |WHERE u.doc_id NOT IN (SELECT id2 FROM losers)""".stripMargin
+    },
     "dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
