@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.array.ByteArrayMethods
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native JVM kernels for the hot per-row loops (SURVEY.md §2 "custom
@@ -129,6 +131,72 @@ object NativeKernels extends Serializable {
       i += 1
     }
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+
+  // ---- Text --------------------------------------------------------
+
+  /** Per-word token counts in ONE pass over the text: splits on the
+    * single space byte (0x20 — exactly `split(c, " ")`, and UTF-8 safe
+    * since 0x20 never occurs inside a multi-byte sequence), drops
+    * empty tokens, and returns `counts(i)` = occurrences of
+    * `words(i)` plus a final element with the non-empty token count.
+    * Replaces one interpreted `filter(split(...))` HOF per marker word
+    * (15+ per row in langId + qualityScore) with a single native loop.
+    * `words` must be distinct (each token is credited to at most one).
+    */
+  def tokenCounts(text: UTF8String, words: ArrayData): ArrayData = {
+    val nw = words.numElements()
+    val counts = new Array[Int](nw + 1)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == 0x20) {
+        val len = i - start
+        if (len > 0) {
+          counts(nw) += 1
+          var k = 0
+          var matched = false
+          while (k < nw && !matched) {
+            val w = words.getUTF8String(k)
+            if (w.numBytes == len && ByteArrayMethods.arrayEquals(
+                base, off + start, w.getBaseObject, w.getBaseOffset,
+                len.toLong)) {
+              counts(k) += 1
+              matched = true
+            }
+            k += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Polynomial rolling hash (base 131, mod 1e9+7) over the ASCII
+    * printable projection of the text — one byte-level pass, identical
+    * to the interpreted
+    * `aggregate(regexp_extract_all(regexp_replace(text, "[^ -~]", ""), "."), ...)`
+    * fold in [[graft.functions.TextFns.fingerprintReference]]: bytes
+    * outside 0x20..0x7e are exactly the characters `[^ -~]` removes
+    * (multi-byte UTF-8 sequences have every byte >= 0x80).
+    */
+  def fingerprint64(text: UTF8String): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes
+    var h = 0L
+    var i = 0
+    while (i < nb) {
+      val b = Platform.getByte(base, off + i) & 0xff
+      if (b >= 0x20 && b <= 0x7e) h = (h * 131L + b) % 1000000007L
+      i += 1
+    }
+    h
   }
 
   // ---- Geo ---------------------------------------------------------
@@ -335,6 +403,15 @@ object NativeKernels extends Serializable {
       Seq(v, cents, nprobe),
       Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)),
         IntegerType))
+
+  def tokenCountsCol(text: Column, words: Seq[String]): Column =
+    invoke("tokenCounts", ArrayType(IntegerType, containsNull = false),
+      Seq(text, org.apache.spark.sql.functions.array(
+        words.map(org.apache.spark.sql.functions.lit): _*)),
+      Seq(StringType, ArrayType(StringType)))
+
+  def fingerprint64Col(text: Column): Column =
+    invoke("fingerprint64", LongType, Seq(text), Seq(StringType))
 
   def wordShinglesCol(tokens: Column, n: Int): Column =
     invoke("wordShingles", ArrayType(StringType, containsNull = false),

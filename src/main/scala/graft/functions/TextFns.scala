@@ -21,10 +21,35 @@ object TextFns {
     filter(split(c, " "), t => length(t) > 0)
 
   /** Count of a specific token — exact token equality, no regex
-    * engine semantics involved.
+    * engine semantics involved. Marker words route through ONE shared
+    * native [[graft.expressions.NativeKernels.tokenCounts]] pass —
+    * every call for the same text column produces the identical
+    * expression, so subexpression elimination evaluates the kernel
+    * once per row no matter how many marker counts a projection needs
+    * (langId + qualityScore stack 15+ of them). Non-marker words fall
+    * back to the declarative form.
     */
-  def tokenOccurrences(c: Column, word: String): Column =
+  def tokenOccurrences(c: Column, word: String): Column = {
+    val idx = kernelWords.indexOf(word)
+    if (idx >= 0) kernelCounts(c).getItem(idx)
+    else tokenOccurrencesReference(c, word)
+  }
+
+  /** Declarative reference form of [[tokenOccurrences]] — interpreted
+    * HOF per element; parity with the kernel is spec-gated
+    * (NativeKernelSpec).
+    */
+  def tokenOccurrencesReference(c: Column, word: String): Column =
     size(filter(split(c, " "), t => t === lit(word)))
+
+  /** All marker words the text queries count, in one distinct list so
+    * every kernel invocation is the same expression (CSE-friendly).
+    */
+  lazy val kernelWords: IndexedSeq[String] =
+    (langMarkers.flatMap(_._2) ++ stopwords).distinct.toIndexedSeq
+
+  private def kernelCounts(c: Column): Column =
+    graft.expressions.NativeKernels.tokenCountsCol(c, kernelWords)
 
   /** Marker languages for [[langId]]: language → marker tokens.
     * Order is the deterministic tie-break priority.
@@ -56,7 +81,11 @@ object TextFns {
   /** Stopwords for the quality heuristic. */
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
 
-  def wordCount(c: Column): Column = size(tokens(c))
+  def wordCount(c: Column): Column =
+    kernelCounts(c).getItem(kernelWords.length)
+
+  /** Declarative reference form of [[wordCount]] (parity spec-gated). */
+  def wordCountReference(c: Column): Column = size(tokens(c))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(c: Column): Column =
@@ -93,9 +122,18 @@ object TextFns {
   /** Polynomial rolling hash (base 131, mod 1e9+7) over the ASCII
     * projection of the text — a compact, order-sensitive document
     * fingerprint computable identically in any engine with 64-bit
-    * integer arithmetic.
+    * integer arithmetic. One native byte-level pass
+    * ([[graft.expressions.NativeKernels.fingerprint64]]); the
+    * interpreted per-character fold remains as
+    * [[fingerprintReference]] with parity spec-gated.
     */
-  def fingerprint(c: Column): Column = {
+  def fingerprint(c: Column): Column =
+    graft.expressions.NativeKernels.fingerprint64Col(c)
+
+  /** Declarative reference form of [[fingerprint]] — a per-character
+    * interpreted `aggregate` fold.
+    */
+  def fingerprintReference(c: Column): Column = {
     val asciiOnly = regexp_replace(c, "[^ -~]", "")
     val codes = transform(
       regexp_extract_all(asciiOnly, lit("."), lit(0)),

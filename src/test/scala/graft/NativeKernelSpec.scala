@@ -54,6 +54,45 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("tokenCounts native vs reference") {
+    it("agrees with per-word HOF counts and wordCount on every document") {
+      val checks = TextFns.kernelWords.map(w =>
+        (TextFns.tokenOccurrences($"text", w) =!=
+          TextFns.tokenOccurrencesReference($"text", w)).as(s"d_$w")) :+
+        (TextFns.wordCount($"text") =!=
+          TextFns.wordCountReference($"text")).as("d_n")
+      docs.filter(checks.reduce(_ || _)).count() shouldBe 0
+    }
+    it("handles repeated/leading/trailing spaces, unicode and empties") {
+      val cases = Seq("", " ", "the", " the  the ", "a the and the a",
+        "的 了 是", "thé the", "the\tthe", "  ")
+      val d = cases.toDF("text")
+      val checks = TextFns.kernelWords.map(w =>
+        (TextFns.tokenOccurrences($"text", w) =!=
+          TextFns.tokenOccurrencesReference($"text", w))) :+
+        (TextFns.wordCount($"text") =!= TextFns.wordCountReference($"text"))
+      d.filter(checks.reduce(_ || _)).count() shouldBe 0
+    }
+    it("falls back for non-marker words") {
+      Seq("zebra the zebra").toDF("text")
+        .select(TextFns.tokenOccurrences($"text", "zebra")).as[Int]
+        .head() shouldBe 2
+    }
+  }
+
+  describe("fingerprint64 native vs reference") {
+    it("agrees on every document") {
+      docs.filter(TextFns.fingerprint($"text") =!=
+          TextFns.fingerprintReference($"text")).count() shouldBe 0
+    }
+    it("handles unicode, control chars and empties like the regex form") {
+      val cases = Seq("", "abc", "a\tb\nc", "é中ab~ ", "x",
+        " -~", "ü")
+      cases.toDF("text").filter(TextFns.fingerprint($"text") =!=
+          TextFns.fingerprintReference($"text")).count() shouldBe 0
+    }
+  }
+
   describe("dotFloat native vs reference") {
     it("is bit-identical on real embeddings (same addition order)") {
       val e = Tables.embeddings(spark, sf)
