@@ -54,25 +54,46 @@ object Silver {
     * `ROW_NUMBER() OVER (ORDER BY orderCol)` for a unique key, with no
     * single-partition global sort: range-partition by the key, sort
     * within each partition (parallel, each task sorts ~N/buckets), and
-    * zip per-partition indexes with cumulative offsets. The offset pass
-    * moves O(buckets) counts to the driver, never rows; both jobs share
-    * one lineage so the sampled range boundaries are identical.
+    * add per-range-bucket offsets to the within-partition position.
+    *
+    * Entirely Tungsten-native (no RDD round-trip, no Row
+    * serialization): `monotonically_increasing_id()` over the sorted
+    * plan encodes (range bucket << 33 | position-in-bucket); bucket
+    * row counts aggregate to <= `buckets` rows whose cumulative sums
+    * broadcast-join back as offsets. Both consumers reference the SAME
+    * range Exchange, so ReuseExchange evaluates the shuffle once and
+    * the sampled range boundaries cannot diverge between the count
+    * pass and the output pass. Requires < 2^33 rows per bucket — size
+    * `buckets` accordingly at scale.
     */
   def dimWithDenseKey(dim: DataFrame, orderCol: String, skName: String,
       buckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val sorted = dim
-      .repartitionByRange(buckets, col(orderCol))
-      .sortWithinPartitions(orderCol)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(skName, LongType, nullable = false))
-    // zipWithIndex = per-partition count job + offset zip: exactly the
-    // two-phase dense-id assignment, deterministic within one lineage
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(indexed, schema)
+    val ranged = dim.repartitionByRange(buckets, col(orderCol))
+    val sorted = ranged.sortWithinPartitions(orderCol)
+    val localMask = (1L << 33) - 1
+    val withMid = sorted
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__bucket", shiftright(col("__mid"), 33))
+    // O(buckets) rows: each bucket's offset = sum of the counts of all
+    // preceding buckets, via a triangular join over the tiny counts
+    // table (bounded buckets^2 pairs) — no single-partition Window
+    // stage anywhere in the plan. Counts read the shared range
+    // Exchange directly (bucket = shuffle partition id), skipping the
+    // per-bucket sort the output pass needs.
+    val counts = ranged
+      .groupBy(spark_partition_id().cast("long").as("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.select(col("__bucket"))
+      .join(broadcast(counts.select(col("__bucket").as("__b2"),
+        col("__cnt"))), col("__b2") < col("__bucket"), "left")
+      .groupBy(col("__bucket"))
+      .agg(coalesce(sum(col("__cnt")), lit(0L)).as("__offset"))
+    withMid
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(skName,
+        col("__offset") + col("__mid").bitwiseAND(lit(localMask)) + lit(1L))
+      .drop("__mid", "__bucket", "__offset")
+      .select(dim.columns.map(col) :+ col(skName): _*)
   }
 
   /** Every zone × every holiday (reference's dim_zone_holidays,

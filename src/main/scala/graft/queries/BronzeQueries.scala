@@ -46,7 +46,10 @@ object BronzeQueries {
         .delete(scratchPath, true)
       val fact = Silver.buildFactEvents(Tables.events(s, dir),
         Tables.customer(s, dir), Tables.nation(s, dir))
-      PartitionedLake.upsertPartitions(fact, scratch, "partition_date")
+      // 4 files/partition keeps write parallelism on the full-history
+      // batch; the single-day re-upsert defaults to one file.
+      PartitionedLake.upsertPartitionsSized(fact, scratch,
+        Seq("partition_date"), filesPerPartition = 4)
       PartitionedLake.upsertPartitions(
         fact.filter(col("partition_date") === lit("2024-01-05").cast("date")),
         scratch, "partition_date")

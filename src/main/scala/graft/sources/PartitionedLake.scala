@@ -11,23 +11,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitions present in the incoming batch — re-ingesting a day is
   * idempotent and never rewrites the rest of the table.
   *
-  * Scale notes: writes shuffle-free (partitionBy reuses the incoming
-  * distribution); date partitioning gives partition pruning on every
-  * downstream date-filtered scan.
+  * Scale notes: rows are distributed by the partition columns before
+  * the write — without it every task writes one file into every
+  * partition it holds rows for (tasks × partitions small files, the
+  * classic lake killer: a 1000-task job over 365 dates emits 365k
+  * files). Distributed, each partition gets `filesPerPartition` files
+  * regardless of upstream parallelism; raise it for skewed/giant
+  * partitions so they keep write parallelism. Date partitioning gives
+  * partition pruning on every downstream date-filtered scan.
   */
 object PartitionedLake {
+
+  import org.apache.spark.sql.functions.{col, pmod, spark_partition_id}
+
+  /** Cluster `batch` by its partition columns (plus a deterministic
+    * salt when `filesPerPartition` > 1) so the partitioned write emits
+    * a bounded number of files per partition.
+    */
+  def distributeForWrite(batch: DataFrame, partitionCols: Seq[String],
+      filesPerPartition: Int = 1): DataFrame =
+    if (filesPerPartition <= 1)
+      batch.repartition(partitionCols.map(col): _*)
+    else {
+      // spark_partition_id is stable within a task — rows of one input
+      // partition land together, spreading each output partition over
+      // up to filesPerPartition writer tasks without a random salt.
+      val salted = batch.withColumn("__write_salt",
+        pmod(spark_partition_id(), org.apache.spark.sql.functions
+          .lit(filesPerPartition)))
+      salted.repartition(partitionCols.map(col) :+ col("__write_salt"): _*)
+        .drop("__write_salt")
+    }
 
   /** Overwrite exactly the partitions contained in `batch`. */
   def upsertPartitions(batch: DataFrame, path: String,
       partitionCols: String*): Unit =
-    batch.write
+    upsertPartitionsSized(batch, path, partitionCols, filesPerPartition = 1)
+
+  /** [[upsertPartitions]] with explicit files-per-partition control. */
+  def upsertPartitionsSized(batch: DataFrame, path: String,
+      partitionCols: Seq[String], filesPerPartition: Int): Unit =
+    distributeForWrite(batch, partitionCols, filesPerPartition).write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
 
   /** Append-only write (first load / immutable partitions). */
   def append(batch: DataFrame, path: String, partitionCols: String*): Unit =
-    batch.write
+    distributeForWrite(batch, partitionCols).write
       .partitionBy(partitionCols: _*)
       .mode("append")
       .parquet(path)

@@ -104,6 +104,27 @@ class BronzeSpec extends SparkSpec {
         .select("id", "part").as[(Int, String)].collect().toSet
       back shouldBe Set((99, "a"), (2, "b"))
     }
+    it("write distribution bounds files per partition") {
+      def parquetFiles(dir: String): Map[String, Int] = {
+        val root = new java.io.File(dir)
+        root.listFiles().filter(_.isDirectory).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+        ).toMap
+      }
+      // 16 input partitions x 3 dates would emit up to 48 files raw;
+      // the distributed write emits exactly 1 per partition...
+      val df = spark.range(0, 300, 1, 16)
+        .selectExpr("id", "concat('d', id % 3) AS day")
+      val one = s"$scratch/lake_files1"
+      PartitionedLake.upsertPartitions(df.toDF(), one, "day")
+      parquetFiles(one).values.toSet shouldBe Set(1)
+      // ...and at most filesPerPartition with the skew knob.
+      val three = s"$scratch/lake_files3"
+      PartitionedLake.upsertPartitionsSized(df.toDF(), three, Seq("day"),
+        filesPerPartition = 3)
+      all(parquetFiles(three).values) should be <= 3
+      PartitionedLake.read(spark, three).count() shouldBe 300
+    }
   }
 
   describe("Bronze.ingestCsv") {
