@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.GeoQueries.queries ++
-      graft.queries.BronzeQueries.queries
+      graft.queries.BronzeQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.GeoQueries.oracles ++
-      graft.queries.BronzeQueries.oracles
+      graft.queries.BronzeQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -119,6 +119,27 @@ object TextFns {
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"),
       lit(0)))
 
+  /** PII patterns for corpus scrubbing, with replacement tags. Kept
+    * RE2-compatible (no lookarounds or backreferences) so the exact
+    * same patterns run identically under Java regex, RE2, and DuckDB.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
+    "\\+?[0-9][0-9 ]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redact PII spans, longest-pattern-first chain of
+    * `regexp_replace` — fully codegen'd, map-side, no UDF.
+    */
+  def piiScrub(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (p, tag)) =>
+      regexp_replace(acc, p, tag)
+    }
+
+  /** Count of PII spans found (all patterns, pre-redaction). */
+  def piiCount(c: Column): Column =
+    piiPatterns.map { case (p, _) => regexp_count(c, lit(p)) }
+      .reduce(_ + _)
+
   /** Polynomial rolling hash (base 131, mod 1e9+7) over the ASCII
     * projection of the text — a compact, order-sensitive document
     * fingerprint computable identically in any engine with 64-bit

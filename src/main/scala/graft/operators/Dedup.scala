@@ -93,4 +93,48 @@ object Dedup {
         jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns PAIRS into duplicate CLUSTERS (a~b, b~c must collapse
+    * to ONE surviving doc, which pairwise removal gets wrong).
+    *
+    * Iterative min-label propagation: every vertex starts as its own
+    * component, and each round replaces a vertex's label with the
+    * minimum over itself and its neighbors (one join + one partial
+    * aggregation per round — both shuffle on the vertex id only).
+    * Rounds needed = graph diameter; duplicate clusters are
+    * near-cliques with tiny diameters, so this converges in 2-4
+    * rounds even at corpus scale. Each round is localCheckpointed to
+    * cut the growing lineage, and convergence is detected with an
+    * O(1)-to-driver changed-count — no collect of vertex data.
+    * Deterministic: min-propagation converges to the same fixpoint
+    * (the minimum id in each component) in any execution order.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(eager = true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("component"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(eager = true)
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = prop
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, MinHashLsh, Sampling}
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Extended training-data-pipeline query family (SURVEY.md §2 G1-G5):
+  * as-of join, deterministic stratified sampling, PII scrubbing,
+  * corpus n-gram statistics, and duplicate-cluster connected
+  * components — each hash-gated against a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // G1 — as-of join: each order sees the customer's most recent
+    // EARLIER order-day spend (strict <; DuckDB's ASOF JOIN is the
+    // oracle). One key shuffle, no range explosion.
+    "asof_prev_spend" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val o = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"))
+      val daily = orders
+        .groupBy(col("o_custkey").as("k"),
+          col("o_orderdate").cast("date").as("d"))
+        .agg(exactSum(col("o_totalprice")).as("prev_spend"))
+      AsOfJoin.asOf(o, daily, "o_custkey", "k", "o_date", "d",
+          payload = Seq("prev_spend"), matchedTsName = "prev_day",
+          inclusive = false)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          // null-free projections for the grading harness (pandas
+          // can't sort None/NaT columns consistently across engines);
+          // the operator API itself keeps proper nulls.
+          coalesce(col("prev_day").cast("string"), lit("none"))
+            .as("prev_day"),
+          coalesce(col("prev_spend"), lit(0.0)).as("prev_spend"))
+    },
+
+    // G2 — deterministic stratified sampling by language: md5-bucket
+    // per doc_id, per-stratum keep rates. Engine-portable (same rows
+    // selected by DuckDB), map-side only.
+    "sample_stratified" -> { (s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir),
+          keyCol = "doc_id", stratumCol = "lang",
+          rates = Map("en" -> 10, "zh" -> 35), defaultPct = 60)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id")).as("bucket"))
+    },
+
+    // G3 — PII scrubbing over a corpus with deterministically planted
+    // emails/phones (the synthetic docs contain no digits, so the
+    // plants are the ONLY matches — both engines must find and redact
+    // exactly the same spans).
+    "text_pii_scrub" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact agent"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" call +34 600 1"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            lit(" 22 33 now")))
+        .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .withColumn("aug", planted)
+        .select(col("doc_id"),
+          TextFns.piiCount(col("aug")).as("n_pii"),
+          TextFns.piiScrub(col("aug")).as("scrubbed"))
+    },
+
+    // G4 — corpus bigram statistics: top-20 bigrams by document
+    // frequency (distinct per doc), deterministic (freq DESC, bigram)
+    // tiebreak. Partial-aggregated count + TakeOrdered — no global
+    // sort of the full bigram table.
+    "text_ngram_topk" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("bigram").asc)
+        .limit(20)
+    },
+
+    // G5 — duplicate clusters: connected components over the
+    // MinHash-verified near-dup pairs (a~b, b~c collapse to one
+    // cluster keyed by its minimum doc id). Oracle walks the same
+    // pair set with a recursive CTE.
+    "dedup_components" -> { (s, dir) =>
+      val pairs = MinHashLsh.nearDuplicates(
+          Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+        .select(col("id1"), col("id2"))
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("component"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_prev_spend" ->
+      """WITH daily AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS prev_spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_date,
+        |  COALESCE(CAST(d.d AS VARCHAR), 'none') AS prev_day,
+        |  COALESCE(d.prev_spend, 0.0) AS prev_spend
+        |FROM orders o
+        |ASOF LEFT JOIN daily d
+        |  ON o.o_custkey = d.k AND CAST(o.o_orderdate AS DATE) > d.d"""
+        .stripMargin,
+    "sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < (CASE WHEN lang = 'zh' THEN 35
+        |                     WHEN lang = 'en' THEN 10 ELSE 60 END)"""
+        .stripMargin,
+    "text_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val phone = "\\+?[0-9][0-9 ]{6,}[0-9]"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN
+         |           ' contact agent' || CAST(doc_id AS VARCHAR)
+         |             || '@example.com now'
+         |         WHEN doc_id % 11 = 0 THEN
+         |           ' call +34 600 1'
+         |             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |             || ' 22 33 now'
+         |         ELSE '' END AS a
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(a, '$email'))
+         |    + len(regexp_extract_all(a, '$phone')) AS INT) AS n_pii,
+         |  regexp_replace(regexp_replace(a, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS scrubbed
+         |FROM aug""".stripMargin
+    },
+    "text_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i.gs] || ' ' || w[i.gs+1] AS bigram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 1, 0))) AS gs) i)
+        |SELECT bigram, count(*) AS doc_freq FROM sh
+        |GROUP BY 1 ORDER BY doc_freq DESC, bigram LIMIT 20""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT id1, id2 FROM cand
+        |  JOIN card ca ON id1 = ca.doc_id
+        |  JOIN card cb ON id2 = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM jpairs
+        |       UNION SELECT id2, id1 FROM jpairs),
+        |walk(id, reach) AS (
+        |  SELECT a, a FROM ed
+        |  UNION SELECT w.id, ed.b FROM walk w JOIN ed ON w.reach = ed.a)
+        |SELECT id AS doc_id, min(reach) AS component
+        |FROM walk GROUP BY 1""".stripMargin
+  )
+}
