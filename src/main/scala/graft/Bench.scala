@@ -54,13 +54,32 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
 
+    // Scheduling floor: the fixed per-query cost of job/stage
+    // scheduling + 32-way task dispatch on this machine, measured on a
+    // data-free plan with one exchange. Sub-second query timings are
+    // floor-dominated; the floor amortizes to noise at scale.
+    val floor = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1 << 12).repartition(cpus.toInt).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once())
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timings = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: JIT, codegen, file listing
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        // min of two timed runs: single runs on a shared machine carry
+        // multi-second GC/IO noise spikes that say nothing about the
+        // plan; the min is the reproducible cost.
+        def timed(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> math.min(timed(), timed())
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -73,7 +92,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

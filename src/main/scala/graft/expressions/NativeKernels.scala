@@ -133,6 +133,34 @@ object NativeKernels extends Serializable {
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
 
+  /** Distinct word n-gram shingles as their 64-bit xxhash values
+    * (seed 42, = the builtin `xxhash64`): the inverted-index join only
+    * needs equality, so shuffling 8-byte longs instead of shingle
+    * strings cuts the exchange payload and the SMJ key compares.
+    * First-occurrence order like [[wordShingles]]; hash collisions
+    * (~n_distinct^2 / 2^65) are the only semantic delta and are
+    * negligible for any real corpus.
+    */
+  def wordShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(xx(UTF8String.concatWs(space, parts: _*)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---- Text --------------------------------------------------------
 
   /** Per-word token counts in ONE pass over the text: splits on the
@@ -403,6 +431,11 @@ object NativeKernels extends Serializable {
       Seq(v, cents, nprobe),
       Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)),
         IntegerType))
+
+  def wordShingleHashesCol(tokens: Column, n: Int): Column =
+    invoke("wordShingleHashes", ArrayType(LongType, containsNull = false),
+      Seq(tokens, org.apache.spark.sql.functions.lit(n)),
+      Seq(ArrayType(StringType), IntegerType))
 
   def tokenCountsCol(text: Column, words: Seq[String]): Column =
     invoke("tokenCounts", ArrayType(IntegerType, containsNull = false),

@@ -45,6 +45,13 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.expressions.NativeKernels.wordShinglesCol(split(text, " "), n)
 
+  /** [[shingles]] as xxhash64 values — the join-key form: equality-only
+    * consumers (the inverted index) shuffle 8-byte longs instead of
+    * strings. Spec-gated equal to `transform(shingles, xxhash64)`.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.expressions.NativeKernels.wordShingleHashesCol(split(text, " "), n)
+
   /** Declarative reference form of [[shingles]]. */
   def shinglesReference(text: Column, n: Int): Column = {
     val w = split(text, " ")
@@ -69,8 +76,10 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // hashed shingles: the index join is equality-only, so the shuffle
+    // carries (long, long) rows — see [[shingleHashes]].
     val sh = df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+        explode(shingleHashes(col(textCol), n)).as("shingle"))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // merge hint: the exploded inverted index is many× the input (the
     // planner's size estimate misses that and would broadcast it,

@@ -49,6 +49,25 @@ object GoldQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // C12 — multi-grain CUBE aggregation: every (date, zone) grain in
+    // one pass (total / per-date / per-zone / per-cell). The expand +
+    // partial-agg plan computes all four grains map-side before one
+    // shuffle; rolled-up grains project to 'ALL' sentinels (the fact
+    // has no null dims, so the sentinel is unambiguous and keeps the
+    // grading harness' pandas compare away from mixed-null sorting).
+    "gold_cube_demand" -> { (s, dir) =>
+      graft.lakehouse.Silver.factEventsCached(s, dir)
+        .cube(col("partition_date"), col("origin_zone_id"))
+        .agg(exactSum(col("trips")).as("trips"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("partition_date").cast("string"), lit("ALL"))
+            .as("date"),
+          coalesce(col("origin_zone_id").cast("string"), lit("ALL"))
+            .as("zone"),
+          col("trips"), col("n_rows"))
+    },
+
     // C1 — hourly demand profile.
     "gold_hourly_profile" -> { (s, dir) =>
       Gold.hourlyProfile(fact(s, dir))
@@ -152,6 +171,23 @@ object GoldQueries {
     s"WHERE partition_date BETWEEN DATE '$consultStart' AND DATE '$consultEnd'")
 
   val oracles: Map[String, String] = Map(
+    "gold_cube_demand" ->
+      """WITH fact AS (
+        |  SELECT CAST(ts AS DATE) AS partition_date,
+        |    CAST(c.c_nationkey AS BIGINT) AS origin_zone_id,
+        |    e.value AS trips
+        |  FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey
+        |  JOIN nation n
+        |    ON CAST(json_extract_string(e.props, '$.k') AS INT) % 25
+        |       = n.n_nationkey
+        |  WHERE e.value IS NOT NULL)
+        |SELECT COALESCE(CAST(partition_date AS VARCHAR), 'ALL') AS date,
+        |  COALESCE(CAST(origin_zone_id AS VARCHAR), 'ALL') AS zone,
+        |  CAST(sum(CAST(trips AS DECIMAL(18,4))) AS DOUBLE) AS trips,
+        |  count(*) AS n_rows
+        |FROM fact
+        |GROUP BY CUBE(partition_date, origin_zone_id)""".stripMargin,
     "gold_hourly_profile" ->
       s"""WITH $factCte
          |SELECT partition_date AS date, hour(period) AS hour,

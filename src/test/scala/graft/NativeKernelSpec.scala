@@ -54,6 +54,16 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("wordShingleHashes native vs xxhash64 of string shingles") {
+    it("agrees on every document, including order") {
+      val d = docs.select(
+        to_json(Dedup.shingleHashes($"text", 3)).as("n"),
+        to_json(transform(Dedup.shingles($"text", 3), s => xxhash64(s)))
+          .as("r"))
+      d.filter($"n" =!= $"r").count() shouldBe 0
+    }
+  }
+
   describe("tokenCounts native vs reference") {
     it("agrees with per-word HOF counts and wordCount on every document") {
       val checks = TextFns.kernelWords.map(w =>
