@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dspark.sql.warehouse.dir=/root/repo/target/warehouse",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 concurrent local tasks share the one JVM's execution memory;
+  // 8g made long multi-query runs GC-bound (measured: suite-run query
+  // times 2-4x their isolated times). The machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -136,5 +136,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_distance_spheroid_km(lat1, lon1, lat2, lon2) - WGS84 km", 4) {
       c => GeoFns.geodesicKm(c(0), c(1), c(2), c(3))
     }
+    // Text-pipeline functions on the SQL surface, so spark.sql users
+    // reach the native kernels without the Scala API.
+    import graft.functions.TextFns
+    register(ext, "graft_lang_id",
+      "graft_lang_id(text) - marker-token language id", 1) {
+      c => TextFns.langId(c(0))
+    }
+    register(ext, "graft_quality_score",
+      "graft_quality_score(text) - composite quality score in [0,1]", 1) {
+      c => TextFns.qualityScore(c(0))
+    }
+    register(ext, "graft_fingerprint",
+      "graft_fingerprint(text) - rolling-hash document fingerprint", 1) {
+      c => TextFns.fingerprint(c(0))
+    }
+    register(ext, "graft_pii_scrub",
+      "graft_pii_scrub(text) - redact email/phone spans", 1) {
+      c => TextFns.piiScrub(c(0))
+    }
+    register(ext, "graft_word_count",
+      "graft_word_count(text) - non-empty whitespace token count", 1) {
+      c => TextFns.wordCount(c(0))
+    }
   }
 }

@@ -69,6 +69,22 @@ class ExtensionsSpec extends SparkSpec {
       opt should include(">= 10.0")
     }
 
+    it("registers the text-pipeline SQL surface over the native kernels") {
+      val r = spark.sql(
+        """SELECT graft_lang_id('the the le quick') AS lang,
+          |  graft_word_count(' a  b c ') AS n,
+          |  graft_pii_scrub('mail bob@x.co now') AS scrubbed,
+          |  graft_fingerprint('abc') AS fp,
+          |  graft_quality_score('') AS q0""".stripMargin).collect()(0)
+      r.getString(0) shouldBe "en"
+      r.getInt(1) shouldBe 3
+      r.getString(2) shouldBe "mail <EMAIL> now"
+      // (('a'*131 + 'b')*131 + 'c') mod 1e9+7
+      r.getLong(3) shouldBe ((97L * 131 + 98) * 131 + 99) % 1000000007L
+      // empty text: len 0, stop 0, punct 0 -> (0 + 0 + 1)/3
+      r.getDouble(4) shouldBe 1.0 / 3.0 +- 1e-12
+    }
+
     it("matches the declarative reference on real zone data") {
       val ring = GeoFns.parseWktPolygon(
         lit(graft.queries.GeoQueries.consultationWkt))
