@@ -96,6 +96,31 @@ object Silver {
       .select(dim.columns.map(col) :+ col(skName): _*)
   }
 
+  /** SCD type-2 versioned dimension from a change log: collapse
+    * consecutive rows whose attribute tuple did not change per key,
+    * then close each surviving version with the next change's
+    * timestamp (`valid_to`, null = current). Both windows share one
+    * (key) partitioning and one sort order, so the plan pays a single
+    * key shuffle + sort and reuses it (no second exchange).
+    * `tieCols` must make the ordering total (e.g. a unique change id)
+    * — equal-timestamp changes are otherwise nondeterministic.
+    */
+  def scd2FromChangeLog(log: DataFrame, keyCol: String, tsCol: String,
+      tieCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val ord = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attrs)
+      .drop("__prev")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCol +: attrCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** Every zone × every holiday (reference's dim_zone_holidays,
     * pipeline.py:324-349). The holiday side is bounded (dates of one
     * year) and explicitly broadcast.

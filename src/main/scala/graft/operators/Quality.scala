@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** One declarative data-quality constraint: the fraction of rows
+    * satisfying `pred` must reach `threshold` (1.0 = every row).
+    */
+  final case class Constraint(name: String, pred: Column,
+      threshold: Double = 1.0)
+
+  /** Evaluate a constraint suite in ONE scan: every constraint is a
+    * conditional count inside the same aggregation, so a 100-TB table
+    * is read once for the whole suite (map-side partial aggs, one
+    * 1-row result exploded to long format). `pass_rate` is a single
+    * double division of two exact longs — engine-portable.
+    */
+  def validate(df: DataFrame, table: String,
+      constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty constraint suite")
+    val aggs = count(lit(1)).as("__n") +:
+      constraints.zipWithIndex.map { case (c, i) =>
+        count(when(c.pred, 1)).as(s"__ok_$i")
+      }
+    val rows = constraints.zipWithIndex.map { case (c, i) =>
+      val rate = col(s"__ok_$i").cast("double") / col("__n")
+      struct(lit(table).as("table_name"),
+        lit(c.name).as("constraint_name"),
+        col("__n").as("n_rows"), col(s"__ok_$i").as("n_ok"),
+        rate.as("pass_rate"), lit(c.threshold).as("threshold"),
+        (rate >= lit(c.threshold)).as("passed"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("c"))
+      .select(col("c.*"))
+  }
+
   private def metricRow(table: String, metric: String, value: Column,
       notes: String, from: DataFrame): DataFrame =
     from.agg(value.cast("double").as("value"))

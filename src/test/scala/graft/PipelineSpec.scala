@@ -76,6 +76,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("Quality.validate") {
+    import graft.operators.Quality
+    import graft.operators.Quality.Constraint
+    it("evaluates the whole suite in one scan with exact rates") {
+      val df = Seq((1, Some(5)), (2, Some(-1)), (3, None), (4, Some(2)))
+        .toDF("id", "v")
+      val r = Quality.validate(df, "t", Seq(
+          Constraint("v_not_null", $"v".isNotNull, 0.5),
+          Constraint("v_nonneg", $"v" >= 0, 0.9),
+          Constraint("id_pos", $"id" > 0)))
+        .select($"constraint_name", $"n_ok", $"passed")
+        .as[(String, Long, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      r("v_not_null") shouldBe ((3L, true))
+      r("v_nonneg") shouldBe ((2L, false))
+      r("id_pos") shouldBe ((4L, true))
+    }
+    it("plans a single aggregation over the input") {
+      val df = Seq((1, 2)).toDF("a", "b")
+      val plan = Quality.validate(df, "t", Seq(
+          Constraint("a", $"a" > 0), Constraint("b", $"b" > 0)))
+        .queryExecution.executedPlan.toString
+      // one scan feeding one (partial, final) agg pair — no union of
+      // per-constraint subplans
+      "LocalTableScan".r.findAllIn(plan).size shouldBe 1
+    }
+  }
+
+  describe("Silver.scd2FromChangeLog") {
+    import graft.lakehouse.Silver
+    it("collapses unchanged runs and closes versions with the next change") {
+      val log = Seq(
+        (1, 10, 100, "A"), (1, 20, 101, "A"), (1, 30, 102, "B"),
+        (1, 40, 103, "A"), (2, 10, 104, "X"))
+        .toDF("k", "ts", "chg_id", "status")
+      val r = Silver.scd2FromChangeLog(log, "k", "ts",
+          Seq("chg_id"), Seq("status"))
+        .select($"k", $"status", $"valid_from", $"valid_to", $"is_current")
+        .as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+      r shouldBe Set(
+        (1, "A", 10, Some(30), false),
+        (1, "B", 30, Some(40), false),
+        (1, "A", 40, None, true),
+        (2, "X", 10, None, true))
+    }
+  }
+
   describe("TextFns PII scrub") {
     it("redacts emails and phone runs, leaves clean text alone") {
       val r = Seq(
