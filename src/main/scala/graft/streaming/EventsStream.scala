@@ -56,4 +56,25 @@ object EventsStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join (SURVEY.md §2 F11): each left event
+    * matches right events with the same key whose timestamp falls in
+    * `[l.ts - before, l.ts + after]` — the click↔impression /
+    * order↔payment correlation shape. BOTH the watermarks and the
+    * range condition are load-bearing: together they bound how long
+    * each side's rows stay buffered in join state, so state is
+    * O(events per key per window), independent of stream length.
+    * Without the range bound Spark must hold every row forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      before: String = "1 hour", after: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+  }
 }

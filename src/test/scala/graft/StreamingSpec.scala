@@ -35,6 +35,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("EventsStream.intervalJoin") {
+    it("joins two streams on key within the time bound, not outside it") {
+      implicit val sqlCtx = spark.sqlContext
+      val imps = MemoryStream[(Long, Timestamp, Long)]
+      val clicks = MemoryStream[(Long, Timestamp, Long)]
+      val l = imps.toDF().toDF("imp_id", "ts", "user_id")
+      val r = clicks.toDF().toDF("click_id", "ts", "user_id")
+      val q = EventsStream.intervalJoin(l, r, "user_id",
+          before = "0 seconds", after = "30 minutes")
+        .select(col("imp_id"), col("click_id"))
+        .writeStream.format("memory").queryName("ssjoin")
+        .outputMode("append").start()
+      try {
+        imps.addData(
+          (10L, t("2024-01-01 10:00:00"), 1L),
+          (11L, t("2024-01-01 10:00:00"), 2L))
+        clicks.addData(
+          (20L, t("2024-01-01 10:10:00"), 1L), // in window for imp 10
+          (21L, t("2024-01-01 11:10:00"), 2L), // > 30min after imp 11
+          (22L, t("2024-01-01 10:20:00"), 3L)) // no impression
+        q.processAllAvailable()
+        val got = spark.table("ssjoin")
+          .as[(Long, Long)].collect().toSet
+        got shouldBe Set((10L, 20L))
+      } finally q.stop()
+    }
+  }
+
   describe("EventsStream.dedupWithinWatermark") {
     it("drops redelivered keys across micro-batches, keeps distinct ones") {
       implicit val sqlCtx = spark.sqlContext
