@@ -48,6 +48,30 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("round-4 operators keep their scale shape") {
+    it("asof join plans one keyed Window, no cartesian/range explosion") {
+      val q = SparkEntry.queries("asof_prev_spend")(spark, sf)
+      val plan = q.queryExecution.sparkPlan.toString
+      "Window ".r.findAllIn(plan).size shouldBe 1
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      // the window is PARTITIONED (keyed), not global
+      plan should include("windowspecdefinition(__key")
+    }
+    it("stratified sampling is a map-side filter over one scan") {
+      val q = SparkEntry.queries("sample_stratified")(spark, sf)
+      val plan = q.queryExecution.sparkPlan.toString
+      plan should not include "Exchange"
+      "FileScan".r.findAllIn(plan).size shouldBe 1
+    }
+    it("cube demand computes all grains in ONE expand pass, not a union") {
+      val q = SparkEntry.queries("gold_cube_demand")(spark, sf)
+      val plan = q.queryExecution.sparkPlan.toString
+      "Expand ".r.findAllIn(plan).size shouldBe 1
+      plan should not include "Union"
+    }
+  }
+
   describe("surrogate keys avoid the single-partition window") {
     it("silver_dim_customer plans without any partition-less Window") {
       val q = SparkEntry.queries("silver_dim_customer")(spark, sf)
