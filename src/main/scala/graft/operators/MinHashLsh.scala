@@ -109,4 +109,23 @@ object MinHashLsh {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Memoized near-dup pair table per (session, corpusTag, params) —
+    * the pair set is a materialized curation artifact like the gold
+    * cluster assignments: downstream consumers (connected components,
+    * survivor filters, audits) read it; they do not re-run LSH.
+    */
+  private val pairsMemo =
+    new graft.sources.SessionMemo[(String, Double, Int), DataFrame]
+
+  def nearDuplicatesCached(df: DataFrame, idCol: String, textCol: String,
+      corpusTag: String, threshold: Double = 0.7, shingleN: Int = 3)
+      : DataFrame =
+    pairsMemo.getOrElseUpdate(df.sparkSession,
+      (corpusTag, threshold, shingleN)) {
+      val pairs = nearDuplicates(df, idCol, textCol, threshold, shingleN)
+        .cache()
+      pairs.count() // materialize under the memo lock
+      pairs
+    }
 }

