@@ -86,6 +86,10 @@ object Dedup {
     // building millions of rows single-threaded on the driver — fatal
     // at scale). A sort-merge join shuffles on the shingle key and
     // lets AQE split skewed buckets (common shingles are hot keys).
+    // shuffle_hash measured ~0.3s faster at sf0.1 but its hash build
+    // must FIT memory per partition — on a 100-TB inverted index a hot
+    // shingle bucket would OOM where SMJ spills; merge is the scale
+    // choice.
     val pairs = sh.as("a").join(sh.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
