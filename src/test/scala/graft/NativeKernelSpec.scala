@@ -54,6 +54,38 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("randomized parity sweep (seeded fuzz, all text kernels)") {
+    it("native == reference on 300 adversarial random strings") {
+      val rnd = new scala.util.Random(42)
+      val alphabets = Seq(
+        " abthe", // dense spaces + marker fragments
+        " the a and le la et el los y der die und 的 了 是 of to",
+        "ab \t\n.,!?;:@01", // controls + punct + digits
+        "é中ü~ -",
+        " ")
+      val cases = (0 until 300).map { _ =>
+        val ab = alphabets(rnd.nextInt(alphabets.length))
+        val n = rnd.nextInt(80)
+        (0 until n).map(_ => ab(rnd.nextInt(ab.length))).mkString
+      } :+ "" :+ "the" :+ "  "
+      val df = cases.toDF("text")
+      val mism = df.filter(
+        TextFns.kernelWords.map(w =>
+          TextFns.tokenOccurrences($"text", w) =!=
+            TextFns.tokenOccurrencesReference($"text", w))
+          .reduce(_ || _) ||
+        TextFns.wordCount($"text") =!= TextFns.wordCountReference($"text") ||
+        TextFns.fingerprint($"text") =!=
+          TextFns.fingerprintReference($"text") ||
+        to_json(Dedup.shingleHashes($"text", 3)) =!=
+          to_json(transform(Dedup.shinglesReference($"text", 3),
+            s => xxhash64(s))) ||
+        SimHash.simHash64(TextFns.tokens($"text")) =!=
+          SimHash.simHash64Reference(TextFns.tokens($"text")))
+      mism.count() shouldBe 0
+    }
+  }
+
   describe("wordShingleHashes native vs xxhash64 of string shingles") {
     it("agrees on every document, including order") {
       val d = docs.select(
