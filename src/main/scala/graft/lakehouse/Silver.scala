@@ -60,28 +60,34 @@ object Silver {
     * serialization): `monotonically_increasing_id()` over the sorted
     * plan encodes (range bucket << 33 | position-in-bucket); bucket
     * row counts aggregate to <= `buckets` rows whose cumulative sums
-    * broadcast-join back as offsets. Both consumers reference the SAME
-    * range Exchange, so ReuseExchange evaluates the shuffle once and
-    * the sampled range boundaries cannot diverge between the count
-    * pass and the output pass. Requires < 2^33 rows per bucket — size
-    * `buckets` accordingly at scale.
+    * broadcast-join back as offsets.
+    *
+    * The bucketed frame is localCheckpointed ONCE so the count pass
+    * and the output pass read the same materialized partitions.
+    * Load-bearing: RangePartitioner's sample seed derives from the
+    * RDD id, so two separate evaluations of a repartitionByRange can
+    * sample DIFFERENT range boundaries (caught at sf0.1: counts
+    * disagreed with assignment and the dense ids went wrong) —
+    * ReuseExchange is an optimization, never a determinism guarantee.
+    * Requires < 2^33 rows per bucket — size `buckets` accordingly at
+    * scale (the checkpoint is dim-sized, the same footprint the
+    * operator's output needs anyway).
     */
   def dimWithDenseKey(dim: DataFrame, orderCol: String, skName: String,
       buckets: Int = 32): DataFrame = {
-    val ranged = dim.repartitionByRange(buckets, col(orderCol))
-    val sorted = ranged.sortWithinPartitions(orderCol)
     val localMask = (1L << 33) - 1
-    val withMid = sorted
+    val withMid = dim
+      .repartitionByRange(buckets, col(orderCol))
+      .sortWithinPartitions(orderCol)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__bucket", shiftright(col("__mid"), 33))
+      .localCheckpoint(eager = true)
     // O(buckets) rows: each bucket's offset = sum of the counts of all
     // preceding buckets, via a triangular join over the tiny counts
     // table (bounded buckets^2 pairs) — no single-partition Window
-    // stage anywhere in the plan. Counts read the shared range
-    // Exchange directly (bucket = shuffle partition id), skipping the
-    // per-bucket sort the output pass needs.
-    val counts = ranged
-      .groupBy(spark_partition_id().cast("long").as("__bucket"))
+    // stage anywhere in the plan.
+    val counts = withMid
+      .groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
     val offsets = counts.select(col("__bucket"))
       .join(broadcast(counts.select(col("__bucket").as("__b2"),

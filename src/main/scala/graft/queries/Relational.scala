@@ -27,8 +27,8 @@ object Relational {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           exactSum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
-            .cast("double").as("sum_disc_price"),
+          exactTermSum(revenueTerm(col("l_extendedprice"),
+            col("l_discount"))).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           exactAvg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -55,8 +55,8 @@ object Relational {
           col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(exactTermSum(revenueTerm(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -84,8 +84,8 @@ object Relational {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(exactTermSum(revenueTerm(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -99,8 +99,8 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
           col("l_quantity") < 24)
-        .agg(sum(revenueProduct(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"),
+        .agg(exactTermSum(revenueProduct(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_rows"))
     },
 
@@ -140,7 +140,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
         |  count(*) AS count_order
@@ -150,7 +150,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topn" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -162,7 +162,7 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -176,7 +176,7 @@ object Relational {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_filter_sum" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'

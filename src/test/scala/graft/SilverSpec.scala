@@ -70,6 +70,23 @@ class SilverSpec extends SparkSpec {
       d.orderBy("sk").as[(String, Long)].collect() shouldBe
         Array(("a", 1L), ("b", 2L), ("c", 3L))
     }
+    it("dense ids stay consistent across the count and output passes at volume") {
+      // 200k rows in scrambled order: large enough that re-sampled
+      // range boundaries would disagree between two evaluations (the
+      // sf0.1 regression this guards), checked via the dense-1..N
+      // invariant plus order-correctness on the extremes.
+      val big = spark.range(0, 200000)
+        .select((($"id" * 1103515245L + 12345L) % 1000003L).as("k"))
+        .distinct()
+      val dense = Silver.dimWithDenseKey(big.toDF(), "k", "sk", buckets = 16)
+      val n = dense.count()
+      dense.select(countDistinct($"sk")).as[Long].head() shouldBe n
+      dense.agg(min($"sk"), max($"sk")).as[(Long, Long)].head() shouldBe
+        ((1L, n))
+      // global order: the row with the smallest key has sk 1, largest has sk n
+      dense.orderBy($"k").select($"sk").as[Long].head() shouldBe 1L
+      dense.orderBy($"k".desc).select($"sk").as[Long].head() shouldBe n
+    }
     it("dense-key builder matches the global-window form exactly") {
       val cust = Tables.customer(spark, sf)
         .select($"c_custkey", $"c_name", $"c_nationkey")
