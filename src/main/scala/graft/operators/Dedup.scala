@@ -107,6 +107,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Blocked fuzzy entity matching: candidate pairs share a blocking
+    * key derived from the (lowercased) name, and survive when their
+    * Levenshtein distance is within `maxDist` — the classic
+    * entity-resolution shape (typo'd customer names, OCR'd vendor
+    * strings). Blocking makes it sub-quadratic: the join shuffles on
+    * the block key and only same-block pairs are scored, so the cost
+    * is sum(block²), not corpus². Pick `blockFn` so true matches
+    * cannot disagree on it (prefix, phonetic key, length band). The
+    * merge hint keeps the planner from broadcasting a fact-scale
+    * side (same rationale as [[ngramJaccard]]); AQE splits hot
+    * blocks. Levenshtein is the identical classic DP in every engine
+    * — the output is engine-portable.
+    */
+  def fuzzyMatches(df: DataFrame, idCol: String, nameCol: String,
+      blockFn: Column => Column, maxDist: Int): DataFrame = {
+    val p = df.select(col(idCol).as("id"), lower(col(nameCol)).as("nm"))
+      .withColumn("blk", blockFn(col("nm")))
+    p.as("a").join(p.as("b").hint("merge"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("dist"))
+  }
+
   /** Connected components over a near-duplicate pair list — the step
     * that turns PAIRS into duplicate CLUSTERS (a~b, b~c must collapse
     * to ONE surviving doc, which pairwise removal gets wrong).

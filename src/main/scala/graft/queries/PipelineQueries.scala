@@ -82,6 +82,23 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // G8 — entity resolution: blocked fuzzy name matching (one-digit
+    // "typos" between customer names), summarized per customer as
+    // neighbor count + nearest id. Blocking on the 6-digit number
+    // prefix caps blocks at ~1000 rows no matter the corpus size, so
+    // total cost sum(block^2) stays LINEAR in n (the blocking-key
+    // granularity is the recall/cost dial every ER pipeline turns).
+    "er_fuzzy_names" -> { (s, dir) =>
+      val m = Dedup.fuzzyMatches(Tables.customer(s, dir),
+        "c_custkey", "c_name",
+        nm => substring(nm, 10, 6), maxDist = 1)
+      m.select(col("id1").as("id"), col("id2").as("other"))
+        .unionByName(m.select(col("id2").as("id"), col("id1").as("other")))
+        .groupBy(col("id").as("c_custkey"))
+        .agg(count(lit(1)).as("n_near"), min(col("other")).as("nearest"))
+        .select(col("c_custkey"), col("n_near"), col("nearest"))
+    },
+
     // G6 — declarative DQ constraint suite: every constraint is a
     // conditional count in ONE scan of the table.
     "dq_constraints" -> { (s, dir) =>
@@ -181,6 +198,19 @@ object PipelineQueries {
          |    '$phone', '<PHONE>', 'g') AS scrubbed
          |FROM aug""".stripMargin
     },
+    "er_fuzzy_names" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id, lower(c_name) AS nm,
+        |    substr(lower(c_name), 10, 6) AS blk
+        |  FROM customer),
+        |m AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 1),
+        |sym AS (SELECT id1 AS id, id2 AS other FROM m
+        |        UNION ALL SELECT id2, id1 FROM m)
+        |SELECT id AS c_custkey, count(*) AS n_near, min(other) AS nearest
+        |FROM sym GROUP BY 1""".stripMargin,
     "dq_constraints" ->
       """WITH a AS (
         |  SELECT count(*) AS n,

@@ -76,6 +76,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.fuzzyMatches") {
+    it("matches within the edit-distance bound inside blocks only") {
+      val df = Seq(
+        (1L, "Acme Corp"), (2L, "Acme Corp."), (3L, "Acme Group"),
+        (4L, "Bcme Corp")) // one edit from Acme Corp but different block
+        .toDF("id", "name")
+      val m = Dedup.fuzzyMatches(df, "id", "name",
+          nm => substring(nm, 1, 1), maxDist = 2)
+        .select($"id1", $"id2", $"dist").as[(Long, Long, Int)]
+        .collect().toSet
+      m shouldBe Set((1L, 2L, 1)) // Acme Corp ~ Acme Corp. (1 edit)
+      // 1~3 is 4 edits (out of bound); 1~4 blocked apart despite dist 1
+    }
+  }
+
   describe("Quality.validate") {
     import graft.operators.Quality
     import graft.operators.Quality.Constraint
