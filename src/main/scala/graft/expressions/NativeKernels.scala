@@ -133,6 +133,87 @@ object NativeKernels extends Serializable {
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
 
+  /** Banded Levenshtein with threshold `k`: returns the distance when
+    * <= k, else -1 — O(len × k) cells with early band-exhaustion
+    * exit, char-based (same unit costs as the SQL `levenshtein`).
+    */
+  private def boundedLev(a: Array[Char], b: Array[Char], k: Int): Int = {
+    if (a.length > b.length) return boundedLev(b, a, k)
+    val la = a.length
+    val lb = b.length
+    if (lb - la > k) return -1
+    val inf = k + 1
+    var prev = new Array[Int](lb + 1)
+    var cur = new Array[Int](lb + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(lb, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= la) {
+      java.util.Arrays.fill(cur, inf)
+      cur(0) = if (i <= k) i else inf
+      val from = math.max(1, i - k)
+      val to = math.min(lb, i + k)
+      var best = cur(0)
+      j = from
+      while (j <= to) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best > k) return -1 // whole band exceeded: no path can recover
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(lb) <= k) prev(lb) else -1
+  }
+
+  /** All fuzzy-match pairs inside ONE entity-resolution block:
+    * `entries` is array<struct<id long, name string>>; output is
+    * array<struct<id1, id2, dist>> for every unordered pair with
+    * bounded Levenshtein distance <= maxDist (id1 < id2). Names are
+    * decoded to char arrays ONCE per block, then the O(b²) pair loop
+    * runs the banded DP with no per-candidate row machinery — the
+    * SMJ + per-pair levenshtein formulation of the same block join
+    * measured 20-40× slower (row copies + full-width DP dominate).
+    */
+  def fuzzyPairs(entries: ArrayData, maxDist: Int): ArrayData = {
+    val n = entries.numElements()
+    val ids = new Array[Long](n)
+    val nms = new Array[Array[Char]](n)
+    var i = 0
+    while (i < n) {
+      val r = entries.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      nms(i) = r.getUTF8String(1).toString.toCharArray
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          val d = boundedLev(nms(i), nms(j), maxDist)
+          if (d >= 0) {
+            val lo = math.min(ids(i), ids(j))
+            val hi = math.max(ids(i), ids(j))
+            out += new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](lo, hi, d))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word n-gram shingles as their 64-bit xxhash values
     * (seed 42, = the builtin `xxhash64`): the inverted-index join only
     * needs equality, so shuffling 8-byte longs instead of shingle
@@ -430,6 +511,19 @@ object NativeKernels extends Serializable {
     invoke("nearestCells", ArrayType(IntegerType, containsNull = false),
       Seq(v, cents, nprobe),
       Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)),
+        IntegerType))
+
+  /** struct<id1,id2,dist> element type of [[fuzzyPairs]] output. */
+  val fuzzyPairType: DataType = StructType(Seq(
+    StructField("id1", LongType, nullable = false),
+    StructField("id2", LongType, nullable = false),
+    StructField("dist", IntegerType, nullable = false)))
+
+  def fuzzyPairsCol(entries: Column, maxDist: Int): Column =
+    invoke("fuzzyPairs", ArrayType(fuzzyPairType, containsNull = false),
+      Seq(entries, org.apache.spark.sql.functions.lit(maxDist)),
+      Seq(ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("nm", StringType)))),
         IntegerType))
 
   def wordShingleHashesCol(tokens: Column, n: Int): Column =

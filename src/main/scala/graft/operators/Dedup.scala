@@ -122,12 +122,35 @@ object Dedup {
     */
   def fuzzyMatches(df: DataFrame, idCol: String, nameCol: String,
       blockFn: Column => Column, maxDist: Int): DataFrame = {
-    val p = df.select(col(idCol).as("id"), lower(col(nameCol)).as("nm"))
+    val p = df.select(col(idCol).cast("long").as("id"),
+        lower(col(nameCol)).as("nm"))
+      .withColumn("blk", blockFn(col("nm")))
+    // one shuffle groups each block, then the whole O(block²) pair
+    // loop runs inside NativeKernels.fuzzyPairs (names decoded once
+    // per block, banded O(len×maxDist) DP, no per-candidate row
+    // machinery). The SMJ + per-pair levenshtein formulation
+    // ([[fuzzyMatchesReference]]) measured 42s at sf0.1 vs ~1s here —
+    // with sum(block²) candidate pairs the per-pair constant is the
+    // whole game.
+    p.groupBy(col("blk"))
+      .agg(collect_list(struct(col("id"), col("nm"))).as("es"))
+      .select(explode(graft.expressions.NativeKernels
+        .fuzzyPairsCol(col("es"), maxDist)).as("m"))
+      .select(col("m.id1"), col("m.id2"), col("m.dist"))
+  }
+
+  /** Declarative reference form of [[fuzzyMatches]] — block self-join
+    * + threshold'd `levenshtein` (parity spec-gated, NativeKernelSpec).
+    */
+  def fuzzyMatchesReference(df: DataFrame, idCol: String, nameCol: String,
+      blockFn: Column => Column, maxDist: Int): DataFrame = {
+    val p = df.select(col(idCol).cast("long").as("id"),
+        lower(col(nameCol)).as("nm"))
       .withColumn("blk", blockFn(col("nm")))
     p.as("a").join(p.as("b").hint("merge"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("dist"))
   }
 

@@ -96,6 +96,31 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("fuzzyPairs native vs block-join levenshtein reference") {
+    it("agrees on customer names (pairs and distances)") {
+      import graft.operators.Dedup
+      val cust = Tables.customer(spark, sf)
+      val n = Dedup.fuzzyMatches(cust, "c_custkey", "c_name",
+        nm => substring(nm, 10, 6), maxDist = 1)
+      val r = Dedup.fuzzyMatchesReference(cust, "c_custkey", "c_name",
+        nm => substring(nm, 10, 6), maxDist = 1)
+      n.count() shouldBe r.count()
+      n.exceptAll(r).count() shouldBe 0
+    }
+    it("agrees on adversarial unicode names across thresholds") {
+      import graft.operators.Dedup
+      val names = Seq("ab", "abc", "abd", "bbc", "", "a", "ábc", "ábd",
+        "xyzzy", "xyzzyx", "中文名", "中文明")
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = names.toDF("id", "nm")
+      for (k <- Seq(0, 1, 2)) {
+        val n = Dedup.fuzzyMatches(df, "id", "nm", _ => lit("x"), k)
+        val r = Dedup.fuzzyMatchesReference(df, "id", "nm", _ => lit("x"), k)
+        n.exceptAll(r).unionAll(r.exceptAll(n)).count() shouldBe 0
+      }
+    }
+  }
+
   describe("tokenCounts native vs reference") {
     it("agrees with per-word HOF counts and wordCount on every document") {
       val checks = TextFns.kernelWords.map(w =>
