@@ -114,11 +114,16 @@ object Dedup {
     * strings). Blocking makes it sub-quadratic: the join shuffles on
     * the block key and only same-block pairs are scored, so the cost
     * is sum(block²), not corpus². Pick `blockFn` so true matches
-    * cannot disagree on it (prefix, phonetic key, length band). The
-    * merge hint keeps the planner from broadcasting a fact-scale
-    * side (same rationale as [[ngramJaccard]]); AQE splits hot
-    * blocks. Levenshtein is the identical classic DP in every engine
-    * — the output is engine-portable.
+    * cannot disagree on it (prefix, phonetic key, length band).
+    * Levenshtein is the identical classic DP in every engine — the
+    * output is engine-portable.
+    *
+    * Memory contract: each block's entries are collected into one
+    * array for the kernel, so the blocking key must bound block width
+    * (block granularity is the recall/cost/memory dial every ER
+    * pipeline turns). For a corpus whose blocks cannot be bounded,
+    * use [[fuzzyMatchesReference]] — its sort-merge join streams
+    * candidates and spills instead of materializing a block.
     */
   def fuzzyMatches(df: DataFrame, idCol: String, nameCol: String,
       blockFn: Column => Column, maxDist: Int): DataFrame = {

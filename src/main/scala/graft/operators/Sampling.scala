@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stable bucket in [0, buckets) from the row key: first 8 hex chars
-    * of md5(key) as an integer, mod buckets.
+    * of md5(key) as an integer, mod buckets. A null key yields a null
+    * bucket, so null-keyed rows are never selected — sample over a
+    * non-null key (ids here are synthetic and total).
     */
   def hashBucket(key: Column, buckets: Int = 100): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
