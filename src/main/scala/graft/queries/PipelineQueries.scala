@@ -82,6 +82,28 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // G9 — incremental gold maintenance: the hourly profile built as
+    // two INDEPENDENT partial aggregations (split by user parity, so
+    // every (date, hour) group draws from both batches) and merged,
+    // must equal the full recompute bit-for-bit — decimal partials
+    // make the merge exact; the oracle IS the full recompute.
+    "gold_incremental_profile" -> { (s, dir) =>
+      import graft.operators.Incremental
+      val fact = graft.lakehouse.Silver.factEventsCached(s, dir)
+        .withColumn("date", col("partition_date"))
+        .withColumn("hour", hour(col("period")))
+      val keys = Seq("date", "hour")
+      val ms = Map("trips" -> col("trips"))
+      val partA = Incremental.partialSums(
+        fact.filter(pmod(col("user_id"), lit(2)) === 0), keys, ms)
+      val partB = Incremental.partialSums(
+        fact.filter(pmod(col("user_id"), lit(2)) === 1), keys, ms)
+      Incremental.finalize(
+          Incremental.merge(Seq(partA, partB), keys, Seq("trips")),
+          Seq("trips"))
+        .select(col("date"), col("hour"), col("trips"), col("n_rows"))
+    },
+
     // G8 — entity resolution: blocked fuzzy name matching (one-digit
     // "typos" between customer names), summarized per customer as
     // neighbor count + nearest id. Blocking on the 6-digit number
@@ -198,6 +220,17 @@ object PipelineQueries {
          |    '$phone', '<PHONE>', 'g') AS scrubbed
          |FROM aug""".stripMargin
     },
+    "gold_incremental_profile" ->
+      """SELECT CAST(ts AS DATE) AS date, hour(ts) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS trips,
+        |  count(*) AS n_rows
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n
+        |  ON CAST(json_extract_string(e.props, '$.k') AS INT) % 25
+        |     = n.n_nationkey
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "er_fuzzy_names" ->
       """WITH p AS (
         |  SELECT c_custkey AS id, lower(c_name) AS nm,

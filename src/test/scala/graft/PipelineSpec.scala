@@ -138,6 +138,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("Incremental additive maintenance") {
+    import graft.operators.Incremental
+    it("merged partials equal the full recompute bit-for-bit") {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .filter($"value".isNotNull)
+        .withColumn("date", to_date($"ts"))
+      val keys = Seq("date")
+      val ms = Map("v" -> col("value"))
+      val parts = (0 until 3).map(i =>
+        Incremental.partialSums(
+          ev.filter(pmod($"user_id", lit(3)) === i), keys, ms))
+      val merged = Incremental.finalize(
+        Incremental.merge(parts, keys, Seq("v")), Seq("v"))
+      val full = Incremental.finalize(
+        Incremental.partialSums(ev, keys, ms), Seq("v"))
+      merged.exceptAll(full).unionAll(full.exceptAll(merged))
+        .count() shouldBe 0
+    }
+    it("merge is associative: merge(merge(A,B),C) == merge(A,B,C)") {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .withColumn("date", to_date($"ts"))
+      val ms = Map("v" -> col("value"))
+      val parts = (0 until 3).map(i =>
+        Incremental.partialSums(
+          ev.filter(pmod($"event_id", lit(3)) === i), Seq("date"), ms))
+      val stepwise = Incremental.merge(
+        Seq(Incremental.merge(parts.take(2), Seq("date"), Seq("v")),
+          parts(2)), Seq("date"), Seq("v"))
+      val flat = Incremental.merge(parts, Seq("date"), Seq("v"))
+      stepwise.exceptAll(flat).unionAll(flat.exceptAll(stepwise))
+        .count() shouldBe 0
+    }
+  }
+
   describe("TextFns PII scrub") {
     it("redacts emails and phone runs, leaves clean text alone") {
       val r = Seq(
