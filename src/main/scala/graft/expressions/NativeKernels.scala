@@ -133,6 +133,27 @@ object NativeKernels extends Serializable {
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
 
+  /** Spread the low 21 bits of `v` to even bit positions (Morton
+    * magic-number spread — standard public bit-twiddling).
+    */
+  private def spreadBits(v: Long): Long = {
+    var x = v & 0x1FFFFFL
+    x = (x | (x << 32)) & 0x1f00000000ffffL
+    x = (x | (x << 16)) & 0x1f0000ff0000ffL
+    x = (x | (x << 8)) & 0x100f00f00f00f00fL
+    x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
+
+  /** 2-D Morton (Z-order) value: interleaves the low 21 bits of two
+    * non-negative coordinates. Range-sorting by this single key keeps
+    * BOTH columns' min-max ranges tight per file/row-group — the
+    * layout trick behind multi-dimensional parquet data skipping.
+    */
+  def mortonValue(a: Long, b: Long): Long =
+    spreadBits(a) | (spreadBits(b) << 1)
+
   /** Banded Levenshtein with threshold `k`: returns the distance when
     * <= k, else -1 — O(len × k) cells with early band-exhaustion
     * exit, char-based (same unit costs as the SQL `levenshtein`).
@@ -512,6 +533,9 @@ object NativeKernels extends Serializable {
       Seq(v, cents, nprobe),
       Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)),
         IntegerType))
+
+  def mortonValueCol(a: Column, b: Column): Column =
+    invoke("mortonValue", LongType, Seq(a, b), Seq(LongType, LongType))
 
   /** struct<id1,id2,dist> element type of [[fuzzyPairs]] output. */
   val fuzzyPairType: DataType = StructType(Seq(

@@ -66,6 +66,26 @@ object PartitionedLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-ordered (Morton-clustered) parquet write: range-partition and
+    * sort by the interleaved bits of two columns, so EVERY file's
+    * min-max footer range is tight on BOTH columns — a 2-D box filter
+    * then skips most files/row-groups from one sort key, where a
+    * single-column sort leaves the second column spanning the full
+    * range in every file (no skipping). This is the data-layout lever
+    * for the 100-TB scan path: pruning decided by footer stats, no
+    * index structure to maintain. Columns must be non-negative and
+    * < 2^21 after casting (bucketize upstream otherwise).
+    */
+  def writeZOrdered(batch: DataFrame, path: String,
+      colA: String, colB: String, files: Int): Unit =
+    batch
+      .withColumn("__z", graft.expressions.NativeKernels
+        .mortonValueCol(col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Bucketed managed table: rows are hash-distributed into `buckets`
     * files per partition by `bucketCol` at WRITE time, so two tables
     * bucketed the same way join with NO shuffle on either side — the

@@ -104,6 +104,34 @@ class BronzeSpec extends SparkSpec {
         .select("id", "part").as[(Int, String)].collect().toSet
       back shouldBe Set((99, "a"), (2, "b"))
     }
+    it("z-ordered layout prunes files for filters on EITHER dimension") {
+      // high-cardinality 2-D data: x, y in [0, 1024)
+      val grid = spark.range(0, 60000).select(
+        (($"id" * 7919L) % 1024L).as("x"),
+        (($"id" * 104729L) % 1024L).as("y"))
+      val zPath = s"$scratch/zorder"
+      val sPath = s"$scratch/singlesort"
+      PartitionedLake.writeZOrdered(grid.toDF(), zPath, "x", "y",
+        files = 16)
+      grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(sPath)
+      // files whose footer min-max range intersects a filter — the
+      // exact skipping decision parquet makes from file statistics
+      def touched(path: String, c: String, lo: Long, hi: Long): Long =
+        spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .filter($"mn" <= hi && $"mx" >= lo)
+          .count()
+      // x-only sort: perfect on x-filters but CANNOT skip for y-filters
+      touched(sPath, "x", 0, 63) should be <= 2L
+      touched(sPath, "y", 0, 63) shouldBe 16L
+      // z-order: a 16-file split tiles the plane in ~4x4 quadrants, so
+      // BOTH single-dimension filters skip ~3/4 of the files
+      touched(zPath, "x", 0, 63) should be <= 8L
+      touched(zPath, "y", 0, 63) should be <= 8L
+      spark.read.parquet(zPath).count() shouldBe 60000
+    }
     it("write distribution bounds files per partition") {
       def parquetFiles(dir: String): Map[String, Int] = {
         val root = new java.io.File(dir)
