@@ -5,10 +5,13 @@ import graft.operators.{AsOfJoin, Dedup, MinHashLsh, Sampling}
 import graft.functions.TextFns
 import graft.sources.Tables
 
-/** Extended training-data-pipeline query family (SURVEY.md §2 G1-G5):
-  * as-of join, deterministic stratified sampling, PII scrubbing,
-  * corpus n-gram statistics, and duplicate-cluster connected
-  * components — each hash-gated against a DuckDB oracle.
+/** Extended training-data-pipeline and warehouse query family
+  * (SURVEY.md §2 G1-G9): as-of join, deterministic stratified
+  * sampling, PII scrubbing, corpus n-gram statistics,
+  * duplicate-cluster connected components, one-scan DQ constraint
+  * suites, SCD2 versioning, blocked fuzzy entity matching, and
+  * incremental aggregate maintenance — each hash-gated against a
+  * DuckDB oracle.
   */
 object PipelineQueries {
 
