@@ -133,32 +133,44 @@ object NativeKernels extends Serializable {
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
 
-  /** Spread the low 21 bits of `v` to even bit positions (Morton
+  /** Spread the low 31 bits of `v` to even bit positions (2-D Morton
     * magic-number spread — standard public bit-twiddling).
     */
   private def spreadBits(v: Long): Long = {
-    var x = v & 0x1FFFFFL
-    x = (x | (x << 32)) & 0x1f00000000ffffL
-    x = (x | (x << 16)) & 0x1f0000ff0000ffL
-    x = (x | (x << 8)) & 0x100f00f00f00f00fL
-    x = (x | (x << 4)) & 0x10c30c30c30c30c3L
-    x = (x | (x << 2)) & 0x1249249249249249L
+    var x = v
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
     x
   }
 
-  /** 2-D Morton (Z-order) value: interleaves the low 21 bits of two
+  /** 2-D Morton (Z-order) value: interleaves the low 31 bits of two
     * non-negative coordinates. Range-sorting by this single key keeps
     * BOTH columns' min-max ranges tight per file/row-group — the
     * layout trick behind multi-dimensional parquet data skipping.
+    *
+    * Domain is ENFORCED, not advisory: an input outside [0, 2^31)
+    * would either interleave garbage bits or flip the sign bit of the
+    * sort key — both silently destroy the layout — so the kernel
+    * raises instead (bucketize wider domains upstream).
     */
-  def mortonValue(a: Long, b: Long): Long =
+  def mortonValue(a: Long, b: Long): Long = {
+    if (a < 0L || b < 0L || a >= (1L << 31) || b >= (1L << 31))
+      throw new IllegalArgumentException(
+        s"mortonValue inputs must be in [0, 2^31): ($a, $b)")
     spreadBits(a) | (spreadBits(b) << 1)
+  }
 
   /** Banded Levenshtein with threshold `k`: returns the distance when
     * <= k, else -1 — O(len × k) cells with early band-exhaustion
-    * exit, char-based (same unit costs as the SQL `levenshtein`).
+    * exit. Operates on Unicode CODEPOINT arrays (not UTF-16 chars), so
+    * distances agree with the SQL `levenshtein` and DuckDB's even for
+    * supplementary-plane characters (emoji, rare CJK), where a char
+    * unit would count surrogate halves as two edits.
     */
-  private def boundedLev(a: Array[Char], b: Array[Char], k: Int): Int = {
+  private def boundedLev(a: Array[Int], b: Array[Int], k: Int): Int = {
     if (a.length > b.length) return boundedLev(b, a, k)
     val la = a.length
     val lb = b.length
@@ -206,12 +218,12 @@ object NativeKernels extends Serializable {
   def fuzzyPairs(entries: ArrayData, maxDist: Int): ArrayData = {
     val n = entries.numElements()
     val ids = new Array[Long](n)
-    val nms = new Array[Array[Char]](n)
+    val nms = new Array[Array[Int]](n)
     var i = 0
     while (i < n) {
       val r = entries.getStruct(i, 2)
       ids(i) = r.getLong(0)
-      nms(i) = r.getUTF8String(1).toString.toCharArray
+      nms(i) = r.getUTF8String(1).toString.codePoints().toArray
       i += 1
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -233,6 +245,111 @@ object NativeKernels extends Serializable {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** All unordered id pairs within one inverted-index posting list,
+    * each pair carrying both docs' shingle cardinalities: `idsArr` is
+    * the doc ids sharing one shingle, `nsArr` the parallel array of
+    * each doc's total shingle count (two plain long arrays — a struct
+    * list would route collect_list through per-element row allocation,
+    * measured 8× slower to collect); output is
+    * array<struct<id1, id2, n1, n2>> with id1 < id2. Carrying the
+    * cardinalities through the pair stream is what lets the Jaccard
+    * join compute its denominator with NO doc-cardinality join at all
+    * — at corpus scale that join's build side is corpus-sized and
+    * does not broadcast. One native loop replaces the sort-merge
+    * self-join's per-candidate row machinery (the [[fuzzyPairs]]
+    * pattern applied to the posting list).
+    *
+    * Cost is inherently |entries|² per group — a stopword-grade
+    * shingle with a million postings cannot be paired this way (or
+    * any way that enumerates its pairs), so groups past 65536 ids
+    * raise loudly instead of overflowing the output size; the
+    * caller's scale contract (verify-tier, LSH-first) is documented
+    * at [[graft.operators.Dedup.ngramJaccard]].
+    */
+  def idPairsWithCard(idsArr: ArrayData, nsArr: ArrayData,
+      threshold: Double): ArrayData = {
+    val n = idsArr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (n > 65536)
+      throw new IllegalArgumentException(
+        s"idPairsWithCard: posting list of $n ids would emit ${n.toLong * (n - 1) / 2} pairs; " +
+          "run LSH first and verify survivors only")
+    val ids = idsArr.toLongArray()
+    val ns = nsArr.toLongArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        // length filter (exact, no false dismissals): inter <= min(n1,n2)
+        // and union >= max(n1,n2), so jaccard <= min/max — a pair whose
+        // cardinality ratio is under the threshold can never qualify
+        // and is never emitted (cuts the pair stream before it exists,
+        // which is where this operator's cost lives).
+        val lo = math.min(ns(i), ns(j))
+        val hi = math.max(ns(i), ns(j))
+        if (lo.toDouble >= threshold * hi.toDouble) {
+          out += (if (ids(i) < ids(j))
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](ids(i), ids(j), ns(i), ns(j)))
+          else
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](ids(j), ids(i), ns(j), ns(i))))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Engine-portable 60-bit SimHash over a token array: each token is
+    * hashed with TWO polynomial rolling hashes over its printable-
+    * ASCII projection (base 131 mod 1e9+7 and base 137 mod 998244353,
+    * both moduli < 2^30), combined as (h1 << 30) | h2; votes and the
+    * sign rule are identical to [[simHash64]] but over 60 bits.
+    * Unlike the xx-seeded fingerprint, every step here is plain
+    * integer arithmetic a DuckDB oracle replays exactly — the
+    * cross-engine-verifiable variant ([[simHash64]] stays the
+    * default: xxhash64 mixes far better than a rolling hash).
+    */
+  def simHashPortable60(tokens: ArrayData): Long = {
+    val votes = new Array[Long](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val base = t.getBaseObject
+      val off = t.getBaseOffset
+      val nb = t.numBytes
+      var h1 = 0L
+      var h2 = 0L
+      var p = 0
+      while (p < nb) {
+        val bch = Platform.getByte(base, off + p) & 0xff
+        if (bch >= 0x20 && bch <= 0x7e) {
+          h1 = (h1 * 131L + bch) % 1000000007L
+          h2 = (h2 * 137L + bch) % 998244353L
+        }
+        p += 1
+      }
+      val h = (h1 << 30) | h2
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
   }
 
   /** Distinct word n-gram shingles as their 64-bit xxhash values
@@ -549,6 +666,22 @@ object NativeKernels extends Serializable {
       Seq(ArrayType(StructType(Seq(
         StructField("id", LongType), StructField("nm", StringType)))),
         IntegerType))
+
+  /** struct<id1,id2,n1,n2> element type of [[idPairsWithCard]] output. */
+  val idPairCardType: DataType = StructType(Seq(
+    StructField("id1", LongType, nullable = false),
+    StructField("id2", LongType, nullable = false),
+    StructField("n1", LongType, nullable = false),
+    StructField("n2", LongType, nullable = false)))
+
+  def idPairsWithCardCol(ids: Column, ns: Column, threshold: Double): Column =
+    invoke("idPairsWithCard", ArrayType(idPairCardType, containsNull = false),
+      Seq(ids, ns, org.apache.spark.sql.functions.lit(threshold)),
+      Seq(ArrayType(LongType), ArrayType(LongType), DoubleType))
+
+  def simHashPortable60Col(tokens: Column): Column =
+    invoke("simHashPortable60", LongType, Seq(tokens),
+      Seq(ArrayType(StringType)))
 
   def wordShingleHashesCol(tokens: Column, n: Int): Column =
     invoke("wordShingleHashes", ArrayType(LongType, containsNull = false),

@@ -9,10 +9,13 @@ import org.apache.spark.sql.expressions.Window
   * The sub-quadratic near-dup paths (MinHash+LSH, SimHash) live beside
   * these in [[MinHashLsh]] and [[SimHash]].
   *
-  * Scale notes: `exact` is one shuffle on the content hash — the
-  * canonical 100-TB dedup plan (hash is computed map-side, so the
-  * shuffle carries 32-byte keys, not documents). `ngramJaccard` builds
-  * an inverted shingle index and generates candidate pairs only for
+  * Scale notes: both `exactGroups` and `exact` pick winners through
+  * ONE aggregation whose exchange carries (32-byte hash, id) pairs,
+  * never document bodies; `exact` then joins the winner set back with
+  * a left-semi join — broadcastable when the distinct-content set is
+  * small, a spilling sort-merge join otherwise (either way the corpus
+  * is never sorted through a window). `ngramJaccard` builds an
+  * inverted shingle index and generates candidate pairs only for
   * docs sharing a shingle — still worst-case quadratic under heavy
   * collisions (its role is verify/small-corpus; at 100 TB run
   * [[MinHashLsh]] first and feed surviving candidate pairs here).
@@ -28,13 +31,20 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Keep-first exact dedup: returns the input rows minus duplicate
-    * content (the row with the smallest id survives).
+    * content (the row with the smallest id survives; `idCol` must be
+    * unique). Winners come from [[exactGroups]] — the aggregation
+    * exchange carries only (hash, id), map-side combined — and the
+    * semi-join back is the only place full rows move (and only when
+    * the winner side is too big to broadcast). The windowed
+    * alternative (row_number over the hash) would shuffle AND sort
+    * every document body.
     */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(sha2(col(contentCol), 256))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val winners = exactGroups(df, contentCol, idCol)
+    df.as("__l").join(winners.as("__w"),
+      sha2(col(s"__l.$contentCol"), 256) === col("__w.text_hash") &&
+        col(s"__l.$idCol") === col("__w.keep_doc_id"),
+      "left_semi")
   }
 
   /** Distinct word n-gram shingles of a text column, as an array —
@@ -76,32 +86,54 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // hashed shingles: the index join is equality-only, so the shuffle
-    // carries (long, long) rows — see [[shingleHashes]].
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(shingleHashes(col(textCol), n)).as("shingle"))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // merge hint: the exploded inverted index is many× the input (the
-    // planner's size estimate misses that and would broadcast it,
-    // building millions of rows single-threaded on the driver — fatal
-    // at scale). A sort-merge join shuffles on the shingle key and
-    // lets AQE split skewed buckets (common shingles are hot keys).
-    // shuffle_hash measured ~0.3s faster at sf0.1 but its hash build
-    // must FIT memory per partition — on a 100-TB inverted index a hot
-    // shingle bucket would OOM where SMJ spills; merge is the scale
-    // choice.
-    val pairs = sh.as("a").join(sh.as("b").hint("merge"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
+    // ONE corpus scan: hash the shingles once (8-byte join keys — see
+    // [[shingleHashes]]), and let every posting row carry its doc's
+    // shingle cardinality, so the Jaccard denominator needs no
+    // doc-cardinality join later (at corpus scale that join's build
+    // side is corpus-sized and does not broadcast). Ids must be
+    // castable to long (the pair kernel works in primitive longs).
+    val sh = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingleHashes(col(textCol), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("shingle"))
+    // Intersection counting via the posting lists themselves: ONE
+    // shuffle groups each shingle's postings, a native kernel emits
+    // the pairs (with cardinalities riding along) in a primitive
+    // loop, and one hash aggregation keyed on the pair counts the
+    // shared shingles — first(n1)/first(n2) pull the carried
+    // denominators through the same agg, so the whole query is
+    // scan → shuffle → agg → map-side filter: NO joins, nothing
+    // broadcast, nothing corpus-sized on one node.
+    // Measured alternatives at sf0.1 (1.27M pair instances → 1.13M
+    // distinct pairs), kept here as negative results: the round-3/4
+    // sort-merge self-join of the exploded index 1.96s; a separate
+    // doc-cardinality table with two broadcast joins +0.3s over this;
+    // repartition+sortWithinPartitions+run-length mapPartitions
+    // counting ~0.4s SLOWER end-to-end (tuple encoder churn exceeds
+    // the saved agg work); collect_list over (id, n) STRUCTS 8×
+    // slower than two parallel long lists. The agg's map-side partial
+    // pass barely reduces (~90% of pairs share exactly one shingle)
+    // but skipping it is not expressible declaratively; the final agg
+    // spills like any hash agg at scale.
+    // Skew contract: a posting list of g ids emits g² pairs inside one
+    // task — bounded by the kernel at 64k ids (it raises; a corpus
+    // with stopword-grade shingles belongs on the LSH path first, per
+    // the operator's documented verify-tier role).
+    val counted = sh.groupBy(col("shingle"))
+      // two PARALLEL long lists (same agg = same row order), not a
+      // struct list: collect_list over structs allocates a row per
+      // element — measured 8× slower to collect and serialize
+      .agg(collect_list(col("doc_id")).as("ids"),
+        collect_list(col("n_sh")).as("ns"))
+      .select(explode(graft.expressions.NativeKernels
+        .idPairsWithCardCol(col("ids"), col("ns"), threshold)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("p.n1")).as("n1"),
+        first(col("p.n2")).as("n2"))
     val jac = col("inter").cast("double") /
       (col("n1") + col("n2") - col("inter")).cast("double")
-    pairs
-      .join(card.withColumnRenamed("n_sh", "n1"),
-        col("id1") === col("doc_id")).drop("doc_id")
-      .join(card.withColumnRenamed("n_sh", "n2"),
-        col("id2") === col("doc_id")).drop("doc_id")
+    counted
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
         jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)

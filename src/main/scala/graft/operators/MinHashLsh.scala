@@ -11,12 +11,33 @@ import org.apache.spark.sql.functions._
   * Scale notes: this is the 100-TB near-dedup path. Candidate
   * generation shuffles only (band, bucket-hash, doc_id) triples — the
   * join key space is the LSH buckets, never all-pairs. With b bands of
-  * r rows, P(candidate) ≈ 1-(1-j^r)^b: the default 16 bands × 4 rows
-  * catches j ≥ 0.7 pairs with > 99.8% probability while keeping
-  * j ≤ 0.3 noise below 2.5%. The exact-Jaccard verify runs only on
-  * surviving candidates.
+  * r rows, P(candidate) ≈ 1-(1-j^r)^b — and that curve must be tuned
+  * to the VERIFY threshold: 16 bands × 4 rows catches j ≥ 0.7 pairs
+  * with > 98.7% probability but a boundary j = 0.5 pair only ~64% of
+  * the time, silently under-recalling. [[nearDuplicates]] therefore
+  * derives its banding from the threshold ([[autoBands]]) unless the
+  * caller pins one. The exact-Jaccard verify runs only on surviving
+  * candidates.
   */
 object MinHashLsh {
+
+  /** Bands count whose banding catches a boundary-similarity pair
+    * (jaccard == threshold) with probability >= targetCatch, using the
+    * LARGEST rows-per-band that still qualifies — more rows per band =
+    * sharper S-curve = fewer sub-threshold candidate collisions to
+    * verify. threshold 0.5 → 32 bands × 2 rows (99.99% at j=0.5);
+    * threshold 0.7 → 16 bands × 4 rows (98.8% at j=0.7).
+    */
+  def autoBands(numHashes: Int, threshold: Double,
+      targetCatch: Double = 0.98): Int = {
+    val r = (numHashes to 1 by -1)
+      .filter(numHashes % _ == 0)
+      .find { r =>
+        val b = numHashes / r
+        1.0 - math.pow(1.0 - math.pow(threshold, r), b) >= targetCatch
+      }.getOrElse(1)
+    numHashes / r
+  }
 
   /** 2^31-1: permutations live in 31-bit space so a*h + b stays under
     * 2^62 — no long overflow under ANSI arithmetic.
@@ -91,13 +112,17 @@ object MinHashLsh {
   }
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
-    * near-dedup output (id1, id2, jaccard).
+    * near-dedup output (id1, id2, jaccard). `bands = 0` (the default)
+    * derives the banding from the threshold via [[autoBands]], so the
+    * candidate recall at the verify boundary is never an accident of
+    * a fixed banding tuned for some other threshold.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, seed: Long = 42L): DataFrame = {
+      bands: Int = 0, seed: Long = 42L): DataFrame = {
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes,
-      bands, seed)
+      b, seed)
     val sh = df.select(col(idCol).as("doc_id"),
       Dedup.shingles(col(textCol), shingleN).as("sh"))
     cands

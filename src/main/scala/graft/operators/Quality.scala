@@ -36,7 +36,11 @@ object Quality {
         count(when(c.pred, 1)).as(s"__ok_$i")
       }
     val rows = constraints.zipWithIndex.map { case (c, i) =>
-      val rate = col(s"__ok_$i").cast("double") / col("__n")
+      // empty table: 0/0 would yield null pass_rate and null passed —
+      // a suite that reports NEITHER pass nor fail exactly when the
+      // table is empty (itself a DQ failure). Fail loudly instead.
+      val rate = coalesce(
+        col(s"__ok_$i").cast("double") / col("__n"), lit(0.0))
       struct(lit(table).as("table_name"),
         lit(c.name).as("constraint_name"),
         col("__n").as("n_rows"), col(s"__ok_$i").as("n_ok"),

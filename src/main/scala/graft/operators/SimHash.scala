@@ -47,16 +47,18 @@ object SimHash {
   /** Exact Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs with Hamming distance ≤ maxDist, via pigeonhole
-    * chunk bucketing (guaranteed complete when maxDist < chunks).
+  /** Pigeonhole bucket-join over fingerprints: `fp` is (doc_id, fp);
+    * split the low `bits` into `chunks` pieces, join on identical
+    * chunks, verify with exact Hamming. Complete for
+    * maxDist < chunks (a pair differing in ≤ chunks-1 bits must agree
+    * on ≥ 1 whole chunk).
     */
-  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+  private def bucketedPairs(fp: DataFrame, bits: Int, maxDist: Int,
+      chunks: Int): DataFrame = {
     require(maxDist < chunks,
       "pigeonhole completeness needs maxDist < chunks")
-    val bitsPerChunk = 64 / chunks
-    val fp = df.select(col(idCol).as("doc_id"),
-      simHash64(graft.functions.TextFns.tokens(col(textCol))).as("fp"))
+    require(bits % chunks == 0, "chunks must divide bits")
+    val bitsPerChunk = bits / chunks
     val chunked = fp.select(col("doc_id"), col("fp"), explode(
         array((0 until chunks).map(c =>
           struct(lit(c).as("chunk_idx"),
@@ -77,4 +79,28 @@ object SimHash {
       .distinct()
       .filter(col("hamming_dist") <= maxDist)
   }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist, via pigeonhole
+    * chunk bucketing (guaranteed complete when maxDist < chunks).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, chunks: Int = 4): DataFrame =
+    bucketedPairs(
+      df.select(col(idCol).as("doc_id"),
+        simHash64(graft.functions.TextFns.tokens(col(textCol))).as("fp")),
+      bits = 64, maxDist = maxDist, chunks = chunks)
+
+  /** [[nearDuplicates]] over the engine-portable 60-bit fingerprint
+    * ([[graft.expressions.NativeKernels.simHashPortable60]]): the same
+    * bucketing and verify, but every arithmetic step is replayable in
+    * plain SQL — this is the variant a DuckDB oracle can gate
+    * bit-for-bit. Chunks are 15 bits (60/4).
+    */
+  def nearDuplicatesPortable(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3, chunks: Int = 4): DataFrame =
+    bucketedPairs(
+      df.select(col(idCol).as("doc_id"),
+        graft.expressions.NativeKernels.simHashPortable60Col(
+          graft.functions.TextFns.tokens(col(textCol))).as("fp")),
+      bits = 60, maxDist = maxDist, chunks = chunks)
 }

@@ -89,9 +89,12 @@ object TextQueries {
         Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
     },
 
-    // E3 — SimHash near-dedup ([R] + NearDupSpec).
+    // E3 — SimHash near-dedup, portable-fingerprint variant so the
+    // whole pipeline (token hash → votes → chunk buckets → Hamming
+    // verify) is hash-gated against a DuckDB replay; the xx-seeded
+    // production variant stays spec-gated for parity in NearDupSpec.
     "dedup_simhash" -> { (s, dir) =>
-      graft.operators.SimHash.nearDuplicates(
+      graft.operators.SimHash.nearDuplicatesPortable(
         Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
     }
   )
@@ -240,6 +243,43 @@ object TextQueries {
          |  u.quality_score
          |FROM uniq u
          |WHERE u.doc_id NOT IN (SELECT id2 FROM losers)""".stripMargin
+    },
+    // SimHash oracle: replays the portable 60-bit fingerprint exactly —
+    // per token two polynomial rolling hashes over the printable-ASCII
+    // projection (the text_fingerprint arithmetic, already hash-gated),
+    // combined as h1 * 2^30 + h2, then the +1/-1 bit votes, the 15-bit
+    // pigeonhole chunk join, and the exact Hamming verify.
+    "dedup_simhash" -> {
+      def poly(base: Int, mod: Long): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(regexp_extract_all(regexp_replace(t, '[^ -~]', '', 'g'), '.'),
+           |        c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * $base + c) % $mod)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(w, t ->
+         |    ${poly(131, 1000000007L)} * 1073741824
+         |    + ${poly(137, 998244353L)}) AS hh
+         |  FROM toks),
+         |fp AS (
+         |  SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(60), j ->
+         |    CASE WHEN COALESCE(list_sum(list_transform(hh, h ->
+         |        CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)), 0) AS BIGINT) AS fp
+         |  FROM hs),
+         |ch AS (
+         |  SELECT doc_id, fp, i.c AS chunk_idx, (fp >> (i.c * 15)) & 32767 AS chunk_val
+         |  FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) i),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.fp AS f1, b.fp AS f2
+         |  FROM ch a JOIN ch b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS INT) AS hamming_dist
+         |FROM pairs
+         |WHERE bit_count(xor(f1, f2)) <= 3""".stripMargin
     },
     "dedup_minhash" ->
       """WITH toks AS (

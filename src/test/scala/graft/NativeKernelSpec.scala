@@ -218,6 +218,80 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("mortonValue") {
+    it("interleaves bits like a per-bit reference loop") {
+      def ref(a: Long, b: Long): Long = {
+        var z = 0L
+        for (i <- 0 until 31)
+          z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+        z
+      }
+      val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 511L),
+        ((1L << 31) - 1, (1L << 31) - 1), (123456789L, 987654321L))
+      val got = cases.toDF("a", "b")
+        .select(NativeKernels.mortonValueCol($"a", $"b")).as[Long].collect()
+      got.toSeq shouldBe cases.map { case (a, b) => ref(a, b) }
+      // full 31-bit domain stays non-negative → signed-long sort order
+      // equals unsigned Z-order
+      all(got.toSeq) should be >= 0L
+    }
+    it("ENFORCES the [0, 2^31) domain instead of interleaving garbage") {
+      def morton(a: Long, b: Long) =
+        Seq((a, b)).toDF("a", "b")
+          .select(NativeKernels.mortonValueCol($"a", $"b")).as[Long].head()
+      a[Throwable] should be thrownBy morton(-1L, 0L)
+      a[Throwable] should be thrownBy morton(0L, 1L << 31)
+      noException should be thrownBy morton((1L << 31) - 1, 0L)
+    }
+  }
+
+  describe("idPairsWithCard") {
+    it("emits ordered pairs with carried cardinalities, length-filtered") {
+      val got = Seq((Seq(30L, 10L, 20L), Seq(4L, 8L, 5L))).toDF("ids", "ns")
+        .select(explode(NativeKernels.idPairsWithCardCol($"ids", $"ns", 0.5))
+          .as("p"))
+        .select($"p.id1", $"p.id2", $"p.n1", $"p.n2")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // (30,10): 4 vs 8 → ratio 0.5, kept; (30,20): 4 vs 5 kept;
+      // (10,20): 8 vs 5 → 0.625 kept — all with id1 < id2
+      got shouldBe Set((10L, 30L, 8L, 4L), (20L, 30L, 5L, 4L),
+        (10L, 20L, 8L, 5L))
+      // tighter threshold drops the ratio-0.5 pair
+      val strict = Seq((Seq(30L, 10L, 20L), Seq(4L, 8L, 5L))).toDF("ids", "ns")
+        .select(explode(NativeKernels.idPairsWithCardCol($"ids", $"ns", 0.6))
+          .as("p"))
+        .select($"p.id1", $"p.id2").as[(Long, Long)].collect().toSet
+      strict shouldBe Set((20L, 30L), (10L, 20L))
+    }
+    it("raises loudly on a stopword-grade posting list") {
+      val big = (0 until 70000).map(_.toLong)
+      a[Throwable] should be thrownBy
+        Seq((big, big.map(_ => 5L))).toDF("ids", "ns")
+          .select(explode(NativeKernels.idPairsWithCardCol($"ids", $"ns", 0.5)))
+          .count()
+    }
+  }
+
+  describe("simHashPortable60 + pigeonhole bucketing") {
+    it("fingerprints stay in the 60-bit range and near-dup search is complete") {
+      val fps = docs.select($"doc_id".as[Long],
+        NativeKernels.simHashPortable60Col(TextFns.tokens($"text")).as[Long])
+        .collect()
+      all(fps.map(_._2).toSeq) should be >= 0L
+      all(fps.map(_._2).toSeq) should be < (1L << 60)
+      // brute-force exact Hamming pairs <= 3 == the operator's output
+      // (pigeonhole bucketing must be COMPLETE for maxDist < chunks)
+      val brute = (for {
+        (i1, f1) <- fps; (i2, f2) <- fps if i1 < i2
+        if java.lang.Long.bitCount(f1 ^ f2) <= 3
+      } yield (i1, i2)).toSet
+      val got = SimHash.nearDuplicatesPortable(docs, "doc_id", "text",
+        maxDist = 3).select($"id1".as[Long], $"id2".as[Long])
+        .collect().toSet
+      got shouldBe brute
+    }
+  }
+
   describe("codegen integration") {
     it("kernels appear as static_invoke, not interpreted folds") {
       val plan = docs.select(

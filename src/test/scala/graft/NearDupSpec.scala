@@ -35,6 +35,15 @@ class NearDupSpec extends SparkSpec {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       out shouldBe Set((1L, 2L))
     }
+    it("derives banding from the verify threshold (autoBands)") {
+      // boundary-pair catch probability must be >= 98% AT the verify
+      // threshold, with the sharpest banding (largest rows/band) that
+      // still qualifies — a fixed 16x4 banding tuned for j>=0.7 only
+      // catches a boundary j=0.5 pair ~64% of the time
+      MinHashLsh.autoBands(64, 0.5) shouldBe 32 // 2 rows: 99.99% at j=0.5
+      MinHashLsh.autoBands(64, 0.7) shouldBe 16 // 4 rows: 98.8% at j=0.7
+      MinHashLsh.autoBands(64, 0.9) shouldBe 8  // 8 rows: 98.9% at j=0.9
+    }
     it("recovers the high-jaccard pairs the exact join finds on real docs") {
       val docs = Tables.documents(spark, sf)
       val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)

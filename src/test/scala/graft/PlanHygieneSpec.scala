@@ -72,6 +72,31 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("exact dedup shuffles keys, not documents") {
+    it("the winner-agg exchange carries only (hash, id) columns") {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val docs = Tables.documents(spark, sf)
+      val q = graft.operators.Dedup.exact(docs, "text", "doc_id")
+      // sparkPlan predates EnsureRequirements (no exchanges yet); the
+      // executed plan nests them inside the AQE wrapper
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      shuffles should not be empty
+      // every shuffled row is the partial-agg output (content hash +
+      // min-id + count partials) — never the document body
+      for (e <- shuffles; attr <- e.output)
+        withClue(s"exchange column ${attr.name}: ") {
+          attr.name should not be "text"
+        }
+      // no window formulation sneaking back in
+      plan.toString should not include "Window"
+    }
+  }
+
   describe("surrogate keys avoid the single-partition window") {
     it("silver_dim_customer plans without any partition-less Window") {
       val q = SparkEntry.queries("silver_dim_customer")(spark, sf)
