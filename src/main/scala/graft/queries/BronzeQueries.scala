@@ -30,16 +30,19 @@ object BronzeQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
-    // A4 — idempotent partition upsert, proven END-TO-END: write all
-    // fact partitions, re-upsert one day's partition, read the lake
-    // back and aggregate. If dynamic overwrite duplicated or dropped
-    // rows, the per-partition counts diverge from the oracle (which
-    // computes the same aggregate straight from the source).
+    // A4 — idempotent partition upsert, proven END-TO-END through the
+    // ATOMIC manifest-commit lake (AtomicLake — each upsert is one
+    // snapshot commit): write all fact partitions, re-upsert one day's
+    // partition, read the lake back and aggregate. If the re-upsert
+    // duplicated or dropped rows — or the read resolved a torn
+    // mid-commit state — the per-partition counts diverge from the
+    // oracle (which computes the same aggregate straight from the
+    // source).
     "bronze_partition_upsert" -> { (s, dir) =>
-      // Scratch is keyed by sf dir and wiped up front: dynamic
-      // overwrite only replaces partitions present in the batch, so
-      // leftovers from a previous run on a different sf would survive
-      // and contaminate the read-back.
+      // Scratch is keyed by sf dir and wiped up front: partition
+      // upsert only replaces partitions present in the batch, so
+      // leftover commits from a previous run on a different sf would
+      // survive in the manifest and contaminate the read-back.
       val scratch = s"$lakeScratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       val scratchPath = new org.apache.hadoop.fs.Path(scratch)
       scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -48,12 +51,12 @@ object BronzeQueries {
         Tables.customer(s, dir), Tables.nation(s, dir))
       // 4 files/partition keeps write parallelism on the full-history
       // batch; the single-day re-upsert defaults to one file.
-      PartitionedLake.upsertPartitionsSized(fact, scratch,
+      graft.sources.AtomicLake.upsertPartitions(fact, scratch,
         Seq("partition_date"), filesPerPartition = 4)
-      PartitionedLake.upsertPartitions(
+      graft.sources.AtomicLake.upsertPartitions(
         fact.filter(col("partition_date") === lit("2024-01-05").cast("date")),
-        scratch, "partition_date")
-      PartitionedLake.read(s, scratch)
+        scratch, Seq("partition_date"))
+      graft.sources.AtomicLake.read(s, scratch)
         .groupBy(col("partition_date"))
         .agg(count(lit(1)).as("n_rows"), exactSum(col("trips")).as("trips"))
     },

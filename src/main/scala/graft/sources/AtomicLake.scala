@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic, versioned parquet lake with snapshot isolation — the
+  * transactional layer the reference adopted DuckLake for ("ACID-
+  * compliant transactions, metadata management",
+  * /root/reference/docs/sprint_logs/Sprint-2.md:13), re-expressed as a
+  * catalog-free manifest protocol over plain parquet:
+  *
+  *  - Data files are written under `data/` with commit-unique names;
+  *    readers NEVER list `data/` — they read exactly the files named
+  *    by a manifest, so un-committed files are invisible.
+  *  - A commit is one atomically-created manifest `_manifests/vN` (an
+  *    exclusive hardlink to a fully-written temp file, so a manifest
+  *    can never be observed half-written and two writers can never
+  *    both claim version N — the loser re-reads and retries on N+1).
+  *  - A reader resolves max(vN) once and reads that snapshot: a
+  *    concurrent upsert is invisible until its single commit point,
+  *    after which new readers see all of it (old-or-new, never torn).
+  *  - A killed writer leaves orphan staging/data files and no
+  *    manifest: invisible, re-ingest just works (and its own commit
+  *    supersedes the orphans).
+  *  - Every manifest is retained → time travel ([[readVersion]]) and
+  *    audit for free, exactly the DuckLake snapshot feature set the
+  *    reference's sprint demos (Sprint-2.md "time travel").
+  *
+  * Scale notes: the manifest holds file PATHS (one line per file), not
+  * data — a 100-TB table with 100k files is a few MB of manifest; the
+  * data plane is untouched parquet, so every scan optimization
+  * (pushdown, partition pruning via the returned partition column,
+  * footer skipping) still applies. The commit point is one filesystem
+  * metadata op regardless of table size. Contract: the lake root must
+  * live on a filesystem with atomic exclusive link/rename (local,
+  * NFS, HDFS semantics); an object store needs the same CAS from a
+  * catalog service — which is precisely the role DuckLake gives its
+  * catalog database.
+  */
+object AtomicLake {
+
+  final case class Snapshot(version: Long,
+      partitionCols: Seq[String],
+      // partition relative dir (e.g. "day=2024-01-01", "" when
+      // unpartitioned) -> file paths relative to the lake root
+      files: Map[String, Seq[String]])
+
+  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+  private def dataDir(root: String): Path = Paths.get(root, "data")
+
+  private def manifestName(v: Long): String = f"v$v%012d"
+
+  /** Newest committed snapshot, if any commit exists. */
+  def currentSnapshot(root: String): Option[Snapshot] = {
+    val md = manifestDir(root)
+    if (!Files.isDirectory(md)) return None
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d{12}"))
+      .map(_.drop(1).toLong)
+      .toSeq
+    if (versions.isEmpty) None else Some(readManifest(root, versions.max))
+  }
+
+  def currentVersion(root: String): Option[Long] =
+    currentSnapshot(root).map(_.version)
+
+  private def readManifest(root: String, v: Long): Snapshot = {
+    val lines = Files.readAllLines(
+      manifestDir(root).resolve(manifestName(v))).asScala.toSeq
+    val partitionCols = lines.head.split("=", 2)(1) match {
+      case "" => Nil
+      case s => s.split(",").toSeq
+    }
+    val files = lines.tail.map { l =>
+      val Array(part, file) = l.split("\t", 2)
+      part -> file
+    }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
+    Snapshot(v, partitionCols, files)
+  }
+
+  /** Stage `batch` and move its files into the data plane with
+    * commit-unique names — VISIBLE TO NO READER yet (readers only
+    * follow manifests). Returns partition-relative-dir -> new file
+    * relative paths. Exposed package-private so the crash-recovery
+    * spec can create exactly the state a killed writer leaves.
+    */
+  private[graft] def stageFiles(batch: DataFrame, root: String,
+      partitionCols: Seq[String], filesPerPartition: Int)
+      : Map[String, Seq[String]] = {
+    val commitId = UUID.randomUUID().toString.take(12)
+    val staging = Paths.get(root, "_staging", commitId)
+    val distributed =
+      if (partitionCols.nonEmpty)
+        PartitionedLake.distributeForWrite(batch, partitionCols,
+          filesPerPartition)
+      else batch.repartition(filesPerPartition)
+    val writer = distributed.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(staging.toString)
+    // move staged parquet into data/<partition>/<commit>-<file>
+    val staged = Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    val out = staged.map { p =>
+      val rel = staging.relativize(p) // day=.../part-00000-....parquet
+      val partRel = Option(rel.getParent).map(_.toString).getOrElse("")
+      val destRel = Paths.get(partRel, s"$commitId-${rel.getFileName}")
+      val dest = dataDir(root).resolve(destRel)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      partRel -> Paths.get("data").resolve(destRel).toString
+    }
+    deleteRecursively(staging)
+    out.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
+  }
+
+  /** Publish a new manifest = previous snapshot with `touched`
+    * partitions replaced by `newFiles`. The commit point is ONE
+    * atomic exclusive link; on a version race the loser recomputes
+    * against the winner's snapshot and retries. Exposed
+    * package-private for the spec's interleaving tests.
+    */
+  private[graft] def commitReplacing(root: String, touched: Set[String],
+      newFiles: Map[String, Seq[String]], partitionCols: Seq[String])
+      : Long = {
+    val md = manifestDir(root)
+    Files.createDirectories(md)
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val prev = currentSnapshot(root)
+      prev.foreach { s =>
+        require(s.partitionCols == partitionCols,
+          s"partitioning mismatch: table has ${s.partitionCols}, " +
+            s"upsert uses $partitionCols")
+      }
+      val version = prev.map(_.version + 1).getOrElse(1L)
+      val merged =
+        prev.map(_.files).getOrElse(Map.empty) -- touched ++ newFiles
+      val body = new StringBuilder(s"partition_cols=${partitionCols.mkString(",")}\n")
+      for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted)
+        body.append(p).append('\t').append(f).append('\n')
+      val tmp = md.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
+      Files.write(tmp, body.toString.getBytes("UTF-8"))
+      try {
+        // hardlink = atomic CAS: fails iff vN already exists, and the
+        // linked content is already fully written — no torn manifest
+        Files.createLink(md.resolve(manifestName(version)), tmp)
+        Files.delete(tmp)
+        return version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the race — merge against the winner
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention: gave up after $attempts attempts")
+  }
+
+  /** Idempotent partition upsert with a single atomic commit point:
+    * exactly the partitions present in `batch` are replaced. Returns
+    * the committed version.
+    */
+  def upsertPartitions(batch: DataFrame, root: String,
+      partitionCols: Seq[String], filesPerPartition: Int = 1): Long = {
+    val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
+    commitReplacing(root, staged.keySet, staged, partitionCols)
+  }
+
+  /** Replace the WHOLE table contents in one commit. */
+  def overwrite(batch: DataFrame, root: String,
+      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1): Long = {
+    val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
+    val all = currentSnapshot(root).map(_.files.keySet).getOrElse(Set.empty)
+    commitReplacing(root, all ++ staged.keySet, staged, partitionCols)
+  }
+
+  /** Read the newest committed snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readSnapshot(spark, root, currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root")))
+
+  /** Time travel: read the table exactly as of `version`. */
+  def readVersion(spark: SparkSession, root: String, version: Long)
+      : DataFrame =
+    readSnapshot(spark, root, readManifest(root, version))
+
+  private def readSnapshot(spark: SparkSession, root: String,
+      snap: Snapshot): DataFrame = {
+    val files = snap.files.values.flatten.toSeq.sorted
+      .map(f => Paths.get(root).resolve(f).toString)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"snapshot v${snap.version} at $root is empty")
+    // basePath keeps the k=v partition directories as real columns
+    spark.read.option("basePath", dataDir(root).toString)
+      .parquet(files: _*)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+}

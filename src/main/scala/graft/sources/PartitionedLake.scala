@@ -19,6 +19,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * regardless of upstream parallelism; raise it for skewed/giant
   * partitions so they keep write parallelism. Date partitioning gives
   * partition pruning on every downstream date-filtered scan.
+  *
+  * Concurrency caveat: `mode("overwrite")` deletes partition
+  * directories in place — a reader racing an upsert can observe a
+  * half-written partition. When readers and writers overlap (the
+  * production case the reference adopted DuckLake for), use
+  * [[AtomicLake]]: same upsert semantics behind one atomic manifest
+  * commit, plus snapshots and time travel.
   */
 object PartitionedLake {
 
