@@ -36,11 +36,12 @@ object Quality {
         count(when(c.pred, 1)).as(s"__ok_$i")
       }
     val rows = constraints.zipWithIndex.map { case (c, i) =>
-      // empty table: 0/0 would yield null pass_rate and null passed —
-      // a suite that reports NEITHER pass nor fail exactly when the
-      // table is empty (itself a DQ failure). Fail loudly instead.
-      val rate = coalesce(
-        col(s"__ok_$i").cast("double") / col("__n"), lit(0.0))
+      // empty table: 0/0 would yield null pass_rate and null passed
+      // (or raise under ANSI) — a suite that reports NEITHER pass nor
+      // fail exactly when the table is empty (itself a DQ failure).
+      // Fail loudly with rate 0 instead.
+      val rate = when(col("__n") === 0, lit(0.0))
+        .otherwise(col(s"__ok_$i").cast("double") / col("__n"))
       struct(lit(table).as("table_name"),
         lit(c.name).as("constraint_name"),
         col("__n").as("n_rows"), col(s"__ok_$i").as("n_ok"),
@@ -51,6 +52,28 @@ object Quality {
       .select(explode(array(rows: _*)).as("c"))
       .select(col("c.*"))
   }
+
+  /** Persist a DQ report ([[validate]] / [[auditMetrics]] output) to an
+    * appendable audit TABLE — the reference's `data_quality_log`
+    * inserts run after run (pipeline.py:356-397, 584-634); graft's
+    * equivalent stamps each run with (run_id, run_ts) and appends it
+    * to an [[graft.sources.AtomicLake]] table partitioned by run_date,
+    * so every run is one atomic commit, history is immutable, and a
+    * date-filtered audit read prunes to the partitions it asks for.
+    * Returns the committed lake version.
+    */
+  def logTo(report: DataFrame, root: String,
+      runId: String = java.util.UUID.randomUUID().toString): Long = {
+    val stamped = report
+      .withColumn("run_id", lit(runId))
+      .withColumn("run_ts", current_timestamp())
+      .withColumn("run_date", current_date())
+    graft.sources.AtomicLake.append(stamped, root, Seq("run_date"))
+  }
+
+  /** Read the persisted audit log back (all runs, newest snapshot). */
+  def readLog(spark: SparkSession, root: String): DataFrame =
+    graft.sources.AtomicLake.read(spark, root)
 
   private def metricRow(table: String, metric: String, value: Column,
       notes: String, from: DataFrame): DataFrame =

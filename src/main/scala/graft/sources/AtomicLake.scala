@@ -139,8 +139,13 @@ object AtomicLake {
             s"upsert uses $partitionCols")
       }
       val version = prev.map(_.version + 1).getOrElse(1L)
-      val merged =
-        prev.map(_.files).getOrElse(Map.empty) -- touched ++ newFiles
+      // drop the replaced partitions, then UNION per-partition file
+      // lists — so touched = ∅ is an append commit (new files join
+      // the survivors instead of clobbering their partition entry)
+      val base = prev.map(_.files).getOrElse(Map.empty) -- touched
+      val merged = (base.keySet ++ newFiles.keySet).iterator.map { k =>
+        k -> (base.getOrElse(k, Nil) ++ newFiles.getOrElse(k, Nil))
+      }.toMap
       val body = new StringBuilder(s"partition_cols=${partitionCols.mkString(",")}\n")
       for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted)
         body.append(p).append('\t').append(f).append('\n')
@@ -169,6 +174,16 @@ object AtomicLake {
       partitionCols: Seq[String], filesPerPartition: Int = 1): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
     commitReplacing(root, staged.keySet, staged, partitionCols)
+  }
+
+  /** Append-only commit: new files JOIN the existing partitions (no
+    * partition is replaced) — the shape for immutable event/audit
+    * logs where every run adds rows and history must survive.
+    */
+  def append(batch: DataFrame, root: String,
+      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1): Long = {
+    val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
+    commitReplacing(root, Set.empty, staged, partitionCols)
   }
 
   /** Replace the WHOLE table contents in one commit. */

@@ -51,6 +51,78 @@ object CsvIngest {
     }
   }
 
+  /** One candidate CSV dialect for [[readAuto]]. */
+  final case class Dialect(sep: String = ",", encoding: String = "UTF-8",
+      header: Boolean = true)
+
+  /** The reference's INE ingestion retry ladder
+    * (mobility_ingestion_pipeline.py:144-153): tab-separated UTF-8,
+    * then semicolon, then semicolon ISO-8859-1.
+    */
+  val DefaultLadder: Seq[Dialect] = Seq(
+    Dialect(sep = "\t"),
+    Dialect(sep = ";"),
+    Dialect(sep = ";", encoding = "ISO-8859-1"))
+
+  /** Per-dialect parse quality, measured in ONE aggregate pass over
+    * the parsed batch: column count, corrupt-row count, and rows
+    * containing U+FFFD (the replacement char a wrong ENCODING leaves
+    * behind — unlike a wrong separator, it never fails a row, so
+    * corrupt counts alone cannot reject it).
+    */
+  final case class ParseQuality(columns: Int, corruptRows: Long,
+      mangledRows: Long) {
+    def clean: Boolean = columns > 1 && corruptRows == 0 && mangledRows == 0
+  }
+
+  private def quality(df: DataFrame): ParseQuality = {
+    val dataCols = df.columns.filterNot(_ == CorruptCol)
+    val r = df.agg(
+      count(when(col(CorruptCol).isNotNull, 1)).as("corrupt"),
+      count(when(concat_ws("", dataCols.map(col): _*)
+        .contains("\uFFFD"), 1)).as("mangled")).head()
+    ParseQuality(dataCols.length, r.getLong(0), r.getLong(1))
+  }
+
+  /** Dialect fallback cascade — the Spark form of the reference's
+    * try/except ladder (mobility_ingestion_pipeline.py:144-153).
+    * DuckDB THROWS on a bad dialect so the reference retries on
+    * exceptions; Spark's PERMISSIVE scan never throws, so each rung is
+    * judged by measured parse quality instead: accept the first
+    * dialect that parses >1 column with zero corrupt rows and zero
+    * replacement-character rows, else fall back to the least-bad rung
+    * (fewest corrupt, then fewest mangled, then widest). Each attempt
+    * is one extra scan of the file — bronze-ingest cost, paid once per
+    * source, never per query.
+    *
+    * Returns the parsed batch (same contract as [[read]]) and the
+    * accepted dialect, so the caller can pin it for future loads of
+    * the same feed.
+    */
+  def readAuto(spark: SparkSession, path: String,
+      ladder: Seq[Dialect] = DefaultLadder,
+      columns: Seq[String] = Nil): (DataFrame, Dialect) = {
+    require(ladder.nonEmpty, "empty dialect ladder")
+    val attempts = ladder.iterator.map { d =>
+      val df = read(spark, path, d.sep, d.encoding, d.header, columns)
+      (df, d, quality(df))
+    }
+    // stop at the first clean rung (laziness: later rungs never scan)
+    val tried = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, Dialect, ParseQuality)]
+    attempts.foreach { a =>
+      tried += a
+      if (a._3.clean) {
+        val (df, d, _) = a
+        return (df, d)
+      }
+    }
+    val (df, d, _) = tried.minBy { case (_, _, q) =>
+      (q.corruptRows, q.mangledRows, -q.columns)
+    }
+    (df, d)
+  }
+
   /** Lineage columns: ingestion timestamp, source URL, and the actual
     * file each row came from (reference's ingestion_timestamp /
     * source_url / filename).

@@ -37,6 +37,16 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.read(spark, root).filter($"part" === "b")
         .count() shouldBe 1
     }
+    it("append adds to a partition without replacing it") {
+      val root = freshRoot("append")
+      AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.append(Seq((2, "a"), (3, "b")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.read(spark, root).select("id", "part")
+        .as[(Int, String)].collect().toSet shouldBe
+        Set((1, "a"), (2, "a"), (3, "b"))
+    }
     it("supports unpartitioned tables") {
       val root = freshRoot("unpart")
       AtomicLake.overwrite(Seq(1, 2, 3).toDF("x"), root)

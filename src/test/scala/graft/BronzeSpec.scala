@@ -50,6 +50,23 @@ class BronzeSpec extends SparkSpec {
       CsvIngest.cleanRows(df).select("name").as[String]
         .head() shouldBe "muñón"
     }
+    it("dialect cascade lands a latin-1 semicolon file on the right rung") {
+      // rung 1 (tab/UTF-8): one column -> rejected; rung 2 (;/UTF-8):
+      // splits but the 0xF1 bytes decode to U+FFFD -> rejected;
+      // rung 3 (;/ISO-8859-1): clean -> accepted
+      val f = writeFile("ladder.csv", "name;city\nmuñón;coruña\n",
+        cs = "ISO-8859-1")
+      val (df, d) = CsvIngest.readAuto(spark, f)
+      d shouldBe CsvIngest.Dialect(sep = ";", encoding = "ISO-8859-1")
+      CsvIngest.cleanRows(df).select("name", "city")
+        .as[(String, String)].head() shouldBe (("muñón", "coruña"))
+    }
+    it("dialect cascade accepts a clean tab file on the first rung") {
+      val f = writeFile("ladder_tab.tsv", "a\tb\n1\t2\n")
+      val (df, d) = CsvIngest.readAuto(spark, f)
+      d shouldBe CsvIngest.Dialect(sep = "\t")
+      CsvIngest.cleanRows(df).count() shouldBe 1
+    }
     it("ingests from a URL end-to-end: fetch, stage, parse, audit") {
       val f = writeFile("urlsrc.csv", "id;city\n1;madrid\n2;sevilla\n")
       val url = Paths.get(f).toUri.toString // file:// — container has no egress

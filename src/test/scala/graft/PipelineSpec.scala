@@ -117,6 +117,34 @@ class PipelineSpec extends SparkSpec {
       // per-constraint subplans
       "LocalTableScan".r.findAllIn(plan).size shouldBe 1
     }
+    it("an empty table fails loudly instead of reporting null") {
+      val empty = Seq.empty[(Int, Int)].toDF("a", "b")
+      val r = Quality.validate(empty, "t",
+          Seq(Constraint("a_pos", $"a" > 0, 0.9)))
+        .select($"pass_rate", $"passed").as[(Double, Boolean)].head()
+      r shouldBe ((0.0, false))
+    }
+    it("logTo appends runs to a persistent, partitioned audit table") {
+      val root = "/root/repo/target/test-scratch/dq_log"
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val df = Seq((1, 5), (2, -1)).toDF("id", "v")
+      val suite = Seq(Constraint("v_nonneg", $"v" >= 0, 1.0))
+      Quality.logTo(Quality.validate(df, "t", suite), root, runId = "run-1")
+      Quality.logTo(Quality.validate(df, "t", suite), root, runId = "run-2")
+      val back = Quality.readLog(spark, root)
+      back.count() shouldBe 2
+      back.select("run_id").as[String].collect().toSet shouldBe
+        Set("run-1", "run-2")
+      back.columns should contain allOf ("run_ts", "run_date",
+        "constraint_name", "pass_rate", "passed")
+      // each run was one atomic commit
+      graft.sources.AtomicLake.currentVersion(root) shouldBe Some(2L)
+    }
   }
 
   describe("Silver.scd2FromChangeLog") {
