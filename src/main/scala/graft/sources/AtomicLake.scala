@@ -216,6 +216,57 @@ object AtomicLake {
       .parquet(files: _*)
   }
 
+  /** Garbage-collect the data plane: delete files referenced by NO
+    * retained manifest, and manifests older than the newest
+    * `keepVersions`. Orphans from killed writers and files only
+    * reachable through expired snapshots are reclaimed; every
+    * retained version stays fully readable (time travel unaffected
+    * within the retention window). Safe against in-flight writers:
+    * only files older than `minAgeMs` are touched, so a staged-but-
+    * not-yet-committed upsert younger than the grace window is never
+    * swept. Returns the number of files deleted.
+    */
+  def vacuum(root: String, keepVersions: Int = 10,
+      minAgeMs: Long = 3600000L): Int = {
+    val md = manifestDir(root)
+    if (!Files.isDirectory(md)) return 0
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong).toSeq.sorted
+    if (versions.isEmpty) return 0
+    val keep = versions.takeRight(math.max(keepVersions, 1))
+    val referenced: Set[Path] = keep.flatMap { v =>
+      readManifest(root, v).files.values.flatten
+        .map(f => Paths.get(root).resolve(f).normalize())
+    }.toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var deleted = 0
+    // expired manifests first, so a concurrent reader can no longer
+    // resolve a snapshot whose files are about to disappear
+    for (v <- versions if !keep.contains(v)) {
+      Files.deleteIfExists(md.resolve(manifestName(v)))
+    }
+    val dd = dataDir(root)
+    if (Files.isDirectory(dd)) {
+      val candidates = Files.walk(dd).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq
+      for (f <- candidates
+           if !referenced.contains(f.normalize())
+           if Files.getLastModifiedTime(f).toMillis < cutoff) {
+        Files.deleteIfExists(f)
+        deleted += 1
+      }
+    }
+    // leftover staging dirs past the grace window are dead writers
+    val st = Paths.get(root, "_staging")
+    if (Files.isDirectory(st)) {
+      for (d <- Files.list(st).iterator().asScala.toSeq
+           if Files.getLastModifiedTime(d).toMillis < cutoff)
+        deleteRecursively(d)
+    }
+    deleted
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse

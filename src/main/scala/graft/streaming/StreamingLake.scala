@@ -32,6 +32,26 @@ object StreamingLake {
           PartitionedLake.upsertPartitions(batch, path, partitionCols: _*)
       }
 
+  /** [[upsertSink]] through [[graft.sources.AtomicLake]]: each
+    * micro-batch becomes ONE atomic snapshot commit, so a lake reader
+    * concurrent with the stream sees whole batches only — never a
+    * half-written partition mid-batch. Replayed batches re-commit the
+    * same partitions to the same content (a new version, same data):
+    * the same effectively-once lake state, now with snapshot
+    * isolation and per-batch time travel for free.
+    */
+  def atomicUpsertSink(stream: DataFrame, path: String,
+      checkpoint: String, partitionCols: String*): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AtomicLake.upsertPartitions(batch, path,
+            partitionCols)
+          ()
+        }
+      }
+
   /** Convenience: start with a processing-time trigger. */
   def start(stream: DataFrame, path: String, checkpoint: String,
       trigger: Trigger, partitionCols: String*): StreamingQuery =

@@ -128,6 +128,29 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.read(spark, root).select("id").as[Int]
         .collect().toSeq shouldBe Seq(2)
     }
+    it("vacuum reclaims orphans and expired snapshots, keeps live ones") {
+      val root = freshRoot("vacuum")
+      AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.upsertPartitions(Seq((2, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.upsertPartitions(Seq((3, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      // a dead writer's orphan
+      AtomicLake.stageFiles(Seq((99, "a")).toDF("id", "part"),
+        root, Seq("part"), 1)
+      // minAge 0: everything old enough; keep the last 2 versions
+      val deleted = AtomicLake.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+      deleted should be >= 2 // v1's file + the orphan
+      AtomicLake.currentVersion(root) shouldBe Some(3L)
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSeq shouldBe Seq(3)
+      AtomicLake.readVersion(spark, root, 2).select("id").as[Int]
+        .collect().toSeq shouldBe Seq(2)
+      // v1 is expired: manifest gone
+      a[Throwable] should be thrownBy
+        AtomicLake.readVersion(spark, root, 1).collect()
+    }
     it("two writers racing one version both land, in order") {
       val root = freshRoot("race")
       AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
