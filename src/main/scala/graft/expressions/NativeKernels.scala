@@ -380,6 +380,29 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two SORTED long arrays — one two-pointer
+    * pass, zero allocation. The exact-Jaccard verify step over hashed
+    * shingle sets: `array_intersect`/`array_union` build hash sets and
+    * new arrays per candidate pair; this replaces both (union size =
+    * n1 + n2 - inter). Inputs MUST be sorted ascending (sort once per
+    * document before the candidate join, not once per pair).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   // ---- Text --------------------------------------------------------
 
   /** Per-word token counts in ONE pass over the text: splits on the
@@ -682,6 +705,10 @@ object NativeKernels extends Serializable {
   def simHashPortable60Col(tokens: Column): Column =
     invoke("simHashPortable60", LongType, Seq(tokens),
       Seq(ArrayType(StringType)))
+
+  def sortedIntersectCountCol(a: Column, b: Column): Column =
+    invoke("sortedIntersectCount", IntegerType, Seq(a, b),
+      Seq(ArrayType(LongType), ArrayType(LongType)))
 
   def wordShingleHashesCol(tokens: Column, n: Int): Column =
     invoke("wordShingleHashes", ArrayType(LongType, containsNull = false),

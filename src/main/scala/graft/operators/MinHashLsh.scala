@@ -123,14 +123,22 @@ object MinHashLsh {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes,
       b, seed)
+    // verify on HASHED shingle sets, sorted once per document: the
+    // per-candidate cost is one two-pointer kernel pass over two long
+    // arrays instead of array_intersect + array_union building hash
+    // sets and result arrays per pair (same jaccard integers — the
+    // 8-byte shingle hashes stand in for the strings exactly as in
+    // Dedup.ngramJaccard, collisions ~n²/2^65).
     val sh = df.select(col(idCol).as("doc_id"),
-      Dedup.shingles(col(textCol), shingleN).as("sh"))
+      sort_array(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+    val inter = graft.expressions.NativeKernels
+      .sortedIntersectCountCol(col("sh1"), col("sh2"))
     cands
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        (inter.cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - inter).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -292,6 +292,22 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("sortedIntersectCount vs array_intersect") {
+    it("agrees on real shingle-hash sets (all adjacent doc pairs)") {
+      val sh = docs.select($"doc_id",
+        sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+      val pairs = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id"))
+      val d = pairs.select(
+        NativeKernels.sortedIntersectCountCol(col("a.sh"), col("b.sh"))
+          .as("n"),
+        org.apache.spark.sql.functions
+          .size(array_intersect(col("a.sh"), col("b.sh"))).as("r"))
+      d.filter($"n" =!= $"r").count() shouldBe 0
+      d.agg(sum($"n")).as[Long].head() should be > 0L // non-vacuous
+    }
+  }
+
   describe("codegen integration") {
     it("kernels appear as static_invoke, not interpreted folds") {
       val plan = docs.select(
