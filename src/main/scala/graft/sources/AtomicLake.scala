@@ -125,8 +125,8 @@ object AtomicLake {
     * package-private for the spec's interleaving tests.
     */
   private[graft] def commitReplacing(root: String, touched: Set[String],
-      newFiles: Map[String, Seq[String]], partitionCols: Seq[String])
-      : Long = {
+      newFiles: Map[String, Seq[String]], partitionCols: Seq[String],
+      expectedBase: Option[Snapshot] = None): Long = {
     val md = manifestDir(root)
     Files.createDirectories(md)
     var attempts = 0
@@ -138,6 +138,16 @@ object AtomicLake {
           s"partitioning mismatch: table has ${s.partitionCols}, " +
             s"upsert uses $partitionCols")
       }
+      // optimistic concurrency for read-modify-write commits
+      // (compaction): the result was DERIVED from expectedBase, so if
+      // any partition we are about to replace changed since, merging
+      // would resurrect stale data — abort instead. Blind upserts
+      // (last-writer-wins by design) pass None and never conflict.
+      for (base <- expectedBase; cur <- prev; p <- touched)
+        if (cur.files.getOrElse(p, Nil) != base.files.getOrElse(p, Nil))
+          throw new java.util.ConcurrentModificationException(
+            s"partition $p changed (v${base.version} -> v${cur.version}) " +
+              "since this rewrite read it; re-run against the new snapshot")
       val version = prev.map(_.version + 1).getOrElse(1L)
       // drop the replaced partitions, then UNION per-partition file
       // lists — so touched = ∅ is an append commit (new files join
@@ -214,6 +224,34 @@ object AtomicLake {
     // basePath keeps the k=v partition directories as real columns
     spark.read.option("basePath", dataDir(root).toString)
       .parquet(files: _*)
+  }
+
+  /** Compact fragmented partitions: rewrite every partition holding at
+    * least `minFiles` files into `filesPerPartition`, in ONE atomic
+    * commit — the maintenance job the streaming sink makes necessary
+    * (each micro-batch commit adds a file per touched partition; at
+    * 100 TB unbounded file counts kill scan planning and footer reads
+    * long before data size does). Read-modify-write safety: the
+    * commit carries the snapshot it compacted, and aborts with
+    * ConcurrentModificationException if a concurrent upsert touched
+    * one of the same partitions in between — stale data is never
+    * resurrected, and the caller just re-runs. Returns the committed
+    * version (or the current one when nothing is fragmented).
+    */
+  def compact(spark: SparkSession, root: String,
+      filesPerPartition: Int = 1, minFiles: Int = 2): Long = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val targets = snap.files.filter(_._2.size >= minFiles).keys.toSet
+    if (targets.isEmpty) return snap.version
+    val files = snap.files.view.filterKeys(targets).values.flatten.toSeq.sorted
+      .map(f => Paths.get(root).resolve(f).toString)
+    val batch = spark.read.option("basePath", dataDir(root).toString)
+      .parquet(files: _*)
+    val staged = stageFiles(batch, root, snap.partitionCols,
+      filesPerPartition)
+    commitReplacing(root, targets ++ staged.keySet, staged,
+      snap.partitionCols, expectedBase = Some(snap))
   }
 
   /** Garbage-collect the data plane: delete files referenced by NO

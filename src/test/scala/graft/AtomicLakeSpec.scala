@@ -128,6 +128,39 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.read(spark, root).select("id").as[Int]
         .collect().toSeq shouldBe Seq(2)
     }
+    it("compact merges fragmented partitions atomically; content unchanged") {
+      val root = freshRoot("compact")
+      // three append commits -> 3 files in partition "a"
+      AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.append(Seq((2, "a")).toDF("id", "part"), root, Seq("part"))
+      AtomicLake.append(Seq((3, "a")).toDF("id", "part"), root, Seq("part"))
+      AtomicLake.currentSnapshot(root).get.files("part=a").size shouldBe 3
+      val v = AtomicLake.compact(spark, root)
+      v shouldBe 4L
+      AtomicLake.currentSnapshot(root).get.files("part=a").size shouldBe 1
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSet shouldBe Set(1, 2, 3)
+    }
+    it("compact aborts instead of resurrecting a concurrently-upserted partition") {
+      val root = freshRoot("compact_conflict")
+      AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.append(Seq((2, "a")).toDF("id", "part"), root, Seq("part"))
+      val snap = AtomicLake.currentSnapshot(root).get
+      // a compactor derived its rewrite from `snap`...
+      val staged = AtomicLake.stageFiles(
+        AtomicLake.read(spark, root), root, Seq("part"), 1)
+      // ...but an upsert of the same partition lands first
+      AtomicLake.upsertPartitions(Seq((9, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      a[java.util.ConcurrentModificationException] should be thrownBy
+        AtomicLake.commitReplacing(root, staged.keySet, staged,
+          Seq("part"), expectedBase = Some(snap))
+      // the winner's data is intact
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSeq shouldBe Seq(9)
+    }
     it("vacuum reclaims orphans and expired snapshots, keeps live ones") {
       val root = freshRoot("vacuum")
       AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
