@@ -86,13 +86,21 @@ object Bench {
         fn(spark, sfDir).count() // warmup: JIT, codegen, file listing
         // min of two timed runs: single runs on a shared machine carry
         // multi-second GC/IO noise spikes that say nothing about the
-        // plan; the min is the reproducible cost.
+        // plan; the min is the reproducible cost. When the two runs
+        // disagree wildly (>2x), one of them WAS such a spike — take a
+        // third so a spike can never be the min's only witness.
         def timed(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> math.min(timed(), timed())
+        val (a, b) = (timed(), timed())
+        val best =
+          if (math.max(a, b) > 2 * math.min(a, b) &&
+              math.max(a, b) - math.min(a, b) > 0.3)
+            math.min(math.min(a, b), timed())
+          else math.min(a, b)
+        name -> best
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
