@@ -110,6 +110,34 @@ object NativeKernels extends Serializable {
     new GenericArrayData(sig)
   }
 
+  /** MinHash signature from PRE-HASHED shingles (the [[wordShingleHashes]]
+    * output): identical arithmetic to [[minHashSignature]] — the string
+    * form's first step is xx(shingle), which is exactly what the hash
+    * array already holds, and min-over-set is order-independent — so
+    * sig(hashes(doc)) == sig(shingles(doc)) bit-for-bit (spec-gated).
+    * Lets a near-dup pipeline tokenize/shingle/hash each document ONCE
+    * and derive both the band index and the verify sets from that one
+    * frame instead of re-running the text pipeline per consumer.
+    */
+  def minHashFromHashes(hashes: ArrayData, numHashes: Int, seed: Long)
+      : ArrayData = {
+    val ab = perms(numHashes, seed)
+    val sig = Array.fill(numHashes)(P31)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Math.floorMod(hashes.getLong(i), P31)
+      var k = 0
+      while (k < numHashes) {
+        val v = java.lang.Math.floorMod(ab(2 * k) * h + ab(2 * k + 1), P31)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   // ---- Shingles ----------------------------------------------------
 
   /** Distinct word n-gram shingles from a token array — first-
@@ -662,6 +690,13 @@ object NativeKernels extends Serializable {
       Seq(shingles, org.apache.spark.sql.functions.lit(numHashes),
         org.apache.spark.sql.functions.lit(seed)),
       Seq(ArrayType(StringType), IntegerType, LongType))
+
+  def minHashFromHashesCol(hashes: Column, numHashes: Int, seed: Long)
+      : Column =
+    invoke("minHashFromHashes", ArrayType(LongType, containsNull = false),
+      Seq(hashes, org.apache.spark.sql.functions.lit(numHashes),
+        org.apache.spark.sql.functions.lit(seed)),
+      Seq(ArrayType(LongType), IntegerType, LongType))
 
   def dotFloatCol(a: Column, b: Column): Column =
     invoke("dotFloat", DoubleType, Seq(a, b),

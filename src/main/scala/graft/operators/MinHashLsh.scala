@@ -82,34 +82,66 @@ object MinHashLsh {
       }: _*))
   }
 
-  /** LSH candidate pairs: documents whose signatures collide in at
-    * least one band. Returns distinct (id1 < id2).
+  /** MinHash signature from PRE-HASHED shingles ([[Dedup.shingleHashes]]
+    * output) — bit-identical to [[signature]] on the same document
+    * (the string form's first step IS the xx-hash; min-over-set is
+    * order-independent), spec-gated. The one-corpus-scan pipeline's
+    * form: shingle+hash once, derive signature AND verify sets from it.
     */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+  def signatureFromHashes(shingleHashes: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    graft.expressions.NativeKernels
+      .minHashFromHashesCol(shingleHashes, numHashes, seed)
+
+  /** The per-document shingle-hash frame every stage derives from:
+    * (doc_id, sorted array of 8-byte shingle hashes). Sorted ONCE here
+    * because the verify kernel ([[graft.expressions.NativeKernels
+    * .sortedIntersectCount]]) wants sorted inputs; docs too short to
+    * shingle are dropped (they cannot pair).
+    */
+  private def hashedShingles(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        sort_array(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** The banded LSH index over a shingle-hash frame: one row per
+    * (doc, band) with the band's bucket hash.
+    */
+  private def bandedIndex(sh: DataFrame, numHashes: Int, bands: Int,
+      seed: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val banded = df
-      .select(col(idCol).as("doc_id"),
-        Dedup.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0) // docs too short to shingle
-      .select(col("doc_id"), signature(col("sh"), numHashes, seed).as("sig"))
+    sh.select(col("doc_id"),
+        signatureFromHashes(col("sh"), numHashes, seed).as("sig"))
       .select(col("doc_id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
             .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    // merge hint: the banded table is bands× the input and the
-    // signatures are wide — never broadcast it (see Dedup.ngramJaccard);
-    // shuffle on (band,bucket) and let AQE split hot buckets.
+  }
+
+  /** Bucket self-join over a banded index: distinct (id1 < id2) pairs
+    * colliding in at least one band. merge hint: the banded table is
+    * bands× the corpus — never broadcast it (see Dedup.ngramJaccard);
+    * shuffle on (band,bucket) and let AQE split hot buckets.
+    */
+  private def bucketJoin(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-  }
+
+  /** LSH candidate pairs: documents whose signatures collide in at
+    * least one band. Returns distinct (id1 < id2).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame =
+    bucketJoin(bandedIndex(hashedShingles(df, idCol, textCol, shingleN),
+      numHashes, bands, seed))
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
     * near-dedup output (id1, id2, jaccard). `bands = 0` (the default)
@@ -121,16 +153,27 @@ object MinHashLsh {
       threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 0, seed: Long = 42L): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
-    val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes,
-      b, seed)
-    // verify on HASHED shingle sets, sorted once per document: the
+    // ONE corpus scan: tokenize → shingle → hash → sort each document
+    // exactly once, pinned with a localCheckpoint — the band index,
+    // BOTH sides of the bucket self-join, and both verify joins read
+    // this frame. Without the pin each of those five consumers
+    // re-evaluates the whole upstream (round-5's plan scanned the
+    // corpus parquet 6× through them). The banded index is pinned too
+    // so the self-join's two sides share one signature computation
+    // (the 64-permutation loop is the pipeline's hottest kernel).
+    // localCheckpoint (not cache): lineage truncation is the point —
+    // at 100 TB this frame is the materialized dedup artifact; on a
+    // cluster a persisted artifact table plays this role
+    // ([[nearDuplicatesCached]]).
+    val sh = hashedShingles(df, idCol, textCol, shingleN).localCheckpoint()
+    val banded = bandedIndex(sh, numHashes, b, seed).localCheckpoint()
+    val cands = bucketJoin(banded)
+    // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash
     // sets and result arrays per pair (same jaccard integers — the
     // 8-byte shingle hashes stand in for the strings exactly as in
     // Dedup.ngramJaccard, collisions ~n²/2^65).
-    val sh = df.select(col(idCol).as("doc_id"),
-      sort_array(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
     val inter = graft.expressions.NativeKernels
       .sortedIntersectCountCol(col("sh1"), col("sh2"))
     cands

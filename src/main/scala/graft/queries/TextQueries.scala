@@ -65,7 +65,13 @@ object TextQueries {
       val q = Tables.documents(s, dir)
         .withColumn("quality_score", TextFns.qualityScore(col("text")))
         .filter(col("quality_score") >= 0.55)
-      val uniq = Dedup.exact(q, "text", "doc_id")
+      // pin the gated+deduped corpus: nearDuplicates (via its internal
+      // shingle-hash frame) and the survivor anti-join both consume
+      // `uniq` — without the pin each consumer re-runs the quality
+      // gate + dedup agg + semi-join subtree from the parquet scan
+      // (round-5's plan read documents.parquet 6×; at 100 TB that is
+      // six corpus scans where one does).
+      val uniq = Dedup.exact(q, "text", "doc_id").localCheckpoint()
       val losers = graft.operators.MinHashLsh
         .nearDuplicates(uniq, "doc_id", "text", threshold = 0.5)
         .select(col("id2").as("doc_id")).distinct()

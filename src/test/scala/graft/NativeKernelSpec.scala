@@ -38,6 +38,22 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("minHashFromHashes vs string-shingle signature") {
+    it("is bit-identical on every document (hash array stands in for strings)") {
+      val d = docs.select(
+        MinHashLsh.signatureFromHashes(
+          sort_array(Dedup.shingleHashes($"text", 3)), 64).as("n"),
+        MinHashLsh.signature(Dedup.shingles($"text", 3), 64).as("r"))
+      d.filter(to_json($"n") =!= to_json($"r")).count() shouldBe 0
+    }
+    it("yields the sentinel signature for empty hash sets") {
+      Seq(Seq.empty[Long]).toDF("h")
+        .select(MinHashLsh.signatureFromHashes($"h", 4).as("s"))
+        .select(to_json($"s")).as[String].head() shouldBe
+        s"[${Seq.fill(4)((1L << 31) - 1).mkString(",")}]"
+    }
+  }
+
   describe("wordShingles native vs reference") {
     it("agrees on every document, including order") {
       val d = docs.select(
