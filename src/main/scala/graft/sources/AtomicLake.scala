@@ -33,12 +33,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * data — a 100-TB table with 100k files is a few MB of manifest; the
   * data plane is untouched parquet, so every scan optimization
   * (pushdown, partition pruning via the returned partition column,
-  * footer skipping) still applies. The commit point is one filesystem
-  * metadata op regardless of table size. Contract: the lake root must
-  * live on a filesystem with atomic exclusive link/rename (local,
-  * NFS, HDFS semantics); an object store needs the same CAS from a
-  * catalog service — which is precisely the role DuckLake gives its
-  * catalog database.
+  * footer skipping) still applies. The commit point is one atomic
+  * claim regardless of table size, and WHERE that claim lives is the
+  * pluggable [[CommitStore]]: the default [[HardlinkCommitStore]]
+  * needs local/NFS/HDFS link semantics; on an object store (no atomic
+  * create-exclusive) pass a [[CatalogCommitStore]], which moves the
+  * claim into a transactional catalog — precisely the role DuckLake
+  * gives its catalog database.
+  *
+  * Schema evolution: every manifest records the table schema as of
+  * its commit; a commit's schema is the previous snapshot's schema
+  * merged with the batch's (new columns append, absent columns stay —
+  * nullable either way; a TYPE change is refused loudly). Readers
+  * apply the SNAPSHOT's schema, so files written before a column
+  * existed read as nulls for it, and time travel to v1 still sees
+  * exactly v1's columns.
   */
 object AtomicLake {
 
@@ -46,40 +55,70 @@ object AtomicLake {
       partitionCols: Seq[String],
       // partition relative dir (e.g. "day=2024-01-01", "" when
       // unpartitioned) -> file paths relative to the lake root
-      files: Map[String, Seq[String]])
+      files: Map[String, Seq[String]],
+      // table schema as of this commit; None on pre-evolution
+      // manifests (readers fall back to parquet schema merge)
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
-  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
-  private def manifestName(v: Long): String = f"v$v%012d"
-
   /** Newest committed snapshot, if any commit exists. */
-  def currentSnapshot(root: String): Option[Snapshot] = {
-    val md = manifestDir(root)
-    if (!Files.isDirectory(md)) return None
-    val versions = Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("v\\d{12}"))
-      .map(_.drop(1).toLong)
-      .toSeq
-    if (versions.isEmpty) None else Some(readManifest(root, versions.max))
+  def currentSnapshot(root: String,
+      store: CommitStore = HardlinkCommitStore): Option[Snapshot] = {
+    val versions = store.listVersions(root)
+    if (versions.isEmpty) None
+    else Some(readManifest(root, versions.max, store))
   }
 
-  def currentVersion(root: String): Option[Long] =
-    currentSnapshot(root).map(_.version)
+  def currentVersion(root: String,
+      store: CommitStore = HardlinkCommitStore): Option[Long] =
+    currentSnapshot(root, store).map(_.version)
 
-  private def readManifest(root: String, v: Long): Snapshot = {
-    val lines = Files.readAllLines(
-      manifestDir(root).resolve(manifestName(v))).asScala.toSeq
+  private def readManifest(root: String, v: Long,
+      store: CommitStore): Snapshot = {
+    val lines = store.readBody(root, v).linesIterator.toSeq
     val partitionCols = lines.head.split("=", 2)(1) match {
       case "" => Nil
       case s => s.split(",").toSeq
     }
-    val files = lines.tail.map { l =>
+    // optional schema header (absent on pre-evolution manifests)
+    val (schema, fileLines) = lines.tail match {
+      case s +: rest if s.startsWith("schema=") =>
+        (Some(org.apache.spark.sql.types.DataType
+          .fromJson(s.drop("schema=".length))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]), rest)
+      case rest => (None, rest)
+    }
+    val files = fileLines.filter(_.nonEmpty).map { l =>
       val Array(part, file) = l.split("\t", 2)
       part -> file
     }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
-    Snapshot(v, partitionCols, files)
+    Snapshot(v, partitionCols, files, schema)
+  }
+
+  /** The committed schema after applying `batch` on top of `base`:
+    * common columns must keep their type (a type change is a table
+    * REWRITE, not an evolution — refuse loudly), columns on one side
+    * only become nullable (some committed files lack them), new
+    * columns append in batch order.
+    */
+  private[graft] def mergeSchemas(
+      base: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    val merged = base.fields.map { f =>
+      add.fields.find(_.name == f.name) match {
+        case Some(g) =>
+          require(g.dataType == f.dataType,
+            s"schema evolution cannot change column '${f.name}' from " +
+              s"${f.dataType.simpleString} to ${g.dataType.simpleString}; " +
+              "rewrite the table instead")
+          f.copy(nullable = f.nullable || g.nullable)
+        case None => f.copy(nullable = true)
+      }
+    } ++ add.fields.filterNot(f => baseNames(f.name)).map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(merged)
   }
 
   /** Stage `batch` and move its files into the data plane with
@@ -120,19 +159,19 @@ object AtomicLake {
 
   /** Publish a new manifest = previous snapshot with `touched`
     * partitions replaced by `newFiles`. The commit point is ONE
-    * atomic exclusive link; on a version race the loser recomputes
-    * against the winner's snapshot and retries. Exposed
-    * package-private for the spec's interleaving tests.
+    * atomic claim through the [[CommitStore]]; on a version race the
+    * loser recomputes against the winner's snapshot and retries.
+    * Exposed package-private for the spec's interleaving tests.
     */
   private[graft] def commitReplacing(root: String, touched: Set[String],
       newFiles: Map[String, Seq[String]], partitionCols: Seq[String],
-      expectedBase: Option[Snapshot] = None): Long = {
-    val md = manifestDir(root)
-    Files.createDirectories(md)
+      expectedBase: Option[Snapshot] = None,
+      batchSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      store: CommitStore = HardlinkCommitStore): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
-      val prev = currentSnapshot(root)
+      val prev = currentSnapshot(root, store)
       prev.foreach { s =>
         require(s.partitionCols == partitionCols,
           s"partitioning mismatch: table has ${s.partitionCols}, " +
@@ -149,6 +188,13 @@ object AtomicLake {
             s"partition $p changed (v${base.version} -> v${cur.version}) " +
               "since this rewrite read it; re-run against the new snapshot")
       val version = prev.map(_.version + 1).getOrElse(1L)
+      // this commit's schema: previous schema evolved by the batch's
+      // (see [[mergeSchemas]]); recomputed INSIDE the retry loop so a
+      // lost race against a schema-changing winner still merges right
+      val schema = (prev.flatMap(_.schema), batchSchema) match {
+        case (Some(p), Some(b)) => Some(mergeSchemas(p, b))
+        case (p, b) => b.orElse(p)
+      }
       // drop the replaced partitions, then UNION per-partition file
       // lists — so touched = ∅ is an append commit (new files join
       // the survivors instead of clobbering their partition entry)
@@ -157,20 +203,12 @@ object AtomicLake {
         k -> (base.getOrElse(k, Nil) ++ newFiles.getOrElse(k, Nil))
       }.toMap
       val body = new StringBuilder(s"partition_cols=${partitionCols.mkString(",")}\n")
+      schema.foreach(s => body.append("schema=").append(s.json).append('\n'))
       for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted)
         body.append(p).append('\t').append(f).append('\n')
-      val tmp = md.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
-      Files.write(tmp, body.toString.getBytes("UTF-8"))
-      try {
-        // hardlink = atomic CAS: fails iff vN already exists, and the
-        // linked content is already fully written — no torn manifest
-        Files.createLink(md.resolve(manifestName(version)), tmp)
-        Files.delete(tmp)
+      if (store.tryCommit(root, version, body.toString))
         return version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp) // lost the race — merge against the winner
-      }
+      // else: lost the race — merge against the winner and retry
     }
     throw new IllegalStateException(
       s"commit contention: gave up after $attempts attempts")
@@ -181,9 +219,11 @@ object AtomicLake {
     * the committed version.
     */
   def upsertPartitions(batch: DataFrame, root: String,
-      partitionCols: Seq[String], filesPerPartition: Int = 1): Long = {
+      partitionCols: Seq[String], filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    commitReplacing(root, staged.keySet, staged, partitionCols)
+    commitReplacing(root, staged.keySet, staged, partitionCols,
+      batchSchema = Some(batch.schema), store = store)
   }
 
   /** Append-only commit: new files JOIN the existing partitions (no
@@ -191,28 +231,37 @@ object AtomicLake {
     * logs where every run adds rows and history must survive.
     */
   def append(batch: DataFrame, root: String,
-      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1): Long = {
+      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    commitReplacing(root, Set.empty, staged, partitionCols)
+    commitReplacing(root, Set.empty, staged, partitionCols,
+      batchSchema = Some(batch.schema), store = store)
   }
 
   /** Replace the WHOLE table contents in one commit. */
   def overwrite(batch: DataFrame, root: String,
-      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1): Long = {
+      partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    val all = currentSnapshot(root).map(_.files.keySet).getOrElse(Set.empty)
-    commitReplacing(root, all ++ staged.keySet, staged, partitionCols)
+    val all = currentSnapshot(root, store).map(_.files.keySet)
+      .getOrElse(Set.empty)
+    commitReplacing(root, all ++ staged.keySet, staged, partitionCols,
+      batchSchema = Some(batch.schema), store = store)
   }
 
   /** Read the newest committed snapshot. */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readSnapshot(spark, root, currentSnapshot(root).getOrElse(
+  def read(spark: SparkSession, root: String,
+      store: CommitStore = HardlinkCommitStore): DataFrame =
+    readSnapshot(spark, root, currentSnapshot(root, store).getOrElse(
       throw new IllegalStateException(s"no commits at $root")))
 
-  /** Time travel: read the table exactly as of `version`. */
-  def readVersion(spark: SparkSession, root: String, version: Long)
-      : DataFrame =
-    readSnapshot(spark, root, readManifest(root, version))
+  /** Time travel: read the table exactly as of `version` — including
+    * its schema: a version committed before a column existed reads
+    * WITHOUT that column.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long,
+      store: CommitStore = HardlinkCommitStore): DataFrame =
+    readSnapshot(spark, root, readManifest(root, version, store))
 
   private def readSnapshot(spark: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
@@ -221,9 +270,12 @@ object AtomicLake {
     if (files.isEmpty)
       throw new IllegalStateException(
         s"snapshot v${snap.version} at $root is empty")
-    // basePath keeps the k=v partition directories as real columns
-    spark.read.option("basePath", dataDir(root).toString)
-      .parquet(files: _*)
+    // basePath keeps the k=v partition directories as real columns;
+    // the SNAPSHOT's schema (when recorded) makes reads deterministic
+    // across evolution: files missing a column yield nulls for it,
+    // instead of depending on which files parquet merge sampled
+    val reader = spark.read.option("basePath", dataDir(root).toString)
+    snap.schema.fold(reader)(reader.schema(_)).parquet(files: _*)
   }
 
   /** Compact fragmented partitions: rewrite every partition holding at
@@ -239,19 +291,21 @@ object AtomicLake {
     * version (or the current one when nothing is fragmented).
     */
   def compact(spark: SparkSession, root: String,
-      filesPerPartition: Int = 1, minFiles: Int = 2): Long = {
-    val snap = currentSnapshot(root).getOrElse(
+      filesPerPartition: Int = 1, minFiles: Int = 2,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val snap = currentSnapshot(root, store).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val targets = snap.files.filter(_._2.size >= minFiles).keys.toSet
     if (targets.isEmpty) return snap.version
     val files = snap.files.view.filterKeys(targets).values.flatten.toSeq.sorted
       .map(f => Paths.get(root).resolve(f).toString)
-    val batch = spark.read.option("basePath", dataDir(root).toString)
-      .parquet(files: _*)
+    val reader = spark.read.option("basePath", dataDir(root).toString)
+    val batch = snap.schema.fold(reader)(reader.schema(_)).parquet(files: _*)
     val staged = stageFiles(batch, root, snap.partitionCols,
       filesPerPartition)
     commitReplacing(root, targets ++ staged.keySet, staged,
-      snap.partitionCols, expectedBase = Some(snap))
+      snap.partitionCols, expectedBase = Some(snap),
+      batchSchema = Some(batch.schema), store = store)
   }
 
   /** Garbage-collect the data plane: delete files referenced by NO
@@ -265,16 +319,13 @@ object AtomicLake {
     * swept. Returns the number of files deleted.
     */
   def vacuum(root: String, keepVersions: Int = 10,
-      minAgeMs: Long = 3600000L): Int = {
-    val md = manifestDir(root)
-    if (!Files.isDirectory(md)) return 0
-    val versions = Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong).toSeq.sorted
+      minAgeMs: Long = 3600000L,
+      store: CommitStore = HardlinkCommitStore): Int = {
+    val versions = store.listVersions(root).sorted
     if (versions.isEmpty) return 0
     val keep = versions.takeRight(math.max(keepVersions, 1))
     val referenced: Set[Path] = keep.flatMap { v =>
-      readManifest(root, v).files.values.flatten
+      readManifest(root, v, store).files.values.flatten
         .map(f => Paths.get(root).resolve(f).normalize())
     }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -282,7 +333,7 @@ object AtomicLake {
     // expired manifests first, so a concurrent reader can no longer
     // resolve a snapshot whose files are about to disappear
     for (v <- versions if !keep.contains(v)) {
-      Files.deleteIfExists(md.resolve(manifestName(v)))
+      store.delete(root, v)
     }
     val dd = dataDir(root)
     if (Files.isDirectory(dd)) {

@@ -110,6 +110,54 @@ class AtomicLakeSpec extends SparkSpec {
     }
   }
 
+  describe("schema evolution") {
+    it("adding a column keeps every version readable with ITS schema") {
+      val root = freshRoot("evolve_add")
+      AtomicLake.upsertPartitions(
+        Seq((1, "a"), (2, "b")).toDF("id", "part"), root, Seq("part"))
+      // v2 adds `extra` on partition b only — files committed at v1
+      // never contain the column
+      AtomicLake.upsertPartitions(
+        Seq((3, 30, "b")).toDF("id", "extra", "part"), root, Seq("part"))
+      val cur = AtomicLake.read(spark, root)
+      cur.columns.toSet shouldBe Set("id", "extra", "part")
+      cur.select("id", "extra").as[(Int, Option[Int])].collect().toSet shouldBe
+        Set((1, None), (3, Some(30))) // v1 file reads null extra
+      // time travel to v1 sees exactly v1's columns
+      AtomicLake.readVersion(spark, root, 1).columns.toSet shouldBe
+        Set("id", "part")
+    }
+    it("a batch MISSING a committed column appends as nulls") {
+      val root = freshRoot("evolve_miss")
+      AtomicLake.upsertPartitions(
+        Seq((1, 10, "a")).toDF("id", "extra", "part"), root, Seq("part"))
+      AtomicLake.append(Seq((2, "a")).toDF("id", "part"), root, Seq("part"))
+      AtomicLake.read(spark, root).select("id", "extra")
+        .as[(Int, Option[Int])].collect().toSet shouldBe
+        Set((1, Some(10)), (2, None))
+    }
+    it("refuses a column TYPE change loudly") {
+      val root = freshRoot("evolve_type")
+      AtomicLake.upsertPartitions(
+        Seq((1, 10, "a")).toDF("id", "extra", "part"), root, Seq("part"))
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.upsertPartitions(
+          Seq((2, "ten", "a")).toDF("id", "extra", "part"),
+          root, Seq("part"))
+    }
+    it("compact preserves the evolved schema and null back-fill") {
+      val root = freshRoot("evolve_compact")
+      AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.append(Seq((2, 20, "a")).toDF("id", "extra", "part"),
+        root, Seq("part"))
+      AtomicLake.compact(spark, root)
+      AtomicLake.read(spark, root).select("id", "extra")
+        .as[(Int, Option[Int])].collect().toSet shouldBe
+        Set((1, None), (2, Some(20)))
+    }
+  }
+
   describe("crash recovery") {
     it("a killed writer's leftovers are invisible and harmless") {
       val root = freshRoot("crash")
@@ -183,6 +231,65 @@ class AtomicLakeSpec extends SparkSpec {
       // v1 is expired: manifest gone
       a[Throwable] should be thrownBy
         AtomicLake.readVersion(spark, root, 1).collect()
+    }
+    it("commits through a catalog on a simulated object store (no atomic link)") {
+      // S3 model: PUT is last-writer-wins, there is NO create-exclusive
+      // — the version claim moves into the transactional catalog
+      // (DuckLake's catalog-database role); manifest bodies live under
+      // writer-unique keys so no PUT ever contends
+      import graft.sources.{CatalogCommitStore, CommitCatalog}
+      val store = new CatalogCommitStore(new CommitCatalog)
+      val root = freshRoot("catalog_store")
+      AtomicLake.upsertPartitions(Seq((1, "a"), (2, "b")).toDF("id", "part"),
+        root, Seq("part"), store = store)
+      AtomicLake.upsertPartitions(Seq((9, "a")).toDF("id", "part"),
+        root, Seq("part"), store = store)
+      AtomicLake.read(spark, root, store = store).select("id").as[Int]
+        .collect().toSet shouldBe Set(9, 2)
+      AtomicLake.readVersion(spark, root, 1, store = store).select("id")
+        .as[Int].collect().toSet shouldBe Set(1, 2)
+      // no hardlink-claim files exist — only writer-unique body objects
+      Files.list(Paths.get(root, "_manifests")).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+        .foreach(_ should startWith("m-"))
+      // a writer that died between PUT and claim is invisible
+      Files.write(Paths.get(root, "_manifests", "m-deadwriter"),
+        "partition_cols=part\npart=a\tdata/part=a/ghost.parquet\n"
+          .getBytes("UTF-8"))
+      AtomicLake.currentVersion(root, store) shouldBe Some(2L)
+      AtomicLake.read(spark, root, store = store).select("id").as[Int]
+        .collect().toSet shouldBe Set(9, 2)
+      // vacuum works against the catalog: expire v1, keep v2 readable
+      AtomicLake.vacuum(root, keepVersions = 1, minAgeMs = 0L,
+        store = store) should be >= 1
+      a[Throwable] should be thrownBy
+        AtomicLake.readVersion(spark, root, 1, store = store).collect()
+      AtomicLake.read(spark, root, store = store).select("id").as[Int]
+        .collect().toSet shouldBe Set(9, 2)
+    }
+    it("racing catalog committers all land dense versions, none torn") {
+      import graft.sources.{CatalogCommitStore, CommitCatalog}
+      val store = new CatalogCommitStore(new CommitCatalog)
+      val root = freshRoot("catalog_race")
+      AtomicLake.upsertPartitions(Seq((0, "p")).toDF("id", "part"),
+        root, Seq("part"), store = store)
+      // 6 writers append concurrently: every commit must claim a
+      // unique version through the catalog CAS and MERGE with the
+      // winners before it (no clobbered file lists)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 6).map { i =>
+        new Thread(() => {
+          try AtomicLake.append(Seq((i, "p")).toDF("id", "part"),
+            root, Seq("part"), store = store)
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      errs.asScala.toSeq shouldBe empty
+      AtomicLake.currentVersion(root, store) shouldBe Some(7L)
+      AtomicLake.read(spark, root, store = store).select("id").as[Int]
+        .collect().toSet shouldBe (0 to 6).toSet
     }
     it("two writers racing one version both land, in order") {
       val root = freshRoot("race")
