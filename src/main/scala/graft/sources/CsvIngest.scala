@@ -19,6 +19,20 @@ object CsvIngest {
 
   val CorruptCol = "_corrupt_record"
 
+  /** Normalize header artifacts the way the reference's ingestion does
+    * (mobility_ingestion_pipeline.py:144-170 surgically strips `ï»¿`
+    * and whitespace from column names before force-renaming): a UTF-8
+    * BOM decodes to U+FEFF under UTF-8 and to the `ï»¿` mojibake under
+    * ISO-8859-1 — both land glued to the FIRST header name — and
+    * exporters routinely pad header cells with spaces. Applied to
+    * header-derived names only (assigned `columns` are caller-owned).
+    */
+  private[sources] def normalizeName(c: String): String = {
+    val cleaned = c.replace("\uFEFF", "")
+      .replace("ï»¿", "").trim
+    if (cleaned.isEmpty) c else cleaned
+  }
+
   /** Read a CSV with explicit dialect options, all columns as string.
     *
     * @param columns when the file is headerless, the column names to
@@ -47,7 +61,10 @@ object CsvIngest {
         named.schema.fields.map(f => StructField(f.name, StringType,
           nullable = true)) :+
           StructField(CorruptCol, StringType, nullable = true))
-      base.schema(schema).csv(path)
+      val parsed = base.schema(schema).csv(path)
+      // rename AFTER parsing (the parser must match the file's header
+      // bytes, BOM and all; the lake never sees the artifact)
+      parsed.toDF(parsed.columns.map(normalizeName): _*)
     }
   }
 

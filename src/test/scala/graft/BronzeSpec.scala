@@ -61,6 +61,18 @@ class BronzeSpec extends SparkSpec {
       CsvIngest.cleanRows(df).select("name", "city")
         .as[(String, String)].head() shouldBe (("muñón", "coruña"))
     }
+    it("strips a UTF-8 BOM and header whitespace from column names") {
+      // BOM bytes EF BB BF glued to the first header cell + padded
+      // header names — the artifact the reference's ingestion strips
+      val p = Paths.get(scratch, "bom.csv")
+      Files.createDirectories(p.getParent)
+      Files.write(p, ("\uFEFFid; name \n1;ana\n").getBytes("UTF-8"))
+      val (df, d) = CsvIngest.readAuto(spark, p.toString)
+      d shouldBe CsvIngest.Dialect(sep = ";")
+      df.columns should contain allOf ("id", "name")
+      CsvIngest.cleanRows(df).select("id", "name")
+        .as[(String, String)].head() shouldBe (("1", "ana"))
+    }
     it("dialect cascade accepts a clean tab file on the first rung") {
       val f = writeFile("ladder_tab.tsv", "a\tb\n1\t2\n")
       val (df, d) = CsvIngest.readAuto(spark, f)
