@@ -142,7 +142,8 @@ object Silver {
     * production it is a [[graft.sources.PartitionedLake]] write at
     * ingest time and a plain parquet read here.
     */
-  private val factMemo = new graft.sources.SessionMemo[String, DataFrame]
+  private val factMemo = new graft.sources.SessionMemo[String, DataFrame](
+    maxPerSession = 4, onEvict = _.unpersist(blocking = false))
 
   def factEventsCached(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =

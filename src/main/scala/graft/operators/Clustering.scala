@@ -30,7 +30,8 @@ object Clustering {
     * Keyed by session so a stopped session's plans are never reused.
     */
   private val memo =
-    new graft.sources.SessionMemo[(String, Int, Long), DataFrame]
+    new graft.sources.SessionMemo[(String, Int, Long), DataFrame](
+      maxPerSession = 4, onEvict = _.unpersist(blocking = false))
 
   /** [[assignments]] with per-session memoization, for callers that
     * identify the fact by its scale-factor dir (the SparkEntry query

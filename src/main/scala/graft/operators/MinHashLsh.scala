@@ -190,9 +190,13 @@ object MinHashLsh {
     * the pair set is a materialized curation artifact like the gold
     * cluster assignments: downstream consumers (connected components,
     * survivor filters, audits) read it; they do not re-run LSH.
+    * Capped at 4 corpora per session; evicted pair tables are
+    * unpersisted, so a long-lived session cycling through corpora
+    * holds a bounded cache footprint.
     */
   private val pairsMemo =
-    new graft.sources.SessionMemo[(String, Double, Int), DataFrame]
+    new graft.sources.SessionMemo[(String, Double, Int), DataFrame](
+      maxPerSession = 4, onEvict = _.unpersist(blocking = false))
 
   def nearDuplicatesCached(df: DataFrame, idCol: String, textCol: String,
       corpusTag: String, threshold: Double = 0.7, shingleN: Int = 3)

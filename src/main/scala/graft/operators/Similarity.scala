@@ -102,7 +102,8 @@ object Similarity {
 
   private val ivfMemo =
     new graft.sources.SessionMemo[(String, String, String, Int, Long),
-      IvfIndex]
+      IvfIndex](maxPerSession = 4,
+        onEvict = _.corpusCells.unpersist(blocking = false))
 
   /** Build (or reuse) the IVF index for a corpus. `corpusTag` keys the
     * memo — pass the data location (e.g. the sf dir) or "" to force a

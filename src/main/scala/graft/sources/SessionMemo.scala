@@ -10,14 +10,24 @@ import scala.collection.concurrent.TrieMap
   * long-lived driver that creates contexts over time never retains
   * cached/checkpointed DataFrames of dead ones for the JVM lifetime.
   *
+  * `maxPerSession` bounds how many entries ONE live session can hold
+  * (a long-lived session memoizing per-corpus artifacts — e.g. cached
+  * near-dup pair tables — must not grow without bound): inserting
+  * past the cap evicts that session's oldest entries, handing each to
+  * `onEvict` (where a cached DataFrame gets its `unpersist`).
+  *
   * Limitation (by Spark's design): sibling sessions sharing one LIVE
   * context (`newSession()`) have no stop event of their own, so their
   * entries live until that context ends — bounded by context
   * lifetime, not JVM lifetime.
   */
-final class SessionMemo[K, V] {
+final class SessionMemo[K, V](maxPerSession: Int = Int.MaxValue,
+    onEvict: V => Unit = (_: V) => ()) {
   private val entries = TrieMap.empty[(SparkSession, K), V]
   private val hooked = TrieMap.empty[SparkSession, Boolean]
+  // insertion order per memo — the eviction queue (oldest first)
+  private val order =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, K)]
 
   private def purgeDead(): Unit =
     entries.filterInPlace { case ((owner, _), _) =>
@@ -37,7 +47,26 @@ final class SessionMemo[K, V] {
           hooked.remove(s)
         }
       })
-    entries.getOrElseUpdate((s, k), build)
+    val v = entries.getOrElseUpdate((s, k), { order.add((s, k)); build })
+    // cap: evict this session's oldest entries (never the one just
+    // read/inserted) until within bound
+    while (entries.keysIterator.count(_._1 eq s) > maxPerSession &&
+        evictOldest(s, keep = (s, k))) {}
+    v
+  }
+
+  private def evictOldest(s: SparkSession, keep: (SparkSession, K))
+      : Boolean = {
+    val it = order.iterator()
+    while (it.hasNext) {
+      val key = it.next()
+      if ((key._1 eq s) && key != keep) {
+        it.remove()
+        entries.remove(key).foreach(onEvict)
+        return true
+      }
+    }
+    false
   }
 
   /** Visible for tests. */

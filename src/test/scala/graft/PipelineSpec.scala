@@ -200,6 +200,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("SessionMemo per-session cap") {
+    it("evicts oldest entries past the cap, handing them to onEvict") {
+      val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+      val memo = new graft.sources.SessionMemo[Int, String](
+        maxPerSession = 2, onEvict = evicted += _)
+      memo.getOrElseUpdate(spark, 1)("one")
+      memo.getOrElseUpdate(spark, 2)("two")
+      memo.getOrElseUpdate(spark, 3)("three")
+      memo.size shouldBe 2
+      evicted.toSeq shouldBe Seq("one")
+      // the evicted key rebuilds; the freshest survivors are served
+      memo.getOrElseUpdate(spark, 3)("WRONG") shouldBe "three"
+      memo.getOrElseUpdate(spark, 1)("one again") shouldBe "one again"
+      evicted.toSeq shouldBe Seq("one", "two")
+    }
+  }
+
   describe("TextFns PII scrub") {
     it("redacts emails and phone runs, leaves clean text alone") {
       val r = Seq(
