@@ -105,8 +105,8 @@ object Dedup {
     // denominators through the same agg, so the whole query is
     // scan → shuffle → agg → map-side filter: NO joins, nothing
     // broadcast, nothing corpus-sized on one node.
-    // Measured alternatives at sf0.1 (1.27M pair instances → 1.13M
-    // distinct pairs), kept here as negative results: the round-3/4
+    // Measured alternatives at sf0.1 (965k length-filtered pair
+    // instances), kept here as negative results: the round-3/4
     // sort-merge self-join of the exploded index 1.96s; a separate
     // doc-cardinality table with two broadcast joins +0.3s over this;
     // repartition+sortWithinPartitions+run-length mapPartitions
@@ -116,6 +116,15 @@ object Dedup {
     // pass barely reduces (~90% of pairs share exactly one shingle)
     // but skipping it is not expressible declaratively; the final agg
     // spills like any hash agg at scale.
+    // Round-6 stage profile (min-of-3, quiet local[32]): scan+explode
+    // 0.43s, +postings group 0.62s, +pair emission 0.76s, +pair agg
+    // 1.67s full — the agg IS the remaining cost. Shrinking its shape
+    // does not help: packing (id,n) into one long per side (2-long
+    // key, count-only agg, no first() carriers) measured 1.66s;
+    // grouping on all four keys 2.93s. The gap vs DuckDB is the
+    // per-row constant of one ~1M-row hash exchange, not plan shape —
+    // fixed task overheads amortize with bigger partitions at scale,
+    // and the operator's 100-TB role stays verify-tier (LSH first).
     // Skew contract: a posting list of g ids emits g² pairs inside one
     // task — bounded by the kernel at 64k ids (it raises; a corpus
     // with stopword-grade shingles belongs on the LSH path first, per
