@@ -158,16 +158,18 @@ object MinHashLsh {
     // BOTH sides of the bucket self-join, and both verify joins read
     // this frame. Without the pin each of those five consumers
     // re-evaluates the whole upstream (round-5's plan scanned the
-    // corpus parquet 6× through them). The banded index is pinned too
-    // so the self-join's two sides share one signature computation
-    // (the 64-permutation loop is the pipeline's hottest kernel).
+    // corpus parquet 6× through them). The banded index is NOT pinned:
+    // the self-join's sides re-run the signature kernel over the
+    // pinned hash frame, and that recompute measured CHEAPER than a
+    // second checkpoint job (1.71s vs 2.19s full-query at sf0.1) —
+    // the 64-permutation loop is fast once shingle hashing is done,
+    // while a checkpoint pays a full materialize+read cycle.
     // localCheckpoint (not cache): lineage truncation is the point —
     // at 100 TB this frame is the materialized dedup artifact; on a
     // cluster a persisted artifact table plays this role
     // ([[nearDuplicatesCached]]).
     val sh = hashedShingles(df, idCol, textCol, shingleN).localCheckpoint()
-    val banded = bandedIndex(sh, numHashes, b, seed).localCheckpoint()
-    val cands = bucketJoin(banded)
+    val cands = bucketJoin(bandedIndex(sh, numHashes, b, seed))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash
