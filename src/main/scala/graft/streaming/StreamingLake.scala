@@ -42,12 +42,22 @@ object StreamingLake {
     */
   def atomicUpsertSink(stream: DataFrame, path: String,
       checkpoint: String, partitionCols: String*): DataStreamWriter[Row] =
+    atomicUpsertSink(stream, path, checkpoint, partitionCols.toSeq,
+      graft.sources.HardlinkCommitStore)
+
+  /** [[atomicUpsertSink]] against an explicit [[graft.sources.CommitStore]]
+    * — the object-store deployment shape: micro-batches commit through
+    * the catalog exactly like batch writers.
+    */
+  def atomicUpsertSink(stream: DataFrame, path: String,
+      checkpoint: String, partitionCols: Seq[String],
+      store: graft.sources.CommitStore): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           graft.sources.AtomicLake.upsertPartitions(batch, path,
-            partitionCols)
+            partitionCols, store = store)
           ()
         }
       }
