@@ -475,6 +475,37 @@ object NativeKernels extends Serializable {
     new GenericArrayData(counts)
   }
 
+  private val SpaceDelim = UTF8String.fromString(" ")
+
+  /** Per-document word-repetition statistics in ONE pass:
+    * (non-empty token count, distinct token count, max frequency of
+    * any single token) — the inputs to type-token ratio and top-word
+    * ratio, the repetition signals a training-data quality gate cuts
+    * on (a doc dominated by one repeated token is boilerplate, not
+    * prose). One hash map per document, no per-word HOF re-scans.
+    */
+  def wordStats(text: UTF8String): ArrayData = {
+    val parts = text.split(SpaceDelim, -1)
+    val freq = new java.util.HashMap[UTF8String, Integer]()
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.numBytes > 0) {
+        n += 1
+        freq.put(t, Integer.valueOf(freq.getOrDefault(t, 0) + 1))
+      }
+      i += 1
+    }
+    var top = 0
+    val it = freq.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > top) top = c
+    }
+    new GenericArrayData(Array(n, freq.size, top))
+  }
+
   /** Polynomial rolling hash (base 131, mod 1e9+7) over the ASCII
     * printable projection of the text — one byte-level pass, identical
     * to the interpreted
@@ -755,6 +786,10 @@ object NativeKernels extends Serializable {
       Seq(text, org.apache.spark.sql.functions.array(
         words.map(org.apache.spark.sql.functions.lit): _*)),
       Seq(StringType, ArrayType(StringType)))
+
+  def wordStatsCol(text: Column): Column =
+    invoke("wordStats", ArrayType(IntegerType, containsNull = false),
+      Seq(text), Seq(StringType))
 
   def fingerprint64Col(text: Column): Column =
     invoke("fingerprint64", LongType, Seq(text), Seq(StringType))

@@ -188,6 +188,44 @@ object MinHashLsh {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-duplicate pairs: every (base doc, probe doc)
+    * pair with exact Jaccard >= threshold — the train/test
+    * contamination sweep and the new-batch-vs-existing-corpus dedup
+    * every training-data pipeline runs before adding data. Same
+    * sub-quadratic shape as [[nearDuplicates]] (banded signatures,
+    * bucket join — here ACROSS the two corpora — exact two-pointer
+    * verify), with each corpus shingled/hashed exactly once behind a
+    * localCheckpoint. No id ordering constraint: the sides are
+    * different corpora. Returns (id1 = base id, id2 = probe id,
+    * jaccard).
+    */
+  def nearDuplicatesAgainst(base: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val shB = hashedShingles(base, idCol, textCol, shingleN)
+      .localCheckpoint()
+    val shP = hashedShingles(probe, idCol, textCol, shingleN)
+      .localCheckpoint()
+    val cands = bandedIndex(shB, numHashes, b, seed).as("a")
+      .join(bandedIndex(shP, numHashes, b, seed).as("b").hint("merge"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val inter = graft.expressions.NativeKernels
+      .sortedIntersectCountCol(col("sh1"), col("sh2"))
+    cands
+      .join(shB.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(shP.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        (inter.cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - inter).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Memoized near-dup pair table per (session, corpusTag, params) —
     * the pair set is a materialized curation artifact like the gold
     * cluster assignments: downstream consumers (connected components,

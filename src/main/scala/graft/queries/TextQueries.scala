@@ -81,6 +81,65 @@ object TextQueries {
           col("quality_score"))
     },
 
+    // Word-repetition quality stats: type-token ratio + top-word
+    // ratio per document via the one-pass wordStats kernel — the
+    // repetition signals (boilerplate = one token dominating) a
+    // corpus quality gate cuts on.
+    "text_word_stats" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        graft.expressions.NativeKernels.wordStatsCol(col("text")).as("st"))
+      val n = element_at(col("st"), 1)
+      val d = element_at(col("st"), 2)
+      val t = element_at(col("st"), 3)
+      base.select(col("doc_id"),
+        n.as("n_words"), d.as("n_distinct"), t.as("top_freq"),
+        when(n === 0, lit(0.0))
+          .otherwise(d.cast("double") / n.cast("double")).as("ttr"),
+        when(n === 0, lit(0.0))
+          .otherwise(t.cast("double") / n.cast("double")).as("top_ratio"))
+    },
+
+    // Benchmark-contamination scoring: fraction of each corpus doc's
+    // distinct shingles that appear anywhere in the benchmark set
+    // (doc_id % 10 == 0 plays the held-out benchmark) — the n-gram
+    // overlap check run before training data ships. The benchmark
+    // shingle set is bounded by contract (benchmarks are small), so
+    // it broadcasts; the corpus is scanned once, aggregated per doc.
+    "text_contamination" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(explode(col("shs")).as("shingle")).distinct()
+        .withColumn("hit", lit(1))
+      sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), size(col("shs")).as("n_sh"),
+          explode(col("shs")).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"), "left")
+        .groupBy(col("doc_id"), col("n_sh"))
+        .agg(count(col("hit")).cast("int").as("n_hit"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_sh").cast("double"))
+            .as("contamination"))
+    },
+
+    // Cross-corpus near-dedup: new-batch (doc_id % 10 == 0) vs the
+    // existing corpus, LSH-bucketed across the two sides, exact
+    // verify — the dedup-before-adding-data sweep. Oracle-gated like
+    // dedup_minhash: every qualifying pair on this corpus has
+    // jaccard >= 0.95, so the 32x2 banding misses one with
+    // probability ~(1-0.95^2)^32 ~ 1e-34 — the exact join IS the
+    // oracle.
+    "dedup_cross" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.MinHashLsh.nearDuplicatesAgainst(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("id1").as("base_id"), col("id2").as("probe_id"),
+          col("jaccard"))
+    },
+
     // E4 — n-gram Jaccard similarity join (3-gram shingles, >= 0.5).
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
@@ -173,6 +232,66 @@ object TextQueries {
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_word_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |freq AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |               max(c) AS top_freq FROM freq GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_words, 0) AS INT) AS n_words,
+        |  CAST(coalesce(a.n_distinct, 0) AS INT) AS n_distinct,
+        |  CAST(coalesce(a.top_freq, 0) AS INT) AS top_freq,
+        |  CASE WHEN coalesce(a.n_words, 0) = 0 THEN 0.0
+        |       ELSE CAST(a.n_distinct AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+        |  END AS ttr,
+        |  CASE WHEN coalesce(a.n_words, 0) = 0 THEN 0.0
+        |       ELSE CAST(a.top_freq AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+        |  END AS top_ratio
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    // contamination/cross oracles join on shingle STRINGS where the
+    // Spark side joins on their xxhash64 values — identical results
+    // modulo 64-bit hash collisions (~n_distinct²/2^65, the same
+    // contract as dedup_jaccard's hash-gated pair join).
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS INT) AS n_sh,
+        |  CAST(count(b.shingle) AS INT) AS n_hit,
+        |  CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS contamination
+        |FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY 1""".stripMargin,
+    "dedup_cross" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS base_id, b.doc_id AS probe_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2)
+        |SELECT base_id, probe_id,
+        |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM pairs
+        |JOIN card ca ON base_id = ca.doc_id
+        |JOIN card cb ON probe_id = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5"""
+        .stripMargin,
     "dedup_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

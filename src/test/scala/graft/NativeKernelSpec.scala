@@ -163,6 +163,40 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("wordStats native vs declarative reference") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.Column
+    def refCols: (Column, Column, Column) = {
+      val toks = F.filter(F.split($"text", " "),
+        t => F.length(t) > 0)
+      val uniq = F.array_distinct(toks)
+      (F.size(toks),
+        F.size(uniq),
+        F.coalesce(F.array_max(F.transform(uniq,
+          w => F.size(F.filter(toks, x => x === w)))), F.lit(0)))
+    }
+    it("agrees on every document") {
+      val (rn, rd, rt) = refCols
+      val st = NativeKernels.wordStatsCol($"text")
+      docs.filter(element_at(st, 1) =!= rn ||
+          element_at(st, 2) =!= rd ||
+          element_at(st, 3) =!= rt)
+        .count() shouldBe 0
+    }
+    it("handles empties, repeated spaces and full repetition") {
+      val cases = Seq("", " ", "a a a a", "a b c", "x  x y", "the")
+      val (rn, rd, rt) = refCols
+      val st = NativeKernels.wordStatsCol($"text")
+      val d = cases.toDF("text").select(
+        element_at(st, 1).as("n"), element_at(st, 2).as("d"),
+        element_at(st, 3).as("t"), rn.as("rn"), rd.as("rd"), rt.as("rt"))
+      d.collect().foreach { r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) shouldBe
+          ((r.getInt(3), r.getInt(4), r.getInt(5)))
+      }
+    }
+  }
+
   describe("fingerprint64 native vs reference") {
     it("agrees on every document") {
       docs.filter(TextFns.fingerprint($"text") =!=

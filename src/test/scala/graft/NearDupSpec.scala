@@ -54,6 +54,29 @@ class NearDupSpec extends SparkSpec {
       // LSH at j>=0.8 with 16x4 banding: miss probability < 1e-8
       lsh shouldBe exact
     }
+    it("cross-corpus nearDuplicatesAgainst equals the brute-force cross join") {
+      val docs = Tables.documents(spark, sf)
+      val base = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val probe = docs.filter(pmod($"doc_id", lit(10)) === 0)
+      import org.apache.spark.sql.{functions => F}
+      val shB = base.select($"doc_id".as("id1"),
+        sort_array(Dedup.shingleHashes($"text", 3)).as("sh1"))
+        .filter(F.size($"sh1") > 0)
+      val shP = probe.select($"doc_id".as("id2"),
+        sort_array(Dedup.shingleHashes($"text", 3)).as("sh2"))
+        .filter(F.size($"sh2") > 0)
+      val inter = graft.expressions.NativeKernels
+        .sortedIntersectCountCol($"sh1", $"sh2")
+      val brute = shB.crossJoin(shP)
+        .select($"id1", $"id2", (inter.cast("double") /
+          (F.size($"sh1") + F.size($"sh2") - inter).cast("double")).as("j"))
+        .filter($"j" >= 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val got = MinHashLsh.nearDuplicatesAgainst(base, probe,
+        "doc_id", "text", threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      got shouldBe brute
+    }
   }
 
   describe("SimHash") {
