@@ -48,6 +48,25 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("round-6 operators keep their scale shape") {
+    it("near-dedup pipelines read the corpus parquet ONCE (checkpoint job), not per consumer") {
+      // the round-5 plans re-scanned documents.parquet up to 6x; the
+      // pinned shingle-hash frame means the MAIN plan has no parquet
+      // scans at all (the single scan happens inside the eager
+      // checkpoint at query construction)
+      scans(SparkEntry.queries("pipe_clean_corpus")(spark, sf)) shouldBe empty
+      scans(SparkEntry.queries("dedup_minhash")(spark, sf)) shouldBe empty
+      scans(SparkEntry.queries("dedup_cross")(spark, sf)) shouldBe empty
+    }
+    it("text_contamination broadcasts only the bench shingle set") {
+      val q = SparkEntry.queries("text_contamination")(spark, sf)
+      val plan = q.queryExecution.sparkPlan.toString
+      plan should include("BroadcastHashJoin") // bounded bench side
+      // two scans of documents: one builds the bench set, one the corpus
+      scans(q).length shouldBe 2
+    }
+  }
+
   describe("round-4 operators keep their scale shape") {
     it("asof join plans one keyed Window, no cartesian/range explosion") {
       val q = SparkEntry.queries("asof_prev_spend")(spark, sf)

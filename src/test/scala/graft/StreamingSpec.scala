@@ -172,6 +172,27 @@ class StreamingSpec extends SparkSpec {
           .count() shouldBe 2
       } finally q.stop()
     }
+    it("streams commit through a catalog store like batch writers") {
+      implicit val sqlCtx = spark.sqlContext
+      import graft.sources.{AtomicLake, CatalogCommitStore, CommitCatalog}
+      val store = new CatalogCommitStore(new CommitCatalog)
+      val lake = "/root/repo/target/test-scratch/stream_lake_catalog"
+      val ck = "/root/repo/target/test-scratch/stream_lake_catalog_ck"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      val in = MemoryStream[(Long, String, Double)]
+      val stream = in.toDF().toDF("id", "day", "trips")
+      val q = graft.streaming.StreamingLake
+        .atomicUpsertSink(stream, lake, ck, Seq("day"), store).start()
+      try {
+        in.addData((1L, "2024-01-01", 1.0))
+        q.processAllAvailable()
+        in.addData((2L, "2024-01-02", 2.0))
+        q.processAllAvailable()
+        AtomicLake.currentVersion(lake, store) shouldBe Some(2L)
+        AtomicLake.read(spark, lake, store).count() shouldBe 2
+      } finally q.stop()
+    }
   }
 
   describe("StatefulSessions") {
