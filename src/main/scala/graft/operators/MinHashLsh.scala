@@ -208,8 +208,42 @@ object MinHashLsh {
       .localCheckpoint()
     val shP = hashedShingles(probe, idCol, textCol, shingleN)
       .localCheckpoint()
-    val cands = bandedIndex(shB, numHashes, b, seed).as("a")
-      .join(bandedIndex(shP, numHashes, b, seed).as("b").hint("merge"),
+    crossPairs(shB, shP, threshold, numHashes, b, seed)
+  }
+
+  /** [[nearDuplicatesAgainst]] when both corpora live in ONE table and
+    * a predicate marks the probe side (the usual shape of "dedup the
+    * new crawl batch against the existing corpus" — one batch/source
+    * column): the table is scanned, shingled and hashed exactly ONCE;
+    * the pinned hash frame splits by the predicate, saving a second
+    * corpus scan and checkpoint over calling the two-frame form with
+    * two filters of the same table.
+    */
+  def nearDuplicatesSplit(df: DataFrame, idCol: String, textCol: String,
+      probeSide: Column, threshold: Double = 0.7, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 0, seed: Long = 42L): DataFrame = {
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val sh = df.select(col(idCol).as("doc_id"),
+        probeSide.as("is_probe"),
+        sort_array(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    crossPairs(
+      sh.filter(!col("is_probe")).select(col("doc_id"), col("sh")),
+      sh.filter(col("is_probe")).select(col("doc_id"), col("sh")),
+      threshold, numHashes, b, seed)
+  }
+
+  /** Banded bucket join ACROSS two (already pinned) shingle-hash
+    * frames + exact verify — the shared tail of the cross-corpus
+    * forms. No id ordering constraint: the sides are different
+    * corpora. Returns (id1 = base id, id2 = probe id, jaccard).
+    */
+  private def crossPairs(shB: DataFrame, shP: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int, seed: Long)
+      : DataFrame = {
+    val cands = bandedIndex(shB, numHashes, bands, seed).as("a")
+      .join(bandedIndex(shP, numHashes, bands, seed).as("b").hint("merge"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

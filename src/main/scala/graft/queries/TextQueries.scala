@@ -131,11 +131,12 @@ object TextQueries {
     // probability ~(1-0.95^2)^32 ~ 1e-34 — the exact join IS the
     // oracle.
     "dedup_cross" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      graft.operators.MinHashLsh.nearDuplicatesAgainst(
-          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-          "doc_id", "text", threshold = 0.5)
+      // both sides live in the documents table → the split form
+      // shingles the corpus ONCE (one scan, one checkpoint)
+      graft.operators.MinHashLsh.nearDuplicatesSplit(
+          Tables.documents(s, dir), "doc_id", "text",
+          probeSide = pmod(col("doc_id"), lit(10)) === 0,
+          threshold = 0.5)
         .select(col("id1").as("base_id"), col("id2").as("probe_id"),
           col("jaccard"))
     },

@@ -178,4 +178,27 @@ final class CatalogCommitStore(catalog: CommitCatalog) extends CommitStore {
       Files.deleteIfExists(Paths.get(root, "_manifests", key))
     }
   }
+
+  /** Reclaim body objects no catalog claim references — what a writer
+    * that died between PUT and claim leaves behind (invisible to all
+    * readers, but bytes nonetheless). `minAgeMs` is the same in-flight
+    * grace window vacuum applies to data files: a body PUT by a writer
+    * that has not claimed YET must not be swept from under it. On a
+    * real object store this is an object-lifecycle rule on unclaimed
+    * `m-*` keys; here it completes the vacuum story for the spec.
+    */
+  def sweepOrphans(root: String, minAgeMs: Long = 3600000L): Int = {
+    val md = Paths.get(root, "_manifests")
+    if (!Files.isDirectory(md)) return 0
+    val claimed = catalog.versions(root)
+      .flatMap(v => catalog.keyFor(root, v)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var swept = 0
+    Files.list(md).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("m-"))
+      .filterNot(p => claimed(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach { p => Files.deleteIfExists(p); swept += 1 }
+    swept
+  }
 }

@@ -259,6 +259,10 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.currentVersion(root, store) shouldBe Some(2L)
       AtomicLake.read(spark, root, store = store).select("id").as[Int]
         .collect().toSet shouldBe Set(9, 2)
+      // ...and the orphan sweep reclaims exactly it, never a claimed body
+      store.sweepOrphans(root, minAgeMs = 0L) shouldBe 1
+      Files.exists(Paths.get(root, "_manifests", "m-deadwriter")) shouldBe false
+      AtomicLake.read(spark, root, store = store).count() shouldBe 2
       // vacuum works against the catalog: expire v1, keep v2 readable
       AtomicLake.vacuum(root, keepVersions = 1, minAgeMs = 0L,
         store = store) should be >= 1

@@ -76,6 +76,11 @@ class NearDupSpec extends SparkSpec {
         "doc_id", "text", threshold = 0.5)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       got shouldBe brute
+      // the one-scan split form over the same table is identical
+      val split = MinHashLsh.nearDuplicatesSplit(docs, "doc_id", "text",
+        probeSide = pmod($"doc_id", lit(10)) === 0, threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      split shouldBe brute
     }
   }
 
