@@ -141,6 +141,28 @@ object TextQueries {
           col("jaccard"))
     },
 
+    // The PERSISTENT-index form of dedup_cross, proven end-to-end:
+    // build the LSH index lake tables from the corpus side, then dedup
+    // the probe batch against the INDEX (the corpus text is never
+    // re-read — candidates from the persisted band table, verify from
+    // the persisted hash table). Output must equal the in-memory
+    // cross sweep, so it shares dedup_cross's exact-Jaccard oracle.
+    "dedup_index_cross" -> { (s, dir) =>
+      import graft.operators.NearDupIndex
+      val scratch = "/root/repo/target/lake_scratch/neardup_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+      NearDupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", scratch, threshold = 0.5)
+      NearDupIndex.pairsAgainstIndex(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", scratch, threshold = 0.5)
+        .select(col("id1").as("base_id"), col("id2").as("probe_id"),
+          col("jaccard"))
+    },
+
     // E4 — n-gram Jaccard similarity join (3-gram shingles, >= 0.5).
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
@@ -164,6 +186,28 @@ object TextQueries {
         Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
     }
   )
+
+  private val crossOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(len(w) - 2, 0))) AS gs) i),
+      |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS base_id, b.doc_id AS probe_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |  GROUP BY 1, 2)
+      |SELECT base_id, probe_id,
+      |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      |FROM pairs
+      |JOIN card ca ON base_id = ca.doc_id
+      |JOIN card cb ON probe_id = cb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5"""
+      .stripMargin
 
   private def tokCount(word: String): String =
     s"len(list_filter(string_split(text, ' '), t -> t = '$word'))"
@@ -272,27 +316,10 @@ object TextQueries {
         |FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
         |WHERE s.doc_id % 10 <> 0
         |GROUP BY 1""".stripMargin,
-    "dedup_cross" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
-        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
-        |    greatest(len(w) - 2, 0))) AS gs) i),
-        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS base_id, b.doc_id AS probe_id, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-        |  GROUP BY 1, 2)
-        |SELECT base_id, probe_id,
-        |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
-        |FROM pairs
-        |JOIN card ca ON base_id = ca.doc_id
-        |JOIN card cb ON probe_id = cb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5"""
-        .stripMargin,
+    "dedup_cross" -> crossOracleSql,
+    // the persistent-index form computes the SAME pair set — one
+    // oracle, two execution paths (in-memory sweep vs lake index)
+    "dedup_index_cross" -> crossOracleSql,
     "dedup_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -82,6 +82,37 @@ class NearDupSpec extends SparkSpec {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       split shouldBe brute
     }
+    it("persistent index dedups a batch without the corpus text; append extends it") {
+      import graft.operators.NearDupIndex
+      import org.apache.spark.sql.{functions => F}
+      val docs = Tables.documents(spark, sf)
+      val base = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val probe = docs.filter(pmod($"doc_id", lit(10)) === 0)
+      val root = "/root/repo/target/test-scratch/neardup_index"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      NearDupIndex.build(base, "doc_id", "text", root, threshold = 0.5)
+      val got = NearDupIndex.pairsAgainstIndex(spark, probe,
+          "doc_id", "text", root, threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val want = MinHashLsh.nearDuplicatesAgainst(base, probe,
+          "doc_id", "text", threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      got shouldBe want
+      // append the probe batch, then dedup a RE-DELIVERY of it under
+      // shifted ids: every shifted doc must match its original (j=1.0)
+      // through the index alone
+      NearDupIndex.append(probe, "doc_id", "text", root)
+      val redelivery = probe.select(($"doc_id" + 1000000L).as("doc_id"),
+        $"text")
+      val selfMatches = NearDupIndex.pairsAgainstIndex(spark, redelivery,
+          "doc_id", "text", root, threshold = 0.5)
+        .filter($"id2" === $"id1" + 1000000L)
+      selfMatches.count() shouldBe probe
+        .filter(F.size(Dedup.shingleHashes($"text", 3)) > 0).count()
+      selfMatches.agg(F.min($"jaccard")).as[Double].head() shouldBe 1.0
+    }
   }
 
   describe("SimHash") {
