@@ -41,7 +41,15 @@ object Clustering {
   def assignmentsCached(fact: DataFrame, dir: String, k: Int = 3,
       seed: Long = 42L): DataFrame =
     memo.getOrElseUpdate(fact.sparkSession, (dir, k, seed)) {
-      assignments(fact, k, seed).localCheckpoint(eager = true)
+      // cache(), NOT localCheckpoint: eviction unpersists the memoized
+      // value, and a checkpoint-backed frame has no lineage to
+      // recompute from — a consumer still holding an evicted frame
+      // would crash on 'checkpoint block not found'. A cached frame
+      // just recomputes (the KMeans fit already ran at build time; the
+      // transform plan only carries the k×24 centroid matrix).
+      val df = assignments(fact, k, seed).cache()
+      df.count() // eager materialization, same contract as before
+      df
     }
 
   /** (date, cluster_id) assignments from KMeans over normalized

@@ -100,22 +100,32 @@ object TextQueries {
     },
 
     // Benchmark-contamination scoring: fraction of each corpus doc's
-    // distinct shingles that appear anywhere in the benchmark set
-    // (doc_id % 10 == 0 plays the held-out benchmark) — the n-gram
-    // overlap check run before training data ships. The benchmark
-    // shingle set is bounded by contract (benchmarks are small), so
-    // it broadcasts; the corpus is scanned once, aggregated per doc.
+    // distinct shingles that appear anywhere in the benchmark set —
+    // the n-gram overlap check run before training data ships. The
+    // doc_id % 10 == 0 split is a STAND-IN for a real held-out
+    // benchmark table, and it is corpus-SCALED (~10% of the corpus's
+    // distinct shingles), not bounded the way a real benchmark is —
+    // so the broadcast is guarded by a measured row count: under the
+    // bound (every real benchmark; this corpus at test SFs) the set
+    // broadcasts, past it the join falls back to shuffle instead of
+    // OOMing the driver at the 100-TB design point.
     "text_contamination" -> { (s, dir) =>
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shs"))
         .filter(size(col("shs")) > 0)
+      // materialized once: sized for the guard, reused by the join
       val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(explode(col("shs")).as("shingle")).distinct()
         .withColumn("hit", lit(1))
+        .localCheckpoint(eager = true)
+      // ~32 B/row in the hash relation → 2M rows stays well inside a
+      // 64 MB broadcast budget
+      val benchSide =
+        if (bench.count() <= 2000000L) broadcast(bench) else bench
       sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
         .select(col("doc_id"), size(col("shs")).as("n_sh"),
           explode(col("shs")).as("shingle"))
-        .join(broadcast(bench), Seq("shingle"), "left")
+        .join(benchSide, Seq("shingle"), "left")
         .groupBy(col("doc_id"), col("n_sh"))
         .agg(count(col("hit")).cast("int").as("n_hit"))
         .select(col("doc_id"), col("n_sh"), col("n_hit"),

@@ -106,10 +106,21 @@ object AtomicLake {
       base: org.apache.spark.sql.types.StructType,
       add: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    val baseNames = base.fieldNames.toSet
+    // Spark resolves column names case-insensitively by default
+    // (spark.sql.caseSensitive=false), so the committed schema must
+    // match the same way: a batch's 'ID' against a committed 'id' is
+    // the SAME column, not a new one — matching case-sensitively here
+    // would append a duplicate and the snapshot would read ambiguous.
+    // A case-ONLY rename is refused loudly, like a type change.
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val baseNames = base.fieldNames.map(norm).toSet
     val merged = base.fields.map { f =>
-      add.fields.find(_.name == f.name) match {
+      add.fields.find(g => norm(g.name) == norm(f.name)) match {
         case Some(g) =>
+          require(g.name == f.name,
+            s"schema evolution cannot rename column '${f.name}' to " +
+              s"'${g.name}': case-insensitive resolution makes them one " +
+              "column; rewrite the table to change the case")
           require(g.dataType == f.dataType,
             s"schema evolution cannot change column '${f.name}' from " +
               s"${f.dataType.simpleString} to ${g.dataType.simpleString}; " +
@@ -117,7 +128,8 @@ object AtomicLake {
           f.copy(nullable = f.nullable || g.nullable)
         case None => f.copy(nullable = true)
       }
-    } ++ add.fields.filterNot(f => baseNames(f.name)).map(_.copy(nullable = true))
+    } ++ add.fields.filterNot(f => baseNames(norm(f.name)))
+      .map(_.copy(nullable = true))
     org.apache.spark.sql.types.StructType(merged)
   }
 

@@ -47,7 +47,20 @@ final class SessionMemo[K, V](maxPerSession: Int = Int.MaxValue,
           hooked.remove(s)
         }
       })
-    val v = entries.getOrElseUpdate((s, k), { order.add((s, k)); build })
+    // Not getOrElseUpdate: two racing builders would both evaluate the
+    // thunk, and the loser's already-materialized value (e.g. a
+    // cache()+count()'d frame) would leak without passing through
+    // onEvict, plus leave a duplicate order entry that later evicts a
+    // live key early. putIfAbsent lets the loser clean up after itself.
+    val v = entries.get((s, k)) match {
+      case Some(existing) => existing
+      case None =>
+        val built = build
+        entries.putIfAbsent((s, k), built) match {
+          case Some(winner) => onEvict(built); winner
+          case None => order.add((s, k)); built
+        }
+    }
     // cap: evict this session's oldest entries (never the one just
     // read/inserted) until within bound
     while (entries.keysIterator.count(_._1 eq s) > maxPerSession &&

@@ -145,6 +145,19 @@ class AtomicLakeSpec extends SparkSpec {
           Seq((2, "ten", "a")).toDF("id", "extra", "part"),
           root, Seq("part"))
     }
+    it("matches columns case-insensitively, like Spark's resolver") {
+      val root = freshRoot("evolve_case")
+      AtomicLake.upsertPartitions(
+        Seq((1, 10, "a")).toDF("id", "extra", "part"), root, Seq("part"))
+      // 'EXTRA' is the same column as 'extra' under Spark's default
+      // case-insensitive resolution — a case-only rename is refused
+      // loudly instead of silently committing a duplicate column
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.append(
+          Seq((2, 20, "a")).toDF("id", "EXTRA", "part"), root, Seq("part"))
+      AtomicLake.read(spark, root).columns.toSet shouldBe
+        Set("id", "extra", "part")
+    }
     it("compact preserves the evolved schema and null back-fill") {
       val root = freshRoot("evolve_compact")
       AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),
