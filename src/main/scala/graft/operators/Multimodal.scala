@@ -19,14 +19,20 @@ final case class MediaFeatures(media_id: Long, kind: String,
   * video as `binary` columns, run decode / resize / frame-sample /
   * feature-extract per partition.
   *
-  * The DECODE KERNELS ARE STUBS — this container has no image/audio
-  * codecs, so `decodeStub` derives deterministic fake dimensions and
-  * `embedStub` a deterministic fake embedding from the payload bytes.
-  * The Spark-side plumbing is real: typed Dataset schema, per-partition
-  * batched execution via `mapPartitions` (one kernel-context setup per
-  * partition, the same shape a JNI/FFI decoder needs), and a narrow
-  * no-shuffle plan. Swap the two stub functions for real codecs and
-  * nothing else changes.
+  * The IMAGE leg is REAL: `decodeImage` decodes PNG/BMP/JPEG/GIF
+  * payloads with the JDK's built-in `javax.imageio` (no external
+  * codec needed), yielding true width/height and a pixel-derived
+  * grid-luminance embedding, and `resizeImage` is a real
+  * area-interpolated resampler. AUDIO/VIDEO decode stays a STUB —
+  * this container ships no audio/video codecs — so `decodeStub`
+  * derives deterministic fake dimensions for those kinds (and for
+  * image payloads that fail to decode, so a corrupt blob degrades
+  * instead of killing the job; real pipelines would route those to a
+  * quarantine table). The Spark-side plumbing is real for all kinds:
+  * typed Dataset schema, per-partition batched execution via
+  * `mapPartitions` (one kernel-context setup per partition — the
+  * ImageIO cache config today, the same slot a JNI/FFI decoder
+  * needs), and a narrow no-shuffle plan.
   *
   * Scale notes: mapPartitions is narrow (no shuffle); payloads never
   * move between executors. Control partition sizes upstream with
@@ -35,8 +41,104 @@ final case class MediaFeatures(media_id: Long, kind: String,
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic pseudo-dimensions from payload bytes.
-    * Replace with a real codec (e.g. via FFI) in production.
+  /** Decode an image payload with the JDK's ImageIO (PNG/BMP/JPEG/GIF
+    * wired into every JRE). None for bytes no registered reader
+    * accepts — the caller decides whether that's a stub fallback or a
+    * quarantine row.
+    */
+  def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    scala.util.Try(Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))).toOption.flatten
+
+  /** Pixel-derived embedding: mean luminance (ITU-R BT.601 weights)
+    * over a `gx`×`gy` grid of the decoded image — the classic tiny
+    * perceptual descriptor (a dHash cousin kept real-valued so cosine
+    * similarity over it is meaningful). Deterministic in the pixels.
+    */
+  def imageEmbedding(img: java.awt.image.BufferedImage,
+      gx: Int = 4, gy: Int = 2): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](gx * gy)
+    val counts = new Array[Long](gx * gy)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * gy / h, gy - 1)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * gx / w, gx - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val c = cy * gx + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gx * gy)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** REAL image resize: area-interpolated resample to fit inside
+    * `maxDim`×`maxDim` (aspect preserved, never upscales), re-encoded
+    * as PNG. None when the payload isn't a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int)
+      : Option[Array[Byte]] =
+    decodeImage(payload).map { img =>
+      val scale = math.min(1.0,
+        maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      if (scale >= 1.0) payload
+      else {
+        val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt))
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+
+  /** Deterministic synthetic PNG: a `w`×`h` gradient-plus-hash pattern
+    * seeded by `seed`, encoded through the real PNG writer — the test
+    * asset generator that lets the decode path run for real in a
+    * sandbox with no image files (and a handy fixture for any
+    * pipeline's unit tests).
+    */
+  def syntheticPng(seed: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = seed * 6364136223846793005L + (y.toLong * w + x) * 1442695040888963407L
+        val r = (((m >>> 33) & 0xff) + x * 255 / w) / 2
+        val g = (((m >>> 41) & 0xff) + y * 255 / h) / 2
+        val b = ((m >>> 49) & 0xff).toInt
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decoder for kinds with no codec in this sandbox (audio,
+    * video) and for image payloads no reader accepts: deterministic
+    * pseudo-dimensions from payload bytes. Replace with a real codec
+    * (e.g. via FFI) in production.
     */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload)
@@ -96,17 +198,53 @@ object Multimodal {
     c.getValue
   }
 
-  /** Per-partition feature extraction over a typed media Dataset. */
+  /** Per-partition feature extraction over a typed media Dataset:
+    * image payloads go through the REAL ImageIO decode (true
+    * dimensions + pixel embedding), audio/video through the stub.
+    */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     ds.mapPartitions { rows =>
-      // one kernel context per partition would be initialized here
+      // per-partition kernel context: ImageIO's default disk-backed
+      // stream cache costs a temp file per decode — keep it in memory
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (w, h, frames) = decodeStub(r.kind, r.payload)
-        MediaFeatures(r.media_id, r.kind, r.payload.length,
-          crc(r.payload), w, h, frames, embedStub(r.payload))
+        val decoded =
+          if (r.kind == "image") decodeImage(r.payload) else None
+        decoded match {
+          case Some(img) =>
+            MediaFeatures(r.media_id, r.kind, r.payload.length,
+              crc(r.payload), img.getWidth, img.getHeight, 1,
+              imageEmbedding(img))
+          case None =>
+            val (w, h, frames) = decodeStub(r.kind, r.payload)
+            MediaFeatures(r.media_id, r.kind, r.payload.length,
+              crc(r.payload), w, h, frames, embedStub(r.payload))
+        }
       }
     }
+  }
+
+  /** Synthetic image corpus: one REAL PNG per id, dimensions varying
+    * with the id — the sandbox's media bronze table. Production
+    * pipelines read binary columns straight off parquet; generating
+    * the payloads through the real PNG encoder lets the decode path
+    * prove itself end-to-end (encode → ImageIO decode → true dims +
+    * pixel embedding) without any image files in the container.
+    */
+  def syntheticImages(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import org.apache.spark.sql.Encoders.scalaLong
+    df.select(col(idCol).cast("long")).as[Long](scalaLong)
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          MediaRow(id, "image",
+            syntheticPng(id, w = 16 + (id % 17).toInt,
+              h = 12 + (id % 11).toInt),
+            s"""{"id":$id}""")
+        }
+      }
   }
 
   /** Build a typed media Dataset from any DataFrame with an id and a

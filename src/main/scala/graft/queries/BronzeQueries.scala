@@ -84,16 +84,17 @@ object BronzeQueries {
           col("value_p50_p95").getItem(1).as("value_p95"))
     },
 
-    // E11 — multimodal feature plumbing over binary payloads ([R]:
-    // kernels are deterministic stubs; shape/determinism asserted in
-    // MultimodalSpec). Documents' text bytes stand in for media blobs.
-    // The embedding array is hashed to a scalar for the grading
-    // harness (the typed API keeps the full array).
+    // E11 — multimodal features over binary payloads ([R]). The image
+    // leg is REAL: one synthetic PNG per document id (real PNG
+    // encoder), decoded by javax.imageio into true width/height and a
+    // pixel-derived grid-luminance embedding. Determinism + true-dims
+    // asserted in MultimodalSpec. The embedding array is hashed to a
+    // scalar for the grading harness (the typed API keeps the array).
     "mm_features" -> { (s, dir) =>
       import graft.operators.Multimodal
       Multimodal.extractFeatures(
-        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text",
-          kind = "image")).toDF()
+        Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
+        .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"), col("width"), col("height"), col("n_frames"),
           xxhash64(to_json(col("embedding"))).as("embedding_hash"))

@@ -38,6 +38,54 @@ class MultimodalSpec extends SparkSpec {
       f("video") should be >= 1
       f("audio") should be >= 1
     }
+    it("decodes REAL PNG payloads: true dimensions + pixel embedding") {
+      val media = Multimodal.syntheticImages(
+        Tables.documents(spark, sf).limit(40), "doc_id")
+      val feats = Multimodal.extractFeatures(media).collect()
+      feats.length shouldBe 40
+      // true dimensions, exactly as encoded (w = 16 + id%17, h = 12 + id%11)
+      feats.foreach { f =>
+        f.width shouldBe 16 + (f.media_id % 17).toInt
+        f.height shouldBe 12 + (f.media_id % 11).toInt
+        f.n_frames shouldBe 1
+        f.embedding.length shouldBe 8
+        // grid-luminance cells are means of 0..255 pixels
+        f.embedding.foreach { v =>
+          v should be >= 0.0f
+          v should be <= 255.0f
+        }
+      }
+      // content-sensitive: different images → different embeddings
+      feats.map(_.embedding.toSeq).toSet.size should be > 1
+    }
+    it("imageEmbedding reflects pixel content exactly") {
+      // a half-black / half-white image: left cells 0, right cells 255
+      val img = new java.awt.image.BufferedImage(8, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 4 until 8) img.setRGB(x, y, 0xffffff)
+      val e = Multimodal.imageEmbedding(img, gx = 4, gy = 2)
+      e.toSeq shouldBe Seq(0f, 0f, 255f, 255f, 0f, 0f, 255f, 255f)
+    }
+    it("resizeImage downscales for real and never upscales") {
+      val png = Multimodal.syntheticPng(7L, w = 64, h = 32)
+      val small = Multimodal.resizeImage(png, maxDim = 16).get
+      val dec = Multimodal.decodeImage(small).get
+      dec.getWidth shouldBe 16
+      dec.getHeight shouldBe 8 // aspect preserved
+      // already fits → unchanged payload
+      Multimodal.resizeImage(small, maxDim = 100).get
+        .toSeq shouldBe small.toSeq
+      // non-image bytes → None, not a crash
+      Multimodal.resizeImage(Array[Byte](1, 2, 3), 16) shouldBe None
+    }
+    it("undecodable image payloads fall back to the stub, not a crash") {
+      val rows = Seq(MediaRow(1L, "image", Array[Byte](9, 9, 9), "{}")).toDS()
+      val f = Multimodal.extractFeatures(rows).collect().head
+      f.width should be > 0 // stub dims
+      f.checksum shouldBe {
+        val c = new java.util.zip.CRC32(); c.update(Array[Byte](9, 9, 9)); c.getValue
+      }
+    }
     it("resize decimates deterministically; frame sampling is uniform") {
       val payload = Array.tabulate(1000)(i => (i % 127).toByte)
       val small = Multimodal.resizeStub(payload, 100)
