@@ -24,7 +24,14 @@ import graft.sources.{AtomicLake, CommitStore, HardlinkCommitStore}
   * The index params (shingle width, hash count, banding, seed) are
   * pinned in the index root and validated on every use — a batch
   * hashed under different params would silently produce an empty
-  * candidate set.
+  * candidate set. Params are committed through the same
+  * [[CommitStore]] claim primitive as the tables (version 1 of a
+  * params pseudo-table), so the index works unchanged on object
+  * stores, the params commit is atomic, and it happens BEFORE any
+  * table commit: no crash ordering can pair committed tables with
+  * absent params, and a rebuild under DIFFERENT params is refused
+  * loudly (delete the index root to change params — they describe
+  * every committed row, so changing them in place is a full rewrite).
   *
   * Scale notes: the band table is `bands` rows per document of three
   * longs; the sh table one row per document carrying its hash array.
@@ -41,24 +48,39 @@ object NearDupIndex {
 
   private def shRoot(root: String) = s"$root/sh"
   private def bandRoot(root: String) = s"$root/bands"
-  private def paramsPath(root: String) =
-    java.nio.file.Paths.get(root, "params.json")
+  private def paramsRoot(root: String) = s"$root/params"
 
-  private def writeParams(root: String, p: Params): Unit = {
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(root))
-    java.nio.file.Files.write(paramsPath(root),
-      s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed}}"""
-        .getBytes("UTF-8"))
-  }
+  private def paramsJson(p: Params): String =
+    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed}}"""
 
-  def readParams(root: String): Params = {
-    val s = new String(
-      java.nio.file.Files.readAllBytes(paramsPath(root)), "UTF-8")
+  private def parseParams(s: String): Params = {
     def field(k: String): Long =
       s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
     Params(field("shingleN").toInt, field("numHashes").toInt,
       field("bands").toInt, field("seed"))
+  }
+
+  /** Commit `p` as the index's immutable params (version 1 of the
+    * params pseudo-table) — or, when already committed, validate that
+    * the existing params MATCH and refuse loudly otherwise: every row
+    * in the index tables was hashed under the committed params, so a
+    * rebuild under different ones is a table rewrite, not an update.
+    */
+  private def claimParams(root: String, p: Params,
+      store: CommitStore): Unit =
+    if (!store.tryCommit(paramsRoot(root), 1L, paramsJson(p))) {
+      val existing = parseParams(store.readBody(paramsRoot(root), 1L))
+      require(existing == p,
+        s"index at $root is pinned to $existing; refusing to rebuild " +
+          s"with $p — delete the index root to change params")
+    }
+
+  def readParams(root: String,
+      store: CommitStore = HardlinkCommitStore): Params = {
+    val vs = store.listVersions(paramsRoot(root))
+    require(vs.nonEmpty, s"no near-dup index at $root: params never " +
+      "committed (build() writes them before any table data)")
+    parseParams(store.readBody(paramsRoot(root), vs.max))
   }
 
   /** The (doc_id, sorted shingle hashes) frame + its banded index for
@@ -70,8 +92,16 @@ object NearDupIndex {
         sort_array(Dedup.shingleHashes(col(textCol), p.shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
+    (sh, bandedFromSh(sh, p))
+  }
+
+  /** Band rows derived from a (doc_id, sh) frame — the sh table holds
+    * everything the band table is a function of, which is what makes
+    * [[repair]] possible without any source text.
+    */
+  private def bandedFromSh(sh: DataFrame, p: Params): DataFrame = {
     val rows = p.numHashes / p.bands
-    val banded = sh.select(col("doc_id"),
+    sh.select(col("doc_id"),
         MinHashLsh.signatureFromHashes(col("sh"), p.numHashes, p.seed)
           .as("sig"))
       .select(col("doc_id"), explode(array((0 until p.bands).map(b =>
@@ -79,12 +109,14 @@ object NearDupIndex {
           xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
             .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    (sh, banded)
   }
 
   /** Build (overwrite) the index for a corpus. `threshold` drives the
     * banding via [[MinHashLsh.autoBands]] exactly like the in-memory
     * operator, so candidate recall at the verify boundary matches.
+    * Params are claimed FIRST (atomic, refused on mismatch with an
+    * existing index): a crash at any later point leaves params that
+    * correctly describe whatever tables exist.
     */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       root: String, threshold: Double = 0.7, shingleN: Int = 3,
@@ -92,10 +124,10 @@ object NearDupIndex {
       store: CommitStore = HardlinkCommitStore): Params = {
     val p = Params(shingleN, numHashes,
       MinHashLsh.autoBands(numHashes, threshold), seed)
+    claimParams(root, p, store)
     val (sh, banded) = frames(corpus, idCol, textCol, p)
     AtomicLake.overwrite(sh, shRoot(root), store = store)
     AtomicLake.overwrite(banded, bandRoot(root), store = store)
-    writeParams(root, p)
     p
   }
 
@@ -107,7 +139,7 @@ object NearDupIndex {
   def pairsAgainstIndex(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, root: String, threshold: Double,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
-    val p = readParams(root)
+    val p = readParams(root, store)
     val (shB, bandedB) = frames(batch, idCol, textCol, p)
     val bandedIdx = AtomicLake.read(spark, bandRoot(root), store)
     val shIdx = AtomicLake.read(spark, shRoot(root), store)
@@ -135,14 +167,85 @@ object NearDupIndex {
     * tables (one atomic commit per table — the two commits are not
     * atomic TOGETHER; a reader between them sees the batch's hashes
     * but not yet its buckets, which can only UNDER-generate candidates
-    * for that reader, never corrupt results; re-run the dedup after
-    * the append lands when exactness across the boundary matters).
+    * for that reader, never corrupt results).
+    *
+    * IDEMPOTENT: doc ids already in the sh table are skipped, so a
+    * retry after a partial failure (sh landed, bands didn't; process
+    * died mid-append) never duplicates rows — the retry appends
+    * nothing to sh and [[repair]]/the band append completes the pair.
+    * The skip is an anti join against the sh table's id column only
+    * (column pruning keeps the hash arrays out of the exchange).
+    *
+    * Detection for the straddle window is mechanical: [[versionPair]]
+    * (cheap — after build both tables are at v1 and each append
+    * commits sh then bands exactly once, so bands ∈ {sh, sh-1};
+    * equality means no append is mid-flight or torn) and
+    * [[missingBandDocs]] (exact — the doc ids affected). Returns the
+    * committed (shVersion, bandsVersion) pair.
     */
   def append(batch: DataFrame, idCol: String, textCol: String,
-      root: String, store: CommitStore = HardlinkCommitStore): Unit = {
-    val p = readParams(root)
-    val (sh, banded) = frames(batch, idCol, textCol, p)
-    AtomicLake.append(sh, shRoot(root), store = store)
-    AtomicLake.append(banded, bandRoot(root), store = store)
+      root: String, store: CommitStore = HardlinkCommitStore)
+      : (Long, Long) = {
+    val p = readParams(root, store)
+    val spark = batch.sparkSession
+    val existing = AtomicLake.read(spark, shRoot(root), store)
+      .select(col("doc_id"))
+    val (sh, banded) = frames(
+      batch.join(existing, batch(idCol) === existing("doc_id"),
+        "left_anti"),
+      idCol, textCol, p)
+    // heal a previous torn append BEFORE committing new rows, so the
+    // band rows this call derives are exactly its own batch's
+    repair(spark, root, store)
+    val shV = AtomicLake.append(sh, shRoot(root), store = store)
+    val bandV = AtomicLake.append(banded, bandRoot(root), store = store)
+    (shV, bandV)
+  }
+
+  /** Current (shVersion, bandsVersion) of the index — the mechanical
+    * consistency probe for the append straddle window: the protocol
+    * commits sh before bands, one commit each, so a reader seeing
+    * shVersion == bandsVersion knows no append is torn or mid-flight;
+    * shVersion == bandsVersion + 1 is exactly the documented
+    * hashes-but-no-buckets window (run [[repair]], or re-read).
+    */
+  def versionPair(root: String,
+      store: CommitStore = HardlinkCommitStore): (Long, Long) =
+    (AtomicLake.currentVersion(shRoot(root), store).getOrElse(0L),
+      AtomicLake.currentVersion(bandRoot(root), store).getOrElse(0L))
+
+  /** Doc ids present in the sh table but absent from the band table —
+    * the EXACT rows a torn append left invisible to candidate
+    * generation (they verify fine once candidates name them, but
+    * never bucket). Empty on a consistent index.
+    */
+  def missingBandDocs(spark: SparkSession, root: String,
+      store: CommitStore = HardlinkCommitStore): DataFrame = {
+    val sh = AtomicLake.read(spark, shRoot(root), store)
+    val bands = AtomicLake.read(spark, bandRoot(root), store)
+      .select(col("doc_id")).distinct()
+    sh.select(col("doc_id")).join(bands, Seq("doc_id"), "left_anti")
+  }
+
+  /** Regenerate the band rows a torn append failed to commit: the sh
+    * table stores the full hash arrays the band table is a pure
+    * function of, so repair reads NO source text — it bands exactly
+    * the [[missingBandDocs]] rows and appends them in one commit.
+    * Returns the number of docs repaired (0 on a consistent index,
+    * with no commit made).
+    */
+  def repair(spark: SparkSession, root: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val p = readParams(root, store)
+    val bandIds = AtomicLake.read(spark, bandRoot(root), store)
+      .select(col("doc_id")).distinct()
+    val orphans = AtomicLake.read(spark, shRoot(root), store)
+      .join(bandIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = orphans.count()
+    if (n > 0)
+      AtomicLake.append(bandedFromSh(orphans, p), bandRoot(root),
+        store = store)
+    n
   }
 }

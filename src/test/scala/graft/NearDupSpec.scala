@@ -113,6 +113,81 @@ class NearDupSpec extends SparkSpec {
         .filter(F.size(Dedup.shingleHashes($"text", 3)) > 0).count()
       selfMatches.agg(F.min($"jaccard")).as[Double].head() shouldBe 1.0
     }
+    it("params commit through the store: catalog round-trip, mismatch refused") {
+      import graft.operators.NearDupIndex
+      import graft.sources.{CatalogCommitStore, CommitCatalog}
+      import org.apache.spark.sql.{functions => F}
+      val docs = Tables.documents(spark, sf).limit(60)
+      val root = "/root/repo/target/test-scratch/neardup_catalog"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      // an OBJECT-STORE commit store end-to-end: params + both tables
+      // go through catalog claims, no create-exclusive/link anywhere
+      val store = new CatalogCommitStore(new CommitCatalog)
+      NearDupIndex.build(docs, "doc_id", "text", root,
+        threshold = 0.5, store = store)
+      val probe = docs.limit(8)
+      val self = NearDupIndex.pairsAgainstIndex(spark, probe,
+          "doc_id", "text", root, threshold = 0.5, store = store)
+        .filter($"id1" === $"id2")
+      self.count() shouldBe probe
+        .filter(F.size(Dedup.shingleHashes($"text", 3)) > 0).count()
+      // rebuild under the SAME params is allowed…
+      noException should be thrownBy NearDupIndex.build(docs,
+        "doc_id", "text", root, threshold = 0.5, store = store)
+      // …but different params (0.9 → different banding) are refused:
+      // committed rows were hashed under the pinned params
+      an[IllegalArgumentException] should be thrownBy
+        NearDupIndex.build(docs, "doc_id", "text", root,
+          threshold = 0.9, store = store)
+    }
+    it("a torn append is detectable, repairable, and retry-idempotent") {
+      import graft.operators.NearDupIndex
+      import graft.sources.AtomicLake
+      import org.apache.spark.sql.{functions => F}
+      val docs = Tables.documents(spark, sf)
+      val base = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(10)) === 0).limit(20)
+      val root = "/root/repo/target/test-scratch/neardup_torn"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      NearDupIndex.build(base, "doc_id", "text", root, threshold = 0.5)
+      NearDupIndex.versionPair(root) shouldBe ((1L, 1L))
+      // simulate the documented crash window: the batch's sh rows
+      // commit, the process dies before the bands commit
+      val tornSh = batch.select($"doc_id",
+        sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+        .filter(F.size($"sh") > 0)
+      val tornIds = tornSh.select($"doc_id").as[Long].collect().toSet
+      AtomicLake.append(tornSh, s"$root/sh")
+      // mechanical detection: version pair off by one, exact doc set
+      val (shV, bandV) = NearDupIndex.versionPair(root)
+      shV shouldBe bandV + 1
+      NearDupIndex.missingBandDocs(spark, root)
+        .as[Long].collect().toSet shouldBe tornIds
+      // the retry of the SAME append duplicates nothing (anti join)
+      // and heals the torn window before committing
+      NearDupIndex.append(batch, "doc_id", "text", root)
+      AtomicLake.read(spark, s"$root/sh")
+        .groupBy($"doc_id").count().filter($"count" > 1)
+        .count() shouldBe 0L
+      NearDupIndex.missingBandDocs(spark, root).count() shouldBe 0L
+      // …and the once-torn rows now generate candidates: a shifted
+      // re-delivery of the batch matches its originals through the
+      // index alone
+      val redelivery = batch.select(($"doc_id" + 2000000L).as("doc_id"),
+        $"text")
+      NearDupIndex.pairsAgainstIndex(spark, redelivery, "doc_id",
+          "text", root, threshold = 0.5)
+        .filter($"id2" === $"id1" + 2000000L)
+        .count() shouldBe tornIds.size.toLong
+      // standalone repair on a consistent index is a no-op commit-wise
+      NearDupIndex.repair(spark, root) shouldBe 0L
+      val pair = NearDupIndex.versionPair(root)
+      pair._1 shouldBe pair._2
+    }
   }
 
   describe("SimHash") {
