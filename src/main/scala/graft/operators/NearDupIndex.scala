@@ -75,6 +75,13 @@ object NearDupIndex {
           s"with $p — delete the index root to change params")
     }
 
+  /** Whether an index exists at `root` — i.e. its params committed
+    * (which [[build]] guarantees happens before any table data).
+    */
+  def exists(root: String,
+      store: CommitStore = HardlinkCommitStore): Boolean =
+    store.listVersions(paramsRoot(root)).nonEmpty
+
   def readParams(root: String,
       store: CommitStore = HardlinkCommitStore): Params = {
     val vs = store.listVersions(paramsRoot(root))

@@ -62,6 +62,56 @@ object StreamingLake {
         }
       }
 
+  /** Crawl-ingest sink: the composition of the ACID lake (G11) and
+    * the persistent near-dup index (G18). Every micro-batch of
+    * (id, text) documents (1) builds-or-appends the LSH index at
+    * `indexRoot` — so the NEXT batch, or any concurrent dedup job,
+    * can near-dedup against everything ingested so far without ever
+    * re-reading corpus text — and (2) lands the documents themselves
+    * in an AtomicLake table at `docsRoot`, one snapshot commit per
+    * batch.
+    *
+    * Replay-safe without coupling the two tables: the index append is
+    * idempotent by doc id internally, and the docs append anti-joins
+    * the docs table's OWN ids (keys-only, column-pruned scan) — so a
+    * redelivered micro-batch, or a crash between the index and docs
+    * commits, converges on retry with no duplicates in either table.
+    * The index is updated FIRST: its torn-append window is
+    * mechanically detectable and self-healing
+    * ([[graft.operators.NearDupIndex.repair]]), whereas a docs-first
+    * ordering would leave silently-unindexed documents on a crash.
+    */
+  def ingestWithIndexSink(stream: DataFrame, idCol: String,
+      textCol: String, docsRoot: String, indexRoot: String,
+      checkpoint: String, threshold: Double = 0.7,
+      store: graft.sources.CommitStore = graft.sources.HardlinkCommitStore)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.NearDupIndex
+          import graft.sources.AtomicLake
+          if (NearDupIndex.exists(indexRoot, store))
+            NearDupIndex.append(batch, idCol, textCol, indexRoot, store)
+          else
+            NearDupIndex.build(batch, idCol, textCol, indexRoot,
+              threshold, store = store)
+          val fresh =
+            if (AtomicLake.currentVersion(docsRoot, store).isEmpty) batch
+            else {
+              val landed = AtomicLake.read(batch.sparkSession, docsRoot,
+                store).select(idCol)
+              batch.join(landed, batch(idCol) === landed(idCol),
+                "left_anti")
+            }
+          if (!fresh.isEmpty) {
+            AtomicLake.append(fresh, docsRoot, store = store)
+            ()
+          }
+        }
+      }
+
   /** Convenience: start with a processing-time trigger. */
   def start(stream: DataFrame, path: String, checkpoint: String,
       trigger: Trigger, partitionCols: String*): StreamingQuery =

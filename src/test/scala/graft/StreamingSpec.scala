@@ -193,6 +193,50 @@ class StreamingSpec extends SparkSpec {
         AtomicLake.read(spark, lake, store).count() shouldBe 2
       } finally q.stop()
     }
+    it("crawl ingest maintains the near-dup index; a probe sees every batch") {
+      implicit val sqlCtx = spark.sqlContext
+      import graft.operators.NearDupIndex
+      import graft.sources.AtomicLake
+      val docsRoot = "/root/repo/target/test-scratch/stream_crawl_docs"
+      val idxRoot = "/root/repo/target/test-scratch/stream_crawl_idx"
+      val ck = "/root/repo/target/test-scratch/stream_crawl_ck"
+      Seq(docsRoot, idxRoot, ck).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      def doc(i: Long) = s"stream document number $i carrying distinct " +
+        s"words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+      val in = MemoryStream[(Long, String)]
+      val stream = in.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.StreamingLake.ingestWithIndexSink(stream,
+        "doc_id", "text", docsRoot, idxRoot, ck, threshold = 0.5).start()
+      try {
+        in.addData((1L, doc(1)), (2L, doc(2)))
+        q.processAllAvailable()
+        in.addData((3L, doc(3)), (4L, doc(4)))
+        q.processAllAvailable()
+        in.addData((5L, doc(5)))
+        q.processAllAvailable()
+        // after 3 micro-batches, a probe through the INDEX (no corpus
+        // text read) matches a shifted redelivery of every batch's
+        // docs — and nothing else at this threshold
+        val redelivery = Seq.tabulate(5)(i =>
+          (101L + i, doc(1L + i))).toDF("doc_id", "text")
+        val pairs = NearDupIndex.pairsAgainstIndex(spark, redelivery,
+          "doc_id", "text", idxRoot, threshold = 0.5)
+        pairs.filter($"id2" === $"id1" + 100L).count() shouldBe 5L
+        pairs.count() shouldBe 5L
+        AtomicLake.read(spark, docsRoot).count() shouldBe 5L
+        // a redelivered micro-batch duplicates nothing in either table
+        in.addData((3L, doc(3)), (4L, doc(4)))
+        q.processAllAvailable()
+        AtomicLake.read(spark, docsRoot).count() shouldBe 5L
+        AtomicLake.read(spark, s"$idxRoot/sh")
+          .groupBy($"doc_id").count().filter($"count" > 1)
+          .count() shouldBe 0L
+        NearDupIndex.missingBandDocs(spark, idxRoot).count() shouldBe 0L
+        val vp = NearDupIndex.versionPair(idxRoot)
+        vp._1 shouldBe vp._2
+      } finally q.stop()
+    }
   }
 
   describe("StatefulSessions") {
