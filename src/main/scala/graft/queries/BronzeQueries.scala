@@ -47,12 +47,16 @@ object BronzeQueries {
       val scratchPath = new org.apache.hadoop.fs.Path(scratch)
       scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(scratchPath, true)
-      val fact = Silver.buildFactEvents(Tables.events(s, dir),
-        Tables.customer(s, dir), Tables.nation(s, dir))
-      // 4 files/partition keeps write parallelism on the full-history
-      // batch; the single-day re-upsert defaults to one file.
+      // the memoized silver fact: a real pipeline upserts from the
+      // MATERIALIZED fact table, not by re-deriving the 3-way join
+      // once per upsert — and so does this query (both upserts below
+      // read the same cached frame)
+      val fact = Silver.factEventsCached(s, dir)
+      // 2 files/partition exercises the multi-file-per-partition path
+      // (write parallelism itself comes from the shuffle partitions,
+      // not the file count); the single-day re-upsert defaults to one.
       graft.sources.AtomicLake.upsertPartitions(fact, scratch,
-        Seq("partition_date"), filesPerPartition = 4)
+        Seq("partition_date"), filesPerPartition = 2)
       graft.sources.AtomicLake.upsertPartitions(
         fact.filter(col("partition_date") === lit("2024-01-05").cast("date")),
         scratch, Seq("partition_date"))

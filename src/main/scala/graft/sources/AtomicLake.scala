@@ -149,9 +149,23 @@ object AtomicLake {
         PartitionedLake.distributeForWrite(batch, partitionCols,
           filesPerPartition)
       else batch.repartition(filesPerPartition)
-    val writer = distributed.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-     else writer).parquet(staging.toString)
+    // The staging write runs with AQE off: its exchange is an EXPLICIT
+    // repartition chosen for file-count control, so AQE has nothing to
+    // improve — it only splits shuffle and write into two sequential
+    // jobs (doubling the per-commit scheduling cost that dominates
+    // small incremental upserts) and its partition coalescing could
+    // silently defeat filesPerPartition. Session-scoped save/restore:
+    // a concurrent query on the SAME session during this write loses
+    // AQE for that window (harmless — plans stay correct).
+    val spark = batch.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val writer = distributed.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(staging.toString)
+    } finally spark.conf.set(aqeKey, aqeWas)
     // move staged parquet into data/<partition>/<commit>-<file>
     val staged = Files.walk(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
