@@ -333,6 +333,53 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[idPairsWithCard]] with the pair and its cardinalities PACKED
+    * into one long each: pk = (id1 << 32) | id2, nc = (n1 << 32) | n2
+    * — so the downstream pair aggregation keys a single 8-byte long
+    * (the round-7 shape experiment for the dedup_jaccard agg; see the
+    * measured-alternatives note at
+    * [[graft.operators.Dedup.ngramJaccard]]). Contract: ids and
+    * cardinalities must fit in unsigned 32 bits (checked loudly) —
+    * the unpacked [[idPairsWithCard]] remains the general form.
+    */
+  def idPairsPacked(idsArr: ArrayData, nsArr: ArrayData,
+      threshold: Double): ArrayData = {
+    val n = idsArr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (n > 65536)
+      throw new IllegalArgumentException(
+        s"idPairsPacked: posting list of $n ids would emit ${n.toLong * (n - 1) / 2} pairs; " +
+          "run LSH first and verify survivors only")
+    val ids = idsArr.toLongArray()
+    val ns = nsArr.toLongArray()
+    var k = 0
+    while (k < n) {
+      if ((ids(k) >>> 32) != 0 || (ns(k) >>> 32) != 0)
+        throw new IllegalArgumentException(
+          "idPairsPacked needs ids and cardinalities < 2^32; " +
+            "use idPairsWithCard for 64-bit ids")
+      k += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val lo = math.min(ns(i), ns(j))
+        val hi = math.max(ns(i), ns(j))
+        if (lo.toDouble >= threshold * hi.toDouble) {
+          val (a, b) = if (ids(i) < ids(j)) (i, j) else (j, i)
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              (ids(a) << 32) | ids(b), (ns(a) << 32) | ns(b)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Engine-portable 60-bit SimHash over a token array: each token is
     * hashed with TWO polynomial rolling hashes over its printable-
     * ASCII projection (base 131 mod 1e9+7 and base 137 mod 998244353,
@@ -765,6 +812,16 @@ object NativeKernels extends Serializable {
 
   def idPairsWithCardCol(ids: Column, ns: Column, threshold: Double): Column =
     invoke("idPairsWithCard", ArrayType(idPairCardType, containsNull = false),
+      Seq(ids, ns, org.apache.spark.sql.functions.lit(threshold)),
+      Seq(ArrayType(LongType), ArrayType(LongType), DoubleType))
+
+  /** struct<pk,nc> element type of [[idPairsPacked]] output. */
+  val idPairPackedType: DataType = StructType(Seq(
+    StructField("pk", LongType, nullable = false),
+    StructField("nc", LongType, nullable = false)))
+
+  def idPairsPackedCol(ids: Column, ns: Column, threshold: Double): Column =
+    invoke("idPairsPacked", ArrayType(idPairPackedType, containsNull = false),
       Seq(ids, ns, org.apache.spark.sql.functions.lit(threshold)),
       Seq(ArrayType(LongType), ArrayType(LongType), DoubleType))
 

@@ -85,13 +85,15 @@ object Dedup {
     * [[MinHashLsh]] first, this operator on survivors only.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      packedIds: Boolean = true): DataFrame = {
     // ONE corpus scan: hash the shingles once (8-byte join keys — see
     // [[shingleHashes]]), and let every posting row carry its doc's
     // shingle cardinality, so the Jaccard denominator needs no
     // doc-cardinality join later (at corpus scale that join's build
     // side is corpus-sized and does not broadcast). Ids must be
-    // castable to long (the pair kernel works in primitive longs).
+    // castable to long; the default packed path additionally needs
+    // them < 2^32 (refused loudly — pass packedIds=false past that).
     val sh = df
       .select(col(idCol).cast("long").as("doc_id"),
         shingleHashes(col(textCol), n).as("shs"))
@@ -118,28 +120,49 @@ object Dedup {
     // spills like any hash agg at scale.
     // Round-6 stage profile (min-of-3, quiet local[32]): scan+explode
     // 0.43s, +postings group 0.62s, +pair emission 0.76s, +pair agg
-    // 1.67s full — the agg IS the remaining cost. Shrinking its shape
-    // does not help: packing (id,n) into one long per side (2-long
-    // key, count-only agg, no first() carriers) measured 1.66s;
-    // grouping on all four keys 2.93s. The gap vs DuckDB is the
-    // per-row constant of one ~1M-row hash exchange, not plan shape —
-    // fixed task overheads amortize with bigger partitions at scale,
-    // and the operator's 100-TB role stays verify-tier (LSH first).
+    // 1.67s full — the agg IS the remaining cost. Round-7 shape
+    // result: packing the PAIR into one long (pk = id1<<32 | id2) and
+    // the cardinalities into another (nc) so the agg keys (pk, nc)
+    // with a count-only aggregate measured 1.29s vs 1.42s unpacked
+    // (isolated min-of-3 A/B) — adopted below as the default
+    // `packedIds` path (kernel refuses ids >= 2^32 loudly; pass
+    // packedIds=false for 64-bit ids). Earlier negatives stand:
+    // (id,n)-per-side 2-long key 1.66s, four-key grouping 2.93s,
+    // separate cardinality table +0.3s, mapPartitions run-length
+    // +0.4s, struct collect_list 8×. The remaining gap vs DuckDB is
+    // the per-row constant of one ~1M-row hash exchange, not plan
+    // shape — fixed task overheads amortize with bigger partitions at
+    // scale, and the operator's 100-TB role stays verify-tier (LSH
+    // first); this item is closed as shape-optimal.
     // Skew contract: a posting list of g ids emits g² pairs inside one
     // task — bounded by the kernel at 64k ids (it raises; a corpus
     // with stopword-grade shingles belongs on the LSH path first, per
     // the operator's documented verify-tier role).
-    val counted = sh.groupBy(col("shingle"))
-      // two PARALLEL long lists (same agg = same row order), not a
-      // struct list: collect_list over structs allocates a row per
-      // element — measured 8× slower to collect and serialize
+    // two PARALLEL long lists (same agg = same row order), not a
+    // struct list: collect_list over structs allocates a row per
+    // element — measured 8× slower to collect and serialize
+    val postings = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ids"),
         collect_list(col("n_sh")).as("ns"))
-      .select(explode(graft.expressions.NativeKernels
-        .idPairsWithCardCol(col("ids"), col("ns"), threshold)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .agg(count(lit(1)).as("inter"), first(col("p.n1")).as("n1"),
-        first(col("p.n2")).as("n2"))
+    val counted =
+      if (packedIds) {
+        val g = postings
+          .select(explode(graft.expressions.NativeKernels
+            .idPairsPackedCol(col("ids"), col("ns"), threshold)).as("p"))
+          .groupBy(col("p.pk").as("pk"), col("p.nc").as("nc"))
+          .agg(count(lit(1)).as("inter"))
+        g.select(shiftrightunsigned(col("pk"), 32).as("id1"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
+          col("inter"),
+          shiftrightunsigned(col("nc"), 32).as("n1"),
+          col("nc").bitwiseAND(lit(0xffffffffL)).as("n2"))
+      } else
+        postings
+          .select(explode(graft.expressions.NativeKernels
+            .idPairsWithCardCol(col("ids"), col("ns"), threshold)).as("p"))
+          .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+          .agg(count(lit(1)).as("inter"), first(col("p.n1")).as("n1"),
+            first(col("p.n2")).as("n2"))
     val jac = col("inter").cast("double") /
       (col("n1") + col("n2") - col("inter")).cast("double")
     counted

@@ -54,6 +54,24 @@ class NearDupSpec extends SparkSpec {
       // LSH at j>=0.8 with 16x4 banding: miss probability < 1e-8
       lsh shouldBe exact
     }
+    it("packed pair path equals the unpacked form row for row") {
+      val docs = Tables.documents(spark, sf)
+      def rows(packed: Boolean) =
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5,
+            packedIds = packed)
+          .select("id1", "id2", "inter", "n1", "n2")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      rows(true) shouldBe rows(false)
+      // the packed kernel refuses 64-bit ids loudly instead of
+      // silently corrupting the pair key
+      val big = docs.limit(4).select(
+        ($"doc_id" + (1L << 33)).as("doc_id"), $"text")
+      an[Exception] should be thrownBy
+        Dedup.ngramJaccard(big, "doc_id", "text", 3, 0.5).count()
+      // …and the unpacked path handles them
+      Dedup.ngramJaccard(big, "doc_id", "text", 3, 0.5,
+        packedIds = false).count()
+    }
     it("cross-corpus nearDuplicatesAgainst equals the brute-force cross join") {
       val docs = Tables.documents(spark, sf)
       val base = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
