@@ -58,12 +58,16 @@ class PlanHygieneSpec extends SparkSpec {
       scans(SparkEntry.queries("dedup_minhash")(spark, sf)) shouldBe empty
       scans(SparkEntry.queries("dedup_cross")(spark, sf)) shouldBe empty
     }
-    it("text_contamination broadcasts only the bench shingle set") {
+    it("text_contamination broadcasts only the (count-guarded) bench shingle set") {
       val q = SparkEntry.queries("text_contamination")(spark, sf)
       val plan = q.queryExecution.sparkPlan.toString
-      plan should include("BroadcastHashJoin") // bounded bench side
-      // two scans of documents: one builds the bench set, one the corpus
-      scans(q).length shouldBe 2
+      // at test SF the measured bench count is under the guard bound,
+      // so the materialized bench set broadcasts (past the bound the
+      // same query plans a shuffle join instead — round-7 guard)
+      plan should include("BroadcastHashJoin")
+      // ONE corpus scan in the main plan: the bench side was built and
+      // checkpointed at construction (its scan ran inside that job)
+      scans(q).length shouldBe 1
     }
   }
 
