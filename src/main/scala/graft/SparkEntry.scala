@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.GeoQueries.queries ++
       graft.queries.BronzeQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.GeoQueries.oracles ++
       graft.queries.BronzeQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

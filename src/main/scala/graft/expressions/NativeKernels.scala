@@ -478,6 +478,39 @@ object NativeKernels extends Serializable {
     inter
   }
 
+  // ---- Bloom filter ------------------------------------------------
+
+  /** Kirsch–Mitzenmacher double hashing: probe position i is
+    * (h1 + i·h2) mod m with h1/h2 independent XXH64 hashes of the
+    * key (h2 forced odd). Shared by the builder
+    * ([[graft.operators.Bloom.build]]) and the probe kernel — both
+    * sides MUST derive positions identically.
+    */
+  def bloomHash1(key: Long): Long = XXH64.hashLong(key, 0x62100f11L)
+  def bloomHash2(key: Long): Long = XXH64.hashLong(key, 0x5eedca7aL) | 1L
+
+  /** Membership probe against a bloom bit array (m = 64·bits.length).
+    * False ⇒ the key was NEVER inserted (no false negatives); true ⇒
+    * possibly present, verify exactly. Runs as a native loop from
+    * generated code; the bit array ships in the plan as a literal
+    * (the IVF centroid-literal contract — O(m) plan payload, bounded
+    * at build time).
+    */
+  def bloomMightContain(key: Long, bits: ArrayData, k: Int): Boolean = {
+    val m = bits.numElements().toLong << 6
+    var h = bloomHash1(key)
+    val h2 = bloomHash2(key)
+    var i = 0
+    while (i < k) {
+      val pos = (h & Long.MaxValue) % m
+      if ((bits.getLong((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L)
+        return false
+      h += h2
+      i += 1
+    }
+    true
+  }
+
   // ---- Text --------------------------------------------------------
 
   /** Per-word token counts in ONE pass over the text: splits on the
@@ -855,6 +888,12 @@ object NativeKernels extends Serializable {
     invoke("wordShingles", ArrayType(StringType, containsNull = false),
       Seq(tokens, org.apache.spark.sql.functions.lit(n)),
       Seq(ArrayType(StringType), IntegerType))
+
+  def bloomMightContainCol(key: Column, bits: Array[Long], k: Int): Column =
+    invoke("bloomMightContain", BooleanType,
+      Seq(key, org.apache.spark.sql.functions.typedlit(bits),
+        org.apache.spark.sql.functions.lit(k)),
+      Seq(LongType, ArrayType(LongType), IntegerType))
 
   /** The ring struct type shared by GeoFns and the bbox-pruning rule. */
   val ringType: DataType = ArrayType(

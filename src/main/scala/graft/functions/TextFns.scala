@@ -162,4 +162,31 @@ object TextFns {
     aggregate(codes, lit(0L),
       (h, code) => (h * lit(131L) + code) % lit(1000000007L))
   }
+
+  // ---- URL parsing (web-crawl curation) ----------------------------
+  // Plain RE2-safe regexes rather than Spark's parse_url so the exact
+  // extraction replays in any engine (the oracle runs the same
+  // patterns in DuckDB). Codegen'd, map-side.
+
+  /** Host (authority) of an absolute URL: `scheme://HOST[/…]`. */
+  def urlHost(u: Column): Column =
+    regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Path component (may be empty): everything after the authority
+    * up to `?` or `#`.
+    */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Value of a single query parameter (empty when absent). */
+  def urlQueryParam(u: Column, key: String): Column =
+    regexp_extract(u, "[?&]" + key + "=([^&#]*)", 1)
+
+  /** Registered-domain heuristic: the last two dot-labels of the
+    * host (`a.b.example.com` → `example.com`). Public-suffix-list
+    * accuracy is out of scope; the two-label rule is the standard
+    * blocklist granularity for curation.
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over document text: segment-level
+  * boilerplate removal (the line-dedup pass of web-crawl pipelines,
+  * e.g. RefinedWeb/CCNet remove lines that repeat across many pages)
+  * and TF-IDF salient-term extraction.
+  *
+  * The synthetic corpus is single-line text, so a "line" is
+  * generalized to a fixed-width k-token segment — the operator shape
+  * (global segment document-frequency → drop segments above a df
+  * threshold → reassemble documents) is identical, and on real
+  * multi-line data callers pass `split(text, '\n')` segments instead.
+  *
+  * Scale notes (100 TB):
+  *  - the df aggregation exchanges only (segment-hash, doc-id) pairs
+  *    (16 B/row), never segment text;
+  *  - the boilerplate set (df >= threshold) is tiny next to the
+  *    corpus; it broadcasts under a measured count guard so tagging
+  *    segments is map-side, with a shuffle-join fallback past the
+  *    bound (same discipline as text_contamination's bench set);
+  *  - document reassembly is the single corpus-sized exchange,
+  *    keyed by doc id.
+  */
+object Curation {
+
+  /** Non-empty whitespace tokens. */
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Consecutive non-overlapping k-token segments of a document; the
+    * trailing partial segment is kept. Empty documents yield an empty
+    * array (no segments), matching `range(ceil(0/k)) = []` semantics.
+    */
+  def segments(text: Column, k: Int): Column = {
+    val w = toks(text)
+    val nseg = floor((size(w) + lit(k - 1)).cast("double") / k).cast("int")
+    when(size(w) === 0, typedLit(Array.empty[String]))
+      .otherwise(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(w, i * k + 1, lit(k)), " ")))
+  }
+
+  /** Remove segments whose document frequency reaches `maxDf` and
+    * reassemble each document from its kept segments (in order).
+    * Output: (idCol, n_segments, n_removed, clean_text). Documents
+    * with no segments (empty text) are dropped; documents whose every
+    * segment is boilerplate keep an empty clean_text.
+    *
+    * Segments are matched by xxhash64 — two distinct segments collide
+    * with probability ~n²/2^65 (the dedup_jaccard hash-join contract).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDf: Int = 3, cleanName: String = "clean_text",
+      broadcastBound: Long = 2000000L): DataFrame = {
+    val seg = df
+      .select(col(idCol), posexplode(segments(col(textCol), k))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_h", xxhash64(col("seg")))
+    // keys-only df count: the exchange carries (hash, id), not text
+    val boiler = seg.groupBy(col("seg_h"))
+      .agg(countDistinct(col(idCol)).as("seg_df"))
+      .filter(col("seg_df") >= maxDf)
+      .select(col("seg_h"), lit(1).as("__boiler"))
+      .localCheckpoint(eager = true)
+    val boilerSide =
+      if (boiler.count() <= broadcastBound) broadcast(boiler) else boiler
+    seg.join(boilerSide, Seq("seg_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_segments"),
+        count(col("__boiler")).cast("int").as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as(cleanName))
+  }
+
+  /** Top-k salient terms per document by tf-idf. The idf factor is
+    * the raw ratio n_docs/df rather than its logarithm: ln is not an
+    * IEEE exactly-rounded operation, so log-weighted scores cannot be
+    * hash-gated across engines (SURVEY §6 FP policy); the ratio
+    * variant keeps every arithmetic step exact-then-one-rounding and
+    * preserves the "rarer term, higher weight" ordering for fixed tf.
+    *
+    * One token exchange builds tf (doc,term) partial-aggregated; df
+    * reuses tf (one row per (doc,term) already); n_docs joins in as a
+    * broadcast 1-row aggregate — no driver action.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol), explode(toks(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"),
+        col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
+        col("score"))
+  }
+}

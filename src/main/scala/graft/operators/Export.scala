@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-corpus export: shard assignment and the
+  * concat-and-chunk sequence-packing manifest.
+  *
+  * Training exports need the SAME shard layout and sequence
+  * boundaries from every engine and every re-run — a retry that
+  * reshuffles documents between shards invalidates downstream
+  * checkpoint bookkeeping. Shard assignment therefore reuses the
+  * md5-bucket portable hash ([[Sampling.hashBucket]]), and packing is
+  * pure integer arithmetic over a per-shard running token sum:
+  * documents are conceptually concatenated in doc-id order and split
+  * at fixed token-budget boundaries (the standard pack-then-chunk LM
+  * pretraining shape), so a document's sequence span is
+  * `floor(start/budget) .. floor((end-1)/budget)`.
+  *
+  * Scale notes (100 TB): shard assignment is map-side (no shuffle);
+  * the manifest's only exchange is the per-shard window sort, which
+  * partitions by shard — nShards tasks, each sorting its own shard's
+  * (id, n_tokens) pairs (16 B/row, never text). The physical write
+  * routes whole shards to tasks so each shard is one file run.
+  */
+object Export {
+
+  /** Stable shard in [0, nShards) — engine-portable md5 bucket. */
+  def shardOf(key: Column, nShards: Int): Column =
+    Sampling.hashBucket(key, nShards).cast("int")
+
+  /** Per-document packing manifest: (idCol, shard, n_tokens,
+    * start_tok, seq_first, seq_last) where start_tok is the
+    * document's offset in its shard's concatenated token stream and
+    * seq_first/seq_last the budget-sized training sequences it spans.
+    * Zero-token documents occupy no span (seq_last = seq_first at
+    * their boundary). All arithmetic is integral (`div`), exact at
+    * any corpus size.
+    */
+  def packingManifest(df: DataFrame, idCol: String, tokensCol: Column,
+      nShards: Int = 8, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), shardOf(col(idCol), nShards).as("shard"),
+        tokensCol.cast("int").as("n_tokens"))
+      .withColumn("cum_tok", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("start_tok", col("cum_tok") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_tok div $budget"))
+      .withColumn("seq_last",
+        when(col("n_tokens") === 0, col("seq_first"))
+          .otherwise(expr(s"(cum_tok - 1) div $budget")))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("start_tok"), col("seq_first"), col("seq_last"))
+  }
+
+  /** Write the corpus as one parquet directory per shard
+    * (`path/shard=N/`), rows within a shard in ascending id order,
+    * each shard written by exactly one task (one file run per shard).
+    * Idempotent: a re-run produces the identical shard layout.
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    df.withColumn("shard", shardOf(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

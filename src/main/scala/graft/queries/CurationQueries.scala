@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Bloom, Curation, Export}
+import graft.sources.Tables
+
+/** Corpus-curation & export query family (SURVEY.md §2 H1-H5):
+  * segment-level boilerplate removal, TF-IDF salient terms,
+  * deterministic shard/packing manifest, bloom-pruned membership,
+  * and URL/domain curation stats — each hash-gated against a DuckDB
+  * oracle.
+  */
+object CurationQueries {
+
+  /** Hosts excluded by the curation blocklist (H5). */
+  val blockedHosts: Seq[String] =
+    Seq("src7.example.com", "src13.example.com")
+
+  val queries: Map[String, Q] = Map(
+
+    // H1 — boilerplate removal: 3-token segments, df >= 3 across the
+    // corpus is boilerplate; documents reassembled from kept segments.
+    "text_boilerplate" -> { (s, dir) =>
+      Curation.removeBoilerplate(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, maxDf = 3)
+    },
+
+    // H2 — top-3 salient terms per doc by tf-idf (ratio idf: exact
+    // arithmetic, hash-gateable — see Curation.tfidfTopK).
+    "text_tfidf_topk" -> { (s, dir) =>
+      Curation.tfidfTopK(Tables.documents(s, dir), "doc_id", "text",
+        topK = 3)
+    },
+
+    // H3 — deterministic export manifest: md5-bucket shard, per-shard
+    // concat-and-chunk packing at a 256-token budget.
+    "export_pack_manifest" -> { (s, dir) =>
+      Export.packingManifest(Tables.documents(s, dir), "doc_id",
+        TextFns.wordCount(col("text")), nShards = 8, budget = 256)
+    },
+
+    // H4 — bloom-pruned membership: which probe keys already exist in
+    // the base (orders) table. Keys ≡ 0 (mod 3) are shifted out of
+    // the key space, so the batch mixes definite-new keys (the bloom
+    // prunes these map-side, no join) with present ones (verified
+    // exactly). The output is EXACT membership — the bloom only
+    // routes, never decides positives.
+    "bloom_new_keys" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val probe = Tables.customer(s, dir).select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          col("c_custkey") + 1000000)
+          .otherwise(col("c_custkey")).cast("long").as("probe_key"))
+      val f = Bloom.build(orders, "o_custkey")
+      Bloom.flagMembership(probe, "probe_key", orders, "o_custkey", f)
+        .select(col("c_custkey"), col("probe_key"), col("is_known"))
+    },
+
+    // H5 — URL parse + blocklist + per-domain stats over URLs derived
+    // deterministically from the documents table (the corpus has no
+    // URL column; the derivation is part of the gated computation).
+    "curate_url_stats" -> { (s, dir) =>
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit("?ref="), col("lang"))
+      Tables.documents(s, dir)
+        .withColumn("host", TextFns.urlHost(url))
+        .withColumn("ref", TextFns.urlQueryParam(url, "ref"))
+        .filter(!col("host").isin(blockedHosts: _*))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(col("ref")).cast("int").as("n_langs"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // segment matching joins on xxhash64 on the Spark side and on the
+    // segment STRING here — identical modulo 64-bit collisions (the
+    // dedup_jaccard hash-join contract).
+    "text_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |    t -> len(t) > 0) AS w
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i.s AS seg_idx,
+        |    array_to_string(w[(i.s*3+1):least((i.s+1)*3, len(w))], ' ')
+        |      AS seg
+        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(w)/3.0)
+        |    AS INT))) AS s) i),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg
+        |       GROUP BY 1),
+        |tagged AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg, d.df >= 3 AS boiler
+        |  FROM seg s JOIN df d USING (seg))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+        |  CAST(count(CASE WHEN boiler THEN 1 END) AS INT) AS n_removed,
+        |  COALESCE(array_to_string(
+        |    list(seg ORDER BY seg_idx) FILTER (NOT boiler), ' '), '')
+        |    AS clean_text
+        |FROM tagged GROUP BY 1""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) * n.n_docs / df AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * n.n_docs / df DESC, term)
+        |      AS rk
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id, CAST(rk AS INT) AS rank, term,
+        |  CAST(tf AS INT) AS tf, CAST(df AS INT) AS df, score
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+    "export_pack_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_tok,
+        |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+        |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+        |            ELSE (cum - 1) // 256 END AS BIGINT) AS seq_last
+        |FROM c""".stripMargin,
+    "bloom_new_keys" ->
+      """WITH probe AS (
+        |  SELECT c_custkey,
+        |    CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 1000000
+        |              ELSE c_custkey END AS BIGINT) AS probe_key
+        |  FROM customer),
+        |base AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT p.c_custkey, p.probe_key, b.k IS NOT NULL AS is_known
+        |FROM probe p LEFT JOIN base b ON p.probe_key = b.k""".stripMargin,
+    "curate_url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || source || '.example.com/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+        |      AS host,
+        |    regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+        |  FROM u)
+        |SELECT host, CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT ref) AS INT) AS n_langs
+        |FROM p
+        |WHERE host NOT IN ('src7.example.com', 'src13.example.com')
+        |GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Bloom, Curation, Export}
+
+/** Corpus-curation & export operators (SURVEY.md §2 H1-H5). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Curation.segments") {
+    def segs(text: String, k: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(Curation.segments($"t", k).as("s"))
+        .as[Seq[String]].head()
+
+    it("chunks tokens into k-token segments, partial tail kept") {
+      segs("a b c d e f g", 3) shouldBe Seq("a b c", "d e f", "g")
+    }
+    it("collapses runs of whitespace (empty tokens dropped)") {
+      segs("a  b   c d", 2) shouldBe Seq("a b", "c d")
+    }
+    it("yields no segments for empty text") {
+      segs("", 3) shouldBe Seq.empty
+      segs("   ", 3) shouldBe Seq.empty
+    }
+  }
+
+  describe("Curation.removeBoilerplate") {
+    // 'x y z' appears in 3 docs (boilerplate at maxDf=3); each doc
+    // also has unique content. Doc 4 is ENTIRELY boilerplate.
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "d e f x y z"),
+      (3L, "g h i j k l"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+        k = 3, maxDf = 3)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    it("removes segments at or above the df threshold, keeps order") {
+      out(1L) shouldBe ((2, 1, "a b c"))
+      out(2L) shouldBe ((2, 1, "d e f"))
+    }
+    it("leaves documents with no boilerplate untouched") {
+      out(3L) shouldBe ((2, 0, "g h i j k l"))
+    }
+    it("reduces an all-boilerplate document to empty clean_text") {
+      out(4L) shouldBe ((1, 1, ""))
+    }
+  }
+
+  describe("Curation.tfidfTopK") {
+    // 'rare' appears only in doc 1; 'common' in all three docs.
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common common other"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val rows = Curation.tfidfTopK(docs, "doc_id", "text", topK = 2)
+      .as[(Long, Int, String, Int, Int, Double)].collect()
+
+    it("ranks rarer terms above frequent ones at equal tf") {
+      val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+      doc1.head._3 shouldBe "rare" // tf=1, df=1 → score 3.0
+      doc1.head._6 shouldBe 3.0
+      // common: tf=2, df=3 → 2*3/3 = 2.0
+      doc1(1)._3 shouldBe "common"
+      doc1(1)._6 shouldBe 2.0
+    }
+    it("returns at most topK rows per document") {
+      rows.groupBy(_._1).values.foreach(_.length should be <= 2)
+    }
+    it("breaks exact score ties by term ascending") {
+      // doc 3: other tf=2 df=2 → 3.0; common tf=1 df=3 → 1.0
+      val doc3 = rows.filter(_._1 == 3L).sortBy(_._2).map(_._3)
+      doc3 shouldBe Array("other", "common")
+    }
+  }
+
+  describe("Export.packingManifest") {
+    val docs = (1L to 40L).map(i => (i, "t " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    val m = Export.packingManifest(docs, "doc_id",
+        TextFns.wordCount($"text"), nShards = 4, budget = 10)
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+
+    it("assigns every document to a shard in range") {
+      m.map(_._2).toSet.subsetOf((0 until 4).toSet) shouldBe true
+      m.length shouldBe 40
+    }
+    it("packs each shard's stream contiguously in doc-id order") {
+      m.groupBy(_._2).values.foreach { sh =>
+        val sorted = sh.sortBy(_._1)
+        sorted.foldLeft(0L) { case (expectStart, row) =>
+          row._4 shouldBe expectStart // start_tok = previous cum
+          expectStart + row._3
+        }
+      }
+    }
+    it("spans sequences exactly floor(start/B)..floor((end-1)/B)") {
+      m.foreach { case (_, _, n, start, sf_, sl) =>
+        sf_ shouldBe start / 10
+        if (n > 0) sl shouldBe (start + n - 1) / 10
+        else sl shouldBe sf_
+      }
+    }
+  }
+
+  describe("Export.writeShards") {
+    it("writes one directory per shard, readable and complete") {
+      val dir = "/root/repo/target/test_shards"
+      val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      Export.writeShards(docs, "doc_id", nShards = 4, path = dir)
+      val back = spark.read.parquet(dir)
+      back.count() shouldBe 100
+      back.select("shard").distinct().as[Int].collect().toSet shouldBe
+        docs.select(Export.shardOf($"doc_id", 4)).as[Int].collect().toSet
+      // shard layout is deterministic: same assignment on re-read
+      val expect = docs.select($"doc_id",
+        Export.shardOf($"doc_id", 4).as("shard"))
+      back.select($"doc_id", $"shard".cast("int").as("shard"))
+        .except(expect).count() shouldBe 0
+    }
+  }
+
+  describe("Bloom") {
+    val base = (1L to 2000L).map(i => i * 3).toDF("k")
+    val filter = Bloom.build(base, "k")
+
+    it("never yields a false negative") {
+      val probed = base.select($"k",
+          filter.mightContain($"k").as("mc"))
+        .filter(!$"mc").count()
+      probed shouldBe 0
+    }
+    it("keeps the false-positive rate near theory") {
+      // 10 bits/key, k=7 → theoretical fpp ≈ 0.8%; allow 3%
+      val absent = (1L to 10000L).map(i => i * 3 + 1).toDF("k")
+      val fp = absent.select(filter.mightContain($"k").as("mc"))
+        .filter($"mc").count()
+      fp.toDouble / 10000 should be < 0.03
+    }
+    it("flagMembership equals the exact anti-join") {
+      val probe = (1L to 500L).map(i => i * 7).toDF("k")
+      val flagged = Bloom.flagMembership(probe, "k", base, "k", filter)
+      flagged.count() shouldBe 500
+      val newKeys = flagged.filter(!$"is_known").select("k")
+        .as[Long].collect().toSet
+      val exact = probe.join(base, Seq("k"), "left_anti")
+        .as[Long].collect().toSet
+      newKeys shouldBe exact
+    }
+  }
+
+  describe("TextFns url parsing") {
+    val u = Seq("https://a.b.example.com/p/42?ref=en&x=1#frag")
+      .toDF("url")
+    it("extracts host, path, query param, registered domain") {
+      val r = u.select(
+        TextFns.urlHost($"url"),
+        TextFns.urlPath($"url"),
+        TextFns.urlQueryParam($"url", "ref"),
+        TextFns.urlQueryParam($"url", "x"),
+        TextFns.urlQueryParam($"url", "missing"),
+        TextFns.registeredDomain(TextFns.urlHost($"url")))
+        .as[(String, String, String, String, String, String)].head()
+      r shouldBe (("a.b.example.com", "/p/42", "en", "1", "",
+        "example.com"))
+    }
+    it("returns empty host for relative or malformed urls") {
+      Seq("/just/a/path", "not a url").toDF("url")
+        .select(TextFns.urlHost($"url")).as[String].collect()
+        .toSeq shouldBe Seq("", "")
+    }
+  }
+}

@@ -29,8 +29,9 @@ def run_verify():
     import shutil
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    names = " " + " ".join(ONLY) if ONLY else ""
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{names}'],
         cwd="/root/repo", env=env, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:])
