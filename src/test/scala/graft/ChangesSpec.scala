@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.AtomicLake
+
+/** Incremental (CDC) snapshot-diff reads — AtomicLake.readChanges. */
+class ChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_changes").toString
+
+  describe("AtomicLake.readChanges") {
+    val root = freshRoot()
+    // v1: two partitions
+    val v1 = AtomicLake.upsertPartitions(
+      Seq((1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"))
+        .toDF("id", "v", "day"),
+      root, Seq("day"))
+    // v2: append one row to d2 (no partition replaced)
+    val v2 = AtomicLake.append(
+      Seq((4, "d", "d2")).toDF("id", "v", "day"), root, Seq("day"))
+    // v3: replace partition d1 with a new image
+    val v3 = AtomicLake.upsertPartitions(
+      Seq((1, "a2", "d1"), (5, "e", "d1")).toDF("id", "v", "day"),
+      root, Seq("day"))
+
+    it("reads an append commit as pure inserts") {
+      val ch = AtomicLake.readChanges(spark, root, v1, v2)
+        .select($"id", $"_change_type").as[(Int, String)]
+        .collect().toSet
+      ch shouldBe Set((4, "insert"))
+    }
+
+    it("reads a partition upsert as old image deleted, new inserted") {
+      val ch = AtomicLake.readChanges(spark, root, v2, v3)
+        .select($"id", $"v", $"_change_type")
+        .as[(Int, String, String)].collect().toSet
+      ch shouldBe Set(
+        (1, "a", "delete"), (2, "b", "delete"),
+        (1, "a2", "insert"), (5, "e", "insert"))
+    }
+
+    it("spans multiple commits as one diff (intermediate states skip)") {
+      val ch = AtomicLake.readChanges(spark, root, v1, v3)
+        .select($"id", $"_change_type").as[(Int, String)]
+        .collect().toSet
+      // d1's v1 image out, v3 image + d2's append in
+      ch shouldBe Set((1, "delete"), (2, "delete"),
+        (1, "insert"), (5, "insert"), (4, "insert"))
+    }
+
+    it("returns an empty typed frame when nothing changed") {
+      val ch = AtomicLake.readChanges(spark, root, v3, v3)
+      ch.count() shouldBe 0
+      ch.columns should contain("_change_type")
+    }
+
+    it("only opens the changed files, not the table") {
+      val ch = AtomicLake.readChanges(spark, root, v1, v2)
+      // the only file in the scan is v2's appended file — d1's two
+      // untouched partition files never enter the plan
+      val scanned = ch.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.toString.linesIterator.toSeq.headOption).mkString
+      withClue(scanned) {
+        ch.inputFiles.length shouldBe 1
+      }
+    }
+
+    it("applies each side's own schema across evolution") {
+      val root2 = freshRoot()
+      val a = AtomicLake.upsertPartitions(
+        Seq((1, "d1")).toDF("id", "day"), root2, Seq("day"))
+      val b = AtomicLake.upsertPartitions(
+        Seq((2, "x", "d2")).toDF("id", "extra", "day"), root2, Seq("day"))
+      val ch = AtomicLake.readChanges(spark, root2, a, b)
+      ch.columns.toSet shouldBe Set("id", "extra", "day", "_change_type")
+      ch.filter($"_change_type" === "insert").select($"extra")
+        .as[String].collect().toSeq shouldBe Seq("x")
+    }
+
+    it("refuses a reversed version range") {
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.readChanges(spark, root, v3, v1)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.lakehouse.Reports
+
+/** Consultation SVG artifact rendering (reference parity:
+  * mobility_consultations.py saves a per-polygon profile chart).
+  */
+class ReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val profile = Seq(
+    (0L, 0, 10.0), (0L, 6, 40.0), (0L, 12, 80.0), (0L, 23, 20.0),
+    (1L, 0, 5.0), (1L, 6, 15.0), (1L, 12, 25.0), (1L, 23, 10.0))
+    .toDF("cluster_id", "hour", "avg_trips")
+
+  describe("Reports.clusterProfileSvg") {
+    val svg = Reports.clusterProfileSvg(profile, "zone A & friends")
+
+    it("renders well-formed standalone SVG") {
+      svg should startWith("<svg xmlns=\"http://www.w3.org/2000/svg\"")
+      svg.trim should endWith("</svg>")
+      // parses as XML (well-formedness, escaping of the '&' in title)
+      noException should be thrownBy scala.xml.XML.loadString(svg)
+      svg should include("zone A &amp; friends")
+    }
+    it("draws one polyline and one legend entry per cluster") {
+      "<polyline ".r.findAllIn(svg).length shouldBe 2
+      svg should include("cluster 0")
+      svg should include("cluster 1")
+    }
+    it("scales y to the max value (peak touches the top margin)") {
+      // cluster 0's hour-12 point (value 80 = max) sits at y = MT = 40
+      svg should include(",40.00")
+      svg should include("80.00</text>") // y-axis max label
+    }
+    it("is deterministic") {
+      Reports.clusterProfileSvg(profile, "zone A & friends") shouldBe svg
+    }
+    it("fails loudly on an empty profile") {
+      an[IllegalArgumentException] should be thrownBy
+        Reports.clusterProfileSvg(profile.limit(0), "t")
+    }
+  }
+
+  describe("Reports.writeClusterProfile") {
+    it("writes the artifact through the Hadoop FS, overwriting") {
+      val dir = Files.createTempDirectory("graft_reports").toString
+      val p1 = Reports.writeClusterProfile(profile, dir, "zoneA", "t1")
+      val p2 = Reports.writeClusterProfile(profile, dir, "zoneA", "t2")
+      p1 shouldBe p2
+      val body = new String(Files.readAllBytes(
+        Paths.get(p1.stripPrefix("file:"))), "UTF-8")
+      body should include("t2") // second write replaced the first
+      body should startWith("<svg")
+    }
+  }
+}
