@@ -586,6 +586,36 @@ object NativeKernels extends Serializable {
     new GenericArrayData(Array(n, freq.size, top))
   }
 
+  /** Non-overlapping k-token segments of the text's non-empty
+    * space-separated tokens, each segment the tokens re-joined with a
+    * single space (trailing partial segment kept) — one pass
+    * replacing the interpreted
+    * `transform(sequence, i -> array_join(slice(filter(split(...)))))`
+    * HOF chain of [[graft.operators.Curation.segmentsReference]]
+    * (parity spec-gated in CurationSpec).
+    */
+  def tokenSegments(text: UTF8String, k: Int): ArrayData = {
+    val parts = text.split(SpaceDelim, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { // compact non-empty tokens in place
+      if (parts(i).numBytes > 0) { parts(n) = parts(i); n += 1 }
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(new Array[AnyRef](0))
+    val nseg = (n + k - 1) / k
+    val out = new Array[AnyRef](nseg)
+    var s = 0
+    while (s < nseg) {
+      val from = s * k
+      val until = math.min(from + k, n)
+      out(s) = UTF8String.concatWs(SpaceDelim,
+        java.util.Arrays.copyOfRange(parts, from, until): _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash (base 131, mod 1e9+7) over the ASCII
     * printable projection of the text — one byte-level pass, identical
     * to the interpreted
@@ -883,6 +913,11 @@ object NativeKernels extends Serializable {
 
   def fingerprint64Col(text: Column): Column =
     invoke("fingerprint64", LongType, Seq(text), Seq(StringType))
+
+  def tokenSegmentsCol(text: Column, k: Int): Column =
+    invoke("tokenSegments", ArrayType(StringType, containsNull = false),
+      Seq(text, org.apache.spark.sql.functions.lit(k)),
+      Seq(StringType, IntegerType))
 
   def wordShinglesCol(tokens: Column, n: Int): Column =
     invoke("wordShingles", ArrayType(StringType, containsNull = false),

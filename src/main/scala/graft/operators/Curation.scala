@@ -33,9 +33,16 @@ object Curation {
 
   /** Consecutive non-overlapping k-token segments of a document; the
     * trailing partial segment is kept. Empty documents yield an empty
-    * array (no segments), matching `range(ceil(0/k)) = []` semantics.
+    * array (no segments). One native pass per row
+    * ([[graft.expressions.NativeKernels.tokenSegments]]); the
+    * interpreted HOF form remains as [[segmentsReference]] with
+    * parity spec-gated.
     */
-  def segments(text: Column, k: Int): Column = {
+  def segments(text: Column, k: Int): Column =
+    graft.expressions.NativeKernels.tokenSegmentsCol(text, k)
+
+  /** Declarative reference form of [[segments]]. */
+  def segmentsReference(text: Column, k: Int): Column = {
     val w = toks(text)
     val nseg = floor((size(w) + lit(k - 1)).cast("double") / k).cast("int")
     when(size(w) === 0, typedLit(Array.empty[String]))

@@ -24,6 +24,16 @@ class CurationSpec extends SparkSpec {
       segs("", 3) shouldBe Seq.empty
       segs("   ", 3) shouldBe Seq.empty
     }
+    it("native kernel matches the declarative reference form") {
+      val texts = Seq("a b c d e f g", "a  b   c d", "", "   ", "one",
+        "x y z", "á é multi ßyte tokens  here", "a b c d")
+      val df = texts.toDF("t")
+      val mismatches = df.select(
+        Curation.segments($"t", 3).as("k"),
+        Curation.segmentsReference($"t", 3).as("r"))
+        .filter(!($"k" <=> $"r")).count()
+      mismatches shouldBe 0
+    }
   }
 
   describe("Curation.removeBoilerplate") {
