@@ -53,4 +53,33 @@ object Incremental {
       df.withColumn(n, col(s"${n}_dec").cast("double"))
         .drop(s"${n}_dec")
     }
+
+  /** Partial state of a CDC delta ([[graft.sources.AtomicLake
+    * .readChanges]] output): `insert` rows add, `delete` rows RETRACT
+    * — sums carry the negated decimal (same precision/scale as
+    * [[partialSums]], so states union cleanly), row counts a signed
+    * ±1. Decimal negation and addition are exact, so applying a
+    * delta preserves the incremental == full-recompute bit-for-bit
+    * contract across partition REPLACEMENTS, not just appends.
+    */
+  def partialDelta(changes: DataFrame, keys: Seq[String],
+      measures: Map[String, Column],
+      changeTypeCol: String = "_change_type"): DataFrame = {
+    val insert = col(changeTypeCol) === "insert"
+    val aggs = measures.toSeq.map { case (name, c) =>
+      val d = c.cast(DecimalType(18, 4))
+      sum(when(insert, d).otherwise(-d)).as(s"${name}_dec")
+    } :+ sum(when(insert, 1L).otherwise(-1L)).as("n_rows")
+    changes.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Roll a CDC delta into an existing partial state. Groups whose
+    * every row was retracted net to n_rows = 0 and are dropped — the
+    * same absence a full recompute produces.
+    */
+  def applyChanges(state: DataFrame, changes: DataFrame,
+      keys: Seq[String], measures: Map[String, Column]): DataFrame =
+    merge(Seq(state, partialDelta(changes, keys, measures)),
+      keys, measures.keys.toSeq)
+      .filter(col("n_rows") > 0)
 }

@@ -86,4 +86,55 @@ class ChangesSpec extends SparkSpec {
         AtomicLake.readChanges(spark, root, v3, v1)
     }
   }
+
+  describe("CDC -> incremental gold maintenance (G20 ∘ G9)") {
+    import graft.operators.Incremental
+
+    it("applying deltas equals full recompute across a partition replace") {
+      val root = freshRoot()
+      val keys = Seq("day")
+      val ms = Map("total" -> col("value"))
+      // v1: two days
+      val v1 = AtomicLake.upsertPartitions(
+        Seq((1, 10.5, "d1"), (2, 2.25, "d1"), (3, 7.0, "d2"))
+          .toDF("id", "value", "day"), root, keys)
+      val state1 = Incremental.partialSums(
+        AtomicLake.readVersion(spark, root, v1), keys, ms)
+      // v2: append to d2; v3: REPLACE d1 (delete + insert in the diff)
+      val v2 = AtomicLake.append(
+        Seq((4, 1.75, "d2")).toDF("id", "value", "day"), root, keys)
+      val v3 = AtomicLake.upsertPartitions(
+        Seq((5, 100.0, "d1")).toDF("id", "value", "day"), root, keys)
+      val delta = AtomicLake.readChanges(spark, root, v1, v3)
+      val maintained = Incremental.finalize(
+        Incremental.applyChanges(state1, delta, keys, ms), Seq("total"))
+      val recomputed = Incremental.finalize(
+        Incremental.partialSums(
+          AtomicLake.readVersion(spark, root, v3), keys, ms),
+        Seq("total"))
+      maintained.except(recomputed).count() shouldBe 0
+      recomputed.except(maintained).count() shouldBe 0
+      maintained.filter($"day" === "d1").select($"total")
+        .as[Double].head() shouldBe 100.0
+    }
+
+    it("drops a group whose partition was replaced away entirely") {
+      val root = freshRoot()
+      val keys = Seq("day")
+      val ms = Map("total" -> col("value"))
+      val v1 = AtomicLake.upsertPartitions(
+        Seq((1, 5.0, "d1"), (2, 3.0, "d2"))
+          .toDF("id", "value", "day"), root, keys)
+      val state1 = Incremental.partialSums(
+        AtomicLake.readVersion(spark, root, v1), keys, ms)
+      // overwrite the WHOLE table with d2 only: d1's group must vanish
+      val v2 = AtomicLake.overwrite(
+        Seq((3, 4.0, "d2")).toDF("id", "value", "day"), root, keys)
+      val delta = AtomicLake.readChanges(spark, root, v1, v2)
+      val maintained = Incremental.applyChanges(state1, delta, keys, ms)
+      maintained.filter($"day" === "d1").count() shouldBe 0
+      Incremental.finalize(maintained, Seq("total"))
+        .select($"total").as[Double].head() shouldBe 4.0
+    }
+  }
 }
