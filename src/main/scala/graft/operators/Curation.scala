@@ -85,6 +85,33 @@ object Curation {
           s => s.getField("seg")), " ").as(cleanName))
   }
 
+  /** Remove LATER repeats of a segment within the same document — the
+    * intra-document repetition trim (generated/boilerplate-padded
+    * pages repeat their own content; training corpora cut the repeats
+    * and keep the first occurrence). Output: (idCol, n_segments,
+    * n_dropped, dedup_text).
+    *
+    * Scale: two exchanges — the occurrence window keys on
+    * (doc, segment) and the reassembly on doc — both corpus-sized but
+    * carrying segments exactly once; no join, no global state.
+    */
+  def dedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, outName: String = "dedup_text"): DataFrame = {
+    val seg = df.select(col(idCol),
+      posexplode(segments(col(textCol), k)).as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col(idCol), col("seg"))
+      .orderBy(col("seg_idx"))
+    seg.withColumn("occ", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_segments"),
+        count(when(col("occ") > 1, 1)).cast("int").as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("occ") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as(outName))
+  }
+
   /** Top-k salient terms per document by tf-idf. The idf factor is
     * the raw ratio n_docs/df rather than its logarithm: ln is not an
     * IEEE exactly-rounded operation, so log-weighted scores cannot be

@@ -65,4 +65,17 @@ object Export {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Globally-sorted export WITHOUT a single-task funnel: range
+    * partition on the sort key into `nFiles` (sampled split points),
+    * sort within each — file i's keys all precede file i+1's, so the
+    * concatenation in part-file order IS the total order. The shape
+    * for sorted-run outputs (posting lists, id-ordered eval dumps)
+    * at any scale.
+    */
+  def writeSorted(df: DataFrame, sortCol: String, nFiles: Int,
+      path: String): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
 }

@@ -42,4 +42,28 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), buckets) < rate)
   }
+
+  /** Fixed-BUDGET deterministic sample: exactly n rows per stratum
+    * (fewer if the stratum is smaller), chosen by md5-hash order of
+    * the key with the key itself as tiebreak — the "give me 10k docs
+    * per language" curation ask. Rate sampling ([[stratifiedSample]])
+    * cannot hit an exact count; hash ORDER can, stays engine-portable
+    * (lowercase-hex strings sort identically everywhere), and adding
+    * rows to a stratum only evicts the highest-hash member — the
+    * sample is stable under corpus growth, unlike any
+    * random-permutation scheme.
+    *
+    * One exchange (the per-stratum window); with `n` small relative
+    * to stratum size, a rank <= n window is exactly the
+    * WindowGroupLimit shape Spark optimizes with per-partition
+    * partial limits before the shuffle.
+    */
+  def topNPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+      n: Int, rankName: String = "rank"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= n)
+  }
 }

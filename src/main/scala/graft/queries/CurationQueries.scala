@@ -57,6 +57,22 @@ object CurationQueries {
         .select(col("c_custkey"), col("probe_key"), col("is_known"))
     },
 
+    // H6 — intra-document repetition trim: later repeats of a 2-token
+    // segment within the same doc are dropped, first occurrence kept.
+    "text_intradoc_dedup" -> { (s, dir) =>
+      Curation.dedupWithinDoc(Tables.documents(s, dir),
+        "doc_id", "text", k = 2)
+    },
+
+    // H7 — fixed-budget deterministic sampling: exactly 20 docs per
+    // language by md5-hash order (portable, growth-stable).
+    "sample_topn_stratified" -> { (s, dir) =>
+      graft.operators.Sampling.topNPerStratum(
+          Tables.documents(s, dir), "doc_id", "lang", n = 20)
+        .select(col("doc_id"), col("lang"), col("rank").cast("int")
+          .as("rank"))
+    },
+
     // H5 — URL parse + blocklist + per-domain stats over URLs derived
     // deterministically from the documents table (the corpus has no
     // URL column; the derivation is part of the gated computation).
@@ -101,6 +117,36 @@ object CurationQueries {
         |    list(seg ORDER BY seg_idx) FILTER (NOT boiler), ' '), '')
         |    AS clean_text
         |FROM tagged GROUP BY 1""".stripMargin,
+    "text_intradoc_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |    t -> len(t) > 0) AS w
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i.s AS seg_idx,
+        |    array_to_string(w[(i.s*2+1):least((i.s+1)*2, len(w))], ' ')
+        |      AS seg
+        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(w)/2.0)
+        |    AS INT))) AS s) i),
+        |rk AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY doc_id, seg
+        |      ORDER BY seg_idx) AS occ
+        |  FROM seg)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+        |  CAST(count(CASE WHEN occ > 1 THEN 1 END) AS INT) AS n_dropped,
+        |  COALESCE(array_to_string(
+        |    list(seg ORDER BY seg_idx) FILTER (occ = 1), ' '), '')
+        |    AS dedup_text
+        |FROM rk GROUP BY 1""".stripMargin,
+    "sample_topn_stratified" ->
+      """WITH rk AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS INT) AS rank
+        |FROM rk WHERE rk <= 20""".stripMargin,
     "text_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),

@@ -61,6 +61,77 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("Curation.dedupWithinDoc") {
+    val docs = Seq(
+      (1L, "a b c d a b e f"), // 'a b' repeats at seg 0 and seg 2
+      (2L, "x y x z"),         // 'x y' != 'x z': nothing drops
+      (3L, "p q p q p q")).toDF("doc_id", "text")
+    val out = Curation.dedupWithinDoc(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    it("drops later repeats, keeps the first occurrence in place") {
+      out(1L) shouldBe ((4, 1, "a b c d e f"))
+    }
+    it("leaves repeat-free documents untouched") {
+      out(2L) shouldBe ((2, 0, "x y x z"))
+    }
+    it("collapses a fully-repetitive document to one segment") {
+      out(3L) shouldBe ((3, 2, "p q"))
+    }
+  }
+
+  describe("Sampling.topNPerStratum") {
+    val docs = (1L to 200L)
+      .map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "stratum")
+
+    it("returns exactly n per stratum with ranks 1..n") {
+      val s = graft.operators.Sampling
+        .topNPerStratum(docs, "id", "stratum", n = 7)
+        .as[(Long, String, Int)].collect()
+      s.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap shouldBe
+        Map("even" -> (1 to 7), "odd" -> (1 to 7))
+    }
+    it("returns the whole stratum when it is smaller than n") {
+      graft.operators.Sampling
+        .topNPerStratum(docs.filter($"id" <= 3), "id", "stratum", n = 10)
+        .count() shouldBe 3
+    }
+    it("is stable under corpus growth (old members keep membership unless evicted by rank)") {
+      val small = graft.operators.Sampling
+        .topNPerStratum(docs.filter($"id" <= 100), "id", "stratum", 5)
+        .select("id").as[Long].collect().toSet
+      val grown = graft.operators.Sampling
+        .topNPerStratum(docs, "id", "stratum", 5)
+        .select("id").as[Long].collect().toSet
+      // growth can only replace members with lower-hash newcomers:
+      // survivors keep their relative hash order
+      (grown -- small).foreach(id => id should be > 100L)
+    }
+  }
+
+  describe("Export.writeSorted") {
+    it("range-partitioned files concatenate to the total order") {
+      val dir = "/root/repo/target/test_sorted"
+      val df = (1L to 1000L).map(i => (i * 7919 % 1000, i))
+        .toDF("key", "payload")
+      Export.writeSorted(df, "key", nFiles = 4, path = dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+      files.length should be > 1
+      val perFile = files.map(f =>
+        spark.read.parquet(f).select("key").as[Long].collect())
+      perFile.foreach(ks => ks.toSeq shouldBe ks.sorted.toSeq)
+      // cross-file: file i's max <= file i+1's min
+      perFile.sliding(2).foreach {
+        case Array(a, b) => a.last should be <= b.head
+        case _ =>
+      }
+      perFile.map(_.length).sum shouldBe 1000
+    }
+  }
+
   describe("Curation.tfidfTopK") {
     // 'rare' appears only in doc 1; 'common' in all three docs.
     val docs = Seq(
