@@ -35,6 +35,10 @@ object GraftSession {
       // The events table carries TIMESTAMP(NANOS) which parquet-mr maps
       // to no Spark type; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed-table warehouse (bucketed tables) under target/, not
+      // the repo root the default $PWD/spark-warehouse would pick
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/warehouse").getAbsolutePath)
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks. */

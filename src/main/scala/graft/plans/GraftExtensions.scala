@@ -159,5 +159,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_word_count(text) - non-empty whitespace token count", 1) {
       c => TextFns.wordCount(c(0))
     }
+    register(ext, "graft_url_host",
+      "graft_url_host(url) - authority of an absolute url", 1) {
+      c => TextFns.urlHost(c(0))
+    }
+    register(ext, "graft_url_path",
+      "graft_url_path(url) - path component of an absolute url", 1) {
+      c => TextFns.urlPath(c(0))
+    }
+    register(ext, "graft_registered_domain",
+      "graft_registered_domain(host) - last two dot-labels", 1) {
+      c => TextFns.registeredDomain(c(0))
+    }
+    register(ext, "graft_segments",
+      "graft_segments(text, k) - non-overlapping k-token segments", 2) {
+      // k must be a foldable int literal (it parameterizes the kernel)
+      c => graft.operators.Curation.segments(c(0),
+        Bridge.toExpression(c(1)) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_segments: k must be an int literal, got $other")
+        })
+    }
   }
 }

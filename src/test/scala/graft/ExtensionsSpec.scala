@@ -85,6 +85,25 @@ class ExtensionsSpec extends SparkSpec {
       r.getDouble(4) shouldBe 1.0 / 3.0 +- 1e-12
     }
 
+    it("registers the curation SQL surface (url parse + segments)") {
+      val r = spark.sql(
+        """SELECT graft_url_host('https://a.b.co/x?y=1') AS host,
+          |  graft_url_path('https://a.b.co/x?y=1') AS path,
+          |  graft_registered_domain('a.b.co') AS dom,
+          |  graft_segments('a b c d e', 2) AS segs""".stripMargin)
+        .collect()(0)
+      r.getString(0) shouldBe "a.b.co"
+      r.getString(1) shouldBe "/x"
+      r.getString(2) shouldBe "b.co"
+      r.getSeq[String](3) shouldBe Seq("a b", "c d", "e")
+    }
+
+    it("refuses a non-literal k for graft_segments") {
+      an[Exception] should be thrownBy
+        spark.sql("SELECT graft_segments('a b', graft_word_count('x y'))")
+          .collect()
+    }
+
     it("matches the declarative reference on real zone data") {
       val ring = GeoFns.parseWktPolygon(
         lit(graft.queries.GeoQueries.consultationWkt))
