@@ -37,11 +37,19 @@ object Incremental {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Merge partial states by re-aggregation (exact for decimals). */
+  /** Merge partial states by re-aggregation (exact for decimals).
+    * The summed measures cast back to the `partialSums` state type
+    * (decimal(28,4)) so the state schema is a FIXED POINT under
+    * merging — without it every incremental generation widens the
+    * precision (28 → 38 → refusal), and a lake-persisted state
+    * ([[graft.lakehouse.Materialized]]) would hit the manifest's
+    * type-evolution guard on its second refresh. The cast is exact
+    * for any value a (28,4) recompute could produce.
+    */
   def merge(parts: Seq[DataFrame], keys: Seq[String],
       measureNames: Seq[String]): DataFrame = {
     val aggs = measureNames.map(n =>
-      sum(col(s"${n}_dec")).as(s"${n}_dec")) :+
+      sum(col(s"${n}_dec")).cast(DecimalType(28, 4)).as(s"${n}_dec")) :+
       sum(col("n_rows")).as("n_rows")
     parts.reduce(_ unionByName _)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

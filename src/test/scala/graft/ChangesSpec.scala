@@ -118,6 +118,35 @@ class ChangesSpec extends SparkSpec {
         .as[Double].head() shouldBe 100.0
     }
 
+    it("Materialized.refresh maintains a downstream aggregate lake incrementally") {
+      import graft.lakehouse.Materialized
+      val src = freshRoot(); val tgt = freshRoot()
+      val keys = Seq("day")
+      val ms = Map("total" -> col("value"))
+      AtomicLake.upsertPartitions(
+        Seq((1, 10.0, "d1"), (2, 2.5, "d2")).toDF("id", "value", "day"),
+        src, keys)
+      val v1 = Materialized.refresh(spark, src, tgt, keys, ms)
+      Materialized.watermark(spark, tgt) shouldBe Some(v1)
+      Materialized.read(spark, tgt, Seq("total"))
+        .select($"day", $"total").as[(String, Double)].collect()
+        .toMap shouldBe Map("d1" -> 10.0, "d2" -> 2.5)
+      // source moves: append + replace d1; refresh consumes the delta
+      AtomicLake.append(
+        Seq((3, 1.5, "d2")).toDF("id", "value", "day"), src, keys)
+      AtomicLake.upsertPartitions(
+        Seq((4, 7.0, "d1")).toDF("id", "value", "day"), src, keys)
+      val v2 = Materialized.refresh(spark, src, tgt, keys, ms)
+      v2 should be > v1
+      Materialized.read(spark, tgt, Seq("total"))
+        .select($"day", $"total").as[(String, Double)].collect()
+        .toMap shouldBe Map("d1" -> 7.0, "d2" -> 4.0)
+      // no source movement -> no-op, same watermark, no new commit
+      val tv = AtomicLake.currentVersion(tgt).get
+      Materialized.refresh(spark, src, tgt, keys, ms) shouldBe v2
+      AtomicLake.currentVersion(tgt).get shouldBe tv
+    }
+
     it("drops a group whose partition was replaced away entirely") {
       val root = freshRoot()
       val keys = Seq("day")
