@@ -81,6 +81,54 @@ object Multimodal {
       if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image: mean luminance
+    * over an 8×8 grid ([[imageEmbedding]]'s cells), bit i set when
+    * cell i is at or above the grid mean. Small Hamming distance ⟺
+    * perceptually similar — robust to re-encoding and mild
+    * resize/noise, not to crops/rotations; the standard first-line
+    * image-dedup fingerprint.
+    */
+  def imageHash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = imageEmbedding(img, gx = 8, gy = 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += cells(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) >= mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** (media_id, fp) perceptual hashes for every DECODABLE image row —
+    * undecodable payloads are excluded (there is no perceptual
+    * content to hash; route them to the quarantine path instead).
+    * One decode per row, map-side only.
+    */
+  def imageHashes(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter((r: MediaRow) => r.kind == "image")
+      .flatMap((r: MediaRow) =>
+        decodeImage(r.payload).map(img => (r.media_id, imageHash64(img))))
+      .toDF("media_id", "fp")
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash fingerprints
+    * bucket-joined by the pigeonhole chunks
+    * ([[SimHash.pairsFromFingerprints]] — complete for
+    * maxDist < chunks), verified by exact Hamming distance. The image
+    * twin of text SimHash dedup: decode + hash map-side, shuffle only
+    * (chunk, bucket, id) triples — no pixels cross the wire.
+    */
+  def nearDuplicateImages(ds: Dataset[MediaRow], maxDist: Int = 4,
+      chunks: Int = 8): DataFrame =
+    SimHash.pairsFromFingerprints(imageHashes(ds), "media_id", "fp",
+      bits = 64, maxDist = maxDist, chunks = chunks)
+
   /** REAL image resize: area-interpolated resample to fit inside
     * `maxDim`×`maxDim` (aspect preserved, never upscales), re-encoded
     * as PNG. None when the payload isn't a decodable image.

@@ -80,6 +80,18 @@ object SimHash {
       .filter(col("hamming_dist") <= maxDist)
   }
 
+  /** Near-dup pairs from an arbitrary precomputed fingerprint frame —
+    * the reuse surface for non-text fingerprints (e.g.
+    * [[Multimodal.imageHash64]] perceptual image hashes). Same
+    * pigeonhole bucketing + exact Hamming verify as the text paths;
+    * complete for maxDist < chunks.
+    */
+  def pairsFromFingerprints(fp: DataFrame, idCol: String, fpCol: String,
+      bits: Int = 64, maxDist: Int = 3, chunks: Int = 4): DataFrame =
+    bucketedPairs(
+      fp.select(col(idCol).as("doc_id"), col(fpCol).as("fp")),
+      bits = bits, maxDist = maxDist, chunks = chunks)
+
   /** Near-dup pairs with Hamming distance ≤ maxDist, via pigeonhole
     * chunk bucketing (guaranteed complete when maxDist < chunks).
     */

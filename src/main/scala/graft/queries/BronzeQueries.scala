@@ -102,6 +102,31 @@ object BronzeQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"), col("width"), col("height"), col("n_frames"),
           xxhash64(to_json(col("embedding"))).as("embedding_hash"))
+    },
+
+    // Perceptual image near-dedup end-to-end ([R]: ImageIO decode has
+    // no DuckDB replay): one synthetic PNG per doc seeded by
+    // doc_id % 100, so ids congruent mod 100 are pixel-identical
+    // twins. maxDist=1 keeps the pair set to the planted twins (the
+    // generator's one gradient family puts some cross-seed cousins at
+    // Hamming 2-4 — real perceptual neighbors, but the gate wants the
+    // deterministic twin set). Decode + hash are map-side; only
+    // (chunk, bucket, id) triples shuffle.
+    "mm_image_dups" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val seed = id % 100
+          MediaRow(id, "image", Multimodal.syntheticPng(seed,
+            w = 16 + (seed % 17).toInt, h = 12 + (seed % 11).toInt),
+            s"""{"id":$id}""")
+        }
+      }
+      Multimodal.nearDuplicateImages(media, maxDist = 1)
     }
   )
 

@@ -104,4 +104,66 @@ class MultimodalSpec extends SparkSpec {
       plan should not include "Exchange"
     }
   }
+
+  describe("Multimodal.imageHash64 / nearDuplicateImages") {
+    def decode(b: Array[Byte]) = Multimodal.decodeImage(b).get
+    val base = Multimodal.syntheticPng(7, 32, 24)
+
+    it("is invariant under re-encoding and stable under slight noise") {
+      val img = decode(base)
+      val h0 = Multimodal.imageHash64(img)
+      // re-encode the same pixels through the PNG writer
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.imageHash64(decode(bos.toByteArray)) shouldBe h0
+      // nudge one pixel's blue channel: at most a whisker of drift
+      val noisy = decode(base)
+      noisy.setRGB(3, 3, noisy.getRGB(3, 3) ^ 0x01)
+      java.lang.Long.bitCount(
+        Multimodal.imageHash64(noisy) ^ h0) should be <= 2
+    }
+    // structurally distinct fixtures: a vertical split and its
+    // inverse have complementary cell patterns (hamming ≈ 64);
+    // same-generator synthetic PNGs share their gradient and ARE
+    // perceptually similar — which the twin test below exploits
+    def splitPng(leftDark: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y,
+          if ((x < 16) == leftDark) 0x101010 else 0xf0f0f0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    it("separates genuinely different images") {
+      val h1 = Multimodal.imageHash64(decode(splitPng(true)))
+      val h2 = Multimodal.imageHash64(decode(splitPng(false)))
+      java.lang.Long.bitCount(h1 ^ h2) should be > 32
+    }
+    it("finds planted perceptual duplicates and only those") {
+      val rows = Seq(
+        MediaRow(1L, "image", base, "p1"),
+        MediaRow(2L, "image", base, "p2"), // exact perceptual twin
+        MediaRow(3L, "image", splitPng(true), "p3"),
+        MediaRow(4L, "image", splitPng(false), "p4"),
+        MediaRow(5L, "image", Array[Byte](1, 2, 3), "broken"))
+        .toDS()
+      val pairs = Multimodal.nearDuplicateImages(rows)
+        .select($"id1", $"id2", $"hamming_dist")
+        .as[(Long, Long, Int)].collect()
+      pairs.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+      pairs.head._3 shouldBe 0
+    }
+    it("shuffles fingerprints, never pixels") {
+      val rows = Seq(MediaRow(1L, "image", base, "p")).toDS()
+      val plan = Multimodal.nearDuplicateImages(rows)
+        .queryExecution.executedPlan.toString
+      // the payload column must not survive past the map-side hash
+      "payload".r.findAllIn(
+        plan.linesIterator.filter(_.contains("Exchange")).mkString
+      ).length shouldBe 0
+    }
+  }
 }
