@@ -102,11 +102,15 @@ TOLERANCE_ORACLES = {
             + cos(radians(a.lat)) * cos(radians(b.lat))
               * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist_km
         FROM z a JOIN z b ON a.zone_id < b.zone_id""", 1e-9),
-    # IVF embedding near-dup vs the EXACT cosine self-join: on this
-    # corpus the nprobe=3 candidate generation has measured recall 1.0
-    # (all 59 qualifying pairs emerge; the general recall bound is
-    # spec-gated in SimilaritySpec), so the exact join IS the row set
-    # and only the float-vs-double cosine arithmetic needs tolerance.
+    # IVF embedding near-dup vs the EXACT cosine self-join: at sf0.01
+    # (the driver's correctness SF) the nprobe=3 candidate generation
+    # has measured recall 1.0 (all 59 qualifying pairs emerge; the
+    # general recall bound is spec-gated in SimilaritySpec), so the
+    # exact join IS the row set and only the float-vs-double cosine
+    # arithmetic needs tolerance. At sf0.001 the tiny corpus leaves
+    # cells too sparse for nprobe=3 to reach full recall (62/66 —
+    # the operator is approximate by design), so the cross-check is
+    # scoped to sf0.01 — see sf_scope handling below.
     "dedup_embedding": ("""
         WITH n AS (
           SELECT vec_id, embedding,
@@ -185,8 +189,13 @@ def main():
             print(f"pass {name}")
             n_pass += 1
     # tolerance-gated numeric cross-checks (trig outputs)
+    # cross-checks valid only at specific SFs (see the oracle comments)
+    SF_SCOPED = {"dedup_embedding": "sf0.01"}
     for name, (sql, rtol) in sorted(TOLERANCE_ORACLES.items()):
         if ONLY and name not in ONLY:
+            continue
+        scope = SF_SCOPED.get(name)
+        if scope and not SF_DIR.rstrip("/").endswith(scope):
             continue
         if not os.path.isdir(f"{OUT_DIR}/{name}"):
             # missing output is as loud here as in the hash-gated loop
