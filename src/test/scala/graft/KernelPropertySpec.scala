@@ -1,0 +1,129 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.expressions.NativeKernels
+
+/** Property-based invariants for the round-7 kernels — pure JVM
+  * calls, no Spark session needed (the DataFrame-level parity with
+  * the declarative forms is separately spec-gated in CurationSpec).
+  */
+class KernelPropertySpec extends AnyFunSpec with Matchers {
+
+  /** Run a scalacheck property under scalatest (no scalatestplus
+    * bridge in the dependency set — drive scalacheck directly). */
+  private def holds(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(200), p)
+    withClue(res.status.toString) { res.passed shouldBe true }
+  }
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val text: Gen[String] = for {
+    toks <- Gen.listOf(token)
+    seps <- Gen.listOfN(toks.length + 1, Gen.chooseNum(0, 3))
+  } yield {
+    // interleave runs of spaces (0-3) around tokens: exercises empty
+    // token dropping at both ends and in the middle
+    val sb = new StringBuilder(" " * seps.head)
+    toks.zip(seps.tail).foreach { case (t, s) =>
+      sb.append(t).append(" " * s)
+    }
+    sb.toString
+  }
+
+  private def segs(s: String, k: Int): Seq[String] = {
+    val arr = NativeKernels.tokenSegments(UTF8String.fromString(s), k)
+      .asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  describe("tokenSegments properties") {
+    it("concatenation of segments equals the normalized token stream") {
+      holds(forAll(text, Gen.chooseNum(1, 5)) { (s, k) =>
+        val toks = s.split(" ").filter(_.nonEmpty).toSeq
+        segs(s, k).flatMap(_.split(" ").filter(_.nonEmpty)) == toks
+      })
+    }
+    it("every segment has exactly k tokens except a shorter tail") {
+      holds(forAll(text, Gen.chooseNum(1, 5)) { (s, k) =>
+        val out = segs(s, k).map(_.split(" ").count(_.nonEmpty))
+        out.isEmpty ||
+          (out.init.forall(_ == k) && out.last >= 1 && out.last <= k)
+      })
+    }
+    it("segment count is ceil(tokens / k)") {
+      holds(forAll(text, Gen.chooseNum(1, 5)) { (s, k) =>
+        val n = s.split(" ").count(_.nonEmpty)
+        segs(s, k).length == (n + k - 1) / k
+      })
+    }
+  }
+
+  describe("bloom kernel properties") {
+    def filterOf(keys: Seq[Long], words: Int, k: Int): Array[Long] = {
+      val arr = new Array[Long](words)
+      val m = words.toLong << 6
+      keys.foreach { key =>
+        var h = NativeKernels.bloomHash1(key)
+        val h2 = NativeKernels.bloomHash2(key)
+        var i = 0
+        while (i < k) {
+          val pos = (h & Long.MaxValue) % m
+          arr((pos >>> 6).toInt) |= 1L << (pos & 63L)
+          h += h2
+          i += 1
+        }
+      }
+      arr
+    }
+    def mightContain(bits: Array[Long], key: Long, k: Int): Boolean =
+      NativeKernels.bloomMightContain(key,
+        ArrayData.toArrayData(bits), k)
+
+    it("NEVER yields a false negative, for any key set and geometry") {
+      holds(forAll(
+        Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+        Gen.chooseNum(1, 64), Gen.chooseNum(1, 10)) { (keys, words, k) =>
+        val bits = filterOf(keys, words, k)
+        keys.forall(mightContain(bits, _, k))
+      })
+    }
+    it("an empty filter rejects everything") {
+      holds(forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { key =>
+        !mightContain(new Array[Long](16), key, 7)
+      })
+    }
+  }
+
+  describe("packing arithmetic properties") {
+    it("seq spans tile the shard stream without gaps or overlap") {
+      holds(forAll(
+        Gen.nonEmptyListOf(Gen.chooseNum(0, 50)),
+        Gen.chooseNum(1, 64)) { (tokens, budget) =>
+        // replay packingManifest's arithmetic for one shard
+        val cums = tokens.scanLeft(0L)(_ + _)
+        val rows = tokens.zip(cums.zip(cums.tail)).map {
+          case (n, (start, cum)) =>
+            val first = start / budget
+            val last = if (n == 0) first else (cum - 1) / budget
+            (n, start, first, last)
+        }
+        Prop.all(
+          // starts are the running sum (contiguous, no gaps)
+          rows.map(_._2) == cums.init,
+          // non-empty docs span exactly their token range's sequences
+          rows.filter(_._1 > 0).forall { case (n, start, first, last) =>
+            first == start / budget && last == (start + n - 1) / budget
+          })
+      })
+    }
+  }
+}

@@ -44,6 +44,19 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  describe("end-to-end with the real consultation") {
+    it("renders polygonClusterDemand output directly") {
+      val out = graft.lakehouse.Consultations.polygonClusterDemand(
+        spark, sf, graft.queries.GeoQueries.consultationWkt,
+        "2024-01-01", "2024-12-31")
+      val svg = Reports.clusterProfileSvg(out, "consultation")
+      svg should include("<polyline")
+      // one legend entry per cluster the consultation produced
+      val k = out.select("cluster_id").distinct().count()
+      "cluster \\d".r.findAllIn(svg).size shouldBe k
+    }
+  }
+
   describe("Reports.writeClusterProfile") {
     it("writes the artifact through the Hadoop FS, overwriting") {
       val dir = Files.createTempDirectory("graft_reports").toString
