@@ -83,16 +83,23 @@ object Bloom {
     * definitively new and bypass the join; only bloom-positive rows
     * shuffle into the exact verify (left join on the distinct base
     * keys), which also clears the false positives.
+    *
+    * Null probe keys flag `false` (the base's null keys are likewise
+    * dropped at build) via the definite-new branch — a bare
+    * `filter(!mightContain)` would silently drop them from BOTH
+    * branches, since the kernel's null propagates through the
+    * negation.
     */
   def flagMembership(probe: DataFrame, probeKey: String,
       base: DataFrame, baseKey: String, filter: Filter,
       flagName: String = "is_known"): DataFrame = {
     val keyL = col(probeKey).cast("long")
+    val mc = filter.mightContain(keyL)
     val baseKeys = base.select(col(baseKey).cast("long").as(probeKey))
       .na.drop().distinct().withColumn("__hit", lit(1))
-    val definiteNew = probe.filter(!filter.mightContain(keyL))
+    val definiteNew = probe.filter(coalesce(!mc, lit(true)))
       .withColumn(flagName, lit(false))
-    val verified = probe.filter(filter.mightContain(keyL))
+    val verified = probe.filter(coalesce(mc, lit(false)))
       .join(baseKeys, Seq(probeKey), "left")
       .withColumn(flagName, col("__hit").isNotNull)
       .drop("__hit")

@@ -125,23 +125,47 @@ object MinHashLsh {
     * colliding in at least one band. merge hint: the banded table is
     * bands× the corpus — never broadcast it (see Dedup.ngramJaccard);
     * shuffle on (band,bucket) and let AQE split hot buckets.
+    *
+    * `maxBucket > 0` drops buckets holding more than that many docs
+    * BEFORE pair generation — the production-LSH "stop bucket" dial.
+    * A bucket of B members emits B² pairs inside ONE task (a same-key
+    * join is irreducible — AQE cannot split a single key), so one
+    * degenerate bucket at 100 TB stalls the stage; a bucket that
+    * common also carries ~zero discriminative signal. Recall
+    * contract: a true pair is lost only if EVERY band it collides in
+    * is oversized — with exact-dedup upstream (the pipe_clean_corpus
+    * composition) near-dup groups are small and this probability is
+    * negligible; WITHOUT exact-dedup, exact duplicates share all
+    * bands and a cap WILL drop them — dedup exactly first. 0 = off
+    * (the gated queries' semantics).
     */
-  private def bucketJoin(banded: DataFrame): DataFrame =
-    banded.as("a").join(banded.as("b").hint("merge"),
+  private def bucketJoin(banded: DataFrame, maxBucket: Int = 0)
+      : DataFrame = {
+    val side =
+      if (maxBucket <= 0) banded
+      else banded.join(
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+    side.as("a").join(side.as("b").hint("merge"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+  }
 
   /** LSH candidate pairs: documents whose signatures collide in at
-    * least one band. Returns distinct (id1 < id2).
+    * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
+    * for the `maxBucket` degenerate-bucket cap.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L, maxBucket: Int = 0): DataFrame =
     bucketJoin(bandedIndex(hashedShingles(df, idCol, textCol, shingleN),
-      numHashes, bands, seed))
+      numHashes, bands, seed), maxBucket)
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
     * near-dedup output (id1, id2, jaccard). `bands = 0` (the default)

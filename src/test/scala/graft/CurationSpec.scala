@@ -222,6 +222,14 @@ class CurationSpec extends SparkSpec {
         .filter($"mc").count()
       fp.toDouble / 10000 should be < 0.03
     }
+    it("routes null probe keys to is_known = false, never drops them") {
+      val probe = Seq(Some(3L), Some(999983L), None)
+        .toDF("k")
+      val flagged = Bloom.flagMembership(probe, "k", base, "k", filter)
+      flagged.count() shouldBe 3
+      flagged.filter($"k".isNull).select($"is_known")
+        .as[Boolean].collect().toSeq shouldBe Seq(false)
+    }
     it("flagMembership equals the exact anti-join") {
       val probe = (1L to 500L).map(i => i * 7).toDF("k")
       val flagged = Bloom.flagMembership(probe, "k", base, "k", filter)

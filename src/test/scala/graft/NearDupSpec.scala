@@ -35,6 +35,25 @@ class NearDupSpec extends SparkSpec {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       out shouldBe Set((1L, 2L))
     }
+    it("maxBucket drops degenerate buckets, keeps discriminative ones") {
+      // 30 identical docs: every band bucket holds all 30 (the
+      // degenerate case the cap exists for — and exactly why the cap
+      // requires exact-dedup upstream); plus one genuinely near-dup
+      // pair with unique text
+      val degenerate = (100L until 130L).map(i =>
+        (i, "x y z w v u t s r q p o"))
+      val pair = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+      val df = (degenerate ++ pair).toDF("doc_id", "text")
+      val capped = MinHashLsh.candidatePairs(df, "doc_id", "text",
+          maxBucket = 10)
+        .as[(Long, Long)].collect().toSet
+      capped shouldBe Set((1L, 2L)) // degenerate group's pairs gone
+      // uncapped: the degenerate group floods the candidate set
+      MinHashLsh.candidatePairs(df, "doc_id", "text")
+        .count() shouldBe (30L * 29 / 2 + 1)
+    }
     it("derives banding from the verify threshold (autoBands)") {
       // boundary-pair catch probability must be >= 98% AT the verify
       // threshold, with the sharpest banding (largest rows/band) that
