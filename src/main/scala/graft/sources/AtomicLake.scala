@@ -312,6 +312,34 @@ object AtomicLake {
     * Each side reads with ITS OWN snapshot's schema (evolution-safe);
     * the union aligns by name with missing columns as nulls.
     */
+  /** File-level diff between two committed versions: (added files,
+    * removed files, from-snapshot, to-snapshot) with paths relative
+    * to the lake root. Manifest-only — no Spark job — which makes it
+    * the cheap pre-flight for CDC consumers (e.g. the streaming
+    * source checks `removed.isEmpty` before planning a batch).
+    */
+  def fileDiff(root: String, fromVersion: Long, toVersion: Long,
+      store: CommitStore = HardlinkCommitStore)
+      : (Seq[String], Seq[String], Snapshot, Snapshot) = {
+    require(fromVersion <= toVersion,
+      s"fileDiff: fromVersion $fromVersion > toVersion $toVersion")
+    val from = readManifest(root, fromVersion, store)
+    val to = readManifest(root, toVersion, store)
+    val ff = from.files.values.flatten.toSet
+    val tf = to.files.values.flatten.toSet
+    ((tf -- ff).toSeq.sorted, (ff -- tf).toSeq.sorted, from, to)
+  }
+
+  /** Read a subset of a snapshot's files under that snapshot's
+    * schema (partition dirs stay real columns).
+    */
+  private[graft] def readFileSubset(spark: SparkSession, root: String,
+      files: Seq[String], snap: Snapshot): DataFrame = {
+    val paths = files.sorted.map(f => Paths.get(root).resolve(f).toString)
+    val reader = spark.read.option("basePath", dataDir(root).toString)
+    snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
+  }
+
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long,
       store: CommitStore = HardlinkCommitStore): DataFrame = {

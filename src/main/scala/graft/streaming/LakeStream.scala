@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.sources.{AtomicLake, HardlinkCommitStore}
+
+/** Table-as-stream: follow an [[AtomicLake]]'s committed versions as
+  * a Structured Streaming source —
+  * `spark.readStream.format("graft-lake").option("path", root).load()`.
+  *
+  * Offsets ARE lake versions: the first micro-batch is the full
+  * snapshot at the then-current version, every later batch exactly
+  * the rows the commits since the previous offset ADDED, resolved
+  * from the manifest diff — only new files are ever opened, and the
+  * commit protocol guarantees a version's files are complete and
+  * immutable the instant it becomes visible (no partially-written
+  * file can enter a batch, unlike directory-listing file streams).
+  * Restart replays from the checkpointed version with identical
+  * batch contents.
+  *
+  * Append-only semantics: a commit that REMOVES files (partition
+  * upsert/overwrite/compaction) cannot flow into an append sink, so
+  * the source fails loudly on it by default;
+  * `.option("ignoreDeletes", "true")` skips removed files and
+  * streams the added side only (Delta's streaming-source contract).
+  *
+  * Schema is fixed at stream start (the usual streaming-source rule);
+  * evolution lands on restart.
+  */
+class LakeStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake source requires .option(\"path\", <lake root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = rootOf(parameters)
+    val snap = AtomicLake.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(
+        s"no commits to stream from at $root"))
+    val s = schema.orElse(snap.schema).getOrElse(
+      AtomicLake.read(sqlContext.sparkSession, root).schema)
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext,
+      rootOf(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("ignoreDeletes").exists(_.toBoolean))
+}
+
+class LakeStreamSource(sqlContext: SQLContext, root: String,
+    override val schema: StructType, ignoreDeletes: Boolean)
+    extends Source {
+
+  private val store = HardlinkCommitStore
+  private def spark = sqlContext.sparkSession
+
+  override def getOffset: Option[Offset] =
+    AtomicLake.currentVersion(root, store).map(LongOffset.apply)
+
+  private def versionOf(o: Offset): Long = o match {
+    case lo: LongOffset => lo.offset
+    case so: SerializedOffset => LongOffset(so).offset
+    case other => throw new IllegalStateException(
+      s"unexpected offset type $other")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start match {
+      case None => // initial load: the whole snapshot as of endV
+        AtomicLake.readVersion(spark, root, endV, store)
+      case Some(s) =>
+        val startV = versionOf(s)
+        val (added, removed, _, toSnap) =
+          AtomicLake.fileDiff(root, startV, endV, store)
+        if (removed.nonEmpty && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"lake stream at $root: commits v$startV -> v$endV removed " +
+              s"${removed.size} file(s) (partition upsert/overwrite/" +
+              "compaction). An append stream cannot represent deletes; " +
+              "set .option(\"ignoreDeletes\", \"true\") to stream the " +
+              "added side only, or consume AtomicLake.readChanges in " +
+              "batch.")
+        if (added.isEmpty) // deletes-only range under ignoreDeletes
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else AtomicLake.readFileSubset(spark, root, added, toSnap)
+    }
+    Bridge.asStreamingBatch(batch.selectExpr(schema.fieldNames.map(
+      n => s"`$n`"): _*))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeStreamSource[$root]"
+}

@@ -24,4 +24,25 @@ object Bridge {
     */
   def toExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Re-plan a batch DataFrame as the micro-batch of a V1 streaming
+    * Source: flip every file-scan leaf to `isStreaming = true` —
+    * exactly what `FileStreamSource.getBatch` does with
+    * `LogicalRelation(relation, isStreaming = true)` — so
+    * MicroBatchExecution accepts the plan returned by `getBatch`.
+    */
+  def asStreamingBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+      case lr: LocalRelation if !lr.isStreaming => // empty micro-batch
+        lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+  }
 }
