@@ -58,7 +58,12 @@ object AtomicLake {
       files: Map[String, Seq[String]],
       // table schema as of this commit; None on pre-evolution
       // manifests (readers fall back to parquet schema merge)
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      // what produced this commit: "write" (upsert/append/overwrite)
+      // or "compact" (files rewritten, NO logical data change) —
+      // incremental consumers skip compact commits to avoid
+      // re-emitting rewritten rows (Delta's dataChange=false role)
+      kind: String = "write")
 
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
@@ -81,19 +86,27 @@ object AtomicLake {
       case "" => Nil
       case s => s.split(",").toSeq
     }
-    // optional schema header (absent on pre-evolution manifests)
-    val (schema, fileLines) = lines.tail match {
-      case s +: rest if s.startsWith("schema=") =>
-        (Some(org.apache.spark.sql.types.DataType
-          .fromJson(s.drop("schema=".length))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]), rest)
-      case rest => (None, rest)
+    // optional headers (absent on older manifests): schema=, kind=
+    var rest = lines.tail
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    var kind = "write"
+    var headers = true
+    while (headers) rest match {
+      case h +: tl if h.startsWith("schema=") =>
+        schema = Some(org.apache.spark.sql.types.DataType
+          .fromJson(h.drop("schema=".length))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        rest = tl
+      case h +: tl if h.startsWith("kind=") =>
+        kind = h.drop("kind=".length); rest = tl
+      case _ => headers = false
     }
+    val fileLines = rest
     val files = fileLines.filter(_.nonEmpty).map { l =>
       val Array(part, file) = l.split("\t", 2)
       part -> file
     }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
-    Snapshot(v, partitionCols, files, schema)
+    Snapshot(v, partitionCols, files, schema, kind)
   }
 
   /** The committed schema after applying `batch` on top of `base`:
@@ -193,7 +206,8 @@ object AtomicLake {
       newFiles: Map[String, Seq[String]], partitionCols: Seq[String],
       expectedBase: Option[Snapshot] = None,
       batchSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      store: CommitStore = HardlinkCommitStore): Long = {
+      store: CommitStore = HardlinkCommitStore,
+      kind: String = "write"): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -230,6 +244,7 @@ object AtomicLake {
       }.toMap
       val body = new StringBuilder(s"partition_cols=${partitionCols.mkString(",")}\n")
       schema.foreach(s => body.append("schema=").append(s.json).append('\n'))
+      if (kind != "write") body.append("kind=").append(kind).append('\n')
       for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted)
         body.append(p).append('\t').append(f).append('\n')
       if (store.tryCommit(root, version, body.toString))
@@ -304,10 +319,12 @@ object AtomicLake {
     * table. Deletes are file-level (this lake replaces whole
     * partitions, never individual rows), so the diff is exact. A
     * compaction commit rewrites partitions without logical change;
-    * snapshot-diff CDC reports it as delete+insert of the same rows —
-    * the documented caveat of file-diff CDC (Iceberg's
-    * changelog-scan has the same one) — filter compaction versions
-    * out upstream when that matters.
+    * a RANGE-level snapshot diff reports it as delete+insert of the
+    * same rows (net-zero for additive consumers like
+    * [[graft.operators.Incremental.applyChanges]], just wasted IO).
+    * Consumers that must skip it walk per-commit and test
+    * `snapshotAt(v).kind == "compact"` — exactly what the
+    * graft-lake streaming source does.
     *
     * Each side reads with ITS OWN snapshot's schema (evolution-safe);
     * the union aligns by name with missing columns as nulls.
@@ -339,6 +356,13 @@ object AtomicLake {
     val reader = spark.read.option("basePath", dataDir(root).toString)
     snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
   }
+
+  /** The committed snapshot's metadata at a version (files, schema,
+    * kind) — manifest-only, no Spark job.
+    */
+  def snapshotAt(root: String, version: Long,
+      store: CommitStore = HardlinkCommitStore): Snapshot =
+    readManifest(root, version, store)
 
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long,
@@ -416,7 +440,7 @@ object AtomicLake {
       filesPerPartition)
     commitReplacing(root, targets ++ staged.keySet, staged,
       snap.partitionCols, expectedBase = Some(snap),
-      batchSchema = Some(batch.schema), store = store)
+      batchSchema = Some(batch.schema), store = store, kind = "compact")
   }
 
   /** Garbage-collect the data plane: delete files referenced by NO

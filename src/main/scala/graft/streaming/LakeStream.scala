@@ -84,21 +84,39 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
       case None => // initial load: the whole snapshot as of endV
         AtomicLake.readVersion(spark, root, endV, store)
       case Some(s) =>
+        // walk the commits one by one: a `compact` commit rewrites
+        // files with NO logical change (Delta's dataChange=false), so
+        // its adds must NOT re-emit and its removes must NOT trip the
+        // delete check — only write commits count either way
         val startV = versionOf(s)
-        val (added, removed, _, toSnap) =
-          AtomicLake.fileDiff(root, startV, endV, store)
-        if (removed.nonEmpty && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"lake stream at $root: commits v$startV -> v$endV removed " +
-              s"${removed.size} file(s) (partition upsert/overwrite/" +
-              "compaction). An append stream cannot represent deletes; " +
-              "set .option(\"ignoreDeletes\", \"true\") to stream the " +
-              "added side only, or consume AtomicLake.readChanges in " +
-              "batch.")
-        if (added.isEmpty) // deletes-only range under ignoreDeletes
+        val added = Vector.newBuilder[String]
+        for (v <- startV + 1 to endV) {
+          val snap = AtomicLake.snapshotAt(root, v, store)
+          if (snap.kind != "compact") {
+            val (a, removed, _, _) =
+              AtomicLake.fileDiff(root, v - 1, v, store)
+            if (removed.nonEmpty && !ignoreDeletes)
+              throw new IllegalStateException(
+                s"lake stream at $root: commit v$v removed " +
+                  s"${removed.size} file(s) (partition upsert/" +
+                  "overwrite). An append stream cannot represent " +
+                  "deletes; set .option(\"ignoreDeletes\", \"true\") " +
+                  "to stream the added side only, or consume " +
+                  "AtomicLake.readChanges in batch.")
+            added ++= a
+          }
+        }
+        val files = added.result()
+        if (files.isEmpty) // compaction/deletes-only range
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else AtomicLake.readFileSubset(spark, root, added, toSnap)
+        else
+          // the STREAM's fixed schema drives the read: files from
+          // commits predating a column yield nulls for it, later
+          // extra columns are pruned
+          AtomicLake.readFileSubset(spark, root, files,
+            AtomicLake.snapshotAt(root, endV, store).copy(
+              schema = Some(schema)))
     }
     Bridge.asStreamingBatch(batch.selectExpr(schema.fieldNames.map(
       n => s"`$n`"): _*))

@@ -81,6 +81,26 @@ class LakeStreamSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("compaction never re-emits rows and never breaks the stream") {
+      val root = freshRoot()
+      // three appends fragment the (single, unpartitioned) partition
+      AtomicLake.append(Seq((1, "a")).toDF("id", "v"), root)
+      AtomicLake.append(Seq((2, "b")).toDF("id", "v"), root)
+      AtomicLake.append(Seq((3, "c")).toDF("id", "v"), root)
+      val q = startQuery(root, "ls_sink5") // note: NO ignoreDeletes
+      try {
+        q.processAllAvailable()
+        spark.table("ls_sink5").count() shouldBe 3
+        // compact rewrites every file — kind=compact, so the stream
+        // skips it entirely instead of duplicating or failing
+        AtomicLake.compact(spark, root)
+        AtomicLake.append(Seq((4, "d")).toDF("id", "v"), root)
+        q.processAllAvailable()
+        spark.table("ls_sink5").select($"id").as[Int].collect()
+          .sorted.toSeq shouldBe Seq(1, 2, 3, 4)
+      } finally q.stop()
+    }
+
     it("resumes from the checkpointed version without re-reading") {
       val root = freshRoot()
       val ckpt = Files.createTempDirectory("graft_ls_ckpt2").toString
