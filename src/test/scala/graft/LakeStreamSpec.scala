@@ -101,6 +101,42 @@ class LakeStreamSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("composes with the indexed-ingest sink: lake -> stream -> deduped lake + live index (G23 ∘ G19)") {
+      import graft.operators.NearDupIndex
+      val crawl = freshRoot()   // upstream crawl landing lake
+      val docs = freshRoot() + "/docs"
+      val index = freshRoot() + "/index"
+      AtomicLake.append(
+        Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "one two three four five six"))
+          .toDF("doc_id", "text"), crawl)
+      val q = graft.streaming.StreamingLake.ingestWithIndexSink(
+        spark.readStream.format("graft-lake").option("path", crawl).load(),
+        "doc_id", "text", docs, index,
+        Files.createTempDirectory("graft_ls_ing").toString,
+        threshold = 0.5)
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        q.processAllAvailable()
+        AtomicLake.read(spark, docs).count() shouldBe 2
+        // a near-dup of doc 1 lands upstream: the stream carries it
+        // into the docs lake AND the index sees it against batch 1
+        AtomicLake.append(
+          Seq((3L, "alpha beta gamma delta epsilon eta"))
+            .toDF("doc_id", "text"), crawl)
+        q.processAllAvailable()
+        AtomicLake.read(spark, docs).count() shouldBe 3
+        // a NEW doc probes the persisted index: both the original and
+        // the streamed-in near-dup answer, proving batch 2 extended it
+        val probe = Seq((99L, "alpha beta gamma delta epsilon eta"))
+          .toDF("doc_id", "text")
+        val pairs = NearDupIndex.pairsAgainstIndex(spark, probe,
+            "doc_id", "text", index, threshold = 0.5)
+          .select($"id1").as[Long].collect().toSet
+        pairs shouldBe Set(1L, 3L)
+      } finally q.stop()
+    }
+
     it("resumes from the checkpointed version without re-reading") {
       val root = freshRoot()
       val ckpt = Files.createTempDirectory("graft_ls_ckpt2").toString
