@@ -66,6 +66,20 @@ object Export {
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Training-export JSONL: one gzip'd JSON-lines file per shard
+    * (a `.json.gz` part under each `path/shard=N` directory), rows in
+    * ascending id order within a shard — the interchange format LM
+    * data loaders consume. Same deterministic layout contract as
+    * [[writeShards]].
+    */
+  def writeJsonlShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    df.withColumn("shard", shardOf(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(path)
+
   /** Globally-sorted export WITHOUT a single-task funnel: range
     * partition on the sort key into `nFiles` (sampled split points),
     * sort within each — file i's keys all precede file i+1's, so the

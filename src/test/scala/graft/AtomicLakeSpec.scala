@@ -202,6 +202,10 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.currentSnapshot(root).get.files("part=a").size shouldBe 1
       AtomicLake.read(spark, root).select("id").as[Int]
         .collect().toSet shouldBe Set(1, 2, 3)
+      // the manifest records WHAT produced each commit: incremental
+      // consumers (the graft-lake stream) key on this
+      AtomicLake.snapshotAt(root, v).kind shouldBe "compact"
+      AtomicLake.snapshotAt(root, 3L).kind shouldBe "write"
     }
     it("compact aborts instead of resurrecting a concurrently-upserted partition") {
       val root = freshRoot("compact_conflict")

@@ -111,6 +111,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("Export.writeJsonlShards") {
+    it("writes gzip jsonl per shard that round-trips") {
+      val dir = "/root/repo/target/test_jsonl"
+      val docs = (1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      Export.writeJsonlShards(docs, "doc_id", nShards = 4, path = dir)
+      val back = spark.read.json(dir)
+      back.count() shouldBe 50
+      back.columns.toSet shouldBe Set("doc_id", "text", "shard")
+      // physically gzip'd json-lines
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard="))
+        .flatMap(_.listFiles()).map(_.getName)
+        .filter(_.startsWith("part-"))
+      files should not be empty
+      all(files) should endWith(".json.gz")
+    }
+  }
+
   describe("Export.writeSorted") {
     it("range-partitioned files concatenate to the total order") {
       val dir = "/root/repo/target/test_sorted"
