@@ -147,6 +147,25 @@ class ChangesSpec extends SparkSpec {
       AtomicLake.currentVersion(tgt).get shouldBe tv
     }
 
+    it("Materialized runs end-to-end on the object-store commit path") {
+      import graft.lakehouse.Materialized
+      import graft.sources.{CatalogCommitStore, CommitCatalog}
+      val store = new CatalogCommitStore(new CommitCatalog)
+      val src = freshRoot(); val tgt = freshRoot()
+      val keys = Seq("day")
+      val ms = Map("total" -> col("value"))
+      AtomicLake.upsertPartitions(
+        Seq((1, 2.0, "d1")).toDF("id", "value", "day"), src, keys,
+        store = store)
+      Materialized.refresh(spark, src, tgt, keys, ms, store = store)
+      AtomicLake.append(
+        Seq((2, 3.0, "d1")).toDF("id", "value", "day"), src, keys,
+        store = store)
+      Materialized.refresh(spark, src, tgt, keys, ms, store = store)
+      Materialized.read(spark, tgt, Seq("total"), store = store)
+        .select($"total").as[Double].head() shouldBe 5.0
+    }
+
     it("drops a group whose partition was replaced away entirely") {
       val root = freshRoot()
       val keys = Seq("day")
