@@ -58,18 +58,77 @@ class LakeStreamProvider extends StreamSourceProvider
     new LakeStreamSource(sqlContext,
       rootOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("ignoreDeletes").exists(_.toBoolean))
+      parameters.get("ignoreDeletes").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      metadataPath)
 }
 
 class LakeStreamSource(sqlContext: SQLContext, root: String,
-    override val schema: StructType, ignoreDeletes: Boolean)
+    override val schema: StructType, ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: String = "")
     extends Source {
 
   private val store = HardlinkCommitStore
   private def spark = sqlContext.sparkSession
 
-  override def getOffset: Option[Offset] =
-    AtomicLake.currentVersion(root, store).map(LongOffset.apply)
+  // Highest version already handed out via getOffset — the admission
+  // base for maxVersionsPerTrigger. Persisted under the source's own
+  // checkpoint metadata dir (the V1 metadata-log role) so a RESTART
+  // resumes pacing from where it left off instead of gulping the
+  // whole backlog in one batch; best-effort (unreadable position ⇒
+  // one unpaced batch, never wrong data).
+  @volatile private var lastSeen: Option[Long] = None
+
+  // persisted whether or not THIS incarnation paces, so turning
+  // pacing on at a restart still knows where the stream stood
+  private def positionFile: Option[org.apache.hadoop.fs.Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-lake-position"))
+
+  private def loadPosition(): Option[Long] = positionFile.flatMap { p =>
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def savePosition(v: Long): Unit = positionFile.foreach { p =>
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () }
+  }
+
+  /** `maxVersionsPerTrigger` caps how many commits one micro-batch
+    * admits (Delta's maxFilesPerTrigger role, at commit granularity):
+    * catching up a long backlog replays in bounded batches instead of
+    * one giant gulp. A brand-new stream's FIRST batch is the full
+    * snapshot by definition; pacing governs everything after it,
+    * across restarts.
+    */
+  override def getOffset: Option[Offset] = {
+    if (lastSeen.isEmpty) lastSeen = loadPosition()
+    val current = AtomicLake.currentVersion(root, store)
+    val capped = (current, maxVersionsPerTrigger, lastSeen) match {
+      case (Some(c), Some(m), Some(prev)) => Some(math.min(c, prev + m))
+      case _ => current
+    }
+    capped.foreach { v =>
+      if (!lastSeen.contains(v)) { lastSeen = Some(v); savePosition(v) }
+    }
+    capped.map(LongOffset.apply)
+  }
 
   private def versionOf(o: Offset): Long = o match {
     case lo: LongOffset => lo.offset

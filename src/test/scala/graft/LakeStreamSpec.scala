@@ -81,6 +81,38 @@ class LakeStreamSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("maxVersionsPerTrigger paces catch-up into bounded batches") {
+      val root = freshRoot()
+      val ckpt = Files.createTempDirectory("graft_ls_pace").toString
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      def start(paced: Boolean) = {
+        val r = spark.readStream.format("graft-lake").option("path", root)
+        (if (paced) r.option("maxVersionsPerTrigger", "1") else r)
+          .load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            batches.add(df.count().toInt); ()
+          }.trigger(Trigger.ProcessingTime(20)).start()
+      }
+      // incarnation 1 processes v1 and records the stream position
+      AtomicLake.append(Seq((0, "z")).toDF("id", "v"), root)
+      val q0 = start(paced = false)
+      try q0.processAllAvailable() finally q0.stop()
+      // a 5-commit backlog lands while the stream is down
+      (1 to 5).foreach(i =>
+        AtomicLake.append(Seq((i, "v")).toDF("id", "v"), root))
+      batches.clear()
+      val q = start(paced = true)
+      try {
+        q.processAllAvailable()
+        val sizes = batches.asScala.map(_.intValue).toSeq
+        sizes.sum shouldBe 5 // the backlog, nothing re-read
+        // paced: ONE commit (one row here) per non-empty batch —
+        // never a multi-commit gulp
+        sizes.filter(_ > 0) shouldBe Seq(1, 1, 1, 1, 1)
+      } finally q.stop()
+    }
+
     it("compaction never re-emits rows and never breaks the stream") {
       val root = freshRoot()
       // three appends fragment the (single, unpartitioned) partition
