@@ -914,10 +914,12 @@ object NativeKernels extends Serializable {
   def fingerprint64Col(text: Column): Column =
     invoke("fingerprint64", LongType, Seq(text), Seq(StringType))
 
-  def tokenSegmentsCol(text: Column, k: Int): Column =
+  def tokenSegmentsCol(text: Column, k: Int): Column = {
+    require(k >= 1, s"tokenSegments: k must be >= 1, got $k")
     invoke("tokenSegments", ArrayType(StringType, containsNull = false),
       Seq(text, org.apache.spark.sql.functions.lit(k)),
       Seq(StringType, IntegerType))
+  }
 
   def wordShinglesCol(tokens: Column, n: Int): Column =
     invoke("wordShingles", ArrayType(StringType, containsNull = false),

@@ -178,9 +178,14 @@ object TextFns {
   def urlPath(u: Column): Column =
     regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
-  /** Value of a single query parameter (empty when absent). */
+  /** Value of a single query parameter (empty when absent). The key
+    * is regex-quoted: `q[0]` or `a.b` match literally instead of
+    * crashing or over-matching (the oracle side interpolates its
+    * plain alphanumeric key, which \Q..\E matches identically).
+    */
   def urlQueryParam(u: Column, key: String): Column =
-    regexp_extract(u, "[?&]" + key + "=([^&#]*)", 1)
+    regexp_extract(u,
+      "[?&]" + java.util.regex.Pattern.quote(key) + "=([^&#]*)", 1)
 
   /** Registered-domain heuristic: the last two dot-labels of the
     * host (`a.b.example.com` → `example.com`). Public-suffix-list

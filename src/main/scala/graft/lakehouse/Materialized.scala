@@ -43,7 +43,6 @@ object Materialized {
         s"no commits at source $sourceRoot"))
     val prev = watermark(spark, targetRoot, store)
     if (prev.contains(srcVersion)) return srcVersion
-    val mNames = measures.keys.toSeq
     val newState = prev match {
       case None => // initial build: one full aggregation of the source
         Incremental.partialSums(

@@ -58,15 +58,19 @@ object Reports {
     def py(v: Double): Double = MT + plotH * (1.0 - v / yMax)
 
     val series = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // legend wraps at 5 entries/row so many-cluster profiles stay
+    // inside the canvas; past 8 series the palette cycles (k-means
+    // consultations run k=3 — the cycle is a many-series fallback)
     val lines = series.zipWithIndex.map { case ((cid, pts), i) =>
       val color = palette(i % palette.size)
       val d = pts.sortBy(_._2)
         .map(p => s"${fmt(px(p._2))},${fmt(py(p._3))}").mkString(" ")
-      val lx = ML + 8 + i * 110
+      val lx = ML + 8 + (i % 5) * 110
+      val ly = H - 16 - (i / 5) * 14
       s"""  <polyline fill="none" stroke="$color" stroke-width="2" points="$d"/>
          |  <g font-size="12" font-family="sans-serif">
-         |    <rect x="$lx" y="${H - 16}" width="10" height="10" fill="$color"/>
-         |    <text x="${lx + 14}" y="${H - 7}">cluster $cid</text>
+         |    <rect x="$lx" y="$ly" width="10" height="10" fill="$color"/>
+         |    <text x="${lx + 14}" y="${ly + 9}">cluster $cid</text>
          |  </g>""".stripMargin
     }
     val xTicks = Seq(0, 6, 12, 18, 23).map { h =>

@@ -143,12 +143,19 @@ object MinHashLsh {
       : DataFrame = {
     val side =
       if (maxBucket <= 0) banded
-      else banded.join(
-        banded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucket)
-          .select(col("band"), col("bucket")),
-        Seq("band", "bucket"), "left_semi")
+      else {
+        // pin the banded index first: it feeds BOTH the size count
+        // and the semi join, and without the pin the signature kernel
+        // would run over the full corpus twice (exchange reuse across
+        // the two consumers is not guaranteed)
+        val pinned = banded.localCheckpoint()
+        pinned.join(
+          pinned.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") <= maxBucket)
+            .select(col("band"), col("bucket")),
+          Seq("band", "bucket"), "left_semi")
+      }
     side.as("a").join(side.as("b").hint("merge"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&

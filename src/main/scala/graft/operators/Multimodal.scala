@@ -103,17 +103,34 @@ object Multimodal {
     h
   }
 
-  /** (media_id, fp) perceptual hashes for every DECODABLE image row —
-    * undecodable payloads are excluded (there is no perceptual
-    * content to hash; route them to the quarantine path instead).
-    * One decode per row, map-side only.
+  /** True when the image has essentially no luminance structure (all
+    * 8×8 cells within `eps` of each other). Flat images are aHash-
+    * degenerate: every cell ties with the mean, so ALL of them — a
+    * black placeholder and a white banner alike — collapse to the
+    * same fingerprint and would pair as "duplicates" at distance 0.
+    */
+  def isFlatImage(img: java.awt.image.BufferedImage,
+      eps: Double = 1.0): Boolean = {
+    val cells = imageEmbedding(img, gx = 8, gy = 8)
+    cells.max - cells.min < eps
+  }
+
+  /** (media_id, fp) perceptual hashes for every DECODABLE,
+    * NON-DEGENERATE image row — undecodable payloads are excluded
+    * (no perceptual content to hash; route them to the quarantine
+    * path), and flat/solid-color images are excluded too (their
+    * aHash is meaningless — see [[isFlatImage]]; exact-byte dedup is
+    * the right operator for placeholders). One decode per row,
+    * map-side only.
     */
   def imageHashes(ds: Dataset[MediaRow]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter((r: MediaRow) => r.kind == "image")
       .flatMap((r: MediaRow) =>
-        decodeImage(r.payload).map(img => (r.media_id, imageHash64(img))))
+        decodeImage(r.payload)
+          .filterNot(isFlatImage(_))
+          .map(img => (r.media_id, imageHash64(img))))
       .toDF("media_id", "fp")
   }
 

@@ -176,7 +176,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // k must be a foldable int literal (it parameterizes the kernel)
       c => graft.operators.Curation.segments(c(0),
         Bridge.toExpression(c(1)) match {
-          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType)
+              if v >= 1 => v
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+            throw new IllegalArgumentException(
+              s"graft_segments: k must be >= 1, got $v")
           case other => throw new IllegalArgumentException(
             s"graft_segments: k must be an int literal, got $other")
         })

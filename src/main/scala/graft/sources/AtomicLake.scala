@@ -304,31 +304,6 @@ object AtomicLake {
       store: CommitStore = HardlinkCommitStore): DataFrame =
     readSnapshot(spark, root, readManifest(root, version, store))
 
-  /** Incremental (CDC) read: the rows that changed between two
-    * committed versions, as a snapshot diff of the manifests' file
-    * lists — `_change_type` is `insert` for rows in files present in
-    * `toVersion` but not `fromVersion`, `delete` for rows in files
-    * only `fromVersion` references. An append commit therefore reads
-    * as pure inserts; a partition upsert as the old image deleted +
-    * the new image inserted — exactly what a downstream incremental
-    * materialization consumes ([[graft.operators.Incremental]] merges
-    * the insert side; deletes signal a partition recompute).
-    *
-    * Scale: only the CHANGED files are ever opened — consuming one
-    * day's upsert on a 100-TB table scans that day's files, not the
-    * table. Deletes are file-level (this lake replaces whole
-    * partitions, never individual rows), so the diff is exact. A
-    * compaction commit rewrites partitions without logical change;
-    * a RANGE-level snapshot diff reports it as delete+insert of the
-    * same rows (net-zero for additive consumers like
-    * [[graft.operators.Incremental.applyChanges]], just wasted IO).
-    * Consumers that must skip it walk per-commit and test
-    * `snapshotAt(v).kind == "compact"` — exactly what the
-    * graft-lake streaming source does.
-    *
-    * Each side reads with ITS OWN snapshot's schema (evolution-safe);
-    * the union aligns by name with missing columns as nulls.
-    */
   /** File-level diff between two committed versions: (added files,
     * removed files, from-snapshot, to-snapshot) with paths relative
     * to the lake root. Manifest-only — no Spark job — which makes it
@@ -364,28 +339,45 @@ object AtomicLake {
       store: CommitStore = HardlinkCommitStore): Snapshot =
     readManifest(root, version, store)
 
+  /** Incremental (CDC) read: the rows that changed between two
+    * committed versions, as a snapshot diff of the manifests' file
+    * lists ([[fileDiff]]) — `_change_type` is `insert` for rows in
+    * files present in `toVersion` but not `fromVersion`, `delete` for
+    * rows in files only `fromVersion` references. An append commit
+    * therefore reads as pure inserts; a partition upsert as the old
+    * image deleted + the new image inserted — exactly what a
+    * downstream incremental materialization consumes
+    * ([[graft.operators.Incremental]] merges the insert side; deletes
+    * signal a partition recompute).
+    *
+    * Scale: only the CHANGED files are ever opened — consuming one
+    * day's upsert on a 100-TB table scans that day's files, not the
+    * table. Deletes are file-level (this lake replaces whole
+    * partitions, never individual rows), so the diff is exact. A
+    * compaction commit rewrites partitions without logical change;
+    * a RANGE-level snapshot diff reports it as delete+insert of the
+    * same rows (net-zero for additive consumers like
+    * [[graft.operators.Incremental.applyChanges]], just wasted IO).
+    * Consumers that must skip it walk per-commit and test
+    * `snapshotAt(v).kind == "compact"` — exactly what the
+    * graft-lake streaming source does.
+    *
+    * Each side reads with ITS OWN snapshot's schema (evolution-safe);
+    * the union aligns by name with missing columns as nulls.
+    */
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
-    val from = readManifest(root, fromVersion, store)
-    val to = readManifest(root, toVersion, store)
-    val fromFiles = from.files.values.flatten.toSet
-    val toFiles = to.files.values.flatten.toSet
+    val (addedFiles, removedFiles, from, to) =
+      fileDiff(root, fromVersion, toVersion, store)
     def side(files: Seq[String], snap: Snapshot, tag: String)
         : Option[DataFrame] =
       if (files.isEmpty) None
-      else {
-        val paths = files.sorted.map(f =>
-          Paths.get(root).resolve(f).toString)
-        val reader = spark.read.option("basePath", dataDir(root).toString)
-        Some(snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
-          .withColumn("_change_type",
-            org.apache.spark.sql.functions.lit(tag)))
-      }
-    val inserted = side((toFiles -- fromFiles).toSeq, to, "insert")
-    val deleted = side((fromFiles -- toFiles).toSeq, from, "delete")
+      else Some(readFileSubset(spark, root, files, snap)
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit(tag)))
+    val inserted = side(addedFiles, to, "insert")
+    val deleted = side(removedFiles, from, "delete")
     (inserted, deleted) match {
       case (Some(i), Some(d)) =>
         i.unionByName(d, allowMissingColumns = true)

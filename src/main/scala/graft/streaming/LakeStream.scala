@@ -146,14 +146,19 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
         // walk the commits one by one: a `compact` commit rewrites
         // files with NO logical change (Delta's dataChange=false), so
         // its adds must NOT re-emit and its removes must NOT trip the
-        // delete check — only write commits count either way
+        // delete check — only write commits count either way. One
+        // manifest read per version: each iteration diffs against the
+        // previous iteration's snapshot instead of calling fileDiff
+        // (which would re-read both endpoints).
         val startV = versionOf(s)
         val added = Vector.newBuilder[String]
+        var prev = AtomicLake.snapshotAt(root, startV, store)
         for (v <- startV + 1 to endV) {
           val snap = AtomicLake.snapshotAt(root, v, store)
           if (snap.kind != "compact") {
-            val (a, removed, _, _) =
-              AtomicLake.fileDiff(root, v - 1, v, store)
+            val prevFiles = prev.files.values.flatten.toSet
+            val curFiles = snap.files.values.flatten.toSet
+            val removed = prevFiles -- curFiles
             if (removed.nonEmpty && !ignoreDeletes)
               throw new IllegalStateException(
                 s"lake stream at $root: commit v$v removed " +
@@ -162,8 +167,9 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
                   "deletes; set .option(\"ignoreDeletes\", \"true\") " +
                   "to stream the added side only, or consume " +
                   "AtomicLake.readChanges in batch.")
-            added ++= a
+            added ++= (curFiles -- prevFiles).toSeq.sorted
           }
+          prev = snap
         }
         val files = added.result()
         if (files.isEmpty) // compaction/deletes-only range
@@ -174,8 +180,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
           // commits predating a column yield nulls for it, later
           // extra columns are pruned
           AtomicLake.readFileSubset(spark, root, files,
-            AtomicLake.snapshotAt(root, endV, store).copy(
-              schema = Some(schema)))
+            prev.copy(schema = Some(schema)))
     }
     Bridge.asStreamingBatch(batch.selectExpr(schema.fieldNames.map(
       n => s"`$n`"): _*))

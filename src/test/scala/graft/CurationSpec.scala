@@ -280,5 +280,12 @@ class CurationSpec extends SparkSpec {
         .select(TextFns.urlHost($"url")).as[String].collect()
         .toSeq shouldBe Seq("", "")
     }
+    it("treats regex metacharacters in a query-param key literally") {
+      val u = Seq("https://h/x?q[0]=hit&aXb=trap&a.b=dot").toDF("url")
+      u.select(
+        TextFns.urlQueryParam($"url", "q[0]"),
+        TextFns.urlQueryParam($"url", "a.b"))
+        .as[(String, String)].head() shouldBe (("hit", "dot"))
+    }
   }
 }

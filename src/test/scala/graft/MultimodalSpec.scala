@@ -142,6 +142,29 @@ class MultimodalSpec extends SparkSpec {
       val h2 = Multimodal.imageHash64(decode(splitPng(false)))
       java.lang.Long.bitCount(h1 ^ h2) should be > 32
     }
+    def solidPng(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    it("excludes flat images instead of pairing black with white") {
+      // aHash is degenerate on structure-free images: every cell ties
+      // with the mean, so solid black and solid white would both hash
+      // to all-ones and pair at distance 0 — they must be excluded
+      val rows = Seq(
+        MediaRow(1L, "image", solidPng(0x000000), "black"),
+        MediaRow(2L, "image", solidPng(0xffffff), "white"),
+        MediaRow(3L, "image", base, "textured"))
+        .toDS()
+      Multimodal.nearDuplicateImages(rows).count() shouldBe 0
+      Multimodal.imageHashes(rows).select($"media_id").as[Long]
+        .collect().toSet shouldBe Set(3L)
+    }
+
     it("finds planted perceptual duplicates and only those") {
       val rows = Seq(
         MediaRow(1L, "image", base, "p1"),
