@@ -108,8 +108,8 @@ object MinHashLsh {
   /** The banded LSH index over a shingle-hash frame: one row per
     * (doc, band) with the band's bucket hash.
     */
-  private def bandedIndex(sh: DataFrame, numHashes: Int, bands: Int,
-      seed: Long): DataFrame = {
+  private[operators] def bandedIndex(sh: DataFrame, numHashes: Int,
+      bands: Int, seed: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     sh.select(col("doc_id"),

@@ -104,19 +104,13 @@ object NearDupIndex {
 
   /** Band rows derived from a (doc_id, sh) frame — the sh table holds
     * everything the band table is a function of, which is what makes
-    * [[repair]] possible without any source text.
+    * [[repair]] possible without any source text. ONE implementation
+    * of the bucket layout: this delegates to
+    * [[MinHashLsh.bandedIndex]], so the persisted index can never
+    * silently desynchronize from the in-memory operator's banding.
     */
-  private def bandedFromSh(sh: DataFrame, p: Params): DataFrame = {
-    val rows = p.numHashes / p.bands
-    sh.select(col("doc_id"),
-        MinHashLsh.signatureFromHashes(col("sh"), p.numHashes, p.seed)
-          .as("sig"))
-      .select(col("doc_id"), explode(array((0 until p.bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
-            .as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-  }
+  private def bandedFromSh(sh: DataFrame, p: Params): DataFrame =
+    MinHashLsh.bandedIndex(sh, p.numHashes, p.bands, p.seed)
 
   /** Build (overwrite) the index for a corpus. `threshold` drives the
     * banding via [[MinHashLsh.autoBands]] exactly like the in-memory
@@ -195,6 +189,19 @@ object NearDupIndex {
       : (Long, Long) = {
     val p = readParams(root, store)
     val spark = batch.sparkSession
+    // Params commit FIRST in build() (object-store crash ordering), so
+    // a writer that died inside build leaves params with zero table
+    // commits. Without this check every retry would throw 'no commits'
+    // on the read below — a permanently wedged ingest stream. The
+    // batch at hand becomes the initial corpus under the CLAIMED
+    // params (which correctly describe whatever tables exist: none).
+    if (AtomicLake.currentVersion(shRoot(root), store).isEmpty) {
+      val (sh0, banded0) = frames(batch, idCol, textCol, p)
+      val shV = AtomicLake.overwrite(sh0, shRoot(root), store = store)
+      val bandV = AtomicLake.overwrite(banded0, bandRoot(root),
+        store = store)
+      return (shV, bandV)
+    }
     val existing = AtomicLake.read(spark, shRoot(root), store)
       .select(col("doc_id"))
     val (sh, banded) = frames(

@@ -167,22 +167,27 @@ object AtomicLake {
     // improve — it only splits shuffle and write into two sequential
     // jobs (doubling the per-commit scheduling cost that dominates
     // small incremental upserts) and its partition coalescing could
-    // silently defeat filesPerPartition. Session-scoped save/restore:
-    // a concurrent query on the SAME session during this write loses
-    // AQE for that window (harmless — plans stay correct).
+    // silently defeat filesPerPartition. The toggle is REFCOUNTED per
+    // session ([[AqeScope]]): concurrent writers nest instead of the
+    // second restoring the first's temporary 'false' and leaving AQE
+    // off for the session's lifetime. A concurrent query during the
+    // window loses AQE for that window (harmless — plans stay
+    // correct).
     val spark = batch.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
+    AqeScope.enter(spark)
     try {
       val writer = distributed.write.mode("overwrite")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
        else writer).parquet(staging.toString)
-    } finally spark.conf.set(aqeKey, aqeWas)
+    } finally AqeScope.exit(spark)
     // move staged parquet into data/<partition>/<commit>-<file>
-    val staged = Files.walk(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
+    val staged = {
+      val w = Files.walk(staging)
+      try w.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+      finally w.close()
+    }
     val out = staged.map { p =>
       val rel = staging.relativize(p) // day=.../part-00000-....parquet
       val partRel = Option(rel.getParent).map(_.toString).getOrElse("")
@@ -207,7 +212,13 @@ object AtomicLake {
       expectedBase: Option[Snapshot] = None,
       batchSchema: Option[org.apache.spark.sql.types.StructType] = None,
       store: CommitStore = HardlinkCommitStore,
-      kind: String = "write"): Long = {
+      kind: String = "write",
+      // replace EVERY partition of whatever snapshot this commit
+      // lands on — recomputed inside the retry loop, so an overwrite
+      // that races a concurrent upsert still clears the partition the
+      // racer added (a pre-computed `touched` set would let it
+      // survive a "whole table" overwrite)
+      replaceAll: Boolean = false): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -228,6 +239,10 @@ object AtomicLake {
             s"partition $p changed (v${base.version} -> v${cur.version}) " +
               "since this rewrite read it; re-run against the new snapshot")
       val version = prev.map(_.version + 1).getOrElse(1L)
+      val effectiveTouched =
+        if (replaceAll) prev.map(_.files.keySet).getOrElse(Set.empty) ++
+          newFiles.keySet
+        else touched
       // this commit's schema: previous schema evolved by the batch's
       // (see [[mergeSchemas]]); recomputed INSIDE the retry loop so a
       // lost race against a schema-changing winner still merges right
@@ -238,7 +253,7 @@ object AtomicLake {
       // drop the replaced partitions, then UNION per-partition file
       // lists — so touched = ∅ is an append commit (new files join
       // the survivors instead of clobbering their partition entry)
-      val base = prev.map(_.files).getOrElse(Map.empty) -- touched
+      val base = prev.map(_.files).getOrElse(Map.empty) -- effectiveTouched
       val merged = (base.keySet ++ newFiles.keySet).iterator.map { k =>
         k -> (base.getOrElse(k, Nil) ++ newFiles.getOrElse(k, Nil))
       }.toMap
@@ -279,15 +294,17 @@ object AtomicLake {
       batchSchema = Some(batch.schema), store = store)
   }
 
-  /** Replace the WHOLE table contents in one commit. */
+  /** Replace the WHOLE table contents in one commit — including any
+    * partition a concurrent writer commits while this overwrite is
+    * staging (the replaced set is resolved inside the commit retry
+    * loop, not from a pre-staging snapshot).
+    */
   def overwrite(batch: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    val all = currentSnapshot(root, store).map(_.files.keySet)
-      .getOrElse(Set.empty)
-    commitReplacing(root, all ++ staged.keySet, staged, partitionCols,
-      batchSchema = Some(batch.schema), store = store)
+    commitReplacing(root, Set.empty, staged, partitionCols,
+      batchSchema = Some(batch.schema), store = store, replaceAll = true)
   }
 
   /** Read the newest committed snapshot. */
@@ -464,8 +481,11 @@ object AtomicLake {
     }
     val dd = dataDir(root)
     if (Files.isDirectory(dd)) {
-      val candidates = Files.walk(dd).iterator().asScala
-        .filter(Files.isRegularFile(_)).toSeq
+      val candidates = {
+        val w = Files.walk(dd)
+        try w.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally w.close()
+      }
       for (f <- candidates
            if !referenced.contains(f.normalize())
            if Files.getLastModifiedTime(f).toMillis < cutoff) {
@@ -476,8 +496,11 @@ object AtomicLake {
     // leftover staging dirs past the grace window are dead writers
     val st = Paths.get(root, "_staging")
     if (Files.isDirectory(st)) {
-      for (d <- Files.list(st).iterator().asScala.toSeq
-           if Files.getLastModifiedTime(d).toMillis < cutoff)
+      val dirs = {
+        val l = Files.list(st)
+        try l.iterator().asScala.toSeq finally l.close()
+      }
+      for (d <- dirs if Files.getLastModifiedTime(d).toMillis < cutoff)
         deleteRecursively(d)
     }
     deleted
@@ -485,7 +508,41 @@ object AtomicLake {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val w = Files.walk(p)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
+}
+
+/** Refcounted per-session AQE suppression: the FIRST enter records
+  * the session's original setting and turns AQE off; the LAST exit
+  * restores the original. Plain save/restore is not reentrant — with
+  * two concurrent [[AtomicLake.stageFiles]] writers on one session,
+  * the second would capture the first's temporary "false" as the
+  * value to restore, permanently disabling AQE for the session.
+  */
+private[graft] object AqeScope {
+  private val Key = "spark.sql.adaptive.enabled"
+  private val depth =
+    new java.util.IdentityHashMap[SparkSession, (Int, String)]()
+
+  def enter(spark: SparkSession): Unit = depth.synchronized {
+    depth.get(spark) match {
+      case null =>
+        val original = spark.conf.get(Key, "true")
+        depth.put(spark, (1, original))
+        spark.conf.set(Key, "false")
+      case (n, original) => depth.put(spark, (n + 1, original))
+    }
+  }
+
+  def exit(spark: SparkSession): Unit = depth.synchronized {
+    depth.get(spark) match {
+      case null => // unbalanced exit: nothing sane to restore
+      case (1, original) =>
+        depth.remove(spark)
+        spark.conf.set(Key, original)
+      case (n, original) => depth.put(spark, (n - 1, original))
+    }
+  }
 }

@@ -61,11 +61,15 @@ object HardlinkCommitStore extends CommitStore {
   override def listVersions(root: String): Seq[Long] = {
     val md = dir(root)
     if (!Files.isDirectory(md)) return Nil
-    Files.list(md).iterator().asScala
+    // close the stream: a graft-lake stream polls this every trigger,
+    // and unclosed DirectoryStreams leak fds until GC
+    val l = Files.list(md)
+    try l.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("v\\d{12}"))
       .map(_.drop(1).toLong)
       .toSeq
+    finally l.close()
   }
 
   override def readBody(root: String, version: Long): String =
@@ -194,11 +198,13 @@ final class CatalogCommitStore(catalog: CommitCatalog) extends CommitStore {
       .flatMap(v => catalog.keyFor(root, v)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var swept = 0
-    Files.list(md).iterator().asScala
+    val l = Files.list(md)
+    try l.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("m-"))
       .filterNot(p => claimed(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach { p => Files.deleteIfExists(p); swept += 1 }
+    finally l.close()
     swept
   }
 }

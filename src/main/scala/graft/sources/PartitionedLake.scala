@@ -102,21 +102,9 @@ object PartitionedLake {
     * lives there, not in the parquet files).
     */
   def writeBucketed(batch: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit = {
-    val spark = batch.sparkSession
-    // an ephemeral (in-memory) catalog forgets tables between sessions
-    // while the warehouse directory persists; saveAsTable refuses such
-    // orphaned locations, so drop the entry and clear the leftovers
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    batch.write
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
-      .mode("overwrite")
-      .format("parquet")
-      .saveAsTable(table)
-  }
+      buckets: Int): Unit =
+    // single implementation of the drop/sweep/bucketBy sequence —
+    // [[Bucketed.writeBucketed]] (Locale-safe lowercase, custom sort
+    // columns); keeping two copies let the orphan-sweep logic drift
+    Bucketed.writeBucketed(batch, table, bucketCol, buckets)
 }

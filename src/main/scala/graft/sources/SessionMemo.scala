@@ -29,10 +29,15 @@ final class SessionMemo[K, V](maxPerSession: Int = Int.MaxValue,
   private val order =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, K)]
 
-  private def purgeDead(): Unit =
+  private def purgeDead(): Unit = {
     entries.filterInPlace { case ((owner, _), _) =>
       !owner.sparkContext.isStopped
     }
+    // the order queue must shed dead sessions too: its tuples pin the
+    // stopped SparkSession graph for the JVM's lifetime otherwise,
+    // and evictOldest degrades scanning ever more dead heads
+    order.removeIf { case (owner, _) => owner.sparkContext.isStopped }
+  }
 
   def getOrElseUpdate(s: SparkSession, k: K)(build: => V): V = {
     purgeDead()
@@ -44,6 +49,7 @@ final class SessionMemo[K, V](maxPerSession: Int = Int.MaxValue,
         override def onApplicationEnd(e: SparkListenerApplicationEnd)
             : Unit = {
           entries.filterInPlace { case ((owner, _), _) => owner ne s }
+          order.removeIf { case (owner, _) => owner eq s }
           hooked.remove(s)
         }
       })

@@ -59,25 +59,40 @@ class LakeStreamProvider extends StreamSourceProvider
       rootOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("ignoreDeletes").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.get("maxVersionsPerTrigger").map { v =>
+        val n = v.toInt
+        require(n >= 1,
+          s"maxVersionsPerTrigger must be >= 1, got $n (0 would stall " +
+            "the stream forever; negative would regress offsets)")
+        n
+      },
       metadataPath)
 }
 
+/** The `format("graft-lake")` path rides the default
+  * [[HardlinkCommitStore]] (DataSource options are strings — a live
+  * store instance cannot travel through them); object-store
+  * deployments construct the source directly with their
+  * [[graft.sources.CommitStore]] and hand it to `DataStreamReader`
+  * via this class, or poll [[AtomicLake.readChanges]] in batch.
+  */
 class LakeStreamSource(sqlContext: SQLContext, root: String,
     override val schema: StructType, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
-    metadataPath: String = "")
+    metadataPath: String = "",
+    store: graft.sources.CommitStore = HardlinkCommitStore)
     extends Source {
 
-  private val store = HardlinkCommitStore
   private def spark = sqlContext.sparkSession
 
   // Highest version already handed out via getOffset — the admission
   // base for maxVersionsPerTrigger. Persisted under the source's own
   // checkpoint metadata dir (the V1 metadata-log role) so a RESTART
   // resumes pacing from where it left off instead of gulping the
-  // whole backlog in one batch; best-effort (unreadable position ⇒
-  // one unpaced batch, never wrong data).
+  // whole backlog in one batch. An unreadable file costs one unpaced
+  // batch; getBatch ratchets the base to the engine's checkpointed
+  // offset, so a stale file can never regress offsets below what was
+  // delivered (and writes fail LOUD rather than go stale silently).
   @volatile private var lastSeen: Option[Long] = None
 
   // persisted whether or not THIS incarnation paces, so turning
@@ -100,14 +115,17 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     } catch { case _: Exception => None }
   }
 
+  // LOUD on failure: a position file that silently lags the engine's
+  // committed offset would make a later getOffset return an offset
+  // BELOW the checkpoint, and the engine would then re-emit already-
+  // delivered versions. Failing the trigger is recoverable; duplicate
+  // data downstream is not.
   private def savePosition(v: Long): Unit = positionFile.foreach { p =>
-    try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { case _: Exception => () }
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** `maxVersionsPerTrigger` caps how many commits one micro-batch
@@ -139,6 +157,11 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    // ratchet the pacing base: the engine's checkpointed offsets are
+    // authoritative, so a stale position file can never drag the
+    // admission base (and thus future offsets) below what was already
+    // delivered
+    if (lastSeen.forall(_ < endV)) { lastSeen = Some(endV); savePosition(endV) }
     val batch = start match {
       case None => // initial load: the whole snapshot as of endV
         AtomicLake.readVersion(spark, root, endV, store)
@@ -152,7 +175,16 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
         // (which would re-read both endpoints).
         val startV = versionOf(s)
         val added = Vector.newBuilder[String]
-        var prev = AtomicLake.snapshotAt(root, startV, store)
+        var prev =
+          try AtomicLake.snapshotAt(root, startV, store)
+          catch { case e: Exception =>
+            throw new IllegalStateException(
+              s"lake stream at $root: manifest v$startV is gone — the " +
+                "stream's checkpoint predates vacuum's retention window " +
+                "(keepVersions). Raise retention above the longest " +
+                "expected stream downtime, or discard the checkpoint " +
+                "and restart from the current snapshot.", e)
+          }
         for (v <- startV + 1 to endV) {
           val snap = AtomicLake.snapshotAt(root, v, store)
           if (snap.kind != "compact") {

@@ -207,6 +207,38 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.snapshotAt(root, v).kind shouldBe "compact"
       AtomicLake.snapshotAt(root, 3L).kind shouldBe "write"
     }
+    it("overwrite clears a partition a concurrent writer adds mid-flight") {
+      // the race, deterministically: an overwrite stages against v1
+      // {A}, a concurrent upsert commits partition C, then the
+      // overwrite commits. The replaced set is resolved INSIDE the
+      // commit retry loop (replaceAll), so C must not survive.
+      val root = freshRoot("overwrite_race")
+      AtomicLake.upsertPartitions(Seq((1, "A")).toDF("id", "part"),
+        root, Seq("part"))
+      val staged = AtomicLake.stageFiles(
+        Seq((10, "A")).toDF("id", "part"), root, Seq("part"), 1)
+      // concurrent writer lands partition C between stage and commit
+      AtomicLake.upsertPartitions(Seq((2, "C")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.commitReplacing(root, Set.empty, staged, Seq("part"),
+        batchSchema = None, replaceAll = true)
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSet shouldBe Set(10) // C's rows are gone
+    }
+
+    it("AQE suppression is reentrant across concurrent stagers") {
+      import graft.sources.AqeScope
+      val key = "spark.sql.adaptive.enabled"
+      val original = spark.conf.get(key)
+      AqeScope.enter(spark) // writer A
+      spark.conf.get(key) shouldBe "false"
+      AqeScope.enter(spark) // writer B nests, sees A's temporary value
+      AqeScope.exit(spark)  // A exits first
+      spark.conf.get(key) shouldBe "false" // B still staging
+      AqeScope.exit(spark)  // B exits last -> ORIGINAL restored
+      spark.conf.get(key) shouldBe original
+    }
+
     it("compact aborts instead of resurrecting a concurrently-upserted partition") {
       val root = freshRoot("compact_conflict")
       AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),

@@ -113,6 +113,22 @@ class LakeStreamSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("refuses a non-positive maxVersionsPerTrigger loudly") {
+      val root = freshRoot()
+      AtomicLake.append(Seq((1, "a")).toDF("id", "v"), root)
+      val ex = intercept[Exception] {
+        val q = spark.readStream.format("graft-lake")
+          .option("path", root).option("maxVersionsPerTrigger", "0")
+          .load()
+          .writeStream.format("memory").queryName("ls_badopt")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_ls_bad").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      ex.getMessage should include("maxVersionsPerTrigger")
+    }
+
     it("compaction never re-emits rows and never breaks the stream") {
       val root = freshRoot()
       // three appends fragment the (single, unpartitioned) partition

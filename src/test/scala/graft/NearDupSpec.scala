@@ -179,6 +179,33 @@ class NearDupSpec extends SparkSpec {
         NearDupIndex.build(docs, "doc_id", "text", root,
           threshold = 0.9, store = store)
     }
+    it("append recovers a build that crashed after the params claim") {
+      import graft.operators.NearDupIndex
+      // simulate the exact crash state build() can leave on an object
+      // store: params committed (they commit FIRST), zero table
+      // commits — the ingestWithIndexSink retry path routes through
+      // exists()==true into append(), which must complete the build
+      // instead of throwing 'no commits' forever
+      val root = "/root/repo/target/test-scratch/neardup_crashed"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val batch1 = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six")).toDF("doc_id", "text")
+      NearDupIndex.build(batch1, "doc_id", "text", root, threshold = 0.5)
+      // wipe the tables, keep params: the post-crash state
+      fs.delete(new org.apache.hadoop.fs.Path(root + "/sh"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "/bands"), true)
+      NearDupIndex.exists(root) shouldBe true
+      NearDupIndex.append(batch1, "doc_id", "text", root)
+      val probe = Seq((9L, "alpha beta gamma delta epsilon eta"))
+        .toDF("doc_id", "text")
+      NearDupIndex.pairsAgainstIndex(spark, probe, "doc_id", "text",
+          root, threshold = 0.5)
+        .select("id1").as[Long].collect().toSet shouldBe Set(1L)
+    }
+
     it("a torn append is detectable, repairable, and retry-idempotent") {
       import graft.operators.NearDupIndex
       import graft.sources.AtomicLake
