@@ -72,8 +72,12 @@ object GeoFns {
     * occasionally junk — parse failures must not kill the scan).
     */
   def parseWktPolygon(wkt: Column): Column = {
+    // (?s): pretty-printed WKT carries newlines between vertices —
+    // without DOTALL the body match stops at the first one and the
+    // polygon silently parses to null (matching zero zones) even
+    // though the consultation's fail-fast guard accepted it
     val body = regexp_extract(wkt,
-      "POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)", 1)
+      "(?s)POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)", 1)
     // try_element_at + try_cast: under ANSI a vertex with missing or
     // junk coordinates would otherwise kill the whole scan at runtime
     val ring = transform(split(body, "\\s*,\\s*"), p => {
@@ -116,7 +120,10 @@ object GeoFns {
         val xCross = (x2 - x1) * (y - y1) / (y2 - y1) + x1
         acc + when(straddles && x < xCross, 1L).otherwise(0L)
       })
-    crossings % 2 === 1
+    // a ring with < 2 vertices has no edges — and sequence(1, 0)
+    // would DESCEND ([1, 0]), making element_at(ring, 0) kill the
+    // scan under ANSI; degenerate rings contain nothing
+    when(size(ring) >= 2, crossings % 2 === 1).otherwise(lit(false))
   }
 
   /** Polygon–polygon ST_Intersects over two closed rings — the
@@ -168,9 +175,14 @@ object GeoFns {
       (acc, v) => acc + v.getField("x")) / n
     val meanY = aggregate(openRing, lit(0.0),
       (acc, v) => acc + v.getField("y")) / n
-    when(area2 =!= 0.0,
-      struct((cx / (lit(3.0) * area2)).as("x"),
-        (cy / (lit(3.0) * area2)).as("y")))
+    // < 2 vertices: no edges, no area, and the shoelace sequence
+    // would go out of bounds under ANSI — null, the junk-geometry
+    // posture of parseWktPolygon
+    when(size(ring) < 2,
+      lit(null).cast("struct<x:double,y:double>"))
+      .when(area2 =!= 0.0,
+        struct((cx / (lit(3.0) * area2)).as("x"),
+          (cy / (lit(3.0) * area2)).as("y")))
       .otherwise(struct(meanX.as("x"), meanY.as("y")))
   }
 }

@@ -72,7 +72,7 @@ object Backfill {
           store = store)
         DateOutcome(d, ok = true, Some(v), rows, None)
       } catch {
-        case t: Throwable =>
+        case scala.util.control.NonFatal(t) =>
           DateOutcome(d, ok = false, None, 0L,
             Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(300)))
       }

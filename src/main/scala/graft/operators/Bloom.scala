@@ -69,12 +69,20 @@ object Bloom {
         Iterator.single(arr)
       }
     // OR-merge partials up a tree: O(log partitions) depth, so 10k
-    // base partitions never funnel through one reducer or the driver
-    val bits = partials.rdd.treeReduce({ (a, b) =>
-      var i = 0
-      while (i < a.length) { a(i) |= b(i); i += 1 }
-      a
-    }, depth = 2)
+    // base partitions never funnel through one reducer or the driver.
+    // An EMPTY base (zero partitions — the incremental pipeline's
+    // bootstrap run) yields the all-zero filter: mightContain is
+    // false for every key, so every probe row routes definite-new —
+    // the correct semantics, where treeReduce alone would throw
+    // 'empty collection'.
+    val rdd = partials.rdd
+    val bits =
+      if (rdd.isEmpty()) new Array[Long](words)
+      else rdd.treeReduce({ (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }, depth = 2)
     Filter(bits, k)
   }
 

@@ -88,8 +88,10 @@ object Multimodal {
     * resize/noise, not to crops/rotations; the standard first-line
     * image-dedup fingerprint.
     */
-  def imageHash64(img: java.awt.image.BufferedImage): Long = {
-    val cells = imageEmbedding(img, gx = 8, gy = 8)
+  def imageHash64(img: java.awt.image.BufferedImage): Long =
+    hashFromCells(imageEmbedding(img, gx = 8, gy = 8))
+
+  private def hashFromCells(cells: Array[Float]): Long = {
     var mean = 0.0
     var i = 0
     while (i < 64) { mean += cells(i); i += 1 }
@@ -110,10 +112,11 @@ object Multimodal {
     * same fingerprint and would pair as "duplicates" at distance 0.
     */
   def isFlatImage(img: java.awt.image.BufferedImage,
-      eps: Double = 1.0): Boolean = {
-    val cells = imageEmbedding(img, gx = 8, gy = 8)
+      eps: Double = 1.0): Boolean =
+    flatFromCells(imageEmbedding(img, gx = 8, gy = 8), eps)
+
+  private def flatFromCells(cells: Array[Float], eps: Double): Boolean =
     cells.max - cells.min < eps
-  }
 
   /** (media_id, fp) perceptual hashes for every DECODABLE,
     * NON-DEGENERATE image row — undecodable payloads are excluded
@@ -127,10 +130,15 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter((r: MediaRow) => r.kind == "image")
-      .flatMap((r: MediaRow) =>
-        decodeImage(r.payload)
-          .filterNot(isFlatImage(_))
-          .map(img => (r.media_id, imageHash64(img))))
+      .flatMap { (r: MediaRow) =>
+        decodeImage(r.payload).flatMap { img =>
+          // ONE full-pixel pass serves both the flatness gate and the
+          // hash (two imageEmbedding calls would double the map CPU)
+          val cells = imageEmbedding(img, gx = 8, gy = 8)
+          if (flatFromCells(cells, 1.0)) None
+          else Some((r.media_id, hashFromCells(cells)))
+        }
+      }
       .toDF("media_id", "fp")
   }
 

@@ -236,6 +236,8 @@ object NearDupIndex {
   def missingBandDocs(spark: SparkSession, root: String,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
     val sh = AtomicLake.read(spark, shRoot(root), store)
+    if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty)
+      return sh.select(col("doc_id")) // bands never committed: all
     val bands = AtomicLake.read(spark, bandRoot(root), store)
       .select(col("doc_id")).distinct()
     sh.select(col("doc_id")).join(bands, Seq("doc_id"), "left_anti")
@@ -251,15 +253,27 @@ object NearDupIndex {
   def repair(spark: SparkSession, root: String,
       store: CommitStore = HardlinkCommitStore): Long = {
     val p = readParams(root, store)
-    val bandIds = AtomicLake.read(spark, bandRoot(root), store)
-      .select(col("doc_id")).distinct()
-    val orphans = AtomicLake.read(spark, shRoot(root), store)
-      .join(bandIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val n = orphans.count()
-    if (n > 0)
-      AtomicLake.append(bandedFromSh(orphans, p), bandRoot(root),
-        store = store)
+    val sh = AtomicLake.read(spark, shRoot(root), store)
+    // a build/bootstrap that died between the sh overwrite and the
+    // FIRST bands commit leaves a bands table with no commits at all:
+    // reading it would throw 'no commits' on every retry (a wedged
+    // ingest stream). Every sh row is an orphan then — band them all.
+    val orphans =
+      if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty) sh
+      else {
+        val bandIds = AtomicLake.read(spark, bandRoot(root), store)
+          .select(col("doc_id")).distinct()
+        sh.join(bandIds, Seq("doc_id"), "left_anti")
+      }
+    val pinned = orphans.localCheckpoint()
+    val n = pinned.count()
+    if (n > 0) {
+      val banded = bandedFromSh(pinned, p)
+      if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty)
+        AtomicLake.overwrite(banded, bandRoot(root), store = store)
+      else
+        AtomicLake.append(banded, bandRoot(root), store = store)
+    }
     n
   }
 }

@@ -240,6 +240,15 @@ class CurationSpec extends SparkSpec {
         .filter($"mc").count()
       fp.toDouble / 10000 should be < 0.03
     }
+    it("an empty base builds the all-zero filter (bootstrap run)") {
+      val empty = base.filter($"k" < 0)
+      val f = Bloom.build(empty, "k")
+      val probe = (1L to 50L).toDF("k")
+      probe.filter(f.mightContain($"k")).count() shouldBe 0
+      val flagged = Bloom.flagMembership(probe, "k", empty, "k", f)
+      flagged.count() shouldBe 50
+      flagged.filter($"is_known").count() shouldBe 0
+    }
     it("routes null probe keys to is_known = false, never drops them") {
       val probe = Seq(Some(3L), Some(999983L), None)
         .toDF("k")

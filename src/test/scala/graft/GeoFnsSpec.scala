@@ -85,6 +85,23 @@ class GeoFnsSpec extends SparkSpec {
         .select(GeoFns.parseWktPolygon($"wkt").isNull)
         .as[Boolean].head() shouldBe true
     }
+    it("accepts pretty-printed WKT with newlines between vertices") {
+      val pretty = "POLYGON((0 0,\n 0 10,\n 10 10,\n 10 0,\n 0 0))"
+      Seq(pretty).toDF("wkt")
+        .select(org.apache.spark.sql.functions.size(
+          GeoFns.parseWktPolygon($"wkt")))
+        .as[Int].head() shouldBe 5
+    }
+    it("degenerate 1-vertex rings don't kill ANSI scans") {
+      val one = Seq("POLYGON((1 2))").toDF("wkt")
+        .select(GeoFns.parseWktPolygon($"wkt").as("r"))
+      one.select(GeoFns.centroid($"r").isNull)
+        .as[Boolean].head() shouldBe true
+      one.select(GeoFns.pointInPolygonReference(
+          org.apache.spark.sql.functions.lit(1.0),
+          org.apache.spark.sql.functions.lit(2.0), $"r"))
+        .as[Boolean].head() shouldBe false
+    }
   }
 
   describe("pointInPolygon") {

@@ -206,6 +206,30 @@ class NearDupSpec extends SparkSpec {
         .select("id1").as[Long].collect().toSet shouldBe Set(1L)
     }
 
+    it("repair recovers a bands table that was never committed") {
+      import graft.operators.NearDupIndex
+      // the OTHER build-crash window: sh overwrite landed, the first
+      // bands commit never did — repair must band the whole sh table
+      // instead of throwing 'no commits' forever
+      val root = "/root/repo/target/test-scratch/neardup_nobands"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val batch = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six")).toDF("doc_id", "text")
+      NearDupIndex.build(batch, "doc_id", "text", root, threshold = 0.5)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "/bands"), true)
+      NearDupIndex.missingBandDocs(spark, root)
+        .as[Long].collect().toSet shouldBe Set(1L, 2L)
+      NearDupIndex.repair(spark, root) shouldBe 2L
+      NearDupIndex.pairsAgainstIndex(spark,
+          Seq((9L, "alpha beta gamma delta epsilon eta"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", root, threshold = 0.5)
+        .select("id1").as[Long].collect().toSet shouldBe Set(1L)
+    }
+
     it("a torn append is detectable, repairable, and retry-idempotent") {
       import graft.operators.NearDupIndex
       import graft.sources.AtomicLake

@@ -145,11 +145,12 @@ class PlanHygieneSpec extends SparkSpec {
     it("text_boilerplate tags segments map-side off a guarded broadcast") {
       val q = SparkEntry.queries("text_boilerplate")(spark, sf)
       val plan = q.queryExecution.sparkPlan.toString
-      // the boilerplate set was materialized + counted at construction
-      // (under the guard bound at test SF → broadcast); the main plan
-      // scans the corpus once and joins without a corpus-side shuffle
+      // the segment frame is pinned at construction (ONE corpus scan,
+      // inside the checkpoint job — the near-dedup discipline) and the
+      // boilerplate set broadcasts under the guard bound: the main
+      // plan has no parquet scans and no corpus-side shuffle join
       plan should include("BroadcastHashJoin")
-      scans(q).length shouldBe 1
+      scans(q) shouldBe empty
     }
     it("bloom-rejected probe rows bypass the verify join entirely") {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
