@@ -65,6 +65,34 @@ object BronzeQueries {
         .agg(count(lit(1)).as("n_rows"), exactSum(col("trips")).as("trips"))
     },
 
+    // G24 — manifest zone-maps + stats-pruned scan, proven END-TO-END:
+    // build a month-partitioned orders lake, scan a 10-month range
+    // through AtomicLake.scan (per-file min/max from the manifest
+    // prune every out-of-range month's files DRIVER-side — no task,
+    // no footer read; LakeScanSpec asserts the file counts), aggregate
+    // the survivors. The oracle computes the same aggregate straight
+    // from the source, so any over-pruning (dropped rows) or
+    // under-filtering (kept rows outside the range) hash-mismatches.
+    "lake_scan_prune" -> { (s, dir) =>
+      val scratch = "/root/repo/target/lake/scan_prune/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(scratchPath, true)
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
+        Seq("o_month"))
+      graft.sources.AtomicLake.scan(s, scratch)(
+          col("o_orderdate") >=
+            lit("1995-03-01 00:00:00").cast("timestamp"),
+          col("o_orderdate") <
+            lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
     // F9 — salted two-phase aggregation; decimal routing makes it
     // bit-identical to the plain single-phase plan, so DuckDB's plain
     // GROUP BY is a valid oracle for the salted plan.
@@ -143,6 +171,15 @@ object BronzeQueries {
         |JOIN nation n
         |  ON CAST(json_extract_string(e.props, '$.k') AS INT) % 25 = n.n_nationkey
         |WHERE e.value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "lake_scan_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
     "salt_agg" ->
       """SELECT event_type,

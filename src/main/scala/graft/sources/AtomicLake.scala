@@ -63,7 +63,12 @@ object AtomicLake {
       // or "compact" (files rewritten, NO logical data change) —
       // incremental consumers skip compact commits to avoid
       // re-emitting rewritten rows (Delta's dataChange=false role)
-      kind: String = "write")
+      kind: String = "write",
+      // per-file zone maps (file relative path -> column min/max/
+      // nulls), harvested from parquet footers at commit time; absent
+      // entries (pre-stats manifests, unreadable footers) are simply
+      // never pruned — see [[LakeStats]] and [[scan]]
+      stats: Map[String, LakeStats.FileStats] = Map.empty)
 
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
@@ -102,11 +107,20 @@ object AtomicLake {
       case _ => headers = false
     }
     val fileLines = rest
-    val files = fileLines.filter(_.nonEmpty).map { l =>
-      val Array(part, file) = l.split("\t", 2)
-      part -> file
-    }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
-    Snapshot(v, partitionCols, files, schema, kind)
+    // part \t file [\t statsJson] — the third field is optional, so
+    // pre-stats manifests parse unchanged (and never prune)
+    val parsed = fileLines.filter(_.nonEmpty).map { l =>
+      l.split("\t", 3) match {
+        case Array(part, file) => (part, file, None)
+        case Array(part, file, json) =>
+          (part, file, LakeStats.fromJson(json))
+      }
+    }
+    val files = parsed.groupBy(_._1)
+      .map { case (p, fs) => p -> fs.map(_._2) }
+    val stats = parsed.iterator
+      .flatMap { case (_, f, st) => st.map(f -> _) }.toMap
+    Snapshot(v, partitionCols, files, schema, kind, stats)
   }
 
   /** The committed schema after applying `batch` on top of `base`:
@@ -146,15 +160,26 @@ object AtomicLake {
     org.apache.spark.sql.types.StructType(merged)
   }
 
+  /** [[stageFiles]] output: partition-relative-dir -> new file
+    * relative paths, plus each file's footer-harvested zone map.
+    */
+  private[graft] final case class Staged(
+      files: Map[String, Seq[String]],
+      stats: Map[String, LakeStats.FileStats]) {
+    def keySet: Set[String] = files.keySet
+  }
+
   /** Stage `batch` and move its files into the data plane with
     * commit-unique names — VISIBLE TO NO READER yet (readers only
     * follow manifests). Returns partition-relative-dir -> new file
-    * relative paths. Exposed package-private so the crash-recovery
-    * spec can create exactly the state a killed writer leaves.
+    * relative paths plus per-file stats ([[LakeStats.collect]] over
+    * the just-written footers — metadata-only, no data re-read).
+    * Exposed package-private so the crash-recovery spec can create
+    * exactly the state a killed writer leaves.
     */
   private[graft] def stageFiles(batch: DataFrame, root: String,
       partitionCols: Seq[String], filesPerPartition: Int)
-      : Map[String, Seq[String]] = {
+      : Staged = {
     val commitId = UUID.randomUUID().toString.take(12)
     val staging = Paths.get(root, "_staging", commitId)
     val distributed =
@@ -195,10 +220,36 @@ object AtomicLake {
       val dest = dataDir(root).resolve(destRel)
       Files.createDirectories(dest.getParent)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      partRel -> Paths.get("data").resolve(destRel).toString
+      (partRel, Paths.get("data").resolve(destRel).toString, dest)
     }
     deleteRecursively(staging)
-    out.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
+    // Zone-map harvest: one footer read per staged file, fanned over a
+    // bounded pool (footers are KB-sized metadata; a large backfill
+    // commit staging thousands of files overlaps the round-trips
+    // instead of serializing them). Data columns only — partition
+    // values live in the dir name and prune via [[LakeStats.PartVal]].
+    val statsSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(f => partitionCols.contains(f.name)))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stats: Map[String, LakeStats.FileStats] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, out.size)))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = out.map { case (_, relPath, dest) =>
+          Future(LakeStats.collect(hconf,
+            new org.apache.hadoop.fs.Path(dest.toString), statsSchema)
+            .map(relPath -> _))
+        }
+        Await.result(Future.sequence(fs), Duration.Inf).flatten.toMap
+      } finally pool.shutdown()
+    }
+    Staged(
+      out.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) },
+      stats)
   }
 
   /** Publish a new manifest = previous snapshot with `touched`
@@ -213,6 +264,7 @@ object AtomicLake {
       batchSchema: Option[org.apache.spark.sql.types.StructType] = None,
       store: CommitStore = HardlinkCommitStore,
       kind: String = "write",
+      newStats: Map[String, LakeStats.FileStats] = Map.empty,
       // replace EVERY partition of whatever snapshot this commit
       // lands on — recomputed inside the retry loop, so an overwrite
       // that races a concurrent upsert still clears the partition the
@@ -260,8 +312,16 @@ object AtomicLake {
       val body = new StringBuilder(s"partition_cols=${partitionCols.mkString(",")}\n")
       schema.foreach(s => body.append("schema=").append(s.json).append('\n'))
       if (kind != "write") body.append("kind=").append(kind).append('\n')
-      for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted)
-        body.append(p).append('\t').append(f).append('\n')
+      // surviving files keep the stats their own commit harvested;
+      // new files bring theirs — a file's zone map never changes
+      // after the immutable file is written
+      val statsByFile = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
+      for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted) {
+        body.append(p).append('\t').append(f)
+        statsByFile.get(f).foreach(s =>
+          body.append('\t').append(LakeStats.toJson(s)))
+        body.append('\n')
+      }
       if (store.tryCommit(root, version, body.toString))
         return version
       // else: lost the race — merge against the winner and retry
@@ -278,8 +338,9 @@ object AtomicLake {
       partitionCols: Seq[String], filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    commitReplacing(root, staged.keySet, staged, partitionCols,
-      batchSchema = Some(batch.schema), store = store)
+    commitReplacing(root, staged.keySet, staged.files, partitionCols,
+      batchSchema = Some(batch.schema), store = store,
+      newStats = staged.stats)
   }
 
   /** Append-only commit: new files JOIN the existing partitions (no
@@ -290,8 +351,9 @@ object AtomicLake {
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    commitReplacing(root, Set.empty, staged, partitionCols,
-      batchSchema = Some(batch.schema), store = store)
+    commitReplacing(root, Set.empty, staged.files, partitionCols,
+      batchSchema = Some(batch.schema), store = store,
+      newStats = staged.stats)
   }
 
   /** Replace the WHOLE table contents in one commit — including any
@@ -303,8 +365,9 @@ object AtomicLake {
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
-    commitReplacing(root, Set.empty, staged, partitionCols,
-      batchSchema = Some(batch.schema), store = store, replaceAll = true)
+    commitReplacing(root, Set.empty, staged.files, partitionCols,
+      batchSchema = Some(batch.schema), store = store,
+      newStats = staged.stats, replaceAll = true)
   }
 
   /** Read the newest committed snapshot. */
@@ -312,6 +375,36 @@ object AtomicLake {
       store: CommitStore = HardlinkCommitStore): DataFrame =
     readSnapshot(spark, root, currentSnapshot(root, store).getOrElse(
       throw new IllegalStateException(s"no commits at $root")))
+
+  /** Stats-pruned read: files whose manifest zone maps PROVE no row
+    * can satisfy `filters` are dropped on the driver — no task, no
+    * footer read, no object-store GET — and the conjunction of
+    * `filters` is re-applied on the survivors, so the result is
+    * always exactly `read(...).filter(filters)` regardless of how
+    * much (or little) the stats could prune. Partition-directory
+    * values prune the same way (equality AND ranges, typed through
+    * the literal's domain). This is the manifest-level data skipping
+    * a 100-TB table needs: Spark's parquet row-group pruning only
+    * kicks in after opening every file's footer; here a one-month
+    * predicate over years of commits plans only that month's files.
+    * See [[LakeStats]] for the conservative evaluator's contract.
+    */
+  def scan(spark: SparkSession, root: String,
+      store: CommitStore = HardlinkCommitStore)(
+      filters: org.apache.spark.sql.Column*): DataFrame = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    if (filters.isEmpty) return readSnapshot(spark, root, snap)
+    val surviving = LakeStats.survivors(snap, filters.map(
+      org.apache.spark.sql.classic.GraftExprBridge.expression))
+    val base =
+      if (surviving.isEmpty)
+        // every file pruned: schema-correct empty frame (partition
+        // columns included) without planning a single data file
+        readSnapshot(spark, root, snap).limit(0)
+      else readFileSubset(spark, root, surviving, snap)
+    filters.foldLeft(base)(_.filter(_))
+  }
 
   /** Time travel: read the table exactly as of `version` — including
     * its schema: a version committed before a column existed reads
@@ -447,9 +540,10 @@ object AtomicLake {
     val batch = snap.schema.fold(reader)(reader.schema(_)).parquet(files: _*)
     val staged = stageFiles(batch, root, snap.partitionCols,
       filesPerPartition)
-    commitReplacing(root, targets ++ staged.keySet, staged,
+    commitReplacing(root, targets ++ staged.keySet, staged.files,
       snap.partitionCols, expectedBase = Some(snap),
-      batchSchema = Some(batch.schema), store = store, kind = "compact")
+      batchSchema = Some(batch.schema), store = store, kind = "compact",
+      newStats = staged.stats)
   }
 
   /** Garbage-collect the data plane: delete files referenced by NO
@@ -514,24 +608,41 @@ object AtomicLake {
     }
 }
 
-/** Refcounted per-session AQE suppression: the FIRST enter records
-  * the session's original setting and turns AQE off; the LAST exit
-  * restores the original. Plain save/restore is not reentrant — with
-  * two concurrent [[AtomicLake.stageFiles]] writers on one session,
-  * the second would capture the first's temporary "false" as the
-  * value to restore, permanently disabling AQE for the session.
+/** Refcounted per-session conf scope for the lake's staging writes:
+  * the FIRST enter records each key's original setting and forces the
+  * staging values; the LAST exit restores the originals. Plain
+  * save/restore is not reentrant — with two concurrent
+  * [[AtomicLake.stageFiles]] writers on one session, the second would
+  * capture the first's temporary values as the ones to restore,
+  * pinning them for the session's lifetime.
+  *
+  * Two keys are forced:
+  *  - AQE off: the staging exchange is an EXPLICIT repartition for
+  *    file-count control — AQE only splits shuffle+write into two
+  *    sequential jobs and its coalescing could defeat
+  *    filesPerPartition.
+  *  - parquet timestamps as INT64 µs (not legacy INT96): value-exact
+  *    either way (Spark is µs internally), but INT96 footer
+  *    statistics are deprecated/unusable — LAKE files must carry
+  *    min/max so [[LakeStats]] zone maps can prune timestamp
+  *    predicates. Scoped here, not session-wide, so non-lake outputs
+  *    keep whatever encoding the session default gives them.
   */
 private[graft] object AqeScope {
-  private val Key = "spark.sql.adaptive.enabled"
+  private val Forced: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
   private val depth =
-    new java.util.IdentityHashMap[SparkSession, (Int, String)]()
+    new java.util.IdentityHashMap[SparkSession, (Int, Map[String, String])]()
 
   def enter(spark: SparkSession): Unit = depth.synchronized {
     depth.get(spark) match {
       case null =>
-        val original = spark.conf.get(Key, "true")
+        val original = Forced.map { case (k, _) =>
+          k -> spark.conf.getOption(k).getOrElse("")
+        }.toMap
         depth.put(spark, (1, original))
-        spark.conf.set(Key, "false")
+        Forced.foreach { case (k, v) => spark.conf.set(k, v) }
       case (n, original) => depth.put(spark, (n + 1, original))
     }
   }
@@ -541,7 +652,9 @@ private[graft] object AqeScope {
       case null => // unbalanced exit: nothing sane to restore
       case (1, original) =>
         depth.remove(spark)
-        spark.conf.set(Key, original)
+        original.foreach { case (k, v) =>
+          if (v.isEmpty) spark.conf.unset(k) else spark.conf.set(k, v)
+        }
       case (n, original) => depth.put(spark, (n - 1, original))
     }
   }
