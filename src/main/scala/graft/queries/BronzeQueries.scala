@@ -93,6 +93,63 @@ object BronzeQueries {
           exactSum(col("o_totalprice")).as("sum_price"))
     },
 
+    // G25 — row-level DELETE, copy-on-write, proven end-to-end: build
+    // a month-partitioned orders lake, deleteWhere a key-modulo
+    // predicate restricted to a date range (zone maps prune the
+    // out-of-range months' files before any read; only files with
+    // actual matches are rewritten — LakeMergeSpec proves the file
+    // accounting), aggregate what's left. The oracle aggregates
+    // orders under NOT(predicate), so a lost row, a resurrected row,
+    // or a survivor dropped by the rewrite all hash-mismatch.
+    "lake_delete_where" -> { (s, dir) =>
+      val scratch = "/root/repo/target/lake/delete_where/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(scratchPath, true)
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
+        Seq("o_month"))
+      graft.sources.AtomicLake.deleteWhere(s, scratch)(
+        col("o_orderkey") % 7 === 0 &&
+          col("o_orderdate") >=
+            lit("1995-06-01 00:00:00").cast("timestamp"))
+      graft.sources.AtomicLake.read(s, scratch)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // G26 — keyed MERGE (upsert), copy-on-write: every 50th order key
+    // gets an updated row (price doubled) and a shifted-key sibling
+    // gets inserted; the merged lake is aggregated by month. The
+    // oracle rebuilds the same table relationally (CASE for updates,
+    // UNION ALL for inserts), so double-applied updates, dropped
+    // unmatched rows, or lost inserts all hash-mismatch.
+    "lake_merge_upsert" -> { (s, dir) =>
+      val scratch = "/root/repo/target/lake/merge_upsert/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(scratchPath, true)
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
+        Seq("o_month"))
+      val hit = orders.filter(col("o_orderkey") % 50 === 0)
+      val src = hit
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(hit
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 1))
+      graft.sources.AtomicLake.merge(s, scratch, src, Seq("o_orderkey"))
+      graft.sources.AtomicLake.read(s, scratch)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
     // F9 — salted two-phase aggregation; decimal routing makes it
     // bit-identical to the plain single-phase plan, so DuckDB's plain
     // GROUP BY is a valid oracle for the salted plan.
@@ -180,6 +237,31 @@ object BronzeQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "lake_delete_where" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0
+        |  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+    "lake_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderdate,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderdate, o_totalprice + 1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM merged
         |GROUP BY 1""".stripMargin,
     "salt_agg" ->
       """SELECT event_type,

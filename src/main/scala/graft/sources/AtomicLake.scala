@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Atomic, versioned parquet lake with snapshot isolation — the
   * transactional layer the reference adopted DuckLake for ("ACID-
@@ -270,7 +270,17 @@ object AtomicLake {
       // that races a concurrent upsert still clears the partition the
       // racer added (a pre-computed `touched` set would let it
       // survive a "whole table" overwrite)
-      replaceAll: Boolean = false): Long = {
+      replaceAll: Boolean = false,
+      // FILE-level removals (copy-on-write row rewrites: deleteWhere/
+      // merge): exactly these root-relative files drop out of their
+      // partitions' lists while the partitions otherwise survive.
+      // Every removed file must still be referenced by the snapshot
+      // the commit lands on — a concurrent compaction or rewrite that
+      // already replaced one would make this commit resurrect its old
+      // rows (the rewritten survivors duplicate what the winner kept)
+      // — else ConcurrentModificationException, and the caller
+      // re-derives against the new snapshot
+      removeFiles: Set[String] = Set.empty): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -302,10 +312,24 @@ object AtomicLake {
         case (Some(p), Some(b)) => Some(mergeSchemas(p, b))
         case (p, b) => b.orElse(p)
       }
+      if (removeFiles.nonEmpty) {
+        val present =
+          prev.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
+        val gone = removeFiles -- present
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"${gone.size} file(s) this rewrite read were replaced " +
+              s"since (e.g. ${gone.head}); re-run against the new snapshot")
+      }
       // drop the replaced partitions, then UNION per-partition file
       // lists — so touched = ∅ is an append commit (new files join
       // the survivors instead of clobbering their partition entry)
-      val base = prev.map(_.files).getOrElse(Map.empty) -- effectiveTouched
+      val base0 = prev.map(_.files).getOrElse(Map.empty) -- effectiveTouched
+      val base =
+        if (removeFiles.isEmpty) base0
+        else base0.map { case (p, fs) =>
+          p -> fs.filterNot(removeFiles)
+        }.filter(_._2.nonEmpty)
       val merged = (base.keySet ++ newFiles.keySet).iterator.map { k =>
         k -> (base.getOrElse(k, Nil) ++ newFiles.getOrElse(k, Nil))
       }.toMap
@@ -404,6 +428,197 @@ object AtomicLake {
         readSnapshot(spark, root, snap).limit(0)
       else readFileSubset(spark, root, surviving, snap)
     filters.foldLeft(base)(_.filter(_))
+  }
+
+  /** A copy-on-write rewrite's outcome: the committed version (the
+    * pre-rewrite version when nothing matched — no empty commit is
+    * ever written), how many target rows were removed (deleted, or
+    * replaced by their merge source row), and how many files were
+    * rewritten to do it.
+    */
+  final case class Rewrite(version: Long, rowsChanged: Long,
+      filesRewritten: Int)
+
+  /** Resolve Spark's `_metadata.file_path` URIs back to the
+    * snapshot's root-relative manifest paths. A collected path that
+    * maps to no candidate is a protocol bug — fail loudly rather than
+    * silently rewriting the wrong file set.
+    */
+  private def toRelative(abs: Seq[String], candidates: Seq[String],
+      root: String): Seq[String] = {
+    val byUri = candidates.map(f =>
+      Paths.get(root).resolve(f).normalize().toUri.toString -> f).toMap
+    abs.map { a =>
+      byUri.getOrElse(a,
+        byUri.getOrElse(Paths.get(new java.net.URI(a)).toUri.toString,
+          throw new IllegalStateException(
+            s"file $a is not among this snapshot's candidate files")))
+    }
+  }
+
+  /** Row-level DELETE with copy-on-write file rewrites — the half of
+    * the Delta/Iceberg `DELETE FROM` contract this lake's partition
+    * model couldn't express. Three bounded steps:
+    *
+    *  1. Manifest zone-maps scope the work: only files whose stats
+    *     say they MAY hold a matching row are read at all
+    *     ([[LakeStats.survivors]]) — a predicate on one month of a
+    *     100-TB table plans that month's files, driver-side.
+    *  2. One pass over the candidates (with `_metadata.file_path`)
+    *     finds the files that ACTUALLY contain matching rows and the
+    *     matched-row count; clean candidates keep their manifest
+    *     lines untouched — write amplification is bounded by dirty
+    *     files, not candidate files. The per-file tally is
+    *     file-count-sized driver data, never row data.
+    *  3. Dirty files alone are re-read, their surviving rows (NOT
+    *     matching, including predicate-null rows — SQL DELETE
+    *     semantics) rewritten, and ONE commit atomically swaps
+    *     removed-for-rewritten. A concurrent compaction or rewrite
+    *     that already replaced a dirty file aborts the commit
+    *     (ConcurrentModificationException) instead of resurrecting
+    *     its rows; time travel and CDC see the swap as a normal
+    *     write commit (old images delete, survivors insert).
+    *
+    * No matching rows → NO commit (returns the current version with
+    * rowsChanged = 0), so retries and scheduled sweeps are free.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore)(
+      predicate: Column): Rewrite = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val candidates = LakeStats.survivors(snap,
+      Seq(org.apache.spark.sql.classic.GraftExprBridge
+        .expression(predicate)))
+    if (candidates.isEmpty) return Rewrite(snap.version, 0L, 0)
+    val perFile = readFileSubset(spark, root, candidates, snap)
+      .filter(predicate)
+      .groupBy(col("_metadata.file_path").as("_graft_file"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    if (perFile.isEmpty) return Rewrite(snap.version, 0L, 0)
+    val matched = perFile.map(_.getLong(1)).sum
+    val dirty = toRelative(perFile.map(_.getString(0)).toSeq,
+      candidates, root)
+    val survivors = readFileSubset(spark, root, dirty, snap)
+      .filter(!coalesce(predicate, lit(false)))
+    val staged = stageFiles(survivors, root, snap.partitionCols,
+      filesPerPartition)
+    // a delete that empties every row of the rewrite leaves Spark's
+    // single zero-row placeholder file: committing it would keep a
+    // dead manifest line (and a dead footer read) per such delete —
+    // drop it before the commit and reclaim the bytes now
+    val empties = staged.stats.collect {
+      case (f, st) if st.rows == 0L => f
+    }.toSet
+    val kept = staged.files.map { case (p, fs) =>
+      p -> fs.filterNot(empties)
+    }.filter(_._2.nonEmpty)
+    empties.foreach(f =>
+      Files.deleteIfExists(Paths.get(root).resolve(f)))
+    val v = commitReplacing(root, Set.empty, kept,
+      snap.partitionCols, store = store,
+      newStats = staged.stats -- empties, removeFiles = dirty.toSet)
+    Rewrite(v, matched, dirty.size)
+  }
+
+  /** Keyed MERGE (upsert): WHEN MATCHED UPDATE SET * / WHEN NOT
+    * MATCHED INSERT * — the Delta `MERGE INTO` core, as copy-on-write
+    * delete-then-insert. The target rows whose key appears in
+    * `source` are replaced by their source row; source rows with new
+    * keys are inserted; every other target row — and every file
+    * without a matched key — is untouched.
+    *
+    * Work scoping mirrors [[deleteWhere]], with the candidate set cut
+    * TWICE before any rewrite: zone-maps prune files whose key range
+    * cannot overlap the source's [min, max] key bounds (one small agg
+    * on the source computes bounds, the duplicate-key check, and the
+    * row count together), then a key semi-join over the surviving
+    * candidates finds the files actually holding a matched key. A
+    * month-keyed merge into a 100-TB table reads that month's files
+    * and rewrites only those containing matches. The source is
+    * pinned once and feeds bounds, semi-join, and insert (one
+    * evaluation of an arbitrarily expensive upstream frame).
+    *
+    * Contract: source keys must be unique (refused loudly otherwise —
+    * delete-then-insert would silently insert both copies where
+    * Delta errors at match time); null source keys never match
+    * (SQL join semantics) and insert as new rows. Source rows must
+    * carry the table's partition columns. Schema evolution applies:
+    * a source with a new column evolves the table exactly like an
+    * upsert; rewritten survivor rows read as null for it.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Rewrite = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val missing = snap.partitionCols.filterNot(p =>
+      source.columns.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"merge source must carry the partition columns; missing: $missing")
+    val src = source.localCheckpoint()
+    // one job: row count, duplicate-key check, per-key bounds. The
+    // dup check covers only fully-keyed rows: a row with ANY null key
+    // field can never match a target row (SQL join semantics), so two
+    // of them are two legitimate inserts, not a duplicate key.
+    val fullyKeyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val boundsAggs = count(lit(1)).as("n") +:
+      count(when(fullyKeyed, lit(1))).as("n_keyed") +:
+      count_distinct(when(fullyKeyed, struct(keyCols.map(col): _*)))
+        .as("nk") +:
+      keyCols.flatMap(k =>
+        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    val b = src.agg(boundsAggs.head, boundsAggs.tail: _*).head()
+    val srcRows = b.getLong(0)
+    if (srcRows == 0L) return Rewrite(snap.version, 0L, 0)
+    require(b.getLong(2) == b.getLong(1),
+      s"merge source has duplicate keys (${b.getLong(1) - b.getLong(2)} " +
+        "extra rows): delete-then-insert would insert both copies — " +
+        "dedup the source first")
+    // zone-map candidate cut: key ∈ [source min, source max] per key
+    // column; a bound Spark can't express as a literal (null — an
+    // all-null key column — or an exotic type) contributes no filter,
+    // which is merely conservative
+    val bounds = keyCols.flatMap { k =>
+      val (lo, hi) = (b.getAs[Any](s"min_$k"), b.getAs[Any](s"max_$k"))
+      if (lo == null || hi == null) None
+      else scala.util.Try(
+        col(k) >= lit(lo) && col(k) <= lit(hi)).toOption
+    }
+    val candidates = LakeStats.survivors(snap, bounds.map(
+      org.apache.spark.sql.classic.GraftExprBridge.expression))
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val perFile =
+      if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else readFileSubset(spark, root, candidates, snap)
+        // materialize the metadata column BEFORE the join: the join's
+        // projection strips unreferenced metadata attributes
+        .withColumn("_graft_file", col("_metadata.file_path"))
+        .join(srcKeys, keyCols, "left_semi")
+        .groupBy(col("_graft_file"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+    val matched = perFile.map(_.getLong(1)).sum
+    val dirty = toRelative(perFile.map(_.getString(0)).toSeq,
+      candidates, root)
+    // survivors of dirty files (unmatched keys) + every source row,
+    // staged together so the swap is ONE atomic commit
+    val survivors =
+      if (dirty.isEmpty) src
+      else readFileSubset(spark, root, dirty, snap)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(src, allowMissingColumns = true)
+    val staged = stageFiles(survivors, root, snap.partitionCols,
+      filesPerPartition)
+    val v = commitReplacing(root, Set.empty, staged.files,
+      snap.partitionCols, batchSchema = Some(src.schema), store = store,
+      newStats = staged.stats, removeFiles = dirty.toSet)
+    Rewrite(v, matched, dirty.size)
   }
 
   /** Time travel: read the table exactly as of `version` — including
