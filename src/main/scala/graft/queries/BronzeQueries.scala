@@ -93,6 +93,36 @@ object BronzeQueries {
           exactSum(col("o_totalprice")).as("sum_price"))
     },
 
+    // G27 — the lake on the SQL surface: a view `USING graft-lake`
+    // answers a PLAIN SQL query, with the WHERE clause pushed down as
+    // sources.Filters into the manifest zone-maps (LakeRelationSpec
+    // proves the file accounting) — no graft API inside the query
+    // text. The whole statement, aggregation included, is SQL, so
+    // this gates the relation's schema, pushdown re-application, and
+    // InternalRow handoff end-to-end against DuckDB.
+    "lake_sql_scan" -> { (s, dir) =>
+      val scratch = "/root/repo/target/lake/sql_scan/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(scratchPath, true)
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
+        Seq("o_month"))
+      s.read.format("graft-lake").option("path", scratch).load()
+        .createOrReplaceTempView("lake_orders")
+      s.sql("""
+        SELECT o_month,
+          count(1) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS sum_price
+        FROM lake_orders
+        WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+        GROUP BY o_month""")
+    },
+
     // G25 — row-level DELETE, copy-on-write, proven end-to-end: build
     // a month-partitioned orders lake, deleteWhere a key-modulo
     // predicate restricted to a date range (zone maps prune the
@@ -237,6 +267,15 @@ object BronzeQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "lake_sql_scan" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
         |GROUP BY 1""".stripMargin,
     "lake_delete_where" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

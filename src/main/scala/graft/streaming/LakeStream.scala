@@ -32,6 +32,8 @@ import graft.sources.{AtomicLake, HardlinkCommitStore}
   * evolution lands on restart.
   */
 class LakeStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
@@ -39,6 +41,47 @@ class LakeStreamProvider extends StreamSourceProvider
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake source requires .option(\"path\", <lake root>)"))
+
+  /** Batch read: `spark.read.format("graft-lake").load(root)` (or a
+    * SQL view `USING graft-lake`), with WHERE-clause pushdown pruning
+    * files through the manifest zone-maps — see
+    * [[graft.sources.LakeRelation]]. `option("versionAsOf", n)` time
+    * travels.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    new graft.sources.LakeRelation(sqlContext, rootOf(parameters),
+      parameters.get("versionAsOf").map(_.toLong))
+
+  /** Batch write: `df.write.format("graft-lake").mode(...)` —
+    * Append is an [[AtomicLake.append]] commit, Overwrite an
+    * [[AtomicLake.overwrite]]; `option("partitionCols", "a,b")`
+    * partitions a first commit (later commits must match the table's
+    * partitioning, enforced by the commit layer).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = rootOf(parameters)
+    val parts = parameters.get("partitionCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(AtomicLake.currentSnapshot(root).map(_.partitionCols))
+      .getOrElse(Nil)
+    val exists = AtomicLake.currentVersion(root).isDefined
+    mode match {
+      case SaveMode.Append => AtomicLake.append(data, root, parts)
+      case SaveMode.Overwrite => AtomicLake.overwrite(data, root, parts)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-lake table at $root already exists (ErrorIfExists)")
+      case SaveMode.Ignore if exists => () // contract: leave as-is
+      case _ => AtomicLake.append(data, root, parts)
+    }
+    new graft.sources.LakeRelation(sqlContext, root, None)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
