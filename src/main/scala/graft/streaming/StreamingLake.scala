@@ -112,6 +112,55 @@ object StreamingLake {
         }
       }
 
+  /** Streaming CDC upsert: each micro-batch MERGEs into the lake by
+    * key ([[graft.sources.AtomicLake.merge]]) — matched keys get the
+    * batch's row, new keys insert, untouched rows (and untouched
+    * FILES, via the merge's zone-map + semi-join scoping) stay as
+    * they are. The streaming half of the Delta
+    * `foreachBatch + MERGE INTO` idiom.
+    *
+    * `latestBy` names an ordering column (event time / LSN): the
+    * batch is first collapsed to the LAST change per key, so a batch
+    * carrying several updates of one key lands its final image (and
+    * satisfies merge's unique-key contract). Without it, a batch with
+    * duplicate keys is refused loudly by the merge — silent
+    * both-copies insertion can't happen.
+    *
+    * Replay-safe: re-merging a delivered batch replaces the same keys
+    * with the same rows — the lake converges to the same state (a new
+    * version, same data), the usual effectively-once contract of this
+    * file's sinks. The FIRST batch bootstraps the table (creating it
+    * with `partitionCols`); merge requires batches to carry the
+    * partition columns.
+    */
+  def mergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], latestBy: Option[String] = None,
+      partitionCols: Seq[String] = Nil,
+      store: graft.sources.CommitStore = graft.sources.HardlinkCommitStore)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, row_number}
+          val src = latestBy.fold(batch) { ts =>
+            batch.withColumn("_graft_rn", row_number().over(
+                Window.partitionBy(keyCols.map(col): _*)
+                  .orderBy(col(ts).desc)))
+              .filter(col("_graft_rn") === 1).drop("_graft_rn")
+          }
+          val spark = batch.sparkSession
+          if (graft.sources.AtomicLake.currentVersion(path, store).isEmpty)
+            graft.sources.AtomicLake.upsertPartitions(src, path,
+              partitionCols, store = store)
+          else
+            graft.sources.AtomicLake.merge(spark, path, src, keyCols,
+              store = store)
+          ()
+        }
+      }
+
   /** Convenience: start with a processing-time trigger. */
   def start(stream: DataFrame, path: String, checkpoint: String,
       trigger: Trigger, partitionCols: String*): StreamingQuery =

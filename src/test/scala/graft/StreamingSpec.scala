@@ -172,6 +172,37 @@ class StreamingSpec extends SparkSpec {
           .count() shouldBe 2
       } finally q.stop()
     }
+    it("mergeSink upserts by key per micro-batch; last change per " +
+        "key wins within a batch") {
+      implicit val sqlCtx = spark.sqlContext
+      val lake = "/root/repo/target/test-scratch/stream_lake_merge"
+      val ck = "/root/repo/target/test-scratch/stream_lake_merge_ck"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      val in = MemoryStream[(Long, Long, Double)]
+      val stream = in.toDF().toDF("k", "seq", "v")
+      val q = graft.streaming.StreamingLake
+        .mergeSink(stream, lake, ck, Seq("k"), latestBy = Some("seq"))
+        .start()
+      try {
+        // bootstrap batch
+        in.addData((1L, 1L, 10.0), (2L, 1L, 20.0))
+        q.processAllAvailable()
+        // update k=2, insert k=3; two changes of k=3 in ONE batch —
+        // the later seq must win
+        in.addData((2L, 2L, 99.0), (3L, 2L, 7.0), (3L, 3L, 8.0))
+        q.processAllAvailable()
+        val back = graft.sources.AtomicLake.read(spark, lake)
+          .select("k", "v").as[(Long, Double)].collect().toMap
+        back shouldBe Map(1L -> 10.0, 2L -> 99.0, 3L -> 8.0)
+        // replayed change: same key, same row → state converges
+        in.addData((2L, 2L, 99.0))
+        q.processAllAvailable()
+        graft.sources.AtomicLake.read(spark, lake)
+          .select("k", "v").as[(Long, Double)].collect().toMap shouldBe
+          Map(1L -> 10.0, 2L -> 99.0, 3L -> 8.0)
+      } finally q.stop()
+    }
     it("streams commit through a catalog store like batch writers") {
       implicit val sqlCtx = spark.sqlContext
       import graft.sources.{AtomicLake, CatalogCommitStore, CommitCatalog}
