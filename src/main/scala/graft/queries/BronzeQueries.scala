@@ -16,6 +16,46 @@ object BronzeQueries {
     */
   private val lakeScratch = "/root/repo/target/lake/bronze_upsert"
 
+  /** The year-partitioned orders lake the four `lake_*` gates query —
+    * built ONCE per (session, sf dir) and memoized: a real deployment
+    * HAS its table; the gate should measure the operator under test,
+    * not a repeated rebuild. `o_month`/`o_orderdate` stay zone-mapped
+    * DATA columns (the scan gates prune on them), `o_year` is the
+    * partition dir. Read-only gates query it directly; mutating gates
+    * SHALLOW-CLONE it per run (metadata-only, G29's zero-copy
+    * sandbox shape) so the base is never dirtied.
+    */
+  private val ordersLakeMemo =
+    new graft.sources.SessionMemo[String, String]()
+
+  private def ordersLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ordersLakeMemo.getOrElseUpdate(s, dir) {
+      val root = "/root/repo/target/lake/orders_base/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("o_year", date_format(col("o_orderdate"), "yyyy"))
+      graft.sources.AtomicLake.upsertPartitions(orders, root,
+        Seq("o_year"))
+      root
+    }
+
+  /** A fresh shallow clone of [[ordersLake]] for a mutating gate. */
+  private def clonedOrdersLake(s: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): String = {
+    val dst = s"/root/repo/target/lake/$name/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    dstPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(dstPath, true)
+    graft.sources.AtomicLake.clone(ordersLake(s, dir), dst)
+    dst
+  }
+
   val queries: Map[String, Q] = Map(
 
     // A2/A3 — audit lineage over a parquet-read source: the filename
@@ -66,7 +106,8 @@ object BronzeQueries {
     },
 
     // G24 — manifest zone-maps + stats-pruned scan, proven END-TO-END:
-    // build a month-partitioned orders lake, scan a 10-month range
+    // build a year-partitioned orders lake (o_month stays a
+    // zone-mapped DATA column), scan a 10-month range
     // through AtomicLake.scan (per-file min/max from the manifest
     // prune every out-of-range month's files DRIVER-side — no task,
     // no footer read; LakeScanSpec asserts the file counts), aggregate
@@ -74,16 +115,7 @@ object BronzeQueries {
     // from the source, so any over-pruning (dropped rows) or
     // under-filtering (kept rows outside the range) hash-mismatches.
     "lake_scan_prune" -> { (s, dir) =>
-      val scratch = "/root/repo/target/lake/scan_prune/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(scratchPath, true)
-      val orders = Tables.orders(s, dir)
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
-        Seq("o_month"))
-      graft.sources.AtomicLake.scan(s, scratch)(
+      graft.sources.AtomicLake.scan(s, ordersLake(s, dir))(
           col("o_orderdate") >=
             lit("1995-03-01 00:00:00").cast("timestamp"),
           col("o_orderdate") <
@@ -101,16 +133,8 @@ object BronzeQueries {
     // this gates the relation's schema, pushdown re-application, and
     // InternalRow handoff end-to-end against DuckDB.
     "lake_sql_scan" -> { (s, dir) =>
-      val scratch = "/root/repo/target/lake/sql_scan/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(scratchPath, true)
-      val orders = Tables.orders(s, dir)
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
-        Seq("o_month"))
-      s.read.format("graft-lake").option("path", scratch).load()
+      s.read.format("graft-lake")
+        .option("path", ordersLake(s, dir)).load()
         .createOrReplaceTempView("lake_orders")
       s.sql("""
         SELECT o_month,
@@ -124,27 +148,28 @@ object BronzeQueries {
     },
 
     // G25 — row-level DELETE, copy-on-write, proven end-to-end: build
-    // a month-partitioned orders lake, deleteWhere a key-modulo
+    // a year-partitioned orders lake, deleteWhere a key-modulo
     // predicate restricted to a date range (zone maps prune the
-    // out-of-range months' files before any read; only files with
+    // out-of-range years' files before any read; only files with
     // actual matches are rewritten — LakeMergeSpec proves the file
     // accounting), aggregate what's left. The oracle aggregates
     // orders under NOT(predicate), so a lost row, a resurrected row,
     // or a survivor dropped by the rewrite all hash-mismatch.
     "lake_delete_where" -> { (s, dir) =>
-      val scratch = "/root/repo/target/lake/delete_where/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(scratchPath, true)
-      val orders = Tables.orders(s, dir)
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
-        Seq("o_month"))
+      // delete on a SHALLOW CLONE (G29): the rewrite is copy-on-write
+      // against the shared base — zero data copied up front
+      val scratch = clonedOrdersLake(s, dir, "delete_where")
+      // one dirty year out of 7: the zone maps prune the candidate
+      // set to the in-range year's file, and only it is rewritten —
+      // the bounded-rewrite shape a 100-TB retention sweep needs (a
+      // wide-open predicate would rewrite half the table and prove
+      // nothing about scoping)
       graft.sources.AtomicLake.deleteWhere(s, scratch)(
         col("o_orderkey") % 7 === 0 &&
           col("o_orderdate") >=
-            lit("1995-06-01 00:00:00").cast("timestamp"))
+            lit("1995-06-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1995-09-01 00:00:00").cast("timestamp"))
       graft.sources.AtomicLake.read(s, scratch)
         .groupBy(col("o_month"))
         .agg(count(lit(1)).as("n_orders"),
@@ -158,16 +183,20 @@ object BronzeQueries {
     // UNION ALL for inserts), so double-applied updates, dropped
     // unmatched rows, or lost inserts all hash-mismatch.
     "lake_merge_upsert" -> { (s, dir) =>
-      val scratch = "/root/repo/target/lake/merge_upsert/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      scratchPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(scratchPath, true)
-      val orders = Tables.orders(s, dir)
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      graft.sources.AtomicLake.upsertPartitions(orders, scratch,
-        Seq("o_month"))
-      val hit = orders.filter(col("o_orderkey") % 50 === 0)
+      // merge into a SHALLOW CLONE of the shared base (zero-copy)
+      val scratch = clonedOrdersLake(s, dir, "merge_upsert")
+      val orders = graft.sources.AtomicLake.read(s, scratch)
+      // a date-localized change set: its keys live only in the
+      // in-range months' files, so the merge's semi-join marks just
+      // those dirty and the rewrite is bounded — the incremental-
+      // correction shape (keys are NOT date-correlated here, so the
+      // key-bounds zone-map cut stays wide and the semi-join does the
+      // real scoping; the candidate pass reads the key column only)
+      val hit = orders.filter(col("o_orderkey") % 5 === 0 &&
+        col("o_orderdate") >=
+          lit("1995-03-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <
+          lit("1995-06-01 00:00:00").cast("timestamp"))
       val src = hit
         .withColumn("o_totalprice", col("o_totalprice") * 2)
         .unionByName(hit
@@ -284,17 +313,23 @@ object BronzeQueries {
         |    AS sum_price
         |FROM orders
         |WHERE NOT (o_orderkey % 7 = 0
-        |  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00')
+        |  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00')
         |GROUP BY 1""".stripMargin,
     "lake_merge_upsert" ->
-      """WITH merged AS (
-        |  SELECT o_orderdate,
-        |    CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders
+      """WITH hit AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 5 = 0
+        |    AND o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+        |), merged AS (
+        |  SELECT o.o_orderdate,
+        |    CASE WHEN h.o_orderkey IS NOT NULL THEN o.o_totalprice * 2
+        |         ELSE o.o_totalprice END AS o_totalprice
+        |  FROM orders o LEFT JOIN hit h ON o.o_orderkey = h.o_orderkey
         |  UNION ALL
         |  SELECT o_orderdate, o_totalprice + 1 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  FROM hit
         |)
         |SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         |  count(*) AS n_orders,

@@ -493,9 +493,9 @@ object AtomicLake {
       Seq(org.apache.spark.sql.classic.GraftExprBridge
         .expression(predicate)))
     if (candidates.isEmpty) return Rewrite(snap.version, 0L, 0)
-    val perFile = readFileSubset(spark, root, candidates, snap)
+    val perFile = readFileSubsetTagged(spark, root, candidates, snap)
       .filter(predicate)
-      .groupBy(col("_metadata.file_path").as("_graft_file"))
+      .groupBy(col("_graft_file"))
       .agg(count(lit(1)).as("n"))
       .collect()
     if (perFile.isEmpty) return Rewrite(snap.version, 0L, 0)
@@ -595,10 +595,7 @@ object AtomicLake {
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val perFile =
       if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else readFileSubset(spark, root, candidates, snap)
-        // materialize the metadata column BEFORE the join: the join's
-        // projection strips unreferenced metadata attributes
-        .withColumn("_graft_file", col("_metadata.file_path"))
+      else readFileSubsetTagged(spark, root, candidates, snap)
         .join(srcKeys, keyCols, "left_semi")
         .groupBy(col("_graft_file"))
         .agg(count(lit(1)).as("n"))
@@ -629,6 +626,59 @@ object AtomicLake {
       store: CommitStore = HardlinkCommitStore): DataFrame =
     readSnapshot(spark, root, readManifest(root, version, store))
 
+  /** RESTORE: roll the table back to exactly `toVersion`'s state as a
+    * NEW commit (Delta's RESTORE TABLE ... VERSION AS OF) — metadata
+    * only: the new manifest references the old version's files and
+    * stats verbatim, no data moves. History is preserved (the undone
+    * versions stay time-travelable until vacuum), CDC sees the
+    * restore as a normal diff (files the rollback removes/re-adds),
+    * and concurrent writers are handled by the usual commit retry.
+    * Returns the committed version.
+    */
+  def restore(root: String, toVersion: Long,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val target = readManifest(root, toVersion, store)
+    commitReplacing(root, Set.empty, target.files, target.partitionCols,
+      batchSchema = target.schema, store = store,
+      newStats = target.stats, replaceAll = true)
+  }
+
+  /** SHALLOW CLONE (Delta's CLONE ... SHALLOW): commit a manifest at
+    * `dstRoot` that references `srcRoot`'s current files by ABSOLUTE
+    * path — zero data copied, O(manifest) time regardless of table
+    * size. The clone is immediately a first-class lake: reads resolve
+    * the referenced files (per-data-plane basePath groups), zone-map
+    * stats carry over so pruned scans prune identically, and every
+    * mutation — upsert, append, deleteWhere, merge, compact — is
+    * copy-on-write INTO THE CLONE's own data dir: the source is never
+    * touched, which is exactly the dev/test-sandbox workflow (mutate
+    * a 100-TB table's clone without copying 100 TB; compaction
+    * incidentally materializes the partitions it rewrites).
+    *
+    * The one caveat is Delta's own: `vacuum` on the SOURCE doesn't
+    * know about clones — if it expires a version whose files a clone
+    * still references, the clone's reads break. Vacuum on the CLONE
+    * is always safe (it only deletes under the clone's own data dir).
+    * Source and destination ride the same store type; `dstRoot` must
+    * have no commits yet.
+    */
+  def clone(srcRoot: String, dstRoot: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val snap = currentSnapshot(srcRoot, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $srcRoot"))
+    require(currentVersion(dstRoot, store).isEmpty,
+      s"clone destination $dstRoot already has commits")
+    val absFiles = snap.files.map { case (part, fs) =>
+      part -> fs.map(f =>
+        Paths.get(srcRoot).resolve(f).normalize().toString)
+    }
+    val absStats = snap.stats.map { case (f, st) =>
+      Paths.get(srcRoot).resolve(f).normalize().toString -> st
+    }
+    commitReplacing(dstRoot, Set.empty, absFiles, snap.partitionCols,
+      batchSchema = snap.schema, store = store, newStats = absStats)
+  }
+
   /** File-level diff between two committed versions: (added files,
     * removed files, from-snapshot, to-snapshot) with paths relative
     * to the lake root. Manifest-only — no Spark job — which makes it
@@ -647,14 +697,53 @@ object AtomicLake {
     ((tf -- ff).toSeq.sorted, (ff -- tf).toSeq.sorted, from, to)
   }
 
+  /** The data-plane base a manifest file entry reads under: local
+    * (relative) entries live under THIS root's `data/`; absolute
+    * entries — shallow-clone references into another lake — under
+    * THAT lake's `data/`. Spark's partition-dir column recovery needs
+    * the matching basePath per group.
+    */
+  private def baseOf(root: String, f: String): String =
+    if (!Paths.get(f).isAbsolute) dataDir(root).toString
+    else {
+      val i = f.lastIndexOf("/data/")
+      require(i >= 0, s"external lake file without a data dir: $f")
+      f.substring(0, i + "/data".length)
+    }
+
   /** Read a subset of a snapshot's files under that snapshot's
-    * schema (partition dirs stay real columns).
+    * schema (partition dirs stay real columns). Files are read in
+    * per-data-plane groups (a shallow clone mixes its own files with
+    * absolute references into its source) so each group gets the
+    * basePath its partition directories resolve against.
     */
   private[graft] def readFileSubset(spark: SparkSession, root: String,
       files: Seq[String], snap: Snapshot): DataFrame = {
-    val paths = files.sorted.map(f => Paths.get(root).resolve(f).toString)
-    val reader = spark.read.option("basePath", dataDir(root).toString)
-    snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
+    val groups = files.sorted.groupBy(baseOf(root, _))
+    val frames = groups.toSeq.sortBy(_._1).map { case (base, fs) =>
+      val paths = fs.map(f => Paths.get(root).resolve(f).toString)
+      val reader = spark.read.option("basePath", base)
+      snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** [[readFileSubset]] with each row tagged by its file's path in a
+    * `_graft_file` column. The metadata column must be materialized
+    * PER GROUP: `_metadata` does not resolve above the union a
+    * mixed-data-plane (shallow-clone) read produces.
+    */
+  private def readFileSubsetTagged(spark: SparkSession, root: String,
+      files: Seq[String], snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val groups = files.sorted.groupBy(baseOf(root, _))
+    val frames = groups.toSeq.sortBy(_._1).map { case (base, fs) =>
+      val paths = fs.map(f => Paths.get(root).resolve(f).toString)
+      val reader = spark.read.option("basePath", base)
+      snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
+        .withColumn("_graft_file", col("_metadata.file_path"))
+    }
+    frames.reduce(_.unionByName(_))
   }
 
   /** The committed snapshot's metadata at a version (files, schema,
@@ -717,17 +806,16 @@ object AtomicLake {
 
   private def readSnapshot(spark: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
-    val files = snap.files.values.flatten.toSeq.sorted
-      .map(f => Paths.get(root).resolve(f).toString)
+    val files = snap.files.values.flatten.toSeq
     if (files.isEmpty)
       throw new IllegalStateException(
         s"snapshot v${snap.version} at $root is empty")
-    // basePath keeps the k=v partition directories as real columns;
-    // the SNAPSHOT's schema (when recorded) makes reads deterministic
-    // across evolution: files missing a column yield nulls for it,
-    // instead of depending on which files parquet merge sampled
-    val reader = spark.read.option("basePath", dataDir(root).toString)
-    snap.schema.fold(reader)(reader.schema(_)).parquet(files: _*)
+    // basePath (per data-plane group — see readFileSubset) keeps the
+    // k=v partition directories as real columns; the SNAPSHOT's
+    // schema (when recorded) makes reads deterministic across
+    // evolution: files missing a column yield nulls for it, instead
+    // of depending on which files parquet merge sampled
+    readFileSubset(spark, root, files, snap)
   }
 
   /** Compact fragmented partitions: rewrite every partition holding at

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.sources.AtomicLake
+
+/** Zero-copy table management: RESTORE (rollback as a new metadata
+  * commit) and SHALLOW CLONE (a manifest referencing the source's
+  * files absolutely; all mutations copy-on-write into the clone).
+  */
+class LakeCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scratch = "/root/repo/target/test-scratch/lake_clone"
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(scratch, name)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    p.toString
+  }
+
+  private def dataFiles(root: String): Seq[String] = {
+    val d = Paths.get(root, "data")
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val w = Files.walk(d)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toSeq
+      finally w.close()
+    }
+  }
+
+  describe("restore") {
+    it("rolls back to an old version as a new commit; history intact") {
+      val root = freshRoot("restore_basic")
+      val v1 = AtomicLake.upsertPartitions(
+        Seq((1, "a"), (2, "b")).toDF("id", "part"), root, Seq("part"))
+      AtomicLake.upsertPartitions(
+        Seq((99, "a")).toDF("id", "part"), root, Seq("part"))
+      AtomicLake.deleteWhere(spark, root)($"id" === 2)
+      val vr = AtomicLake.restore(root, v1)
+      vr should be > v1
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSet shouldBe Set(1, 2)
+      // the undone middle state is still time-travelable
+      AtomicLake.readVersion(spark, root, v1 + 1)
+        .select("id").as[Int].collect().toSet shouldBe Set(99, 2)
+    }
+    it("is metadata-only: no data files are written by a restore") {
+      val root = freshRoot("restore_meta")
+      val v1 = AtomicLake.append((1 to 10).toDF("id"), root)
+      AtomicLake.append((11 to 20).toDF("id"), root)
+      val before = dataFiles(root).toSet
+      AtomicLake.restore(root, v1)
+      dataFiles(root).toSet shouldBe before
+      AtomicLake.read(spark, root).count() shouldBe 10
+    }
+    it("CDC across a restore reports the rollback's file diff") {
+      val root = freshRoot("restore_cdc")
+      val v1 = AtomicLake.append((1 to 5).toDF("id"), root)
+      val v2 = AtomicLake.append((6 to 9).toDF("id"), root)
+      val vr = AtomicLake.restore(root, v1)
+      val ch = AtomicLake.readChanges(spark, root, v2, vr)
+      ch.filter($"_change_type" === "delete").select("id").as[Int]
+        .collect().toSet shouldBe (6 to 9).toSet
+      ch.filter($"_change_type" === "insert").count() shouldBe 0
+    }
+  }
+
+  describe("shallow clone") {
+    it("is zero-copy, reads the source's data, keeps pruning stats") {
+      val src = freshRoot("clone_src")
+      val dst = freshRoot("clone_dst")
+      AtomicLake.upsertPartitions(
+        (1 to 20).map(i => (i, s"p${i % 2}")).toDF("id", "part"),
+        src, Seq("part"))
+      AtomicLake.clone(src, dst)
+      // no data under the clone at all
+      dataFiles(dst) shouldBe empty
+      AtomicLake.read(spark, dst).select("id").as[Int]
+        .collect().toSet shouldBe (1 to 20).toSet
+      // partition columns still parse from the source's dirs
+      AtomicLake.read(spark, dst).filter($"part" === "p1")
+        .count() shouldBe 10
+      // zone-map stats carried: a pruned scan plans ZERO files
+      AtomicLake.scan(spark, dst)($"id" > 1000).count() shouldBe 0
+      val snap = AtomicLake.currentSnapshot(dst).get
+      snap.stats should not be empty
+    }
+    it("mutations are copy-on-write into the clone; source untouched") {
+      val src = freshRoot("cow_src")
+      val dst = freshRoot("cow_dst")
+      AtomicLake.append((1 to 10).toDF("id"), src)
+      AtomicLake.append((11 to 20).toDF("id"), src)
+      AtomicLake.clone(src, dst)
+      val srcBefore = dataFiles(src).toSet
+      val r = AtomicLake.deleteWhere(spark, dst)($"id" <= 5)
+      r.rowsChanged shouldBe 5
+      r.filesRewritten shouldBe 1 // zone maps kept the 11-20 file clean
+      // rewrite landed in the CLONE's data dir; source bytes untouched
+      dataFiles(dst) should not be empty
+      dataFiles(src).toSet shouldBe srcBefore
+      AtomicLake.read(spark, dst).select("id").as[Int]
+        .collect().toSet shouldBe (6 to 20).toSet
+      AtomicLake.read(spark, src).count() shouldBe 20
+      // merge through the clone as well
+      AtomicLake.merge(spark, dst, Seq(6, 99).toDF("id"), Seq("id"))
+      AtomicLake.read(spark, dst).count() shouldBe 16
+      AtomicLake.read(spark, src).count() shouldBe 20
+    }
+    it("appends land locally and read mixed with source files") {
+      val src = freshRoot("mix_src")
+      val dst = freshRoot("mix_dst")
+      AtomicLake.upsertPartitions(
+        Seq((1, "a")).toDF("id", "part"), src, Seq("part"))
+      AtomicLake.clone(src, dst)
+      AtomicLake.upsertPartitions(
+        Seq((2, "b")).toDF("id", "part"), dst, Seq("part"))
+      AtomicLake.read(spark, dst).select("id", "part")
+        .as[(Int, String)].collect().toSet shouldBe
+        Set((1, "a"), (2, "b"))
+      AtomicLake.read(spark, src).count() shouldBe 1
+    }
+    it("vacuum on the clone never deletes source files") {
+      val src = freshRoot("vac_src")
+      val dst = freshRoot("vac_dst")
+      AtomicLake.append((1 to 10).toDF("id"), src)
+      AtomicLake.clone(src, dst)
+      // churn versions on the clone so vacuum has something to expire
+      AtomicLake.append(Seq(11).toDF("id"), dst)
+      AtomicLake.overwrite((20 to 25).toDF("id"), dst)
+      val srcBefore = dataFiles(src).toSet
+      AtomicLake.vacuum(dst, keepVersions = 1, minAgeMs = 0L)
+      dataFiles(src).toSet shouldBe srcBefore
+      AtomicLake.read(spark, src).count() shouldBe 10
+      AtomicLake.read(spark, dst).count() shouldBe 6
+    }
+    it("refuses to clone onto an existing lake") {
+      val src = freshRoot("ref_src")
+      val dst = freshRoot("ref_dst")
+      AtomicLake.append(Seq(1).toDF("id"), src)
+      AtomicLake.append(Seq(2).toDF("id"), dst)
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.clone(src, dst)
+    }
+  }
+}
