@@ -147,6 +147,26 @@ object BronzeQueries {
         GROUP BY o_month""")
     },
 
+    // G31 — clustered compaction (OPTIMIZE ZORDER BY's linear-order
+    // form) proven end-to-end: cluster a shallow clone of the base
+    // lake by order key (the rewrite range-partitions within year
+    // dirs, so each file holds a tight key slice), then range-scan
+    // through the zone maps. The oracle aggregates the source under
+    // the same range, so a row lost or duplicated by the clustering
+    // rewrite — or over-pruning from a wrong post-cluster bound —
+    // hash-mismatches. LakeClusterSpec proves the file-count
+    // selectivity gain separately.
+    "lake_cluster_scan" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "cluster_scan")
+      graft.sources.AtomicLake.cluster(s, scratch, Seq("o_orderkey"),
+        filesPerPartition = 2)
+      graft.sources.AtomicLake.scan(s, scratch)(
+          col("o_orderkey") >= 10000L && col("o_orderkey") < 50000L)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
     // G25 — row-level DELETE, copy-on-write, proven end-to-end: build
     // a year-partitioned orders lake, deleteWhere a key-modulo
     // predicate restricted to a date range (zone maps prune the
@@ -305,6 +325,14 @@ object BronzeQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "lake_cluster_scan" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey >= 10000 AND o_orderkey < 50000
         |GROUP BY 1""".stripMargin,
     "lake_delete_where" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

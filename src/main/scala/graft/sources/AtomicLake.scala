@@ -178,12 +178,16 @@ object AtomicLake {
     * exactly the state a killed writer leaves.
     */
   private[graft] def stageFiles(batch: DataFrame, root: String,
-      partitionCols: Seq[String], filesPerPartition: Int)
-      : Staged = {
+      partitionCols: Seq[String], filesPerPartition: Int,
+      // false = the caller already distributed/sorted the frame for
+      // file layout (clustered compaction's range partitioning) and
+      // the default partition-count shuffle must not destroy it
+      distribute: Boolean = true): Staged = {
     val commitId = UUID.randomUUID().toString.take(12)
     val staging = Paths.get(root, "_staging", commitId)
     val distributed =
-      if (partitionCols.nonEmpty)
+      if (!distribute) batch
+      else if (partitionCols.nonEmpty)
         PartitionedLake.distributeForWrite(batch, partitionCols,
           filesPerPartition)
       else batch.repartition(filesPerPartition)
@@ -844,6 +848,62 @@ object AtomicLake {
     val staged = stageFiles(batch, root, snap.partitionCols,
       filesPerPartition)
     commitReplacing(root, targets ++ staged.keySet, staged.files,
+      snap.partitionCols, expectedBase = Some(snap),
+      batchSchema = Some(batch.schema), store = store, kind = "compact",
+      newStats = staged.stats)
+  }
+
+  /** Clustered compaction — `OPTIMIZE ... ZORDER BY` for this lake:
+    * rewrite the table with rows range-partitioned and sorted on
+    * `clusterCols`, so each rewritten file covers a TIGHT, nearly
+    * disjoint slice of the cluster key and the manifest zone-maps
+    * ([[LakeStats]]) become maximally selective: a key-range query
+    * over a clustered 100-TB table prunes to the handful of files
+    * whose slice overlaps, where the same query over ingest-ordered
+    * files (every file spanning the full key range) prunes nothing.
+    * Data layout is THE lever that turns stats into skipped IO — the
+    * stats only record what the layout provides.
+    *
+    * `zorder = true` interleaves the bits of exactly TWO numeric
+    * columns (Morton order, [[PartitionedLake.writeZOrdered]]'s
+    * contract: non-negative, < 2^21 after long cast) so BOTH columns
+    * get tight per-file ranges — the 2-D box-query layout; the
+    * default lexicographic order serves one leading column best.
+    *
+    * Like [[compact]], the rewrite commits as `kind=compact` (no
+    * logical change: streams skip it, CDC consumers ignore it) with
+    * read-modify-write safety — a concurrent upsert to any partition
+    * aborts the commit instead of resurrecting replaced data.
+    * Returns the committed version.
+    */
+  def cluster(spark: SparkSession, root: String,
+      clusterCols: Seq[String], filesPerPartition: Int = 1,
+      zorder: Boolean = false,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    import org.apache.spark.sql.functions.col
+    require(clusterCols.nonEmpty, "cluster needs at least one column")
+    require(!zorder || clusterCols.size == 2,
+      s"zorder interleaves exactly 2 columns, got ${clusterCols.size}")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val batch = readSnapshot(spark, root, snap)
+    val nParts = math.max(snap.files.size, 1) * filesPerPartition
+    val sortCols = snap.partitionCols.map(col) ++ (
+      if (zorder)
+        Seq(graft.expressions.NativeKernels.mortonValueCol(
+          col(clusterCols.head).cast("long"),
+          col(clusterCols(1)).cast("long")))
+      else clusterCols.map(col))
+    // one range exchange orders the whole table; the writer then
+    // splits each range task by partition dir, so within every dir
+    // each file holds a contiguous cluster-key slice
+    val laid = batch
+      .repartitionByRange(nParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val staged = stageFiles(laid, root, snap.partitionCols,
+      filesPerPartition, distribute = false)
+    commitReplacing(root,
+      snap.files.keySet ++ staged.keySet, staged.files,
       snap.partitionCols, expectedBase = Some(snap),
       batchSchema = Some(batch.schema), store = store, kind = "compact",
       newStats = staged.stats)

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.sources.{AtomicLake, LakeStats}
+import org.apache.spark.sql.classic.GraftExprBridge
+
+/** Clustered compaction (OPTIMIZE … ZORDER BY): the data-layout half
+  * of zone-map skipping — after clustering, a key-range scan plans a
+  * fraction of the files that the ingest-ordered layout forced it to
+  * read.
+  */
+class LakeClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scratch = "/root/repo/target/test-scratch/lake_cluster"
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(scratch, name)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    p.toString
+  }
+
+  private def planned(root: String,
+      filters: org.apache.spark.sql.Column*): Int =
+    LakeStats.survivors(AtomicLake.currentSnapshot(root).get,
+      filters.map(GraftExprBridge.expression)).size
+
+  describe("cluster") {
+    it("turns a no-skip layout into a pruned one; data is unchanged") {
+      val root = freshRoot("basic")
+      // 4 ingest commits, each spanning the FULL key range → every
+      // file overlaps every range query, nothing prunes
+      val rnd = new Random(7)
+      val shuffled = rnd.shuffle((1 to 4000).toVector)
+      shuffled.grouped(1000).foreach(g =>
+        AtomicLake.append(g.toDF("k"), root))
+      planned(root, $"k" >= 100 && $"k" < 300) shouldBe 4
+      val before = AtomicLake.read(spark, root)
+        .select("k").as[Int].collect().toSet
+      val v = AtomicLake.cluster(spark, root, Seq("k"),
+        filesPerPartition = 4)
+      // same total file count, now range-disjoint: the query plans 1
+      AtomicLake.currentSnapshot(root).get
+        .files.values.flatten.size shouldBe 4
+      planned(root, $"k" >= 100 && $"k" < 300) shouldBe 1
+      AtomicLake.read(spark, root)
+        .select("k").as[Int].collect().toSet shouldBe before
+      AtomicLake.snapshotAt(root, v).kind shouldBe "compact"
+    }
+    it("clusters within partition dirs (partition cols lead the range)") {
+      val root = freshRoot("partitioned")
+      val rnd = new Random(11)
+      val rows = rnd.shuffle(
+        for { i <- 1 to 2000 } yield (i, s"p${i % 2}"))
+      rows.grouped(500).foreach(g =>
+        AtomicLake.append(g.toDF("k", "part"), root,
+          Seq("part"), filesPerPartition = 2))
+      AtomicLake.cluster(spark, root, Seq("k"), filesPerPartition = 2)
+      val snap = AtomicLake.currentSnapshot(root).get
+      // a key-range + partition filter plans at most one file per dir
+      planned(root, $"part" === "p0",
+        $"k" >= 1 && $"k" < 400) should be <= 1
+      AtomicLake.read(spark, root).count() shouldBe 2000
+      snap.partitionCols shouldBe Seq("part")
+    }
+    it("zorder gives BOTH columns tight per-file ranges") {
+      val root = freshRoot("zorder")
+      // a 64×64 grid in row-major ingest order: linear order on x
+      // leaves y spanning the full range in every file
+      val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+      AtomicLake.append(grid.toDF("x", "y"), root)
+      AtomicLake.cluster(spark, root, Seq("x", "y"),
+        filesPerPartition = 16, zorder = true)
+      // a small 2-D box touches a small fraction of the 16 files
+      val box = planned(root,
+        $"x" >= 8 && $"x" < 16, $"y" >= 8 && $"y" < 16)
+      box should be <= 4
+      // correctness: the box content is exact
+      AtomicLake.scan(spark, root)(
+          $"x" >= 8 && $"x" < 16, $"y" >= 8 && $"y" < 16)
+        .count() shouldBe 64
+    }
+    it("a concurrent upsert aborts the clustering commit") {
+      val root = freshRoot("conflict")
+      AtomicLake.upsertPartitions(
+        Seq((1, "a"), (2, "b")).toDF("k", "part"), root, Seq("part"))
+      val snap = AtomicLake.currentSnapshot(root).get
+      val staged = AtomicLake.stageFiles(
+        AtomicLake.read(spark, root), root, Seq("part"), 1)
+      AtomicLake.upsertPartitions(
+        Seq((9, "a")).toDF("k", "part"), root, Seq("part"))
+      a[java.util.ConcurrentModificationException] should be thrownBy
+        AtomicLake.commitReplacing(root,
+          snap.files.keySet ++ staged.keySet, staged.files,
+          Seq("part"), expectedBase = Some(snap), kind = "compact",
+          newStats = staged.stats)
+      AtomicLake.read(spark, root).select("k").as[Int]
+        .collect().toSet shouldBe Set(9, 2)
+    }
+    it("the lake stream skips a clustering commit (no re-emission)") {
+      val root = freshRoot("stream_skip")
+      AtomicLake.append(Seq((1, "a"), (2, "b")).toDF("k", "t"), root)
+      AtomicLake.append(Seq((3, "c")).toDF("k", "t"), root)
+      val vc = AtomicLake.cluster(spark, root, Seq("k"))
+      // fileDiff across the cluster commit sees a rewrite, but the
+      // commit kind marks it skippable — the same contract compact()
+      // carries, asserted here for the cluster path
+      AtomicLake.snapshotAt(root, vc).kind shouldBe "compact"
+      AtomicLake.read(spark, root).count() shouldBe 3
+    }
+  }
+}
