@@ -68,7 +68,12 @@ object AtomicLake {
       // nulls), harvested from parquet footers at commit time; absent
       // entries (pre-stats manifests, unreadable footers) are simply
       // never pruned — see [[LakeStats]] and [[scan]]
-      stats: Map[String, LakeStats.FileStats] = Map.empty)
+      stats: Map[String, LakeStats.FileStats] = Map.empty,
+      // CHECK constraints (name -> SQL predicate): every write commit
+      // validates its batch against them (SQL semantics: a row
+      // violates only when the predicate is FALSE — null passes);
+      // carried manifest-to-manifest like the schema
+      constraints: Map[String, String] = Map.empty)
 
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
@@ -95,6 +100,7 @@ object AtomicLake {
     var rest = lines.tail
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     var kind = "write"
+    var constraints = Map.empty[String, String]
     var headers = true
     while (headers) rest match {
       case h +: tl if h.startsWith("schema=") =>
@@ -104,6 +110,11 @@ object AtomicLake {
         rest = tl
       case h +: tl if h.startsWith("kind=") =>
         kind = h.drop("kind=".length); rest = tl
+      case h +: tl if h.startsWith("constraint=") =>
+        val body = h.drop("constraint=".length)
+        val i = body.indexOf(':')
+        constraints += body.take(i) -> body.drop(i + 1)
+        rest = tl
       case _ => headers = false
     }
     val fileLines = rest
@@ -120,7 +131,7 @@ object AtomicLake {
       .map { case (p, fs) => p -> fs.map(_._2) }
     val stats = parsed.iterator
       .flatMap { case (_, f, st) => st.map(f -> _) }.toMap
-    Snapshot(v, partitionCols, files, schema, kind, stats)
+    Snapshot(v, partitionCols, files, schema, kind, stats, constraints)
   }
 
   /** The committed schema after applying `batch` on top of `base`:
@@ -284,7 +295,11 @@ object AtomicLake {
       // rows (the rewritten survivors duplicate what the winner kept)
       // — else ConcurrentModificationException, and the caller
       // re-derives against the new snapshot
-      removeFiles: Set[String] = Set.empty): Long = {
+      removeFiles: Set[String] = Set.empty,
+      // None = inherit the previous snapshot's CHECK constraints;
+      // Some = this commit SETS the table's constraint map (the
+      // add/dropConstraint metadata commits)
+      newConstraints: Option[Map[String, String]] = None): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -340,6 +355,11 @@ object AtomicLake {
       val body = new StringBuilder(s"partition_cols=${partitionCols.mkString(",")}\n")
       schema.foreach(s => body.append("schema=").append(s.json).append('\n'))
       if (kind != "write") body.append("kind=").append(kind).append('\n')
+      val constraints = newConstraints.getOrElse(
+        prev.map(_.constraints).getOrElse(Map.empty))
+      for ((n, e) <- constraints.toSeq.sortBy(_._1))
+        body.append("constraint=").append(n).append(':')
+          .append(e).append('\n')
       // surviving files keep the stats their own commit harvested;
       // new files bring theirs — a file's zone map never changes
       // after the immutable file is written
@@ -358,6 +378,78 @@ object AtomicLake {
       s"commit contention: gave up after $attempts attempts")
   }
 
+  /** Refuse `batch` if it violates any of the table's CHECK
+    * constraints, BEFORE anything is staged. SQL CHECK semantics: a
+    * row violates only when the predicate evaluates FALSE — null
+    * passes. All constraints are checked in ONE aggregation job; a
+    * table without constraints pays nothing (no job at all).
+    */
+  private def enforceConstraints(batch: DataFrame, root: String,
+      store: CommitStore): Unit = {
+    val cons = currentSnapshot(root, store).map(_.constraints)
+      .getOrElse(Map.empty)
+    if (cons.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val ordered = cons.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(true)) === lit(false), 1L)
+        .otherwise(0L)).as(n)
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"CHECK constraint '$n' ($e) violated by $bad row(s) of " +
+            "this batch; nothing was committed")
+    }
+  }
+
+  /** ADD CONSTRAINT (Delta's ALTER TABLE … ADD CONSTRAINT … CHECK):
+    * existing table data must already satisfy the predicate (refused
+    * loudly otherwise — a constraint that the table violates is a
+    * lie); the constraint then rides every manifest and every future
+    * write commit validates its batch against it. Metadata-only
+    * commit: no data moves. Returns the committed version.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      predicate: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    require(name.nonEmpty && !name.contains(':') && !name.contains('\n'),
+      s"constraint name must be non-empty without ':' or newline: $name")
+    require(!predicate.contains('\n'),
+      "constraint predicate must be single-line SQL")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val bad = readSnapshot(spark, root, snap)
+      .filter(coalesce(expr(predicate), lit(true)) === lit(false))
+      .count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"cannot add CHECK constraint '$name' ($predicate): $bad " +
+          "existing row(s) violate it")
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      store = store,
+      newConstraints = Some(snap.constraints + (name -> predicate)))
+  }
+
+  /** DROP CONSTRAINT — metadata-only commit removing the named CHECK
+    * constraint. Unknown names are refused (a typo silently "passing"
+    * would leave the real constraint enforced when the caller
+    * believes it gone).
+    */
+  def dropConstraint(root: String, name: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    require(snap.constraints.contains(name),
+      s"no CHECK constraint named '$name' " +
+        s"(table has: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      store = store, newConstraints = Some(snap.constraints - name))
+  }
+
   /** Idempotent partition upsert with a single atomic commit point:
     * exactly the partitions present in `batch` are replaced. Returns
     * the committed version.
@@ -365,6 +457,7 @@ object AtomicLake {
   def upsertPartitions(batch: DataFrame, root: String,
       partitionCols: Seq[String], filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
+    enforceConstraints(batch, root, store)
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
     commitReplacing(root, staged.keySet, staged.files, partitionCols,
       batchSchema = Some(batch.schema), store = store,
@@ -378,6 +471,7 @@ object AtomicLake {
   def append(batch: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
+    enforceConstraints(batch, root, store)
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
     commitReplacing(root, Set.empty, staged.files, partitionCols,
       batchSchema = Some(batch.schema), store = store,
@@ -392,6 +486,7 @@ object AtomicLake {
   def overwrite(batch: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
+    enforceConstraints(batch, root, store)
     val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
     commitReplacing(root, Set.empty, staged.files, partitionCols,
       batchSchema = Some(batch.schema), store = store,
@@ -566,6 +661,10 @@ object AtomicLake {
     require(missing.isEmpty,
       s"merge source must carry the partition columns; missing: $missing")
     val src = source.localCheckpoint()
+    // the source rows are the only NEW rows a merge introduces —
+    // validate them against the table's CHECK constraints (dirty-file
+    // survivors were already in the table)
+    enforceConstraints(src, root, store)
     // one job: row count, duplicate-key check, per-key bounds. The
     // dup check covers only fully-keyed rows: a row with ANY null key
     // field can never match a target row (SQL join semantics), so two
