@@ -729,6 +729,25 @@ object AtomicLake {
       store: CommitStore = HardlinkCommitStore): DataFrame =
     readSnapshot(spark, root, readManifest(root, version, store))
 
+  /** DESCRIBE HISTORY: every committed version with its kind, file
+    * count, and total rows-from-stats (None when any file predates
+    * zone-map harvesting) — manifest-only, newest first, no Spark
+    * job. The audit surface time travel, restore, and vacuum
+    * retention decisions read.
+    */
+  def history(root: String,
+      store: CommitStore = HardlinkCommitStore)
+      : Seq[(Long, String, Int, Option[Long])] =
+    store.listVersions(root).sorted.reverse.map { v =>
+      val s = readManifest(root, v, store)
+      val files = s.files.values.flatten.toSeq
+      val rows =
+        if (files.forall(s.stats.contains))
+          Some(files.map(s.stats(_).rows).sum)
+        else None
+      (v, s.kind, files.size, rows)
+    }
+
   /** RESTORE: roll the table back to exactly `toVersion`'s state as a
     * NEW commit (Delta's RESTORE TABLE ... VERSION AS OF) — metadata
     * only: the new manifest references the old version's files and

@@ -138,6 +138,17 @@ class LakeCloneSpec extends SparkSpec {
       AtomicLake.read(spark, src).count() shouldBe 10
       AtomicLake.read(spark, dst).count() shouldBe 6
     }
+    it("history lists versions newest-first with kind and row counts") {
+      val root = freshRoot("hist")
+      AtomicLake.append((1 to 10).toDF("id"), root)
+      AtomicLake.append((11 to 15).toDF("id"), root)
+      AtomicLake.cluster(spark, root, Seq("id"))
+      val h = AtomicLake.history(root)
+      h.map(_._1) shouldBe Seq(3L, 2L, 1L)
+      h.head._2 shouldBe "compact"
+      h.head._4 shouldBe Some(15L)
+      h.last._4 shouldBe Some(10L)
+    }
     it("refuses to clone onto an existing lake") {
       val src = freshRoot("ref_src")
       val dst = freshRoot("ref_dst")
