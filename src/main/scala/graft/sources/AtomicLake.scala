@@ -299,7 +299,12 @@ object AtomicLake {
       // None = inherit the previous snapshot's CHECK constraints;
       // Some = this commit SETS the table's constraint map (the
       // add/dropConstraint metadata commits)
-      newConstraints: Option[Map[String, String]] = None): Long = {
+      newConstraints: Option[Map[String, String]] = None,
+      // true = batchSchema is committed AS-IS instead of merged with
+      // the previous snapshot's (restore: rolling back must shed a
+      // column added after the target version, where the evolution
+      // merge would keep it)
+      schemaOverride: Boolean = false): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -327,10 +332,12 @@ object AtomicLake {
       // this commit's schema: previous schema evolved by the batch's
       // (see [[mergeSchemas]]); recomputed INSIDE the retry loop so a
       // lost race against a schema-changing winner still merges right
-      val schema = (prev.flatMap(_.schema), batchSchema) match {
-        case (Some(p), Some(b)) => Some(mergeSchemas(p, b))
-        case (p, b) => b.orElse(p)
-      }
+      val schema =
+        if (schemaOverride) batchSchema
+        else (prev.flatMap(_.schema), batchSchema) match {
+          case (Some(p), Some(b)) => Some(mergeSchemas(p, b))
+          case (p, b) => b.orElse(p)
+        }
       if (removeFiles.nonEmpty) {
         val present =
           prev.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
@@ -548,8 +555,14 @@ object AtomicLake {
     val byUri = candidates.map(f =>
       Paths.get(root).resolve(f).normalize().toUri.toString -> f).toMap
     abs.map { a =>
+      // second lookup canonicalizes through Path (percent-encoding
+      // differences); guarded — a non-file scheme must fall through
+      // to the loud error, not an opaque FileSystemNotFound
+      def canonical: Option[String] =
+        scala.util.Try(
+          Paths.get(new java.net.URI(a)).toUri.toString).toOption
       byUri.getOrElse(a,
-        byUri.getOrElse(Paths.get(new java.net.URI(a)).toUri.toString,
+        canonical.flatMap(byUri.get).getOrElse(
           throw new IllegalStateException(
             s"file $a is not among this snapshot's candidate files")))
     }
@@ -755,14 +768,20 @@ object AtomicLake {
     * versions stay time-travelable until vacuum), CDC sees the
     * restore as a normal diff (files the rollback removes/re-adds),
     * and concurrent writers are handled by the usual commit retry.
-    * Returns the committed version.
+    * The target version's SCHEMA is restored as-is (a column added
+    * after it is shed, not merged back in); CHECK constraints are the
+    * one piece of CURRENT state that is kept — they are guards on
+    * future writes, and the restored rows are not re-validated
+    * against them (the same posture as Delta). Returns the committed
+    * version.
     */
   def restore(root: String, toVersion: Long,
       store: CommitStore = HardlinkCommitStore): Long = {
     val target = readManifest(root, toVersion, store)
     commitReplacing(root, Set.empty, target.files, target.partitionCols,
       batchSchema = target.schema, store = store,
-      newStats = target.stats, replaceAll = true)
+      newStats = target.stats, replaceAll = true,
+      schemaOverride = true)
   }
 
   /** SHALLOW CLONE (Delta's CLONE ... SHALLOW): commit a manifest at

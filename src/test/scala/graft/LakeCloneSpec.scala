@@ -58,6 +58,17 @@ class LakeCloneSpec extends SparkSpec {
       dataFiles(root).toSet shouldBe before
       AtomicLake.read(spark, root).count() shouldBe 10
     }
+    it("restore sheds a column added after the target version") {
+      val root = freshRoot("restore_schema")
+      val v1 = AtomicLake.append(Seq((1, "a")).toDF("id", "t"), root)
+      AtomicLake.append(
+        Seq((2, "b", 9.0)).toDF("id", "t", "score"), root)
+      AtomicLake.read(spark, root).columns should contain("score")
+      AtomicLake.restore(root, v1)
+      // exactly v1's state: the evolved column is gone, not nulled
+      AtomicLake.read(spark, root).columns.toSeq shouldBe Seq("id", "t")
+      AtomicLake.read(spark, root).count() shouldBe 1
+    }
     it("CDC across a restore reports the rollback's file diff") {
       val root = freshRoot("restore_cdc")
       val v1 = AtomicLake.append((1 to 5).toDF("id"), root)
