@@ -949,8 +949,16 @@ object AtomicLake {
       snap: Snapshot): DataFrame = {
     val files = snap.files.values.flatten.toSeq
     if (files.isEmpty)
-      throw new IllegalStateException(
-        s"snapshot v${snap.version} at $root is empty")
+      // a legitimate state since row-level deletes: a deleteWhere
+      // that removed every row commits a zero-file manifest — read
+      // it as the schema-correct empty table (only pre-evolution
+      // manifests, which can't record a schema, must refuse)
+      return snap.schema.fold[DataFrame](
+        throw new IllegalStateException(
+          s"snapshot v${snap.version} at $root is empty and records " +
+            "no schema"))(sch =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
     // basePath (per data-plane group — see readFileSubset) keeps the
     // k=v partition directories as real columns; the SNAPSHOT's
     // schema (when recorded) makes reads deterministic across

@@ -96,6 +96,19 @@ class LakeMergeSpec extends SparkSpec {
       AtomicLake.readVersion(spark, root, v0).count() shouldBe 10
       AtomicLake.read(spark, root).count() shouldBe 5
     }
+    it("deleting EVERY row leaves a readable empty table") {
+      val root = freshRoot("del_everything")
+      AtomicLake.append((1 to 10).toDF("id"), root)
+      val r = AtomicLake.deleteWhere(spark, root)($"id" > 0)
+      r.rowsChanged shouldBe 10
+      val back = AtomicLake.read(spark, root)
+      back.count() shouldBe 0
+      back.columns.toSeq shouldBe Seq("id")
+      // and the table accepts new data afterwards
+      AtomicLake.append(Seq(99).toDF("id"), root)
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSet shouldBe Set(99)
+    }
     it("a delete emptying a whole file drops it without replacement") {
       val root = freshRoot("del_all")
       AtomicLake.append((1 to 10).toDF("id"), root)
