@@ -568,6 +568,30 @@ object AtomicLake {
     }
   }
 
+  /** Re-derive-and-retry for copy-on-write rewrites: a rewrite that
+    * loses to a concurrent compaction/rewrite of one of its dirty
+    * files aborts with ConcurrentModificationException — correct, but
+    * the caller's remedy is always "re-run against the new snapshot",
+    * so deleteWhere/merge do it themselves (Delta's internal OCC
+    * retry). Each attempt re-reads the snapshot and re-derives the
+    * dirty set from scratch; the loser's staged files become orphans
+    * (vacuum reclaims). Bounded attempts: livelock under sustained
+    * compaction churn surfaces the real conflict instead of spinning.
+    */
+  private def retryRewrite(op: () => Rewrite): Rewrite = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return op()
+      catch {
+        case e: java.util.ConcurrentModificationException
+            if attempts < 3 =>
+          // fall through: re-derive against the new snapshot
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Row-level DELETE with copy-on-write file rewrites — the half of
     * the Delta/Iceberg `DELETE FROM` contract this lake's partition
     * model couldn't express. Three bounded steps:
@@ -597,6 +621,13 @@ object AtomicLake {
   def deleteWhere(spark: SparkSession, root: String,
       filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore)(
+      predicate: Column): Rewrite =
+    retryRewrite(() =>
+      deleteWhereOnce(spark, root, filesPerPartition, store)(predicate))
+
+  private def deleteWhereOnce(spark: SparkSession, root: String,
+      filesPerPartition: Int,
+      store: CommitStore)(
       predicate: Column): Rewrite = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val snap = currentSnapshot(root, store).getOrElse(
@@ -664,7 +695,13 @@ object AtomicLake {
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String], filesPerPartition: Int = 1,
-      store: CommitStore = HardlinkCommitStore): Rewrite = {
+      store: CommitStore = HardlinkCommitStore): Rewrite =
+    retryRewrite(() =>
+      mergeOnce(spark, root, source, keyCols, filesPerPartition, store))
+
+  private def mergeOnce(spark: SparkSession, root: String,
+      source: DataFrame, keyCols: Seq[String], filesPerPartition: Int,
+      store: CommitStore): Rewrite = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val snap = currentSnapshot(root, store).getOrElse(
@@ -760,6 +797,21 @@ object AtomicLake {
         else None
       (v, s.kind, files.size, rows)
     }
+
+  /** O(manifest) row count from the zone-map stats — the instant
+    * `SELECT count(*)` a 100-TB table answers without a single task,
+    * when every current file carries stats (None otherwise: the
+    * caller falls back to a real count).
+    */
+  def rowCount(root: String,
+      store: CommitStore = HardlinkCommitStore): Option[Long] = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val files = snap.files.values.flatten.toSeq
+    if (files.forall(snap.stats.contains))
+      Some(files.map(snap.stats(_).rows).sum)
+    else None
+  }
 
   /** RESTORE: roll the table back to exactly `toVersion`'s state as a
     * NEW commit (Delta's RESTORE TABLE ... VERSION AS OF) — metadata

@@ -160,6 +160,14 @@ class LakeCloneSpec extends SparkSpec {
       h.head._4 shouldBe Some(15L)
       h.last._4 shouldBe Some(10L)
     }
+    it("rowCount answers count(*) from the manifest, task-free") {
+      val root = freshRoot("rowcount")
+      AtomicLake.append((1 to 10).toDF("id"), root)
+      AtomicLake.append((11 to 25).toDF("id"), root)
+      AtomicLake.rowCount(root) shouldBe Some(25L)
+      AtomicLake.deleteWhere(spark, root)($"id" <= 5)
+      AtomicLake.rowCount(root) shouldBe Some(20L)
+    }
     it("refuses to clone onto an existing lake") {
       val src = freshRoot("ref_src")
       val dst = freshRoot("ref_dst")
