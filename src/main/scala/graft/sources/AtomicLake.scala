@@ -73,7 +73,11 @@ object AtomicLake {
       // validates its batch against them (SQL semantics: a row
       // violates only when the predicate is FALSE — null passes);
       // carried manifest-to-manifest like the schema
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // commit wall-clock (epoch millis); None on manifests written
+      // before the header existed. Informational + timestampAsOf
+      // resolution — never part of correctness
+      ts: Option[Long] = None)
 
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
@@ -101,6 +105,7 @@ object AtomicLake {
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     var kind = "write"
     var constraints = Map.empty[String, String]
+    var ts: Option[Long] = None
     var headers = true
     while (headers) rest match {
       case h +: tl if h.startsWith("schema=") =>
@@ -115,6 +120,8 @@ object AtomicLake {
         val i = body.indexOf(':')
         constraints += body.take(i) -> body.drop(i + 1)
         rest = tl
+      case h +: tl if h.startsWith("ts=") =>
+        ts = h.drop("ts=".length).toLongOption; rest = tl
       case _ => headers = false
     }
     val fileLines = rest
@@ -131,7 +138,8 @@ object AtomicLake {
       .map { case (p, fs) => p -> fs.map(_._2) }
     val stats = parsed.iterator
       .flatMap { case (_, f, st) => st.map(f -> _) }.toMap
-    Snapshot(v, partitionCols, files, schema, kind, stats, constraints)
+    Snapshot(v, partitionCols, files, schema, kind, stats, constraints,
+      ts)
   }
 
   /** The committed schema after applying `batch` on top of `base`:
@@ -367,6 +375,7 @@ object AtomicLake {
       for ((n, e) <- constraints.toSeq.sortBy(_._1))
         body.append("constraint=").append(n).append(':')
           .append(e).append('\n')
+      body.append("ts=").append(System.currentTimeMillis()).append('\n')
       // surviving files keep the stats their own commit harvested;
       // new files bring theirs — a file's zone map never changes
       // after the immutable file is written
@@ -778,6 +787,31 @@ object AtomicLake {
   def readVersion(spark: SparkSession, root: String, version: Long,
       store: CommitStore = HardlinkCommitStore): DataFrame =
     readSnapshot(spark, root, readManifest(root, version, store))
+
+  /** The newest version committed AT OR BEFORE `timestamp` (epoch
+    * millis) — Delta's TIMESTAMP AS OF resolution against the
+    * manifest `ts=` headers. Versions predating the header count as
+    * "unknown time" and are only chosen when no stamped version
+    * qualifies but an unstamped one exists below a stamped
+    * disqualified one — i.e. they are treated as older than every
+    * stamped commit (true by construction: the header shipped after
+    * them). Errors if the earliest commit is younger than
+    * `timestamp`.
+    */
+  def versionAt(root: String, timestamp: Long,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val versions = store.listVersions(root).sorted
+    if (versions.isEmpty)
+      throw new IllegalStateException(s"no commits at $root")
+    val qualifying = versions.takeWhile { v =>
+      readManifest(root, v, store).ts.forall(_ <= timestamp)
+    }
+    if (qualifying.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit at $root is as old as $timestamp " +
+          "(earliest is younger)")
+    qualifying.max
+  }
 
   /** DESCRIBE HISTORY: every committed version with its kind, file
     * count, and total rows-from-stats (None when any file predates

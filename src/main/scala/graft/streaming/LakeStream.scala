@@ -50,9 +50,16 @@ class LakeStreamProvider extends StreamSourceProvider
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String])
-      : org.apache.spark.sql.sources.BaseRelation =
-    new graft.sources.LakeRelation(sqlContext, rootOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val root = rootOf(parameters)
+    // versionAsOf wins when both are passed (it is the exact form);
+    // timestampAsOf (epoch millis) resolves via the manifest ts=
+    // headers — Delta's TIMESTAMP AS OF
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        AtomicLake.versionAt(root, t.toLong)))
+    new graft.sources.LakeRelation(sqlContext, root, version)
+  }
 
   /** Batch write: `df.write.format("graft-lake").mode(...)` —
     * Append is an [[AtomicLake.append]] commit, Overwrite an

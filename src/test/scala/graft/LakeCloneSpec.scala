@@ -160,6 +160,20 @@ class LakeCloneSpec extends SparkSpec {
       h.head._4 shouldBe Some(15L)
       h.last._4 shouldBe Some(10L)
     }
+    it("timestampAsOf resolves versions through the ts= headers") {
+      val root = freshRoot("ts_asof")
+      AtomicLake.append(Seq(1).toDF("id"), root)
+      val t1 = AtomicLake.currentSnapshot(root).get.ts.get
+      Thread.sleep(5)
+      AtomicLake.append(Seq(2).toDF("id"), root)
+      AtomicLake.versionAt(root, t1) shouldBe 1L
+      AtomicLake.versionAt(root, System.currentTimeMillis()) shouldBe 2L
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.versionAt(root, t1 - 1000)
+      spark.read.format("graft-lake").option("path", root)
+        .option("timestampAsOf", t1.toString).load()
+        .count() shouldBe 1L
+    }
     it("rowCount answers count(*) from the manifest, task-free") {
       val root = freshRoot("rowcount")
       AtomicLake.append((1 to 10).toDF("id"), root)
