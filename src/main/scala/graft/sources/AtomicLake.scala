@@ -1084,6 +1084,63 @@ object AtomicLake {
       newStats = staged.stats)
   }
 
+  /** Size-targeted compaction (Delta's OPTIMIZE bin-packing): rewrite
+    * ONLY the files smaller than `smallBytes` — per partition, their
+    * rows re-pack into ceil(totalBytes / targetBytes) files — and
+    * leave every well-sized file's manifest line (and bytes)
+    * untouched, via the same file-level commit the row rewrites use.
+    * This is the steady-state maintenance for a streaming-ingested
+    * 100-TB table: each micro-batch adds a small file per touched
+    * partition, and periodic bin-packing folds ONLY that backlog —
+    * where [[compact]]'s partition-level rewrite would re-copy the
+    * accumulated large files every run, write amplification
+    * proportional to table size instead of backlog size.
+    *
+    * Files with unknown size (pre-bytes manifests) are left alone
+    * (conservative: never rewrite what we can't reason about — run
+    * [[compact]] once to re-stat them). Commits as `kind=compact`
+    * (no logical change); a concurrent rewrite of a chosen file
+    * aborts the commit. Returns the committed version (the current
+    * one when nothing qualifies: no empty commits).
+    */
+  def compactSmall(spark: SparkSession, root: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    def sizeOf(f: String): Long = snap.stats.get(f).map(_.bytes)
+      .getOrElse(0L)
+    // per partition: the small files (≥2 — repacking ONE file buys
+    // nothing) and their packed output count
+    val perPart = snap.files.toSeq.flatMap { case (part, fs) =>
+      val small = fs.filter(f => sizeOf(f) > 0L && sizeOf(f) < smallBytes)
+      if (small.size < 2) None
+      else {
+        val total = small.map(sizeOf).sum
+        val outFiles = math.max(1L, (total + targetBytes - 1) / targetBytes)
+        Some((part, small, outFiles.toInt))
+      }
+    }
+    if (perPart.isEmpty) return snap.version
+    // rewrite each partition's backlog at its own output count — the
+    // union concatenates the repartitioned frames' tasks, so each
+    // writer task holds one partition's rows and the per-dir file
+    // count is that dir's packed count; one commit for the sweep
+    // (stageFiles scopes AQE off around the write itself). Conflict
+    // safety rides the removeFiles presence check: a chosen file
+    // replaced since this snapshot aborts the commit.
+    val rewritten = perPart.map { case (_, small, outFiles) =>
+      readFileSubset(spark, root, small, snap).repartition(outFiles)
+    }.reduce(_.unionByName(_))
+    val staged = stageFiles(rewritten, root, snap.partitionCols,
+      filesPerPartition = 1, distribute = false)
+    commitReplacing(root, Set.empty, staged.files, snap.partitionCols,
+      store = store, kind = "compact", newStats = staged.stats,
+      removeFiles = perPart.flatMap(_._2).toSet)
+  }
+
   /** Clustered compaction — `OPTIMIZE ... ZORDER BY` for this lake:
     * rewrite the table with rows range-partitioned and sorted on
     * `clusterCols`, so each rewritten file covers a TIGHT, nearly

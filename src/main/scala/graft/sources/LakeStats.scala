@@ -73,7 +73,10 @@ object LakeStats {
   final case class ColStats(domain: String, min: Option[Bound],
       max: Option[Bound], nulls: Option[Long])
 
-  final case class FileStats(rows: Long, cols: Map[String, ColStats]) {
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+      // on-disk bytes; 0 = unknown (pre-bytes manifests) — consumers
+      // (bin-packing compaction) treat unknown as "leave alone"
+      bytes: Long = 0L) {
     // case-insensitive lookup, matching Spark's default resolution
     private[sources] lazy val byLower: Map[String, ColStats] =
       cols.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
@@ -111,6 +114,9 @@ object LakeStats {
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
+        val bytes =
+          try file.getFileSystem(conf).getFileStatus(file).getLen
+          catch { case scala.util.control.NonFatal(_) => 0L }
         // name -> (domain, mins, maxes, nulls-or-unknown, sawAllBlocks)
         val acc = scala.collection.mutable.Map[String,
           (String, List[Bound], List[Bound], Option[Long], Int)]()
@@ -156,7 +162,7 @@ object LakeStats {
             val hi = maxes.reduceOption(maxB).flatMap(clampMax)
             name -> ColStats(domain, lo.map(clampMin), hi, nulls)
         }.toMap
-        Some(FileStats(rows, cols))
+        Some(FileStats(rows, cols, bytes))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -258,7 +264,10 @@ object LakeStats {
         c.nulls.map(n0 => "n" -> JLong(n0))).flatten)
     })
     JsonMethods.compact(JsonMethods.render(
-      JObject("r" -> JLong(fs.rows), "c" -> cols)))
+      JObject(List(Some("r" -> (JLong(fs.rows): JValue)),
+        (if (fs.bytes > 0) Some("b" -> (JLong(fs.bytes): JValue))
+         else None),
+        Some("c" -> (cols: JValue))).flatten)))
   }
 
   def fromJson(s: String): Option[FileStats] =
@@ -279,6 +288,7 @@ object LakeStats {
       }
       for {
         rows <- long(j \ "r")
+        bytes = long(j \ "b").getOrElse(0L)
         cols = (j \ "c") match {
           case JObject(fields) => fields.flatMap { case (name, cv) =>
             (cv \ "d") match {
@@ -291,7 +301,7 @@ object LakeStats {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-      } yield FileStats(rows, cols)
+      } yield FileStats(rows, cols, bytes)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---------------------------------------------------------------

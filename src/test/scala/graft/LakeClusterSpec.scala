@@ -85,6 +85,48 @@ class LakeClusterSpec extends SparkSpec {
           $"x" >= 8 && $"x" < 16, $"y" >= 8 && $"y" < 16)
         .count() shouldBe 64
     }
+    it("compactSmall folds ONLY the small-file backlog; large files " +
+        "keep their bytes") {
+      val root = freshRoot("binpack")
+      // one "large" file and a trickle of small ones
+      AtomicLake.append((1 to 5000).map(i => (i, s"body $i")).toDF("id", "t"),
+        root)
+      (5001 to 5004).foreach(i =>
+        AtomicLake.append(Seq((i, s"body $i")).toDF("id", "t"), root))
+      val snap0 = AtomicLake.currentSnapshot(root).get
+      val large = snap0.files.values.flatten
+        .maxBy(f => snap0.stats(f).bytes)
+      // small = anything under 16 KiB here; the 5000-row file is not
+      val v = AtomicLake.compactSmall(spark, root,
+        smallBytes = 16L << 10, targetBytes = 1L << 20)
+      val snap1 = AtomicLake.currentSnapshot(root).get
+      snap1.kind shouldBe "compact"
+      // the large file survived AS the same file; 4 smalls became 1
+      snap1.files.values.flatten.toSet should contain(large)
+      snap1.files.values.flatten.size shouldBe 2
+      AtomicLake.read(spark, root).count() shouldBe 5004
+      AtomicLake.rowCount(root) shouldBe Some(5004L)
+      // nothing left to pack: no empty commit
+      AtomicLake.compactSmall(spark, root,
+        smallBytes = 16L << 10) shouldBe v
+    }
+    it("compactSmall packs per partition, leaving clean partitions " +
+        "untouched") {
+      val root = freshRoot("binpack_part")
+      AtomicLake.append(
+        Seq((1, "a"), (2, "b")).toDF("id", "part"), root, Seq("part"))
+      // partition a accumulates a backlog; b stays clean
+      (3 to 5).foreach(i =>
+        AtomicLake.append(Seq((i, "a")).toDF("id", "part"), root,
+          Seq("part")))
+      val before = AtomicLake.currentSnapshot(root).get
+        .files("part=b").toSet
+      AtomicLake.compactSmall(spark, root, smallBytes = 1L << 20)
+      val snap = AtomicLake.currentSnapshot(root).get
+      snap.files("part=b").toSet shouldBe before
+      snap.files("part=a").size shouldBe 1
+      AtomicLake.read(spark, root).count() shouldBe 5
+    }
     it("a concurrent upsert aborts the clustering commit") {
       val root = freshRoot("conflict")
       AtomicLake.upsertPartitions(
