@@ -12,6 +12,9 @@ import graft.expressions.NativeKernels
 /** Property-based invariants for the round-7 kernels — pure JVM
   * calls, no Spark session needed (the DataFrame-level parity with
   * the declarative forms is separately spec-gated in CurationSpec).
+  * Also home to the LakeStats manifest-codec round-trip property:
+  * the zone maps ride every manifest line, so a single lossy case
+  * silently disables (or worse, mis-aims) pruning.
   */
 class KernelPropertySpec extends AnyFunSpec with Matchers {
 
@@ -123,6 +126,54 @@ class KernelPropertySpec extends AnyFunSpec with Matchers {
           rows.filter(_._1 > 0).forall { case (n, start, first, last) =>
             first == start / budget && last == (start + n - 1) / budget
           })
+      })
+    }
+  }
+
+  describe("LakeStats manifest codec") {
+    import graft.sources.LakeStats
+    import graft.sources.LakeStats.{Bound, ColStats, FileStats, NumBound, StrBound}
+
+    val colName: Gen[String] =
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(24))
+    // strings incl. the characters the tab-separated manifest must
+    // survive: tabs, newlines, quotes, unicode, '%' escapes
+    val gnarlyStr: Gen[String] =
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+        '\t', '\n', '"', '\\', '%', '=', '/', 'é', '字', ' ')))
+        .map(_.mkString.take(LakeStats.MaxStrLen))
+    val numBound: Gen[Bound] = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(v => NumBound(BigDecimal(v))),
+      Gen.chooseNum(-1e12, 1e12).map(v => NumBound(BigDecimal(v))))
+    def colStats(domain: String, b: Gen[Bound]): Gen[ColStats] =
+      for {
+        lo <- Gen.option(b); hi <- Gen.option(b)
+        n <- Gen.option(Gen.chooseNum(0L, 1000000L))
+      } yield ColStats(domain, lo, hi, n)
+    val fileStats: Gen[FileStats] = for {
+      rows <- Gen.chooseNum(0L, 10000000L)
+      bytes <- Gen.chooseNum(0L, 1L << 40)
+      n <- Gen.chooseNum(0, 8)
+      names <- Gen.listOfN(n, colName)
+      cols <- Gen.sequence[List[(String, ColStats)], (String, ColStats)](
+        names.distinct.map(nm =>
+          Gen.oneOf(
+            colStats("long", numBound),
+            colStats("double", numBound),
+            colStats("ts", numBound),
+            colStats("date", numBound),
+            colStats("string", gnarlyStr.map(StrBound(_)))
+          ).map(nm -> _)))
+    } yield FileStats(rows, cols.toMap, bytes)
+
+    it("round-trips any stats through JSON, never emitting a raw " +
+        "tab or newline (the manifest line format)") {
+      holds(forAll(fileStats) { fs =>
+        val json = LakeStats.toJson(fs)
+        Prop.all(
+          !json.contains('\t') && !json.contains('\n'),
+          LakeStats.fromJson(json).contains(fs))
       })
     }
   }
