@@ -81,6 +81,11 @@ object AtomicLake {
 
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
+  /** Staged-file count above which the zone-map footer harvest runs
+    * as a distributed Spark job instead of a driver thread pool.
+    */
+  private val DistributedHarvestThreshold = 64
+
   /** Newest committed snapshot, if any commit exists. */
   def currentSnapshot(root: String,
       store: CommitStore = HardlinkCommitStore): Option[Snapshot] = {
@@ -246,30 +251,49 @@ object AtomicLake {
       (partRel, Paths.get("data").resolve(destRel).toString, dest)
     }
     deleteRecursively(staging)
-    // Zone-map harvest: one footer read per staged file, fanned over a
-    // bounded pool (footers are KB-sized metadata; a large backfill
-    // commit staging thousands of files overlaps the round-trips
-    // instead of serializing them). Data columns only — partition
-    // values live in the dir name and prune via [[LakeStats.PartVal]].
+    // Zone-map harvest: one footer read per staged file. Small
+    // commits (the incremental-upsert steady state) use a bounded
+    // driver pool — no job scheduling overhead on the hot path; a
+    // LARGE commit (backfill/compaction staging thousands of files)
+    // distributes the footer reads as one Spark job instead — 100k
+    // driver-serial metadata round-trips would add minutes to the
+    // commit, where the cluster absorbs them in one short stage. Data
+    // columns only — partition values live in the dir name and prune
+    // via [[LakeStats.PartVal]].
     val statsSchema = org.apache.spark.sql.types.StructType(
       batch.schema.filterNot(f => partitionCols.contains(f.name)))
     val hconf = spark.sparkContext.hadoopConfiguration
-    val stats: Map[String, LakeStats.FileStats] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, math.max(1, out.size)))
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
-      try {
-        val fs = out.map { case (_, relPath, dest) =>
-          Future(LakeStats.collect(hconf,
-            new org.apache.hadoop.fs.Path(dest.toString), statsSchema)
-            .map(relPath -> _))
+    val stats: Map[String, LakeStats.FileStats] =
+      if (out.size > DistributedHarvestThreshold) {
+        val ser =
+          new org.apache.spark.util.SerializableConfiguration(hconf)
+        val pairs = out.map { case (_, relPath, dest) =>
+          (relPath, dest.toString)
         }
-        Await.result(Future.sequence(fs), Duration.Inf).flatten.toMap
-      } finally pool.shutdown()
-    }
+        val slices = math.min(pairs.size,
+          math.max(1, spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(pairs, slices)
+          .flatMap { case (rel, abs) =>
+            LakeStats.collect(ser.value,
+              new org.apache.hadoop.fs.Path(abs), statsSchema)
+              .map(rel -> _)
+          }.collect().toMap
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, math.max(1, out.size)))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = out.map { case (_, relPath, dest) =>
+            Future(LakeStats.collect(hconf,
+              new org.apache.hadoop.fs.Path(dest.toString), statsSchema)
+              .map(relPath -> _))
+          }
+          Await.result(Future.sequence(fs), Duration.Inf).flatten.toMap
+        } finally pool.shutdown()
+      }
     Staged(
       out.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) },
       stats)

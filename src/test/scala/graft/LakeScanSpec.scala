@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+// (distributed-harvest case below exercises the >threshold path)
 import graft.sources.{AtomicLake, LakeStats}
 
 /** Manifest zone-maps + stats-pruned scan (SURVEY.md §2 G24): stats
@@ -49,6 +50,23 @@ class LakeScanSpec extends SparkSpec {
         Some(LakeStats.StrBound("a")), Some(LakeStats.StrBound("b")),
         Some(0L))
       st.cols("v").nulls shouldBe Some(1L)
+    }
+    it("a large commit harvests through the distributed path — every " +
+        "file still gets stats") {
+      val root = freshRoot("collect_big")
+      // 80 staged files crosses the distributed-harvest threshold
+      AtomicLake.append((1 to 400).toDF("id"), root,
+        filesPerPartition = 80)
+      val snap = AtomicLake.currentSnapshot(root).get
+      val files = snap.files.values.flatten.toSeq
+      files.size should be > 64
+      files.foreach { f =>
+        snap.stats.keySet should contain(f)
+        snap.stats(f).cols.keySet should contain("id")
+      }
+      snap.stats.values.map(_.rows).sum shouldBe 400L
+      // and the maps prune as usual
+      AtomicLake.scan(spark, root)($"id" === 1).count() shouldBe 1
     }
     it("stats survive the manifest merge of later commits") {
       val root = freshRoot("merge")
