@@ -118,6 +118,32 @@ class ChangesSpec extends SparkSpec {
         .as[Double].head() shouldBe 100.0
     }
 
+    it("maintenance stays exact across a ROW-LEVEL delete commit " +
+        "(G25 composes with the retraction path)") {
+      val root = freshRoot()
+      val keys = Seq("day")
+      val ms = Map("total" -> col("value"))
+      val v1 = AtomicLake.upsertPartitions(
+        Seq((1, 10.5, "d1"), (2, 2.25, "d1"), (3, 7.0, "d2"),
+          (4, 1.75, "d2")).toDF("id", "value", "day"), root, keys)
+      val state1 = Incremental.partialSums(
+        AtomicLake.readVersion(spark, root, v1), keys, ms)
+      // copy-on-write delete: the dirty file's old image retracts,
+      // its survivors re-insert — additive consumers converge exactly
+      val r = AtomicLake.deleteWhere(spark, root)($"id" === 2)
+      val delta = AtomicLake.readChanges(spark, root, v1, r.version)
+      val maintained = Incremental.finalize(
+        Incremental.applyChanges(state1, delta, keys, ms), Seq("total"))
+      val recomputed = Incremental.finalize(
+        Incremental.partialSums(
+          AtomicLake.readVersion(spark, root, r.version), keys, ms),
+        Seq("total"))
+      maintained.except(recomputed).count() shouldBe 0
+      recomputed.except(maintained).count() shouldBe 0
+      maintained.filter($"day" === "d1").select($"total")
+        .as[Double].head() shouldBe 10.5
+    }
+
     it("Materialized.refresh maintains a downstream aggregate lake incrementally") {
       import graft.lakehouse.Materialized
       val src = freshRoot(); val tgt = freshRoot()
