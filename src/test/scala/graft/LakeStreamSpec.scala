@@ -185,6 +185,32 @@ class LakeStreamSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("composes with the merge sink: change-log lake -> stream -> " +
+        "keyed-upsert replica (G23 ∘ G28)") {
+      val log = freshRoot()     // upstream append-only change log
+      val replica = freshRoot() + "/replica"
+      AtomicLake.append(
+        Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "seq", "v"), log)
+      val q = graft.streaming.StreamingLake.mergeSink(
+        spark.readStream.format("graft-lake").option("path", log).load(),
+        replica, Files.createTempDirectory("graft_ls_mrg").toString,
+        Seq("k"), latestBy = Some("seq"))
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        q.processAllAvailable()
+        // more change batches land upstream: an update, an insert,
+        // and two changes of one key whose later seq must win
+        AtomicLake.append(
+          Seq((2L, 2L, 99.0), (3L, 2L, 7.0)).toDF("k", "seq", "v"), log)
+        AtomicLake.append(
+          Seq((3L, 3L, 8.0), (4L, 3L, 40.0)).toDF("k", "seq", "v"), log)
+        q.processAllAvailable()
+        AtomicLake.read(spark, replica).select("k", "v")
+          .as[(Long, Double)].collect().toMap shouldBe
+          Map(1L -> 10.0, 2L -> 99.0, 3L -> 8.0, 4L -> 40.0)
+      } finally q.stop()
+    }
+
     it("resumes from the checkpointed version without re-reading") {
       val root = freshRoot()
       val ckpt = Files.createTempDirectory("graft_ls_ckpt2").toString
