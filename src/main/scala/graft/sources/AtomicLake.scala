@@ -856,6 +856,53 @@ object AtomicLake {
       (v, s.kind, files.size, rows)
     }
 
+  /** SHOW PARTITIONS, manifest-only: per-partition file count, rows
+    * and bytes from the stats (0 where any file predates harvesting),
+    * sorted by partition dir.
+    */
+  def partitions(root: String,
+      store: CommitStore = HardlinkCommitStore)
+      : Seq[(String, Int, Long, Long)] = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    snap.files.toSeq.sortBy(_._1).map { case (part, fs) =>
+      val sts = fs.flatMap(snap.stats.get)
+      (part, fs.size,
+        if (sts.size == fs.size) sts.map(_.rows).sum else 0L,
+        if (sts.size == fs.size) sts.map(_.bytes).sum else 0L)
+    }
+  }
+
+  /** DESCRIBE DETAIL, manifest-only: (version, file count, total
+    * bytes from stats, partition columns, constraint names).
+    */
+  def detail(root: String,
+      store: CommitStore = HardlinkCommitStore)
+      : (Long, Int, Long, Seq[String], Seq[String]) = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val files = snap.files.values.flatten.toSeq
+    (snap.version, files.size,
+      files.flatMap(snap.stats.get).map(_.bytes).sum,
+      snap.partitionCols, snap.constraints.keys.toSeq.sorted)
+  }
+
+  /** Data-skipping observability: how many of the snapshot's files a
+    * [[scan]] under `filters` would plan, out of the total —
+    * manifest-only, nothing is read. The ops-side answer to "is my
+    * layout making the stats selective?" (see [[cluster]]).
+    */
+  def scanInfo(root: String,
+      store: CommitStore = HardlinkCommitStore)(
+      filters: Column*): (Int, Int) = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val total = snap.files.values.flatten.size
+    val planned = LakeStats.survivors(snap, filters.map(
+      org.apache.spark.sql.classic.GraftExprBridge.expression)).size
+    (planned, total)
+  }
+
   /** O(manifest) row count from the zone-map stats — the instant
     * `SELECT count(*)` a 100-TB table answers without a single task,
     * when every current file carries stats (None otherwise: the

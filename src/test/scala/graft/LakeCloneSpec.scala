@@ -174,6 +174,25 @@ class LakeCloneSpec extends SparkSpec {
         .option("timestampAsOf", t1.toString).load()
         .count() shouldBe 1L
     }
+    it("partitions/detail/scanInfo answer from the manifest alone") {
+      val root = freshRoot("meta_utils")
+      AtomicLake.upsertPartitions(
+        (1 to 20).map(i => (i, s"p${i % 2}")).toDF("id", "part"),
+        root, Seq("part"))
+      AtomicLake.addConstraint(spark, root, "id_pos", "id > 0")
+      val parts = AtomicLake.partitions(root)
+      parts.map(p => (p._1, p._2, p._3)) shouldBe Seq(
+        ("part=p0", 1, 10L), ("part=p1", 1, 10L))
+      parts.foreach(_._4 should be > 0L)
+      val (v, nFiles, bytes, pCols, cons) = AtomicLake.detail(root)
+      v shouldBe AtomicLake.currentVersion(root).get
+      nFiles shouldBe 2
+      bytes should be > 0L
+      pCols shouldBe Seq("part")
+      cons shouldBe Seq("id_pos")
+      AtomicLake.scanInfo(root)($"id" > 100) shouldBe (0, 2)
+      AtomicLake.scanInfo(root)($"part" === "p0") shouldBe (1, 2)
+    }
     it("rowCount answers count(*) from the manifest, task-free") {
       val root = freshRoot("rowcount")
       AtomicLake.append((1 to 10).toDF("id"), root)
