@@ -974,7 +974,11 @@ object AtomicLake {
       Paths.get(srcRoot).resolve(f).normalize().toString -> st
     }
     commitReplacing(dstRoot, Set.empty, absFiles, snap.partitionCols,
-      batchSchema = snap.schema, store = store, newStats = absStats)
+      batchSchema = snap.schema, store = store, newStats = absStats,
+      // the clone IS the table, contract included: writes against it
+      // must satisfy the same CHECK constraints (Delta CLONE copies
+      // table properties the same way)
+      newConstraints = Some(snap.constraints))
   }
 
   /** File-level diff between two committed versions: (added files,

@@ -201,6 +201,17 @@ class LakeCloneSpec extends SparkSpec {
       AtomicLake.deleteWhere(spark, root)($"id" <= 5)
       AtomicLake.rowCount(root) shouldBe Some(20L)
     }
+    it("a clone carries the source's CHECK constraints") {
+      val src = freshRoot("cons_src")
+      val dst = freshRoot("cons_dst")
+      AtomicLake.append(Seq((1, 1.0)).toDF("id", "v"), src)
+      AtomicLake.addConstraint(spark, src, "v_pos", "v > 0")
+      AtomicLake.clone(src, dst)
+      AtomicLake.currentSnapshot(dst).get
+        .constraints shouldBe Map("v_pos" -> "v > 0")
+      an[IllegalStateException] should be thrownBy
+        AtomicLake.append(Seq((2, -1.0)).toDF("id", "v"), dst)
+    }
     it("refuses to clone onto an existing lake") {
       val src = freshRoot("ref_src")
       val dst = freshRoot("ref_dst")
