@@ -617,9 +617,12 @@ object AtomicLake {
       attempts += 1
       try return op()
       catch {
-        case e: java.util.ConcurrentModificationException
-            if attempts < 3 =>
-          // fall through: re-derive against the new snapshot
+        case _: java.util.ConcurrentModificationException
+            if attempts < 8 =>
+          // linear backoff de-synchronizes racing writers before the
+          // re-derivation (each attempt re-reads the snapshot and
+          // re-derives the dirty set from scratch)
+          Thread.sleep(25L * attempts)
       }
     }
     sys.error("unreachable")

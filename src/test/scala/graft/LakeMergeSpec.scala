@@ -234,6 +234,34 @@ class LakeMergeSpec extends SparkSpec {
   }
 
   describe("rewrite concurrency") {
+    it("4 concurrent merges on overlapping files all land (OCC " +
+        "retry); every update applied exactly once") {
+      val root = freshRoot("rw_race")
+      // one shared file → every merge's dirty set collides with
+      // every other's commit, forcing the re-derive-and-retry path
+      AtomicLake.append(
+        (1 to 40).map(i => (i, 0.0)).toDF("k", "v"), root)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val writers = (0 until 4).map { w =>
+        Future {
+          val keys = (1 + w * 10) to (10 + w * 10)
+          AtomicLake.merge(spark, root,
+            keys.map(k => (k, (w + 1).toDouble)).toDF("k", "v"),
+            Seq("k"))
+        }
+      }
+      Await.result(Future.sequence(writers), Duration.Inf)
+      val back = AtomicLake.read(spark, root)
+        .select("k", "v").as[(Int, Double)].collect().toMap
+      back.size shouldBe 40
+      (0 until 4).foreach { w =>
+        ((1 + w * 10) to (10 + w * 10)).foreach { k =>
+          back(k) shouldBe (w + 1).toDouble
+        }
+      }
+    }
     it("a rewrite whose file was compacted away aborts instead of " +
         "resurrecting rows") {
       val root = freshRoot("rw_conflict")
