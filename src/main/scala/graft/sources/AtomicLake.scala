@@ -1176,7 +1176,10 @@ object AtomicLake {
     *
     * Files with unknown size (pre-bytes manifests) are left alone
     * (conservative: never rewrite what we can't reason about — run
-    * [[compact]] once to re-stat them). Commits as `kind=compact`
+    * [[compact]] once to re-stat them). Packed files are NOT
+    * re-clustered (their rows interleave the folded smalls — the
+    * same posture as Delta's plain OPTIMIZE); run [[cluster]] when
+    * the packed region must also prune tightly. Commits as `kind=compact`
     * (no logical change); a concurrent rewrite of a chosen file
     * aborts the commit. Returns the committed version (the current
     * one when nothing qualifies: no empty commits).
