@@ -38,9 +38,17 @@ class LakeStreamProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-lake"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-lake source requires .option(\"path\", <lake root>)"))
+  private def rootOf(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-lake source requires .option(\"path\", <lake root>)"))
+    // the session catalog canonicalizes a CREATE TABLE ... USING
+    // location to a file: URI; the lake's path layer wants the plain
+    // filesystem path
+    if (raw.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(raw)).toString
+    else raw
+  }
 
   /** Batch read: `spark.read.format("graft-lake").load(root)` (or a
     * SQL view `USING graft-lake`), with WHERE-clause pushdown pruning

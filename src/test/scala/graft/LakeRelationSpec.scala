@@ -99,6 +99,30 @@ class LakeRelationSpec extends SparkSpec {
     }
   }
 
+  describe("catalog table") {
+    it("CREATE TABLE ... USING graft-lake serves catalog SQL with " +
+        "pushdown intact") {
+      val root = freshRoot("catalog")
+      AtomicLake.append((1 to 30).toDF("id"), root)
+      spark.sql("DROP TABLE IF EXISTS graft_lake_cat")
+      spark.sql(
+        s"CREATE TABLE graft_lake_cat USING `graft-lake` " +
+          s"OPTIONS (path '$root')")
+      try {
+        spark.sql(
+          "SELECT sum(id) AS s FROM graft_lake_cat WHERE id <= 10")
+          .as[Long].head() shouldBe 55L
+        // the catalog caches the resolved relation (exactly as it
+        // does for parquet tables): a later commit is visible after
+        // REFRESH TABLE pins the new snapshot
+        AtomicLake.append(Seq(100).toDF("id"), root)
+        spark.sql("REFRESH TABLE graft_lake_cat")
+        spark.sql("SELECT count(*) AS n FROM graft_lake_cat")
+          .as[Long].head() shouldBe 31L
+      } finally spark.sql("DROP TABLE graft_lake_cat")
+    }
+  }
+
   describe("batch write") {
     it("append and overwrite commit through the lake protocol") {
       val root = freshRoot("write_modes")
