@@ -201,6 +201,26 @@ class LakeCloneSpec extends SparkSpec {
       AtomicLake.deleteWhere(spark, root)($"id" <= 5)
       AtomicLake.rowCount(root) shouldBe Some(20L)
     }
+    it("a clone of a clone references the ORIGINAL files and stays " +
+        "zero-copy") {
+      val a = freshRoot("chain_a")
+      val b = freshRoot("chain_b")
+      val c = freshRoot("chain_c")
+      AtomicLake.append((1 to 10).toDF("id"), a)
+      AtomicLake.clone(a, b)
+      // b mutates (one local file joins the absolute reference)
+      AtomicLake.append(Seq(11).toDF("id"), b)
+      AtomicLake.clone(b, c)
+      dataFiles(c) shouldBe empty
+      AtomicLake.read(spark, c).select("id").as[Int]
+        .collect().toSet shouldBe (1 to 11).toSet
+      // c's references resolve to a's and b's data planes directly
+      val refs = AtomicLake.currentSnapshot(c).get
+        .files.values.flatten.toSeq
+      refs.foreach(f =>
+        java.nio.file.Paths.get(f).isAbsolute shouldBe true)
+      AtomicLake.scan(spark, c)($"id" > 10).count() shouldBe 1
+    }
     it("a clone carries the source's CHECK constraints") {
       val src = freshRoot("cons_src")
       val dst = freshRoot("cons_dst")
