@@ -77,6 +77,25 @@ class LakeRelationSpec extends SparkSpec {
       spark.read.format("graft-lake").option("path", root).load()
         .filter($"id" < 1).count() shouldBe 0L
     }
+    it("timestamp filters from SQL prune files (µs zone maps through " +
+        "the pushdown path)") {
+      val root = freshRoot("ts_prune")
+      def day(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+      AtomicLake.append(
+        Seq((1, day("2024-01-01")), (2, day("2024-01-02")))
+          .toDF("id", "ts"), root)
+      AtomicLake.append(
+        Seq((3, day("2024-02-01")), (4, day("2024-02-02")))
+          .toDF("id", "ts"), root)
+      val rel = new LakeRelation(spark.sqlContext, root, None)
+      rel.plannedFiles(Seq(GreaterThanOrEqual("ts",
+        day("2024-02-01")))).size shouldBe 1
+      spark.read.format("graft-lake").option("path", root).load()
+        .createOrReplaceTempView("lake_ts_prune")
+      spark.sql("SELECT count(*) AS n FROM lake_ts_prune " +
+          "WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
+        .as[Long].head() shouldBe 2L
+    }
     it("partition-column filters prune through the directory values") {
       val root = freshRoot("part_prune")
       AtomicLake.upsertPartitions(
