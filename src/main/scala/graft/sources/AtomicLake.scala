@@ -490,6 +490,61 @@ object AtomicLake {
       store = store, newConstraints = Some(snap.constraints - name))
   }
 
+  /** Expectation-split ingest (the Delta-Live-Tables
+    * `expect_or_drop` + quarantine pattern, against this table's
+    * CHECK constraints): rows satisfying every constraint append to
+    * the table; violating rows append to a QUARANTINE lake with a
+    * `_violated` column naming the failed constraints — nothing is
+    * refused, nothing is silently dropped, and the violation
+    * evidence is queryable (triage, reprocess, alert thresholds).
+    * [[append]]'s hard-refusal contract stays for tables where a bad
+    * row must stop the pipeline; this is the keep-flowing form for
+    * bulk ingest where a poisoned minority must not block the batch.
+    *
+    * One evaluation of the batch feeds both sides (pinned), each
+    * side committing through the normal atomic path; with no
+    * constraints the whole batch appends and the quarantine is
+    * untouched. Returns (table version, good rows, quarantined
+    * rows); the table version is the PRE-call version when every row
+    * quarantined (no empty commits).
+    */
+  def appendExpect(batch: DataFrame, root: String,
+      quarantineRoot: String, partitionCols: Seq[String] = Nil,
+      filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val cons = currentSnapshot(root, store).map(_.constraints)
+      .getOrElse(Map.empty)
+    if (cons.isEmpty) {
+      val v = append(batch, root, partitionCols, filesPerPartition,
+        store)
+      return (v, -1L, 0L) // -1: not counted — no extra job was run
+    }
+    val ordered = cons.toSeq.sortBy(_._1)
+    // one pinned evaluation serves both sides; each row's violation
+    // list is computed once (SQL CHECK: only FALSE violates)
+    val tagged = batch.withColumn("_violated",
+      array_compact(array(ordered.map { case (n, e) =>
+        when(coalesce(expr(e), lit(true)) === lit(false), lit(n))
+      }: _*))).localCheckpoint()
+    val good = tagged.filter(size(col("_violated")) === 0)
+      .drop("_violated")
+    val bad = tagged.filter(size(col("_violated")) > 0)
+    val nBad = bad.count()
+    if (nBad > 0)
+      append(bad, quarantineRoot, Nil, filesPerPartition, store)
+    val nGood = tagged.count() - nBad
+    val v =
+      if (nGood > 0)
+        // the good side provably satisfies the constraints — the
+        // normal append's enforcement pass re-proves it cheaply on
+        // the pinned frame
+        append(good, root, partitionCols, filesPerPartition, store)
+      else currentVersion(root, store).getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+    (v, nGood, nBad)
+  }
+
   /** Idempotent partition upsert with a single atomic commit point:
     * exactly the partitions present in `batch` are replaced. Returns
     * the committed version.

@@ -88,6 +88,47 @@ class LakeConstraintSpec extends SparkSpec {
       AtomicLake.read(spark, root).select("v").as[Double]
         .head() shouldBe 9.0
     }
+    it("appendExpect splits a mixed batch: good rows commit, bad " +
+        "rows quarantine with their violation names") {
+      val root = freshRoot("expect")
+      val quarantine = freshRoot("expect_q")
+      AtomicLake.append(Seq((1, 1.0, "x")).toDF("id", "v", "t"), root)
+      AtomicLake.addConstraint(spark, root, "v_pos", "v > 0")
+      AtomicLake.addConstraint(spark, root, "t_nonempty",
+        "length(t) > 0")
+      val (v, good, bad) = AtomicLake.appendExpect(
+        Seq((2, 2.0, "ok"), (3, -3.0, "neg"), (4, 4.0, ""),
+          (5, -5.0, "")).toDF("id", "v", "t"),
+        root, quarantine)
+      (good, bad) shouldBe (1L, 3L)
+      v shouldBe AtomicLake.currentVersion(root).get
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSet shouldBe Set(1, 2)
+      val q = AtomicLake.read(spark, quarantine)
+        .select($"id", $"_violated")
+        .as[(Int, Seq[String])].collect().toMap
+      q(3) shouldBe Seq("v_pos")
+      q(4) shouldBe Seq("t_nonempty")
+      q(5).toSet shouldBe Set("v_pos", "t_nonempty")
+    }
+    it("appendExpect with every row bad leaves the table version " +
+        "unchanged; with no constraints it is a plain append") {
+      val root = freshRoot("expect_all_bad")
+      val quarantine = freshRoot("expect_all_bad_q")
+      AtomicLake.append(Seq((1, 1.0)).toDF("id", "v"), root)
+      val v0 = AtomicLake.addConstraint(spark, root, "v_pos", "v > 0")
+      val (v, good, bad) = AtomicLake.appendExpect(
+        Seq((2, -2.0)).toDF("id", "v"), root, quarantine)
+      (v, good, bad) shouldBe (v0, 0L, 1L)
+      AtomicLake.read(spark, root).count() shouldBe 1
+      // constraint-free table: straight append, quarantine untouched
+      val root2 = freshRoot("expect_plain")
+      val q2 = freshRoot("expect_plain_q")
+      AtomicLake.appendExpect(
+        Seq((1, 1.0)).toDF("id", "v"), root2, q2)
+      AtomicLake.read(spark, root2).count() shouldBe 1
+      AtomicLake.currentVersion(q2) shouldBe None
+    }
     it("multiple constraints check in one pass; each reports by name") {
       val root = freshRoot("multi")
       AtomicLake.append(Seq((1, 1.0, "x")).toDF("id", "v", "t"), root)
