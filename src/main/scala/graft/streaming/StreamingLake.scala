@@ -161,6 +161,31 @@ object StreamingLake {
         }
       }
 
+  /** Streaming expectations sink (Delta Live Tables'
+    * `expect_or_drop` + quarantine, per micro-batch): each batch
+    * splits against the table's CHECK constraints via
+    * [[graft.sources.AtomicLake.appendExpect]] — clean rows append
+    * to the table, violating rows land in the quarantine lake with
+    * their violation names — so one poisoned record slows nothing
+    * and loses nothing, instead of failing the trigger the way the
+    * hard-enforcing sinks do. Tables without constraints degrade to
+    * a plain per-batch append.
+    */
+  def expectSink(stream: DataFrame, path: String,
+      quarantinePath: String, checkpoint: String,
+      partitionCols: Seq[String] = Nil,
+      store: graft.sources.CommitStore = graft.sources.HardlinkCommitStore)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AtomicLake.appendExpect(batch, path,
+            quarantinePath, partitionCols, store = store)
+          ()
+        }
+      }
+
   /** Convenience: start with a processing-time trigger. */
   def start(stream: DataFrame, path: String, checkpoint: String,
       trigger: Trigger, partitionCols: String*): StreamingQuery =

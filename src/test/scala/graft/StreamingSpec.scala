@@ -203,6 +203,31 @@ class StreamingSpec extends SparkSpec {
           Map(1L -> 10.0, 2L -> 99.0, 3L -> 8.0)
       } finally q.stop()
     }
+    it("expectSink quarantines violating rows per micro-batch and " +
+        "keeps the stream flowing") {
+      implicit val sqlCtx = spark.sqlContext
+      import graft.sources.AtomicLake
+      val lake = "/root/repo/target/test-scratch/stream_lake_expect"
+      val q0 = "/root/repo/target/test-scratch/stream_lake_expect_q"
+      val ck = "/root/repo/target/test-scratch/stream_lake_expect_ck"
+      Seq(lake, q0, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      AtomicLake.append(Seq((0L, 1.0)).toDF("id", "v"), lake)
+      AtomicLake.addConstraint(spark, lake, "v_pos", "v > 0")
+      val in = MemoryStream[(Long, Double)]
+      val q = graft.streaming.StreamingLake
+        .expectSink(in.toDF().toDF("id", "v"), lake, q0, ck).start()
+      try {
+        in.addData((1L, 1.0), (2L, -2.0), (3L, 3.0))
+        q.processAllAvailable()
+        in.addData((4L, -4.0))
+        q.processAllAvailable()
+        AtomicLake.read(spark, lake).select("id").as[Long]
+          .collect().toSet shouldBe Set(0L, 1L, 3L)
+        AtomicLake.read(spark, q0).select("id").as[Long]
+          .collect().toSet shouldBe Set(2L, 4L)
+      } finally q.stop()
+    }
     it("streams commit through a catalog store like batch writers") {
       implicit val sqlCtx = spark.sqlContext
       import graft.sources.{AtomicLake, CatalogCommitStore, CommitCatalog}
