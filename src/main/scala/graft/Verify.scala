@@ -18,11 +18,13 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +42,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every query that SHOULD have produced output, plus
+    // per-query error messages: an analysis-time failure must surface
+    // as an explicit err entry downstream, never as "one fewer dir"
+    // (round-7 lesson: sess_gap_sessions silently vanished from the
+    // correctness file when its plan failed to analyze).
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    // Exit 0 even on per-query errors so the driver's compare still
+    // grades the queries that DID run; the local gate (tools/check.py)
+    // turns any errors.json entry or missing output into a FAIL.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

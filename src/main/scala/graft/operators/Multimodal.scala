@@ -15,6 +15,51 @@ final case class MediaFeatures(media_id: Long, kind: String,
     n_bytes: Int, checksum: Long, width: Int, height: Int,
     n_frames: Int, embedding: Array[Float])
 
+/** Result of a successful media decode: true dimensions, frame count,
+  * and a content-derived embedding.
+  */
+final case class DecodedMedia(width: Int, height: Int, nFrames: Int,
+    embedding: Array[Float])
+
+/** Pluggable decode kernel — the seam a codec-equipped deployment uses
+  * to add audio/video (FFI to ffmpeg, a JNI codec, a model runtime)
+  * WITHOUT patching [[Multimodal]]. Instances ship inside the
+  * `mapPartitions` closure, so implementations must be Serializable
+  * and must do per-partition initialization in [[setup]] (called once
+  * per partition on the executor — the slot for codec-context /
+  * native-library loading), never in a constructor that runs on the
+  * driver.
+  *
+  * Contract: [[decode]] returns None for any payload it cannot handle
+  * (wrong kind, corrupt bytes); the caller routes those to the
+  * deterministic stub path so one bad blob degrades instead of
+  * killing the job.
+  */
+trait MediaDecoder extends Serializable {
+  /** The `kind` values this decoder claims (e.g. Set("image")). */
+  def kinds: Set[String]
+  /** Once-per-partition executor-side init; default no-op. */
+  def setup(): Unit = ()
+  def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia]
+}
+
+/** The default decoder: JDK ImageIO for `image` payloads (PNG/BMP/
+  * JPEG/GIF — wired into every JRE, no external codec). Audio/video
+  * are not claimed; they fall through to the honest stub until a
+  * deployment injects a codec-backed [[MediaDecoder]].
+  */
+object ImageIoDecoder extends MediaDecoder {
+  val kinds: Set[String] = Set("image")
+  // ImageIO's default disk-backed stream cache costs a temp file per
+  // decode — keep it in memory
+  override def setup(): Unit = javax.imageio.ImageIO.setUseCache(false)
+  def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
+    if (kind != "image") None
+    else Multimodal.decodeImage(payload).map(img =>
+      DecodedMedia(img.getWidth, img.getHeight, 1,
+        Multimodal.imageEmbedding(img)))
+}
+
 /** Multimodal column plumbing (SURVEY.md §2 E11): treat image/audio/
   * video as `binary` columns, run decode / resize / frame-sample /
   * feature-extract per partition.
@@ -271,24 +316,25 @@ object Multimodal {
     c.getValue
   }
 
-  /** Per-partition feature extraction over a typed media Dataset:
-    * image payloads go through the REAL ImageIO decode (true
-    * dimensions + pixel embedding), audio/video through the stub.
+  /** Per-partition feature extraction over a typed media Dataset.
+    * Decode goes through the injected [[MediaDecoder]] (default:
+    * [[ImageIoDecoder]] — REAL ImageIO decode, true dimensions +
+    * pixel embedding); kinds the decoder doesn't claim, and payloads
+    * it rejects, degrade to the deterministic stub path.
     */
-  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(ds: Dataset[MediaRow],
+      decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     ds.mapPartitions { rows =>
-      // per-partition kernel context: ImageIO's default disk-backed
-      // stream cache costs a temp file per decode — keep it in memory
-      javax.imageio.ImageIO.setUseCache(false)
+      decoder.setup() // once per partition, executor-side
       rows.map { r =>
         val decoded =
-          if (r.kind == "image") decodeImage(r.payload) else None
+          if (decoder.kinds(r.kind)) decoder.decode(r.kind, r.payload)
+          else None
         decoded match {
-          case Some(img) =>
+          case Some(d) =>
             MediaFeatures(r.media_id, r.kind, r.payload.length,
-              crc(r.payload), img.getWidth, img.getHeight, 1,
-              imageEmbedding(img))
+              crc(r.payload), d.width, d.height, d.nFrames, d.embedding)
           case None =>
             val (w, h, frames) = decodeStub(r.kind, r.payload)
             MediaFeatures(r.media_id, r.kind, r.payload.length,

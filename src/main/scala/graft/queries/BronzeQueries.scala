@@ -28,11 +28,17 @@ object BronzeQueries {
   private val ordersLakeMemo =
     new graft.sources.SessionMemo[String, String]()
 
+  /** On-disk root of the memoized orders lake for a given sf dir —
+    * shared with specs so path changes can't silently strand them.
+    */
+  def ordersLakeRoot(dir: String): String =
+    "/root/repo/target/lake/orders_base/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private def ordersLake(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     ordersLakeMemo.getOrElseUpdate(s, dir) {
-      val root = "/root/repo/target/lake/orders_base/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = ordersLakeRoot(dir)
       val rootPath = new org.apache.hadoop.fs.Path(root)
       rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(rootPath, true)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the lakehouse's parquet tables.
   *
@@ -27,17 +27,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long which
-    * we truncate to microseconds (matching how µs-native engines read
-    * the same file).
+  /** events.ts has shipped as several parquet physical types across
+    * data generations; normalize all of them to a tz-aware TimestampType
+    * at the source boundary so every downstream consumer (unix_micros,
+    * window(), tz conversion — the reference's own reads are tz-aware,
+    * pipeline.py:553-558) sees one type:
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong`
+    *    arrives as a long, truncated to microseconds.
+    *  - TIMESTAMP(isAdjustedToUTC=false, µs): arrives as
+    *    TIMESTAMP_NTZ; under the UTC session tz a cast to TimestampType
+    *    preserves the instant exactly (same µs value, now tz-aware).
+    *  - TIMESTAMP(isAdjustedToUTC=true): already TimestampType.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"), "ts")
+
+  /** NTZ/NANOS-tolerant timestamp normalization (see [[events]]). */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -207,8 +207,7 @@ class LakeScanSpec extends SparkSpec {
   describe("gate query pruning") {
     it("lake_scan_prune plans only the in-range months' files") {
       val q = SparkEntry.queries("lake_scan_prune")(spark, sf)
-      val lakeRoot = "/root/repo/target/lake/scan_prune/" +
-        sf.replaceAll("[^A-Za-z0-9.]", "_")
+      val lakeRoot = graft.queries.BronzeQueries.ordersLakeRoot(sf)
       val total = AtomicLake.read(spark, lakeRoot).inputFiles.length
       // 10 calendar months in [1995-03, 1996-01) — every other month
       // partition is pruned driver-side before Spark plans a file

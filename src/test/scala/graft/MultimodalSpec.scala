@@ -38,6 +38,35 @@ class MultimodalSpec extends SparkSpec {
       f("video") should be >= 1
       f("audio") should be >= 1
     }
+    it("MediaDecoder seam: an injected audio decoder replaces the stub " +
+        "without touching Multimodal") {
+      // a codec-equipped deployment's decoder, simulated: claims
+      // audio, "decodes" to fixed dims + a recognizable embedding
+      object FakeAudioDecoder extends graft.operators.MediaDecoder {
+        val kinds = Set("audio")
+        def decode(kind: String, payload: Array[Byte]) =
+          if (kind == "audio" && payload.nonEmpty)
+            Some(graft.operators.DecodedMedia(1, payload.length,
+              payload.length * 100, Array(42.0f)))
+          else None
+      }
+      val rows = Seq(
+        MediaRow(1L, "audio", Array[Byte](1, 2, 3, 4), "{}"),
+        MediaRow(2L, "audio", Array[Byte](), "{}"), // rejected → stub
+        MediaRow(3L, "image", Array[Byte](1, 2, 3), "{}")).toDS()
+      val f = Multimodal.extractFeatures(rows, FakeAudioDecoder)
+        .collect().map(r => r.media_id -> r).toMap
+      // claimed + decoded: the injected decoder's output verbatim
+      f(1L).n_frames shouldBe 400
+      f(1L).embedding.toSeq shouldBe Seq(42.0f)
+      // claimed but rejected: degrades to the deterministic stub
+      f(2L).embedding.toSeq shouldBe
+        Multimodal.embedStub(Array[Byte]()).toSeq
+      // unclaimed kind (image, and this decoder doesn't claim it):
+      // stub path, same as before injection
+      f(3L).embedding.toSeq shouldBe
+        Multimodal.embedStub(Array[Byte](1, 2, 3)).toSeq
+    }
     it("decodes REAL PNG payloads: true dimensions + pixel embedding") {
       val media = Multimodal.syntheticImages(
         Tables.documents(spark, sf).limit(40), "doc_id")

@@ -218,7 +218,31 @@ def main():
         if ONLY and name not in ONLY:
             continue
         n = len(pd.read_parquet(f"{OUT_DIR}/{name}"))
-        print(f"rows {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+        if n == 0:
+            print(f"FAIL {name}: rows-only query returned 0 rows")
+            n_fail += 1
+        else:
+            print(f"rows {name}: {n} rows")
+    # manifest check: EVERY SparkEntry.queries key must have produced
+    # output — an analysis-time error must read as FAIL, never as a
+    # shorter listing (r7: sess_gap_sessions silently vanished)
+    manifest_p = f"{OUT_DIR}/queries.json"
+    if os.path.exists(manifest_p):
+        manifest = json.load(open(manifest_p))
+        errors = {}
+        if os.path.exists(f"{OUT_DIR}/errors.json"):
+            errors = json.load(open(f"{OUT_DIR}/errors.json"))
+        for name in manifest:
+            if ONLY and name not in ONLY:
+                continue
+            if name in oracles:
+                continue  # first loop already FAILs on its missing output
+            if not os.path.isdir(f"{OUT_DIR}/{name}"):
+                msg = errors.get(name, "no output and no recorded error")
+                print(f"FAIL {name}: MISSING from results — {msg}")
+                n_fail += 1
+    else:
+        print("WARN: no queries.json manifest (stale Verify build?)")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
