@@ -586,6 +586,37 @@ object NativeKernels extends Serializable {
     new GenericArrayData(Array(n, freq.size, top))
   }
 
+  /** Distinct (term, tf) pairs of a document's non-empty
+    * space-separated tokens — one hash-map pass per row. Emitting
+    * term frequencies FROM the document row itself (all of a doc's
+    * tokens live in one row by construction) means tf needs NO
+    * (doc, term) exchange at all: the groupBy(doc, term) an
+    * explode-then-aggregate plan shuffles the whole token stream
+    * through happens map-side for free. Term order is first-seen
+    * (deterministic in the text).
+    */
+  def termFreqs(text: UTF8String): ArrayData = {
+    val parts = text.split(SpaceDelim, -1)
+    val freq = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.numBytes > 0)
+        freq.put(t, Integer.valueOf(freq.getOrDefault(t, 0) + 1))
+      i += 1
+    }
+    val out = new Array[Any](freq.size())
+    val it = freq.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue.intValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Non-overlapping k-token segments of the text's non-empty
     * space-separated tokens, each segment the tokens re-joined with a
     * single space (trailing partial segment kept) — one pass
@@ -891,6 +922,15 @@ object NativeKernels extends Serializable {
   def simHashPortable60Col(tokens: Column): Column =
     invoke("simHashPortable60", LongType, Seq(tokens),
       Seq(ArrayType(StringType)))
+
+  /** struct<term,tf> element type of [[termFreqs]] output. */
+  val termFreqType: DataType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false)))
+
+  def termFreqsCol(text: Column): Column =
+    invoke("termFreqs", ArrayType(termFreqType, containsNull = false),
+      Seq(text), Seq(StringType))
 
   def sortedIntersectCountCol(a: Column, b: Column): Column =
     invoke("sortedIntersectCount", IntegerType, Seq(a, b),

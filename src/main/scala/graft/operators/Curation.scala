@@ -124,25 +124,50 @@ object Curation {
     * variant keeps every arithmetic step exact-then-one-rounding and
     * preserves the "rarer term, higher weight" ordering for fixed tf.
     *
-    * One token exchange builds tf (doc,term) partial-aggregated; df
-    * reuses tf (one row per (doc,term) already); n_docs joins in as a
-    * broadcast 1-row aggregate — no driver action.
+    * Shape (one corpus-exchange fewer than the classic
+    * explode-then-groupBy plan): tf comes from the
+    * [[graft.expressions.NativeKernels.termFreqs]] map-side kernel —
+    * all of a doc's tokens live in one row by construction, so
+    * per-(doc,term) counts need NO exchange at all (the old plan
+    * shuffled the full token stream into a groupBy(doc,term), twice,
+    * because Catalyst re-plans a self-referenced subtree). df is one
+    * term-keyed aggregation of those map-side tf rows (partial
+    * combine, skew-safe); n_docs joins in as a broadcast 1-row
+    * aggregate; the join back to tf is term-keyed (AQE handles
+    * stopword skew at scale, the small dfreq side auto-broadcasts
+    * locally); the final rank window gets WindowGroupLimit'd to ≤k
+    * rows per doc per task before its exchange.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 3): DataFrame = {
-    val tok = df.select(col(idCol), explode(toks(col(textCol))).as("term"))
-    val tf = tok.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // tf is consumed twice (df aggregation + the scored join back), so
+    // Catalyst re-plans the subtree and the corpus is scanned+tokenized
+    // twice. Recorded negative result: pinning tf with a
+    // localCheckpoint (MinHashLsh.scala:188 pattern) measured SLOWER
+    // (1.50s vs 0.91s at sf0.1) — the materialize+reread cycle costs
+    // more than the second map-side kernel pass, which is the same
+    // trade MinHashLsh.scala:195 recorded for its probe frame.
+    val tf = df.select(col(idCol),
+        explode(graft.expressions.NativeKernels.termFreqsCol(
+          col(textCol))).as("t"))
+      .select(col(idCol), col("t.term").as("term"),
+        col("t.tf").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // rank key tf/df orders identically to score = tf*n_docs/df
+    // (positive constant factor) and is computable BEFORE the n_docs
+    // join — so the 1-row broadcast join runs over ≤k rows per doc
+    // instead of the whole (doc,term) stream. The oracle ranks by the
+    // same tf/df expression so FP near-ties can't diverge.
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("term").asc)
+      .orderBy(col("rank_key").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
+      .withColumn("rank_key", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
       .select(col(idCol), col("rank"), col("term"),
         col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
         col("score"))

@@ -160,7 +160,7 @@ object CurationQueries {
         |  SELECT doc_id, term, tf, df,
         |    CAST(tf AS DOUBLE) * n.n_docs / df AS score,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY CAST(tf AS DOUBLE) * n.n_docs / df DESC, term)
+        |      ORDER BY CAST(tf AS DOUBLE) / df DESC, term)
         |      AS rk
         |  FROM tf JOIN dfreq USING (term), n)
         |SELECT doc_id, CAST(rk AS INT) AS rank, term,

@@ -70,6 +70,37 @@ class KernelPropertySpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("termFreqs properties") {
+    def freqs(s: String): Map[String, Int] = {
+      val arr = NativeKernels.termFreqs(UTF8String.fromString(s))
+        .asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        r.getUTF8String(0).toString -> r.getInt(1)
+      }.toMap
+    }
+    it("matches the naive split-filter-groupBy count for any text") {
+      holds(forAll(text) { s =>
+        freqs(s) == s.split(" ").filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, g) => t -> g.length }
+      })
+    }
+    it("emits each term once (keys are distinct by construction)") {
+      holds(forAll(text) { s =>
+        val arr = NativeKernels.termFreqs(UTF8String.fromString(s))
+          .asInstanceOf[ArrayData]
+        val keys = (0 until arr.numElements())
+          .map(i => arr.getStruct(i, 2).getUTF8String(0).toString)
+        keys.distinct == keys
+      })
+    }
+    it("tf values sum to the non-empty token count") {
+      holds(forAll(text) { s =>
+        freqs(s).values.sum == s.split(" ").count(_.nonEmpty)
+      })
+    }
+  }
+
   describe("bloom kernel properties") {
     def filterOf(keys: Seq[Long], words: Int, k: Int): Array[Long] = {
       val arr = new Array[Long](words)
