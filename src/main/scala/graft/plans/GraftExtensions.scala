@@ -112,6 +112,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PolygonBBoxPruning())
+    // lake-maintenance DDL (OPTIMIZE / RESTORE / DESCRIBE HISTORY /
+    // ALTER LAKE ADD CONSTRAINT / VACUUM …) — see plans/LakeSql.scala
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     register(ext, "st_geomfromtext",
       "st_geomfromtext(wkt) - parse a WKT POLYGON to a ring", 1) {
       c => GeoFns.parseWktPolygon(c(0))

@@ -1,0 +1,202 @@
+package graft.plans
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.sources.AtomicLake
+
+/** SQL DDL surface for graft-lake MAINTENANCE (SURVEY.md §2 G-tier;
+  * reads/writes already have SQL via [[graft.sources.LakeRelation]]).
+  * The reference operates its whole pipeline from SQL
+  * (/root/reference/airflow/dags/mobility_ingestion_pipeline.py:75-105
+  * is all `con.sql(...)`), so a reference user expects to maintain the
+  * lake without dropping to Scala. Grammar (Delta-inspired; lake
+  * tables are addressed by quoted root path, matching how
+  * `graft_lake('<path>')` addresses them on the read surface):
+  *
+  *  - `OPTIMIZE '<root>'` — size-targeted bin-packing compaction
+  *  - `OPTIMIZE '<root>' ZORDER BY (c1, c2, …)` — clustered compaction
+  *  - `RESTORE '<root>' TO VERSION <n>` — metadata-only rollback
+  *  - `DESCRIBE HISTORY '<root>'` — commit log, newest first
+  *  - `DESCRIBE LAKE DETAIL '<root>'` — snapshot summary
+  *  - `SHOW LAKE PARTITIONS '<root>'` — per-partition files/rows/bytes
+  *  - `ALTER LAKE '<root>' ADD CONSTRAINT <name> CHECK (<predicate>)`
+  *  - `VACUUM '<root>' [RETAIN <n> VERSIONS]` — GC unreferenced files
+  *
+  * Implemented as a delegating [[ParserInterface]]: statements
+  * matching the grammar become `LeafRunnableCommand`s over the
+  * [[AtomicLake]] Scala API (driver-side manifest work — the commands
+  * are O(manifest) or launch their own bounded Spark jobs); anything
+  * else parses through the session's normal parser, so the full Spark
+  * SQL surface is untouched.
+  */
+object LakeSql {
+
+  // anchored, case-insensitive on keywords, tolerant of trailing ';'
+  private val Optimize: Regex =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
+  private val OptimizeZorder: Regex =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val Restore: Regex =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val History: Regex =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Detail: Regex =
+    """(?is)\s*DESCRIBE\s+LAKE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val Partitions: Regex =
+    """(?is)\s*SHOW\s+LAKE\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
+  private val AddConstraint: Regex =
+    """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val Vacuum: Regex =
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+
+  /** Some(command plan) when `sqlText` is lake-maintenance DDL. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeZorder(root, cols) =>
+      Some(OptimizeLakeCommand(root,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    case Optimize(root) => Some(OptimizeLakeCommand(root, Nil))
+    case Restore(root, v) => Some(RestoreLakeCommand(root, v.toLong))
+    case History(root) => Some(LakeHistoryCommand(root))
+    case Detail(root) => Some(LakeDetailCommand(root))
+    case Partitions(root) => Some(LakePartitionsCommand(root))
+    case AddConstraint(root, name, pred) =>
+      Some(AddLakeConstraintCommand(root, name, pred.trim))
+    case Vacuum(root, retain) =>
+      Some(VacuumLakeCommand(root,
+        Option(retain).map(_.toInt).getOrElse(10)))
+    case _ => None
+  }
+
+  private[plans] def attr(name: String, dt: DataType,
+      nullable: Boolean = false): Attribute =
+    AttributeReference(name, dt, nullable)()
+}
+
+/** OPTIMIZE: bin-packing compaction, or clustered (Z-order) rewrite
+  * when ZORDER BY columns are given. Returns the committed version.
+  */
+case class OptimizeLakeCommand(root: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v =
+      if (zorderCols.nonEmpty)
+        AtomicLake.cluster(spark, root, zorderCols, zorder = true)
+      else AtomicLake.compactSmall(spark, root)
+    Seq(Row(v))
+  }
+}
+
+/** RESTORE … TO VERSION: metadata-only rollback as a new commit. */
+case class RestoreLakeCommand(root: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.restore(root, toVersion)))
+}
+
+/** DESCRIBE HISTORY: the commit log, newest first, O(manifest). */
+case class LakeHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("version", LongType),
+    LakeSql.attr("kind", StringType),
+    LakeSql.attr("n_files", IntegerType),
+    LakeSql.attr("n_rows", LongType, nullable = true))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hist = AtomicLake.history(root)
+    if (hist.isEmpty) throw new IllegalStateException(
+      s"DESCRIBE HISTORY: no graft-lake commits at $root")
+    hist.map { case (v, kind, nFiles, rows) =>
+      Row(v, kind, nFiles, rows.orNull)
+    }
+  }
+}
+
+/** DESCRIBE LAKE DETAIL: current-snapshot summary, O(manifest). */
+case class LakeDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("version", LongType),
+    LakeSql.attr("n_files", IntegerType),
+    LakeSql.attr("n_bytes", LongType),
+    LakeSql.attr("partition_cols", ArrayType(StringType, false)),
+    LakeSql.attr("constraints", ArrayType(StringType, false)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, nFiles, nBytes, partCols, constraints) =
+      AtomicLake.detail(root)
+    Seq(Row(v, nFiles, nBytes, partCols, constraints))
+  }
+}
+
+/** SHOW LAKE PARTITIONS: per-partition file/row/byte counts from the
+  * zone-map stats, O(manifest).
+  */
+case class LakePartitionsCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("partition", StringType),
+    LakeSql.attr("n_files", IntegerType),
+    LakeSql.attr("n_rows", LongType),
+    LakeSql.attr("n_bytes", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    AtomicLake.partitions(root).map { case (p, f, r, b) =>
+      Row(p, f, r, b)
+    }
+}
+
+/** ALTER LAKE … ADD CONSTRAINT: one-pass validation over current
+  * data, then the constraint rides the manifest and gates every
+  * future commit. Returns the committed version.
+  */
+case class AddLakeConstraintCommand(root: String, name: String,
+    predicate: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.addConstraint(spark, root, name, predicate)))
+}
+
+/** VACUUM … RETAIN n VERSIONS: delete data files referenced by no
+  * retained manifest. Returns the number of files deleted.
+  */
+case class VacuumLakeCommand(root: String, keepVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("n_deleted", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.vacuum(root, keepVersions)))
+}
+
+/** Delegating parser: lake-maintenance DDL → command plans; all other
+  * text — and every non-plan parse surface — goes to the session's
+  * normal parser untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakeSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan =
+    delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType =
+    delegate.parseDataType(s)
+}
