@@ -113,24 +113,41 @@ object TextQueries {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shs"))
         .filter(size(col("shs")) > 0)
-      // materialized once: sized for the guard, reused by the join
+      // materialized once: sized for the guard, reused by either path
       val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(explode(col("shs")).as("shingle")).distinct()
-        .withColumn("hit", lit(1))
         .localCheckpoint(eager = true)
-      // ~32 B/row in the hash relation → 2M rows stays well inside a
-      // 64 MB broadcast budget
-      val benchSide =
-        if (bench.count() <= 2000000L) broadcast(bench) else bench
-      sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        .select(col("doc_id"), size(col("shs")).as("n_sh"),
-          explode(col("shs")).as("shingle"))
-        .join(benchSide, Seq("shingle"), "left")
-        .groupBy(col("doc_id"), col("n_sh"))
-        .agg(count(col("hit")).cast("int").as("n_hit"))
-        .select(col("doc_id"), col("n_sh"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_sh").cast("double"))
-            .as("contamination"))
+      // ~16 B/element → 2M shingles stays well inside a 64 MB
+      // broadcast budget (every REAL benchmark set is far smaller;
+      // this stand-in split is corpus-scaled, hence the guard)
+      if (bench.count() <= 2000000L) {
+        // benchmark-sized: ship the distinct shingle set as ONE
+        // sorted array and count each doc's hits MAP-SIDE with the
+        // two-pointer merge kernel — no corpus explode, no join, no
+        // groupBy; the corpus side of the plan is scan → project
+        val benchArr = broadcast(bench.agg(
+          sort_array(collect_list(col("shingle"))).as("bench_shs")))
+        sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .crossJoin(benchArr)
+          .select(col("doc_id"), size(col("shs")).as("n_sh"),
+            graft.expressions.NativeKernels.sortedIntersectCountCol(
+              sort_array(col("shs")), col("bench_shs")).as("n_hit"))
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_sh").cast("double"))
+              .as("contamination"))
+      } else {
+        // corpus-scaled benchmark: shuffle join — never build (or
+        // broadcast) a single giant array
+        sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), size(col("shs")).as("n_sh"),
+            explode(col("shs")).as("shingle"))
+          .join(bench.withColumn("hit", lit(1)), Seq("shingle"), "left")
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(count(col("hit")).cast("int").as("n_hit"))
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_sh").cast("double"))
+              .as("contamination"))
+      }
     },
 
     // Cross-corpus near-dedup: new-batch (doc_id % 10 == 0) vs the
