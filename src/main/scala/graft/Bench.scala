@@ -100,6 +100,14 @@ object Bench {
               math.max(a, b) - math.min(a, b) > 0.3)
             math.min(math.min(a, b), timed())
           else math.min(a, b)
+        // Untimed: let the ContextCleaner reclaim this query's dropped
+        // localCheckpoint/broadcast blocks before the next timed run —
+        // cleanup only triggers when a driver GC notices the dropped
+        // refs, and accumulated blocks from dozens of checkpointing
+        // queries turn late-suite checkpoint writes into sustained
+        // slowdowns (observed: silver_dim_customer 0.64s isolated vs
+        // 3.2s late-suite on identical code).
+        System.gc()
         name -> best
       } catch {
         case e: Throwable =>

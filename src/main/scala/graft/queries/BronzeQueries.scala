@@ -162,6 +162,28 @@ object BronzeQueries {
     // rewrite — or over-pruning from a wrong post-cluster bound —
     // hash-mismatches. LakeClusterSpec proves the file-count
     // selectivity gain separately.
+    // G36 — the lake-maintenance SQL DDL exercised end-to-end, every
+    // statement through spark.sql on a shallow clone: add a CHECK
+    // constraint, OPTIMIZE (bin-pack), then read the commit log back
+    // with DESCRIBE HISTORY and the snapshot summary with DESCRIBE
+    // LAKE DETAIL. Rows-only gate (lake state has no DuckDB oracle):
+    // the output is the joined history × detail — non-empty proves
+    // parse → command → AtomicLake → manifest round-trips for each
+    // statement.
+    "lake_sql_maintenance" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "sql_maintenance")
+      // >= 0: the generator's key space starts at 0
+      s.sql(s"ALTER LAKE '$scratch' ADD CONSTRAINT key_nonneg " +
+        "CHECK (o_orderkey >= 0)").collect()
+      s.sql(s"OPTIMIZE '$scratch'").collect()
+      s.sql(s"DESCRIBE HISTORY '$scratch'")
+        .crossJoin(broadcast(s.sql(s"DESCRIBE LAKE DETAIL '$scratch'")
+          .select(col("n_files").as("current_files"),
+            concat_ws(",", col("constraints")).as("constraints"))))
+        .select(col("version"), col("kind"), col("n_files"),
+          col("current_files"), col("constraints"))
+    },
+
     "lake_cluster_scan" -> { (s, dir) =>
       val scratch = clonedOrdersLake(s, dir, "cluster_scan")
       graft.sources.AtomicLake.cluster(s, scratch, Seq("o_orderkey"),

@@ -58,13 +58,19 @@ class PlanHygieneSpec extends SparkSpec {
       scans(SparkEntry.queries("dedup_minhash")(spark, sf)) shouldBe empty
       scans(SparkEntry.queries("dedup_cross")(spark, sf)) shouldBe empty
     }
-    it("text_contamination broadcasts only the (count-guarded) bench shingle set") {
+    it("text_contamination counts hits map-side off the (count-guarded) " +
+        "broadcast bench array") {
       val q = SparkEntry.queries("text_contamination")(spark, sf)
       val plan = q.queryExecution.sparkPlan.toString
       // at test SF the measured bench count is under the guard bound,
-      // so the materialized bench set broadcasts (past the bound the
-      // same query plans a shuffle join instead — round-7 guard)
-      plan should include("BroadcastHashJoin")
+      // so the distinct bench shingles ship as ONE sorted array (1-row
+      // broadcast cross) and each doc counts hits with the two-pointer
+      // kernel — no corpus explode, no join keyed on shingles, no
+      // per-doc re-aggregation (past the bound the same query plans
+      // the shuffle-join fallback instead — round-7 guard)
+      plan should include("BroadcastNestedLoopJoin")
+      plan should include("sortedIntersectCount")
+      plan should not include "SortMergeJoin"
       // ONE corpus scan in the main plan: the bench side was built and
       // checkpointed at construction (its scan ran inside that job)
       scans(q).length shouldBe 1
