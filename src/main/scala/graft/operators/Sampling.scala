@@ -66,4 +66,72 @@ object Sampling {
     df.withColumn(rankName, row_number().over(w))
       .filter(col(rankName) <= n)
   }
+
+  /** 32-bit stable hash value in [0, 2^32) from the row key — the
+    * high-resolution sibling of [[hashBucket]] for fractional keep
+    * rates finer than 1%.
+    */
+  def hashBucket32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Temperature-flattened domain sampling — the multilingual /
+    * multi-domain mixing step of a training-data pipeline (α = 0.5
+    * temperature): each domain keeps `min(1, k/√n_domain)` of its
+    * rows, so kept counts grow ∝ √n — big domains are flattened
+    * toward the small ones instead of drowning them, small domains
+    * (n ≤ k²) pass through whole.
+    *
+    * Engine-portable AND hash-gateable by construction: every
+    * arithmetic step is an IEEE exactly-rounded op on identical
+    * operands in any engine (√ is exactly rounded; ×2^32 only moves
+    * the exponent; no cross-domain normalizing SUM — a sum's
+    * float result depends on aggregation order, which no engine
+    * guarantees). Per-row selection is the md5 hash test, so the
+    * kept set is stable under reruns, partitioning, and engine.
+    *
+    * Shape: one tiny per-domain count aggregate broadcast back, then
+    * a map-side filter — no corpus shuffle at any scale.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String,
+      domainCol: String, k: Double): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_domain"))
+    val threshold = floor(least(lit(1.0),
+      lit(k) / sqrt(col("n_domain").cast("double"))) * lit(4294967296.0))
+      .cast("long")
+    df.join(broadcast(counts), Seq(domainCol))
+      .filter(hashBucket32(col(keyCol)) < threshold)
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the same split — a train/test pair of near-dups leaks
+    * test answers into training and inflates eval. Split assignment
+    * therefore hashes the doc's duplicate-CLUSTER id (connected
+    * components over the verified near-dup pairs; singletons are
+    * their own cluster), never the doc id: every member of a cluster
+    * shares a bucket, so a cluster can never straddle splits.
+    *
+    * Deterministic and engine-portable ([[hashBucket]] md5 discipline)
+    * and stable under corpus growth for untouched clusters. Shape:
+    * components are O(diameter) rounds over the (small)
+    * pair-participant set; the corpus then left-joins that set once —
+    * no other corpus shuffle.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("id"), col("component"))
+    val bucket = hashBucket(col("component"))
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
 }

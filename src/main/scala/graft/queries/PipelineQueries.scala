@@ -174,6 +174,36 @@ object PipelineQueries {
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(pairs, "id1", "id2")
         .select(col("id").as("doc_id"), col("component"))
+    },
+
+    // Temperature-flattened domain mixing (α=0.5): per-language keep
+    // rate min(1, k/√n) — kept counts grow ∝ √n so big languages
+    // stop drowning small ones. k=10: a ≤100-doc language passes
+    // whole, a 10k-doc one keeps ~10%. Hash-gated: every arithmetic
+    // step is exactly rounded on identical operands in both engines
+    // (no cross-domain sum — see Sampling.temperatureSample).
+    "sample_temperature" -> { (s, dir) =>
+      Sampling.temperatureSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          keyCol = "doc_id", domainCol = "lang", k = 10.0)
+        .select(col("doc_id"), col("lang"), col("n_domain"))
+    },
+
+    // Leakage-safe train/val/test split: split assignment hashes the
+    // duplicate-CLUSTER id (components over the verified near-dup
+    // pairs; singletons = own cluster), so a near-dup pair can never
+    // straddle train and test. Shares dedup_components' pair
+    // artifact and its recursive-CTE oracle machinery.
+    "split_leakage_safe" -> { (s, dir) =>
+      val pairs = MinHashLsh.nearDuplicatesCached(
+          Tables.documents(s, dir), "doc_id", "text", corpusTag = dir,
+          threshold = 0.5)
+        .select(col("id1"), col("id2"))
+      Sampling.leakageSafeSplit(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", pairs)
+        .select(col("doc_id"), col("component"), col("bucket"),
+          col("split"))
     }
   )
 
@@ -324,6 +354,58 @@ object PipelineQueries {
         |  SELECT a, a FROM ed
         |  UNION SELECT w.id, ed.b FROM walk w JOIN ed ON w.reach = ed.a)
         |SELECT id AS doc_id, min(reach) AS component
-        |FROM walk GROUP BY 1""".stripMargin
+        |FROM walk GROUP BY 1""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_domain FROM documents GROUP BY 1),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, c.n_domain,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS b32
+        |  FROM documents d JOIN c USING (lang))
+        |SELECT doc_id, lang, n_domain FROM j
+        |WHERE b32 < CAST(floor(least(1.0,
+        |  10.0 / sqrt(CAST(n_domain AS DOUBLE))) * 4294967296.0)
+        |  AS BIGINT)""".stripMargin,
+    "split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT id1, id2 FROM cand
+        |  JOIN card ca ON id1 = ca.doc_id
+        |  JOIN card cb ON id2 = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM jpairs
+        |       UNION SELECT id2, id1 FROM jpairs),
+        |walk(id, reach) AS (
+        |  SELECT a, a FROM ed
+        |  UNION SELECT w.id, ed.b FROM walk w JOIN ed ON w.reach = ed.a),
+        |comp AS (SELECT id AS doc_id, min(reach) AS component
+        |         FROM walk GROUP BY 1),
+        |assigned AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, component,
+        |    CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM assigned)
+        |SELECT doc_id, component, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin
   )
 }

@@ -58,6 +58,51 @@ class PipelineSpec extends SparkSpec {
       kept.filter($"s" === "en").count() shouldBe 0
       kept.filter($"s" === "fr").count() shouldBe 500
     }
+    it("temperature sampling keeps small domains whole and flattens " +
+        "big ones toward sqrt-proportional counts") {
+      // big: 10000 ids, small: 80 ids (n <= k^2 = 100 passes whole)
+      val df = spark.range(0, 10000).toDF("id")
+        .withColumn("dom", lit("big"))
+        .union(spark.range(20000, 20080).toDF("id")
+          .withColumn("dom", lit("small")))
+      val kept = Sampling.temperatureSample(df, "id", "dom", k = 10.0)
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+      kept("small") shouldBe 80 // rate min(1, 10/sqrt(80)) = 1
+      // big: rate 10/sqrt(10000) = 0.1 → ~1000 of 10000
+      kept("big").toDouble shouldBe 1000.0 +- 150.0
+      // deterministic under repartitioning
+      val again = Sampling
+        .temperatureSample(df.repartition(13), "id", "dom", k = 10.0)
+        .select("id").as[Long].collect().sorted
+      again shouldBe Sampling.temperatureSample(df, "id", "dom", 10.0)
+        .select("id").as[Long].collect().sorted
+    }
+    it("leakage-safe split never lets a near-dup pair straddle splits") {
+      val docs = spark.range(0, 500).toDF("doc_id")
+      // chains + a cycle: components {1,2,3,4}, {10,11,12}, rest single
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (11L, 12L), (12L, 10L)).toDF("id1", "id2")
+      val s = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+        .as[(Long, Long, Long, String)].collect()
+      s.length shouldBe 500
+      val byDoc = s.map(r => r._1 -> r._4).toMap
+      // every clustered doc shares its cluster's split
+      Seq(2L, 3L, 4L).foreach(d => byDoc(d) shouldBe byDoc(1L))
+      Seq(11L, 12L).foreach(d => byDoc(d) shouldBe byDoc(10L))
+      // splits partition the corpus roughly 80/10/10
+      val frac = s.groupBy(_._4).view.mapValues(_.length / 500.0).toMap
+      frac("train") shouldBe 0.8 +- 0.1
+      (frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0)) shouldBe
+        0.2 +- 0.1
+      // singletons hash their own id: stable under cluster additions
+      val s2 = Sampling.leakageSafeSplit(docs, "doc_id",
+          pairs.union(Seq((100L, 101L)).toDF("id1", "id2")))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r._4).toMap
+      // untouched docs keep their split; only the new cluster may move
+      s.map(r => r._1 -> r._4).filterNot(kv => kv._1 == 100L || kv._1 == 101L)
+        .foreach { case (d, sp) => s2(d) shouldBe sp }
+    }
   }
 
   describe("Dedup.connectedComponents") {
