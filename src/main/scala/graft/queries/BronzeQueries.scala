@@ -162,6 +162,33 @@ object BronzeQueries {
     // rewrite — or over-pruning from a wrong post-cluster bound —
     // hash-mismatches. LakeClusterSpec proves the file-count
     // selectivity gain separately.
+    // JSONL round-trip ingest (the LLM-corpus interchange format):
+    // export documents as gzip'd JSONL shards, plant malformed lines
+    // and a null-required-key record beside them, re-ingest with
+    // quarantine. The CLEAN side is the output and its oracle is the
+    // documents table itself — a quarantine leak into clean, a lost
+    // row, or any JSON round-trip lossiness hash-mismatches; the
+    // quarantine side (exactly the planted garbage) is spec-gated.
+    "bronze_jsonl_roundtrip" -> { (s, dir) =>
+      val out = "/root/repo/target/jsonl_ingest/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(outPath, true)
+      val docs = Tables.documents(s, dir)
+      graft.operators.Export.writeJsonlShards(docs, "doc_id", 4, out)
+      val garbage = new org.apache.hadoop.fs.Path(out, "garbage.jsonl")
+      val w = fs.create(garbage, true)
+      w.write(("{\"doc_id\": not json at all\n" +
+        "{\"text\":\"valid json, doc_id missing\"}\n" +
+        "plain text line\n").getBytes("UTF-8"))
+      w.close()
+      graft.sources.JsonlIngest
+        .readWithQuarantine(s, out, docs.schema,
+          requiredCols = Seq("doc_id"))
+        .clean
+    },
+
     // G36 — the lake-maintenance SQL DDL exercised end-to-end, every
     // statement through spark.sql on a shallow clone: add a CHECK
     // constraint, OPTIMIZE (bin-pack), then read the commit log back
@@ -323,6 +350,8 @@ object BronzeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "bronze_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "bronze_audit" ->
       """SELECT 'synthetic://events' AS source_url,
         |  'events.parquet' AS filename, count(*) AS n_rows

@@ -109,6 +109,56 @@ class BronzeSpec extends SparkSpec {
     }
   }
 
+  describe("JsonlIngest") {
+    import graft.sources.JsonlIngest
+
+    it("round-trips the export losslessly and quarantines exactly the " +
+        "planted garbage with per-line reasons") {
+      val out = "/root/repo/target/test-scratch/jsonl_rt"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val docs = Tables.documents(spark, sf)
+      graft.operators.Export.writeJsonlShards(docs, "doc_id", 2, out)
+      val w = fs.create(new org.apache.hadoop.fs.Path(p, "bad.jsonl"), true)
+      w.write(("{\"doc_id\": broken\n" +
+        "{\"text\":\"no id\"}\n" +
+        "not json either\n").getBytes("UTF-8"))
+      w.close()
+      val split = JsonlIngest.readWithQuarantine(spark, out, docs.schema,
+        requiredCols = Seq("doc_id"))
+      split.clean.count() shouldBe docs.count()
+      // content equality, not just counts
+      split.clean.exceptAll(docs).count() shouldBe 0
+      docs.exceptAll(split.clean).count() shouldBe 0
+      val q = split.quarantine
+        .select("raw_line", "src_file", "reason")
+        .as[(String, String, String)].collect().sortBy(_._1)
+      q.length shouldBe 3
+      q.map(_._2).toSet shouldBe Set("bad.jsonl")
+      q.map(r => r._1 -> r._3).toMap shouldBe Map(
+        "{\"doc_id\": broken" -> "malformed_json",
+        "not json either" -> "malformed_json",
+        "{\"text\":\"no id\"}" -> "null_required_field")
+    }
+
+    it("a type-mismatched field routes to quarantine, never a null row") {
+      val out = "/root/repo/target/test-scratch/jsonl_types"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val w = fs.create(new org.apache.hadoop.fs.Path(p, "a.jsonl"), true)
+      w.write(("{\"doc_id\":1,\"text\":\"ok\",\"lang\":\"en\",\"source\":\"s\",\"n_chars\":2}\n" +
+        "{\"doc_id\":\"abc\",\"text\":\"bad id type\",\"lang\":\"en\",\"source\":\"s\",\"n_chars\":2}\n")
+        .getBytes("UTF-8"))
+      w.close()
+      val split = JsonlIngest.readWithQuarantine(spark, out,
+        Tables.documents(spark, sf).schema, requiredCols = Seq("doc_id"))
+      split.clean.count() shouldBe 1
+      split.quarantine.count() shouldBe 1
+    }
+  }
+
   describe("PartitionedLake") {
     it("re-upserting a partition is idempotent and leaves others alone") {
       val lake = s"$scratch/lake"
