@@ -34,6 +34,36 @@ object JsonlIngest {
     */
   final case class Split(clean: DataFrame, quarantine: DataFrame)
 
+  /** Shared map-side parse/tag transform over a `value: string` line
+    * frame (batch or streaming): emits (value, src_file, j, reason)
+    * with `reason` null for clean rows.
+    */
+  private def tagged(lines: DataFrame, schema: StructType,
+      requiredCols: Seq[String]): DataFrame = {
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    val missing: Column = requiredCols
+      .map(c => col(s"j.$c").isNull)
+      .foldLeft(lit(false))(_ || _)
+    lines
+      .select(col("value"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("src_file"),
+        from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
+      .withColumn("reason",
+        when(col("j").isNull || col(s"j.$CorruptCol").isNotNull,
+          lit("malformed_json"))
+          .when(missing, lit("null_required_field")))
+  }
+
+  private def cleanOf(df: DataFrame, schema: StructType): DataFrame =
+    df.filter(col("reason").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f")): _*)
+
+  private def quarantineOf(df: DataFrame): DataFrame =
+    df.filter(col("reason").isNotNull)
+      .select(col("value").as("raw_line"), col("src_file"), col("reason"))
+
   /** Parse `path` (file, dir, or glob; .gz transparent) as JSONL with
     * `schema`. Lines that fail to parse — or parse but null out any
     * of `requiredCols` — land in quarantine instead of the table.
@@ -43,27 +73,44 @@ object JsonlIngest {
     */
   def readWithQuarantine(spark: SparkSession, path: String,
       schema: StructType, requiredCols: Seq[String] = Nil): Split = {
-    val withCorrupt = schema.add(CorruptCol, StringType)
-    val parsed = spark.read
-      .option("recursiveFileLookup", "true")
-      .textFile(path)
-      .select(col("value"),
-        regexp_extract(input_file_name(), "([^/]+)$", 1).as("src_file"),
-        from_json(col("value"), withCorrupt, Map(
-          "mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
-    val missing: Column = requiredCols
-      .map(c => col(s"j.$c").isNull)
-      .foldLeft(lit(false))(_ || _)
-    val badReason =
-      when(col("j").isNull || col(s"j.$CorruptCol").isNotNull,
-        lit("malformed_json"))
-        .when(missing, lit("null_required_field"))
-    val clean = parsed.filter(badReason.isNull)
-      .select(schema.fieldNames.map(f => col(s"j.$f")): _*)
-    val quarantine = parsed.filter(badReason.isNotNull)
-      .select(col("value").as("raw_line"), col("src_file"),
-        badReason.as("reason"))
-    Split(clean, quarantine)
+    val parsed = tagged(
+      spark.read.option("recursiveFileLookup", "true")
+        .textFile(path).toDF(), schema, requiredCols)
+    Split(cleanOf(parsed, schema), quarantineOf(parsed))
   }
+
+  /** Streaming crawl ingest: tail a landing directory of JSONL files
+    * (the crawl-drop workflow) as a tagged stream — same parse, same
+    * reasons as the batch form. Pair with [[ingestSink]].
+    */
+  def stream(spark: SparkSession, path: String, schema: StructType,
+      requiredCols: Seq[String] = Nil): DataFrame =
+    tagged(
+      spark.readStream.option("recursiveFileLookup", "true")
+        .text(path), schema, requiredCols)
+
+  /** Per-micro-batch sink for a [[stream]] frame: clean rows append
+    * atomically to the lake at `tablePath`, quarantine rows to
+    * `quarantinePath` — a poisoned crawl file slows nothing and loses
+    * nothing (the G35 posture, at the parse boundary).
+    */
+  def ingestSink(taggedStream: DataFrame, schema: StructType,
+      tablePath: String, quarantinePath: String, checkpoint: String,
+      store: CommitStore = HardlinkCommitStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    taggedStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one pinned evaluation serves both sides (the appendExpect
+        // discipline — parse each line once, not once per consumer)
+        val pinned = batch.localCheckpoint()
+        val clean = cleanOf(pinned, schema)
+        val bad = quarantineOf(pinned)
+        if (!clean.isEmpty) AtomicLake.append(clean, tablePath,
+          store = store)
+        if (!bad.isEmpty) AtomicLake.append(bad, quarantinePath,
+          store = store)
+        ()
+      }
 }

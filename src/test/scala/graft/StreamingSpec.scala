@@ -228,6 +228,45 @@ class StreamingSpec extends SparkSpec {
           .collect().toSet shouldBe Set(2L, 4L)
       } finally q.stop()
     }
+    it("JSONL crawl ingest streams clean rows to the lake and garbage " +
+        "to quarantine, across drops") {
+      import graft.sources.{AtomicLake, JsonlIngest}
+      val base = "/root/repo/target/test-scratch/jsonl_stream"
+      val (landing, lake, quar, ck) = (s"$base/in", s"$base/lake",
+        s"$base/quar", s"$base/ck")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      new java.io.File(landing).mkdirs()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def drop(name: String, lines: String*): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(landing, name),
+          lines.mkString("", "\n", "\n"))
+      drop("a.jsonl", """{"doc_id":1,"text":"one"}""",
+        """{"doc_id":2,"text":"two"}""")
+      val q = JsonlIngest.ingestSink(
+        JsonlIngest.stream(spark, landing, schema,
+          requiredCols = Seq("doc_id")),
+        schema, lake, quar, ck).start()
+      try {
+        q.processAllAvailable()
+        AtomicLake.read(spark, lake).count() shouldBe 2
+        // second drop: one clean, one malformed, one null key
+        drop("b.jsonl", """{"doc_id":3,"text":"three"}""",
+          "{broken", """{"text":"no id"}""")
+        q.processAllAvailable()
+        AtomicLake.read(spark, lake).select("doc_id").as[Long]
+          .collect().toSet shouldBe Set(1L, 2L, 3L)
+        AtomicLake.read(spark, quar)
+          .select("raw_line", "reason").as[(String, String)]
+          .collect().toMap shouldBe Map(
+            "{broken" -> "malformed_json",
+            """{"text":"no id"}""" -> "null_required_field")
+      } finally q.stop()
+    }
     it("streams commit through a catalog store like batch writers") {
       implicit val sqlCtx = spark.sqlContext
       import graft.sources.{AtomicLake, CatalogCommitStore, CommitCatalog}
