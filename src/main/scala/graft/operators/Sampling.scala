@@ -89,8 +89,14 @@ object Sampling {
     * guarantees). Per-row selection is the md5 hash test, so the
     * kept set is stable under reruns, partitioning, and engine.
     *
-    * Shape: one tiny per-domain count aggregate broadcast back, then
-    * a map-side filter — no corpus shuffle at any scale.
+    * Shape: a per-domain count aggregate joined back, then a map-side
+    * filter. The counts side is deliberately NOT hint-broadcast: for
+    * language-grade domains it is tiny and auto-broadcasts (map-side
+    * filter, no corpus shuffle); for a high-cardinality domain column
+    * (registered web domains at corpus scale) a forced broadcast
+    * would OOM the driver, while the size-based planner falls back to
+    * a shuffle join with AQE skew handling — the correct plan at both
+    * scales.
     */
   def temperatureSample(df: DataFrame, keyCol: String,
       domainCol: String, k: Double): DataFrame = {
@@ -99,7 +105,7 @@ object Sampling {
     val threshold = floor(least(lit(1.0),
       lit(k) / sqrt(col("n_domain").cast("double"))) * lit(4294967296.0))
       .cast("long")
-    df.join(broadcast(counts), Seq(domainCol))
+    df.join(counts, Seq(domainCol))
       .filter(hashBucket32(col(keyCol)) < threshold)
   }
 
