@@ -142,6 +142,27 @@ class BronzeSpec extends SparkSpec {
         "{\"text\":\"no id\"}" -> "null_required_field")
     }
 
+    it("round-trips hostile text losslessly: newlines, quotes, " +
+        "backslashes, unicode, tabs") {
+      val out = "/root/repo/target/test-scratch/jsonl_hostile"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val nasty = Seq(
+        (1L, "line\nbreak and \"quotes\""),
+        (2L, "back\\slash and\ttab"),
+        (3L, "unicode: é中文 😀"),
+        (4L, ""),
+        (5L, "{\"looks\":\"like json\"}"))
+      val docs = nasty.toDF("doc_id", "text")
+      graft.operators.Export.writeJsonlShards(docs, "doc_id", 2, out)
+      val split = JsonlIngest.readWithQuarantine(spark, out, docs.schema,
+        requiredCols = Seq("doc_id"))
+      split.quarantine.count() shouldBe 0
+      split.clean.as[(Long, String)].collect().sortBy(_._1) shouldBe
+        nasty.sortBy(_._1)
+    }
+
     it("a type-mismatched field routes to quarantine, never a null row") {
       val out = "/root/repo/target/test-scratch/jsonl_types"
       val p = new org.apache.hadoop.fs.Path(out)

@@ -122,6 +122,27 @@ class LakeSqlSpec extends SparkSpec {
       spark.sql("SELECT 1 AS one").as[Int].head() shouldBe 1
       spark.sql("SELECT upper('x') AS u").as[String].head() shouldBe "X"
     }
+    it("never intercepts statements that merely CONTAIN the keywords") {
+      import graft.plans.LakeSql
+      // keyword inside a string literal, a column alias, a subquery —
+      // all must fall through to the normal parser (parse() is
+      // anchored full-match)
+      Seq(
+        "SELECT 'OPTIMIZE /tmp/x' AS s",
+        "SELECT 1 AS optimize",
+        "SELECT * FROM (SELECT 2) t WHERE 'VACUUM' = 'VACUUM'",
+        "SELECT 'DESCRIBE HISTORY ''/a''' AS s",
+        "WITH restore AS (SELECT 3 AS v) SELECT v FROM restore"
+      ).foreach { sql =>
+        LakeSql.parse(sql) shouldBe None
+        spark.sql(sql).collect().length shouldBe 1
+      }
+      // and the whole-statement forms DO parse
+      LakeSql.parse("OPTIMIZE '/tmp/x'") should not be None
+      LakeSql.parse("  vacuum '/tmp/x' retain 3 versions ; ") should
+        not be None
+      LakeSql.parse("RESTORE '/tmp/x' TO VERSION 2;") should not be None
+    }
     it("errors loudly on a lake command against a missing root") {
       an[Exception] should be thrownBy
         spark.sql("DESCRIBE HISTORY '/root/repo/target/no_such_lake'")
