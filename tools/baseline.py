@@ -56,15 +56,20 @@ def main():
     # Spark side of the ratio either. Disable with BASELINE_MERGE=0
     # after an oracle or data change.
     prev_spark = {}
+    prev_floor = None
     if os.environ.get("BASELINE_MERGE", "1") != "0" and os.path.exists(OUT):
         import re
+        prev_txt = open(OUT).read()
         for m in re.finditer(
-                r"\| (\w+) \| ([\d.]+) \| ([\d.]+) \| ", open(OUT).read()):
+                r"\| (\w+) \| ([\d.]+) \| ([\d.]+) \| ", prev_txt):
             name, prev, prevs = (m.group(1), float(m.group(2)),
                                  float(m.group(3)))
             if name in best:
                 best[name] = min(best[name], prev)
             prev_spark[name] = prevs
+        fm = re.search(r"machine state: floor ([\d.]+)", prev_txt)
+        if fm:
+            prev_floor = float(fm.group(1))
     rows = [(name, best.get(name), counts.get(name),
              None if name in best else errs.get(name))
             for name in sorted(oracles)]
@@ -92,6 +97,11 @@ def main():
     spark_total = sum(v for k, v in spark.items()
                       if k in {r[0] for r in rows})
     floor = float(bench_meta.get("floor_sec", 0.0) or 0.0)
+    # net-of-floor must use the floor of the sessions the pinned mins
+    # came from — the MIN across merged sessions — or a high-floor
+    # session would over-subtract against low-floor pins
+    if prev_floor is not None and prev_floor > 0:
+        floor = min(floor, prev_floor)
     n_matched = len([k for k in spark if k in {r[0] for r in rows}])
     spark_net = sum(max(v - floor, 0.0) for k, v in spark.items()
                     if k in {r[0] for r in rows})
@@ -140,7 +150,8 @@ of which {n_matched:d} × {floor:.2f} s scheduling floor =
 {n_matched * floor:.1f} s is fixed per-query dispatch cost, leaving
 **{spark_net:.2f} s** net of floor (the at-scale-relevant number: the
 floor amortizes at the 100-TB design point, the per-byte work does not).
-Spark bench machine state: floor {bench_meta.get('floor_sec', 'n/a')} s,
+Spark bench machine state: floor {floor if floor else 'n/a'} s
+(min across merged sessions; this run {bench_meta.get('floor_sec', 'n/a')} s),
 noisy={bench_meta.get('noisy', 'n/a')} (quiet-machine floor pin 0.45 s —
 a noisy pin must be re-measured before grading against it).
 
