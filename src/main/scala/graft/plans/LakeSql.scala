@@ -80,8 +80,12 @@ object LakeSql {
     AttributeReference(name, dt, nullable)()
 }
 
-/** OPTIMIZE: bin-packing compaction, or clustered (Z-order) rewrite
-  * when ZORDER BY columns are given. Returns the committed version.
+/** OPTIMIZE: bin-packing compaction, or clustered rewrite when
+  * ZORDER BY columns are given — Morton-interleaved for exactly two
+  * columns (the kernel's arity), lexicographic range-cluster
+  * otherwise (Delta's own ZORDER with one column is a plain sort;
+  * 3+ columns cluster lexicographically rather than erroring).
+  * Returns the committed version.
   */
 case class OptimizeLakeCommand(root: String, zorderCols: Seq[String])
     extends LeafRunnableCommand {
@@ -90,7 +94,8 @@ case class OptimizeLakeCommand(root: String, zorderCols: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val v =
       if (zorderCols.nonEmpty)
-        AtomicLake.cluster(spark, root, zorderCols, zorder = true)
+        AtomicLake.cluster(spark, root, zorderCols,
+          zorder = zorderCols.size == 2)
       else AtomicLake.compactSmall(spark, root)
     Seq(Row(v))
   }

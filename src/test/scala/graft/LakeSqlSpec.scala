@@ -43,6 +43,17 @@ class LakeSqlSpec extends SparkSpec {
       v should be > 0L
       AtomicLake.read(spark, root).count() shouldBe 200
     }
+    it("ZORDER BY one column is a plain clustered sort (Delta parity), " +
+        "not an error") {
+      val root = freshRoot("zorder1")
+      AtomicLake.append(
+        (1 to 100).map(i => (i, i % 10)).toDF("a", "b"), root)
+      AtomicLake.append(
+        (101 to 200).map(i => (i, i % 10)).toDF("a", "b"), root)
+      spark.sql(s"OPTIMIZE '$root' ZORDER BY (a)").as[Long].head() should
+        be > 0L
+      AtomicLake.read(spark, root).count() shouldBe 200
+    }
   }
 
   describe("RESTORE / DESCRIBE HISTORY") {
