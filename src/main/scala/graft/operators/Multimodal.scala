@@ -43,10 +43,8 @@ trait MediaDecoder extends Serializable {
   def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia]
 }
 
-/** The default decoder: JDK ImageIO for `image` payloads (PNG/BMP/
-  * JPEG/GIF — wired into every JRE, no external codec). Audio/video
-  * are not claimed; they fall through to the honest stub until a
-  * deployment injects a codec-backed [[MediaDecoder]].
+/** JDK ImageIO decoder for `image` payloads (PNG/BMP/JPEG/GIF —
+  * wired into every JRE, no external codec).
   */
 object ImageIoDecoder extends MediaDecoder {
   val kinds: Set[String] = Set("image")
@@ -58,6 +56,88 @@ object ImageIoDecoder extends MediaDecoder {
     else Multimodal.decodeImage(payload).map(img =>
       DecodedMedia(img.getWidth, img.getHeight, 1,
         Multimodal.imageEmbedding(img)))
+}
+
+/** JDK `javax.sound.sampled` decoder for `audio` payloads — REAL
+  * decode for the PCM container formats every JRE reads (WAV, AIFF,
+  * AU): true sample rate / channels / frame count plus an 8-window
+  * RMS energy-envelope embedding from the actual samples (the
+  * classic tiny audio descriptor — loudness shape over time, so
+  * cosine over it is meaningful). Compressed codecs (mp3/aac/ogg)
+  * are not in the JDK; those payloads return None and degrade to the
+  * stub until a codec-backed [[MediaDecoder]] is injected.
+  *
+  * Mapping into [[DecodedMedia]]: width = sample rate (Hz),
+  * height = channels, nFrames = PCM frame count.
+  */
+object WavDecoder extends MediaDecoder {
+  val kinds: Set[String] = Set("audio")
+  def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
+    if (kind != "audio") None
+    else scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val sampleBytes = math.max(fmt.getSampleSizeInBits / 8, 1)
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val n = bytes.length / sampleBytes
+        if (n == 0) throw new IllegalArgumentException("empty audio")
+        // 8-window RMS energy envelope over the raw sample stream
+        val env = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val off = i * sampleBytes
+          val s: Double = sampleBytes match {
+            case 1 =>
+              if (signed) bytes(off).toDouble / 128.0
+              else ((bytes(off) & 0xff) - 128).toDouble / 128.0
+            case _ => // use the 16 most significant bits
+              val (hi, lo) = if (big) (bytes(off), bytes(off + 1))
+                else (bytes(off + sampleBytes - 1),
+                  bytes(off + sampleBytes - 2))
+              ((hi << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+          }
+          val w = math.min(i * 8L / n, 7L).toInt
+          env(w) += s * s
+          cnt(w) += 1
+          i += 1
+        }
+        val emb = Array.tabulate(8)(w =>
+          if (cnt(w) == 0) 0.0f else math.sqrt(env(w) / cnt(w)).toFloat)
+        DecodedMedia(fmt.getSampleRate.toInt, fmt.getChannels,
+          (bytes.length / math.max(fmt.getFrameSize, 1)), emb)
+      } finally in.close()
+    }.toOption
+}
+
+/** Route each kind to the first claiming decoder — the composition
+  * point where a deployment stacks codec-backed decoders beside the
+  * JDK defaults.
+  */
+final case class CompositeDecoder(decoders: Seq[MediaDecoder])
+    extends MediaDecoder {
+  val kinds: Set[String] = decoders.flatMap(_.kinds).toSet
+  override def setup(): Unit = decoders.foreach(_.setup())
+  def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
+    decoders.iterator.filter(_.kinds(kind))
+      .map(_.decode(kind, payload)).collectFirst { case Some(d) => d }
+}
+
+/** The default decoder: every format the bare JDK can decode —
+  * ImageIO images + PCM audio. Video has no JDK codec; it falls
+  * through to the honest stub until a deployment injects one.
+  */
+object JdkMediaDecoder extends MediaDecoder {
+  private val inner = CompositeDecoder(Seq(ImageIoDecoder, WavDecoder))
+  val kinds: Set[String] = inner.kinds
+  override def setup(): Unit = inner.setup()
+  def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
+    inner.decode(kind, payload)
 }
 
 /** Multimodal column plumbing (SURVEY.md §2 E11): treat image/audio/
@@ -318,12 +398,13 @@ object Multimodal {
 
   /** Per-partition feature extraction over a typed media Dataset.
     * Decode goes through the injected [[MediaDecoder]] (default:
-    * [[ImageIoDecoder]] — REAL ImageIO decode, true dimensions +
-    * pixel embedding); kinds the decoder doesn't claim, and payloads
-    * it rejects, degrade to the deterministic stub path.
+    * [[JdkMediaDecoder]] — REAL ImageIO image decode + REAL PCM audio
+    * decode, true dimensions/rates + content embeddings); kinds the
+    * decoder doesn't claim, and payloads it rejects, degrade to the
+    * deterministic stub path.
     */
   def extractFeatures(ds: Dataset[MediaRow],
-      decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
+      decoder: MediaDecoder = JdkMediaDecoder): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     ds.mapPartitions { rows =>
       decoder.setup() // once per partition, executor-side
@@ -364,6 +445,40 @@ object Multimodal {
             s"""{"id":$id}""")
         }
       }
+  }
+
+  /** Deterministic synthetic WAV: `seconds` of a seed-derived chord
+    * (two sine partials + amplitude ramp), 16-bit PCM mono, written
+    * through the real RIFF encoder — the audio twin of
+    * [[syntheticPng]]: lets the PCM decode path run for real in a
+    * sandbox with no audio files.
+    */
+  def syntheticWav(seed: Long, sampleRate: Int = 8000,
+      seconds: Double = 0.25): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val f1 = 180.0 + math.floorMod(seed, 200L)
+    val f2 = 500.0 + math.floorMod(seed >> 7, 700L)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / sampleRate
+      val ramp = i.toDouble / n // loudness grows over time →
+      // a distinctive, seed-stable energy envelope
+      val v = ramp * (0.6 * math.sin(2 * math.Pi * f1 * t)
+        + 0.3 * math.sin(2 * math.Pi * f2 * t))
+      val s = (v * 32767.0).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Build a typed media Dataset from any DataFrame with an id and a

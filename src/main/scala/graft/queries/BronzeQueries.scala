@@ -323,6 +323,28 @@ object BronzeQueries {
           xxhash64(to_json(col("embedding"))).as("embedding_hash"))
     },
 
+    // E11 audio leg ([R]): one synthetic WAV per document (real RIFF
+    // encoder), decoded by javax.sound.sampled into TRUE sample rate /
+    // channels / frame count and an 8-window RMS energy envelope from
+    // the actual PCM samples. Envelope hashed for the harness like
+    // mm_features; monotone-envelope + determinism spec-gated.
+    "mm_audio_features" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions(_.map(id =>
+        MediaRow(id, "audio",
+          Multimodal.syntheticWav(id, sampleRate = 8000,
+            seconds = 0.02 + (id % 5) * 0.01),
+          s"""{"id":$id}""")))
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"),
+          xxhash64(to_json(col("embedding"))).as("embedding_hash"))
+    },
+
     // Perceptual image near-dedup end-to-end ([R]: ImageIO decode has
     // no DuckDB replay): one synthetic PNG per doc seeded by
     // doc_id % 100, so ids congruent mod 100 are pixel-identical

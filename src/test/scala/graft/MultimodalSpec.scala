@@ -67,6 +67,46 @@ class MultimodalSpec extends SparkSpec {
       f(3L).embedding.toSeq shouldBe
         Multimodal.embedStub(Array[Byte](1, 2, 3)).toSeq
     }
+    it("decodes REAL PCM audio: true rate/channels/frames + an energy " +
+        "envelope that reflects the samples") {
+      val wav = Multimodal.syntheticWav(7L, sampleRate = 8000,
+        seconds = 0.25)
+      val rows = Seq(
+        MediaRow(1L, "audio", wav, "{}"),
+        MediaRow(2L, "audio", Array[Byte](9, 9, 9), "{}"), // not audio
+        MediaRow(3L, "video", wav, "{}")).toDS() // unclaimed kind
+      val f = Multimodal.extractFeatures(rows)
+        .collect().map(r => r.media_id -> r).toMap
+      // true format facts from the RIFF header
+      f(1L).width shouldBe 8000 // sample rate
+      f(1L).height shouldBe 1 // mono
+      f(1L).n_frames shouldBe 2000 // 0.25s × 8000Hz
+      // the synthetic chord ramps up in loudness: the REAL energy
+      // envelope must be monotone-increasing — the byte-hash stub
+      // could never produce this structure
+      val env = f(1L).embedding
+      env.length shouldBe 8
+      env.toSeq.sliding(2).foreach { case Seq(a, b) => a should be < b }
+      // undecodable audio degrades to the stub
+      f(2L).embedding.toSeq shouldBe
+        Multimodal.embedStub(Array[Byte](9, 9, 9)).toSeq
+      // video is unclaimed by the JDK decoder: stub, even for a
+      // payload that happens to BE a wav
+      f(3L).embedding.toSeq shouldBe Multimodal.embedStub(wav).toSeq
+    }
+    it("audio decode is deterministic and seed-sensitive") {
+      val a1 = Multimodal.extractFeatures(
+        Seq(MediaRow(1L, "audio", Multimodal.syntheticWav(7L), "{}")).toDS())
+        .head().embedding.toSeq
+      val a2 = Multimodal.extractFeatures(
+        Seq(MediaRow(1L, "audio", Multimodal.syntheticWav(7L), "{}")).toDS())
+        .head().embedding.toSeq
+      val b = Multimodal.extractFeatures(
+        Seq(MediaRow(1L, "audio", Multimodal.syntheticWav(8L), "{}")).toDS())
+        .head().embedding.toSeq
+      a1 shouldBe a2
+      a1 should not be b
+    }
     it("decodes REAL PNG payloads: true dimensions + pixel embedding") {
       val media = Multimodal.syntheticImages(
         Tables.documents(spark, sf).limit(40), "doc_id")
