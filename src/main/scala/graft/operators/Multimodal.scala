@@ -74,45 +74,11 @@ object WavDecoder extends MediaDecoder {
   val kinds: Set[String] = Set("audio")
   def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
     if (kind != "audio") None
-    else scala.util.Try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val fmt = in.getFormat
-        val bytes = in.readAllBytes()
-        val sampleBytes = math.max(fmt.getSampleSizeInBits / 8, 1)
-        val big = fmt.isBigEndian
-        val signed = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        val n = bytes.length / sampleBytes
-        if (n == 0) throw new IllegalArgumentException("empty audio")
-        // 8-window RMS energy envelope over the raw sample stream
-        val env = new Array[Double](8)
-        val cnt = new Array[Long](8)
-        var i = 0
-        while (i < n) {
-          val off = i * sampleBytes
-          val s: Double = sampleBytes match {
-            case 1 =>
-              if (signed) bytes(off).toDouble / 128.0
-              else ((bytes(off) & 0xff) - 128).toDouble / 128.0
-            case _ => // use the 16 most significant bits
-              val (hi, lo) = if (big) (bytes(off), bytes(off + 1))
-                else (bytes(off + sampleBytes - 1),
-                  bytes(off + sampleBytes - 2))
-              ((hi << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
-          }
-          val w = math.min(i * 8L / n, 7L).toInt
-          env(w) += s * s
-          cnt(w) += 1
-          i += 1
-        }
-        val emb = Array.tabulate(8)(w =>
-          if (cnt(w) == 0) 0.0f else math.sqrt(env(w) / cnt(w)).toFloat)
-        DecodedMedia(fmt.getSampleRate.toInt, fmt.getChannels,
-          (bytes.length / math.max(fmt.getFrameSize, 1)), emb)
-      } finally in.close()
-    }.toOption
+    else Multimodal.decodePcmSamples(payload).map { case (fmt, samples) =>
+      DecodedMedia(fmt.getSampleRate.toInt, fmt.getChannels,
+        samples.length / math.max(fmt.getChannels, 1),
+        Multimodal.rmsEnvelope(samples, 8))
+    }
 }
 
 /** Route each kind to the first claiming decoder — the composition
@@ -447,24 +413,129 @@ object Multimodal {
       }
   }
 
-  /** Deterministic synthetic WAV: `seconds` of a seed-derived chord
-    * (two sine partials + amplitude ramp), 16-bit PCM mono, written
-    * through the real RIFF encoder — the audio twin of
+  /** Decode a PCM container payload (WAV/AIFF/AU — the JDK's readers)
+    * to its format plus normalized samples in [-1, 1]. None for bytes
+    * no reader accepts or an empty stream.
+    */
+  private[graft] def decodePcmSamples(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Float])] =
+    scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val sampleBytes = math.max(fmt.getSampleSizeInBits / 8, 1)
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val n = bytes.length / sampleBytes
+        if (n == 0) throw new IllegalArgumentException("empty audio")
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          val off = i * sampleBytes
+          out(i) = (sampleBytes match {
+            case 1 =>
+              if (signed) bytes(off).toDouble / 128.0
+              else ((bytes(off) & 0xff) - 128).toDouble / 128.0
+            case _ => // use the 16 most significant bits
+              val (hi, lo) = if (big) (bytes(off), bytes(off + 1))
+                else (bytes(off + sampleBytes - 1),
+                  bytes(off + sampleBytes - 2))
+              ((hi << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+          }).toFloat
+          i += 1
+        }
+        (fmt, out)
+      } finally in.close()
+    }.toOption
+
+  /** Per-window RMS energy of a sample stream — the loudness-shape
+    * descriptor behind the audio embedding (8 windows) and the audio
+    * fingerprint (64 windows).
+    */
+  private[graft] def rmsEnvelope(samples: Array[Float],
+      windows: Int): Array[Float] = {
+    val env = new Array[Double](windows)
+    val cnt = new Array[Long](windows)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val w = math.min(i.toLong * windows / n, windows - 1L).toInt
+      env(w) += samples(i).toDouble * samples(i)
+      cnt(w) += 1
+      i += 1
+    }
+    Array.tabulate(windows)(w =>
+      if (cnt(w) == 0) 0.0f else math.sqrt(env(w) / cnt(w)).toFloat)
+  }
+
+  /** 64-bit audio fingerprint: bit i set when the i-th of 64 RMS
+    * energy windows is at or above the envelope mean — the loudness-
+    * shape twin of [[imageHash64]]. Mean-relative bits make it
+    * VOLUME-INVARIANT (uniform gain scales every window equally);
+    * small Hamming distance ⟺ same loudness shape. None for
+    * undecodable payloads; silence/constant tones are aHash-
+    * degenerate exactly like flat images — exclude via the flatness
+    * gate before pairing.
+    */
+  def audioHash64(payload: Array[Byte]): Option[Long] =
+    decodePcmSamples(payload).map { case (_, s) =>
+      hashFromCells(rmsEnvelope(s, 64))
+    }
+
+  /** (media_id, fp) fingerprints for every decodable, non-degenerate
+    * audio row — decode + envelope map-side only, the [[imageHashes]]
+    * twin.
+    */
+  def audioHashes(ds: Dataset[MediaRow], eps: Double = 1e-4)
+      : DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter((r: MediaRow) => r.kind == "audio")
+      .flatMap { (r: MediaRow) =>
+        decodePcmSamples(r.payload).flatMap { case (_, s) =>
+          val cells = rmsEnvelope(s, 64)
+          if (flatFromCells(cells, eps)) None
+          else Some((r.media_id, hashFromCells(cells)))
+        }
+      }
+      .toDF("media_id", "fp")
+  }
+
+  /** Perceptual near-duplicate audio pairs: envelope fingerprints
+    * bucket-joined by pigeonhole chunks, verified by exact Hamming
+    * distance — the audio twin of [[nearDuplicateImages]]: decode +
+    * hash map-side, only (chunk, bucket, id) triples shuffle.
+    */
+  def nearDuplicateAudio(ds: Dataset[MediaRow], maxDist: Int = 4,
+      chunks: Int = 8): DataFrame =
+    SimHash.pairsFromFingerprints(audioHashes(ds), "media_id", "fp",
+      bits = 64, maxDist = maxDist, chunks = chunks)
+
+  /** Deterministic synthetic WAV: `seconds` of a seed-derived chord,
+    * amplitude-modulated by a seed-derived 16-segment loudness
+    * pattern (each segment loud or quiet by one seed bit), 16-bit PCM
+    * mono, written through the real RIFF encoder — the audio twin of
     * [[syntheticPng]]: lets the PCM decode path run for real in a
-    * sandbox with no audio files.
+    * sandbox with no audio files. The SHAPE of the loudness envelope
+    * (not just its magnitude) varies with the seed, so envelope
+    * fingerprints separate different seeds and pair equal ones.
     */
   def syntheticWav(seed: Long, sampleRate: Int = 8000,
       seconds: Double = 0.25): Array[Byte] = {
     val n = (sampleRate * seconds).toInt
     val f1 = 180.0 + math.floorMod(seed, 200L)
     val f2 = 500.0 + math.floorMod(seed >> 7, 700L)
+    val bits = seed * 6364136223846793005L + 1442695040888963407L
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
       val t = i.toDouble / sampleRate
-      val ramp = i.toDouble / n // loudness grows over time →
-      // a distinctive, seed-stable energy envelope
-      val v = ramp * (0.6 * math.sin(2 * math.Pi * f1 * t)
+      val seg = math.min(i * 16L / n, 15L).toInt
+      val amp = if (((bits >>> seg) & 1L) == 1L) 0.95 else 0.25
+      val v = amp * (0.6 * math.sin(2 * math.Pi * f1 * t)
         + 0.3 * math.sin(2 * math.Pi * f2 * t))
       val s = (v * 32767.0).toInt.toShort
       pcm(2 * i) = (s & 0xff).toByte

@@ -345,6 +345,28 @@ object BronzeQueries {
           xxhash64(to_json(col("embedding"))).as("embedding_hash"))
     },
 
+    // Perceptual audio near-dedup end-to-end ([R]: PCM decode has no
+    // DuckDB replay): one synthetic WAV per doc seeded by
+    // doc_id % 100, so ids congruent mod 100 are sample-identical
+    // twin recordings; the seed-derived 16-segment loudness pattern
+    // separates different seeds. Envelope fingerprints are
+    // volume-invariant (spec-gated); decode + hash map-side, only
+    // (chunk, bucket, id) triples shuffle — the audio twin of
+    // mm_image_dups.
+    "mm_audio_dups" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions(_.map { id =>
+        MediaRow(id, "audio",
+          Multimodal.syntheticWav(id % 100, sampleRate = 8000,
+            seconds = 0.1),
+          s"""{"id":$id}""")
+      })
+      Multimodal.nearDuplicateAudio(media, maxDist = 1)
+    },
+
     // Perceptual image near-dedup end-to-end ([R]: ImageIO decode has
     // no DuckDB replay): one synthetic PNG per doc seeded by
     // doc_id % 100, so ids congruent mod 100 are pixel-identical

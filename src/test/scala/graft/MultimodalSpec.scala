@@ -81,12 +81,34 @@ class MultimodalSpec extends SparkSpec {
       f(1L).width shouldBe 8000 // sample rate
       f(1L).height shouldBe 1 // mono
       f(1L).n_frames shouldBe 2000 // 0.25s × 8000Hz
-      // the synthetic chord ramps up in loudness: the REAL energy
-      // envelope must be monotone-increasing — the byte-hash stub
-      // could never produce this structure
-      val env = f(1L).embedding
+      // a hand-built pure amplitude ramp: the REAL energy envelope
+      // must be monotone-increasing — the byte-hash stub could never
+      // produce this structure
+      val n = 2000
+      val rampPcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = ((i.toDouble / n) *
+          math.sin(2 * math.Pi * 200.0 * i / 8000.0) * 32767.0)
+          .toInt.toShort
+        rampPcm(2 * i) = (v & 0xff).toByte
+        rampPcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val rampWav = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(rampPcm),
+          new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false),
+          n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val rampFeat = Multimodal.extractFeatures(
+        Seq(MediaRow(9L, "audio", rampWav, "{}")).toDS()).head()
+      val env = rampFeat.embedding
       env.length shouldBe 8
       env.toSeq.sliding(2).foreach { case Seq(a, b) => a should be < b }
+      f(1L).embedding.length shouldBe 8
       // undecodable audio degrades to the stub
       f(2L).embedding.toSeq shouldBe
         Multimodal.embedStub(Array[Byte](9, 9, 9)).toSeq
@@ -171,6 +193,83 @@ class MultimodalSpec extends SparkSpec {
       val plan = Multimodal.extractFeatures(media)
         .queryExecution.executedPlan.toString
       plan should not include "Exchange"
+    }
+  }
+
+  describe("Multimodal.audioHash64 / nearDuplicateAudio") {
+    it("is volume-invariant: uniform gain never changes the fingerprint") {
+      val wav = Multimodal.syntheticWav(11L)
+      // halve the PCM amplitude by decoding + re-encoding at 0.5 gain
+      val Some((fmt, s)) = Multimodal.decodePcmSamples(wav)
+      val pcm = new Array[Byte](s.length * 2)
+      s.indices.foreach { i =>
+        val v = (s(i) * 0.5f * 32767.0f).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val quiet = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val (Some(a), Some(b)) =
+        (Multimodal.audioHash64(wav), Multimodal.audioHash64(quiet))
+      java.lang.Long.bitCount(a ^ b) should be <= 2 // quantization edge
+    }
+    it("separates different loudness shapes; excludes silence") {
+      val a = Multimodal.audioHash64(Multimodal.syntheticWav(1L)).get
+      // a different seed changes partials but keeps the same ramp →
+      // envelopes stay similar; build a genuinely different SHAPE by
+      // reversing the ramp (decode seed 1, reverse samples, re-encode)
+      val Some((fmt, s)) = Multimodal.decodePcmSamples(
+        Multimodal.syntheticWav(1L))
+      val rev = s.reverse
+      val pcm = new Array[Byte](rev.length * 2)
+      rev.indices.foreach { i =>
+        val v = (rev(i) * 32767.0f).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val reversed = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, rev.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val b = Multimodal.audioHash64(reversed).get
+      java.lang.Long.bitCount(a ^ b) should be > 16
+      // silence is envelope-flat → excluded from hashing, like flat
+      // images
+      val silentPcm = new Array[Byte](4000)
+      val silence = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(silentPcm),
+          new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false),
+          2000L)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val rows = Seq(MediaRow(1L, "audio", silence, "{}")).toDS()
+      Multimodal.audioHashes(rows).count() shouldBe 0
+    }
+    it("finds planted twin recordings and only those") {
+      val media = (0L until 60L).map { id =>
+        MediaRow(id, "audio", Multimodal.syntheticWav(id % 20), "{}")
+      }.toDS()
+      val pairs = Multimodal.nearDuplicateAudio(media, maxDist = 1)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        a <- 0L until 60L; b <- (a + 1) until 60L
+        if a % 20 == b % 20
+      } yield (a, b)).toSet
+      pairs shouldBe expected
     }
   }
 
