@@ -7,7 +7,16 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.Explain <query> [sfDir]  (GRAFT_BCAST=-1 " +
+          "for the at-scale join shape)\nqueries: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val name = args(0)
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name' — see `runMain graft.Explain` for the list")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder(8).master("local[8]")
       .config("spark.sql.autoBroadcastJoinThreshold",
