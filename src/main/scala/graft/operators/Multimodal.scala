@@ -514,6 +514,57 @@ object Multimodal {
     SimHash.pairsFromFingerprints(audioHashes(ds), "media_id", "fp",
       bits = 64, maxDist = maxDist, chunks = chunks)
 
+  /** REAL audio resample: decode PCM, mix down to mono (channel
+    * mean), decimate to `targetRate` by mean-pooling sample blocks (a
+    * box filter — adequate anti-aliasing for envelope/feature
+    * pipelines), re-encode 16-bit PCM mono WAV. Returns the payload
+    * unchanged when it already meets the target (never upsamples —
+    * the [[resizeImage]] contract), None when the payload isn't
+    * decodable PCM.
+    */
+  def resampleAudio(payload: Array[Byte], targetRate: Int)
+      : Option[Array[Byte]] =
+    decodePcmSamples(payload).map { case (fmt, interleaved) =>
+      val srcRate = fmt.getSampleRate.toInt
+      if (targetRate >= srcRate) payload
+      else {
+        val ch = math.max(fmt.getChannels, 1)
+        val nFrames = interleaved.length / ch
+        val mono = new Array[Float](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var s = 0.0f
+          var c = 0
+          while (c < ch) { s += interleaved(i * ch + c); c += 1 }
+          mono(i) = s / ch
+          i += 1
+        }
+        val outN = math.max((nFrames.toLong * targetRate / srcRate).toInt, 1)
+        val pcm = new Array[Byte](outN * 2)
+        var o = 0
+        while (o < outN) {
+          val from = (o.toLong * nFrames / outN).toInt
+          val until = math.max(((o + 1).toLong * nFrames / outN).toInt,
+            from + 1)
+          var s = 0.0
+          var j = from
+          while (j < until) { s += mono(j); j += 1 }
+          val v = ((s / (until - from)) * 32767.0).toInt.toShort
+          pcm(2 * o) = (v & 0xff).toByte
+          pcm(2 * o + 1) = ((v >> 8) & 0xff).toByte
+          o += 1
+        }
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          targetRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), outFmt, outN.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+    }
+
   /** Deterministic synthetic WAV: `seconds` of a seed-derived chord,
     * amplitude-modulated by a seed-derived 16-segment loudness
     * pattern (each segment loud or quiet by one seed bit), 16-bit PCM

@@ -116,6 +116,24 @@ class MultimodalSpec extends SparkSpec {
       // payload that happens to BE a wav
       f(3L).embedding.toSeq shouldBe Multimodal.embedStub(wav).toSeq
     }
+    it("resampleAudio halves the rate for real and never upsamples") {
+      val wav = Multimodal.syntheticWav(5L, sampleRate = 8000,
+        seconds = 0.25)
+      val down = Multimodal.resampleAudio(wav, 4000).get
+      val Some((fmt, s)) = Multimodal.decodePcmSamples(down)
+      fmt.getSampleRate.toInt shouldBe 4000
+      fmt.getChannels shouldBe 1
+      s.length shouldBe 1000 // 0.25s × 4000Hz
+      // the loudness SHAPE survives decimation: envelope fingerprints
+      // of original and resampled stay within a small Hamming distance
+      val a = Multimodal.audioHash64(wav).get
+      val b = Multimodal.audioHash64(down).get
+      java.lang.Long.bitCount(a ^ b) should be <= 6
+      // never upsamples: target >= source returns the payload as-is
+      Multimodal.resampleAudio(wav, 16000).get shouldBe wav
+      // undecodable → None, not a crash
+      Multimodal.resampleAudio(Array[Byte](1, 2, 3), 4000) shouldBe None
+    }
     it("audio decode is deterministic and seed-sensitive") {
       val a1 = Multimodal.extractFeatures(
         Seq(MediaRow(1L, "audio", Multimodal.syntheticWav(7L), "{}")).toDS())
