@@ -114,12 +114,18 @@ object JdkMediaDecoder extends MediaDecoder {
   * payloads with the JDK's built-in `javax.imageio` (no external
   * codec needed), yielding true width/height and a pixel-derived
   * grid-luminance embedding, and `resizeImage` is a real
-  * area-interpolated resampler. AUDIO/VIDEO decode stays a STUB —
-  * this container ships no audio/video codecs — so `decodeStub`
-  * derives deterministic fake dimensions for those kinds (and for
-  * image payloads that fail to decode, so a corrupt blob degrades
-  * instead of killing the job; real pipelines would route those to a
-  * quarantine table). The Spark-side plumbing is real for all kinds:
+  * area-interpolated resampler. The AUDIO leg is REAL for PCM
+  * containers: `decodePcmSamples` reads WAV/AIFF/AU with the JDK's
+  * `javax.sound.sampled` (true rate/channels/frames, sample-derived
+  * RMS-envelope embedding), `audioHash64`/`nearDuplicateAudio` give
+  * volume-invariant perceptual dedup, and `resampleAudio` is a real
+  * decimating resampler. COMPRESSED audio (mp3/aac/ogg) and VIDEO
+  * have no JDK codec and stay STUBS — `decodeStub` derives
+  * deterministic fake dimensions for those (and for payloads that
+  * fail to decode, so a corrupt blob degrades instead of killing the
+  * job; real pipelines would route those to a quarantine table);
+  * inject a codec-backed [[MediaDecoder]] to fill them. The
+  * Spark-side plumbing is real for all kinds:
   * typed Dataset schema, per-partition batched execution via
   * `mapPartitions` (one kernel-context setup per partition — the
   * ImageIO cache config today, the same slot a JNI/FFI decoder
