@@ -127,7 +127,18 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}}"""
+    println(json)
+    // Also persist to a file: sbt's [success] trailer and log noise
+    // around the single stdout line have made the driver's parse fail
+    // before (BENCH_r08 recorded parsed:null) — the file is the
+    // noise-proof channel, same pattern as Verify's queries.json.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // file write must never fail the bench
     spark.stop()
   }
 }

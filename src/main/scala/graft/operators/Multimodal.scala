@@ -430,11 +430,19 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
+        // Integer PCM only: PCM_FLOAT / ULAW / ALAW payloads would
+        // decode into garbage under the integer math below — honor
+        // the "None for bytes we cannot handle" contract instead.
+        val enc = fmt.getEncoding
+        val signed =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed &&
+            enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          throw new javax.sound.sampled
+            .UnsupportedAudioFileException(s"non-integer PCM: $enc")
         val bytes = in.readAllBytes()
         val sampleBytes = math.max(fmt.getSampleSizeInBits / 8, 1)
         val big = fmt.isBigEndian
-        val signed = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         val n = bytes.length / sampleBytes
         if (n == 0) throw new IllegalArgumentException("empty audio")
         val out = new Array[Float](n)
@@ -449,7 +457,10 @@ object Multimodal {
               val (hi, lo) = if (big) (bytes(off), bytes(off + 1))
                 else (bytes(off + sampleBytes - 1),
                   bytes(off + sampleBytes - 2))
-              ((hi << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+              val s16 =
+                if (signed) ((hi << 8) | (lo & 0xff)).toShort.toInt
+                else (((hi & 0xff) << 8) | (lo & 0xff)) - 32768
+              s16.toDouble / 32768.0
           }).toFloat
           i += 1
         }

@@ -214,6 +214,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  describe("Multimodal.decodePcmSamples encoding gate") {
+    it("returns None for non-integer-PCM payloads (ULAW) instead of garbage") {
+      // A ULAW .au stream: the JDK reader accepts it, but its bytes are
+      // companded — integer-PCM math on them is silent corruption, so
+      // the decoder contract demands None.
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+        8000f, 8, 1, 1, 8000f, false)
+      val raw = Array.tabulate[Byte](800)(i => (i % 251).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+      Multimodal.decodePcmSamples(bos.toByteArray) shouldBe None
+    }
+    it("decodes unsigned 8-bit PCM around the 128 midpoint") {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      // constant 128 = digital silence in unsigned 8-bit
+      val raw = Array.fill[Byte](400)(128.toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val Some((_, s)) = Multimodal.decodePcmSamples(bos.toByteArray)
+      all(s.map(math.abs(_))) should be < 0.01f
+    }
+  }
+
   describe("Multimodal.audioHash64 / nearDuplicateAudio") {
     it("is volume-invariant: uniform gain never changes the fingerprint") {
       val wav = Multimodal.syntheticWav(11L)

@@ -174,39 +174,46 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     n_pass = n_fail = 0
+    failed = set()  # names already FAILed (guards double-counting)
     for name, sql in sorted(oracles.items()):
         if ONLY and name not in ONLY:
             continue
         if not os.path.isdir(f"{OUT_DIR}/{name}"):
             print(f"FAIL {name}: no spark output (query failed in Verify)")
             n_fail += 1
+            failed.add(name)
             continue
         err = compare(name, sql, con)
         if err:
             print(f"FAIL {name}: {err}")
             n_fail += 1
+            failed.add(name)
         else:
             print(f"pass {name}")
             n_pass += 1
     # tolerance-gated numeric cross-checks (trig outputs)
     # cross-checks valid only at specific SFs (see the oracle comments)
     SF_SCOPED = {"dedup_embedding": "sf0.01"}
+    tol_handled = set()  # names the tolerance loop actually adjudicated
     for name, (sql, rtol) in sorted(TOLERANCE_ORACLES.items()):
         if ONLY and name not in ONLY:
             continue
         scope = SF_SCOPED.get(name)
         if scope and not SF_DIR.rstrip("/").endswith(scope):
             continue
+        tol_handled.add(name)
         if not os.path.isdir(f"{OUT_DIR}/{name}"):
             # missing output is as loud here as in the hash-gated loop
             print(f"FAIL {name} (tolerance): no spark output "
                   "(query failed in Verify)")
             n_fail += 1
+            failed.add(name)
             continue
         err = compare_tolerance(name, sql, rtol, con)
         if err:
             print(f"FAIL {name} (tolerance): {err}")
             n_fail += 1
+            failed.add(name)
         else:
             print(f"pass {name} (tolerance rtol<={rtol})")
             n_pass += 1
@@ -227,22 +234,33 @@ def main():
     # output — an analysis-time error must read as FAIL, never as a
     # shorter listing (r7: sess_gap_sessions silently vanished)
     manifest_p = f"{OUT_DIR}/queries.json"
+    errors = {}
+    if os.path.exists(f"{OUT_DIR}/errors.json"):
+        errors = json.load(open(f"{OUT_DIR}/errors.json"))
     if os.path.exists(manifest_p):
         manifest = json.load(open(manifest_p))
-        errors = {}
-        if os.path.exists(f"{OUT_DIR}/errors.json"):
-            errors = json.load(open(f"{OUT_DIR}/errors.json"))
         for name in manifest:
             if ONLY and name not in ONLY:
                 continue
-            if name in oracles:
-                continue  # first loop already FAILs on its missing output
+            if name in oracles or name in tol_handled:
+                continue  # earlier loops already FAIL on missing output
             if not os.path.isdir(f"{OUT_DIR}/{name}"):
                 msg = errors.get(name, "no output and no recorded error")
                 print(f"FAIL {name}: MISSING from results — {msg}")
                 n_fail += 1
+                failed.add(name)
     else:
         print("WARN: no queries.json manifest (stale Verify build?)")
+    # EVERY errors.json entry is a FAIL, even when a stale output dir
+    # from a prior run survives (--skip-verify): Verify's recorded
+    # error is authoritative — stale parquet must never pass silently
+    for name, msg in sorted(errors.items()):
+        if ONLY and name not in ONLY:
+            continue
+        if name in failed:
+            continue  # already counted above
+        print(f"FAIL {name}: Verify recorded an error — {msg}")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
