@@ -23,7 +23,16 @@ object Explain {
         sys.env.getOrElse("GRAFT_BCAST", "10485760"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (sys.env.contains("GRAFT_EXECUTED")) {
+      // Post-execution plan: AQE finalizes stages (and reuses
+      // canonically-identical exchanges) only at runtime, so the
+      // static plan over-counts exchanges — run first, then print.
+      // collect() (not count()) so the Dataset's OWN QueryExecution
+      // executes and its adaptive plan reaches isFinalPlan=true.
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+    } else df.explain("formatted")
     spark.stop()
   }
 }

@@ -140,6 +140,19 @@ object MinHashLsh {
     * (the gated queries' semantics).
     */
   private def bucketJoin(banded: DataFrame, maxBucket: Int = 0)
+      : DataFrame =
+    bucketPairsRaw(banded, maxBucket).distinct()
+
+  /** [[bucketJoin]] WITHOUT the pair dedup: one row per (pair, band
+    * collision). The verify chain dedups these keyed by id1
+    * ([[dedupKeyed]]) so the dedup's exchange doubles as the first
+    * verify join's partitioning — `.distinct()` here would insert a
+    * separate (id1,id2) exchange the very next operator re-shuffles.
+    * Map-side pre-dedup loses nothing: a pair's duplicate rows come
+    * from DIFFERENT bands, which live in different (band,bucket)
+    * partitions, so a local combine never saw them together anyway.
+    */
+  private def bucketPairsRaw(banded: DataFrame, maxBucket: Int = 0)
       : DataFrame = {
     val side =
       if (maxBucket <= 0) banded
@@ -161,8 +174,16 @@ object MinHashLsh {
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
   }
+
+  /** Distinct pairs, partitioned by id1: HashPartitioning(id1)
+    * satisfies the (id1,id2) dedup's clustering requirement (rows
+    * agreeing on both keys agree on id1), and it IS the distribution
+    * the id1 verify join needs — one exchange serves both, where
+    * `.distinct()` + join cost two back-to-back pair-stream shuffles.
+    */
+  private[operators] def dedupKeyed(rawPairs: DataFrame): DataFrame =
+    rawPairs.repartition(col("id1")).dropDuplicates("id1", "id2")
 
   /** LSH candidate pairs: documents whose signatures collide in at
     * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
@@ -200,7 +221,7 @@ object MinHashLsh {
     // cluster a persisted artifact table plays this role
     // ([[nearDuplicatesCached]]).
     val sh = hashedShingles(df, idCol, textCol, shingleN).localCheckpoint()
-    val cands = bucketJoin(bandedIndex(sh, numHashes, b, seed))
+    val cands = dedupKeyed(bucketPairsRaw(bandedIndex(sh, numHashes, b, seed)))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash
@@ -273,12 +294,12 @@ object MinHashLsh {
   private def crossPairs(shB: DataFrame, shP: DataFrame,
       threshold: Double, numHashes: Int, bands: Int, seed: Long)
       : DataFrame = {
-    val cands = bandedIndex(shB, numHashes, bands, seed).as("a")
-      .join(bandedIndex(shP, numHashes, bands, seed).as("b").hint("merge"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val cands = dedupKeyed(
+      bandedIndex(shB, numHashes, bands, seed).as("a")
+        .join(bandedIndex(shP, numHashes, bands, seed).as("b").hint("merge"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
     val inter = graft.expressions.NativeKernels
       .sortedIntersectCountCol(col("sh1"), col("sh2"))
     cands

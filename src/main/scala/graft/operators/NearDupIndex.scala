@@ -144,12 +144,13 @@ object NearDupIndex {
     val (shB, bandedB) = frames(batch, idCol, textCol, p)
     val bandedIdx = AtomicLake.read(spark, bandRoot(root), store)
     val shIdx = AtomicLake.read(spark, shRoot(root), store)
-    val cands = bandedIdx.as("a")
+    // dedup keyed by id1 so its exchange IS the first verify join's
+    // partitioning (see MinHashLsh.dedupKeyed)
+    val cands = MinHashLsh.dedupKeyed(bandedIdx.as("a")
       .join(bandedB.as("b").hint("merge"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
     val inter = graft.expressions.NativeKernels
       .sortedIntersectCountCol(col("sh1"), col("sh2"))
     cands
