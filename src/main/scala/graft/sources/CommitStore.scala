@@ -100,30 +100,46 @@ object HardlinkCommitStore extends CommitStore {
 /** The transactional catalog service: an atomic, exactly-once mapping
   * (table root, version) -> manifest object key. In production this is
   * a database table with a primary key on (table, version) — DuckLake's
-  * Postgres catalog, an Iceberg catalog — where "claim" is one INSERT
-  * that succeeds for exactly one writer. This in-process form has the
-  * same semantics (ConcurrentHashMap.putIfAbsent IS the unique-key
-  * insert) so the commit protocol can be exercised, races included,
-  * without a database in the sandbox.
+  * Postgres catalog (the role the reference fills with
+  * /root/reference/dags/utils_db.py:6-60), an Iceberg catalog — where
+  * "claim" is one INSERT that succeeds for exactly one writer.
+  * Implementations: [[CommitCatalog]] (in-process, for exercising the
+  * protocol races without a database) and [[JdbcCommitCatalog]] (any
+  * JDBC database — the production binding).
   */
-final class CommitCatalog {
-  private val entries =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+trait Catalog {
 
   /** One writer wins per (root, version); returns true iff this call
     * recorded the claim.
     */
-  def claim(root: String, version: Long, key: String): Boolean =
+  def claim(root: String, version: Long, key: String): Boolean
+
+  def versions(root: String): Seq[Long]
+
+  def keyFor(root: String, version: Long): Option[String]
+
+  def drop(root: String, version: Long): Unit
+}
+
+/** In-process [[Catalog]]: ConcurrentHashMap.putIfAbsent IS the
+  * unique-key insert, so the commit protocol can be exercised, races
+  * included, without a database in the sandbox.
+  */
+final class CommitCatalog extends Catalog {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  override def claim(root: String, version: Long, key: String): Boolean =
     entries.putIfAbsent((root, version), key) == null
 
-  def versions(root: String): Seq[Long] =
+  override def versions(root: String): Seq[Long] =
     entries.keySet().iterator().asScala
       .collect { case (r, v) if r == root => v }.toSeq
 
-  def keyFor(root: String, version: Long): Option[String] =
+  override def keyFor(root: String, version: Long): Option[String] =
     Option(entries.get((root, version)))
 
-  def drop(root: String, version: Long): Unit =
+  override def drop(root: String, version: Long): Unit =
     entries.remove((root, version))
 }
 
@@ -143,7 +159,7 @@ final class CommitCatalog {
   * the protocol must stay correct with plain last-writer-wins PUTs,
   * which is what the race spec proves.
   */
-final class CatalogCommitStore(catalog: CommitCatalog) extends CommitStore {
+final class CatalogCommitStore(catalog: Catalog) extends CommitStore {
 
   private def put(root: String, key: String, body: String): Unit = {
     val p = Paths.get(root, "_manifests", key)
