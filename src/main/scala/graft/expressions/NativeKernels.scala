@@ -983,4 +983,96 @@ object NativeKernels extends Serializable {
   def ringsIntersectCol(a: Column, b: Column): Column =
     invoke("ringsIntersect", BooleanType, Seq(a, b),
       Seq(ringType, ringType))
+
+  // ---- GeoJSON geometry -> WKT (sources/GeoJsonIngest) ----
+
+  /** Minimal nested-array parse tree for GeoJSON `coordinates`: a
+    * leaf keeps the raw number token (no double round-trip — the WKT
+    * carries the source text's exact decimal form).
+    */
+  private sealed trait GjNode
+  private final case class GjNum(s: String) extends GjNode
+  private final case class GjArr(xs: List[GjNode]) extends GjNode
+
+  private def gjParse(s: String): GjNode = {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def node(): GjNode = {
+      ws()
+      if (i >= s.length) throw new IllegalArgumentException("eof")
+      if (s.charAt(i) == '[') {
+        i += 1
+        val b = List.newBuilder[GjNode]
+        ws()
+        if (i < s.length && s.charAt(i) == ']') { i += 1; return GjArr(Nil) }
+        var done = false
+        while (!done) {
+          b += node()
+          ws()
+          if (i < s.length && s.charAt(i) == ',') i += 1
+          else if (i < s.length && s.charAt(i) == ']') { i += 1; done = true }
+          else throw new IllegalArgumentException(s"bad array at $i")
+        }
+        GjArr(b.result())
+      } else {
+        val start = i
+        while (i < s.length &&
+            "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+        if (i == start)
+          throw new IllegalArgumentException(s"bad token at $i")
+        val tok = s.substring(start, i)
+        java.lang.Double.parseDouble(tok) // validate numeric
+        GjNum(tok)
+      }
+    }
+    val root = node()
+    ws()
+    if (i != s.length) throw new IllegalArgumentException("trailing junk")
+    root
+  }
+
+  /** A GeoJSON position [x, y(, z)] as "x y" / "x y z". */
+  private def gjPos(n: GjNode): String = n match {
+    case GjArr(xs) if xs.length == 2 || xs.length == 3 =>
+      xs.map { case GjNum(t) => t
+        case _ => throw new IllegalArgumentException("nested pos") }
+        .mkString(" ")
+    case _ => throw new IllegalArgumentException("not a position")
+  }
+
+  private def gjSeq(n: GjNode, f: GjNode => String): String = n match {
+    case GjArr(xs) if xs.nonEmpty => xs.map(f).mkString("(", ", ", ")")
+    case _ => throw new IllegalArgumentException("not a sequence")
+  }
+
+  /** GeoJSON (geometry type, raw `coordinates` JSON) -> WKT, the
+    * conversion the reference performs with GeoPandas'
+    * `gdf.geometry.to_wkt()` (mobility_ingestion_pipeline.py:95).
+    * Null (not an error) for unsupported types or malformed
+    * coordinates — junk geometry rows must not kill a bronze scan.
+    */
+  def geoJsonToWkt(geomType: UTF8String, coords: UTF8String)
+      : UTF8String = {
+    if (geomType == null || coords == null) return null
+    try {
+      val n = gjParse(coords.toString)
+      val wkt = geomType.toString.toUpperCase(java.util.Locale.ROOT) match {
+        case "POINT" => s"POINT (${gjPos(n)})"
+        case "LINESTRING" => s"LINESTRING ${gjSeq(n, gjPos)}"
+        case "POLYGON" => s"POLYGON ${gjSeq(n, gjSeq(_, gjPos))}"
+        case "MULTIPOINT" =>
+          s"MULTIPOINT ${gjSeq(n, p => s"(${gjPos(p)})")}"
+        case "MULTILINESTRING" =>
+          s"MULTILINESTRING ${gjSeq(n, gjSeq(_, gjPos))}"
+        case "MULTIPOLYGON" =>
+          s"MULTIPOLYGON ${gjSeq(n, gjSeq(_, gjSeq(_, gjPos)))}"
+        case _ => return null
+      }
+      UTF8String.fromString(wkt)
+    } catch { case _: IllegalArgumentException => null }
+  }
+
+  def geoJsonToWktCol(geomType: Column, coords: Column): Column =
+    invoke("geoJsonToWkt", StringType, Seq(geomType, coords),
+      Seq(StringType, StringType), returnNullable = true)
 }

@@ -43,10 +43,21 @@ object Consultations {
   }
 
   def polygonClusterDemand(spark: SparkSession, dir: String, wkt: String,
-      start: String, end: String): DataFrame = {
+      start: String, end: String): DataFrame =
+    polygonClusterDemand(spark, dir, wkt, start, end,
+      zonePolygons(spark, dir))
+
+  /** [[polygonClusterDemand]] against a caller-supplied zones dim —
+    * the ingested-geodata path: any (zone_id, polygon_wkt, ring) frame
+    * works, in particular [[graft.sources.GeoJsonIngest.zones]] output
+    * (the reference's API-fetched municipal polygons,
+    * mobility_ingestion_pipeline.py:85-111).
+    */
+  def polygonClusterDemand(spark: SparkSession, dir: String, wkt: String,
+      start: String, end: String, zones: DataFrame): DataFrame = {
     requireValidWkt(wkt)
     val qring = GeoFns.parseWktPolygon(lit(wkt))
-    val zonesIn = zonePolygons(spark, dir)
+    val zonesIn = zones
       .filter(GeoFns.polygonsIntersect(col("ring"), qring))
       .select(col("zone_id"))
     val fact = factWindow(spark, dir, start, end)

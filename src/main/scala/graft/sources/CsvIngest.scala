@@ -166,7 +166,8 @@ object CsvIngest {
   def fromUrl(spark: SparkSession, url: String,
       stagingDir: String = "/root/repo/target/staging",
       sep: String = ",", encoding: String = "UTF-8",
-      header: Boolean = true, columns: Seq[String] = Nil): DataFrame = {
+      header: Boolean = true, columns: Seq[String] = Nil,
+      retries: Int = 3, retryDelayMs: Long = 1000L): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val uri = java.net.URI.create(url)
     val fileName = Option(Paths.get(uri.getPath).getFileName)
@@ -179,27 +180,59 @@ object CsvIngest {
     val slot = Paths.get(stagingDir, digest.take(16))
     Files.createDirectories(slot)
     val dest = slot.resolve(fileName)
-    uri.getScheme match {
-      case "http" | "https" =>
-        val client = java.net.http.HttpClient.newBuilder()
-          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-          .build()
-        val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
-        // TRUNCATE_EXISTING: re-ingesting a source whose content
-        // shrank must not leave stale trailing bytes in the staged CSV
-        val resp = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofFile(dest,
-            StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-            StandardOpenOption.TRUNCATE_EXISTING))
-        require(resp.statusCode() / 100 == 2,
-          s"fetch $url failed: HTTP ${resp.statusCode()}")
-      case "file" =>
-        Files.copy(Paths.get(uri), dest, StandardCopyOption.REPLACE_EXISTING)
-      case other =>
-        throw new IllegalArgumentException(s"unsupported scheme: $other")
+    // ONLY the fetch retries (reference parity: the ingest tasks
+    // declare retries=3/retry_delay, mobility_ingestion_pipeline.py:84)
+    // — a parse failure is deterministic and must surface, not loop.
+    retrying(retries, retryDelayMs, what = s"fetch $url") {
+      uri.getScheme match {
+        case "http" | "https" =>
+          val client = java.net.http.HttpClient.newBuilder()
+            .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+            .build()
+          val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
+          // TRUNCATE_EXISTING: re-ingesting a source whose content
+          // shrank must not leave stale trailing bytes in the staged CSV
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofFile(dest,
+              StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+              StandardOpenOption.TRUNCATE_EXISTING))
+          // IOException (not require): a 5xx is transient — it must
+          // take the retry path, which IllegalArgumentException skips
+          if (resp.statusCode() / 100 != 2)
+            throw new java.io.IOException(
+              s"fetch $url failed: HTTP ${resp.statusCode()}")
+        case "file" =>
+          Files.copy(Paths.get(uri), dest, StandardCopyOption.REPLACE_EXISTING)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported scheme: $other")
+      }
     }
     withAudit(read(spark, dest.toString, sep, encoding, header, columns),
       sourceUrl = url)
+  }
+
+  /** Bounded retry with exponential backoff: `retries` RE-attempts
+    * after the first try (retries=3 → up to 4 attempts, the reference
+    * task policy), delays delayMs, 2×, 4×, …. Unsupported-scheme
+    * errors don't retry — no wait loop can fix a malformed request.
+    * The last failure propagates with earlier ones suppressed on it.
+    */
+  private[sources] def retrying[A](retries: Int, delayMs: Long,
+      what: String)(body: => A): A = {
+    var attempt = 0
+    var delay = delayMs
+    while (true) {
+      try return body
+      catch {
+        case e: IllegalArgumentException => throw e // non-retryable
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > retries) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Spark refuses plans that reference ONLY `_corrupt_record` from a

@@ -100,6 +100,37 @@ class BronzeSpec extends SparkSpec {
       an[IllegalArgumentException] should be thrownBy
         CsvIngest.fromUrl(spark, "ftp://host/x.csv")
     }
+    it("retries a flaky fetch with backoff and succeeds (reference retries=3)") {
+      // flaky-then-succeeding source: the file appears only after the
+      // first attempt has already failed
+      val missing = Paths.get(scratch, "late.csv")
+      Files.deleteIfExists(missing)
+      val writer = new Thread(() => {
+        Thread.sleep(300)
+        Files.write(missing, "id;city\n7;bilbao\n".getBytes("UTF-8"))
+      })
+      writer.start()
+      val df = CsvIngest.fromUrl(spark, missing.toUri.toString, sep = ";",
+        stagingDir = s"$scratch/staging", retries = 5, retryDelayMs = 150L)
+      writer.join()
+      CsvIngest.cleanRows(df).select("id", "city")
+        .as[(String, String)].head() shouldBe (("7", "bilbao"))
+    }
+    it("gives up after the retry budget; bad requests never retry") {
+      val t0 = System.nanoTime()
+      a[Throwable] should be thrownBy
+        CsvIngest.fromUrl(spark, s"file://$scratch/never_exists.csv",
+          retries = 2, retryDelayMs = 100L,
+          stagingDir = s"$scratch/staging")
+      // 2 re-attempts = backoff waits of 100 + 200 ms at minimum
+      (System.nanoTime() - t0) / 1e6 should be >= 300.0
+      // non-retryable: unsupported scheme fails fast, no backoff loop
+      val t1 = System.nanoTime()
+      an[IllegalArgumentException] should be thrownBy
+        CsvIngest.fromUrl(spark, "ftp://host/x.csv", retries = 5,
+          retryDelayMs = 500L)
+      (System.nanoTime() - t1) / 1e6 should be < 400.0
+    }
     it("stamps audit lineage columns") {
       val f = writeFile("audit.csv", "x\n1\n")
       val df = CsvIngest.withAudit(CsvIngest.read(spark, f), "http://src")
