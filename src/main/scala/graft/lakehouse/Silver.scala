@@ -44,11 +44,23 @@ object Silver {
     * single-partition sort: ONLY for provably bounded dims (the
     * reference's dim_zones is a few thousand rows). Anything that
     * scales with the data goes through [[dimWithDenseKey]].
+    *
+    * Guarded: above `maxRows` the single-partition window would make
+    * one task sort the world, so the call AUTO-SWITCHES to
+    * [[dimWithDenseKey]] — same dense 1..N keys for a unique
+    * `orderCol` (both forms are tie-nondeterministic otherwise), no
+    * global sort. The guard costs one count() of the dim, noise for
+    * anything this operator is legitimate for; pass
+    * `maxRows = Long.MaxValue` to opt out of both the count and the
+    * switch.
     */
-  def dimWithSurrogateKey(dim: DataFrame, orderCol: String, skName: String)
-      : DataFrame =
-    dim.withColumn(skName,
-      row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+  def dimWithSurrogateKey(dim: DataFrame, orderCol: String, skName: String,
+      maxRows: Long = 1000000L): DataFrame =
+    if (maxRows != Long.MaxValue && dim.count() > maxRows)
+      dimWithDenseKey(dim, orderCol, skName)
+    else
+      dim.withColumn(skName,
+        row_number().over(Window.orderBy(col(orderCol))).cast("long"))
 
   /** Scale-safe dense surrogate keys — same output as
     * `ROW_NUMBER() OVER (ORDER BY orderCol)` for a unique key, with no

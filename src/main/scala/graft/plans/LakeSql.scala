@@ -28,6 +28,7 @@ import graft.sources.AtomicLake
   *  - `DESCRIBE LAKE DETAIL '<root>'` — snapshot summary
   *  - `SHOW LAKE PARTITIONS '<root>'` — per-partition files/rows/bytes
   *  - `ALTER LAKE '<root>' ADD CONSTRAINT <name> CHECK (<predicate>)`
+  *  - `ALTER LAKE '<root>' DROP CONSTRAINT <name>`
   *  - `VACUUM '<root>' [RETAIN <n> VERSIONS]` — GC unreferenced files
   *
   * Implemented as a delegating [[ParserInterface]]: statements
@@ -54,6 +55,8 @@ object LakeSql {
     """(?is)\s*SHOW\s+LAKE\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint: Regex =
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint: Regex =
+    """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val Vacuum: Regex =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
@@ -69,6 +72,8 @@ object LakeSql {
     case Partitions(root) => Some(LakePartitionsCommand(root))
     case AddConstraint(root, name, pred) =>
       Some(AddLakeConstraintCommand(root, name, pred.trim))
+    case DropConstraint(root, name) =>
+      Some(DropLakeConstraintCommand(root, name))
     case Vacuum(root, retain) =>
       Some(VacuumLakeCommand(root,
         Option(retain).map(_.toInt).getOrElse(10)))
@@ -168,6 +173,18 @@ case class AddLakeConstraintCommand(root: String, name: String,
     Seq(LakeSql.attr("version", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(AtomicLake.addConstraint(spark, root, name, predicate)))
+}
+
+/** ALTER LAKE … DROP CONSTRAINT: metadata-only commit removing the
+  * named CHECK constraint; unknown names are refused. Returns the
+  * committed version.
+  */
+case class DropLakeConstraintCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.dropConstraint(root, name)))
 }
 
 /** VACUUM … RETAIN n VERSIONS: delete data files referenced by no

@@ -190,25 +190,45 @@ object BronzeQueries {
     },
 
     // G36 — the lake-maintenance SQL DDL exercised end-to-end, every
-    // statement through spark.sql on a shallow clone: add a CHECK
-    // constraint, OPTIMIZE (bin-pack), then read the commit log back
-    // with DESCRIBE HISTORY and the snapshot summary with DESCRIBE
-    // LAKE DETAIL. Rows-only gate (lake state has no DuckDB oracle):
-    // the output is the joined history × detail — non-empty proves
-    // parse → command → AtomicLake → manifest round-trips for each
-    // statement.
+    // statement through spark.sql on a shallow clone: ADD CONSTRAINT,
+    // OPTIMIZE ZORDER, RESTORE, DROP CONSTRAINT, then read the commit
+    // log back with DESCRIBE HISTORY and the snapshot summary with
+    // DESCRIBE LAKE DETAIL. The output is a (item, value) probe table
+    // whose every value is DETERMINISTIC across scale factors — the
+    // commit-kind sequence, the constraint set after add and after
+    // drop, and whether RESTORE's head reproduced the restored
+    // version's file set — so a fixed-expectations VALUES oracle
+    // hash-gates parse → command → AtomicLake → manifest for each
+    // statement (file counts and row counts, which DO vary with sf,
+    // are gated by lake_scan_prune/lake_cluster_scan instead).
     "lake_sql_maintenance" -> { (s, dir) =>
-      val scratch = clonedOrdersLake(s, dir, "sql_maintenance")
+      val scratch = clonedOrdersLake(s, dir, "sql_maintenance") // v1 clone
       // >= 0: the generator's key space starts at 0
       s.sql(s"ALTER LAKE '$scratch' ADD CONSTRAINT key_nonneg " +
-        "CHECK (o_orderkey >= 0)").collect()
-      s.sql(s"OPTIMIZE '$scratch'").collect()
-      s.sql(s"DESCRIBE HISTORY '$scratch'")
-        .crossJoin(broadcast(s.sql(s"DESCRIBE LAKE DETAIL '$scratch'")
-          .select(col("n_files").as("current_files"),
-            concat_ws(",", col("constraints")).as("constraints"))))
-        .select(col("version"), col("kind"), col("n_files"),
-          col("current_files"), col("constraints"))
+        "CHECK (o_orderkey >= 0)").collect() // v2 constraint
+      val afterAdd = s.sql(s"DESCRIBE LAKE DETAIL '$scratch'")
+        .select(concat_ws(",", col("constraints"))).head().getString(0)
+      s.sql(s"OPTIMIZE '$scratch' ZORDER BY (o_orderkey)")
+        .collect() // v3 compact
+      s.sql(s"RESTORE '$scratch' TO VERSION 2").collect() // v4 restore
+      s.sql(s"ALTER LAKE '$scratch' DROP CONSTRAINT key_nonneg")
+        .collect() // v5 constraint
+      val afterDrop = s.sql(s"DESCRIBE LAKE DETAIL '$scratch'")
+        .select(concat_ws(",", col("constraints"))).head().getString(0)
+      val hist = s.sql(s"DESCRIBE HISTORY '$scratch'")
+        .select(col("version"), col("kind"), col("n_files"))
+        .collect().sortBy(_.getLong(0))
+      val kinds = hist.map(_.getString(1)).mkString(",")
+      // RESTORE semantics: v4's file count equals v2's (metadata-only
+      // rollback re-references the same files)
+      val restoreOk = hist(3).getInt(2) == hist(1).getInt(2)
+      import s.implicits._
+      Seq(
+        ("constraints_after_add", afterAdd),
+        ("constraints_after_drop", afterDrop),
+        ("hist_kinds", kinds),
+        ("restore_files_match", restoreOk.toString)
+      ).toDF("item", "value")
     },
 
     "lake_cluster_scan" -> { (s, dir) =>
@@ -396,6 +416,16 @@ object BronzeQueries {
   val oracles: Map[String, String] = Map(
     "bronze_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // fixed expectations: every probe value is deterministic across
+    // scale factors (commit-kind sequence, constraint sets, restore
+    // file-set equality) — the DDL effects are the oracle
+    "lake_sql_maintenance" ->
+      """SELECT * FROM (VALUES
+        |  ('constraints_after_add', 'key_nonneg'),
+        |  ('constraints_after_drop', ''),
+        |  ('hist_kinds', 'clone,constraint,compact,restore,constraint'),
+        |  ('restore_files_match', 'true')
+        |) AS t(item, value)""".stripMargin,
     "bronze_audit" ->
       """SELECT 'synthetic://events' AS source_url,
         |  'events.parquet' AS filename, count(*) AS n_rows

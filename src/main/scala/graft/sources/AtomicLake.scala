@@ -470,7 +470,7 @@ object AtomicLake {
         s"cannot add CHECK constraint '$name' ($predicate): $bad " +
           "existing row(s) violate it")
     commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
-      store = store,
+      store = store, kind = "constraint",
       newConstraints = Some(snap.constraints + (name -> predicate)))
   }
 
@@ -487,7 +487,8 @@ object AtomicLake {
       s"no CHECK constraint named '$name' " +
         s"(table has: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
     commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
-      store = store, newConstraints = Some(snap.constraints - name))
+      store = store, kind = "constraint",
+      newConstraints = Some(snap.constraints - name))
   }
 
   /** Expectation-split ingest (the Delta-Live-Tables
@@ -994,7 +995,7 @@ object AtomicLake {
       store: CommitStore = HardlinkCommitStore): Long = {
     val target = readManifest(root, toVersion, store)
     commitReplacing(root, Set.empty, target.files, target.partitionCols,
-      batchSchema = target.schema, store = store,
+      batchSchema = target.schema, store = store, kind = "restore",
       newStats = target.stats, replaceAll = true,
       schemaOverride = true)
   }
@@ -1032,7 +1033,8 @@ object AtomicLake {
       Paths.get(srcRoot).resolve(f).normalize().toString -> st
     }
     commitReplacing(dstRoot, Set.empty, absFiles, snap.partitionCols,
-      batchSchema = snap.schema, store = store, newStats = absStats,
+      batchSchema = snap.schema, store = store, kind = "clone",
+      newStats = absStats,
       // the clone IS the table, contract included: writes against it
       // must satisfy the same CHECK constraints (Delta CLONE copies
       // table properties the same way)

@@ -111,6 +111,25 @@ class LakeSqlSpec extends SparkSpec {
         spark.sql(s"ALTER LAKE '$root' ADD CONSTRAINT big CHECK (id > 2)")
           .collect()
     }
+    it("DROP CONSTRAINT lifts the gate; unknown names are refused") {
+      val root = freshRoot("drop_constraint")
+      AtomicLake.append(Seq(1, 2).toDF("id"), root)
+      spark.sql(s"ALTER LAKE '$root' ADD CONSTRAINT pos CHECK (id > 0)")
+        .collect()
+      an[Exception] should be thrownBy
+        AtomicLake.append(Seq(-1).toDF("id"), root)
+      // typo: refused loudly, constraint stays enforced
+      an[Exception] should be thrownBy
+        spark.sql(s"ALTER LAKE '$root' DROP CONSTRAINT poss").collect()
+      val v = spark.sql(s"ALTER LAKE '$root' DROP CONSTRAINT pos")
+        .as[Long].head()
+      v should be > 0L
+      // the drop is a 'constraint'-kind commit and the gate is gone
+      AtomicLake.snapshotAt(root, v).kind shouldBe "constraint"
+      AtomicLake.append(Seq(-1).toDF("id"), root)
+      AtomicLake.read(spark, root).as[Int].collect().toSet shouldBe
+        Set(1, 2, -1)
+    }
   }
 
   describe("VACUUM") {

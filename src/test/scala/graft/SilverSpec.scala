@@ -70,6 +70,24 @@ class SilverSpec extends SparkSpec {
       d.orderBy("sk").as[(String, Long)].collect() shouldBe
         Array(("a", 1L), ("b", 2L), ("c", 3L))
     }
+    it("auto-switches the global-window form to the dense builder above maxRows") {
+      val big = spark.range(0, 5000)
+        .select((($"id" * 48271L) % 99991L).as("k")).distinct()
+      val guarded = Silver.dimWithSurrogateKey(big.toDF(), "k", "sk",
+        maxRows = 1000L)
+      // no single-partition Window stage anywhere in the guarded plan
+      guarded.queryExecution.executedPlan.toString should not include "Window"
+      // and the output is still the same dense 1..N keyed dim
+      val window = Silver.dimWithSurrogateKey(big.toDF(), "k", "sk",
+        maxRows = Long.MaxValue)
+      guarded.select("k", "sk").except(window.select("k", "sk"))
+        .count() shouldBe 0
+      // under the bound the window form is untouched
+      Silver.dimWithSurrogateKey(Seq("b", "a").toDF("k"), "k", "sk",
+          maxRows = 1000L)
+        .orderBy("sk").as[(String, Long)].collect() shouldBe
+        Array(("a", 1L), ("b", 2L))
+    }
     it("dense ids stay consistent across the count and output passes at volume") {
       // 200k rows in scrambled order: large enough that re-sampled
       // range boundaries would disagree between two evaluations (the
