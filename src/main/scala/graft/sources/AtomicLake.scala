@@ -802,25 +802,41 @@ object AtomicLake {
       source.columns.exists(_.equalsIgnoreCase(p)))
     require(missing.isEmpty,
       s"merge source must carry the partition columns; missing: $missing")
-    val src = source.localCheckpoint()
-    // the source rows are the only NEW rows a merge introduces —
-    // validate them against the table's CHECK constraints (dirty-file
-    // survivors were already in the table)
-    enforceConstraints(src, root, store)
-    // one job: row count, duplicate-key check, per-key bounds. The
-    // dup check covers only fully-keyed rows: a row with ANY null key
-    // field can never match a target row (SQL join semantics), so two
-    // of them are two legitimate inserts, not a duplicate key.
+    // LAZY checkpoint: the bounds job below is the first action, so
+    // ONE job materializes the pinned source AND computes the
+    // bounds/dup/constraint aggregates (an eager checkpoint paid a
+    // separate materialization job first — pure scheduling floor)
+    val src = source.localCheckpoint(eager = false)
+    // one job: row count, duplicate-key check, per-key bounds, AND
+    // the CHECK-constraint validation (the source rows are the only
+    // NEW rows a merge introduces; dirty-file survivors were already
+    // in the table). The dup check covers only fully-keyed rows: a
+    // row with ANY null key field can never match a target row (SQL
+    // join semantics), so two of them are two legitimate inserts,
+    // not a duplicate key.
     val fullyKeyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val cons = snap.constraints.toSeq.sortBy(_._1)
     val boundsAggs = count(lit(1)).as("n") +:
       count(when(fullyKeyed, lit(1))).as("n_keyed") +:
       count_distinct(when(fullyKeyed, struct(keyCols.map(col): _*)))
         .as("nk") +:
-      keyCols.flatMap(k =>
-        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+      (keyCols.flatMap(k =>
+        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))) ++
+        cons.map { case (n, e) =>
+          sum(when(coalesce(expr(e), lit(true)) === lit(false), 1L)
+            .otherwise(0L)).as(s"__viol_$n")
+        })
     val b = src.agg(boundsAggs.head, boundsAggs.tail: _*).head()
     val srcRows = b.getLong(0)
     if (srcRows == 0L) return Rewrite(snap.version, 0L, 0)
+    cons.foreach { case (n, e) =>
+      val i = b.fieldIndex(s"__viol_$n")
+      val bad = if (b.isNullAt(i)) 0L else b.getLong(i)
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"CHECK constraint '$n' ($e) violated by $bad row(s) of " +
+            "this batch; nothing was committed")
+    }
     require(b.getLong(2) == b.getLong(1),
       s"merge source has duplicate keys (${b.getLong(1) - b.getLong(2)} " +
         "extra rows): delete-then-insert would insert both copies — " +
@@ -837,7 +853,11 @@ object AtomicLake {
     }
     val candidates = LakeStats.survivors(snap, bounds.map(
       org.apache.spark.sql.classic.GraftExprBridge.expression))
-    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    // no distinct: the dup check above PROVED fully-keyed source keys
+    // unique, and null-keyed rows match nothing in either join — the
+    // distinct was a pure extra aggregation in both the tally semi
+    // join and the survivor anti join
+    val srcKeys = src.select(keyCols.map(col): _*)
     val perFile =
       if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else readFileSubsetTagged(spark, root, candidates, snap)
