@@ -17,6 +17,118 @@ ORACLES = "/root/repo/target/verify_out/oracle_sql.json"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# ---------------------------------------------------------------------
+# Like-for-like LSH-shaped baselines for the near-dedup family.
+#
+# The hash-gate oracles for dedup_minhash / dedup_cross /
+# dedup_index_cross / pipe_clean_corpus verify CORRECTNESS with an
+# exact shingle-equality pair join — right for a correctness oracle,
+# but not the algorithm either engine would run at scale (the posting
+# join explodes on common shingles; the reference's own scale path is
+# banded LSH). Comparing Spark's banded-LSH wall time against DuckDB's
+# exact join therefore compares two different algorithms. These
+# re-tiered queries implement the SAME sub-quadratic shape graft runs
+# — 64 MinHash permutations over hashed shingles, 32 bands x 2 rows,
+# bucket self-join for candidates, exact verify on candidates only —
+# in DuckDB SQL, so the dedup-family ratio compares like against like.
+# (Permutation constants differ from graft's; the shape and the
+# operator counts are what is being priced, and at threshold 0.5 both
+# find the identical pair set on this corpus.)
+# ---------------------------------------------------------------------
+_SHINGLES = """
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+sh AS (
+  SELECT DISTINCT doc_id,
+    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+    greatest(len(w) - 2, 0))) AS gs) i),
+shh AS (
+  SELECT doc_id, hash(shingle) % 2147483647 AS h FROM sh),
+mins AS (
+  SELECT doc_id, p.k,
+    min((h * (2*p.k + 1) + 98765*p.k) % 2147483647) AS mh
+  FROM shh, (SELECT unnest(range(64)) AS k) p
+  GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id, k // 2 AS band, hash(list(mh ORDER BY k)) AS bucket
+  FROM mins GROUP BY doc_id, k // 2),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+
+_VERIFY = """
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT id1, id2,
+  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+FROM inter
+JOIN card ca ON id1 = ca.doc_id
+JOIN card cb ON id2 = cb.doc_id
+WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5"""
+
+RETIERED = {
+    # dedup_minhash: banded self-join
+    "dedup_minhash": "WITH " + _SHINGLES.format(src="documents") + """,
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket
+      AND a.doc_id < b.doc_id),""" + _VERIFY,
+    # dedup_cross: banded join ACROSS the base/probe split — also the
+    # like-for-like shape for dedup_index_cross, whose Spark side
+    # additionally pays the persistent-index lake protocol (reads of
+    # committed sh/band tables) that no single-process baseline has an
+    # analogue for
+    "dedup_cross": "WITH " + _SHINGLES.format(src="documents") + """,
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),""" + _VERIFY,
+    # pipe_clean_corpus: quality filter + exact dedup + banded
+    # near-dedup survivor filter — the full curation composition with
+    # the pair stage banded
+    "pipe_clean_corpus": """WITH base AS (
+  SELECT doc_id, text,
+    (CAST(least(len(list_filter(string_split(text, ' '), t -> len(t) > 0)), 100) AS DOUBLE) / 100.0
+     + least((CASE WHEN len(list_filter(string_split(text, ' '), t -> len(t) > 0)) = 0 THEN 0.0
+              ELSE CAST((len(list_filter(string_split(text, ' '), t -> t = 'the')) + len(list_filter(string_split(text, ' '), t -> t = 'a')) + len(list_filter(string_split(text, ' '), t -> t = 'and')) + len(list_filter(string_split(text, ' '), t -> t = 'of')) + len(list_filter(string_split(text, ' '), t -> t = 'to'))) AS DOUBLE) / CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS DOUBLE)
+              END) * 5.0, 1.0)
+     + (1.0 - CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END)) / 3.0 AS quality_score
+  FROM documents),
+q AS (SELECT * FROM base WHERE quality_score >= 0.55),
+uniq AS (
+  SELECT doc_id, text, quality_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM q)
+  WHERE rn = 1),""" + _SHINGLES.format(src="uniq") + """,
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket
+      AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+losers AS (
+  SELECT DISTINCT id2 FROM inter
+  JOIN card ca ON id1 = ca.doc_id
+  JOIN card cb ON id2 = cb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5)
+SELECT u.doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS INT) AS ws_tokens,
+  u.quality_score
+FROM uniq u
+WHERE u.doc_id NOT IN (SELECT id2 FROM losers)""",
+}
+
+
 def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -49,6 +161,25 @@ def main():
                 counts[name] = n
             except Exception as e:
                 errs[name] = str(e)[:120]
+    # like-for-like LSH-shaped dedup baselines, same discipline
+    banded = {}
+    banded_counts = {}
+    for _ in range(passes):
+        for name, sql in sorted(RETIERED.items()):
+            try:
+                if name not in banded:
+                    con.execute(sql).fetchall()  # warmup
+                t0 = time.time()
+                n = len(con.execute(sql).fetchall())
+                dt1 = time.time() - t0
+                t1 = time.time()
+                con.execute(sql).fetchall()
+                dt = min(dt1, time.time() - t1)
+                banded[name] = min(banded.get(name, dt), dt)
+                banded_counts[name] = n
+            except Exception as e:
+                errs["banded:" + name] = str(e)[:160]
+                print("BANDED ERROR", name, errs["banded:" + name])
     # min-merge with the existing pin (same oracle SQL + data ⇒ the
     # min across sessions is the burst-free cost; a session that ran
     # inside a burst must never RAISE a pinned number). Applies to
@@ -70,6 +201,11 @@ def main():
         fm = re.search(r"machine state: floor ([\d.]+)", prev_txt)
         if fm:
             prev_floor = float(fm.group(1))
+        for m in re.finditer(
+                r"\| (\w+) \[banded\] \| ([\d.]+) \|", prev_txt):
+            name, prev = m.group(1), float(m.group(2))
+            if name in banded:
+                banded[name] = min(banded[name], prev)
     rows = [(name, best.get(name), counts.get(name),
              None if name in best else errs.get(name))
             for name in sorted(oracles)]
@@ -164,6 +300,34 @@ a noisy pin must be re-measured before grading against it).
                 f.write(f"| {name} | ERROR: {err} | {sp} | — |\n")
             else:
                 f.write(f"| {name} | {dt:.3f} | {sp} | {n} |\n")
-    print(f"wrote {OUT}: duckdb {total:.2f}s spark {spark_total:.2f}s")
+        if banded:
+            f.write("""
+## Like-for-like LSH baselines (near-dedup family)
+
+The hash-gate oracles above verify the near-dedup family with an
+EXACT shingle-equality pair join — correct as an oracle, but not the
+algorithm either engine runs at scale (the posting join explodes on
+common shingles; the scale path is banded LSH, which is what graft
+executes). The rows below time the SAME sub-quadratic shape in DuckDB
+— 64 MinHash permutations over hashed shingles, 32 bands x 2 rows,
+bucket join for candidates, exact verify on candidates only — so the
+dedup-family ratio compares the algorithm actually shipped, not an
+exact join that stops existing past toy scale. At threshold 0.5 both
+algorithms find the identical pair set on this corpus (rows match the
+exact-oracle rows). `dedup_cross [banded]` is also the like-for-like
+shape for `dedup_index_cross`, whose Spark side additionally pays the
+persistent-index lake protocol (committed sh/band table reads) with
+no single-process analogue.
+
+| query | duckdb_banded_sec | duckdb_exact_sec | spark_sec | rows |
+|---|---|---|---|---|
+""")
+            for name in sorted(banded):
+                sp = f"{spark[name]:.3f}" if name in spark else "—"
+                ex = f"{best[name]:.3f}" if name in best else "—"
+                f.write(f"| {name} [banded] | {banded[name]:.3f} | {ex} "
+                        f"| {sp} | {banded_counts[name]} |\n")
+    print(f"wrote {OUT}: duckdb {total:.2f}s spark {spark_total:.2f}s "
+          f"banded={ {k: round(v, 3) for k, v in banded.items()} }")
 
 main()
