@@ -26,10 +26,12 @@ import graft.sources.{AtomicLake, CommitStore, HardlinkCommitStore}
 object Backfill {
 
   /** One date's outcome: the committed lake version and row count on
-    * success, the error message on failure.
+    * success, the error message on failure, and how many attempts it
+    * took (1 = first try; > 1 only when a retry budget is set).
     */
   final case class DateOutcome(date: LocalDate, ok: Boolean,
-      version: Option[Long], rows: Long, error: Option[String])
+      version: Option[Long], rows: Long, error: Option[String],
+      attempts: Int = 1)
 
   /** A whole backfill run: per-date outcomes + identity. */
   final case class Report(runId: String, outcomes: Seq[DateOutcome]) {
@@ -59,23 +61,42 @@ object Backfill {
       partitionCols: Seq[String], batchFor: LocalDate => DataFrame,
       auditRoot: Option[String] = None,
       runId: String = java.util.UUID.randomUUID().toString,
-      store: CommitStore = HardlinkCommitStore): Report = {
+      store: CommitStore = HardlinkCommitStore,
+      retries: Int = 0, retryDelayMs: Long = 1000L): Report = {
     val outcomes = dates.map { d =>
-      try {
-        val batch = batchFor(d)
-        // one bounded count per date: the audit's row evidence (the
-        // reference logs per-day row counts); a date's batch is one
-        // partition's data, so the extra pass is partition-, not
-        // corpus-, sized
-        val rows = batch.count()
-        val v = AtomicLake.upsertPartitions(batch, root, partitionCols,
-          store = store)
-        DateOutcome(d, ok = true, Some(v), rows, None)
-      } catch {
-        case scala.util.control.NonFatal(t) =>
-          DateOutcome(d, ok = false, None, 0L,
-            Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(300)))
+      // per-date retry with backoff (the reference tasks declare
+      // retries=3/retry_delay, pipeline.py:84) — safe because the
+      // date's landing is an IDEMPOTENT partition upsert: a retry
+      // after a half-failed attempt replaces the same partitions
+      var attempt = 0
+      var delay = retryDelayMs
+      var out: Option[DateOutcome] = None
+      while (out.isEmpty) {
+        try {
+          val batch = batchFor(d)
+          // one bounded count per date: the audit's row evidence (the
+          // reference logs per-day row counts); a date's batch is one
+          // partition's data, so the extra pass is partition-, not
+          // corpus-, sized
+          val rows = batch.count()
+          val v = AtomicLake.upsertPartitions(batch, root, partitionCols,
+            store = store)
+          out = Some(DateOutcome(d, ok = true, Some(v), rows, None,
+            attempts = attempt + 1))
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            attempt += 1
+            if (attempt > retries)
+              out = Some(DateOutcome(d, ok = false, None, 0L,
+                Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+                  .take(300)), attempts = attempt))
+            else {
+              Thread.sleep(delay)
+              delay *= 2
+            }
+        }
       }
+      out.get
     }
     val report = Report(runId, outcomes)
     auditRoot.foreach { ar =>

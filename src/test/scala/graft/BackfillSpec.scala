@@ -69,6 +69,30 @@ class BackfillSpec extends SparkSpec {
       back.select("day").as[String].collect().toSet shouldBe
         Set(d1.toString, d2.toString, d3.toString)
     }
+    it("a flaky date retries with backoff and lands; budget exhaustion fails it") {
+      val root = freshRoot("flaky")
+      var calls = 0
+      val report = Backfill.run(spark, root, Seq(d1), Seq("day"),
+        d => {
+          calls += 1
+          if (calls < 3) throw new IllegalStateException("transient 503")
+          goodBatch(d)
+        },
+        retries = 3, retryDelayMs = 50L)
+      report.failed shouldBe empty
+      report.outcomes.head.attempts shouldBe 3
+      AtomicLake.read(spark, root).count() shouldBe 1
+      // budget exhausted: the date fails with the LAST error, attempts
+      // recorded, and (failure isolation unchanged) other dates land
+      val root2 = freshRoot("flaky_exhaust")
+      val r2 = Backfill.run(spark, root2, Seq(d1, d2), Seq("day"),
+        d => if (d == d1) throw new IllegalStateException("hard down")
+             else goodBatch(d),
+        retries = 2, retryDelayMs = 10L)
+      r2.failed.map(_.date) shouldBe Seq(d1)
+      r2.failed.head.attempts shouldBe 3 // 1 try + 2 re-attempts
+      r2.succeeded.map(_.date) shouldBe Seq(d2)
+    }
     it("dateRange is inclusive and ordered") {
       Backfill.dateRange(d1, d3) shouldBe Seq(d1, d2, d3)
       Backfill.dateRange(d1, d1) shouldBe Seq(d1)
