@@ -80,6 +80,52 @@ object Export {
       .write.mode("overwrite").partitionBy("shard")
       .option("compression", "gzip").json(path)
 
+  /** Seeded deterministic global shuffle — the order-randomization
+    * step before LM pretraining (a corpus fed in storage order trains
+    * on long runs of one source; the shuffle must still be exactly
+    * reproducible across re-runs and engines, or a resumed run reads
+    * a different epoch order). Every document gets a shuffle key
+    * md5(seed ":" id) — engine-portable like [[Sampling.hashBucket]]
+    * — and the layout is (id, shard, pos): shard = key mod nShards,
+    * pos = 0-based rank within the shard by (key, id). Changing the
+    * seed is a fresh epoch permutation; same seed is byte-identical.
+    *
+    * Scale: the key is map-side arithmetic; the only exchange
+    * partitions by shard (nShards tasks, each ranking its own
+    * shard's (key, id) pairs — 16 B/row, never text), exactly the
+    * [[packingManifest]] shape.
+    */
+  def shuffledLayout(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    val skey = conv(substring(md5(concat_ws(":",
+        lit(seed).cast("string"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__skey"), col(idCol))
+    df.select(col(idCol), skey.as("__skey"))
+      .withColumn("shard", (col("__skey") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** The corpus written in shuffled order: one gzip'd JSONL file per
+    * shard, rows in [[shuffledLayout]] position order — the layout a
+    * data loader streams per-shard for a reproducible epoch.
+    */
+  def writeShuffledJsonl(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int, path: String): Unit = {
+    val skey = conv(substring(md5(concat_ws(":",
+        lit(seed).cast("string"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    df.withColumn("__skey", skey)
+      .withColumn("shard", (col("__skey") % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__skey"), col(idCol))
+      .drop("__skey")
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(path)
+  }
+
   /** Globally-sorted export WITHOUT a single-task funnel: range
     * partition on the sort key into `nFiles` (sampled split points),
     * sort within each — file i's keys all precede file i+1's, so the

@@ -40,6 +40,15 @@ object CurationQueries {
         TextFns.wordCount(col("text")), nShards = 8, budget = 256)
     },
 
+    // H11 — seeded deterministic corpus shuffle: the epoch-order
+    // layout (id, shard, pos) from the engine-portable md5 shuffle
+    // key. Any drift in the key recipe, sharding, or rank order
+    // hash-mismatches against DuckDB computing the same permutation.
+    "export_shuffle" -> { (s, dir) =>
+      Export.shuffledLayout(Tables.documents(s, dir), "doc_id",
+        seed = 42L, nShards = 8)
+    },
+
     // H4 — bloom-pruned membership: which probe keys already exist in
     // the base (orders) table. Keys ≡ 0 (mod 3) are shifted out of
     // the key space, so the batch mixes definite-new keys (the bloom
@@ -186,6 +195,16 @@ object CurationQueries {
         |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
         |            ELSE (cum - 1) // 256 END AS BIGINT) AS seq_last
         |FROM c""".stripMargin,
+    "export_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) AS skey
+        |  FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 8
+        |    ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        |FROM d""".stripMargin,
     "bloom_new_keys" ->
       """WITH probe AS (
         |  SELECT c_custkey,

@@ -129,6 +129,54 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("Export.shuffledLayout / writeShuffledJsonl") {
+    it("is a deterministic permutation: seed-stable, seed-sensitive, dense pos") {
+      val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      val a = Export.shuffledLayout(docs, "doc_id", seed = 42L, nShards = 4)
+      val b = Export.shuffledLayout(docs, "doc_id", seed = 42L, nShards = 4)
+      a.orderBy("shard", "pos").collect() shouldBe
+        b.orderBy("shard", "pos").collect() // same seed = byte-identical
+      // every doc appears exactly once; pos is dense 0..n-1 per shard
+      a.count() shouldBe 200
+      a.select("doc_id").distinct().count() shouldBe 200
+      val perShard = a.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"))
+        .collect()
+      perShard.foreach { r =>
+        r.getLong(2) shouldBe 0L
+        r.getLong(3) shouldBe r.getLong(1) - 1
+      }
+      // a different seed is a different permutation (not id order)
+      val c = Export.shuffledLayout(docs, "doc_id", seed = 7L, nShards = 4)
+      c.join(a, Seq("doc_id"))
+        .filter(a("shard") === c("shard") && a("pos") === c("pos"))
+        .count() should be < 200L
+      // and the shuffle is not the identity layout: within some shard,
+      // consecutive positions hold non-consecutive ids
+      val ids = a.filter($"shard" === 0).orderBy($"pos")
+        .select($"doc_id").as[Long].collect()
+      ids.sliding(2).exists(p => p(1) != p(0) + 1) shouldBe true
+    }
+    it("writeShuffledJsonl lays files out in manifest order") {
+      val dir = "/root/repo/target/test_shuffled_jsonl"
+      val docs = (1L to 60L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      Export.writeShuffledJsonl(docs, "doc_id", seed = 42L, nShards = 3,
+        path = dir)
+      val layout = Export.shuffledLayout(docs, "doc_id", seed = 42L,
+        nShards = 3)
+      (0 until 3).foreach { sh =>
+        // file line order == manifest pos order for this shard
+        val fileIds = spark.read
+          .json(s"$dir/shard=$sh")
+          .select(monotonically_increasing_id().as("line"), $"doc_id")
+          .orderBy($"line").select($"doc_id").as[Long].collect()
+        val want = layout.filter($"shard" === sh).orderBy($"pos")
+          .select($"doc_id").as[Long].collect()
+        fileIds shouldBe want
+      }
+    }
+  }
+
   describe("Export.writeSorted") {
     it("range-partitioned files concatenate to the total order") {
       val dir = "/root/repo/target/test_sorted"
