@@ -172,4 +172,65 @@ object Curation {
         col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
         col("score"))
   }
+
+  /** Corpus-trained bigram language-model scoring — the
+    * perplexity-filter step of web-crawl curation (CCNet filters on a
+    * KenLM score; with zero external models the honest form trains an
+    * add-α-smoothed bigram LM on the corpus ITSELF and scores each
+    * document's average negative log-likelihood under it: outlier
+    * docs — gibberish, wrong language, template noise — sit in the
+    * tails of the score distribution either way).
+    *
+    * Model: P(w2 | w1) = (c(w1 w2) + α) / (c(w1·) + α·V) with
+    * c(w1·) the history count (= Σ_w2 c(w1 w2), derived from the
+    * bigram counts — no separate unigram scan) and V the continuation
+    * vocabulary (distinct w2). Output per document:
+    * (idCol, n_bigrams, avg_nll) where avg_nll is the mean of
+    * -log2 P over the document's bigram occurrences; perplexity =
+    * 2^avg_nll. Documents with fewer than 2 tokens carry n_bigrams 0
+    * and null avg_nll (nothing to score — callers route them to the
+    * length filter instead).
+    *
+    * Scale (100 TB): the bigram stream is derived once behind a
+    * localCheckpoint and feeds training and scoring; counts never
+    * broadcast (vocabulary scales with the corpus) — scoring is two
+    * key joins, (w1,w2) then (w1), both AQE-skew-handled (the "the"
+    * history is a hot key); V is one scalar aggregate. All arithmetic
+    * is double with order-independent per-doc sums up to FP
+    * reassociation — cross-engine validation is tolerance-tier
+    * (tools/check.py), like the trig-based geo outputs.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val bigrams = df
+      .select(col(idCol), toks(col(textCol)).as("w"))
+      .select(col(idCol), explode(zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val biCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // history counts derived from the bigram counts (keys-only agg),
+    // not a second corpus pass
+    val histCounts = biCounts.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = biCounts.select(col("w2")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val scored = bigrams
+      .join(biCounts, Seq("w1", "w2"))
+      .join(histCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log2((col("c2") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("v")))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
+    // docs too short to form a bigram still get a row (n_bigrams 0)
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
 }

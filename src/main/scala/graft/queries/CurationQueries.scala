@@ -40,6 +40,16 @@ object CurationQueries {
         TextFns.wordCount(col("text")), nShards = 8, budget = 256)
     },
 
+    // H12 — corpus-trained bigram-LM scoring (the perplexity-filter
+    // step; self-trained, zero external models). [R] + local
+    // tolerance cross-check (tools/check.py): the per-doc avg of
+    // -log2 P sums doubles in engine-specific order, so it can never
+    // hash-match but rtol 1e-9 still validates the model arithmetic
+    // against DuckDB end to end.
+    "text_lm_score" -> { (s, dir) =>
+      Curation.lmScore(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // H11 — seeded deterministic corpus shuffle: the epoch-order
     // layout (id, shard, pos) from the engine-portable md5 shuffle
     // key. Any drift in the key recipe, sharding, or rank order

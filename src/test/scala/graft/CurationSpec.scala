@@ -129,6 +129,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("Curation.lmScore") {
+    it("scores in-distribution text lower than outlier text; shorts get null") {
+      // corpus dominated by one pattern + one gibberish outlier + one
+      // too-short doc: the outlier's bigrams are unseen (smoothed
+      // floor probability) so its avg_nll must exceed the pattern's
+      val docs = ((1L to 20L).map(i => (i, "the cat sat on the mat")) ++
+        Seq((100L, "zq xv qp zk wj"), (101L, "one"))).toDF("doc_id", "text")
+      val s = Curation.lmScore(docs, "doc_id", "text")
+      s.count() shouldBe 22
+      val short = s.filter($"doc_id" === 101L).head()
+      short.getLong(1) shouldBe 0L
+      short.isNullAt(2) shouldBe true
+      val pat = s.filter($"doc_id" === 1L).head().getDouble(2)
+      val out = s.filter($"doc_id" === 100L).head().getDouble(2)
+      out should be > pat
+      // perplexity of the dominant pattern is low (near-deterministic
+      // bigrams): avg_nll well under the uniform-over-vocab bound
+      pat should be < 3.0
+    }
+    it("is deterministic across evaluations") {
+      val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+      val a = Curation.lmScore(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      val b = Curation.lmScore(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      a shouldBe b
+    }
+  }
+
   describe("Export.shuffledLayout / writeShuffledJsonl") {
     it("is a deterministic permutation: seed-stable, seed-sensitive, dense pos") {
       val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")

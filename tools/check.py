@@ -122,6 +122,30 @@ TOLERANCE_ORACLES = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.embedding, b.embedding)
               / (a.nrm * b.nrm) >= 0.4""", 1e-5),
+    # corpus-trained bigram LM: per-doc avg of -log2 P sums doubles in
+    # engine-specific order (never hash-matchable); rtol validates the
+    # smoothed-model arithmetic end to end
+    "text_lm_score": ("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w[i.gs] AS w1, w[i.gs+1] AS w2
+          FROM toks, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(w) - 1, 0))) AS gs) i),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        hc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+        scored AS (
+          SELECT g.doc_id, -log2((c2 + 0.5) / (c1 + 0.5 * v.v)) AS nll
+          FROM bg g JOIN bc USING (w1, w2) JOIN hc USING (w1), v)
+        SELECT d.doc_id,
+          CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+          s.avg_nll
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n, avg(nll) AS avg_nll
+                   FROM scored GROUP BY 1) s USING (doc_id)""", 1e-9),
     # sketch estimates vs DuckDB's EXACT answers: HLL relative error is
     # ~2% at this cardinality and percentile_approx(accuracy=10000) is
     # near-exact, so a 10% band is a real check that the sketches
