@@ -669,6 +669,75 @@ object NativeKernels extends Serializable {
     h
   }
 
+  /** Rolling hashes of every k-token window (the cross-document
+    * exact-substring dedup signature, SURVEY §2 H13): token hash =
+    * [[fingerprint64]] of the token; window hash = two independent
+    * polynomial folds over the k token hashes (bases 10007/10009,
+    * mods 1e9+7/1e9+9) packed as `h1 * 1000000009 + h2` — a 60-bit
+    * engine-portable value the DuckDB oracle replays with
+    * `list_reduce` folds over the same token-hash list. Two moduli
+    * because one 30-bit space collides at corpus scale (birthday on
+    * ~1e9) while the product space (~1e18) does not. Output index i
+    * (0-based) is the window starting at token i; fewer than k tokens
+    * yields an empty array. Overflow-safe: every intermediate stays
+    * under 2^63 (max ~1.0009e13 inside the folds, ~1.0000000171e18
+    * for the packed value).
+    */
+  def spanHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = fingerprint64(tokens.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](m - k + 1)
+    var p = 0
+    while (p <= m - k) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = p
+      while (j < p + k) {
+        h1 = (h1 * 10007L + th(j)) % 1000000007L
+        h2 = (h2 * 10009L + th(j)) % 1000000009L
+        j += 1
+      }
+      out(p) = h1 * 1000000009L + h2
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Reassemble a token list with the closed index ranges
+    * [starts(i), ends(i)] removed, single-space joined (the span-trim
+    * step of exact-substring dedup). Intervals may overlap or exceed
+    * the token range in any order — coverage is marked on a boolean
+    * mask, so the result is order-insensitive and clamping is free.
+    * Every token covered yields the empty string (never null).
+    */
+  def removeTokenRanges(tokens: ArrayData, starts: ArrayData,
+      ends: ArrayData): UTF8String = {
+    val m = tokens.numElements()
+    val ni = starts.numElements()
+    val covered = new Array[Boolean](m)
+    var i = 0
+    while (i < ni) {
+      var p = math.max(0L, starts.getLong(i)).toInt
+      val e = math.min(m - 1L, ends.getLong(i)).toInt
+      while (p <= e) { covered(p) = true; p += 1 }
+      i += 1
+    }
+    var kept = 0
+    i = 0
+    while (i < m) { if (!covered(i)) kept += 1; i += 1 }
+    val parts = new Array[UTF8String](kept)
+    var o = 0
+    i = 0
+    while (i < m) {
+      if (!covered(i)) { parts(o) = tokens.getUTF8String(i); o += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(SpaceDelim, parts: _*)
+  }
+
   // ---- Geo ---------------------------------------------------------
 
   /** Even-odd ray casting over a ring of struct(x,y) — one native loop
@@ -953,6 +1022,18 @@ object NativeKernels extends Serializable {
 
   def fingerprint64Col(text: Column): Column =
     invoke("fingerprint64", LongType, Seq(text), Seq(StringType))
+
+  def spanHashesCol(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"spanHashes: k must be >= 1, got $k")
+    invoke("spanHashes", ArrayType(LongType, containsNull = false),
+      Seq(tokens, org.apache.spark.sql.functions.lit(k)),
+      Seq(ArrayType(StringType), IntegerType))
+  }
+
+  def removeTokenRangesCol(tokens: Column, starts: Column,
+      ends: Column): Column =
+    invoke("removeTokenRanges", StringType, Seq(tokens, starts, ends),
+      Seq(ArrayType(StringType), ArrayType(LongType), ArrayType(LongType)))
 
   def tokenSegmentsCol(text: Column, k: Int): Column = {
     require(k >= 1, s"tokenSegments: k must be >= 1, got $k")

@@ -233,4 +233,111 @@ object Curation {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_nll"))
   }
+
+  // ---- Cross-document exact-substring dedup (H13) ------------------
+  // The ExactSubstr pass of "Deduplicating Training Data Makes
+  // Language Models Better" (Lee et al. 2021): find maximal runs of
+  // >= k consecutive tokens shared verbatim BETWEEN documents, then
+  // excise the duplicated span from the later document. Differs from
+  // ngramJaccard (set overlap, no positions) and MinHash (similarity,
+  // not containment): a page quoting 200 tokens of another page is
+  // caught here even when overall Jaccard is tiny.
+
+  /** Rolling k-token window hashes of a text column, 0-indexed by
+    * window start ([[graft.expressions.NativeKernels.spanHashes]] —
+    * engine-portable double polynomial fold the oracle replays).
+    */
+  def spanHashes(text: Column, k: Int): Column =
+    graft.expressions.NativeKernels.spanHashesCol(toks(text), k)
+
+  /** Declarative reference form of [[spanHashes]] (spec parity). */
+  def spanHashesReference(text: Column, k: Int): Column = {
+    val th = transform(toks(text),
+      t => graft.functions.TextFns.fingerprintReference(t))
+    when(size(th) < k, typedLit(Array.empty[Long]))
+      .otherwise(transform(sequence(lit(1), size(th) - (k - 1)), i =>
+        aggregate(slice(th, i, lit(k)), lit(0L),
+          (h, t) => (h * lit(10007L) + t) % lit(1000000007L))
+          * lit(1000000009L)
+          + aggregate(slice(th, i, lit(k)), lit(0L),
+            (h, t) => (h * lit(10009L) + t) % lit(1000000009L))))
+  }
+
+  /** Maximal cross-document shared token runs: every (id1 < id2) pair
+    * of documents sharing >= k consecutive tokens, one row per
+    * maximal run — (id1, id2, start1, start2, len_tokens), 0-based
+    * token offsets. Runs below `minLen` tokens are dropped.
+    *
+    * Shape: one corpus scan emits (doc, pos, window-hash) triples;
+    * window hashes occurring in > `maxPostings` positions corpus-wide
+    * are dropped as boilerplate BEFORE the self-join (the skew guard —
+    * a ubiquitous k-gram would otherwise square; the filter set is
+    * tiny and the semi-join broadcasts under AQE), as are singleton
+    * hashes (nothing to pair with). The self-join on the 8-byte hash
+    * yields positional matches; consecutive matches on one diagonal
+    * (pos2 - pos1 constant) collapse to maximal runs with the
+    * gaps-and-islands trick (pos1 - row_number is constant within a
+    * run), and the run aggregation reuses the window's partitioning —
+    * (id1,id2,d) hash-satisfies the (id1,id2,d,grp) clustering, so
+    * detection costs the window sort's exchange, not two.
+    *
+    * Scale (100 TB): the exchanges carry (8-byte hash, id, pos)
+    * triples — never text; candidate volume is bounded by true
+    * sharing plus ~n²/2^60 hash collisions (two independent 30-bit
+    * folds — see the kernel's Scaladoc); the posting cap bounds the
+    * worst key. Ids must cast to long.
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minLen: Int = 8, maxPostings: Int = 1000): DataFrame = {
+    require(minLen >= k, s"sharedSpans: minLen ($minLen) < k ($k)")
+    val wins = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(spanHashes(col(textCol), k)).as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
+    val ok = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= maxPostings)
+      .select("wh")
+    val w2 = wins.join(ok, Seq("wh"), "left_semi")
+    val m = w2.as("a").join(w2.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.pos").as("pos1"), col("b.pos").as("pos2"))
+    m.withColumn("d", col("pos2") - col("pos1"))
+      .withColumn("grp", col("pos1") - row_number().over(
+        Window.partitionBy("id1", "id2", "d").orderBy("pos1")))
+      .groupBy("id1", "id2", "d", "grp")
+      .agg(min("pos1").as("start1"), min("pos2").as("start2"),
+        (count(lit(1)) + lit(k - 1)).cast("long").as("len_tokens"))
+      .filter(col("len_tokens") >= minLen)
+      .select("id1", "id2", "start1", "start2", "len_tokens")
+  }
+
+  /** Excise cross-document duplicated spans: for every shared run
+    * found by [[sharedSpans]] (>= `minLen` tokens), the HIGHER-id
+    * document loses the covered token range (the first occurrence —
+    * lowest id — survives verbatim, the keep-first contract of exact
+    * dedup). Returns (idCol, text): untouched documents keep their
+    * original text byte-for-byte; trimmed documents are reassembled
+    * from surviving tokens single-space joined (a doc whose every
+    * token was duplicated keeps an empty string, never null).
+    *
+    * The per-doc interval set is run-count-sized (collect_list is
+    * bounded by the doc's own shared runs); overlap merging and token
+    * excision run in one native kernel pass
+    * ([[graft.expressions.NativeKernels.removeTokenRanges]]); the
+    * corpus pays one left join against the tiny trimmed-doc set.
+    */
+  def trimSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minLen: Int = 20, maxPostings: Int = 1000): DataFrame = {
+    val iv = sharedSpans(df, idCol, textCol, k, minLen, maxPostings)
+      .select(col("id2").as("__doc"), col("start2").as("s"),
+        (col("start2") + col("len_tokens") - 1).as("e"))
+      .groupBy("__doc")
+      .agg(collect_list(col("s")).as("ss"), collect_list(col("e")).as("es"))
+    df.join(iv, df(idCol).cast("long") === iv("__doc"), "left")
+      .select(col(idCol),
+        when(col("__doc").isNull, col(textCol))
+          .otherwise(graft.expressions.NativeKernels.removeTokenRangesCol(
+            toks(col(textCol)), col("ss"), col("es")))
+          .as(textCol))
+  }
 }

@@ -59,6 +59,23 @@ object CurationQueries {
         seed = 42L, nShards = 8)
     },
 
+    // H13 — cross-document exact-substring dedup (detection): maximal
+    // runs of >= 8 consecutive tokens shared verbatim between two
+    // docs, with 0-based token offsets in both. The oracle replays
+    // the engine-portable double rolling hash and the same
+    // diagonal-streak collapse.
+    "dedup_spans" -> { (s, dir) =>
+      Curation.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, minLen = 8, maxPostings = 1000)
+    },
+
+    // H13b — the trim: every >= 20-token shared run is excised from
+    // the higher-id doc (keep-first), untouched docs byte-identical.
+    "text_span_trim" -> { (s, dir) =>
+      Curation.trimSharedSpans(Tables.documents(s, dir), "doc_id",
+        "text", k = 8, minLen = 20, maxPostings = 1000)
+    },
+
     // H4 — bloom-pruned membership: which probe keys already exist in
     // the base (orders) table. Keys ≡ 0 (mod 3) are shifted out of
     // the key space, so the batch mixes definite-new keys (the bloom
@@ -110,7 +127,86 @@ object CurationQueries {
     }
   )
 
+  /** Shared CTE prefix for the H13 oracles: per-token fingerprint
+    * hashes, k=8 rolling window hashes (the kernel's exact double
+    * fold), posting-cap filter, positional self-join, and the
+    * diagonal-streak collapse to maximal runs.
+    */
+  private val spanRunsCte: String =
+    """WITH th AS (
+      |  SELECT doc_id, list_transform(
+      |    list_filter(string_split(text, ' '), t -> len(t) > 0), t ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(
+      |          regexp_replace(t, '[^ -~]', '', 'g'), '.'),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (h, c) -> (h * 131 + c) % 1000000007)) AS hs
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(len(hs) - 7, 0))) AS pos,
+      |    unnest(list_transform(range(1, greatest(len(hs) - 6, 1)), i ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+      |        (h, t) -> (h * 10007 + t) % 1000000007) * 1000000009
+      |      + list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+      |        (h, t) -> (h * 10009 + t) % 1000000009))) AS wh
+      |  FROM th),
+      |ok AS (SELECT wh FROM wins GROUP BY wh
+      |       HAVING count(*) BETWEEN 2 AND 1000),
+      |w2 AS (SELECT w.* FROM wins w SEMI JOIN ok USING (wh)),
+      |m AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    a.pos AS pos1, b.pos AS pos2
+      |  FROM w2 a JOIN w2 b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      |spans AS (
+      |  SELECT id1, id2, min(pos1) AS start1, min(pos2) AS start2,
+      |    CAST(count(*) + 7 AS BIGINT) AS len_tokens
+      |  FROM (
+      |    SELECT id1, id2, pos2 - pos1 AS d,
+      |      pos1 - row_number() OVER
+      |        (PARTITION BY id1, id2, pos2 - pos1 ORDER BY pos1) AS grp,
+      |      pos1, pos2
+      |    FROM m)
+      |  GROUP BY id1, id2, d, grp)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> (spanRunsCte +
+      "\nSELECT id1, id2, start1, start2, len_tokens FROM spans"),
+    "text_span_trim" -> (spanRunsCte + """,
+      |iv AS (
+      |  SELECT id2 AS doc_id, start2 AS s, start2 + len_tokens - 1 AS e
+      |  FROM spans WHERE len_tokens >= 20),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM iv),
+      |merged AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e FROM (
+      |    SELECT doc_id, s, e,
+      |      sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+      |    FROM isl) GROUP BY doc_id, g),
+      |tokpos AS (
+      |  SELECT d.doc_id, unnest(range(0, len(tk))) AS pos,
+      |    unnest(tk) AS tok
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      |        FROM documents) d
+      |  SEMI JOIN (SELECT DISTINCT doc_id FROM merged) md USING (doc_id)),
+      |trimmed AS (
+      |  SELECT t.doc_id,
+      |    coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+      |      FILTER (WHERE mg.doc_id IS NULL), '') AS newtext
+      |  FROM tokpos t LEFT JOIN merged mg
+      |    ON t.doc_id = mg.doc_id AND t.pos BETWEEN mg.s AND mg.e
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN tr.doc_id IS NOT NULL THEN tr.newtext ELSE d.text END
+      |    AS text
+      |FROM documents d LEFT JOIN trimmed tr USING (doc_id)""".stripMargin),
     // segment matching joins on xxhash64 on the Spark side and on the
     // segment STRING here — identical modulo 64-bit collisions (the
     // dedup_jaccard hash-join contract).

@@ -129,6 +129,68 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("Curation.sharedSpans / trimSharedSpans (H13)") {
+    // A and B share the 5-token run S1..S5 at offsets 3 and 2; C is
+    // that run verbatim plus a tail; D is all-shared; E is untouched.
+    val corpus = Seq(
+      (1L, "a1 a2 a3 S1 S2 S3 S4 S5 b1 b2"),
+      (2L, "c1 c2 S1 S2 S3 S4 S5 d1"),
+      (3L, "S1 S2 S3 S4 S5 e1"),
+      (4L, "S1 S2 S3 S4 S5"),
+      (5L, "u1  u2 unrelated tokens entirely"))
+
+    it("finds each maximal cross-doc run with exact offsets and length") {
+      val runs = Curation.sharedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, minLen = 3, maxPostings = 100)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      runs should contain((1L, 2L, 3L, 2L, 5L))
+      runs should contain((1L, 3L, 3L, 0L, 5L))
+      runs should contain((1L, 4L, 3L, 0L, 5L))
+      runs should contain((2L, 3L, 2L, 0L, 5L))
+      runs should contain((3L, 4L, 0L, 0L, 5L))
+      // doc 5 shares nothing
+      runs.exists(r => r._1 == 5L || r._2 == 5L) shouldBe false
+    }
+
+    it("reports two separate runs in one pair as two rows") {
+      val two = Seq(
+        (1L, "X1 X2 X3 m1 m2 m3 Y1 Y2 Y3"),
+        (2L, "X1 X2 X3 n1 n2 Y1 Y2 Y3")).toDF("doc_id", "text")
+      val runs = Curation.sharedSpans(two, "doc_id", "text",
+        k = 3, minLen = 3, maxPostings = 100)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      runs shouldBe Set((1L, 2L, 0L, 0L, 3L), (1L, 2L, 6L, 5L, 3L))
+    }
+
+    it("drops windows above the posting cap (boilerplate guard)") {
+      val runs = Curation.sharedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, minLen = 3, maxPostings = 2)
+      // the S1..S5 windows occur in 4 docs (> cap) — nothing pairs
+      runs.count() shouldBe 0L
+    }
+
+    it("trims the higher-id doc, keeps first occurrence and untouched docs byte-identical") {
+      val out = Curation.trimSharedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, minLen = 5, maxPostings = 100)
+        .as[(Long, String)].collect().toMap
+      out(1L) shouldBe "a1 a2 a3 S1 S2 S3 S4 S5 b1 b2" // first occurrence
+      out(2L) shouldBe "c1 c2 d1"
+      out(3L) shouldBe "e1" // overlapping intervals from docs 1+2 merged
+      out(4L) shouldBe "" // fully covered, empty not null
+      out(5L) shouldBe "u1  u2 unrelated tokens entirely" // verbatim
+    }
+
+    it("native spanHashes kernel matches the declarative reference") {
+      val texts = Seq("a b c d e f g", "a  b   c d", "", "   ", "one two",
+        "á é multi ßyte tokens here", "x y z", "w1 w2 w3 w1 w2 w3 w1")
+      val mismatches = texts.toDF("t").select(
+        Curation.spanHashes($"t", 3).as("k"),
+        Curation.spanHashesReference($"t", 3).as("r"))
+        .filter(!($"k" <=> $"r")).count()
+      mismatches shouldBe 0
+    }
+  }
+
   describe("Curation.lmScore") {
     it("scores in-distribution text lower than outlier text; shorts get null") {
       // corpus dominated by one pattern + one gibberish outlier + one
