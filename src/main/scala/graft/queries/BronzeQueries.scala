@@ -271,6 +271,31 @@ object BronzeQueries {
           exactSum(col("o_totalprice")).as("sum_price"))
     },
 
+    // G25b — row-level DELETE as DELETION VECTORS (merge-on-read): two
+    // chained dv commits mark positions in sidecars — no data file is
+    // rewritten — and the read drops them; the aggregate equals the
+    // doubly-NOT-filtered source. Chained vectors, the position
+    // anti-join, and rowCount's subtraction all sit under this gate.
+    "lake_delete_dv" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "delete_dv")
+      graft.sources.AtomicLake.deleteWhereDV(s, scratch)(
+        col("o_orderkey") % 11 === 0 &&
+          col("o_orderdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1996-07-01 00:00:00").cast("timestamp"))
+      graft.sources.AtomicLake.deleteWhereDV(s, scratch)(
+        col("o_orderkey") % 3 === 0 &&
+          col("o_orderdate") >=
+            lit("1996-04-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1996-10-01 00:00:00").cast("timestamp"))
+      graft.sources.AtomicLake.read(s, scratch)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
     // G26 — keyed MERGE (upsert), copy-on-write: every 50th order key
     // gets an updated row (price doubled) and a shifted-key sibling
     // gets inserted; the merged lake is aggregated by month. The
@@ -474,6 +499,19 @@ object BronzeQueries {
         |WHERE NOT (o_orderkey % 7 = 0
         |  AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+    "lake_delete_dv" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 11 = 0
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
+        |AND NOT (o_orderkey % 3 = 0
+        |  AND o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
         |GROUP BY 1""".stripMargin,
     "lake_merge_upsert" ->
       """WITH hit AS (

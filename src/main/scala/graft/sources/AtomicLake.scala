@@ -77,7 +77,24 @@ object AtomicLake {
       // commit wall-clock (epoch millis); None on manifests written
       // before the header existed. Informational + timestampAsOf
       // resolution — never part of correctness
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      // deletion vectors (merge-on-read DELETE): file -> its chain of
+      // position-sidecar paths + total deleted-row count. A file with
+      // an entry here still holds its original bytes; readers drop
+      // the listed row positions ([[readFileSubset]]). Absent for
+      // files with no row-level deletes; cleared when the file is
+      // rewritten (COW delete/merge/compaction/[[purgeDeletes]])
+      dvs: Map[String, DvRef] = Map.empty)
+
+  /** A file's deletion-vector reference: `paths` are position
+    * sidecars (parquet dirs of (file, pos) rows, lake-root-relative —
+    * absolute only when a shallow clone references the source's), the
+    * file's deleted positions being the union across the chain
+    * (append-only — each [[deleteWhereDV]] adds one link; rewrites
+    * clear the whole chain); `n` is the total deleted-row count
+    * (drives [[rowCount]] without opening a sidecar).
+    */
+  final case class DvRef(paths: Seq[String], n: Long)
 
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
@@ -130,21 +147,34 @@ object AtomicLake {
       case _ => headers = false
     }
     val fileLines = rest
-    // part \t file [\t statsJson] — the third field is optional, so
-    // pre-stats manifests parse unchanged (and never prune)
+    // part \t file [\t statsJson [\t dvField]] — fields 3/4 optional
+    // (pre-stats and pre-DV manifests parse unchanged); a file with a
+    // deletion vector but no stats writes an EMPTY third field so the
+    // dv field keeps its position. dvField = "dv:<n>:<p1>[,<p2>...]"
     val parsed = fileLines.filter(_.nonEmpty).map { l =>
-      l.split("\t", 3) match {
-        case Array(part, file) => (part, file, None)
+      l.split("\t", 4) match {
+        case Array(part, file) =>
+          (part, file, None, None)
         case Array(part, file, json) =>
-          (part, file, LakeStats.fromJson(json))
+          (part, file, LakeStats.fromJson(json), None)
+        case Array(part, file, json, dvField) =>
+          val dv = dvField.split(":", 3) match {
+            case Array("dv", n, paths) =>
+              Some(DvRef(paths.split(",").toSeq, n.toLong))
+            case _ => None
+          }
+          (part, file,
+            if (json.isEmpty) None else LakeStats.fromJson(json), dv)
       }
     }
     val files = parsed.groupBy(_._1)
       .map { case (p, fs) => p -> fs.map(_._2) }
     val stats = parsed.iterator
-      .flatMap { case (_, f, st) => st.map(f -> _) }.toMap
+      .flatMap { case (_, f, st, _) => st.map(f -> _) }.toMap
+    val dvs = parsed.iterator
+      .flatMap { case (_, f, _, dv) => dv.map(f -> _) }.toMap
     Snapshot(v, partitionCols, files, schema, kind, stats, constraints,
-      ts)
+      ts, dvs)
   }
 
   /** The committed schema after applying `batch` on top of `base`:
@@ -336,7 +366,19 @@ object AtomicLake {
       // the previous snapshot's (restore: rolling back must shed a
       // column added after the target version, where the evolution
       // merge would keep it)
-      schemaOverride: Boolean = false): Long = {
+      schemaOverride: Boolean = false,
+      // deletion-vector updates: file -> new DvRef to SET on that
+      // file's line (deleteWhereDV). Keys must still be present in
+      // the snapshot the commit lands on, with the SAME DvRef the
+      // caller derived from (expectedBase) — a concurrent rewrite or
+      // dv commit on one of them means the caller's position set was
+      // computed against stale data
+      newDvs: Map[String, DvRef] = Map.empty,
+      // Some = this commit SETS the table's whole dv map (restore
+      // rolls dv state back with the file list; clone absolutizes);
+      // None = carry the previous snapshot's entries for surviving
+      // files, overlaid with newDvs
+      dvOverride: Option[Map[String, DvRef]] = None): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -356,6 +398,30 @@ object AtomicLake {
           throw new java.util.ConcurrentModificationException(
             s"partition $p changed (v${base.version} -> v${cur.version}) " +
               "since this rewrite read it; re-run against the new snapshot")
+      // deletion-vector conflicts: a rewrite/dv commit derived its row
+      // set from expectedBase's dv state — if a concurrent dv commit
+      // changed any file it read (rewrites: removeFiles + touched
+      // partitions; dv commits: newDvs keys), committing would
+      // resurrect the concurrently-deleted rows (or drop the
+      // concurrent writer's positions)
+      for (base <- expectedBase; cur <- prev) {
+        val watched = newDvs.keySet ++ removeFiles ++
+          touched.flatMap(p => base.files.getOrElse(p, Nil))
+        for (f <- watched if cur.dvs.get(f) != base.dvs.get(f))
+          throw new java.util.ConcurrentModificationException(
+            s"deletion vector of $f changed (v${base.version} -> " +
+              s"v${cur.version}) since this rewrite read it; re-run " +
+              "against the new snapshot")
+      }
+      if (newDvs.nonEmpty) {
+        val present =
+          prev.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
+        val gone = newDvs.keySet -- present
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"${gone.size} file(s) this dv commit read were replaced " +
+              s"since (e.g. ${gone.head}); re-run against the new snapshot")
+      }
       val version = prev.map(_.version + 1).getOrElse(1L)
       val effectiveTouched =
         if (replaceAll) prev.map(_.files.keySet).getOrElse(Set.empty) ++
@@ -404,10 +470,21 @@ object AtomicLake {
       // new files bring theirs — a file's zone map never changes
       // after the immutable file is written
       val statsByFile = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
+      // dv refs ride the file line: surviving files keep theirs,
+      // newDvs overlays (a dv commit extends a file's chain), and a
+      // file absent from `merged` (rewritten/removed) sheds its entry
+      // by construction
+      val dvByFile = dvOverride.getOrElse(
+        prev.map(_.dvs).getOrElse(Map.empty) ++ newDvs)
       for ((p, fs) <- merged.toSeq.sortBy(_._1); f <- fs.sorted) {
         body.append(p).append('\t').append(f)
-        statsByFile.get(f).foreach(s =>
-          body.append('\t').append(LakeStats.toJson(s)))
+        val st = statsByFile.get(f)
+        st.foreach(s => body.append('\t').append(LakeStats.toJson(s)))
+        dvByFile.get(f).foreach { dv =>
+          if (st.isEmpty) body.append('\t') // keep the dv field fourth
+          body.append('\t').append("dv:").append(dv.n).append(':')
+            .append(dv.paths.mkString(","))
+        }
         body.append('\n')
       }
       if (store.tryCommit(root, version, body.toString))
@@ -717,6 +794,121 @@ object AtomicLake {
     retryRewrite(() =>
       deleteWhereOnce(spark, root, filesPerPartition, store)(predicate))
 
+  /** Row-level DELETE as a deletion-vector (merge-on-read) commit —
+    * the Delta/Iceberg "deletion vectors" mode: instead of rewriting
+    * every file holding a matching row ([[deleteWhere]]'s
+    * copy-on-write), ONE position sidecar records the matched
+    * (file, row-position) pairs and the commit attaches it to the
+    * touched files' manifest lines. No data file is rewritten — a
+    * delete of 100 rows spread over 100 large files costs one small
+    * sidecar write instead of 100 file rewrites — and every read path
+    * (read/scan/time travel/SQL relation/CDC sides) drops the listed
+    * positions via [[readFileSubset]].
+    *
+    * The matched positions are computed through the DV-AWARE read, so
+    * already-deleted rows never re-match: each commit's sidecar holds
+    * only NEWLY deleted positions and a file's chain of sidecars is
+    * disjoint by construction (`DvRef.n` is exact). Repeated deletes
+    * extend the chain; read cost grows with total deleted positions,
+    * so the steady state wants [[purgeDeletes]] (materialize + drop)
+    * once vectors accumulate — write amplification moves to the
+    * MAINTENANCE job, exactly Delta's DV contract.
+    *
+    * Concurrency: the commit verifies (against the snapshot the
+    * positions were derived from) that no touched file was replaced
+    * AND no touched file's dv changed — either aborts with
+    * ConcurrentModificationException and the bounded retry re-derives.
+    * No matching rows → NO commit.
+    */
+  def deleteWhereDV(spark: SparkSession, root: String,
+      store: CommitStore = HardlinkCommitStore)(
+      predicate: Column): Rewrite =
+    retryRewrite(() => deleteWhereDVOnce(spark, root, store)(predicate))
+
+  private def deleteWhereDVOnce(spark: SparkSession, root: String,
+      store: CommitStore)(predicate: Column): Rewrite = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val candidates = LakeStats.survivors(snap,
+      Seq(org.apache.spark.sql.classic.GraftExprBridge
+        .expression(predicate)))
+    if (candidates.isEmpty) return Rewrite(snap.version, 0L, 0)
+    // uri -> manifest path, so the sidecar stores the key every
+    // future reader translates back ([[dropDeleted]])
+    val uriToRel = candidates.map(f => metaUri(root, f) -> f).toMap
+    import spark.implicits._
+    val uriDf = uriToRel.toSeq.toDF("_uri", "file")
+    // ONE scan of the candidate files (pinned): matched positions are
+    // deleted-row-count-sized — the checkpoint feeds the tally and
+    // the sidecar write without re-scanning the data
+    val matched = readFileSubsetPos(spark, root, candidates, snap)
+      .filter(predicate)
+      .select(metaUriNorm(col("_graft_file")).as("_uri"),
+        col("_graft_pos").as("pos"))
+      .join(org.apache.spark.sql.functions.broadcast(uriDf), Seq("_uri"))
+      .select(col("file"), col("pos"))
+      .localCheckpoint()
+    val tally = matched.groupBy(col("file"))
+      .agg(count(lit(1)).as("n")).collect()
+    if (tally.isEmpty) return Rewrite(snap.version, 0L, 0)
+    val dvRel = s"dv/dv-${java.util.UUID.randomUUID().toString}"
+    matched.write.parquet(Paths.get(root).resolve(dvRel).toString)
+    val newDvs = tally.map { r =>
+      val f = r.getString(0)
+      val n = r.getLong(1)
+      f -> (snap.dvs.get(f) match {
+        case Some(old) => DvRef(old.paths :+ dvRel, old.n + n)
+        case None => DvRef(Seq(dvRel), n)
+      })
+    }.toMap
+    val v = commitReplacing(root, Set.empty, Map.empty,
+      snap.partitionCols, expectedBase = Some(snap), store = store,
+      kind = "dv", newDvs = newDvs)
+    Rewrite(v, tally.map(_.getLong(1)).sum, 0)
+  }
+
+  /** Materialize every deletion vector: files carrying a dv are
+    * rewritten WITHOUT their deleted rows (one dv-aware read of
+    * exactly those files) and swapped in one atomic `kind=compact`
+    * commit — no logical change, so streams and CDC consumers skip it
+    * — shedding the whole dv chain. The maintenance half of the DV
+    * contract: deletes are O(positions) at write time, this is where
+    * the rewrite cost is actually paid, batched and backlog-
+    * proportional (only dv'd files rewrite). Orphaned sidecars age
+    * out through [[vacuum]]. No deletion vectors → no commit.
+    */
+  def purgeDeletes(spark: SparkSession, root: String,
+      filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Rewrite =
+    retryRewrite(() =>
+      purgeDeletesOnce(spark, root, filesPerPartition, store))
+
+  private def purgeDeletesOnce(spark: SparkSession, root: String,
+      filesPerPartition: Int, store: CommitStore): Rewrite = {
+      val snap = currentSnapshot(root, store).getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val dvd = snap.dvs.keys.toSeq.sorted
+      if (dvd.isEmpty) return Rewrite(snap.version, 0L, 0)
+      val survivors = readFileSubset(spark, root, dvd, snap)
+      val staged = stageFiles(survivors, root, snap.partitionCols,
+        filesPerPartition)
+      // a fully-deleted rewrite leaves Spark's zero-row placeholder —
+      // drop it like deleteWhere does
+      val empties = staged.stats.collect {
+        case (f, st) if st.rows == 0L => f
+      }.toSet
+      val kept = staged.files.map { case (p, fs) =>
+        p -> fs.filterNot(empties)
+      }.filter(_._2.nonEmpty)
+      empties.foreach(f =>
+        Files.deleteIfExists(Paths.get(root).resolve(f)))
+      val v = commitReplacing(root, Set.empty, kept, snap.partitionCols,
+        expectedBase = Some(snap), store = store, kind = "compact",
+        newStats = staged.stats -- empties, removeFiles = dvd.toSet)
+      Rewrite(v, snap.dvs.values.map(_.n).sum, dvd.size)
+    }
+
   private def deleteWhereOnce(spark: SparkSession, root: String,
       filesPerPartition: Int,
       store: CommitStore)(
@@ -754,7 +946,7 @@ object AtomicLake {
     empties.foreach(f =>
       Files.deleteIfExists(Paths.get(root).resolve(f)))
     val v = commitReplacing(root, Set.empty, kept,
-      snap.partitionCols, store = store,
+      snap.partitionCols, expectedBase = Some(snap), store = store,
       newStats = staged.stats -- empties, removeFiles = dirty.toSet)
     Rewrite(v, matched, dirty.size)
   }
@@ -878,7 +1070,8 @@ object AtomicLake {
     val staged = stageFiles(survivors, root, snap.partitionCols,
       filesPerPartition)
     val v = commitReplacing(root, Set.empty, staged.files,
-      snap.partitionCols, batchSchema = Some(src.schema), store = store,
+      snap.partitionCols, expectedBase = Some(snap),
+      batchSchema = Some(src.schema), store = store,
       newStats = staged.stats, removeFiles = dirty.toSet)
     Rewrite(v, matched, dirty.size)
   }
@@ -993,7 +1186,10 @@ object AtomicLake {
       throw new IllegalStateException(s"no commits at $root"))
     val files = snap.files.values.flatten.toSeq
     if (files.forall(snap.stats.contains))
-      Some(files.map(snap.stats(_).rows).sum)
+      // deletion vectors subtract exactly (DvRef.n counts distinct
+      // positions — the dv-aware match can never double-delete)
+      Some(files.map(snap.stats(_).rows).sum -
+        snap.dvs.values.map(_.n).sum)
     else None
   }
 
@@ -1017,7 +1213,11 @@ object AtomicLake {
     commitReplacing(root, Set.empty, target.files, target.partitionCols,
       batchSchema = target.schema, store = store, kind = "restore",
       newStats = target.stats, replaceAll = true,
-      schemaOverride = true)
+      schemaOverride = true,
+      // deletion-vector state rolls back WITH the file list: a file
+      // dv'd after toVersion reads whole again (CDC reports the
+      // resurrected rows), one purged after it gets its vector back
+      dvOverride = Some(target.dvs))
   }
 
   /** SHALLOW CLONE (Delta's CLONE ... SHALLOW): commit a manifest at
@@ -1052,9 +1252,19 @@ object AtomicLake {
     val absStats = snap.stats.map { case (f, st) =>
       Paths.get(srcRoot).resolve(f).normalize().toString -> st
     }
+    // deletion vectors carry over with both sides absolutized: the
+    // file KEY matches the clone's manifest line; the sidecar PATHS
+    // resolve into the source lake (zero-copy, like the data files).
+    // dropDeleted's translation still matches source-written sidecar
+    // content (stored source-relative) via the derived-relative form.
+    val absDvs = snap.dvs.map { case (f, dv) =>
+      Paths.get(srcRoot).resolve(f).normalize().toString ->
+        DvRef(dv.paths.map(pp =>
+          Paths.get(srcRoot).resolve(pp).normalize().toString), dv.n)
+    }
     commitReplacing(dstRoot, Set.empty, absFiles, snap.partitionCols,
       batchSchema = snap.schema, store = store, kind = "clone",
-      newStats = absStats,
+      newStats = absStats, dvOverride = Some(absDvs),
       // the clone IS the table, contract included: writes against it
       // must satisfy the same CHECK constraints (Delta CLONE copies
       // table properties the same way)
@@ -1085,6 +1295,21 @@ object AtomicLake {
     * THAT lake's `data/`. Spark's partition-dir column recovery needs
     * the matching basePath per group.
     */
+  /** The canonical single-slash URI form for joining against
+    * `_metadata.file_path` (which Hadoop reports as "file:/x/y" where
+    * `Path.toUri` says "file:///x/y"). Data-side values normalize to
+    * this form with [[metaUriNorm]].
+    */
+  private def metaUri(root: String, f: String): String =
+    "file:" + Paths.get(root).resolve(f).normalize().toString
+
+  /** Normalize a `_metadata.file_path` column to [[metaUri]]'s form
+    * (idempotent: single-slash values pass through).
+    */
+  private def metaUriNorm(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(c,
+      "^file:///", "file:/")
+
   private def baseOf(root: String, f: String): String =
     if (!Paths.get(f).isAbsolute) dataDir(root).toString
     else {
@@ -1100,32 +1325,122 @@ object AtomicLake {
     * basePath its partition directories resolve against.
     */
   private[graft] def readFileSubset(spark: SparkSession, root: String,
-      files: Seq[String], snap: Snapshot): DataFrame = {
-    val groups = files.sorted.groupBy(baseOf(root, _))
-    val frames = groups.toSeq.sortBy(_._1).map { case (base, fs) =>
-      val paths = fs.map(f => Paths.get(root).resolve(f).toString)
-      val reader = spark.read.option("basePath", base)
-      snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
-    }
-    frames.reduce(_.unionByName(_))
-  }
+      files: Seq[String], snap: Snapshot): DataFrame =
+    readSubset(spark, root, files, snap, keep = Nil)
 
   /** [[readFileSubset]] with each row tagged by its file's path in a
-    * `_graft_file` column. The metadata column must be materialized
-    * PER GROUP: `_metadata` does not resolve above the union a
-    * mixed-data-plane (shallow-clone) read produces.
+    * `_graft_file` column.
     */
   private def readFileSubsetTagged(spark: SparkSession, root: String,
-      files: Seq[String], snap: Snapshot): DataFrame = {
+      files: Seq[String], snap: Snapshot): DataFrame =
+    readSubset(spark, root, files, snap, keep = Seq("_graft_file"))
+
+  /** [[readFileSubsetTagged]] plus each row's in-file position as
+    * `_graft_pos` (deletion-vector writes address rows by it).
+    */
+  private def readFileSubsetPos(spark: SparkSession, root: String,
+      files: Seq[String], snap: Snapshot): DataFrame =
+    readSubset(spark, root, files, snap,
+      keep = Seq("_graft_file", "_graft_pos"))
+
+  /** The one physical read: per-data-plane parquet groups under the
+    * snapshot's schema, deletion vectors applied (files with a dv
+    * entry lose their deleted positions via a position anti-join —
+    * the dv side is deleted-row-count-sized and broadcasts), then the
+    * helper columns not in `keep` dropped. The metadata column must
+    * be materialized PER GROUP: `_metadata` does not resolve above
+    * the union a mixed-data-plane (shallow-clone) read produces.
+    */
+  private def readSubset(spark: SparkSession, root: String,
+      files: Seq[String], snap: Snapshot, keep: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val groups = files.sorted.groupBy(baseOf(root, _))
-    val frames = groups.toSeq.sortBy(_._1).map { case (base, fs) =>
-      val paths = fs.map(f => Paths.get(root).resolve(f).toString)
-      val reader = spark.read.option("basePath", base)
-      snap.schema.fold(reader)(reader.schema(_)).parquet(paths: _*)
-        .withColumn("_graft_file", col("_metadata.file_path"))
+    val (dvd, plain) = files.sorted.partition(snap.dvs.contains)
+    def grouped(fs: Seq[String], meta: Boolean): DataFrame = {
+      val groups = fs.groupBy(baseOf(root, _))
+      groups.toSeq.sortBy(_._1).map { case (base, gfs) =>
+        val paths = gfs.map(f => Paths.get(root).resolve(f).toString)
+        val reader = spark.read.option("basePath", base)
+        val df = snap.schema.fold(reader)(reader.schema(_))
+          .parquet(paths: _*)
+        if (meta)
+          df.withColumn("_graft_file", col("_metadata.file_path"))
+            .withColumn("_graft_pos", col("_metadata.row_index"))
+        else df
+      }.reduce(_.unionByName(_))
     }
-    frames.reduce(_.unionByName(_))
+    def trim(df: DataFrame): DataFrame =
+      Seq("_graft_file", "_graft_pos").diff(keep).foldLeft(df)(_.drop(_))
+    val needMeta = keep.nonEmpty
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(if (needMeta) trim(grouped(plain, meta = true))
+        else grouped(plain, meta = false))
+    val dvDf =
+      if (dvd.isEmpty) None
+      else Some(trim(dropDeleted(spark, root,
+        grouped(dvd, meta = true), dvd, snap)))
+    (plainDf, dvDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        "readFileSubset: empty file list")
+    }
+  }
+
+  /** Anti-join away the positions listed in `dvd`'s deletion vectors.
+    * `df` must carry `_graft_file` (absolute file URI) and
+    * `_graft_pos`. Sidecars store the WRITING lake's manifest path
+    * per file, so the driver-built translation maps both this
+    * snapshot's manifest key and its source-relative form (a clone
+    * reads source-written sidecars whose keys are source-relative) to
+    * the URI the metadata column reports. The translation is
+    * dv'd-file-count-sized; the joined dv side is deleted-position-
+    * sized — both broadcast. When deletion vectors outgrow broadcast
+    * (a mass delete), [[purgeDeletes]] is the remedy: materialize and
+    * drop them.
+    */
+  private def dropDeleted(spark: SparkSession, root: String,
+      df: DataFrame, dvd: Seq[String], snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val dv = dvPositions(spark, root, dvd, snap)
+    df.join(broadcast(dv),
+      metaUriNorm(df("_graft_file")) === dv("_dv_uri") &&
+        df("_graft_pos") === dv("_dv_pos"), "left_anti")
+  }
+
+  /** The deleted (file-URI, position) pairs `snap`'s deletion vectors
+    * record for `files` — an empty 2-column frame when none has one.
+    * Sidecars store the WRITING lake's manifest path per file, so the
+    * driver-built translation maps both this snapshot's manifest key
+    * and its source-relative form (a clone reads source-written
+    * sidecars whose keys are source-relative) to the URI the metadata
+    * column reports; the translation is file-count-sized and
+    * broadcasts.
+    */
+  private def dvPositions(spark: SparkSession, root: String,
+      files: Seq[String], snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val dvd = files.filter(snap.dvs.contains)
+    if (dvd.isEmpty)
+      return Seq.empty[(String, Long)].toDF("_dv_uri", "_dv_pos")
+    val sidecars = dvd.flatMap(f => snap.dvs(f).paths).distinct
+      .map(p => Paths.get(root).resolve(p).toString)
+    val trans: Seq[(String, String)] = dvd.flatMap { f =>
+      val uri = metaUri(root, f)
+      val alts =
+        if (!Paths.get(f).isAbsolute) Seq(f)
+        else {
+          val i = f.lastIndexOf("/data/")
+          Seq(f) ++ (if (i >= 0) Seq(f.substring(i + 1)) else Nil)
+        }
+      alts.map(_ -> uri)
+    }
+    val transDf = trans.toDF("_dv_key", "_dv_uri")
+    spark.read.parquet(sidecars: _*)
+      .join(broadcast(transDf), col("file") === col("_dv_key"))
+      .select(col("_dv_uri"), col("pos").as("_dv_pos"))
   }
 
   /** The committed snapshot's metadata at a version (files, schema,
@@ -1174,16 +1489,41 @@ object AtomicLake {
           org.apache.spark.sql.functions.lit(tag)))
     val inserted = side(addedFiles, to, "insert")
     val deleted = side(removedFiles, from, "delete")
-    (inserted, deleted) match {
-      case (Some(i), Some(d)) =>
-        i.unionByName(d, allowMissingColumns = true)
-      case (Some(i), None) => i
-      case (None, Some(d)) => d
-      case (None, None) => // no file changed between the versions
-        readSnapshot(spark, root, to).limit(0)
-          .withColumn("_change_type",
-            org.apache.spark.sql.functions.lit(""))
+    // deletion-vector diff: files PRESENT IN BOTH manifests whose dv
+    // state changed carry row-level changes the file diff can't see.
+    // Positions in to-but-not-from are delete images (a deleteWhereDV
+    // between the versions); from-but-not-to are re-inserts (a
+    // restore that rolled a vector back). Only the changed files are
+    // opened, and each side reads under ITS snapshot's dv state so
+    // the images are exactly the rows that appeared/vanished.
+    val commonChanged = {
+      val ff = from.files.values.flatten.toSet
+      to.files.values.flatten.filter(f =>
+        ff(f) && from.dvs.get(f) != to.dvs.get(f)).toSeq.sorted
     }
+    def dvSide(minus: (DataFrame, DataFrame) => DataFrame,
+        readSnap: Snapshot, tag: String): Option[DataFrame] =
+      if (commonChanged.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val fromPos = dvPositions(spark, root, commonChanged, from)
+        val toPos = dvPositions(spark, root, commonChanged, to)
+        val pos = minus(toPos, fromPos)
+        val rows = readFileSubsetPos(spark, root, commonChanged, readSnap)
+          .join(pos, metaUriNorm(col("_graft_file")) === col("_dv_uri") &&
+            col("_graft_pos") === col("_dv_pos"), "left_semi")
+          .drop("_graft_file", "_graft_pos")
+          .withColumn("_change_type", lit(tag))
+        Some(rows)
+      }
+    val dvDeleted = dvSide((t, f) => t.except(f), from, "delete")
+    val dvReinserted = dvSide((t, f) => f.except(t), to, "insert")
+    val parts = Seq(inserted, deleted, dvDeleted, dvReinserted).flatten
+    if (parts.isEmpty) // no file or dv changed between the versions
+      readSnapshot(spark, root, to).limit(0)
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit(""))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def readSnapshot(spark: SparkSession, root: String,
@@ -1227,10 +1567,12 @@ object AtomicLake {
       throw new IllegalStateException(s"no commits at $root"))
     val targets = snap.files.filter(_._2.size >= minFiles).keys.toSet
     if (targets.isEmpty) return snap.version
-    val files = snap.files.view.filterKeys(targets).values.flatten.toSeq.sorted
-      .map(f => Paths.get(root).resolve(f).toString)
-    val reader = spark.read.option("basePath", dataDir(root).toString)
-    val batch = snap.schema.fold(reader)(reader.schema(_)).parquet(files: _*)
+    val files = snap.files.view.filterKeys(targets).values.flatten
+      .toSeq.sorted
+    // DV-aware + clone-safe read: deleted positions stay deleted in
+    // the rewrite (dv refs die with the replaced lines), external
+    // (cloned) files group under their own basePath
+    val batch = readFileSubset(spark, root, files, snap)
     val staged = stageFiles(batch, root, snap.partitionCols,
       filesPerPartition)
     commitReplacing(root, targets ++ staged.keySet, staged.files,
@@ -1295,7 +1637,8 @@ object AtomicLake {
     val staged = stageFiles(rewritten, root, snap.partitionCols,
       filesPerPartition = 1, distribute = false)
     commitReplacing(root, Set.empty, staged.files, snap.partitionCols,
-      store = store, kind = "compact", newStats = staged.stats,
+      expectedBase = Some(snap), store = store, kind = "compact",
+      newStats = staged.stats,
       removeFiles = perPart.flatMap(_._2).toSet)
   }
 
@@ -1393,6 +1736,28 @@ object AtomicLake {
            if !referenced.contains(f.normalize())
            if Files.getLastModifiedTime(f).toMillis < cutoff) {
         Files.deleteIfExists(f)
+        deleted += 1
+      }
+    }
+    // deletion-vector sidecars: keep every dv dir a retained manifest
+    // references (relative refs only — absolute refs point into a
+    // SOURCE lake this clone must never touch); the rest are orphans
+    // of purged/rewritten files and expired versions
+    val referencedDvs: Set[Path] = keep.flatMap { v =>
+      readManifest(root, v, store).dvs.values.flatMap(_.paths)
+        .filterNot(p => Paths.get(p).isAbsolute)
+        .map(p => Paths.get(root).resolve(p).normalize())
+    }.toSet
+    val dvDir = Paths.get(root, "dv")
+    if (Files.isDirectory(dvDir)) {
+      val dirs = {
+        val l = Files.list(dvDir)
+        try l.iterator().asScala.toSeq finally l.close()
+      }
+      for (d <- dirs
+           if !referencedDvs.contains(d.normalize())
+           if Files.getLastModifiedTime(d).toMillis < cutoff) {
+        deleteRecursively(d)
         deleted += 1
       }
     }

@@ -257,6 +257,17 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
                   "deletes; set .option(\"ignoreDeletes\", \"true\") " +
                   "to stream the added side only, or consume " +
                   "AtomicLake.readChanges in batch.")
+            // a deletion-vector commit (kind=dv, or a restore rolling
+            // vectors around) deletes ROWS without removing files —
+            // equally unrepresentable in an append stream
+            if (snap.dvs != prev.dvs && !ignoreDeletes)
+              throw new IllegalStateException(
+                s"lake stream at $root: commit v$v changed deletion " +
+                  "vectors (row-level deletes). An append stream " +
+                  "cannot represent deletes; set " +
+                  ".option(\"ignoreDeletes\", \"true\") to stream " +
+                  "added files only, or consume " +
+                  "AtomicLake.readChanges in batch.")
             added ++= (curFiles -- prevFiles).toSeq.sorted
           }
           prev = snap

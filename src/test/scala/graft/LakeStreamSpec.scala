@@ -66,6 +66,21 @@ class LakeStreamSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("fails loudly when a deletion-vector commit deletes rows in place") {
+      val root = freshRoot()
+      AtomicLake.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), root)
+      val q = startQuery(root, "ls_sink_dv")
+      try {
+        q.processAllAvailable()
+        // rows vanish with NO file removed — only the dv check can see it
+        AtomicLake.deleteWhereDV(spark, root)($"id" === 1)
+        val ex = intercept[StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        ex.getMessage should include("deletion")
+      } finally q.stop()
+    }
+
     it("streams only the added side under ignoreDeletes") {
       val root = freshRoot()
       AtomicLake.upsertPartitions(
