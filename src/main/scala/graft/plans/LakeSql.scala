@@ -30,6 +30,11 @@ import graft.sources.AtomicLake
   *  - `ALTER LAKE '<root>' ADD CONSTRAINT <name> CHECK (<predicate>)`
   *  - `ALTER LAKE '<root>' DROP CONSTRAINT <name>`
   *  - `VACUUM '<root>' [RETAIN <n> VERSIONS]` — GC unreferenced files
+  *  - `DELETE FROM LAKE '<root>' [USING VECTORS] WHERE <pred>` —
+  *    row-level delete: copy-on-write, or deletion vectors with
+  *    `USING VECTORS`
+  *  - `REORG LAKE '<root>' APPLY PURGE` — materialize deletion
+  *    vectors (Delta's REORG … APPLY (PURGE))
   *
   * Implemented as a delegating [[ParserInterface]]: statements
   * matching the grammar become `LeafRunnableCommand`s over the
@@ -59,6 +64,10 @@ object LakeSql {
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val Vacuum: Regex =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val DeleteFrom: Regex =
+    """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'(\s+USING\s+VECTORS)?\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Reorg: Regex =
+    """(?is)\s*REORG\s+LAKE\s+'([^']+)'\s+APPLY\s+PURGE\s*;?\s*""".r
 
   /** Some(command plan) when `sqlText` is lake-maintenance DDL. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -77,6 +86,9 @@ object LakeSql {
     case Vacuum(root, retain) =>
       Some(VacuumLakeCommand(root,
         Option(retain).map(_.toInt).getOrElse(10)))
+    case DeleteFrom(root, vectors, pred) =>
+      Some(DeleteFromLakeCommand(root, pred.trim, vectors != null))
+    case Reorg(root) => Some(PurgeLakeCommand(root))
     case _ => None
   }
 
@@ -221,4 +233,39 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseTableSchema(s)
   override def parseDataType(s: String): DataType =
     delegate.parseDataType(s)
+}
+
+/** DELETE FROM LAKE … WHERE: row-level delete — copy-on-write by
+  * default, merge-on-read deletion vectors with `USING VECTORS`
+  * (`deleteWhereDV`: positions to a sidecar, no file rewritten).
+  * Returns (version, rows_deleted, files_rewritten).
+  */
+case class DeleteFromLakeCommand(root: String, predicate: String,
+    useVectors: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("version", LongType),
+    LakeSql.attr("rows_deleted", LongType),
+    LakeSql.attr("files_rewritten", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = org.apache.spark.sql.functions.expr(predicate)
+    val r =
+      if (useVectors) AtomicLake.deleteWhereDV(spark, root)(pred)
+      else AtomicLake.deleteWhere(spark, root)(pred)
+    Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
+  }
+}
+
+/** REORG LAKE … APPLY PURGE (Delta's REORG TABLE … APPLY (PURGE)):
+  * materialize every deletion vector — only dv'd files rewrite, as a
+  * compact commit. Returns (version, rows_purged, files_rewritten).
+  */
+case class PurgeLakeCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("version", LongType),
+    LakeSql.attr("rows_purged", LongType),
+    LakeSql.attr("files_rewritten", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = AtomicLake.purgeDeletes(spark, root)
+    Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
+  }
 }

@@ -56,6 +56,44 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  describe("DELETE FROM LAKE / REORG APPLY PURGE") {
+    it("copy-on-write DELETE removes matching rows and reports the rewrite") {
+      val root = freshRoot("delete_cow")
+      AtomicLake.append((1 to 20).map(i => (i, i % 2)).toDF("id", "m"),
+        root)
+      val r = spark.sql(s"DELETE FROM LAKE '$root' WHERE m = 1")
+        .as[(Long, Long, Int)].head()
+      r._2 shouldBe 10L // rows_deleted
+      r._3 should be >= 1 // files_rewritten
+      AtomicLake.read(spark, root).count() shouldBe 10
+    }
+    it("USING VECTORS deletes merge-on-read; REORG APPLY PURGE materializes") {
+      val root = freshRoot("delete_dv")
+      AtomicLake.append((1 to 20).map(i => (i, i % 2)).toDF("id", "m"),
+        root)
+      val r = spark.sql(
+        s"DELETE FROM LAKE '$root' USING VECTORS WHERE m = 0")
+        .as[(Long, Long, Int)].head()
+      r._2 shouldBe 10L
+      r._3 shouldBe 0 // nothing rewritten — positions went to a sidecar
+      AtomicLake.currentSnapshot(root).get.dvs should not be empty
+      AtomicLake.read(spark, root).count() shouldBe 10
+      val p = spark.sql(s"REORG LAKE '$root' APPLY PURGE")
+        .as[(Long, Long, Int)].head()
+      p._2 shouldBe 10L // rows purged
+      AtomicLake.currentSnapshot(root).get.dvs shouldBe empty
+      AtomicLake.read(spark, root).count() shouldBe 10
+    }
+    it("plain DELETE FROM (no LAKE keyword) delegates to Spark") {
+      // parses as normal Spark SQL and fails on the unknown table —
+      // NOT on the lake surface
+      val ex = intercept[Exception] {
+        spark.sql("DELETE FROM some_missing_table WHERE x = 1").collect()
+      }
+      ex.getMessage should not include "graft-lake"
+    }
+  }
+
   describe("RESTORE / DESCRIBE HISTORY") {
     it("rolls back metadata-only and shows the commit log") {
       val root = freshRoot("restore")
