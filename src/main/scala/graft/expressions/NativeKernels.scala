@@ -866,6 +866,87 @@ object NativeKernels extends Serializable {
     acc
   }
 
+  /** Product-quantization encode (SURVEY §2 E6b): split the float
+    * vector into `m` subvectors and replace each with the id of its
+    * nearest codeword — `books` is the flat m*ks*dsub codebook
+    * (subspace-major). A 64-float embedding becomes m small ints
+    * (bytes at real ks=256): the IO/memory compression that lets a
+    * 100-TB embedding corpus scan its candidate side from codes.
+    * One map-side call per row, like [[nearestCells]].
+    */
+  def pqEncode(v: ArrayData, books: ArrayData, m: Int, ks: Int)
+      : ArrayData = {
+    val dim = v.numElements()
+    val dsub = dim / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val base = (j * ks + c) * dsub
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v.getFloat(j * dsub + i).toDouble -
+            books.getDouble(base + i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance lookup table for ONE query: table[j*ks+c] =
+    * dot(q_subspace_j, codebook[j][c]). Built once per query row
+    * (O(ks·dim)) and carried on the broadcast query side, so scoring
+    * a candidate is [[adcDot]]'s m lookups instead of a dim-length
+    * dot — the table-amortization that makes PQ scoring sublinear in
+    * dimension per candidate.
+    */
+  def adcTable(q: ArrayData, books: ArrayData, m: Int, ks: Int)
+      : ArrayData = {
+    val dim = q.numElements()
+    val dsub = dim / m
+    val out = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        val base = (j * ks + c) * dsub
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += q.getFloat(j * dsub + i).toDouble *
+            books.getDouble(base + i)
+          i += 1
+        }
+        out(j * ks + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate dot from PQ codes: sum of m table lookups. */
+  def adcDot(codes: ArrayData, table: ArrayData, ks: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += table.getDouble(j * ks + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
   /** Top-`nprobe` nearest centroid cells for a float vector — the IVF
     * coarse-quantizer assignment as ONE map-side kernel call (no
     * crossJoin against the centroid table, no per-id window shuffle).
@@ -949,6 +1030,25 @@ object NativeKernels extends Serializable {
       Seq(v, cents, nprobe),
       Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)),
         IntegerType))
+
+  def pqEncodeCol(v: Column, books: Column, m: Int, ks: Int): Column =
+    invoke("pqEncode", ArrayType(IntegerType, containsNull = false),
+      Seq(v, books, org.apache.spark.sql.functions.lit(m),
+        org.apache.spark.sql.functions.lit(ks)),
+      Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType,
+        IntegerType))
+
+  def adcTableCol(q: Column, books: Column, m: Int, ks: Int): Column =
+    invoke("adcTable", ArrayType(DoubleType, containsNull = false),
+      Seq(q, books, org.apache.spark.sql.functions.lit(m),
+        org.apache.spark.sql.functions.lit(ks)),
+      Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType,
+        IntegerType))
+
+  def adcDotCol(codes: Column, table: Column, ks: Int): Column =
+    invoke("adcDot", DoubleType,
+      Seq(codes, table, org.apache.spark.sql.functions.lit(ks)),
+      Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType))
 
   def mortonValueCol(a: Column, b: Column): Column =
     invoke("mortonValue", LongType, Seq(a, b), Seq(LongType, LongType))

@@ -167,4 +167,121 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ---- IVF-PQ: product-quantized ANN (E6b) --------------------------
+  // The memory/IO-compressed scale tier: the candidate scan reads m
+  // small code ints (bytes at production ks=256) + a norm per vector
+  // instead of the full float embedding — at D=1024/m=64 that is a
+  // ~64x smaller candidate side, which is what makes a 100-TB
+  // embedding corpus scannable at all. Scoring is asymmetric-distance
+  // (ADC): each query row carries its m*ks lookup table (built once,
+  // map-side), so a candidate costs m table lookups, not a D-length
+  // dot. Codes are non-residual (FAISS IndexPQ-style; the residual
+  // IVFPQ variant trades one more table build per probed cell for
+  // tighter quantization — same plan shape). A final REFINE pass
+  // re-scores only the approximate shortlist against the exact
+  // vectors, so the output ranks true cosines (FAISS's RefineFlat).
+
+  /** A PQ index over a corpus: IVF coarse centroids (cell probing),
+    * the flat m*ks*dsub codebook (subspace-major, a plan literal),
+    * and the encoded corpus (cand_id, cell, codes, cn) — at
+    * production scale the codes frame IS a materialized lake table.
+    */
+  final case class PqIndex(centroids: Seq[Seq[Double]],
+      books: Seq[Double], m: Int, ks: Int, codes: DataFrame)
+
+  private val pqMemo =
+    new graft.sources.SessionMemo[(String, String, String, Int, Int, Int, Long),
+      PqIndex](maxPerSession = 4,
+        onEvict = _.codes.unpersist(blocking = false))
+
+  /** Build (or reuse, keyed by `corpusTag`) the IVF-PQ index: the
+    * coarse quantizer comes from [[ivfIndex]] (shared memo); the m
+    * per-subspace codebooks are m KMeans fits over sliced subvectors
+    * (O(m·ks·dsub) doubles on the driver — an expression literal,
+    * never a join side); encoding is one map-side kernel pass over
+    * the celled corpus.
+    */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ks: Int = 16, seed: Long = 42L,
+      corpusTag: String = ""): PqIndex = {
+    def build: PqIndex = {
+      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"pqIndex: dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val train = corpus.select((0 until m).map(j =>
+        array_to_vector(slice(col(vecCol), j * dsub + 1, dsub)
+          .cast("array<double>")).as(s"__f$j")): _*)
+        .cache()
+      val books: Seq[Double] =
+        try (0 until m).flatMap { j =>
+          new KMeans().setK(ks).setSeed(seed + j).setMaxIter(10)
+            .setFeaturesCol(s"__f$j").fit(train)
+            .clusterCenters.flatMap(_.toArray).toSeq
+        }
+        finally train.unpersist(blocking = false)
+      val booksLit = typedLit(books)
+      val codes = ivf.corpusCells.select(col("cand_id"), col("cell"),
+        graft.expressions.NativeKernels
+          .pqEncodeCol(col("cv"), booksLit, m, ks).as("codes"),
+        col("cn"))
+      PqIndex(ivf.centroids, books, m, ks,
+        if (corpusTag.nonEmpty) codes.cache() else codes)
+    }
+    if (corpusTag.isEmpty) build
+    else pqMemo.getOrElseUpdate(corpus.sparkSession,
+      (corpusTag, idCol, vecCol, nlist, m, ks, seed))(build)
+  }
+
+  /** IVF-PQ top-k with exact refine: probe `nprobe` cells per query,
+    * score candidates from CODES via the query's ADC table (m lookups
+    * each), shortlist the top `k * refine` per query, then re-score
+    * ONLY the shortlist against the exact corpus vectors and rank
+    * true cosines. The corpus-sized work touches codes; the exact
+    * vectors are read for shortlist ids alone (a broadcast semi-join
+    * at 100 TB — point lookups, not a scan).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, m: Int = 8, ks: Int = 16,
+      refine: Int = 4, seed: Long = 42L, corpusTag: String = "")
+      : DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val idx = pqIndex(corpus, idCol, vecCol, nlist, m, ks, seed,
+      corpusTag)
+    val booksLit = typedLit(idx.books)
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFns.norm(col(vecCol)).as("qn"))
+      .withColumn("cell", explode(nearestCells(col("qv"),
+        idx.centroids, nprobe)))
+      .withColumn("tbl", graft.expressions.NativeKernels
+        .adcTableCol(col("qv"), booksLit, idx.m, idx.ks))
+      .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
+    val approx = idx.codes.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (graft.expressions.NativeKernels
+          .adcDotCol(col("codes"), col("tbl"), idx.ks) /
+          (col("qn") * col("cn"))).as("approx_cosine"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("cand_id"))
+    val short = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("cand_id"))
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorFns.norm(col(vecCol)).as("qn"))
+    val exact = cand.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -39,6 +39,18 @@ object VectorQueries {
         "vec_id", "embedding", k = 10, nprobe = 8, corpusTag = dir)
     },
 
+    // E6b — IVF-PQ with exact refine, same queries ([R]; recall + the
+    // refine contract — reported cosines are EXACT — are spec-gated in
+    // SimilaritySpec). The candidate scan reads m=8 code ints + a norm
+    // instead of 64 floats; ADC scores cost m table lookups; only the
+    // k*refine shortlist touches real vectors.
+    "ann_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nprobe = 8, refine = 8,
+        corpusTag = dir)
+    },
+
     // E2-family — embedding-cosine near-dup over the whole corpus via
     // IVF-cell bucketing ([R]; recall vs brute force in SimilaritySpec).
     // The synthetic embeddings carry no true near-dups (max pairwise

@@ -81,4 +81,85 @@ class SimilaritySpec extends SparkSpec {
       all shouldBe exact
     }
   }
+
+  describe("pqTopK (IVF-PQ with exact refine)") {
+    it("achieves high recall@10 against brute force") {
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      // synthetic UNIFORM embeddings are PQ's adversarial case (no
+      // cluster structure for the codebooks to exploit; all cosines
+      // land in a narrow band) — probe every cell so the measured
+      // loss is purely the ADC shortlist, and size the shortlist
+      // (k*refine = 80 of 500) the way a production recall target
+      // would (FAISS's own recall knob is exactly this pair)
+      val approx = Similarity.pqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 8, m = 8, ks = 16,
+        refine = 8)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      recall should be >= 0.7
+    }
+    it("reports exact cosines for what it returns (refine contract)") {
+      // every returned (query, cand, cosine) must equal brute force's
+      // cosine for that pair bit-for-bit — PQ approximates the
+      // SHORTLIST, never the reported score
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 500)
+        .select($"query_id", $"cand_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val pq = Similarity.pqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 4, refine = 2)
+        .select($"query_id", $"cand_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+      pq should not be empty
+      pq.foreach { case (q, c, cos) => bf((q, c)) shouldBe cos }
+    }
+    it("probing all cells with a wide refine reproduces brute force") {
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val all = Similarity.pqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 4, nprobe = 4, m = 8, ks = 16,
+        refine = 50)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      all shouldBe exact
+    }
+    it("the ADC kernel path equals a declarative codebook dot") {
+      // adcTable+adcDot over codes == dot(q, decoded(codes)): decode
+      // each candidate's codes to its codeword vectors and fold the
+      // dot declaratively; the kernel must match bit-for-bit (both
+      // sum subspace partials in the same order)
+      import org.apache.spark.sql.functions._
+      val idx = Similarity.pqIndex(emb, "vec_id", "embedding",
+        nlist = 4, m = 8, ks = 16)
+      val dim = 64
+      val dsub = dim / idx.m
+      val booksLit = typedLit(idx.books)
+      val q1 = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qv")).crossJoin(idx.codes)
+      val kernel = q1.select($"cand_id",
+        graft.expressions.NativeKernels.adcDotCol(
+          $"codes",
+          graft.expressions.NativeKernels.adcTableCol(
+            $"qv", booksLit, idx.m, idx.ks), idx.ks).as("d"))
+        .as[(Long, Double)].collect().toMap
+      val reference = q1.select($"cand_id",
+        aggregate(
+          transform(sequence(lit(0), lit(idx.m - 1)), j =>
+            aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0),
+              (acc, i) => acc +
+                element_at($"qv", j * dsub + i + 1).cast("double") *
+                element_at(booksLit,
+                  (j * lit(idx.ks) + element_at($"codes", j + 1)) *
+                    dsub + i + 1))),
+          lit(0.0), (a, x) => a + x).as("d"))
+        .as[(Long, Double)].collect().toMap
+      kernel.keySet shouldBe reference.keySet
+      kernel.foreach { case (id, d) => d shouldBe reference(id) }
+    }
+  }
 }
