@@ -706,6 +706,55 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Duplicate-n-gram character fraction (the Gopher/RefinedWeb
+    * repetition signal family): the fraction of text characters
+    * (token bytes, whitespace excluded) covered by at least one
+    * occurrence of an n-gram VALUE that appears at two or more start
+    * positions in the document. Token n-gram identity is the same
+    * 60-bit double-fold window hash as [[spanHashes]] (collisions
+    * ~m²/2^60 — negligible per document), so the DuckDB oracle
+    * replays it exactly. Character counts are code points, matching
+    * SQL `len()`. Returns 0.0 for documents with fewer than n tokens
+    * or no characters; the division is one exactly-rounded
+    * long/long → double, engine-portable.
+    */
+  def dupNgramCharFraction(tokens: ArrayData, n: Int): Double = {
+    val m = tokens.numElements()
+    val lens = new Array[Int](m)
+    var total = 0L
+    var i = 0
+    while (i < m) {
+      lens(i) = tokens.getUTF8String(i).numChars
+      total += lens(i)
+      i += 1
+    }
+    if (m < n || total == 0L) return 0.0
+    val wins = spanHashes(tokens, n)
+    val nw = wins.numElements()
+    val counts = new java.util.HashMap[java.lang.Long, Integer](nw * 2)
+    i = 0
+    while (i < nw) {
+      counts.merge(wins.getLong(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val covered = new Array[Boolean](m)
+    i = 0
+    while (i < nw) {
+      if (counts.get(wins.getLong(i)) >= 2) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var cov = 0L
+    i = 0
+    while (i < m) {
+      if (covered(i)) cov += lens(i)
+      i += 1
+    }
+    cov.toDouble / total.toDouble
+  }
+
   /** Reassemble a token list with the closed index ranges
     * [starts(i), ends(i)] removed, single-space joined (the span-trim
     * step of exact-substring dedup). Intervals may overlap or exceed
@@ -1134,6 +1183,13 @@ object NativeKernels extends Serializable {
       ends: Column): Column =
     invoke("removeTokenRanges", StringType, Seq(tokens, starts, ends),
       Seq(ArrayType(StringType), ArrayType(LongType), ArrayType(LongType)))
+
+  def dupNgramCharFractionCol(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"dupNgramCharFraction: n must be >= 1, got $n")
+    invoke("dupNgramCharFraction", DoubleType,
+      Seq(tokens, org.apache.spark.sql.functions.lit(n)),
+      Seq(ArrayType(StringType), IntegerType))
+  }
 
   def tokenSegmentsCol(text: Column, k: Int): Column = {
     require(k >= 1, s"tokenSegments: k must be >= 1, got $k")

@@ -311,6 +311,17 @@ object Curation {
       .select("id1", "id2", "start1", "start2", "len_tokens")
   }
 
+  /** Duplicate-n-gram character fraction (the Gopher/RefinedWeb
+    * repetition-rule family, distinct from [[graft.expressions
+    * .NativeKernels.wordStats]]'s top-word ratio): the fraction of a
+    * document's characters covered by n-grams occurring 2+ times
+    * within it — the standard filter signal for template/generated
+    * pages that loop their own content. One map-side kernel pass.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    graft.expressions.NativeKernels
+      .dupNgramCharFractionCol(toks(text), n)
+
   /** Excise cross-document duplicated spans: for every shared run
     * found by [[sharedSpans]] (>= `minLen` tokens), the HIGHER-id
     * document loses the covered token range (the first occurrence —

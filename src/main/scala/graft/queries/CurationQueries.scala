@@ -76,6 +76,14 @@ object CurationQueries {
         "text", k = 8, minLen = 20, maxPostings = 1000)
     },
 
+    // H14 — duplicate-n-gram repetition fractions (Gopher rules): the
+    // char fraction covered by intra-doc 2-gram and 3-gram repeats.
+    "text_dup_ngrams" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Curation.dupNgramFraction(col("text"), 2).as("dup2_frac"),
+        Curation.dupNgramFraction(col("text"), 3).as("dup3_frac"))
+    },
+
     // H4 — bloom-pruned membership: which probe keys already exist in
     // the base (orders) table. Keys ≡ 0 (mod 3) are shifted out of
     // the key space, so the batch mixes definite-new keys (the bloom
@@ -169,7 +177,64 @@ object CurationQueries {
       |    FROM m)
       |  GROUP BY id1, id2, d, grp)""".stripMargin
 
+  /** Per-n CTE block for the H14 oracle: windows of the same 60-bit
+    * double-fold hash as the kernel, duplicated values, covered token
+    * positions, covered char sum. Names are suffixed by n.
+    */
+  private def dupFracCtes(n: Int): String =
+    s"""wins$n AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, greatest(len(hs) - ${n - 1}, 0))) AS pos,
+       |    unnest(list_transform(range(1, greatest(len(hs) - ${n - 2}, 1)), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${n - 1}]),
+       |        (h, t) -> (h * 10007 + t) % 1000000007) * 1000000009
+       |      + list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${n - 1}]),
+       |        (h, t) -> (h * 10009 + t) % 1000000009))) AS wh
+       |  FROM th),
+       |dup$n AS (SELECT doc_id, wh FROM wins$n GROUP BY doc_id, wh
+       |          HAVING count(*) >= 2),
+       |cov$n AS (
+       |  SELECT DISTINCT w.doc_id, w.pos + o.o AS tpos
+       |  FROM wins$n w
+       |  JOIN dup$n d ON w.doc_id = d.doc_id AND w.wh = d.wh
+       |  CROSS JOIN (SELECT unnest(range(0, $n)) AS o) o),
+       |c$n AS (
+       |  SELECT t.doc_id, sum(t.l) AS cov FROM tlen t
+       |  SEMI JOIN cov$n c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+       |  GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_dup_ngrams" ->
+      (s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, list_transform(tk, t ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_extract_all(
+         |          regexp_replace(t, '[^ -~]', '', 'g'), '.'),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, c) -> (h * 131 + c) % 1000000007)) AS hs
+         |  FROM tk),
+         |tlen AS (
+         |  SELECT doc_id, unnest(range(0, len(tk))) AS tpos,
+         |    unnest(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS l
+         |  FROM tk),
+         |tot AS (SELECT doc_id, sum(l) AS total FROM tlen GROUP BY 1),
+         |""".stripMargin
+        + dupFracCtes(2) + ",\n" + dupFracCtes(3) + "\n"
+        + """SELECT d.doc_id,
+         |  CASE WHEN coalesce(t.total, 0) = 0 THEN 0.0
+         |       ELSE CAST(coalesce(c2.cov, 0) AS DOUBLE)
+         |         / CAST(t.total AS DOUBLE) END AS dup2_frac,
+         |  CASE WHEN coalesce(t.total, 0) = 0 THEN 0.0
+         |       ELSE CAST(coalesce(c3.cov, 0) AS DOUBLE)
+         |         / CAST(t.total AS DOUBLE) END AS dup3_frac
+         |FROM documents d
+         |LEFT JOIN tot t USING (doc_id)
+         |LEFT JOIN c2 USING (doc_id)
+         |LEFT JOIN c3 USING (doc_id)""".stripMargin),
     "dedup_spans" -> (spanRunsCte +
       "\nSELECT id1, id2, start1, start2, len_tokens FROM spans"),
     "text_span_trim" -> (spanRunsCte + """,

@@ -191,6 +191,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("Curation.dupNgramFraction (H14)") {
+    def frac(text: String, n: Int): Double =
+      Seq(text).toDF("t")
+        .select(Curation.dupNgramFraction($"t", n).as("f"))
+        .as[Double].head()
+
+    it("is 0 for repeat-free docs and 1 for a fully looping doc") {
+      frac("a b c d e", 2) shouldBe 0.0
+      frac("x y x y x y", 2) shouldBe 1.0
+    }
+    it("weights coverage by characters, not tokens") {
+      // 'aa bb' repeats (4 chars covered... tokens: aa bb aa bb c —
+      // the bigrams (aa,bb),(bb,aa),(aa,bb): (aa,bb) duplicated →
+      // covers tokens 0..3 (8 chars) of 9 total
+      frac("aa bb aa bb c", 2) shouldBe (8.0 / 9.0)
+    }
+    it("n=3 requires a 3-gram repeat, not just word repeats") {
+      frac("a b c x a c b", 3) shouldBe 0.0
+      frac("a b c x a b c", 3) shouldBe (6.0 / 7.0)
+    }
+    it("degenerate docs score 0") {
+      frac("", 2) shouldBe 0.0
+      frac("one", 2) shouldBe 0.0
+    }
+  }
+
   describe("Curation.lmScore") {
     it("scores in-distribution text lower than outlier text; shorts get null") {
       // corpus dominated by one pattern + one gibberish outlier + one
