@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Event for stateful sessionization (matches the events table). */
 final case class SessionEvent(user_id: Long, ts: Timestamp,
@@ -92,5 +94,85 @@ object StatefulSessions extends Serializable {
             closed.result().iterator
           }
       }
+  }
+
+  /** The same gap-sessionizer on the CURRENT-generation arbitrary
+    * stateful API (`transformWithState`, Spark 4.x — typed state
+    * variables + first-class event-time timers; requires the RocksDB
+    * state store provider, which supports the multiple column
+    * families the operator's state/timer layout needs). Semantics are
+    * IDENTICAL to [[sessionize]] — same integer-micros gap test, same
+    * fixed-point value accumulation — with the timeout expressed as a
+    * registered timer per open session (re-registered forward when
+    * the session extends) instead of the GroupState timeout clock.
+    * Parity is spec-gated against both the flatMapGroupsWithState
+    * twin and the batch operator.
+    */
+  def sessionizeTWS(events: Dataset[SessionEvent], gapMinutes: Int,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new GapSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[sessionizeTWS]]'s processor: one ValueState (four longs per
+    * live user, no event buffer) + one timer at lastEvent+gap — the
+    * timer fires when the WATERMARK passes it, flushing the abandoned
+    * session, so state stays bounded by users active inside the gap
+    * horizon, exactly the flatMapGroupsWithState twin's contract.
+    */
+  private final class GapSessionProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    private val gapMicros = gapMinutes * 60_000_000L
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def close(user: Long, s: SessionState): ClosedSession =
+      ClosedSession(user, ts(s.startMicros), ts(s.lastMicros),
+        s.nEvents, s.totalValueE4 / 10000.0)
+
+    private def expiryMs(s: SessionState): Long =
+      (s.lastMicros + gapMicros) / 1000 + 1
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = if (session.exists()) session.get() else null
+      if (st != null) getHandle.deleteTimer(expiryMs(st))
+      val closed = List.newBuilder[ClosedSession]
+      evs.foreach { e =>
+        val m = micros(e.ts)
+        if (st == null) {
+          st = SessionState(m, m, 1L, e4(e.value))
+        } else if (m - st.lastMicros > gapMicros) {
+          closed += close(user, st)
+          st = SessionState(m, m, 1L, e4(e.value))
+        } else {
+          st = SessionState(st.startMicros, math.max(st.lastMicros, m),
+            st.nEvents + 1, st.totalValueE4 + e4(e.value))
+        }
+      }
+      if (st != null) {
+        session.update(st)
+        getHandle.registerTimer(expiryMs(st))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (session.exists()) {
+        val out = close(user, session.get())
+        session.clear()
+        Iterator.single(out)
+      } else Iterator.empty
   }
 }

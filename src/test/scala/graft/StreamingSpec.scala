@@ -364,6 +364,42 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("the transformWithState twin matches the flatMapGroupsWithState " +
+        "semantics (gap close, watermark flush) on RocksDB state") {
+      implicit val sqlCtx = spark.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val in = MemoryStream[SessionEvent]
+      val q = StatefulSessions.sessionizeTWS(in.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode("append").start()
+      try {
+        in.addData(
+          SessionEvent(1L, t("2024-01-01 10:00:00"), 1L, 1.0),
+          SessionEvent(1L, t("2024-01-01 10:10:00"), 2L, 2.0),
+          SessionEvent(1L, t("2024-01-01 10:50:00"), 3L, 4.0))
+        q.processAllAvailable()
+        spark.table("sessions_tws")
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect() shouldBe
+          Array((1L, 2L, 3.0)) // the 40-min gap closed in-batch
+        // advancing the watermark past lastEvent+gap fires the timer
+        in.addData(SessionEvent(99L, t("2024-01-01 15:00:00"), 9L, 0.5))
+        q.processAllAvailable()
+        in.addData(SessionEvent(99L, t("2024-01-01 18:00:00"), 10L, 0.5))
+        q.processAllAvailable()
+        spark.table("sessions_tws")
+          .select("user_id", "n_events", "total_value")
+          .as[(Long, Long, Double)].collect()
+          .toSet should contain((1L, 1L, 4.0))
+      } finally {
+        q.stop()
+        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+    }
+
     it("agrees with the batch operator on closed sessions") {
       implicit val sqlCtx = spark.sqlContext
       val evs = Seq(
