@@ -35,6 +35,8 @@ import graft.sources.AtomicLake
   *    `USING VECTORS`
   *  - `REORG LAKE '<root>' APPLY PURGE` — materialize deletion
   *    vectors (Delta's REORG … APPLY (PURGE))
+  *  - `UPDATE LAKE '<root>' SET c1 = e1, c2 = e2 WHERE <pred>` —
+  *    copy-on-write row-level UPDATE
   *
   * Implemented as a delegating [[ParserInterface]]: statements
   * matching the grammar become `LeafRunnableCommand`s over the
@@ -68,6 +70,8 @@ object LakeSql {
     """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'(\s+USING\s+VECTORS)?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Reorg: Regex =
     """(?is)\s*REORG\s+LAKE\s+'([^']+)'\s+APPLY\s+PURGE\s*;?\s*""".r
+  private val UpdateLake: Regex =
+    """(?is)\s*UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
 
   /** Some(command plan) when `sqlText` is lake-maintenance DDL. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -89,6 +93,8 @@ object LakeSql {
     case DeleteFrom(root, vectors, pred) =>
       Some(DeleteFromLakeCommand(root, pred.trim, vectors != null))
     case Reorg(root) => Some(PurgeLakeCommand(root))
+    case UpdateLake(root, sets, pred) =>
+      Some(UpdateLakeCommand(root, sets.trim, pred.trim))
     case _ => None
   }
 
@@ -266,6 +272,53 @@ case class PurgeLakeCommand(root: String) extends LeafRunnableCommand {
     LakeSql.attr("files_rewritten", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     val r = AtomicLake.purgeDeletes(spark, root)
+    Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
+  }
+}
+
+/** UPDATE LAKE … SET … WHERE: copy-on-write row-level update via
+  * [[AtomicLake.updateWhere]]. SET assignments split on TOP-LEVEL
+  * commas (function calls keep theirs); each value is a SQL
+  * expression over the table's columns, cast to the column's type.
+  * Returns (version, rows_updated, files_rewritten).
+  */
+case class UpdateLakeCommand(root: String, sets: String,
+    predicate: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("version", LongType),
+    LakeSql.attr("rows_updated", LongType),
+    LakeSql.attr("files_rewritten", IntegerType))
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val assignments = splitTopLevel(sets).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"UPDATE LAKE: malformed assignment '$a'")
+      (a.take(i).trim,
+        org.apache.spark.sql.functions.expr(a.drop(i + 1).trim))
+    }
+    val r = AtomicLake.updateWhere(spark, root, assignments)(
+      org.apache.spark.sql.functions.expr(predicate))
     Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
   }
 }

@@ -296,6 +296,24 @@ object BronzeQueries {
           exactSum(col("o_totalprice")).as("sum_price"))
     },
 
+    // G25c — row-level UPDATE (copy-on-write): matched rows get their
+    // price doubled in place; zone maps scope the rewrite to the
+    // in-range year's files. Oracle rebuilds with CASE.
+    "lake_update_where" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "update_where")
+      graft.sources.AtomicLake.updateWhere(s, scratch,
+        Seq("o_totalprice" -> (col("o_totalprice") * 2)))(
+        col("o_orderkey") % 13 === 0 &&
+          col("o_orderdate") >=
+            lit("1994-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1994-07-01 00:00:00").cast("timestamp"))
+      graft.sources.AtomicLake.read(s, scratch)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
     // G26 — keyed MERGE (upsert), copy-on-write: every 50th order key
     // gets an updated row (price doubled) and a shifted-key sibling
     // gets inserted; the merged lake is aggregated by month. The
@@ -512,6 +530,17 @@ object BronzeQueries {
         |AND NOT (o_orderkey % 3 = 0
         |  AND o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+    "lake_update_where" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 13 = 0
+        |      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
         |GROUP BY 1""".stripMargin,
     "lake_merge_upsert" ->
       """WITH hit AS (

@@ -909,6 +909,72 @@ object AtomicLake {
       Rewrite(v, snap.dvs.values.map(_.n).sum, dvd.size)
     }
 
+  /** Row-level UPDATE (Delta's `UPDATE … SET … WHERE`) as a
+    * copy-on-write rewrite with [[deleteWhere]]'s exact work scoping:
+    * zone maps cut candidate files, one tagged pass finds the files
+    * actually holding matches, ONLY those rewrite — each matched row
+    * replaced by its assigned image (every expression cast to the
+    * column's existing type: UPDATE never evolves the schema),
+    * unmatched and predicate-null rows byte-identical in content —
+    * and one atomic file-level swap commits. Updating a PARTITION
+    * column moves rows between partitions (the rewrite stages under
+    * the new value's directory). DV interaction: the rewrite reads
+    * DV-aware, so deleted rows neither match nor resurrect, and the
+    * rewritten files shed their vectors with their old lines.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+      assignments: Seq[(String, Column)], filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore)(
+      predicate: Column): Rewrite =
+    retryRewrite(() =>
+      updateWhereOnce(spark, root, assignments, filesPerPartition,
+        store)(predicate))
+
+  private def updateWhereOnce(spark: SparkSession, root: String,
+      assignments: Seq[(String, Column)], filesPerPartition: Int,
+      store: CommitStore)(predicate: Column): Rewrite = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+    require(assignments.nonEmpty, "updateWhere: no SET assignments")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val byName = assignments.toMap
+    require(byName.size == assignments.size,
+      "updateWhere: duplicate SET column")
+    snap.schema.foreach { sch =>
+      val unknown = byName.keySet -- sch.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"updateWhere: SET of unknown column(s) ${unknown.mkString(", ")}")
+    }
+    val candidates = LakeStats.survivors(snap,
+      Seq(org.apache.spark.sql.classic.GraftExprBridge
+        .expression(predicate)))
+    if (candidates.isEmpty) return Rewrite(snap.version, 0L, 0)
+    val perFile = readFileSubsetTagged(spark, root, candidates, snap)
+      .filter(predicate)
+      .groupBy(col("_graft_file"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    if (perFile.isEmpty) return Rewrite(snap.version, 0L, 0)
+    val matched = perFile.map(_.getLong(1)).sum
+    val dirty = toRelative(perFile.map(_.getString(0)).toSeq,
+      candidates, root)
+    val base = readFileSubset(spark, root, dirty, snap)
+    val rewritten = base.select(base.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(e) =>
+          when(coalesce(predicate, lit(false)),
+            e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    val staged = stageFiles(rewritten, root, snap.partitionCols,
+      filesPerPartition)
+    val v = commitReplacing(root, Set.empty, staged.files,
+      snap.partitionCols, expectedBase = Some(snap), store = store,
+      newStats = staged.stats, removeFiles = dirty.toSet)
+    Rewrite(v, matched, dirty.size)
+  }
+
   private def deleteWhereOnce(spark: SparkSession, root: String,
       filesPerPartition: Int,
       store: CommitStore)(

@@ -26,6 +26,87 @@ class LakeMergeSpec extends SparkSpec {
   private def allFiles(root: String): Set[String] =
     AtomicLake.currentSnapshot(root).get.files.values.flatten.toSet
 
+  describe("updateWhere") {
+    import org.apache.spark.sql.functions.{col, lit}
+
+    it("updates exactly the matching rows in place") {
+      val root = freshRoot("upd_rows")
+      AtomicLake.upsertPartitions(
+        (1 to 20).map(i => (i, i * 10)).toDF("id", "v"), root, Nil)
+      val r = AtomicLake.updateWhere(spark, root,
+        Seq("v" -> (col("v") + 1)))(col("id") <= 5)
+      r.rowsChanged shouldBe 5
+      AtomicLake.read(spark, root).select("id", "v").as[(Int, Int)]
+        .collect().toMap shouldBe
+        (1 to 20).map(i => i -> (if (i <= 5) i * 10 + 1 else i * 10))
+          .toMap
+    }
+
+    it("null-predicate rows stay untouched; values cast to the column type") {
+      val root = freshRoot("upd_null")
+      AtomicLake.upsertPartitions(
+        Seq((1, Some(10)), (2, None), (3, Some(30))).toDF("id", "v"),
+        root, Nil)
+      // 2.5 casts back to the int column (SQL UPDATE never evolves)
+      AtomicLake.updateWhere(spark, root,
+        Seq("v" -> lit(2.5)))(col("v") > 20).rowsChanged shouldBe 1
+      AtomicLake.read(spark, root).select("id", "v")
+        .as[(Int, Option[Int])].collect().toSet shouldBe
+        Set((1, Some(10)), (2, None), (3, Some(2)))
+    }
+
+    it("rewrites ONLY files containing matches") {
+      val root = freshRoot("upd_cow")
+      AtomicLake.upsertPartitions(
+        (1 to 30).map(i => (i, s"p${i % 3}")).toDF("id", "part"),
+        root, Seq("part"))
+      val before = allFiles(root)
+      val r = AtomicLake.updateWhere(spark, root,
+        Seq("id" -> (col("id") + 100)))(
+        col("part") === "p1" && col("id") <= 10)
+      r.filesRewritten shouldBe 1
+      (before & allFiles(root)).size shouldBe before.size - 1
+    }
+
+    it("updating a partition column moves rows between partitions") {
+      val root = freshRoot("upd_move")
+      AtomicLake.upsertPartitions(
+        (1 to 10).map(i => (i, if (i <= 5) "a" else "b"))
+          .toDF("id", "part"), root, Seq("part"))
+      AtomicLake.updateWhere(spark, root,
+        Seq("part" -> lit("c")))(col("id") === 1)
+      AtomicLake.read(spark, root).filter(col("part") === "c")
+        .select("id").as[Int].collect() shouldBe Array(1)
+      AtomicLake.read(spark, root).count() shouldBe 10
+    }
+
+    it("never resurrects dv-deleted rows and refuses unknown columns") {
+      val root = freshRoot("upd_dv")
+      AtomicLake.upsertPartitions(
+        (1 to 20).map(i => (i, i)).toDF("id", "v"), root, Nil)
+      AtomicLake.deleteWhereDV(spark, root)(col("id") <= 5)
+      AtomicLake.updateWhere(spark, root,
+        Seq("v" -> lit(0)))(col("id") <= 10).rowsChanged shouldBe 5
+      AtomicLake.read(spark, root).count() shouldBe 15
+      AtomicLake.read(spark, root).filter(col("v") === 0)
+        .count() shouldBe 5
+      intercept[IllegalArgumentException] {
+        AtomicLake.updateWhere(spark, root,
+          Seq("ghost" -> lit(1)))(col("id") === 1)
+      }.getMessage should include("unknown")
+    }
+
+    it("zero matches commit nothing") {
+      val root = freshRoot("upd_noop")
+      AtomicLake.upsertPartitions(
+        (1 to 5).map(i => (i, i)).toDF("id", "v"), root, Nil)
+      val v = AtomicLake.currentVersion(root).get
+      AtomicLake.updateWhere(spark, root,
+        Seq("v" -> lit(0)))(col("id") > 99).rowsChanged shouldBe 0
+      AtomicLake.currentVersion(root).get shouldBe v
+    }
+  }
+
   describe("deleteWhere") {
     it("removes exactly the matching rows; result equals filter") {
       val root = freshRoot("del_rows")

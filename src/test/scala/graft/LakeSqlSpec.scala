@@ -84,6 +84,21 @@ class LakeSqlSpec extends SparkSpec {
       AtomicLake.currentSnapshot(root).get.dvs shouldBe empty
       AtomicLake.read(spark, root).count() shouldBe 10
     }
+    it("UPDATE LAKE SET ... WHERE updates in place, commas in calls intact") {
+      val root = freshRoot("update_sql")
+      AtomicLake.append(
+        (1 to 10).map(i => (i, i * 1.0)).toDF("id", "v"), root)
+      val r = spark.sql(
+        s"UPDATE LAKE '$root' SET v = round(v * 2, 1), id = id + 100 " +
+          "WHERE id <= 3")
+        .as[(Long, Long, Int)].head()
+      r._2 shouldBe 3L
+      AtomicLake.read(spark, root)
+        .filter($"id" > 100).select("id", "v").as[(Int, Double)]
+        .collect().toSet shouldBe
+        Set((101, 2.0), (102, 4.0), (103, 6.0))
+    }
+
     it("plain DELETE FROM (no LAKE keyword) delegates to Spark") {
       // parses as normal Spark SQL and fails on the unknown table —
       // NOT on the lake surface
