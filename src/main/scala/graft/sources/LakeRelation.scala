@@ -79,6 +79,34 @@ final class LakeRelation(override val sqlContext: SQLContext,
   }
 }
 
+/** The CHANGE-FEED relation (Delta's `readChangeFeed` read option):
+  * `spark.read.format("graft-lake").option("readChangeFeed", "true")
+  * .option("startingVersion", v)` serves
+  * [[AtomicLake.readChanges]](startingVersion, endingVersion) — rows
+  * changed between the two committed versions with a `_change_type`
+  * column (insert/delete, including deletion-vector position diffs) —
+  * through the SQL/DataFrameReader surface. `endingVersion` defaults
+  * to the current snapshot. Schema and work are the CDC reader's:
+  * only CHANGED files open, each side under its own snapshot's
+  * schema + dv state.
+  */
+final class LakeChangesRelation(override val sqlContext: SQLContext,
+    root: String, startingVersion: Long, endingVersion: Option[Long])
+    extends BaseRelation with TableScan {
+
+  private def frame = AtomicLake.readChanges(sqlContext.sparkSession,
+    root, startingVersion,
+    endingVersion.getOrElse(AtomicLake.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))))
+
+  override val schema: StructType = frame.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] =
+    frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
 /** Exact translation of Spark's `sources.Filter` pushdown trees into
   * `Column`s. `toColumn` is all-or-nothing per filter (a partially
   * translated tree under a Not would STRENGTHEN the predicate and

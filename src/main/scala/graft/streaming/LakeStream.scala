@@ -60,6 +60,16 @@ class LakeStreamProvider extends StreamSourceProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {
     val root = rootOf(parameters)
+    // CDC surface (Delta's readChangeFeed): rows changed between two
+    // versions instead of the snapshot
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed requires .option(\"startingVersion\", v)"))
+        .toLong
+      return new graft.sources.LakeChangesRelation(sqlContext, root,
+        from, parameters.get("endingVersion").map(_.toLong))
+    }
     // versionAsOf wins when both are passed (it is the exact form);
     // timestampAsOf (epoch millis) resolves via the manifest ts=
     // headers — Delta's TIMESTAMP AS OF

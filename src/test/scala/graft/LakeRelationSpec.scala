@@ -12,6 +12,41 @@ import graft.sources.{AtomicLake, LakeRelation}
   * lake's atomic protocol.
   */
 class LakeRelationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  describe("readChangeFeed option (CDC on the read surface)") {
+    it("serves the version-range diff with _change_type, dv diffs included") {
+      import graft.sources.AtomicLake
+      import org.apache.spark.sql.functions.col
+      val root = "/root/repo/target/test-scratch/relation_cdf"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      AtomicLake.append(
+        (1 to 10).map(i => (i, i)).toDF("id", "v"), root)
+      val v1 = AtomicLake.currentVersion(root).get
+      AtomicLake.append(
+        (11 to 12).map(i => (i, i)).toDF("id", "v"), root)
+      AtomicLake.deleteWhereDV(spark, root)(col("id") <= 2)
+      val feed = spark.read.format("graft-lake")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v1.toString)
+        .load()
+      feed.filter(col("_change_type") === "insert")
+        .select("id").as[Int].collect().toSet shouldBe Set(11, 12)
+      feed.filter(col("_change_type") === "delete")
+        .select("id").as[Int].collect().toSet shouldBe Set(1, 2)
+      // endingVersion bounds the range BEFORE the dv delete
+      spark.read.format("graft-lake").option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v1.toString)
+        .option("endingVersion", (v1 + 1).toString)
+        .load().filter(col("_change_type") === "delete")
+        .count() shouldBe 0
+    }
+  }
   import spark.implicits._
 
   private val scratch = "/root/repo/target/test-scratch/lake_relation"
