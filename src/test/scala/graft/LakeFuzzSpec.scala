@@ -5,7 +5,8 @@ import graft.sources.AtomicLake
 
 /** Model-based randomized exercise of the ACID lake core: a seeded
   * random sequence of table operations (append / keyed merge /
-  * predicate delete / compact / restore) runs against BOTH the real
+  * predicate delete / deletion-vector delete / row update / purge /
+  * compact / restore) runs against BOTH the real
   * lake and a trivial in-memory model, and after every step the
   * lake's full contents must equal the model's. Targeted specs prove
   * each operator alone; this proves the COMPOSITIONS — e.g. restore
@@ -41,8 +42,8 @@ class LakeFuzzSpec extends SparkSpec {
       model = Map(nextId -> 1.0); nextId += 1
       history :+= (v0, model)
 
-      for (step <- 1 to 10) {
-        val op = rnd.nextInt(5)
+      for (step <- 1 to 14) {
+        val op = rnd.nextInt(8)
         val clue = s"seed=$seed step=$step op=$op"
         op match {
           case 0 => // append fresh ids
@@ -79,6 +80,24 @@ class LakeFuzzSpec extends SparkSpec {
             val v = AtomicLake.restore(root, tv)
             model = tm
             history :+= (v, model)
+          case 5 => // deletion-vector delete (merge-on-read)
+            val (m, r) = (2 + rnd.nextInt(3), rnd.nextInt(2))
+            val res = AtomicLake.deleteWhereDV(spark, root)(
+              pmod(col("id"), lit(m.toLong)) === r.toLong)
+            model = model.filter { case (k, _) => k % m != r }
+            history :+= (res.version, model)
+          case 6 => // row-level update
+            val (m, r) = (2 + rnd.nextInt(3), rnd.nextInt(2))
+            val delta = rnd.nextInt(9).toDouble
+            val res = AtomicLake.updateWhere(spark, root,
+              Seq("v" -> (col("v") + delta)))(
+              pmod(col("id"), lit(m.toLong)) === r.toLong)
+            model = model.map { case (k, v) =>
+              k -> (if (k % m == r) v + delta else v) }
+            history :+= (res.version, model)
+          case 7 => // purge vectors: contents must not change
+            val res = AtomicLake.purgeDeletes(spark, root)
+            history :+= (res.version, model)
         }
         withClue(clue) { readState(root) shouldBe model }
       }
