@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
-import graft.operators.{Bloom, Curation, Export}
+import graft.operators.{Bloom, Curation, Export, HeavyHitters}
 import graft.sources.Tables
 
 /** Corpus-curation & export query family (SURVEY.md §2 H1-H5):
@@ -82,6 +82,18 @@ object CurationQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         Curation.dupNgramFraction(col("text"), 2).as("dup2_frac"),
         Curation.dupNgramFraction(col("text"), 3).as("dup3_frac"))
+    },
+
+    // H15 — exact corpus top-k tokens via the Misra-Gries
+    // candidates + verify path (no full-key-space shuffle; the kth
+    // count clears the n/(s+1) bound on this corpus, so the fast
+    // path's answer is PROVEN exact — and the oracle is the naive
+    // full aggregation it must equal).
+    "text_topk_tokens" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir).select(
+        explode(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("tok"))
+      HeavyHitters.exactTopK(toks, "tok", k = 20, s = 64)
     },
 
     // H4 — bloom-pruned membership: which probe keys already exist in
@@ -204,6 +216,14 @@ object CurationQueries {
        |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_topk_tokens" ->
+      """SELECT tok AS item, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |        t -> len(t) > 0)) AS tok
+        |      FROM documents)
+        |GROUP BY 1
+        |ORDER BY cnt DESC, item ASC
+        |LIMIT 20""".stripMargin,
     "text_dup_ngrams" ->
       (s"""WITH tk AS (
          |  SELECT doc_id,
