@@ -90,12 +90,71 @@ class Pipeline(val name: String) {
   /** Execute the DAG; never throws for TASK failures (they land in
     * the results as `failed`/`skipped`) — only graph validation does.
     */
-  def run(spark: SparkSession): Seq[TaskResult] = {
+  def run(spark: SparkSession): Seq[TaskResult] =
+    runResuming(spark, Set.empty)
+
+  /** [[run]] + one audit row per task appended to the ACID lake at
+    * `auditRoot` (created on first run), partitioned by run date —
+    * the reference's `etl_batch_audit` posture: append-only, every
+    * run queryable, a crashed run leaves either a full audit commit
+    * or none (the atomic protocol's guarantee).
+    */
+  def runLogged(spark: SparkSession, auditRoot: String,
+      store: CommitStore = HardlinkCommitStore): Seq[TaskResult] = {
+    val runId = java.util.UUID.randomUUID().toString
+    val runTs = System.currentTimeMillis()
+    val results = run(spark)
+    AtomicLake.append(resultsDf(spark, results, runId, runTs), auditRoot,
+      partitionCols = Seq("run_date"), store = store)
+    results
+  }
+
+  /** [[runLogged]] with Airflow's clear-and-rerun semantics: tasks
+    * that SUCCEEDED in the most recent audited run are skipped as
+    * `cached` (their side effects stand — graft tasks are idempotent
+    * lake commits, so re-running them would also be safe, just
+    * wasted); failed and skipped tasks re-execute. A `cached`
+    * dependency counts as satisfied. The resumed run appends its own
+    * audit rows (fresh run_id), so the log tells the whole story.
+    * With no prior runs this IS [[runLogged]].
+    */
+  def resumeLogged(spark: SparkSession, auditRoot: String,
+      store: CommitStore = HardlinkCommitStore): Seq[TaskResult] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val prevOk: Set[String] =
+      if (AtomicLake.currentVersion(auditRoot, store).isEmpty) Set.empty
+      else {
+        val log = AtomicLake.read(spark, auditRoot, store)
+          .filter(col("pipeline") === name)
+        val lastRun = log.agg(max(col("run_ts"))).head()
+        if (lastRun.isNullAt(0)) Set.empty
+        else log.filter(col("run_ts") === lastRun.getTimestamp(0))
+          // a cached row IS a success whose effects stand from an
+          // earlier run — it keeps counting across repeated resumes
+          .filter(col("status").isin("success", "cached"))
+          .select("task").collect().map(_.getString(0)).toSet
+      }
+    val runId = java.util.UUID.randomUUID().toString
+    val runTs = System.currentTimeMillis()
+    val results = runResuming(spark, prevOk)
+    AtomicLake.append(resultsDf(spark, results, runId, runTs), auditRoot,
+      partitionCols = Seq("run_date"), store = store)
+    results
+  }
+
+  /** [[run]] where tasks in `alreadyDone` report `cached` without
+    * executing, and count as satisfied dependencies.
+    */
+  private def runResuming(spark: SparkSession,
+      alreadyDone: Set[String]): Seq[TaskResult] = {
     val order = topoOrder()
     val status = scala.collection.mutable.Map.empty[String, String]
     order.map { t =>
       val t0 = System.nanoTime()
-      if (!t.deps.forall(d => status(d) == "success")) {
+      if (alreadyDone.contains(t.id)) {
+        status(t.id) = "success"
+        TaskResult(t.id, "cached", 0, None, 0L)
+      } else if (!t.deps.forall(d => status(d) == "success")) {
         status(t.id) = "skipped"
         TaskResult(t.id, "skipped", 0, None, 0L)
       } else {
@@ -118,22 +177,6 @@ class Pipeline(val name: String) {
           (System.nanoTime() - t0) / 1000000L)
       }
     }
-  }
-
-  /** [[run]] + one audit row per task appended to the ACID lake at
-    * `auditRoot` (created on first run), partitioned by run date —
-    * the reference's `etl_batch_audit` posture: append-only, every
-    * run queryable, a crashed run leaves either a full audit commit
-    * or none (the atomic protocol's guarantee).
-    */
-  def runLogged(spark: SparkSession, auditRoot: String,
-      store: CommitStore = HardlinkCommitStore): Seq[TaskResult] = {
-    val runId = java.util.UUID.randomUUID().toString
-    val runTs = System.currentTimeMillis()
-    val results = run(spark)
-    AtomicLake.append(resultsDf(spark, results, runId, runTs), auditRoot,
-      partitionCols = Seq("run_date"), store = store)
-    results
   }
 
   /** The audit frame for a run's results. */

@@ -110,6 +110,38 @@ class DagPipelineSpec extends SparkSpec {
       log.select("pipeline").distinct().as[String].head() shouldBe "etl"
     }
 
+    it("resumeLogged re-runs only failed/skipped tasks; successes are cached") {
+      val audit = freshRoot("resume_audit")
+      val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+      var healthy = false
+      def build() = new Pipeline("resumable")
+        .task("a")(_ => ran += "a")
+        .task("flaky", deps = Seq("a")) { _ =>
+          ran += "flaky"
+          if (!healthy) sys.error("transient outage")
+        }
+        .task("b", deps = Seq("flaky"))(_ => ran += "b")
+        .task("side", deps = Seq("a"))(_ => ran += "side")
+      // first run: flaky fails, b skips, a+side succeed
+      build().runLogged(spark, audit)
+      ran.toSeq shouldBe Seq("a", "flaky", "side")
+      // the outage clears; resume executes ONLY flaky and b
+      healthy = true
+      ran.clear()
+      val r2 = build().resumeLogged(spark, audit)
+      ran.toSeq shouldBe Seq("flaky", "b")
+      r2.map(t => t.task -> t.status).toMap shouldBe Map(
+        "a" -> "cached", "flaky" -> "success",
+        "b" -> "success", "side" -> "cached")
+      // both runs audited; a fully-green resume caches everything
+      AtomicLake.read(spark, audit).select("run_id").distinct()
+        .count() shouldBe 2
+      ran.clear()
+      build().resumeLogged(spark, audit).map(_.status)
+        .distinct shouldBe Seq("cached")
+      ran shouldBe empty
+    }
+
     it("drives a bronze->silver->gold lake chain end-to-end") {
       val lake = freshRoot("chain_lake")
       val gold = freshRoot("chain_gold")
