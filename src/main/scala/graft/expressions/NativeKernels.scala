@@ -1039,6 +1039,135 @@ object NativeKernels extends Serializable {
     new GenericArrayData(java.util.Arrays.copyOf(bestC, size))
   }
 
+  // ---- BPE tokenizer apply (operators/Bpe) -------------------------
+
+  /** Parsed BPE merge table: rank per adjacent symbol pair (key
+    * `left + ' ' + right`), plus a bounded word→tokens cache —
+    * token streams are Zipf-distributed, so virtually every word a
+    * partition encodes after warm-up is a cache hit and the merge
+    * loop runs only for the long tail.
+    */
+  private final class BpeTable(
+      val ranks: java.util.HashMap[String, Integer]) {
+    val wordCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  }
+
+  /** The merge table rides the plan as ONE string literal (rank order
+    * = line order, fields tab-separated). Each task deserializes its
+    * own literal instance, so the memo re-keys on content-equality
+    * once per task and every subsequent row hits the `eq` fast path.
+    * Single volatile pair keeps the (key, table) swap atomic.
+    */
+  @volatile private var bpeMemo: (UTF8String, BpeTable) = null
+
+  private def bpeTable(merges: UTF8String): BpeTable = {
+    val m = bpeMemo
+    if (m != null && (m._1 eq merges)) return m._2
+    if (m != null && m._1.equals(merges)) {
+      bpeMemo = (merges, m._2) // re-key to the new instance
+      return m._2
+    }
+    val ranks = new java.util.HashMap[String, Integer]()
+    val lines = merges.toString.split('\n')
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val tab = l.indexOf('\t')
+      if (tab > 0)
+        ranks.put(l.substring(0, tab) + ' ' + l.substring(tab + 1),
+          Integer.valueOf(i))
+      i += 1
+    }
+    val t = new BpeTable(ranks)
+    bpeMemo = (merges, t)
+    t
+  }
+
+  /** End-of-word marker symbol (Sennrich et al. 2016 BPE): keeps a
+    * word-final unit distinct from the same characters mid-word and
+    * makes detokenization (`concat tokens, split on marker`) exact.
+    */
+  val BpeEow = "</w>"
+
+  /** Greedy BPE merge loop for one word: start from Unicode code
+    * points + the `</w>` terminal, then repeatedly merge the
+    * lowest-rank adjacent pair, left-to-right non-overlapping, until
+    * no adjacent pair has a rank. Exhausting merges in rank order is
+    * equivalent to the priority-queue formulation because a merge
+    * can never create a pair of LOWER rank (that pair's symbols would
+    * have had to exist before it during training).
+    */
+  private def bpeWord(w: String, t: BpeTable): Array[UTF8String] = {
+    val cached = t.wordCache.get(w)
+    if (cached != null) return cached
+    var syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(w.substring(i, i + n))
+      i += n
+    }
+    syms.add(BpeEow)
+    var done = false
+    while (!done && syms.size() > 1) {
+      // lowest-rank pair present in the word
+      var best = Int.MaxValue
+      var bi = -1
+      i = 0
+      while (i < syms.size() - 1) {
+        val r = t.ranks.get(syms.get(i) + ' ' + syms.get(i + 1))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        // merge ALL its occurrences, left-to-right non-overlapping
+        val a = syms.get(bi)
+        val b = syms.get(bi + 1)
+        val merged = a + b
+        val next = new java.util.ArrayList[String](syms.size())
+        i = 0
+        while (i < syms.size()) {
+          if (i < syms.size() - 1 && syms.get(i) == a &&
+              syms.get(i + 1) == b) {
+            next.add(merged); i += 2
+          } else { next.add(syms.get(i)); i += 1 }
+        }
+        syms = next
+      }
+    }
+    val out = new Array[UTF8String](syms.size())
+    i = 0
+    while (i < syms.size()) { out(i) = UTF8String.fromString(syms.get(i)); i += 1 }
+    // bound the cache: plateau rather than evict — the hot head of a
+    // Zipf vocabulary is inserted long before the bound is reached
+    if (t.wordCache.size() < (1 << 16)) t.wordCache.put(w, out)
+    out
+  }
+
+  /** Apply a trained BPE merge table to a text: split on the single
+    * space byte (the repo-wide tokenization), encode each word
+    * independently, concatenate the sub-token streams. Map-side only;
+    * the merge table is a plan literal (see [[bpeTable]]).
+    */
+  def bpeEncode(text: UTF8String, merges: UTF8String): ArrayData = {
+    val table = bpeTable(merges)
+    val parts = text.split(SpaceDelim, -1)
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).numBytes > 0) {
+        val toks = bpeWord(parts(i).toString, table)
+        var j = 0
+        while (j < toks.length) { out.add(toks(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // ---- Column wrappers ---------------------------------------------
 
   private def invoke(name: String, ret: DataType,
@@ -1149,6 +1278,11 @@ object NativeKernels extends Serializable {
   def termFreqsCol(text: Column): Column =
     invoke("termFreqs", ArrayType(termFreqType, containsNull = false),
       Seq(text), Seq(StringType))
+
+  def bpeEncodeCol(text: Column, merges: String): Column =
+    invoke("bpeEncode", ArrayType(StringType, containsNull = false),
+      Seq(text, org.apache.spark.sql.functions.lit(merges)),
+      Seq(StringType, StringType))
 
   def sortedIntersectCountCol(a: Column, b: Column): Column =
     invoke("sortedIntersectCount", IntegerType, Seq(a, b),

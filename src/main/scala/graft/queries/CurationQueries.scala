@@ -144,6 +144,24 @@ object CurationQueries {
         .agg(count(lit(1)).cast("int").as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"),
           countDistinct(col("ref")).cast("int").as("n_langs"))
+    },
+
+    // H16 — corpus-trained BPE tokenizer ([R]: the merge-training
+    // loop is not SQL-expressible — rows-only + BpeSpec's
+    // hand-computed-merges/kernel-parity/determinism gates). Training
+    // reads ONE word histogram (the corpus never leaves the cluster);
+    // apply is a map-side codegen kernel with the merge table as a
+    // plan literal. Output: per-doc subword counts + the compression
+    // ratio a tokenizer report cares about, plus the first merges as
+    // a fingerprint of the learned vocabulary.
+    "bpe_tokenize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.train(docs, "text",
+        numMerges = 200, maxWords = 20000, minCount = 2)
+      graft.operators.Bpe.tokenize(docs, "doc_id", "text", model)
+        .withColumn("first_merges",
+          lit(model.merges.take(5).map(p => p._1 + p._2).mkString(" ")))
+        .select(col("doc_id"), col("n_tokens"), col("first_merges"))
     }
   )
 
