@@ -35,6 +35,12 @@ object NativeKernels extends Serializable {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
       s.numBytes, XxSeed)
 
+  /** Driver-side twin of the built-in `xxhash64(string)` (seed 42) —
+    * lets a literal probe key normalize exactly like a plan-side
+    * `xxhash64` column (sources/BloomIndex key normalization).
+    */
+  def xx64(s: UTF8String): Long = xx(s)
+
   // ---- SimHash -----------------------------------------------------
 
   /** 64-bit SimHash over a token array: one pass, 64-slot vote array
@@ -1341,6 +1347,14 @@ object NativeKernels extends Serializable {
     invoke("bloomMightContain", BooleanType,
       Seq(key, org.apache.spark.sql.functions.typedlit(bits),
         org.apache.spark.sql.functions.lit(k)),
+      Seq(LongType, ArrayType(LongType), IntegerType))
+
+  /** [[bloomMightContainCol]] with the bitset AND probe count as
+    * columns — the bloom-index pruning job probes many per-file
+    * blooms (each its own size/k) in one pass.
+    */
+  def bloomMightContainColK(key: Column, bits: Column, k: Column): Column =
+    invoke("bloomMightContain", BooleanType, Seq(key, bits, k),
       Seq(LongType, ArrayType(LongType), IntegerType))
 
   /** The ring struct type shared by GeoFns and the bbox-pruning rule. */

@@ -72,6 +72,8 @@ object LakeSql {
     """(?is)\s*REORG\s+LAKE\s+'([^']+)'\s+APPLY\s+PURGE\s*;?\s*""".r
   private val UpdateLake: Regex =
     """(?is)\s*UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val CreateBloom: Regex =
+    """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\(([^)]+)\)(?:\s+WITH\s+FPP\s+([0-9.eE+-]+))?\s*;?\s*""".r
 
   /** Some(command plan) when `sqlText` is lake-maintenance DDL. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -95,6 +97,10 @@ object LakeSql {
     case Reorg(root) => Some(PurgeLakeCommand(root))
     case UpdateLake(root, sets, pred) =>
       Some(UpdateLakeCommand(root, sets.trim, pred.trim))
+    case CreateBloom(root, cols, fpp) =>
+      Some(CreateBloomIndexCommand(root,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(fpp).map(_.toDouble).getOrElse(0.01)))
     case _ => None
   }
 
@@ -321,4 +327,17 @@ case class UpdateLakeCommand(root: String, sets: String,
       org.apache.spark.sql.functions.expr(predicate))
     Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
   }
+}
+
+/** CREATE BLOOM INDEX ON '<root>' (c1, …) [WITH FPP p] — Delta's
+  * bloom-filter-index role as one statement: builds per-file blooms
+  * for the files lacking them ([[AtomicLake.indexBloom]]'s
+  * incremental contract) and commits `kind=index`.
+  */
+case class CreateBloomIndexCommand(root: String, cols: Seq[String],
+    fpp: Double) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.indexBloom(spark, root, cols, fpp)))
 }

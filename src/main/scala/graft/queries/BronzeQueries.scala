@@ -231,6 +231,25 @@ object BronzeQueries {
       ).toDF("item", "value")
     },
 
+    // G39 — per-file bloom indexes: point lookups on the
+    // high-cardinality order key, where every year-partition file
+    // spans the whole key domain (zone maps prune nothing), route
+    // through indexBloom's sidecar probe — only files whose bloom
+    // admits a key are read. The oracle filters the source parquet,
+    // so a false NEGATIVE (wrongly pruned file) loses rows and
+    // hash-mismatches; false positives only cost IO. Built on a
+    // shallow clone: the index job covers the clone's absolutely-
+    // referenced source files without copying them.
+    "lake_bloom_lookup" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "bloom_lookup")
+      graft.sources.AtomicLake.indexBloom(s, scratch,
+        Seq("o_orderkey"), fpp = 0.001)
+      graft.sources.AtomicLake.scan(s, scratch)(
+          col("o_orderkey").isin(7L, 68L, 129L, 4000L, 9988L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+    },
+
     "lake_cluster_scan" -> { (s, dir) =>
       val scratch = clonedOrdersLake(s, dir, "cluster_scan")
       graft.sources.AtomicLake.cluster(s, scratch, Seq("o_orderkey"),
@@ -500,6 +519,10 @@ object BronzeQueries {
         |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "lake_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (7, 68, 129, 4000, 9988)""".stripMargin,
     "lake_cluster_scan" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         |  count(*) AS n_orders,

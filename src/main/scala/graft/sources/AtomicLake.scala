@@ -84,7 +84,35 @@ object AtomicLake {
       // the listed row positions ([[readFileSubset]]). Absent for
       // files with no row-level deletes; cleared when the file is
       // rewritten (COW delete/merge/compaction/[[purgeDeletes]])
-      dvs: Map[String, DvRef] = Map.empty)
+      dvs: Map[String, DvRef] = Map.empty,
+      // per-file bloom indexes (file -> column -> sidecar ref): point
+      // lookups on high-cardinality columns prune files a bloom
+      // proves the key absent from — see [[BloomIndex]]; entries shed
+      // with their file (rewrites), roll back with restore, and
+      // absolutize on clone like dvs
+      blooms: Map[String, Map[String, BloomIndex.Ref]] = Map.empty,
+      // column mapping (Delta's columnMapping.mode=name): LOGICAL
+      // name -> PHYSICAL parquet column, present only for renamed
+      // columns ([[renameColumn]] — a metadata-only commit; files
+      // keep their bytes). Readers read physical and alias to
+      // logical; writers stage logical batches under physical names
+      colMap: Map[String, String] = Map.empty,
+      // physical names of DROPPED columns ([[dropColumn]]): the data
+      // still sits in old files, so re-adding the name is REFUSED
+      // (resurrection would silently read the old bytes back)
+      dropped: Set[String] = Set.empty)
+
+  /** `logical` column's physical parquet name under this snapshot. */
+  private def physicalOf(snap: Snapshot, logical: String): String =
+    snap.colMap.getOrElse(logical, logical)
+
+  /** Current column mapping for writers staging against `root` (empty
+    * before any rename — the overwhelmingly common case pays one
+    * manifest read it was already paying for constraints/schema).
+    */
+  private def currentColMap(root: String,
+      store: CommitStore): Map[String, String] =
+    currentSnapshot(root, store).map(_.colMap).getOrElse(Map.empty)
 
   /** A file's deletion-vector reference: `paths` are position
     * sidecars (parquet dirs of (file, pos) rows, lake-root-relative —
@@ -128,6 +156,9 @@ object AtomicLake {
     var kind = "write"
     var constraints = Map.empty[String, String]
     var ts: Option[Long] = None
+    var blooms = Map.empty[String, Map[String, BloomIndex.Ref]]
+    var colMap = Map.empty[String, String]
+    var dropped = Set.empty[String]
     var headers = true
     while (headers) rest match {
       case h +: tl if h.startsWith("schema=") =>
@@ -144,6 +175,25 @@ object AtomicLake {
         rest = tl
       case h +: tl if h.startsWith("ts=") =>
         ts = h.drop("ts=".length).toLongOption; rest = tl
+      case h +: tl if h.startsWith("bloom=") =>
+        // bloom=<col>\t<sidecar path>\t<file>
+        h.drop("bloom=".length).split("\t", 3) match {
+          case Array(c, p, f) =>
+            blooms += f -> (blooms.getOrElse(f, Map.empty) +
+              (c -> BloomIndex.Ref(p)))
+          case _ => ()
+        }
+        rest = tl
+      case h +: tl if h.startsWith("colmap=") =>
+        // colmap=<logical>\t<physical>
+        h.drop("colmap=".length).split("\t", 2) match {
+          case Array(l, p) => colMap += l -> p
+          case _ => ()
+        }
+        rest = tl
+      case h +: tl if h.startsWith("dropped=") =>
+        dropped += h.drop("dropped=".length)
+        rest = tl
       case _ => headers = false
     }
     val fileLines = rest
@@ -174,14 +224,37 @@ object AtomicLake {
     val dvs = parsed.iterator
       .flatMap { case (_, f, _, dv) => dv.map(f -> _) }.toMap
     Snapshot(v, partitionCols, files, schema, kind, stats, constraints,
-      ts, dvs)
+      ts, dvs, blooms, colMap, dropped)
+  }
+
+  /** Lossless widenings the parquet read path upcasts natively
+    * (Spark 4.x vectorized reader: int32 pages read as long, float as
+    * double — Delta's "type widening" table feature): the merged
+    * column takes the WIDER side, old files keep their narrow pages,
+    * and every read sees the wide type. Anything else is a rewrite,
+    * not an evolution. Returns the widened type when (a, b) are
+    * compatible.
+    */
+  private[graft] def widenType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intRank: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    if (a == b) Some(a)
+    else if (intRank.contains(a) && intRank.contains(b))
+      Some(if (intRank(a) >= intRank(b)) a else b)
+    else if ((a == FloatType && b == DoubleType) ||
+        (a == DoubleType && b == FloatType)) Some(DoubleType)
+    else None
   }
 
   /** The committed schema after applying `batch` on top of `base`:
-    * common columns must keep their type (a type change is a table
-    * REWRITE, not an evolution — refuse loudly), columns on one side
-    * only become nullable (some committed files lack them), new
-    * columns append in batch order.
+    * common columns must keep their type or WIDEN losslessly
+    * ([[widenType]] — any other change is a table REWRITE, refused
+    * loudly), columns on one side only become nullable (some
+    * committed files lack them), new columns append in batch order.
     */
   private[graft] def mergeSchemas(
       base: org.apache.spark.sql.types.StructType,
@@ -202,11 +275,15 @@ object AtomicLake {
             s"schema evolution cannot rename column '${f.name}' to " +
               s"'${g.name}': case-insensitive resolution makes them one " +
               "column; rewrite the table to change the case")
-          require(g.dataType == f.dataType,
-            s"schema evolution cannot change column '${f.name}' from " +
-              s"${f.dataType.simpleString} to ${g.dataType.simpleString}; " +
-              "rewrite the table instead")
-          f.copy(nullable = f.nullable || g.nullable)
+          val widened = widenType(f.dataType, g.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution cannot change column '${f.name}' from " +
+                s"${f.dataType.simpleString} to " +
+                s"${g.dataType.simpleString}; only lossless widening " +
+                "(byte/short/int/long chain, float->double) evolves — " +
+                "rewrite the table instead"))
+          f.copy(dataType = widened,
+            nullable = f.nullable || g.nullable)
         case None => f.copy(nullable = true)
       }
     } ++ add.fields.filterNot(f => baseNames(norm(f.name)))
@@ -236,15 +313,22 @@ object AtomicLake {
       // false = the caller already distributed/sorted the frame for
       // file layout (clustered compaction's range partitioning) and
       // the default partition-count shuffle must not destroy it
-      distribute: Boolean = true): Staged = {
+      distribute: Boolean = true,
+      // column mapping of the snapshot being written against: staged
+      // parquet carries PHYSICAL column names, so files written after
+      // a rename stay byte-compatible with the ones written before it
+      colMap: Map[String, String] = Map.empty): Staged = {
     val commitId = UUID.randomUUID().toString.take(12)
     val staging = Paths.get(root, "_staging", commitId)
+    val physical = colMap.foldLeft(batch) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
     val distributed =
-      if (!distribute) batch
+      if (!distribute) physical
       else if (partitionCols.nonEmpty)
-        PartitionedLake.distributeForWrite(batch, partitionCols,
+        PartitionedLake.distributeForWrite(physical, partitionCols,
           filesPerPartition)
-      else batch.repartition(filesPerPartition)
+      else physical.repartition(filesPerPartition)
     // The staging write runs with AQE off: its exchange is an EXPLICIT
     // repartition chosen for file-count control, so AQE has nothing to
     // improve — it only splits shuffle and write into two sequential
@@ -378,7 +462,19 @@ object AtomicLake {
       // rolls dv state back with the file list; clone absolutizes);
       // None = carry the previous snapshot's entries for surviving
       // files, overlaid with newDvs
-      dvOverride: Option[Map[String, DvRef]] = None): Long = {
+      dvOverride: Option[Map[String, DvRef]] = None,
+      // bloom-index refs: same carry/overlay/override contract as
+      // dvs — entries for files absent from the committed file list
+      // are shed by construction (a rewritten file's bloom no longer
+      // bounds its replacement's keys)
+      newBlooms: Map[String, Map[String, BloomIndex.Ref]] = Map.empty,
+      bloomOverride: Option[Map[String, Map[String, BloomIndex.Ref]]] =
+        None,
+      // column mapping: Some = this commit SETS the logical->physical
+      // map (rename/drop/restore/clone); None = inherit
+      newColMap: Option[Map[String, String]] = None,
+      // dropped-column tombstones (physical names): same contract
+      newDropped: Option[Set[String]] = None): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -466,6 +562,16 @@ object AtomicLake {
         body.append("constraint=").append(n).append(':')
           .append(e).append('\n')
       body.append("ts=").append(System.currentTimeMillis()).append('\n')
+      // bloom-index headers: only for files this commit still lists —
+      // an entry whose file was rewritten/removed must not survive
+      // (its bits say nothing about the replacement file's keys)
+      val mergedFiles = merged.values.flatten.toSet
+      val bloomByFile = bloomOverride.getOrElse(
+        prev.map(_.blooms).getOrElse(Map.empty) ++ newBlooms)
+      for ((f, cs) <- bloomByFile.toSeq.sortBy(_._1) if mergedFiles(f);
+           (c, ref) <- cs.toSeq.sortBy(_._1))
+        body.append("bloom=").append(c).append('\t')
+          .append(ref.path).append('\t').append(f).append('\n')
       // surviving files keep the stats their own commit harvested;
       // new files bring theirs — a file's zone map never changes
       // after the immutable file is written
@@ -631,7 +737,8 @@ object AtomicLake {
       partitionCols: Seq[String], filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     enforceConstraints(batch, root, store)
-    val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
+    val staged = stageFiles(batch, root, partitionCols, filesPerPartition,
+      colMap = currentColMap(root, store))
     commitReplacing(root, staged.keySet, staged.files, partitionCols,
       batchSchema = Some(batch.schema), store = store,
       newStats = staged.stats)
@@ -645,7 +752,8 @@ object AtomicLake {
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     enforceConstraints(batch, root, store)
-    val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
+    val staged = stageFiles(batch, root, partitionCols, filesPerPartition,
+      colMap = currentColMap(root, store))
     commitReplacing(root, Set.empty, staged.files, partitionCols,
       batchSchema = Some(batch.schema), store = store,
       newStats = staged.stats)
@@ -660,7 +768,8 @@ object AtomicLake {
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     enforceConstraints(batch, root, store)
-    val staged = stageFiles(batch, root, partitionCols, filesPerPartition)
+    val staged = stageFiles(batch, root, partitionCols, filesPerPartition,
+      colMap = currentColMap(root, store))
     commitReplacing(root, Set.empty, staged.files, partitionCols,
       batchSchema = Some(batch.schema), store = store,
       newStats = staged.stats, replaceAll = true)
@@ -691,8 +800,20 @@ object AtomicLake {
     val snap = currentSnapshot(root, store).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     if (filters.isEmpty) return readSnapshot(spark, root, snap)
-    val surviving = LakeStats.survivors(snap, filters.map(
-      org.apache.spark.sql.classic.GraftExprBridge.expression))
+    val exprs = filters.map(
+      org.apache.spark.sql.classic.GraftExprBridge.expression)
+    val zoneSurvivors = LakeStats.survivors(snap, exprs)
+    // bloom-index pruning on top of the zone maps: equality/IN
+    // conjuncts on indexed high-cardinality columns drop the files a
+    // bloom proves the key absent from (a sidecar-sized job; only
+    // file names return — see [[BloomIndex.prunable]])
+    val surviving =
+      if (snap.blooms.isEmpty || zoneSurvivors.isEmpty) zoneSurvivors
+      else {
+        val pruned =
+          BloomIndex.prunable(spark, root, snap, exprs, zoneSurvivors)
+        zoneSurvivors.filterNot(pruned)
+      }
     val base =
       if (surviving.isEmpty)
         // every file pruned: schema-correct empty frame (partition
@@ -892,7 +1013,7 @@ object AtomicLake {
       if (dvd.isEmpty) return Rewrite(snap.version, 0L, 0)
       val survivors = readFileSubset(spark, root, dvd, snap)
       val staged = stageFiles(survivors, root, snap.partitionCols,
-        filesPerPartition)
+        filesPerPartition, colMap = snap.colMap)
       // a fully-deleted rewrite leaves Spark's zero-row placeholder —
       // drop it like deleteWhere does
       val empties = staged.stats.collect {
@@ -968,7 +1089,7 @@ object AtomicLake {
       }
     }.toSeq: _*)
     val staged = stageFiles(rewritten, root, snap.partitionCols,
-      filesPerPartition)
+      filesPerPartition, colMap = snap.colMap)
     val v = commitReplacing(root, Set.empty, staged.files,
       snap.partitionCols, expectedBase = Some(snap), store = store,
       newStats = staged.stats, removeFiles = dirty.toSet)
@@ -998,7 +1119,7 @@ object AtomicLake {
     val survivors = readFileSubset(spark, root, dirty, snap)
       .filter(!coalesce(predicate, lit(false)))
     val staged = stageFiles(survivors, root, snap.partitionCols,
-      filesPerPartition)
+      filesPerPartition, colMap = snap.colMap)
     // a delete that empties every row of the rewrite leaves Spark's
     // single zero-row placeholder file: committing it would keep a
     // dead manifest line (and a dead footer read) per such delete —
@@ -1134,7 +1255,7 @@ object AtomicLake {
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src, allowMissingColumns = true)
     val staged = stageFiles(survivors, root, snap.partitionCols,
-      filesPerPartition)
+      filesPerPartition, colMap = snap.colMap)
     val v = commitReplacing(root, Set.empty, staged.files,
       snap.partitionCols, expectedBase = Some(snap),
       batchSchema = Some(src.schema), store = store,
@@ -1241,6 +1362,25 @@ object AtomicLake {
     (planned, total)
   }
 
+  /** [[scanInfo]] including bloom-index pruning — needs a session for
+    * the sidecar probe job, so it is a separate overload: the
+    * zone-map-only form stays O(manifest) with zero jobs.
+    */
+  def scanInfo(spark: SparkSession, root: String,
+      store: CommitStore)(filters: Column*): (Int, Int) = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val total = snap.files.values.flatten.size
+    val exprs = filters.map(
+      org.apache.spark.sql.classic.GraftExprBridge.expression)
+    val zone = LakeStats.survivors(snap, exprs)
+    val planned =
+      if (snap.blooms.isEmpty || zone.isEmpty) zone.size
+      else zone.size -
+        BloomIndex.prunable(spark, root, snap, exprs, zone).size
+    (planned, total)
+  }
+
   /** O(manifest) row count from the zone-map stats — the instant
     * `SELECT count(*)` a 100-TB table answers without a single task,
     * when every current file carries stats (None otherwise: the
@@ -1283,7 +1423,12 @@ object AtomicLake {
       // deletion-vector state rolls back WITH the file list: a file
       // dv'd after toVersion reads whole again (CDC reports the
       // resurrected rows), one purged after it gets its vector back
-      dvOverride = Some(target.dvs))
+      dvOverride = Some(target.dvs),
+      // bloom-index state likewise: an index built AFTER toVersion
+      // must not claim to bound rows a rollback resurrects (a dv the
+      // build excluded may return) — the target version's refs are
+      // exactly the ones whose superset contract still holds
+      bloomOverride = Some(target.blooms))
   }
 
   /** SHALLOW CLONE (Delta's CLONE ... SHALLOW): commit a manifest at
@@ -1328,9 +1473,19 @@ object AtomicLake {
         DvRef(dv.paths.map(pp =>
           Paths.get(srcRoot).resolve(pp).normalize().toString), dv.n)
     }
+    // bloom refs carry over like dvs: file keys absolutize to match
+    // the clone's manifest lines; sidecar paths absolutize into the
+    // source lake (zero-copy). The pruning job re-derives the
+    // sidecar-relative file keys from the sidecar's own location.
+    val absBlooms = snap.blooms.map { case (f, cs) =>
+      Paths.get(srcRoot).resolve(f).normalize().toString ->
+        cs.map { case (c, r) => c -> BloomIndex.Ref(
+          Paths.get(srcRoot).resolve(r.path).normalize().toString) }
+    }
     commitReplacing(dstRoot, Set.empty, absFiles, snap.partitionCols,
       batchSchema = snap.schema, store = store, kind = "clone",
       newStats = absStats, dvOverride = Some(absDvs),
+      bloomOverride = Some(absBlooms),
       // the clone IS the table, contract included: writes against it
       // must satisfy the same CHECK constraints (Delta CLONE copies
       // table properties the same way)
@@ -1423,11 +1578,20 @@ object AtomicLake {
     val (dvd, plain) = files.sorted.partition(snap.dvs.contains)
     def grouped(fs: Seq[String], meta: Boolean): DataFrame = {
       val groups = fs.groupBy(baseOf(root, _))
+      // column mapping: files store PHYSICAL names — read under the
+      // physical form of the snapshot schema, then alias back to
+      // logical so every consumer sees the logical table
+      val physSchema = snap.schema.map(s =>
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(name = physicalOf(snap, f.name)))))
       groups.toSeq.sortBy(_._1).map { case (base, gfs) =>
         val paths = gfs.map(f => Paths.get(root).resolve(f).toString)
         val reader = spark.read.option("basePath", base)
-        val df = snap.schema.fold(reader)(reader.schema(_))
+        val df0 = physSchema.fold(reader)(reader.schema(_))
           .parquet(paths: _*)
+        val df = snap.colMap.foldLeft(df0) { case (d, (l, p)) =>
+          if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d
+        }
         if (meta)
           df.withColumn("_graft_file", col("_metadata.file_path"))
             .withColumn("_graft_pos", col("_metadata.row_index"))
@@ -1640,7 +1804,7 @@ object AtomicLake {
     // (cloned) files group under their own basePath
     val batch = readFileSubset(spark, root, files, snap)
     val staged = stageFiles(batch, root, snap.partitionCols,
-      filesPerPartition)
+      filesPerPartition, colMap = snap.colMap)
     commitReplacing(root, targets ++ staged.keySet, staged.files,
       snap.partitionCols, expectedBase = Some(snap),
       batchSchema = Some(batch.schema), store = store, kind = "compact",
@@ -1701,7 +1865,7 @@ object AtomicLake {
       readFileSubset(spark, root, small, snap).repartition(outFiles)
     }.reduce(_.unionByName(_))
     val staged = stageFiles(rewritten, root, snap.partitionCols,
-      filesPerPartition = 1, distribute = false)
+      filesPerPartition = 1, distribute = false, colMap = snap.colMap)
     commitReplacing(root, Set.empty, staged.files, snap.partitionCols,
       expectedBase = Some(snap), store = store, kind = "compact",
       newStats = staged.stats,
@@ -1756,7 +1920,7 @@ object AtomicLake {
       .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val staged = stageFiles(laid, root, snap.partitionCols,
-      filesPerPartition, distribute = false)
+      filesPerPartition, distribute = false, colMap = snap.colMap)
     commitReplacing(root,
       snap.files.keySet ++ staged.keySet, staged.files,
       snap.partitionCols, expectedBase = Some(snap),
@@ -1774,6 +1938,59 @@ object AtomicLake {
     * not-yet-committed upsert younger than the grace window is never
     * swept. Returns the number of files deleted.
     */
+  /** Build per-file bloom indexes over `cols` (Delta's
+    * BLOOMFILTER INDEX role — see [[BloomIndex]] for the full scale
+    * contract): ONE dv-aware pass over the files that lack an entry
+    * for some requested column (incremental by construction — files
+    * indexed by a prior build are skipped, so the steady-state cost
+    * after ingest is proportional to the NEW files), partial bitsets
+    * reduce by (file, column), the sidecar lands under `root/index/`,
+    * and a metadata-only `kind=index` commit references it. Files
+    * without zone-map stats are skipped (sizing needs the row count);
+    * they simply stay unpruned. Returns the committed version (the
+    * current one when nothing needed indexing).
+    */
+  def indexBloom(spark: SparkSession, root: String, cols: Seq[String],
+      fpp: Double = 0.01,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    require(cols.nonEmpty, "indexBloom: no columns given")
+    require(fpp > 0 && fpp < 0.5, s"indexBloom: fpp out of range: $fpp")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"indexBloom: $root has no committed schema"))
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val typed = cols.map { c =>
+      val dt = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"indexBloom: no column $c in " +
+          schema.fieldNames.mkString(", ")))
+      require(BloomIndex.indexableKey(dt),
+        s"indexBloom: $c: $dt is not an indexable key domain " +
+          "(integral or string)")
+      (c, dt)
+    }
+    val all = snap.files.values.flatten.toSeq
+    val targets = all.filter(f => snap.stats.contains(f) &&
+      cols.exists(c => !snap.blooms.getOrElse(f, Map.empty).contains(c)))
+    if (targets.isEmpty) return snap.version
+    val uriToFile = targets.map(f =>
+      Paths.get(root).resolve(f).normalize().toUri.toString -> f).toMap
+    val rowsOf = targets.map(f => f -> snap.stats(f).rows).toMap
+    val sidecarRel =
+      s"index/${java.util.UUID.randomUUID().toString.take(12)}"
+    val sidecarAbs = Paths.get(root).resolve(sidecarRel).toString
+    val tagged = readFileSubsetTagged(spark, root, targets, snap)
+    BloomIndex.buildSidecar(spark, tagged, typed, uriToFile, rowsOf,
+      fpp, sidecarAbs)
+    val ref = BloomIndex.Ref(sidecarRel)
+    val newBlooms = targets.map { f =>
+      val have = snap.blooms.getOrElse(f, Map.empty)
+      f -> (have ++ cols.filterNot(have.contains).map(_ -> ref))
+    }.toMap
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      store = store, kind = "index", newBlooms = newBlooms)
+  }
+
   def vacuum(root: String, keepVersions: Int = 10,
       minAgeMs: Long = 3600000L,
       store: CommitStore = HardlinkCommitStore): Int = {
@@ -1822,6 +2039,28 @@ object AtomicLake {
       }
       for (d <- dirs
            if !referencedDvs.contains(d.normalize())
+           if Files.getLastModifiedTime(d).toMillis < cutoff) {
+        deleteRecursively(d)
+        deleted += 1
+      }
+    }
+    // bloom-index sidecars: same retention rule as dv sidecars —
+    // keep every index dir a retained manifest references (relative
+    // refs only; absolute refs point into a source lake)
+    val referencedBlooms: Set[Path] = keep.flatMap { v =>
+      readManifest(root, v, store).blooms.values
+        .flatMap(_.values.map(_.path))
+        .filterNot(p => Paths.get(p).isAbsolute)
+        .map(p => Paths.get(root).resolve(p).normalize())
+    }.toSet
+    val bloomDir = Paths.get(root, "index")
+    if (Files.isDirectory(bloomDir)) {
+      val dirs = {
+        val l = Files.list(bloomDir)
+        try l.iterator().asScala.toSeq finally l.close()
+      }
+      for (d <- dirs
+           if !referencedBlooms.contains(d.normalize())
            if Files.getLastModifiedTime(d).toMillis < cutoff) {
         deleteRecursively(d)
         deleted += 1

@@ -552,6 +552,16 @@ object LakeStats {
   def survivors(snap: AtomicLake.Snapshot, filters: Seq[Expression])
       : Seq[String] = {
     if (filters.isEmpty) return snap.files.values.flatten.toSeq.sorted
+    // column mapping: predicates name LOGICAL columns, the footer
+    // stats are keyed by the files' PHYSICAL names — translate before
+    // evaluating (identity when no rename ever happened)
+    val phys =
+      if (snap.colMap.isEmpty) filters
+      else filters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference if snap.colMap.contains(a.name) =>
+          a.withName(snap.colMap(a.name))
+      })
     snap.files.iterator.flatMap { case (dir, files) =>
       val parts = partitionValues(dir)
       files.filter { f =>
@@ -560,7 +570,7 @@ object LakeStats {
           stats.flatMap(s => s.byLower.get(name)
             .map(c => Stats(c, s.rows): ColInfo))
             .orElse(parts.get(name).map(PartVal(_): ColInfo))
-        filters.forall(mayMatch(_, info))
+        phys.forall(mayMatch(_, info))
       }
     }.toSeq.sorted
   }

@@ -158,6 +158,41 @@ class AtomicLakeSpec extends SparkSpec {
       AtomicLake.read(spark, root).columns.toSet shouldBe
         Set("id", "extra", "part")
     }
+    it("widens int->long losslessly: old int pages read as long") {
+      val root = freshRoot("evolve_widen")
+      AtomicLake.append(Seq((1, "a")).toDF("id", "part"), root,
+        Seq("part")) // id: int
+      AtomicLake.append(
+        Seq((5000000000L, "a")).toDF("id", "part"), root, Seq("part"))
+      val cur = AtomicLake.read(spark, root)
+      cur.schema("id").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+      cur.select("id").as[Long].collect().toSet shouldBe
+        Set(1L, 5000000000L)
+      // the NARROW-batch-after-wide direction stays wide
+      AtomicLake.append(Seq((7, "a")).toDF("id", "part"), root,
+        Seq("part"))
+      val again = AtomicLake.read(spark, root)
+      again.schema("id").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+      again.select("id").as[Long].collect().toSet shouldBe
+        Set(1L, 5000000000L, 7L)
+      // and zone maps still prune across mixed-width files
+      AtomicLake.scan(spark, root)(col("id") === 7L)
+        .count() shouldBe 1L
+    }
+    it("widens float->double; still refuses lossy changes") {
+      val root = freshRoot("evolve_widenf")
+      AtomicLake.append(Seq((1, 1.5f)).toDF("id", "v"), root)
+      AtomicLake.append(Seq((2, 2.25)).toDF("id", "v"), root)
+      val cur = AtomicLake.read(spark, root)
+      cur.schema("v").dataType shouldBe
+        org.apache.spark.sql.types.DoubleType
+      cur.select("v").as[Double].collect().toSet shouldBe Set(1.5, 2.25)
+      // non-widening change (double -> string) still refuses loudly
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.append(Seq((3, "x")).toDF("id", "v"), root)
+    }
     it("compact preserves the evolved schema and null back-fill") {
       val root = freshRoot("evolve_compact")
       AtomicLake.upsertPartitions(Seq((1, "a")).toDF("id", "part"),

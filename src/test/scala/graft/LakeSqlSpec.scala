@@ -200,6 +200,27 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  describe("CREATE BLOOM INDEX") {
+    it("builds the per-file index and point lookups prune") {
+      val root = freshRoot("bloom")
+      // interleaved keys: zone maps can't prune the point lookup
+      (0 until 3).foreach { c =>
+        AtomicLake.append((0 until 300).filter(_ % 3 == c)
+          .map(k => (k.toLong, s"s$k")).toDF("id", "s"), root)
+      }
+      val v = spark.sql(
+        s"CREATE BLOOM INDEX ON '$root' (id, s) WITH FPP 0.001")
+        .as[Long].head()
+      AtomicLake.snapshotAt(root, v).kind shouldBe "index"
+      val (planned, total) = AtomicLake.scanInfo(spark, root,
+        graft.sources.HardlinkCommitStore)(col("id") === 17L)
+      total shouldBe 3
+      planned should be < 3
+      AtomicLake.scan(spark, root)(col("id") === 17L)
+        .select("s").as[String].collect().toSeq shouldBe Seq("s17")
+    }
+  }
+
   describe("parser delegation") {
     it("leaves normal Spark SQL untouched") {
       spark.sql("SELECT 1 AS one").as[Int].head() shouldBe 1
