@@ -72,6 +72,10 @@ object LakeSql {
     """(?is)\s*REORG\s+LAKE\s+'([^']+)'\s+APPLY\s+PURGE\s*;?\s*""".r
   private val UpdateLake: Regex =
     """(?is)\s*UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val RenameCol: Regex =
+    """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropCol: Regex =
+    """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val CreateBloom: Regex =
     """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\(([^)]+)\)(?:\s+WITH\s+FPP\s+([0-9.eE+-]+))?\s*;?\s*""".r
 
@@ -97,6 +101,10 @@ object LakeSql {
     case Reorg(root) => Some(PurgeLakeCommand(root))
     case UpdateLake(root, sets, pred) =>
       Some(UpdateLakeCommand(root, sets.trim, pred.trim))
+    case RenameCol(root, from, to) =>
+      Some(RenameLakeColumnCommand(root, from, to))
+    case DropCol(root, name) =>
+      Some(DropLakeColumnCommand(root, name))
     case CreateBloom(root, cols, fpp) =>
       Some(CreateBloomIndexCommand(root,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
@@ -340,4 +348,26 @@ case class CreateBloomIndexCommand(root: String, cols: Seq[String],
     Seq(LakeSql.attr("version", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(AtomicLake.indexBloom(spark, root, cols, fpp)))
+}
+
+/** ALTER LAKE … RENAME COLUMN a TO b — metadata-only rename through
+  * the manifest's column mapping ([[AtomicLake.renameColumn]]).
+  */
+case class RenameLakeColumnCommand(root: String, from: String,
+    to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.renameColumn(root, from, to)))
+}
+
+/** ALTER LAKE … DROP COLUMN c — metadata-only drop with a physical
+  * tombstone ([[AtomicLake.dropColumn]]).
+  */
+case class DropLakeColumnCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.dropColumn(root, name)))
 }

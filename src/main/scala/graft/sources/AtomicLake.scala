@@ -321,7 +321,14 @@ object AtomicLake {
     val commitId = UUID.randomUUID().toString.take(12)
     val staging = Paths.get(root, "_staging", commitId)
     val physical = colMap.foldLeft(batch) { case (d, (l, p)) =>
-      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+      if (d.columns.contains(l)) {
+        // the physical slot belongs to the renamed column — a batch
+        // carrying BOTH would silently interleave two columns' bytes
+        require(!d.columns.contains(p),
+          s"cannot stage column '$p': it is the physical storage of " +
+            s"renamed column '$l'; rewrite the table to reuse the name")
+        d.withColumnRenamed(l, p)
+      } else d
     }
     val distributed =
       if (!distribute) physical
@@ -532,6 +539,35 @@ object AtomicLake {
           case (Some(p), Some(b)) => Some(mergeSchemas(p, b))
           case (p, b) => b.orElse(p)
         }
+      val colMap = newColMap.getOrElse(
+        prev.map(_.colMap).getOrElse(Map.empty))
+      val droppedSet = newDropped.getOrElse(
+        prev.map(_.dropped).getOrElse(Set.empty))
+      // column-mapping guards on columns NEW in this commit: their
+      // physical name (their own name) must not resurrect a dropped
+      // column's bytes, nor collide with an existing column's mapped
+      // physical slot (e.g. re-adding 'a' after RENAME a TO b — the
+      // old files' physical 'a' is b's storage)
+      if (newColMap.isEmpty)
+        for (prevSch <- prev.flatMap(_.schema); sch <- schema) {
+          def nrm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+          val prevNames = prevSch.fieldNames.map(nrm).toSet
+          val physInUse = prevSch.fieldNames
+            .map(n => nrm(colMap.getOrElse(n, n))).toSet
+          for (n <- sch.fieldNames if !prevNames(nrm(n))) {
+            if (droppedSet.exists(d => nrm(d) == nrm(n)))
+              throw new IllegalArgumentException(
+                s"cannot add column '$n': a dropped column's data " +
+                  "still lives under that physical name in committed " +
+                  "files and would silently resurrect; rewrite the " +
+                  "table to reuse the name")
+            if (physInUse(nrm(n)))
+              throw new IllegalArgumentException(
+                s"cannot add column '$n': the physical slot '$n' is " +
+                  "the storage of a renamed column; rewrite the table " +
+                  "to reuse the name")
+          }
+        }
       if (removeFiles.nonEmpty) {
         val present =
           prev.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
@@ -572,6 +608,11 @@ object AtomicLake {
            (c, ref) <- cs.toSeq.sortBy(_._1))
         body.append("bloom=").append(c).append('\t')
           .append(ref.path).append('\t').append(f).append('\n')
+      for ((l, p) <- colMap.toSeq.sortBy(_._1))
+        body.append("colmap=").append(l).append('\t').append(p)
+          .append('\n')
+      for (d <- droppedSet.toSeq.sorted)
+        body.append("dropped=").append(d).append('\n')
       // surviving files keep the stats their own commit harvested;
       // new files bring theirs — a file's zone map never changes
       // after the immutable file is written
@@ -672,6 +713,105 @@ object AtomicLake {
     commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
       store = store, kind = "constraint",
       newConstraints = Some(snap.constraints - name))
+  }
+
+  /** Does SQL text `e` reference column `name`? Conservative
+    * word-boundary match — used to refuse renaming/dropping a column
+    * a CHECK constraint still reads (Delta rewrites the expressions;
+    * refusing loudly is the honest smaller contract).
+    */
+  private def mentionsColumn(e: String, name: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(e).isDefined
+
+  /** RENAME COLUMN without rewriting a byte (Delta's column mapping,
+    * mode=name): a metadata-only `kind=schema` commit renames the
+    * LOGICAL column and records logical->physical in the manifest —
+    * files keep their physical pages, readers alias physical->logical
+    * in the one read ([[readSubset]]), writers stage logical batches
+    * under physical names ([[stageFiles]]), and zone-map pruning
+    * translates predicates ([[LakeStats.survivors]]). Time travel to
+    * a pre-rename version sees the old name (each snapshot carries
+    * its own mapping); restore rolls the mapping back with the files.
+    * Refused for: partition columns (their physical form is the
+    * directory layout), columns a CHECK constraint references, and
+    * columns with a bloom index (drop + rebuild under the new name).
+    */
+  def renameColumn(root: String, from: String, to: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"renameColumn: $root has no committed schema"))
+    def nrm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no column '$from' " +
+        s"(table has: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.exists(n => nrm(n) == nrm(to)),
+      s"renameColumn: column '$to' already exists")
+    require(!snap.partitionCols.contains(from),
+      s"renameColumn: '$from' is a partition column — its physical " +
+        "form is the directory layout; rewrite the table instead")
+    for ((n, e) <- snap.constraints if mentionsColumn(e, from))
+      throw new IllegalArgumentException(
+        s"renameColumn: CHECK constraint '$n' references '$from'; " +
+          "drop the constraint first")
+    require(!snap.blooms.values.exists(_.contains(from)),
+      s"renameColumn: a bloom index exists on '$from'; the sidecars " +
+        "key it by name — drop the index (rewrite files or vacuum) " +
+        "and re-create it under the new name")
+    // the physical slot does not move; also refuse if `to`'s physical
+    // (= itself, were it added later) is tombstoned — harmless here,
+    // but keeps the physical namespace unambiguous
+    require(!snap.dropped.exists(d => nrm(d) == nrm(to)),
+      s"renameColumn: '$to' is a dropped column's physical name")
+    val phys = physicalOf(snap, from)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      batchSchema = Some(newSchema), schemaOverride = true,
+      store = store, kind = "schema",
+      newColMap = Some(snap.colMap - from + (to -> phys)))
+  }
+
+  /** DROP COLUMN without rewriting a byte: metadata-only — the column
+    * leaves the schema and mapping, its physical name is TOMBSTONED
+    * (re-adding the name is refused: committed files still hold the
+    * old bytes, and a re-add would silently resurrect them — rewrite
+    * the table to truly reclaim the name), and any bloom entries on
+    * it are shed. Time travel before the drop still reads it.
+    */
+  def dropColumn(root: String, name: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"dropColumn: $root has no committed schema"))
+    require(schema.fieldNames.contains(name),
+      s"dropColumn: no column '$name' " +
+        s"(table has: ${schema.fieldNames.mkString(", ")})")
+    require(!snap.partitionCols.contains(name),
+      s"dropColumn: '$name' is a partition column")
+    require(schema.fields.length > snap.partitionCols.length + 1,
+      s"dropColumn: '$name' is the table's last data column")
+    for ((n, e) <- snap.constraints if mentionsColumn(e, name))
+      throw new IllegalArgumentException(
+        s"dropColumn: CHECK constraint '$n' references '$name'; " +
+          "drop the constraint first")
+    val phys = physicalOf(snap, name)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val bloomsAfter = snap.blooms
+      .map { case (f, cs) => f -> (cs - name) }
+      .filter(_._2.nonEmpty)
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      batchSchema = Some(newSchema), schemaOverride = true,
+      store = store, kind = "schema",
+      newColMap = Some(snap.colMap - name),
+      newDropped = Some(snap.dropped + phys),
+      bloomOverride = Some(bloomsAfter))
   }
 
   /** Expectation-split ingest (the Delta-Live-Tables
@@ -1428,7 +1568,11 @@ object AtomicLake {
       // must not claim to bound rows a rollback resurrects (a dv the
       // build excluded may return) — the target version's refs are
       // exactly the ones whose superset contract still holds
-      bloomOverride = Some(target.blooms))
+      bloomOverride = Some(target.blooms),
+      // column mapping + tombstones roll back with the schema: a
+      // restore past a rename reads the old logical names again
+      newColMap = Some(target.colMap),
+      newDropped = Some(target.dropped))
   }
 
   /** SHALLOW CLONE (Delta's CLONE ... SHALLOW): commit a manifest at
@@ -1486,6 +1630,9 @@ object AtomicLake {
       batchSchema = snap.schema, store = store, kind = "clone",
       newStats = absStats, dvOverride = Some(absDvs),
       bloomOverride = Some(absBlooms),
+      // column mapping is name-to-name (no paths): carried verbatim
+      newColMap = Some(snap.colMap),
+      newDropped = Some(snap.dropped),
       // the clone IS the table, contract included: writes against it
       // must satisfy the same CHECK constraints (Delta CLONE copies
       // table properties the same way)

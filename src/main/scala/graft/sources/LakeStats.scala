@@ -553,24 +553,22 @@ object LakeStats {
       : Seq[String] = {
     if (filters.isEmpty) return snap.files.values.flatten.toSeq.sorted
     // column mapping: predicates name LOGICAL columns, the footer
-    // stats are keyed by the files' PHYSICAL names — translate before
-    // evaluating (identity when no rename ever happened)
-    val phys =
-      if (snap.colMap.isEmpty) filters
-      else filters.map(_.transform {
-        case a: org.apache.spark.sql.catalyst.expressions
-            .AttributeReference if snap.colMap.contains(a.name) =>
-          a.withName(snap.colMap(a.name))
-      })
+    // stats are keyed by the files' PHYSICAL names — translate at the
+    // lookup (identity when no rename ever happened). Partition dirs
+    // keep logical names (partition columns are not renameable).
+    val physFor: Map[String, String] = snap.colMap.map { case (l, p) =>
+      l.toLowerCase(java.util.Locale.ROOT) ->
+        p.toLowerCase(java.util.Locale.ROOT)
+    }
     snap.files.iterator.flatMap { case (dir, files) =>
       val parts = partitionValues(dir)
       files.filter { f =>
         val stats = snap.stats.get(f)
         val info: String => Option[ColInfo] = name =>
-          stats.flatMap(s => s.byLower.get(name)
+          stats.flatMap(s => s.byLower.get(physFor.getOrElse(name, name))
             .map(c => Stats(c, s.rows): ColInfo))
             .orElse(parts.get(name).map(PartVal(_): ColInfo))
-        phys.forall(mayMatch(_, info))
+        filters.forall(mayMatch(_, info))
       }
     }.toSeq.sorted
   }
