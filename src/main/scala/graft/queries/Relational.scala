@@ -132,6 +132,26 @@ object Relational {
     // Structured Streaming query in graft.streaming.EventsStream.
     "stream_tumbling_hour" -> { (s, dir) =>
       Sessionize.tumblingHour(Tables.events(s, dir))
+    },
+
+    // F12 — bucketed range join: orders against OVERLAPPING price
+    // bands (each price falls in ~2 bands), as an equi-join on the
+    // band bucket instead of the BroadcastNestedLoopJoin Spark plans
+    // for a bare range predicate (RangeJoinSpec proves the plan
+    // shape). The oracle replays the same range join declaratively.
+    "range_join_bands" -> { (s, dir) =>
+      val bands = s.range(0, 300).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 2000.0).as("lo"),
+        (col("id") * 2000.0 + 4000.0).as("hi"))
+      val priced = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.RangeJoin
+        .bucketed(priced, "o_totalprice", bands, "lo", "hi",
+          bucketWidth = 2000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
     }
   )
 
@@ -191,6 +211,17 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "sess_gap_sessions" -> Sessionize.gapSessionsOracle(gapCfg),
-    "stream_tumbling_hour" -> Sessionize.tumblingHourOracle
+    "stream_tumbling_hour" -> Sessionize.tumblingHourOracle,
+    "range_join_bands" ->
+      """WITH bands AS (
+        |  SELECT CAST(g AS INTEGER) AS band_id,
+        |    g * 2000.0 AS lo, g * 2000.0 + 4000.0 AS hi
+        |  FROM generate_series(0, 299) t(g))
+        |SELECT band_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id""".stripMargin
   )
 }
