@@ -1045,6 +1045,63 @@ object NativeKernels extends Serializable {
     new GenericArrayData(java.util.Arrays.copyOf(bestC, size))
   }
 
+  // ---- Unicode normalization + mojibake repair ---------------------
+
+  /** NFC (canonical composition) normalization — the curation step
+    * that makes `café` (e + combining acute) and `café` (precomposed)
+    * the SAME string for dedup/fingerprint/equality purposes.
+    * Fast path: already-NFC text (the overwhelming majority) returns
+    * the input object without re-encoding.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str,
+        java.text.Normalizer.Form.NFC))
+  }
+
+  /** Repair UTF-8-decoded-as-Windows-1252 mojibake ("Ã©" → "é",
+    * "â€™" → "’" — the ftfy core case): re-encode through cp1252
+    * (strict — an unmappable char means this is NOT that mojibake)
+    * and strictly decode UTF-8; accept only a clean round-trip, else
+    * return the input unchanged. Applied up to 3 times for doubly
+    * mangled text. Deterministic, never lossy: the repaired bytes ARE
+    * the original character sequence re-interpreted.
+    */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    var str = s.toString
+    // ASCII fast path: nothing above 0x7F, nothing to repair
+    var has8 = false
+    var i = 0
+    while (i < str.length && !has8) {
+      if (str.charAt(i) >= 0x80) has8 = true
+      i += 1
+    }
+    if (!has8) return s
+    var rounds = 0
+    var changed = true
+    while (rounds < 3 && changed) {
+      changed = false
+      try {
+        val enc = java.nio.charset.Charset.forName("windows-1252")
+          .newEncoder() // REPORT on unmappable by default
+        val bytes = enc.encode(java.nio.CharBuffer.wrap(str))
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        val repaired = dec.decode(bytes).toString
+        if (repaired != str && repaired.length < str.length) {
+          str = repaired
+          changed = true
+        }
+      } catch {
+        case _: java.nio.charset.CharacterCodingException => ()
+      }
+      rounds += 1
+    }
+    if (str == s.toString) s else UTF8String.fromString(str)
+  }
+
   // ---- BPE tokenizer apply (operators/Bpe) -------------------------
 
   /** Parsed BPE merge table: rank per adjacent symbol pair (key
@@ -1284,6 +1341,12 @@ object NativeKernels extends Serializable {
   def termFreqsCol(text: Column): Column =
     invoke("termFreqs", ArrayType(termFreqType, containsNull = false),
       Seq(text), Seq(StringType))
+
+  def nfcNormalizeCol(text: Column): Column =
+    invoke("nfcNormalize", StringType, Seq(text), Seq(StringType))
+
+  def fixMojibakeCol(text: Column): Column =
+    invoke("fixMojibake", StringType, Seq(text), Seq(StringType))
 
   def bpeEncodeCol(text: Column, merges: String): Column =
     invoke("bpeEncode", ArrayType(StringType, containsNull = false),

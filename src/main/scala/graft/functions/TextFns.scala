@@ -194,4 +194,21 @@ object TextFns {
     */
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** NFC canonical composition (H17): decomposed sequences (e +
+    * combining acute) become their precomposed form, so dedup,
+    * fingerprints and equality see one representation. Codegen kernel
+    * with an already-normalized fast path.
+    */
+  def nfcNormalize(c: Column): Column =
+    graft.expressions.NativeKernels.nfcNormalizeCol(c)
+
+  /** Windows-1252/UTF-8 mojibake repair (H17, the ftfy core case):
+    * "Ã©" → "é" when — and only when — the WHOLE string round-trips
+    * strictly through cp1252-encode + UTF-8-decode; anything else
+    * returns unchanged (mixed genuine-é + mojibake text stays as-is
+    * rather than half-repairing). Up to 3 rounds for double mojibake.
+    */
+  def fixMojibake(c: Column): Column =
+    graft.expressions.NativeKernels.fixMojibakeCol(c)
 }

@@ -49,6 +49,18 @@ object TextQueries {
         TextFns.fingerprint(col("text")).as("fingerprint"))
     },
 
+    // H17 — NFC normalization, proven to do real composition work on
+    // every row: a decomposed " e<combining acute>" suffix is planted
+    // and must come back precomposed. DuckDB's nfc_normalize replays
+    // the same Unicode algorithm — any divergence in the kernel's
+    // normalization (or the fast path wrongly skipping) mismatches.
+    "text_normalize" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.nfcNormalize(
+          concat(col("text"), lit(" e\u0301"))).as("nfc_text"))
+    },
+
     // E1 — exact dedup groups (hash → surviving id + copy count).
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -290,6 +302,10 @@ object TextQueries {
         |    AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
         |    AS INT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' e' || chr(769)) AS nfc_text
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,

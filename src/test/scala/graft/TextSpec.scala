@@ -71,4 +71,45 @@ class TextSpec extends SparkSpec {
         .as[Seq[String]].head().sorted shouldBe Seq("a b", "b a")
     }
   }
+
+  describe("Unicode normalization + mojibake repair (H17)") {
+    def nfc(s: String): String =
+      Seq(s).toDF("t").select(TextFns.nfcNormalize($"t").as("x"))
+        .as[String].head()
+    def fix(s: String): String =
+      Seq(s).toDF("t").select(TextFns.fixMojibake($"t").as("x"))
+        .as[String].head()
+
+    it("composes decomposed sequences to NFC") {
+      nfc("café") shouldBe "café"
+      nfc("élève") shouldBe "élève"
+      // already-NFC text unchanged (fast path)
+      nfc("café plain ascii") shouldBe "café plain ascii"
+      nfc("") shouldBe ""
+    }
+
+    it("repairs classic UTF-8-as-cp1252 mojibake") {
+      fix("cafÃ©") shouldBe "café" // Ã© -> é
+      // â€™ -> right single quote (needs the cp1252 C1 mapping)
+      fix("itâ€™s") shouldBe "it’s"
+    }
+
+    it("repairs DOUBLE mojibake in bounded rounds") {
+      // encode "é" twice through the mangle: é -> Ã© -> ÃƒÂ©
+      val once = new String("é".getBytes("UTF-8"), "windows-1252")
+      val twice = new String(once.getBytes("UTF-8"), "windows-1252")
+      fix(twice) shouldBe "é"
+    }
+
+    it("leaves clean and unrepairable text byte-identical") {
+      fix("plain ascii") shouldBe "plain ascii"
+      // genuine latin text: é alone does not round-trip as UTF-8
+      fix("café") shouldBe "café"
+      // MIXED genuine + mojibake: conservative — unchanged, never
+      // half-repaired
+      fix("café and cafÃ©") shouldBe "café and cafÃ©"
+      // chars outside cp1252 entirely
+      fix("日本語") shouldBe "日本語"
+    }
+  }
 }
