@@ -76,6 +76,10 @@ object LakeSql {
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropCol: Regex =
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val AddGenerated: Regex =
+    """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+  private val DropGenerated: Regex =
+    """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val CreateBloom: Regex =
     """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\(([^)]+)\)(?:\s+WITH\s+FPP\s+([0-9.eE+-]+))?\s*;?\s*""".r
 
@@ -105,6 +109,10 @@ object LakeSql {
       Some(RenameLakeColumnCommand(root, from, to))
     case DropCol(root, name) =>
       Some(DropLakeColumnCommand(root, name))
+    case AddGenerated(root, name, e) =>
+      Some(AddGeneratedColumnCommand(root, name, e.trim))
+    case DropGenerated(root, name) =>
+      Some(DropGeneratedColumnCommand(root, name))
     case CreateBloom(root, cols, fpp) =>
       Some(CreateBloomIndexCommand(root,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
@@ -370,4 +378,22 @@ case class DropLakeColumnCommand(root: String, name: String)
     Seq(LakeSql.attr("version", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(AtomicLake.dropColumn(root, name)))
+}
+
+/** ALTER LAKE … ADD COLUMN c GENERATED ALWAYS AS (expr). */
+case class AddGeneratedColumnCommand(root: String, name: String,
+    expr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.setGeneratedColumn(spark, root, name, expr)))
+}
+
+/** ALTER LAKE … DROP GENERATED COLUMN c — the declaration only. */
+case class DropGeneratedColumnCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(LakeSql.attr("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(AtomicLake.dropGeneratedColumn(root, name)))
 }

@@ -100,7 +100,15 @@ object AtomicLake {
       // physical names of DROPPED columns ([[dropColumn]]): the data
       // still sits in old files, so re-adding the name is REFUSED
       // (resurrection would silently read the old bytes back)
-      dropped: Set[String] = Set.empty)
+      dropped: Set[String] = Set.empty,
+      // generated columns (Delta's GENERATED ALWAYS AS): column ->
+      // single-line SQL generation expression. Writers materialize an
+      // absent generated column from the expression BEFORE staging
+      // (so a generated PARTITION column costs the writer nothing),
+      // and a batch that DOES provide it is validated cell-by-cell
+      // against the expression in the same one-pass aggregation as
+      // the CHECK constraints
+      generated: Map[String, String] = Map.empty)
 
   /** `logical` column's physical parquet name under this snapshot. */
   private def physicalOf(snap: Snapshot, logical: String): String =
@@ -159,6 +167,7 @@ object AtomicLake {
     var blooms = Map.empty[String, Map[String, BloomIndex.Ref]]
     var colMap = Map.empty[String, String]
     var dropped = Set.empty[String]
+    var generated = Map.empty[String, String]
     var headers = true
     while (headers) rest match {
       case h +: tl if h.startsWith("schema=") =>
@@ -194,6 +203,13 @@ object AtomicLake {
       case h +: tl if h.startsWith("dropped=") =>
         dropped += h.drop("dropped=".length)
         rest = tl
+      case h +: tl if h.startsWith("generated=") =>
+        // generated=<col>\t<expr>
+        h.drop("generated=".length).split("\t", 2) match {
+          case Array(c, e) => generated += c -> e
+          case _ => ()
+        }
+        rest = tl
       case _ => headers = false
     }
     val fileLines = rest
@@ -224,7 +240,7 @@ object AtomicLake {
     val dvs = parsed.iterator
       .flatMap { case (_, f, _, dv) => dv.map(f -> _) }.toMap
     Snapshot(v, partitionCols, files, schema, kind, stats, constraints,
-      ts, dvs, blooms, colMap, dropped)
+      ts, dvs, blooms, colMap, dropped, generated)
   }
 
   /** Lossless widenings the parquet read path upcasts natively
@@ -481,7 +497,9 @@ object AtomicLake {
       // map (rename/drop/restore/clone); None = inherit
       newColMap: Option[Map[String, String]] = None,
       // dropped-column tombstones (physical names): same contract
-      newDropped: Option[Set[String]] = None): Long = {
+      newDropped: Option[Set[String]] = None,
+      // generated-column expressions: same Some-sets/None-inherits
+      newGenerated: Option[Map[String, String]] = None): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -613,6 +631,11 @@ object AtomicLake {
           .append('\n')
       for (d <- droppedSet.toSeq.sorted)
         body.append("dropped=").append(d).append('\n')
+      val generatedMap = newGenerated.getOrElse(
+        prev.map(_.generated).getOrElse(Map.empty))
+      for ((c, e) <- generatedMap.toSeq.sortBy(_._1))
+        body.append("generated=").append(c).append('\t').append(e)
+          .append('\n')
       // surviving files keep the stats their own commit harvested;
       // new files bring theirs — a file's zone map never changes
       // after the immutable file is written
@@ -648,25 +671,64 @@ object AtomicLake {
     * passes. All constraints are checked in ONE aggregation job; a
     * table without constraints pays nothing (no job at all).
     */
-  private def enforceConstraints(batch: DataFrame, root: String,
-      store: CommitStore): Unit = {
-    val cons = currentSnapshot(root, store).map(_.constraints)
-      .getOrElse(Map.empty)
-    if (cons.isEmpty) return
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
-    val ordered = cons.toSeq.sortBy(_._1)
-    val aggs = ordered.map { case (n, e) =>
-      sum(when(coalesce(expr(e), lit(true)) === lit(false), 1L)
-        .otherwise(0L)).as(n)
+  /** Materialize ABSENT generated columns on a write batch (the
+    * provided ones are validated instead — see [[prepareBatch]]).
+    */
+  private def applyGenerated(batch: DataFrame,
+      gen: Map[String, String]): DataFrame =
+    gen.toSeq.sortBy(_._1).foldLeft(batch) { case (d, (g, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(g))) d
+      else d.withColumn(g, org.apache.spark.sql.functions.expr(e))
     }
-    val row = batch.agg(aggs.head, aggs.tail: _*).head()
-    ordered.zipWithIndex.foreach { case ((n, e), i) =>
+
+  /** (message, per-row violation condition) for each generated column
+    * the batch PROVIDES: the value must null-safe-equal its
+    * expression (Delta's GENERATED ALWAYS AS write contract).
+    */
+  private def generatedViolations(batch: DataFrame,
+      gen: Map[String, String])
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    gen.toSeq.sortBy(_._1).collect {
+      case (g, e) if batch.columns.exists(_.equalsIgnoreCase(g)) =>
+        (s"generated column '$g' does not match its expression ($e)",
+          not(col(g) <=> expr(e)))
+    }
+  }
+
+  /** Pre-write batch preparation, ONE snapshot read + at most ONE
+    * aggregation job: absent generated columns materialize from their
+    * expressions (so a generated partition column costs writers
+    * nothing), then CHECK constraints and provided-generated-column
+    * equality validate together over the completed frame. Returns the
+    * frame to stage; tables with neither feature pay nothing.
+    */
+  private def prepareBatch(batch: DataFrame, root: String,
+      store: CommitStore): DataFrame = {
+    val snap = currentSnapshot(root, store)
+    val gen = snap.map(_.generated).getOrElse(Map.empty)
+    val cons = snap.map(_.constraints).getOrElse(Map.empty)
+    val genViol = generatedViolations(batch, gen)
+    val out = applyGenerated(batch, gen)
+    if (cons.isEmpty && genViol.isEmpty) return out
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val checks: Seq[(String, org.apache.spark.sql.Column)] =
+      cons.toSeq.sortBy(_._1).map { case (n, e) =>
+        (s"CHECK constraint '$n' ($e)",
+          coalesce(expr(e), lit(true)) === lit(false))
+      } ++ genViol
+    val aggs = checks.zipWithIndex.map { case ((_, cond), i) =>
+      sum(when(cond, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val row = out.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((msg, _), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad > 0)
         throw new IllegalStateException(
-          s"CHECK constraint '$n' ($e) violated by $bad row(s) of " +
+          s"$msg violated by $bad row(s) of " +
             "this batch; nothing was committed")
     }
+    out
   }
 
   /** ADD CONSTRAINT (Delta's ALTER TABLE … ADD CONSTRAINT … CHECK):
@@ -725,6 +787,55 @@ object AtomicLake {
       java.util.regex.Pattern.quote(name) +
       "(?![A-Za-z0-9_])").r.findFirstIn(e).isDefined
 
+  /** Declare `name` GENERATED ALWAYS AS `exprSql` (Delta's generated
+    * columns — pipeline.py-style month/year partition derivations
+    * belong to the TABLE, not to every writer): future batches that
+    * omit the column get it computed before staging (including a
+    * generated PARTITION column — the classic use), batches that
+    * provide it are validated cell-by-cell in the same one-pass
+    * aggregation as the CHECK constraints, and merge/expectation
+    * ingest honor the same contract. If the column already exists,
+    * current data must already satisfy the expression (refused loudly
+    * otherwise). Metadata-only commit (`kind=schema`).
+    */
+  def setGeneratedColumn(spark: SparkSession, root: String,
+      name: String, exprSql: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    require(!exprSql.contains('\n') && !exprSql.contains('\t'),
+      "generation expression must be single-line SQL without tabs")
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    // parse errors surface here, not at some future write
+    org.apache.spark.sql.functions.expr(exprSql)
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"setGeneratedColumn: $root has no committed schema"))
+    if (schema.fieldNames.exists(_.equalsIgnoreCase(name))) {
+      import org.apache.spark.sql.functions.{col, expr, not}
+      val bad = readSnapshot(spark, root, snap)
+        .filter(not(col(name) <=> expr(exprSql))).count()
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"cannot declare '$name' generated as ($exprSql): $bad " +
+            "existing row(s) contradict the expression")
+    }
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      store = store, kind = "schema",
+      newGenerated = Some(snap.generated + (name -> exprSql)))
+  }
+
+  /** Remove a generation declaration — the column stays, now plain. */
+  def dropGeneratedColumn(root: String, name: String,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val snap = currentSnapshot(root, store).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    require(snap.generated.contains(name),
+      s"no generated column '$name' " +
+        s"(table has: ${snap.generated.keys.toSeq.sorted.mkString(", ")})")
+    commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
+      store = store, kind = "schema",
+      newGenerated = Some(snap.generated - name))
+  }
+
   /** RENAME COLUMN without rewriting a byte (Delta's column mapping,
     * mode=name): a metadata-only `kind=schema` commit renames the
     * LOGICAL column and records logical->physical in the manifest —
@@ -761,6 +872,13 @@ object AtomicLake {
       s"renameColumn: a bloom index exists on '$from'; the sidecars " +
         "key it by name — drop the index (rewrite files or vacuum) " +
         "and re-create it under the new name")
+    require(!snap.generated.contains(from),
+      s"renameColumn: '$from' is a generated column; drop the " +
+        "generation declaration first")
+    for ((g, e) <- snap.generated if mentionsColumn(e, from))
+      throw new IllegalArgumentException(
+        s"renameColumn: generated column '$g' derives from '$from'; " +
+          "drop the generation declaration first")
     // the physical slot does not move; also refuse if `to`'s physical
     // (= itself, were it added later) is tombstoned — harmless here,
     // but keeps the physical namespace unambiguous
@@ -800,6 +918,11 @@ object AtomicLake {
       throw new IllegalArgumentException(
         s"dropColumn: CHECK constraint '$n' references '$name'; " +
           "drop the constraint first")
+    for ((g, e) <- snap.generated
+         if g != name && mentionsColumn(e, name))
+      throw new IllegalArgumentException(
+        s"dropColumn: generated column '$g' derives from '$name'; " +
+          "drop the generation declaration first")
     val phys = physicalOf(snap, name)
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
@@ -811,7 +934,8 @@ object AtomicLake {
       store = store, kind = "schema",
       newColMap = Some(snap.colMap - name),
       newDropped = Some(snap.dropped + phys),
-      bloomOverride = Some(bloomsAfter))
+      bloomOverride = Some(bloomsAfter),
+      newGenerated = Some(snap.generated - name))
   }
 
   /** Expectation-split ingest (the Delta-Live-Tables
@@ -837,19 +961,27 @@ object AtomicLake {
       filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): (Long, Long, Long) = {
     import org.apache.spark.sql.functions._
-    val cons = currentSnapshot(root, store).map(_.constraints)
-      .getOrElse(Map.empty)
-    if (cons.isEmpty) {
+    val snapOpt = currentSnapshot(root, store)
+    val cons = snapOpt.map(_.constraints).getOrElse(Map.empty)
+    val gen = snapOpt.map(_.generated).getOrElse(Map.empty)
+    val genViol = generatedViolations(batch, gen)
+    if (cons.isEmpty && genViol.isEmpty) {
+      // append() materializes absent generated columns itself
       val v = append(batch, root, partitionCols, filesPerPartition,
         store)
       return (v, -1L, 0L) // -1: not counted — no extra job was run
     }
     val ordered = cons.toSeq.sortBy(_._1)
     // one pinned evaluation serves both sides; each row's violation
-    // list is computed once (SQL CHECK: only FALSE violates)
-    val tagged = batch.withColumn("_violated",
+    // list is computed once (SQL CHECK: only FALSE violates). A
+    // PROVIDED generated column that contradicts its expression
+    // quarantines the row like any other expectation failure.
+    val tagged = applyGenerated(batch, gen).withColumn("_violated",
       array_compact(array(ordered.map { case (n, e) =>
         when(coalesce(expr(e), lit(true)) === lit(false), lit(n))
+      } ++ gen.toSeq.sortBy(_._1).collect {
+        case (g, e) if batch.columns.exists(_.equalsIgnoreCase(g)) =>
+          when(not(col(g) <=> expr(e)), lit(s"generated:$g"))
       }: _*))).localCheckpoint()
     val good = tagged.filter(size(col("_violated")) === 0)
       .drop("_violated")
@@ -876,11 +1008,11 @@ object AtomicLake {
   def upsertPartitions(batch: DataFrame, root: String,
       partitionCols: Seq[String], filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
-    enforceConstraints(batch, root, store)
-    val staged = stageFiles(batch, root, partitionCols, filesPerPartition,
-      colMap = currentColMap(root, store))
+    val prepared = prepareBatch(batch, root, store)
+    val staged = stageFiles(prepared, root, partitionCols,
+      filesPerPartition, colMap = currentColMap(root, store))
     commitReplacing(root, staged.keySet, staged.files, partitionCols,
-      batchSchema = Some(batch.schema), store = store,
+      batchSchema = Some(prepared.schema), store = store,
       newStats = staged.stats)
   }
 
@@ -891,11 +1023,11 @@ object AtomicLake {
   def append(batch: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
-    enforceConstraints(batch, root, store)
-    val staged = stageFiles(batch, root, partitionCols, filesPerPartition,
-      colMap = currentColMap(root, store))
+    val prepared = prepareBatch(batch, root, store)
+    val staged = stageFiles(prepared, root, partitionCols,
+      filesPerPartition, colMap = currentColMap(root, store))
     commitReplacing(root, Set.empty, staged.files, partitionCols,
-      batchSchema = Some(batch.schema), store = store,
+      batchSchema = Some(prepared.schema), store = store,
       newStats = staged.stats)
   }
 
@@ -907,11 +1039,11 @@ object AtomicLake {
   def overwrite(batch: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
-    enforceConstraints(batch, root, store)
-    val staged = stageFiles(batch, root, partitionCols, filesPerPartition,
-      colMap = currentColMap(root, store))
+    val prepared = prepareBatch(batch, root, store)
+    val staged = stageFiles(prepared, root, partitionCols,
+      filesPerPartition, colMap = currentColMap(root, store))
     commitReplacing(root, Set.empty, staged.files, partitionCols,
-      batchSchema = Some(batch.schema), store = store,
+      batchSchema = Some(prepared.schema), store = store,
       newStats = staged.stats, replaceAll = true)
   }
 
@@ -1324,8 +1456,13 @@ object AtomicLake {
     // LAZY checkpoint: the bounds job below is the first action, so
     // ONE job materializes the pinned source AND computes the
     // bounds/dup/constraint aggregates (an eager checkpoint paid a
-    // separate materialization job first — pure scheduling floor)
-    val src = source.localCheckpoint(eager = false)
+    // separate materialization job first — pure scheduling floor).
+    // Generated columns materialize first (the source is the only NEW
+    // rows a merge introduces); provided ones validate in the same
+    // bounds aggregation below.
+    val genViol = generatedViolations(source, snap.generated)
+    val src = applyGenerated(source, snap.generated)
+      .localCheckpoint(eager = false)
     // one job: row count, duplicate-key check, per-key bounds, AND
     // the CHECK-constraint validation (the source rows are the only
     // NEW rows a merge introduces; dirty-file survivors were already
@@ -1344,6 +1481,9 @@ object AtomicLake {
         cons.map { case (n, e) =>
           sum(when(coalesce(expr(e), lit(true)) === lit(false), 1L)
             .otherwise(0L)).as(s"__viol_$n")
+        } ++
+        genViol.zipWithIndex.map { case ((_, cond), i) =>
+          sum(when(cond, 1L).otherwise(0L)).as(s"__genviol_$i")
         })
     val b = src.agg(boundsAggs.head, boundsAggs.tail: _*).head()
     val srcRows = b.getLong(0)
@@ -1355,6 +1495,14 @@ object AtomicLake {
         throw new IllegalStateException(
           s"CHECK constraint '$n' ($e) violated by $bad row(s) of " +
             "this batch; nothing was committed")
+    }
+    genViol.zipWithIndex.foreach { case ((msg, _), gi) =>
+      val i = b.fieldIndex(s"__genviol_$gi")
+      val bad = if (b.isNullAt(i)) 0L else b.getLong(i)
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"$msg violated by $bad row(s) of this batch; " +
+            "nothing was committed")
     }
     require(b.getLong(2) == b.getLong(1),
       s"merge source has duplicate keys (${b.getLong(1) - b.getLong(2)} " +
@@ -1572,7 +1720,8 @@ object AtomicLake {
       // column mapping + tombstones roll back with the schema: a
       // restore past a rename reads the old logical names again
       newColMap = Some(target.colMap),
-      newDropped = Some(target.dropped))
+      newDropped = Some(target.dropped),
+      newGenerated = Some(target.generated))
   }
 
   /** SHALLOW CLONE (Delta's CLONE ... SHALLOW): commit a manifest at
@@ -1633,6 +1782,7 @@ object AtomicLake {
       // column mapping is name-to-name (no paths): carried verbatim
       newColMap = Some(snap.colMap),
       newDropped = Some(snap.dropped),
+      newGenerated = Some(snap.generated),
       // the clone IS the table, contract included: writes against it
       // must satisfy the same CHECK constraints (Delta CLONE copies
       // table properties the same way)
