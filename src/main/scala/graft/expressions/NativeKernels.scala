@@ -1045,6 +1045,32 @@ object NativeKernels extends Serializable {
     new GenericArrayData(java.util.Arrays.copyOf(bestC, size))
   }
 
+  // ---- PCA projection (operators/Pca) ------------------------------
+
+  /** Project a d-dim float vector onto k principal axes:
+    * out(j) = Σ_i (v(i) - mean(i)) · comps(j*d + i). Tight
+    * primitive loops; mean/comps ride the plan as literals.
+    */
+  def pcaProject(v: ArrayData, mean: ArrayData, comps: ArrayData,
+      k: Int): ArrayData = {
+    val d = mean.numElements()
+    val out = new Array[Float](k)
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var i = 0
+      val base = j * d
+      while (i < d) {
+        acc += (v.getFloat(i).toDouble - mean.getDouble(i)) *
+          comps.getDouble(base + i)
+        i += 1
+      }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Unicode normalization + mojibake repair ---------------------
 
   /** NFC (canonical composition) normalization — the curation step
@@ -1341,6 +1367,15 @@ object NativeKernels extends Serializable {
   def termFreqsCol(text: Column): Column =
     invoke("termFreqs", ArrayType(termFreqType, containsNull = false),
       Seq(text), Seq(StringType))
+
+  def pcaProjectCol(vec: Column, mean: Array[Double],
+      comps: Array[Double], k: Int): Column =
+    invoke("pcaProject", ArrayType(FloatType, containsNull = false),
+      Seq(vec, org.apache.spark.sql.functions.typedlit(mean),
+        org.apache.spark.sql.functions.typedlit(comps),
+        org.apache.spark.sql.functions.lit(k)),
+      Seq(ArrayType(FloatType), ArrayType(DoubleType),
+        ArrayType(DoubleType), IntegerType))
 
   def nfcNormalizeCol(text: Column): Column =
     invoke("nfcNormalize", StringType, Seq(text), Seq(StringType))

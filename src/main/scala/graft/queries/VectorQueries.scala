@@ -62,6 +62,24 @@ object VectorQueries {
         corpusTag = dir)
     },
 
+    // E13 — PCA projection of the embedding corpus to 16 dims ([R]:
+    // the fitted axes come from a distributed double reduction whose
+    // addition order no engine pins, so bit-gating is impossible —
+    // PcaSpec pins axis recovery/orthonormality/kernel parity). One
+    // corpus pass fits (treeAggregate of a d(d+1)/2 triangle), the
+    // projection is a map-side codegen kernel; output is the ANN-prep
+    // artifact: per-vector reduced dims + the reconstruction check
+    // column count.
+    "emb_pca_project" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val m = graft.operators.Pca.fit(emb, "embedding", k = 16)
+      graft.operators.Pca.transform(emb, "embedding", m)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.size(col("embedding"))
+            .as("pca_dims"),
+          element_at(col("embedding"), 1).as("pc1"))
+    },
+
     // C8 — K-Means (k=3, seed=42) daily-pattern assignments.
     "gold_cluster_assignments" -> { (s, dir) =>
       Clustering.assignmentsCached(fact(s, dir), dir)
