@@ -337,7 +337,7 @@ object AtomicLake {
     val commitId = UUID.randomUUID().toString.take(12)
     val staging = Paths.get(root, "_staging", commitId)
     val physical = colMap.foldLeft(batch) { case (d, (l, p)) =>
-      if (d.columns.contains(l)) {
+      if (l != p && d.columns.contains(l)) {
         // the physical slot belongs to the renamed column — a batch
         // carrying BOTH would silently interleave two columns' bytes
         require(!d.columns.contains(p),
@@ -888,10 +888,16 @@ object AtomicLake {
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
+    // renaming BACK to the physical name is the identity — drop the
+    // entry instead of recording `v -> v` (which would trip the
+    // stage-time physical-slot guard and clutter every manifest)
+    val newMap =
+      if (to == phys) snap.colMap - from
+      else snap.colMap - from + (to -> phys)
     commitReplacing(root, Set.empty, Map.empty, snap.partitionCols,
       batchSchema = Some(newSchema), schemaOverride = true,
       store = store, kind = "schema",
-      newColMap = Some(snap.colMap - from + (to -> phys)))
+      newColMap = Some(newMap))
   }
 
   /** DROP COLUMN without rewriting a byte: metadata-only — the column

@@ -6,7 +6,8 @@ import graft.sources.AtomicLake
 /** Model-based randomized exercise of the ACID lake core: a seeded
   * random sequence of table operations (append / keyed merge /
   * predicate delete / deletion-vector delete / row update / purge /
-  * compact / restore) runs against BOTH the real
+  * compact / restore / metadata-only column RENAME / bloom-index
+  * build) runs against BOTH the real
   * lake and a trivial in-memory model, and after every step the
   * lake's full contents must equal the model's. Targeted specs prove
   * each operator alone; this proves the COMPOSITIONS — e.g. restore
@@ -17,8 +18,8 @@ import graft.sources.AtomicLake
 class LakeFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  private def readState(root: String): Map[Long, Double] =
-    AtomicLake.read(spark, root).select("id", "v")
+  private def readState(root: String, vName: String): Map[Long, Double] =
+    AtomicLake.read(spark, root).select(col("id"), col(vName))
       .as[(Long, Double)].collect().toMap
 
   it("random op sequences match the in-memory model at every step") {
@@ -32,18 +33,22 @@ class LakeFuzzSpec extends SparkSpec {
 
       var model = Map.empty[Long, Double]
       var nextId = 0L
-      // version → model snapshot, for restore
-      var history = Vector.empty[(Long, Map[Long, Double])]
+      // the value column's CURRENT logical name (renames flip it);
+      // the physical pages always store "v"
+      var vName = "v"
+      // version → (model snapshot, logical name), for restore
+      var history = Vector.empty[(Long, Map[Long, Double], String)]
 
-      def df(rows: Seq[(Long, Double)]) = rows.toDF("id", "v")
+      def df(rows: Seq[(Long, Double)]) =
+        rows.toDF("id", vName)
 
       // seed commit so every op has a table
       val v0 = AtomicLake.append(df(Seq((nextId, 1.0))), root)
       model = Map(nextId -> 1.0); nextId += 1
-      history :+= (v0, model)
+      history :+= (v0, model, vName)
 
-      for (step <- 1 to 14) {
-        val op = rnd.nextInt(8)
+      for (step <- 1 to 16) {
+        val op = rnd.nextInt(10)
         val clue = s"seed=$seed step=$step op=$op"
         op match {
           case 0 => // append fresh ids
@@ -52,7 +57,7 @@ class LakeFuzzSpec extends SparkSpec {
                 nextId += 1; r }
             val v = AtomicLake.append(df(rows), root)
             model ++= rows
-            history :+= (v, model)
+            history :+= (v, model, vName)
           case 1 => // keyed merge: mix of updates to existing + inserts
             val updates = model.keys.toSeq.sorted
               .filter(_ => rnd.nextBoolean()).take(3)
@@ -64,48 +69,60 @@ class LakeFuzzSpec extends SparkSpec {
             if (rows.nonEmpty) {
               val res = AtomicLake.merge(spark, root, df(rows), Seq("id"))
               model ++= rows
-              history :+= (res.version, model)
+              history :+= (res.version, model, vName)
             }
           case 2 => // predicate delete
             val (m, r) = (2 + rnd.nextInt(3), rnd.nextInt(2))
             val res = AtomicLake.deleteWhere(spark, root)(
               pmod(col("id"), lit(m.toLong)) === r.toLong)
             model = model.filter { case (k, _) => k % m != r }
-            history :+= (res.version, model)
+            history :+= (res.version, model, vName)
           case 3 => // compact: contents must not change
             val v = AtomicLake.compact(spark, root, minFiles = 2)
-            history :+= (v, model)
-          case 4 => // restore to a random earlier version
-            val (tv, tm) = history(rnd.nextInt(history.size))
+            history :+= (v, model, vName)
+          case 4 => // restore to a random earlier version — the
+            // COLUMN NAME rolls back with the data
+            val (tv, tm, tn) = history(rnd.nextInt(history.size))
             val v = AtomicLake.restore(root, tv)
             model = tm
-            history :+= (v, model)
+            vName = tn
+            history :+= (v, model, vName)
           case 5 => // deletion-vector delete (merge-on-read)
             val (m, r) = (2 + rnd.nextInt(3), rnd.nextInt(2))
             val res = AtomicLake.deleteWhereDV(spark, root)(
               pmod(col("id"), lit(m.toLong)) === r.toLong)
             model = model.filter { case (k, _) => k % m != r }
-            history :+= (res.version, model)
+            history :+= (res.version, model, vName)
           case 6 => // row-level update
             val (m, r) = (2 + rnd.nextInt(3), rnd.nextInt(2))
             val delta = rnd.nextInt(9).toDouble
             val res = AtomicLake.updateWhere(spark, root,
-              Seq("v" -> (col("v") + delta)))(
+              Seq(vName -> (col(vName) + delta)))(
               pmod(col("id"), lit(m.toLong)) === r.toLong)
             model = model.map { case (k, v) =>
               k -> (if (k % m == r) v + delta else v) }
-            history :+= (res.version, model)
+            history :+= (res.version, model, vName)
           case 7 => // purge vectors: contents must not change
             val res = AtomicLake.purgeDeletes(spark, root)
-            history :+= (res.version, model)
+            history :+= (res.version, model, vName)
+          case 8 => // metadata-only rename: contents identical under
+            // the new name; later writes stage back to physical "v"
+            val to = if (vName == "v") "w" else "v"
+            val v = AtomicLake.renameColumn(root, vName, to)
+            vName = to
+            history :+= (v, model, vName)
+          case 9 => // bloom-index build: metadata-only, no data change
+            val v = AtomicLake.indexBloom(spark, root, Seq("id"))
+            history :+= (v, model, vName)
         }
-        withClue(clue) { readState(root) shouldBe model }
+        withClue(clue) { readState(root, vName) shouldBe model }
       }
       // time travel still resolves every recorded version exactly
       val probes = rnd.shuffle(history).take(3)
-      probes.foreach { case (v, m) =>
+      probes.foreach { case (v, m, n) =>
         withClue(s"seed=$seed versionAt=$v") {
-          AtomicLake.readVersion(spark, root, v).select("id", "v")
+          AtomicLake.readVersion(spark, root, v)
+            .select(col("id"), col(n))
             .as[(Long, Double)].collect().toMap shouldBe m
         }
       }
