@@ -195,6 +195,42 @@ object TextFns {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** Canonical URL form (H18) — the normalization a URL-level dedup
+    * keys on (the same page arrives as `HTTP://Site.com:80/a/?utm_…#x`
+    * and `http://site.com/a` across crawls): scheme+host lowercase,
+    * default port stripped (`:80` for http, `:443` for https), empty
+    * path → `/` and trailing slashes trimmed, tracking params
+    * (`utm_*`, `fbclid`, `gclid`) dropped, remaining query params
+    * SORTED (param order is transport noise), fragment dropped.
+    * Deliberately declarative — every step is an engine-portable
+    * regexp/array op the DuckDB oracle replays, so the whole
+    * canonicalization is hash-gated end to end.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val qs = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(qs, "&"),
+      p => length(p) > 0 &&
+        !startswith(p, lit("utm_")) &&
+        !startswith(p, lit("fbclid=")) &&
+        !startswith(p, lit("gclid=")))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(sortedQ === "", lit(""))
+        .otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** NFC canonical composition (H17): decomposed sequences (e +
     * combining acute) become their precomposed form, so dedup,
     * fingerprints and equality see one representation. Codegen kernel

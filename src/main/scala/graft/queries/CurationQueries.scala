@@ -146,6 +146,37 @@ object CurationQueries {
           countDistinct(col("ref")).cast("int").as("n_langs"))
     },
 
+    // H18 — canonical-URL dedup key: URLs derived with planted crawl
+    // noise (uppercase scheme/host, default :443 port, trailing
+    // slash, utm_/gclid tracking params, unsorted param order,
+    // fragments) must canonicalize identically in both engines —
+    // every normalization rule is exercised by some doc_id residue
+    // class, and the oracle replays the same regexp/list pipeline.
+    "curate_url_canon" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(pmod(id, lit(6)) === 0, lit("HTTPS"))
+          .otherwise(lit("https")),
+        lit("://"),
+        when(pmod(id, lit(6)) === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com"),
+        when(pmod(id, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (id.cast("long") / 7).cast("long").cast("string"),
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(4)) === 0,
+          concat(lit("?utm_source=news&ref="), col("lang")))
+          .when(pmod(id, lit(4)) === 1,
+            concat(lit("?ref="), col("lang"), lit("&b=2&a=1")))
+          .when(pmod(id, lit(4)) === 2, lit("?gclid=abc123"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0, lit("#section-2"))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", TextFns.canonicalUrl(col("url")))
+    },
+
     // H16 — corpus-trained BPE tokenizer ([R]: the merge-training
     // loop is not SQL-expressible — rows-only + BpeSpec's
     // hand-computed-merges/kernel-parity/determinism gates). Training
@@ -234,6 +265,55 @@ object CurationQueries {
        |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curate_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 6 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://' ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END)
+        |    || '.example.com' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&ref=' || lang
+        |          WHEN doc_id % 4 = 1 THEN '?ref=' || lang || '&b=2&a=1'
+        |          WHEN doc_id % 4 = 2 THEN '?gclid=abc123'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(coalesce(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+        |    lower(coalesce(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''))
+        |      AS hostport,
+        |    coalesce(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+        |      AS rawpath,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS qs
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, url, scheme, hostport, rawpath,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(qs, '&'),
+        |      s -> len(s) > 0 AND NOT starts_with(s, 'utm_')
+        |        AND NOT starts_with(s, 'fbclid=')
+        |        AND NOT starts_with(s, 'gclid='))), '&'), '') AS qlist
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  scheme || '://' ||
+        |  (CASE WHEN scheme = 'http'
+        |        THEN regexp_replace(hostport, ':80$', '')
+        |        WHEN scheme = 'https'
+        |        THEN regexp_replace(hostport, ':443$', '')
+        |        ELSE hostport END) ||
+        |  (CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |        ELSE regexp_replace(rawpath, '/+$', '') END) ||
+        |  (CASE WHEN qlist = '' THEN '' ELSE '?' || qlist END)
+        |    AS canon_url
+        |FROM q""".stripMargin,
     "text_topk_tokens" ->
       """SELECT tok AS item, count(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split(text, ' '),

@@ -72,6 +72,29 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  describe("TextFns.canonicalUrl (H18)") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextFns.canonicalUrl($"u").as("c"))
+        .as[String].head()
+
+    it("normalizes case, default ports, slashes, fragments") {
+      canon("HTTPS://Example.COM:443/a/b/#frag") shouldBe
+        "https://example.com/a/b"
+      canon("http://example.com:80") shouldBe "http://example.com/"
+      // :443 is NOT default for http — kept
+      canon("http://example.com:443/x") shouldBe
+        "http://example.com:443/x"
+      canon("https://example.com///") shouldBe "https://example.com/"
+    }
+
+    it("drops tracking params, sorts the rest") {
+      canon("https://e.com/p?utm_source=x&b=2&gclid=1&a=1") shouldBe
+        "https://e.com/p?a=1&b=2"
+      canon("https://e.com/p?b=2&a=1") shouldBe
+        canon("https://e.com/p/?a=1&b=2#x")
+    }
+  }
+
   describe("Unicode normalization + mojibake repair (H17)") {
     def nfc(s: String): String =
       Seq(s).toDF("t").select(TextFns.nfcNormalize($"t").as("x"))
