@@ -208,4 +208,115 @@ class KernelPropertySpec extends AnyFunSpec with Matchers {
       })
     }
   }
+
+  describe("round-9 session-3 kernels") {
+    // ---- BPE encode vs an independent priority-queue reference ----
+
+    /** Reference BPE encoder — the PRIORITY-QUEUE formulation, a
+      * different algorithm from the kernel's rank-order-exhaustive
+      * loop; the property proves the two formulations coincide on
+      * arbitrary inputs (BpeSpec proves it on curated cases).
+      */
+    def refEncode(text: String, merges: Vector[(String, String)])
+        : Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms: Vector[String] =
+          w.map(_.toString).toVector :+ "</w>"
+        var done = false
+        while (!done && syms.size > 1) {
+          val ranked = syms.zip(syms.tail)
+            .flatMap(p => rank.get(p).map(r => (r, p)))
+          if (ranked.isEmpty) done = true
+          else {
+            val (_, (a, b)) = ranked.minBy(_._1)
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i < syms.size - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+          }
+        }
+        syms
+      }
+    }
+
+    def kernelEncode(text: String, merges: Vector[(String, String)])
+        : Seq[String] = {
+      val wire = UTF8String.fromString(
+        merges.map { case (a, b) => a + "\t" + b }.mkString("\n"))
+      val arr = NativeKernels
+        .bpeEncode(UTF8String.fromString(text), wire)
+        .asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+
+    // small alphabet so merges actually apply; merges built the way
+    // training builds them (later merges may reference earlier fusions)
+    val abcToken: Gen[String] =
+      Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val abcText: Gen[String] =
+      Gen.listOf(abcToken).map(_.mkString(" "))
+    val mergeList: Gen[Vector[(String, String)]] = {
+      val base = Vector("a", "b", "c", "</w>")
+      def grow(acc: Vector[(String, String)], syms: Vector[String],
+          n: Int, pick: Gen[(Int, Int)]): Gen[Vector[(String, String)]] =
+        if (n == 0) Gen.const(acc)
+        else pick.flatMap { case (i, j) =>
+          val (l, r) = (syms(i % syms.size), syms(j % syms.size))
+          if (acc.contains((l, r)) || l == "</w>")
+            grow(acc, syms, n - 1, pick)
+          else grow(acc :+ ((l, r)), syms :+ (l + r), n - 1, pick)
+        }
+      Gen.choose(0, 6).flatMap(n =>
+        grow(Vector.empty, base, n,
+          Gen.zip(Gen.choose(0, 20), Gen.choose(0, 20))))
+    }
+
+    it("bpeEncode == the priority-queue reference on random text and " +
+        "training-shaped merge tables") {
+      holds(forAll(abcText, mergeList) { (t, ms) =>
+        kernelEncode(t, ms) == refEncode(t, ms)
+      })
+    }
+
+    it("bpeEncode concatenates back to the original tokens (lossless)") {
+      holds(forAll(abcText, mergeList) { (t, ms) =>
+        val toks = kernelEncode(t, ms)
+        val rebuilt = toks.mkString("").split("</w>", -1).toSeq
+          .filter(_.nonEmpty)
+        rebuilt == t.split(" ").filter(_.nonEmpty).toSeq
+      })
+    }
+
+    // ---- NFC + mojibake invariants ----
+
+    val anyStr: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\u00e9', '\u0301', '\u00c3',
+        '\u20ac', '\u65e5'))).map(_.mkString)
+
+    it("nfcNormalize is idempotent and length-bounded") {
+      holds(forAll(anyStr) { s =>
+        val once = NativeKernels
+          .nfcNormalize(UTF8String.fromString(s)).toString
+        val twice = NativeKernels
+          .nfcNormalize(UTF8String.fromString(once)).toString
+        twice == once && once.length <= s.length
+      })
+    }
+
+    it("fixMojibake is idempotent-after-repair and never grows text") {
+      holds(forAll(anyStr) { s =>
+        val once = NativeKernels
+          .fixMojibake(UTF8String.fromString(s)).toString
+        val twice = NativeKernels
+          .fixMojibake(UTF8String.fromString(once)).toString
+        twice == once && once.length <= s.length
+      })
+    }
+  }
 }
