@@ -90,7 +90,7 @@ object Similarity {
     * row against the centroid literal — no crossJoin, no window, no
     * Exchange anywhere between the corpus scan and the celled output.
     */
-  private def nearestCells(vec: org.apache.spark.sql.Column,
+  private[operators] def nearestCells(vec: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], nprobe: Int)
       : org.apache.spark.sql.Column = {
     // fail at plan time: nprobe <= 0 would otherwise crash the kernel

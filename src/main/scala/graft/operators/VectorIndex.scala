@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+
+import graft.functions.VectorFns
+import graft.sources.{AtomicLake, CommitStore, HardlinkCommitStore}
+
+/** Persistent IVF vector index over the ACID lake (SURVEY.md §2 E14)
+  * — the vector twin of [[NearDupIndex]]: a corpus is indexed ONCE,
+  * then every probe batch and every ingest batch works against the
+  * PERSISTED index without re-reading or re-training on the corpus.
+  *
+  * Layout is the scale story: the assignments table is an
+  * [[AtomicLake]] PARTITIONED BY CELL, so a probe of `nprobe` cells
+  * is a partition-pruned scan — the manifest plans only those cells'
+  * files and the other `nlist - nprobe` cells' bytes are never
+  * opened (spec proves planned < total via scanInfo). The coarse
+  * quantizer (nlist×d doubles) is a version-1 params claim through
+  * the same [[CommitStore]] CAS as the tables — committed BEFORE any
+  * data, so a crash leaves params that describe whatever exists, and
+  * a rebuild against different geometry refuses loudly instead of
+  * silently mixing assignments from two quantizers.
+  *
+  * [[append]] is the incremental path: new vectors are assigned
+  * MAP-SIDE with the persisted centroids (no retraining — cell
+  * quality for appended data is the same boundary-error argument
+  * probing already covers) and upserted idempotently by id (keys-only
+  * anti join), landing as new files in their cells' partitions.
+  */
+object VectorIndex {
+
+  final case class Params(nlist: Int, seed: Long, dim: Int,
+      centroids: Seq[Seq[Double]])
+
+  private def cellsRoot(root: String) = s"$root/cells"
+  private def paramsRoot(root: String) = s"$root/params"
+
+  private def paramsJson(p: Params): String = {
+    val cents = p.centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"nlist":${p.nlist},"seed":${p.seed},"dim":${p.dim},""" +
+      s""""centroids":$cents}"""
+  }
+
+  private def parseParams(s: String): Params = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    def long(v: JValue): Long = v match {
+      case JInt(x) => x.toLong
+      case JLong(x) => x
+      case other => throw new IllegalStateException(
+        s"vector-index params: expected number, got $other")
+    }
+    def dbl(v: JValue): Double = v match {
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case JDecimal(x) => x.toDouble
+      case other => throw new IllegalStateException(
+        s"vector-index params: expected double, got $other")
+    }
+    val JArray(cents) = j \ "centroids"
+    Params(long(j \ "nlist").toInt, long(j \ "seed"),
+      long(j \ "dim").toInt,
+      cents.map { case JArray(xs) => xs.map(dbl) })
+  }
+
+  /** Commit params as version 1 — or, if already claimed, verify the
+    * GEOMETRY matches (nlist/seed/dim; centroids are a function of
+    * them plus the build corpus) and return the EXISTING params, so a
+    * re-build against a grown corpus keeps the original quantizer and
+    * existing assignments stay valid.
+    */
+  private def claimOrRead(root: String, p: Params,
+      store: CommitStore): Params =
+    if (store.tryCommit(paramsRoot(root), 1L, paramsJson(p))) p
+    else {
+      val existing = parseParams(store.readBody(paramsRoot(root), 1L))
+      require(existing.nlist == p.nlist && existing.seed == p.seed &&
+        existing.dim == p.dim,
+        s"vector index at $root is pinned to nlist=${existing.nlist} " +
+          s"seed=${existing.seed} dim=${existing.dim}; refusing " +
+          s"nlist=${p.nlist} seed=${p.seed} dim=${p.dim} — delete the " +
+          "index root to change geometry")
+      existing
+    }
+
+  def exists(root: String,
+      store: CommitStore = HardlinkCommitStore): Boolean =
+    store.listVersions(paramsRoot(root)).nonEmpty
+
+  def readParams(root: String,
+      store: CommitStore = HardlinkCommitStore): Params = {
+    val vs = store.listVersions(paramsRoot(root))
+    require(vs.nonEmpty, s"no vector index at $root: params never " +
+      "committed (build() writes them before any table data)")
+    parseParams(store.readBody(paramsRoot(root), vs.max))
+  }
+
+  /** (cell, vec_id, cv, cn) assignment frame — one map-side pass. */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      p: Params): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        VectorFns.norm(col(vecCol)).as("cn"))
+      .withColumn("cell",
+        Similarity.nearestCells(col("cv"), p.centroids, 1).getItem(0))
+
+  /** Build (or rebuild over the SAME geometry) the index: train the
+    * coarse quantizer, claim params, overwrite the cell-partitioned
+    * assignments lake. Returns the committed params.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      root: String, nlist: Int = 16, seed: Long = 42L,
+      filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Params = {
+    import corpus.sparkSession.implicits._
+    val dim = corpus.select(col(vecCol)).na.drop()
+      .as[Seq[Float]].head().length
+    val p0 =
+      if (exists(root, store)) readParams(root, store)
+      else {
+        val train = corpus.select(array_to_vector(
+          col(vecCol).cast("array<double>")).as("features"))
+        val model = new KMeans().setK(nlist).setSeed(seed)
+          .setMaxIter(10).setFeaturesCol("features").fit(train)
+        Params(nlist, seed, dim,
+          model.clusterCenters.map(_.toArray.toSeq).toSeq)
+      }
+    val p = claimOrRead(root, p0.copy(nlist = nlist, seed = seed,
+      dim = dim, centroids = p0.centroids), store)
+    AtomicLake.overwrite(assign(corpus, idCol, vecCol, p),
+      cellsRoot(root), Seq("cell"), filesPerPartition, store)
+    p
+  }
+
+  /** Incremental ingest: assign `batch` with the PERSISTED centroids
+    * (map-side, no retraining), drop ids already indexed (idempotent
+    * re-delivery), append into the cell partitions. Returns the lake
+    * version (unchanged when everything was already indexed).
+    */
+  def append(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, root: String, filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val p = readParams(root, store)
+    val existing = AtomicLake.read(spark, cellsRoot(root), store)
+      .select(col("vec_id"))
+    val fresh = assign(batch, idCol, vecCol, p)
+      .join(existing, Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty)
+      AtomicLake.currentVersion(cellsRoot(root), store).get
+    else AtomicLake.append(fresh, cellsRoot(root), Seq("cell"),
+      filesPerPartition, store)
+  }
+
+  /** Top-k cosine neighbors of each query against the index: queries
+    * probe their `nprobe` nearest cells map-side, the probed cell SET
+    * (bounded by nlist) prunes the lake scan to those PARTITIONS, and
+    * only the surviving candidates pay the exact-cosine verify. The
+    * query side broadcasts (a probe batch is bounded); the corpus
+    * side is the partition-pruned scan.
+    */
+  def topK(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, root: String, k: Int, nprobe: Int = 3,
+      store: CommitStore = HardlinkCommitStore): DataFrame = {
+    val p = readParams(root, store)
+    val qc = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFns.norm(col(vecCol)).as("qn"))
+      .withColumn("cell", explode(
+        Similarity.nearestCells(col("qv"), p.centroids, nprobe)))
+    // the distinct probed cells: bounded by nlist, driver-side by
+    // design — they BECOME the partition-pruning predicate
+    import spark.implicits._
+    val probed = qc.select(col("cell")).distinct().as[Int]
+      .collect().sorted
+    val cand = AtomicLake.scan(spark, cellsRoot(root), store)(
+      col("cell").isin(probed.map(Int.box): _*))
+    val scored = cand.join(broadcast(qc), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** (files planned, files total) for a probe of `cells` — the
+    * partition-pruning observability the spec asserts.
+    */
+  def probeScanInfo(root: String, cells: Seq[Int],
+      store: CommitStore = HardlinkCommitStore): (Int, Int) =
+    AtomicLake.scanInfo(cellsRoot(root), store)(
+      col("cell").isin(cells.map(Int.box): _*))
+}

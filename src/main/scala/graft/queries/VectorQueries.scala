@@ -62,6 +62,23 @@ object VectorQueries {
         corpusTag = dir)
     },
 
+    // E14 — persisted IVF index probe ([R]: KMeans quantizer — not
+    // SQL-expressible; VectorIndexSpec hash-level gates are the
+    // in-memory-parity and recall cases). First run builds the
+    // cell-partitioned index lake; later runs REUSE it (params CAS +
+    // existing assignments) — the probe is the partition-pruned scan.
+    "ann_index_topk" -> { (s, dir) =>
+      val root = "/root/repo/target/lake/vector_index/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, dir)
+      if (!graft.operators.VectorIndex.exists(root))
+        graft.operators.VectorIndex.build(emb, "vec_id", "embedding",
+          root, nlist = 8, seed = 42L)
+      graft.operators.VectorIndex.topK(s,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", root,
+        k = 10, nprobe = 3)
+    },
+
     // E13 — PCA projection of the embedding corpus to 16 dims ([R]:
     // the fitted axes come from a distributed double reduction whose
     // addition order no engine pins, so bit-gating is impossible —

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, VectorIndex}
+import graft.sources.Tables
+
+/** Persistent IVF vector index (SURVEY.md §2 E14): build/probe parity
+  * with the in-memory operator, partition-pruned probes, idempotent
+  * incremental append, geometry pinning.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"/root/repo/target/test-scratch/vecidx_$name"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    root
+  }
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  describe("VectorIndex") {
+    it("probe equals the in-memory IVF operator on the same corpus " +
+        "and geometry") {
+      val root = freshRoot("parity")
+      VectorIndex.build(emb, "vec_id", "embedding", root,
+        nlist = 8, seed = 42L)
+      val queries = emb.filter(col("vec_id") < 5)
+      val got = VectorIndex.topK(spark, queries, "vec_id", "embedding",
+          root, k = 10, nprobe = 3)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 3, seed = 42L)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      got shouldBe want
+      want should not be empty
+    }
+
+    it("probes are partition-pruned: nprobe cells plan a strict " +
+        "subset of the files") {
+      val root = freshRoot("prune")
+      VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 8)
+      val (planned, total) = VectorIndex.probeScanInfo(root, Seq(0, 1))
+      total should be >= 8 // one file per non-empty cell partition
+      planned should be <= (total / 2)
+      planned should be >= 1
+    }
+
+    it("append assigns with the PERSISTED centroids, idempotently") {
+      val root = freshRoot("append")
+      val base = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400)
+      VectorIndex.build(base, "vec_id", "embedding", root, nlist = 8)
+      val v1 = VectorIndex.append(spark, batch, "vec_id", "embedding",
+        root)
+      // re-delivery: nothing new, no new version
+      VectorIndex.append(spark, batch, "vec_id", "embedding",
+        root) shouldBe v1
+      // the full index now equals a fresh build's assignment set
+      // (same centroids: build reuses the claimed params)
+      val all = graft.sources.AtomicLake
+        .read(spark, s"$root/cells").select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet
+      val fullRoot = freshRoot("append_full")
+      // same geometry + same TRAINING corpus => same quantizer: train
+      // on `base` again, then assign everything
+      VectorIndex.build(base, "vec_id", "embedding", fullRoot,
+        nlist = 8)
+      VectorIndex.append(spark, emb, "vec_id", "embedding", fullRoot)
+      val full = graft.sources.AtomicLake
+        .read(spark, s"$fullRoot/cells").select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet
+      all shouldBe full
+      // and probing finds appended vectors
+      val probe = VectorIndex.topK(spark,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", root,
+        k = 500, nprobe = 8)
+      probe.filter(col("cand_id") >= 400).count() should be > 0L
+    }
+
+    it("pins geometry: a rebuild with different nlist refuses loudly") {
+      val root = freshRoot("pin")
+      VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 8)
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 16)
+      // same geometry: rebuild is fine and reuses the quantizer
+      VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 8)
+      VectorIndex.readParams(root).nlist shouldBe 8
+    }
+
+    it("recall@10 vs brute force stays high at nprobe 4/8") {
+      val root = freshRoot("recall")
+      VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 8)
+      val queries = emb.filter(col("vec_id") < 20)
+      val approx = VectorIndex.topK(spark, queries, "vec_id",
+          "embedding", root, k = 10, nprobe = 4)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      val recall = (approx & exact).size.toDouble / exact.size
+      recall should be >= 0.8
+    }
+  }
+}
