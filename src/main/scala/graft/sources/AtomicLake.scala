@@ -263,7 +263,27 @@ object AtomicLake {
       Some(if (intRank(a) >= intRank(b)) a else b)
     else if ((a == FloatType && b == DoubleType) ||
         (a == DoubleType && b == FloatType)) Some(DoubleType)
-    else None
+    else (a, b) match {
+      // containers: recurse on elements, union nullability (a frame
+      // whose array<float> came from an Encoder and one read from
+      // parquet differ only in containsNull — the same column)
+      case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+        widenType(e1, e2).map(ArrayType(_, n1 || n2))
+      case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>
+        for { k <- widenType(k1, k2); v <- widenType(v1, v2) }
+          yield MapType(k, v, n1 || n2)
+      case (StructType(f1), StructType(f2))
+          if f1.map(_.name).sameElements(f2.map(_.name)) =>
+        val widened = f1.zip(f2).map { case (x, y) =>
+          widenType(x.dataType, y.dataType).map(t =>
+            x.copy(dataType = t,
+              nullable = x.nullable || y.nullable))
+        }
+        if (widened.forall(_.isDefined))
+          Some(StructType(widened.map(_.get)))
+        else None
+      case _ => None
+    }
   }
 
   /** The committed schema after applying `batch` on top of `base`:

@@ -112,6 +112,35 @@ object StreamingLake {
         }
       }
 
+  /** Streaming vector ingest ∘ live ANN index (the embedding twin of
+    * [[ingestWithIndexSink]]): each micro-batch of (id, vector) rows
+    * is assigned MAP-SIDE with the index's persisted centroids and
+    * appended into the cell-partitioned index lake
+    * ([[graft.operators.VectorIndex.append]] — idempotent by id, so a
+    * redelivered micro-batch converges with no duplicate
+    * assignments). The index must exist (built from a seed corpus —
+    * a quantizer trained on a single first micro-batch would pin
+    * arbitrary geometry); the build-first contract is checked per
+    * batch and fails the query loudly instead of training silently.
+    */
+  def vectorIndexSink(stream: DataFrame, idCol: String,
+      vecCol: String, indexRoot: String, checkpoint: String,
+      store: graft.sources.CommitStore =
+        graft.sources.HardlinkCommitStore): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.VectorIndex
+          require(VectorIndex.exists(indexRoot, store),
+            s"no vector index at $indexRoot: build() one from a seed " +
+              "corpus before streaming into it")
+          VectorIndex.append(batch.sparkSession, batch, idCol, vecCol,
+            indexRoot, store = store)
+          ()
+        }
+      }
+
   /** Streaming CDC upsert: each micro-batch MERGEs into the lake by
     * key ([[graft.sources.AtomicLake.merge]]) — matched keys get the
     * batch's row, new keys insert, untouched rows (and untouched

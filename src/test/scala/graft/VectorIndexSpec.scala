@@ -92,6 +92,55 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.readParams(root).nlist shouldBe 8
     }
 
+    it("streams micro-batches into the live index, replay-safe") {
+      implicit val sqlCtx = spark.sqlContext
+      val root = freshRoot("stream")
+      val ckpt = freshRoot("stream_ckpt")
+      VectorIndex.build(emb.filter(col("vec_id") < 300), "vec_id",
+        "embedding", root, nlist = 8)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val stream = in.toDF().toDF("vec_id", "embedding")
+      val q = graft.streaming.StreamingLake.vectorIndexSink(stream,
+        "vec_id", "embedding", root, ckpt).start()
+      try {
+        val tail = emb.filter(col("vec_id") >= 300)
+          .select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect()
+        val (b1, b2) = tail.splitAt(tail.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        // overlap re-delivers some of b1: append must dedup
+        in.addData(b1.take(5).toIndexedSeq)
+        q.processAllAvailable()
+        val ids = graft.sources.AtomicLake
+          .read(spark, s"$root/cells").select("vec_id")
+          .as[Long].collect()
+        ids.length shouldBe 500 // no duplicates
+        ids.toSet shouldBe (0L until 500L).toSet
+      } finally q.stop()
+    }
+
+    it("the streaming sink refuses an unbuilt index loudly") {
+      implicit val sqlCtx = spark.sqlContext
+      val root = freshRoot("stream_refuse")
+      val ckpt = freshRoot("stream_refuse_ckpt")
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingLake.vectorIndexSink(
+        in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", root, ckpt).start()
+      try {
+        in.addData((1L, Seq(1.0f, 2.0f)))
+        val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        e.getMessage should include("build() one from a seed corpus")
+      } finally q.stop()
+    }
+
     it("recall@10 vs brute force stays high at nprobe 4/8") {
       val root = freshRoot("recall")
       VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 8)
