@@ -231,6 +231,61 @@ object BronzeQueries {
       ).toDF("item", "value")
     },
 
+    // G40/G41 — schema evolution DDL effects, hash-gated like
+    // lake_sql_maintenance: a rename (metadata-only, column-mapped),
+    // time travel to the pre-rename names, a generated-column
+    // declaration + a write that materializes it (planted date ⇒
+    // fixed quarter), declaration drop, and a column drop whose
+    // tombstone must carry the PHYSICAL (pre-rename) name — all
+    // probed as deterministic (item, value) rows vs a
+    // fixed-expectations VALUES oracle.
+    "lake_schema_evolution" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "schema_evolution")
+      val L = graft.sources.AtomicLake
+      val v1 = L.currentVersion(scratch).get
+      s.sql(s"ALTER LAKE '$scratch' RENAME COLUMN o_orderpriority " +
+        "TO o_priority").collect()
+      val afterRename = L.read(s, scratch).columns.mkString(",")
+      val ttCols = L.readVersion(s, scratch, v1).columns.mkString(",")
+      s.sql(s"ALTER LAKE '$scratch' ADD COLUMN o_quarter " +
+        "GENERATED ALWAYS AS (quarter(o_orderdate))").collect()
+      val genDecl = L.currentSnapshot(scratch).get.generated.toSeq
+        .sorted.map { case (k, v) => s"$k:$v" }.mkString(";")
+      // a write that OMITS the generated column: one copied row with
+      // a planted date — o_quarter must materialize as 2
+      val base = L.read(s, scratch)
+      // plant the date in the column's OWN type (the physical parquet
+      // timestamp flavor varies across testdata generations)
+      val one = base
+        .orderBy(col("o_orderkey")).limit(1)
+        .withColumn("o_orderkey", lit(-1L))
+        .withColumn("o_orderdate", lit("1997-05-15 00:00:00")
+          .cast(base.schema("o_orderdate").dataType))
+      L.append(one, scratch, Seq("o_year"))
+      val cur = L.read(s, scratch)
+      val qVal = cur.filter(col("o_orderkey") === -1L)
+        .select(col("o_quarter").cast("string")).head().getString(0)
+      val oldNulls = cur.filter(col("o_orderkey") =!= -1L)
+        .filter(col("o_quarter").isNull).count() ==
+        cur.count() - 1
+      s.sql(s"ALTER LAKE '$scratch' DROP GENERATED COLUMN o_quarter")
+        .collect()
+      s.sql(s"ALTER LAKE '$scratch' DROP COLUMN o_priority").collect()
+      val snap = L.currentSnapshot(scratch).get
+      import s.implicits._
+      Seq(
+        ("cols_after_rename", afterRename),
+        ("timetravel_cols", ttCols),
+        ("generated_decl", genDecl),
+        ("generated_value", qVal),
+        ("old_rows_quarter_null", oldNulls.toString),
+        ("dropped_tombstones", snap.dropped.toSeq.sorted.mkString(",")),
+        ("generated_after_drop",
+          snap.generated.keys.toSeq.sorted.mkString(",")),
+        ("cols_final", L.read(s, scratch).columns.mkString(","))
+      ).toDF("item", "value")
+    },
+
     // G39 — per-file bloom indexes: point lookups on the
     // high-cardinality order key, where every year-partition file
     // spans the whole key domain (zone maps prune nothing), route
@@ -519,6 +574,20 @@ object BronzeQueries {
         |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "lake_schema_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('cols_after_rename',
+        |   'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_priority,o_month,o_year'),
+        |  ('timetravel_cols',
+        |   'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority,o_month,o_year'),
+        |  ('generated_decl', 'o_quarter:quarter(o_orderdate)'),
+        |  ('generated_value', '2'),
+        |  ('old_rows_quarter_null', 'true'),
+        |  ('dropped_tombstones', 'o_orderpriority'),
+        |  ('generated_after_drop', ''),
+        |  ('cols_final',
+        |   'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_month,o_quarter,o_year')
+        |) t(item, value)""".stripMargin,
     "lake_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
