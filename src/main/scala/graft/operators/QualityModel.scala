@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.array_to_vector
+
+import graft.functions.TextFns
+import graft.expressions.NativeKernels
+
+/** Trained document-quality classifier (SURVEY.md §2 H19) — the
+  * model-based quality filter of the CCNet/LLaMA-style pipelines
+  * (a linear classifier over cheap text statistics, trained on WEAK
+  * labels like "looks like curated text" vs "random crawl"),
+  * complementing E8's fixed-weight heuristic score.
+  *
+  * Scale shape: featurization is one map-side pass (every feature
+  * comes from the codegen'd TextFns/wordStats kernels — no shuffle);
+  * training is logistic regression over the feature frame (MLlib's
+  * L-BFGS: one treeAggregate gradient pass per iteration, model size
+  * = the feature count); scoring is a PURE COLUMN EXPRESSION —
+  * sigmoid(w·x + b) unrolled over the named feature columns, fully
+  * inside WholeStageCodegen, no UDF, no MLlib at inference time. The
+  * trained weights ride the plan as literals, so scoring a 100-TB
+  * corpus is scan → project.
+  *
+  * Honest determinism: L-BFGS over distributed double sums inherits
+  * the usual last-ulp combine-order noise; the spec pins separation
+  * quality and sign structure, not bits.
+  */
+object QualityModel {
+
+  /** The feature names, in weight order. */
+  val featureNames: Seq[String] = Seq(
+    "f_log_chars", "f_log_words", "f_punct", "f_stopword",
+    "f_ttr", "f_top_ratio", "f_mean_word_len")
+
+  final case class Model(weights: Seq[Double], intercept: Double) {
+    require(weights.length == featureNames.length,
+      s"expected ${featureNames.length} weights, got ${weights.length}")
+  }
+
+  /** Map-side featurization: cheap, engine-native text statistics.
+    * Appends the `f_*` columns (see [[featureNames]]).
+    */
+  def featurize(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val st = NativeKernels.wordStatsCol(t)
+    val nWords = element_at(st, 1)
+    val nDistinct = element_at(st, 2)
+    val topFreq = element_at(st, 3)
+    df.withColumn("f_log_chars", log1p(length(t)))
+      .withColumn("f_log_words", log1p(TextFns.wordCount(t)))
+      .withColumn("f_punct", TextFns.punctRatio(t))
+      .withColumn("f_stopword", TextFns.stopwordRatio(t))
+      .withColumn("_st", st)
+      .withColumn("f_ttr",
+        when(element_at(col("_st"), 1) === 0, 0.0)
+          .otherwise(element_at(col("_st"), 2).cast("double") /
+            element_at(col("_st"), 1).cast("double")))
+      .withColumn("f_top_ratio",
+        when(element_at(col("_st"), 1) === 0, 0.0)
+          .otherwise(element_at(col("_st"), 3).cast("double") /
+            element_at(col("_st"), 1).cast("double")))
+      .withColumn("f_mean_word_len",
+        when(element_at(col("_st"), 1) === 0, 0.0)
+          .otherwise(length(t).cast("double") /
+            element_at(col("_st"), 1).cast("double")))
+      .drop("_st")
+  }
+
+  /** Train on a featurized frame with a 0/1 `labelCol` (the weak
+    * label: 1 = looks-curated). Returns the linear model.
+    */
+  def train(featurized: DataFrame, labelCol: String,
+      maxIter: Int = 50, regParam: Double = 1e-3): Model = {
+    val assembled = featurized.select(
+      col(labelCol).cast("double").as("label"),
+      array_to_vector(array(featureNames.map(col): _*))
+        .as("features"))
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setStandardization(true)
+    val m = lr.fit(assembled)
+    Model(m.coefficients.toArray.toSeq, m.intercept)
+  }
+
+  /** P(curated | features) as a pure column expression over the
+    * `f_*` columns — codegen'd, literal weights, no UDF/MLlib.
+    */
+  def probability(model: Model): Column = {
+    val z = featureNames.zip(model.weights)
+      .map { case (f, w) => col(f) * lit(w) }
+      .foldLeft(lit(model.intercept))(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Featurize + score: appends `quality_prob`. */
+  def score(df: DataFrame, textCol: String, model: Model): DataFrame =
+    featurize(df, textCol)
+      .withColumn("quality_prob", probability(model))
+}

@@ -66,6 +66,23 @@ object TextQueries {
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
     },
 
+    // H19 — trained quality classifier ([R]: L-BFGS over distributed
+    // double sums — no engine pins the combine order, so bit-gating
+    // is impossible; QualityModelSpec pins separation + the exact
+    // scoring form). Weak labels come from the fixed-weight heuristic
+    // (E8) — the classifier must re-derive the quality notion from
+    // raw features; scoring is a pure codegen column expression.
+    "text_quality_model" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.withColumn("label",
+        (TextFns.qualityScore(col("text")) >= 0.55).cast("int"))
+      val m = graft.operators.QualityModel.train(
+        graft.operators.QualityModel.featurize(labeled, "text"),
+        "label")
+      graft.operators.QualityModel.score(docs, "text", m)
+        .select(col("doc_id"), col("quality_prob"))
+    },
+
     // Composite training-data pipeline — the operators composed the
     // way a corpus-cleaning job actually chains them: quality gate →
     // exact dedup (keep-first) → near-dup removal (drop the higher id
