@@ -50,6 +50,8 @@ object LakeSql {
   // anchored, case-insensitive on keywords, tolerant of trailing ';'
   private val Optimize: Regex =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
+  private val OptimizeWhere: Regex =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val OptimizeZorder: Regex =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val Restore: Regex =
@@ -88,6 +90,8 @@ object LakeSql {
     case OptimizeZorder(root, cols) =>
       Some(OptimizeLakeCommand(root,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    case OptimizeWhere(root, pred) =>
+      Some(OptimizeLakeCommand(root, Nil, Some(pred.trim)))
     case Optimize(root) => Some(OptimizeLakeCommand(root, Nil))
     case Restore(root, v) => Some(RestoreLakeCommand(root, v.toLong))
     case History(root) => Some(LakeHistoryCommand(root))
@@ -132,8 +136,8 @@ object LakeSql {
   * 3+ columns cluster lexicographically rather than erroring).
   * Returns the committed version.
   */
-case class OptimizeLakeCommand(root: String, zorderCols: Seq[String])
-    extends LeafRunnableCommand {
+case class OptimizeLakeCommand(root: String, zorderCols: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(LakeSql.attr("version", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
@@ -141,7 +145,8 @@ case class OptimizeLakeCommand(root: String, zorderCols: Seq[String])
       if (zorderCols.nonEmpty)
         AtomicLake.cluster(spark, root, zorderCols,
           zorder = zorderCols.size == 2)
-      else AtomicLake.compactSmall(spark, root)
+      else AtomicLake.compactSmall(spark, root, where =
+        where.map(org.apache.spark.sql.functions.expr))
     Seq(Row(v))
   }
 }

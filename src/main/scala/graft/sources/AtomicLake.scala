@@ -2158,16 +2158,31 @@ object AtomicLake {
     */
   def compactSmall(spark: SparkSession, root: String,
       smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
-      store: CommitStore = HardlinkCommitStore): Long = {
+      store: CommitStore = HardlinkCommitStore,
+      // Delta's `OPTIMIZE … WHERE`: restrict the sweep to the
+      // partitions whose DIRECTORY VALUES may satisfy the predicate
+      // (driver-side, manifest-only — the same conservative
+      // evaluator as the scan's partition pruning). A 100-TB table's
+      // maintenance job touches yesterday's partition, not the world.
+      where: Option[Column] = None): Long = {
     require(smallBytes > 0 && targetBytes >= smallBytes,
       s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
     val snap = currentSnapshot(root, store).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
+    val scoped = where match {
+      case None => snap.files
+      case Some(pred) =>
+        val exprs = Seq(
+          org.apache.spark.sql.classic.GraftExprBridge.expression(pred))
+        snap.files.filter { case (dir, _) =>
+          LakeStats.partitionMayMatch(dir, exprs)
+        }
+    }
     def sizeOf(f: String): Long = snap.stats.get(f).map(_.bytes)
       .getOrElse(0L)
     // per partition: the small files (≥2 — repacking ONE file buys
     // nothing) and their packed output count
-    val perPart = snap.files.toSeq.flatMap { case (part, fs) =>
+    val perPart = scoped.toSeq.flatMap { case (part, fs) =>
       val small = fs.filter(f => sizeOf(f) > 0L && sizeOf(f) < smallBytes)
       if (small.size < 2) None
       else {

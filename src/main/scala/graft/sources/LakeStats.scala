@@ -549,6 +549,19 @@ object LakeStats {
   /** The snapshot's files that MAY match every filter — the
     * driver-side skip decision. Files without stats always survive.
     */
+  /** Conservative partition-level predicate check: may this partition
+    * DIRECTORY's values satisfy every filter? (Only partition values
+    * are consulted — no file stats — so this scopes maintenance
+    * sweeps like `OPTIMIZE … WHERE` at O(partitions).)
+    */
+  private[sources] def partitionMayMatch(dir: String,
+      filters: Seq[Expression]): Boolean = {
+    val parts = partitionValues(dir)
+    val info: String => Option[ColInfo] =
+      name => parts.get(name).map(PartVal(_): ColInfo)
+    filters.forall(mayMatch(_, info))
+  }
+
   def survivors(snap: AtomicLake.Snapshot, filters: Seq[Expression])
       : Seq[String] = {
     if (filters.isEmpty) return snap.files.values.flatten.toSeq.sorted

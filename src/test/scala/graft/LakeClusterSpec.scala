@@ -127,6 +127,25 @@ class LakeClusterSpec extends SparkSpec {
       snap.files("part=a").size shouldBe 1
       AtomicLake.read(spark, root).count() shouldBe 5
     }
+    it("OPTIMIZE WHERE scopes the sweep to matching partitions only") {
+      val root = freshRoot("binpack_where")
+      // both partitions accumulate a backlog
+      (1 to 4).foreach { i =>
+        AtomicLake.append(Seq((i, "a")).toDF("id", "part"), root,
+          Seq("part"))
+        AtomicLake.append(Seq((i, "b")).toDF("id", "part"), root,
+          Seq("part"))
+      }
+      val beforeB = AtomicLake.currentSnapshot(root).get
+        .files("part=b").toSet
+      spark.sql(s"OPTIMIZE '$root' WHERE part = 'a'").collect()
+      val snap = AtomicLake.currentSnapshot(root).get
+      snap.files("part=a").size shouldBe 1 // packed
+      snap.files("part=b").toSet shouldBe beforeB // out of scope
+      AtomicLake.read(spark, root).count() shouldBe 8
+      // the scoped sweep still commits as compact (streams skip it)
+      snap.kind shouldBe "compact"
+    }
     it("a concurrent upsert aborts the clustering commit") {
       val root = freshRoot("conflict")
       AtomicLake.upsertPartitions(
