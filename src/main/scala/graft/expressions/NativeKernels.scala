@@ -1045,6 +1045,76 @@ object NativeKernels extends Serializable {
     new GenericArrayData(java.util.Arrays.copyOf(bestC, size))
   }
 
+  // ---- Polygon simplification (functions/GeoFns) -------------------
+
+  /** Douglas–Peucker ring simplification with tolerance `eps`
+    * (perpendicular distance in coordinate units): endpoints always
+    * survive, a CLOSED ring (first == last vertex) stays closed, and
+    * every dropped vertex lies within `eps` of the simplified
+    * outline — the standard pre-step before shipping zone polygons
+    * into per-row point-in-polygon filters (a 2000-vertex municipal
+    * boundary costs 2000 edge tests PER ROW in the ray cast; its
+    * eps-simplified twin a few dozen). Iterative stack (no recursion
+    * depth limits on degenerate inputs); rings with < 3 distinct
+    * vertices return unchanged.
+    */
+  def simplifyRing(ring: ArrayData, eps: Double): ArrayData = {
+    val n = ring.numElements()
+    if (n < 3) return ring
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = ring.getStruct(i, 2)
+      xs(i) = v.getDouble(0); ys(i) = v.getDouble(1)
+      i += 1
+    }
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    var stack = List((0, n - 1))
+    while (stack.nonEmpty) {
+      val (a, b) = stack.head
+      stack = stack.tail
+      if (b - a > 1) {
+        val (ax, ay, bx, by) = (xs(a), ys(a), xs(b), ys(b))
+        val dx = bx - ax; val dy = by - ay
+        val len2 = dx * dx + dy * dy
+        var best = -1
+        var bd = eps
+        var j = a + 1
+        while (j < b) {
+          // perpendicular distance to segment (degenerate segment →
+          // plain point distance)
+          val d =
+            if (len2 == 0.0)
+              math.hypot(xs(j) - ax, ys(j) - ay)
+            else
+              math.abs(dy * xs(j) - dx * ys(j) + bx * ay - by * ax) /
+                math.sqrt(len2)
+          if (d > bd) { bd = d; best = j }
+          j += 1
+        }
+        if (best >= 0) {
+          keep(best) = true
+          stack = (a, best) :: (best, b) :: stack
+        }
+      }
+    }
+    val out = new java.util.ArrayList[Any](n)
+    i = 0
+    while (i < n) {
+      if (keep(i)) out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](xs(i), ys(i))))
+      i += 1
+    }
+    // a CLOSED ring below 4 points (triangle + closure) is no longer
+    // a polygon — simplifying must never destroy the geometry, so the
+    // original ring passes through instead
+    val closed = xs(0) == xs(n - 1) && ys(0) == ys(n - 1)
+    if (closed && out.size() < 4) ring
+    else new GenericArrayData(out.toArray)
+  }
+
   // ---- PCA projection (operators/Pca) ------------------------------
 
   /** Project a d-dim float vector onto k principal axes:
@@ -1458,6 +1528,11 @@ object NativeKernels extends Serializable {
   /** The ring struct type shared by GeoFns and the bbox-pruning rule. */
   val ringType: DataType = ArrayType(
     StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))
+
+  def simplifyRingCol(ring: Column, eps: Double): Column =
+    invoke("simplifyRing", ringType, Seq(ring,
+      org.apache.spark.sql.functions.lit(eps)),
+      Seq(ringType, DoubleType))
 
   def rayCastCol(x: Column, y: Column, ring: Column): Column =
     invoke("rayCast", BooleanType, Seq(x, y, ring),

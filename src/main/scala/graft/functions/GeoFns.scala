@@ -105,6 +105,17 @@ object GeoFns {
     graft.expressions.NativeKernels
       .rayCastCol(x.cast("double"), y.cast("double"), ring)
 
+  /** Douglas–Peucker ring simplification (D6): every dropped vertex
+    * lies within `eps` of the simplified outline, endpoints survive,
+    * closed rings stay closed — the pre-step that turns a
+    * 2000-vertex municipal boundary into a few-dozen-vertex ring
+    * before it rides a per-row ray cast (edge tests per row scale
+    * with ring size). Native kernel; see
+    * [[graft.expressions.NativeKernels.simplifyRing]].
+    */
+  def simplifyPolygon(ring: Column, eps: Double): Column =
+    graft.expressions.NativeKernels.simplifyRingCol(ring, eps)
+
   /** Declarative reference form of [[pointInPolygon]]: one fold over
     * the edges — no UDF, no collect.
     */

@@ -67,7 +67,7 @@ object LakeSql {
   private val DropConstraint: Regex =
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val Vacuum: Regex =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val DeleteFrom: Regex =
     """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'(\s+USING\s+VECTORS)?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Reorg: Regex =
@@ -101,9 +101,9 @@ object LakeSql {
       Some(AddLakeConstraintCommand(root, name, pred.trim))
     case DropConstraint(root, name) =>
       Some(DropLakeConstraintCommand(root, name))
-    case Vacuum(root, retain) =>
+    case Vacuum(root, retain, dry) =>
       Some(VacuumLakeCommand(root,
-        Option(retain).map(_.toInt).getOrElse(10)))
+        Option(retain).map(_.toInt).getOrElse(10), dry != null))
     case DeleteFrom(root, vectors, pred) =>
       Some(DeleteFromLakeCommand(root, pred.trim, vectors != null))
     case Reorg(root) => Some(PurgeLakeCommand(root))
@@ -235,12 +235,13 @@ case class DropLakeConstraintCommand(root: String, name: String)
 /** VACUUM … RETAIN n VERSIONS: delete data files referenced by no
   * retained manifest. Returns the number of files deleted.
   */
-case class VacuumLakeCommand(root: String, keepVersions: Int)
+case class VacuumLakeCommand(root: String, keepVersions: Int,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(LakeSql.attr("n_deleted", IntegerType))
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(AtomicLake.vacuum(root, keepVersions)))
+    Seq(Row(AtomicLake.vacuum(root, keepVersions, dryRun = dryRun)))
 }
 
 /** Delegating parser: lake-maintenance DDL → command plans; all other

@@ -2331,7 +2331,11 @@ object AtomicLake {
 
   def vacuum(root: String, keepVersions: Int = 10,
       minAgeMs: Long = 3600000L,
-      store: CommitStore = HardlinkCommitStore): Int = {
+      store: CommitStore = HardlinkCommitStore,
+      // Delta's VACUUM DRY RUN: report what WOULD be reclaimed —
+      // manifests, data files, dv/index sidecars — without touching
+      // anything (the pre-flight every retention runbook wants)
+      dryRun: Boolean = false): Int = {
     val versions = store.listVersions(root).sorted
     if (versions.isEmpty) return 0
     val keep = versions.takeRight(math.max(keepVersions, 1))
@@ -2343,8 +2347,10 @@ object AtomicLake {
     var deleted = 0
     // expired manifests first, so a concurrent reader can no longer
     // resolve a snapshot whose files are about to disappear
+    var wouldDelete = 0
     for (v <- versions if !keep.contains(v)) {
-      store.delete(root, v)
+      if (dryRun) wouldDelete += 1
+      else store.delete(root, v)
     }
     val dd = dataDir(root)
     if (Files.isDirectory(dd)) {
@@ -2356,7 +2362,7 @@ object AtomicLake {
       for (f <- candidates
            if !referenced.contains(f.normalize())
            if Files.getLastModifiedTime(f).toMillis < cutoff) {
-        Files.deleteIfExists(f)
+        if (!dryRun) Files.deleteIfExists(f)
         deleted += 1
       }
     }
@@ -2378,7 +2384,7 @@ object AtomicLake {
       for (d <- dirs
            if !referencedDvs.contains(d.normalize())
            if Files.getLastModifiedTime(d).toMillis < cutoff) {
-        deleteRecursively(d)
+        if (!dryRun) deleteRecursively(d)
         deleted += 1
       }
     }
@@ -2400,7 +2406,7 @@ object AtomicLake {
       for (d <- dirs
            if !referencedBlooms.contains(d.normalize())
            if Files.getLastModifiedTime(d).toMillis < cutoff) {
-        deleteRecursively(d)
+        if (!dryRun) deleteRecursively(d)
         deleted += 1
       }
     }
@@ -2412,9 +2418,11 @@ object AtomicLake {
         try l.iterator().asScala.toSeq finally l.close()
       }
       for (d <- dirs if Files.getLastModifiedTime(d).toMillis < cutoff)
-        deleteRecursively(d)
+        if (!dryRun) deleteRecursively(d)
     }
-    deleted
+    // non-dry keeps the historical contract (data files + sidecars);
+    // a dry run ALSO tallies the expired manifests it would remove
+    if (dryRun) deleted + wouldDelete else deleted
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -187,4 +187,52 @@ class GeoFnsSpec extends SparkSpec {
       c._2 shouldBe 3.0 +- 1e-9
     }
   }
+
+  describe("simplifyPolygon (Douglas-Peucker, D6)") {
+    def simp(wkt: String, eps: Double): Seq[(Double, Double)] =
+      Seq(wkt).toDF("w")
+        .select(GeoFns.simplifyPolygon(
+          GeoFns.parseWktPolygon($"w"), eps).as("r"))
+        .as[Seq[(Double, Double)]].head()
+
+    it("drops collinear and near-collinear vertices, keeps corners") {
+      // a square traced with redundant midpoints on every edge
+      val noisy = "POLYGON((0 0, 5 0.01, 10 0, 10 5, 10 10, " +
+        "5 9.99, 0 10, 0 5, 0 0))"
+      val out = simp(noisy, eps = 0.1)
+      out shouldBe Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+        (0.0, 10.0), (0.0, 0.0))
+    }
+
+    it("keeps a genuinely significant vertex above eps") {
+      val notched = "POLYGON((0 0, 5 2, 10 0, 10 10, 0 10, 0 0))"
+      val out = simp(notched, eps = 0.5)
+      out should contain((5.0, 2.0))
+    }
+
+    it("closed rings stay closed; tiny rings pass through") {
+      val out = simp(square, eps = 3.0)
+      out.head shouldBe out.last
+      simp("POLYGON((0 0, 1 0, 0 0))", 10.0) shouldBe
+        Seq((0.0, 0.0), (1.0, 0.0), (0.0, 0.0))
+    }
+
+    it("simplified ring agrees with the full ring on interior tests " +
+        "away from the boundary") {
+      val noisy = "POLYGON((0 0, 5 0.01, 10 0, 10 5, 10 10, " +
+        "5 9.99, 0 10, 0 5, 0 0))"
+      val pts = Seq((5.0, 5.0), (1.0, 1.0), (9.0, 9.0), (15.0, 5.0),
+        (-1.0, 5.0))
+      val df = pts.toDF("x", "y").crossJoin(
+        Seq(noisy).toDF("w").select(
+          GeoFns.parseWktPolygon($"w").as("full")))
+        .withColumn("simp",
+          GeoFns.simplifyPolygon(col("full"), 0.1))
+      val rows = df.select(
+        GeoFns.pointInPolygon($"x", $"y", $"full"),
+        GeoFns.pointInPolygon($"x", $"y", $"simp"))
+        .as[(Boolean, Boolean)].collect()
+      rows.foreach { case (a, b) => a shouldBe b }
+    }
+  }
 }

@@ -200,6 +200,30 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  describe("VACUUM DRY RUN") {
+    it("reports what would be reclaimed and touches nothing") {
+      val root = freshRoot("vacuum_dry")
+      AtomicLake.append(Seq((1, "a")).toDF("id", "s"), root)
+      AtomicLake.overwrite(Seq((2, "b")).toDF("id", "s"), root)
+      AtomicLake.overwrite(Seq((3, "c")).toDF("id", "s"), root)
+      val filesBefore = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(root)).count()
+      val would = spark.sql(s"VACUUM '$root' RETAIN 1 VERSIONS DRY RUN")
+        .as[Int].head()
+      would should be > 0
+      // nothing moved: same file tree, every version still readable
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .count() shouldBe filesBefore
+      AtomicLake.readVersion(spark, root, 1).count() shouldBe 1
+      // the real vacuum then reclaims (>= the data-file part of the
+      // dry tally, which also counted expired manifests)
+      AtomicLake.vacuum(root, keepVersions = 1,
+        minAgeMs = 0L) should be > 0
+      AtomicLake.read(spark, root).select("id").as[Int]
+        .collect().toSeq shouldBe Seq(3)
+    }
+  }
+
   describe("CREATE BLOOM INDEX") {
     it("builds the per-file index and point lookups prune") {
       val root = freshRoot("bloom")
