@@ -60,6 +60,8 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val Detail: Regex =
     """(?is)\s*DESCRIBE\s+LAKE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val SchemaDesc: Regex =
+    """(?is)\s*DESCRIBE\s+LAKE\s+SCHEMA\s+'([^']+)'\s*;?\s*""".r
   private val Partitions: Regex =
     """(?is)\s*SHOW\s+LAKE\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint: Regex =
@@ -96,6 +98,7 @@ object LakeSql {
     case Restore(root, v) => Some(RestoreLakeCommand(root, v.toLong))
     case History(root) => Some(LakeHistoryCommand(root))
     case Detail(root) => Some(LakeDetailCommand(root))
+    case SchemaDesc(root) => Some(LakeSchemaCommand(root))
     case Partitions(root) => Some(LakePartitionsCommand(root))
     case AddConstraint(root, name, pred) =>
       Some(AddLakeConstraintCommand(root, name, pred.trim))
@@ -402,4 +405,32 @@ case class DropGeneratedColumnCommand(root: String, name: String)
     Seq(LakeSql.attr("version", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(AtomicLake.dropGeneratedColumn(root, name)))
+}
+
+/** DESCRIBE LAKE SCHEMA: one row per logical column — type,
+  * nullability, the PHYSICAL parquet name when a rename mapped it
+  * (G40), whether it is a partition column, and its generation
+  * expression when declared (G41). O(manifest), zero jobs.
+  */
+case class LakeSchemaCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("col_name", StringType),
+    LakeSql.attr("data_type", StringType),
+    LakeSql.attr("nullable", BooleanType),
+    LakeSql.attr("physical_name", StringType),
+    LakeSql.attr("partition", BooleanType),
+    LakeSql.attr("generated_as", StringType, nullable = true))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = AtomicLake.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(
+        s"DESCRIBE LAKE SCHEMA: no graft-lake commits at $root"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"DESCRIBE LAKE SCHEMA: $root has no committed schema"))
+    schema.fields.toSeq.map { f =>
+      Row(f.name, f.dataType.simpleString, f.nullable,
+        snap.colMap.getOrElse(f.name, f.name),
+        snap.partitionCols.contains(f.name),
+        snap.generated.get(f.name).orNull)
+    }
+  }
 }

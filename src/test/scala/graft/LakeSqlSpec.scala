@@ -200,6 +200,33 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  describe("DESCRIBE LAKE SCHEMA") {
+    it("shows logical/physical names, partitioning and generation") {
+      val root = freshRoot("schema_desc")
+      AtomicLake.upsertPartitions(
+        Seq((1L, "2024-03-01", "p1")).toDF("id", "d", "part"),
+        root, Seq("part"))
+      AtomicLake.renameColumn(root, "d", "day")
+      AtomicLake.setGeneratedColumn(spark, root, "month",
+        "substr(day, 1, 7)")
+      val rows = spark.sql(s"DESCRIBE LAKE SCHEMA '$root'")
+        .as[(String, String, Boolean, String, Boolean, Option[String])]
+        .collect().map(r => r._1 -> r).toMap
+      rows("day")._4 shouldBe "d" // physical name survives the rename
+      rows("id")._4 shouldBe "id"
+      rows("part")._5 shouldBe true // partition flag
+      rows("id")._5 shouldBe false
+      // generated declaration surfaces once the column exists
+      AtomicLake.append(Seq((2L, "2024-04-02", "p1"))
+        .toDF("id", "day", "part"), root, Seq("part"))
+      val rows2 = spark.sql(s"DESCRIBE LAKE SCHEMA '$root'")
+        .as[(String, String, Boolean, String, Boolean, Option[String])]
+        .collect().map(r => r._1 -> r).toMap
+      rows2("month")._6 shouldBe Some("substr(day, 1, 7)")
+      rows2("day")._6 shouldBe None
+    }
+  }
+
   describe("VACUUM DRY RUN") {
     it("reports what would be reclaimed and touches nothing") {
       val root = freshRoot("vacuum_dry")
