@@ -62,6 +62,8 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+LAKE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val SchemaDesc: Regex =
     """(?is)\s*DESCRIBE\s+LAKE\s+SCHEMA\s+'([^']+)'\s*;?\s*""".r
+  private val Indexes: Regex =
+    """(?is)\s*SHOW\s+LAKE\s+INDEXES\s+'([^']+)'\s*;?\s*""".r
   private val Partitions: Regex =
     """(?is)\s*SHOW\s+LAKE\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint: Regex =
@@ -99,6 +101,7 @@ object LakeSql {
     case History(root) => Some(LakeHistoryCommand(root))
     case Detail(root) => Some(LakeDetailCommand(root))
     case SchemaDesc(root) => Some(LakeSchemaCommand(root))
+    case Indexes(root) => Some(LakeIndexesCommand(root))
     case Partitions(root) => Some(LakePartitionsCommand(root))
     case AddConstraint(root, name, pred) =>
       Some(AddLakeConstraintCommand(root, name, pred.trim))
@@ -432,5 +435,31 @@ case class LakeSchemaCommand(root: String) extends LeafRunnableCommand {
         snap.partitionCols.contains(f.name),
         snap.generated.get(f.name).orNull)
     }
+  }
+}
+
+/** SHOW LAKE INDEXES: per bloom-indexed column — how many of the
+  * current snapshot's files carry a bloom (coverage tells the
+  * operator whether a fresh `CREATE BLOOM INDEX` sweep is due after
+  * ingest) and the distinct sidecars referenced. O(manifest).
+  */
+case class LakeIndexesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("col_name", StringType),
+    LakeSql.attr("files_indexed", IntegerType),
+    LakeSql.attr("files_total", IntegerType),
+    LakeSql.attr("n_sidecars", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = AtomicLake.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(
+        s"SHOW LAKE INDEXES: no graft-lake commits at $root"))
+    val total = snap.files.values.flatten.size
+    snap.blooms.toSeq.flatMap { case (f, cs) => cs.map { case (c, r) =>
+      (c, f, r.path) } }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, xs) =>
+        Row(c, xs.map(_._2).distinct.size, total,
+          xs.map(_._3).distinct.size)
+      }
   }
 }

@@ -177,6 +177,22 @@ object CurationQueries {
         .withColumn("canon_url", TextFns.canonicalUrl(col("url")))
     },
 
+    // H16∘H3 — the tokenizer-to-training-export composite: token
+    // counts come from the CORPUS-TRAINED BPE model (not whitespace),
+    // then the deterministic shard/packing manifest lays sequences
+    // out at a 512-token budget — the exact chain a pretraining data
+    // job ships. [R]: BPE counts are not SQL-replayable; the packing
+    // arithmetic itself is the hash-gated H3 path.
+    "export_bpe_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.train(docs, "text",
+        numMerges = 200, maxWords = 20000, minCount = 2)
+      val counted = graft.operators.Bpe.tokenize(docs, "doc_id",
+        "text", model)
+      Export.packingManifest(counted, "doc_id", col("n_tokens"),
+        nShards = 8, budget = 512)
+    },
+
     // H16 — corpus-trained BPE tokenizer ([R]: the merge-training
     // loop is not SQL-expressible — rows-only + BpeSpec's
     // hand-computed-merges/kernel-parity/determinism gates). Training

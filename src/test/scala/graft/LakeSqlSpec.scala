@@ -227,6 +227,23 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  describe("SHOW LAKE INDEXES") {
+    it("reports per-column bloom coverage out of the current files") {
+      val root = freshRoot("show_idx")
+      (0 until 3).foreach { c =>
+        AtomicLake.append((0 until 90).filter(_ % 3 == c)
+          .map(k => (k.toLong, s"s$k")).toDF("id", "s"), root)
+      }
+      spark.sql(s"CREATE BLOOM INDEX ON '$root' (id)").collect()
+      // a fresh un-indexed file drops coverage below total
+      AtomicLake.append(Seq((1000L, "x")).toDF("id", "s"), root)
+      val rows = spark.sql(s"SHOW LAKE INDEXES '$root'")
+        .as[(String, Int, Int, Int)].collect()
+      rows.length shouldBe 1
+      rows.head shouldBe (("id", 3, 4, 1))
+    }
+  }
+
   describe("VACUUM DRY RUN") {
     it("reports what would be reclaimed and touches nothing") {
       val root = freshRoot("vacuum_dry")
