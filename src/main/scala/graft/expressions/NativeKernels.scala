@@ -197,6 +197,37 @@ object NativeKernels extends Serializable {
     spreadBits(a) | (spreadBits(b) << 1)
   }
 
+  /** 2-D Hilbert-curve index of two non-negative coordinates (31 bits
+    * each → a 62-bit index): the space-filling curve with STRICTLY
+    * better locality than Morton — consecutive indexes are always
+    * Manhattan-adjacent cells (Morton jumps across the plane at
+    * quadrant boundaries), so range-sorting by it packs 2-D boxes
+    * into even fewer files (what liquid-clustering-style layouts use
+    * internally). Same enforced domain contract as [[mortonValue]].
+    * Classic iterative xy→d with quadrant rotation (public-domain
+    * algorithm).
+    */
+  def hilbertValue(a: Long, b: Long): Long = {
+    if (a < 0L || b < 0L || a >= (1L << 31) || b >= (1L << 31))
+      throw new IllegalArgumentException(
+        s"hilbertValue inputs must be in [0, 2^31): ($a, $b)")
+    var x = a
+    var y = b
+    var d = 0L
+    var s = 1L << 30
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Banded Levenshtein with threshold `k`: returns the distance when
     * <= k, else -1 — O(len × k) cells with early band-exhaustion
     * exit. Operates on Unicode CODEPOINT arrays (not UTF-16 chars), so
@@ -1389,6 +1420,9 @@ object NativeKernels extends Serializable {
 
   def mortonValueCol(a: Column, b: Column): Column =
     invoke("mortonValue", LongType, Seq(a, b), Seq(LongType, LongType))
+
+  def hilbertValueCol(a: Column, b: Column): Column =
+    invoke("hilbertValue", LongType, Seq(a, b), Seq(LongType, LongType))
 
   /** struct<id1,id2,dist> element type of [[fuzzyPairs]] output. */
   val fuzzyPairType: DataType = StructType(Seq(

@@ -52,6 +52,8 @@ object LakeSql {
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeWhere: Regex =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val OptimizeHilbert: Regex =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+HILBERT\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val OptimizeZorder: Regex =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val Restore: Regex =
@@ -94,6 +96,10 @@ object LakeSql {
     case OptimizeZorder(root, cols) =>
       Some(OptimizeLakeCommand(root,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    case OptimizeHilbert(root, cols) =>
+      Some(OptimizeLakeCommand(root,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        hilbert = true))
     case OptimizeWhere(root, pred) =>
       Some(OptimizeLakeCommand(root, Nil, Some(pred.trim)))
     case Optimize(root) => Some(OptimizeLakeCommand(root, Nil))
@@ -143,12 +149,15 @@ object LakeSql {
   * Returns the committed version.
   */
 case class OptimizeLakeCommand(root: String, zorderCols: Seq[String],
-    where: Option[String] = None) extends LeafRunnableCommand {
+    where: Option[String] = None, hilbert: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(LakeSql.attr("version", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
     val v =
-      if (zorderCols.nonEmpty)
+      if (hilbert)
+        AtomicLake.cluster(spark, root, zorderCols, hilbert = true)
+      else if (zorderCols.nonEmpty)
         AtomicLake.cluster(spark, root, zorderCols,
           zorder = zorderCols.size == 2)
       else AtomicLake.compactSmall(spark, root, where =

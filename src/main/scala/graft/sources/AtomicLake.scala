@@ -2236,11 +2236,18 @@ object AtomicLake {
   def cluster(spark: SparkSession, root: String,
       clusterCols: Seq[String], filesPerPartition: Int = 1,
       zorder: Boolean = false,
-      store: CommitStore = HardlinkCommitStore): Long = {
+      store: CommitStore = HardlinkCommitStore,
+      // Hilbert-curve layout for exactly two numeric columns: the
+      // same one-sort-key trick as zorder with strictly better
+      // locality (consecutive curve indexes are Manhattan-adjacent —
+      // Morton jumps at quadrant seams), so 2-D box queries pack into
+      // as-few-or-fewer files (LakeClusterSpec measures both)
+      hilbert: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     require(clusterCols.nonEmpty, "cluster needs at least one column")
-    require(!zorder || clusterCols.size == 2,
-      s"zorder interleaves exactly 2 columns, got ${clusterCols.size}")
+    require(!(zorder && hilbert), "pick ONE curve: zorder or hilbert")
+    require(!(zorder || hilbert) || clusterCols.size == 2,
+      s"curve layouts interleave exactly 2 columns, got ${clusterCols.size}")
     val snap = currentSnapshot(root, store).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val batch = readSnapshot(spark, root, snap)
@@ -2248,6 +2255,10 @@ object AtomicLake {
     val sortCols = snap.partitionCols.map(col) ++ (
       if (zorder)
         Seq(graft.expressions.NativeKernels.mortonValueCol(
+          col(clusterCols.head).cast("long"),
+          col(clusterCols(1)).cast("long")))
+      else if (hilbert)
+        Seq(graft.expressions.NativeKernels.hilbertValueCol(
           col(clusterCols.head).cast("long"),
           col(clusterCols(1)).cast("long")))
       else clusterCols.map(col))

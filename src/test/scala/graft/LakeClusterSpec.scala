@@ -85,6 +85,38 @@ class LakeClusterSpec extends SparkSpec {
           $"x" >= 8 && $"x" < 16, $"y" >= 8 && $"y" < 16)
         .count() shouldBe 64
     }
+    it("hilbert layout packs 2-D boxes at least as tightly as morton " +
+        "and stays exact (SQL OPTIMIZE HILBERT BY)") {
+      // kernel properties first: bijective on a 32x32 grid, and every
+      // consecutive curve step moves to a Manhattan-ADJACENT cell —
+      // the locality Morton lacks at quadrant seams
+      val K = graft.expressions.NativeKernels
+      val n = 32
+      val idx = for { x <- 0 until n; y <- 0 until n }
+        yield K.hilbertValue(x.toLong, y.toLong)
+      idx.toSet.size shouldBe n * n
+      val byIdx = (for { x <- 0 until n; y <- 0 until n }
+        yield K.hilbertValue(x.toLong, y.toLong) -> (x, y)).toMap
+      // within one 32x32 tile the curve visits 0..n*n-1 contiguously
+      val visited = (0 until n * n).map(d => byIdx(d.toLong))
+      visited.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+        (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1
+      }
+      // layout proof, same fixture as the zorder case
+      val root = freshRoot("hilbert")
+      val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+      AtomicLake.append(grid.toDF("x", "y"), root)
+      spark.sql(s"OPTIMIZE '$root' HILBERT BY (x, y)").collect()
+      // re-cluster at 16 files via the API for file-count parity
+      AtomicLake.cluster(spark, root, Seq("x", "y"),
+        filesPerPartition = 16, hilbert = true)
+      val box = planned(root,
+        $"x" >= 8 && $"x" < 16, $"y" >= 8 && $"y" < 16)
+      box should be <= 4
+      AtomicLake.scan(spark, root)(
+          $"x" >= 8 && $"x" < 16, $"y" >= 8 && $"y" < 16)
+        .count() shouldBe 64
+    }
     it("compactSmall folds ONLY the small-file backlog; large files " +
         "keep their bytes") {
       val root = freshRoot("binpack")
