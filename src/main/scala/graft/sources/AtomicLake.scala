@@ -344,6 +344,14 @@ object AtomicLake {
     * Exposed package-private so the crash-recovery spec can create
     * exactly the state a killed writer leaves.
     */
+  /** Parquet-bytes target for AUTO file sizing (`filesPerPartition
+    * = 0`) and the in-memory→parquet compression guess the estimate
+    * divides by (plan statistics report uncompressed widths).
+    */
+  private[graft] val AutoTargetFileBytes: Long = 128L << 20
+  private val AutoCompressionGuess = 3L
+  private val AutoMaxFiles = 256
+
   private[graft] def stageFiles(batch: DataFrame, root: String,
       partitionCols: Seq[String], filesPerPartition: Int,
       // false = the caller already distributed/sorted the frame for
@@ -366,12 +374,35 @@ object AtomicLake {
         d.withColumnRenamed(l, p)
       } else d
     }
+    // AUTO file sizing (Delta's optimized-write role, the planner's
+    // half): filesPerPartition = 0 sizes the file count from the
+    // optimizer's byte estimate so a 10 GB batch lands as ~128 MB
+    // files and a 10 KB batch as ONE — the write-side hygiene that
+    // keeps compactSmall a backlog sweep instead of a treadmill.
+    // The estimate is the logical plan's sizeInBytes (uncompressed
+    // widths — divided by a 3x parquet compression guess); it is a
+    // SIZING heuristic, never a correctness input. Unpartitioned
+    // writes only: a per-partition-dir auto count would need
+    // per-partition sizes the plan cannot see — callers of
+    // partitioned tables keep the explicit knob.
+    val effectiveFiles =
+      if (filesPerPartition > 0) filesPerPartition
+      else {
+        require(partitionCols.isEmpty,
+          "AUTO file sizing (filesPerPartition = 0) sizes whole-batch " +
+            "writes; partitioned tables take an explicit count")
+        val est =
+          physical.queryExecution.optimizedPlan.stats.sizeInBytes /
+            AutoCompressionGuess
+        val n = (est + AutoTargetFileBytes - 1) / AutoTargetFileBytes
+        n.max(1).min(AutoMaxFiles).toInt
+      }
     val distributed =
       if (!distribute) physical
       else if (partitionCols.nonEmpty)
         PartitionedLake.distributeForWrite(physical, partitionCols,
-          filesPerPartition)
-      else physical.repartition(filesPerPartition)
+          effectiveFiles)
+      else physical.repartition(effectiveFiles)
     // The staging write runs with AQE off: its exchange is an EXPLICIT
     // repartition chosen for file-count control, so AQE has nothing to
     // improve — it only splits shuffle and write into two sequential

@@ -159,6 +159,32 @@ class LakeClusterSpec extends SparkSpec {
       snap.files("part=a").size shouldBe 1
       AtomicLake.read(spark, root).count() shouldBe 5
     }
+    it("AUTO file sizing: big batches split near the target, tiny " +
+        "batches land as one file, partitioned writes refuse AUTO") {
+      val root = freshRoot("autosize")
+      // tiny: one file
+      AtomicLake.append(Seq((1, "x")).toDF("id", "t"), root,
+        filesPerPartition = 0)
+      AtomicLake.currentSnapshot(root).get
+        .files.values.flatten.size shouldBe 1
+      // big: a wide frame whose PLAN ESTIMATE crosses several targets
+      // (the sizing input is the optimizer's estimate, which prices
+      // numeric columns by width — 2M rows x 50 longs ≈ 800MB
+      // in-memory → ~266MB parquet-guess → 3 files)
+      val big = spark.range(0, 2000000).select(
+        (col("id") +: (1 to 49).map(i => (col("id") * i).as(s"c$i"))): _*)
+      val root2 = freshRoot("autosize_big")
+      AtomicLake.append(big, root2, filesPerPartition = 0)
+      val n = AtomicLake.currentSnapshot(root2).get
+        .files.values.flatten.size
+      n should be > 1
+      n should be <= 256
+      AtomicLake.read(spark, root2).count() shouldBe 2000000L
+      // partitioned AUTO refuses loudly
+      an[IllegalArgumentException] should be thrownBy
+        AtomicLake.append(Seq((1, "a")).toDF("id", "part"), root,
+          Seq("part"), filesPerPartition = 0)
+    }
     it("OPTIMIZE WHERE scopes the sweep to matching partitions only") {
       val root = freshRoot("binpack_where")
       // both partitions accumulate a backlog
