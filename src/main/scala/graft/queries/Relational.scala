@@ -134,6 +134,41 @@ object Relational {
       Sessionize.tumblingHour(Tables.events(s, dir))
     },
 
+    // F13 — TPC-H q4 shape: EXISTS-correlated semi join (orders in a
+    // quarter having at least one returned line). The left-semi join
+    // is the plan shape: the fact side never duplicates, the probe
+    // side deduplicates inside the join — no distinct pass.
+    "q4_semi" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      orders.join(returned,
+          orders("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // F14 — TPC-H q18 shape (large-volume customers): a HAVING
+    // aggregate feeds a semi join back onto the fact, then the
+    // 3-way join re-aggregates. Integer-valued quantities sum
+    // exactly in any order, so the whole chain hash-gates.
+    "q18_having" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      orders.join(big, orders("o_orderkey") === big("l_orderkey"))
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+    },
+
     // F12 — bucketed range join: orders against OVERLAPPING price
     // bands (each price falls in ~2 bands), as an equi-join on the
     // band bucket instead of the BroadcastNestedLoopJoin Spark plans
@@ -212,6 +247,23 @@ object Relational {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "sess_gap_sessions" -> Sessionize.gapSessionsOracle(gapCfg),
     "stream_tumbling_hour" -> Sessionize.tumblingHourOracle,
+    "q4_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q18_having" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice,
+        |  total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 250) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "range_join_bands" ->
       """WITH bands AS (
         |  SELECT CAST(g AS INTEGER) AS band_id,
