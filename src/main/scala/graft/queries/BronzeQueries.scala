@@ -316,6 +316,22 @@ object BronzeQueries {
           exactSum(col("o_totalprice")).as("sum_price"))
     },
 
+    // G31b — Hilbert-curve clustered rewrite, proven end-to-end: the
+    // layout changes (OPTIMIZE HILBERT BY on a shallow clone), the
+    // answers must not — a 2-D box aggregate over the re-laid table
+    // vs DuckDB on the untouched source.
+    "lake_hilbert_scan" -> { (s, dir) =>
+      val scratch = clonedOrdersLake(s, dir, "hilbert_scan")
+      s.sql(s"OPTIMIZE '$scratch' HILBERT BY (o_orderkey, o_custkey)")
+        .collect()
+      graft.sources.AtomicLake.scan(s, scratch)(
+          col("o_orderkey") >= 20000L && col("o_orderkey") < 60000L &&
+            col("o_custkey") >= 1000L && col("o_custkey") < 5000L)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    },
+
     // G25 — row-level DELETE, copy-on-write, proven end-to-end: build
     // a year-partitioned orders lake, deleteWhere a key-modulo
     // predicate restricted to a date range (zone maps prune the
@@ -592,6 +608,15 @@ object BronzeQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_orderkey IN (7, 68, 129, 4000, 9988)""".stripMargin,
+    "lake_hilbert_scan" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey >= 20000 AND o_orderkey < 60000
+        |  AND o_custkey >= 1000 AND o_custkey < 5000
+        |GROUP BY 1""".stripMargin,
     "lake_cluster_scan" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         |  count(*) AS n_orders,

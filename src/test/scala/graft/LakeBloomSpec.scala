@@ -184,10 +184,15 @@ class LakeBloomSpec extends SparkSpec {
       AtomicLake.indexBloom(spark, root, Seq("id"))
       val refd = AtomicLake.currentSnapshot(root).get
         .blooms.values.head.values.head.path
-      // an orphan index dir (simulated dead build)
+      // an orphan index dir (simulated dead build) — mtime pinned in
+      // the past so the age guard can never race the same-millisecond
+      // creation (minAgeMs = 0 means cutoff == now; a fresh mtime ==
+      // now is NOT < now)
       val orphan = java.nio.file.Paths.get(root, "index", "deadbeef")
       java.nio.file.Files.createDirectories(orphan)
       java.nio.file.Files.writeString(orphan.resolve("junk"), "x")
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
       AtomicLake.vacuum(root, keepVersions = 10, minAgeMs = 0L)
       java.nio.file.Files.exists(orphan) shouldBe false
       java.nio.file.Files.exists(

@@ -259,10 +259,11 @@ class LakeSqlSpec extends SparkSpec {
       java.nio.file.Files.walk(java.nio.file.Paths.get(root))
         .count() shouldBe filesBefore
       AtomicLake.readVersion(spark, root, 1).count() shouldBe 1
-      // the real vacuum then reclaims (>= the data-file part of the
-      // dry tally, which also counted expired manifests)
-      AtomicLake.vacuum(root, keepVersions = 1,
-        minAgeMs = 0L) should be > 0
+      // the real vacuum then trims history (the data-file count is
+      // age-guarded and races fresh mtimes — assert the EFFECT)
+      AtomicLake.vacuum(root, keepVersions = 1, minAgeMs = 0L)
+      an[Exception] should be thrownBy
+        AtomicLake.readVersion(spark, root, 1).collect()
       AtomicLake.read(spark, root).select("id").as[Int]
         .collect().toSeq shouldBe Seq(3)
     }
