@@ -34,7 +34,33 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[String],
       matchedTsName: String = "matched_ts",
-      inclusive: Boolean = true): DataFrame = {
+      inclusive: Boolean = true): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTs, rightTs, payload,
+      matchedTsName, inclusive, forward = false)
+
+  /** FORWARD as-of join: for each left row, the single right row with
+    * the SMALLEST `rightTs` at-or-after (`inclusive`) or strictly
+    * after `leftTs` within the key — the "next reading/next price"
+    * lookup (backfill against the following calibration, next-event
+    * attribution). Same one-shuffle carry-forward plan: the window
+    * just scans time DESCENDING, so "latest seen" is the nearest
+    * following right row.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[String],
+      matchedTsName: String = "matched_ts",
+      inclusive: Boolean = true): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTs, rightTs, payload,
+      matchedTsName, inclusive, forward = true)
+
+  private def impl(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[String],
+      matchedTsName: String,
+      inclusive: Boolean, forward: Boolean): DataFrame = {
     // at equal ts the right row must be visible to the left row only
     // for inclusive semantics: sort it first (tag 0) when inclusive,
     // after the left row (tag 1) when strict.
@@ -57,8 +83,13 @@ object AsOfJoin {
       lit(null).cast(lrowType).as("__lrow"),
       payStruct.as("__pay"))
 
+    // forward scans time descending: the most recently seen right row
+    // is then the nearest FOLLOWING one; the tag tiebreak is direction-
+    // independent (right first at equal ts iff inclusive)
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(
+        (if (forward) col("__ts").desc else col("__ts").asc),
+        col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val outCols: Seq[Column] =

@@ -20,6 +20,26 @@ object PipelineQueries {
     // G1 — as-of join: each order sees the customer's most recent
     // EARLIER order-day spend (strict <; DuckDB's ASOF JOIN is the
     // oracle). One key shuffle, no range explosion.
+    // G1b — FORWARD as-of: each order joined to the customer's NEXT
+    // spending day strictly after it (the "next reading" lookup).
+    // DuckDB's ASOF with `<` replays the nearest-following semantics.
+    "asof_next_spend" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val o = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"))
+      val daily = orders
+        .groupBy(col("o_custkey").as("k"),
+          col("o_orderdate").cast("date").as("d"))
+        .agg(exactSum(col("o_totalprice")).as("next_spend"))
+      AsOfJoin.asOfForward(o, daily, "o_custkey", "k", "o_date", "d",
+          payload = Seq("next_spend"), matchedTsName = "next_day",
+          inclusive = false)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          coalesce(col("next_day").cast("string"), lit("none"))
+            .as("next_day"),
+          coalesce(col("next_spend"), lit(0.0)).as("next_spend"))
+    },
+
     "asof_prev_spend" -> { (s, dir) =>
       val orders = Tables.orders(s, dir)
       val o = orders.select(col("o_orderkey"), col("o_custkey"),
@@ -208,6 +228,20 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_next_spend" ->
+      """WITH daily AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS next_spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_date,
+        |  COALESCE(CAST(d.d AS VARCHAR), 'none') AS next_day,
+        |  COALESCE(d.next_spend, 0.0) AS next_spend
+        |FROM orders o
+        |ASOF LEFT JOIN daily d
+        |  ON o.o_custkey = d.k AND CAST(o.o_orderdate AS DATE) < d.d"""
+        .stripMargin,
     "asof_prev_spend" ->
       """WITH daily AS (
         |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,

@@ -36,6 +36,20 @@ class PipelineSpec extends SparkSpec {
       r.count() shouldBe left.count()
       r.filter($"id" === 103).select($"mts").as[Int].head() shouldBe 20
     }
+    it("asOfForward matches the SMALLEST right ts at-or-after") {
+      val r = AsOfJoin.asOfForward(left, right, "k", "k", "ts", "ts",
+          payload = Seq("v"), inclusive = true)
+        .select($"id", $"v").as[(Int, Option[String])]
+        .collect().toMap
+      r shouldBe Map(101 -> Some("a"), 102 -> Some("a"),
+        103 -> None, 104 -> Some("c"), 105 -> None)
+      // strict: the equal-ts right row (102 at ts=10) is not visible
+      val strict = AsOfJoin.asOfForward(left, right, "k", "k",
+          "ts", "ts", payload = Seq("v"), inclusive = false)
+        .select($"id", $"v").as[(Int, Option[String])]
+        .collect().toMap
+      strict(102) shouldBe Some("b")
+    }
   }
 
   describe("Sampling") {
