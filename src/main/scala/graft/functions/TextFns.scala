@@ -195,6 +195,35 @@ object TextFns {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** Strip HTML to text (H20) — the first pass over a web corpus
+    * before any quality/dedup signal (tags and entities otherwise
+    * poison shingles, token counts and language ID): script/style
+    * blocks drop WITH their content, every other tag drops, the
+    * common named entities and the whitespace they leave collapse.
+    * Deliberately declarative — a regexp_replace chain both engines
+    * evaluate identically — so the whole transformation hash-gates
+    * (the oracle replays the same chain). Not a browser: malformed
+    * markup degrades to leaving text in place, never to dropping it.
+    */
+  def stripHtml(c: Column): Column = {
+    // (?is): case-insensitive, DOTALL — script/style spans lines
+    val noScript = regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'")
+    // entity strings carry no regex metacharacters — plain patterns
+    // keep the oracle replay character-identical
+    val decoded = entities.foldLeft(noTags) { case (col0, (e, r)) =>
+      regexp_replace(col0, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Canonical URL form (H18) — the normalization a URL-level dedup
     * keys on (the same page arrives as `HTTP://Site.com:80/a/?utm_…#x`
     * and `http://site.com/a` across crawls): scheme+host lowercase,

@@ -61,6 +61,22 @@ object TextQueries {
           concat(col("text"), lit(" e\u0301"))).as("nfc_text"))
     },
 
+    // H20 — HTML strip: each doc wrapped in planted markup (script +
+    // style blocks with droppable content, comments, attributes,
+    // entities) must come back as clean text — both engines evaluate
+    // the identical regexp chain, so any drift in tag/entity/space
+    // handling hash-mismatches.
+    "text_strip_html" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var a=1;</script></head><body><p class=\"x\">"),
+        col("text"),
+        lit("</p><!-- note --> &amp; &lt;tail&gt;&nbsp;end" +
+          "</body></html>"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFns.stripHtml(html).as("clean_text"))
+    },
+
     // E1 — exact dedup groups (hash → surviving id + copy count).
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -320,6 +336,35 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
         |    AS INT) AS bpeish_tokens
         |FROM documents""".stripMargin,
+    "text_strip_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>var a=1;</script></head><body><p class="x">' ||
+        |    text ||
+        |    '</p><!-- note --> &amp; &lt;tail&gt;&nbsp;end' ||
+        |    '</body></html>' AS s
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    s,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<[^>]+>', ' ', 'g') AS t
+        |  FROM h),
+        |d AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    t,
+        |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'),
+        |    '&apos;', CHR(39), 'g') AS t
+        |  FROM c)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+        |FROM d""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' e' || chr(769)) AS nfc_text

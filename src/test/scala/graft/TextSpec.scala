@@ -72,6 +72,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  describe("TextFns.stripHtml (H20)") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextFns.stripHtml($"h").as("t"))
+        .as[String].head()
+
+    it("drops script/style WITH content, tags, comments; decodes " +
+        "entities; collapses whitespace") {
+      strip("<html><script>x<y</script><style>a{b}</style>" +
+        "<p class='c'>Hello &amp; <b>world</b></p><!-- hid --></html>"
+      ) shouldBe "Hello & world"
+      strip("a &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end") shouldBe
+        "a <tag> \"q\" 's' end"
+    }
+    it("malformed markup degrades to keeping text, never dropping it") {
+      strip("plain text, no markup") shouldBe "plain text, no markup"
+      strip("<p unclosed") shouldBe "<p unclosed"
+    }
+  }
+
   describe("TextFns.canonicalUrl (H18)") {
     def canon(u: String): String =
       Seq(u).toDF("u").select(TextFns.canonicalUrl($"u").as("c"))
