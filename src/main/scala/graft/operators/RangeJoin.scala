@@ -72,6 +72,33 @@ object RangeJoin {
     leftB.join(rightB, b +: equiKeys).where(verify).drop(b)
   }
 
+  /** LEFT OUTER [[bucketed]]: points matching no interval survive
+    * with null interval columns (the enrichment form — "which tariff
+    * band does this trip fall in, if any"). `leftId` must be a UNIQUE
+    * left column: the unmatched side is recovered with a keys-only
+    * anti join against the matched ids (broadcast-friendly — matched
+    * ids are a projection, never the payload), so the operator stays
+    * two equi-joins with no nested loop.
+    */
+  def bucketedLeftOuter(left: DataFrame, leftId: String,
+      pointCol: String, right: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double, equiKeys: Seq[String] = Nil,
+      hiInclusive: Boolean = false,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    val inner = bucketed(left, pointCol, right, loCol, hiCol,
+      bucketWidth, equiKeys, hiInclusive, maxBucketsPerInterval)
+    val rightOnly = right.columns.filterNot(c =>
+      left.columns.contains(c) || equiKeys.contains(c))
+    val unmatched = left
+      .join(inner.select(col(leftId)).distinct(), Seq(leftId),
+        "left_anti")
+    val withNulls = rightOnly.foldLeft(unmatched) { (d, c) =>
+      d.withColumn(c,
+        lit(null).cast(right.schema(c).dataType))
+    }
+    inner.unionByName(withNulls, allowMissingColumns = true)
+  }
+
   /** Reference form for specs: the nested-loop the operator replaces. */
   private[graft] def reference(left: DataFrame, pointCol: String,
       right: DataFrame, loCol: String, hiCol: String,

@@ -78,6 +78,24 @@ class RangeJoinSpec extends SparkSpec {
       e.getMessage should include("buckets of width")
     }
 
+    it("left-outer keeps unmatched points with null interval columns") {
+      val l = points(1.0, 5.0, 99.0)
+      val r = intervals((0.0, 2.0), (4.0, 6.0))
+      val out = RangeJoin.bucketedLeftOuter(l, "pid", "p", r,
+        "lo", "hi", 2.0)
+      out.count() shouldBe 3
+      val byPid = out.select($"pid", $"iid".cast("string"))
+        .as[(Long, Option[String])].collect().toMap
+      byPid(0L) shouldBe Some("0")
+      byPid(1L) shouldBe Some("1")
+      byPid(2L) shouldBe None // unmatched survives with nulls
+      // a multi-match point duplicates like any outer join
+      val l2 = points(1.0)
+      val r2 = intervals((0.0, 2.0), (0.5, 3.0))
+      RangeJoin.bucketedLeftOuter(l2, "pid", "p", r2, "lo", "hi", 1.0)
+        .count() shouldBe 2
+    }
+
     it("plans WITHOUT a nested loop even when broadcast is off") {
       val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
