@@ -54,18 +54,46 @@ object Clustering {
 
   /** (date, cluster_id) assignments from KMeans over normalized
     * daily profiles (reference's fit_predict, pipeline.py:687-698).
+    *
+    * Restart parity: the reference fits sklearn
+    * `KMeans(n_clusters=3, random_state=42, n_init=10)`
+    * (mobility_ingestion_pipeline.py:692) — TEN independent inits,
+    * best inertia wins. A single MLlib fit can land on a worse local
+    * optimum and silently ship different cluster assignments through
+    * C9/C10 and the polygon consultation. [[bestOfFits]] mirrors the
+    * restart discipline with deterministic derived seeds
+    * (seed, seed+1, …): every fit is reproducible, and the winner is
+    * the minimum `summary.trainingCost` (= sklearn's inertia_: sum of
+    * squared distances to the assigned centroid). Cost: the feature
+    * matrix is one row per DATE (bounded, cached), so 10 fits on it
+    * are driver-trivial next to the fact-table pivot that feeds them.
     */
-  def assignments(fact: DataFrame, k: Int = 3, seed: Long = 42L)
-      : DataFrame = {
+  def assignments(fact: DataFrame, k: Int = 3, seed: Long = 42L,
+      nInit: Int = 10): DataFrame = {
     val profiles = Gold.pivotHourlyProfile(fact)
     val features = array((0 to 23).map(h => col(s"h$h")): _*)
     val feat = profiles.select(col("date"),
       array_to_vector(features).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster_id")
-    model.fit(feat).transform(feat)
-      .select(col("date"), col("cluster_id").cast("long").as("cluster_id"))
+    feat.persist() // 10 fits must not re-run the fact pivot
+    try {
+      val best = bestOfFits(feat, k, seed, nInit)
+      best.transform(feat)
+        .select(col("date"),
+          col("cluster_id").cast("long").as("cluster_id"))
+    } finally feat.unpersist(blocking = false)
   }
+
+  /** The lowest-inertia model among `nInit` deterministic seeded fits
+    * (ties broken by the earliest seed, like sklearn's first-best).
+    */
+  private[graft] def bestOfFits(feat: DataFrame, k: Int, seed: Long,
+      nInit: Int): org.apache.spark.ml.clustering.KMeansModel =
+    (0 until nInit).map { i =>
+      val m = new KMeans().setK(k).setSeed(seed + i)
+        .setFeaturesCol("features").setPredictionCol("cluster_id")
+        .fit(feat)
+      (m.summary.trainingCost, i, m)
+    }.minBy(t => (t._1, t._2))._3
 
   /** Per-cluster typical day: AVG + SUM of trips per (cluster, hour)
     * (reference's typical_day_by_cluster, pipeline.py:708-727).

@@ -190,7 +190,9 @@ object Dedup {
     * candidates and spills instead of materializing a block.
     */
   def fuzzyMatches(df: DataFrame, idCol: String, nameCol: String,
-      blockFn: Column => Column, maxDist: Int): DataFrame = {
+      blockFn: Column => Column, maxDist: Int,
+      maxBlock: Int = 1 << 20): DataFrame = {
+    require(maxBlock > 0, s"maxBlock must be > 0: $maxBlock")
     val p = df.select(col(idCol).cast("long").as("id"),
         lower(col(nameCol)).as("nm"))
       .withColumn("blk", blockFn(col("nm")))
@@ -201,10 +203,31 @@ object Dedup {
     // ([[fuzzyMatchesReference]]) measured 42s at sf0.1 vs ~1s here —
     // with sum(block²) candidate pairs the per-pair constant is the
     // whole game.
+    //
+    // The documented memory contract (blockFn must bound block width)
+    // is ENFORCED in-plan, not just documented: a block wider than
+    // `maxBlock` raises a loud error NAMING the offending block key,
+    // instead of letting one degenerate key (an empty-string name, a
+    // single-letter prefix over a skewed corpus) OOM an executor
+    // mid-shuffle at scale with an unactionable heap dump. Same
+    // zero-extra-pass pattern as RangeJoin's bucket-span guard
+    // (RangeJoin.scala): the check is a scalar conditional on the
+    // already-aggregated row. The default bound (2^20 entries) is the
+    // kernel-feasibility line — above it the O(block²) DP loop is
+    // unpayable anyway, so the right response is a better blockFn or
+    // [[fuzzyMatchesReference]], which streams candidates and spills.
+    val guarded = when(size(col("es")) > maxBlock,
+      raise_error(concat(
+        lit("fuzzyMatches: block '"), col("blk"),
+        lit("' has "), size(col("es")).cast("string"),
+        lit(s" entries (> maxBlock=$maxBlock); choose a" +
+          " finer blockFn or use fuzzyMatchesReference")))
+        .cast("array<struct<id1:bigint,id2:bigint,dist:int>>"))
+      .otherwise(graft.expressions.NativeKernels
+        .fuzzyPairsCol(col("es"), maxDist))
     p.groupBy(col("blk"))
       .agg(collect_list(struct(col("id"), col("nm"))).as("es"))
-      .select(explode(graft.expressions.NativeKernels
-        .fuzzyPairsCol(col("es"), maxDist)).as("m"))
+      .select(col("blk"), explode(guarded).as("m"))
       .select(col("m.id1"), col("m.id2"), col("m.dist"))
   }
 

@@ -319,14 +319,20 @@ object BronzeQueries {
     // G31b — Hilbert-curve clustered rewrite, proven end-to-end: the
     // layout changes (OPTIMIZE HILBERT BY on a shallow clone), the
     // answers must not — a 2-D box aggregate over the re-laid table
-    // vs DuckDB on the untouched source.
+    // vs DuckDB on the untouched source. The filter box sits inside
+    // the key space of EVERY testdata scale factor (o_orderkey tops
+    // out at 1499 / 14999 / 149999 and o_custkey at 149 / 1499 /
+    // 14999 for sf0.001/0.01/0.1), so the gate is never vacuous: it
+    // matches 730 / 75 / 8 rows respectively — a round-9 box of
+    // [20000,60000)x[1000,5000) matched ZERO rows at the driver's
+    // correctness SF and the green hash proved nothing.
     "lake_hilbert_scan" -> { (s, dir) =>
       val scratch = clonedOrdersLake(s, dir, "hilbert_scan")
       s.sql(s"OPTIMIZE '$scratch' HILBERT BY (o_orderkey, o_custkey)")
         .collect()
       graft.sources.AtomicLake.scan(s, scratch)(
-          col("o_orderkey") >= 20000L && col("o_orderkey") < 60000L &&
-            col("o_custkey") >= 1000L && col("o_custkey") < 5000L)
+          col("o_orderkey") >= 200L && col("o_orderkey") < 1200L &&
+            col("o_custkey") >= 10L && col("o_custkey") < 120L)
         .groupBy(col("o_month"))
         .agg(count(lit(1)).as("n_orders"),
           exactSum(col("o_totalprice")).as("sum_price"))
@@ -614,8 +620,8 @@ object BronzeQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_orderkey >= 20000 AND o_orderkey < 60000
-        |  AND o_custkey >= 1000 AND o_custkey < 5000
+        |WHERE o_orderkey >= 200 AND o_orderkey < 1200
+        |  AND o_custkey >= 10 AND o_custkey < 120
         |GROUP BY 1""".stripMargin,
     "lake_cluster_scan" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

