@@ -549,12 +549,67 @@ object BronzeQueries {
         }
       }
       Multimodal.nearDuplicateImages(media, maxDist = 1)
+    },
+
+    // E11 [O] — the DECODED image dimensions, hash-gated: the
+    // synthetic corpus pins w = 16 + id%17, h = 12 + id%11
+    // (Multimodal.syntheticImages), so a formula oracle over
+    // `documents` checks the full encode → ImageIO decode loop for
+    // every asset — a wrong stride, a swapped axis, or a truncated
+    // payload shifts a dimension and hash-mismatches. (The pixel
+    // embedding stays [R]: no PNG codec in DuckDB.)
+    "mm_image_dims" -> { (s, dir) =>
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(
+        Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"),
+          col("height"), col("n_frames"))
+    },
+
+    // E11 [O] — the DECODED audio stream parameters, hash-gated: the
+    // WAV generator pins rate 8000 Hz mono with
+    // 160 + (id%5)*80 PCM frames (seconds = 0.02 + (id%5)*0.01), so
+    // a formula oracle checks RIFF encode → javax.sound decode for
+    // every asset: header misparse, wrong sample width, or dropped
+    // frames all shift a value. (RMS envelope stays [R].)
+    "mm_audio_dims" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions(_.map(id =>
+        MediaRow(id, "audio",
+          Multimodal.syntheticWav(id, sampleRate = 8000,
+            seconds = 0.02 + (id % 5) * 0.01),
+          s"""{"id":$id}""")))
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("n_frames"))
     }
   )
 
   val oracles: Map[String, String] = Map(
     "bronze_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // formula oracles for the multimodal dims: the synthetic
+    // generators pin every decoded dimension as a function of the id
+    // (see the query comments), so the oracle derives them from
+    // `documents` without any codec
+    "mm_image_dims" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(12 + doc_id % 11 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_audio_dims" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio' AS kind,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(160 + (doc_id % 5) * 80 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
     // fixed expectations: every probe value is deterministic across
     // scale factors (commit-kind sequence, constraint sets, restore
     // file-set equality) — the DDL effects are the oracle
