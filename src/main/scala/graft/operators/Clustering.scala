@@ -72,8 +72,17 @@ object Clustering {
       nInit: Int = 10): DataFrame = {
     val profiles = Gold.pivotHourlyProfile(fact)
     val features = array((0 to 23).map(h => col(s"h$h")): _*)
+    // Canonical row order BEFORE the fit: k-means|| init samples by
+    // row position, and shuffle FETCH order is not deterministic run
+    // to run — without this, the same seed on the same data can pick
+    // different init candidates and converge to a different local
+    // optimum (observed: same-session refits disagreed on cluster
+    // contents, not just labels). One sorted partition pins it; the
+    // profile table is bounded at one row per DATE, so a single
+    // partition holds years of profiles without breaking a sweat.
     val feat = profiles.select(col("date"),
-      array_to_vector(features).as("features"))
+        array_to_vector(features).as("features"))
+      .repartition(1).sortWithinPartitions("date")
     feat.persist() // 10 fits must not re-run the fact pivot
     try {
       val best = bestOfFits(feat, k, seed, nInit)

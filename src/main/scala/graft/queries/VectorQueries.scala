@@ -121,6 +121,127 @@ object VectorQueries {
        |  (acc, v) -> acc + v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // C8-C10 fixed-expectation oracles, pinned at the driver's
+    // correctness SF (sf0.01): best-of-10 KMeans on the canonically
+    // ordered profile table is bit-deterministic (Clustering.scala —
+    // one sorted partition feeds the fit), so the full assignment /
+    // size / typical-day outputs are pinned as VALUES, the same
+    // pattern as lake_sql_maintenance. Valid ONLY at sf0.01 — local
+    // harness runs at other SFs skip them via check.py SF_SCOPED.
+    "gold_cluster_assignments" ->
+      """SELECT * FROM (VALUES
+        |  (DATE '2024-01-01', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-02', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-03', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-04', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-05', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-06', CAST(2 AS BIGINT)),
+        |  (DATE '2024-01-07', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-08', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-09', CAST(2 AS BIGINT)),
+        |  (DATE '2024-01-10', CAST(2 AS BIGINT)),
+        |  (DATE '2024-01-11', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-12', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-13', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-14', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-15', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-16', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-17', CAST(2 AS BIGINT)),
+        |  (DATE '2024-01-18', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-19', CAST(1 AS BIGINT)),
+        |  (DATE '2024-01-20', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-21', CAST(2 AS BIGINT)),
+        |  (DATE '2024-01-22', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-23', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-24', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-25', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-26', CAST(2 AS BIGINT)),
+        |  (DATE '2024-01-27', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-28', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-29', CAST(0 AS BIGINT)),
+        |  (DATE '2024-01-30', CAST(1 AS BIGINT))
+        |) t(date, cluster_id)""".stripMargin,
+    "gold_cluster_sizes" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(14 AS BIGINT), 'Monday'),
+        |  (CAST(1 AS BIGINT), CAST(10 AS BIGINT), 'Tuesday'),
+        |  (CAST(2 AS BIGINT), CAST(6 AS BIGINT), 'Wednesday')
+        |) t(cluster_id, days_in_cluster, typical_day)""".stripMargin,
+    "gold_cluster_typical_day" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS INT), CAST(52.41 AS DOUBLE), CAST(9014.15 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(1 AS INT), CAST(48.82 AS DOUBLE), CAST(8787.19 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(2 AS INT), CAST(41.1 AS DOUBLE), CAST(7685.37 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(3 AS INT), CAST(45.21 AS DOUBLE), CAST(7957.51 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(4 AS INT), CAST(51.8 AS DOUBLE), CAST(13001.38 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(5 AS INT), CAST(50.68 AS DOUBLE), CAST(10388.63 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(6 AS INT), CAST(43.26 AS DOUBLE), CAST(7527.9 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(7 AS INT), CAST(55.71 AS DOUBLE), CAST(10807.51 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(8 AS INT), CAST(53.82 AS DOUBLE), CAST(10548.42 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(9 AS INT), CAST(50.26 AS DOUBLE), CAST(9700.25 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(10 AS INT), CAST(53.87 AS DOUBLE), CAST(12337.26 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(11 AS INT), CAST(51.41 AS DOUBLE), CAST(9870.03 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(12 AS INT), CAST(51.18 AS DOUBLE), CAST(9519.44 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(13 AS INT), CAST(47.97 AS DOUBLE), CAST(10025.15 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(14 AS INT), CAST(51.19 AS DOUBLE), CAST(9572.76 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(15 AS INT), CAST(47.44 AS DOUBLE), CAST(8917.96 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(16 AS INT), CAST(48.91 AS DOUBLE), CAST(10907.56 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(17 AS INT), CAST(51.29 AS DOUBLE), CAST(9282.73 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(18 AS INT), CAST(44.68 AS DOUBLE), CAST(8890.8 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(19 AS INT), CAST(53.02 AS DOUBLE), CAST(12195.45 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(20 AS INT), CAST(46.55 AS DOUBLE), CAST(10288.52 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(21 AS INT), CAST(46.55 AS DOUBLE), CAST(8331.98 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(22 AS INT), CAST(46.59 AS DOUBLE), CAST(8991.29 AS DOUBLE)),
+        |  (CAST(0 AS BIGINT), CAST(23 AS INT), CAST(54.7 AS DOUBLE), CAST(10885.93 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(0 AS INT), CAST(50.01 AS DOUBLE), CAST(8301.93 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(1 AS INT), CAST(43.46 AS DOUBLE), CAST(6214.78 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(2 AS INT), CAST(47.27 AS DOUBLE), CAST(6334.38 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(3 AS INT), CAST(46.69 AS DOUBLE), CAST(5789.14 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(4 AS INT), CAST(50.13 AS DOUBLE), CAST(6516.87 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(5 AS INT), CAST(47.27 AS DOUBLE), CAST(6617.27 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(6 AS INT), CAST(53.71 AS DOUBLE), CAST(8325.53 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(7 AS INT), CAST(43.42 AS DOUBLE), CAST(5514.25 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(8 AS INT), CAST(45.37 AS DOUBLE), CAST(6351.26 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(9 AS INT), CAST(49.9 AS DOUBLE), CAST(6936.18 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(10 AS INT), CAST(47.33 AS DOUBLE), CAST(5537.23 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(11 AS INT), CAST(41.11 AS DOUBLE), CAST(5303.09 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(12 AS INT), CAST(50.61 AS DOUBLE), CAST(7439.81 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(13 AS INT), CAST(54.47 AS DOUBLE), CAST(7679.84 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(14 AS INT), CAST(55.95 AS DOUBLE), CAST(9792.03 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(15 AS INT), CAST(50.38 AS DOUBLE), CAST(8312.75 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(16 AS INT), CAST(45.73 AS DOUBLE), CAST(5533.26 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(17 AS INT), CAST(52.03 AS DOUBLE), CAST(5515.31 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(18 AS INT), CAST(55.55 AS DOUBLE), CAST(8666.56 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(19 AS INT), CAST(48.85 AS DOUBLE), CAST(7425.71 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(20 AS INT), CAST(44.56 AS DOUBLE), CAST(5881.62 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(21 AS INT), CAST(46.84 AS DOUBLE), CAST(5807.98 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(22 AS INT), CAST(49.84 AS DOUBLE), CAST(6429.9 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(23 AS INT), CAST(49.54 AS DOUBLE), CAST(5796.24 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS INT), CAST(47.37 AS DOUBLE), CAST(3173.86 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(1 AS INT), CAST(41.88 AS DOUBLE), CAST(3518.22 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS INT), CAST(54.2 AS DOUBLE), CAST(4606.58 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS INT), CAST(53.19 AS DOUBLE), CAST(4574.48 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(4 AS INT), CAST(42.18 AS DOUBLE), CAST(3332.07 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(5 AS INT), CAST(49.54 AS DOUBLE), CAST(3318.96 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(6 AS INT), CAST(52.56 AS DOUBLE), CAST(5676.41 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(7 AS INT), CAST(56.28 AS DOUBLE), CAST(4446.23 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(8 AS INT), CAST(54.1 AS DOUBLE), CAST(4436.54 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(9 AS INT), CAST(63.47 AS DOUBLE), CAST(6156.38 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(10 AS INT), CAST(51.39 AS DOUBLE), CAST(3854.06 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(11 AS INT), CAST(48.04 AS DOUBLE), CAST(4083.19 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(12 AS INT), CAST(44.42 AS DOUBLE), CAST(3553.65 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(13 AS INT), CAST(40.39 AS DOUBLE), CAST(3473.52 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(14 AS INT), CAST(48.56 AS DOUBLE), CAST(3739.06 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(15 AS INT), CAST(53.5 AS DOUBLE), CAST(4333.81 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(16 AS INT), CAST(47.62 AS DOUBLE), CAST(3428.94 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(17 AS INT), CAST(63.8 AS DOUBLE), CAST(5359.45 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(18 AS INT), CAST(46.91 AS DOUBLE), CAST(4221.81 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(19 AS INT), CAST(43.88 AS DOUBLE), CAST(3071.37 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(20 AS INT), CAST(52.1 AS DOUBLE), CAST(3125.84 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(21 AS INT), CAST(58.98 AS DOUBLE), CAST(4718.56 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(22 AS INT), CAST(50.25 AS DOUBLE), CAST(5226.0 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(23 AS INT), CAST(49.56 AS DOUBLE), CAST(3419.49 AS DOUBLE))
+        |) t(cluster_id, hour, avg_trips, total_trips_sample)""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv,

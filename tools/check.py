@@ -197,10 +197,34 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    # Hash oracles whose pinned VALUES are valid only at one SF (the
+    # driver's correctness SF): the gold_cluster_* family pins the
+    # KMeans outputs, which are data-dependent. At any other SF fall
+    # back to a rows-only check instead of a guaranteed mismatch.
+    HASH_SF_SCOPED = {
+        "gold_cluster_assignments": "sf0.01",
+        "gold_cluster_sizes": "sf0.01",
+        "gold_cluster_typical_day": "sf0.01",
+    }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
     for name, sql in sorted(oracles.items()):
         if ONLY and name not in ONLY:
+            continue
+        scope = HASH_SF_SCOPED.get(name)
+        if scope and not SF_DIR.rstrip("/").endswith(scope):
+            if os.path.isdir(f"{OUT_DIR}/{name}"):
+                n = len(pd.read_parquet(f"{OUT_DIR}/{name}"))
+                print(f"rows {name}: {n} rows (hash oracle scoped to "
+                      f"{scope})")
+                if n == 0:
+                    print(f"FAIL {name}: sf-scoped query returned 0 rows")
+                    n_fail += 1
+                    failed.add(name)
+            else:
+                print(f"FAIL {name}: no spark output (query failed)")
+                n_fail += 1
+                failed.add(name)
             continue
         if not os.path.isdir(f"{OUT_DIR}/{name}"):
             print(f"FAIL {name}: no spark output (query failed in Verify)")
