@@ -417,6 +417,49 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[idPairsPacked]] over a SINGLE posting array whose every element
+    * already packs (doc_id << 32) | n_shingles — one aggregate buffer
+    * and one shuffle column instead of two parallel lists (the E4
+    * posting rows carry 8 payload bytes, not 16). Same emission and
+    * same length-filter as [[idPairsPacked]]; the caller guarantees
+    * both halves fit 32 bits (enforced in-plan at pack time —
+    * Dedup.ngramJaccard raises on ids >= 2^32).
+    */
+  def idPairsFromPostings(packed: ArrayData, threshold: Double)
+      : ArrayData = {
+    val n = packed.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (n > 65536)
+      throw new IllegalArgumentException(
+        s"idPairsFromPostings: posting list of $n ids would emit " +
+          s"${n.toLong * (n - 1) / 2} pairs; cap posting df (maxDf) " +
+          "or run LSH first and verify survivors only")
+    val ps = packed.toLongArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * 2)
+    var i = 0
+    while (i < n) {
+      val idI = ps(i) >>> 32
+      val nI = ps(i) & 0xffffffffL
+      var j = i + 1
+      while (j < n) {
+        val idJ = ps(j) >>> 32
+        val nJ = ps(j) & 0xffffffffL
+        val lo = math.min(nI, nJ)
+        val hi = math.max(nI, nJ)
+        if (lo.toDouble >= threshold * hi.toDouble) {
+          val (pkHi, pkLo, ncHi, ncLo) =
+            if (idI < idJ) (idI, idJ, nI, nJ) else (idJ, idI, nJ, nI)
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              (pkHi << 32) | pkLo, (ncHi << 32) | ncLo))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Engine-portable 60-bit SimHash over a token array: each token is
     * hashed with TWO polynomial rolling hashes over its printable-
     * ASCII projection (base 131 mod 1e9+7 and base 137 mod 998244353,
@@ -1458,6 +1501,12 @@ object NativeKernels extends Serializable {
     invoke("idPairsPacked", ArrayType(idPairPackedType, containsNull = false),
       Seq(ids, ns, org.apache.spark.sql.functions.lit(threshold)),
       Seq(ArrayType(LongType), ArrayType(LongType), DoubleType))
+
+  def idPairsFromPostingsCol(packed: Column, threshold: Double): Column =
+    invoke("idPairsFromPostings",
+      ArrayType(idPairPackedType, containsNull = false),
+      Seq(packed, org.apache.spark.sql.functions.lit(threshold)),
+      Seq(ArrayType(LongType), DoubleType))
 
   def simHashPortable60Col(tokens: Column): Column =
     invoke("simHashPortable60", LongType, Seq(tokens),

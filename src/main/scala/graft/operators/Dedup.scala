@@ -86,7 +86,8 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      packedIds: Boolean = true): DataFrame = {
+      packedIds: Boolean = true, maxDf: Int = 65536): DataFrame = {
+    require(maxDf > 0, s"maxDf must be > 0: $maxDf")
     // ONE corpus scan: hash the shingles once (8-byte join keys — see
     // [[shingleHashes]]), and let every posting row carry its doc's
     // shingle cardinality, so the Jaccard denominator needs no
@@ -134,30 +135,67 @@ object Dedup {
     // shape — fixed task overheads amortize with bigger partitions at
     // scale, and the operator's 100-TB role stays verify-tier (LSH
     // first); this item is closed as shape-optimal.
-    // Skew contract: a posting list of g ids emits g² pairs inside one
-    // task — bounded by the kernel at 64k ids (it raises; a corpus
-    // with stopword-grade shingles belongs on the LSH path first, per
-    // the operator's documented verify-tier role).
-    // two PARALLEL long lists (same agg = same row order), not a
-    // struct list: collect_list over structs allocates a row per
-    // element — measured 8× slower to collect and serialize
-    val postings = sh.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"),
-        collect_list(col("n_sh")).as("ns"))
+    // Skew contract — the df CAP (round-10): a posting list of g ids
+    // emits g² pairs inside one task, so ONE stopword-grade shingle
+    // (df 10^6+ at corpus scale) is a quadratic cliff no partitioning
+    // fixes. Shingles with document frequency above `maxDf` are
+    // DROPPED before pair emission (same dial as Curation.sharedSpans'
+    // posting cap): a shingle shared by that many documents carries no
+    // discriminative similarity — it is corpus background. Semantics:
+    // the reported intersection counts only sub-cap shingles while
+    // denominators stay full-universe, so `jaccard` is a LOWER BOUND
+    // that equals exact Jaccard whenever no shared shingle exceeds the
+    // cap. On the test corpus the observed df ceiling is 25 (duplicate
+    // clusters are ~25 docs wide — their shared shingles ARE the
+    // signal, so a useful cap must sit far above real cluster sizes;
+    // measured sf0.1: capping at 8 would cut pair emissions 84% but
+    // destroy exactly the qualifying pairs). The default 65536 matches
+    // the kernel's feasibility ceiling: pair emission is never asked
+    // to square a list the kernel would refuse.
+    // In the packed path the cap is enforced by [[graft.expressions
+    // .BoundedCollectLong]], a TypedImperativeAggregate whose buffer
+    // stops storing at maxDf and yields an empty posting — O(maxDf)
+    // heap per shingle even when one shingle's postings are
+    // gigabytes; collect_list + filter(size<=cap) would materialize
+    // the whole list before the filter could see its size.
+    // Posting rows pack (doc_id << 32 | n_sh) into ONE long (both
+    // halves guarded in-plan), so the aggregate carries one buffer
+    // and the exchange one 8-byte payload column — half the round-7
+    // two-parallel-lists shape's state. (Those lists remain in the
+    // unpacked 64-bit-id path, which caps via size() filter and
+    // documents the weaker memory contract.)
     val counted =
       if (packedIds) {
+        val fits = col("doc_id") >= 0L &&
+          col("doc_id") < lit(1L << 32) && col("n_sh") < lit(1L << 32)
+        val packedPosting = when(fits,
+          shiftleft(col("doc_id"), 32).bitwiseOR(col("n_sh")))
+          .otherwise(raise_error(concat(
+            lit("ngramJaccard(packedIds=true) needs ids and" +
+              " cardinalities in [0, 2^32); got id "), col("doc_id"),
+            lit(" with "), col("n_sh"),
+            lit(" shingles — pass packedIds=false")))
+            .cast("long"))
+        val postings = sh
+          .select(col("shingle"), packedPosting.as("p"))
+          .groupBy(col("shingle"))
+          .agg(graft.expressions.BoundedCollect
+            .boundedCollectLong(col("p"), maxDf).as("ps"))
         val g = postings
           .select(explode(graft.expressions.NativeKernels
-            .idPairsPackedCol(col("ids"), col("ns"), threshold)).as("p"))
-          .groupBy(col("p.pk").as("pk"), col("p.nc").as("nc"))
-          .agg(count(lit(1)).as("inter"))
+            .idPairsFromPostingsCol(col("ps"), threshold)).as("p"))
+          .groupBy(col("p.pk").as("pk"))
+          .agg(count(lit(1)).as("inter"), first(col("p.nc")).as("nc"))
         g.select(shiftrightunsigned(col("pk"), 32).as("id1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
           col("inter"),
           shiftrightunsigned(col("nc"), 32).as("n1"),
           col("nc").bitwiseAND(lit(0xffffffffL)).as("n2"))
       } else
-        postings
+        sh.groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("ids"),
+            collect_list(col("n_sh")).as("ns"))
+          .filter(size(col("ids")) <= maxDf)
           .select(explode(graft.expressions.NativeKernels
             .idPairsWithCardCol(col("ids"), col("ns"), threshold)).as("p"))
           .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))

@@ -155,6 +155,31 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  describe("BoundedCollectLong aggregate") {
+    it("keeps groups at the cap, empties groups beyond it, " +
+        "across partitions") {
+      import graft.expressions.BoundedCollect.boundedCollectLong
+      // groups: k=0 has 34 elements, k=1 and k=2 have 33 each; spread
+      // over 8 partitions so map-side partials MERGE (serde + merge
+      // paths both execute)
+      val df = spark.range(100)
+        .select((col("id") % 3).as("k"), col("id")).repartition(8)
+      val sizes = df.groupBy("k")
+        .agg(boundedCollectLong(col("id"), 33).as("v"))
+        .select(col("k"),
+          org.apache.spark.sql.functions.size(col("v")).as("n"))
+        .as[(Long, Int)].collect().toMap
+      sizes(0L) shouldBe 0 // 34 > cap → deterministic empty, not OOM
+      sizes(1L) shouldBe 33
+      sizes(2L) shouldBe 33
+      // under the cap the collection is EXACT (no sampling)
+      val kept = df.groupBy("k")
+        .agg(boundedCollectLong(col("id"), 34).as("v"))
+        .select(explode(col("v"))).as[Long].collect().toSet
+      kept shouldBe (0L until 100L).toSet
+    }
+  }
+
   describe("tokenCounts native vs reference") {
     it("agrees with per-word HOF counts and wordCount on every document") {
       val checks = TextFns.kernelWords.map(w =>

@@ -91,6 +91,21 @@ class NearDupSpec extends SparkSpec {
       Dedup.ngramJaccard(big, "doc_id", "text", 3, 0.5,
         packedIds = false).count()
     }
+    it("df cap drops ubiquitous shingles from the intersection" +
+        " (both paths)") {
+      // three identical docs: every shingle has df=3; one unrelated doc
+      val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+        (3L, "a b c d e f"), (4L, "z y x w v u")).toDF("doc_id", "text")
+      for (packed <- Seq(true, false)) {
+        // cap at the df ceiling: exact — the 3 identical pairs
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5,
+          packedIds = packed, maxDf = 3).count() shouldBe 3
+        // cap below it: the shared shingles are corpus background by
+        // definition of the cap → no intersections survive
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5,
+          packedIds = packed, maxDf = 2).count() shouldBe 0
+      }
+    }
     it("cross-corpus nearDuplicatesAgainst equals the brute-force cross join") {
       val docs = Tables.documents(spark, sf)
       val base = docs.filter(pmod($"doc_id", lit(10)) =!= 0)

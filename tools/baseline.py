@@ -70,6 +70,35 @@ JOIN card cb ON id2 = cb.doc_id
 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5"""
 
 RETIERED = {
+    # dedup_jaccard: the SAME algorithm graft's Dedup.ngramJaccard
+    # runs — 8-byte hashed shingle keys (not strings), document-
+    # frequency cap on postings (the skew guard), cardinality length
+    # filter BEFORE pair counting — so the ratio prices the shipped
+    # plan shape, not DuckDB's string-equality join. At maxDf=65536
+    # the cap never triggers on this corpus (df ceiling 25) and the
+    # result equals the exact oracle's 256 pairs.
+    "dedup_jaccard": """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    hash(w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2]) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+    greatest(len(w) - 2, 0))) AS gs) i),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+p AS (
+  SELECT s.doc_id, s.h, c.n_sh FROM sh s JOIN card c USING (doc_id)),
+keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 65536),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+    count(*) AS inter, any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN keep k ON k.h = a.h
+  WHERE least(a.n_sh, b.n_sh) >= 0.5 * greatest(a.n_sh, b.n_sh)
+  GROUP BY 1, 2)
+SELECT id1, id2, inter, n1, n2,
+  CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5""",
     # dedup_minhash: banded self-join
     "dedup_minhash": "WITH " + _SHINGLES.format(src="documents") + """,
 cands AS (
@@ -278,7 +307,13 @@ aggregate the source parquet directly — DuckDB pays none of the
 protocol. That cost is per-commit/per-file metadata work, not
 per-byte: at the 100-TB design point one commit amortizes over the
 whole batch, and the zone maps it buys are what let a one-month query
-skip the other 99 months entirely.
+skip the other 99 months entirely. The extreme case is
+`lake_sql_maintenance` (~0.5 s): the gate is a NINE-statement DDL
+session (clone, ADD CONSTRAINT, OPTIMIZE, RESTORE, DROP CONSTRAINT,
+two DESCRIBE DETAIL probes, DESCRIBE HISTORY) executed serially —
+~0.05 s per lake commit — while its oracle is a constant VALUES
+table; the row prices the whole maintenance session, deliberately not
+split into thinner gates that would each re-pay the clone.
 
 Totals over the {len([r for r in rows if r[1] is not None])} oracle-gated queries:
 DuckDB **{total:.2f} s**, Spark local[32] **{spark_total:.2f} s** raw —
@@ -318,6 +353,20 @@ exact-oracle rows). `dedup_cross [banded]` is also the like-for-like
 shape for `dedup_index_cross`, whose Spark side additionally pays the
 persistent-index lake protocol (committed sh/band table reads) with
 no single-process analogue.
+
+`dedup_jaccard [banded]` is not LSH but the capped-posting shape graft
+ships (hashed 8-byte shingle keys, df-capped postings, cardinality
+filter before pair counting). Measured finding, recorded honestly:
+DuckDB runs this same algorithm in ~0.15 s because at sf0.1 the whole
+posting set fits one process with zero exchange serialization; the
+Spark gap (~1.1 s net of floor) is per-row shuffle constants on two
+~1M-row exchanges, not plan shape — round-5/6/7 negative results on
+every alternative agg shape are recorded in Dedup.scala, and the df
+cap (round 10) removes the one genuine at-scale hazard, the
+quadratic posting cliff, while a single skewed key can no longer OOM
+an executor (BoundedCollectLong stops buffering at the cap). At the
+design point the exchanges are the same size per partition while the
+single-process baseline cannot run at all.
 
 | query | duckdb_banded_sec | duckdb_exact_sec | spark_sec | rows |
 |---|---|---|---|---|
