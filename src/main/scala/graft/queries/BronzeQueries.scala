@@ -551,6 +551,52 @@ object BronzeQueries {
       Multimodal.nearDuplicateImages(media, maxDist = 1)
     },
 
+    // E11 [O] — planted-twin RECALL of the perceptual image dedup,
+    // hash-gated at every SF: docs seeded by doc_id % 100 are
+    // pixel-identical, so the exact twin pair set is a formula over
+    // `documents` (all same-residue pairs, Hamming 0) and the gate
+    // proves decode → grid-luminance pHash → chunk-bucket LSH →
+    // verify finds EVERY planted twin with the right distance — a
+    // missed bucket, a nondeterministic hash bit, or a broken decode
+    // all drop/shift rows. The full pair set (with cross-seed
+    // perceptual cousins) stays [R] as mm_image_dups.
+    "mm_image_twin_recall" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val seed = id % 100
+          MediaRow(id, "image", Multimodal.syntheticPng(seed,
+            w = 16 + (seed % 17).toInt, h = 12 + (seed % 11).toInt),
+            s"""{"id":$id}""")
+        }
+      }
+      Multimodal.nearDuplicateImages(media, maxDist = 1)
+        .filter(pmod(col("id1"), lit(100)) === pmod(col("id2"), lit(100)))
+    },
+
+    // E11 [O] — the audio twin of mm_image_twin_recall: same planted
+    // structure (seed = doc_id % 100 ⇒ sample-identical WAVs), so the
+    // RMS-envelope fingerprint pipeline must recover exactly the
+    // same-residue pairs at Hamming 0.
+    "mm_audio_twin_recall" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions(_.map { id =>
+        MediaRow(id, "audio",
+          Multimodal.syntheticWav(id % 100, sampleRate = 8000,
+            seconds = 0.1),
+          s"""{"id":$id}""")
+      })
+      Multimodal.nearDuplicateAudio(media, maxDist = 1)
+        .filter(pmod(col("id1"), lit(100)) === pmod(col("id2"), lit(100)))
+    },
+
     // E11 [O] — the DECODED image dimensions, hash-gated: the
     // synthetic corpus pins w = 16 + id%17, h = 12 + id%11
     // (Multimodal.syntheticImages), so a formula oracle over
@@ -598,6 +644,20 @@ object BronzeQueries {
     // generators pin every decoded dimension as a function of the id
     // (see the query comments), so the oracle derives them from
     // `documents` without any codec
+    "mm_image_twin_recall" ->
+      """SELECT CAST(a.doc_id AS BIGINT) AS id1,
+        |  CAST(b.doc_id AS BIGINT) AS id2,
+        |  CAST(0 AS INT) AS hamming_dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 100 = b.doc_id % 100"""
+        .stripMargin,
+    "mm_audio_twin_recall" ->
+      """SELECT CAST(a.doc_id AS BIGINT) AS id1,
+        |  CAST(b.doc_id AS BIGINT) AS id2,
+        |  CAST(0 AS INT) AS hamming_dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 100 = b.doc_id % 100"""
+        .stripMargin,
     "mm_image_dims" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
         |  CAST(16 + doc_id % 17 AS INT) AS width,

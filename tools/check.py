@@ -205,6 +205,7 @@ def main():
         "gold_cluster_assignments": "sf0.01",
         "gold_cluster_sizes": "sf0.01",
         "gold_cluster_typical_day": "sf0.01",
+        "consult_polygon_clusters": "sf0.01",
     }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
