@@ -460,6 +460,99 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Portable char-pair hash state: fold a UTF8String's printable-
+    * ASCII bytes into the two polynomial hashes (base 131 mod 1e9+7,
+    * base 137 mod 998244353) starting from (h1, h2) — the SAME
+    * convention as [[simHashPortable60]]'s per-token hash, so a DuckDB
+    * oracle replays it with the identical list_reduce. Returns the
+    * packed (h1 << 30) | h2 state halves in a 2-long array-free form:
+    * callers thread h1/h2 through manually (no allocation).
+    */
+  @inline private def polyFold1(t: UTF8String, h0: Long): Long = {
+    val base = t.getBaseObject; val off = t.getBaseOffset
+    val nb = t.numBytes
+    var h = h0; var p = 0
+    while (p < nb) {
+      val b = Platform.getByte(base, off + p) & 0xff
+      if (b >= 0x20 && b <= 0x7e) h = (h * 131L + b) % 1000000007L
+      p += 1
+    }
+    h
+  }
+  @inline private def polyFold2(t: UTF8String, h0: Long): Long = {
+    val base = t.getBaseObject; val off = t.getBaseOffset
+    val nb = t.numBytes
+    var h = h0; var p = 0
+    while (p < nb) {
+      val b = Platform.getByte(base, off + p) & 0xff
+      if (b >= 0x20 && b <= 0x7e) h = (h * 137L + b) % 998244353L
+      p += 1
+    }
+    h
+  }
+
+  /** DSIR hashed features of a token array: every unigram and every
+    * adjacent bigram (joined by one space), hashed with the portable
+    * pair-polynomial hash and bucketed mod `buckets` — 2n-1 feature
+    * buckets per n-token document, computed in ONE char pass per gram
+    * with zero intermediate strings (the bigram hash extends the
+    * left token's running state through a literal 0x20 then the right
+    * token — bit-identical to hashing the concatenated string).
+    * Engine-portable: DuckDB replays each gram with the same
+    * list_reduce over `w[i] || ' ' || w[i+1]`.
+    */
+  def dsirBuckets(words: ArrayData, buckets: Int): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val out = new Array[Int](2 * n - 1)
+    var i = 0
+    while (i < n) {
+      val t = words.getUTF8String(i)
+      val h1 = polyFold1(t, 0L)
+      val h2 = polyFold2(t, 0L)
+      out(i) = (((h1 << 30) | h2) % buckets).toInt
+      if (i + 1 < n) {
+        val u = words.getUTF8String(i + 1)
+        val g1 = polyFold1(u, (h1 * 131L + 0x20L) % 1000000007L)
+        val g2 = polyFold2(u, (h2 * 137L + 0x20L) % 998244353L)
+        out(n + i) = (((g1 << 30) | g2) % buckets).toInt
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ table(bucket) over a document's DSIR features — the map-side
+    * scoring step: `table` is a bucket-indexed LITERAL array (longs:
+    * corpus counts; see [[dsirSumDouble]] for log-weights), so scoring
+    * touches no join and no shuffle. One char pass per doc.
+    */
+  def dsirSumLong(words: ArrayData, table: ArrayData, buckets: Int)
+      : Long = {
+    val bs = dsirBuckets(words, buckets)
+    val m = bs.numElements()
+    var s = 0L
+    var i = 0
+    while (i < m) { s += table.getLong(bs.getInt(i)); i += 1 }
+    s
+  }
+
+  /** [[dsirSumLong]] with a double-valued table (importance log-
+    * weights). Left-to-right accumulation order is pinned by the
+    * feature order (unigrams then bigrams), so the sum is
+    * deterministic — cross-engine equality is still only rtol-level
+    * (libm log differs in the last ulps).
+    */
+  def dsirSumDouble(words: ArrayData, table: ArrayData, buckets: Int)
+      : Double = {
+    val bs = dsirBuckets(words, buckets)
+    val m = bs.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += table.getDouble(bs.getInt(i)); i += 1 }
+    s
+  }
+
   /** Engine-portable 60-bit SimHash over a token array: each token is
     * hashed with TWO polynomial rolling hashes over its printable-
     * ASCII projection (base 131 mod 1e9+7 and base 137 mod 998244353,
@@ -1511,6 +1604,21 @@ object NativeKernels extends Serializable {
   def simHashPortable60Col(tokens: Column): Column =
     invoke("simHashPortable60", LongType, Seq(tokens),
       Seq(ArrayType(StringType)))
+
+  def dsirBucketsCol(words: Column, buckets: Int): Column =
+    invoke("dsirBuckets", ArrayType(IntegerType, containsNull = false),
+      Seq(words, org.apache.spark.sql.functions.lit(buckets)),
+      Seq(ArrayType(StringType), IntegerType))
+
+  def dsirSumLongCol(words: Column, table: Column, buckets: Int): Column =
+    invoke("dsirSumLong", LongType,
+      Seq(words, table, org.apache.spark.sql.functions.lit(buckets)),
+      Seq(ArrayType(StringType), ArrayType(LongType), IntegerType))
+
+  def dsirSumDoubleCol(words: Column, table: Column, buckets: Int): Column =
+    invoke("dsirSumDouble", DoubleType,
+      Seq(words, table, org.apache.spark.sql.functions.lit(buckets)),
+      Seq(ArrayType(StringType), ArrayType(DoubleType), IntegerType))
 
   /** struct<term,tf> element type of [[termFreqs]] output. */
   val termFreqType: DataType = StructType(Seq(

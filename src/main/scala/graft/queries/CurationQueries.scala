@@ -19,6 +19,34 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // H21 — DSIR importance resampling, exact-integer face: fit the
+    // hashed unigram+bigram models (target = doc_id%10==0 slice, raw
+    // = rest), then project every raw doc onto the count tables —
+    // n_features and the two count sums are integers, so the whole
+    // hash→bucket→literal-table→sum pipeline is hash-gated exactly
+    // (the log-weighted score is libm-bound → tolerance-gated
+    // locally, see curate_dsir_score).
+    "curate_dsir_counts" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val m = graft.operators.Dsir.fit(target, raw, "text",
+        buckets = 4096)
+      graft.operators.Dsir.countSums(raw, "doc_id", "text", m)
+    },
+
+    // H21 — the importance score itself (Σ smoothed log-ratio over
+    // hashed features). [R] for the driver; the local harness
+    // cross-checks vs DuckDB at rtol 1e-9 (TOLERANCE_ORACLES).
+    "curate_dsir_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val m = graft.operators.Dsir.fit(target, raw, "text",
+        buckets = 4096)
+      graft.operators.Dsir.score(raw, "doc_id", "text", m)
+    },
+
     // H1 — boilerplate removal: 3-token segments, df >= 3 across the
     // corpus is boilerplate; documents reassembled from kept segments.
     "text_boilerplate" -> { (s, dir) =>
@@ -280,7 +308,64 @@ object CurationQueries {
        |  SEMI JOIN cov$n c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
        |  GROUP BY 1)""".stripMargin
 
+  /** DuckDB replay of the DSIR portable gram hash → bucket (the
+    * dedup_simhash poly pair, bucketed): list_reduce over the
+    * printable-ASCII projection of the gram.
+    */
+  private def dsirPoly(expr: String, base: Int, mod: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_extract_all(
+       |        regexp_replace($expr, '[^ -~]', '', 'g'), '.'),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * $base + c) % $mod)""".stripMargin
+
+  private def dsirBucket(expr: String): String =
+    s"(${dsirPoly(expr, 131, 1000000007L)} * 1073741824 + " +
+      s"${dsirPoly(expr, 137, 998244353L)}) % 4096"
+
+  /** Shared feature CTE for the DSIR oracles: every unigram and
+    * adjacent bigram occurrence of every document, bucketed.
+    */
+  private val dsirFeats: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |uni AS (
+       |  SELECT doc_id, unnest(list_transform(w, t ->
+       |    ${dsirBucket("t")})) AS bucket
+       |  FROM toks),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+       |    ${dsirBucket("(w[i] || ' ' || w[i+1])")})) AS bucket
+       |  FROM toks),
+       |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |tc AS (SELECT bucket, count(*) AS c FROM feats
+       |  WHERE doc_id % 10 = 0 GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS c FROM feats
+       |  WHERE doc_id % 10 <> 0 GROUP BY 1)""".stripMargin
+
+  // the log-weighted curate_dsir_score is cross-checked locally at
+  // rtol 1e-9 (libm log differs in last ulps between engines):
+  // tools/check.py TOLERANCE_ORACLES carries its DuckDB replay, built
+  // from the same feature CTE as curate_dsir_counts below
+
   val oracles: Map[String, String] = Map(
+    "curate_dsir_counts" ->
+      s"""WITH $dsirFeats,
+         |agg AS (
+         |  SELECT f.doc_id, count(*) AS nf,
+         |    sum(COALESCE(tc.c, 0)) AS st, sum(COALESCE(rc.c, 0)) AS sr
+         |  FROM feats f
+         |  LEFT JOIN tc ON tc.bucket = f.bucket
+         |  LEFT JOIN rc ON rc.bucket = f.bucket
+         |  WHERE f.doc_id % 10 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(agg.nf, 0) AS BIGINT)
+         |    AS n_features,
+         |  CAST(COALESCE(agg.st, 0) AS BIGINT) AS sum_target,
+         |  CAST(COALESCE(agg.sr, 0) AS BIGINT) AS sum_raw
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
     "curate_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

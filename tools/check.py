@@ -89,7 +89,60 @@ def compare(name, sql, con):
 # they can never hash-match, but a relative-tolerance compare still
 # cross-validates the math against DuckDB). NOT part of the driver's
 # oracle set — local harness only (SURVEY.md §6).
+def _dsir_poly(expr, base, mod):
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_extract_all(
+        regexp_replace({expr}, '[^ -~]', '', 'g'), '.'),
+        c -> CAST(ascii(c) AS BIGINT))),
+      (h, c) -> (h * {base} + c) % {mod})"""
+
+
+def _dsir_bucket(expr):
+    return (f"({_dsir_poly(expr, 131, 1000000007)} * 1073741824 + "
+            f"{_dsir_poly(expr, 137, 998244353)}) % 4096")
+
+
+_DSIR_FEATS = f"""toks AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+  FROM documents),
+uni AS (
+  SELECT doc_id, unnest(list_transform(w, t ->
+    {_dsir_bucket("t")})) AS bucket
+  FROM toks),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+    {_dsir_bucket("(w[i] || ' ' || w[i+1])")})) AS bucket
+  FROM toks),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+tc AS (SELECT bucket, count(*) AS c FROM feats
+  WHERE doc_id % 10 = 0 GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS c FROM feats
+  WHERE doc_id % 10 <> 0 GROUP BY 1)"""
+
 TOLERANCE_ORACLES = {
+    # DSIR log-weighted importance score: same feature CTE as the
+    # hash-gated curate_dsir_counts oracle, but the weights go through
+    # ln() — libm differs in the last ulps between engines, so rtol.
+    "curate_dsir_score": (f"""
+        WITH {_DSIR_FEATS},
+        tt AS (SELECT count(*) AS n FROM feats WHERE doc_id % 10 = 0),
+        rt AS (SELECT count(*) AS n FROM feats WHERE doc_id % 10 <> 0),
+        w AS (
+          SELECT b.bucket,
+            ln((COALESCE(tc.c, 0) + 1.0) / (tt.n + 4096.0))
+              - ln((COALESCE(rc.c, 0) + 1.0) / (rt.n + 4096.0)) AS wgt
+          FROM (SELECT unnest(range(4096)) AS bucket) b
+          CROSS JOIN tt CROSS JOIN rt
+          LEFT JOIN tc ON tc.bucket = b.bucket
+          LEFT JOIN rc ON rc.bucket = b.bucket),
+        sc AS (
+          SELECT f.doc_id, sum(w.wgt) AS s
+          FROM feats f JOIN w ON w.bucket = f.bucket
+          WHERE f.doc_id % 10 <> 0 GROUP BY 1)
+        SELECT d.doc_id, COALESCE(sc.s, 0.0) AS dsir_score
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        WHERE d.doc_id % 10 <> 0""", 1e-9),
     "geo_distance_pairs": ("""
         WITH z AS (
           SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
