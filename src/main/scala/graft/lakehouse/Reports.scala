@@ -8,12 +8,14 @@ import org.apache.spark.sql.DataFrame
 /** Consultation artifact rendering — the reference's consultations
   * save a per-polygon cluster-profile chart next to the query result
   * (mobility_consultations.py:100-120 writes a PNG via matplotlib).
-  * This sandbox has no raster codecs, and an engine shouldn't depend
-  * on one: the chart renders as deterministic standalone SVG (plain
-  * XML — byte-identical for identical input, diffable, viewable in
-  * any browser), written through the Hadoop filesystem so the
-  * artifact lands beside lake data on local disk, HDFS, or an object
-  * store alike.
+  * Two render targets, same data and palette: a deterministic
+  * standalone SVG (plain XML — diffable, carries titles/labels,
+  * viewable anywhere) and a REAL PNG twin rasterized through the
+  * JDK's own `javax.imageio` encoder with an integer Bresenham
+  * pipeline (no fonts, no antialiasing — platform-independent bytes;
+  * reference parity for the saved matplotlib raster). Both write
+  * through the Hadoop filesystem so the artifact lands beside lake
+  * data on local disk, HDFS, or an object store alike.
   *
   * Driver-side by design: the input is the CONSULTATION OUTPUT
   * (clusters × 24 hours — O(k·24), same bound as the KMeans centroid
@@ -94,13 +96,99 @@ object Reports {
     * Returns the written path.
     */
   def writeClusterProfile(profile: DataFrame, dir: String, name: String,
-      title: String): String = {
-    val svg = clusterProfileSvg(profile, title)
-    val path = new Path(dir, s"$name.svg")
+      title: String): String =
+    writeBytes(profile, dir, s"$name.svg",
+      clusterProfileSvg(profile, title)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** RASTER twin of [[clusterProfileSvg]] — reference parity with the
+    * matplotlib PNG the consultations save
+    * (mobility_consultations.py:100-120): the same chart geometry
+    * (axes, tick marks, one polyline per cluster in the same palette,
+    * legend swatches) rasterized into a REAL PNG through the JDK's
+    * own encoder (`javax.imageio`, the encoder the multimodal corpus
+    * already round-trips). Lines rasterize with an integer Bresenham
+    * walk onto the pixel array directly — no AWT font or antialiasing
+    * pipeline touches the image, so the bytes are deterministic on
+    * any platform, not just same-JVM (text labels live on the SVG
+    * twin, which carries the same data WITH axis values and titles).
+    */
+  def clusterProfilePng(profile: DataFrame): Array[Byte] = {
+    val rows = profile
+      .select("cluster_id", "hour", "avg_trips")
+      .collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toInt,
+        r.get(2).toString.toDouble))
+      .sortBy(r => (r._1, r._2))
+    require(rows.nonEmpty, "clusterProfilePng: empty profile")
+    val yMax = math.max(rows.map(_._3).max, 1e-9)
+    val plotW = W - ML - MR
+    val plotH = H - MT - MB
+    def px(hour: Int): Int =
+      ML + math.round(plotW * hour / 23.0).toInt
+    def py(v: Double): Int =
+      MT + math.round(plotH * (1.0 - v / yMax)).toInt
+
+    val img = new java.awt.image.BufferedImage(W, H,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def put(x: Int, y: Int, rgb: Int): Unit =
+      if (x >= 0 && x < W && y >= 0 && y < H) img.setRGB(x, y, rgb)
+    def line(x0: Int, y0: Int, x1: Int, y1: Int, rgb: Int): Unit = {
+      // Bresenham, drawn 2px tall/wide like the SVG's stroke-width 2
+      var (x, y) = (x0, y0)
+      val dx = math.abs(x1 - x0); val sx = if (x0 < x1) 1 else -1
+      val dy = -math.abs(y1 - y0); val sy = if (y0 < y1) 1 else -1
+      var err = dx + dy
+      var going = true
+      while (going) {
+        put(x, y, rgb); put(x, y + 1, rgb); put(x + 1, y, rgb)
+        if (x == x1 && y == y1) going = false
+        else {
+          val e2 = 2 * err
+          if (e2 >= dy) { err += dy; x += sx }
+          if (e2 <= dx) { err += dx; y += sy }
+        }
+      }
+    }
+    def fill(x: Int, y: Int, w: Int, h: Int, rgb: Int): Unit =
+      for (i <- x until x + w; j <- y until y + h) put(i, j, rgb)
+
+    val white = 0xffffff; val axis = 0x888888
+    fill(0, 0, W, H, white)
+    line(ML, MT, ML, MT + plotH, axis)
+    line(ML, MT + plotH, ML + plotW, MT + plotH, axis)
+    Seq(0, 6, 12, 18, 23).foreach(h =>
+      line(px(h), MT + plotH, px(h), MT + plotH + 4, axis))
+
+    val series = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    series.zipWithIndex.foreach { case ((_, pts), i) =>
+      val rgb = Integer.parseInt(palette(i % palette.size).drop(1), 16)
+      val ps = pts.sortBy(_._2).map(p => (px(p._2), py(p._3)))
+      ps.zip(ps.drop(1)).foreach { case ((x0, y0), (x1, y1)) =>
+        line(x0, y0, x1, y1, rgb)
+      }
+      // legend swatch in the same grid slot as the SVG legend
+      fill(ML + 8 + (i % 5) * 110, H - 16 - (i / 5) * 14, 10, 10, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Write the raster artifact as `<dir>/<name>.png` (see
+    * [[clusterProfilePng]]). Returns the written path.
+    */
+  def writeClusterProfilePng(profile: DataFrame, dir: String,
+      name: String): String =
+    writeBytes(profile, dir, s"$name.png", clusterProfilePng(profile))
+
+  private def writeBytes(profile: DataFrame, dir: String, file: String,
+      bytes: Array[Byte]): String = {
+    val path = new Path(dir, file)
     val fs = path.getFileSystem(
       profile.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
-    try out.write(svg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
     path.toString
   }

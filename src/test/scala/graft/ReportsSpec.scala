@@ -44,6 +44,45 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  describe("Reports.clusterProfilePng") {
+    val png = Reports.clusterProfilePng(profile)
+
+    it("is a real PNG that decodes to the chart dimensions") {
+      png.take(8).toSeq shouldBe
+        Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      img.getWidth shouldBe 640
+      img.getHeight shouldBe 360
+      // background white, axis gray where the axes cross
+      (img.getRGB(5, 5) & 0xffffff) shouldBe 0xffffff
+      (img.getRGB(56, 324) & 0xffffff) shouldBe 0x888888
+    }
+    it("paints every series in its palette color") {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val pixels = (for (x <- 0 until img.getWidth;
+                         y <- 0 until img.getHeight)
+        yield img.getRGB(x, y) & 0xffffff).toSet
+      pixels should contain(0x4269d0) // series 0
+      pixels should contain(0xefb118) // series 1
+    }
+    it("is byte-deterministic") {
+      Reports.clusterProfilePng(profile).toSeq shouldBe png.toSeq
+    }
+    it("fails loudly on an empty profile") {
+      an[IllegalArgumentException] should be thrownBy
+        Reports.clusterProfilePng(profile.limit(0))
+    }
+    it("writes through the Hadoop FS and reads back identical") {
+      val dir = "/root/repo/target/test-scratch/reports_png"
+      val p = Reports.writeClusterProfilePng(profile, dir, "consult")
+      p should endWith("consult.png")
+      Files.readAllBytes(Paths.get(
+        p.stripPrefix("file:"))).toSeq shouldBe png.toSeq
+    }
+  }
+
   describe("end-to-end with the real consultation") {
     it("renders polygonClusterDemand output directly") {
       val out = graft.lakehouse.Consultations.polygonClusterDemand(
