@@ -341,4 +341,83 @@ class KernelPropertySpec extends AnyFunSpec with Matchers {
       })
     }
   }
+
+  describe("round-10 kernels") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    def longs(xs: Seq[Long]): ArrayData =
+      new GenericArrayData(xs.toArray)
+    def pairsOf(arr: Any): Seq[(Long, Long)] =
+      arr.asInstanceOf[GenericArrayData].array.toSeq
+        .map(_.asInstanceOf[InternalRow])
+        .map(r => (r.getLong(0), r.getLong(1)))
+
+    // posting lists: distinct ids < 2^32, cardinalities in [1, 2^32)
+    val posting: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      ids <- Gen.listOfN(n, Gen.choose(0L, (1L << 32) - 1))
+      ns <- Gen.listOfN(n, Gen.choose(1L, (1L << 32) - 1))
+    } yield ids.distinct.zip(ns)
+    val thr: Gen[Double] = Gen.oneOf(0.0, 0.3, 0.5, 0.8, 1.0)
+
+    it("idPairsFromPostings == idPairsPacked on arbitrary postings") {
+      holds(forAll(posting, thr) { (p, t) =>
+        val packed = NativeKernels.idPairsFromPostings(
+          longs(p.map { case (id, n) => (id << 32) | n }), t)
+        val two = NativeKernels.idPairsPacked(
+          longs(p.map(_._1)), longs(p.map(_._2)), t)
+        pairsOf(packed).toSet == pairsOf(two).toSet &&
+          pairsOf(packed).size == pairsOf(two).size
+      })
+    }
+
+    it("pair emission: each unordered pair once, ordered keys, " +
+        "length filter honored") {
+      holds(forAll(posting, thr) { (p, t) =>
+        val out = pairsOf(NativeKernels.idPairsFromPostings(
+          longs(p.map { case (id, n) => (id << 32) | n }), t))
+        val keys = out.map(_._1)
+        val onceEach = keys.distinct.size == keys.size
+        val orderedAndFiltered = out.forall { case (pk, nc) =>
+          val (id1, id2) = (pk >>> 32, pk & 0xffffffffL)
+          val (n1, n2) = (nc >>> 32, nc & 0xffffffffL)
+          id1 < id2 && math.min(n1, n2) >= t * math.max(n1, n2)
+        }
+        val expected = (for {
+          i <- p.indices; j <- (i + 1) until p.size
+          if math.min(p(i)._2, p(j)._2) >=
+            t * math.max(p(i)._2, p(j)._2)
+        } yield ()).size
+        onceEach && orderedAndFiltered && out.size == expected
+      })
+    }
+
+    def strs(xs: Seq[String]): ArrayData =
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray)
+    def ints(arr: Any): Seq[Int] = {
+      val a = arr.asInstanceOf[ArrayData]
+      (0 until a.numElements()).map(a.getInt)
+    }
+    val word: Gen[String] = Gen.listOf(
+      Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('é'),
+        1 -> Gen.const('中'))).map(_.mkString)
+
+    it("dsirBuckets: 2n-1 features, all in range, bigram == unigram " +
+        "of the space-joined gram") {
+      holds(forAll(Gen.listOf(word), Gen.choose(2, 8192)) { (ws, b) =>
+        val out = ints(NativeKernels.dsirBuckets(strs(ws), b))
+        val n = ws.size
+        val lenOk = out.size == math.max(2 * n - 1, 0)
+        val rangeOk = out.forall(x => x >= 0 && x < b)
+        // the i-th bigram bucket must equal the unigram bucket of the
+        // literally concatenated gram (incremental hash == direct)
+        val bigramsOk = (0 until math.max(n - 1, 0)).forall { i =>
+          out(n + i) == ints(NativeKernels.dsirBuckets(
+            strs(Seq(ws(i) + " " + ws(i + 1))), b)).head
+        }
+        lenOk && rangeOk && bigramsOk
+      })
+    }
+  }
 }
