@@ -77,6 +77,32 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 shape): embedding-space near-duplicate pairs
+    * from [[cosineNearDup]] (cluster-scoped comparisons via IVF-cell
+    * bucketing — SemDeDup's within-k-means-cluster pruning), collapsed
+    * to duplicate CLUSTERS with min-label connected components
+    * (a~b, b~c is ONE group even when a~c falls under the threshold),
+    * keep the minimum id per group — the deterministic keep-one
+    * policy — and anti-join the losers out.
+    *
+    * Returns the SURVIVOR rows of `df` (all columns). At scale every
+    * stage is bounded: the pair join is cell-bucketed (never
+    * all-pairs), components shuffle vertex ids only, and the final
+    * LEFT ANTI join exchanges just the id column of the loser set.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L, corpusTag: String = ""): DataFrame = {
+    val pairs = cosineNearDup(df, idCol, vecCol, threshold, nlist,
+      nprobe, seed, corpusTag).select(col("id1"), col("id2"))
+    val losers = graft.operators.Dedup
+      .connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** An IVF index: the centroid table (nlist rows, a plan literal —
     * the quantizer travels inside the expression, no join needed) and
     * the cell-assigned corpus — in production both are materialized to

@@ -62,6 +62,22 @@ object VectorQueries {
         corpusTag = dir)
     },
 
+    // SemDeDup-style semantic dedup: IVF-scoped cosine pairs →
+    // connected components → keep min id per group. Hash-gated [O] at
+    // the driver SF: the SURVIVOR ID SET is integer-exact as long as
+    // both engines agree on the pair set, which they do at sf0.01 —
+    // nprobe=3 recall is 1.0 there (dedup_embedding's contract) and
+    // the closest cosine sits 1.3e-4 from the 0.4 threshold, four
+    // orders above cross-engine float error. At sf0.1 the margin
+    // thins to 1e-5, so check.py SF-scopes the gate (rows-only
+    // elsewhere) rather than bet on libm ulps.
+    "dedup_semantic" -> { (s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.4, nprobe = 3,
+          corpusTag = dir)
+        .select(col("vec_id"))
+    },
+
     // E14 — persisted IVF index probe ([R]: KMeans quantizer — not
     // SQL-expressible; VectorIndexSpec hash-level gates are the
     // in-memory-parity and recall cases). First run builds the
@@ -121,6 +137,29 @@ object VectorQueries {
        |  (acc, v) -> acc + v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // SemDeDup survivors: exact cosine pair join → recursive-CTE
+    // components (the dedup_components pattern) → drop non-min group
+    // members. Integer ids only — exact hash gate (SF-scoped, see the
+    // query comment).
+    "dedup_semantic" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |jp AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding, b.embedding)
+        |    / (a.nrm * b.nrm) >= 0.4),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM jp
+        |       UNION SELECT id2, id1 FROM jp),
+        |walk(id, reach) AS (
+        |  SELECT a, a FROM ed
+        |  UNION SELECT w.id, ed.b FROM walk w JOIN ed ON w.reach = ed.a),
+        |losers AS (
+        |  SELECT id FROM walk GROUP BY 1 HAVING min(reach) <> id)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
     // C8-C10 fixed-expectation oracles, pinned at the driver's
     // correctness SF (sf0.01): best-of-10 KMeans on the canonically
     // ordered profile table is bit-deterministic (Clustering.scala —

@@ -58,6 +58,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("semanticDedup") {
+    it("keeps one doc per duplicate group, collapsing chains") {
+      // plant a CHAIN: 9001 ~ 0 and 9002 ~ 9001 (each a small
+      // perturbation of the last) — transitive group {0, 9001, 9002}
+      // must keep exactly its min id even if 0~9002 dips below the
+      // threshold; 9003 is an unrelated negated vector and survives
+      val base = emb.filter($"vec_id" === 0)
+        .select($"embedding").as[Seq[Float]].head()
+      val p1 = base.map(x => x * 1.0001f)
+      val p2 = p1.map(x => x * 1.0001f)
+      val neg = base.map(x => -x)
+      val corpus = emb.select($"vec_id", $"embedding")
+        .unionAll(Seq((9001L, p1), (9002L, p2), (9003L, neg))
+          .toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>")))
+      val survivors = Similarity.semanticDedup(corpus, "vec_id",
+          "embedding", threshold = 0.999, nlist = 8, nprobe = 3)
+        .select("vec_id").as[Long].collect().toSet
+      survivors should contain(0L)         // group min survives
+      survivors should not contain 9001L   // chained dups drop
+      survivors should not contain 9002L
+      survivors should contain(9003L)      // unrelated survives
+      // keep-one accounting: exactly the two planted dups are gone
+      survivors.size shouldBe corpus.count() - 2
+    }
+    it("is the identity on a corpus with no qualifying pairs") {
+      val survivors = Similarity.semanticDedup(emb, "vec_id",
+          "embedding", threshold = 0.9999, nlist = 8, nprobe = 3)
+      survivors.count() shouldBe emb.count()
+    }
+  }
+
   describe("ivfTopK") {
     it("achieves high recall@10 against brute force") {
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",

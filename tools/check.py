@@ -259,6 +259,10 @@ def main():
         "gold_cluster_sizes": "sf0.01",
         "gold_cluster_typical_day": "sf0.01",
         "consult_polygon_clusters": "sf0.01",
+        # survivor ids are exact only while the cosine-threshold margin
+        # dwarfs cross-engine float error (1.3e-4 at sf0.01; 1e-5 at
+        # sf0.1 is too thin to bet on)
+        "dedup_semantic": "sf0.01",
     }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
