@@ -201,6 +201,44 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("round-10 operators keep their scale shape") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    def shuffles(q: org.apache.spark.sql.DataFrame) = {
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case e: ShuffleExchangeExec => e }
+    }
+
+    it("DSIR scoring is map-side: one scan, zero exchanges") {
+      // the model fit runs its two count aggs at CONSTRUCTION time;
+      // the returned frame must be scan → kernel projection, nothing
+      // else — the shape that lets a 100-TB corpus score in one pass
+      for (name <- Seq("curate_dsir_counts", "curate_dsir_score")) {
+        val q = SparkEntry.queries(name)(spark, sf)
+        withClue(s"$name: ") {
+          q.queryExecution.sparkPlan.toString should not include "Exchange"
+          scans(q).length shouldBe 1
+        }
+      }
+    }
+    it("ngramJaccard is exactly two exchanges: postings, then pairs") {
+      val q = SparkEntry.queries("dedup_jaccard")(spark, sf)
+      shuffles(q).length shouldBe 2
+      q.queryExecution.sparkPlan.toString should not include "Join"
+    }
+    it("semanticDedup ends in a keys-only anti join, no nested loops") {
+      val q = SparkEntry.queries("dedup_semantic")(spark, sf)
+      val plan = q.queryExecution.sparkPlan.toString
+      plan should include("LeftAnti")
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    }
+  }
+
   describe("no accidental cartesian products") {
     it("every catalog query plans without CartesianProduct at scale settings") {
       // intentional exceptions: the zone-pair enumeration (bounded 25x25)
