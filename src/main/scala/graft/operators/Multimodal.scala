@@ -94,12 +94,46 @@ final case class CompositeDecoder(decoders: Seq[MediaDecoder])
       .map(_.decode(kind, payload)).collectFirst { case Some(d) => d }
 }
 
+/** Frame-pack decoder for `video` payloads in the GVID container
+  * (magic + frame count + length-prefixed PNG frames — see
+  * [[Multimodal.packVideo]]): REAL per-frame ImageIO decode, but only
+  * of the UNIFORM-STRIDE SAMPLE of frames — the policy real video
+  * pipelines run, and the property that makes the cost ∝ sampled
+  * frames rather than stream length. Dimensions come from the first
+  * sampled frame; the embedding is the per-cell MEAN of the sampled
+  * frames' grid-luminance embeddings (the standard mean-pooled video
+  * descriptor). Compressed codecs (h264/vp9/av1) are not in the JDK;
+  * such payloads fail the container parse, return None, and degrade
+  * to the stub until a codec-backed [[MediaDecoder]] is injected.
+  */
+object FramePackDecoder extends MediaDecoder {
+  val kinds: Set[String] = Set("video")
+  override def setup(): Unit = javax.imageio.ImageIO.setUseCache(false)
+  def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
+    if (kind != "video") None
+    else Multimodal.unpackVideo(payload).flatMap { frames =>
+      val idx = Multimodal.frameSampleStub(frames.length,
+        every = math.max(frames.length / 4, 1))
+      val imgs = idx.flatMap(i => Multimodal.decodeImage(frames(i)))
+      if (imgs.isEmpty) None
+      else {
+        val embs = imgs.map(Multimodal.imageEmbedding(_))
+        val mean = Array.tabulate(embs.head.length)(d =>
+          (embs.map(_(d).toDouble).sum / embs.length).toFloat)
+        Some(DecodedMedia(imgs.head.getWidth, imgs.head.getHeight,
+          frames.length, mean))
+      }
+    }
+}
+
 /** The default decoder: every format the bare JDK can decode —
-  * ImageIO images + PCM audio. Video has no JDK codec; it falls
-  * through to the honest stub until a deployment injects one.
+  * ImageIO images + PCM audio + GVID frame-pack video. Compressed
+  * video codecs have no JDK decoder; those payloads fall through to
+  * the honest stub until a deployment injects one.
   */
 object JdkMediaDecoder extends MediaDecoder {
-  private val inner = CompositeDecoder(Seq(ImageIoDecoder, WavDecoder))
+  private val inner =
+    CompositeDecoder(Seq(ImageIoDecoder, WavDecoder, FramePackDecoder))
   val kinds: Set[String] = inner.kinds
   override def setup(): Unit = inner.setup()
   def decode(kind: String, payload: Array[Byte]): Option[DecodedMedia] =
@@ -395,6 +429,73 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ---- GVID frame-pack container (the video twin of syntheticPng's
+  // role: real bytes for a sandbox with no video codec) --------------
+
+  private val VideoMagic = Array[Byte]('G', 'V', 'I', 'D')
+
+  /** Pack PNG frames into a GVID container: magic, int32 frame count,
+    * then length-prefixed frame payloads. A deliberately minimal
+    * uncompressed container — the point is that frames are REAL
+    * encoded images, so the decode path (parse → sample → per-frame
+    * ImageIO) exercises everything a production frame extractor does
+    * except the inter-frame codec.
+    */
+  def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.write(VideoMagic)
+    d.writeInt(frames.size)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a GVID container back to its frame payloads; None for
+    * anything malformed (wrong magic, truncated, absurd counts) — the
+    * stub-degrade contract, never an executor exception.
+    */
+  def unpackVideo(payload: Array[Byte])
+      : Option[IndexedSeq[Array[Byte]]] =
+    scala.util.Try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, VideoMagic), "not GVID")
+      val n = in.readInt()
+      require(n >= 0 && n <= (1 << 20), s"frame count $n")
+      (0 until n).map { _ =>
+        val len = in.readInt()
+        require(len >= 0 && len <= payload.length, s"frame len $len")
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        b
+      }
+    }.toOption
+
+  /** Synthetic video corpus: one GVID container per id with
+    * 2 + id%7 real PNG frames (per-frame seed varies, so frames
+    * differ within one video), dimensions 16+id%13 × 12+id%9 —
+    * formula-derivable like [[syntheticImages]], which is what lets a
+    * DuckDB oracle gate the decoded dims end-to-end.
+    */
+  def syntheticVideos(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import org.apache.spark.sql.Encoders.scalaLong
+    df.select(col(idCol).cast("long")).as[Long](scalaLong)
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = 16 + (id % 13).toInt
+          val h = 12 + (id % 9).toInt
+          val frames = (0 until 2 + (id % 7).toInt)
+            .map(f => syntheticPng(id * 131 + f, w, h))
+          MediaRow(id, "video", packVideo(frames), s"""{"id":$id}""")
+        }
+      }
   }
 
   /** Synthetic image corpus: one REAL PNG per id, dimensions varying

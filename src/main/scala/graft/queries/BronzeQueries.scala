@@ -613,6 +613,22 @@ object BronzeQueries {
           col("height"), col("n_frames"))
     },
 
+    // E11 [O] — the DECODED video container parameters, hash-gated:
+    // the GVID generator pins frames = 2 + id%7 and frame dims
+    // 16+id%13 × 12+id%9, so a formula oracle proves container parse
+    // → uniform-stride frame sample → per-frame ImageIO decode for
+    // every asset (the frame COUNT comes from the container header,
+    // the dims from an actually-decoded sampled frame — both legs of
+    // the video path must work to match).
+    "mm_video_dims" -> { (s, dir) =>
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(
+        Multimodal.syntheticVideos(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"),
+          col("height"), col("n_frames"))
+    },
+
     // E11 [O] — the DECODED audio stream parameters, hash-gated: the
     // WAV generator pins rate 8000 Hz mono with
     // 160 + (id%5)*80 PCM frames (seconds = 0.02 + (id%5)*0.01), so
@@ -663,6 +679,12 @@ object BronzeQueries {
         |  CAST(16 + doc_id % 17 AS INT) AS width,
         |  CAST(12 + doc_id % 11 AS INT) AS height,
         |  CAST(1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_video_dims" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'video' AS kind,
+        |  CAST(16 + doc_id % 13 AS INT) AS width,
+        |  CAST(12 + doc_id % 9 AS INT) AS height,
+        |  CAST(2 + doc_id % 7 AS INT) AS n_frames
         |FROM documents""".stripMargin,
     "mm_audio_dims" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio' AS kind,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaRow, Multimodal}
+import graft.operators.{FramePackDecoder, MediaRow, Multimodal}
 import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
@@ -211,6 +211,64 @@ class MultimodalSpec extends SparkSpec {
       val plan = Multimodal.extractFeatures(media)
         .queryExecution.executedPlan.toString
       plan should not include "Exchange"
+    }
+  }
+
+  describe("GVID frame-pack video") {
+    it("container round-trips frame payloads exactly") {
+      val frames = (0 until 5).map(f =>
+        Multimodal.syntheticPng(f.toLong, w = 20, h = 14))
+      val packed = Multimodal.packVideo(frames)
+      val back = Multimodal.unpackVideo(packed).get
+      back.size shouldBe 5
+      back.zip(frames).foreach { case (a, b) =>
+        a.toSeq shouldBe b.toSeq
+      }
+    }
+    it("malformed containers degrade to None, never throw") {
+      Multimodal.unpackVideo(Array[Byte]()) shouldBe None
+      Multimodal.unpackVideo("not a video".getBytes) shouldBe None
+      val truncated = Multimodal.packVideo(
+        Seq(Multimodal.syntheticPng(1L))).dropRight(10)
+      Multimodal.unpackVideo(truncated) shouldBe None
+    }
+    it("decodes true dims + header frame count, sampling frames") {
+      val frames = (0 until 8).map(f =>
+        Multimodal.syntheticPng(100L + f, w = 24, h = 18))
+      val d = FramePackDecoder
+        .decode("video", Multimodal.packVideo(frames)).get
+      d.width shouldBe 24
+      d.height shouldBe 18
+      d.nFrames shouldBe 8 // from the container header, not the sample
+      // embedding is the MEAN of the uniform-stride sample's per-frame
+      // embeddings: stride 8/4=2 → frames 0,2,4,6
+      val sampled = Seq(0, 2, 4, 6).map(i =>
+        Multimodal.imageEmbedding(Multimodal.decodeImage(frames(i)).get))
+      val want = Array.tabulate(sampled.head.length)(c =>
+        (sampled.map(_(c).toDouble).sum / sampled.size).toFloat)
+      d.embedding.toSeq shouldBe want.toSeq
+    }
+    it("a corrupt frame inside a valid container degrades to the stub") {
+      val good = Multimodal.syntheticPng(7L)
+      val bad = Array.fill[Byte](64)(0x3f)
+      // all sampled frames undecodable → None → stub path downstream
+      FramePackDecoder.decode("video",
+        Multimodal.packVideo(Seq(bad))) shouldBe None
+      // but one good sampled frame is enough to decode for real
+      FramePackDecoder.decode("video",
+        Multimodal.packVideo(Seq(good, bad))) should not be None
+    }
+    it("extractFeatures over a synthetic video corpus is end-to-end") {
+      val vids = Multimodal.syntheticVideos(
+        Tables.documents(spark, sf).limit(30), "doc_id")
+      val f = Multimodal.extractFeatures(vids).collect()
+      f.length shouldBe 30
+      f.foreach { r =>
+        r.width shouldBe 16 + (r.media_id % 13).toInt
+        r.height shouldBe 12 + (r.media_id % 9).toInt
+        r.n_frames shouldBe 2 + (r.media_id % 7).toInt
+        r.embedding.length shouldBe 8
+      }
     }
   }
 
