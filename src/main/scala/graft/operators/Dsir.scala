@@ -82,6 +82,23 @@ object Dsir {
     Model(buckets, alpha, ct, cr, ct.sum, cr.sum)
   }
 
+  /** Monoid combine: models fit on disjoint corpus slices merge into
+    * exactly the model a whole-corpus fit produces (counts are
+    * integers — no float drift), which is what makes the fit
+    * INCREMENTAL at scale: fit each new batch alone, merge into the
+    * running model, never re-scan history. The log-ratio weights are
+    * recomputed lazily from the merged counts.
+    */
+  def merge(a: Model, b: Model): Model = {
+    require(a.buckets == b.buckets,
+      s"bucket mismatch: ${a.buckets} vs ${b.buckets}")
+    require(a.alpha == b.alpha, s"alpha mismatch: ${a.alpha} vs ${b.alpha}")
+    Model(a.buckets, a.alpha,
+      Array.tabulate(a.buckets)(i => a.targetCounts(i) + b.targetCounts(i)),
+      Array.tabulate(a.buckets)(i => a.rawCounts(i) + b.rawCounts(i)),
+      a.targetTotal + b.targetTotal, a.rawTotal + b.rawTotal)
+  }
+
   /** Importance score per document: Σ logRatio(bucket(f)) over its
     * features — map-side, weights ride the plan as a literal.
     */

@@ -130,6 +130,53 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  describe("merge (incremental fit)") {
+    it("slice fits merge into exactly the whole-corpus fit") {
+      val (t1, t2) = (target.filter($"doc_id" % 2 === 0),
+        target.filter($"doc_id" % 2 =!= 0))
+      val (r1, r2) = (raw.filter($"doc_id" % 2 === 0),
+        raw.filter($"doc_id" % 2 =!= 0))
+      val merged = Dsir.merge(Dsir.fit(t1, r1, "text", buckets = 512),
+        Dsir.fit(t2, r2, "text", buckets = 512))
+      val whole = Dsir.fit(target, raw, "text", buckets = 512)
+      merged.targetCounts.toSeq shouldBe whole.targetCounts.toSeq
+      merged.rawCounts.toSeq shouldBe whole.rawCounts.toSeq
+      merged.targetTotal shouldBe whole.targetTotal
+      merged.rawTotal shouldBe whole.rawTotal
+      merged.logRatio.toSeq shouldBe whole.logRatio.toSeq // bit-equal
+    }
+    it("refuses geometry mismatches loudly") {
+      an[IllegalArgumentException] should be thrownBy
+        Dsir.merge(Dsir.fit(target, raw, "text", buckets = 256),
+          Dsir.fit(target, raw, "text", buckets = 512))
+    }
+  }
+
+  describe("streaming composition") {
+    it("scores a document stream map-side, matching batch bit-for-bit") {
+      implicit val sqlCtx = spark.sqlContext
+      val m = Dsir.fit(target, raw, "text", buckets = 512)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = Dsir.score(in.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", m)
+        .writeStream.format("memory").queryName("dsir_stream")
+        .outputMode("append").start()
+      try {
+        val batch = Seq(
+          (100L, "quantum flux capacitor maintenance log entry 1"),
+          (200L, "grocery list apples bananas cucumbers dill eggs 2"))
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        val got = spark.table("dsir_stream")
+          .as[(Long, Double)].collect().toMap
+        val want = Dsir.score(batch.toDF("doc_id", "text"),
+          "doc_id", "text", m).as[(Long, Double)].collect().toMap
+        got shouldBe want // literal-weights scoring is stateless
+      } finally q.stop()
+    }
+  }
+
   describe("resample") {
     it("temperature 0 is the deterministic top-k by score") {
       val m = Dsir.fit(target, raw, "text", buckets = 1024)
