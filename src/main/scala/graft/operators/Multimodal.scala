@@ -285,6 +285,45 @@ object Multimodal {
     SimHash.pairsFromFingerprints(imageHashes(ds), "media_id", "fp",
       bits = 64, maxDist = maxDist, chunks = chunks)
 
+  /** 64-bit perceptual video fingerprint: the aHash of the
+    * mean-pooled 8×8 grid-luminance over the UNIFORM-STRIDE frame
+    * sample (the same sample [[FramePackDecoder]] decodes) — decode +
+    * hash map-side like the image/audio legs; sample-identical videos
+    * collide at Hamming 0, flat (single-tone) videos are excluded
+    * like flat images. Undecodable containers drop (stub-degrade).
+    */
+  def videoHashes(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter((r: MediaRow) => r.kind == "video")
+      .flatMap { (r: MediaRow) =>
+        unpackVideo(r.payload).flatMap { frames =>
+          val idx = frameSampleStub(frames.length,
+            every = math.max(frames.length / 4, 1))
+          val imgs = idx.flatMap(i => decodeImage(frames(i)))
+          if (imgs.isEmpty) None
+          else {
+            val cells = imgs.map(imageEmbedding(_, gx = 8, gy = 8))
+            val mean = Array.tabulate(64)(c =>
+              (cells.map(_(c).toDouble).sum / cells.length).toFloat)
+            if (flatFromCells(mean, 1.0)) None
+            else Some((r.media_id, hashFromCells(mean)))
+          }
+        }
+      }
+      .toDF("media_id", "fp")
+  }
+
+  /** Perceptual near-duplicate video pairs — the video leg of
+    * [[nearDuplicateImages]]/[[nearDuplicateAudio]]: fingerprints
+    * bucket-joined by pigeonhole chunks, verified by exact Hamming
+    * distance; only (chunk, bucket, id) triples shuffle, never frames.
+    */
+  def nearDuplicateVideos(ds: Dataset[MediaRow], maxDist: Int = 4,
+      chunks: Int = 8): DataFrame =
+    SimHash.pairsFromFingerprints(videoHashes(ds), "media_id", "fp",
+      bits = 64, maxDist = maxDist, chunks = chunks)
+
   /** REAL image resize: area-interpolated resample to fit inside
     * `maxDim`×`maxDim` (aspect preserved, never upscales), re-encoded
     * as PNG. None when the payload isn't a decodable image.

@@ -613,6 +613,31 @@ object BronzeQueries {
           col("height"), col("n_frames"))
     },
 
+    // E11 [O] — planted-twin recall through the VIDEO path: videos
+    // seeded by doc_id % 100 are frame-identical, so container parse
+    // → frame sample → per-frame decode → mean-pooled aHash →
+    // pigeonhole LSH → Hamming verify must recover every same-residue
+    // pair at distance 0 (the video sibling of mm_image_twin_recall).
+    "mm_video_twin_recall" -> { (s, dir) =>
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val seed = id % 100
+          val (w, h) = (16 + (seed % 13).toInt, 12 + (seed % 9).toInt)
+          val frames = (0 until 2 + (seed % 7).toInt)
+            .map(f => Multimodal.syntheticPng(seed * 131 + f, w, h))
+          MediaRow(id, "video", Multimodal.packVideo(frames),
+            s"""{"id":$id}""")
+        }
+      }
+      Multimodal.nearDuplicateVideos(media, maxDist = 1)
+        .filter(pmod(col("id1"), lit(100)) === pmod(col("id2"), lit(100)))
+    },
+
     // E11 [O] — the DECODED video container parameters, hash-gated:
     // the GVID generator pins frames = 2 + id%7 and frame dims
     // 16+id%13 × 12+id%9, so a formula oracle proves container parse
@@ -680,6 +705,13 @@ object BronzeQueries {
         |  CAST(12 + doc_id % 11 AS INT) AS height,
         |  CAST(1 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_video_twin_recall" ->
+      """SELECT CAST(a.doc_id AS BIGINT) AS id1,
+        |  CAST(b.doc_id AS BIGINT) AS id2,
+        |  CAST(0 AS INT) AS hamming_dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 100 = b.doc_id % 100"""
+        .stripMargin,
     "mm_video_dims" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'video' AS kind,
         |  CAST(16 + doc_id % 13 AS INT) AS width,

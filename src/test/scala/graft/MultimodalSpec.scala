@@ -258,6 +258,20 @@ class MultimodalSpec extends SparkSpec {
       FramePackDecoder.decode("video",
         Multimodal.packVideo(Seq(good, bad))) should not be None
     }
+    it("nearDuplicateVideos pairs planted twins and only those") {
+      // ids 1/11 share seed (mod 10 here), 2/12 likewise; 3 is alone
+      def vid(id: Long, seed: Long) = {
+        val (w, h) = (16 + (seed % 13).toInt, 12 + (seed % 9).toInt)
+        MediaRow(id, "video", Multimodal.packVideo(
+          (0 until 3).map(f => Multimodal.syntheticPng(seed * 131 + f, w, h))),
+          "{}")
+      }
+      val ds = Seq(vid(1, 1), vid(11, 1), vid(2, 2), vid(12, 2),
+        vid(3, 3)).toDS()
+      val pairs = Multimodal.nearDuplicateVideos(ds, maxDist = 1)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      pairs shouldBe Set((1L, 11L), (2L, 12L))
+    }
     it("extractFeatures over a synthetic video corpus is end-to-end") {
       val vids = Multimodal.syntheticVideos(
         Tables.documents(spark, sf).limit(30), "doc_id")
