@@ -301,10 +301,48 @@ object Dedup {
     * (the minimum id in each component) in any execution order.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, driverMaxEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(eager = true)
+    // Small-graph fast path: the near-dup pair graph is usually TINY
+    // relative to the corpus (pairs come out of LSH/banding, not
+    // all-pairs), and the distributed fixpoint pays rounds × several
+    // job latencies no matter how small the data. Under
+    // `driverMaxEdges` directed edges (16 MB at the 2^20 default —
+    // the same bounded-driver-step class as KMeans centroids or the
+    // BPE histogram cut) a driver union-find with min-id
+    // representatives produces the IDENTICAL labeling in one collect.
+    // Integral id columns only — anything else (or any bigger graph)
+    // takes the distributed loop below, which never collects.
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    lazy val nEdges = edges.count()
+    if (integralIds && nEdges <= driverMaxEdges) {
+      val es = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min id wins = the fixpoint's labeling
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = es.iterator.map(_._1).toArray.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toSeq
+        .toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(eager = true)

@@ -93,15 +93,49 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 42L, corpusTag: String = ""): DataFrame = {
-    val pairs = cosineNearDup(df, idCol, vecCol, threshold, nlist,
-      nprobe, seed, corpusTag).select(col("id1"), col("id2"))
+      seed: Long = 42L, corpusTag: String = ""): DataFrame =
+    semanticDedupFromPairs(df, idCol,
+      cosineNearDup(df, idCol, vecCol, threshold, nlist,
+        nprobe, seed, corpusTag))
+
+  /** [[semanticDedup]]'s selection stage over an EXISTING pair frame
+    * (columns id1/id2) — the production shape: near-dup pairs are a
+    * materialized artifact (a lake table, a [[cosineNearDupCached]]
+    * frame), and keep-one selection consumes it without re-running
+    * the similarity join.
+    */
+  def semanticDedupFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val losers = graft.operators.Dedup
-      .connectedComponents(pairs, "id1", "id2")
+      .connectedComponents(pairs.select(col("id1"), col("id2")),
+        "id1", "id2")
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Memo for [[cosineNearDupCached]] (the MinHashLsh.pairsMemo
+    * pattern): the pair sweep is the expensive stage every consumer
+    * (semantic dedup, leakage-safe splits, audits) shares per session.
+    */
+  private val pairsMemo =
+    new graft.sources.SessionMemo[(String, Double, Int, Int), DataFrame](
+      maxPerSession = 4, onEvict = _.unpersist(blocking = false))
+
+  /** [[cosineNearDup]] memoized per (corpusTag, threshold, nlist,
+    * nprobe) and eagerly materialized — callers that identify the
+    * corpus by tag share one sweep per session.
+    */
+  def cosineNearDupCached(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L, corpusTag: String = ""): DataFrame =
+    pairsMemo.getOrElseUpdate(df.sparkSession,
+      (corpusTag, threshold, nlist, nprobe)) {
+      val pairs = cosineNearDup(df, idCol, vecCol, threshold, nlist,
+        nprobe, seed, corpusTag).cache()
+      pairs.count() // materialize under the memo lock
+      pairs
+    }
 
   /** An IVF index: the centroid table (nlist rows, a plan literal —
     * the quantizer travels inside the expression, no join needed) and

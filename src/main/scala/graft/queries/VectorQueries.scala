@@ -72,9 +72,14 @@ object VectorQueries {
     // thins to 1e-5, so check.py SF-scopes the gate (rows-only
     // elsewhere) rather than bet on libm ulps.
     "dedup_semantic" -> { (s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.4, nprobe = 3,
-          corpusTag = dir)
+      // consumes the MATERIALIZED pair artifact (the dedup_components
+      // pattern): selection never re-runs the cosine sweep — in
+      // production the pair table is a lake artifact shared by every
+      // downstream consumer
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedupFromPairs(emb, "vec_id",
+          Similarity.cosineNearDupCached(emb, "vec_id", "embedding",
+            threshold = 0.4, nprobe = 3, corpusTag = dir))
         .select(col("vec_id"))
     },
 

@@ -133,6 +133,19 @@ class PipelineSpec extends SparkSpec {
       Dedup.connectedComponents(pairs, "a", "b")
         .select(countDistinct($"component")).as[Long].head() shouldBe 1L
     }
+    it("driver union-find and distributed fixpoint label identically") {
+      // a mixed graph: chain, triangle-cycle, two singleton edges
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 5L), (5L, 6L),
+        (6L, 7L), (10L, 11L), (20L, 21L), (21L, 12L), (12L, 2L))
+        .toDF("a", "b")
+      val fast = Dedup.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(pairs, "a", "b",
+          driverMaxEdges = 0L) // force the distributed loop
+        .as[(Long, Long)].collect().toMap
+      fast shouldBe dist
+      fast(12L) shouldBe 1L // 20-21-12-2 chain merges into the 1-group
+    }
   }
 
   describe("Dedup.fuzzyMatches") {
