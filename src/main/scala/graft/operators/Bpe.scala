@@ -108,8 +108,11 @@ object Bpe {
         var i = 0
         while (i < syms.size() - 1) {
           val k = syms.get(i) + ' ' + syms.get(i + 1)
-          val prev = pairW.get(k)
-          pairW.put(k, (if (prev == null) 0L else prev.longValue()) + wt)
+          // merge, not get()+put: get() on a missing key unboxes null
+          // to 0L in Scala, so the null check could never fire (the
+          // sum was still right — by the unboxing accident — but the
+          // code lied about how)
+          pairW.merge(k, wt, (a, b) => a + b)
           i += 1
         }
         wi += 1

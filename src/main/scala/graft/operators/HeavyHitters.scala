@@ -37,15 +37,20 @@ object HeavyHitters {
     * output row is (item) — membership only; counts are re-derived
     * exactly in the verify pass. `s` counters per partition.
     */
-  private[operators] def candidates(df: DataFrame, itemCol: String,
+  private[graft] def candidates(df: DataFrame, itemCol: String,
       s: Int): DataFrame = {
     val items = df.select(col(itemCol).cast("string")).na.drop()
       .as(Encoders.STRING)
     items.mapPartitions { it =>
       val counters = new java.util.HashMap[String, Long](s * 2)
       it.foreach { item =>
-        val cur = counters.get(item)
-        if (cur != null || counters.size < s)
+        // containsKey, NOT get()==null: the map is HashMap[String,
+        // Long] and Scala unboxes a missing key's null to 0L, so a
+        // null check can never fire (it silently disabled the
+        // decrement branch until round 10 — candidates stayed a
+        // correct superset, but the s-counter memory bound did not
+        // hold)
+        if (counters.containsKey(item) || counters.size < s)
           counters.merge(item, 1L, (a, b) => a + b)
         else {
           // decrement-all: drop every counter by 1, evict zeros

@@ -14,6 +14,19 @@ class HeavyHittersSpec extends SparkSpec {
       .orderBy($"cnt".desc, $"item".asc).limit(k)
       .as[(String, Long)].collect().toSeq
 
+  it("the sketch actually bounds per-partition state at s counters") {
+    // one partition, one heavy item among many singletons: a working
+    // Misra-Gries with s=8 must come back with at most 8 survivors
+    // (pre-round-10 the decrement branch was dead — Scala unboxed the
+    // missing-key null to 0L — and every distinct item survived)
+    val rows = Seq.fill(500)("hot") ++ (1 to 1000).map(i => s"rare$i")
+    val df = rows.toDF("item").repartition(1)
+    val cand = HeavyHitters.candidates(df, "item", s = 8)
+      .as[String].collect()
+    cand.length should be <= 8
+    cand should contain("hot") // the guarantee: > n/(s+1) survives
+  }
+
   it("matches the naive top-k on skewed data via the proven fast path") {
     // zipf-ish: item i appears ~1000/i times
     val rows = (1 to 50).flatMap(i =>

@@ -313,7 +313,14 @@ session (clone, ADD CONSTRAINT, OPTIMIZE, RESTORE, DROP CONSTRAINT,
 two DESCRIBE DETAIL probes, DESCRIBE HISTORY) executed serially —
 ~0.05 s per lake commit — while its oracle is a constant VALUES
 table; the row prices the whole maintenance session, deliberately not
-split into thinner gates that would each re-pay the clone.
+split into thinner gates that would each re-pay the clone. The same
+caveat reads across every fixed-expectations row: the `mm_*` dim and
+twin-recall gates decode thousands of REAL PNG/WAV payloads on the
+Spark side while their oracles are formulas over `documents` (DuckDB
+has no codec to pay), and the pinned `gold_cluster_*` /
+`consult_polygon_clusters` rows run a 10-restart KMeans fit against a
+constant VALUES table. Those rows exist to hash-prove correctness;
+their duckdb_sec column does not price comparable work.
 
 Totals over the {len([r for r in rows if r[1] is not None])} oracle-gated queries:
 DuckDB **{total:.2f} s**, Spark local[32] **{spark_total:.2f} s** raw —
