@@ -66,7 +66,11 @@ object VectorIndex {
     val JArray(cents) = j \ "centroids"
     Params(long(j \ "nlist").toInt, long(j \ "seed"),
       long(j \ "dim").toInt,
-      cents.map { case JArray(xs) => xs.map(dbl) })
+      cents.map {
+        case JArray(xs) => xs.map(dbl)
+        case other => throw new IllegalStateException(
+          s"vector-index params: expected centroid array, got $other")
+      })
   }
 
   /** Commit params as version 1 — or, if already claimed, verify the
