@@ -50,7 +50,6 @@ object BronzeQueries {
       root
     }
 
-  /** A fresh shallow clone of [[ordersLake]] for a mutating gate. */
   /** Memo for the synthetic media corpora: generating + PNG-encoding
     * thousands of frames is TEST-FIXTURE cost (production reads
     * binary columns off parquet), so it materializes once per session
@@ -71,6 +70,62 @@ object BronzeQueries {
       m
     }
 
+  // shared synthetic media corpora (each memoized once per session —
+  // see [[cachedMedia]]): the id-keyed variants feed the feature/dim
+  // gates, the seed-keyed (doc_id % 100) variants plant twins for the
+  // near-dup and recall gates
+  private def imageIdMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    cachedMedia(s, "image_id", dir)(graft.operators.Multimodal
+      .syntheticImages(Tables.documents(s, dir), "doc_id"))
+
+  private def imageSeededMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    cachedMedia(s, "image_seeded", dir) {
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val seed = id % 100
+            MediaRow(id, "image", Multimodal.syntheticPng(seed,
+              w = 16 + (seed % 17).toInt, h = 12 + (seed % 11).toInt),
+              s"""{"id":$id}""")
+          }
+        }
+    }
+
+  private def audioIdMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    cachedMedia(s, "audio_id", dir) {
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "audio",
+            Multimodal.syntheticWav(id, sampleRate = 8000,
+              seconds = 0.02 + (id % 5) * 0.01),
+            s"""{"id":$id}""")))
+    }
+
+  private def audioSeededMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    cachedMedia(s, "audio_seeded", dir) {
+      import graft.operators.{MediaRow, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "audio",
+            Multimodal.syntheticWav(id % 100, sampleRate = 8000,
+              seconds = 0.1),
+            s"""{"id":$id}""")))
+    }
+
+  /** A fresh shallow clone of [[ordersLake]] for a mutating gate. */
   private def clonedOrdersLake(s: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {
     val dst = s"/root/repo/target/lake/$name/" +
@@ -494,8 +549,7 @@ object BronzeQueries {
     // scalar for the grading harness (the typed API keeps the array).
     "mm_features" -> { (s, dir) =>
       import graft.operators.Multimodal
-      Multimodal.extractFeatures(
-        Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
+      Multimodal.extractFeatures(imageIdMedia(s, dir))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"), col("width"), col("height"), col("n_frames"),
@@ -508,16 +562,8 @@ object BronzeQueries {
     // the actual PCM samples. Envelope hashed for the harness like
     // mm_features; monotone-envelope + determinism spec-gated.
     "mm_audio_features" -> { (s, dir) =>
-      import graft.operators.{MediaRow, Multimodal}
-      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      val media = ids.mapPartitions(_.map(id =>
-        MediaRow(id, "audio",
-          Multimodal.syntheticWav(id, sampleRate = 8000,
-            seconds = 0.02 + (id % 5) * 0.01),
-          s"""{"id":$id}""")))
-      Multimodal.extractFeatures(media)
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(audioIdMedia(s, dir))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"),
@@ -533,17 +579,8 @@ object BronzeQueries {
     // (chunk, bucket, id) triples shuffle — the audio twin of
     // mm_image_dups.
     "mm_audio_dups" -> { (s, dir) =>
-      import graft.operators.{MediaRow, Multimodal}
-      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      val media = ids.mapPartitions(_.map { id =>
-        MediaRow(id, "audio",
-          Multimodal.syntheticWav(id % 100, sampleRate = 8000,
-            seconds = 0.1),
-          s"""{"id":$id}""")
-      })
-      Multimodal.nearDuplicateAudio(media, maxDist = 1)
+      graft.operators.Multimodal
+        .nearDuplicateAudio(audioSeededMedia(s, dir), maxDist = 1)
     },
 
     // Perceptual image near-dedup end-to-end ([R]: ImageIO decode has
@@ -555,20 +592,8 @@ object BronzeQueries {
     // deterministic twin set). Decode + hash are map-side; only
     // (chunk, bucket, id) triples shuffle.
     "mm_image_dups" -> { (s, dir) =>
-      import graft.operators.{MediaRow, Multimodal}
-      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      val media = ids.mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { id =>
-          val seed = id % 100
-          MediaRow(id, "image", Multimodal.syntheticPng(seed,
-            w = 16 + (seed % 17).toInt, h = 12 + (seed % 11).toInt),
-            s"""{"id":$id}""")
-        }
-      }
-      Multimodal.nearDuplicateImages(media, maxDist = 1)
+      graft.operators.Multimodal
+        .nearDuplicateImages(imageSeededMedia(s, dir), maxDist = 1)
     },
 
     // E11 [O] — planted-twin RECALL of the perceptual image dedup,
@@ -581,20 +606,8 @@ object BronzeQueries {
     // all drop/shift rows. The full pair set (with cross-seed
     // perceptual cousins) stays [R] as mm_image_dups.
     "mm_image_twin_recall" -> { (s, dir) =>
-      import graft.operators.{MediaRow, Multimodal}
-      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      val media = ids.mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { id =>
-          val seed = id % 100
-          MediaRow(id, "image", Multimodal.syntheticPng(seed,
-            w = 16 + (seed % 17).toInt, h = 12 + (seed % 11).toInt),
-            s"""{"id":$id}""")
-        }
-      }
-      Multimodal.nearDuplicateImages(media, maxDist = 1)
+      graft.operators.Multimodal
+        .nearDuplicateImages(imageSeededMedia(s, dir), maxDist = 1)
         .filter(pmod(col("id1"), lit(100)) === pmod(col("id2"), lit(100)))
     },
 
@@ -603,17 +616,8 @@ object BronzeQueries {
     // RMS-envelope fingerprint pipeline must recover exactly the
     // same-residue pairs at Hamming 0.
     "mm_audio_twin_recall" -> { (s, dir) =>
-      import graft.operators.{MediaRow, Multimodal}
-      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      val media = ids.mapPartitions(_.map { id =>
-        MediaRow(id, "audio",
-          Multimodal.syntheticWav(id % 100, sampleRate = 8000,
-            seconds = 0.1),
-          s"""{"id":$id}""")
-      })
-      Multimodal.nearDuplicateAudio(media, maxDist = 1)
+      graft.operators.Multimodal
+        .nearDuplicateAudio(audioSeededMedia(s, dir), maxDist = 1)
         .filter(pmod(col("id1"), lit(100)) === pmod(col("id2"), lit(100)))
     },
 
@@ -626,8 +630,7 @@ object BronzeQueries {
     // embedding stays [R]: no PNG codec in DuckDB.)
     "mm_image_dims" -> { (s, dir) =>
       import graft.operators.Multimodal
-      Multimodal.extractFeatures(
-        Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
+      Multimodal.extractFeatures(imageIdMedia(s, dir))
         .toDF()
         .select(col("media_id"), col("kind"), col("width"),
           col("height"), col("n_frames"))
@@ -685,16 +688,7 @@ object BronzeQueries {
     // every asset: header misparse, wrong sample width, or dropped
     // frames all shift a value. (RMS envelope stays [R].)
     "mm_audio_dims" -> { (s, dir) =>
-      import graft.operators.{MediaRow, Multimodal}
-      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-      val ids = Tables.documents(s, dir).select(col("doc_id").cast("long"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      val media = ids.mapPartitions(_.map(id =>
-        MediaRow(id, "audio",
-          Multimodal.syntheticWav(id, sampleRate = 8000,
-            seconds = 0.02 + (id % 5) * 0.01),
-          s"""{"id":$id}""")))
-      Multimodal.extractFeatures(media)
+      graft.operators.Multimodal.extractFeatures(audioIdMedia(s, dir))
         .toDF()
         .select(col("media_id"), col("kind"),
           col("width").as("sample_rate"), col("height").as("channels"),
