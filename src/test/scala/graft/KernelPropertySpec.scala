@@ -403,6 +403,41 @@ class KernelPropertySpec extends AnyFunSpec with Matchers {
       Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('é'),
         1 -> Gen.const('中'))).map(_.mkString)
 
+    it("BoundedLongs: arbitrary chunked merge + serde interleavings " +
+        "preserve multiset-up-to-cap semantics") {
+      import graft.expressions.{BoundedCollectLong, BoundedLongs}
+      val agg = (limit: Int) => BoundedCollectLong(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), limit)
+      val gen = for {
+        limit <- Gen.choose(1, 64)
+        vals <- Gen.listOf(Gen.choose(-1000L, 1000L))
+        cuts <- Gen.listOf(Gen.choose(0, math.max(vals.size, 1)))
+        serde <- Gen.listOf(Gen.oneOf(true, false))
+      } yield (limit, vals, cuts.sorted.distinct, serde)
+      holds(forAll(gen) { case (limit, vals, cuts, serde) =>
+        val a = agg(limit)
+        // split into chunks at the random cut points, one buffer per
+        // chunk (optionally serde-roundtripped), then fold-merge
+        val bounds = (0 +: cuts :+ vals.size).distinct.sorted
+        val chunks = bounds.zip(bounds.tail).map { case (x, y) =>
+          vals.slice(x, y) }
+        val buffers = chunks.zipWithIndex.map { case (c, i) =>
+          val b = new BoundedLongs(limit)
+          c.foreach(b.add)
+          if (serde.lift(i).getOrElse(false))
+            a.deserialize(a.serialize(b))
+          else b
+        }
+        val merged = buffers.foldLeft(a.createAggregationBuffer())(
+          (acc, b) => a.merge(acc, b))
+        val out = a.eval(merged)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq
+        if (vals.size > limit) out.isEmpty
+        else out.sorted == vals.sorted // exact multiset under the cap
+      })
+    }
+
     it("dsirBuckets: 2n-1 features, all in range, bigram == unigram " +
         "of the space-joined gram") {
       holds(forAll(Gen.listOf(word), Gen.choose(2, 8192)) { (ws, b) =>
