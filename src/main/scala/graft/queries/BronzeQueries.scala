@@ -58,7 +58,9 @@ object BronzeQueries {
     */
   private val mediaMemo = new graft.sources.SessionMemo[(String, String),
       org.apache.spark.sql.Dataset[graft.operators.MediaRow]](
-    maxPerSession = 6, onEvict = _.unpersist(blocking = false))
+    // 6 corpora live today (image/audio/video × id/seeded) — headroom
+    // so one more variant can't set off evict-recompute thrash
+    maxPerSession = 12, onEvict = _.unpersist(blocking = false))
 
   private def cachedMedia(s: org.apache.spark.sql.SparkSession,
       key: String, dir: String)(
