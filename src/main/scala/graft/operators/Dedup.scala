@@ -130,7 +130,12 @@ object Dedup {
     // packedIds=false for 64-bit ids). Earlier negatives stand:
     // (id,n)-per-side 2-long key 1.66s, four-key grouping 2.93s,
     // separate cardinality table +0.3s, mapPartitions run-length
-    // +0.4s, struct collect_list 8×. The remaining gap vs DuckDB is
+    // +0.4s, struct collect_list 8×; round-10: raising
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold to
+    // 1e6 (keep the postings agg hash-based instead of sort-falling-
+    // back at 128 keys) measured NO improvement (1.5-1.9s, noisy) —
+    // and the sort fallback is the spill path, so the default stays.
+    // The remaining gap vs DuckDB is
     // the per-row constant of one ~1M-row hash exchange, not plan
     // shape — fixed task overheads amortize with bigger partitions at
     // scale, and the operator's 100-TB role stays verify-tier (LSH
