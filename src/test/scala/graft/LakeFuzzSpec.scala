@@ -48,7 +48,7 @@ class LakeFuzzSpec extends SparkSpec {
       history :+= (v0, model, vName)
 
       for (step <- 1 to 16) {
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         val clue = s"seed=$seed step=$step op=$op"
         op match {
           case 0 => // append fresh ids
@@ -113,6 +113,16 @@ class LakeFuzzSpec extends SparkSpec {
             history :+= (v, model, vName)
           case 9 => // bloom-index build: metadata-only, no data change
             val v = AtomicLake.indexBloom(spark, root, Seq("id"))
+            history :+= (v, model, vName)
+          case 10 => // clustered layout rewrite (plain / Morton /
+            // Hilbert): the round-9 lesson made concrete — the LAYOUT
+            // changes, the contents must not, composed with whatever
+            // deletes/DVs/renames/restores came before
+            val curve = rnd.nextInt(3)
+            val v = AtomicLake.cluster(spark, root,
+              if (curve == 0) Seq("id") else Seq("id", vName),
+              filesPerPartition = 1 + rnd.nextInt(2),
+              zorder = curve == 1, hilbert = curve == 2)
             history :+= (v, model, vName)
         }
         withClue(clue) { readState(root, vName) shouldBe model }
