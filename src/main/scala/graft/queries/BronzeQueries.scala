@@ -127,6 +127,42 @@ object BronzeQueries {
             s"""{"id":$id}""")))
     }
 
+  /** One-per-session WARC fixture (A9): the documents corpus exported
+    * as real WARC files — three plain, one gzipped — by an
+    * executor-side one-file-per-partition writer (the export shape).
+    */
+  private val warcMemo = new graft.sources.SessionMemo[String, String]()
+
+  private def warcFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    warcMemo.getOrElseUpdate(s, dir) {
+      val root = "/root/repo/target/warc_roundtrip/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .repartition(4)
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val ext = if (pid == 3) ".warc.gz" else ".warc"
+          val recs = it.map { case (id, text) =>
+            graft.sources.WarcIngest.responseRecordBytes(
+              s"https://graft.invalid/doc/$id",
+              "2024-01-01T00:00:00Z", text.getBytes("UTF-8"))
+          }
+          Iterator.single(graft.sources.WarcIngest.writeWarcFile(
+            conf.value, s"$root/part-$pid$ext", recs))
+        }
+        .collect()
+      root
+    }
+
   /** A fresh shallow clone of [[ordersLake]] for a mutating gate. */
   private def clonedOrdersLake(s: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {
@@ -598,6 +634,21 @@ object BronzeQueries {
         .nearDuplicateImages(imageSeededMedia(s, dir), maxDist = 1)
     },
 
+    // A9 [O] — WARC crawl-archive ingest, round-tripped end-to-end:
+    // the documents corpus exports as REAL WARC files (stored
+    // HTTP/1.1 responses; one of the four files gzipped, exercising
+    // the streaming inflate path), then WarcIngest stream-parses the
+    // records and the recovered (doc_id, text) set must hash-match
+    // the source table — framing, Content-Length accounting, HTTP
+    // header split, and byte-exact body recovery all gate at once.
+    "bronze_warc_roundtrip" -> { (s, dir) =>
+      val root = warcFixture(s, dir)
+      graft.sources.WarcIngest.responses(s, s"$root/part-*")
+        .filter(col("http_status") === 200)
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("text"))
+    },
+
     // E11 [O] — planted-twin RECALL of the perceptual image dedup,
     // hash-gated at every SF: docs seeded by doc_id % 100 are
     // pixel-identical, so the exact twin pair set is a formula over
@@ -705,6 +756,8 @@ object BronzeQueries {
     // generators pin every decoded dimension as a function of the id
     // (see the query comments), so the oracle derives them from
     // `documents` without any codec
+    "bronze_warc_roundtrip" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents",
     "mm_image_twin_recall" ->
       """SELECT CAST(a.doc_id AS BIGINT) AS id1,
         |  CAST(b.doc_id AS BIGINT) AS id2,

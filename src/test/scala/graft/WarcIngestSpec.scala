@@ -1,0 +1,129 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.sources.WarcIngest
+
+/** WARC crawl-archive ingest: streaming record parse, HTTP split,
+  * gzip path, and the quarantine contract for corrupt archives.
+  */
+class WarcIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scratch = "/root/repo/target/test-scratch/warc_spec"
+
+  private def rawRecord(headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("WARC/1.0\r\n".getBytes("UTF-8"))
+    headers.foreach { case (k, v) =>
+      out.write(s"$k: $v\r\n".getBytes("UTF-8")) }
+    out.write(s"Content-Length: ${payload.length}\r\n\r\n"
+      .getBytes("UTF-8"))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  describe("records") {
+    it("parses mixed record types with full field fidelity, " +
+        "plain and gzipped") {
+      val info = rawRecord(Seq("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:x:info>",
+        "WARC-Date" -> "2024-02-03T04:05:06Z",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft\r\n".getBytes("UTF-8"))
+      val resp = WarcIngest.responseRecordBytes(
+        "https://example.test/a?x=1", "2024-02-03T04:05:07Z",
+        "héllo wörld".getBytes("UTF-8"),
+        httpContentType = "text/plain; charset=utf-8",
+        recordId = "<urn:x:resp>")
+      val req = rawRecord(Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> "https://example.test/a?x=1",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /a?x=1 HTTP/1.1\r\nHost: example.test\r\n\r\n"
+          .getBytes("UTF-8"))
+      for (ext <- Seq("warc", "warc.gz")) {
+        val path = s"$scratch/mixed.$ext"
+        WarcIngest.writeWarcFile(spark, path, Seq(info, resp, req))
+        val rows = WarcIngest.records(spark, path).collect()
+          .sortBy(_.record_index)
+        rows.length shouldBe 3
+        rows.foreach(_.error shouldBe null)
+        rows.map(_.warc_type).toSeq shouldBe
+          Seq("warcinfo", "response", "request")
+        val r = rows(1)
+        r.record_id shouldBe "<urn:x:resp>"
+        r.target_uri shouldBe "https://example.test/a?x=1"
+        r.warc_date shouldBe "2024-02-03T04:05:07Z"
+        r.http_status shouldBe 200
+        r.http_content_type shouldBe "text/plain; charset=utf-8"
+        new String(r.body, "UTF-8") shouldBe "héllo wörld"
+        rows(0).http_status shouldBe null // non-response: raw payload
+        new String(rows(0).body, "UTF-8") should include("graft")
+      }
+    }
+    it("a truncated payload quarantines the file with a loud reason") {
+      val good = WarcIngest.responseRecordBytes("https://t/1",
+        "2024-01-01T00:00:00Z", "ok".getBytes)
+      val cut = rawRecord(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://t/2"),
+        "0123456789".getBytes).dropRight(12) // rip into the payload
+      val path = s"$scratch/trunc.warc"
+      WarcIngest.writeWarcFile(spark, path, Seq(good, cut))
+      val rows = WarcIngest.records(spark, path).collect()
+        .sortBy(_.record_index)
+      rows.head.error shouldBe null // the intact record still lands
+      rows.last.error should include("truncated")
+      rows.length shouldBe 2
+    }
+    it("garbage bytes produce one error row, not an exception") {
+      val path = s"$scratch/garbage.warc"
+      WarcIngest.writeWarcFile(spark, path,
+        Seq("this is not a warc file at all\r\n".getBytes))
+      val rows = WarcIngest.records(spark, path).collect()
+      rows.length shouldBe 1
+      rows.head.error should include("expected WARC/ version")
+    }
+    it("a non-HTTP response payload degrades to a raw body") {
+      val odd = rawRecord(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://t/odd"),
+        "just bytes, no status line".getBytes)
+      val path = s"$scratch/odd.warc"
+      WarcIngest.writeWarcFile(spark, path, Seq(odd))
+      val r = WarcIngest.records(spark, path).collect().head
+      r.error shouldBe null
+      r.http_status shouldBe null
+      new String(r.body, "UTF-8") shouldBe "just bytes, no status line"
+    }
+  }
+
+  describe("responses") {
+    it("globs across plain+gz files and decodes text bodies") {
+      val a = WarcIngest.responseRecordBytes("https://t/10",
+        "2024-01-01T00:00:00Z", "alpha".getBytes("UTF-8"))
+      val b = WarcIngest.responseRecordBytes("https://t/11",
+        "2024-01-01T00:00:00Z", "beta".getBytes("UTF-8"))
+      WarcIngest.writeWarcFile(spark, s"$scratch/resp1.warc", Seq(a))
+      WarcIngest.writeWarcFile(spark, s"$scratch/resp2.warc.gz", Seq(b))
+      val texts = WarcIngest.responses(spark, s"$scratch/resp*")
+        .select("text").as[String].collect().toSet
+      texts shouldBe Set("alpha", "beta")
+    }
+  }
+
+  describe("parseHttp") {
+    it("is header-case-insensitive and handles a missing separator") {
+      val msg = ("HTTP/1.1 404 Not Found\r\ncOnTeNt-TyPe: text/html\r\n" +
+        "\r\n<x>").getBytes("UTF-8")
+      val (st, ct, body) = WarcIngest.parseHttp(msg)
+      st shouldBe 404
+      ct shouldBe "text/html"
+      new String(body, "UTF-8") shouldBe "<x>"
+      val headless = "HTTP/1.1 200 OK\r\nX: y".getBytes("UTF-8")
+      val (st2, _, body2) = WarcIngest.parseHttp(headless)
+      st2 shouldBe 200
+      body2.length shouldBe 0 // no separator → no entity body
+    }
+  }
+}
