@@ -81,6 +81,46 @@ object WarcIngest {
         col("http_status"), col("http_content_type"),
         col("body").cast("string").as("text"))
 
+  /** Streaming crawl ingest: tail a landing directory of WARC files
+    * (the crawl-drop workflow — segments land as whole files) as a
+    * record stream; same parse, same quarantine rows as [[records]].
+    * The streaming variant rides the binary-file source, so its
+    * memory bound is one FILE per row rather than one record — the
+    * right trade for how drops actually land (bounded segment files);
+    * a tail over multi-GB archives belongs on the batch reader.
+    */
+  def stream(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
+    implicit val enc = Encoders.product[WarcRecord]
+    import org.apache.spark.sql.types._
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.warc*")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) => parseBytes(p, bytes) }
+  }
+
+  /** Parse one in-memory WARC payload (plain or gzipped) — the
+    * record walk behind [[stream]]; shares every code path with the
+    * batch reader.
+    */
+  private[graft] def parseBytes(file: String, bytes: Array[Byte])
+      : Iterator[WarcRecord] = {
+    val buf = new BufferedInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 16)
+    val in: InputStream =
+      if (isGzip(buf)) new GZIPInputStream(buf, 1 << 16) else buf
+    new RecordIterator(file, new DataInputStream(
+      new BufferedInputStream(in, 1 << 16)))
+  }
+
   private def isGzip(in: BufferedInputStream): Boolean = {
     in.mark(2)
     val (a, b) = (in.read(), in.read())

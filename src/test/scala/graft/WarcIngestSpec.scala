@@ -112,6 +112,41 @@ class WarcIngestSpec extends SparkSpec {
     }
   }
 
+  describe("stream (crawl-drop tailing)") {
+    it("tails a landing dir across micro-batches, quarantine included") {
+      val landing = s"$scratch/landing"
+      val lp = new org.apache.hadoop.fs.Path(landing)
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(lp)
+      val q = WarcIngest.stream(spark, landing)
+        .writeStream.format("memory").queryName("warc_stream")
+        .outputMode("append").start()
+      try {
+        WarcIngest.writeWarcFile(spark, s"$landing/d1.warc", Seq(
+          WarcIngest.responseRecordBytes("https://t/1",
+            "2024-01-01T00:00:00Z", "one".getBytes("UTF-8"))))
+        q.processAllAvailable()
+        spark.table("warc_stream").count() shouldBe 1
+        // second drop: a gzipped good file AND a corrupt one
+        WarcIngest.writeWarcFile(spark, s"$landing/d2.warc.gz", Seq(
+          WarcIngest.responseRecordBytes("https://t/2",
+            "2024-01-01T00:00:01Z", "two".getBytes("UTF-8"))))
+        WarcIngest.writeWarcFile(spark, s"$landing/bad.warc",
+          Seq("not a warc\r\n".getBytes))
+        q.processAllAvailable()
+        val rows = spark.table("warc_stream").collect()
+        rows.length shouldBe 3
+        val texts = spark.table("warc_stream")
+          .filter($"error".isNull)
+          .select($"body".cast("string")).as[String].collect().toSet
+        texts shouldBe Set("one", "two")
+        spark.table("warc_stream").filter($"error".isNotNull)
+          .count() shouldBe 1
+      } finally q.stop()
+    }
+  }
+
   describe("parseHttp") {
     it("is header-case-insensitive and handles a missing separator") {
       val msg = ("HTTP/1.1 404 Not Found\r\ncOnTeNt-TyPe: text/html\r\n" +
