@@ -107,6 +107,36 @@ object WarcIngest {
       .flatMap { case (p, bytes) => parseBytes(p, bytes) }
   }
 
+  /** Per-micro-batch sink for a [[stream]] frame — the JsonlIngest
+    * ingestSink posture at the WARC boundary: parsed `response`
+    * records append atomically to the lake at `tablePath` as
+    * (target_uri, warc_date, http_status, http_content_type, text);
+    * error rows land in `quarantinePath` with file + reason. A
+    * poisoned segment file slows nothing and loses nothing.
+    */
+  def ingestSink(stream: Dataset[WarcRecord], tablePath: String,
+      quarantinePath: String, checkpoint: String,
+      store: CommitStore = HardlinkCommitStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        val clean = pinned
+          .filter(col("error").isNull && col("warc_type") === "response")
+          .select(col("target_uri"), col("warc_date"),
+            col("http_status"), col("http_content_type"),
+            col("body").cast("string").as("text"))
+        val bad = pinned.filter(col("error").isNotNull)
+          .select(col("file"), col("error"))
+        if (!clean.isEmpty) AtomicLake.append(clean, tablePath,
+          store = store)
+        if (!bad.isEmpty) AtomicLake.append(bad, quarantinePath,
+          store = store)
+        ()
+      }
+
   /** Parse one in-memory WARC payload (plain or gzipped) — the
     * record walk behind [[stream]]; shares every code path with the
     * batch reader.

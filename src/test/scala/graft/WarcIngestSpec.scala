@@ -147,6 +147,40 @@ class WarcIngestSpec extends SparkSpec {
     }
   }
 
+  describe("ingestSink") {
+    it("appends clean responses to the lake, quarantines poison files") {
+      val landing = s"$scratch/sink_landing"
+      val table = s"$scratch/sink_table"
+      val quarantine = s"$scratch/sink_quarantine"
+      val ck = s"$scratch/sink_ck"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(landing, table, quarantine, ck).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      val q = WarcIngest.ingestSink(WarcIngest.stream(spark, landing),
+        table, quarantine, ck).start()
+      try {
+        WarcIngest.writeWarcFile(spark, s"$landing/a.warc", Seq(
+          WarcIngest.responseRecordBytes("https://t/1",
+            "2024-01-01T00:00:00Z", "alpha".getBytes("UTF-8")),
+          WarcIngest.responseRecordBytes("https://t/2",
+            "2024-01-01T00:00:01Z", "beta".getBytes("UTF-8"))))
+        WarcIngest.writeWarcFile(spark, s"$landing/poison.warc",
+          Seq("corrupt bytes\r\n".getBytes))
+        q.processAllAvailable()
+        val tbl = graft.sources.AtomicLake.read(spark, table)
+        tbl.count() shouldBe 2
+        tbl.select($"text").as[String].collect().toSet shouldBe
+          Set("alpha", "beta")
+        val bad = graft.sources.AtomicLake.read(spark, quarantine)
+        bad.count() shouldBe 1
+        bad.select($"error").as[String].head() should
+          include("expected WARC/ version")
+      } finally q.stop()
+    }
+  }
+
   describe("parseHttp") {
     it("is header-case-insensitive and handles a missing separator") {
       val msg = ("HTTP/1.1 404 Not Found\r\ncOnTeNt-TyPe: text/html\r\n" +
