@@ -88,6 +88,12 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       packedIds: Boolean = true, maxDf: Int = 65536): DataFrame = {
     require(maxDf > 0, s"maxDf must be > 0: $maxDf")
+    // the pair kernel's documented feasibility ceiling
+    // (idPairsFromPostings refuses longer posting lists) — misuse
+    // fails at plan-build time, not mid-job from inside a task
+    require(maxDf <= 65536,
+      s"maxDf must be <= 65536 (the pair kernel's posting-list " +
+        s"bound): $maxDf")
     // ONE corpus scan: hash the shingles once (8-byte join keys — see
     // [[shingleHashes]]), and let every posting row carry its doc's
     // shingle cardinality, so the Jaccard denominator needs no

@@ -119,23 +119,31 @@ object Similarity {
     * (semantic dedup, leakage-safe splits, audits) shares per session.
     */
   private val pairsMemo =
-    new graft.sources.SessionMemo[(String, Double, Int, Int), DataFrame](
+    new graft.sources.SessionMemo[(String, Double, Int, Int, Long),
+      DataFrame](
       maxPerSession = 4, onEvict = _.unpersist(blocking = false))
 
   /** [[cosineNearDup]] memoized per (corpusTag, threshold, nlist,
-    * nprobe) and eagerly materialized — callers that identify the
-    * corpus by tag share one sweep per session.
+    * nprobe, seed) and eagerly materialized — callers that identify
+    * the corpus by tag share one sweep per session. `corpusTag` must
+    * be non-empty: the tag IS the memo's notion of corpus identity,
+    * and an empty default would hand one corpus's pair frame to a
+    * caller holding a different DataFrame.
     */
   def cosineNearDupCached(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 42L, corpusTag: String = ""): DataFrame =
+      seed: Long = 42L, corpusTag: String): DataFrame = {
+    require(corpusTag.nonEmpty,
+      "cosineNearDupCached requires a non-empty corpusTag (the memo " +
+        "key's corpus identity); use cosineNearDup for an untagged sweep")
     pairsMemo.getOrElseUpdate(df.sparkSession,
-      (corpusTag, threshold, nlist, nprobe)) {
+      (corpusTag, threshold, nlist, nprobe, seed)) {
       val pairs = cosineNearDup(df, idCol, vecCol, threshold, nlist,
         nprobe, seed, corpusTag).cache()
       pairs.count() // materialize under the memo lock
       pairs
     }
+  }
 
   /** An IVF index: the centroid table (nlist rows, a plan literal —
     * the quantizer travels inside the expression, no join needed) and

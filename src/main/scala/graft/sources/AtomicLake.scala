@@ -108,7 +108,15 @@ object AtomicLake {
       // and a batch that DOES provide it is validated cell-by-cell
       // against the expression in the same one-pass aggregation as
       // the CHECK constraints
-      generated: Map[String, String] = Map.empty)
+      generated: Map[String, String] = Map.empty,
+      // writer-transaction watermarks (Delta's txn action): appId ->
+      // highest transaction version committed by that writer. The
+      // streaming-sink replay contract: foreachBatch writers tag each
+      // commit with (appId, batchId) and skip batches at or below
+      // [[lastTxn]], turning at-least-once micro-batch redelivery
+      // into exactly-once lake appends. Carried manifest-to-manifest
+      // like the schema; absent on older manifests
+      txns: Map[String, Long] = Map.empty)
 
   /** `logical` column's physical parquet name under this snapshot. */
   private def physicalOf(snap: Snapshot, logical: String): String =
@@ -168,6 +176,7 @@ object AtomicLake {
     var colMap = Map.empty[String, String]
     var dropped = Set.empty[String]
     var generated = Map.empty[String, String]
+    var txns = Map.empty[String, Long]
     var headers = true
     while (headers) rest match {
       case h +: tl if h.startsWith("schema=") =>
@@ -210,6 +219,13 @@ object AtomicLake {
           case _ => ()
         }
         rest = tl
+      case h +: tl if h.startsWith("txn=") =>
+        // txn=<appId>\t<version>
+        h.drop("txn=".length).split("\t", 2) match {
+          case Array(a, v) => v.toLongOption.foreach(txns += a -> _)
+          case _ => ()
+        }
+        rest = tl
       case _ => headers = false
     }
     val fileLines = rest
@@ -240,7 +256,7 @@ object AtomicLake {
     val dvs = parsed.iterator
       .flatMap { case (_, f, _, dv) => dv.map(f -> _) }.toMap
     Snapshot(v, partitionCols, files, schema, kind, stats, constraints,
-      ts, dvs, blooms, colMap, dropped, generated)
+      ts, dvs, blooms, colMap, dropped, generated, txns)
   }
 
   /** Lossless widenings the parquet read path upcasts natively
@@ -550,7 +566,11 @@ object AtomicLake {
       // dropped-column tombstones (physical names): same contract
       newDropped: Option[Set[String]] = None,
       // generated-column expressions: same Some-sets/None-inherits
-      newGenerated: Option[Map[String, String]] = None): Long = {
+      newGenerated: Option[Map[String, String]] = None,
+      // writer-transaction watermarks to RECORD with this commit
+      // (appId -> version); merged over the previous snapshot's map —
+      // a txn entry never disappears, only advances
+      newTxns: Map[String, Long] = Map.empty): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -686,6 +706,10 @@ object AtomicLake {
         prev.map(_.generated).getOrElse(Map.empty))
       for ((c, e) <- generatedMap.toSeq.sortBy(_._1))
         body.append("generated=").append(c).append('\t').append(e)
+          .append('\n')
+      val txnMap = prev.map(_.txns).getOrElse(Map.empty) ++ newTxns
+      for ((a, v) <- txnMap.toSeq.sortBy(_._1))
+        body.append("txn=").append(a).append('\t').append(v)
           .append('\n')
       // surviving files keep the stats their own commit harvested;
       // new files bring theirs — a file's zone map never changes
@@ -1079,14 +1103,28 @@ object AtomicLake {
     */
   def append(batch: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, filesPerPartition: Int = 1,
-      store: CommitStore = HardlinkCommitStore): Long = {
+      store: CommitStore = HardlinkCommitStore,
+      // exactly-once replay for streaming writers: record
+      // (appId -> version) with the commit; pair with [[lastTxn]] to
+      // skip an already-committed micro-batch on redelivery
+      txn: Option[(String, Long)] = None): Long = {
     val prepared = prepareBatch(batch, root, store)
     val staged = stageFiles(prepared, root, partitionCols,
       filesPerPartition, colMap = currentColMap(root, store))
     commitReplacing(root, Set.empty, staged.files, partitionCols,
       batchSchema = Some(prepared.schema), store = store,
-      newStats = staged.stats)
+      newStats = staged.stats,
+      newTxns = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty))
   }
+
+  /** Highest transaction version writer `appId` has committed at
+    * `root` (None before its first tagged commit, or before the table
+    * exists). The read half of the exactly-once streaming contract:
+    * a foreachBatch writer skips `batchId <= lastTxn(...)`.
+    */
+  def lastTxn(root: String, appId: String,
+      store: CommitStore = HardlinkCommitStore): Option[Long] =
+    currentSnapshot(root, store).flatMap(_.txns.get(appId))
 
   /** Replace the WHOLE table contents in one commit — including any
     * partition a concurrent writer commits while this overwrite is

@@ -98,19 +98,29 @@ object JsonlIngest {
       tablePath: String, quarantinePath: String, checkpoint: String,
       store: CommitStore = HardlinkCommitStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    // exactly-once: tag each table's append with (appId, batchId)
+    // (the manifest txn watermark) and skip redelivered micro-batches
+    val appId = s"jsonl-ingest:$checkpoint"
     taggedStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one pinned evaluation serves both sides (the appendExpect
         // discipline — parse each line once, not once per consumer)
         val pinned = batch.localCheckpoint()
-        val clean = cleanOf(pinned, schema)
-        val bad = quarantineOf(pinned)
-        if (!clean.isEmpty) AtomicLake.append(clean, tablePath,
-          store = store)
-        if (!bad.isEmpty) AtomicLake.append(bad, quarantinePath,
-          store = store)
+        try {
+          val clean = cleanOf(pinned, schema)
+          val bad = quarantineOf(pinned)
+          def fresh(root: String): Boolean =
+            !AtomicLake.lastTxn(root, appId, store).exists(_ >= batchId)
+          if (fresh(tablePath) && !clean.isEmpty)
+            AtomicLake.append(clean, tablePath, store = store,
+              txn = Some(appId -> batchId))
+          if (fresh(quarantinePath) && !bad.isEmpty)
+            AtomicLake.append(bad, quarantinePath, store = store,
+              txn = Some(appId -> batchId))
+        } finally pinned.unpersist(blocking = false)
         ()
       }
+  }
 }

@@ -60,16 +60,33 @@ object WarcIngest {
       .repartition(math.max(files.size, 1))
       .mapPartitions { paths =>
         paths.flatMap { file =>
-          val raw = new Path(file).getFileSystem(conf.value)
-            .open(new Path(file))
-          val buf = new BufferedInputStream(raw, 1 << 16)
-          val in: InputStream =
-            if (isGzip(buf)) new GZIPInputStream(buf, 1 << 16) else buf
-          new RecordIterator(file, new DataInputStream(
-            new BufferedInputStream(in, 1 << 16)))
+          openRecords(file, () => new Path(file)
+            .getFileSystem(conf.value).open(new Path(file)))
         }
       }
   }
+
+  /** Open one WARC stream as a record iterator under the quarantine
+    * contract: a failure OPENING the stream (unreadable file, corrupt
+    * gzip header — GZIPInputStream's constructor reads it) is one
+    * error row for the file, never an exception. Mid-stream
+    * corruption is handled inside [[RecordIterator]].
+    */
+  private def openRecords(file: String, mk: () => InputStream)
+      : Iterator[WarcRecord] =
+    try {
+      val buf = new BufferedInputStream(mk(), 1 << 16)
+      val in: InputStream =
+        if (isGzip(buf)) new GZIPInputStream(buf, 1 << 16) else buf
+      new RecordIterator(file, new DataInputStream(
+        new BufferedInputStream(in, 1 << 16)))
+    } catch {
+      case e @ (_: java.io.IOException | _: RuntimeException) =>
+        Iterator.single(WarcRecord(file, 0, null, null, null, null,
+          null, null, null, Array.emptyByteArray,
+          s"unreadable file (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage})"))
+    }
 
   /** [[records]] narrowed to HTTP `response` records with a decoded
     * UTF-8 text body — the crawl→documents bridge.
@@ -113,43 +130,50 @@ object WarcIngest {
     * (target_uri, warc_date, http_status, http_content_type, text);
     * error rows land in `quarantinePath` with file + reason. A
     * poisoned segment file slows nothing and loses nothing.
+    *
+    * Exactly-once: each append is tagged with (appId, batchId)
+    * through the manifest's txn watermark, so a micro-batch the
+    * checkpoint redelivers (crash between commit and checkpoint
+    * advance) is skipped per table instead of appended twice.
     */
   def ingestSink(stream: Dataset[WarcRecord], tablePath: String,
       quarantinePath: String, checkpoint: String,
       store: CommitStore = HardlinkCommitStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    val appId = s"warc-ingest:$checkpoint"
     stream.toDF().writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pinned = batch.localCheckpoint()
-        val clean = pinned
-          .filter(col("error").isNull && col("warc_type") === "response")
-          .select(col("target_uri"), col("warc_date"),
-            col("http_status"), col("http_content_type"),
-            col("body").cast("string").as("text"))
-        val bad = pinned.filter(col("error").isNotNull)
-          .select(col("file"), col("error"))
-        if (!clean.isEmpty) AtomicLake.append(clean, tablePath,
-          store = store)
-        if (!bad.isEmpty) AtomicLake.append(bad, quarantinePath,
-          store = store)
+        try {
+          val clean = pinned
+            .filter(col("error").isNull && col("warc_type") === "response")
+            .select(col("target_uri"), col("warc_date"),
+              col("http_status"), col("http_content_type"),
+              col("body").cast("string").as("text"))
+          val bad = pinned.filter(col("error").isNotNull)
+            .select(col("file"), col("error"))
+          def fresh(root: String): Boolean =
+            !AtomicLake.lastTxn(root, appId, store).exists(_ >= batchId)
+          if (fresh(tablePath) && !clean.isEmpty)
+            AtomicLake.append(clean, tablePath, store = store,
+              txn = Some(appId -> batchId))
+          if (fresh(quarantinePath) && !bad.isEmpty)
+            AtomicLake.append(bad, quarantinePath, store = store,
+              txn = Some(appId -> batchId))
+        } finally pinned.unpersist(blocking = false)
         ()
       }
+  }
 
   /** Parse one in-memory WARC payload (plain or gzipped) — the
     * record walk behind [[stream]]; shares every code path with the
     * batch reader.
     */
   private[graft] def parseBytes(file: String, bytes: Array[Byte])
-      : Iterator[WarcRecord] = {
-    val buf = new BufferedInputStream(
-      new java.io.ByteArrayInputStream(bytes), 1 << 16)
-    val in: InputStream =
-      if (isGzip(buf)) new GZIPInputStream(buf, 1 << 16) else buf
-    new RecordIterator(file, new DataInputStream(
-      new BufferedInputStream(in, 1 << 16)))
-  }
+      : Iterator[WarcRecord] =
+    openRecords(file, () => new java.io.ByteArrayInputStream(bytes))
 
   private def isGzip(in: BufferedInputStream): Boolean = {
     in.mark(2)
@@ -182,10 +206,25 @@ object WarcIngest {
       nextRec = WarcRecord(file, idx, null, null, null, null, null,
         null, null, Array.emptyByteArray, msg)
       done = true
-      in.close()
+      try in.close()
+      catch { case _: java.io.IOException => () }
     }
 
-    private def advance(): Unit = {
+    /** Every read in the walk funnels through here so mid-stream
+      * decompression failures (ZipException / "Unexpected end of
+      * ZLIB input stream" from a truncated or corrupt .warc.gz —
+      * both IOExceptions the inflater throws from ANY read call)
+      * honor the same error-row contract as structural violations.
+      */
+    private def advance(): Unit =
+      try advanceRecord()
+      catch {
+        case e @ (_: java.io.IOException | _: RuntimeException) =>
+          fail(s"record $idx: unreadable stream " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
+
+    private def advanceRecord(): Unit = {
       // skip inter-record blank lines; EOF here is a clean end
       var line = readLine()
       while (line != null && line.isEmpty) line = readLine()

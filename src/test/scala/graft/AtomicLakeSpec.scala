@@ -206,6 +206,44 @@ class AtomicLakeSpec extends SparkSpec {
     }
   }
 
+  describe("txn watermarks (exactly-once streaming replay)") {
+    it("append records (appId, version); lastTxn reads it back and " +
+        "survives untagged commits") {
+      val root = freshRoot("txn")
+      AtomicLake.lastTxn(root, "sink-a") shouldBe None
+      AtomicLake.append(Seq((1, "x")).toDF("id", "v"), root,
+        txn = Some("sink-a" -> 0L))
+      AtomicLake.lastTxn(root, "sink-a") shouldBe Some(0L)
+      // an untagged writer (compaction, another producer) must not
+      // erase the watermark
+      AtomicLake.append(Seq((2, "y")).toDF("id", "v"), root)
+      AtomicLake.compact(spark, root)
+      AtomicLake.lastTxn(root, "sink-a") shouldBe Some(0L)
+      // advance; a second app keeps its own watermark
+      AtomicLake.append(Seq((3, "z")).toDF("id", "v"), root,
+        txn = Some("sink-a" -> 1L))
+      AtomicLake.append(Seq((4, "w")).toDF("id", "v"), root,
+        txn = Some("sink-b" -> 7L))
+      AtomicLake.lastTxn(root, "sink-a") shouldBe Some(1L)
+      AtomicLake.lastTxn(root, "sink-b") shouldBe Some(7L)
+    }
+    it("the foreachBatch skip idiom makes a redelivered batch a no-op") {
+      val root = freshRoot("txn_replay")
+      def deliver(batchId: Long, rows: Seq[(Int, String)]): Unit = {
+        val fresh = !AtomicLake.lastTxn(root, "sink")
+          .exists(_ >= batchId)
+        if (fresh && rows.nonEmpty)
+          AtomicLake.append(rows.toDF("id", "v"), root,
+            txn = Some("sink" -> batchId))
+      }
+      deliver(0L, Seq((1, "a")))
+      deliver(0L, Seq((1, "a"))) // crash-before-checkpoint redelivery
+      deliver(1L, Seq((2, "b")))
+      deliver(1L, Seq((2, "b")))
+      AtomicLake.read(spark, root).count() shouldBe 2
+    }
+  }
+
   describe("crash recovery") {
     it("a killed writer's leftovers are invisible and harmless") {
       val root = freshRoot("crash")

@@ -85,6 +85,52 @@ class WarcIngestSpec extends SparkSpec {
       rows.length shouldBe 1
       rows.head.error should include("expected WARC/ version")
     }
+    it("a corrupt gzip header quarantines the file (open-time failure)") {
+      // gzip magic bytes, then an invalid compression method byte —
+      // GZIPInputStream's CONSTRUCTOR throws ZipException here
+      val bogus = Array[Byte](0x1f, 0x8b.toByte, 0x07, 0, 0, 0, 0, 0,
+        0, 0, 1, 2, 3)
+      val path = s"$scratch/badheader.warc.gz"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(bogus) finally out.close()
+      val rows = WarcIngest.records(spark, path).collect()
+      rows.length shouldBe 1
+      rows.head.error should include("unreadable file")
+      // the in-memory (streaming) path honors the same contract
+      val viaBytes = WarcIngest.parseBytes(path, bogus).toSeq
+      viaBytes.length shouldBe 1
+      viaBytes.head.error should include("unreadable file")
+    }
+    it("a truncated .warc.gz quarantines mid-stream instead of " +
+        "killing the task") {
+      // gzip a two-record archive, then rip the compressed stream in
+      // half: the inflater throws EOFException/ZipException from a
+      // READ call (not the constructor) — previously uncaught
+      val full = s"$scratch/full.warc.gz"
+      WarcIngest.writeWarcFile(spark, full, Seq(
+        WarcIngest.responseRecordBytes("https://t/1",
+          "2024-01-01T00:00:00Z",
+          ("x" * 4096).getBytes("UTF-8")),
+        WarcIngest.responseRecordBytes("https://t/2",
+          "2024-01-01T00:00:01Z", ("y" * 4096).getBytes("UTF-8"))))
+      val fp = new org.apache.hadoop.fs.Path(full)
+      val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val len = fs.getFileStatus(fp).getLen.toInt
+      val bytes = new Array[Byte](len / 2)
+      val in = fs.open(fp)
+      try in.readFully(0L, bytes) finally in.close()
+      val cut = s"$scratch/cut.warc.gz"
+      val out = fs.create(new org.apache.hadoop.fs.Path(cut), true)
+      try out.write(bytes) finally out.close()
+      val rows = WarcIngest.records(spark, cut).collect()
+      rows should not be empty
+      // no exception escaped; the walk ends in exactly one error row
+      rows.count(_.error != null) shouldBe 1
+      rows.find(_.error != null).get.error should (
+        include("unreadable stream") or include("truncated"))
+    }
     it("a non-HTTP response payload degrades to a raw body") {
       val odd = rawRecord(Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> "https://t/odd"),
