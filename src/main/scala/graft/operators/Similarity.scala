@@ -64,7 +64,7 @@ object Similarity {
     val celled = corpus
       .select(col(idCol).as("doc_id"), col(vecCol).as("v"),
         VectorFns.norm(col(vecCol)).as("nrm"))
-      .withColumn("cell", explode(nearestCells(col("v"),
+      .withColumn("cell", explode(nearestCells(unit(col("v")),
         idx.centroids, nprobe)))
       .select(col("cell"), col("doc_id"), col("v"), col("nrm"))
     celled.as("a").join(celled.as("b").hint("merge"),
@@ -158,6 +158,22 @@ object Similarity {
     * row against the centroid literal — no crossJoin, no window, no
     * Exchange anywhere between the corpus scan and the celled output.
     */
+  /** Unit-normalized copy of a float-vector column (float storage —
+    * the assignment kernel reads float arrays; zero vectors pass
+    * through unchanged). Spherical k-means: for COSINE retrieval the
+    * quantizer trains and assigns on unit vectors, where L2-nearest
+    * centroid ≡ cosine-nearest — raw-magnitude L2 cells split
+    * direction-aligned vectors by length and cost probe recall
+    * (FAISS's normalize-for-IP recipe). Scoring still reads the RAW
+    * vectors; only bucketing is spherical.
+    */
+  private[operators] def unit(vec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val n = VectorFns.norm(vec)
+    when(n === 0d, vec)
+      .otherwise(transform(vec, x => (x / n).cast("float")))
+  }
+
   private[operators] def nearestCells(vec: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], nprobe: Int)
       : org.apache.spark.sql.Column = {
@@ -177,16 +193,39 @@ object Similarity {
     * memo — pass the data location (e.g. the sf dir) or "" to force a
     * fresh build.
     */
+  /** Canonical bounded training feed for coarse/PQ quantizers: the
+    * `trainCap` vectors with the smallest (xxhash64(id), id) — a
+    * deterministic pseudo-random sample — delivered in ONE sorted
+    * partition. Two jobs this buys: (a) bit-reproducible KMeans fits
+    * (k-means|| init samples by row position, and shuffle fetch order
+    * is not deterministic run to run — the C8 lesson), which is what
+    * lets the ANN query family carry pinned fixed-expectation
+    * oracles; (b) the 100-TB shape — quantizer training reads a
+    * bounded top-N (partial per-partition top-N, one merge), never a
+    * full-corpus repartition(1).
+    */
+  private[operators] def canonicalTrainFeed(corpus: DataFrame,
+      idCol: String, cols: Seq[org.apache.spark.sql.Column],
+      trainCap: Int): DataFrame =
+    corpus.select(cols :+ col(idCol).as("__tid"): _*)
+      .orderBy(xxhash64(col("__tid")), col("__tid"))
+      .limit(trainCap)
+
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long, corpusTag: String = ""): IvfIndex = {
+      nlist: Int, seed: Long, corpusTag: String = "",
+      trainCap: Int = 65536): IvfIndex = {
     def build: IvfIndex = {
-      val train = corpus.select(
-        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      // coarse quantizer: cell QUALITY is insensitive to k-means
-      // convergence (probing covers boundary error), so cap the
-      // iterations — recall is spec-gated either way
-      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("features").fit(train)
+      val train = canonicalTrainFeed(corpus, idCol, Seq(
+        array_to_vector(unit(col(vecCol)).cast("array<double>"))
+          .as("features")), trainCap).cache()
+      // coarse quantizer with the C8 restart discipline: 10 seeded
+      // fits, lowest inertia wins (Clustering.bestOfFits) — a single
+      // fit can land on a poor local optimum and cost measurable
+      // probe recall; restarts on the bounded cached feed are cheap
+      // next to the corpus-sized cell-assignment pass
+      val model =
+        try Clustering.bestOfFits(train, nlist, seed, nInit = 10)
+        finally train.unpersist(blocking = false)
       // centroids: O(nlist) doubles on the driver — shipped to
       // executors as an expression literal, never a join side
       val centroids: Seq[Seq[Double]] =
@@ -197,7 +236,7 @@ object Similarity {
         .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
           VectorFns.norm(col(vecCol)).as("cn"))
         .withColumn("cell",
-          nearestCells(col("cv"), centroids, 1).getItem(0))
+          nearestCells(unit(col("cv")), centroids, 1).getItem(0))
       IvfIndex(centroids, if (corpusTag.nonEmpty) corpusCells.cache()
         else corpusCells)
     }
@@ -220,7 +259,7 @@ object Similarity {
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
-      .withColumn("cell", explode(nearestCells(col("qv"),
+      .withColumn("cell", explode(nearestCells(unit(col("qv")),
         idx.centroids, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
@@ -278,9 +317,13 @@ object Similarity {
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"pqIndex: dim $dim not divisible by m=$m")
       val dsub = dim / m
-      val train = corpus.select((0 until m).map(j =>
-        array_to_vector(slice(col(vecCol), j * dsub + 1, dsub)
-          .cast("array<double>")).as(s"__f$j")): _*)
+      // same canonical feed as the coarse quantizer: the m codebook
+      // fits are bit-reproducible, so PQ codes (and the pinned
+      // ann_pq_topk oracle) are too
+      val train = canonicalTrainFeed(corpus, idCol,
+        (0 until m).map(j =>
+          array_to_vector(slice(col(vecCol), j * dsub + 1, dsub)
+            .cast("array<double>")).as(s"__f$j")), trainCap = 65536)
         .cache()
       val books: Seq[Double] =
         try (0 until m).flatMap { j =>
@@ -322,7 +365,7 @@ object Similarity {
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
-      .withColumn("cell", explode(nearestCells(col("qv"),
+      .withColumn("cell", explode(nearestCells(unit(col("qv")),
         idx.centroids, nprobe)))
       .withColumn("tbl", graft.expressions.NativeKernels
         .adcTableCol(col("qv"), booksLit, idx.m, idx.ks))

@@ -33,8 +33,14 @@ import graft.sources.{AtomicLake, CommitStore, HardlinkCommitStore}
   */
 object VectorIndex {
 
+  /** `metric` names the bucketing geometry ("unit-l2": spherical —
+    * centroids trained on and assignments computed from unit vectors;
+    * the cosine-retrieval shape). Pre-metric params files read back
+    * as "l2" and REFUSE to serve a spherical build: mixing
+    * assignments from two geometries silently corrupts probe recall.
+    */
   final case class Params(nlist: Int, seed: Long, dim: Int,
-      centroids: Seq[Seq[Double]])
+      centroids: Seq[Seq[Double]], metric: String = "unit-l2")
 
   private def cellsRoot(root: String) = s"$root/cells"
   private def paramsRoot(root: String) = s"$root/params"
@@ -43,7 +49,7 @@ object VectorIndex {
     val cents = p.centroids.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     s"""{"nlist":${p.nlist},"seed":${p.seed},"dim":${p.dim},""" +
-      s""""centroids":$cents}"""
+      s""""metric":"${p.metric}","centroids":$cents}"""
   }
 
   private def parseParams(s: String): Params = {
@@ -64,13 +70,17 @@ object VectorIndex {
         s"vector-index params: expected double, got $other")
     }
     val JArray(cents) = j \ "centroids"
+    val metric = j \ "metric" match {
+      case JString(s) => s
+      case _ => "l2" // pre-metric params: raw-magnitude geometry
+    }
     Params(long(j \ "nlist").toInt, long(j \ "seed"),
       long(j \ "dim").toInt,
       cents.map {
         case JArray(xs) => xs.map(dbl)
         case other => throw new IllegalStateException(
           s"vector-index params: expected centroid array, got $other")
-      })
+      }, metric)
   }
 
   /** Commit params as version 1 — or, if already claimed, verify the
@@ -85,11 +95,12 @@ object VectorIndex {
     else {
       val existing = parseParams(store.readBody(paramsRoot(root), 1L))
       require(existing.nlist == p.nlist && existing.seed == p.seed &&
-        existing.dim == p.dim,
+        existing.dim == p.dim && existing.metric == p.metric,
         s"vector index at $root is pinned to nlist=${existing.nlist} " +
-          s"seed=${existing.seed} dim=${existing.dim}; refusing " +
-          s"nlist=${p.nlist} seed=${p.seed} dim=${p.dim} — delete the " +
-          "index root to change geometry")
+          s"seed=${existing.seed} dim=${existing.dim} " +
+          s"metric=${existing.metric}; refusing nlist=${p.nlist} " +
+          s"seed=${p.seed} dim=${p.dim} metric=${p.metric} — delete " +
+          "the index root to change geometry")
       existing
     }
 
@@ -111,7 +122,8 @@ object VectorIndex {
     df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
         VectorFns.norm(col(vecCol)).as("cn"))
       .withColumn("cell",
-        Similarity.nearestCells(col("cv"), p.centroids, 1).getItem(0))
+        Similarity.nearestCells(Similarity.unit(col("cv")),
+          p.centroids, 1).getItem(0))
 
   /** Build (or rebuild over the SAME geometry) the index: train the
     * coarse quantizer, claim params, overwrite the cell-partitioned
@@ -127,10 +139,17 @@ object VectorIndex {
     val p0 =
       if (exists(root, store)) readParams(root, store)
       else {
-        val train = corpus.select(array_to_vector(
-          col(vecCol).cast("array<double>")).as("features"))
-        val model = new KMeans().setK(nlist).setSeed(seed)
-          .setMaxIter(10).setFeaturesCol("features").fit(train)
+        // canonical bounded feed (see Similarity.canonicalTrainFeed):
+        // the persisted quantizer is bit-reproducible across fresh
+        // builds, so index probes can carry pinned oracles; best-of-10
+        // seeded restarts (the C8 discipline) keep cell quality off
+        // poor local optima
+        val train = Similarity.canonicalTrainFeed(corpus, idCol, Seq(
+          array_to_vector(col(vecCol).cast("array<double>"))
+            .as("features")), trainCap = 65536).cache()
+        val model =
+          try Clustering.bestOfFits(train, nlist, seed, nInit = 10)
+          finally train.unpersist(blocking = false)
         Params(nlist, seed, dim,
           model.clusterCenters.map(_.toArray.toSeq).toSeq)
       }
@@ -175,7 +194,8 @@ object VectorIndex {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
       .withColumn("cell", explode(
-        Similarity.nearestCells(col("qv"), p.centroids, nprobe)))
+        Similarity.nearestCells(Similarity.unit(col("qv")),
+          p.centroids, nprobe)))
     // the distinct probed cells: bounded by nlist, driver-side by
     // design — they BECOME the partition-pruning predicate
     import spark.implicits._

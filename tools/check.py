@@ -263,6 +263,12 @@ def main():
         # dwarfs cross-engine float error (1.3e-4 at sf0.01; 1e-5 at
         # sf0.1 is too thin to bet on)
         "dedup_semantic": "sf0.01",
+        # pinned (query, cand, rank) picks from the bit-reproducible
+        # quantizer fits (Similarity.canonicalTrainFeed); cosine is
+        # recomputed by DuckDB so every column gates exactly
+        "ann_ivf_topk": "sf0.01",
+        "ann_index_topk": "sf0.01",
+        "ann_pq_topk": "sf0.01",
     }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
