@@ -221,4 +221,214 @@ object VectorIndex {
       store: CommitStore = HardlinkCommitStore): (Int, Int) =
     AtomicLake.scanInfo(cellsRoot(root), store)(
       col("cell").isin(cells.map(Int.box): _*))
+
+  // ------------------------------------------------------------------
+  // PQ tier (E6b ∘ E14): the persisted form of Similarity.pqIndex.
+  // The codebooks (m per-subspace KMeans fits) are a version-1 params
+  // claim through the CommitStore CAS — committed before any data,
+  // geometry-refused on mismatch, exactly the coarse-quantizer
+  // contract above — and the ENCODED corpus is a cell-partitioned
+  // AtomicLake of (cell, vec_id, codes, cn): m small ints + a norm
+  // per vector instead of the full embedding. At 100 TB this is the
+  // at-scale ANN shape: probes scan a partition-pruned slice of the
+  // ~64×-smaller codes table; the full vectors are touched only by
+  // the refine step's point lookups against the SOURCE corpus, never
+  // scanned.
+  // ------------------------------------------------------------------
+
+  /** PQ index parameters: the coarse quantizer (`base`) plus the flat
+    * subspace-major codebook (m·ks·dsub doubles).
+    */
+  final case class PqParams(base: Params, m: Int, ks: Int,
+      books: Seq[Double])
+
+  private def pqParamsRoot(root: String) = s"$root/pq_params"
+  private def codesRoot(root: String) = s"$root/codes"
+
+  private def pqParamsJson(p: PqParams): String = {
+    val cents = p.base.centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"nlist":${p.base.nlist},"seed":${p.base.seed},""" +
+      s""""dim":${p.base.dim},"metric":"${p.base.metric}",""" +
+      s""""m":${p.m},"ks":${p.ks},""" +
+      s""""books":${p.books.mkString("[", ",", "]")},""" +
+      s""""centroids":$cents}"""
+  }
+
+  private def parsePqParams(s: String): PqParams = {
+    import org.json4s._
+    val base = parseParams(s)
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    def int(v: JValue): Int = v match {
+      case JInt(x) => x.toInt
+      case JLong(x) => x.toInt
+      case other => throw new IllegalStateException(
+        s"pq params: expected int, got $other")
+    }
+    def dbl(v: JValue): Double = v match {
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case JDecimal(x) => x.toDouble
+      case other => throw new IllegalStateException(
+        s"pq params: expected double, got $other")
+    }
+    val JArray(books) = j \ "books"
+    PqParams(base, int(j \ "m"), int(j \ "ks"), books.map(dbl))
+  }
+
+  private def claimOrReadPq(root: String, p: PqParams,
+      store: CommitStore): PqParams =
+    if (store.tryCommit(pqParamsRoot(root), 1L, pqParamsJson(p))) p
+    else {
+      val e = parsePqParams(store.readBody(pqParamsRoot(root), 1L))
+      require(e.base.nlist == p.base.nlist &&
+        e.base.seed == p.base.seed && e.base.dim == p.base.dim &&
+        e.base.metric == p.base.metric && e.m == p.m && e.ks == p.ks,
+        s"pq index at $root is pinned to nlist=${e.base.nlist} " +
+          s"seed=${e.base.seed} dim=${e.base.dim} " +
+          s"metric=${e.base.metric} m=${e.m} ks=${e.ks}; refusing " +
+          s"nlist=${p.base.nlist} seed=${p.base.seed} " +
+          s"dim=${p.base.dim} metric=${p.base.metric} m=${p.m} " +
+          s"ks=${p.ks} — delete the index root to change geometry")
+      e
+    }
+
+  def existsPq(root: String,
+      store: CommitStore = HardlinkCommitStore): Boolean =
+    store.listVersions(pqParamsRoot(root)).nonEmpty
+
+  def readPqParams(root: String,
+      store: CommitStore = HardlinkCommitStore): PqParams = {
+    val vs = store.listVersions(pqParamsRoot(root))
+    require(vs.nonEmpty, s"no pq index at $root: params never " +
+      "committed (buildPq() writes them before any table data)")
+    parsePqParams(store.readBody(pqParamsRoot(root), vs.max))
+  }
+
+  /** (cell, vec_id, codes, cn) — one map-side assign+encode pass with
+    * the params' centroid and codebook literals; no Exchange.
+    */
+  private def encodePq(df: DataFrame, idCol: String, vecCol: String,
+      p: PqParams): DataFrame = {
+    val booksLit = org.apache.spark.sql.functions.typedLit(p.books)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        VectorFns.norm(col(vecCol)).as("cn"))
+      .withColumn("cell",
+        Similarity.nearestCells(Similarity.unit(col("cv")),
+          p.base.centroids, 1).getItem(0))
+      .select(col("cell"), col("vec_id"),
+        graft.expressions.NativeKernels
+          .pqEncodeCol(col("cv"), booksLit, p.m, p.ks).as("codes"),
+        col("cn"))
+  }
+
+  /** Build (or rebuild over the SAME geometry) the PQ index: train
+    * coarse quantizer + codebooks (both on the canonical bounded feed
+    * — bit-reproducible), claim params, overwrite the
+    * cell-partitioned codes lake.
+    */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+      root: String, nlist: Int = 16, m: Int = 8, ks: Int = 16,
+      seed: Long = 42L, filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): PqParams = {
+    import corpus.sparkSession.implicits._
+    val dim = corpus.select(col(vecCol)).na.drop()
+      .as[Seq[Float]].head().length
+    val p0 =
+      if (existsPq(root, store)) readPqParams(root, store)
+      else {
+        val idx = Similarity.pqIndex(corpus, idCol, vecCol, nlist, m,
+          ks, seed)
+        PqParams(Params(nlist, seed, dim, idx.centroids), m, ks,
+          idx.books)
+      }
+    // claim carries the REQUESTED geometry (not the stored one), so a
+    // rebuild asking for different nlist/m/ks refuses instead of
+    // silently reusing the pinned index
+    val p = claimOrReadPq(root, p0.copy(
+      base = p0.base.copy(nlist = nlist, seed = seed, dim = dim),
+      m = m, ks = ks), store)
+    AtomicLake.overwrite(encodePq(corpus, idCol, vecCol, p),
+      codesRoot(root), Seq("cell"), filesPerPartition, store)
+    p
+  }
+
+  /** Incremental PQ ingest: encode `batch` with the PERSISTED
+    * codebooks (map-side, no retraining), drop already-indexed ids
+    * (idempotent re-delivery), append into the cell partitions.
+    */
+  def appendPq(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, root: String, filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val p = readPqParams(root, store)
+    val existing = AtomicLake.read(spark, codesRoot(root), store)
+      .select(col("vec_id"))
+    val fresh = encodePq(batch, idCol, vecCol, p)
+      .join(existing, Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty)
+      AtomicLake.currentVersion(codesRoot(root), store).get
+    else AtomicLake.append(fresh, codesRoot(root), Seq("cell"),
+      filesPerPartition, store)
+  }
+
+  /** IVF-PQ top-k served FROM THE LAKE, bit-identical to the
+    * in-memory [[Similarity.pqTopK]] on the same build inputs (codes
+    * and norms round-trip parquet exactly): probe cells map-side, ADC
+    * against the partition-pruned codes scan, shortlist top
+    * k·refine, re-score ONLY the shortlist against `corpus`'s exact
+    * vectors (point lookups — the only place full embeddings appear).
+    */
+  def topKPq(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, root: String,
+      k: Int, nprobe: Int = 3, refine: Int = 4,
+      store: CommitStore = HardlinkCommitStore): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val p = readPqParams(root, store)
+    val booksLit = org.apache.spark.sql.functions.typedLit(p.books)
+    val qc = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFns.norm(col(vecCol)).as("qn"))
+      .withColumn("cell", explode(
+        Similarity.nearestCells(Similarity.unit(col("qv")),
+          p.base.centroids, nprobe)))
+      .withColumn("tbl", graft.expressions.NativeKernels
+        .adcTableCol(col("qv"), booksLit, p.m, p.ks))
+      .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
+    import spark.implicits._
+    val probed = qc.select(col("cell")).distinct().as[Int]
+      .collect().sorted
+    val codes = AtomicLake.scan(spark, codesRoot(root), store)(
+      col("cell").isin(probed.map(Int.box): _*))
+    val approx = codes.join(broadcast(qc), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (graft.expressions.NativeKernels
+          .adcDotCol(col("codes"), col("tbl"), p.ks) /
+          (col("qn") * col("cn"))).as("approx_cosine"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("cand_id"))
+    val short = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("cand_id"))
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorFns.norm(col(vecCol)).as("qn"))
+    val exact = cand.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** (files planned, files total) for a PQ probe of `cells`. */
+  def pqProbeScanInfo(root: String, cells: Seq[Int],
+      store: CommitStore = HardlinkCommitStore): (Int, Int) =
+    AtomicLake.scanInfo(codesRoot(root), store)(
+      col("cell").isin(cells.map(Int.box): _*))
 }

@@ -41,17 +41,26 @@ object VectorQueries {
         "vec_id", "embedding", k = 10, nprobe = 8, corpusTag = dir)
     },
 
-    // E6b — IVF-PQ with exact refine, same queries. Hash-gated at the
-    // driver SF (pinnedAnnOracle); recall + the refine contract —
-    // reported cosines are EXACT — stay spec-gated in SimilaritySpec.
-    // The candidate scan reads m=8 code ints + a norm
-    // instead of 64 floats; ADC scores cost m table lookups; only the
-    // k*refine shortlist touches real vectors.
+    // E6b ∘ E14 — IVF-PQ with exact refine, served from the PERSISTED
+    // codes lake (r11): first run trains + commits codebooks (CAS) and
+    // the cell-partitioned codes table; later runs probe the
+    // partition-pruned scan. Hash-gated at the driver SF against the
+    // SAME pinnedAnnOracle as the in-memory form — the gate IS the
+    // lake-parity contract (codes and norms round-trip parquet
+    // exactly). Recall + the refine contract stay spec-gated in
+    // SimilaritySpec/VectorIndexSpec. The candidate scan reads m=8
+    // code ints + a norm instead of 64 floats; ADC scores cost m
+    // table lookups; only the k*refine shortlist touches real vectors.
     "ann_pq_topk" -> { (s, dir) =>
+      val root = "/root/repo/target/lake/pq_index_q2/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = Tables.embeddings(s, dir)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 10, nprobe = 8, refine = 8,
-        corpusTag = dir)
+      if (!graft.operators.VectorIndex.existsPq(root))
+        graft.operators.VectorIndex.buildPq(emb, "vec_id", "embedding",
+          root, nlist = 16, m = 8, ks = 16, seed = 42L)
+      graft.operators.VectorIndex.topKPq(s,
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        root, k = 10, nprobe = 8, refine = 8)
     },
 
     // E2-family — embedding-cosine near-dup over the whole corpus via

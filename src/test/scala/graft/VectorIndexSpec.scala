@@ -159,4 +159,73 @@ class VectorIndexSpec extends SparkSpec {
       recall should be >= 0.8
     }
   }
+
+  describe("PQ tier (persisted IVF-PQ)") {
+    it("lake-served topKPq equals the in-memory pqTopK EXACTLY " +
+        "(ids, ranks, and cosines)") {
+      val root = freshRoot("pq_parity")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8, ks = 16, seed = 42L)
+      val queries = emb.filter(col("vec_id") < 5)
+      val got = VectorIndex.topKPq(spark, queries, emb, "vec_id",
+          "embedding", root, k = 10, nprobe = 3, refine = 4)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val want = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 3, m = 8, ks = 16, refine = 4,
+          seed = 42L)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      got shouldBe want // bit-equal cosines included
+      want should not be empty
+    }
+
+    it("PQ probes are partition-pruned on the CODES lake") {
+      val root = freshRoot("pq_prune")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root, nlist = 8)
+      val (planned, total) = VectorIndex.pqProbeScanInfo(root, Seq(0, 1))
+      total should be >= 8
+      planned should be <= (total / 2)
+      planned should be >= 1
+    }
+
+    it("appendPq encodes with the PERSISTED codebooks, idempotently") {
+      val root = freshRoot("pq_append")
+      val base = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400)
+      VectorIndex.buildPq(base, "vec_id", "embedding", root, nlist = 8)
+      val v1 = VectorIndex.appendPq(spark, batch, "vec_id",
+        "embedding", root)
+      // re-delivery: nothing new, no new version
+      VectorIndex.appendPq(spark, batch, "vec_id", "embedding",
+        root) shouldBe v1
+      // the appended rows carry codes from the SAME codebooks a
+      // fresh same-training-corpus build would produce
+      val all = graft.sources.AtomicLake
+        .read(spark, s"$root/codes").select("vec_id", "codes")
+        .as[(Long, Seq[Int])].collect().toMap
+      all.size shouldBe 500
+      val fullRoot = freshRoot("pq_append_full")
+      VectorIndex.buildPq(base, "vec_id", "embedding", fullRoot,
+        nlist = 8)
+      VectorIndex.appendPq(spark, emb, "vec_id", "embedding", fullRoot)
+      val full = graft.sources.AtomicLake
+        .read(spark, s"$fullRoot/codes").select("vec_id", "codes")
+        .as[(Long, Seq[Int])].collect().toMap
+      all shouldBe full
+    }
+
+    it("pins PQ geometry: a rebuild with different m refuses loudly") {
+      val root = freshRoot("pq_pin")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8)
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+          nlist = 8, m = 16)
+      // same geometry: rebuild reuses the claimed codebooks
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8)
+      VectorIndex.readPqParams(root).m shouldBe 8
+    }
+  }
 }
