@@ -553,6 +553,62 @@ object NativeKernels extends Serializable {
     s
   }
 
+  /** Dense normalized byte-n-gram histogram for one document — the
+    * language-ID feature map (fastText's char-n-gram shape over raw
+    * UTF-8 bytes: multi-byte scripts contribute their byte patterns,
+    * so CJK separates from Latin without any tokenization). Every
+    * window of `n` consecutive bytes hashes through the polynomial
+    * rolling hash (base 131 mod 1e9+7) into `buckets` bins; counts
+    * normalize to frequencies so document length cancels. One byte
+    * pass, zero intermediate strings, dense `buckets` doubles out.
+    */
+  def charGramFreq(t: UTF8String, n: Int, buckets: Int): ArrayData = {
+    val out = new Array[Double](buckets)
+    val base = t.getBaseObject; val off = t.getBaseOffset
+    val nb = t.numBytes
+    var total = 0
+    var p = 0
+    while (p + n <= nb) {
+      var h = 0L
+      var q = 0
+      while (q < n) {
+        h = (h * 131L + (Platform.getByte(base, off + p + q) & 0xff)) %
+          1000000007L
+        q += 1
+      }
+      out((h % buckets).toInt) += 1.0
+      total += 1
+      p += 1
+    }
+    if (total > 0) {
+      var i = 0
+      while (i < buckets) { out(i) /= total; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** argmax over linear class scores: `w` is a flat CLASS-MAJOR table
+    * of nClasses·(len(x)+1) doubles — each class's feature weights
+    * followed by its intercept — so a trained linear classifier rides
+    * the plan as one literal and scoring is one kernel call (no UDF,
+    * no MLlib at inference). Ties break to the lower class index.
+    */
+  def denseArgmax(x: ArrayData, w: ArrayData, nClasses: Int): Int = {
+    val b = x.numElements()
+    var best = 0
+    var bestZ = Double.NegativeInfinity
+    var l = 0
+    while (l < nClasses) {
+      val o = l * (b + 1)
+      var z = w.getDouble(o + b)
+      var i = 0
+      while (i < b) { z += w.getDouble(o + i) * x.getDouble(i); i += 1 }
+      if (z > bestZ) { bestZ = z; best = l }
+      l += 1
+    }
+    best
+  }
+
   /** Engine-portable 60-bit SimHash over a token array: each token is
     * hashed with TWO polynomial rolling hashes over its printable-
     * ASCII projection (base 131 mod 1e9+7 and base 137 mod 998244353,
@@ -1619,6 +1675,17 @@ object NativeKernels extends Serializable {
     invoke("dsirSumDouble", DoubleType,
       Seq(words, table, org.apache.spark.sql.functions.lit(buckets)),
       Seq(ArrayType(StringType), ArrayType(DoubleType), IntegerType))
+
+  def charGramFreqCol(text: Column, n: Int, buckets: Int): Column =
+    invoke("charGramFreq", ArrayType(DoubleType, containsNull = false),
+      Seq(text, org.apache.spark.sql.functions.lit(n),
+        org.apache.spark.sql.functions.lit(buckets)),
+      Seq(StringType, IntegerType, IntegerType))
+
+  def denseArgmaxCol(x: Column, w: Column, nClasses: Int): Column =
+    invoke("denseArgmax", IntegerType,
+      Seq(x, w, org.apache.spark.sql.functions.lit(nClasses)),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType))
 
   /** struct<term,tf> element type of [[termFreqs]] output. */
   val termFreqType: DataType = StructType(Seq(

@@ -16,6 +16,9 @@ object TextQueries {
   private val qualityModelMemo = new graft.sources
     .SessionMemo[String, graft.operators.QualityModel.Model]()
 
+  private val langIdModelMemo = new graft.sources
+    .SessionMemo[String, graft.operators.LangIdModel.Model]()
+
   val queries: Map[String, Q] = Map(
 
     // E7 — marker-token language ID with per-language scores.
@@ -108,6 +111,27 @@ object TextQueries {
       }
       graft.operators.QualityModel.score(docs, "text", m)
         .select(col("doc_id"), col("quality_prob"))
+    },
+
+    // E7 model tier — TRAINED language ID (the CCNet/fastText shape:
+    // hashed byte-n-gram features → multinomial linear classifier;
+    // the marker heuristic stays as the cheap gate). Trained once per
+    // session on the deterministic planted multilingual corpus (the
+    // documents table is monolingual word soup — no label diversity
+    // to self-train on), then scores every document through the
+    // denseArgmax kernel with the weight matrix as a plan literal.
+    // [R] rows-gated (L-BFGS carries last-ulp combine noise — the
+    // H19/PCA posture); LangIdSpec pins ≥0.95 held-out separation.
+    "text_langid_model" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = langIdModelMemo.getOrElseUpdate(s, dir) {
+        val corpus = graft.operators.LangIdModel
+          .syntheticCorpus(s, perLang = 80, seed = 42L)
+        graft.operators.LangIdModel.train(corpus, "text", "lang",
+          graft.operators.LangIdModel.vocab.keys.toSeq.sorted)
+      }
+      graft.operators.LangIdModel.score(docs, "text", m)
+        .select(col("doc_id"), col("lang_model"))
     },
 
     // Composite training-data pipeline — the operators composed the
