@@ -594,6 +594,25 @@ object BronzeQueries {
           xxhash64(to_json(col("embedding"))).as("embedding_hash"))
     },
 
+    // E11 embedding twin, hash-gated: the 8-cell grid-luminance
+    // embedding exposed as columns. Every pixel is pinned integer
+    // arithmetic (syntheticPng's LCG), PNG+ImageIO round-trip is
+    // lossless, and the per-cell mean accumulates in pixel order —
+    // so DuckDB replays the whole decode-and-embed path exactly:
+    // HUGEINT emulates the wrapping 64-bit LCG, an ordered
+    // list_reduce replays the summation order, and a FLOAT cast
+    // replays the .toFloat rounding. The [R] mm_features keeps the
+    // full row (n_bytes/checksum cover the PNG container bytes,
+    // which no SQL engine can re-encode).
+    "mm_image_embed" -> { (s, dir) =>
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(imageIdMedia(s, dir))
+        .toDF()
+        .select(Seq(col("media_id"), col("width"), col("height")) ++
+          (0 until 8).map(i => element_at(col("embedding"), i + 1)
+            .cast("double").as(s"c$i")): _*)
+    },
+
     // E11 audio leg ([R]): one synthetic WAV per document (real RIFF
     // encoder), decoded by javax.sound.sampled into TRUE sample rate /
     // channels / frame count and an 8-window RMS energy envelope from
@@ -606,6 +625,22 @@ object BronzeQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"),
           xxhash64(to_json(col("embedding"))).as("embedding_hash"))
+    },
+
+    // E11 audio embedding twin, hash-gated: the 8-window RMS envelope
+    // as columns. The WAV samples are a pinned formula (two sines,
+    // amplitude-keyed segments, int16 truncation — the quantization
+    // absorbs cross-libm sin ulps), PCM decode is exact integer math,
+    // and the envelope accumulates squares in sample order — DuckDB
+    // replays generation, decode, and RMS bit-for-bit (sqrt IS
+    // correctly rounded under IEEE 754, unlike exp/log).
+    "mm_audio_embed" -> { (s, dir) =>
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(audioIdMedia(s, dir))
+        .toDF()
+        .select(Seq(col("media_id"), col("n_frames")) ++
+          (0 until 8).map(i => element_at(col("embedding"), i + 1)
+            .cast("double").as(s"e$i")): _*)
     },
 
     // Perceptual audio near-dedup end-to-end ([R]: PCM decode has no
@@ -772,6 +807,107 @@ object BronzeQueries {
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 100 = b.doc_id % 100"""
         .stripMargin,
+    "mm_image_embed" ->
+      """WITH dims AS (
+          |  SELECT doc_id,
+          |    CAST(16 + doc_id % 17 AS INT) AS w,
+          |    CAST(12 + doc_id % 11 AS INT) AS h
+          |  FROM documents),
+          |py AS (
+          |  SELECT doc_id, w, h, UNNEST(generate_series(0, h - 1)) AS y FROM dims),
+          |px AS (
+          |  SELECT doc_id, w, h, y, UNNEST(generate_series(0, w - 1)) AS x FROM py),
+          |rgb AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    (CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+          |     CAST(y * w + x AS HUGEINT) * 1442695040888963407) %
+          |      CAST('18446744073709551616' AS HUGEINT) AS m
+          |  FROM px),
+          |lum AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    CAST('0.299' AS DOUBLE) * CAST(((m // 8589934592) % 256 + (x * 255) // w) // 2 AS BIGINT)
+          |    + CAST('0.587' AS DOUBLE) * CAST(((m // 2199023255552) % 256 + (y * 255) // h) // 2 AS BIGINT)
+          |    + CAST('0.114' AS DOUBLE) * CAST((m // 562949953421312) % 256 AS BIGINT) AS l,
+          |    CAST(least((y * 2) // h, 1) * 4 + least((x * 4) // w, 3) AS INT) AS c
+          |  FROM rgb),
+          |agg AS (
+          |  SELECT doc_id, c,
+          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l ORDER BY y, x)),
+          |      (a, v) -> a + v) AS s,
+          |    count(*) AS n
+          |  FROM lum GROUP BY doc_id, c),
+          |emb AS (
+          |  SELECT doc_id, c, CAST(CAST(s / n AS FLOAT) AS DOUBLE) AS v FROM agg)
+          |SELECT CAST(doc_id AS BIGINT) AS media_id,
+          |  CAST(16 + doc_id % 17 AS INT) AS width,
+          |  CAST(12 + doc_id % 11 AS INT) AS height,
+          |  MAX(CASE WHEN c = 0 THEN v END) AS c0,
+          |  MAX(CASE WHEN c = 1 THEN v END) AS c1,
+          |  MAX(CASE WHEN c = 2 THEN v END) AS c2,
+          |  MAX(CASE WHEN c = 3 THEN v END) AS c3,
+          |  MAX(CASE WHEN c = 4 THEN v END) AS c4,
+          |  MAX(CASE WHEN c = 5 THEN v END) AS c5,
+          |  MAX(CASE WHEN c = 6 THEN v END) AS c6,
+          |  MAX(CASE WHEN c = 7 THEN v END) AS c7
+          |FROM emb GROUP BY doc_id""".stripMargin,
+    "mm_audio_embed" ->
+      """WITH params AS (
+          |  SELECT doc_id,
+          |    CAST(160 + (doc_id % 5) * 80 AS INT) AS n,
+          |    CAST(180 + doc_id % 200 AS DOUBLE) AS f1,
+          |    CAST(500 + (doc_id // 128) % 700 AS DOUBLE) AS f2,
+          |    CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+          |      1442695040888963407) % CAST('18446744073709551616' AS HUGEINT))
+          |      % 65536 AS BIGINT) AS bits16
+          |  FROM documents),
+          |smp0 AS (
+          |  SELECT doc_id, n, f1, f2, bits16,
+          |    UNNEST(generate_series(0, n - 1)) AS i
+          |  FROM params),
+          |smp AS (
+          |  SELECT doc_id, n, i,
+          |    CAST(least((i * 16) // n, 15) AS INT) AS seg,
+          |    CAST(i AS DOUBLE) / CAST('8000' AS DOUBLE) AS t,
+          |    f1, f2, bits16
+          |  FROM smp0),
+          |v AS (
+          |  SELECT doc_id, n, i,
+          |    (CASE WHEN ((bits16 >> seg) & 1) = 1
+          |      THEN CAST('0.95' AS DOUBLE) ELSE CAST('0.25' AS DOUBLE) END) *
+          |    (CAST('0.6' AS DOUBLE) * sin(2 * pi() * f1 * t)
+          |     + CAST('0.3' AS DOUBLE) * sin(2 * pi() * f2 * t)) AS val
+          |  FROM smp),
+          |s16 AS (
+          |  SELECT doc_id, n, i,
+          |    CAST(CAST(trunc(val * CAST('32767' AS DOUBLE)) AS INT) AS DOUBLE)
+          |      / CAST('32768' AS DOUBLE) AS sraw
+          |  FROM v),
+          |sf AS (
+          |  SELECT doc_id, n, i,
+          |    CAST(CAST(sraw AS FLOAT) AS DOUBLE) AS s,
+          |    CAST(least((i * 8) // n, 7) AS INT) AS w
+          |  FROM s16),
+          |agg AS (
+          |  SELECT doc_id, w,
+          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s * s ORDER BY i)),
+          |      (a, x) -> a + x) AS ss,
+          |    count(*) AS cnt
+          |  FROM sf GROUP BY doc_id, w),
+          |env AS (
+          |  SELECT doc_id, w,
+          |    CAST(CAST(sqrt(ss / cnt) AS FLOAT) AS DOUBLE) AS e
+          |  FROM agg)
+          |SELECT CAST(doc_id AS BIGINT) AS media_id,
+          |  CAST(160 + (doc_id % 5) * 80 AS INT) AS n_frames,
+          |  MAX(CASE WHEN w = 0 THEN e END) AS e0,
+          |  MAX(CASE WHEN w = 1 THEN e END) AS e1,
+          |  MAX(CASE WHEN w = 2 THEN e END) AS e2,
+          |  MAX(CASE WHEN w = 3 THEN e END) AS e3,
+          |  MAX(CASE WHEN w = 4 THEN e END) AS e4,
+          |  MAX(CASE WHEN w = 5 THEN e END) AS e5,
+          |  MAX(CASE WHEN w = 6 THEN e END) AS e6,
+          |  MAX(CASE WHEN w = 7 THEN e END) AS e7
+          |FROM env GROUP BY doc_id""".stripMargin,
     "mm_image_dims" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
         |  CAST(16 + doc_id % 17 AS INT) AS width,
