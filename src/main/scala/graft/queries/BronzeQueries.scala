@@ -163,6 +163,80 @@ object BronzeQueries {
       root
     }
 
+  /** One-per-session CRAWL WARC fixture (the pipe_crawl_corpus
+    * source): the crawl-batch docs (doc_id % 10 == 0) exported as
+    * WARC responses with PLANTED mess — every page wrapped in the
+    * text_strip_html markup, and every page served TWICE: once at its
+    * clean URL, once at a scheme-shouting, port-carrying,
+    * trailing-slash, tracking-param variant that canonicalizes to the
+    * same key. Three plain files + one gzipped.
+    */
+  private val crawlWarcMemo = new graft.sources.SessionMemo[String, String]()
+
+  private def crawlWarcFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    crawlWarcMemo.getOrElseUpdate(s, dir) {
+      val root = "/root/repo/target/warc_crawl/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .repartition(4)
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val ext = if (pid == 3) ".warc.gz" else ".warc"
+          val recs = it.flatMap { case (id, text) =>
+            val html = ("<html><head><style>p{color:red}</style>" +
+              "<script>var a=1;</script></head><body><p class=\"x\">" +
+              text +
+              "</p><!-- note --> &amp; &lt;tail&gt;&nbsp;end" +
+              "</body></html>").getBytes("UTF-8")
+            Seq(
+              graft.sources.WarcIngest.responseRecordBytes(
+                s"https://crawl.example.com/doc/$id",
+                "2024-01-01T00:00:00Z", html,
+                httpContentType = "text/html; charset=utf-8"),
+              graft.sources.WarcIngest.responseRecordBytes(
+                s"HTTPS://CRAWL.example.com:443/doc/$id/" +
+                  "?utm_source=feed&gclid=x",
+                "2024-01-01T00:00:01Z", html,
+                httpContentType = "text/html; charset=utf-8"))
+          }
+          Iterator.single(graft.sources.WarcIngest.writeWarcFile(
+            conf.value, s"$root/part-$pid$ext", recs.toSeq))
+        }
+        .collect()
+      root
+    }
+
+  /** One-per-session persisted near-dup index over the EXISTING
+    * corpus side (doc_id % 10 != 0) — what a crawl pipeline probes
+    * new batches against (G18; the dedup_index_cross geometry).
+    */
+  private val crawlIdxMemo = new graft.sources.SessionMemo[String, String]()
+
+  private def crawlIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    crawlIdxMemo.getOrElseUpdate(s, dir) {
+      val root = "/root/repo/target/lake/crawl_neardup/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      graft.operators.NearDupIndex.build(
+        Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", root, threshold = 0.5)
+      root
+    }
+
   /** A fresh shallow clone of [[ordersLake]] for a mutating gate. */
   private def clonedOrdersLake(s: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {
@@ -684,6 +758,44 @@ object BronzeQueries {
           .cast("long").as("doc_id"), col("text"))
     },
 
+    // A9∘H20∘H18∘E1∘G18 [O] — the crawl pipeline END-TO-END, one hash
+    // gate: WARC files (HTML-wrapped pages, every page also served at
+    // a tracking-param URL variant) → stream-parse → stripHtml →
+    // canonical-URL exact dedup (the duplicate fetch collapses) →
+    // probe the PERSISTED near-dup index of the existing corpus (the
+    // corpus text is never re-read) → surviving genuinely-new docs.
+    // The oracle replays every stage declaratively from `documents`:
+    // the strip chain, the canonical key, and the exact-Jaccard loser
+    // set (integer-rational — no float margin to bet on).
+    "pipe_crawl_corpus" -> { (s, dir) =>
+      import graft.functions.TextFns
+      val warcRoot = crawlWarcFixture(s, dir)
+      val idxRoot = crawlIndex(s, dir)
+      val resp = graft.sources.WarcIngest
+        .responses(s, s"$warcRoot/part-*")
+        .filter(col("http_status") === 200)
+      val cleaned = resp.select(
+        TextFns.canonicalUrl(col("target_uri")).as("canon_url"),
+        TextFns.stripHtml(col("text")).as("text"))
+      // E1 at the URL key: both fetches of a page carry identical
+      // text by construction; min() keeps the collapse deterministic
+      // regardless. Pinned: the index probe and the anti join both
+      // consume `uniq` — without the checkpoint each would re-run
+      // the WARC parse + strip + dedup subtree.
+      val uniq = cleaned.groupBy(col("canon_url"))
+        .agg(min(col("text")).as("text"))
+        .withColumn("doc_id",
+          regexp_extract(col("canon_url"), "(\\d+)$", 1).cast("long"))
+        .localCheckpoint()
+      val losers = graft.operators.NearDupIndex
+        .pairsAgainstIndex(s, uniq, "doc_id", "text", idxRoot,
+          threshold = 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      uniq.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("canon_url"),
+          TextFns.wordCount(col("text")).as("ws_tokens"))
+    },
+
     // E11 [O] — planted-twin RECALL of the perceptual image dedup,
     // hash-gated at every SF: docs seeded by doc_id % 100 are
     // pixel-identical, so the exact twin pair set is a formula over
@@ -793,6 +905,70 @@ object BronzeQueries {
     // `documents` without any codec
     "bronze_warc_roundtrip" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents",
+    // the crawl pipeline replayed stage by stage: strip chain (the
+    // text_strip_html oracle), canonical key from the URL formula,
+    // exact-Jaccard cross losers (the dedup_cross oracle geometry —
+    // corpus side raw text, probe side CLEANED text)
+    "pipe_crawl_corpus" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>var a=1;</script></head><body><p class="x">' ||
+        |    text ||
+        |    '</p><!-- note --> &amp; &lt;tail&gt;&nbsp;end' ||
+        |    '</body></html>' AS s
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    s,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<[^>]+>', ' ', 'g') AS t
+        |  FROM h),
+        |d AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    t,
+        |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'),
+        |    '&apos;', CHR(39), 'g') AS t
+        |  FROM c),
+        |batch AS (SELECT doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM d),
+        |toksB AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM batch),
+        |shB AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toksB, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |toksC AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |shC AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS shingle
+        |  FROM toksC, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(w) - 2, 0))) AS gs) i),
+        |cardB AS (SELECT doc_id, count(*) AS n_sh FROM shB GROUP BY 1),
+        |cardC AS (SELECT doc_id, count(*) AS n_sh FROM shC GROUP BY 1),
+        |pairs AS (
+        |  SELECT c.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM shC c JOIN shB b ON c.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id2 FROM pairs
+        |  JOIN cardC ca ON id1 = ca.doc_id
+        |  JOIN cardB cb ON id2 = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)
+        |    >= 0.5)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+        |  'https://crawl.example.com/doc/' || b.doc_id AS canon_url,
+        |  CAST(len(list_filter(string_split(b.text, ' '),
+        |    x -> len(x) > 0)) AS INT) AS ws_tokens
+        |FROM batch b
+        |WHERE b.doc_id NOT IN (SELECT id2 FROM losers)""".stripMargin,
     "mm_image_twin_recall" ->
       """SELECT CAST(a.doc_id AS BIGINT) AS id1,
         |  CAST(b.doc_id AS BIGINT) AS id2,
