@@ -269,6 +269,11 @@ def main():
         "ann_ivf_topk": "sf0.01",
         "ann_index_topk": "sf0.01",
         "ann_pq_topk": "sf0.01",
+        # pinned per-doc BPE token counts (deterministic training
+        # chain proven by fresh-JVM byte equality); the pack oracle
+        # replays the H3 layout arithmetic over the pinned counts
+        "bpe_tokenize": "sf0.01",
+        "export_bpe_pack": "sf0.01",
     }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
