@@ -128,10 +128,9 @@ object Bench {
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}}"""
-    println(json)
-    // Also persist to a file: sbt's [success] trailer and log noise
+    // Persist to a file first: sbt's [success] trailer and log noise
     // around the single stdout line have made the driver's parse fail
-    // before (BENCH_r08 recorded parsed:null) — the file is the
+    // before (BENCH_r08/r10 recorded parsed:null) — the file is the
     // noise-proof channel, same pattern as Verify's queries.json.
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -139,6 +138,13 @@ object Bench {
       java.nio.file.Files.write(out,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // file write must never fail the bench
+    // Print the JSON LAST — after spark.stop(), with shutdown logging
+    // muted — so a tail-of-stdout capture sees it within the final
+    // couple of lines (only sbt's own trailer follows), instead of
+    // buried under executor-shutdown WARNs (the r8/r10 parse failures).
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
