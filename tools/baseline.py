@@ -270,6 +270,14 @@ def main():
     n_matched = len([k for k in spark if k in {r[0] for r in rows}])
     spark_net = sum(max(v - floor, 0.0) for k, v in spark.items()
                     if k in {r[0] for r in rows})
+    # ex-replay aggregates: the two embedding-twin rows price a SQL
+    # codec emulation on the DuckDB side (see the prose paragraph)
+    REPLAY_TWINS = {"mm_image_embed", "mm_audio_embed"}
+    total_by_name = {r[0]: r[1] for r in rows if r[1] is not None}
+    ex_duck = sum(v for k, v in total_by_name.items()
+                  if k not in REPLAY_TWINS)
+    ex_spark = sum(v for k, v in spark.items()
+                   if k in total_by_name and k not in REPLAY_TWINS)
     with open(OUT, "w") as f:
         f.write(f"""# BASELINE — reference engine (DuckDB {duckdb.__version__}) at sf0.1
 
@@ -321,6 +329,16 @@ has no codec to pay), and the pinned `gold_cluster_*` /
 `consult_polygon_clusters` rows run a 10-restart KMeans fit against a
 constant VALUES table. Those rows exist to hash-prove correctness;
 their duckdb_sec column does not price comparable work.
+
+The r11 embedding twins carry the SAME caveat in the OTHER direction:
+`mm_image_embed` and `mm_audio_embed` make DuckDB emulate a
+pixel/sample decoder in pure SQL (350k pixel rows with ordered
+list_reduce folds; 2M trig-generated samples) while Spark runs the
+real codec — a correctness replay, not an engine race. Excluding
+those two rows the aggregate is DuckDB **{ex_duck:.2f} s** vs Spark
+**{ex_spark:.2f} s** raw over {n_matched - 2} rows; including them
+Spark is {'faster' if spark_total < total else 'slower'} in aggregate,
+but that headline belongs to the replay asymmetry, not the engine.
 
 Totals over the {len([r for r in rows if r[1] is not None])} oracle-gated queries:
 DuckDB **{total:.2f} s**, Spark local[32] **{spark_total:.2f} s** raw —
