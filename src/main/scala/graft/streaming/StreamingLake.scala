@@ -141,6 +141,33 @@ object StreamingLake {
         }
       }
 
+  /** [[vectorIndexSink]]'s PQ twin: each micro-batch encodes with the
+    * PERSISTED codebooks ([[graft.operators.VectorIndex.appendPq]] —
+    * map-side, no retraining, idempotent by id, so a re-delivered
+    * batch is a no-op) and appends into the cell-partitioned codes
+    * lake. The index must be built from a seed corpus first — the
+    * codebooks ARE the corpus↔codes contract, and training them on a
+    * drip of micro-batches would quantize early batches with
+    * unrepresentative centroids.
+    */
+  def pqIndexSink(stream: DataFrame, idCol: String,
+      vecCol: String, indexRoot: String, checkpoint: String,
+      store: graft.sources.CommitStore =
+        graft.sources.HardlinkCommitStore): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.VectorIndex
+          require(VectorIndex.existsPq(indexRoot, store),
+            s"no pq index at $indexRoot: buildPq() one from a seed " +
+              "corpus before streaming into it")
+          VectorIndex.appendPq(batch.sparkSession, batch, idCol,
+            vecCol, indexRoot, store = store)
+          ()
+        }
+      }
+
   /** Streaming CDC upsert: each micro-batch MERGEs into the lake by
     * key ([[graft.sources.AtomicLake.merge]]) — matched keys get the
     * batch's row, new keys insert, untouched rows (and untouched

@@ -215,6 +215,48 @@ class VectorIndexSpec extends SparkSpec {
       all shouldBe full
     }
 
+    it("streams micro-batches into the live PQ index, replay-safe; " +
+        "refuses an unbuilt index loudly") {
+      implicit val sqlCtx = spark.sqlContext
+      val root = freshRoot("pq_stream")
+      val ckpt = freshRoot("pq_stream_ckpt")
+      VectorIndex.buildPq(emb.filter(col("vec_id") < 300), "vec_id",
+        "embedding", root, nlist = 8)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val stream = in.toDF().toDF("vec_id", "embedding")
+      val q = graft.streaming.StreamingLake.pqIndexSink(stream,
+        "vec_id", "embedding", root, ckpt).start()
+      try {
+        val tail = emb.filter(col("vec_id") >= 300)
+          .select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect()
+        val (b1, b2) = tail.splitAt(tail.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        // overlap re-delivers some of b1: appendPq must dedup
+        in.addData(b1.take(5).toIndexedSeq)
+        q.processAllAvailable()
+        val ids = graft.sources.AtomicLake
+          .read(spark, s"$root/codes").select("vec_id")
+          .as[Long].collect()
+        ids.length shouldBe 500 // no duplicates
+        ids.toSet shouldBe (0L until 500L).toSet
+      } finally q.stop()
+      // unbuilt refusal
+      val bare = freshRoot("pq_stream_refuse")
+      val q2 = graft.streaming.StreamingLake.pqIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        bare, freshRoot("pq_stream_refuse_ckpt")).start()
+      try {
+        in.addData((9999L, Seq.fill(64)(0.1f)))
+        val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] { q2.processAllAvailable() }
+        e.getMessage should include("buildPq() one from a seed corpus")
+      } finally q2.stop()
+    }
+
     it("pins PQ geometry: a rebuild with different m refuses loudly") {
       val root = freshRoot("pq_pin")
       VectorIndex.buildPq(emb, "vec_id", "embedding", root,
