@@ -1213,6 +1213,103 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Residual-PQ encode (SURVEY §2 E6b's residual variant — the
+    * FAISS IVFPQ default): quantize `v − centroid(cell)` instead of
+    * `v`. Residuals concentrate around the origin with far smaller
+    * variance than raw vectors (the coarse quantizer has already
+    * explained the cell-level structure), so the same m·ks code
+    * budget spends its codewords on a tighter distribution — lower
+    * quantization error, better shortlist recall. `cents` is the
+    * flat nlist·dim centroid table (cell-major); the subtraction
+    * runs in double before the nearest-codeword search, so no
+    * precision is lost to float rounding.
+    */
+  def pqEncodeResidual(v: ArrayData, cell: Int, cents: ArrayData,
+      books: ArrayData, m: Int, ks: Int): ArrayData = {
+    val dim = v.numElements()
+    val dsub = dim / m
+    val cbase = cell * dim
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val base = (j * ks + c) * dsub
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v.getFloat(j * dsub + i).toDouble -
+            cents.getDouble(cbase + j * dsub + i) -
+            books.getDouble(base + i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[adcTable]] for residual codes, one table per (query, probed
+    * cell): entry (j,c) = dot(q_j, centroid(cell)_j + book[j][c]) —
+    * the centroid contribution is FOLDED INTO the table, so
+    * [[adcDot]]'s m lookups reconstruct dot(q, centroid + residual̂)
+    * = the approximate dot against the decoded vector with no extra
+    * per-candidate term. Cost: nprobe tables per query instead of
+    * one — O(nprobe·ks·dim) doubles on the broadcast query side,
+    * still negligible next to the candidate-code scan it amortizes.
+    */
+  def adcTableResidual(q: ArrayData, cell: Int, cents: ArrayData,
+      books: ArrayData, m: Int, ks: Int): ArrayData = {
+    val dim = q.numElements()
+    val dsub = dim / m
+    val cbase = cell * dim
+    val out = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        val base = (j * ks + c) * dsub
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += q.getFloat(j * dsub + i).toDouble *
+            (cents.getDouble(cbase + j * dsub + i) +
+              books.getDouble(base + i))
+          i += 1
+        }
+        out(j * ks + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `v − centroid(cell)` as a float vector — the residual feed the
+    * per-subspace codebooks TRAIN on (encode/score subtract in
+    * double inside their kernels; training tolerates the float
+    * round-trip and keeps the canonical-feed determinism).
+    */
+  def vecResidual(v: ArrayData, cell: Int, cents: ArrayData)
+      : ArrayData = {
+    val dim = v.numElements()
+    val cbase = cell * dim
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = (v.getFloat(i).toDouble -
+        cents.getDouble(cbase + i)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Approximate dot from PQ codes: sum of m table lookups. */
   def adcDot(codes: ArrayData, table: ArrayData, ks: Int): Double = {
     val m = codes.numElements()
@@ -1609,6 +1706,31 @@ object NativeKernels extends Serializable {
     invoke("adcDot", DoubleType,
       Seq(codes, table, org.apache.spark.sql.functions.lit(ks)),
       Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType))
+
+  def pqEncodeResidualCol(v: Column, cell: Column, cents: Column,
+      books: Column, m: Int, ks: Int): Column =
+    invoke("pqEncodeResidual",
+      ArrayType(IntegerType, containsNull = false),
+      Seq(v, cell, cents, books,
+        org.apache.spark.sql.functions.lit(m),
+        org.apache.spark.sql.functions.lit(ks)),
+      Seq(ArrayType(FloatType), IntegerType, ArrayType(DoubleType),
+        ArrayType(DoubleType), IntegerType, IntegerType))
+
+  def adcTableResidualCol(q: Column, cell: Column, cents: Column,
+      books: Column, m: Int, ks: Int): Column =
+    invoke("adcTableResidual",
+      ArrayType(DoubleType, containsNull = false),
+      Seq(q, cell, cents, books,
+        org.apache.spark.sql.functions.lit(m),
+        org.apache.spark.sql.functions.lit(ks)),
+      Seq(ArrayType(FloatType), IntegerType, ArrayType(DoubleType),
+        ArrayType(DoubleType), IntegerType, IntegerType))
+
+  def vecResidualCol(v: Column, cell: Column, cents: Column): Column =
+    invoke("vecResidual", ArrayType(FloatType, containsNull = false),
+      Seq(v, cell, cents),
+      Seq(ArrayType(FloatType), IntegerType, ArrayType(DoubleType)))
 
   def mortonValueCol(a: Column, b: Column): Column =
     invoke("mortonValue", LongType, Seq(a, b), Seq(LongType, LongType))

@@ -370,12 +370,30 @@ object Similarity {
       .withColumn("tbl", graft.expressions.NativeKernels
         .adcTableCol(col("qv"), booksLit, idx.m, idx.ks))
       .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
-    val approx = idx.codes.join(broadcast(queryCells), Seq("cell"))
+    adcShortlistRefine(idx.codes, queryCells, idx.ks, corpus, queries,
+      idCol, vecCol, k, refine)
+  }
+
+  /** The shared ADC tail of [[pqTopK]]/[[rpqTopK]]: score probed-cell
+    * candidates from codes via each (query, cell) row's lookup table,
+    * shortlist top `k·refine` per query, re-score ONLY the shortlist
+    * against exact vectors, rank true cosines.
+    */
+  private def adcShortlistRefine(codes: DataFrame,
+      queryCells: DataFrame, ks: Int, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      refine: Int, adcIsCosine: Boolean = false): DataFrame = {
+    // non-residual codes approximate the RAW vector, so the ADC dot
+    // needs the norm division; residual codes approximate the UNIT
+    // vector (unit-space residuals — see rpqIndex), so the ADC dot
+    // of a unit query IS the approximate cosine already
+    val adc = graft.expressions.NativeKernels
+      .adcDotCol(col("codes"), col("tbl"), ks)
+    val approx = codes.join(broadcast(queryCells), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        (graft.expressions.NativeKernels
-          .adcDotCol(col("codes"), col("tbl"), idx.ks) /
-          (col("qn") * col("cn"))).as("approx_cosine"))
+        (if (adcIsCosine) adc else adc / (col("qn") * col("cn")))
+          .as("approx_cosine"))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("cand_id"))
     val short = approx.withColumn("arank", row_number().over(wa))
@@ -394,5 +412,112 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id"))
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ---- Residual IVF-PQ (E6b's residual variant — FAISS IVFPQ) ------
+  // Same plan shape as the non-residual tier; the codebooks quantize
+  // the residual AGAINST THE PROBED CELL'S CENTROID instead of the
+  // raw vector. Everything lives in UNIT space — the coarse
+  // quantizer is spherical (unit-trained centroids), so the residual
+  // that is actually small is unit(v) − centroid, the directional
+  // noise the cell has not explained; a raw-space subtraction would
+  // leave magnitude-sized residuals and buy nothing (measured). The
+  // codes therefore approximate unit(v), the ADC table is built from
+  // unit(q) with the centroid folded into every entry, and the ADC
+  // dot IS the approximate cosine — no norm division. Same m·ks
+  // budget, measurably lower cosine-approximation error on clustered
+  // corpora (spec-gated, with the recall gain that follows). Price:
+  // the ADC table is per (query, PROBED CELL), not per query —
+  // nprobe·ks·dim extra doubles on the broadcast side, nothing
+  // against the candidate-code scan both variants share.
+
+  private val rpqMemo =
+    new graft.sources.SessionMemo[(String, String, String, Int, Int, Int, Long),
+      PqIndex](maxPerSession = 4,
+        onEvict = _.codes.unpersist(blocking = false))
+
+  /** Build (or reuse, keyed by `corpusTag`) the residual IVF-PQ
+    * index: coarse quantizer from [[ivfIndex]] (shared memo), m
+    * per-subspace codebooks trained on cell-residuals of the
+    * canonical bounded feed (bit-reproducible, like every quantizer
+    * fit since r11), corpus encoded map-side via
+    * [[graft.expressions.NativeKernels.pqEncodeResidual]].
+    */
+  def rpqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ks: Int = 16, seed: Long = 42L,
+      corpusTag: String = ""): PqIndex = {
+    def build: PqIndex = {
+      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"rpqIndex: dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val centsLit = typedLit(ivf.centroids.flatten)
+      // residual features computed INSIDE the canonical feed's
+      // pre-sort select: projections stacked ABOVE the sort+limit
+      // break the TakeOrderedAndProject pattern and the limit
+      // degrades to a GlobalLimit shuffle whose row order follows
+      // fetch order — the C8 nondeterminism, measured here as
+      // CPU-count-dependent codebooks before this layout
+      val uv = unit(col(vecCol))
+      val cellC = nearestCells(uv, ivf.centroids, 1).getItem(0)
+      val rC = graft.expressions.NativeKernels
+        .vecResidualCol(uv, cellC, centsLit)
+      val train = canonicalTrainFeed(corpus, idCol,
+        (0 until m).map(j =>
+          array_to_vector(slice(rC, j * dsub + 1, dsub)
+            .cast("array<double>")).as(s"__f$j")), trainCap = 65536)
+        .cache()
+      val books: Seq[Double] =
+        try (0 until m).flatMap { j =>
+          new KMeans().setK(ks).setSeed(seed + j).setMaxIter(10)
+            .setFeaturesCol(s"__f$j").fit(train)
+            .clusterCenters.flatMap(_.toArray).toSeq
+        }
+        finally train.unpersist(blocking = false)
+      val booksLit = typedLit(books)
+      // encode unit(cv): the codes approximate the DIRECTION, the
+      // only thing cosine scoring needs (cn rides along for the
+      // non-residual-shaped consumers of the codes frame)
+      val codes = ivf.corpusCells.select(col("cand_id"), col("cell"),
+        graft.expressions.NativeKernels.pqEncodeResidualCol(
+          unit(col("cv")), col("cell"), centsLit, booksLit, m, ks)
+          .as("codes"),
+        col("cn"))
+      PqIndex(ivf.centroids, books, m, ks,
+        if (corpusTag.nonEmpty) codes.cache() else codes)
+    }
+    if (corpusTag.isEmpty) build
+    else rpqMemo.getOrElseUpdate(corpus.sparkSession,
+      (corpusTag, idCol, vecCol, nlist, m, ks, seed))(build)
+  }
+
+  /** Residual IVF-PQ top-k with exact refine — [[pqTopK]] with
+    * residual codes: the ADC table is built per (query, probed cell)
+    * from the UNIT query with the centroid contribution folded in
+    * ([[graft.expressions.NativeKernels.adcTableResidual]]), so each
+    * ADC dot is directly the approximate cosine; the shared
+    * shortlist/refine tail is reused with `adcIsCosine`.
+    */
+  def rpqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, m: Int = 8, ks: Int = 16,
+      refine: Int = 4, seed: Long = 42L, corpusTag: String = "")
+      : DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val idx = rpqIndex(corpus, idCol, vecCol, nlist, m, ks, seed,
+      corpusTag)
+    val centsLit = typedLit(idx.centroids.flatten)
+    val booksLit = typedLit(idx.books)
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFns.norm(col(vecCol)).as("qn"))
+      .withColumn("cell", explode(nearestCells(unit(col("qv")),
+        idx.centroids, nprobe)))
+      .withColumn("tbl", graft.expressions.NativeKernels
+        .adcTableResidualCol(unit(col("qv")), col("cell"), centsLit,
+          booksLit, idx.m, idx.ks))
+      .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
+    adcShortlistRefine(idx.codes, queryCells, idx.ks, corpus, queries,
+      idCol, vecCol, k, refine, adcIsCosine = true)
   }
 }

@@ -237,10 +237,15 @@ object VectorIndex {
   // ------------------------------------------------------------------
 
   /** PQ index parameters: the coarse quantizer (`base`) plus the flat
-    * subspace-major codebook (m·ks·dsub doubles).
+    * subspace-major codebook (m·ks·dsub doubles). `residual` names
+    * the coding tier: false = codes quantize the raw vector
+    * (IndexPQ-style), true = codes quantize unit(v) − centroid(cell)
+    * (the FAISS IVFPQ default — see Similarity.rpqIndex). The flag
+    * is part of the pinned geometry: codes from the two tiers are
+    * mutually meaningless, so a rebuild flipping it must refuse.
     */
   final case class PqParams(base: Params, m: Int, ks: Int,
-      books: Seq[Double])
+      books: Seq[Double], residual: Boolean = false)
 
   private def pqParamsRoot(root: String) = s"$root/pq_params"
   private def codesRoot(root: String) = s"$root/codes"
@@ -250,7 +255,7 @@ object VectorIndex {
       .mkString("[", ",", "]")
     s"""{"nlist":${p.base.nlist},"seed":${p.base.seed},""" +
       s""""dim":${p.base.dim},"metric":"${p.base.metric}",""" +
-      s""""m":${p.m},"ks":${p.ks},""" +
+      s""""m":${p.m},"ks":${p.ks},"residual":${p.residual},""" +
       s""""books":${p.books.mkString("[", ",", "]")},""" +
       s""""centroids":$cents}"""
   }
@@ -274,7 +279,12 @@ object VectorIndex {
         s"pq params: expected double, got $other")
     }
     val JArray(books) = j \ "books"
-    PqParams(base, int(j \ "m"), int(j \ "ks"), books.map(dbl))
+    val residual = j \ "residual" match {
+      case JBool(b) => b
+      case _ => false // pre-residual params: raw-vector codes
+    }
+    PqParams(base, int(j \ "m"), int(j \ "ks"), books.map(dbl),
+      residual)
   }
 
   private def claimOrReadPq(root: String, p: PqParams,
@@ -284,13 +294,16 @@ object VectorIndex {
       val e = parsePqParams(store.readBody(pqParamsRoot(root), 1L))
       require(e.base.nlist == p.base.nlist &&
         e.base.seed == p.base.seed && e.base.dim == p.base.dim &&
-        e.base.metric == p.base.metric && e.m == p.m && e.ks == p.ks,
+        e.base.metric == p.base.metric && e.m == p.m && e.ks == p.ks &&
+        e.residual == p.residual,
         s"pq index at $root is pinned to nlist=${e.base.nlist} " +
           s"seed=${e.base.seed} dim=${e.base.dim} " +
-          s"metric=${e.base.metric} m=${e.m} ks=${e.ks}; refusing " +
+          s"metric=${e.base.metric} m=${e.m} ks=${e.ks} " +
+          s"residual=${e.residual}; refusing " +
           s"nlist=${p.base.nlist} seed=${p.base.seed} " +
           s"dim=${p.base.dim} metric=${p.base.metric} m=${p.m} " +
-          s"ks=${p.ks} — delete the index root to change geometry")
+          s"ks=${p.ks} residual=${p.residual} — delete the index " +
+          "root to change geometry")
       e
     }
 
@@ -312,15 +325,22 @@ object VectorIndex {
   private def encodePq(df: DataFrame, idCol: String, vecCol: String,
       p: PqParams): DataFrame = {
     val booksLit = org.apache.spark.sql.functions.typedLit(p.books)
-    df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+    val celled = df
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
         VectorFns.norm(col(vecCol)).as("cn"))
       .withColumn("cell",
         Similarity.nearestCells(Similarity.unit(col("cv")),
           p.base.centroids, 1).getItem(0))
-      .select(col("cell"), col("vec_id"),
-        graft.expressions.NativeKernels
-          .pqEncodeCol(col("cv"), booksLit, p.m, p.ks).as("codes"),
-        col("cn"))
+    val codes =
+      if (p.residual) graft.expressions.NativeKernels
+        .pqEncodeResidualCol(Similarity.unit(col("cv")), col("cell"),
+          org.apache.spark.sql.functions
+            .typedLit(p.base.centroids.flatten),
+          booksLit, p.m, p.ks)
+      else graft.expressions.NativeKernels
+        .pqEncodeCol(col("cv"), booksLit, p.m, p.ks)
+    celled.select(col("cell"), col("vec_id"), codes.as("codes"),
+      col("cn"))
   }
 
   /** Build (or rebuild over the SAME geometry) the PQ index: train
@@ -331,6 +351,7 @@ object VectorIndex {
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
       root: String, nlist: Int = 16, m: Int = 8, ks: Int = 16,
       seed: Long = 42L, filesPerPartition: Int = 1,
+      residual: Boolean = false,
       store: CommitStore = HardlinkCommitStore): PqParams = {
     import corpus.sparkSession.implicits._
     val dim = corpus.select(col(vecCol)).na.drop()
@@ -338,17 +359,20 @@ object VectorIndex {
     val p0 =
       if (existsPq(root, store)) readPqParams(root, store)
       else {
-        val idx = Similarity.pqIndex(corpus, idCol, vecCol, nlist, m,
-          ks, seed)
+        val idx =
+          if (residual) Similarity.rpqIndex(corpus, idCol, vecCol,
+            nlist, m, ks, seed)
+          else Similarity.pqIndex(corpus, idCol, vecCol, nlist, m,
+            ks, seed)
         PqParams(Params(nlist, seed, dim, idx.centroids), m, ks,
-          idx.books)
+          idx.books, residual)
       }
     // claim carries the REQUESTED geometry (not the stored one), so a
-    // rebuild asking for different nlist/m/ks refuses instead of
-    // silently reusing the pinned index
+    // rebuild asking for different nlist/m/ks/residual refuses
+    // instead of silently reusing the pinned index
     val p = claimOrReadPq(root, p0.copy(
       base = p0.base.copy(nlist = nlist, seed = seed, dim = dim),
-      m = m, ks = ks), store)
+      m = m, ks = ks, residual = residual), store)
     AtomicLake.overwrite(encodePq(corpus, idCol, vecCol, p),
       codesRoot(root), Seq("cell"), filesPerPartition, store)
     p
@@ -386,26 +410,37 @@ object VectorIndex {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val p = readPqParams(root, store)
     val booksLit = org.apache.spark.sql.functions.typedLit(p.books)
+    // residual tier: the table is per (query, probed cell) from the
+    // UNIT query with the centroid folded in, and the ADC dot IS the
+    // approximate cosine (Similarity.rpqTopK's shape)
+    val tbl =
+      if (p.residual) graft.expressions.NativeKernels
+        .adcTableResidualCol(Similarity.unit(col("qv")), col("cell"),
+          org.apache.spark.sql.functions
+            .typedLit(p.base.centroids.flatten),
+          booksLit, p.m, p.ks)
+      else graft.expressions.NativeKernels
+        .adcTableCol(col("qv"), booksLit, p.m, p.ks)
     val qc = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
       .withColumn("cell", explode(
         Similarity.nearestCells(Similarity.unit(col("qv")),
           p.base.centroids, nprobe)))
-      .withColumn("tbl", graft.expressions.NativeKernels
-        .adcTableCol(col("qv"), booksLit, p.m, p.ks))
+      .withColumn("tbl", tbl)
       .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
     import spark.implicits._
     val probed = qc.select(col("cell")).distinct().as[Int]
       .collect().sorted
     val codes = AtomicLake.scan(spark, codesRoot(root), store)(
       col("cell").isin(probed.map(Int.box): _*))
+    val adc = graft.expressions.NativeKernels
+      .adcDotCol(col("codes"), col("tbl"), p.ks)
     val approx = codes.join(broadcast(qc), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        (graft.expressions.NativeKernels
-          .adcDotCol(col("codes"), col("tbl"), p.ks) /
-          (col("qn") * col("cn"))).as("approx_cosine"))
+        (if (p.residual) adc else adc / (col("qn") * col("cn")))
+          .as("approx_cosine"))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("cand_id"))
     val short = approx.withColumn("arank", row_number().over(wa))

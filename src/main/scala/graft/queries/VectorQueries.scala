@@ -63,6 +63,31 @@ object VectorQueries {
         root, k = 10, nprobe = 8, refine = 8)
     },
 
+    // E6b residual variant — FAISS-IVFPQ-shape residual coding,
+    // SERVED FROM THE PERSISTED INDEX like ann_pq_topk: the codebooks
+    // quantize unit(v) − centroid(cell) (unit-space residuals — the
+    // coarse quantizer is spherical), the ADC table is per (query,
+    // probed cell) with the centroid folded in so the ADC dot IS the
+    // approximate cosine, the plan is otherwise identical. Hash-gated
+    // at the driver SF against a pinned-picks oracle (the training
+    // chain is the same canonical bounded feed), so the gate doubles
+    // as the residual lake-parity contract; the residual-beats-raw
+    // claim is spec-gated on a clustered corpus (SimilaritySpec —
+    // uniform corpora like this one are the variant's no-win case,
+    // clustered real embeddings are where it pays).
+    "ann_rpq_topk" -> { (s, dir) =>
+      val root = "/root/repo/target/lake/rpq_index_q1/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, dir)
+      if (!graft.operators.VectorIndex.existsPq(root))
+        graft.operators.VectorIndex.buildPq(emb, "vec_id", "embedding",
+          root, nlist = 16, m = 8, ks = 16, seed = 42L,
+          residual = true)
+      graft.operators.VectorIndex.topKPq(s,
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        root, k = 10, nprobe = 8, refine = 8)
+    },
+
     // E2-family — embedding-cosine near-dup over the whole corpus via
     // IVF-cell bucketing ([R]; recall vs brute force in SimilaritySpec).
     // The synthetic embeddings carry no true near-dups (max pairwise
@@ -228,6 +253,23 @@ object VectorQueries {
       (6,371,9), (6,11,10), (7,340,1), (7,425,2), (7,334,3),
       (7,381,4), (7,445,5), (7,221,6), (7,302,7), (7,332,8),
       (7,442,9), (7,99,10)
+    )),
+    "ann_rpq_topk" -> pinnedAnnOracle(Seq(
+      (0,334,1), (0,387,2), (0,423,3), (0,73,4), (0,320,5), (0,190,6),
+      (0,464,7), (0,388,8), (0,483,9), (0,344,10), (1,386,1),
+      (1,27,2), (1,407,3), (1,195,4), (1,64,5), (1,472,6), (1,203,7),
+      (1,363,8), (1,312,9), (1,353,10), (2,117,1), (2,450,2),
+      (2,418,3), (2,471,4), (2,172,5), (2,197,6), (2,97,7), (2,37,8),
+      (2,1,9), (2,13,10), (3,130,1), (3,343,2), (3,174,3), (3,231,4),
+      (3,207,5), (3,437,6), (3,474,7), (3,363,8), (3,396,9),
+      (3,463,10), (4,114,1), (4,408,2), (4,482,3), (4,280,4),
+      (4,249,5), (4,257,6), (4,89,7), (4,384,8), (4,346,9),
+      (4,288,10), (5,404,1), (5,419,2), (5,157,3), (5,33,4),
+      (5,359,5), (5,395,6), (5,464,7), (5,266,8), (5,225,9),
+      (5,11,10), (6,430,1), (6,145,2), (6,395,3), (6,214,4),
+      (6,252,5), (6,371,6), (6,11,7), (6,53,8), (6,270,9), (6,403,10),
+      (7,340,1), (7,425,2), (7,209,3), (7,334,4), (7,381,5), (7,0,6),
+      (7,332,7), (7,156,8), (7,442,9), (7,319,10)
     )),
     "ann_pq_topk" -> pinnedAnnOracle(Seq(
       (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,190,6),

@@ -269,5 +269,57 @@ class VectorIndexSpec extends SparkSpec {
         nlist = 8, m = 8)
       VectorIndex.readPqParams(root).m shouldBe 8
     }
+
+    it("lake-served RESIDUAL topKPq equals the in-memory rpqTopK " +
+        "EXACTLY (ids, ranks, and cosines)") {
+      val root = freshRoot("rpq_parity")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8, ks = 16, seed = 42L, residual = true)
+      VectorIndex.readPqParams(root).residual shouldBe true
+      val queries = emb.filter(col("vec_id") < 5)
+      val got = VectorIndex.topKPq(spark, queries, emb, "vec_id",
+          "embedding", root, k = 10, nprobe = 3, refine = 4)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val want = Similarity.rpqTopK(emb, queries, "vec_id",
+          "embedding", k = 10, nlist = 8, nprobe = 3, m = 8, ks = 16,
+          refine = 4, seed = 42L)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      got shouldBe want // bit-equal cosines included
+      want should not be empty
+    }
+
+    it("the residual flag is pinned geometry: flipping it refuses") {
+      val root = freshRoot("rpq_pin")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8, residual = true)
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+          nlist = 8, m = 8, residual = false)
+      // appendPq reads the persisted flag: appended codes join the
+      // residual tier, so a probe covering only appended ids still
+      // equals the in-memory operator on the full corpus
+      val base = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400)
+      val root2 = freshRoot("rpq_append")
+      VectorIndex.buildPq(base, "vec_id", "embedding", root2,
+        nlist = 8, m = 8, residual = true)
+      VectorIndex.appendPq(spark, batch, "vec_id", "embedding", root2)
+      val queries = emb.filter(col("vec_id") < 3)
+      // all cells probed + corpus-wide refine ⇒ the probe MUST equal
+      // brute force over the FULL union corpus exactly — which fails
+      // if the appended codes are missing or mis-encoded (they would
+      // never surface through the shortlist)
+      val got = VectorIndex.topKPq(spark, queries, emb, "vec_id",
+          "embedding", root2, k = 10, nprobe = 8, refine = 50)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      got shouldBe exact
+    }
   }
 }

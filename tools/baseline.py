@@ -340,6 +340,17 @@ those two rows the aggregate is DuckDB **{ex_duck:.2f} s** vs Spark
 Spark is {'faster' if spark_total < total else 'slower'} in aggregate,
 but that headline belongs to the replay asymmetry, not the engine.
 
+`q3_topn` (~0.5 s raw vs DuckDB 0.065 s) is the canonical
+multi-exchange toy-scale row: the static plan is pushed-filter scans
+into two joins (customer explicitly broadcast; lineitem⋈orders a
+shuffle join AQE converts to broadcast at this SF) + one partial-agg
+exchange + TakeOrdered — audited in PLANS.md, it is the plan you want
+at 100 TB (no fact broadcast, partial aggregation before the
+exchange, top-N never sorts the full result). The ~0.3 s net of floor
+is the dispatch cost of the extra runtime stages on a 600k-row input,
+the same constant every multi-stage row below pays — there is no
+per-byte work to shave, so it is documented rather than "fixed".
+
 Totals over the {len([r for r in rows if r[1] is not None])} oracle-gated queries:
 DuckDB **{total:.2f} s**, Spark local[32] **{spark_total:.2f} s** raw —
 of which {n_matched:d} × {floor:.2f} s scheduling floor =

@@ -269,6 +269,7 @@ def main():
         "ann_ivf_topk": "sf0.01",
         "ann_index_topk": "sf0.01",
         "ann_pq_topk": "sf0.01",
+        "ann_rpq_topk": "sf0.01",
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
