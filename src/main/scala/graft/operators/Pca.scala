@@ -40,6 +40,23 @@ object Pca {
     def k: Int = components.length
   }
 
+  /** [[fit]] on the canonical bounded feed (the quantizer-training
+    * precedent, Similarity.canonicalTrainFeed): the `cap` vectors
+    * with the smallest (xxhash64(id), id) delivered in ONE sorted
+    * partition. Two jobs this buys: (a) the Gram pass has exactly
+    * one partial, so the double-addition order is fixed and the fit
+    * is BIT-REPRODUCIBLE run to run and across CPU counts — [[fit]]
+    * on an unbounded corpus honestly cannot promise that (tree
+    * combine order follows task arrival); (b) the 100-TB shape — a
+    * covariance estimate does not need every row, and the bounded
+    * deterministic sample reads like the IVF/PQ quantizer feeds.
+    * Below the cap the sample IS the corpus, so nothing is traded.
+    */
+  def fitCanonical(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, cap: Int = 65536): Model =
+    fit(Similarity.canonicalTrainFeed(df, idCol,
+      Seq(col(vecCol).as("__v")), cap), "__v", k)
+
   /** One pass: (n, Σx, upper-triangle of X^T X) -> covariance ->
     * Jacobi -> top-k axes.
     */

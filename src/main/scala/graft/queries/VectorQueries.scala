@@ -146,17 +146,21 @@ object VectorQueries {
         k = 10, nprobe = 3)
     },
 
-    // E13 — PCA projection of the embedding corpus to 16 dims ([R]:
-    // the fitted axes come from a distributed double reduction whose
-    // addition order no engine pins, so bit-gating is impossible —
-    // PcaSpec pins axis recovery/orthonormality/kernel parity). One
-    // corpus pass fits (treeAggregate of a d(d+1)/2 triangle), the
-    // projection is a map-side codegen kernel; output is the ANN-prep
-    // artifact: per-vector reduced dims + the reconstruction check
-    // column count.
+    // E13 — PCA projection of the embedding corpus to 16 dims. One
+    // bounded-feed pass fits (a d(d+1)/2 Gram triangle), the
+    // projection is a map-side codegen kernel. r11: the fit rides the
+    // canonical bounded feed (Pca.fitCanonical — one sorted
+    // partition, so ONE Gram partial and a fixed addition order),
+    // which makes the model bit-reproducible across runs and CPU
+    // counts — verified — and lets pc1 hash-gate against a
+    // pinned-model DuckDB replay (ordered fold + FLOAT cast, the
+    // mm_image_embed discipline); SF-scoped to the driver SF in
+    // check.py (the pinned mean/axis literals are that fit's).
+    // PcaSpec keeps axis recovery/orthonormality/kernel parity.
     "emb_pca_project" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val m = graft.operators.Pca.fit(emb, "embedding", k = 16)
+      val m = graft.operators.Pca.fitCanonical(emb, "vec_id",
+        "embedding", k = 16)
       graft.operators.Pca.transform(emb, "embedding", m)
         .select(col("vec_id"),
           org.apache.spark.sql.functions.size(col("embedding"))
@@ -254,6 +258,69 @@ object VectorQueries {
       (7,381,4), (7,445,5), (7,221,6), (7,302,7), (7,332,8),
       (7,442,9), (7,99,10)
     )),
+    // E13 pinned-model replay: the canonical-feed PCA fit is
+    // bit-reproducible (one Gram partial — see Pca.fitCanonical), so
+    // the model's mean and first axis pin as literals and DuckDB
+    // replays pc1 = fold_i (x_i − mean_i)·axis_i in the kernel's
+    // i-ascending double accumulation, FLOAT-cast at the end (the
+    // mm_image_embed discipline). SF-scoped to sf0.01 in check.py.
+    "emb_pca_project" ->
+      s"""WITH m(mean, ax) AS (SELECT
+         |[0.0021647098540561274, -0.004547794351470656, 0.003930154383007902,
+-0.004793201057444094, 0.009943076466443017, 0.007772532952541951,
+-0.01823135569485021, 0.009217355088097975, -0.0024274034147092607,
+-6.178791260463186E-4, 0.006436078068451025, 0.0033540127822197976,
+-0.0026588912964216433, 0.0020540317017294003,
+-2.1456623025005683E-4, 0.005910249243548606,
+0.0033342206680827074, 0.005826121678226628,
+-4.6127636556047945E-4, 0.0012317155191558413,
+-0.0038391390424221752, 0.0023021840666187926,
+0.004168265111627988, -0.008054586122045293,
+-0.0018911654613621067, 0.012808142676018179,
+-0.0015970649567898362, 0.01062632681982359,
+-0.0011532765734009445, 3.903653704910539E-4,
+0.0056047214816790075, -0.005792685562460974, 0.008335300238788477,
+-0.0066753798398422074, 0.005155627750558779, 0.001177179405814968,
+-0.0053353315424174074, -0.0015937965741213702,
+-9.667016767925815E-4, -0.001140981935830496,
+-0.0017442115085141267, -0.01183411476330366,
+3.1351819908741164E-4, -5.631569666620635E-4,
+-0.011520562025547406, 0.003832613509031944, -5.98060307384003E-4,
+0.005890298187849112, -0.003749661162350094, -0.010264404615503736,
+0.009377152467495762, -0.001481992187706055, 0.007770042697302415,
+-0.003917563282562696, 0.00470978261413984, -0.003577291431953199,
+0.004773866848874604, -0.0024703639050130733,
+-0.004844514904165408, -0.00872118095526821, -2.811656921039685E-4,
+0.005004184705336229, -0.0011590625974931754,
+-0.013266222528531216],
+         |[-0.2096393303658782, -0.120572731428751, 0.03654785325894207,
+0.01181957938734597, 0.0756701162561686, 0.013214635864444468,
+0.09058413427626621, 0.2866187756491006, 0.04954697972767778,
+0.41405654299686345, 0.06530500475730752, 0.18207886842807455,
+0.06513224638707366, -0.03653204103801003, 0.1711489623901352,
+-0.1853497761294581, 0.08898990232836926, -0.15702647605351325,
+-0.030136695172509782, 0.032178946179186305, 0.061213196437497945,
+-0.1106883220283598, -0.0834751099006234, -0.05543751931232015,
+0.019549964003127526, 0.19912536701560093, -0.03751725019614954,
+0.14950770732679677, -0.1728796346906129, -0.006123148225127482,
+-0.05871572784769839, 0.06203768144612755, 0.29653854350100967,
+0.10616458906763815, -0.032041929761849476, 0.10414385454446931,
+0.044538781323947334, 0.06146406272610149, 0.013006743241259831,
+0.021771213196293836, -0.11667899871834032, 0.005524581440204672,
+-0.2408369393335731, 0.09570755741811228, -0.028307680331664996,
+-0.22512748623474915, 0.008731820438583634, -0.07903747599640608,
+-0.08368081721210044, -0.1184509387357731, 0.1204594559586036,
+0.07248323650296927, -0.01718647192563654, 0.0816043689752015,
+-0.015031306788684091, -0.06676476085651618, -0.055650704928621224,
+-0.05137607222716874, 0.06019603095736141, -0.09113916301050577,
+0.12198695691605087, 0.05064983541094307, -0.2182114831542099,
+-0.10201390073638703])
+         |SELECT e.vec_id, CAST(16 AS INT) AS pca_dims,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    [(CAST(e.embedding[i] AS DOUBLE) - m.mean[i]) * m.ax[i]
+         |     FOR i IN generate_series(1, len(e.embedding))]),
+         |    (acc, v) -> acc + v) AS FLOAT) AS pc1
+         |FROM embeddings e CROSS JOIN m""".stripMargin,
     "ann_rpq_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,423,3), (0,73,4), (0,320,5), (0,190,6),
       (0,464,7), (0,388,8), (0,483,9), (0,344,10), (1,386,1),

@@ -81,6 +81,29 @@ class PcaSpec extends SparkSpec {
       got.map(_._2).toSeq shouldBe want.map(_._2).toSeq
     }
 
+    it("fitCanonical is bit-deterministic and equals the full fit " +
+        "below the cap") {
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+      // bit-determinism: two fits agree EXACTLY — the canonical feed
+      // is one sorted partition, so the Gram pass has one partial and
+      // a fixed double-addition order (cross-JVM/CPU-count equality
+      // is verified in the pinned emb_pca_project oracle)
+      val a = Pca.fitCanonical(emb, "vec_id", "embedding", k = 4)
+      val b = Pca.fitCanonical(emb, "vec_id", "embedding", k = 4)
+      a.mean.toSeq shouldBe b.mean.toSeq
+      a.components.map(_.toSeq).toSeq shouldBe
+        b.components.map(_.toSeq).toSeq
+      // below the cap the sample IS the corpus: same model as the
+      // unbounded fit up to the reduction-order ulps (1e-6, the
+      // fit-stability contract)
+      val full = Pca.fit(emb, "embedding", k = 4)
+      a.mean.zip(full.mean).foreach { case (x, y) =>
+        x shouldBe y +- 1e-6 }
+      a.components.zip(full.components).foreach { case (ca, cb) =>
+        ca.zip(cb).foreach { case (x, y) => x shouldBe y +- 1e-6 }
+      }
+    }
+
     it("reduces the real embeddings table to k dims") {
       val emb = graft.sources.Tables.embeddings(spark, sf)
       val m = Pca.fit(emb, "embedding", k = 16)

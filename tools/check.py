@@ -270,6 +270,9 @@ def main():
         "ann_index_topk": "sf0.01",
         "ann_pq_topk": "sf0.01",
         "ann_rpq_topk": "sf0.01",
+        # pinned PCA model (mean + first axis) from the canonical-feed
+        # bit-reproducible fit; DuckDB replays the projection fold
+        "emb_pca_project": "sf0.01",
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
