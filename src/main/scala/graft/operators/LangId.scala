@@ -53,20 +53,49 @@ object LangIdModel {
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
       languages: Seq[String], n: Int = 3, buckets: Int = 256,
-      maxIter: Int = 50, regParam: Double = 1e-4): Model = {
+      maxIter: Int = 50, regParam: Double = 1e-4): Model =
+    fitAssembled(assemble(df, textCol, labelCol, languages, n,
+      buckets), languages, n, buckets, maxIter, regParam)
+
+  /** [[train]] on the canonical bounded feed (the quantizer/PCA
+    * precedent): `cap` lowest-(xxhash64(id), id) labeled rows in ONE
+    * sorted partition, so every L-BFGS treeAggregate has one partial
+    * and a fixed double-addition order — the weight matrix is
+    * BIT-REPRODUCIBLE across runs and CPU counts, making the scoring
+    * query pinnable. Below the cap the sample is the corpus.
+    */
+  def trainCanonical(df: DataFrame, textCol: String, labelCol: String,
+      idCol: String, languages: Seq[String], cap: Int = 65536,
+      n: Int = 3, buckets: Int = 256, maxIter: Int = 50,
+      regParam: Double = 1e-4): Model = {
+    val assembled = Similarity.canonicalTrainFeed(
+      assemble(df, textCol, labelCol, languages, n, buckets)
+        .withColumn("__id", col(idCol)),
+      "__id", Seq(col("label"), col("features")), cap)
+    fitAssembled(assembled, languages, n, buckets, maxIter, regParam)
+  }
+
+  private def assemble(df: DataFrame, textCol: String,
+      labelCol: String, languages: Seq[String], n: Int,
+      buckets: Int): DataFrame = {
     require(languages.nonEmpty && languages.distinct == languages,
       s"languages must be non-empty and distinct: $languages")
     val idx = map(languages.zipWithIndex.flatMap { case (l, i) =>
       Seq(lit(l), lit(i.toDouble)) }: _*)
-    val assembled = featurize(df, textCol, n, buckets)
+    featurize(df, textCol, n, buckets)
       .withColumn("label", element_at(idx, col(labelCol)))
       .filter(col("label").isNotNull)
-      .select(col("label"), array_to_vector(col("lang_feats"))
+      .select(col("*"), array_to_vector(col("lang_feats"))
         .as("features"))
+  }
+
+  private def fitAssembled(assembled: DataFrame,
+      languages: Seq[String], n: Int, buckets: Int, maxIter: Int,
+      regParam: Double): Model = {
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFamily("multinomial").setStandardization(false)
-    val m = lr.fit(assembled)
+    val m = lr.fit(assembled.select(col("label"), col("features")))
     // coefficientMatrix is nClasses × buckets; flatten class-major
     // with each class's intercept appended (the kernel's layout)
     val w = (0 until languages.length).flatMap { l =>

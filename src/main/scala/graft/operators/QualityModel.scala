@@ -73,11 +73,32 @@ object QualityModel {
     * label: 1 = looks-curated). Returns the linear model.
     */
   def train(featurized: DataFrame, labelCol: String,
-      maxIter: Int = 50, regParam: Double = 1e-3): Model = {
-    val assembled = featurized.select(
+      maxIter: Int = 50, regParam: Double = 1e-3): Model =
+    fitAssembled(featurized.select(
       col(labelCol).cast("double").as("label"),
       array_to_vector(array(featureNames.map(col): _*))
-        .as("features"))
+        .as("features")), maxIter, regParam)
+
+  /** [[train]] on the canonical bounded feed (the quantizer/PCA
+    * precedent — Similarity.canonicalTrainFeed): the `cap`
+    * lowest-(xxhash64(id), id) rows in ONE sorted partition, so every
+    * treeAggregate inside L-BFGS (gradient passes, the
+    * standardization summarizer) has exactly one partial and a fixed
+    * double-addition order — the fitted weights are BIT-REPRODUCIBLE
+    * across runs and CPU counts, which is what lets the scoring
+    * query carry a pinned oracle. Below the cap the sample is the
+    * corpus; at 100 TB a linear-probe fit does not need every row.
+    */
+  def trainCanonical(featurized: DataFrame, labelCol: String,
+      idCol: String, cap: Int = 65536, maxIter: Int = 50,
+      regParam: Double = 1e-3): Model =
+    fitAssembled(Similarity.canonicalTrainFeed(featurized, idCol,
+      Seq(col(labelCol).cast("double").as("label"),
+        array_to_vector(array(featureNames.map(col): _*))
+          .as("features")), cap), maxIter, regParam)
+
+  private def fitAssembled(assembled: DataFrame, maxIter: Int,
+      regParam: Double): Model = {
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setStandardization(true)

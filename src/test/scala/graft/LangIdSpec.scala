@@ -26,6 +26,23 @@ class LangIdSpec extends SparkSpec {
       acc should be >= 0.95
     }
 
+    it("trainCanonical is bit-deterministic and separates like the " +
+        "unbounded fit") {
+      val train = LangIdModel.syntheticCorpus(spark, perLang = 80,
+        seed = 42L)
+      val test = LangIdModel.syntheticCorpus(spark, perLang = 20,
+        seed = 777L)
+      val a = LangIdModel.trainCanonical(train, "text", "lang",
+        "doc_id", langs)
+      val b = LangIdModel.trainCanonical(train, "text", "lang",
+        "doc_id", langs)
+      a.weights shouldBe b.weights // one L-BFGS partial ⇒ bit-equal
+      val scored = LangIdModel.score(test, "text", a)
+      val acc = scored.filter(col("lang_model") === col("lang"))
+        .count().toDouble / scored.count()
+      acc should be >= 0.95
+    }
+
     it("classifies the multi-byte script (zh) correctly — the byte-" +
         "n-gram path") {
       val train = LangIdModel.syntheticCorpus(spark, perLang = 80,

@@ -37,6 +37,24 @@ class QualityModelSpec extends SparkSpec {
       acc should be >= 0.95
     }
 
+    it("trainCanonical is bit-deterministic and separates like the " +
+        "unbounded fit") {
+      val feat = QualityModel.featurize(corpus, "text")
+      // one sorted partition ⇒ one L-BFGS partial ⇒ identical weights
+      // (cross-JVM/CPU-count equality is what pins the
+      // text_quality_model oracle)
+      val a = QualityModel.trainCanonical(feat, "label", "doc_id")
+      val b = QualityModel.trainCanonical(feat, "label", "doc_id")
+      a.weights shouldBe b.weights
+      a.intercept shouldBe b.intercept
+      val scored = QualityModel.score(corpus, "text", a)
+        .select(col("label"), col("quality_prob"))
+        .as[(Int, Double)].collect()
+      val acc = scored.count { case (l, p) =>
+        (p >= 0.5) == (l == 1) }.toDouble / scored.length
+      acc should be >= 0.95
+    }
+
     it("probability is the exact linear-sigmoid form of the features") {
       val m = QualityModel.Model(
         Seq(0.5, -0.25, 2.0, -1.0, 0.0, 3.0, -0.5), intercept = 0.1)

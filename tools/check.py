@@ -273,6 +273,10 @@ def main():
         # pinned PCA model (mean + first axis) from the canonical-feed
         # bit-reproducible fit; DuckDB replays the projection fold
         "emb_pca_project": "sf0.01",
+        # pinned model-scoring artifacts (canonical-feed L-BFGS fits,
+        # bit-reproducible — fresh-JVM 8/32-thread byte equality)
+        "text_quality_model": "sf0.01",
+        "text_langid_model": "sf0.01",
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
