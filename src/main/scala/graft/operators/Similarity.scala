@@ -283,11 +283,11 @@ object Similarity {
   // embedding corpus scannable at all. Scoring is asymmetric-distance
   // (ADC): each query row carries its m*ks lookup table (built once,
   // map-side), so a candidate costs m table lookups, not a D-length
-  // dot. Codes are non-residual (FAISS IndexPQ-style; the residual
-  // IVFPQ variant trades one more table build per probed cell for
-  // tighter quantization — same plan shape). A final REFINE pass
-  // re-scores only the approximate shortlist against the exact
-  // vectors, so the output ranks true cosines (FAISS's RefineFlat).
+  // dot. This tier's codes are non-residual (FAISS IndexPQ-style);
+  // the residual IVFPQ default lives below as rpqIndex/rpqTopK. A
+  // final REFINE pass re-scores only the approximate shortlist
+  // against the exact vectors, so the output ranks true cosines
+  // (FAISS's RefineFlat).
 
   /** A PQ index over a corpus: IVF coarse centroids (cell probing),
     * the flat m*ks*dsub codebook (subspace-major, a plan literal),
