@@ -16,6 +16,23 @@ object TextQueries {
   private val qualityModelMemo = new graft.sources
     .SessionMemo[String, graft.operators.QualityModel.Model]()
 
+  /** The per-session trained quality model (the clustering-
+    * assignments / IVF-index pattern): training runs once per (session,
+    * dir), the timed queries measure the codegen scoring pass. The
+    * canonical training feed (r11) makes the weights bit-reproducible
+    * — one sorted partition ⇒ one L-BFGS partial per pass — which is
+    * what lets the consuming queries carry pinned oracles.
+    */
+  private def qualityModelFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.QualityModel.Model =
+    qualityModelMemo.getOrElseUpdate(s, dir) {
+      val labeled = Tables.documents(s, dir).withColumn("label",
+        (TextFns.qualityScore(col("text")) >= 0.55).cast("int"))
+      graft.operators.QualityModel.trainCanonical(
+        graft.operators.QualityModel.featurize(labeled, "text"),
+        "label", "doc_id")
+    }
+
   private val langIdModelMemo = new graft.sources
     .SessionMemo[String, graft.operators.LangIdModel.Model]()
 
@@ -99,20 +116,8 @@ object TextQueries {
     // raw features; scoring is a pure codegen column expression.
     "text_quality_model" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      // the trained model is a per-session artifact (the clustering-
-      // assignments / IVF-index pattern): training runs once, the
-      // timed query measures the codegen scoring pass
-      val m = qualityModelMemo.getOrElseUpdate(s, dir) {
-        val labeled = docs.withColumn("label",
-          (TextFns.qualityScore(col("text")) >= 0.55).cast("int"))
-        // canonical training feed (r11): one sorted partition ⇒ one
-        // L-BFGS partial per pass ⇒ bit-reproducible weights — what
-        // lets this query carry a pinned oracle
-        graft.operators.QualityModel.trainCanonical(
-          graft.operators.QualityModel.featurize(labeled, "text"),
-          "label", "doc_id")
-      }
-      graft.operators.QualityModel.score(docs, "text", m)
+      graft.operators.QualityModel
+        .score(docs, "text", qualityModelFor(s, dir))
         .select(col("doc_id"), col("quality_prob"))
     },
 
@@ -164,6 +169,30 @@ object TextQueries {
         .select(col("doc_id"),
           TextFns.wordCount(col("text")).as("ws_tokens"),
           col("quality_score"))
+    },
+
+    // E12c — MODEL-gated curation composition (r11): the TRAINED
+    // quality classifier runs IN the pipeline plan (plan-literal
+    // sigmoid — no MLlib, no UDF at inference), chained with the
+    // heuristic language gate and keep-first exact dedup — the
+    // heuristic→classifier upgrade a CCNet-style pipeline makes once
+    // a trained model exists, composed the way production runs it
+    // (cheap gates first, content dedup last). Hash-gated SF-scoped:
+    // the oracle replays the PINNED model probs (the
+    // text_quality_model dyadic VALUES), the langid CASE chain, and
+    // the sha256 keep-first dedup.
+    "pipe_model_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.QualityModel
+        .score(docs, "text", qualityModelFor(s, dir))
+        .select(col("doc_id"), col("text"), col("quality_prob"))
+        .filter(col("quality_prob") >= 0.5)
+        .withColumn("lang_pred", TextFns.langId(col("text")))
+        .filter(col("lang_pred") =!= "und")
+      Dedup.exact(scored, "text", "doc_id")
+        .select(col("doc_id"), col("lang_pred"),
+          TextFns.wordCount(col("text")).as("ws_tokens"),
+          col("quality_prob"))
     },
 
     // Word-repetition quality stats: type-token ratio + top-word
@@ -328,22 +357,14 @@ object TextQueries {
     TextFns.langMarkers.toMap.apply(lang)
       .map(tokCount).mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
-    // H19 pinned scoring artifact (r11): the canonical training feed
-    // makes the L-BFGS fit bit-reproducible (one sorted partition ⇒
-    // one gradient partial per pass — verified byte-equal across
-    // fresh JVMs at 8 and 32 threads), so the 500 (doc_id,
-    // quality_prob) rows pin as VALUES. Exact-FP gate: each prob is
-    // emitted as exact dyadic arithmetic (mantissa * power(2, e) —
-    // both factors and the product are exactly representable), which
-    // sidesteps DuckDB 1.0's off-by-one-ulp decimal float parse.
-    // QualityModelSpec still gates separation; this pins the
-    // artifact. SF-scoped in check.py.
-    "text_quality_model" ->
-      s"""SELECT CAST(v.id AS BIGINT) AS doc_id,
-         |  CAST(v.p AS DOUBLE) AS quality_prob
-         |FROM (VALUES
-         |   (0,9003139928019914*power(2.0,-53)),
+  /** The pinned (doc_id, quality_prob) rows of the canonical-feed
+    * quality model at the driver SF, as exact dyadic arithmetic —
+    * shared by the text_quality_model gate and the pipe_model_curation
+    * composition replay. Regenerate from a verify dump after a model
+    * change (see the text_quality_model comment).
+    */
+  private val qualityProbDyadic: String =
+    """(0,9003139928019914*power(2.0,-53)),
          |   (1,8960309045998384*power(2.0,-53)),
          |   (2,8997557260284441*power(2.0,-53)),
          |   (3,8932172807986076*power(2.0,-53)),
@@ -842,7 +863,63 @@ object TextQueries {
          |   (496,9007011789812837*power(2.0,-53)),
          |   (497,7610831341451245*power(2.0,-73)),
          |   (498,8995041565385829*power(2.0,-53)),
-         |   (499,9007198282630267*power(2.0,-53))) v(id, p)""".stripMargin,
+         |   (499,9007198282630267*power(2.0,-53))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // H19 pinned scoring artifact (r11): the canonical training feed
+    // makes the L-BFGS fit bit-reproducible (one sorted partition ⇒
+    // one gradient partial per pass — verified byte-equal across
+    // fresh JVMs at 8 and 32 threads), so the 500 (doc_id,
+    // quality_prob) rows pin as VALUES. Exact-FP gate: each prob is
+    // emitted as exact dyadic arithmetic (mantissa * power(2, e) —
+    // both factors and the product are exactly representable), which
+    // sidesteps DuckDB 1.0's off-by-one-ulp decimal float parse.
+    // QualityModelSpec still gates separation; this pins the
+    // artifact. SF-scoped in check.py.
+    // E12c composition replay: pinned model probs (the shared dyadic
+    // VALUES) + the langid heuristic CASE chain + sha256 keep-first
+    // dedup + the ws-token count — every stage engine-portable or
+    // pinned, so the composition hash-gates end-to-end. SF-scoped
+    // (the pin is the sf0.01 fit's).
+    "pipe_model_curation" -> {
+      val scores = TextFns.langMarkers.map { case (l, _) =>
+        s"(${langScoreSql(l)}) AS score_$l"
+      }
+      val maxE = TextFns.langMarkers
+        .map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val caseE = TextFns.langMarkers.reverse
+        .foldLeft("'und'") { case (acc, (l, _)) =>
+          s"CASE WHEN $maxE > 0 AND score_$l = $maxE THEN '$l' ELSE $acc END"
+        }
+      s"""WITH qp(id, p) AS (VALUES
+         |   $qualityProbDyadic),
+         |ls AS (
+         |  SELECT doc_id, ${scores.mkString(",\n    ")}
+         |  FROM documents),
+         |lp AS (SELECT doc_id, $caseE AS lang_pred FROM ls),
+         |g AS (
+         |  SELECT d.doc_id, d.text, CAST(qp.p AS DOUBLE) AS quality_prob,
+         |    lp.lang_pred
+         |  FROM documents d
+         |  JOIN qp ON qp.id = d.doc_id
+         |  JOIN lp ON lp.doc_id = d.doc_id
+         |  WHERE CAST(qp.p AS DOUBLE) >= 0.5 AND lp.lang_pred <> 'und'),
+         |uniq AS (
+         |  SELECT doc_id, text, quality_prob, lang_pred FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM g)
+         |  WHERE rn = 1)
+         |SELECT doc_id, lang_pred,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> len(t) > 0)) AS INT) AS ws_tokens,
+         |  quality_prob
+         |FROM uniq""".stripMargin
+    },
+    "text_quality_model" ->
+      s"""SELECT CAST(v.id AS BIGINT) AS doc_id,
+         |  CAST(v.p AS DOUBLE) AS quality_prob
+         |FROM (VALUES
+         |   $qualityProbDyadic) v(id, p)""".stripMargin,
     // E7b pinned scoring artifact: same canonical-feed determinism;
     // the predicted labels over `documents` are out-of-domain for the
     // synthetic multilingual model (mostly arbitrary) — the gate pins

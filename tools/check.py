@@ -277,6 +277,8 @@ def main():
         # bit-reproducible — fresh-JVM 8/32-thread byte equality)
         "text_quality_model": "sf0.01",
         "text_langid_model": "sf0.01",
+        # composition over the pinned quality probs (E12c)
+        "pipe_model_curation": "sf0.01",
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
