@@ -183,13 +183,19 @@ object TextQueries {
     // the sha256 keep-first dedup.
     "pipe_model_curation" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val scored = graft.operators.QualityModel
+      // pin the gated corpus: Dedup.exact consumes its input twice
+      // (winner agg + semi-join back) — without the pin the scoring
+      // kernels (featurize + langid) run twice per evaluation (the
+      // pipe_clean_corpus round-5 lesson; measured 3.0s → pinned
+      // ~1.2s at sf0.1)
+      val gated = graft.operators.QualityModel
         .score(docs, "text", qualityModelFor(s, dir))
         .select(col("doc_id"), col("text"), col("quality_prob"))
         .filter(col("quality_prob") >= 0.5)
         .withColumn("lang_pred", TextFns.langId(col("text")))
         .filter(col("lang_pred") =!= "und")
-      Dedup.exact(scored, "text", "doc_id")
+        .localCheckpoint()
+      Dedup.exact(gated, "text", "doc_id")
         .select(col("doc_id"), col("lang_pred"),
           TextFns.wordCount(col("text")).as("ws_tokens"),
           col("quality_prob"))
