@@ -23,10 +23,12 @@ import graft.expressions.NativeKernels
   * literal into the denseArgmax kernel — scan → project at 100 TB,
   * no UDF, no MLlib at inference, no join.
   *
-  * Honest determinism: like H19, L-BFGS over distributed double sums
-  * carries last-ulp combine-order noise, so the query is [R]
-  * rows-gated and the spec pins held-out separation (≥ 0.95 on
-  * planted multilingual corpora), not bits.
+  * Determinism: like H19, the fit rides the canonical bounded feed
+  * (trainCanonical — one sorted partition, fixed combine order), so
+  * the weights are bit-reproducible across fresh JVMs and CPU counts
+  * and `text_langid_model` hash-gates against pinned labels; the
+  * spec additionally pins held-out separation (≥ 0.95 on planted
+  * multilingual corpora).
   */
 object LangIdModel {
 

@@ -185,7 +185,8 @@ object Similarity {
   }
 
   private val ivfMemo =
-    new graft.sources.SessionMemo[(String, String, String, Int, Long),
+    new graft.sources.SessionMemo[
+      (String, String, String, Int, Long, Int),
       IvfIndex](maxPerSession = 4,
         onEvict = _.corpusCells.unpersist(blocking = false))
 
@@ -242,7 +243,7 @@ object Similarity {
     }
     if (corpusTag.isEmpty) build
     else ivfMemo.getOrElseUpdate(corpus.sparkSession,
-      (corpusTag, idCol, vecCol, nlist, seed))(build)
+      (corpusTag, idCol, vecCol, nlist, seed, trainCap))(build)
   }
 
   /** IVF-bucketed ANN: KMeans coarse quantizer, probe the `nprobe`

@@ -116,6 +116,18 @@ object VectorIndex {
     parseParams(store.readBody(paramsRoot(root), vs.max))
   }
 
+  /** Serving guard: every read/assign path refuses params whose
+    * bucketing geometry this code does not implement — a pre-metric
+    * ("l2") index on disk has raw-magnitude cell assignments, and
+    * probing it with unit-vector geometry silently corrupts recall.
+    * Rebuild (delete the root) instead.
+    */
+  private def requireServable(p: Params, root: String): Unit =
+    require(p.metric == "unit-l2",
+      s"vector index at $root has metric=${p.metric}; this build " +
+        "serves only unit-l2 (spherical) geometry — delete the " +
+        "index root and rebuild")
+
   /** (cell, vec_id, cv, cn) assignment frame — one map-side pass. */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
       p: Params): DataFrame =
@@ -143,18 +155,27 @@ object VectorIndex {
         // the persisted quantizer is bit-reproducible across fresh
         // builds, so index probes can carry pinned oracles; best-of-10
         // seeded restarts (the C8 discipline) keep cell quality off
-        // poor local optima
+        // poor local optima. Train on UNIT vectors — the ivfIndex
+        // contract: metric=unit-l2 means centroids are trained on and
+        // assignments computed from the same spherical geometry (the
+        // unit() lives INSIDE the feed's pre-sort select so the
+        // TakeOrderedAndProject determinism pattern holds)
         val train = Similarity.canonicalTrainFeed(corpus, idCol, Seq(
-          array_to_vector(col(vecCol).cast("array<double>"))
-            .as("features")), trainCap = 65536).cache()
+          array_to_vector(Similarity.unit(col(vecCol))
+            .cast("array<double>")).as("features")),
+          trainCap = 65536).cache()
         val model =
           try Clustering.bestOfFits(train, nlist, seed, nInit = 10)
           finally train.unpersist(blocking = false)
         Params(nlist, seed, dim,
           model.clusterCenters.map(_.toArray.toSeq).toSeq)
       }
+    // the claim carries the REQUESTED geometry — including the metric
+    // THIS code implements — never the stored one, so a pre-metric
+    // ("l2") index on disk refuses here instead of being silently
+    // re-served under unit-vector probing
     val p = claimOrRead(root, p0.copy(nlist = nlist, seed = seed,
-      dim = dim, centroids = p0.centroids), store)
+      dim = dim, centroids = p0.centroids, metric = "unit-l2"), store)
     AtomicLake.overwrite(assign(corpus, idCol, vecCol, p),
       cellsRoot(root), Seq("cell"), filesPerPartition, store)
     p
@@ -169,6 +190,7 @@ object VectorIndex {
       vecCol: String, root: String, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     val p = readParams(root, store)
+    requireServable(p, root)
     val existing = AtomicLake.read(spark, cellsRoot(root), store)
       .select(col("vec_id"))
     val fresh = assign(batch, idCol, vecCol, p)
@@ -190,6 +212,7 @@ object VectorIndex {
       vecCol: String, root: String, k: Int, nprobe: Int = 3,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
     val p = readParams(root, store)
+    requireServable(p, root)
     val qc = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
@@ -367,11 +390,13 @@ object VectorIndex {
         PqParams(Params(nlist, seed, dim, idx.centroids), m, ks,
           idx.books, residual)
       }
-    // claim carries the REQUESTED geometry (not the stored one), so a
-    // rebuild asking for different nlist/m/ks/residual refuses
-    // instead of silently reusing the pinned index
+    // claim carries the REQUESTED geometry (not the stored one) —
+    // including metric, so a rebuild asking for different
+    // nlist/m/ks/residual, or against a pre-metric ("l2") index,
+    // refuses instead of silently reusing the pinned index
     val p = claimOrReadPq(root, p0.copy(
-      base = p0.base.copy(nlist = nlist, seed = seed, dim = dim),
+      base = p0.base.copy(nlist = nlist, seed = seed, dim = dim,
+        metric = "unit-l2"),
       m = m, ks = ks, residual = residual), store)
     AtomicLake.overwrite(encodePq(corpus, idCol, vecCol, p),
       codesRoot(root), Seq("cell"), filesPerPartition, store)
@@ -386,6 +411,7 @@ object VectorIndex {
       vecCol: String, root: String, filesPerPartition: Int = 1,
       store: CommitStore = HardlinkCommitStore): Long = {
     val p = readPqParams(root, store)
+    requireServable(p.base, root)
     val existing = AtomicLake.read(spark, codesRoot(root), store)
       .select(col("vec_id"))
     val fresh = encodePq(batch, idCol, vecCol, p)
@@ -409,6 +435,7 @@ object VectorIndex {
       store: CommitStore = HardlinkCommitStore): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val p = readPqParams(root, store)
+    requireServable(p.base, root)
     val booksLit = org.apache.spark.sql.functions.typedLit(p.books)
     // residual tier: the table is per (query, probed cell) from the
     // UNIT query with the centroid folded in, and the ADC dot IS the

@@ -132,10 +132,10 @@ object VectorQueries {
     // cell-partitioned index lake; later runs REUSE it (params CAS +
     // existing assignments) — the probe is the partition-pruned scan.
     "ann_index_topk" -> { (s, dir) =>
-      // q2: the quantizer gained a canonical training feed (bit-
-      // reproducible builds) — a stale q1 index must rebuild, not
-      // serve the pinned oracle
-      val root = "/root/repo/target/lake/vector_index_q2/" +
+      // q3: the quantizer now trains on UNIT vectors (the ivfIndex
+      // metric contract; q2 trained raw) — a stale q2 index must
+      // rebuild, not serve the pinned oracle
+      val root = "/root/repo/target/lake/vector_index_q3/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = Tables.embeddings(s, dir)
       if (!graft.operators.VectorIndex.exists(root))

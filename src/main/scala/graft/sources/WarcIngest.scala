@@ -81,7 +81,10 @@ object WarcIngest {
       new RecordIterator(file, new DataInputStream(
         new BufferedInputStream(in, 1 << 16)))
     } catch {
-      case e @ (_: java.io.IOException | _: RuntimeException) =>
+      // IOException only (ZipException/EOFException are IOExceptions):
+      // a genuine code bug (NPE, index error) must FAIL the task, not
+      // masquerade as an 'unreadable file' quarantine row
+      case e: java.io.IOException =>
         Iterator.single(WarcRecord(file, 0, null, null, null, null,
           null, null, null, Array.emptyByteArray,
           s"unreadable file (${e.getClass.getSimpleName}: " +
@@ -219,7 +222,10 @@ object WarcIngest {
     private def advance(): Unit =
       try advanceRecord()
       catch {
-        case e @ (_: java.io.IOException | _: RuntimeException) =>
+        // IOException only: header/length parsing already degrades via
+        // Try, so a RuntimeException here is a walker bug that must
+        // fail the task, not become a quarantine row
+        case e: java.io.IOException =>
           fail(s"record $idx: unreadable stream " +
             s"(${e.getClass.getSimpleName}: ${e.getMessage})")
       }

@@ -92,6 +92,30 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.readParams(root).nlist shouldBe 8
     }
 
+    it("refuses to serve or extend a pre-metric (l2) index: mixed " +
+        "bucketing geometry must never silently degrade recall") {
+      val root = freshRoot("premetric")
+      // a params file from before the metric field existed: no
+      // "metric" key, raw-magnitude centroids — parses back as "l2"
+      val centroids = (0 until 4).map(c =>
+        (0 until 8).map(d => (c + d).toDouble)
+          .mkString("[", ",", "]")).mkString("[", ",", "]")
+      graft.sources.HardlinkCommitStore.tryCommit(s"$root/params", 1L,
+        s"""{"nlist":4,"seed":42,"dim":8,"centroids":$centroids}"""
+      ) shouldBe true
+      VectorIndex.readParams(root).metric shouldBe "l2"
+      val qs = emb.filter(col("vec_id") < 2)
+      val probe = the[IllegalArgumentException] thrownBy
+        VectorIndex.topK(spark, qs, "vec_id", "embedding", root, k = 3)
+      probe.getMessage should include("metric=l2")
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.append(spark, qs, "vec_id", "embedding", root)
+      // build() claims the metric THIS code implements (unit-l2), so
+      // a geometry flip refuses instead of adopting stored params
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.build(emb, "vec_id", "embedding", root, nlist = 4)
+    }
+
     it("streams micro-batches into the live index, replay-safe") {
       implicit val sqlCtx = spark.sqlContext
       val root = freshRoot("stream")

@@ -20,6 +20,13 @@ OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
 SKIP = "--skip-verify" in sys.argv
 ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
 
+# guard: a bad first arg (e.g. `check.py --help`) must not launch a
+# full Verify against a directory named "--help" and clobber OUT_DIR
+if not os.path.isdir(SF_DIR) or not os.path.exists(
+        os.path.join(SF_DIR, "lineitem.parquet")):
+    sys.exit(f"check.py: '{SF_DIR}' is not an sf data dir "
+             "(expected <sf_dir> [out_dir] [--skip-verify] [names...])")
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
