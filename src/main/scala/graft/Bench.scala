@@ -128,6 +128,43 @@ object Bench {
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}}"""
+
+    // ---- compact stdout twin ------------------------------------------
+    // The FULL json above (~4 KB for 121 queries) overflows the
+    // driver's ~2 KB stdout tail window, which truncated the line's
+    // FRONT and made BENCH parse null for three rounds. The stdout
+    // line is therefore a budgeted summary: total + floor + the most
+    // expensive queries (3-decimal), greedily added while the line
+    // stays under HardCap bytes; the remainder is summarized as
+    // (queries_omitted, omitted_sec) and the complete per-query map
+    // lives in target/bench.json ("full" points there).
+    // Double.toString after rint-rounding is locale-safe (the f"%f"
+    // interpolator is NOT — it follows the default locale's decimal
+    // separator).
+    def r3(x: Double): String = (math.rint(x * 1000) / 1000).toString
+    val HardCap = 1400
+    val errC = errors.take(5).map { case (k, v) =>
+      s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${r3(total)},""" +
+      s""""unit":"sec","sf":${jstr(sfDir)},""" +
+      s""""n_queries":${timings.size},"errors":$errC,""" +
+      s""""prepare_sec":${r3(prepare)},"floor_sec":${r3(floor)},""" +
+      s""""floor_end_sec":${r3(floorEnd)},"noisy":$noisyAny,""" +
+      s""""full":"target/bench.json","queries":{"""
+    val byCost = timings.toSeq.sortBy { case (_, v) => -v }
+      .map { case (k, v) => (s"${jstr(k)}:${r3(v)}", v) }
+    def tailOf(omitted: Int, osec: Double): String =
+      s"""},"queries_omitted":$omitted,"omitted_sec":${r3(osec)}}"""
+    var kept = 0
+    var len = head.length + tailOf(timings.size, total).length
+    while (kept < byCost.size &&
+        len + byCost(kept)._1.length + 1 <= HardCap) {
+      len += byCost(kept)._1.length + 1
+      kept += 1
+    }
+    val dropped = byCost.drop(kept)
+    val compact = head + byCost.take(kept).map(_._1).mkString(",") +
+      tailOf(dropped.size, dropped.map(_._2).filter(_ >= 0).sum)
     // Persist to a file first: sbt's [success] trailer and log noise
     // around the single stdout line have made the driver's parse fail
     // before (BENCH_r08/r10 recorded parsed:null) — the file is the
@@ -138,13 +175,14 @@ object Bench {
       java.nio.file.Files.write(out,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // file write must never fail the bench
-    // Print the JSON LAST — after spark.stop(), with shutdown logging
-    // muted — so a tail-of-stdout capture sees it within the final
-    // couple of lines (only sbt's own trailer follows), instead of
-    // buried under executor-shutdown WARNs (the r8/r10 parse failures).
+    // Print the COMPACT JSON LAST — after spark.stop(), with shutdown
+    // logging muted — so a tail-of-stdout capture sees the whole line
+    // within the final ~1.5 KB (only sbt's own trailer follows),
+    // instead of a front-truncated 4 KB line (the r9-r11 parse
+    // failures). The full per-query json is in target/bench.json.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }
