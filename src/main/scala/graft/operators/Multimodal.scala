@@ -21,6 +21,15 @@ final case class MediaFeatures(media_id: Long, kind: String,
 final case class DecodedMedia(width: Int, height: Int, nFrames: Int,
     embedding: Array[Float])
 
+/** Decoded-payload identity for one asset (the E11 hash-gate row):
+  * true decode dimensions plus a position-weighted integer checksum
+  * over the DECODED payload — pixel RGB grid for images, int16 PCM
+  * samples for audio. For audio, `width`/`height` carry
+  * sample_rate/channels (the [[MediaFeatures]] convention).
+  */
+final case class DecodedId(media_id: Long, kind: String, width: Int,
+    height: Int, n_frames: Int, decoded_checksum: Long)
+
 /** Pluggable decode kernel — the seam a codec-equipped deployment uses
   * to add audio/video (FFI to ffmpeg, a JNI codec, a model runtime)
   * WITHOUT patching [[Multimodal]]. Instances ship inside the
@@ -465,6 +474,71 @@ object Multimodal {
             val (w, h, frames) = decodeStub(r.kind, r.payload)
             MediaFeatures(r.media_id, r.kind, r.payload.length,
               crc(r.payload), w, h, frames, embedStub(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Decoded-payload identity projection (the E11 hash gate): one
+    * map-side pass decoding each asset to its true dimensions plus a
+    * position-weighted integer checksum over the DECODED payload —
+    * `sum(rgb(x,y) * (y*w + x + 1))` over the pixel grid for images,
+    * `sum(s16(i) * (i + 1))` over the PCM samples for 16-bit audio.
+    * All integer arithmetic, so a SQL oracle replays it exactly; a
+    * transposed, dropped, or corrupted pixel/sample ANYWHERE in the
+    * decode changes the weighted sum, which dims or cell means would
+    * not necessarily see. Container bytes (PNG/RIFF framing, CRCs,
+    * zlib streams) stay spec-only — no SQL engine can re-encode them.
+    *
+    * Unlike [[extractFeatures]] (the curation operator, which
+    * degrades to stubs), this is an IDENTITY gate: an undecodable
+    * payload fails loudly rather than silently passing a stub
+    * checksum off as decoded content.
+    */
+  def decodedChecksums(ds: Dataset[MediaRow]): Dataset[DecodedId] = {
+    implicit val enc = Encoders.product[DecodedId]
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        r.kind match {
+          case "image" =>
+            val img = decodeImage(r.payload).getOrElse(
+              throw new IllegalArgumentException(
+                s"media ${r.media_id}: undecodable image payload"))
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) & 0xffffff).toLong *
+                  (y.toLong * w + x + 1)
+                x += 1
+              }
+              y += 1
+            }
+            DecodedId(r.media_id, r.kind, w, h, 1, sum)
+          case "audio" =>
+            val (fmt, samples) = decodePcmSamples(r.payload)
+              .getOrElse(throw new IllegalArgumentException(
+                s"media ${r.media_id}: undecodable audio payload"))
+            require(fmt.getSampleSizeInBits == 16,
+              s"media ${r.media_id}: decoded-checksum gate covers " +
+                s"16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+            // recover the exact int16: s = s16/32768 is exact in
+            // float (16-bit mantissa), so the round-trip is lossless
+            var sum = 0L
+            var i = 0
+            while (i < samples.length) {
+              sum += math.rint(samples(i).toDouble * 32768.0).toLong *
+                (i + 1)
+              i += 1
+            }
+            DecodedId(r.media_id, r.kind, fmt.getSampleRate.toInt,
+              fmt.getChannels, samples.length, sum)
+          case other => throw new IllegalArgumentException(
+            s"media ${r.media_id}: no exact decoder for kind " +
+              s"'$other' (image/audio only)")
         }
       }
     }

@@ -653,19 +653,21 @@ object BronzeQueries {
           col("value_p50_p95").getItem(1).as("value_p95"))
     },
 
-    // E11 — multimodal features over binary payloads ([R]). The image
-    // leg is REAL: one synthetic PNG per document id (real PNG
-    // encoder), decoded by javax.imageio into true width/height and a
-    // pixel-derived grid-luminance embedding. Determinism + true-dims
-    // asserted in MultimodalSpec. The embedding array is hashed to a
-    // scalar for the grading harness (the typed API keeps the array).
+    // E11 — multimodal decode identity, hash-gated (r12; was [R]).
+    // The image leg is REAL: one synthetic PNG per document id (real
+    // PNG encoder), decoded by javax.imageio into true width/height
+    // plus a position-weighted integer checksum over the FULL decoded
+    // pixel grid — every pixel is pinned LCG arithmetic and PNG
+    // round-trips losslessly, so DuckDB replays decode-and-checksum
+    // exactly (HUGEINT LCG, the mm_image_embed machinery). Container
+    // bytes (n_bytes / payload CRC) stay spec-only in MultimodalSpec:
+    // no SQL engine can re-encode a PNG container.
     "mm_features" -> { (s, dir) =>
       import graft.operators.Multimodal
-      Multimodal.extractFeatures(imageIdMedia(s, dir))
+      Multimodal.decodedChecksums(imageIdMedia(s, dir))
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("checksum"), col("width"), col("height"), col("n_frames"),
-          xxhash64(to_json(col("embedding"))).as("embedding_hash"))
+        .select(col("media_id"), col("kind"), col("width"),
+          col("height"), col("n_frames"), col("decoded_checksum"))
     },
 
     // E11 embedding twin, hash-gated: the 8-cell grid-luminance
@@ -687,18 +689,22 @@ object BronzeQueries {
             .cast("double").as(s"c$i")): _*)
     },
 
-    // E11 audio leg ([R]): one synthetic WAV per document (real RIFF
-    // encoder), decoded by javax.sound.sampled into TRUE sample rate /
-    // channels / frame count and an 8-window RMS energy envelope from
-    // the actual PCM samples. Envelope hashed for the harness like
-    // mm_features; monotone-envelope + determinism spec-gated.
+    // E11 audio leg, hash-gated (r12; was [R]): one synthetic WAV per
+    // document (real RIFF encoder), decoded by javax.sound.sampled
+    // into TRUE sample rate / channels / frame count plus a
+    // position-weighted integer checksum over the decoded int16 PCM
+    // stream. The samples are a pinned formula (two sines, int16
+    // truncation — the quantization absorbs cross-libm sin ulps, the
+    // mm_audio_embed bet), s16/32768 round-trips float losslessly,
+    // so DuckDB replays generation, decode, and checksum exactly.
+    // RIFF container bytes stay spec-only.
     "mm_audio_features" -> { (s, dir) =>
       import graft.operators.Multimodal
-      Multimodal.extractFeatures(audioIdMedia(s, dir))
+      Multimodal.decodedChecksums(audioIdMedia(s, dir))
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("n_frames"),
-          xxhash64(to_json(col("embedding"))).as("embedding_hash"))
+        .select(col("media_id"), col("kind"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("n_frames"), col("decoded_checksum"))
     },
 
     // E11 audio embedding twin, hash-gated: the 8-window RMS envelope
@@ -1154,6 +1160,75 @@ object BronzeQueries {
           |  MAX(CASE WHEN w = 6 THEN e END) AS e6,
           |  MAX(CASE WHEN w = 7 THEN e END) AS e7
           |FROM env GROUP BY doc_id""".stripMargin,
+    // decode-identity twin of mm_image_embed: same HUGEINT LCG pixel
+    // replay, but gated as a position-weighted integer checksum over
+    // the FULL RGB grid (exact BIGINT arithmetic, no float anywhere)
+    "mm_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS INT) AS w,
+        |    CAST(12 + doc_id % 11 AS INT) AS h
+        |  FROM documents),
+        |py AS (
+        |  SELECT doc_id, w, h, UNNEST(generate_series(0, h - 1)) AS y FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, y, UNNEST(generate_series(0, w - 1)) AS x FROM py),
+        |rgb AS (
+        |  SELECT doc_id, w, h, y, x,
+        |    (CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+        |     CAST(y * w + x AS HUGEINT) * 1442695040888963407) %
+        |      CAST('18446744073709551616' AS HUGEINT) AS m
+        |  FROM px),
+        |chan AS (
+        |  SELECT doc_id, w, h, y, x,
+        |    CAST(((m // 8589934592) % 256 + (x * 255) // w) // 2 AS BIGINT) AS r,
+        |    CAST(((m // 2199023255552) % 256 + (y * 255) // h) // 2 AS BIGINT) AS g,
+        |    CAST((m // 562949953421312) % 256 AS BIGINT) AS b
+        |  FROM rgb)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(12 + doc_id % 11 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames,
+        |  CAST(SUM((r * 65536 + g * 256 + b) *
+        |    (y * w + x + 1)) AS BIGINT) AS decoded_checksum
+        |FROM chan GROUP BY doc_id""".stripMargin,
+    // decode-identity twin of mm_audio_embed: same sample-formula
+    // replay, gated as sum(s16(i) * (i+1)) — pure integer once the
+    // int16 truncation lands
+    "mm_audio_features" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    CAST(160 + (doc_id % 5) * 80 AS INT) AS n,
+        |    CAST(180 + doc_id % 200 AS DOUBLE) AS f1,
+        |    CAST(500 + (doc_id // 128) % 700 AS DOUBLE) AS f2,
+        |    CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+        |      1442695040888963407) % CAST('18446744073709551616' AS HUGEINT))
+        |      % 65536 AS BIGINT) AS bits16
+        |  FROM documents),
+        |smp0 AS (
+        |  SELECT doc_id, n, f1, f2, bits16,
+        |    UNNEST(generate_series(0, n - 1)) AS i
+        |  FROM params),
+        |smp AS (
+        |  SELECT doc_id, n, i,
+        |    CAST(least((i * 16) // n, 15) AS INT) AS seg,
+        |    CAST(i AS DOUBLE) / CAST('8000' AS DOUBLE) AS t,
+        |    f1, f2, bits16
+        |  FROM smp0),
+        |v AS (
+        |  SELECT doc_id, n, i,
+        |    (CASE WHEN ((bits16 >> seg) & 1) = 1
+        |      THEN CAST('0.95' AS DOUBLE) ELSE CAST('0.25' AS DOUBLE) END) *
+        |    (CAST('0.6' AS DOUBLE) * sin(2 * pi() * f1 * t)
+        |     + CAST('0.3' AS DOUBLE) * sin(2 * pi() * f2 * t)) AS val
+        |  FROM smp)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio' AS kind,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(MAX(n) AS INT) AS n_frames,
+        |  CAST(SUM(CAST(trunc(val * CAST('32767' AS DOUBLE)) AS BIGINT)
+        |    * (i + 1)) AS BIGINT) AS decoded_checksum
+        |FROM v GROUP BY doc_id""".stripMargin,
     "mm_image_dims" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
         |  CAST(16 + doc_id % 17 AS INT) AS width,

@@ -27,6 +27,49 @@ class MultimodalSpec extends SparkSpec {
       f1 shouldBe f2
       f1.values.map(_._1).toSet.size should be > 1 // checksums vary
     }
+    it("decodedChecksums is the exact decoded-payload identity: " +
+        "hand-computed pixels, int16 round-trip, loud on undecodable") {
+      // image: a 2x1 PNG with known pixels — checksum is the
+      // hand-computed position-weighted sum over getRGB & 0xffffff
+      val img = new java.awt.image.BufferedImage(2, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x010203)
+      img.setRGB(1, 0, 0x0a0b0c)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val rows = Seq(MediaRow(7L, "image", bos.toByteArray, "{}")).toDS()
+      val got = Multimodal.decodedChecksums(rows).head()
+      got.width shouldBe 2
+      got.height shouldBe 1
+      got.decoded_checksum shouldBe (0x010203L * 1 + 0x0a0b0cL * 2)
+      // a transposed pixel changes the weighted sum (a plain sum
+      // would not see it)
+      img.setRGB(0, 0, 0x0a0b0c); img.setRGB(1, 0, 0x010203)
+      val bos2 = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos2)
+      val swapped = Multimodal.decodedChecksums(
+        Seq(MediaRow(8L, "image", bos2.toByteArray, "{}")).toDS()).head()
+      swapped.decoded_checksum should not be got.decoded_checksum
+      // audio: the int16 -> float -> int16 round-trip is lossless, so
+      // the checksum equals the sum over the WRITTEN samples
+      val wav = Multimodal.syntheticWav(3L, sampleRate = 8000,
+        seconds = 0.02)
+      val a = Multimodal.decodedChecksums(
+        Seq(MediaRow(9L, "audio", wav, "{}")).toDS()).head()
+      a.width shouldBe 8000 // sample_rate rides the width slot
+      a.height shouldBe 1
+      a.n_frames shouldBe 160
+      val samples = Multimodal.decodePcmSamples(wav).get._2
+      val want = samples.zipWithIndex.map { case (s, i) =>
+        math.rint(s.toDouble * 32768.0).toLong * (i + 1) }.sum
+      a.decoded_checksum shouldBe want
+      // identity gate fails loudly on undecodable payloads — no
+      // silent stub checksums
+      val bad = Seq(MediaRow(10L, "image", Array[Byte](1, 2, 3),
+        "{}")).toDS()
+      an[org.apache.spark.SparkException] should be thrownBy
+        Multimodal.decodedChecksums(bad).collect()
+    }
     it("keeps kind-specific frame semantics") {
       val rows = Seq(
         MediaRow(1L, "image", Array[Byte](1, 2, 3), "{}"),
