@@ -89,7 +89,11 @@ object VectorQueries {
     },
 
     // E2-family — embedding-cosine near-dup over the whole corpus via
-    // IVF-cell bucketing ([R]; recall vs brute force in SimilaritySpec).
+    // IVF-cell bucketing. Hash-gated at the driver SF (r12): the pair
+    // ID set pins as VALUES (bit-stable fresh-JVM builds, proven) and
+    // DuckDB recomputes the cosines via the ordered fold; recall vs
+    // brute force stays in SimilaritySpec and check.py's tolerance
+    // sweep.
     // The synthetic embeddings carry no true near-dups (max pairwise
     // cosine ≈ 0.51), so the demo threshold mines the most-similar
     // pairs; production near-dedup runs the same operator at ~0.95.
@@ -355,6 +359,41 @@ object VectorQueries {
       (7,340,1), (7,425,2), (7,209,3), (7,334,4), (7,381,5), (7,0,6),
       (7,332,7), (7,156,8), (7,442,9), (7,99,10)
     )),
+    // E2-family near-dup pairs, pinned at the driver SF (r12): the
+    // pair ID SET is bit-stable across fresh JVMs (the quantizer
+    // rides the canonical feed; the exact-cosine threshold margin is
+    // 1.3e-4 at sf0.01, four orders above cross-engine float error),
+    // so the pairs pin as VALUES and DuckDB recomputes cosine with
+    // the bit-portable ordered fold — hash-exact on every column.
+    // check.py keeps the all-pairs tolerance sweep as the
+    // full-recall cross-check at this SF.
+    "dedup_embedding" -> {
+      val picks = Seq((7,340), (7,425), (16,402), (19,87), (24,234),
+        (24,298), (24,384), (28,305), (32,200), (35,351), (44,301),
+        (45,298), (53,234), (53,300), (53,430), (70,210), (75,256),
+        (83,310), (84,190), (85,404), (108,142), (108,232), (120,421),
+        (131,456), (150,152), (156,438), (158,452), (159,202),
+        (162,282), (166,324), (169,466), (172,440), (181,194),
+        (183,399), (191,431), (195,317), (197,318), (198,468),
+        (200,204), (202,245), (203,414), (205,485), (207,326),
+        (234,384), (238,287), (253,385), (262,291), (269,340),
+        (290,325), (290,331), (325,331), (334,382), (334,438),
+        (335,439), (338,406), (350,395), (350,479), (355,417),
+        (387,388))
+      val vals = picks.map { case (i, j) => s"  ($i, $j)" }
+        .mkString(",\n")
+      s"""WITH picks(id1, id2) AS (VALUES
+         |$vals),
+         |n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${foldDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT p.id1, p.id2,
+         |  ${foldDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |    AS cosine
+         |FROM picks p JOIN n a ON a.vec_id = p.id1
+         |  JOIN n b ON b.vec_id = p.id2""".stripMargin
+    },
     // SemDeDup survivors: exact cosine pair join → recursive-CTE
     // components (the dedup_components pattern) → drop non-min group
     // members. Integer ids only — exact hash gate (SF-scoped, see the

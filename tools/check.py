@@ -270,6 +270,9 @@ def main():
         # dwarfs cross-engine float error (1.3e-4 at sf0.01; 1e-5 at
         # sf0.1 is too thin to bet on)
         "dedup_semantic": "sf0.01",
+        # pinned pair picks (same margin argument); the tolerance
+        # sweep below keeps the all-pairs full-recall cross-check
+        "dedup_embedding": "sf0.01",
         # pinned (query, cand, rank) picks from the bit-reproducible
         # quantizer fits (Similarity.canonicalTrainFeed); cosine is
         # recomputed by DuckDB so every column gates exactly
