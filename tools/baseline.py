@@ -158,6 +158,85 @@ WHERE u.doc_id NOT IN (SELECT id2 FROM losers)""",
 }
 
 
+# pipe_model_curation: the gate's oracle replays the PINNED model
+# probs (the text_quality_model dyadic VALUES) — right for
+# correctness, but it prices none of the featurization work Spark's
+# plan does. This like-for-like variant makes DuckDB COMPUTE the same
+# featurize -> sigmoid arithmetic (tokenize, word stats, punctuation/
+# stopword ratios, then the 7-weight logistic model), then reuses the
+# oracle's own langid chain + sha256 keep-first dedup verbatim. The
+# weights are the sf0.01 canonical-feed model's, recovered exactly
+# from the pinned probs by least squares on the logit (max residual
+# 1.4e-7 — which also proves the SQL features replicate Spark's
+# featurize bit-for-bit up to the pins' double rounding); at sf0.1
+# they select the same ~73% survivor fraction the bench-side model
+# does, so the priced dedup stage sees comparable input.
+_QP_WEIGHTS = {
+    "intercept": -43.099799783779595,
+    "f_log_chars": 4.951236345876473,
+    "f_log_words": 5.44108589136072,
+    "f_punct": 7.105427357601002e-15,
+    "f_stopword": 129.83046604192006,
+    "f_ttr": 0.504348819498352,
+    "f_top_ratio": -11.262854356302677,
+    "f_mean_word_len": -1.6386190334468878,
+}
+
+
+def retiered_model_curation(oracle_sql):
+    import re
+    m = re.match(r"WITH qp\(id, p\) AS \(VALUES.*?\),\s*\nls AS \(",
+                 oracle_sql, re.S)
+    if not m:
+        return None
+    w = _QP_WEIGHTS
+    prefix = f"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+    t -> len(t) > 0)) AS t
+  FROM documents),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+wstat AS (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+    max(c) AS top_freq
+  FROM tc GROUP BY 1),
+stopc AS (
+  SELECT doc_id, sum(c) AS n_stop FROM tc
+  WHERE t IN ('the', 'a', 'and', 'of', 'to') GROUP BY 1),
+feats AS (
+  SELECT d.doc_id,
+    ln(1 + len(d.text)) AS f_log_chars,
+    ln(1 + coalesce(w.n_words, 0)) AS f_log_words,
+    CASE WHEN len(d.text) = 0 THEN 0.0
+      ELSE CAST(len(d.text) - len(regexp_replace(d.text,
+        '[.,!?;:]', '', 'g')) AS DOUBLE) / len(d.text) END AS f_punct,
+    CASE WHEN coalesce(w.n_words, 0) = 0 THEN 0.0
+      ELSE CAST(coalesce(s.n_stop, 0) AS DOUBLE) / w.n_words
+      END AS f_stopword,
+    CASE WHEN coalesce(w.n_words, 0) = 0 THEN 0.0
+      ELSE CAST(w.n_distinct AS DOUBLE) / w.n_words END AS f_ttr,
+    CASE WHEN coalesce(w.n_words, 0) = 0 THEN 0.0
+      ELSE CAST(w.top_freq AS DOUBLE) / w.n_words END AS f_top_ratio,
+    CASE WHEN coalesce(w.n_words, 0) = 0 THEN 0.0
+      ELSE CAST(len(d.text) AS DOUBLE) / w.n_words
+      END AS f_mean_word_len
+  FROM documents d
+  LEFT JOIN wstat w ON w.doc_id = d.doc_id
+  LEFT JOIN stopc s ON s.doc_id = d.doc_id),
+qp AS (
+  SELECT doc_id AS id,
+    1.0 / (1.0 + exp(-({w['intercept']!r}
+      + {w['f_log_chars']!r} * f_log_chars
+      + {w['f_log_words']!r} * f_log_words
+      + {w['f_punct']!r} * f_punct
+      + {w['f_stopword']!r} * f_stopword
+      + {w['f_ttr']!r} * f_ttr
+      + {w['f_top_ratio']!r} * f_top_ratio
+      + {w['f_mean_word_len']!r} * f_mean_word_len))) AS p
+  FROM feats),
+ls AS ("""
+    return prefix + oracle_sql[m.end():]
+
+
 def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -166,6 +245,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(ORACLES))
+    if "pipe_model_curation" in oracles:
+        rt = retiered_model_curation(oracles["pipe_model_curation"])
+        if rt:
+            RETIERED["pipe_model_curation"] = rt
+        else:
+            print("WARNING: pipe_model_curation oracle shape changed; "
+                  "like-for-like variant skipped")
     # warmup (buffer cache), then MIN across PASSES full sweeps of two
     # timed runs each — the same min-across-runs discipline the Spark
     # pin uses: this machine takes multi-minute contention bursts that
@@ -377,7 +463,7 @@ a noisy pin must be re-measured before grading against it).
                 f.write(f"| {name} | {dt:.3f} | {sp} | {n} |\n")
         if banded:
             f.write("""
-## Like-for-like LSH baselines (near-dedup family)
+## Like-for-like re-tiered baselines
 
 The hash-gate oracles above verify the near-dedup family with an
 EXACT shingle-equality pair join — correct as an oracle, but not the
@@ -407,6 +493,29 @@ quadratic posting cliff, while a single skewed key can no longer OOM
 an executor (BoundedCollectLong stops buffering at the cap). At the
 design point the exchanges are the same size per partition while the
 single-process baseline cannot run at all.
+
+`pipe_model_curation [banded]` prices the composed model pipeline
+like-for-like: the gate's oracle replays the PINNED classifier probs
+(correctness, not work), so here DuckDB COMPUTES the same
+featurize→sigmoid arithmetic (tokenize, word stats, punct/stopword
+ratios, 7-weight logistic) before the identical langid chain and
+sha256 keep-first dedup. Weights are the sf0.01 model's, recovered
+exactly from the pinned probs (logit least squares, residual 1.4e-7 —
+which doubles as proof the SQL features replicate Spark's featurize);
+at sf0.1 they select the same ~73% survivor fraction, so the priced
+dedup stage sees comparable input. Survivor COUNTS differ slightly
+from the gated row (the bench-side model is sf0.1's own fit) — this
+row prices work, the hash gate proves correctness.
+
+`pipe_crawl_corpus` has no like-for-like row: its Spark side parses
+real WARC bytes (framing, HTTP split, gzip inflate), strips HTML,
+canon-dedups, and probes the PERSISTED near-dup index through the
+lake protocol, while its oracle replays the text pipeline over
+`documents` directly — DuckDB has no WARC reader or index lake to
+pay. The asymmetry is protocol + codec cost, the same class as the
+`lake_*` rows above; the text stages it does share (strip,
+canon-dedup, band join) are priced like-for-like by the
+`pipe_clean_corpus`/`dedup_cross` rows.
 
 | query | duckdb_banded_sec | duckdb_exact_sec | spark_sec | rows |
 |---|---|---|---|---|
