@@ -205,6 +205,78 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("pqTopK at the production geometry (ks=256)") {
+    // every other PQ case runs the demo geometry (m=8, ks=16); this
+    // one runs the documented production shape — ks=256 over D=64
+    // (m=8, dsub=8): the codebook literal is m*ks*dsub = 16384
+    // doubles (~128 KB riding the plan) and every per-query ADC
+    // table is 8x256 — the shapes a real corpus ships
+    it("recall@10 at ks=256 is at least the ks=16 recall, and the " +
+        "refine contract holds") {
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      def recallAt(ks: Int): Double = {
+        val approx = Similarity.pqTopK(emb, queries, "vec_id",
+          "embedding", k = 10, nlist = 8, nprobe = 8, m = 8, ks = ks,
+          refine = 8)
+          .select("query_id", "cand_id")
+          .as[(Long, Long)].collect().toSet
+        (exact & approx).size.toDouble / exact.size
+      }
+      val r256 = recallAt(256)
+      // 16x the codewords per subspace must not shortlist WORSE than
+      // the demo geometry on the same (adversarially uniform) corpus
+      r256 should be >= recallAt(16)
+      r256 should be >= 0.7
+      // refine contract at the production shape: reported cosines
+      // are exact
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 500)
+        .select($"query_id", $"cand_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val pq = Similarity.pqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 4, m = 8, ks = 256,
+        refine = 2)
+        .select($"query_id", $"cand_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+      pq should not be empty
+      pq.foreach { case (q, c, cos) => bf((q, c)) shouldBe cos }
+    }
+    it("the ADC kernel path equals the declarative codebook dot with " +
+        "256-entry tables") {
+      import org.apache.spark.sql.functions._
+      val idx = Similarity.pqIndex(emb, "vec_id", "embedding",
+        nlist = 4, m = 8, ks = 256)
+      val dim = 64
+      val dsub = dim / idx.m
+      idx.books.length shouldBe idx.m * idx.ks * dsub // 16384 doubles
+      val booksLit = typedLit(idx.books)
+      val q1 = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qv")).crossJoin(idx.codes)
+      val kernel = q1.select($"cand_id",
+        graft.expressions.NativeKernels.adcDotCol(
+          $"codes",
+          graft.expressions.NativeKernels.adcTableCol(
+            $"qv", booksLit, idx.m, idx.ks), idx.ks).as("d"))
+        .as[(Long, Double)].collect().toMap
+      val reference = q1.select($"cand_id",
+        aggregate(
+          transform(sequence(lit(0), lit(idx.m - 1)), j =>
+            aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0),
+              (acc, i) => acc +
+                element_at($"qv", j * dsub + i + 1).cast("double") *
+                element_at(booksLit,
+                  (j * lit(idx.ks) + element_at($"codes", j + 1)) *
+                    dsub + i + 1))),
+          lit(0.0), (a, x) => a + x).as("d"))
+        .as[(Long, Double)].collect().toMap
+      kernel.keySet shouldBe reference.keySet
+      kernel.foreach { case (id, d) => d shouldBe reference(id) }
+    }
+  }
+
   // Deterministic clustered corpus — the case residual quantization
   // exists for: `nClusters` centers (unit-ish random directions via a
   // seeded LCG), `perCluster` members each = center + small noise.
