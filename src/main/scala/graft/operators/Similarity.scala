@@ -521,4 +521,116 @@ object Similarity {
     adcShortlistRefine(idx.codes, queryCells, idx.ks, corpus, queries,
       idCol, vecCol, k, refine, adcIsCosine = true)
   }
+
+  // ---- OPQ rotation tier (E6c — parametric OPQ, Ge et al. 2013) ----
+  // The remaining FAISS-family rung above residual PQ: ONE orthogonal
+  // rotation learned from the unit-vector covariance eigenbasis with
+  // eigenvalue-BALANCED subspace allocation, applied before the
+  // subspace split. On correlated / variance-skewed dimensions a raw
+  // index split starves some codebooks (several correlated
+  // high-variance coords land together) and wastes others
+  // (near-constant coords); rotating to the eigenbasis decorrelates,
+  // and balancing the eigenvalue PRODUCT across the m subspaces
+  // equalizes each codebook's information load — the parametric
+  // ("OPQ-P") variant, which the paper shows captures most of the
+  // iterative variant's gain on natural data without the m KMeans
+  // refits per alternation sweep.
+
+  private val opqMemo =
+    new graft.sources.SessionMemo[(String, String, String, Int),
+      Array[Double]](maxPerSession = 4, onEvict = _ => ())
+
+  /** Learn the OPQ-P rotation: full PCA eigenbasis of the UNIT
+    * vectors (canonical bounded feed — bit-reproducible, the
+    * Pca.fitCanonical contract), then greedy eigenvalue-product
+    * balancing over the m subspaces (largest remaining eigenvalue →
+    * least-loaded non-full bucket, log domain). Returns the d×d
+    * rotation row-major: row r is the eigenvector assigned to slot r,
+    * subspace-major — `pcaProject(v, 0, R, d)` IS the rotation. No
+    * translation: cosine retrieval must preserve dot products, so the
+    * mean is used only to estimate the covariance, never subtracted
+    * at apply time.
+    */
+  def opqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, cap: Int = 65536, corpusTag: String = "")
+      : Array[Double] = {
+    def build: Array[Double] = {
+      import corpus.sparkSession.implicits._
+      val d = corpus.select(col(vecCol)).na.drop()
+        .as[Seq[Float]].head().length
+      require(d % m == 0, s"opqRotation: dim $d not divisible by m=$m")
+      val dsub = d / m
+      // unit() is applied BELOW the canonical feed's sort (project
+      // collapse keeps TakeOrderedAndProject — the C8 determinism
+      // pattern)
+      val pca = Pca.fitCanonical(
+        corpus.select(col(idCol), unit(col(vecCol)).as(vecCol)),
+        idCol, vecCol, k = d, cap)
+      val buckets = Array.fill(m)(List.empty[Int])
+      val load = Array.fill(m)(0.0)
+      var i = 0
+      while (i < d) { // components arrive eigenvalue-DESC from Pca
+        // next (largest remaining) eigenvalue goes to the non-full
+        // bucket with the LARGEST current product: every factor is
+        // < 1, so big products must absorb the big remaining factors
+        // for the products to converge (ties: lower bucket index)
+        var best = -1
+        var j = 0
+        while (j < m) {
+          if (buckets(j).length < dsub &&
+              (best < 0 || load(j) > load(best))) best = j
+          j += 1
+        }
+        buckets(best) = buckets(best) :+ i
+        load(best) += math.log(math.max(pca.variance(i), 1e-12))
+        i += 1
+      }
+      buckets.flatMap(_.flatMap(pca.components(_)))
+    }
+    if (corpusTag.isEmpty) build
+    else opqMemo.getOrElseUpdate(corpus.sparkSession,
+      (corpusTag, idCol, vecCol, m))(build)
+  }
+
+  /** OPQ-rotated residual IVF-PQ top-k: rotate corpus and queries
+    * map-side (one codegen kernel, the PCA projector with zero mean),
+    * run the WHOLE residual tier — coarse quantizer, residual
+    * codebooks, per-(query, cell) ADC tables — in rotated space
+    * (rotation preserves norms and dot products, so the ADC dot is
+    * still the approximate cosine), then refine the shortlist against
+    * the ORIGINAL vectors: reported cosines are bit-identical to
+    * brute force over the raw embeddings, exactly the pqTopK/rpqTopK
+    * refine contract, which is what lets the query carry the same
+    * pinned-picks oracle as the rest of the ANN family.
+    */
+  def opqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, m: Int = 8, ks: Int = 16,
+      refine: Int = 4, seed: Long = 42L, corpusTag: String = "")
+      : DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val rot = opqRotation(corpus, idCol, vecCol, m,
+      corpusTag = corpusTag)
+    val d = math.sqrt(rot.length.toDouble).round.toInt
+    val zero = new Array[Double](d)
+    def rotate(df: DataFrame): DataFrame = df.select(col(idCol),
+      graft.expressions.NativeKernels
+        .pcaProjectCol(col(vecCol), zero, rot, d).as(vecCol))
+    val tag = if (corpusTag.isEmpty) "" else s"$corpusTag:opq"
+    val idx = rpqIndex(rotate(corpus), idCol, vecCol, nlist, m, ks,
+      seed, tag)
+    val centsLit = typedLit(idx.centroids.flatten)
+    val booksLit = typedLit(idx.books)
+    val queryCells = rotate(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFns.norm(col(vecCol)).as("qn"))
+      .withColumn("cell", explode(nearestCells(unit(col("qv")),
+        idx.centroids, nprobe)))
+      .withColumn("tbl", graft.expressions.NativeKernels
+        .adcTableResidualCol(unit(col("qv")), col("cell"), centsLit,
+          booksLit, idx.m, idx.ks))
+      .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
+    adcShortlistRefine(idx.codes, queryCells, idx.ks, corpus, queries,
+      idCol, vecCol, k, refine, adcIsCosine = true)
+  }
 }

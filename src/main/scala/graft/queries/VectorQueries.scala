@@ -63,6 +63,24 @@ object VectorQueries {
         root, k = 10, nprobe = 8, refine = 8)
     },
 
+    // E6c — OPQ-P rotation tier (parametric OPQ, Ge et al. 2013):
+    // ONE learned orthogonal rotation — canonical-feed PCA eigenbasis
+    // with eigenvalue-BALANCED subspace allocation — applied map-side
+    // (the PCA projector kernel, zero mean) before the residual PQ
+    // split; shortlist runs in rotated space, exact refine re-scores
+    // against the RAW vectors so reported cosines match brute force
+    // bit-for-bit. Hash-gated at the driver SF with the family's
+    // pinned-picks oracle (rotation, coarse quantizer, and codebooks
+    // are all canonical-feed deterministic); the beats-residual claim
+    // is spec-gated on a correlated corpus (SimilaritySpec — uniform
+    // corpora like this one are the rotation's no-win case).
+    "ann_opq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.opqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8,
+        m = 8, ks = 16, refine = 8, corpusTag = dir)
+    },
+
     // E6b residual variant — FAISS-IVFPQ-shape residual coding,
     // SERVED FROM THE PERSISTED INDEX like ann_pq_topk: the codebooks
     // quantize unit(v) − centroid(cell) (unit-space residuals — the
@@ -325,6 +343,24 @@ object VectorQueries {
          |     FOR i IN generate_series(1, len(e.embedding))]),
          |    (acc, v) -> acc + v) AS FLOAT) AS pc1
          |FROM embeddings e CROSS JOIN m""".stripMargin,
+    "ann_opq_topk" -> pinnedAnnOracle(Seq(
+      (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,320,5),
+      (0,190,6), (0,464,7), (0,483,8), (0,323,9), (0,344,10),
+      (1,386,1), (1,27,2), (1,407,3), (1,64,4), (1,472,5), (1,363,6),
+      (1,312,7), (1,353,8), (1,165,9), (1,300,10), (2,117,1),
+      (2,450,2), (2,320,3), (2,418,4), (2,471,5), (2,172,6),
+      (2,197,7), (2,440,8), (2,97,9), (2,128,10), (3,130,1),
+      (3,149,2), (3,343,3), (3,174,4), (3,231,5), (3,207,6),
+      (3,192,7), (3,437,8), (3,474,9), (3,363,10), (4,114,1),
+      (4,408,2), (4,482,3), (4,280,4), (4,249,5), (4,257,6),
+      (4,89,7), (4,470,8), (4,346,9), (4,288,10), (5,404,1),
+      (5,419,2), (5,157,3), (5,33,4), (5,359,5), (5,395,6),
+      (5,464,7), (5,266,8), (5,225,9), (5,453,10), (6,430,1),
+      (6,145,2), (6,437,3), (6,268,4), (6,395,5), (6,214,6),
+      (6,252,7), (6,371,8), (6,11,9), (6,270,10), (7,340,1),
+      (7,425,2), (7,209,3), (7,381,4), (7,332,5), (7,156,6),
+      (7,442,7), (7,99,8), (7,319,9), (7,407,10)
+    )),
     "ann_rpq_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,423,3), (0,73,4), (0,320,5), (0,190,6),
       (0,464,7), (0,388,8), (0,483,9), (0,344,10), (1,386,1),

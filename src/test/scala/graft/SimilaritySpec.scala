@@ -277,6 +277,110 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // Deterministic correlated corpus — the case OPQ exists for: latent
+  // coordinates with geometrically decaying scales (variance skew),
+  // mixed by a DENSE seeded orthogonal matrix (Gram-Schmidt over LCG
+  // noise), so every raw coordinate is a correlated blend of all
+  // latent directions — the independence assumption PQ subspaces
+  // make is maximally violated until the rotation undoes the mix.
+  private def correlatedEmb(n: Int, dim: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def lcg(s0: Long): Iterator[Long] =
+      Iterator.iterate(s0)(s => s * 6364136223846793005L +
+        1442695040888963407L).drop(1)
+    def unif(s: Long): Double = // [-1, 1)
+      (s >>> 33).toInt.toDouble / (1L << 31).toDouble
+    // dense orthogonal Q: Gram-Schmidt on a seeded random matrix
+    val q = Array.tabulate(dim)(r =>
+      lcg(r * 7919L + 101L).map(unif).take(dim).toArray)
+    for (r <- 0 until dim) {
+      for (p <- 0 until r) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += q(r)(j) * q(p)(j); j += 1 }
+        j = 0
+        while (j < dim) { q(r)(j) -= dot * q(p)(j); j += 1 }
+      }
+      val nrm = math.sqrt(q(r).map(x => x * x).sum)
+      var j = 0
+      while (j < dim) { q(r)(j) /= nrm; j += 1 }
+    }
+    val rows = (0 until n).map { i =>
+      val z = lcg(i * 104729L + 7L).map(unif).take(dim).toArray
+      var j = 0
+      while (j < dim) { z(j) *= math.pow(0.85, j); j += 1 }
+      (i.toLong,
+        Array.tabulate(dim) { r =>
+          var dot = 0.0
+          var jj = 0
+          while (jj < dim) { dot += q(r)(jj) * z(jj); jj += 1 }
+          dot.toFloat
+        }.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+  }
+
+  describe("opqTopK (OPQ-P rotation tier)") {
+    it("the learned rotation is orthogonal and deterministic") {
+      val corpus = correlatedEmb(256, 32)
+      val r1 = Similarity.opqRotation(corpus, "vec_id", "embedding",
+        m = 8)
+      val r2 = Similarity.opqRotation(corpus, "vec_id", "embedding",
+        m = 8)
+      r1.toSeq shouldBe r2.toSeq // bit-reproducible (canonical feed)
+      val d = 32
+      // R Rᵀ = I: rows are orthonormal
+      for (a <- 0 until d; b <- a until d) {
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += r1(a * d + j) * r1(b * d + j); j += 1 }
+        dot shouldBe (if (a == b) 1.0 else 0.0) +- 1e-9
+      }
+    }
+    it("beats the residual tier's shortlist on a correlated corpus") {
+      // identical budget everywhere (all cells probed, refine=1), so
+      // recall isolates pure shortlist quality — the only thing the
+      // rotation changes
+      val corpus = correlatedEmb(512, 64)
+      val queries = corpus.filter($"vec_id" < 8)
+      val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "cand_id")
+          .as[(Long, Long)].collect().toSet
+        (exact & got).size.toDouble / exact.size
+      }
+      val rpq = recallOf(Similarity.rpqTopK(corpus, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 8, m = 8, ks = 16,
+        refine = 1))
+      val opq = recallOf(Similarity.opqTopK(corpus, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 8, m = 8, ks = 16,
+        refine = 1))
+      info(s"shortlist recall@10: rpq=$rpq opq=$opq")
+      opq should be >= rpq
+      opq should be >= 0.5
+    }
+    it("refine contract: reported cosines are RAW-space brute-force " +
+        "cosines (the rotation never leaks into scores)") {
+      val corpus = correlatedEmb(512, 64)
+      val queries = corpus.filter($"vec_id" < 4)
+      val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 511)
+        .select($"query_id", $"cand_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val opq = Similarity.opqTopK(corpus, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 4, m = 8, ks = 16,
+        refine = 2)
+        .select($"query_id", $"cand_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+      opq should not be empty
+      opq.foreach { case (q, c, cos) => bf((q, c)) shouldBe cos }
+    }
+  }
+
   // Deterministic clustered corpus — the case residual quantization
   // exists for: `nClusters` centers (unit-ish random directions via a
   // seeded LCG), `perCluster` members each = center + small noise.
