@@ -357,9 +357,13 @@ def main():
     spark_net = sum(max(v - floor, 0.0) for k, v in spark.items()
                     if k in {r[0] for r in rows})
     # ex-replay aggregates: rows that price a SQL codec/perceptual
-    # emulation on the DuckDB side (see the prose paragraph)
+    # emulation on the DuckDB side (see the prose paragraph). r12
+    # adds the decoded-checksum twins: mm_features makes DuckDB
+    # regenerate every pixel (350k LCG rows) that Spark's real PNG
+    # decode reads back in one pass.
     REPLAY_TWINS = {"mm_image_embed", "mm_audio_embed",
-                    "mm_image_dups", "mm_audio_dups"}
+                    "mm_image_dups", "mm_audio_dups",
+                    "mm_features", "mm_audio_features"}
     total_by_name = {r[0]: r[1] for r in rows if r[1] is not None}
     ex_duck = sum(v for k, v in total_by_name.items()
                   if k not in REPLAY_TWINS)
@@ -417,16 +421,18 @@ has no codec to pay), and the pinned `gold_cluster_*` /
 constant VALUES table. Those rows exist to hash-prove correctness;
 their duckdb_sec column does not price comparable work.
 
-The r11 embedding twins and perceptual-dup gates carry the SAME
-caveat in the OTHER direction: `mm_image_embed` / `mm_audio_embed`
-make DuckDB emulate a pixel/sample decoder in pure SQL (350k pixel
-rows with ordered list_reduce folds; 2M trig-generated samples), and
+The embedding twins, perceptual-dup gates, and r12's
+decoded-checksum rows carry the SAME caveat in the OTHER direction:
+`mm_image_embed` / `mm_audio_embed` / `mm_features` /
+`mm_audio_features` make DuckDB emulate a pixel/sample decoder in
+pure SQL (350k LCG pixel rows, 2M trig-generated samples), and
 `mm_image_dups` / `mm_audio_dups` make it expand the pinned
 seed-level duplicate relation over `documents` by residue — while
 Spark runs the real codec and perceptual-hash LSH. Correctness
-replays, not an engine race. Excluding those four rows the aggregate
-is DuckDB **{ex_duck:.2f} s** vs Spark **{ex_spark:.2f} s** raw over
-{n_matched - 4} rows; including them Spark is
+replays, not an engine race. Excluding those {len(REPLAY_TWINS)}
+rows the aggregate is DuckDB **{ex_duck:.2f} s** vs Spark
+**{ex_spark:.2f} s** raw over {n_matched - len(REPLAY_TWINS)} rows;
+including them Spark is
 {'faster' if spark_total < total else 'slower'} in aggregate, but
 that headline belongs to the replay asymmetry, not the engine.
 
