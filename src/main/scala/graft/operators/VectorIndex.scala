@@ -263,12 +263,17 @@ object VectorIndex {
     * subspace-major codebook (m·ks·dsub doubles). `residual` names
     * the coding tier: false = codes quantize the raw vector
     * (IndexPQ-style), true = codes quantize unit(v) − centroid(cell)
-    * (the FAISS IVFPQ default — see Similarity.rpqIndex). The flag
-    * is part of the pinned geometry: codes from the two tiers are
-    * mutually meaningless, so a rebuild flipping it must refuse.
+    * (the FAISS IVFPQ default — see Similarity.rpqIndex). `rotation`
+    * (r12, empty = none) is the OPQ-P orthogonal rotation (d×d
+    * row-major — see Similarity.opqRotation) applied to every vector
+    * BEFORE cell assignment and coding; the whole index lives in
+    * rotated space, and only the refine step touches raw vectors.
+    * Both flags are pinned geometry: codes from different tiers are
+    * mutually meaningless, so a rebuild flipping either must refuse.
     */
   final case class PqParams(base: Params, m: Int, ks: Int,
-      books: Seq[Double], residual: Boolean = false)
+      books: Seq[Double], residual: Boolean = false,
+      rotation: Seq[Double] = Nil)
 
   private def pqParamsRoot(root: String) = s"$root/pq_params"
   private def codesRoot(root: String) = s"$root/codes"
@@ -279,6 +284,7 @@ object VectorIndex {
     s"""{"nlist":${p.base.nlist},"seed":${p.base.seed},""" +
       s""""dim":${p.base.dim},"metric":"${p.base.metric}",""" +
       s""""m":${p.m},"ks":${p.ks},"residual":${p.residual},""" +
+      s""""rotation":${p.rotation.mkString("[", ",", "]")},""" +
       s""""books":${p.books.mkString("[", ",", "]")},""" +
       s""""centroids":$cents}"""
   }
@@ -306,8 +312,12 @@ object VectorIndex {
       case JBool(b) => b
       case _ => false // pre-residual params: raw-vector codes
     }
+    val rotation = j \ "rotation" match {
+      case JArray(rs) => rs.map(dbl)
+      case _ => Nil // pre-rotation params: unrotated coding
+    }
     PqParams(base, int(j \ "m"), int(j \ "ks"), books.map(dbl),
-      residual)
+      residual, rotation)
   }
 
   private def claimOrReadPq(root: String, p: PqParams,
@@ -315,18 +325,22 @@ object VectorIndex {
     if (store.tryCommit(pqParamsRoot(root), 1L, pqParamsJson(p))) p
     else {
       val e = parsePqParams(store.readBody(pqParamsRoot(root), 1L))
+      // rotation compares at the FLAG level (like centroids/books,
+      // the matrix itself is a function of geometry + build corpus)
       require(e.base.nlist == p.base.nlist &&
         e.base.seed == p.base.seed && e.base.dim == p.base.dim &&
         e.base.metric == p.base.metric && e.m == p.m && e.ks == p.ks &&
-        e.residual == p.residual,
+        e.residual == p.residual &&
+        e.rotation.nonEmpty == p.rotation.nonEmpty,
         s"pq index at $root is pinned to nlist=${e.base.nlist} " +
           s"seed=${e.base.seed} dim=${e.base.dim} " +
           s"metric=${e.base.metric} m=${e.m} ks=${e.ks} " +
-          s"residual=${e.residual}; refusing " +
-          s"nlist=${p.base.nlist} seed=${p.base.seed} " +
+          s"residual=${e.residual} opq=${e.rotation.nonEmpty}; " +
+          s"refusing nlist=${p.base.nlist} seed=${p.base.seed} " +
           s"dim=${p.base.dim} metric=${p.base.metric} m=${p.m} " +
-          s"ks=${p.ks} residual=${p.residual} — delete the index " +
-          "root to change geometry")
+          s"ks=${p.ks} residual=${p.residual} " +
+          s"opq=${p.rotation.nonEmpty} — delete the index root to " +
+          "change geometry")
       e
     }
 
@@ -342,14 +356,26 @@ object VectorIndex {
     parsePqParams(store.readBody(pqParamsRoot(root), vs.max))
   }
 
+  /** Apply the params' OPQ rotation map-side (identity when none):
+    * the PCA projector kernel with zero mean IS the rotation.
+    */
+  private def rotatedCol(vec: org.apache.spark.sql.Column,
+      p: PqParams): org.apache.spark.sql.Column =
+    if (p.rotation.isEmpty) vec
+    else graft.expressions.NativeKernels.pcaProjectCol(vec,
+      new Array[Double](p.base.dim), p.rotation.toArray, p.base.dim)
+
   /** (cell, vec_id, codes, cn) — one map-side assign+encode pass with
-    * the params' centroid and codebook literals; no Exchange.
+    * the params' centroid and codebook literals (rotated first when
+    * the index is OPQ); no Exchange. `cn` is the raw norm — rotation
+    * preserves it, and refine consumers need the raw-space value.
     */
   private def encodePq(df: DataFrame, idCol: String, vecCol: String,
       p: PqParams): DataFrame = {
     val booksLit = org.apache.spark.sql.functions.typedLit(p.books)
     val celled = df
-      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      .select(col(idCol).as("vec_id"),
+        rotatedCol(col(vecCol), p).as("cv"),
         VectorFns.norm(col(vecCol)).as("cn"))
       .withColumn("cell",
         Similarity.nearestCells(Similarity.unit(col("cv")),
@@ -369,35 +395,60 @@ object VectorIndex {
   /** Build (or rebuild over the SAME geometry) the PQ index: train
     * coarse quantizer + codebooks (both on the canonical bounded feed
     * — bit-reproducible), claim params, overwrite the
-    * cell-partitioned codes lake.
+    * cell-partitioned codes lake. `opq = true` (requires `residual`)
+    * learns the OPQ-P rotation first (Similarity.opqRotation — also
+    * canonical-feed deterministic) and trains/encodes everything in
+    * rotated space; the rotation persists in the params, so probes
+    * and appends rotate map-side with the SAME matrix forever.
     */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
       root: String, nlist: Int = 16, m: Int = 8, ks: Int = 16,
       seed: Long = 42L, filesPerPartition: Int = 1,
-      residual: Boolean = false,
+      residual: Boolean = false, opq: Boolean = false,
       store: CommitStore = HardlinkCommitStore): PqParams = {
+    require(!opq || residual,
+      "opq composes with residual coding (Similarity.opqTopK's shape)")
     import corpus.sparkSession.implicits._
     val dim = corpus.select(col(vecCol)).na.drop()
       .as[Seq[Float]].head().length
     val p0 =
       if (existsPq(root, store)) readPqParams(root, store)
       else {
+        val rotation: Seq[Double] =
+          if (opq) Similarity.opqRotation(corpus, idCol, vecCol, m)
+            .toSeq
+          else Nil
+        val feed =
+          if (opq) corpus.select(col(idCol),
+            graft.expressions.NativeKernels.pcaProjectCol(col(vecCol),
+              new Array[Double](dim), rotation.toArray, dim)
+              .as(vecCol))
+          else corpus
         val idx =
-          if (residual) Similarity.rpqIndex(corpus, idCol, vecCol,
+          if (residual) Similarity.rpqIndex(feed, idCol, vecCol,
             nlist, m, ks, seed)
-          else Similarity.pqIndex(corpus, idCol, vecCol, nlist, m,
+          else Similarity.pqIndex(feed, idCol, vecCol, nlist, m,
             ks, seed)
         PqParams(Params(nlist, seed, dim, idx.centroids), m, ks,
-          idx.books, residual)
+          idx.books, residual, rotation)
       }
     // claim carries the REQUESTED geometry (not the stored one) —
-    // including metric, so a rebuild asking for different
-    // nlist/m/ks/residual, or against a pre-metric ("l2") index,
-    // refuses instead of silently reusing the pinned index
+    // including metric and the opq flag, so a rebuild asking for
+    // different nlist/m/ks/residual/opq, or against a pre-metric
+    // ("l2") index, refuses instead of silently reusing the pinned
+    // index
     val p = claimOrReadPq(root, p0.copy(
       base = p0.base.copy(nlist = nlist, seed = seed, dim = dim,
         metric = "unit-l2"),
-      m = m, ks = ks, residual = residual), store)
+      m = m, ks = ks, residual = residual,
+      rotation = if (opq) p0.rotation else Nil), store)
+    // the flag compare above can't catch "opq requested against a
+    // stored non-opq index" (both claims carry an empty rotation
+    // then) — refuse it here
+    require(p.rotation.nonEmpty == opq,
+      s"pq index at $root is pinned to opq=${p.rotation.nonEmpty}; " +
+        s"refusing opq=$opq — delete the index root to change " +
+        "geometry")
     AtomicLake.overwrite(encodePq(corpus, idCol, vecCol, p),
       codesRoot(root), Seq("cell"), filesPerPartition, store)
     p
@@ -448,8 +499,12 @@ object VectorIndex {
           booksLit, p.m, p.ks)
       else graft.expressions.NativeKernels
         .adcTableCol(col("qv"), booksLit, p.m, p.ks)
+    // OPQ indexes probe in rotated space: `qv` here feeds only cell
+    // assignment and the ADC table; the refine below re-scores the
+    // shortlist against the RAW corpus/query vectors either way
     val qc = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      .select(col(idCol).as("query_id"),
+        rotatedCol(col(vecCol), p).as("qv"),
         VectorFns.norm(col(vecCol)).as("qn"))
       .withColumn("cell", explode(
         Similarity.nearestCells(Similarity.unit(col("qv")),

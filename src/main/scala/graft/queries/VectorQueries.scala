@@ -63,22 +63,32 @@ object VectorQueries {
         root, k = 10, nprobe = 8, refine = 8)
     },
 
-    // E6c — OPQ-P rotation tier (parametric OPQ, Ge et al. 2013):
-    // ONE learned orthogonal rotation — canonical-feed PCA eigenbasis
-    // with eigenvalue-BALANCED subspace allocation — applied map-side
-    // (the PCA projector kernel, zero mean) before the residual PQ
-    // split; shortlist runs in rotated space, exact refine re-scores
-    // against the RAW vectors so reported cosines match brute force
-    // bit-for-bit. Hash-gated at the driver SF with the family's
-    // pinned-picks oracle (rotation, coarse quantizer, and codebooks
-    // are all canonical-feed deterministic); the beats-residual claim
-    // is spec-gated on a correlated corpus (SimilaritySpec — uniform
-    // corpora like this one are the rotation's no-win case).
+    // E6c — OPQ-P rotation tier (parametric OPQ, Ge et al. 2013),
+    // SERVED FROM THE PERSISTED INDEX like ann_pq/rpq_topk: ONE
+    // learned orthogonal rotation — canonical-feed PCA eigenbasis
+    // with eigenvalue-BALANCED subspace allocation — persists in the
+    // CAS-committed params beside the codebooks; probes and appends
+    // rotate map-side (the PCA projector kernel, zero mean) before
+    // the residual coding, the shortlist runs in rotated space, and
+    // the exact refine re-scores against the RAW vectors so reported
+    // cosines match brute force bit-for-bit. Hash-gated at the
+    // driver SF with the family's pinned-picks oracle (rotation,
+    // quantizer, and codebooks are all canonical-feed deterministic;
+    // lake-served output is spec-proven bit-equal to the in-memory
+    // Similarity.opqTopK); the beats-residual claim is spec-gated on
+    // a correlated corpus (SimilaritySpec — uniform corpora like
+    // this one are the rotation's no-win case).
     "ann_opq_topk" -> { (s, dir) =>
+      val root = "/root/repo/target/lake/opq_index_q1/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = Tables.embeddings(s, dir)
-      Similarity.opqTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8,
-        m = 8, ks = 16, refine = 8, corpusTag = dir)
+      if (!graft.operators.VectorIndex.existsPq(root))
+        graft.operators.VectorIndex.buildPq(emb, "vec_id", "embedding",
+          root, nlist = 16, m = 8, ks = 16, seed = 42L,
+          residual = true, opq = true)
+      graft.operators.VectorIndex.topKPq(s,
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        root, k = 10, nprobe = 8, refine = 8)
     },
 
     // E6b residual variant — FAISS-IVFPQ-shape residual coding,

@@ -314,6 +314,69 @@ class VectorIndexSpec extends SparkSpec {
       want should not be empty
     }
 
+    it("lake-served OPQ topKPq equals the in-memory opqTopK EXACTLY " +
+        "(ids, ranks, and cosines)") {
+      val root = freshRoot("opq_parity")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8, ks = 16, seed = 42L, residual = true,
+        opq = true)
+      val p = VectorIndex.readPqParams(root)
+      p.rotation should have length (64 * 64)
+      val queries = emb.filter(col("vec_id") < 5)
+      val got = VectorIndex.topKPq(spark, queries, emb, "vec_id",
+          "embedding", root, k = 10, nprobe = 3, refine = 4)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val want = Similarity.opqTopK(emb, queries, "vec_id",
+          "embedding", k = 10, nlist = 8, nprobe = 3, m = 8, ks = 16,
+          refine = 4, seed = 42L)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      got shouldBe want // bit-equal cosines included
+      want should not be empty
+    }
+
+    it("the opq flag is pinned geometry: flipping it either way " +
+        "refuses, and appends rotate with the persisted matrix") {
+      val root = freshRoot("opq_pin")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+        nlist = 8, m = 8, residual = true, opq = true)
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.buildPq(emb, "vec_id", "embedding", root,
+          nlist = 8, m = 8, residual = true, opq = false)
+      val root2 = freshRoot("opq_pin2")
+      VectorIndex.buildPq(emb, "vec_id", "embedding", root2,
+        nlist = 8, m = 8, residual = true, opq = false)
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.buildPq(emb, "vec_id", "embedding", root2,
+          nlist = 8, m = 8, residual = true, opq = true)
+      // opq requires the residual coding tier
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.buildPq(emb, "vec_id", "embedding",
+          freshRoot("opq_nores"), nlist = 8, m = 8, residual = false,
+          opq = true)
+      // append encodes through the persisted rotation: with all
+      // cells probed and a corpus-wide refine, the probe must equal
+      // brute force over the full union — mis-rotated appended codes
+      // would never surface through the shortlist
+      val base = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400)
+      val root3 = freshRoot("opq_append")
+      VectorIndex.buildPq(base, "vec_id", "embedding", root3,
+        nlist = 8, m = 8, residual = true, opq = true)
+      VectorIndex.appendPq(spark, batch, "vec_id", "embedding", root3)
+      val queries = emb.filter(col("vec_id") < 3)
+      val got = VectorIndex.topKPq(spark, queries, emb, "vec_id",
+          "embedding", root3, k = 10, nprobe = 8, refine = 50)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      got shouldBe exact
+    }
+
     it("the residual flag is pinned geometry: flipping it refuses") {
       val root = freshRoot("rpq_pin")
       VectorIndex.buildPq(emb, "vec_id", "embedding", root,
