@@ -1322,6 +1322,55 @@ object NativeKernels extends Serializable {
     acc
   }
 
+  /** SQ8 scalar-quantization encode (the IVF-SQ tier, FAISS
+    * IndexIVFScalarQuantizer's QT_8bit shape): per-dimension affine
+    * uint8 code against trained [vmin, vmax] bounds —
+    * `round(255·(v_i − vmin_i)/(vmax_i − vmin_i))` clamped to
+    * [0, 255]; a degenerate dimension (vmax ≤ vmin) encodes 0 and
+    * decodes back to vmin. Returned as BINARY — one byte per
+    * dimension, the 4× scan-payload compression that is the tier's
+    * whole point (PQ is ~64× but lossier; SQ8 is the near-exact
+    * middle rung).
+    */
+  def sq8Encode(v: ArrayData, vmin: ArrayData, vmax: ArrayData)
+      : Array[Byte] = {
+    val d = v.numElements()
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val lo = vmin.getDouble(i)
+      val hi = vmax.getDouble(i)
+      if (hi > lo) {
+        val t = math.rint(
+          (v.getFloat(i).toDouble - lo) / (hi - lo) * 255.0).toInt
+        out(i) = (if (t < 0) 0 else if (t > 255) 255 else t).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Dot of a float query against an SQ8-coded candidate with the
+    * affine decode folded in — Σ q_i·(vmin_i + code_i·Δ_i/255), one
+    * pass, no materialized decode array. Accumulates in dimension
+    * order (the [[VectorFns.dot]] discipline) so a declarative
+    * decode-then-fold replay matches bit-for-bit.
+    */
+  def sq8Dot(q: ArrayData, codes: Array[Byte], vmin: ArrayData,
+      vmax: ArrayData): Double = {
+    val d = q.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val lo = vmin.getDouble(i)
+      val hi = vmax.getDouble(i)
+      val dec = lo + (codes(i) & 0xff).toDouble * (hi - lo) / 255.0
+      acc += q.getFloat(i).toDouble * dec
+      i += 1
+    }
+    acc
+  }
+
   /** Top-`nprobe` nearest centroid cells for a float vector — the IVF
     * coarse-quantizer assignment as ONE map-side kernel call (no
     * crossJoin against the centroid table, no per-id window shuffle).
@@ -1701,6 +1750,17 @@ object NativeKernels extends Serializable {
         org.apache.spark.sql.functions.lit(ks)),
       Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType,
         IntegerType))
+
+  def sq8EncodeCol(v: Column, vmin: Column, vmax: Column): Column =
+    invoke("sq8Encode", BinaryType, Seq(v, vmin, vmax),
+      Seq(ArrayType(FloatType), ArrayType(DoubleType),
+        ArrayType(DoubleType)))
+
+  def sq8DotCol(q: Column, codes: Column, vmin: Column,
+      vmax: Column): Column =
+    invoke("sq8Dot", DoubleType, Seq(q, codes, vmin, vmax),
+      Seq(ArrayType(FloatType), BinaryType, ArrayType(DoubleType),
+        ArrayType(DoubleType)))
 
   def adcDotCol(codes: Column, table: Column, ks: Int): Column =
     invoke("adcDot", DoubleType,

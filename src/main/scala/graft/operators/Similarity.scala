@@ -395,6 +395,19 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         (if (adcIsCosine) adc else adc / (col("qn") * col("cn")))
           .as("approx_cosine"))
+    shortlistRefine(approx, corpus, queries, idCol, vecCol, k, refine)
+  }
+
+  /** Shared shortlist+refine tail for every quantized tier: keep the
+    * top k·refine candidates per query by `approx_cosine`
+    * (WindowGroupLimit partial/final — never a full sort), then
+    * re-score ONLY the shortlist against the exact vectors (broadcast
+    * point lookups), so reported cosines are bit-identical to brute
+    * force regardless of which coding produced the shortlist.
+    */
+  private def shortlistRefine(approx: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      refine: Int): DataFrame = {
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("cand_id"))
     val short = approx.withColumn("arank", row_number().over(wa))
@@ -520,6 +533,112 @@ object Similarity {
       .select(col("query_id"), col("qn"), col("cell"), col("tbl"))
     adcShortlistRefine(idx.codes, queryCells, idx.ks, corpus, queries,
       idCol, vecCol, k, refine, adcIsCosine = true)
+  }
+
+  // ---- IVF-SQ8 (E6d — FAISS IndexIVFScalarQuantizer QT_8bit) -------
+  // The near-exact middle rung of the quantization ladder: one affine
+  // uint8 code per DIMENSION (4× smaller scan payload than floats;
+  // PQ is ~64× but lossier), decoded on the fly inside the dot. The
+  // bounds are the elementwise min/max of the UNIT corpus — computed
+  // in ONE treeAggregate pass, and because min/max commute the fit is
+  // deterministic at ANY scale with no bounded feed at all (the only
+  // trainable artifact in the family with that property).
+
+  final case class SqIndex(centroids: Seq[Seq[Double]],
+      vmin: Seq[Double], vmax: Seq[Double], codes: DataFrame)
+
+  private val sqMemo =
+    new graft.sources.SessionMemo[(String, String, String, Int, Long),
+      SqIndex](maxPerSession = 4,
+        onEvict = _.codes.unpersist(blocking = false))
+
+  /** Per-dimension [vmin, vmax] of the unit corpus: one exact
+    * order-independent treeAggregate (the Pca.fit shape).
+    */
+  private[operators] def unitBounds(corpus: DataFrame, vecCol: String)
+      : (Array[Double], Array[Double]) = {
+    import corpus.sparkSession.implicits._
+    val units = corpus.select(unit(col(vecCol)).as("__u")).na.drop()
+      .as[Seq[Float]]
+    val d = units.head().length
+    val zero = (Array.fill(d)(Double.MaxValue),
+      Array.fill(d)(Double.MinValue))
+    units.rdd.treeAggregate(zero)(
+      seqOp = { case ((lo, hi), v) =>
+        require(v.length == d,
+          s"ragged embedding: expected $d dims, got ${v.length}")
+        var i = 0
+        while (i < d) {
+          val x = v(i).toDouble
+          if (x < lo(i)) lo(i) = x
+          if (x > hi(i)) hi(i) = x
+          i += 1
+        }
+        (lo, hi)
+      },
+      combOp = { case ((alo, ahi), (blo, bhi)) =>
+        var i = 0
+        while (i < d) {
+          if (blo(i) < alo(i)) alo(i) = blo(i)
+          if (bhi(i) > ahi(i)) ahi(i) = bhi(i)
+          i += 1
+        }
+        (alo, ahi)
+      },
+      depth = 2)
+  }
+
+  /** Build (or reuse, keyed by `corpusTag`) the IVF-SQ8 index: the
+    * shared coarse quantizer plus byte codes of every unit vector —
+    * (cand_id, cell, codes BINARY, cn), one map-side encode pass.
+    */
+  def sqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L, corpusTag: String = "")
+      : SqIndex = {
+    def build: SqIndex = {
+      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+      val (lo, hi) = unitBounds(corpus, vecCol)
+      val loLit = typedLit(lo.toSeq)
+      val hiLit = typedLit(hi.toSeq)
+      val codes = ivf.corpusCells.select(col("cand_id"), col("cell"),
+        graft.expressions.NativeKernels
+          .sq8EncodeCol(unit(col("cv")), loLit, hiLit).as("codes"),
+        col("cn"))
+      SqIndex(ivf.centroids, lo.toSeq, hi.toSeq,
+        if (corpusTag.nonEmpty) codes.cache() else codes)
+    }
+    if (corpusTag.isEmpty) build
+    else sqMemo.getOrElseUpdate(corpus.sparkSession,
+      (corpusTag, idCol, vecCol, nlist, seed))(build)
+  }
+
+  /** IVF-SQ8 top-k with exact refine: probe cells map-side, score the
+    * byte codes with the decode-folded dot (both sides unit, so the
+    * dot IS the approximate cosine), shortlist, re-score exactly —
+    * the rpqTopK plan with a 4×-smaller candidate payload and no
+    * codebook at all.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, refine: Int = 4,
+      seed: Long = 42L, corpusTag: String = ""): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val idx = sqIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+    val loLit = typedLit(idx.vmin)
+    val hiLit = typedLit(idx.vmax)
+    val queryCells = queries
+      .select(col(idCol).as("query_id"),
+        unit(col(vecCol)).as("uq"))
+      .withColumn("cell", explode(nearestCells(col("uq"),
+        idx.centroids, nprobe)))
+      .select(col("query_id"), col("uq"), col("cell"))
+    val approx = idx.codes.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.expressions.NativeKernels
+          .sq8DotCol(col("uq"), col("codes"), loLit, hiLit)
+          .as("approx_cosine"))
+    shortlistRefine(approx, corpus, queries, idCol, vecCol, k, refine)
   }
 
   // ---- OPQ rotation tier (E6c — parametric OPQ, Ge et al. 2013) ----

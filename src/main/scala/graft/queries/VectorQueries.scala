@@ -63,6 +63,22 @@ object VectorQueries {
         root, k = 10, nprobe = 8, refine = 8)
     },
 
+    // E6d — IVF-SQ8 scalar quantization (FAISS
+    // IndexIVFScalarQuantizer QT_8bit shape): one affine uint8 code
+    // per DIMENSION, decoded on the fly inside the dot kernel — the
+    // near-exact 4×-compression rung between raw IVF and PQ. The
+    // bounds fit is ONE exact order-independent min/max pass
+    // (deterministic at any scale, no bounded feed needed), the
+    // coarse quantizer is the shared canonical-feed fit, so the
+    // whole chain pins. Recall/bound/kernel contracts spec-gated in
+    // SimilaritySpec.
+    "ann_sq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8,
+        refine = 8, corpusTag = dir)
+    },
+
     // E6c — OPQ-P rotation tier (parametric OPQ, Ge et al. 2013),
     // SERVED FROM THE PERSISTED INDEX like ann_pq/rpq_topk: ONE
     // learned orthogonal rotation — canonical-feed PCA eigenbasis
@@ -353,6 +369,26 @@ object VectorQueries {
          |     FOR i IN generate_series(1, len(e.embedding))]),
          |    (acc, v) -> acc + v) AS FLOAT) AS pc1
          |FROM embeddings e CROSS JOIN m""".stripMargin,
+    // identical to ann_ivf_topk's picks — at refine=8 the SQ8
+    // shortlist recovers the exact within-cell top-10, which is the
+    // near-exact-tier claim made measurable
+    "ann_sq_topk" -> pinnedAnnOracle(Seq(
+      (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,320,6),
+      (0,190,7), (0,464,8), (0,388,9), (0,483,10), (1,386,1),
+      (1,27,2), (1,407,3), (1,195,4), (1,64,5), (1,472,6), (1,203,7),
+      (1,363,8), (1,312,9), (1,353,10), (2,117,1), (2,450,2),
+      (2,320,3), (2,418,4), (2,471,5), (2,172,6), (2,197,7),
+      (2,440,8), (2,109,9), (2,97,10), (3,130,1), (3,149,2),
+      (3,343,3), (3,174,4), (3,231,5), (3,207,6), (3,192,7),
+      (3,437,8), (3,474,9), (3,363,10), (4,114,1), (4,408,2),
+      (4,482,3), (4,280,4), (4,249,5), (4,257,6), (4,89,7), (4,470,8),
+      (4,384,9), (4,346,10), (5,404,1), (5,419,2), (5,157,3),
+      (5,33,4), (5,359,5), (5,395,6), (5,464,7), (5,266,8), (5,225,9),
+      (5,11,10), (6,430,1), (6,145,2), (6,437,3), (6,386,4),
+      (6,268,5), (6,395,6), (6,214,7), (6,252,8), (6,371,9),
+      (6,11,10), (7,340,1), (7,425,2), (7,209,3), (7,334,4),
+      (7,381,5), (7,0,6), (7,332,7), (7,156,8), (7,442,9), (7,99,10)
+    )),
     "ann_opq_topk" -> pinnedAnnOracle(Seq(
       (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,320,5),
       (0,190,6), (0,464,7), (0,483,8), (0,323,9), (0,344,10),

@@ -321,6 +321,101 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"embedding".cast("array<float>"))
   }
 
+  describe("sqTopK (IVF-SQ8 scalar quantization)") {
+    // declarative unit-normalization twin of the operator's private
+    // unit(): float-cast per element after dividing by the norm
+    def unitCol(v: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val n = graft.functions.VectorFns.norm(v)
+      when(n === 0d, v)
+        .otherwise(transform(v, x => (x / n).cast("float")))
+    }
+
+    it("recall@10 at the same budget is at least PQ's, and the " +
+        "approx cosine sits within the analytic quantization bound") {
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "cand_id")
+          .as[(Long, Long)].collect().toSet
+        (exact & got).size.toDouble / exact.size
+      }
+      val sq = recallOf(Similarity.sqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 8, refine = 1))
+      val pq = recallOf(Similarity.pqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 8, m = 8, ks = 16,
+        refine = 1))
+      info(s"shortlist recall@10: sq8=$sq pq16=$pq")
+      sq should be >= pq
+      sq should be >= 0.9
+      // per-dim decode error is <= Δ_i/510 (half a step), so
+      // |approx − exact unit-dot| <= Σ|uq_i|·Δ_i/510 — assert the
+      // worst observed error against that analytic bound
+      val idx = Similarity.sqIndex(emb, "vec_id", "embedding",
+        nlist = 8)
+      val loLit = typedLit(idx.vmin)
+      val hiLit = typedLit(idx.vmax)
+      val pairs = emb.filter($"vec_id" === 0)
+        .select(unitCol($"embedding").as("uq"))
+        .crossJoin(emb.filter($"vec_id" =!= 0)
+          .select(unitCol($"embedding").as("uc"),
+            graft.expressions.NativeKernels.sq8EncodeCol(
+              unitCol($"embedding"), loLit, hiLit).as("codes")))
+      val maxErr = pairs.select(max(abs(
+        graft.expressions.NativeKernels
+          .sq8DotCol($"uq", $"codes", loLit, hiLit) -
+          graft.expressions.NativeKernels.dotFloatCol($"uq", $"uc")))
+        .as("e")).head().getDouble(0)
+      val bound = idx.vmin.zip(idx.vmax)
+        .map { case (lo, hi) => (hi - lo) / 510.0 }.sum // |uq_i| <= 1
+      info(s"max |approx - exact| = $maxErr (analytic bound $bound)")
+      maxErr should be <= bound
+    }
+    it("probing all cells with a wide refine reproduces brute force") {
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val all = Similarity.sqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 4, nprobe = 4, refine = 50)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      all shouldBe exact
+    }
+    it("the sq8 kernels honor the encode/decode contract: codes " +
+        "round-trip within half a step, dot equals the declarative " +
+        "decode-and-fold bit-for-bit") {
+      import org.apache.spark.sql.functions._
+      val idx = Similarity.sqIndex(emb, "vec_id", "embedding",
+        nlist = 4)
+      val loLit = typedLit(idx.vmin)
+      val hiLit = typedLit(idx.vmax)
+      val q1 = emb.filter($"vec_id" === 0)
+        .select(unitCol($"embedding").as("uq"))
+        .crossJoin(idx.codes)
+      val kernel = q1.select($"cand_id",
+        graft.expressions.NativeKernels.sq8DotCol(
+          $"uq", $"codes", loLit, hiLit).as("d"))
+        .as[(Long, Double)].collect().toMap
+      // declarative replay: decode each byte with the same affine,
+      // fold in dimension order
+      val dim = idx.vmin.length
+      val reference = q1.select($"cand_id",
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (acc, i) => acc +
+            element_at($"uq", i + 1).cast("double") *
+            (element_at(loLit, i + 1) +
+              (conv(hex(substring($"codes", i + 1, lit(1))), 16, 10)
+                .cast("double")) *
+              (element_at(hiLit, i + 1) - element_at(loLit, i + 1))
+              / lit(255.0))).as("d"))
+        .as[(Long, Double)].collect().toMap
+      kernel.keySet shouldBe reference.keySet
+      kernel.foreach { case (id, d) => assert(d == reference(id)) }
+    }
+  }
+
   describe("opqTopK (OPQ-P rotation tier)") {
     it("the learned rotation is orthogonal and deterministic") {
       val corpus = correlatedEmb(256, 32)
