@@ -548,4 +548,208 @@ object VectorIndex {
       store: CommitStore = HardlinkCommitStore): (Int, Int) =
     AtomicLake.scanInfo(codesRoot(root), store)(
       col("cell").isin(cells.map(Int.box): _*))
+
+  // ------------------------------------------------------------------
+  // SQ8 tier (E6d ∘ E14): the persisted form of Similarity.sqIndex.
+  // Same contracts as the PQ tier — params (coarse quantizer + the
+  // per-dim [vmin, vmax] bounds) CAS-committed version-1 before any
+  // data, geometry-refused on mismatch, codes in a cell-partitioned
+  // AtomicLake of (cell, vec_id, codes BINARY, cn): one byte per
+  // dimension instead of a 4-byte float — the near-exact 4× scan
+  // tier a serving fleet keeps hot while the PQ tiers cover the
+  // cold bulk.
+  // ------------------------------------------------------------------
+
+  /** SQ8 index parameters: coarse quantizer plus the per-dimension
+    * affine bounds codes decode against. Like centroids, the bounds
+    * are a function of geometry + build corpus and compare only
+    * implicitly (via nlist/seed/dim/metric).
+    */
+  final case class SqParams(base: Params, vmin: Seq[Double],
+      vmax: Seq[Double])
+
+  private def sqParamsRoot(root: String) = s"$root/sq_params"
+  private def sqCodesRoot(root: String) = s"$root/sq_codes"
+
+  private def sqParamsJson(p: SqParams): String = {
+    val cents = p.base.centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"nlist":${p.base.nlist},"seed":${p.base.seed},""" +
+      s""""dim":${p.base.dim},"metric":"${p.base.metric}",""" +
+      s""""vmin":${p.vmin.mkString("[", ",", "]")},""" +
+      s""""vmax":${p.vmax.mkString("[", ",", "]")},""" +
+      s""""centroids":$cents}"""
+  }
+
+  private def parseSqParams(s: String): SqParams = {
+    import org.json4s._
+    val base = parseParams(s)
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    def dbl(v: JValue): Double = v match {
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case JDecimal(x) => x.toDouble
+      case other => throw new IllegalStateException(
+        s"sq params: expected double, got $other")
+    }
+    def darr(v: JValue): Seq[Double] = v match {
+      case JArray(xs) => xs.map(dbl)
+      case other => throw new IllegalStateException(
+        s"sq params: expected array, got $other")
+    }
+    SqParams(base, darr(j \ "vmin"), darr(j \ "vmax"))
+  }
+
+  private def claimOrReadSq(root: String, p: SqParams,
+      store: CommitStore): SqParams =
+    if (store.tryCommit(sqParamsRoot(root), 1L, sqParamsJson(p))) p
+    else {
+      val e = parseSqParams(store.readBody(sqParamsRoot(root), 1L))
+      require(e.base.nlist == p.base.nlist &&
+        e.base.seed == p.base.seed && e.base.dim == p.base.dim &&
+        e.base.metric == p.base.metric,
+        s"sq index at $root is pinned to nlist=${e.base.nlist} " +
+          s"seed=${e.base.seed} dim=${e.base.dim} " +
+          s"metric=${e.base.metric}; refusing nlist=${p.base.nlist} " +
+          s"seed=${p.base.seed} dim=${p.base.dim} " +
+          s"metric=${p.base.metric} — delete the index root to " +
+          "change geometry")
+      e
+    }
+
+  def existsSq(root: String,
+      store: CommitStore = HardlinkCommitStore): Boolean =
+    store.listVersions(sqParamsRoot(root)).nonEmpty
+
+  def readSqParams(root: String,
+      store: CommitStore = HardlinkCommitStore): SqParams = {
+    val vs = store.listVersions(sqParamsRoot(root))
+    require(vs.nonEmpty, s"no sq index at $root: params never " +
+      "committed (buildSq() writes them before any table data)")
+    parseSqParams(store.readBody(sqParamsRoot(root), vs.max))
+  }
+
+  /** (cell, vec_id, codes BINARY, cn) — one map-side assign+encode
+    * pass with the params' centroid and bounds literals; no Exchange.
+    */
+  private def encodeSq(df: DataFrame, idCol: String, vecCol: String,
+      p: SqParams): DataFrame = {
+    val loLit = org.apache.spark.sql.functions.typedLit(p.vmin)
+    val hiLit = org.apache.spark.sql.functions.typedLit(p.vmax)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        VectorFns.norm(col(vecCol)).as("cn"))
+      .withColumn("cell",
+        Similarity.nearestCells(Similarity.unit(col("cv")),
+          p.base.centroids, 1).getItem(0))
+      .select(col("cell"), col("vec_id"),
+        graft.expressions.NativeKernels.sq8EncodeCol(
+          Similarity.unit(col("cv")), loLit, hiLit).as("codes"),
+        col("cn"))
+  }
+
+  /** Build (or rebuild over the SAME geometry) the SQ8 index: train
+    * the coarse quantizer (canonical feed) and the bounds (one exact
+    * min/max pass — deterministic at any scale), claim params,
+    * overwrite the cell-partitioned codes lake.
+    */
+  def buildSq(corpus: DataFrame, idCol: String, vecCol: String,
+      root: String, nlist: Int = 16, seed: Long = 42L,
+      filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): SqParams = {
+    import corpus.sparkSession.implicits._
+    val dim = corpus.select(col(vecCol)).na.drop()
+      .as[Seq[Float]].head().length
+    val p0 =
+      if (existsSq(root, store)) readSqParams(root, store)
+      else {
+        val idx = Similarity.sqIndex(corpus, idCol, vecCol, nlist,
+          seed)
+        SqParams(Params(nlist, seed, dim, idx.centroids), idx.vmin,
+          idx.vmax)
+      }
+    val p = claimOrReadSq(root, p0.copy(
+      base = p0.base.copy(nlist = nlist, seed = seed, dim = dim,
+        metric = "unit-l2")), store)
+    AtomicLake.overwrite(encodeSq(corpus, idCol, vecCol, p),
+      sqCodesRoot(root), Seq("cell"), filesPerPartition, store)
+    p
+  }
+
+  /** Incremental SQ8 ingest: encode `batch` with the PERSISTED
+    * bounds (map-side, no retraining), drop already-indexed ids,
+    * append into the cell partitions.
+    */
+  def appendSq(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, root: String, filesPerPartition: Int = 1,
+      store: CommitStore = HardlinkCommitStore): Long = {
+    val p = readSqParams(root, store)
+    requireServable(p.base, root)
+    val existing = AtomicLake.read(spark, sqCodesRoot(root), store)
+      .select(col("vec_id"))
+    val fresh = encodeSq(batch, idCol, vecCol, p)
+      .join(existing, Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty)
+      AtomicLake.currentVersion(sqCodesRoot(root), store).get
+    else AtomicLake.append(fresh, sqCodesRoot(root), Seq("cell"),
+      filesPerPartition, store)
+  }
+
+  /** SQ8 top-k served FROM THE LAKE, bit-identical to the in-memory
+    * [[Similarity.sqTopK]] on the same build inputs: probe cells
+    * map-side, score the partition-pruned byte codes with the
+    * decode-folded dot, shortlist top k·refine, re-score ONLY the
+    * shortlist against `corpus`'s exact vectors.
+    */
+  def topKSq(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, root: String,
+      k: Int, nprobe: Int = 3, refine: Int = 4,
+      store: CommitStore = HardlinkCommitStore): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val p = readSqParams(root, store)
+    requireServable(p.base, root)
+    val loLit = org.apache.spark.sql.functions.typedLit(p.vmin)
+    val hiLit = org.apache.spark.sql.functions.typedLit(p.vmax)
+    val qc = queries
+      .select(col(idCol).as("query_id"),
+        Similarity.unit(col(vecCol)).as("uq"))
+      .withColumn("cell", explode(
+        Similarity.nearestCells(col("uq"), p.base.centroids, nprobe)))
+      .select(col("query_id"), col("uq"), col("cell"))
+    import spark.implicits._
+    val probed = qc.select(col("cell")).distinct().as[Int]
+      .collect().sorted
+    val codes = AtomicLake.scan(spark, sqCodesRoot(root), store)(
+      col("cell").isin(probed.map(Int.box): _*))
+    val approx = codes.join(broadcast(qc), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        graft.expressions.NativeKernels
+          .sq8DotCol(col("uq"), col("codes"), loLit, hiLit)
+          .as("approx_cosine"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("cand_id"))
+    val short = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("cand_id"))
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorFns.norm(col(vecCol)).as("qn"))
+    val exact = cand.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** (files planned, files total) for an SQ probe of `cells`. */
+  def sqProbeScanInfo(root: String, cells: Seq[Int],
+      store: CommitStore = HardlinkCommitStore): (Int, Int) =
+    AtomicLake.scanInfo(sqCodesRoot(root), store)(
+      col("cell").isin(cells.map(Int.box): _*))
 }

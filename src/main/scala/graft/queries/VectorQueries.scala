@@ -64,19 +64,27 @@ object VectorQueries {
     },
 
     // E6d — IVF-SQ8 scalar quantization (FAISS
-    // IndexIVFScalarQuantizer QT_8bit shape): one affine uint8 code
-    // per DIMENSION, decoded on the fly inside the dot kernel — the
+    // IndexIVFScalarQuantizer QT_8bit shape), SERVED FROM THE
+    // PERSISTED INDEX like the PQ tiers: one affine uint8 code per
+    // DIMENSION (BINARY — one byte/dim in the cell-partitioned codes
+    // lake), decoded on the fly inside the dot kernel — the
     // near-exact 4×-compression rung between raw IVF and PQ. The
     // bounds fit is ONE exact order-independent min/max pass
     // (deterministic at any scale, no bounded feed needed), the
     // coarse quantizer is the shared canonical-feed fit, so the
-    // whole chain pins. Recall/bound/kernel contracts spec-gated in
-    // SimilaritySpec.
+    // whole chain pins; lake-served output is spec-proven bit-equal
+    // to the in-memory Similarity.sqTopK. Recall/bound/kernel
+    // contracts spec-gated in SimilaritySpec.
     "ann_sq_topk" -> { (s, dir) =>
+      val root = "/root/repo/target/lake/sq_index_q1/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = Tables.embeddings(s, dir)
-      Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8,
-        refine = 8, corpusTag = dir)
+      if (!graft.operators.VectorIndex.existsSq(root))
+        graft.operators.VectorIndex.buildSq(emb, "vec_id", "embedding",
+          root, nlist = 16, seed = 42L)
+      graft.operators.VectorIndex.topKSq(s,
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        root, k = 10, nprobe = 8, refine = 8)
     },
 
     // E6c — OPQ-P rotation tier (parametric OPQ, Ge et al. 2013),

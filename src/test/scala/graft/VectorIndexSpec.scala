@@ -184,6 +184,62 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  describe("SQ8 tier (persisted IVF-SQ8)") {
+    it("lake-served topKSq equals the in-memory sqTopK EXACTLY " +
+        "(ids, ranks, and cosines)") {
+      val root = freshRoot("sq_parity")
+      VectorIndex.buildSq(emb, "vec_id", "embedding", root,
+        nlist = 8, seed = 42L)
+      val queries = emb.filter(col("vec_id") < 5)
+      val got = VectorIndex.topKSq(spark, queries, emb, "vec_id",
+          "embedding", root, k = 10, nprobe = 3, refine = 4)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val want = Similarity.sqTopK(emb, queries, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 3, refine = 4, seed = 42L)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      got shouldBe want // bit-equal cosines included
+      want should not be empty
+    }
+
+    it("SQ probes are partition-pruned on the byte-codes lake, and " +
+        "the geometry pins") {
+      val root = freshRoot("sq_prune")
+      VectorIndex.buildSq(emb, "vec_id", "embedding", root, nlist = 8)
+      val (planned, total) = VectorIndex.sqProbeScanInfo(root,
+        Seq(0, 1))
+      total should be >= 8
+      planned should be <= (total / 2)
+      planned should be >= 1
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndex.buildSq(emb, "vec_id", "embedding", root,
+          nlist = 16)
+    }
+
+    it("appendSq encodes with the PERSISTED bounds, idempotently; " +
+        "appended vectors surface through a full probe") {
+      val root = freshRoot("sq_append")
+      val base = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400)
+      VectorIndex.buildSq(base, "vec_id", "embedding", root, nlist = 8)
+      val v1 = VectorIndex.appendSq(spark, batch, "vec_id",
+        "embedding", root)
+      VectorIndex.appendSq(spark, batch, "vec_id", "embedding",
+        root) shouldBe v1 // re-delivery: no new version
+      val queries = emb.filter(col("vec_id") < 3)
+      val got = VectorIndex.topKSq(spark, queries, emb, "vec_id",
+          "embedding", root, k = 10, nprobe = 8, refine = 50)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      got shouldBe exact
+    }
+  }
+
   describe("PQ tier (persisted IVF-PQ)") {
     it("lake-served topKPq equals the in-memory pqTopK EXACTLY " +
         "(ids, ranks, and cosines)") {
