@@ -168,6 +168,31 @@ object StreamingLake {
         }
       }
 
+  /** [[vectorIndexSink]]'s SQ8 twin: each micro-batch encodes with
+    * the PERSISTED bounds ([[graft.operators.VectorIndex.appendSq]] —
+    * map-side, no retraining, idempotent by id) and appends into the
+    * cell-partitioned byte-codes lake. Build-first contract as the
+    * other tiers: bounds trained on a drip of early micro-batches
+    * would clip later vectors' codes.
+    */
+  def sqIndexSink(stream: DataFrame, idCol: String,
+      vecCol: String, indexRoot: String, checkpoint: String,
+      store: graft.sources.CommitStore =
+        graft.sources.HardlinkCommitStore): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.VectorIndex
+          require(VectorIndex.existsSq(indexRoot, store),
+            s"no sq index at $indexRoot: buildSq() one from a seed " +
+              "corpus before streaming into it")
+          VectorIndex.appendSq(batch.sparkSession, batch, idCol,
+            vecCol, indexRoot, store = store)
+          ()
+        }
+      }
+
   /** Streaming CDC upsert: each micro-batch MERGEs into the lake by
     * key ([[graft.sources.AtomicLake.merge]]) — matched keys get the
     * batch's row, new keys insert, untouched rows (and untouched

@@ -240,6 +240,49 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  describe("SQ8 streaming sink") {
+    it("streams micro-batches into the live SQ index, replay-safe; " +
+        "refuses an unbuilt index loudly") {
+      implicit val sqlCtx = spark.sqlContext
+      val root = freshRoot("sq_stream")
+      val ckpt = freshRoot("sq_stream_ckpt")
+      VectorIndex.buildSq(emb.filter(col("vec_id") < 300), "vec_id",
+        "embedding", root, nlist = 8)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val stream = in.toDF().toDF("vec_id", "embedding")
+      val q = graft.streaming.StreamingLake.sqIndexSink(stream,
+        "vec_id", "embedding", root, ckpt).start()
+      try {
+        val tail = emb.filter(col("vec_id") >= 300)
+          .select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect()
+        val (b1, b2) = tail.splitAt(tail.length / 2)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        // overlap re-delivers some of b1: appendSq must dedup
+        in.addData(b1.take(5).toIndexedSeq)
+        q.processAllAvailable()
+        val ids = graft.sources.AtomicLake
+          .read(spark, s"$root/sq_codes").select("vec_id")
+          .as[Long].collect()
+        ids.length shouldBe 500 // no duplicates
+        ids.toSet shouldBe (0L until 500L).toSet
+      } finally q.stop()
+      val bare = freshRoot("sq_stream_refuse")
+      val q2 = graft.streaming.StreamingLake.sqIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        bare, freshRoot("sq_stream_refuse_ckpt")).start()
+      try {
+        in.addData((9999L, Seq.fill(64)(0.1f)))
+        val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] { q2.processAllAvailable() }
+        e.getMessage should include("buildSq() one from a seed corpus")
+      } finally q2.stop()
+    }
+  }
+
   describe("PQ tier (persisted IVF-PQ)") {
     it("lake-served topKPq equals the in-memory pqTopK EXACTLY " +
         "(ids, ranks, and cosines)") {
