@@ -1350,6 +1350,38 @@ object NativeKernels extends Serializable {
     out
   }
 
+  /** Binary (sign) quantization encode — one bit per dimension
+    * (bit i = 1 iff v_i > 0), LSB-first within each byte: the 32×
+    * tier (vs floats) of the quantization ladder, with NO trained
+    * artifact at all — sign is scale-invariant, so raw and unit
+    * vectors encode identically and the codes need no bounds,
+    * codebook, or rotation to stay valid as the corpus grows.
+    */
+  def bqEncode(v: ArrayData): Array[Byte] = {
+    val d = v.numElements()
+    val out = new Array[Byte]((d + 7) >> 3)
+    var i = 0
+    while (i < d) {
+      if (v.getFloat(i) > 0f)
+        out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two equal-length bit codes (xor +
+    * popcount per byte).
+    */
+  def bqHamming(a: Array[Byte], b: Array[Byte]): Int = {
+    var s = 0
+    var i = 0
+    while (i < a.length) {
+      s += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+      i += 1
+    }
+    s
+  }
+
   /** Dot of a float query against an SQ8-coded candidate with the
     * affine decode folded in — Σ q_i·(vmin_i + code_i·Δ_i/255), one
     * pass, no materialized decode array. Accumulates in dimension
@@ -1750,6 +1782,13 @@ object NativeKernels extends Serializable {
         org.apache.spark.sql.functions.lit(ks)),
       Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType,
         IntegerType))
+
+  def bqEncodeCol(v: Column): Column =
+    invoke("bqEncode", BinaryType, Seq(v), Seq(ArrayType(FloatType)))
+
+  def bqHammingCol(a: Column, b: Column): Column =
+    invoke("bqHamming", IntegerType, Seq(a, b),
+      Seq(BinaryType, BinaryType))
 
   def sq8EncodeCol(v: Column, vmin: Column, vmax: Column): Column =
     invoke("sq8Encode", BinaryType, Seq(v, vmin, vmax),

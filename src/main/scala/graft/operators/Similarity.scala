@@ -641,6 +641,48 @@ object Similarity {
     shortlistRefine(approx, corpus, queries, idCol, vecCol, k, refine)
   }
 
+  // ---- IVF-BQ (E6e — binary / sign quantization, SRP-LSH) ----------
+  // The 32× rung below SQ8: one SIGN BIT per dimension, scored by
+  // Hamming distance, with cosine estimated by Charikar's
+  // random-hyperplane bound cos(π·hamming/d) — here the "hyperplanes"
+  // are the coordinate axes, the degenerate-but-standard BQ used by
+  // production vector stores as the in-memory hot tier. NOTHING is
+  // trained: sign is scale-invariant, so the codes stay valid as the
+  // corpus grows and the only shared artifact is the IVF coarse
+  // quantizer. Refine does the exact re-score as everywhere else.
+
+  /** IVF-BQ top-k with exact refine: probe cells map-side, rank byte
+    * codes by the Hamming-angle estimator, shortlist, re-score
+    * exactly. The candidate payload is d/8 bytes — 32× smaller than
+    * the float vector — and the scorer is xor+popcount.
+    */
+  def bqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, refine: Int = 4,
+      seed: Long = 42L, corpusTag: String = ""): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val idx = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+    val d = idx.centroids.head.length
+    val codes = idx.corpusCells.select(col("cand_id"), col("cell"),
+      graft.expressions.NativeKernels.bqEncodeCol(col("cv"))
+        .as("codes"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"),
+        graft.expressions.NativeKernels.bqEncodeCol(col(vecCol))
+          .as("qcodes"),
+        unit(col(vecCol)).as("uq"))
+      .withColumn("cell", explode(nearestCells(col("uq"),
+        idx.centroids, nprobe)))
+      .select(col("query_id"), col("qcodes"), col("cell"))
+    val approx = codes.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cos(lit(math.Pi) * graft.expressions.NativeKernels
+          .bqHammingCol(col("codes"), col("qcodes"))
+          .cast("double") / lit(d.toDouble)).as("approx_cosine"))
+    shortlistRefine(approx, corpus, queries, idCol, vecCol, k, refine)
+  }
+
   // ---- OPQ rotation tier (E6c — parametric OPQ, Ge et al. 2013) ----
   // The remaining FAISS-family rung above residual PQ: ONE orthogonal
   // rotation learned from the unit-vector covariance eigenbasis with

@@ -63,6 +63,20 @@ object VectorQueries {
         root, k = 10, nprobe = 8, refine = 8)
     },
 
+    // E6e — IVF binary (sign) quantization: one bit per dimension,
+    // Hamming-angle shortlist (Charikar's cos(π·h/d) estimator),
+    // exact refine — the 32× in-memory hot tier production vector
+    // stores run, with ZERO trained artifacts (sign is
+    // scale-invariant) beyond the shared coarse quantizer, so the
+    // whole chain pins trivially. Recall/kernel contracts in
+    // SimilaritySpec.
+    "ann_bq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8,
+        refine = 8, corpusTag = dir)
+    },
+
     // E6d — IVF-SQ8 scalar quantization (FAISS
     // IndexIVFScalarQuantizer QT_8bit shape), SERVED FROM THE
     // PERSISTED INDEX like the PQ tiers: one affine uint8 code per
@@ -377,6 +391,23 @@ object VectorQueries {
          |     FOR i IN generate_series(1, len(e.embedding))]),
          |    (acc, v) -> acc + v) AS FLOAT) AS pc1
          |FROM embeddings e CROSS JOIN m""".stripMargin,
+    "ann_bq_topk" -> pinnedAnnOracle(Seq(
+      (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,320,6),
+      (0,190,7), (0,464,8), (0,483,9), (0,323,10), (1,386,1),
+      (1,27,2), (1,407,3), (1,195,4), (1,64,5), (1,472,6), (1,203,7),
+      (1,363,8), (1,312,9), (1,353,10), (2,117,1), (2,450,2),
+      (2,320,3), (2,471,4), (2,172,5), (2,197,6), (2,440,7),
+      (2,109,8), (2,128,9), (2,202,10), (3,149,1), (3,343,2),
+      (3,231,3), (3,207,4), (3,192,5), (3,437,6), (3,474,7),
+      (3,363,8), (3,463,9), (3,134,10), (4,114,1), (4,408,2),
+      (4,482,3), (4,280,4), (4,249,5), (4,257,6), (4,89,7), (4,470,8),
+      (4,384,9), (4,346,10), (5,404,1), (5,419,2), (5,157,3),
+      (5,33,4), (5,359,5), (5,395,6), (5,266,7), (5,11,8), (5,453,9),
+      (5,433,10), (6,430,1), (6,145,2), (6,268,3), (6,395,4),
+      (6,214,5), (6,252,6), (6,11,7), (6,53,8), (6,270,9),
+      (6,403,10), (7,340,1), (7,425,2), (7,209,3), (7,334,4),
+      (7,381,5), (7,0,6), (7,156,7), (7,442,8), (7,319,9), (7,407,10)
+    )),
     // identical to ann_ivf_topk's picks — at refine=8 the SQ8
     // shortlist recovers the exact within-cell top-10, which is the
     // near-exact-tier claim made measurable

@@ -416,6 +416,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("bqTopK (IVF binary/sign quantization)") {
+    it("the Hamming-angle shortlist recovers most of brute force, " +
+        "and a wide refine reproduces it exactly") {
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      // sign bits keep only direction OCTANT information — the
+      // lossiest tier; measure with every cell probed so the loss is
+      // purely the 1-bit shortlist
+      val approx = Similarity.bqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 8, nprobe = 8, refine = 8)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      val recall = (exact.map(t => (t._1, t._2)) & approx).size
+        .toDouble / exact.size
+      info(s"bq shortlist recall@10 (refine=8): $recall")
+      recall should be >= 0.5
+      val all = Similarity.bqTopK(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 4, nprobe = 4, refine = 60)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      all shouldBe exact
+    }
+    it("bq kernels: codes are sign bits (32x smaller), hamming " +
+        "equals the declarative xor-popcount") {
+      val v = Seq(1.5f, -0.2f, 0.0f, 3f, -4f, 0.1f, -0.1f, 2f, 1f)
+      val df = Seq((1L, v)).toDF("id", "v")
+        .select(graft.expressions.NativeKernels.bqEncodeCol(
+          $"v".cast("array<float>")).as("c"))
+      val code = df.head().getAs[Array[Byte]]("c")
+      code.length shouldBe 2 // ceil(9/8) bytes for 9 dims
+      // expected bits (LSB-first): 1,0,0,1,0,1,0,1 | 1
+      (code(0) & 0xff) shouldBe 0xA9
+      (code(1) & 0xff) shouldBe 0x01
+      // hamming vs a declaratively-computed reference on real data:
+      // the count of dimensions whose signs disagree
+      val pairs = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"),
+          graft.expressions.NativeKernels.bqEncodeCol($"embedding")
+            .as("qc"), $"embedding".as("qv"))
+        .crossJoin(emb.filter($"vec_id" >= 3 && $"vec_id" < 40)
+          .select($"vec_id".as("cid"),
+            graft.expressions.NativeKernels.bqEncodeCol($"embedding")
+              .as("cc"), $"embedding".as("cv")))
+      val got = pairs.select($"qid", $"cid",
+        graft.expressions.NativeKernels.bqHammingCol($"qc", $"cc")
+          .as("h")).as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = pairs.select($"qid", $"cid",
+        aggregate(zip_with($"qv", $"cv", (a, b) =>
+          when((a > 0f) =!= (b > 0f), 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("h"))
+        .as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      got.keySet shouldBe want.keySet
+      got shouldBe want
+      got.values.toSet.size should be > 1 // non-degenerate fixture
+    }
+  }
+
   describe("opqTopK (OPQ-P rotation tier)") {
     it("the learned rotation is orthogonal and deterministic") {
       val corpus = correlatedEmb(256, 32)

@@ -282,6 +282,7 @@ def main():
         "ann_rpq_topk": "sf0.01",
         "ann_opq_topk": "sf0.01",
         "ann_sq_topk": "sf0.01",
+        "ann_bq_topk": "sf0.01",
         # pinned PCA model (mean + first axis) from the canonical-feed
         # bit-reproducible fit; DuckDB replays the projection fold
         "emb_pca_project": "sf0.01",
