@@ -1373,6 +1373,10 @@ object NativeKernels extends Serializable {
     * popcount per byte).
     */
   def bqHamming(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length,
+      s"bqHamming: code length mismatch (${a.length} vs ${b.length} " +
+        "bytes) — query and corpus were sign-encoded at different " +
+        "dimensionalities")
     var s = 0
     var i = 0
     while (i < a.length) {

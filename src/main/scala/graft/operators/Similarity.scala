@@ -698,14 +698,15 @@ object Similarity {
   // refits per alternation sweep.
 
   private val opqMemo =
-    new graft.sources.SessionMemo[(String, String, String, Int),
+    new graft.sources.SessionMemo[(String, String, String, Int, Int),
       Array[Double]](maxPerSession = 4, onEvict = _ => ())
 
   /** Learn the OPQ-P rotation: full PCA eigenbasis of the UNIT
     * vectors (canonical bounded feed — bit-reproducible, the
     * Pca.fitCanonical contract), then greedy eigenvalue-product
-    * balancing over the m subspaces (largest remaining eigenvalue →
-    * least-loaded non-full bucket, log domain). Returns the d×d
+    * balancing over the m subspaces (LPT over |log λ|: SMALLEST
+    * remaining eigenvalue → the non-full bucket with the largest
+    * current product). Returns the d×d
     * rotation row-major: row r is the eigenvector assigned to slot r,
     * subspace-major — `pcaProject(v, 0, R, d)` IS the rotation. No
     * translation: cosine retrieval must preserve dot products, so the
@@ -729,12 +730,20 @@ object Similarity {
         idCol, vecCol, k = d, cap)
       val buckets = Array.fill(m)(List.empty[Int])
       val load = Array.fill(m)(0.0)
-      var i = 0
-      while (i < d) { // components arrive eigenvalue-DESC from Pca
-        // next (largest remaining) eigenvalue goes to the non-full
-        // bucket with the LARGEST current product: every factor is
-        // < 1, so big products must absorb the big remaining factors
-        // for the products to converge (ties: lower bucket index)
+      // LPT in the log domain (Graham's rule): unit-vector
+      // eigenvalues are all < 1, so each carries a negative log
+      // "weight" and balancing the per-bucket log SUMS equalizes the
+      // eigenvalue PRODUCTS (Ge et al. 2013's allocation target).
+      // LPT schedules the HEAVIEST job first onto the least-loaded
+      // machine — heaviest = largest |log λ| = SMALLEST eigenvalue,
+      // so iterate the Pca components (eigenvalue-DESC) in REVERSE,
+      // and "least loaded" = log-sum closest to zero = the non-full
+      // bucket with the LARGEST current product (ties: lower index).
+      // (Descending iteration with the same max-load rule anti-
+      // balances: λ = .8/.4/.2/.1, m=2 gives products .16/.04 where
+      // this order reaches the optimal .08/.08.)
+      var i = d - 1
+      while (i >= 0) {
         var best = -1
         var j = 0
         while (j < m) {
@@ -744,13 +753,16 @@ object Similarity {
         }
         buckets(best) = buckets(best) :+ i
         load(best) += math.log(math.max(pca.variance(i), 1e-12))
-        i += 1
+        i -= 1
       }
-      buckets.flatMap(_.flatMap(pca.components(_)))
+      // within each bucket restore eigenvalue-DESC slot order (the
+      // assignment loop appended ASC) so the rotation's subspace-
+      // major layout stays spectrum-ordered like before
+      buckets.flatMap(_.sorted.flatMap(pca.components(_)))
     }
     if (corpusTag.isEmpty) build
     else opqMemo.getOrElseUpdate(corpus.sparkSession,
-      (corpusTag, idCol, vecCol, m))(build)
+      (corpusTag, idCol, vecCol, m, cap))(build)
   }
 
   /** OPQ-rotated residual IVF-PQ top-k: rotate corpus and queries

@@ -117,7 +117,10 @@ object VectorQueries {
     // a correlated corpus (SimilaritySpec — uniform corpora like
     // this one are the rotation's no-win case).
     "ann_opq_topk" -> { (s, dir) =>
-      val root = "/root/repo/target/lake/opq_index_q1/" +
+      // q2: r13 rotation-allocation fix (ascending-LPT eigenvalue
+      // balancing) — the persisted rotation changed, so the root
+      // bumps and the picks re-pin
+      val root = "/root/repo/target/lake/opq_index_q2/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = Tables.embeddings(s, dir)
       if (!graft.operators.VectorIndex.existsPq(root))
@@ -428,23 +431,27 @@ object VectorQueries {
       (6,11,10), (7,340,1), (7,425,2), (7,209,3), (7,334,4),
       (7,381,5), (7,0,6), (7,332,7), (7,156,8), (7,442,9), (7,99,10)
     )),
+    // re-pinned r13 after the rotation-allocation LPT fix (ascending
+    // eigenvalue order — correlated-corpus shortlist recall 0.4625 →
+    // 0.625 in SimilaritySpec); two fresh-JVM index builds verified
+    // bit-identical before pinning
     "ann_opq_topk" -> pinnedAnnOracle(Seq(
-      (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,320,5),
-      (0,190,6), (0,464,7), (0,483,8), (0,323,9), (0,344,10),
-      (1,386,1), (1,27,2), (1,407,3), (1,64,4), (1,472,5), (1,363,6),
-      (1,312,7), (1,353,8), (1,165,9), (1,300,10), (2,117,1),
-      (2,450,2), (2,320,3), (2,418,4), (2,471,5), (2,172,6),
-      (2,197,7), (2,440,8), (2,97,9), (2,128,10), (3,130,1),
-      (3,149,2), (3,343,3), (3,174,4), (3,231,5), (3,207,6),
-      (3,192,7), (3,437,8), (3,474,9), (3,363,10), (4,114,1),
-      (4,408,2), (4,482,3), (4,280,4), (4,249,5), (4,257,6),
-      (4,89,7), (4,470,8), (4,346,9), (4,288,10), (5,404,1),
-      (5,419,2), (5,157,3), (5,33,4), (5,359,5), (5,395,6),
-      (5,464,7), (5,266,8), (5,225,9), (5,453,10), (6,430,1),
-      (6,145,2), (6,437,3), (6,268,4), (6,395,5), (6,214,6),
-      (6,252,7), (6,371,8), (6,11,9), (6,270,10), (7,340,1),
-      (7,425,2), (7,209,3), (7,381,4), (7,332,5), (7,156,6),
-      (7,442,7), (7,99,8), (7,319,9), (7,407,10)
+      (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5),
+      (0,190,6), (0,464,7), (0,388,8), (0,483,9), (0,323,10),
+      (1,386,1), (1,27,2), (1,407,3), (1,195,4), (1,64,5),
+      (1,472,6), (1,363,7), (1,312,8), (1,353,9), (1,268,10),
+      (2,117,1), (2,450,2), (2,320,3), (2,418,4), (2,471,5),
+      (2,172,6), (2,197,7), (2,440,8), (2,109,9), (2,97,10),
+      (3,130,1), (3,343,2), (3,174,3), (3,231,4), (3,207,5),
+      (3,192,6), (3,437,7), (3,474,8), (3,363,9), (3,396,10),
+      (4,114,1), (4,408,2), (4,482,3), (4,280,4), (4,249,5),
+      (4,257,6), (4,89,7), (4,470,8), (4,288,9), (4,332,10),
+      (5,404,1), (5,419,2), (5,157,3), (5,33,4), (5,359,5),
+      (5,395,6), (5,464,7), (5,266,8), (5,225,9), (5,453,10),
+      (6,145,1), (6,437,2), (6,386,3), (6,268,4), (6,395,5),
+      (6,214,6), (6,371,7), (6,11,8), (6,53,9), (6,270,10),
+      (7,340,1), (7,425,2), (7,209,3), (7,334,4), (7,381,5),
+      (7,0,6), (7,332,7), (7,156,8), (7,442,9), (7,319,10)
     )),
     "ann_rpq_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,423,3), (0,73,4), (0,320,5), (0,190,6),
