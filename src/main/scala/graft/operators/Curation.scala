@@ -196,9 +196,11 @@ object Curation {
     * broadcast (vocabulary scales with the corpus) — scoring is two
     * key joins, (w1,w2) then (w1), both AQE-skew-handled (the "the"
     * history is a hot key); V is one scalar aggregate. All arithmetic
-    * is double with order-independent per-doc sums up to FP
-    * reassociation — cross-engine validation is tolerance-tier
-    * (tools/check.py), like the trig-based geo outputs.
+    * is double; the per-doc sum folds the doc's distinct bigrams in
+    * sorted order, so the output is bit-deterministic run to run
+    * (pinned-VALUES hash gate at the driver SF) while cross-engine
+    * validation stays tolerance-tier (tools/check.py — DuckDB sums
+    * in its own order), like the trig-based geo outputs.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame = {
@@ -218,15 +220,35 @@ object Curation {
       .agg(sum(col("c2")).as("c1"))
     val vocab = biCounts.select(col("w2")).distinct()
       .agg(count(lit(1)).as("v"))
+    // Per-doc DISTINCT bigrams first (integer counts — order-free),
+    // then one nll per distinct bigram, then a per-doc SORTED fold:
+    // (w1, w2) is unique within the group, so sort_array imposes a
+    // total order and the weighted sum accumulates identically at any
+    // CPU count / shuffle fetch order. That bit-determinism is what
+    // lets the sf0.01 output pin as an exact VALUES oracle (the
+    // pre-r13 shape avg'd over shuffled instance rows — correct, but
+    // FP-order-nondeterministic, hence forever tolerance-only).
+    // Per-doc state is bounded by the doc's own distinct bigrams
+    // (≤ its token count) — same payload class as the text itself.
     val scored = bigrams
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
       .join(biCounts, Seq("w1", "w2"))
       .join(histCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
+      .select(col(idCol), col("cnt"),
         (-log2((col("c2") + lit(alpha)) /
-          (col("c1") + lit(alpha) * col("v")))).as("nll"))
+          (col("c1") + lit(alpha) * col("v")))).as("nll"),
+        col("w1"), col("w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("w1"), col("w2"),
+          col("cnt"), col("nll")))).as("terms"))
+      .select(col(idCol), col("n_bigrams"),
+        (aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc + t.getField("cnt").cast("double") *
+            t.getField("nll")) /
+          col("n_bigrams").cast("double")).as("avg_nll"))
     // docs too short to form a bigram still get a row (n_bigrams 0)
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),

@@ -929,6 +929,17 @@ object BronzeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // F8 — hash-gated r13: the HLL register-max merge and the
+    // percentile_approx summaries both proved bit-deterministic
+    // across fresh 8- and 32-thread JVMs (the quantile values are
+    // actual data elements), so the single row pins exactly (dyadic
+    // doubles). SF-scoped to sf0.01 in check.py; the exact-answer
+    // tolerance cross-check (10% band) stays in TOLERANCE_ORACLES.
+    "approx_stats" ->
+      ("SELECT CAST(151 AS BIGINT) AS approx_users, " +
+        "4868109722210796*power(2.0,-47) AS value_p50, " +
+        "5181954321243177*power(2.0,-45) AS value_p95"),
+
     "mm_image_dups" -> seedPairOracle(Seq(
       (0,0,0), (1,1,0), (2,2,0), (3,3,0), (4,4,0), (5,5,0), (6,6,0),
       (7,7,0), (8,8,0), (9,9,0), (10,10,0), (11,11,0), (12,12,0),

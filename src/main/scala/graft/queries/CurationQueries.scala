@@ -448,7 +448,990 @@ object CurationQueries {
   private def bpeCountsValues: String =
     bpeCountsSf001.map { case (d, n) => s"($d,$n)" }.mkString(", ")
 
+  /** Pinned r13 at the driver SF (sf0.01): Dsir.score is an ordered
+    * per-row fold over a driver-computed literal weight table — fully
+    * deterministic (8- vs 32-thread fresh-JVM runs byte-identical) —
+    * so the 450 (doc_id, dsir_score) rows pin as exact dyadic VALUES.
+    * SF-scoped in tools/check.py (documents differ per SF); the
+    * ln()-replay arithmetic cross-check stays in TOLERANCE_ORACLES
+    * at rtol 1e-9 for the other SFs.
+    */
+  private val dsirScoreDyadic: String =
+    """(1,-8137376785351406*power(2.0,-47)),
+      |(2,-5385726470839711*power(2.0,-47)),
+      |(3,-5868563662668016*power(2.0,-48)),
+      |(4,-5121847291751195*power(2.0,-47)),
+      |(5,-7503837134077830*power(2.0,-47)),
+      |(6,-4594184403693264*power(2.0,-48)),
+      |(7,-8665522502858052*power(2.0,-47)),
+      |(8,-4567641981123097*power(2.0,-46)),
+      |(9,-4915804631218120*power(2.0,-46)),
+      |(11,-7143242949642291*power(2.0,-47)),
+      |(12,-7330740237423656*power(2.0,-47)),
+      |(13,-6849507309655184*power(2.0,-47)),
+      |(14,-5129128830603899*power(2.0,-46)),
+      |(15,-5191446330334116*power(2.0,-47)),
+      |(16,-7950404253905048*power(2.0,-49)),
+      |(17,-4841478005610286*power(2.0,-46)),
+      |(18,-4597091134208445*power(2.0,-46)),
+      |(19,-8693940078784477*power(2.0,-50)),
+      |(21,-7320418474299774*power(2.0,-48)),
+      |(22,-4859034132135138*power(2.0,-46)),
+      |(23,-8985921969344660*power(2.0,-48)),
+      |(24,-5658769886574876*power(2.0,-46)),
+      |(25,-5575805408078400*power(2.0,-46)),
+      |(26,-8000903979930166*power(2.0,-50)),
+      |(27,-7976415420927604*power(2.0,-47)),
+      |(28,-6143426737792722*power(2.0,-47)),
+      |(29,-8789303557537276*power(2.0,-48)),
+      |(31,-5647996389169663*power(2.0,-47)),
+      |(32,-5556627346402841*power(2.0,-46)),
+      |(33,-6242729400220714*power(2.0,-47)),
+      |(34,-5521223931300762*power(2.0,-48)),
+      |(35,-4851223830875677*power(2.0,-46)),
+      |(36,-5546028326334998*power(2.0,-48)),
+      |(37,-7647567850625386*power(2.0,-47)),
+      |(38,-7364769368064090*power(2.0,-48)),
+      |(39,-6052356392026332*power(2.0,-48)),
+      |(41,-6226684035073238*power(2.0,-47)),
+      |(42,-6529625027326720*power(2.0,-47)),
+      |(43,-8023432119672494*power(2.0,-48)),
+      |(44,-5480061262829960*power(2.0,-48)),
+      |(45,-5255213980137192*power(2.0,-46)),
+      |(46,-5338986302768612*power(2.0,-46)),
+      |(47,-5449444073453717*power(2.0,-47)),
+      |(48,-6920734850785941*power(2.0,-48)),
+      |(49,-4534042986836926*power(2.0,-47)),
+      |(51,-7036266186523814*power(2.0,-47)),
+      |(52,-8689943434398987*power(2.0,-50)),
+      |(53,-6953920510319819*power(2.0,-48)),
+      |(54,-7616704896855204*power(2.0,-47)),
+      |(55,-5478518027453124*power(2.0,-47)),
+      |(56,-6095820531579276*power(2.0,-46)),
+      |(57,-4541884347897334*power(2.0,-46)),
+      |(58,-8666795926234202*power(2.0,-47)),
+      |(59,-7461650311280251*power(2.0,-48)),
+      |(61,-6722020009978326*power(2.0,-47)),
+      |(62,-8542856700774182*power(2.0,-47)),
+      |(63,-4797303559777646*power(2.0,-46)),
+      |(64,-6684755836275758*power(2.0,-48)),
+      |(65,-5536410598686682*power(2.0,-48)),
+      |(66,-6619455974963848*power(2.0,-47)),
+      |(67,-7077059946087057*power(2.0,-47)),
+      |(68,-8319609337227090*power(2.0,-48)),
+      |(69,-6092136174417493*power(2.0,-47)),
+      |(71,-6594754753410492*power(2.0,-47)),
+      |(72,-4742372525537818*power(2.0,-47)),
+      |(73,-6100937042211172*power(2.0,-46)),
+      |(74,-7220682328053500*power(2.0,-49)),
+      |(75,-6484936316334291*power(2.0,-47)),
+      |(76,-8437373471925345*power(2.0,-47)),
+      |(77,-6259148904928774*power(2.0,-47)),
+      |(78,-5183836158423522*power(2.0,-47)),
+      |(79,-7013246781862279*power(2.0,-50)),
+      |(81,-7249716212085354*power(2.0,-47)),
+      |(82,-5431675041745700*power(2.0,-47)),
+      |(83,-7302156504379516*power(2.0,-49)),
+      |(84,-8884916561919260*power(2.0,-47)),
+      |(85,-7353995967171139*power(2.0,-48)),
+      |(86,-6990777425789396*power(2.0,-48)),
+      |(87,-5782125068204860*power(2.0,-48)),
+      |(88,-6015739972171918*power(2.0,-47)),
+      |(89,-6078168315966968*power(2.0,-48)),
+      |(91,-8931778239662362*power(2.0,-47)),
+      |(92,-6415340908527389*power(2.0,-49)),
+      |(93,-4795413808649138*power(2.0,-48)),
+      |(94,-8481503099520970*power(2.0,-49)),
+      |(95,-6927168176274818*power(2.0,-47)),
+      |(96,-5149088185811449*power(2.0,-46)),
+      |(97,-7262760983428607*power(2.0,-47)),
+      |(98,-8344493311568628*power(2.0,-47)),
+      |(99,-8375766718972798*power(2.0,-48)),
+      |(101,-5592385995768585*power(2.0,-47)),
+      |(102,-5004781171742292*power(2.0,-46)),
+      |(103,-6198096543298925*power(2.0,-46)),
+      |(104,-5085799726034582*power(2.0,-47)),
+      |(105,-7524939212286555*power(2.0,-47)),
+      |(106,-6359555568422236*power(2.0,-49)),
+      |(107,-4808878541652428*power(2.0,-47)),
+      |(108,-4589259728372029*power(2.0,-48)),
+      |(109,-8366445977793470*power(2.0,-47)),
+      |(111,-5585801145901946*power(2.0,-46)),
+      |(112,-5554795206689781*power(2.0,-47)),
+      |(113,-4673814206745409*power(2.0,-46)),
+      |(114,-8550988716752217*power(2.0,-48)),
+      |(115,-6203310428952032*power(2.0,-48)),
+      |(116,-6863797074301572*power(2.0,-50)),
+      |(117,-6096709749660855*power(2.0,-47)),
+      |(118,-8385758818070035*power(2.0,-47)),
+      |(119,-7302367607639404*power(2.0,-49)),
+      |(121,-6997265181431108*power(2.0,-48)),
+      |(122,-8044272527977254*power(2.0,-49)),
+      |(123,-5619149435409328*power(2.0,-48)),
+      |(124,-7618298538301334*power(2.0,-47)),
+      |(125,-8556455299336654*power(2.0,-48)),
+      |(126,-5173530672671845*power(2.0,-46)),
+      |(127,-4882372438816723*power(2.0,-46)),
+      |(128,-4943428485994647*power(2.0,-46)),
+      |(129,-4884913983045634*power(2.0,-46)),
+      |(131,-6508439492139691*power(2.0,-47)),
+      |(132,-8053413831678991*power(2.0,-47)),
+      |(133,-5892841556122468*power(2.0,-46)),
+      |(134,-5520491299795938*power(2.0,-48)),
+      |(135,-5537449485204696*power(2.0,-46)),
+      |(136,-7959593468264227*power(2.0,-47)),
+      |(137,-5795559158913001*power(2.0,-47)),
+      |(138,-8048353954909015*power(2.0,-47)),
+      |(139,-6189927093194768*power(2.0,-47)),
+      |(141,-8412654577895280*power(2.0,-47)),
+      |(142,-5454235088640223*power(2.0,-46)),
+      |(143,-7770178211409986*power(2.0,-47)),
+      |(144,-4637307068861469*power(2.0,-48)),
+      |(145,-7833277462600363*power(2.0,-47)),
+      |(146,-5385352385766824*power(2.0,-48)),
+      |(147,-5370930834626395*power(2.0,-46)),
+      |(148,-8437356914260220*power(2.0,-48)),
+      |(149,-6996154197816682*power(2.0,-48)),
+      |(151,-6047329991617305*power(2.0,-46)),
+      |(152,-8620163370588274*power(2.0,-48)),
+      |(153,-8436981897390226*power(2.0,-47)),
+      |(154,-8315030958865129*power(2.0,-47)),
+      |(155,-7910830649364036*power(2.0,-47)),
+      |(156,-4956075770003474*power(2.0,-48)),
+      |(157,-8259349485713707*power(2.0,-49)),
+      |(158,-8474995674669643*power(2.0,-49)),
+      |(159,-8036802567408388*power(2.0,-47)),
+      |(161,-5789006225663274*power(2.0,-46)),
+      |(162,-4891641524143108*power(2.0,-46)),
+      |(163,-5679711437087373*power(2.0,-47)),
+      |(164,-8154585217204498*power(2.0,-49)),
+      |(165,-8820414735609775*power(2.0,-49)),
+      |(166,-7359909086330148*power(2.0,-47)),
+      |(167,-4869027563131393*power(2.0,-46)),
+      |(168,-8235260841584293*power(2.0,-48)),
+      |(169,-8491875156134316*power(2.0,-47)),
+      |(171,-7484540349709345*power(2.0,-47)),
+      |(172,-4550147172940518*power(2.0,-48)),
+      |(173,-5757278600957833*power(2.0,-46)),
+      |(174,-6841685148336527*power(2.0,-47)),
+      |(175,-5436532069628634*power(2.0,-48)),
+      |(176,-5465477757720667*power(2.0,-46)),
+      |(177,-5790630498104676*power(2.0,-47)),
+      |(178,-8881797138997196*power(2.0,-48)),
+      |(179,-8591804772340288*power(2.0,-47)),
+      |(181,-4825424724683598*power(2.0,-48)),
+      |(182,-7942477153748488*power(2.0,-47)),
+      |(183,-8657321686377062*power(2.0,-49)),
+      |(184,-4873275823768426*power(2.0,-46)),
+      |(185,-6950388687435373*power(2.0,-47)),
+      |(186,-8936761981904484*power(2.0,-47)),
+      |(187,-4505137705006608*power(2.0,-46)),
+      |(188,-6091356560891070*power(2.0,-47)),
+      |(189,-7114411323153340*power(2.0,-48)),
+      |(191,-8989330189676378*power(2.0,-49)),
+      |(192,-5527223397905206*power(2.0,-48)),
+      |(193,-7813483298038287*power(2.0,-48)),
+      |(194,-5900421894751387*power(2.0,-48)),
+      |(195,-6658640140611694*power(2.0,-47)),
+      |(196,-6607236517267032*power(2.0,-47)),
+      |(197,-5651158937012924*power(2.0,-46)),
+      |(198,-5363221592860789*power(2.0,-47)),
+      |(199,-6230819422938350*power(2.0,-48)),
+      |(201,-5855460178964366*power(2.0,-47)),
+      |(202,-5078634441980552*power(2.0,-46)),
+      |(203,-5620166939372476*power(2.0,-48)),
+      |(204,-5783405328525236*power(2.0,-48)),
+      |(205,-8013550340059385*power(2.0,-47)),
+      |(206,-4802291567222203*power(2.0,-48)),
+      |(207,-4882795047746998*power(2.0,-46)),
+      |(208,-6604324901680827*power(2.0,-48)),
+      |(209,-5255003303524569*power(2.0,-47)),
+      |(211,-5964024073859026*power(2.0,-47)),
+      |(212,-4869588146824472*power(2.0,-47)),
+      |(213,-5629260643098379*power(2.0,-46)),
+      |(214,-4940258402819017*power(2.0,-49)),
+      |(215,-5007481792140394*power(2.0,-46)),
+      |(216,-5525126493340018*power(2.0,-46)),
+      |(217,-7473077477607667*power(2.0,-47)),
+      |(218,-4912626549254940*power(2.0,-46)),
+      |(219,-6721289220669880*power(2.0,-48)),
+      |(221,-4677509276873641*power(2.0,-47)),
+      |(222,-5656947314492019*power(2.0,-47)),
+      |(223,-4628267119149446*power(2.0,-46)),
+      |(224,-8983921054049842*power(2.0,-47)),
+      |(225,-5133943279510739*power(2.0,-46)),
+      |(226,-4951206256205579*power(2.0,-48)),
+      |(227,-8218711623432385*power(2.0,-47)),
+      |(228,-5529092938181792*power(2.0,-46)),
+      |(229,-8022292215478939*power(2.0,-47)),
+      |(231,-6095825512649371*power(2.0,-48)),
+      |(232,-7293480236725884*power(2.0,-47)),
+      |(233,-4908039437810811*power(2.0,-46)),
+      |(234,-7174747230438767*power(2.0,-47)),
+      |(235,-4652694041614406*power(2.0,-47)),
+      |(236,-6158972328655841*power(2.0,-49)),
+      |(237,-4575293194624294*power(2.0,-46)),
+      |(238,-5846751224713418*power(2.0,-47)),
+      |(239,-5696348614030368*power(2.0,-48)),
+      |(241,-4985503389223154*power(2.0,-46)),
+      |(242,-7701570369601832*power(2.0,-47)),
+      |(243,-8613816800811695*power(2.0,-48)),
+      |(244,-7623999670399853*power(2.0,-47)),
+      |(245,-4633050423225327*power(2.0,-46)),
+      |(246,-7612664998579716*power(2.0,-48)),
+      |(247,-4619763518230032*power(2.0,-46)),
+      |(248,-4860254849474980*power(2.0,-46)),
+      |(249,-4739842234338034*power(2.0,-46)),
+      |(251,-4980733197160871*power(2.0,-46)),
+      |(252,-5423859314979070*power(2.0,-47)),
+      |(253,-7891226301725824*power(2.0,-48)),
+      |(254,-7705987540968742*power(2.0,-49)),
+      |(255,-7305089619062164*power(2.0,-48)),
+      |(256,-5766153107741632*power(2.0,-49)),
+      |(257,-5953189021790536*power(2.0,-48)),
+      |(258,-7977855143174738*power(2.0,-47)),
+      |(259,-4763325504887649*power(2.0,-47)),
+      |(261,-4885572703203201*power(2.0,-46)),
+      |(262,-5230898117506160*power(2.0,-47)),
+      |(263,-4876920493858244*power(2.0,-46)),
+      |(264,-5729394841158408*power(2.0,-46)),
+      |(265,-4774341861008718*power(2.0,-47)),
+      |(266,-5423207905017167*power(2.0,-47)),
+      |(267,-5266069881951566*power(2.0,-46)),
+      |(268,-8915433745582731*power(2.0,-48)),
+      |(269,-5040028476346227*power(2.0,-46)),
+      |(271,-6390782274621686*power(2.0,-47)),
+      |(272,-5737975284143785*power(2.0,-46)),
+      |(273,-6687811611789172*power(2.0,-48)),
+      |(274,-5116576857799194*power(2.0,-46)),
+      |(275,-7848886292216220*power(2.0,-50)),
+      |(276,-6591089100508797*power(2.0,-46)),
+      |(277,-4632138588178195*power(2.0,-47)),
+      |(278,-8456175677503172*power(2.0,-47)),
+      |(279,-5961497157817761*power(2.0,-47)),
+      |(281,-7869483407603095*power(2.0,-48)),
+      |(282,-7957542843842247*power(2.0,-48)),
+      |(283,-4855949443452764*power(2.0,-46)),
+      |(284,-5740083936460835*power(2.0,-47)),
+      |(285,-5742368609184520*power(2.0,-46)),
+      |(286,-5286082832850302*power(2.0,-47)),
+      |(287,-4627234847271150*power(2.0,-48)),
+      |(288,-7334139905206930*power(2.0,-48)),
+      |(289,-8040073252998404*power(2.0,-48)),
+      |(291,-4718651006780259*power(2.0,-46)),
+      |(292,-5575161001448119*power(2.0,-46)),
+      |(293,-8740548669507798*power(2.0,-47)),
+      |(294,-8953236606520824*power(2.0,-47)),
+      |(295,-6896636447470779*power(2.0,-48)),
+      |(296,-8195999801898178*power(2.0,-47)),
+      |(297,-7446606596965156*power(2.0,-47)),
+      |(298,-5842352432014092*power(2.0,-48)),
+      |(299,-5318092922488136*power(2.0,-46)),
+      |(301,-5828020877447611*power(2.0,-46)),
+      |(302,-4963167297207448*power(2.0,-46)),
+      |(303,-5629641462543528*power(2.0,-46)),
+      |(304,-4956604467889680*power(2.0,-47)),
+      |(305,-5905378148148646*power(2.0,-49)),
+      |(306,-4527696414086264*power(2.0,-46)),
+      |(307,-6780714716030724*power(2.0,-47)),
+      |(308,-8861606742016632*power(2.0,-49)),
+      |(309,-5929127508130273*power(2.0,-47)),
+      |(311,-5802355106107863*power(2.0,-46)),
+      |(312,-8778825541676143*power(2.0,-47)),
+      |(313,-6724143970878853*power(2.0,-49)),
+      |(314,-8173969138889870*power(2.0,-48)),
+      |(315,-5660783218767892*power(2.0,-46)),
+      |(316,-4569637296740120*power(2.0,-46)),
+      |(317,-4941185503277556*power(2.0,-46)),
+      |(318,-4887726194636740*power(2.0,-46)),
+      |(319,-5122480459143392*power(2.0,-46)),
+      |(321,-4926041304801333*power(2.0,-47)),
+      |(322,-4860445167459576*power(2.0,-47)),
+      |(323,-7286156343056552*power(2.0,-47)),
+      |(324,-5110872029030286*power(2.0,-47)),
+      |(325,-6671990402209517*power(2.0,-47)),
+      |(326,-5142919654247533*power(2.0,-47)),
+      |(327,-8103865041470900*power(2.0,-48)),
+      |(328,-5992103160664405*power(2.0,-46)),
+      |(329,-7445200199593401*power(2.0,-47)),
+      |(331,-6624994753836459*power(2.0,-47)),
+      |(332,-5419062793537461*power(2.0,-48)),
+      |(333,-6555635079969782*power(2.0,-48)),
+      |(334,-5143383048998009*power(2.0,-46)),
+      |(335,-7294442770862070*power(2.0,-47)),
+      |(336,-4598450668773244*power(2.0,-46)),
+      |(337,-5524843662866548*power(2.0,-47)),
+      |(338,-8786783312834889*power(2.0,-49)),
+      |(339,-7508354803848516*power(2.0,-48)),
+      |(341,-8775746919654293*power(2.0,-47)),
+      |(342,-5227178095256054*power(2.0,-48)),
+      |(343,-7670746817953923*power(2.0,-48)),
+      |(344,-4599183952283215*power(2.0,-46)),
+      |(345,-7023902013176088*power(2.0,-47)),
+      |(346,-9002031872350644*power(2.0,-47)),
+      |(347,-5890868496932848*power(2.0,-47)),
+      |(348,-6769396662104599*power(2.0,-48)),
+      |(349,-4940275766839222*power(2.0,-46)),
+      |(351,-7701265188013704*power(2.0,-47)),
+      |(352,-6188804297357905*power(2.0,-46)),
+      |(353,-6579953812693389*power(2.0,-47)),
+      |(354,-4562035243023582*power(2.0,-46)),
+      |(355,-7798676754739013*power(2.0,-47)),
+      |(356,-8768334187885388*power(2.0,-47)),
+      |(357,-5570351473700298*power(2.0,-47)),
+      |(358,-7665501837889632*power(2.0,-49)),
+      |(359,-8508535560255714*power(2.0,-47)),
+      |(361,-8342382983882935*power(2.0,-47)),
+      |(362,-7433030539446118*power(2.0,-49)),
+      |(363,-6981492825914458*power(2.0,-47)),
+      |(364,-5936587417469626*power(2.0,-47)),
+      |(365,-6617461390873050*power(2.0,-49)),
+      |(366,-6805527653748407*power(2.0,-47)),
+      |(367,-5161799131641590*power(2.0,-47)),
+      |(368,-7612860032547294*power(2.0,-49)),
+      |(369,-6347008574736534*power(2.0,-47)),
+      |(371,-6845644115138703*power(2.0,-47)),
+      |(372,-6998231163901391*power(2.0,-48)),
+      |(373,-8278786863757978*power(2.0,-47)),
+      |(374,-6678426286319355*power(2.0,-48)),
+      |(375,-7859420143475825*power(2.0,-47)),
+      |(376,-8878534853300167*power(2.0,-47)),
+      |(377,-4668619782264222*power(2.0,-47)),
+      |(378,-7581972631237943*power(2.0,-47)),
+      |(379,-8577716113822041*power(2.0,-47)),
+      |(381,-6946981682553469*power(2.0,-47)),
+      |(382,-6025226721648594*power(2.0,-48)),
+      |(383,-5476691852643483*power(2.0,-47)),
+      |(384,-7151516420923233*power(2.0,-49)),
+      |(385,-7840335738867868*power(2.0,-47)),
+      |(386,-5306133521070339*power(2.0,-46)),
+      |(387,-4713187176397071*power(2.0,-47)),
+      |(388,-7337858169405693*power(2.0,-47)),
+      |(389,-8116990355160217*power(2.0,-49)),
+      |(391,-4950796846590862*power(2.0,-47)),
+      |(392,-5436393103201580*power(2.0,-48)),
+      |(393,-6397200901949889*power(2.0,-47)),
+      |(394,-8659267814329902*power(2.0,-47)),
+      |(395,-5088995413033246*power(2.0,-46)),
+      |(396,-5457579553970295*power(2.0,-47)),
+      |(397,-5375846158283560*power(2.0,-47)),
+      |(398,-4516613750799753*power(2.0,-48)),
+      |(399,-6179258038810267*power(2.0,-47)),
+      |(401,-4711755622786641*power(2.0,-46)),
+      |(402,-7437081430692178*power(2.0,-48)),
+      |(403,-5088264643095757*power(2.0,-46)),
+      |(404,-6029072351518806*power(2.0,-47)),
+      |(405,-6405634806378157*power(2.0,-47)),
+      |(406,-4736872095386366*power(2.0,-46)),
+      |(407,-7652604330388302*power(2.0,-49)),
+      |(408,-8435325542680112*power(2.0,-49)),
+      |(409,-5979930535854733*power(2.0,-47)),
+      |(411,-4905839588222269*power(2.0,-46)),
+      |(412,-7950841464979311*power(2.0,-47)),
+      |(413,-5320622422239422*power(2.0,-46)),
+      |(414,-8942997815511586*power(2.0,-47)),
+      |(415,-5868114497731579*power(2.0,-47)),
+      |(416,-6006928222161320*power(2.0,-47)),
+      |(417,-5640521941767137*power(2.0,-46)),
+      |(418,-5406958870107680*power(2.0,-46)),
+      |(419,-4703350036903725*power(2.0,-48)),
+      |(421,-5688050020937858*power(2.0,-46)),
+      |(422,-7569253042108394*power(2.0,-47)),
+      |(423,-7514334095798361*power(2.0,-47)),
+      |(424,-8183531656444236*power(2.0,-47)),
+      |(425,-5708470885349121*power(2.0,-48)),
+      |(426,-4758836554679920*power(2.0,-46)),
+      |(427,-8814207947733976*power(2.0,-47)),
+      |(428,-7970262275375213*power(2.0,-48)),
+      |(429,-5927587281475796*power(2.0,-46)),
+      |(431,-5206835324581338*power(2.0,-47)),
+      |(432,-7161427846642148*power(2.0,-47)),
+      |(433,-5590747927780594*power(2.0,-48)),
+      |(434,-5117335342934131*power(2.0,-46)),
+      |(435,-4530658101747259*power(2.0,-47)),
+      |(436,-6096175737159521*power(2.0,-47)),
+      |(437,-4846988779837393*power(2.0,-46)),
+      |(438,-8242659639097745*power(2.0,-48)),
+      |(439,-6429148920689954*power(2.0,-48)),
+      |(441,-6432128085907022*power(2.0,-46)),
+      |(442,-5473755355723021*power(2.0,-46)),
+      |(443,-5707058014625426*power(2.0,-47)),
+      |(444,-7874581142920184*power(2.0,-47)),
+      |(445,-6975326738644549*power(2.0,-47)),
+      |(446,-5218427494421036*power(2.0,-48)),
+      |(447,-7378931367121842*power(2.0,-47)),
+      |(448,-6731686252116528*power(2.0,-47)),
+      |(449,-7250935664113686*power(2.0,-48)),
+      |(451,-5117018263840220*power(2.0,-48)),
+      |(452,-8472261201429634*power(2.0,-47)),
+      |(453,-5650879592204556*power(2.0,-46)),
+      |(454,-6904892044174970*power(2.0,-48)),
+      |(455,-8590925926118940*power(2.0,-50)),
+      |(456,-5484733714350709*power(2.0,-48)),
+      |(457,-5194043734048022*power(2.0,-47)),
+      |(458,-7224689518971528*power(2.0,-47)),
+      |(459,-7281051538640386*power(2.0,-47)),
+      |(461,-7919253390644040*power(2.0,-47)),
+      |(462,-7320380884226883*power(2.0,-47)),
+      |(463,-5073524428892111*power(2.0,-46)),
+      |(464,-7136610836243336*power(2.0,-48)),
+      |(465,-6921014630137900*power(2.0,-47)),
+      |(466,-4772775063693267*power(2.0,-46)),
+      |(467,-7516610321006324*power(2.0,-47)),
+      |(468,-5060386296873512*power(2.0,-47)),
+      |(469,-5215639730937906*power(2.0,-49)),
+      |(471,-6973101046301186*power(2.0,-47)),
+      |(472,-8516704657235064*power(2.0,-48)),
+      |(473,-6540003986968084*power(2.0,-47)),
+      |(474,-7469905306112258*power(2.0,-47)),
+      |(475,-7778931796638992*power(2.0,-49)),
+      |(476,-4653013416809430*power(2.0,-48)),
+      |(477,-5760400852769626*power(2.0,-48)),
+      |(478,-5862545959672442*power(2.0,-47)),
+      |(479,-8838978102425429*power(2.0,-47)),
+      |(481,-8313805258472004*power(2.0,-49)),
+      |(482,-7851911601307666*power(2.0,-48)),
+      |(483,-5538743948836739*power(2.0,-47)),
+      |(484,-4635095634016460*power(2.0,-47)),
+      |(485,-5050398950724484*power(2.0,-48)),
+      |(486,-8799682435085594*power(2.0,-48)),
+      |(487,-7395092155105592*power(2.0,-47)),
+      |(488,-7782777231223041*power(2.0,-48)),
+      |(489,-7111720784282313*power(2.0,-47)),
+      |(491,-8115741026419646*power(2.0,-47)),
+      |(492,-4525674418316935*power(2.0,-49)),
+      |(493,-5035868386252611*power(2.0,-46)),
+      |(494,-4824951466622447*power(2.0,-47)),
+      |(495,-7759197897591202*power(2.0,-47)),
+      |(496,-4626990519495545*power(2.0,-46)),
+      |(497,-5104749221122966*power(2.0,-48)),
+      |(498,-5473417749011050*power(2.0,-46)),
+      |(499,-6096690804580743*power(2.0,-48))""".stripMargin.replace("\n", " ")
+
+  /** Pinned r13 at the driver SF: lmScore's per-doc sum now folds the
+    * doc's distinct bigrams in sorted order (see Curation.lmScore),
+    * making the output bit-deterministic (fresh-JVM 8/32-thread byte
+    * equality proven) — pinned as exact dyadic VALUES like
+    * text_quality_model. SF-scoped; DuckDB model replay stays in
+    * TOLERANCE_ORACLES at rtol 1e-9.
+    */
+  private val lmScoreDyadic: String =
+    """(0,31,5554873370317263*power(2.0,-50)),
+      |(1,71,5526308499994249*power(2.0,-50)),
+      |(2,44,5508040893851236*power(2.0,-50)),
+      |(3,26,5578756630861387*power(2.0,-50)),
+      |(4,44,5459830283531654*power(2.0,-50)),
+      |(5,55,5517931618056520*power(2.0,-50)),
+      |(6,14,5482282351620143*power(2.0,-50)),
+      |(7,71,5480850672935849*power(2.0,-50)),
+      |(8,83,5522134238393053*power(2.0,-50)),
+      |(9,73,5456798543709187*power(2.0,-50)),
+      |(10,38,5382741071964753*power(2.0,-50)),
+      |(11,57,5530457460252882*power(2.0,-50)),
+      |(12,64,5515814840031710*power(2.0,-50)),
+      |(13,59,5529072989720863*power(2.0,-50)),
+      |(14,86,5486236416181311*power(2.0,-50)),
+      |(15,40,5472631480019753*power(2.0,-50)),
+      |(16,15,5511567166570422*power(2.0,-50)),
+      |(17,76,5497830276395607*power(2.0,-50)),
+      |(18,74,5445922489599631*power(2.0,-50)),
+      |(19,10,5649365024757166*power(2.0,-50)),
+      |(20,67,5479115938839769*power(2.0,-50)),
+      |(21,36,5458902623381187*power(2.0,-50)),
+      |(22,80,5577127403576474*power(2.0,-50)),
+      |(23,29,5576541401439534*power(2.0,-50)),
+      |(24,96,5409388104986290*power(2.0,-50)),
+      |(25,93,5521676572370434*power(2.0,-50)),
+      |(26,11,5890017720184286*power(2.0,-50)),
+      |(27,63,5457296462249141*power(2.0,-50)),
+      |(28,59,5469487634798621*power(2.0,-50)),
+      |(29,33,5543576042418435*power(2.0,-50)),
+      |(30,30,5460033283743937*power(2.0,-50)),
+      |(31,42,5490155062630994*power(2.0,-50)),
+      |(32,92,5473594780456673*power(2.0,-50)),
+      |(33,45,5394507219022499*power(2.0,-50)),
+      |(34,28,5552955097902368*power(2.0,-50)),
+      |(35,84,5506798146472225*power(2.0,-50)),
+      |(36,21,5409106103509989*power(2.0,-50)),
+      |(37,68,5497292967463243*power(2.0,-50)),
+      |(38,35,5531984239129460*power(2.0,-50)),
+      |(39,22,5381349427627402*power(2.0,-50)),
+      |(40,72,5490668676687871*power(2.0,-50)),
+      |(41,60,5517489372545243*power(2.0,-50)),
+      |(42,55,5565424764413936*power(2.0,-50)),
+      |(43,27,5598572254946721*power(2.0,-50)),
+      |(44,23,5447172050622225*power(2.0,-50)),
+      |(45,79,5397810167169896*power(2.0,-50)),
+      |(46,85,5530475571685340*power(2.0,-50)),
+      |(47,40,5568020144504946*power(2.0,-50)),
+      |(48,29,5523243079160152*power(2.0,-50)),
+      |(49,45,5497921742417436*power(2.0,-50)),
+      |(50,44,5516500233253641*power(2.0,-50)),
+      |(51,57,5534460961218169*power(2.0,-50)),
+      |(52,12,5455196438106118*power(2.0,-50)),
+      |(53,33,5511989778238630*power(2.0,-50)),
+      |(54,64,5498086885386403*power(2.0,-50)),
+      |(55,36,5479935768311017*power(2.0,-50)),
+      |(56,96,5507637677093894*power(2.0,-50)),
+      |(57,82,5514093350761160*power(2.0,-50)),
+      |(58,71,5507041235883623*power(2.0,-50)),
+      |(59,23,5473832175870508*power(2.0,-50)),
+      |(60,92,5511743725088712*power(2.0,-50)),
+      |(61,58,5482670516417195*power(2.0,-50)),
+      |(62,71,5465175878892591*power(2.0,-50)),
+      |(63,95,5534023849895445*power(2.0,-50)),
+      |(64,24,5299163112048636*power(2.0,-50)),
+      |(65,18,5453119669244015*power(2.0,-50)),
+      |(66,61,5499076537480479*power(2.0,-50)),
+      |(67,60,5527657286670082*power(2.0,-50)),
+      |(68,32,5477650465450514*power(2.0,-50)),
+      |(69,56,5527832185856355*power(2.0,-50)),
+      |(70,93,5540511745317064*power(2.0,-50)),
+      |(71,59,5540017881095805*power(2.0,-50)),
+      |(72,41,5418590540509769*power(2.0,-50)),
+      |(73,92,5540433044389987*power(2.0,-50)),
+      |(74,9,5554164537780563*power(2.0,-50)),
+      |(75,59,5505686405521192*power(2.0,-50)),
+      |(76,70,5465768622676445*power(2.0,-50)),
+      |(77,56,5522479316453359*power(2.0,-50)),
+      |(78,41,5516568186213572*power(2.0,-50)),
+      |(79,11,5497213438380765*power(2.0,-50)),
+      |(80,31,5463396989328232*power(2.0,-50)),
+      |(81,62,5509325533554799*power(2.0,-50)),
+      |(82,46,5513088941228432*power(2.0,-50)),
+      |(83,14,5470223825333315*power(2.0,-50)),
+      |(84,71,5468306512805066*power(2.0,-50)),
+      |(85,30,5598272885946955*power(2.0,-50)),
+      |(86,22,5541921674389287*power(2.0,-50)),
+      |(87,22,5379392920622737*power(2.0,-50)),
+      |(88,50,5472316514996900*power(2.0,-50)),
+      |(89,26,5503730770914171*power(2.0,-50)),
+      |(90,23,5454539602339173*power(2.0,-50)),
+      |(91,76,5485406873531394*power(2.0,-50)),
+      |(92,25,5740626344680895*power(2.0,-50)),
+      |(93,24,5482158957296713*power(2.0,-50)),
+      |(94,23,5504303405930028*power(2.0,-50)),
+      |(95,54,5406191213820855*power(2.0,-50)),
+      |(96,80,5554787416883941*power(2.0,-50)),
+      |(97,58,5526099635743181*power(2.0,-50)),
+      |(98,92,5361512255724567*power(2.0,-50)),
+      |(99,37,5443549534811452*power(2.0,-50)),
+      |(100,82,5522303059324434*power(2.0,-50)),
+      |(101,41,5421342126738544*power(2.0,-50)),
+      |(102,90,5489358358198401*power(2.0,-50)),
+      |(103,92,5489962594277537*power(2.0,-50)),
+      |(104,43,5437335129546207*power(2.0,-50)),
+      |(105,59,5519239088282624*power(2.0,-50)),
+      |(106,12,5574940989479641*power(2.0,-50)),
+      |(107,39,5507526757613706*power(2.0,-50)),
+      |(108,15,5430908228054715*power(2.0,-50)),
+      |(109,69,5471416694244344*power(2.0,-50)),
+      |(110,10,5496267433426605*power(2.0,-50)),
+      |(111,93,5453517505763376*power(2.0,-50)),
+      |(112,57,5541786726800176*power(2.0,-50)),
+      |(113,78,5535250567715597*power(2.0,-50)),
+      |(114,35,5500748248333560*power(2.0,-50)),
+      |(115,23,5603459811146867*power(2.0,-50)),
+      |(116,9,5483956731686847*power(2.0,-50)),
+      |(117,46,5490603381533381*power(2.0,-50)),
+      |(118,69,5481471043042426*power(2.0,-50)),
+      |(119,15,5503653325389326*power(2.0,-50)),
+      |(120,36,5589919012794344*power(2.0,-50)),
+      |(121,29,5443651146808843*power(2.0,-50)),
+      |(122,18,5573549481574876*power(2.0,-50)),
+      |(123,27,5473202587962642*power(2.0,-50)),
+      |(124,59,5437442399994711*power(2.0,-50)),
+      |(125,33,5473525226418155*power(2.0,-50)),
+      |(126,89,5468780296967620*power(2.0,-50)),
+      |(127,82,5455284063225431*power(2.0,-50)),
+      |(128,80,5504311685664354*power(2.0,-50)),
+      |(129,80,5442417161673116*power(2.0,-50)),
+      |(130,28,5390032867144830*power(2.0,-50)),
+      |(131,53,5522502211185110*power(2.0,-50)),
+      |(132,61,5474965515301688*power(2.0,-50)),
+      |(133,93,5480806595493859*power(2.0,-50)),
+      |(134,23,5599402586910072*power(2.0,-50)),
+      |(135,96,5539960399537824*power(2.0,-50)),
+      |(136,62,5469887646705691*power(2.0,-50)),
+      |(137,42,5422222686831525*power(2.0,-50)),
+      |(138,65,5492075691443337*power(2.0,-50)),
+      |(139,55,5547859911711717*power(2.0,-50)),
+      |(140,27,5534144021464162*power(2.0,-50)),
+      |(141,74,5572512596029899*power(2.0,-50)),
+      |(142,94,5561293770295734*power(2.0,-50)),
+      |(143,71,5491141983743296*power(2.0,-50)),
+      |(144,17,5519923006846872*power(2.0,-50)),
+      |(145,71,5587586401917195*power(2.0,-50)),
+      |(146,21,5500982542441907*power(2.0,-50)),
+      |(147,83,5503939951139863*power(2.0,-50)),
+      |(148,36,5445638304793350*power(2.0,-50)),
+      |(149,26,5558776726556864*power(2.0,-50)),
+      |(150,47,5537838086758227*power(2.0,-50)),
+      |(151,93,5511612678934116*power(2.0,-50)),
+      |(152,38,5483844316162366*power(2.0,-50)),
+      |(153,77,5532081085122846*power(2.0,-50)),
+      |(154,82,5496142192231462*power(2.0,-50)),
+      |(155,66,5572795408923261*power(2.0,-50)),
+      |(156,20,5512930327592229*power(2.0,-50)),
+      |(157,16,5404585050157270*power(2.0,-50)),
+      |(158,16,5592018006017180*power(2.0,-50)),
+      |(159,68,5484723126665781*power(2.0,-50)),
+      |(160,43,5412172988407202*power(2.0,-50)),
+      |(161,85,5512398447254385*power(2.0,-50)),
+      |(162,81,5448537760928925*power(2.0,-50)),
+      |(163,44,5435771177149516*power(2.0,-50)),
+      |(164,18,5550086425978310*power(2.0,-50)),
+      |(165,20,5569382054661644*power(2.0,-50)),
+      |(166,60,5489978185493424*power(2.0,-50)),
+      |(167,84,5456703160207738*power(2.0,-50)),
+      |(168,39,5423699271961797*power(2.0,-50)),
+      |(169,68,5453603317652102*power(2.0,-50)),
+      |(170,21,5483803362353888*power(2.0,-50)),
+      |(171,60,5569797387785203*power(2.0,-50)),
+      |(172,19,5542040538334639*power(2.0,-50)),
+      |(173,96,5500526849824386*power(2.0,-50)),
+      |(174,56,5473995567229921*power(2.0,-50)),
+      |(175,28,5415311258016733*power(2.0,-50)),
+      |(176,87,5471914971158238*power(2.0,-50)),
+      |(177,48,5539375539476170*power(2.0,-50)),
+      |(178,37,5350764920592509*power(2.0,-50)),
+      |(179,86,5512164224303870*power(2.0,-50)),
+      |(180,31,5441796330323706*power(2.0,-50)),
+      |(181,18,5523714792609771*power(2.0,-50)),
+      |(182,63,5554298973830329*power(2.0,-50)),
+      |(183,19,5458271045896410*power(2.0,-50)),
+      |(184,79,5503132842636145*power(2.0,-50)),
+      |(185,57,5409988394503745*power(2.0,-50)),
+      |(186,79,5475926542525622*power(2.0,-50)),
+      |(187,90,5541919551783579*power(2.0,-50)),
+      |(188,46,5509470539624486*power(2.0,-50)),
+      |(189,36,5496144382339233*power(2.0,-50)),
+      |(190,77,5476619417969352*power(2.0,-50)),
+      |(191,20,5395092694402776*power(2.0,-50)),
+      |(192,25,5469227655503594*power(2.0,-50)),
+      |(193,30,5514928208787890*power(2.0,-50)),
+      |(194,28,5601743601121006*power(2.0,-50)),
+      |(195,57,5571510455676213*power(2.0,-50)),
+      |(196,58,5542255266913443*power(2.0,-50)),
+      |(197,94,5476987987796783*power(2.0,-50)),
+      |(198,46,5464884870811404*power(2.0,-50)),
+      |(199,29,5523249294622374*power(2.0,-50)),
+      |(200,52,5528768168199495*power(2.0,-50)),
+      |(201,55,5568234919638462*power(2.0,-50)),
+      |(202,90,5543643479781836*power(2.0,-50)),
+      |(203,23,5413106196509214*power(2.0,-50)),
+      |(204,20,5526835184057565*power(2.0,-50)),
+      |(205,68,5492955376044488*power(2.0,-50)),
+      |(206,24,5624593610358189*power(2.0,-50)),
+      |(207,72,5443058375231523*power(2.0,-50)),
+      |(208,21,5433866741098383*power(2.0,-50)),
+      |(209,43,5528180967134049*power(2.0,-50)),
+      |(210,93,5536890740082889*power(2.0,-50)),
+      |(211,50,5487554262565676*power(2.0,-50)),
+      |(212,42,5412932503891262*power(2.0,-50)),
+      |(213,87,5561694086564865*power(2.0,-50)),
+      |(214,12,5588332944422477*power(2.0,-50)),
+      |(215,97,5493785349907469*power(2.0,-50)),
+      |(216,91,5457802433734774*power(2.0,-50)),
+      |(217,65,5528670032842481*power(2.0,-50)),
+      |(218,80,5497409457326729*power(2.0,-50)),
+      |(219,28,5417354502837219*power(2.0,-50)),
+      |(220,98,5537431588233627*power(2.0,-50)),
+      |(221,41,5558676971580947*power(2.0,-50)),
+      |(222,50,5524948511695198*power(2.0,-50)),
+      |(223,84,5522645957817130*power(2.0,-50)),
+      |(224,76,5449356044690344*power(2.0,-50)),
+      |(225,75,5465693456328463*power(2.0,-50)),
+      |(226,19,5430449668721667*power(2.0,-50)),
+      |(227,80,5494021029708759*power(2.0,-50)),
+      |(228,85,5482186746775989*power(2.0,-50)),
+      |(229,73,5550908403175112*power(2.0,-50)),
+      |(230,54,5506033765751223*power(2.0,-50)),
+      |(231,26,5575522156389414*power(2.0,-50)),
+      |(232,57,5547686232680804*power(2.0,-50)),
+      |(233,82,5502305776882909*power(2.0,-50)),
+      |(234,65,5510242943524224*power(2.0,-50)),
+      |(235,38,5463602635292291*power(2.0,-50)),
+      |(236,11,5832169734841094*power(2.0,-50)),
+      |(237,78,5466245903186979*power(2.0,-50)),
+      |(238,47,5490398899993355*power(2.0,-50)),
+      |(239,29,5563665014631434*power(2.0,-50)),
+      |(240,69,5518637841901315*power(2.0,-50)),
+      |(241,91,5459199347234096*power(2.0,-50)),
+      |(242,68,5456965790211585*power(2.0,-50)),
+      |(243,32,5661082332478042*power(2.0,-50)),
+      |(244,66,5416462149222914*power(2.0,-50)),
+      |(245,82,5463285272039693*power(2.0,-50)),
+      |(246,33,5481682905384655*power(2.0,-50)),
+      |(247,79,5519726886047630*power(2.0,-50)),
+      |(248,78,5521935064963190*power(2.0,-50)),
+      |(249,81,5495286800311957*power(2.0,-50)),
+      |(250,43,5447375829942955*power(2.0,-50)),
+      |(251,93,5511649870566678*power(2.0,-50)),
+      |(252,45,5510074445900804*power(2.0,-50)),
+      |(253,37,5538638219032019*power(2.0,-50)),
+      |(254,18,5621598093587926*power(2.0,-50)),
+      |(255,27,5647920023699602*power(2.0,-50)),
+      |(256,10,5529027532060216*power(2.0,-50)),
+      |(257,20,5491006014455246*power(2.0,-50)),
+      |(258,73,5535063356296612*power(2.0,-50)),
+      |(259,44,5441546695394399*power(2.0,-50)),
+      |(260,25,5482395065019632*power(2.0,-50)),
+      |(261,83,5512842460481956*power(2.0,-50)),
+      |(262,46,5480049888551370*power(2.0,-50)),
+      |(263,82,5511512025130405*power(2.0,-50)),
+      |(264,98,5455119598925272*power(2.0,-50)),
+      |(265,46,5413792124563333*power(2.0,-50)),
+      |(266,40,5425052851326317*power(2.0,-50)),
+      |(267,77,5369860359332989*power(2.0,-50)),
+      |(268,38,5499807003764739*power(2.0,-50)),
+      |(269,85,5534689082237812*power(2.0,-50)),
+      |(270,92,5517229531006086*power(2.0,-50)),
+      |(271,52,5472514531621080*power(2.0,-50)),
+      |(272,91,5453914759785218*power(2.0,-50)),
+      |(273,27,5440326431920740*power(2.0,-50)),
+      |(274,95,5479029807624411*power(2.0,-50)),
+      |(275,9,5376792166601703*power(2.0,-50)),
+      |(276,95,5489217643536928*power(2.0,-50)),
+      |(277,31,5577672916760086*power(2.0,-50)),
+      |(278,71,5543942923915668*power(2.0,-50)),
+      |(279,50,5514666589531213*power(2.0,-50)),
+      |(280,87,5457921643052056*power(2.0,-50)),
+      |(281,29,5471413851973833*power(2.0,-50)),
+      |(282,31,5400458364646063*power(2.0,-50)),
+      |(283,83,5473692489959125*power(2.0,-50)),
+      |(284,50,5578761329620138*power(2.0,-50)),
+      |(285,93,5482544495711439*power(2.0,-50)),
+      |(286,45,5509285669455078*power(2.0,-50)),
+      |(287,17,5504444935356154*power(2.0,-50)),
+      |(288,31,5441187015655948*power(2.0,-50)),
+      |(289,37,5526171102571571*power(2.0,-50)),
+      |(290,93,5407362139700473*power(2.0,-50)),
+      |(291,75,5452779048622513*power(2.0,-50)),
+      |(292,85,5569837240472791*power(2.0,-50)),
+      |(293,70,5449847964717942*power(2.0,-50)),
+      |(294,82,5487931335676379*power(2.0,-50)),
+      |(295,31,5535590110119249*power(2.0,-50)),
+      |(296,65,5492332211652878*power(2.0,-50)),
+      |(297,61,5546398650905903*power(2.0,-50)),
+      |(298,31,5523824067092977*power(2.0,-50)),
+      |(299,93,5452855494309867*power(2.0,-50)),
+      |(300,38,5469221509510370*power(2.0,-50)),
+      |(301,92,5443358471511713*power(2.0,-50)),
+      |(302,87,5534389611015440*power(2.0,-50)),
+      |(303,82,5514626998745200*power(2.0,-50)),
+      |(304,41,5421803483502898*power(2.0,-50)),
+      |(305,10,5448198022925738*power(2.0,-50)),
+      |(306,74,5491947779172572*power(2.0,-50)),
+      |(307,53,5415208910394728*power(2.0,-50)),
+      |(308,16,5554571343644771*power(2.0,-50)),
+      |(309,43,5457486879497232*power(2.0,-50)),
+      |(310,26,5413374142343598*power(2.0,-50)),
+      |(311,89,5499589144183350*power(2.0,-50)),
+      |(312,66,5557859579276204*power(2.0,-50)),
+      |(313,17,5491280962318592*power(2.0,-50)),
+      |(314,36,5526120106381468*power(2.0,-50)),
+      |(315,86,5526666355603824*power(2.0,-50)),
+      |(316,73,5483775559803880*power(2.0,-50)),
+      |(317,71,5519483460842409*power(2.0,-50)),
+      |(318,82,5554519136441051*power(2.0,-50)),
+      |(319,86,5514519946698608*power(2.0,-50)),
+      |(320,74,5526133180884151*power(2.0,-50)),
+      |(321,49,5585471890765857*power(2.0,-50)),
+      |(322,44,5543306122497734*power(2.0,-50)),
+      |(323,61,5555950499657940*power(2.0,-50)),
+      |(324,42,5401966154278792*power(2.0,-50)),
+      |(325,59,5443951839309080*power(2.0,-50)),
+      |(326,35,5396116813045816*power(2.0,-50)),
+      |(327,32,5455352732721549*power(2.0,-50)),
+      |(328,88,5472376245201135*power(2.0,-50)),
+      |(329,65,5535054148012833*power(2.0,-50)),
+      |(330,58,5459112589390720*power(2.0,-50)),
+      |(331,50,5552952906911614*power(2.0,-50)),
+      |(332,35,5489983592528861*power(2.0,-50)),
+      |(333,31,5504673288263893*power(2.0,-50)),
+      |(334,91,5522759868606949*power(2.0,-50)),
+      |(335,60,5432132113948348*power(2.0,-50)),
+      |(336,67,5507123867818202*power(2.0,-50)),
+      |(337,42,5513684863147358*power(2.0,-50)),
+      |(338,17,5471846308964614*power(2.0,-50)),
+      |(339,31,5477186230000574*power(2.0,-50)),
+      |(340,43,5444058050117476*power(2.0,-50)),
+      |(341,79,5506496332305785*power(2.0,-50)),
+      |(342,20,5422331303854469*power(2.0,-50)),
+      |(343,28,5506860497747474*power(2.0,-50)),
+      |(344,76,5539573919932897*power(2.0,-50)),
+      |(345,58,5488491713467498*power(2.0,-50)),
+      |(346,73,5433508864513468*power(2.0,-50)),
+      |(347,50,5529380305324537*power(2.0,-50)),
+      |(348,23,5511506345475670*power(2.0,-50)),
+      |(349,83,5476015518744852*power(2.0,-50)),
+      |(350,84,5550398387387786*power(2.0,-50)),
+      |(351,66,5529566231474312*power(2.0,-50)),
+      |(352,96,5481459127933006*power(2.0,-50)),
+      |(353,58,5474596374226001*power(2.0,-50)),
+      |(354,75,5527925218231619*power(2.0,-50)),
+      |(355,60,5492594477177356*power(2.0,-50)),
+      |(356,66,5513009591879056*power(2.0,-50)),
+      |(357,46,5517558806127205*power(2.0,-50)),
+      |(358,10,5672533583069021*power(2.0,-50)),
+      |(359,59,5525490489271549*power(2.0,-50)),
+      |(360,78,5534637085121921*power(2.0,-50)),
+      |(361,64,5468208018639176*power(2.0,-50)),
+      |(362,14,5444250944789285*power(2.0,-50)),
+      |(363,63,5494941776065553*power(2.0,-50)),
+      |(364,46,5492296207432857*power(2.0,-50)),
+      |(365,11,5423640959646364*power(2.0,-50)),
+      |(366,54,5483007017567528*power(2.0,-50)),
+      |(367,38,5535572781311337*power(2.0,-50)),
+      |(368,12,5631679816236917*power(2.0,-50)),
+      |(369,49,5595567459635252*power(2.0,-50)),
+      |(370,40,5562899565832580*power(2.0,-50)),
+      |(371,64,5507640849373104*power(2.0,-50)),
+      |(372,27,5362594980003725*power(2.0,-50)),
+      |(373,69,5521335802514230*power(2.0,-50)),
+      |(374,30,5418350387102242*power(2.0,-50)),
+      |(375,62,5496313886699833*power(2.0,-50)),
+      |(376,68,5516434684404113*power(2.0,-50)),
+      |(377,42,5516107178819748*power(2.0,-50)),
+      |(378,63,5496680318495023*power(2.0,-50)),
+      |(379,71,5434572596103736*power(2.0,-50)),
+      |(380,79,5496997228396073*power(2.0,-50)),
+      |(381,62,5511912942788812*power(2.0,-50)),
+      |(382,24,5489662475326995*power(2.0,-50)),
+      |(383,43,5573817938432278*power(2.0,-50)),
+      |(384,16,5514582677509380*power(2.0,-50)),
+      |(385,69,5479237209468687*power(2.0,-50)),
+      |(386,87,5515102796429408*power(2.0,-50)),
+      |(387,38,5427259798344430*power(2.0,-50)),
+      |(388,62,5516660841333975*power(2.0,-50)),
+      |(389,27,5529829589288140*power(2.0,-50)),
+      |(390,25,5396422161120824*power(2.0,-50)),
+      |(391,42,5485260274126670*power(2.0,-50)),
+      |(392,22,5508034163246211*power(2.0,-50)),
+      |(393,80,5505954194544505*power(2.0,-50)),
+      |(394,70,5498787825496857*power(2.0,-50)),
+      |(395,80,5484188141884950*power(2.0,-50)),
+      |(396,43,5500934027401657*power(2.0,-50)),
+      |(397,52,5494945074051023*power(2.0,-50)),
+      |(398,18,5416951502324722*power(2.0,-50)),
+      |(399,56,5513017627678510*power(2.0,-50)),
+      |(400,24,5644905298408372*power(2.0,-50)),
+      |(401,75,5470121984211816*power(2.0,-50)),
+      |(402,30,5634266147199349*power(2.0,-50)),
+      |(403,84,5493829769618667*power(2.0,-50)),
+      |(404,42,5508265882916149*power(2.0,-50)),
+      |(405,55,5529467802733377*power(2.0,-50)),
+      |(406,82,5510914456079068*power(2.0,-50)),
+      |(407,19,5555707790926722*power(2.0,-50)),
+      |(408,15,5501012021293748*power(2.0,-50)),
+      |(409,52,5477620533480353*power(2.0,-50)),
+      |(410,74,5491719892362287*power(2.0,-50)),
+      |(411,78,5490187060109372*power(2.0,-50)),
+      |(412,70,5463265221873530*power(2.0,-50)),
+      |(413,78,5417077300888072*power(2.0,-50)),
+      |(414,77,5556367029244944*power(2.0,-50)),
+      |(415,57,5500480313009689*power(2.0,-50)),
+      |(416,52,5507415826410273*power(2.0,-50)),
+      |(417,92,5487744453260595*power(2.0,-50)),
+      |(418,76,5479328714165875*power(2.0,-50)),
+      |(419,19,5401223094263234*power(2.0,-50)),
+      |(420,79,5467324865236888*power(2.0,-50)),
+      |(421,82,5489293427312716*power(2.0,-50)),
+      |(422,65,5517968160866740*power(2.0,-50)),
+      |(423,64,5475536077089869*power(2.0,-50)),
+      |(424,72,5542327741653620*power(2.0,-50)),
+      |(425,23,5411249543483085*power(2.0,-50)),
+      |(426,81,5545627655197676*power(2.0,-50)),
+      |(427,78,5591318943750879*power(2.0,-50)),
+      |(428,47,5512017733403022*power(2.0,-50)),
+      |(429,94,5478837844630628*power(2.0,-50)),
+      |(430,71,5502253341513984*power(2.0,-50)),
+      |(431,55,5526019809486257*power(2.0,-50)),
+      |(432,64,5467576995709014*power(2.0,-50)),
+      |(433,30,5532560248346164*power(2.0,-50)),
+      |(434,78,5465602854360894*power(2.0,-50)),
+      |(435,30,5410318205405645*power(2.0,-50)),
+      |(436,50,5497086777486235*power(2.0,-50)),
+      |(437,80,5551321066814186*power(2.0,-50)),
+      |(438,30,5630298735804097*power(2.0,-50)),
+      |(439,32,5526632234566494*power(2.0,-50)),
+      |(440,41,5553600396714800*power(2.0,-50)),
+      |(441,98,5500539725054496*power(2.0,-50)),
+      |(442,83,5501103828613219*power(2.0,-50)),
+      |(443,50,5455906048015320*power(2.0,-50)),
+      |(444,74,5524096767770987*power(2.0,-50)),
+      |(445,57,5541885543239585*power(2.0,-50)),
+      |(446,24,5655844088483875*power(2.0,-50)),
+      |(447,92,5487548492399183*power(2.0,-50)),
+      |(448,53,5490634652044618*power(2.0,-50)),
+      |(449,32,5583484123859880*power(2.0,-50)),
+      |(450,24,5546385141643045*power(2.0,-50)),
+      |(451,19,5508043163523234*power(2.0,-50)),
+      |(452,64,5499533411388677*power(2.0,-50)),
+      |(453,96,5516491639800989*power(2.0,-50)),
+      |(454,27,5510192776827854*power(2.0,-50)),
+      |(455,10,5527962470454580*power(2.0,-50)),
+      |(456,22,5465981569035958*power(2.0,-50)),
+      |(457,36,5535031087478385*power(2.0,-50)),
+      |(458,58,5423460008799706*power(2.0,-50)),
+      |(459,68,5512657482084219*power(2.0,-50)),
+      |(460,48,5458437258529157*power(2.0,-50)),
+      |(461,66,5526276260521986*power(2.0,-50)),
+      |(462,59,5476582232546256*power(2.0,-50)),
+      |(463,90,5449004280895500*power(2.0,-50)),
+      |(464,34,5480959166018047*power(2.0,-50)),
+      |(465,61,5549489863107840*power(2.0,-50)),
+      |(466,85,5525202878032938*power(2.0,-50)),
+      |(467,65,5448515643760383*power(2.0,-50)),
+      |(468,38,5531533540547571*power(2.0,-50)),
+      |(469,9,5583438594967968*power(2.0,-50)),
+      |(470,41,5524653777782572*power(2.0,-50)),
+      |(471,62,5468143227954804*power(2.0,-50)),
+      |(472,37,5470196847421566*power(2.0,-50)),
+      |(473,52,5464291707452031*power(2.0,-50)),
+      |(474,66,5509529025087541*power(2.0,-50)),
+      |(475,14,5727842804843547*power(2.0,-50)),
+      |(476,15,5386159617887233*power(2.0,-50)),
+      |(477,27,5581979089789499*power(2.0,-50)),
+      |(478,49,5469155905828726*power(2.0,-50)),
+      |(479,68,5531309133804932*power(2.0,-50)),
+      |(480,63,5517298520144801*power(2.0,-50)),
+      |(481,15,5476915386944779*power(2.0,-50)),
+      |(482,29,5529773415438229*power(2.0,-50)),
+      |(483,46,5530484082781955*power(2.0,-50)),
+      |(484,42,5478493685242795*power(2.0,-50)),
+      |(485,22,5540451582213057*power(2.0,-50)),
+      |(486,31,5574494473035071*power(2.0,-50)),
+      |(487,58,5483048807019276*power(2.0,-50)),
+      |(488,35,5570287771473328*power(2.0,-50)),
+      |(489,56,5560147334245344*power(2.0,-50)),
+      |(490,49,5487931352990272*power(2.0,-50)),
+      |(491,66,5470609463394540*power(2.0,-50)),
+      |(492,12,5526957707967277*power(2.0,-50)),
+      |(493,87,5471970223340442*power(2.0,-50)),
+      |(494,37,5503829697512892*power(2.0,-50)),
+      |(495,69,5513769061497710*power(2.0,-50)),
+      |(496,80,5538928967657388*power(2.0,-50)),
+      |(497,19,5324733862509746*power(2.0,-50)),
+      |(498,88,5524536473772117*power(2.0,-50)),
+      |(499,32,5450782030727063*power(2.0,-50))""".stripMargin.replace("\n", " ")
+
   val oracles: Map[String, String] = Map(
+    // H21 score leg — hash-gated via the pinned dyadic scores
+    // (dsirScoreDyadic; SF-scoped to sf0.01 in check.py).
+    "curate_dsir_score" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, dsir_score " +
+        "FROM (VALUES " + dsirScoreDyadic +
+        ") AS t(doc_id, dsir_score)"),
+    // H12 — hash-gated via the pinned dyadic per-doc scores
+    // (lmScoreDyadic; SF-scoped to sf0.01 in check.py).
+    "text_lm_score" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll " +
+        "FROM (VALUES " + lmScoreDyadic +
+        ") AS t(doc_id, n_bigrams, avg_nll)"),
+
     "bpe_tokenize" ->
       s"""SELECT CAST(c.id AS BIGINT) AS doc_id,
          |  'er e</w> n</w> er</w> ow' AS first_merges,

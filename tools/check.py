@@ -292,6 +292,16 @@ def main():
         "text_langid_model": "sf0.01",
         # composition over the pinned quality probs (E12c)
         "pipe_model_curation": "sf0.01",
+        # r13: pinned bit-deterministic outputs (fresh-JVM 8/32-thread
+        # byte equality proven) — dsir's ordered per-row fold, lm's
+        # sorted per-doc fold, the sketch row; all data-dependent, so
+        # sf0.01 only. geo_distance_pairs' pin is SF-INDEPENDENT
+        # (nation identical at every SF) and is deliberately absent
+        # here. TOLERANCE_ORACLES keeps the arithmetic replays at the
+        # other SFs.
+        "approx_stats": "sf0.01",
+        "curate_dsir_score": "sf0.01",
+        "text_lm_score": "sf0.01",
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
