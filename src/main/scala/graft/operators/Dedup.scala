@@ -187,8 +187,25 @@ object Dedup {
             lit(" with "), col("n_sh"),
             lit(" shingles — pass packedIds=false")))
             .cast("long"))
+        // EXPLOSION-AWARE EXCHANGE (r13, found by the sf1 ladder):
+        // this exchange's payload is small in BYTES (one packed long
+        // per posting — ~21 MB even at sf1), so AQE's bytes-based
+        // coalescing (advisory 64 MB, parallelismFirst=false)
+        // collapses the reduce side to ONE task — and that task then
+        // runs the pair kernel AND the count agg's map side over
+        // Σ df² pair emissions single-threaded (measured: minutes at
+        // sf1 vs seconds 32-way). Bytes misprice CPU-exploding
+        // stages, so pin the parallelism with an explicit repartition
+        // (a user-specified partition count is exempt from AQE
+        // coalescing); groupBy(shingle) reuses the partitioning — no
+        // extra exchange. The NEXT exchange (pair counts) stays
+        // AQE-managed: its map output bytes are the post-explosion
+        // reality, so coalescing prices it correctly.
+        val explodeP = sh.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
         val postings = sh
           .select(col("shingle"), packedPosting.as("p"))
+          .repartition(explodeP, col("shingle"))
           .groupBy(col("shingle"))
           .agg(graft.expressions.BoundedCollect
             .boundedCollectLong(col("p"), maxDf).as("ps"))
@@ -203,7 +220,9 @@ object Dedup {
           shiftrightunsigned(col("nc"), 32).as("n1"),
           col("nc").bitwiseAND(lit(0xffffffffL)).as("n2"))
       } else
-        sh.groupBy(col("shingle"))
+        sh.repartition(sh.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+          .groupBy(col("shingle"))
           .agg(collect_list(col("doc_id")).as("ids"),
             collect_list(col("n_sh")).as("ns"))
           .filter(size(col("ids")) <= maxDf)
@@ -274,7 +293,14 @@ object Dedup {
         .cast("array<struct<id1:bigint,id2:bigint,dist:int>>"))
       .otherwise(graft.expressions.NativeKernels
         .fuzzyPairsCol(col("es"), maxDist))
-    p.groupBy(col("blk"))
+    // explosion-aware exchange (same r13 finding as ngramJaccard's
+    // posting stage): a block row is tiny in bytes but detonates into
+    // an O(block²) DP loop, so bytes-based AQE coalescing would run
+    // every block's kernel on one task; the explicit partition count
+    // is exempt from coalescing and groupBy reuses it
+    p.repartition(p.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("blk"))
+      .groupBy(col("blk"))
       .agg(collect_list(struct(col("id"), col("nm"))).as("es"))
       .select(col("blk"), explode(guarded).as("m"))
       .select(col("m.id1"), col("m.id2"), col("m.dist"))

@@ -1,0 +1,181 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.sources.AtomicLake
+
+/** Randomized CONCURRENT exercise of the ACID lake: writer, deleter,
+  * maintenance, and reader threads race against one root with no
+  * external coordination, then the whole run is adjudicated post hoc
+  * from the commit log:
+  *
+  *  1. serializability — versions are contiguous and each maps to
+  *     exactly one committed operation from the threads' own op log;
+  *     replaying that log version by version reproduces every
+  *     snapshot's exact content (append adds exactly its batch,
+  *     delete removes exactly its predicate's matches against the
+  *     PREVIOUS version, maintenance changes nothing);
+  *  2. snapshot isolation — every mid-chaos read equals some
+  *     committed version's contents, never a torn mix;
+  *  3. liveness — no thread error escapes (internal CAS retries are
+  *     the protocol's job; a maintenance abort under conflict is
+  *     allowed and recorded as a no-op).
+  *
+  * The single-writer LakeFuzzSpec proves op COMPOSITIONS against an
+  * in-memory model; this spec proves the same semantics hold when the
+  * ops INTERLEAVE — the multi-writer reality of a shared 100-TB lake,
+  * where ingest, GDPR deletes, and the compactor all run as separate
+  * jobs. Seeded, so a failure reproduces.
+  */
+class LakeConcurrencyFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class Appended(ids: Set[Long]) extends Op
+  private case class Deleted(m: Long, r: Long) extends Op
+  private case object Maint extends Op
+
+  private def idsAt(root: String, version: Long): Set[Long] =
+    AtomicLake.readVersion(spark, root, version)
+      .select(col("id")).as[Long].collect().toSet
+
+  it("concurrent writers/deleter/compactor: every read is a committed " +
+      "snapshot and the commit log replays to every version's contents") {
+    for (seed <- Seq(13L, 20260815L)) {
+      val root = s"/root/repo/target/test-scratch/lake_cfuzz_$seed"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+
+      def batchDf(ids: Seq[Long]) =
+        ids.toDF("id").withColumn("v", col("id") * 2.0)
+
+      // v1: a seeded base population so early deletes have matches
+      AtomicLake.append(batchDf(0L until 400L), root)
+
+      val opLog =
+        new java.util.concurrent.ConcurrentHashMap[Long, Op]()
+      val reads = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+      def guard(name: String)(body: => Unit): Thread =
+        new Thread(() =>
+          try body
+          catch { case t: Throwable => errs.add(t) }, name)
+
+      // 3 writers x 4 appends, globally unique id ranges
+      val writers = (0 until 3).map { w =>
+        guard(s"writer-$w") {
+          val rnd = new scala.util.Random(seed * 31 + w)
+          for (b <- 0 until 4) {
+            val base = 1000L * (1 + w) + 100L * b
+            val ids = (base until base + 40L + rnd.nextInt(40))
+            val v = AtomicLake.append(batchDf(ids), root)
+            opLog.put(v, Appended(ids.toSet))
+            Thread.sleep(rnd.nextInt(30).toLong)
+          }
+        }
+      }
+      // 1 deleter: alternating COW and DV deletes on residue classes
+      val deleter = guard("deleter") {
+        val rnd = new scala.util.Random(seed * 131)
+        for (i <- 0 until 4) {
+          val m = 7L + rnd.nextInt(4)
+          val r = rnd.nextInt(m.toInt).toLong
+          val res =
+            if (i % 2 == 0)
+              AtomicLake.deleteWhereDV(spark, root)(
+                pmod(col("id"), lit(m)) === r)
+            else
+              AtomicLake.deleteWhere(spark, root)(
+                pmod(col("id"), lit(m)) === r)
+          // a no-match delete commits nothing and consumes no version
+          if (res.rowsChanged > 0) opLog.put(res.version, Deleted(m, r))
+          Thread.sleep(rnd.nextInt(40).toLong)
+        }
+      }
+      // 1 maintenance loop: content-neutral ops; abort-on-conflict is
+      // legal behavior (the spec "compact aborts instead of
+      // resurrecting"), so conflicts are swallowed, not failures
+      val maint = guard("maint") {
+        val rnd = new scala.util.Random(seed * 733)
+        var i = 0
+        while (!done.get() && i < 12) {
+          try {
+            val v = rnd.nextInt(3) match {
+              case 0 => AtomicLake.compactSmall(spark, root)
+              case 1 => AtomicLake.purgeDeletes(spark, root).version
+              case 2 => AtomicLake.cluster(spark, root, Seq("id"),
+                filesPerPartition = 2)
+            }
+            if (v >= 0) opLog.put(v, Maint)
+          } catch { case _: java.util.ConcurrentModificationException
+                       | _: IllegalStateException => () }
+          Thread.sleep(20L + rnd.nextInt(30).toLong)
+          i += 1
+        }
+      }
+      // 2 readers: raw mid-chaos snapshots, adjudicated post hoc
+      val readers = (0 until 2).map { r =>
+        guard(s"reader-$r") {
+          while (!done.get()) {
+            reads.add(AtomicLake.read(spark, root)
+              .select(col("id")).as[Long].collect().toSet)
+            Thread.sleep(15L)
+          }
+        }
+      }
+
+      val mutators = writers :+ deleter
+      (mutators :+ maint).foreach(_.start())
+      readers.foreach(_.start())
+      mutators.foreach(_.join(120000))
+      done.set(true)
+      (readers :+ maint).foreach(_.join(120000))
+      withClue(s"seed=$seed thread errors: ${errs.size}") {
+        errs.iterator().asScala.toList.map(_.toString) shouldBe empty
+      }
+
+      // ---- post-hoc adjudication from the commit log ----
+      val versions = AtomicLake.history(root).map(_._1).sorted
+      withClue(s"seed=$seed versions=$versions") {
+        versions shouldBe (versions.min to versions.max)
+      }
+      // replay: every version after the base must map to exactly one
+      // logged op whose effect reproduces the snapshot exactly
+      var prev = idsAt(root, versions.min)
+      val contents = scala.collection.mutable.Map(versions.min -> prev)
+      for (v <- versions.drop(1)) {
+        val now = idsAt(root, v)
+        val op = opLog.get(v)
+        withClue(s"seed=$seed version=$v op=$op") {
+          op should not be null
+          op match {
+            case Appended(ids) => now shouldBe (prev ++ ids)
+            case Deleted(m, r) => now shouldBe prev.filterNot(_ % m == r)
+            case Maint         => now shouldBe prev
+          }
+        }
+        contents(v) = now
+        prev = now
+      }
+      withClue(s"seed=$seed: op log and commit log must be a bijection") {
+        opLog.keySet().iterator().asScala.toSet shouldBe versions.drop(1).toSet
+      }
+      // snapshot isolation: every concurrent read is SOME version
+      val all = contents.values.toSet
+      for (snap <- reads.iterator().asScala.toList) {
+        withClue(s"seed=$seed torn read of ${snap.size} ids") {
+          all should contain(snap)
+        }
+      }
+      // final state = last version's replay (already forced above);
+      // row multiset agrees with the manifest's own row stats
+      val statRows = AtomicLake.history(root).head._4
+      statRows.foreach(_ shouldBe prev.size.toLong)
+    }
+  }
+
+}

@@ -239,6 +239,52 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  describe("global-Window whitelist") {
+    it("a non-partitioned Window occurs only in the documented " +
+        "bounded-dim paths") {
+      // A Window with an empty PARTITION BY serializes onto one task —
+      // the single-partition WindowExec warning the bench log prints.
+      // That is fine exactly where the input is a BOUNDED dimension
+      // (the reference's own semantics) and a scale-killer anywhere
+      // else, so this spec pins the whitelist: anything new that
+      // plans a global Window fails the suite until it either
+      // partitions or argues its way onto this list.
+      val whitelist = Set(
+        // B4 surrogate keys over a deduped ~1.5k-row dim (the
+        // documented bounded path; dimWithDenseKey is the scale
+        // twin) — Silver.scala dimWithSurrogateKey
+        "silver_dim_customer",
+        // C3 NTILE(4) over the ~25-zone metric dim (the reference's
+        // rent-tier bucketing; zones are bounded by construction) —
+        // Gold.scala tierSummary
+        "gold_tier_summary",
+        // C6/C5 consultations rank the per-zone-PAIR gravity gaps —
+        // bounded by zones^2 (~625), and topGaps takes LIMIT n off
+        // the global order
+        "gold_top_gaps", "consult_top_gaps", "gold_gravity_gaps")
+      val offenders = scala.collection.mutable.Map[String, Int]()
+      for ((name, fn) <- SparkEntry.queries) {
+        val plan = withClue(s"$name failed to plan: ") {
+          fn(spark, sf).queryExecution.analyzed
+        }
+        val n = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) offenders(name) = n
+      }
+      withClue("queries planning a global Window beyond the " +
+          "documented bounded-dim whitelist: ") {
+        (offenders.keySet -- whitelist) shouldBe empty
+      }
+      // the whitelist itself must stay honest: every listed query
+      // still HAS its global window (else the entry is stale)
+      withClue("stale whitelist entries (no global Window anymore): ") {
+        (whitelist -- offenders.keySet) shouldBe empty
+      }
+    }
+  }
+
   describe("no accidental cartesian products") {
     it("every catalog query plans without CartesianProduct at scale settings") {
       // intentional exceptions: the zone-pair enumeration (bounded 25x25)

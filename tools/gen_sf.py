@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Generate an sf-scaled synthetic testdata tier (default sf1 = 10x
+sf0.1) matching the driver-generated tables' schemas and measured
+distributions (see TESTDATA.md). Used ONLY for the cross-SF scaling
+bench: the correctness gates at any SF compare Spark vs DuckDB over
+the SAME parquet, so they are oracle-valid on this data too, except
+the pinned-VALUES oracles which tools/check.py SF-scopes to sf0.01.
+
+Distributions were measured from /root/testdata/sf0.1 (round 13):
+  region    5 fixed rows
+  nation    25 rows, NATION_i, regionkey = i % 5
+  customer  150k*sf  name Customer#%09d, nationkey U[0,25),
+            acctbal U[-1000,10000) 2dp, mktsegment 5 uniform
+  supplier  10k*sf   same shape
+  part      200k*sf  name = adj noun (8x8), Brand#U[0,25),
+            type 6 uniform, size U[1,50], retail 900+(key%1000)*0.1
+  orders    1.5M*sf  custkey U, status {O,F,P}, totalprice
+            U[1000,500000) 2dp, orderdate day-granular
+            U[1995-01-01, 2001-08-01], priority 5 uniform
+  lineitem  6M*sf    independent rows: orderkey U[0,orders),
+            partkey/suppkey U, linenumber U[1,7], quantity U[1,50],
+            extendedprice U[900,105000) 2dp, discount U{0..0.10},
+            tax U{0..0.08}, returnflag {A,N,R}, linestatus {F,O},
+            shipdate = day-granular U[orders range] + U[1,95] days
+  events    1M*sf    ts = sorted U over [2024-01-01, 2024-01-31),
+            user U[0, 15000*sf), type 5 uniform, value Exp(50) 2dp,
+            props {"k": U[0,100)}
+  documents 50k*sf   30-word vocab, length U[10,100]; ~4.6% of docs
+            are near-copies of an earlier doc with 'dup' appended
+            (prefix-cluster sizes 2-4 at sf0.1), a few exact copies;
+            lang weights en .4 / de es fr zh .15; source = src(id%20)
+  embeddings 8000 at sf1 (500/500/2000 ladder x4): 64-dim uniform
+            unit vectors, label U[0,10)
+"""
+import os, sys, zlib
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+OUT = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata/sf{SF:g}"
+os.makedirs(OUT, exist_ok=True)
+
+def rng(name):
+    # crc32, not hash(): python's str hash is salted per process
+    return np.random.default_rng([42, zlib.crc32(name.encode())])
+
+def write(name, table):
+    path = os.path.join(OUT, f"{name}.parquet")
+    pq.write_table(table, path, compression="snappy")
+    print(f"{name}: {table.num_rows} rows -> {path}")
+
+DAY_US = 86_400_000_000
+
+def ts_us(arr_us, base="2024-01-01"):
+    base_us = np.datetime64(base, "us").astype("int64")
+    return (base_us + arr_us).astype("datetime64[us]")
+
+# ---- region / nation (fixed) ----
+write("region", pa.table({
+    "r_regionkey": pa.array(range(5), pa.int32()),
+    "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}))
+write("nation", pa.table({
+    "n_nationkey": pa.array(range(25), pa.int32()),
+    "n_name": [f"NATION_{i}" for i in range(25)],
+    "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())}))
+
+# ---- customer ----
+n_cust = int(150_000 * SF)
+g = rng("customer")
+write("customer", pa.table({
+    "c_custkey": pa.array(range(n_cust), pa.int64()),
+    "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+    "c_nationkey": pa.array(g.integers(0, 25, n_cust), pa.int32()),
+    "c_acctbal": np.round(g.uniform(-1000, 10000, n_cust), 2),
+    "c_mktsegment": pa.array(np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+         "MACHINERY"])[g.integers(0, 5, n_cust)])}))
+
+# ---- supplier ----
+n_supp = int(10_000 * SF)
+g = rng("supplier")
+write("supplier", pa.table({
+    "s_suppkey": pa.array(range(n_supp), pa.int64()),
+    "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+    "s_nationkey": pa.array(g.integers(0, 25, n_supp), pa.int32()),
+    "s_acctbal": np.round(g.uniform(-1000, 10000, n_supp), 2)}))
+
+# ---- part ----
+n_part = int(200_000 * SF)
+g = rng("part")
+adjs = np.array(["large", "hot", "blue", "old", "cold", "small",
+                 "new", "red"])
+nouns = np.array(["ring", "bolt", "plate", "gear", "screw", "wheel",
+                  "pin", "cap"])
+keys = np.arange(n_part)
+write("part", pa.table({
+    "p_partkey": pa.array(keys, pa.int64()),
+    "p_name": [f"{a} {n}" for a, n in
+               zip(adjs[g.integers(0, 8, n_part)],
+                   nouns[g.integers(0, 8, n_part)])],
+    "p_brand": [f"Brand#{b}" for b in g.integers(0, 25, n_part)],
+    "p_type": pa.array(np.array(
+        ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+         "STANDARD"])[g.integers(0, 6, n_part)]),
+    "p_size": pa.array(g.integers(1, 51, n_part), pa.int32()),
+    "p_retailprice": np.round(900.0 + (keys % 1000) * 0.1, 1)}))
+
+# ---- orders ----
+n_ord = int(1_500_000 * SF)
+g = rng("orders")
+odate_days = g.integers(0, 2405, n_ord)  # 1995-01-01 .. 2001-08-01
+ODATE_BASE = np.datetime64("1995-01-01", "us").astype("int64")
+write("orders", pa.table({
+    "o_orderkey": pa.array(range(n_ord), pa.int64()),
+    "o_custkey": pa.array(g.integers(0, n_cust, n_ord), pa.int64()),
+    "o_orderstatus": pa.array(
+        np.array(["O", "F", "P"])[g.integers(0, 3, n_ord)]),
+    "o_totalprice": np.round(g.uniform(1000, 500000, n_ord), 2),
+    "o_orderdate": (ODATE_BASE + odate_days * DAY_US)
+        .astype("datetime64[us]"),
+    "o_orderpriority": pa.array(np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+         "5-LOW"])[g.integers(0, 5, n_ord)])}))
+
+# ---- lineitem (rows independent of orders, like the source data) ----
+n_li = int(6_000_000 * SF)
+g = rng("lineitem")
+sdate_days = g.integers(0, 2405, n_li) + g.integers(1, 96, n_li)
+write("lineitem", pa.table({
+    "l_orderkey": pa.array(g.integers(0, n_ord, n_li), pa.int64()),
+    "l_partkey": pa.array(g.integers(0, n_part, n_li), pa.int64()),
+    "l_suppkey": pa.array(g.integers(0, n_supp, n_li), pa.int64()),
+    "l_linenumber": pa.array(g.integers(1, 8, n_li), pa.int32()),
+    "l_quantity": g.integers(1, 51, n_li).astype("float64"),
+    "l_extendedprice": np.round(g.uniform(900, 105000, n_li), 2),
+    "l_discount": np.round(g.integers(0, 11, n_li) * 0.01, 2),
+    "l_tax": np.round(g.integers(0, 9, n_li) * 0.01, 2),
+    "l_returnflag": pa.array(
+        np.array(["A", "N", "R"])[g.integers(0, 3, n_li)]),
+    "l_linestatus": pa.array(
+        np.array(["F", "O"])[g.integers(0, 2, n_li)]),
+    "l_shipdate": (ODATE_BASE + sdate_days * DAY_US)
+        .astype("datetime64[us]")}))
+
+# ---- events ----
+n_ev = int(1_000_000 * SF)
+g = rng("events")
+span_us = 30 * DAY_US  # [2024-01-01, 2024-01-31)
+ts = np.sort(g.integers(0, span_us, n_ev))
+write("events", pa.table({
+    "event_id": pa.array(range(n_ev), pa.int64()),
+    "ts": ts_us(ts),
+    "user_id": pa.array(
+        g.integers(0, max(int(15_000 * SF), 1), n_ev), pa.int64()),
+    "event_type": pa.array(np.array(
+        ["click", "error", "purchase", "signup",
+         "view"])[g.integers(0, 5, n_ev)]),
+    "value": np.round(g.exponential(50.0, n_ev), 2),
+    "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, n_ev)]}))
+
+# ---- documents ----
+n_doc = int(50_000 * SF)
+g = rng("documents")
+vocab = np.array([
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "row",
+    "the", "agg", "key", "query", "a", "scan", "batch"])
+lengths = g.integers(10, 101, n_doc)
+texts = [" ".join(vocab[g.integers(0, 30, L)]) for L in lengths]
+# plant near/exact dup clusters: ~4.6% of docs copy an earlier doc,
+# usually with 1-3 'dup' tokens appended (prefix-cluster sizes 2-4 at
+# sf0.1), occasionally verbatim (8 exact dups per 5000 docs)
+n_dup = int(n_doc * 0.046)
+dup_targets = g.choice(np.arange(n_doc // 10, n_doc), n_dup,
+                       replace=False)
+for t in dup_targets:
+    src_id = int(g.integers(0, t))
+    extra = int(g.integers(0, 4))
+    texts[t] = texts[src_id] + (" dup" * extra if extra else
+                                " dup" if g.random() < 0.5 else "")
+langs = np.array(["en", "de", "es", "fr", "zh"])
+write("documents", pa.table({
+    "doc_id": pa.array(range(n_doc), pa.int64()),
+    "text": texts,
+    "lang": pa.array(langs[g.choice(5, n_doc,
+        p=[0.4, 0.15, 0.15, 0.15, 0.15])]),
+    "source": [f"src{i % 20}" for i in range(n_doc)],
+    "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+
+# ---- embeddings ----
+n_emb = {0.001: 500, 0.01: 500, 0.1: 2000}.get(SF, int(8000 * SF))
+g = rng("embeddings")
+v = g.standard_normal((n_emb, 64)).astype("float32")
+v /= np.linalg.norm(v, axis=1, keepdims=True)
+write("embeddings", pa.table({
+    "vec_id": pa.array(range(n_emb), pa.int64()),
+    "embedding": pa.array(list(v), pa.list_(pa.float32())),
+    "label": pa.array(g.integers(0, 10, n_emb), pa.int32())}))
+
+print("done:", OUT)
