@@ -10,12 +10,13 @@ import graft.sources.AtomicLake
   * external coordination, then the whole run is adjudicated post hoc
   * from the commit log:
   *
-  *  1. serializability — versions are contiguous and each maps to
-  *     exactly one committed operation from the threads' own op log;
-  *     replaying that log version by version reproduces every
+  *  1. serializability — versions are contiguous; replaying the
+  *     threads' own op log version by version reproduces every
   *     snapshot's exact content (append adds exactly its batch,
-  *     delete removes exactly its predicate's matches against the
-  *     PREVIOUS version, maintenance changes nothing);
+  *     delete removes exactly its predicate's matches against a
+  *     witnessed derivation snapshot — WriteSerializable, see the
+  *     Deleted case — and manifest-marked compact commits change
+  *     nothing);
   *  2. snapshot isolation — every mid-chaos read equals some
   *     committed version's contents, never a torn mix;
   *  3. liveness — no thread error escapes (internal CAS retries are
@@ -34,7 +35,6 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
   private sealed trait Op
   private case class Appended(ids: Set[Long]) extends Op
   private case class Deleted(m: Long, r: Long) extends Op
-  private case object Maint extends Op
 
   private def idsAt(root: String, version: Long): Set[Long] =
     AtomicLake.readVersion(spark, root, version)
@@ -98,19 +98,23 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
       }
       // 1 maintenance loop: content-neutral ops; abort-on-conflict is
       // legal behavior (the spec "compact aborts instead of
-      // resurrecting"), so conflicts are swallowed, not failures
+      // resurrecting"), so conflicts are swallowed, not failures.
+      // Maintenance commits are NOT recorded thread-side: a no-op
+      // call returns the CURRENT version (someone else's commit), so
+      // self-reporting races — the adjudication below instead trusts
+      // the manifest's own kind=compact marker, which only a
+      // maintenance rewrite writes.
       val maint = guard("maint") {
         val rnd = new scala.util.Random(seed * 733)
         var i = 0
         while (!done.get() && i < 12) {
           try {
-            val v = rnd.nextInt(3) match {
+            rnd.nextInt(3) match {
               case 0 => AtomicLake.compactSmall(spark, root)
-              case 1 => AtomicLake.purgeDeletes(spark, root).version
+              case 1 => AtomicLake.purgeDeletes(spark, root)
               case 2 => AtomicLake.cluster(spark, root, Seq("id"),
                 filesPerPartition = 2)
             }
-            if (v >= 0) opLog.put(v, Maint)
           } catch { case _: java.util.ConcurrentModificationException
                        | _: IllegalStateException => () }
           Thread.sleep(20L + rnd.nextInt(30).toLong)
@@ -139,30 +143,54 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
       }
 
       // ---- post-hoc adjudication from the commit log ----
-      val versions = AtomicLake.history(root).map(_._1).sorted
+      val hist = AtomicLake.history(root)
+      val versions = hist.map(_._1).sorted
+      val kinds = hist.map(h => h._1 -> h._2).toMap
       withClue(s"seed=$seed versions=$versions") {
         versions shouldBe (versions.min to versions.max)
       }
-      // replay: every version after the base must map to exactly one
-      // logged op whose effect reproduces the snapshot exactly
+      // replay: every version after the base is either an op the
+      // writer/deleter threads recorded (replayed exactly) or a
+      // manifest-marked kind=compact maintenance rewrite (content
+      // must be untouched) — an unattributed data-changing commit
+      // fails loudly
       var prev = idsAt(root, versions.min)
       val contents = scala.collection.mutable.Map(versions.min -> prev)
       for (v <- versions.drop(1)) {
         val now = idsAt(root, v)
-        val op = opLog.get(v)
-        withClue(s"seed=$seed version=$v op=$op") {
-          op should not be null
-          op match {
+        withClue(s"seed=$seed version=$v kind=${kinds(v)} " +
+            s"op=${opLog.get(v)}") {
+          opLog.get(v) match {
             case Appended(ids) => now shouldBe (prev ++ ids)
-            case Deleted(m, r) => now shouldBe prev.filterNot(_ % m == r)
-            case Maint         => now shouldBe prev
+            case Deleted(m, r) =>
+              // WriteSerializable delete semantics (Delta's default
+              // isolation, and this lake's: the commit verifies only
+              // its TOUCHED files): the predicate applies to the
+              // snapshot the delete derived its matches from, which
+              // may TRAIL the commit by concurrent appends — rows
+              // appended in between legitimately survive. So: nothing
+              // added, everything removed matched the predicate, and
+              // the removed set is exactly the predicate's matches in
+              // SOME earlier version intersected with the current
+              // rows (the derivation-snapshot witness).
+              val removed = prev -- now
+              now.subsetOf(prev) shouldBe true
+              removed.filterNot(_ % m == r) shouldBe empty
+              contents.exists { case (b, cb) =>
+                b < v && (cb.filter(_ % m == r) & prev) == removed
+              } shouldBe true
+            case null =>
+              kinds(v) shouldBe "compact"
+              now shouldBe prev
           }
         }
         contents(v) = now
         prev = now
       }
-      withClue(s"seed=$seed: op log and commit log must be a bijection") {
-        opLog.keySet().iterator().asScala.toSet shouldBe versions.drop(1).toSet
+      withClue(s"seed=$seed: every thread-recorded commit must be a " +
+          "real version") {
+        (opLog.keySet().iterator().asScala.toSet -- versions.toSet) shouldBe
+          empty
       }
       // snapshot isolation: every concurrent read is SOME version
       val all = contents.values.toSet

@@ -249,19 +249,15 @@ class PlanHygieneSpec extends SparkSpec {
       // else, so this spec pins the whitelist: anything new that
       // plans a global Window fails the suite until it either
       // partitions or argues its way onto this list.
-      val whitelist = Set(
-        // B4 surrogate keys over a deduped ~1.5k-row dim (the
-        // documented bounded path; dimWithDenseKey is the scale
-        // twin) — Silver.scala dimWithSurrogateKey
-        "silver_dim_customer",
-        // C3 NTILE(4) over the ~25-zone metric dim (the reference's
-        // rent-tier bucketing; zones are bounded by construction) —
-        // Gold.scala tierSummary
-        "gold_tier_summary",
-        // C6/C5 consultations rank the per-zone-PAIR gravity gaps —
-        // bounded by zones^2 (~625), and topGaps takes LIMIT n off
-        // the global order
-        "gold_top_gaps", "consult_top_gaps", "gold_gravity_gaps")
+      // ONE query in the whole catalog: C3's NTILE(4) over the
+      // ~25-zone metric dim (the reference's rent-tier bucketing;
+      // zones are bounded by construction — Gold.scala tierSummary).
+      // Everything else that LOOKS global either runs behind an
+      // already-executed fixture (B4's surrogate-key dim builds at
+      // construction; the bench log's WindowExec warnings come from
+      // those fixture jobs) or is an orderBy+LIMIT that plans as
+      // TakeOrdered, not Window (top-gaps consultations).
+      val whitelist = Set("gold_tier_summary")
       val offenders = scala.collection.mutable.Map[String, Int]()
       for ((name, fn) <- SparkEntry.queries) {
         val plan = withClue(s"$name failed to plan: ") {
