@@ -115,6 +115,53 @@ object Bench {
           name -> -1.0
       }
     }
+    // ---- sf1 scaling tier (r13) ---------------------------------------
+    // When the generated 10x tier exists (tools/gen_sf.py), run a
+    // curated headline subset there — one warmup + one timed pass per
+    // query (a scaling signal, not a pin) — so every BENCH artifact
+    // carries the cross-SF curve alongside the sf0.1 totals. Skipped
+    // for SPARK_GRAFT_ONLY iteration runs and when the main run IS
+    // the sf1 dir. The subset spans the cost classes: scan-agg,
+    // multi-join top-N, fact build, sessionization, the dedup ladder
+    // (incl. the documented-quadratic dedup_jaccard), blocked ER,
+    // text/profile, a composite pipeline, ANN serve, global shuffle,
+    // and the lake write path.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/testdata/sf1")
+    val sf1Subset = Seq(
+      "q1_agg", "q6_filter_sum", "q3_topn", "q5_join", "q18_having",
+      "silver_fact_events", "gold_hourly_profile", "sess_gap_sessions",
+      "win_running_total", "dedup_exact", "dedup_minhash",
+      "dedup_jaccard", "er_fuzzy_names", "text_tokens",
+      "text_tfidf_topk", "dq_profile_orders", "pipe_clean_corpus",
+      "export_shuffle", "bronze_partition_upsert")
+    val sf1Timings: Seq[(String, Double)] =
+      if (only.nonEmpty || sfDir == sf1Dir ||
+          !new java.io.File(sf1Dir, "lineitem.parquet").exists()) Nil
+      else sf1Subset.map { name =>
+        try {
+          val fn = SparkEntry.queries(name)
+          fn(spark, sf1Dir).count() // warmup: fixtures, JIT, listing
+          val t0 = System.nanoTime()
+          fn(spark, sf1Dir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          System.gc()
+          name -> s
+        } catch { case e: Throwable =>
+          errors(s"sf1:$name") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+          name -> -1.0
+        }
+      }
+    val sf1Json =
+      if (sf1Timings.isEmpty) ""
+      else {
+        val qs1 = sf1Timings.map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString("{", ",", "}")
+        val tot1 = sf1Timings.filter(_._2 >= 0).map(_._2).sum
+        s""","sf1":{"dir":${jstr(sf1Dir)},"total":$tot1,"queries":$qs1}"""
+      }
+
     // the start-of-run floor cannot see a contention burst that
     // arrives MID-run (observed: identical code measured 32s vs 247s
     // total depending on bursts) — re-measure after the suite so a
@@ -127,7 +174,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json}"""
 
     // ---- compact stdout twin ------------------------------------------
     // The FULL json above (~4 KB for 121 queries) overflows the
@@ -150,6 +197,9 @@ object Bench {
       s""""n_queries":${timings.size},"errors":$errC,""" +
       s""""prepare_sec":${r3(prepare)},"floor_sec":${r3(floor)},""" +
       s""""floor_end_sec":${r3(floorEnd)},"noisy":$noisyAny,""" +
+      (if (sf1Timings.isEmpty) ""
+       else s""""sf1_total":${r3(sf1Timings.filter(_._2 >= 0)
+         .map(_._2).sum)},"sf1_n":${sf1Timings.size},""") +
       s""""full":"target/bench.json","queries":{"""
     val byCost = timings.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => (s"${jstr(k)}:${r3(v)}", v) }

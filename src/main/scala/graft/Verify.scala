@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Stamp the target SF BEFORE any query object initializes: the
+    // pinned-VALUES oracle builders (graft.queries.Pins) read this to
+    // emit the pin set matching the dump's scale factor.
+    System.setProperty("graft.pin.sf", sfDir)
     // optional args 3+: run only these queries (local iteration; the
     // driver always calls with exactly two args → full run)
     val only = args.drop(2).toSet

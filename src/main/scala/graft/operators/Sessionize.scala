@@ -39,7 +39,16 @@ object Sessionize {
   def batchGapSessions(events: DataFrame, cfg: GapConfig): DataFrame = {
     val w = Window.partitionBy(col(cfg.userCol))
       .orderBy(col(cfg.tsCol), col(cfg.idCol))
+    // CPU-aware exchange (the r13 sf1 finding, same as ngramJaccard's
+    // posting stage): the user-keyed exchange carries few BYTES, so
+    // bytes-based AQE coalescing packs it into one task — which then
+    // sorts and windows the whole stream single-threaded (measured:
+    // 9.8 s for 1M events on one core vs ~1 s 32-way). An explicit
+    // partition count is exempt from coalescing, and the Window's
+    // required distribution is satisfied by it — no extra exchange.
     events
+      .repartition(events.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col(cfg.userCol))
       .withColumn("new_sess",
         when(lag(col(cfg.tsCol), 1).over(w).isNull ||
           unix_micros(col(cfg.tsCol)) -

@@ -276,8 +276,16 @@ object VectorQueries {
     * without betting on pinned-double round-trips. Valid ONLY at
     * sf0.01 (check.py HASH_SF_SCOPED; rows-only elsewhere).
     */
-  private def pinnedAnnOracle(picks: Seq[(Int, Int, Int)]): String = {
-    val vals = picks.map { case (q, c, r) =>
+  /** Pinned (query, cand, rank) picks as a DuckDB oracle; DuckDB
+    * recomputes the cosines via the ordered fold so every column
+    * gates exactly. `picksSf01` (r13) is the sf0.1 twin of the same
+    * bit-reproducible build — [[Pins.at]] selects by the dump's SF.
+    */
+  private def pinnedAnnOracle(picks: Seq[(Int, Int, Int)],
+      picksSf01: Seq[(Int, Int, Int)] = Nil): String = {
+    val chosen =
+      if (picksSf01.nonEmpty) Pins.at(picks, picksSf01) else picks
+    val vals = chosen.map { case (q, c, r) =>
       s"  ($q, $c, CAST($r AS INT))" }.mkString(",\n")
     s"""WITH picks(query_id, cand_id, rank) AS (VALUES
        |$vals),

@@ -292,6 +292,17 @@ def main():
         "text_langid_model": "sf0.01",
         # composition over the pinned quality probs (E12c)
         "pipe_model_curation": "sf0.01",
+        # r13: the decode-REPLAY twins make DuckDB emulate the pixel
+        # LCG / sine-quantize waveform in pure SQL — O(pixels) rows
+        # through the SQL engine (~200M at sf1), priced out beyond
+        # sf0.1. Spark runs the REAL codec at sf1 (verified + benched);
+        # the replay identity is hash-proven at the three driver SFs.
+        "mm_features": ("sf0.001", "sf0.01", "sf0.1"),
+        "mm_audio_features": ("sf0.001", "sf0.01", "sf0.1"),
+        "mm_image_embed": ("sf0.001", "sf0.01", "sf0.1"),
+        "mm_audio_embed": ("sf0.001", "sf0.01", "sf0.1"),
+        "mm_image_dups": ("sf0.001", "sf0.01", "sf0.1"),
+        "mm_audio_dups": ("sf0.001", "sf0.01", "sf0.1"),
         # r13: pinned bit-deterministic outputs (fresh-JVM 8/32-thread
         # byte equality proven) — dsir's ordered per-row fold, lm's
         # sorted per-doc fold, the sketch row; all data-dependent, so
@@ -314,11 +325,16 @@ def main():
         if ONLY and name not in ONLY:
             continue
         scope = HASH_SF_SCOPED.get(name)
-        if scope and not SF_DIR.rstrip("/").endswith(scope):
+        # scope may be one SF suffix or a tuple of them (r13: dual-SF
+        # pins — Verify stamps graft.pin.sf so the dump's oracle
+        # carries the pin set matching its own SF)
+        scopes = (scope,) if isinstance(scope, str) else scope
+        if scope and not any(SF_DIR.rstrip("/").endswith(s)
+                             for s in scopes):
             if os.path.isdir(f"{OUT_DIR}/{name}"):
                 n = len(pd.read_parquet(f"{OUT_DIR}/{name}"))
                 print(f"rows {name}: {n} rows (hash oracle scoped to "
-                      f"{scope})")
+                      f"{scopes})")
                 if n == 0:
                     print(f"FAIL {name}: sf-scoped query returned 0 rows")
                     n_fail += 1
