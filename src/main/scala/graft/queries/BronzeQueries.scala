@@ -935,10 +935,13 @@ object BronzeQueries {
     // actual data elements), so the single row pins exactly (dyadic
     // doubles). SF-scoped to sf0.01 in check.py; the exact-answer
     // tolerance cross-check (10% band) stays in TOLERANCE_ORACLES.
-    "approx_stats" ->
-      ("SELECT CAST(151 AS BIGINT) AS approx_users, " +
+    "approx_stats" -> Pins.at(
+      "SELECT CAST(151 AS BIGINT) AS approx_users, " +
         "4868109722210796*power(2.0,-47) AS value_p50, " +
-        "5181954321243177*power(2.0,-45) AS value_p95"),
+        "5181954321243177*power(2.0,-45) AS value_p95",
+      "SELECT CAST(1400 AS BIGINT) AS approx_users, " +
+        "4892035095231201*power(2.0,-47) AS value_p50, " +
+        "5243878816119521*power(2.0,-45) AS value_p95"),
 
     "mm_image_dups" -> seedPairOracle(Seq(
       (0,0,0), (1,1,0), (2,2,0), (3,3,0), (4,4,0), (5,5,0), (6,6,0),

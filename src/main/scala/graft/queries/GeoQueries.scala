@@ -415,6 +415,7 @@ object GeoQueries {
     // the doubles are bit-stable and pinnable. SF-scoped in check.py
     // (HASH_SF_SCOPED) like the gold_cluster_* family.
     "consult_polygon_clusters" ->
+      Pins.at(
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(0 AS INT), CAST(412.74583333333334 AS DOUBLE), CAST(12 AS BIGINT)),
         |  (CAST(0 AS BIGINT), CAST(1 AS INT), CAST(426.5116666666667 AS DOUBLE), CAST(12 AS BIGINT)),
@@ -489,6 +490,83 @@ object GeoQueries {
         |  (CAST(2 AS BIGINT), CAST(22 AS INT), CAST(518.6933333333333 AS DOUBLE), CAST(6 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(23 AS INT), CAST(455.73 AS DOUBLE), CAST(6 AS BIGINT))
         |) t(cluster_id, hour, avg_trips, days_in_sample)""".stripMargin,
+      "SELECT CAST(col0 AS BIGINT) AS cluster_id, " +
+        "CAST(col1 AS INT) AS hour, " +
+        "CAST(col2 AS DOUBLE) AS avg_trips, " +
+        "CAST(col3 AS BIGINT) AS days_in_sample " +
+        "FROM (VALUES " +
+    """(CAST(0 AS BIGINT), CAST(0 AS INT), 4928901720110531*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(1 AS INT), 4683937859519556*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(2 AS INT), 4850832729499675*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(3 AS INT), 5691797863042908*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(4 AS INT), 4527162161553736*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(5 AS INT), 5009210049403289*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(6 AS INT), 5009299842852891*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(7 AS INT), 5323492620567402*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(8 AS INT), 8416893452020613*power(2.0,-41), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(9 AS INT), 8458070162480824*power(2.0,-41), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(10 AS INT), 8861862142742801*power(2.0,-41), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(11 AS INT), 4723773165793881*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(12 AS INT), 4922354128367125*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(13 AS INT), 5159078981827297*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(14 AS INT), 4609189394024585*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(15 AS INT), 5589092481892352*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(16 AS INT), 5248093610692663*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(17 AS INT), 8819457644298240*power(2.0,-41), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(18 AS INT), 5300311250415125*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(19 AS INT), 4736674102226453*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(20 AS INT), 8569971125878347*power(2.0,-41), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(21 AS INT), 4624666852704911*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(22 AS INT), 5373965701840459*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(23 AS INT), 4567624189455893*power(2.0,-40), CAST(6 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(0 AS INT), 4922934513433501*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(1 AS INT), 5439807075996514*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(2 AS INT), 5485094389213711*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(3 AS INT), 4861347725699973*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(4 AS INT), 8819358688251741*power(2.0,-41), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(5 AS INT), 5316003637439833*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(6 AS INT), 5840736137410549*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(7 AS INT), 4803046907002599*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(8 AS INT), 4900521754266735*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(9 AS INT), 5203644544197403*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(10 AS INT), 4800254147468048*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(11 AS INT), 8254093477488511*power(2.0,-41), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(12 AS INT), 4687519649541278*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(13 AS INT), 5403575026399502*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(14 AS INT), 4730920514951390*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(15 AS INT), 4897772975197295*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(16 AS INT), 5240693373860765*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(17 AS INT), 4922210406490065*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(18 AS INT), 5201279023466789*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(19 AS INT), 4659095703232371*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(20 AS INT), 8336575698342473*power(2.0,-41), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(21 AS INT), 4793404190027003*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(22 AS INT), 4557811833543440*power(2.0,-40), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(23 AS INT), 8431680312683304*power(2.0,-41), CAST(7 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(0 AS INT), 4810614567638038*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(1 AS INT), 5098138549857812*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(2 AS INT), 4614696819575509*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(3 AS INT), 4833585057098629*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(4 AS INT), 4858187898437380*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(5 AS INT), 4789266280717504*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(6 AS INT), 4580740517397085*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(7 AS INT), 5106441554203872*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(8 AS INT), 4698127761891151*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(9 AS INT), 4577655964392086*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(10 AS INT), 4842680555594862*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(11 AS INT), 4619221732812895*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(12 AS INT), 8906834141801248*power(2.0,-41), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(13 AS INT), 4839223014414594*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(14 AS INT), 4880584950295177*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(15 AS INT), 5133496306472563*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(16 AS INT), 4658881117226775*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(17 AS INT), 5291238165040534*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(18 AS INT), 4901572935713071*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(19 AS INT), 4660662326063772*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(20 AS INT), 4994951920925561*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(21 AS INT), 4642281874760058*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(22 AS INT), 4846149937669583*power(2.0,-40), CAST(13 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 5200349996554045*power(2.0,-40), CAST(13 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t"),
     // The consultation polygon and the zone polygons are axis-aligned
     // rectangles on THIS data, so the general kernels (ray cast,
     // edge-pair intersects) are oracle-checkable with pure interval
