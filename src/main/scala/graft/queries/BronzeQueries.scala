@@ -941,7 +941,10 @@ object BronzeQueries {
         "5181954321243177*power(2.0,-45) AS value_p95",
       "SELECT CAST(1400 AS BIGINT) AS approx_users, " +
         "4892035095231201*power(2.0,-47) AS value_p50, " +
-        "5243878816119521*power(2.0,-45) AS value_p95"),
+        "5243878816119521*power(2.0,-45) AS value_p95",
+      "SELECT CAST(15 AS BIGINT) AS approx_users, " +
+        "5013069335216783*power(2.0,-47) AS value_p50, " +
+        "5049309238468280*power(2.0,-45) AS value_p95"),
 
     "mm_image_dups" -> seedPairOracle(Seq(
       (0,0,0), (1,1,0), (2,2,0), (3,3,0), (4,4,0), (5,5,0), (6,6,0),

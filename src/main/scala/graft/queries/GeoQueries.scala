@@ -566,7 +566,77 @@ object GeoQueries {
       |(CAST(2 AS BIGINT), CAST(20 AS INT), 4994951920925561*power(2.0,-40), CAST(13 AS BIGINT)),
       |(CAST(2 AS BIGINT), CAST(21 AS INT), 4642281874760058*power(2.0,-40), CAST(13 AS BIGINT)),
       |(CAST(2 AS BIGINT), CAST(22 AS INT), 4846149937669583*power(2.0,-40), CAST(13 AS BIGINT)),
-      |(CAST(2 AS BIGINT), CAST(23 AS INT), 5200349996554045*power(2.0,-40), CAST(13 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t"),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 5200349996554045*power(2.0,-40), CAST(13 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t",
+      "SELECT CAST(col0 AS BIGINT) AS cluster_id, " +
+        "CAST(col1 AS INT) AS hour, " +
+        "CAST(col2 AS DOUBLE) AS avg_trips, " +
+        "CAST(col3 AS BIGINT) AS days_in_sample " +
+        "FROM (VALUES " +
+    """(CAST(0 AS BIGINT), CAST(0 AS INT), 5204315944392968*power(2.0,-46), CAST(9 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(1 AS INT), 6929612346284161*power(2.0,-46), CAST(14 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(2 AS INT), 6351610792647185*power(2.0,-46), CAST(11 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(3 AS INT), 5426915738474979*power(2.0,-46), CAST(9 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(4 AS INT), 7462605320041267*power(2.0,-47), CAST(10 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(5 AS INT), 5244660691054828*power(2.0,-46), CAST(9 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(6 AS INT), 5595722537007841*power(2.0,-47), CAST(8 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(7 AS INT), 7081294687528550*power(2.0,-46), CAST(8 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(8 AS INT), 5240970241360178*power(2.0,-46), CAST(15 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(9 AS INT), 6157457030302448*power(2.0,-46), CAST(11 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(10 AS INT), 7827349977362159*power(2.0,-46), CAST(9 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(11 AS INT), 5524010389532240*power(2.0,-46), CAST(11 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(12 AS INT), 8915579149821674*power(2.0,-46), CAST(10 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(13 AS INT), 7824236693528844*power(2.0,-47), CAST(11 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(14 AS INT), 5115405594606586*power(2.0,-47), CAST(7 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(15 AS INT), 8398744180084791*power(2.0,-47), CAST(12 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(16 AS INT), 6775038717839873*power(2.0,-46), CAST(11 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(17 AS INT), 6169803546326348*power(2.0,-46), CAST(11 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(18 AS INT), 8099583192337482*power(2.0,-47), CAST(10 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(19 AS INT), 5831809673723904*power(2.0,-46), CAST(10 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(20 AS INT), 5450708794198640*power(2.0,-46), CAST(13 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(21 AS INT), 6356830874033455*power(2.0,-47), CAST(10 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(22 AS INT), 5513250368831619*power(2.0,-46), CAST(10 AS BIGINT)),
+      |(CAST(0 AS BIGINT), CAST(23 AS INT), 4973662838477292*power(2.0,-46), CAST(9 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(0 AS INT), 6442727654426324*power(2.0,-46), CAST(3 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(1 AS INT), 7948853342308925*power(2.0,-47), CAST(5 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(2 AS INT), 7100470170316964*power(2.0,-46), CAST(8 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(3 AS INT), 5174785505430077*power(2.0,-45), CAST(8 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(4 AS INT), 8148231450812307*power(2.0,-47), CAST(6 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(5 AS INT), 7892558346966794*power(2.0,-47), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(6 AS INT), 7458383195390608*power(2.0,-46), CAST(6 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(7 AS INT), 6428486360961797*power(2.0,-47), CAST(7 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(8 AS INT), 4605212093963043*power(2.0,-46), CAST(5 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(9 AS INT), 5547871790967030*power(2.0,-47), CAST(1 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(10 AS INT), 6319113227154227*power(2.0,-46), CAST(6 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(11 AS INT), 7543247900868870*power(2.0,-46), CAST(5 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(12 AS INT), 5382857085870408*power(2.0,-46), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(13 AS INT), 7574491623283753*power(2.0,-46), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(14 AS INT), 7036874417766400*power(2.0,-47), CAST(6 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(15 AS INT), 6098155370436362*power(2.0,-46), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(16 AS INT), 4686734284092867*power(2.0,-46), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(17 AS INT), 4833629037563740*power(2.0,-47), CAST(2 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(18 AS INT), 6017114033391752*power(2.0,-46), CAST(6 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(19 AS INT), 5090738836602880*power(2.0,-45), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(20 AS INT), 4525976888018993*power(2.0,-45), CAST(5 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(21 AS INT), 8999986458462781*power(2.0,-46), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(22 AS INT), 6564700144334275*power(2.0,-47), CAST(4 AS BIGINT)),
+      |(CAST(1 AS BIGINT), CAST(23 AS INT), 8734168527331656*power(2.0,-48), CAST(3 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(0 AS INT), 7160723407519089*power(2.0,-51), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(1 AS INT), 6453869372254454*power(2.0,-46), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(2 AS INT), 8988903381254799*power(2.0,-48), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(4 AS INT), 8176848073444557*power(2.0,-48), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(5 AS INT), 6533034209454326*power(2.0,-47), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(6 AS INT), 7667378365598269*power(2.0,-50), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(7 AS INT), 5756339195593359*power(2.0,-45), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(10 AS INT), 5837087329537229*power(2.0,-46), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(11 AS INT), 6791991188028129*power(2.0,-49), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(12 AS INT), 8517432795264451*power(2.0,-48), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(13 AS INT), 5483132546323579*power(2.0,-48), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(14 AS INT), 6937654488475894*power(2.0,-47), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(15 AS INT), 7551269937705124*power(2.0,-47), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(20 AS INT), 6229041234606817*power(2.0,-48), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(21 AS INT), 7913668970220093*power(2.0,-46), CAST(1 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(22 AS INT), 5139381231015690*power(2.0,-45), CAST(2 AS BIGINT)),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 7270498648436244*power(2.0,-48), CAST(2 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t"),
     // The consultation polygon and the zone polygons are axis-aligned
     // rectangles on THIS data, so the general kernels (ray cast,
     // edge-pair intersects) are oracle-checkable with pure interval

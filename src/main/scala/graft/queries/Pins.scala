@@ -22,8 +22,15 @@ object Pins {
     */
   def isSf01: Boolean = dir.stripSuffix("/").endsWith("sf0.1")
 
+  /** True when the current dump targets the sf0.001 tier. */
+  def isSf0001: Boolean = dir.stripSuffix("/").endsWith("sf0.001")
+
   /** Select a pin payload: `sf001` is the driver-SF (sf0.01) default,
     * `sf01` the sf0.1 twin. By-name so unused literals cost nothing.
     */
   def at[T](sf001: => T, sf01: => T): T = if (isSf01) sf01 else sf001
+
+  /** Three-tier variant: adds the sf0.001 twin. */
+  def at[T](sf001: => T, sf01: => T, sf0001: => T): T =
+    if (isSf01) sf01 else if (isSf0001) sf0001 else sf001
 }

@@ -282,9 +282,11 @@ object VectorQueries {
     * bit-reproducible build — [[Pins.at]] selects by the dump's SF.
     */
   private def pinnedAnnOracle(picks: Seq[(Int, Int, Int)],
-      picksSf01: Seq[(Int, Int, Int)] = Nil): String = {
-    val chosen =
-      if (picksSf01.nonEmpty) Pins.at(picks, picksSf01) else picks
+      picksSf01: Seq[(Int, Int, Int)] = Nil,
+      picksSf0001: Seq[(Int, Int, Int)] = Nil): String = {
+    val chosen = Pins.at(picks,
+      if (picksSf01.nonEmpty) picksSf01 else picks,
+      if (picksSf0001.nonEmpty) picksSf0001 else picks)
     val vals = chosen.map { case (q, c, r) =>
       s"  ($q, $c, CAST($r AS INT))" }.mkString(",\n")
     s"""WITH picks(query_id, cand_id, rank) AS (VALUES
@@ -337,6 +339,23 @@ object VectorQueries {
       (6,1790,6), (6,1185,7), (6,1144,8), (6,1146,9), (6,624,10),
       (7,160,1), (7,663,2), (7,471,3), (7,493,4), (7,420,5),
       (7,498,6), (7,478,7), (7,74,8), (7,1464,9), (7,490,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,225,2), (0,483,3), (0,260,4), (0,73,5),
+      (0,212,6), (0,347,7), (0,402,8), (0,299,9), (0,82,10),
+      (1,257,1), (1,209,2), (1,129,3), (1,376,4), (1,440,5),
+      (1,75,6), (1,455,7), (1,479,8), (1,247,9), (1,260,10),
+      (2,443,1), (2,246,2), (2,185,3), (2,91,4), (2,234,5),
+      (2,309,6), (2,183,7), (2,132,8), (2,488,9), (2,24,10),
+      (3,223,1), (3,205,2), (3,212,3), (3,84,4), (3,426,5),
+      (3,156,6), (3,72,7), (3,278,8), (3,382,9), (3,137,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,343,4), (4,57,5), (4,62,6),
+      (4,229,7), (4,472,8), (4,100,9), (4,195,10), (5,113,1),
+      (5,440,2), (5,234,3), (5,298,4), (5,448,5), (5,118,6),
+      (5,296,7), (5,377,8), (5,31,9), (5,360,10), (6,141,1),
+      (6,434,2), (6,78,3), (6,280,4), (6,467,5), (6,444,6),
+      (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
+      (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
+      (7,326,7), (7,198,8), (7,249,9), (7,340,10)
     )),
     "ann_index_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,7,3), (0,320,4), (0,190,5), (0,464,6),
@@ -372,6 +391,23 @@ object VectorQueries {
       (6,1185,6), (6,1144,7), (6,624,8), (6,806,9), (6,91,10),
       (7,605,1), (7,663,2), (7,420,3), (7,498,4), (7,74,5),
       (7,1464,6), (7,1088,7), (7,490,8), (7,349,9), (7,282,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,260,2), (0,73,3), (0,212,4), (0,347,5),
+      (0,402,6), (0,82,7), (0,59,8), (0,340,9), (0,421,10),
+      (1,257,1), (1,376,2), (1,455,3), (1,479,4), (1,260,5),
+      (1,237,6), (1,248,7), (1,64,8), (1,206,9), (1,231,10),
+      (2,443,1), (2,62,2), (2,246,3), (2,185,4), (2,91,5),
+      (2,441,6), (2,183,7), (2,132,8), (2,488,9), (2,388,10),
+      (3,223,1), (3,205,2), (3,84,3), (3,426,4), (3,72,5),
+      (3,278,6), (3,382,7), (3,326,8), (3,108,9), (3,380,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,62,4), (4,472,5),
+      (4,100,6), (4,195,7), (4,271,8), (4,413,9), (4,231,10),
+      (5,440,1), (5,234,2), (5,298,3), (5,448,4), (5,118,5),
+      (5,296,6), (5,31,7), (5,205,8), (5,218,9), (5,395,10),
+      (6,141,1), (6,434,2), (6,78,3), (6,495,4), (6,444,5),
+      (6,352,6), (6,486,7), (6,25,8), (6,252,9), (6,8,10),
+      (7,466,1), (7,329,2), (7,220,3), (7,18,4), (7,167,5),
+      (7,326,6), (7,198,7), (7,341,8), (7,340,9), (7,82,10)
     )),
     // E13 pinned-model replay: the canonical-feed PCA fit is
     // bit-reproducible (one Gram partial — see Pca.fitCanonical), so
@@ -496,6 +532,64 @@ object VectorQueries {
          |    [(CAST(e.embedding[i] AS DOUBLE) - m.mean[i]) * m.ax[i]
          |     FOR i IN generate_series(1, len(e.embedding))]),
          |    (acc, v) -> acc + v) AS FLOAT) AS pc1
+         |FROM embeddings e CROSS JOIN m""".stripMargin,
+      // sf0.001 twin: canonical-feed PCA model at sf0.001
+      s"""WITH m(mean, ax) AS (SELECT
+         |[-0.0029279056195518935, -0.0014273036213126034,
+0.0014979841295280495, 0.0085343054040859, -0.0018568808948039078,
+-0.0026552443557302467, 9.698803468927508E-5,
+-0.009130519425380044, -0.0112253543898114, -0.004403606819809284,
+0.007711773203656776, -0.009148331143078394,
+-2.0179740479215979E-4, 0.004817572033498436,
+0.004733342973282561, -0.002985484350385377, 6.181493736803532E-4,
+-0.0014106097214389593, -0.001993843752599787,
+-0.00509647128454526, -0.006201374008785933,
+-0.0017435143341426739, 0.003858943839906715,
+-0.011007076737907483, -0.002966475720531889,
+-0.00307489726921267, -7.143929645280877E-4,
+-0.0028569339160458185, -0.005044033584978024,
+-0.0032809512809617446, -0.01047341996646719,
+3.091185424127616E-4, 0.0020676275016739964, 0.004834419353370322,
+-0.002872960220949608, 0.004292228904552758, 9.674171103106346E-4,
+-3.975839237682521E-4, -0.009004209891078063,
+0.009727533414821665, -0.003610340904328041, -0.00834003098422545,
+0.0034724357647355646, 0.0028222152299713344,
+-0.0060982390952995045, -0.011640799632034031,
+4.784632098599104E-4, -0.002169894218837726,
+0.0024223867352993695, 0.0013346195874619298,
+-4.902978780228296E-4, -0.0019964799070494336,
+0.003326903287321329, 0.007019521241309121, 0.009966928659574478,
+3.70482771540992E-5, 0.00383499199768994, 0.0024534474063548257,
+-0.006527335361985024, 0.0021226773075177334,
+-0.0030895655695521783, 0.001494445418164105,
+-0.004200260663943482, 0.001212832556164358],
+         |[-0.14882739051553553, -0.0580487577398237, 0.04357531602237145,
+-0.17328343823931747, 0.0088576008324458, 0.23581066680902843,
+0.16972520269172706, 0.15898786326804618, 0.06453897479859841,
+-0.23656218893310926, 0.22575678685739184, 0.047035417830835285,
+0.06205401047785389, 0.11484439283897524, 0.22193282183397212,
+0.06699554328375808, -0.10474520703365321, 0.01662057431950952,
+-0.11588778670581579, 0.12443208270097367, -0.04950907760327824,
+0.04175019792710149, -0.18927528106902908, -0.03908597018137494,
+0.09267295616102735, -0.21561098537385898, 0.04514556938459766,
+0.2358853231411861, 0.05864676299723679, 0.035038434916090024,
+0.013610860565851353, -0.010174548941386752, -0.03778615609615592,
+0.10501566068746303, -0.2946431440282948, 0.018752935442194363,
+-0.08630315923640411, -5.068710449533386E-4, 0.023426194723913163,
+0.028956030248966414, 0.08441995765947923, 0.06384654512000562,
+0.11390994042839785, 0.07581307938204597, -0.08088541458485914,
+-0.22179994057011607, -0.07361026694765177, 0.30232593876115793,
+0.08731224584672118, -0.1367500500223976, 0.1352531760699541,
+0.07173288036523447, -0.06103787643522273, 0.021304946840110795,
+-0.024158668300067587, -0.12577655560783635, -0.05015674422544574,
+0.10331285250235937, -0.06174019420705383, 0.01428195970681742,
+0.02986357759624023, 0.003812651737226585, -0.24826032213535942,
+-0.09080482539729945])
+         |SELECT e.vec_id, CAST(16 AS INT) AS pca_dims,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    [(CAST(e.embedding[i] AS DOUBLE) - m.mean[i]) * m.ax[i]
+         |     FOR i IN generate_series(1, len(e.embedding))]),
+         |    (acc, v) -> acc + v) AS FLOAT) AS pc1
          |FROM embeddings e CROSS JOIN m""".stripMargin),
     "ann_bq_topk" -> pinnedAnnOracle(Seq(
       (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,320,6),
@@ -530,6 +624,23 @@ object VectorQueries {
       (6,1550,6), (6,713,7), (6,690,8), (6,1091,9), (6,22,10),
       (7,160,1), (7,493,2), (7,420,3), (7,74,4), (7,1464,5),
       (7,349,6), (7,1333,7), (7,1575,8), (7,746,9), (7,250,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,225,2), (0,483,3), (0,260,4), (0,73,5),
+      (0,212,6), (0,347,7), (0,402,8), (0,299,9), (0,82,10),
+      (1,257,1), (1,209,2), (1,129,3), (1,376,4), (1,440,5),
+      (1,75,6), (1,455,7), (1,260,8), (1,248,9), (1,183,10),
+      (2,443,1), (2,246,2), (2,185,3), (2,91,4), (2,234,5),
+      (2,309,6), (2,132,7), (2,24,8), (2,106,9), (2,201,10),
+      (3,223,1), (3,205,2), (3,212,3), (3,84,4), (3,426,5),
+      (3,156,6), (3,72,7), (3,278,8), (3,382,9), (3,326,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,343,4), (4,57,5), (4,62,6),
+      (4,472,7), (4,100,8), (4,195,9), (4,271,10), (5,113,1),
+      (5,440,2), (5,234,3), (5,298,4), (5,448,5), (5,296,6),
+      (5,377,7), (5,360,8), (5,205,9), (5,218,10), (6,141,1),
+      (6,434,2), (6,78,3), (6,280,4), (6,467,5), (6,444,6),
+      (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
+      (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
+      (7,326,7), (7,249,8), (7,340,9), (7,82,10)
     )),
     // identical to ann_ivf_topk's picks — at refine=8 the SQ8
     // shortlist recovers the exact within-cell top-10, which is the
@@ -567,6 +678,23 @@ object VectorQueries {
       (6,1790,6), (6,1185,7), (6,1144,8), (6,1146,9), (6,624,10),
       (7,160,1), (7,663,2), (7,471,3), (7,493,4), (7,420,5),
       (7,498,6), (7,478,7), (7,74,8), (7,1464,9), (7,490,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,225,2), (0,483,3), (0,260,4), (0,73,5),
+      (0,212,6), (0,347,7), (0,402,8), (0,299,9), (0,82,10),
+      (1,257,1), (1,209,2), (1,129,3), (1,376,4), (1,440,5),
+      (1,75,6), (1,455,7), (1,479,8), (1,247,9), (1,260,10),
+      (2,443,1), (2,246,2), (2,185,3), (2,91,4), (2,234,5),
+      (2,309,6), (2,183,7), (2,132,8), (2,488,9), (2,24,10),
+      (3,223,1), (3,205,2), (3,212,3), (3,84,4), (3,426,5),
+      (3,156,6), (3,72,7), (3,278,8), (3,382,9), (3,137,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,343,4), (4,57,5), (4,62,6),
+      (4,229,7), (4,472,8), (4,100,9), (4,195,10), (5,113,1),
+      (5,440,2), (5,234,3), (5,298,4), (5,448,5), (5,118,6),
+      (5,296,7), (5,377,8), (5,31,9), (5,360,10), (6,141,1),
+      (6,434,2), (6,78,3), (6,280,4), (6,467,5), (6,444,6),
+      (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
+      (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
+      (7,326,7), (7,198,8), (7,249,9), (7,340,10)
     )),
     // re-pinned r13 after the rotation-allocation LPT fix (ascending
     // eigenvalue order — correlated-corpus shortlist recall 0.4625 →
@@ -606,6 +734,23 @@ object VectorQueries {
       (6,1790,6), (6,1185,7), (6,1144,8), (6,624,9), (6,806,10),
       (7,160,1), (7,663,2), (7,493,3), (7,498,4), (7,478,5),
       (7,1464,6), (7,1272,7), (7,349,8), (7,1333,9), (7,1341,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,225,2), (0,483,3), (0,260,4), (0,73,5),
+      (0,347,6), (0,402,7), (0,299,8), (0,82,9), (0,59,10),
+      (1,257,1), (1,209,2), (1,129,3), (1,440,4), (1,75,5),
+      (1,455,6), (1,479,7), (1,247,8), (1,260,9), (1,248,10),
+      (2,443,1), (2,246,2), (2,185,3), (2,91,4), (2,234,5),
+      (2,309,6), (2,183,7), (2,132,8), (2,488,9), (2,24,10),
+      (3,223,1), (3,205,2), (3,212,3), (3,84,4), (3,426,5),
+      (3,156,6), (3,72,7), (3,278,8), (3,382,9), (3,137,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,343,4), (4,57,5), (4,62,6),
+      (4,229,7), (4,472,8), (4,100,9), (4,195,10), (5,113,1),
+      (5,440,2), (5,234,3), (5,298,4), (5,448,5), (5,118,6),
+      (5,296,7), (5,377,8), (5,360,9), (5,218,10), (6,141,1),
+      (6,434,2), (6,280,3), (6,467,4), (6,444,5), (6,312,6),
+      (6,352,7), (6,486,8), (6,8,9), (6,86,10), (7,382,1),
+      (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
+      (7,326,7), (7,198,8), (7,249,9), (7,340,10)
     )),
     "ann_rpq_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,423,3), (0,73,4), (0,320,5), (0,190,6),
@@ -640,6 +785,23 @@ object VectorQueries {
       (6,1146,6), (6,624,7), (6,1550,8), (6,326,9), (6,711,10),
       (7,160,1), (7,471,2), (7,498,3), (7,478,4), (7,1464,5),
       (7,349,6), (7,282,7), (7,1575,8), (7,52,9), (7,682,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,225,2), (0,483,3), (0,260,4), (0,73,5),
+      (0,299,6), (0,82,7), (0,71,8), (0,262,9), (0,453,10),
+      (1,257,1), (1,209,2), (1,129,3), (1,440,4), (1,75,5),
+      (1,455,6), (1,247,7), (1,260,8), (1,248,9), (1,183,10),
+      (2,443,1), (2,246,2), (2,185,3), (2,91,4), (2,234,5),
+      (2,183,6), (2,132,7), (2,488,8), (2,106,9), (2,321,10),
+      (3,205,1), (3,212,2), (3,84,3), (3,426,4), (3,156,5),
+      (3,72,6), (3,278,7), (3,382,8), (3,137,9), (3,326,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,343,4), (4,57,5), (4,62,6),
+      (4,229,7), (4,472,8), (4,100,9), (4,195,10), (5,113,1),
+      (5,440,2), (5,234,3), (5,298,4), (5,448,5), (5,118,6),
+      (5,296,7), (5,377,8), (5,31,9), (5,205,10), (6,141,1),
+      (6,434,2), (6,78,3), (6,280,4), (6,467,5), (6,444,6),
+      (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
+      (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,326,6),
+      (7,198,7), (7,249,8), (7,340,9), (7,82,10)
     )),
     "ann_pq_topk" -> pinnedAnnOracle(Seq(
       (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,190,6),
@@ -674,6 +836,23 @@ object VectorQueries {
       (6,806,6), (6,857,7), (6,1550,8), (6,713,9), (6,1091,10),
       (7,160,1), (7,493,2), (7,420,3), (7,498,4), (7,490,5),
       (7,282,6), (7,1333,7), (7,1341,8), (7,250,9), (7,900,10)
+    ), picksSf0001 = Seq(
+      (0,17,1), (0,225,2), (0,483,3), (0,260,4), (0,73,5),
+      (0,212,6), (0,402,7), (0,82,8), (0,71,9), (0,262,10),
+      (1,257,1), (1,209,2), (1,129,3), (1,376,4), (1,440,5),
+      (1,75,6), (1,455,7), (1,479,8), (1,247,9), (1,260,10),
+      (2,443,1), (2,246,2), (2,91,3), (2,234,4), (2,309,5),
+      (2,183,6), (2,132,7), (2,488,8), (2,24,9), (2,106,10),
+      (3,205,1), (3,212,2), (3,84,3), (3,426,4), (3,156,5),
+      (3,72,6), (3,278,7), (3,382,8), (3,137,9), (3,326,10),
+      (4,345,1), (4,98,2), (4,143,3), (4,57,4), (4,62,5), (4,229,6),
+      (4,195,7), (4,413,8), (4,462,9), (4,209,10), (5,113,1),
+      (5,440,2), (5,234,3), (5,298,4), (5,448,5), (5,118,6),
+      (5,296,7), (5,360,8), (5,205,9), (5,218,10), (6,141,1),
+      (6,434,2), (6,78,3), (6,280,4), (6,467,5), (6,444,6),
+      (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
+      (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
+      (7,326,7), (7,198,8), (7,249,9), (7,340,10)
     )),
     // E2-family near-dup pairs, pinned at the driver SF (r12): the
     // pair ID SET is bit-stable across fresh JVMs (the quantizer
@@ -1060,7 +1239,55 @@ object VectorQueries {
       |(1937),(1938),(1940),(1941),(1942),(1943),(1947),(1950),
       |(1952),(1953),(1954),(1955),(1956),(1959),(1964),(1970),
       |(1972),(1973),(1974),(1975),(1976),(1977),(1980),(1981),
-      |(1983),(1984),(1986),(1987),(1989),(1995),(1996)""".stripMargin.replace("\n", " ") + ") t"),
+      |(1983),(1984),(1986),(1987),(1989),(1995),(1996)""".stripMargin.replace("\n", " ") + ") t",
+      "SELECT CAST(col0 AS BIGINT) AS vec_id FROM (VALUES " +
+    """(0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),
+      |(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23),
+      |(24),(25),(26),(27),(28),(29),(30),(31),(32),(33),(34),
+      |(35),(36),(37),(38),(39),(40),(41),(42),(43),(44),(45),
+      |(46),(47),(48),(49),(50),(51),(52),(53),(54),(55),(57),
+      |(58),(59),(60),(61),(62),(63),(64),(65),(66),(67),(68),
+      |(69),(70),(71),(72),(74),(75),(76),(77),(78),(79),(81),
+      |(82),(83),(84),(85),(86),(87),(88),(89),(90),(91),(92),
+      |(93),(94),(95),(96),(97),(98),(99),(100),(101),(102),
+      |(103),(104),(105),(106),(107),(108),(109),(110),(111),
+      |(112),(113),(114),(115),(117),(118),(119),(120),(121),
+      |(122),(123),(124),(125),(127),(128),(129),(130),(131),
+      |(132),(133),(135),(136),(137),(138),(139),(140),(141),
+      |(142),(143),(144),(145),(146),(147),(148),(149),(150),
+      |(151),(152),(153),(154),(155),(156),(157),(158),(159),
+      |(160),(161),(162),(163),(164),(166),(167),(168),(169),
+      |(170),(171),(174),(175),(176),(177),(178),(179),(180),
+      |(181),(182),(183),(184),(185),(186),(187),(188),(189),
+      |(190),(191),(192),(194),(195),(196),(197),(198),(199),
+      |(200),(201),(202),(204),(205),(206),(207),(208),(209),
+      |(210),(211),(212),(213),(214),(216),(217),(218),(219),
+      |(220),(221),(222),(223),(224),(225),(226),(228),(231),
+      |(232),(233),(234),(235),(236),(238),(239),(240),(242),
+      |(244),(245),(246),(247),(249),(251),(252),(253),(254),
+      |(255),(257),(258),(259),(260),(261),(262),(264),(265),
+      |(266),(267),(268),(269),(270),(271),(272),(273),(274),
+      |(277),(278),(279),(280),(281),(282),(283),(284),(285),
+      |(287),(288),(289),(290),(291),(293),(294),(296),(297),
+      |(298),(299),(300),(301),(302),(303),(306),(307),(308),
+      |(309),(310),(311),(312),(313),(314),(315),(316),(317),
+      |(318),(320),(321),(323),(324),(325),(326),(327),(328),
+      |(329),(330),(331),(332),(333),(334),(335),(336),(338),
+      |(339),(340),(341),(343),(344),(345),(346),(347),(348),
+      |(349),(350),(351),(352),(353),(354),(356),(357),(360),
+      |(363),(364),(365),(366),(367),(368),(369),(370),(371),
+      |(372),(373),(374),(375),(376),(377),(378),(379),(380),
+      |(381),(382),(383),(385),(386),(387),(388),(389),(390),
+      |(391),(393),(394),(395),(396),(398),(399),(400),(401),
+      |(402),(405),(407),(408),(409),(410),(412),(413),(415),
+      |(416),(417),(419),(420),(421),(422),(423),(424),(425),
+      |(426),(427),(428),(430),(431),(432),(433),(434),(435),
+      |(436),(437),(438),(439),(440),(441),(442),(443),(444),
+      |(446),(447),(448),(449),(450),(451),(452),(453),(456),
+      |(459),(460),(461),(463),(464),(465),(466),(467),(468),
+      |(469),(473),(475),(476),(478),(479),(480),(481),(482),
+      |(484),(486),(489),(490),(491),(492),(495),(497),(498),
+      |(499)""".stripMargin.replace("\n", " ") + ") t"),
     // C8-C10 fixed-expectation oracles, pinned at the driver's
     // correctness SF (sf0.01): best-of-10 KMeans on the canonically
     // ordered profile table is bit-deterministic (Clustering.scala —
@@ -1133,6 +1360,38 @@ object VectorQueries {
       |(DATE '2024-01-27', CAST(0 AS BIGINT)),
       |(DATE '2024-01-28', CAST(2 AS BIGINT)),
       |(DATE '2024-01-29', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-30', CAST(0 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t",
+      "SELECT CAST(col0 AS DATE) AS date, " +
+        "CAST(col1 AS BIGINT) AS cluster_id FROM (VALUES " +
+    """(DATE '2024-01-01', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-02', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-03', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-04', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-05', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-06', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-07', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-08', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-09', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-10', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-11', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-12', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-13', CAST(2 AS BIGINT)),
+      |(DATE '2024-01-14', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-15', CAST(2 AS BIGINT)),
+      |(DATE '2024-01-16', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-17', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-18', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-19', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-20', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-21', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-22', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-23', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-24', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-25', CAST(1 AS BIGINT)),
+      |(DATE '2024-01-26', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-27', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-28', CAST(0 AS BIGINT)),
+      |(DATE '2024-01-29', CAST(2 AS BIGINT)),
       |(DATE '2024-01-30', CAST(0 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t"),
     "gold_cluster_sizes" ->
       Pins.at(
@@ -1146,7 +1405,13 @@ object VectorQueries {
         "col2 AS typical_day FROM (VALUES " +
     """(CAST(0 AS BIGINT), CAST(7 AS BIGINT), 'Monday'),
       |(CAST(1 AS BIGINT), CAST(8 AS BIGINT), 'Wednesday'),
-      |(CAST(2 AS BIGINT), CAST(15 AS BIGINT), 'Sunday')""".stripMargin.replace("\n", " ") + ") t"),
+      |(CAST(2 AS BIGINT), CAST(15 AS BIGINT), 'Sunday')""".stripMargin.replace("\n", " ") + ") t",
+      "SELECT CAST(col0 AS BIGINT) AS cluster_id, " +
+        "CAST(col1 AS BIGINT) AS days_in_cluster, " +
+        "col2 AS typical_day FROM (VALUES " +
+    """(CAST(0 AS BIGINT), CAST(19 AS BIGINT), 'Tuesday'),
+      |(CAST(1 AS BIGINT), CAST(8 AS BIGINT), 'Monday'),
+      |(CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'Monday')""".stripMargin.replace("\n", " ") + ") t"),
     "gold_cluster_typical_day" ->
       Pins.at(
       """SELECT * FROM (VALUES
@@ -1299,7 +1564,84 @@ object VectorQueries {
       |(CAST(2 AS BIGINT), CAST(20 AS INT), 6966505673588736*power(2.0,-47), 7242755908483154*power(2.0,-36)),
       |(CAST(2 AS BIGINT), CAST(21 AS INT), 7048133416834826*power(2.0,-47), 7206902208690913*power(2.0,-36)),
       |(CAST(2 AS BIGINT), CAST(22 AS INT), 6734288817802445*power(2.0,-47), 6764269063918060*power(2.0,-36)),
-      |(CAST(2 AS BIGINT), CAST(23 AS INT), 7188870905190154*power(2.0,-47), 7441530430915871*power(2.0,-36))""".stripMargin.replace("\n", " ") + ") t"),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 7188870905190154*power(2.0,-47), 7441530430915871*power(2.0,-36))""".stripMargin.replace("\n", " ") + ") t",
+      "SELECT CAST(col0 AS BIGINT) AS cluster_id, " +
+        "CAST(col1 AS INT) AS hour, " +
+        "CAST(col2 AS DOUBLE) AS avg_trips, " +
+        "CAST(col3 AS DOUBLE) AS total_trips_sample " +
+        "FROM (VALUES " +
+    """(CAST(0 AS BIGINT), CAST(0 AS INT), 4615485930612982*power(2.0,-46), 7500648422362317*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(1 AS INT), 4692891549208412*power(2.0,-46), 8506085835265802*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(2 AS INT), 7194500404724367*power(2.0,-47), 5621055284911800*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(3 AS INT), 5623870034678907*power(2.0,-47), 7733437024195052*power(2.0,-43)),
+      |(CAST(0 AS BIGINT), CAST(4 AS INT), 6312076352736461*power(2.0,-47), 7101613662409851*power(2.0,-43)),
+      |(CAST(0 AS BIGINT), CAST(5 AS INT), 7110057911711171*power(2.0,-47), 6887516758249308*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(6 AS INT), 5989787504402760*power(2.0,-47), 6364325145288376*power(2.0,-43)),
+      |(CAST(0 AS BIGINT), CAST(7 AS INT), 7877077223247708*power(2.0,-47), 6153482795546051*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(8 AS INT), 8507581171079578*power(2.0,-47), 4520026331089469*power(2.0,-41)),
+      |(CAST(0 AS BIGINT), CAST(9 AS INT), 7787005230700298*power(2.0,-47), 5840121981629891*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(10 AS INT), 6555552207591178*power(2.0,-47), 6555596188056289*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(11 AS INT), 6782139563843256*power(2.0,-47), 6358299821568164*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(12 AS INT), 8886165014755410*power(2.0,-47), 8886121034290299*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(13 AS INT), 4792111478498918*power(2.0,-47), 8986000670557471*power(2.0,-43)),
+      |(CAST(0 AS BIGINT), CAST(14 AS INT), 5616833160261140*power(2.0,-47), 5616745199330918*power(2.0,-43)),
+      |(CAST(0 AS BIGINT), CAST(15 AS INT), 6513330961084580*power(2.0,-47), 5495798920275558*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(16 AS INT), 6934136051267011*power(2.0,-47), 7583771501422182*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(17 AS INT), 7369014890284974*power(2.0,-47), 8750441299422740*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(18 AS INT), 6706141320131379*power(2.0,-47), 6287403311809167*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(19 AS INT), 6583699705262244*power(2.0,-47), 6172306434613576*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(20 AS INT), 7601231746071265*power(2.0,-47), 6413759188073185*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(21 AS INT), 7273313398203351*power(2.0,-47), 5682056190020813*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(22 AS INT), 6433110592722043*power(2.0,-47), 5427761140748780*power(2.0,-42)),
+      |(CAST(0 AS BIGINT), CAST(23 AS INT), 5393060553776169*power(2.0,-47), 8089151026013143*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(0 AS INT), 4920886280344044*power(2.0,-46), 6150756006709166*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(1 AS INT), 5371949930522870*power(2.0,-47), 6043971437419561*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(2 AS INT), 7546344125612687*power(2.0,-47), 8961459571025510*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(3 AS INT), 4973662838477292*power(2.0,-46), 6528064416896778*power(2.0,-42)),
+      |(CAST(1 AS BIGINT), CAST(4 AS INT), 6458443340626002*power(2.0,-47), 4843304739888169*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(5 AS INT), 5657647031884186*power(2.0,-47), 6364325145288376*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(6 AS INT), 4914553093368054*power(2.0,-46), 4914421151972721*power(2.0,-42)),
+      |(CAST(1 AS BIGINT), CAST(7 AS INT), 4958181714758205*power(2.0,-47), 4647855552934707*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(8 AS INT), 5695646153740124*power(2.0,-47), 7119733614035599*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(9 AS INT), 6794805937795236*power(2.0,-47), 5096104453346427*power(2.0,-45)),
+      |(CAST(1 AS BIGINT), CAST(10 AS INT), 7307090395408630*power(2.0,-47), 5937362789990400*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(11 AS INT), 8922756761727795*power(2.0,-47), 5576898897940316*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(12 AS INT), 7535085126544261*power(2.0,-47), 5651665688629084*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(13 AS INT), 5550686540734136*power(2.0,-46), 5550686540734136*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(14 AS INT), 5400097428193935*power(2.0,-47), 7425309885627105*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(15 AS INT), 6582292330378691*power(2.0,-47), 8227337647392031*power(2.0,-44)),
+      |(CAST(1 AS BIGINT), CAST(16 AS INT), 5576019288638095*power(2.0,-47), 4879104838488556*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(17 AS INT), 5768829647684895*power(2.0,-47), 8653244471527342*power(2.0,-45)),
+      |(CAST(1 AS BIGINT), CAST(18 AS INT), 6603402953631990*power(2.0,-47), 6602963148980879*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(19 AS INT), 6473924464345088*power(2.0,-47), 5260503431931494*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(20 AS INT), 7713821736755528*power(2.0,-47), 5785366302566646*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(21 AS INT), 6725844568501125*power(2.0,-47), 5464396868186276*power(2.0,-43)),
+      |(CAST(1 AS BIGINT), CAST(22 AS INT), 6565403831776051*power(2.0,-47), 6564700144334275*power(2.0,-45)),
+      |(CAST(1 AS BIGINT), CAST(23 AS INT), 6963690923821629*power(2.0,-47), 8704965498497925*power(2.0,-45)),
+      |(CAST(2 AS BIGINT), CAST(0 AS INT), 6960876174054523*power(2.0,-48), 6961579861496300*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(1 AS INT), 6831397684767621*power(2.0,-47), 5977297052311224*power(2.0,-44)),
+      |(CAST(2 AS BIGINT), CAST(2 AS INT), 8928386261262008*power(2.0,-49), 5580241413288755*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(3 AS INT), 4700632111067955*power(2.0,-47), 7050244479160156*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(4 AS INT), 8176848073444557*power(2.0,-48), 8176848073444557*power(2.0,-48)),
+      |(CAST(2 AS BIGINT), CAST(5 AS INT), 4513451251555369*power(2.0,-47), 6770880564774830*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(6 AS INT), 4647151865492931*power(2.0,-47), 4647151865492931*power(2.0,-45)),
+      |(CAST(2 AS BIGINT), CAST(7 AS INT), 4621819117588972*power(2.0,-46), 5777273896986214*power(2.0,-44)),
+      |(CAST(2 AS BIGINT), CAST(8 AS INT), 6411999969468744*power(2.0,-47), 6411999969468744*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(9 AS INT), 4775222979896279*power(2.0,-47), 4775222979896279*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(10 AS INT), 5837087329537229*power(2.0,-46), 5837087329537229*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(11 AS INT), 6057341498813317*power(2.0,-48), 6058045186255094*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(12 AS INT), 5052475831956275*power(2.0,-48), 5051068457072722*power(2.0,-47)),
+      |(CAST(2 AS BIGINT), CAST(13 AS INT), 6130524992758088*power(2.0,-48), 4597190057126789*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(14 AS INT), 6350075474592399*power(2.0,-47), 7936890655798723*power(2.0,-45)),
+      |(CAST(2 AS BIGINT), CAST(15 AS INT), 7870040348829942*power(2.0,-48), 7868632973946388*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(16 AS INT), 6867989431740006*power(2.0,-48), 6867989431740006*power(2.0,-48)),
+      |(CAST(2 AS BIGINT), CAST(17 AS INT), 8317585561799885*power(2.0,-48), 8317585561799885*power(2.0,-48)),
+      |(CAST(2 AS BIGINT), CAST(18 AS INT), 7056577666136146*power(2.0,-48), 7057281353577923*power(2.0,-46)),
+      |(CAST(2 AS BIGINT), CAST(19 AS INT), 8462545174805873*power(2.0,-47), 6346557037383516*power(2.0,-45)),
+      |(CAST(2 AS BIGINT), CAST(20 AS INT), 7844707600925983*power(2.0,-48), 7843300226042429*power(2.0,-47)),
+      |(CAST(2 AS BIGINT), CAST(21 AS INT), 5150288386363228*power(2.0,-46), 7725784423265731*power(2.0,-44)),
+      |(CAST(2 AS BIGINT), CAST(22 AS INT), 5545760728641700*power(2.0,-46), 6238892858791690*power(2.0,-43)),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 6465480215043768*power(2.0,-47), 8081498425083822*power(2.0,-45))""".stripMargin.replace("\n", " ") + ") t"),
     "ann_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv,
