@@ -1065,7 +1065,20 @@ object VectorQueries {
         (234,384), (238,287), (253,385), (262,291), (269,340),
         (290,325), (290,331), (325,331), (334,382), (334,438),
         (335,439), (338,406), (350,395), (350,479), (355,417),
-        (387,388)), picksSf01)
+        (387,388)), picksSf01, Seq(
+        (14,116), (14,203), (16,337), (23,172), (23,319), (23,392),
+        (37,305), (38,404), (41,56), (43,276), (44,472), (45,237),
+        (45,359), (50,73), (52,322), (53,134), (54,165), (60,496),
+        (64,455), (65,292), (67,458), (74,286), (80,455), (85,227),
+        (92,126), (93,243), (106,263), (119,403), (124,454),
+        (131,230), (134,250), (136,241), (136,304), (136,485),
+        (154,342), (159,384), (165,215), (167,256), (171,358),
+        (172,173), (193,243), (203,470), (212,248), (215,462),
+        (229,472), (233,414), (244,477), (248,275), (256,355),
+        (294,474), (295,454), (319,362), (320,487), (321,488),
+        (322,397), (329,361), (330,457), (352,411), (365,429),
+        (372,418), (390,483), (395,406), (396,493), (397,471),
+        (410,494), (438,445)))
       val vals = picks.map { case (i, j) => s"  ($i, $j)" }
         .mkString(",\n")
       s"""WITH picks(id1, id2) AS (VALUES

@@ -276,7 +276,7 @@ def main():
         "dedup_semantic": ("sf0.001", "sf0.01", "sf0.1"),
         # pinned pair picks (same margin argument); the tolerance
         # sweep below keeps the all-pairs full-recall cross-check
-        "dedup_embedding": ("sf0.01", "sf0.1"),
+        "dedup_embedding": ("sf0.001", "sf0.01", "sf0.1"),
         # pinned (query, cand, rank) picks from the bit-reproducible
         # quantizer fits (Similarity.canonicalTrainFeed); cosine is
         # recomputed by DuckDB so every column gates exactly
@@ -292,10 +292,10 @@ def main():
         "emb_pca_project": ("sf0.001", "sf0.01", "sf0.1"),
         # pinned model-scoring artifacts (canonical-feed L-BFGS fits,
         # bit-reproducible — fresh-JVM 8/32-thread byte equality)
-        "text_quality_model": ("sf0.01", "sf0.1"),
-        "text_langid_model": ("sf0.01", "sf0.1"),
+        "text_quality_model": ("sf0.001", "sf0.01", "sf0.1"),
+        "text_langid_model": ("sf0.001", "sf0.01", "sf0.1"),
         # composition over the pinned quality probs (E12c)
-        "pipe_model_curation": ("sf0.01", "sf0.1"),
+        "pipe_model_curation": ("sf0.001", "sf0.01", "sf0.1"),
         # r13: the decode-REPLAY twins make DuckDB emulate the pixel
         # LCG / sine-quantize waveform in pure SQL — O(pixels) rows
         # through the SQL engine (~200M at sf1), priced out beyond
@@ -320,8 +320,8 @@ def main():
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
-        "bpe_tokenize": ("sf0.01", "sf0.1"),
-        "export_bpe_pack": ("sf0.01", "sf0.1"),
+        "bpe_tokenize": ("sf0.001", "sf0.01", "sf0.1"),
+        "export_bpe_pack": ("sf0.001", "sf0.01", "sf0.1"),
     }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
