@@ -1531,5411 +1531,13 @@ object CurationQueries {
       dsirScoreDyadicSf0001)
 
   private val dsirScoreDyadicSf0001: String =
-    """(1,-4519834637417650*power(2.0,-46)),
-      |(2,-7591144503588652*power(2.0,-47)),
-      |(3,-5832788916937130*power(2.0,-47)),
-      |(4,-6810565279127661*power(2.0,-48)),
-      |(5,-6229672807843467*power(2.0,-48)),
-      |(6,-4933944513831485*power(2.0,-46)),
-      |(7,-8562011427223234*power(2.0,-48)),
-      |(8,-4579679701503472*power(2.0,-47)),
-      |(9,-8644086050403101*power(2.0,-48)),
-      |(11,-4811696628641446*power(2.0,-46)),
-      |(12,-8569691779290108*power(2.0,-48)),
-      |(13,-5140147005034278*power(2.0,-47)),
-      |(14,-6421301855665775*power(2.0,-48)),
-      |(15,-5541890756736209*power(2.0,-48)),
-      |(16,-5066877420014833*power(2.0,-46)),
-      |(17,-6671250852932179*power(2.0,-47)),
-      |(18,-7335104951892064*power(2.0,-48)),
-      |(19,-5145083520299072*power(2.0,-47)),
-      |(21,-5173802043528671*power(2.0,-46)),
-      |(22,-4590355412443364*power(2.0,-46)),
-      |(23,-7050041517134607*power(2.0,-47)),
-      |(24,-5946115164053448*power(2.0,-47)),
-      |(25,-7543456545615800*power(2.0,-48)),
-      |(26,-5059352222658631*power(2.0,-46)),
-      |(27,-6520280497969195*power(2.0,-49)),
-      |(28,-4669269589310613*power(2.0,-46)),
-      |(29,-4823859410995913*power(2.0,-46)),
-      |(31,-4949082255382743*power(2.0,-46)),
-      |(32,-4899017796592775*power(2.0,-48)),
-      |(33,-8889555966848032*power(2.0,-50)),
-      |(34,-5046396467489238*power(2.0,-46)),
-      |(35,-4962787006762921*power(2.0,-46)),
-      |(36,-7858942224647186*power(2.0,-47)),
-      |(37,-8975046787221734*power(2.0,-48)),
-      |(38,-8960659041169877*power(2.0,-47)),
-      |(39,-6389302147058076*power(2.0,-47)),
-      |(41,-5142080986202166*power(2.0,-47)),
-      |(42,-8742360197788335*power(2.0,-47)),
-      |(43,-8367891719987613*power(2.0,-47)),
-      |(44,-4725448982039687*power(2.0,-47)),
-      |(45,-5662614600948844*power(2.0,-48)),
-      |(46,-5753720907188481*power(2.0,-48)),
-      |(47,-8422179718328825*power(2.0,-48)),
-      |(48,-8357430521007180*power(2.0,-48)),
-      |(49,-8202134952054068*power(2.0,-47)),
-      |(51,-7877604297282581*power(2.0,-48)),
-      |(52,-4643295396320606*power(2.0,-47)),
-      |(53,-6768101326020352*power(2.0,-47)),
-      |(54,-4869257673552229*power(2.0,-46)),
-      |(55,-5295414345036185*power(2.0,-47)),
-      |(56,-6007000965653590*power(2.0,-47)),
-      |(57,-8146113944076764*power(2.0,-49)),
-      |(58,-4756606247235520*power(2.0,-48)),
-      |(59,-4687139317279492*power(2.0,-46)),
-      |(61,-8166565675187952*power(2.0,-48)),
-      |(62,-5297532401746690*power(2.0,-47)),
-      |(63,-8163449374428023*power(2.0,-47)),
-      |(64,-6946889391093228*power(2.0,-48)),
-      |(65,-5048905030207800*power(2.0,-49)),
-      |(66,-8025020133885122*power(2.0,-49)),
-      |(67,-6664295161583105*power(2.0,-47)),
-      |(68,-6171031340336450*power(2.0,-48)),
-      |(69,-5401358848210250*power(2.0,-49)),
-      |(71,-5940517808488706*power(2.0,-47)),
-      |(72,-4822043288337793*power(2.0,-46)),
-      |(73,-6195383924634032*power(2.0,-49)),
-      |(74,-6775584998374750*power(2.0,-49)),
-      |(75,-4517152570867921*power(2.0,-47)),
-      |(76,-6164141771560377*power(2.0,-47)),
-      |(77,-4615240074759642*power(2.0,-46)),
-      |(78,-5432762434797374*power(2.0,-48)),
-      |(79,-7989388331676022*power(2.0,-48)),
-      |(81,-5225265757081911*power(2.0,-46)),
-      |(82,-8359790666254948*power(2.0,-50)),
-      |(83,-8861807207897286*power(2.0,-47)),
-      |(84,-5615671231422188*power(2.0,-49)),
-      |(85,-4976291679907953*power(2.0,-46)),
-      |(86,-6648626308638900*power(2.0,-47)),
-      |(87,-8396461553004191*power(2.0,-47)),
-      |(88,-5087058220416467*power(2.0,-46)),
-      |(89,-6326201653536328*power(2.0,-49)),
-      |(91,-5371466898246674*power(2.0,-49)),
-      |(92,-6775867230013976*power(2.0,-48)),
-      |(93,-4596782163938543*power(2.0,-46)),
-      |(94,-5061242948611221*power(2.0,-47)),
-      |(95,-5076817694974215*power(2.0,-47)),
-      |(96,-7536270470023745*power(2.0,-47)),
-      |(97,-8446185817158757*power(2.0,-47)),
-      |(98,-4958465352565762*power(2.0,-46)),
-      |(99,-4629982841664197*power(2.0,-46)),
-      |(101,-5665706794193772*power(2.0,-47)),
-      |(102,-6138465319035875*power(2.0,-47)),
-      |(103,-6042062862292317*power(2.0,-47)),
-      |(104,-6980967115639077*power(2.0,-47)),
-      |(105,-8853690937503318*power(2.0,-48)),
-      |(106,-8758348835103294*power(2.0,-47)),
-      |(107,-6902363465936527*power(2.0,-47)),
-      |(108,-5572407056743332*power(2.0,-46)),
-      |(109,-5379204907535519*power(2.0,-46)),
-      |(111,-7791840234520716*power(2.0,-47)),
-      |(112,-7246205889493140*power(2.0,-47)),
-      |(113,-7607154344290465*power(2.0,-47)),
-      |(114,-5964790593542948*power(2.0,-49)),
-      |(115,-7717062060923133*power(2.0,-48)),
-      |(116,-6478200282863373*power(2.0,-48)),
-      |(117,-6254409231866411*power(2.0,-48)),
-      |(118,-7500948173313242*power(2.0,-49)),
-      |(119,-8615996288400329*power(2.0,-48)),
-      |(121,-7782561046457092*power(2.0,-48)),
-      |(122,-5025352103707201*power(2.0,-49)),
-      |(123,-6774032220795414*power(2.0,-47)),
-      |(124,-8539471140770430*power(2.0,-47)),
-      |(125,-7281029914649823*power(2.0,-47)),
-      |(126,-6421537292827106*power(2.0,-47)),
-      |(127,-5903652397207971*power(2.0,-48)),
-      |(128,-5596854794706927*power(2.0,-46)),
-      |(129,-5192954088988855*power(2.0,-47)),
-      |(131,-6460479385513726*power(2.0,-47)),
-      |(132,-4948217802439829*power(2.0,-47)),
-      |(133,-6195018570141252*power(2.0,-47)),
-      |(134,-4562759598744590*power(2.0,-46)),
-      |(135,-7607792092117639*power(2.0,-47)),
-      |(136,-8032671621569149*power(2.0,-47)),
-      |(137,-5933022011731105*power(2.0,-46)),
-      |(138,-7887495152043806*power(2.0,-48)),
-      |(139,-6061310697011722*power(2.0,-47)),
-      |(141,-5132780702505672*power(2.0,-48)),
-      |(142,-5377256957237365*power(2.0,-46)),
-      |(143,-7545063172916775*power(2.0,-47)),
-      |(144,-5414810180846710*power(2.0,-46)),
-      |(145,-8832200344867378*power(2.0,-48)),
-      |(146,-6049505242632602*power(2.0,-47)),
-      |(147,-8183103504536063*power(2.0,-49)),
-      |(148,-7928990002217696*power(2.0,-47)),
-      |(149,-5739613088459254*power(2.0,-46)),
-      |(151,-5920287726120708*power(2.0,-46)),
-      |(152,-7084343918690355*power(2.0,-47)),
-      |(153,-4856321326794519*power(2.0,-46)),
-      |(154,-5246739985452064*power(2.0,-46)),
-      |(155,-7743391293701430*power(2.0,-49)),
-      |(156,-8891001058806120*power(2.0,-47)),
-      |(157,-6097353730651936*power(2.0,-47)),
-      |(158,-8842832491980572*power(2.0,-48)),
-      |(159,-6164484471552197*power(2.0,-48)),
-      |(161,-5341101727882105*power(2.0,-46)),
-      |(162,-5805698086864600*power(2.0,-46)),
-      |(163,-8269231966026070*power(2.0,-48)),
-      |(164,-7930454839629678*power(2.0,-49)),
-      |(165,-4600011725923896*power(2.0,-48)),
-      |(166,-5356733922775714*power(2.0,-47)),
-      |(167,-7729906105907736*power(2.0,-48)),
-      |(168,-5652986512451445*power(2.0,-46)),
-      |(169,-5314681081756318*power(2.0,-49)),
-      |(171,-7146955845231848*power(2.0,-49)),
-      |(172,-6937634940744406*power(2.0,-47)),
-      |(173,-7535250430204500*power(2.0,-48)),
-      |(174,-4703691294628800*power(2.0,-46)),
-      |(175,-5498931278350578*power(2.0,-46)),
-      |(176,-5060969387551220*power(2.0,-46)),
-      |(177,-6473213119390430*power(2.0,-48)),
-      |(178,-5775184716911456*power(2.0,-48)),
-      |(179,-5012716214370476*power(2.0,-46)),
-      |(181,-7614854516688645*power(2.0,-48)),
-      |(182,-8766246847604226*power(2.0,-49)),
-      |(183,-4711587122263956*power(2.0,-47)),
-      |(184,-7803083490051071*power(2.0,-47)),
-      |(185,-8735898142462567*power(2.0,-48)),
-      |(186,-6534034428740815*power(2.0,-47)),
-      |(187,-4814268206667541*power(2.0,-46)),
-      |(188,-6672356153124997*power(2.0,-47)),
-      |(189,-5520003517992728*power(2.0,-46)),
-      |(191,-6079407547465170*power(2.0,-49)),
-      |(192,-5802593311468659*power(2.0,-46)),
-      |(193,-7469588017371714*power(2.0,-49)),
-      |(194,-6693622193556670*power(2.0,-47)),
-      |(195,-6883472340252817*power(2.0,-47)),
-      |(196,-5997468986579144*power(2.0,-47)),
-      |(197,-4799428972021038*power(2.0,-46)),
-      |(198,-6782654877557326*power(2.0,-47)),
-      |(199,-5594713542727868*power(2.0,-47)),
-      |(201,-8782142868164380*power(2.0,-47)),
-      |(202,-7908949157833165*power(2.0,-50)),
-      |(203,-8177280608291048*power(2.0,-48)),
-      |(204,-5090913681777438*power(2.0,-46)),
-      |(205,-5912820757221265*power(2.0,-47)),
-      |(206,-7355752281336788*power(2.0,-47)),
-      |(207,-8556141002231996*power(2.0,-48)),
-      |(208,-5747738788126865*power(2.0,-46)),
-      |(209,-6056216644252027*power(2.0,-47)),
-      |(211,-8042038266021053*power(2.0,-47)),
-      |(212,-4834098489593734*power(2.0,-46)),
-      |(213,-7414932190641628*power(2.0,-47)),
-      |(214,-4824939596573875*power(2.0,-46)),
-      |(215,-8052824482561539*power(2.0,-47)),
-      |(216,-4805664775113714*power(2.0,-47)),
-      |(217,-7873328652426593*power(2.0,-47)),
-      |(218,-5926156998898768*power(2.0,-46)),
-      |(219,-5093152574153253*power(2.0,-47)),
-      |(221,-6123400681903866*power(2.0,-49)),
-      |(222,-8420256748655354*power(2.0,-48)),
-      |(223,-4841886796822952*power(2.0,-46)),
-      |(224,-7370781152290773*power(2.0,-47)),
-      |(225,-6152020963525365*power(2.0,-48)),
-      |(226,-5285129131839311*power(2.0,-47)),
-      |(227,-8795307774834949*power(2.0,-47)),
-      |(228,-8935589676295403*power(2.0,-48)),
-      |(229,-5619179793837810*power(2.0,-48)),
-      |(231,-5981395488132524*power(2.0,-47)),
-      |(232,-8660830184469348*power(2.0,-47)),
-      |(233,-5059430007645300*power(2.0,-48)),
-      |(234,-8734195989327483*power(2.0,-47)),
-      |(235,-8633351072717902*power(2.0,-47)),
-      |(236,-7935976586951859*power(2.0,-48)),
-      |(237,-6941727222364906*power(2.0,-48)),
-      |(238,-5943349145010377*power(2.0,-47)),
-      |(239,-6441004366525384*power(2.0,-48)),
-      |(241,-6251251532773257*power(2.0,-47)),
-      |(242,-5293840312001514*power(2.0,-46)),
-      |(243,-4947232000074039*power(2.0,-46)),
-      |(244,-5381102708633047*power(2.0,-47)),
-      |(245,-4999671609219605*power(2.0,-46)),
-      |(246,-7523637574588040*power(2.0,-47)),
-      |(247,-8951544329921683*power(2.0,-48)),
-      |(248,-4951122266790830*power(2.0,-46)),
-      |(249,-4976867120229349*power(2.0,-46)),
-      |(251,-8606503561722766*power(2.0,-47)),
-      |(252,-5815181105716920*power(2.0,-46)),
-      |(253,-5796395044993177*power(2.0,-47)),
-      |(254,-7370537005003471*power(2.0,-48)),
-      |(255,-4997481574766920*power(2.0,-47)),
-      |(256,-7068762741720261*power(2.0,-49)),
-      |(257,-5397622237326377*power(2.0,-48)),
-      |(258,-8477876364562128*power(2.0,-48)),
-      |(259,-5262686088717885*power(2.0,-46)),
-      |(261,-5466098187955342*power(2.0,-46)),
-      |(262,-7243335907804332*power(2.0,-48)),
-      |(263,-5324345981979391*power(2.0,-48)),
-      |(264,-7313097237729838*power(2.0,-47)),
-      |(265,-4952639303206117*power(2.0,-47)),
-      |(266,-5748392271784684*power(2.0,-48)),
-      |(267,-5008615720816787*power(2.0,-46)),
-      |(268,-5155787305071363*power(2.0,-46)),
-      |(269,-7321072625535173*power(2.0,-47)),
-      |(271,-8120261863618353*power(2.0,-48)),
-      |(272,-5208062673101263*power(2.0,-46)),
-      |(273,-8960459399984065*power(2.0,-49)),
-      |(274,-4983137861435830*power(2.0,-46)),
-      |(275,-6527387036078934*power(2.0,-47)),
-      |(276,-6108426982351084*power(2.0,-49)),
-      |(277,-7321371561092817*power(2.0,-47)),
-      |(278,-6056054289507853*power(2.0,-48)),
-      |(279,-6547479612402678*power(2.0,-47)),
-      |(281,-7418123051869387*power(2.0,-50)),
-      |(282,-6419383565071284*power(2.0,-47)),
-      |(283,-8738733270109588*power(2.0,-47)),
-      |(284,-8157844152440424*power(2.0,-47)),
-      |(285,-6960148938759285*power(2.0,-47)),
-      |(286,-6004720477119072*power(2.0,-48)),
-      |(287,-4702593681833213*power(2.0,-46)),
-      |(288,-4510837702584952*power(2.0,-46)),
-      |(289,-8935148140973657*power(2.0,-48)),
-      |(291,-4674269200670900*power(2.0,-46)),
-      |(292,-6950241856606439*power(2.0,-47)),
-      |(293,-8264938168817383*power(2.0,-47)),
-      |(294,-6328028139499406*power(2.0,-48)),
-      |(295,-8748563588684509*power(2.0,-47)),
-      |(296,-5348875766674335*power(2.0,-46)),
-      |(297,-6696258762563498*power(2.0,-47)),
-      |(298,-4881757491994798*power(2.0,-46)),
-      |(299,-6885248758882474*power(2.0,-47)),
-      |(301,-8160655759403081*power(2.0,-47)),
-      |(302,-5124862539553886*power(2.0,-48)),
-      |(303,-4525846555081335*power(2.0,-46)),
-      |(304,-5594062244912681*power(2.0,-48)),
-      |(305,-5025382494494596*power(2.0,-46)),
-      |(306,-5638550515339652*power(2.0,-46)),
-      |(307,-4731065471657340*power(2.0,-49)),
-      |(308,-7769999188440674*power(2.0,-49)),
-      |(309,-6377478161107239*power(2.0,-47)),
-      |(311,-7902520069741628*power(2.0,-49)),
-      |(312,-8607733082271068*power(2.0,-48)),
-      |(313,-6588352074661451*power(2.0,-48)),
-      |(314,-6649944224010253*power(2.0,-47)),
-      |(315,-7076513921475189*power(2.0,-47)),
-      |(316,-7645666825368261*power(2.0,-47)),
-      |(317,-5190578665699006*power(2.0,-46)),
-      |(318,-8015648828234134*power(2.0,-47)),
-      |(319,-7706146555259225*power(2.0,-47)),
-      |(321,-7042660676603382*power(2.0,-47)),
-      |(322,-5331079707169708*power(2.0,-47)),
-      |(323,-5333022332556453*power(2.0,-46)),
-      |(324,-5586278505186377*power(2.0,-47)),
-      |(325,-8713908529484068*power(2.0,-49)),
-      |(326,-4579252537069660*power(2.0,-47)),
-      |(327,-5608052072335888*power(2.0,-49)),
-      |(328,-8965651282312710*power(2.0,-48)),
-      |(329,-6565094697253652*power(2.0,-47)),
-      |(331,-6499176654914918*power(2.0,-47)),
-      |(332,-8913330131991052*power(2.0,-47)),
-      |(333,-5982723168790709*power(2.0,-47)),
-      |(334,-4947181773057249*power(2.0,-46)),
-      |(335,-5677205387472392*power(2.0,-48)),
-      |(336,-4722868154172130*power(2.0,-47)),
-      |(337,-8785283107467292*power(2.0,-49)),
-      |(338,-8722313045138070*power(2.0,-48)),
-      |(339,-4579272002142390*power(2.0,-47)),
-      |(341,-5504672680316322*power(2.0,-47)),
-      |(342,-4837675398083959*power(2.0,-46)),
-      |(343,-5281559805338338*power(2.0,-46)),
-      |(344,-5553716418988922*power(2.0,-49)),
-      |(345,-7209717582634270*power(2.0,-47)),
-      |(346,-4972691846464266*power(2.0,-47)),
-      |(347,-7147056755711011*power(2.0,-48)),
-      |(348,-5329636961248353*power(2.0,-47)),
-      |(349,-5932572909766938*power(2.0,-47)),
-      |(351,-7582546947170281*power(2.0,-47)),
-      |(352,-6538419222920259*power(2.0,-49)),
-      |(353,-8939852225687654*power(2.0,-49)),
-      |(354,-7601798810850288*power(2.0,-47)),
-      |(355,-4709739252812117*power(2.0,-46)),
-      |(356,-5951465639472216*power(2.0,-46)),
-      |(357,-4635596141578613*power(2.0,-46)),
-      |(358,-4792262007677965*power(2.0,-46)),
-      |(359,-7533352145610548*power(2.0,-48)),
-      |(361,-6029410151400933*power(2.0,-47)),
-      |(362,-4642921248574560*power(2.0,-47)),
-      |(363,-5640150910909427*power(2.0,-46)),
-      |(364,-8743997282321690*power(2.0,-47)),
-      |(365,-5333324890198290*power(2.0,-47)),
-      |(366,-5523677218919377*power(2.0,-47)),
-      |(367,-4868141751369482*power(2.0,-46)),
-      |(368,-6218579804960118*power(2.0,-47)),
-      |(369,-5140585872979438*power(2.0,-46)),
-      |(371,-4705171184931233*power(2.0,-47)),
-      |(372,-7349308592154129*power(2.0,-47)),
-      |(373,-5109213712003540*power(2.0,-47)),
-      |(374,-4967412812442577*power(2.0,-46)),
-      |(375,-8793712327705706*power(2.0,-48)),
-      |(376,-8048395039413485*power(2.0,-47)),
-      |(377,-6941606486152218*power(2.0,-48)),
-      |(378,-8401895953207949*power(2.0,-47)),
-      |(379,-4935704973525635*power(2.0,-47)),
-      |(381,-7151656823608898*power(2.0,-47)),
-      |(382,-7071133409791721*power(2.0,-50)),
-      |(383,-5239197773123808*power(2.0,-48)),
-      |(384,-6090416428168714*power(2.0,-48)),
-      |(385,-4708704102275606*power(2.0,-47)),
-      |(386,-7856412084594328*power(2.0,-47)),
-      |(387,-4669349328835698*power(2.0,-46)),
-      |(388,-5288969839749926*power(2.0,-47)),
-      |(389,-6504110603171602*power(2.0,-48)),
-      |(391,-6788710281777162*power(2.0,-47)),
-      |(392,-5186033198900811*power(2.0,-47)),
-      |(393,-5447035473767420*power(2.0,-46)),
-      |(394,-5647538657647716*power(2.0,-46)),
-      |(395,-4563063932855000*power(2.0,-47)),
-      |(396,-5018679988669173*power(2.0,-46)),
-      |(397,-5239466937305182*power(2.0,-49)),
-      |(398,-4841789840761010*power(2.0,-48)),
-      |(399,-4806253797031518*power(2.0,-46)),
-      |(401,-5090059815307220*power(2.0,-46)),
-      |(402,-4769537038672728*power(2.0,-47)),
-      |(403,-4642285679417908*power(2.0,-48)),
-      |(404,-8125744366859386*power(2.0,-47)),
-      |(405,-8069100135708861*power(2.0,-47)),
-      |(406,-6060756466404372*power(2.0,-46)),
-      |(407,-5430881657924746*power(2.0,-48)),
-      |(408,-7528437933495788*power(2.0,-47)),
-      |(409,-5046797779507138*power(2.0,-46)),
-      |(411,-6079989815696148*power(2.0,-47)),
-      |(412,-4972464166813820*power(2.0,-46)),
-      |(413,-5986729952338693*power(2.0,-49)),
-      |(414,-5136666860051853*power(2.0,-48)),
-      |(415,-6310832423529320*power(2.0,-47)),
-      |(416,-4721549155707539*power(2.0,-47)),
-      |(417,-7547208690050318*power(2.0,-48)),
-      |(418,-4974590530146533*power(2.0,-48)),
-      |(419,-7329638415447975*power(2.0,-47)),
-      |(421,-6562901742065637*power(2.0,-47)),
-      |(422,-6641170256986526*power(2.0,-48)),
-      |(423,-7270661140836499*power(2.0,-47)),
-      |(424,-7730493678864952*power(2.0,-48)),
-      |(425,-8910830100258750*power(2.0,-48)),
-      |(426,-4538799418142370*power(2.0,-47)),
-      |(427,-5609002621146186*power(2.0,-48)),
-      |(428,-4536257506710749*power(2.0,-47)),
-      |(429,-5158047229411808*power(2.0,-47)),
-      |(431,-6879626361870432*power(2.0,-47)),
-      |(432,-5771977378237446*power(2.0,-47)),
-      |(433,-8798367518021682*power(2.0,-47)),
-      |(434,-8428691548990109*power(2.0,-47)),
-      |(435,-7820420125371350*power(2.0,-47)),
-      |(436,-4806189043417396*power(2.0,-49)),
-      |(437,-4787190002312065*power(2.0,-46)),
-      |(438,-8650136488089464*power(2.0,-48)),
-      |(439,-7962362222073666*power(2.0,-48)),
-      |(441,-8479422233988784*power(2.0,-47)),
-      |(442,-5524389732110179*power(2.0,-49)),
-      |(443,-7139368235742662*power(2.0,-47)),
-      |(444,-8501707869423293*power(2.0,-47)),
-      |(445,-6701493059425296*power(2.0,-49)),
-      |(446,-5678409571857428*power(2.0,-46)),
-      |(447,-4584060729320291*power(2.0,-48)),
-      |(448,-6392644244164145*power(2.0,-47)),
-      |(449,-7932760000222306*power(2.0,-48)),
-      |(451,-7979204374895047*power(2.0,-47)),
-      |(452,-8096348068716274*power(2.0,-48)),
-      |(453,-4556715337598746*power(2.0,-46)),
-      |(454,-5566398448777258*power(2.0,-47)),
-      |(455,-4864738848960288*power(2.0,-49)),
-      |(456,-8812781335019065*power(2.0,-48)),
-      |(457,-5342260533509197*power(2.0,-46)),
-      |(458,-6221699401149875*power(2.0,-47)),
-      |(459,-4573387024340477*power(2.0,-46)),
-      |(461,-6700580426135252*power(2.0,-49)),
-      |(462,-5692881142036761*power(2.0,-47)),
-      |(463,-8438120832264192*power(2.0,-49)),
-      |(464,-8326608129936686*power(2.0,-47)),
-      |(465,-4640360767504794*power(2.0,-46)),
-      |(466,-4659134107471268*power(2.0,-48)),
-      |(467,-8097788051999744*power(2.0,-47)),
-      |(468,-4800949985147807*power(2.0,-46)),
-      |(469,-5550956983257767*power(2.0,-46)),
-      |(471,-7729479129233472*power(2.0,-47)),
-      |(472,-4879015443140867*power(2.0,-48)),
-      |(473,-4767393183544304*power(2.0,-46)),
-      |(474,-5692636612385360*power(2.0,-46)),
-      |(475,-7587463830967609*power(2.0,-47)),
-      |(476,-7858154355976789*power(2.0,-47)),
-      |(477,-7224876370773649*power(2.0,-47)),
-      |(478,-8452557661880356*power(2.0,-48)),
-      |(479,-4709055484832172*power(2.0,-47)),
-      |(481,-5460705611887516*power(2.0,-46)),
-      |(482,-7254391154499705*power(2.0,-47)),
-      |(483,-8391228805543866*power(2.0,-47)),
-      |(484,-8592868497776120*power(2.0,-48)),
-      |(485,-5502906993439742*power(2.0,-46)),
-      |(486,-5047065014822076*power(2.0,-46)),
-      |(487,-6038423717450704*power(2.0,-48)),
-      |(488,-8132298499745900*power(2.0,-47)),
-      |(489,-4827901516690470*power(2.0,-49)),
-      |(491,-5265220813174143*power(2.0,-47)),
-      |(492,-8016613085193894*power(2.0,-47)),
-      |(493,-7530994633948610*power(2.0,-49)),
-      |(494,-5219480322268313*power(2.0,-46)),
-      |(495,-8322928672206520*power(2.0,-49)),
-      |(496,-5269844615003020*power(2.0,-48)),
-      |(497,-6400162700444338*power(2.0,-49)),
-      |(498,-5737812994884531*power(2.0,-46)),
-      |(499,-5192721076372680*power(2.0,-47))""".stripMargin.replace("\n", " ")
+    Pins.resource("dsir_score_dyadic_sf0001.txt")
 
   private val dsirScoreDyadicSf01: String =
-    Seq(
-    """(1,-6692284602711128*power(2.0,-51)),
-      |(2,-8573213254376423*power(2.0,-50)),
-      |(3,-4682427487305532*power(2.0,-50)),
-      |(4,-6225456923242256*power(2.0,-49)),
-      |(5,-6233634783534480*power(2.0,-49)),
-      |(6,-4819960637886897*power(2.0,-50)),
-      |(7,-5147675946749857*power(2.0,-49)),
-      |(8,-7579597083192596*power(2.0,-49)),
-      |(9,-5055490448620923*power(2.0,-50)),
-      |(11,-5886763423044915*power(2.0,-49)),
-      |(12,-4816908618817895*power(2.0,-50)),
-      |(13,-7781863211870247*power(2.0,-50)),
-      |(14,-6762837126351104*power(2.0,-51)),
-      |(15,-6606146445122101*power(2.0,-50)),
-      |(16,-5185636881394751*power(2.0,-50)),
-      |(17,-4813228703975517*power(2.0,-49)),
-      |(18,-4685253630431928*power(2.0,-49)),
-      |(19,-4684505976988719*power(2.0,-49)),
-      |(21,-6785425075064702*power(2.0,-50)),
-      |(22,-5969884905392168*power(2.0,-49)),
-      |(23,-4801181951627956*power(2.0,-52)),
-      |(24,-6290558655733154*power(2.0,-50)),
-      |(25,-5432858765281315*power(2.0,-49)),
-      |(26,-6516257044815787*power(2.0,-49)),
-      |(27,-5115323780055402*power(2.0,-49)),
-      |(28,-7733499278435786*power(2.0,-50)),
-      |(29,-8392959103084102*power(2.0,-51)),
-      |(31,-4614461114265464*power(2.0,-51)),
-      |(32,-6161072594724970*power(2.0,-49)),
-      |(33,-6569463045470448*power(2.0,-50)),
-      |(34,-7552062228208734*power(2.0,-50)),
-      |(35,-7555944720032233*power(2.0,-49)),
-      |(36,-7900363003085621*power(2.0,-50)),
-      |(37,-8490977285052124*power(2.0,-51)),
-      |(38,-8585617446996629*power(2.0,-50)),
-      |(39,-7476230793712274*power(2.0,-51)),
-      |(41,-8207811004470818*power(2.0,-51)),
-      |(42,-7037656712440622*power(2.0,-51)),
-      |(43,-7095712742657828*power(2.0,-50)),
-      |(44,-7630840668341697*power(2.0,-50)),
-      |(45,-7994384991115600*power(2.0,-51)),
-      |(46,-7004380648500918*power(2.0,-51)),
-      |(47,-6733829481941192*power(2.0,-49)),
-      |(48,-5279365346237779*power(2.0,-50)),
-      |(49,-8063960727845200*power(2.0,-52)),
-      |(51,-5281032614645333*power(2.0,-49)),
-      |(52,-5564934682769824*power(2.0,-49)),
-      |(53,-4638005587488926*power(2.0,-50)),
-      |(54,-4857488242550748*power(2.0,-49)),
-      |(55,-5553763382734392*power(2.0,-49)),
-      |(56,-6339563354332896*power(2.0,-49)),
-      |(57,-5540906256466018*power(2.0,-49)),
-      |(58,-6144811440593686*power(2.0,-51)),
-      |(59,-8482266461581818*power(2.0,-51)),
-      |(61,-5455337914501621*power(2.0,-50)),
-      |(62,-5731965273348806*power(2.0,-49)),
-      |(63,-8220961154002686*power(2.0,-49)),
-      |(64,-5249558973411599*power(2.0,-50)),
-      |(65,-7322051861308416*power(2.0,-49)),
-      |(66,-8424195449686582*power(2.0,-49)),
-      |(67,-9003011928817820*power(2.0,-50)),
-      |(68,-7687581152798385*power(2.0,-50)),
-      |(69,-7492943460834600*power(2.0,-52)),
-      |(71,-5997995924257388*power(2.0,-49)),
-      |(72,-8405365576195290*power(2.0,-50)),
-      |(73,-6234463448513624*power(2.0,-51)),
-      |(74,-8418943858452126*power(2.0,-50)),
-      |(75,-7251509219853950*power(2.0,-50)),
-      |(76,-7188123291621608*power(2.0,-51)),
-      |(77,-5642655287850508*power(2.0,-52)),
-      |(78,-4836875160056618*power(2.0,-50)),
-      |(79,-7433331498004420*power(2.0,-52)),
-      |(81,-7707034238230952*power(2.0,-50)),
-      |(82,-8004047283950960*power(2.0,-51)),
-      |(83,-8290036597498045*power(2.0,-50)),
-      |(84,-5023212916034705*power(2.0,-50)),
-      |(85,-7513305627890244*power(2.0,-51)),
-      |(86,-6143631916235567*power(2.0,-50)),
-      |(87,-6784215321176162*power(2.0,-49)),
-      |(88,-7297005061216734*power(2.0,-49)),
-      |(89,-5869654348984298*power(2.0,-51)),
-      |(91,-7442816445956764*power(2.0,-52)),
-      |(92,-4826345036989548*power(2.0,-51)),
-      |(93,-5864510392956392*power(2.0,-52)),
-      |(94,-7812928805094880*power(2.0,-52)),
-      |(95,-4847928031845852*power(2.0,-50)),
-      |(96,-5834847048445800*power(2.0,-49)),
-      |(97,-4635542228221666*power(2.0,-50)),
-      |(98,-6773150452201873*power(2.0,-49)),
-      |(99,-5121450568048356*power(2.0,-52)),
-      |(101,-7190637759931410*power(2.0,-51)),
-      |(102,-6219507571822636*power(2.0,-49)),
-      |(103,-8453102465139462*power(2.0,-51)),
-      |(104,-8817632420697608*power(2.0,-52)),
-      |(105,-4895124780538085*power(2.0,-49)),
-      |(106,-8120005278851031*power(2.0,-50)),
-      |(107,-5460341936520252*power(2.0,-49)),
-      |(108,-7620341967080130*power(2.0,-51)),
-      |(109,-6419052813176528*power(2.0,-50)),
-      |(111,-4595840592512174*power(2.0,-51)),
-      |(112,-6038884439394117*power(2.0,-50)),
-      |(113,-5672154561075338*power(2.0,-49)),
-      |(114,-4765876349284835*power(2.0,-50)),
-      |(115,-6127239910426544*power(2.0,-50)),
-      |(116,-6700149482005684*power(2.0,-49)),
-      |(117,-8891806224317273*power(2.0,-50)),
-      |(118,-5600708910319381*power(2.0,-49)),
-      |(119,-5652460387532094*power(2.0,-49)),
-      |(121,-5155832279795380*power(2.0,-50)),
-      |(122,-5209291033819696*power(2.0,-49)),
-      |(123,-5303393192396045*power(2.0,-50)),
-      |(124,-6473795912472180*power(2.0,-50)),
-      |(125,-7612443570121582*power(2.0,-51)),
-      |(126,-5143870076584906*power(2.0,-50)),
-      |(127,-5406580897580058*power(2.0,-49)),
-      |(128,-7836897697266929*power(2.0,-50)),
-      |(129,-5865278789993328*power(2.0,-52)),
-      |(131,4633160641318176*power(2.0,-54)),
-      |(132,-8881155124339522*power(2.0,-50)),
-      |(133,-7517912313186438*power(2.0,-51)),
-      |(134,-7145941021345238*power(2.0,-49)),
-      |(135,-5134933948000039*power(2.0,-49)),
-      |(136,-6446039558506338*power(2.0,-49)),
-      |(137,-7227567377605799*power(2.0,-49)),
-      |(138,-7483239925882296*power(2.0,-52)),
-      |(139,-6758115880381992*power(2.0,-49)),
-      |(141,-7376586310060315*power(2.0,-50)),
-      |(142,-8513492152443192*power(2.0,-51)),
-      |(143,-5726733922113042*power(2.0,-49)),
-      |(144,-6318111435484389*power(2.0,-50)),
-      |(145,-6138896400131280*power(2.0,-51)),
-      |(146,-6316326817658817*power(2.0,-50)),
-      |(147,-6712043831243693*power(2.0,-49)),
-      |(148,-6678067905941612*power(2.0,-49)),
-      |(149,-7499051603867659*power(2.0,-50)),
-      |(151,-8966328289533450*power(2.0,-50)),
-      |(152,-8806615590938470*power(2.0,-51)),
-      |(153,-4683718745285213*power(2.0,-50)),
-      |(154,-7552542814567061*power(2.0,-50)),
-      |(155,-8661458216964122*power(2.0,-51)),
-      |(156,-6894002515839950*power(2.0,-50)),
-      |(157,-7312573718555208*power(2.0,-53)),
-      |(158,-7151169478910844*power(2.0,-50)),
-      |(159,-4695429607692368*power(2.0,-49)),
-      |(161,-7469752593355738*power(2.0,-51)),
-      |(162,-4738351150572372*power(2.0,-49)),
-      |(163,-4925164648473841*power(2.0,-49)),
-      |(164,-6802950997536798*power(2.0,-50)),
-      |(165,-7273967367605650*power(2.0,-49)),
-      |(166,-6883972124920742*power(2.0,-51)),
-      |(167,-6497156089730398*power(2.0,-50)),
-      |(168,-4983152811443148*power(2.0,-49)),
-      |(169,-5681199378462063*power(2.0,-50)),
-      |(171,-4807028652116236*power(2.0,-49)),
-      |(172,-6577878731815560*power(2.0,-51)),
-      |(173,-8477693854481982*power(2.0,-49)),
-      |(174,-7232645725483532*power(2.0,-52)),
-      |(175,-5442184893879312*power(2.0,-49)),
-      |(176,-8839419279142984*power(2.0,-50)),
-      |(177,-5151350317235731*power(2.0,-50)),
-      |(178,-7709594283223442*power(2.0,-51)),
-      |(179,8169681932995200*power(2.0,-54)),
-      |(181,-8778528165092765*power(2.0,-50)),
-      |(182,-8294373153598562*power(2.0,-51)),
-      |(183,-6543358593270385*power(2.0,-50)),
-      |(184,-7097157797412566*power(2.0,-50)),
-      |(185,-5230384643135208*power(2.0,-49)),
-      |(186,-4952882950982808*power(2.0,-49)),
-      |(187,-9001821613854177*power(2.0,-50)),
-      |(188,-4507129831086621*power(2.0,-50)),
-      |(189,-6804198073903754*power(2.0,-50)),
-      |(191,-4927151244850530*power(2.0,-49)),
-      |(192,-5766555010857830*power(2.0,-51)),
-      |(193,-5978428742230724*power(2.0,-49)),
-      |(194,-5855531057819940*power(2.0,-50)),
-      |(195,-6153350878007803*power(2.0,-50)),
-      |(196,-5203645508292790*power(2.0,-49)),
-      |(197,-4960681757796540*power(2.0,-50)),
-      |(198,-7318307048180959*power(2.0,-50)),
-      |(199,-6740475053645981*power(2.0,-49)),
-      |(201,-6895697902741896*power(2.0,-51)),
-      |(202,-5433126181519877*power(2.0,-49)),
-      |(203,-5352422444342622*power(2.0,-49)),
-      |(204,-7407590139002908*power(2.0,-52)),
-      |(205,-8297760769330645*power(2.0,-50)),
-      |(206,-7077204932979475*power(2.0,-50)),
-      |(207,-4935735773580592*power(2.0,-52)),
-      |(208,-4745845872058842*power(2.0,-49)),
-      |(209,-6109928705807854*power(2.0,-49)),
-      |(211,-6122038821956670*power(2.0,-49)),
-      |(212,-6489841632956462*power(2.0,-50)),
-      |(213,-5843723647088169*power(2.0,-49)),
-      |(214,-6147297083726750*power(2.0,-49)),
-      |(215,-7584012400441012*power(2.0,-50)),
-      |(216,-8945602134110176*power(2.0,-50)),
-      |(217,-5236554977072518*power(2.0,-51)),
-      |(218,-6189915046128803*power(2.0,-50)),
-      |(219,-5842517334881358*power(2.0,-49)),
-      |(221,-5312811327720443*power(2.0,-49)),
-      |(222,-5419414035704722*power(2.0,-51)),
-      |(223,-8011172467757144*power(2.0,-50)),
-      |(224,-8159376024674868*power(2.0,-52)),
-      |(225,-4661999941385815*power(2.0,-49)),
-      |(226,-5509397294548049*power(2.0,-49)),
-      |(227,-6823907115130082*power(2.0,-49)),
-      |(228,-6447592213572708*power(2.0,-50)),
-      |(229,-8984852926567604*power(2.0,-52)),
-      |(231,-5180721578502259*power(2.0,-49)),
-      |(232,-4706652165710376*power(2.0,-50)),
-      |(233,-7237015992028058*power(2.0,-49)),
-      |(234,-7598357655717063*power(2.0,-50)),
-      |(235,-4526369922923802*power(2.0,-49)),
-      |(236,-6945528890700571*power(2.0,-50)),
-      |(237,-6744907149993123*power(2.0,-50)),
-      |(238,-8285369366466936*power(2.0,-50)),
-      |(239,-4564818337153174*power(2.0,-49)),
-      |(241,-6309536900796744*power(2.0,-50)),
-      |(242,-4858207823570660*power(2.0,-50)),
-      |(243,-6956753059262313*power(2.0,-50)),
-      |(244,-5611334288647272*power(2.0,-51)),
-      |(245,-6106852627566334*power(2.0,-49)),
-      |(246,-8764273659068991*power(2.0,-50)),
-      |(247,-6222599571401427*power(2.0,-50)),
-      |(248,-4570648510813200*power(2.0,-49)),
-      |(249,-7208043090435262*power(2.0,-49)),
-      |(251,-4504250535823747*power(2.0,-49)),
-      |(252,-6511181635952100*power(2.0,-50)),
-      |(253,-8189880518657590*power(2.0,-51)),
-      |(254,-5970409225040730*power(2.0,-51)),
-      |(255,-8761914475382776*power(2.0,-52)),
-      |(256,-8505226330951755*power(2.0,-49)),
-      |(257,-5398068585994796*power(2.0,-49)),
-      |(258,-4731522733411174*power(2.0,-50)),
-      |(259,-4886874515109416*power(2.0,-51)),
-      |(261,-4849785636460118*power(2.0,-51)),
-      |(262,-7596502319801324*power(2.0,-49)),
-      |(263,-6243633622838359*power(2.0,-50)),
-      |(264,-4737732845534635*power(2.0,-49)),
-      |(265,-8400955378006792*power(2.0,-52)),
-      |(266,-8644018227580302*power(2.0,-51)),
-      |(267,-5401789037758256*power(2.0,-49)),
-      |(268,-5757512910727380*power(2.0,-49)),
-      |(269,-5653921648897080*power(2.0,-52)),
-      |(271,-8721550403575376*power(2.0,-51)),
-      |(272,-4738187501215288*power(2.0,-52)),
-      |(273,-5844890934914248*power(2.0,-51)),
-      |(274,-7633223267334592*power(2.0,-52)),
-      |(275,-6124404151207454*power(2.0,-50)),
-      |(276,-5833739432524863*power(2.0,-49)),
-      |(277,-4558861849677956*power(2.0,-50)),
-      |(278,-7073286413469732*power(2.0,-52)),
-      |(279,-6994321931610730*power(2.0,-50)),
-      |(281,-6437388407143940*power(2.0,-49)),
-      |(282,-5683045269777922*power(2.0,-49)),
-      |(283,-4909283198616722*power(2.0,-49)),
-      |(284,-4805317805480036*power(2.0,-49)),
-      |(285,-8932248789838340*power(2.0,-52)),
-      |(286,-4947121408746692*power(2.0,-49)),
-      |(287,-5678078281770322*power(2.0,-49)),
-      |(288,-8627231560360796*power(2.0,-50)),
-      |(289,-6907674674770653*power(2.0,-50)),
-      |(291,-7517466314550764*power(2.0,-51)),
-      |(292,-8466916407245168*power(2.0,-54)),
-      |(293,-5601797501640582*power(2.0,-49)),
-      |(294,-4952112634676394*power(2.0,-51)),
-      |(295,-6513042016178980*power(2.0,-50)),
-      |(296,-7962750564137391*power(2.0,-50)),
-      |(297,-4723134569822154*power(2.0,-49)),
-      |(298,-5810444370237980*power(2.0,-50)),
-      |(299,-4588669102608187*power(2.0,-49)),
-      |(301,-6784553539377906*power(2.0,-49)),
-      |(302,-4782254054818125*power(2.0,-50)),
-      |(303,-5454710556061446*power(2.0,-50)),
-      |(304,-4760269137528688*power(2.0,-49)),
-      |(305,-4643960985551223*power(2.0,-49)),
-      |(306,-5668467790443010*power(2.0,-49)),
-      |(307,-5621282944233422*power(2.0,-49)),
-      |(308,-7081303856600652*power(2.0,-52)),
-      |(309,-7508537561172078*power(2.0,-50)),
-      |(311,-6164876990736676*power(2.0,-51)),
-      |(312,-8386625272686540*power(2.0,-51)),
-      |(313,-7288771751921602*power(2.0,-51)),
-      |(314,-4938235475839515*power(2.0,-50)),
-      |(315,-7766608744139662*power(2.0,-51)),
-      |(316,-6024384922657790*power(2.0,-51)),
-      |(317,-5677432523315464*power(2.0,-49)),
-      |(318,-8722810162125996*power(2.0,-51)),
-      |(319,-4836359262316420*power(2.0,-50)),
-      |(321,-6114413713886524*power(2.0,-49)),
-      |(322,-6885932275491030*power(2.0,-49)),
-      |(323,-4951883537662194*power(2.0,-49)),
-      |(324,-5558941609859700*power(2.0,-49)),
-      |(325,-6632687144834802*power(2.0,-49)),
-      |(326,-4675155888362737*power(2.0,-49)),
-      |(327,-4792866427078426*power(2.0,-49)),
-      |(328,-6961948415296750*power(2.0,-49)),
-      |(329,-8961722972542183*power(2.0,-50)),
-      |(331,-5086066399443304*power(2.0,-53)),
-      |(332,-8582929268115932*power(2.0,-52)),
-      |(333,-7246056610716768*power(2.0,-50)),
-      |(334,-4621008147357904*power(2.0,-49)),
-      |(335,-7832288300454456*power(2.0,-50)),
-      |(336,-5483809998830368*power(2.0,-49)),
-      |(337,-8417594361904252*power(2.0,-51)),
-      |(338,-7532753205501192*power(2.0,-52)),
-      |(339,-7408083441933250*power(2.0,-51)),
-      |(341,-8599202861759360*power(2.0,-53)),
-      |(342,-6844236138965030*power(2.0,-51)),
-      |(343,-4712699599506838*power(2.0,-49)),
-      |(344,-7454770953594048*power(2.0,-52)),
-      |(345,-7074827087345984*power(2.0,-49)),
-      |(346,-6031311578498673*power(2.0,-49)),
-      |(347,-5217836981979922*power(2.0,-51)),
-      |(348,-5185779938366610*power(2.0,-49)),
-      |(349,-8248844279810874*power(2.0,-50)),
-      |(351,-7905148411067444*power(2.0,-52)),
-      |(352,-5419883336496558*power(2.0,-49)),
-      |(353,-4835329456014708*power(2.0,-49)),
-      |(354,-4537117330925401*power(2.0,-50)),
-      |(355,-5227790980412576*power(2.0,-54)),
-      |(356,-6950224507849031*power(2.0,-50)),
-      |(357,-4929458988004622*power(2.0,-49)),
-      |(358,-6956376481076332*power(2.0,-51)),
-      |(359,-4555581777867506*power(2.0,-50)),
-      |(361,-4830068927602052*power(2.0,-51)),
-      |(362,-5794793196036918*power(2.0,-49)),
-      |(363,-6931695654896920*power(2.0,-51)),
-      |(364,-7508831153225960*power(2.0,-50)),
-      |(365,-5988916068091794*power(2.0,-49)),
-      |(366,-4670564011532170*power(2.0,-51)),
-      |(367,-4601509249958456*power(2.0,-51)),
-      |(368,-7275058659130298*power(2.0,-50)),
-      |(369,-7562003967999301*power(2.0,-50)),
-      |(371,-6925312920810576*power(2.0,-52)),
-      |(372,-6165415454027326*power(2.0,-49)),
-      |(373,-5606176690260156*power(2.0,-49)),
-      |(374,-8953702269859440*power(2.0,-51)),
-      |(375,-7729194991556562*power(2.0,-51)),
-      |(376,-7845993762435392*power(2.0,-49)),
-      |(377,-7088689699877165*power(2.0,-49)),
-      |(378,-7134618781806286*power(2.0,-51)),
-      |(379,-4870789256194729*power(2.0,-49)),
-      |(381,-8697371638850070*power(2.0,-49)),
-      |(382,-6969983045616026*power(2.0,-49)),
-      |(383,-7900953476479686*power(2.0,-49)),
-      |(384,-4918393565732157*power(2.0,-50)),
-      |(385,-5671866570616686*power(2.0,-49)),
-      |(386,-8524611103062864*power(2.0,-51)),
-      |(387,-6441930844508360*power(2.0,-50)),
-      |(388,-8204576022999608*power(2.0,-52)),
-      |(389,8963336507461760*power(2.0,-56)),
-      |(391,-6458535273964874*power(2.0,-49)),
-      |(392,-6081155086944840*power(2.0,-49)),
-      |(393,-5990547713006322*power(2.0,-49)),
-      |(394,-5091951316229820*power(2.0,-49)),
-      |(395,-7830081943155786*power(2.0,-50)),
-      |(396,-6370600539519851*power(2.0,-49)),
-      |(397,-6390641076240024*power(2.0,-51)),
-      |(398,-8897831362825714*power(2.0,-50)),
-      |(399,-7685323597779153*power(2.0,-50)),
-      |(401,-8033895262324648*power(2.0,-52)),
-      |(402,-8856026334025756*power(2.0,-52)),
-      |(403,-5898767612981882*power(2.0,-49)),
-      |(404,-5633485768902703*power(2.0,-49)),
-      |(405,-4916433474141466*power(2.0,-49)),
-      |(406,-6373474200105235*power(2.0,-50)),
-      |(407,-7276309243824364*power(2.0,-52)),
-      |(408,-8913316276796142*power(2.0,-51)),
-      |(409,-8945906457252489*power(2.0,-50)),
-      |(411,-8427777403526268*power(2.0,-52)),
-      |(412,-8022463213915816*power(2.0,-52)),
-      |(413,-5593506718859312*power(2.0,-49)),
-      |(414,-6477960251307087*power(2.0,-50)),
-      |(415,-4706710970490208*power(2.0,-51)),
-      |(416,-7310492018351872*power(2.0,-58)),
-      |(417,-8303807265071903*power(2.0,-50)),
-      |(418,-6604296270609232*power(2.0,-53)),
-      |(419,-8900592838767467*power(2.0,-50)),
-      |(421,-6190129901315172*power(2.0,-49)),
-      |(422,-4557408555565907*power(2.0,-49)),
-      |(423,-7482082740952497*power(2.0,-50)),
-      |(424,-7379283232910124*power(2.0,-51)),
-      |(425,-6980425688136099*power(2.0,-50)),
-      |(426,-5661828149518749*power(2.0,-49)),
-      |(427,-4618901086967568*power(2.0,-49)),
-      |(428,-5519070033334687*power(2.0,-50)),
-      |(429,-7847540850598080*power(2.0,-51)),
-      |(431,-5624343240357757*power(2.0,-49)),
-      |(432,-5933425453861296*power(2.0,-50)),
-      |(433,-5082910522184038*power(2.0,-50)),
-      |(434,-7767422993313004*power(2.0,-50)),
-      |(435,-8785625417600790*power(2.0,-50)),
-      |(436,-7847825233164199*power(2.0,-50)),
-      |(437,-5124259498900512*power(2.0,-51)),
-      |(438,-8357701520479676*power(2.0,-50)),
-      |(439,-8016444018002350*power(2.0,-50)),
-      |(441,-5092120789948492*power(2.0,-51)),
-      |(442,-7907906472511620*power(2.0,-51)),
-      |(443,-8693435607930916*power(2.0,-49)),
-      |(444,-4990916741369312*power(2.0,-51)),
-      |(445,-7488571019449683*power(2.0,-50)),
-      |(446,-7267253763282075*power(2.0,-50)),
-      |(447,-8147155412335105*power(2.0,-50)),
-      |(448,-6824647687510285*power(2.0,-50)),
-      |(449,-8168905765696403*power(2.0,-50)),
-      |(451,-8987360256545496*power(2.0,-50)),
-      |(452,-7553346672077396*power(2.0,-51)),
-      |(453,-6715992390435150*power(2.0,-49)),
-      |(454,-6781779629762610*power(2.0,-49)),
-      |(455,-5121342383781811*power(2.0,-50)),
-      |(456,-6757685348521801*power(2.0,-49)),
-      |(457,-6614089979875915*power(2.0,-50)),
-      |(458,-5109221665219798*power(2.0,-50)),
-      |(459,-5248721188192504*power(2.0,-49)),
-      |(461,-6012782194215832*power(2.0,-51)),
-      |(462,-8194681177482608*power(2.0,-53)),
-      |(463,-5395778617731341*power(2.0,-50)),
-      |(464,-8081538709189272*power(2.0,-50)),
-      |(465,-4525163542965674*power(2.0,-51)),
-      |(466,-6239973772465454*power(2.0,-51)),
-      |(467,-6043128194440986*power(2.0,-51)),
-      |(468,-6242413346063359*power(2.0,-50)),
-      |(469,-5767235360152046*power(2.0,-49)),
-      |(471,-6227197790672505*power(2.0,-50)),
-      |(472,-6040912629790603*power(2.0,-49)),
-      |(473,-6066418219591146*power(2.0,-50)),
-      |(474,-6321686240753552*power(2.0,-50)),
-      |(475,-5601363474878808*power(2.0,-49)),
-      |(476,-7071383703459125*power(2.0,-50)),
-      |(477,-6977161647199236*power(2.0,-51)),
-      |(478,-5840781640151389*power(2.0,-49)),
-      |(479,-7947298635050366*power(2.0,-49)),
-      |(481,-4883723926369056*power(2.0,-49)),
-      |(482,-8519709012931075*power(2.0,-49)),
-      |(483,-6946849008185613*power(2.0,-49)),
-      |(484,-8422571047004672*power(2.0,-54)),
-      |(485,-6294821006621724*power(2.0,-49)),
-      |(486,-5933522405349261*power(2.0,-50)),
-      |(487,-8736792313649698*power(2.0,-51)),
-      |(488,-4679439303950017*power(2.0,-49)),
-      |(489,-6933394725562379*power(2.0,-50)),
-      |(491,-7460664003023745*power(2.0,-50)),
-      |(492,-5026078406781252*power(2.0,-49)),
-      |(493,-5654558907155308*power(2.0,-49)),
-      |(494,-6163615994643824*power(2.0,-49)),
-      |(495,-8846311644605101*power(2.0,-50)),
-      |(496,-6059669864756060*power(2.0,-51)),
-      |(497,-5646654005761090*power(2.0,-50)),
-      |(498,-4607920249990391*power(2.0,-50)),
-      |(499,-5762688669998010*power(2.0,-49)),
-      |(501,-5203010590711154*power(2.0,-49)),
-      |(502,-5765821814384452*power(2.0,-49)),
-      |(503,-4876371488405506*power(2.0,-50)),
-      |(504,-8747917613136761*power(2.0,-50)),
-      |(505,-4829170994953892*power(2.0,-49)),
-      |(506,-6176292313662443*power(2.0,-49)),
-      |(507,-6143020157765124*power(2.0,-51)),
-      |(508,-5512994351713816*power(2.0,-52)),
-      |(509,-4653479837085835*power(2.0,-49)),
-      |(511,-5795605882547806*power(2.0,-51)),
-      |(512,-5313122673898643*power(2.0,-50)),
-      |(513,-7564486857792101*power(2.0,-50)),
-      |(514,-6352286023144969*power(2.0,-50)),
-      |(515,-5693703986178256*power(2.0,-49)),
-      |(516,-7265593359723044*power(2.0,-51)),
-      |(517,-5494445653825262*power(2.0,-49)),
-      |(518,-6849462977696493*power(2.0,-50)),
-      |(519,-7572270568320315*power(2.0,-50)),
-      |(521,-5829576993846857*power(2.0,-49)),
-      |(522,-6212281946361157*power(2.0,-50)),
-      |(523,-5412444118074164*power(2.0,-49)),
-      |(524,-7658099630565372*power(2.0,-49)),
-      |(525,-5873902096926763*power(2.0,-50)),
-      |(526,-4613477010748832*power(2.0,-49)),
-      |(527,-5575768941197536*power(2.0,-52)),
-      |(528,-8854423424748520*power(2.0,-51)),
-      |(529,-4884987212556595*power(2.0,-49)),
-      |(531,-7960300114702815*power(2.0,-50)),
-      |(532,-4577385492185722*power(2.0,-50)),
-      |(533,-6990960028126806*power(2.0,-50)),
-      |(534,-7692375236848276*power(2.0,-49)),
-      |(535,-6540865969949652*power(2.0,-52)),
-      |(536,-7209409959455256*power(2.0,-51)),
-      |(537,-8295530380763264*power(2.0,-50)),
-      |(538,-6892745507073933*power(2.0,-49)),
-      |(539,-4706506059402442*power(2.0,-49)),
-      |(541,-6250624569802898*power(2.0,-49)),
-      |(542,-5315466647548485*power(2.0,-50)),
-      |(543,-5495703233083110*power(2.0,-49)),
-      |(544,-5118177960648806*power(2.0,-51)),
-      |(545,-4836238388790948*power(2.0,-49)),
-      |(546,-5774000190462692*power(2.0,-50)),
-      |(547,-8901156918326782*power(2.0,-51)),
-      |(548,-7150466496651479*power(2.0,-50)),
-      |(549,-7287316585194270*power(2.0,-49)),
-      |(551,-5012839922212506*power(2.0,-51)),
-      |(552,-7341026297745134*power(2.0,-51)),
-      |(553,-6783409393743318*power(2.0,-49)),
-      |(554,-6761663448678526*power(2.0,-50)),
-      |(555,-7060771360606567*power(2.0,-50)),
-      |(556,-4977862151161823*power(2.0,-50)),
-      |(557,-8096742519946996*power(2.0,-52)),
-      |(558,-5252354051243215*power(2.0,-50)),
-      |(559,-4522814265397836*power(2.0,-49)),
-      |(561,-5852742718595938*power(2.0,-49)),
-      |(562,-4640230170604350*power(2.0,-48)),
-      |(563,-5275686923478596*power(2.0,-52)),
-      |(564,-4987643877127845*power(2.0,-49)),
-      |(565,-6262711187174640*power(2.0,-49)),
-      |(566,-4836356537967267*power(2.0,-49)),
-      |(567,-7280609257731488*power(2.0,-51)),
-      |(568,-5531660455535600*power(2.0,-51)),
-      |(569,-6454333718774392*power(2.0,-53)),
-      |(571,-5780760366112091*power(2.0,-50)),
-      |(572,-8308377413667832*power(2.0,-50)),
-      |(573,-8187635015078905*power(2.0,-50)),
-      |(574,-6693928966595254*power(2.0,-49)),
-      |(575,-5331774061962182*power(2.0,-50)),
-      |(576,-4735212672166985*power(2.0,-49)),
-      |(577,-6358623498049072*power(2.0,-52)),
-      |(578,-5426999312503512*power(2.0,-52)),
-      |(579,-7184818993565376*power(2.0,-49)),
-      |(581,-7789624476962352*power(2.0,-52)),
-      |(582,-7619170512553098*power(2.0,-50)),
-      |(583,-5080740631394373*power(2.0,-49)),
-      |(584,-4726965742059570*power(2.0,-49)),
-      |(585,-4758184325237684*power(2.0,-52)),
-      |(586,-8908196117287396*power(2.0,-51)),
-      |(587,-6367351272122922*power(2.0,-49)),
-      |(588,-5425840451053750*power(2.0,-49)),
-      |(589,-4638361048523823*power(2.0,-50)),
-      |(591,-5652277327802774*power(2.0,-51)),
-      |(592,-4930581192752990*power(2.0,-49)),
-      |(593,-7211153129513480*power(2.0,-50)),
-      |(594,-6464883967032122*power(2.0,-49)),
-      |(595,-6286413602268120*power(2.0,-49)),
-      |(596,-6829358101979076*power(2.0,-50)),
-      |(597,-7118072359586456*power(2.0,-51)),
-      |(598,-6064857726920161*power(2.0,-50)),
-      |(599,-5945914956549840*power(2.0,-51)),
-      |(601,-6395871807870620*power(2.0,-51)),
-      |(602,-6607040238312677*power(2.0,-50)),
-      |(603,-4518985027753438*power(2.0,-51)),
-      |(604,-5307952091383136*power(2.0,-49)),
-      |(605,-7613900778766668*power(2.0,-49)),
-      |(606,-4651060190924339*power(2.0,-49)),
-      |(607,-7613415895021500*power(2.0,-52)),
-      |(608,-4685938486820414*power(2.0,-49)),
-      |(609,-5747866189263598*power(2.0,-51)),
-      |(611,-5448575101345494*power(2.0,-51)),
-      |(612,-5005403989096664*power(2.0,-50)),
-      |(613,-5097274495950021*power(2.0,-49)),
-      |(614,-6205300002884161*power(2.0,-49)),
-      |(615,-6279841224176294*power(2.0,-49)),
-      |(616,-7312685807728924*power(2.0,-52)),
-      |(617,-7051761557261312*power(2.0,-51)),
-      |(618,-4536542300956756*power(2.0,-51)),
-      |(619,-5038741419539522*power(2.0,-51)),
-      |(621,-5628456379359790*power(2.0,-51)),
-      |(622,-4629863730855074*power(2.0,-49)),
-      |(623,-5698951756425688*power(2.0,-51)),
-      |(624,-7016388259419350*power(2.0,-49)),
-      |(625,-5122038383403757*power(2.0,-49)),
-      |(626,-6077464028723227*power(2.0,-49)),
-      |(627,-6194190684619859*power(2.0,-50)),
-      |(628,-7530675870877280*power(2.0,-49)),
-      |(629,-5522395338777678*power(2.0,-51)),
-      |(631,-4574596618735887*power(2.0,-50)),
-      |(632,-7577975253561147*power(2.0,-50)),
-      |(633,-4969929274869049*power(2.0,-50)),
-      |(634,-8316545816720340*power(2.0,-51)),
-      |(635,-6281370189126917*power(2.0,-50)),
-      |(636,-5574513745577020*power(2.0,-49)),
-      |(637,-4853612997005796*power(2.0,-51)),
-      |(638,-7211541123667854*power(2.0,-49)),
-      |(639,-4726553660174190*power(2.0,-51)),
-      |(641,-8313583271685164*power(2.0,-52)),
-      |(642,-6324615008194016*power(2.0,-51)),
-      |(643,-8754473623859670*power(2.0,-51)),
-      |(644,-4673627329071156*power(2.0,-49)),
-      |(645,-5014937198716126*power(2.0,-49)),
-      |(646,-8706854289840300*power(2.0,-50)),
-      |(647,-5468343240063840*power(2.0,-52)),
-      |(648,-8849494415987481*power(2.0,-50)),
-      |(649,-7953392977737382*power(2.0,-50)),
-      |(651,-7612285900894539*power(2.0,-50)),
-      |(652,-4660387701097537*power(2.0,-49)),
-      |(653,-8286857636972054*power(2.0,-50)),
-      |(654,-6527362814071486*power(2.0,-51)),
-      |(655,-5526993299442954*power(2.0,-51)),
-      |(656,-6120200740738383*power(2.0,-49)),
-      |(657,-6595330613159446*power(2.0,-49)),
-      |(658,-7805367939200008*power(2.0,-52)),
-      |(659,-5960060054521516*power(2.0,-49)),
-      |(661,-6436218219396551*power(2.0,-50)),
-      |(662,-5423122718171071*power(2.0,-49)),
-      |(663,-8988831331441820*power(2.0,-52)),
-      |(664,-5975476244493606*power(2.0,-49)),
-      |(665,-6344241163796506*power(2.0,-49)),
-      |(666,-7765178979716256*power(2.0,-51)),
-      |(667,-6425143918623784*power(2.0,-50)),
-      |(668,-6034279544602298*power(2.0,-51)),
-      |(669,-7647159952808040*power(2.0,-53)),
-      |(671,-6354242612404227*power(2.0,-49)),
-      |(672,-7469532838372168*power(2.0,-52)),
-      |(673,-4822153562123242*power(2.0,-51)),
-      |(674,-6349799989330352*power(2.0,-50)),
-      |(675,-8210602846245896*power(2.0,-52)),
-      |(676,-4694954253020138*power(2.0,-49)),
-      |(677,-7963107729244204*power(2.0,-51)),
-      |(678,-8642011819880014*power(2.0,-51)),
-      |(679,-5759902652080718*power(2.0,-50)),
-      |(681,-7791278427974370*power(2.0,-51)),
-      |(682,-6530084844562392*power(2.0,-51)),
-      |(683,-4894192141595236*power(2.0,-52)),
-      |(684,-5952996366908895*power(2.0,-50)),
-      |(685,-7190510098591015*power(2.0,-50)),
-      |(686,-6610083938536918*power(2.0,-49)),
-      |(687,-8036614920280856*power(2.0,-51)),
-      |(688,-7512689549950672*power(2.0,-50)),
-      |(689,-8457014813051424*power(2.0,-50)),
-      |(691,-6038696739195464*power(2.0,-50)),
-      |(692,-6670492664528428*power(2.0,-49)),
-      |(693,-7122436646756556*power(2.0,-50)),
-      |(694,-4829896815578108*power(2.0,-49)),
-      |(695,-4761490656352760*power(2.0,-49)),
-      |(696,-8705928612619304*power(2.0,-51)),
-      |(697,-5865391028378293*power(2.0,-50)),
-      |(698,-6104376660669212*power(2.0,-49)),
-      |(699,-8355166838158556*power(2.0,-51)),
-      |(701,-4992736129707681*power(2.0,-50)),
-      |(702,-5544301364771725*power(2.0,-49)),
-      |(703,-6305929841540832*power(2.0,-54)),
-      |(704,-7826713054145478*power(2.0,-49)),
-      |(705,-7277941728039198*power(2.0,-50)),
-      |(706,-5437884066999131*power(2.0,-49)),
-      |(707,-6012949612285631*power(2.0,-50)),
-      |(708,-6148367543245648*power(2.0,-50)),
-      |(709,-7419913868961264*power(2.0,-51)),
-      |(711,-4899397972342112*power(2.0,-49)),
-      |(712,-8423119065818926*power(2.0,-49)),
-      |(713,-4920102264556772*power(2.0,-50)),
-      |(714,-7112966408262197*power(2.0,-50)),
-      |(715,-5291364793628410*power(2.0,-50)),
-      |(716,-7210347556416081*power(2.0,-49)),
-      |(717,-5504319417721242*power(2.0,-50)),
-      |(718,-7119790415914096*power(2.0,-50)),
-      |(719,-5356508892945038*power(2.0,-50)),
-      |(721,-7196068971252248*power(2.0,-49)),
-      |(722,-6022892550734790*power(2.0,-49)),
-      |(723,-4690538748910264*power(2.0,-50)),
-      |(724,-4817317915529242*power(2.0,-51)),
-      |(725,-5807267570634010*power(2.0,-49)),
-      |(726,-5183145353461044*power(2.0,-50)),
-      |(727,-7654585340343460*power(2.0,-51)),
-      |(728,-7678691370788515*power(2.0,-49)),
-      |(729,-7925958941850696*power(2.0,-53)),
-      |(731,-5629503901523912*power(2.0,-51)),
-      |(732,-6631711754866208*power(2.0,-50)),
-      |(733,-4869098261213160*power(2.0,-51)),
-      |(734,-8701770081326908*power(2.0,-52)),
-      |(735,-7485181190336972*power(2.0,-51)),
-      |(736,-6913646249180343*power(2.0,-50)),
-      |(737,-5560461184344141*power(2.0,-50)),
-      |(738,-5094944960391281*power(2.0,-49)),
-      |(739,-7885667436989436*power(2.0,-52)),
-      |(741,-7990405792404294*power(2.0,-50)),
-      |(742,-6051788348727634*power(2.0,-51)),
-      |(743,-6282249362019920*power(2.0,-53)),
-      |(744,-4897892155978649*power(2.0,-50)),
-      |(745,-5535223081937247*power(2.0,-49)),
-      |(746,-5493443994632472*power(2.0,-51)),
-      |(747,-5987370854193604*power(2.0,-49)),
-      |(748,-4599885933544625*power(2.0,-50)),
-      |(749,-7020655831994680*power(2.0,-51)),
-      |(751,-4811214145819892*power(2.0,-49)),
-      |(752,-4616591796606338*power(2.0,-49)),
-      |(753,-7874538603431477*power(2.0,-50)),
-      |(754,-7827842157893702*power(2.0,-51)),
-      |(755,-8450944909959104*power(2.0,-54)),
-      |(756,-5358160460982791*power(2.0,-49)),
-      |(757,-4735821618839878*power(2.0,-49)),
-      |(758,-6071564318694877*power(2.0,-50)),
-      |(759,-4863806173762908*power(2.0,-49)),
-      |(761,-7489916388723354*power(2.0,-51)),
-      |(762,-4690340218757868*power(2.0,-49)),
-      |(763,-8377604704247640*power(2.0,-52)),
-      |(764,-8179067398638097*power(2.0,-50)),
-      |(765,-4518773450493260*power(2.0,-49)),
-      |(766,-5579964561039677*power(2.0,-50)),
-      |(767,-7590104405125022*power(2.0,-51)),
-      |(768,-7349542025765738*power(2.0,-51)),
-      |(769,-5627682501531586*power(2.0,-49)),
-      |(771,-4801492435578699*power(2.0,-49)),
-      |(772,-5365371180346636*power(2.0,-49)),
-      |(773,-7119328516813049*power(2.0,-50)),
-      |(774,-4812100428391060*power(2.0,-49)),
-      |(775,-6726429689252424*power(2.0,-51)),
-      |(776,-5528368838709191*power(2.0,-50)),
-      |(777,-6281411158571923*power(2.0,-50)),
-      |(778,-6455551404629754*power(2.0,-51)),
-      |(779,-8958152482644834*power(2.0,-50)),
-      |(781,-8437938029461446*power(2.0,-50)),
-      |(782,-4654557186460278*power(2.0,-51)),
-      |(783,-4581368865763788*power(2.0,-49)),
-      |(784,-7991599522962777*power(2.0,-50)),
-      |(785,-6502799715865566*power(2.0,-50)),
-      |(786,-6733888514348472*power(2.0,-49)),
-      |(787,-4680019046644228*power(2.0,-52)),
-      |(788,-6164325308808223*power(2.0,-50)),
-      |(789,-5754304952309496*power(2.0,-49)),
-      |(791,-8169163577066028*power(2.0,-50)),
-      |(792,-8433482374766344*power(2.0,-50)),
-      |(793,-7472065655393726*power(2.0,-51)),
-      |(794,-5565991966935022*power(2.0,-51)),
-      |(795,-5552410832717316*power(2.0,-50)),
-      |(796,-8081512564239634*power(2.0,-50)),
-      |(797,-5232775467154142*power(2.0,-49)),
-      |(798,-6905456039686199*power(2.0,-49)),
-      |(799,-6239822278989516*power(2.0,-50)),
-      |(801,-5929331309002008*power(2.0,-49)),
-      |(802,-4622836796822220*power(2.0,-52)),
-      |(803,-6865104695130164*power(2.0,-50)),
-      |(804,-5843437465094904*power(2.0,-50)),
-      |(805,-8412464427611894*power(2.0,-51)),
-      |(806,-7030049721651979*power(2.0,-50)),
-      |(807,-7967101930430332*power(2.0,-52)),
-      |(808,-7121717943410008*power(2.0,-52)),
-      |(809,-8864704526949630*power(2.0,-51)),
-      |(811,-6780206505295079*power(2.0,-50)),
-      |(812,-6235965375851800*power(2.0,-50)),
-      |(813,-5235476807710127*power(2.0,-50)),
-      |(814,-7147885942856168*power(2.0,-51)),
-      |(815,-7268544556187753*power(2.0,-49)),
-      |(816,-7806054933109350*power(2.0,-51)),
-      |(817,-4770562861631446*power(2.0,-49)),
-      |(818,-8956602894098544*power(2.0,-52)),
-      |(819,-6727605319958803*power(2.0,-50)),
-      |(821,-7846475561590920*power(2.0,-51)),
-      |(822,-6949826989814852*power(2.0,-52)),
-      |(823,-8388844518246399*power(2.0,-50)),
-      |(824,-6155180264060344*power(2.0,-52)),
-      |(825,-5459421924308748*power(2.0,-50)),
-      |(826,-6157181262161994*power(2.0,-50)),
-      |(827,-7764869967643794*power(2.0,-50)),
-      |(828,-8552412588320232*power(2.0,-51)),
-      |(829,-4817332101924933*power(2.0,-50)),
-      |(831,-5756421017987923*power(2.0,-50)),
-      |(832,-4752199593754746*power(2.0,-51)),
-      |(833,-7704038054633474*power(2.0,-51)),
-      |(834,-8328286037320146*power(2.0,-51)),
-      |(835,-6393978361127870*power(2.0,-51)),
-      |(836,-6115328269812313*power(2.0,-49)),
-      |(837,-4681967646509591*power(2.0,-49)),
-      |(838,-6320951373572717*power(2.0,-50)),
-      |(839,-8577549052977808*power(2.0,-50)),
-      |(841,-6126804997707194*power(2.0,-49)),
-      |(842,-4673048395902615*power(2.0,-49)),
-      |(843,-8543482164131061*power(2.0,-50)),
-      |(844,-6566941924494900*power(2.0,-49)),
-      |(845,-6600067018367049*power(2.0,-50)),
-      |(846,-6056331086333826*power(2.0,-49)),
-      |(847,-6018440416425452*power(2.0,-51)),
-      |(848,-7672609845363828*power(2.0,-51)),
-      |(849,-5328525302996589*power(2.0,-50)),
-      |(851,-6622220305157121*power(2.0,-50)),
-      |(852,-8509319485387673*power(2.0,-50)),
-      |(853,-8619071829774780*power(2.0,-52)),
-      |(854,-6964771785379728*power(2.0,-51)),
-      |(855,-5717971844003308*power(2.0,-49)),
-      |(856,-7895858806862978*power(2.0,-49)),
-      |(857,-5398943438862579*power(2.0,-49)),
-      |(858,-6433390452550147*power(2.0,-50)),
-      |(859,-5670939247652690*power(2.0,-49)),
-      |(861,-7587131736606256*power(2.0,-53)),
-      |(862,6645921917078336*power(2.0,-56)),
-      |(863,-5420758219452062*power(2.0,-51)),
-      |(864,-8730045065928020*power(2.0,-52)),
-      |(865,-7674686170523290*power(2.0,-49)),
-      |(866,-7182330494118960*power(2.0,-53)),
-      |(867,-5245886324499656*power(2.0,-49)),
-      |(868,-8205971531859900*power(2.0,-52)),
-      |(869,-6823331985190690*power(2.0,-51)),
-      |(871,-6358581009286018*power(2.0,-49)),
-      |(872,-6122082726708312*power(2.0,-50)),
-      |(873,-6210777463749408*power(2.0,-52)),
-      |(874,-5616039250556475*power(2.0,-50)),
-      |(875,-5458546132606993*power(2.0,-49)),
-      |(876,-7040013586163027*power(2.0,-50)),
-      |(877,-5634634802664198*power(2.0,-51)),
-      |(878,-7871406994197370*power(2.0,-50)),
-      |(879,-5164300787666986*power(2.0,-51)),
-      |(881,-4538550948025416*power(2.0,-49)),
-      |(882,-5352440832279368*power(2.0,-51)),
-      |(883,-5685925479906060*power(2.0,-50)),
-      |(884,-8614993643886998*power(2.0,-51)),
-      |(885,-6902680657035636*power(2.0,-50)),
-      |(886,-8797384281263175*power(2.0,-50)),
-      |(887,-8993403070005917*power(2.0,-50)),
-      |(888,-7008382743864146*power(2.0,-49)),
-      |(889,-5952478411479855*power(2.0,-49)),
-      |(891,-4965312254039016*power(2.0,-51)),
-      |(892,-8055409734509142*power(2.0,-51)),
-      |(893,-4503825992443344*power(2.0,-49)),
-      |(894,4683549696376984*power(2.0,-53)),
-      |(895,-6477081125971960*power(2.0,-49)),
-      |(896,-8679424464442204*power(2.0,-51)),
-      |(897,-5029950852796936*power(2.0,-49)),
-      |(898,-4548584266613528*power(2.0,-49)),
-      |(899,-5278281476984180*power(2.0,-50)),
-      |(901,-4584253208684144*power(2.0,-49)),
-      |(902,-6423024988765059*power(2.0,-49)),
-      |(903,-7872818222545359*power(2.0,-50)),
-      |(904,-7061772772926247*power(2.0,-50)),
-      |(905,-6673081757074355*power(2.0,-49)),
-      |(906,-4632430236092824*power(2.0,-49)),
-      |(907,-6936473271780994*power(2.0,-49)),
-      |(908,-6913966971573185*power(2.0,-49)),
-      |(909,-4995913812350844*power(2.0,-51)),
-      |(911,-7120568558733899*power(2.0,-50)),
-      |(912,-8870903573450656*power(2.0,-50)),
-      |(913,-8472145266771068*power(2.0,-52)),
-      |(914,-8340261202086418*power(2.0,-51)),
-      |(915,-7838989730024841*power(2.0,-50)),
-      |(916,-5281319751099153*power(2.0,-50)),
-      |(917,-8531758880684648*power(2.0,-51)),
-      |(918,8817544089283528*power(2.0,-53)),
-      |(919,-7149646668336578*power(2.0,-49)),
-      |(921,-8775269840396010*power(2.0,-51)),
-      |(922,-8231110605395438*power(2.0,-50)),
-      |(923,-4890792784883070*power(2.0,-49)),
-      |(924,-6480267163155081*power(2.0,-49)),
-      |(925,-6252537884968020*power(2.0,-49)),
-      |(926,-8897746723331839*power(2.0,-50)),
-      |(927,-5128223646286843*power(2.0,-49)),
-      |(928,-5088574135708632*power(2.0,-49)),
-      |(929,-6711686289318581*power(2.0,-50)),
-      |(931,-6733624711450746*power(2.0,-50)),
-      |(932,-5314375555743995*power(2.0,-49)),
-      |(933,-6987663018325624*power(2.0,-51)),
-      |(934,-8303468971023004*power(2.0,-50)),
-      |(935,-4848024997172663*power(2.0,-50)),
-      |(936,-6807410552383482*power(2.0,-51)),
-      |(937,-8388967083609253*power(2.0,-50)),
-      |(938,-6489815984256070*power(2.0,-49)),
-      |(939,-5390272047107730*power(2.0,-50)),
-      |(941,-8873553242221832*power(2.0,-51)),
-      |(942,-6774536672184502*power(2.0,-49)),
-      |(943,-4747992433596702*power(2.0,-49)),
-      |(944,-5089991493518554*power(2.0,-51)),
-      |(945,-4605013760775530*power(2.0,-49)),
-      |(946,-8887544558136112*power(2.0,-51)),
-      |(947,-5661219133652496*power(2.0,-50)),
-      |(948,-6450792207578455*power(2.0,-50)),
-      |(949,-5646595260734478*power(2.0,-51)),
-      |(951,-5661631985084056*power(2.0,-50)),
-      |(952,-6063628532418558*power(2.0,-49)),
-      |(953,-6776108590848698*power(2.0,-51)),
-      |(954,-7094060804596179*power(2.0,-49)),
-      |(955,-5867139256393798*power(2.0,-49)),
-      |(956,-8080048072252643*power(2.0,-50)),
-      |(957,-4720576680466144*power(2.0,-50)),
-      |(958,-7596078961825920*power(2.0,-52)),
-      |(959,-6860145209927966*power(2.0,-50)),
-      |(961,-7026915953459815*power(2.0,-50)),
-      |(962,-6009188387027161*power(2.0,-50)),
-      |(963,-5031838206525898*power(2.0,-50)),
-      |(964,-7690556245365764*power(2.0,-49)),
-      |(965,-7025758638991695*power(2.0,-50)),
-      |(966,-7835048368446816*power(2.0,-51)),
-      |(967,-8734394065625464*power(2.0,-52)),
-      |(968,-8451595395537722*power(2.0,-51)),
-      |(969,-4719983699540033*power(2.0,-49)),
-      |(971,-8961289473019846*power(2.0,-51)),
-      |(972,-8292861408771406*power(2.0,-50)),
-      |(973,-5465599180420662*power(2.0,-51)),
-      |(974,-4589806008236481*power(2.0,-50)),
-      |(975,-7371301613106049*power(2.0,-50)),
-      |(976,-7624114120424118*power(2.0,-51)),
-      |(977,-8649543476731910*power(2.0,-50)),
-      |(978,-6238353626842592*power(2.0,-50)),
-      |(979,-6751564196807442*power(2.0,-50)),
-      |(981,-7660219259259028*power(2.0,-50)),
-      |(982,-5620752522210549*power(2.0,-50)),
-      |(983,-7182326688833953*power(2.0,-50)),
-      |(984,-5560941643396972*power(2.0,-52)),
-      |(985,-5990059053455147*power(2.0,-49)),
-      |(986,-8988164207789468*power(2.0,-52)),
-      |(987,-4700464728011794*power(2.0,-49)),
-      |(988,-8448461010680396*power(2.0,-50)),
-      |(989,-6453267372203586*power(2.0,-49)),
-      |(991,-5734052584501376*power(2.0,-50)),
-      |(992,-8892004907429368*power(2.0,-53)),
-      |(993,-5042114547494073*power(2.0,-50)),
-      |(994,-7604084889169628*power(2.0,-52)),
-      |(995,-4596996832024164*power(2.0,-49)),
-      |(996,-5211517690312674*power(2.0,-50)),
-      |(997,-8856695249847880*power(2.0,-51)),
-      |(998,-6123604978767044*power(2.0,-49)),
-      |(999,-8576291764972568*power(2.0,-51)),
-      |(1001,-4960403287551130*power(2.0,-50)),
-      |(1002,-6226959054496586*power(2.0,-50)),
-      |(1003,-5979682985054928*power(2.0,-49)),
-      |(1004,-4635943535342232*power(2.0,-49)),
-      |(1005,-6283661376882728*power(2.0,-52)),
-      |(1006,-6307356625587859*power(2.0,-50)),
-      |(1007,-6999364546908096*power(2.0,-50)),
-      |(1008,-5317782774030942*power(2.0,-50)),
-      |(1009,-8476051931416152*power(2.0,-51)),
-      |(1011,-8016122218656873*power(2.0,-50)),
-      |(1012,-8299701077220575*power(2.0,-50)),
-      |(1013,-6186899014266014*power(2.0,-49)),
-      |(1014,-6717438515399004*power(2.0,-52)),
-      |(1015,-6126171615191160*power(2.0,-49)),
-      |(1016,-5616544474496971*power(2.0,-49)),
-      |(1017,-5261383737362484*power(2.0,-49)),
-      |(1018,-8941240909310808*power(2.0,-53)),
-      |(1019,-4636708344186267*power(2.0,-50)),
-      |(1021,-6733139319687188*power(2.0,-51)),
-      |(1022,-7288457799630307*power(2.0,-50)),
-      |(1023,-5782031400568676*power(2.0,-49)),
-      |(1024,-5447959695390732*power(2.0,-52)),
-      |(1025,-4812980108648336*power(2.0,-49)),
-      |(1026,-7142510474157787*power(2.0,-50)),
-      |(1027,-5713388176573368*power(2.0,-50)),
-      |(1028,-8523076949302398*power(2.0,-51)),
-      |(1029,-7703932275106540*power(2.0,-49)),
-      |(1031,-4613060443639084*power(2.0,-49)),
-      |(1032,-4808844276651116*power(2.0,-51)),
-      |(1033,-5633175767574837*power(2.0,-49)),
-      |(1034,-5145996452278508*power(2.0,-52)),
-      |(1035,-6782722724447711*power(2.0,-49)),
-      |(1036,-4651210293015538*power(2.0,-49)),
-      |(1037,-5678599600022331*power(2.0,-50)),
-      |(1038,-5954443402736579*power(2.0,-50)),
-      |(1039,-5525313075531000*power(2.0,-52)),
-      |(1041,-5348204937777219*power(2.0,-50)),
-      |(1042,-6416405995283973*power(2.0,-50)),
-      |(1043,-5432629993973929*power(2.0,-50)),
-      |(1044,-7037632371446851*power(2.0,-50)),
-      |(1045,-6177906698799684*power(2.0,-52)),
-      |(1046,-5011359603932450*power(2.0,-49)),
-      |(1047,-7633505789886618*power(2.0,-51)),
-      |(1048,-7443366466144216*power(2.0,-52)),
-      |(1049,-6561308315158838*power(2.0,-50)),
-      |(1051,-5629093953757568*power(2.0,-51)),
-      |(1052,-7371619606985646*power(2.0,-51)),
-      |(1053,-4796418286454972*power(2.0,-49)),
-      |(1054,-7446517861777702*power(2.0,-49)),
-      |(1055,-5262876875865578*power(2.0,-49)),
-      |(1056,-5063546665977562*power(2.0,-50)),
-      |(1057,-7147335804588404*power(2.0,-49)),
-      |(1058,-8181758342178832*power(2.0,-53)),
-      |(1059,-6971467875948702*power(2.0,-51)),
-      |(1061,-6122413349904967*power(2.0,-50)),
-      |(1062,-5274823470000023*power(2.0,-49)),
-      |(1063,-5070550088924536*power(2.0,-52)),
-      |(1064,-5036488270609871*power(2.0,-50)),
-      |(1065,-8110963999791272*power(2.0,-50)),
-      |(1066,-7635411112990658*power(2.0,-50)),
-      |(1067,-7751257944460224*power(2.0,-50)),
-      |(1068,-7799351528837116*power(2.0,-51)),
-      |(1069,-7294650080444416*power(2.0,-51)),
-      |(1071,-7047107870713758*power(2.0,-50)),
-      |(1072,-6650080137046395*power(2.0,-49)),
-      |(1073,-4672404496689768*power(2.0,-49)),
-      |(1074,-6474071944468057*power(2.0,-50)),
-      |(1075,-5906371114268104*power(2.0,-53)),
-      |(1076,-8001510919301562*power(2.0,-50)),
-      |(1077,-6895758613370850*power(2.0,-50)),
-      |(1078,-5793347095503180*power(2.0,-49)),
-      |(1079,-5239997096272424*power(2.0,-49)),
-      |(1081,-4801336594032582*power(2.0,-50)),
-      |(1082,-4899378886142580*power(2.0,-49)),
-      |(1083,-7037903273809856*power(2.0,-52)),
-      |(1084,-7235904811155432*power(2.0,-52)),
-      |(1085,-7076504521980487*power(2.0,-50)),
-      |(1086,-6423612009520936*power(2.0,-49)),
-      |(1087,-5928533745476535*power(2.0,-50)),
-      |(1088,-7253265419117204*power(2.0,-50)),
-      |(1089,-4700619558739168*power(2.0,-49)),
-      |(1091,-6988054635046383*power(2.0,-50)),
-      |(1092,-6441292589616569*power(2.0,-50)),
-      |(1093,-5828140851987054*power(2.0,-49)),
-      |(1094,-8172488506341432*power(2.0,-51)),
-      |(1095,-8951060179199959*power(2.0,-50)),
-      |(1096,-6748555605502843*power(2.0,-50)),
-      |(1097,-5635905927995969*power(2.0,-50)),
-      |(1098,-8907702363971116*power(2.0,-50)),
-      |(1099,-4678755108945473*power(2.0,-50)),
-      |(1101,-7554661868340795*power(2.0,-50)),
-      |(1102,-4867108593440044*power(2.0,-50)),
-      |(1103,-6006584109962920*power(2.0,-52)),
-      |(1104,-8862125658306936*power(2.0,-53)),
-      |(1105,-7510865097954330*power(2.0,-49)),
-      |(1106,-5541099050110514*power(2.0,-49)),
-      |(1107,-5286045104655042*power(2.0,-51)),
-      |(1108,-6750870911712935*power(2.0,-50)),
-      |(1109,-5336680854553691*power(2.0,-49)),
-      |(1111,-8280965044737094*power(2.0,-51)),
-      |(1112,-6909909917744533*power(2.0,-49)),
-      |(1113,-6288693112844270*power(2.0,-49)),
-      |(1114,-4838696727601914*power(2.0,-49)),
-      |(1115,-4802243745176120*power(2.0,-53)),
-      |(1116,-7321514904765914*power(2.0,-50)),
-      |(1117,-5664071742274832*power(2.0,-50)),
-      |(1118,-8357335828020914*power(2.0,-50)),
-      |(1119,-8669639584363369*power(2.0,-50)),
-      |(1121,-5893004444244861*power(2.0,-50)),
-      |(1122,-8499938068414838*power(2.0,-51)),
-      |(1123,-5320954484272866*power(2.0,-50)),
-      |(1124,-4715298010621928*power(2.0,-52)),
-      |(1125,-7637913082801997*power(2.0,-50)),
-      |(1126,-5015442381473496*power(2.0,-50)),
-      |(1127,-4655653996564684*power(2.0,-51)),
-      |(1128,-4949228201040324*power(2.0,-49)),
-      |(1129,-6372902510101472*power(2.0,-51)),
-      |(1131,-5815849761504522*power(2.0,-50)),
-      |(1132,-5385316157342777*power(2.0,-50)),
-      |(1133,-6647897315187286*power(2.0,-51)),
-      |(1134,-6990396847412016*power(2.0,-52)),
-      |(1135,-5520910838521196*power(2.0,-51)),
-      |(1136,-4984051436447616*power(2.0,-49)),
-      |(1137,-5215861038921828*power(2.0,-49)),
-      |(1138,-6976998117240696*power(2.0,-49)),
-      |(1139,-8332037634196459*power(2.0,-50)),
-      |(1141,-5776182776490542*power(2.0,-49)),
-      |(1142,-7873324494432025*power(2.0,-50)),
-      |(1143,-7393494656065102*power(2.0,-50)),
-      |(1144,-7777203967076340*power(2.0,-51)),
-      |(1145,-6683463929616198*power(2.0,-51)),
-      |(1146,-8128319498025004*power(2.0,-52)),
-      |(1147,-7758935724763216*power(2.0,-53)),
-      |(1148,-7075759122554418*power(2.0,-49)),
-      |(1149,-6851382411296271*power(2.0,-50)),
-      |(1151,-8014362716872579*power(2.0,-50)),
-      |(1152,-5328024796587670*power(2.0,-49)),
-      |(1153,-6135263105410586*power(2.0,-49)),
-      |(1154,-8855257067148912*power(2.0,-50)),
-      |(1155,-6774229640046201*power(2.0,-49)),
-      |(1156,-7837710957171880*power(2.0,-50)),
-      |(1157,-8698663883667401*power(2.0,-50)),
-      |(1158,-6764692396317940*power(2.0,-51)),
-      |(1159,-8687163360614473*power(2.0,-50)),
-      |(1161,-7951536718599495*power(2.0,-50)),
-      |(1162,-5572012443423543*power(2.0,-49)),
-      |(1163,-5155074017527404*power(2.0,-49)),
-      |(1164,-4571148621003764*power(2.0,-51)),
-      |(1165,-6745725310853642*power(2.0,-50)),
-      |(1166,-4813931703746540*power(2.0,-52)),
-      |(1167,-7027871871753784*power(2.0,-50)),
-      |(1168,-7599471296902572*power(2.0,-50)),
-      |(1169,-4895729841571145*power(2.0,-50)),
-      |(1171,-5818014359379648*power(2.0,-55)),
-      |(1172,-5335289278542087*power(2.0,-50)),
-      |(1173,-7116201964544062*power(2.0,-49)),
-      |(1174,-7910657770029728*power(2.0,-50)),
-      |(1175,-6000126209967998*power(2.0,-49)),
-      |(1176,-7409963259754992*power(2.0,-51)),
-      |(1177,-5616347208330578*power(2.0,-51)),
-      |(1178,-4731619014490860*power(2.0,-51)),
-      |(1179,-5637930541425403*power(2.0,-50)),
-      |(1181,-7047265805612118*power(2.0,-51)),
-      |(1182,-7768813720907440*power(2.0,-51)),
-      |(1183,-5287188868372920*power(2.0,-52)),
-      |(1184,-5376480335204716*power(2.0,-50)),
-      |(1185,-7227036856211224*power(2.0,-51)),
-      |(1186,-6690294026214570*power(2.0,-49)),
-      |(1187,-7197343326447286*power(2.0,-49)),
-      |(1188,-7656892046648837*power(2.0,-49)),
-      |(1189,-5123325367097927*power(2.0,-50)),
-      |(1191,-8484171936980072*power(2.0,-51)),
-      |(1192,-8678288190895882*power(2.0,-50)),
-      |(1193,-7941879011244162*power(2.0,-51)),
-      |(1194,-4911229224666602*power(2.0,-49)),
-      |(1195,-7426332752488174*power(2.0,-51)),
-      |(1196,-5467371264641416*power(2.0,-51)),
-      |(1197,-5176862379395290*power(2.0,-49)),
-      |(1198,-5870992173381536*power(2.0,-49)),
-      |(1199,-5476570481060551*power(2.0,-49)),
-      |(1201,-5208061724022791*power(2.0,-50)),
-      |(1202,-8635709470420496*power(2.0,-50)),
-      |(1203,-5608021000735552*power(2.0,-52)),
-      |(1204,-4673786722670600*power(2.0,-49)),
-      |(1205,-4606295338589798*power(2.0,-50)),
-      |(1206,-5339127077618670*power(2.0,-49)),
-      |(1207,-5723239283366254*power(2.0,-49)),
-      |(1208,-5251759483847006*power(2.0,-50)),
-      |(1209,-7973662330087034*power(2.0,-50)),
-      |(1211,-4651788242918160*power(2.0,-51)),
-      |(1212,-6235163867134149*power(2.0,-49)),
-      |(1213,-7587312686888144*power(2.0,-51)),
-      |(1214,-8761593480943510*power(2.0,-50)),
-      |(1215,-5671178887032469*power(2.0,-50)),
-      |(1216,-8782684704748004*power(2.0,-52)),
-      |(1217,-7824003079074926*power(2.0,-51)),
-      |(1218,-7204534927015982*power(2.0,-50)),
-      |(1219,-6814451412447220*power(2.0,-52)),
-      |(1221,-6169060941990496*power(2.0,-50)),
-      |(1222,-8990682924404796*power(2.0,-51)),
-      |(1223,-5824526169105088*power(2.0,-53)),
-      |(1224,-7353353029314560*power(2.0,-60)),
-      |(1225,-7491318195534729*power(2.0,-50)),
-      |(1226,-7946522826264914*power(2.0,-50)),
-      |(1227,-7505850272921510*power(2.0,-51)),
-      |(1228,-8923147849920512*power(2.0,-52)),
-      |(1229,-8829857881351695*power(2.0,-50)),
-      |(1231,-6890186961634380*power(2.0,-52)),
-      |(1232,-7122479887847650*power(2.0,-51)),
-      |(1233,-8951551648207153*power(2.0,-50)),
-      |(1234,-5576426752645088*power(2.0,-51)),
-      |(1235,-6735281288648886*power(2.0,-51)),
-      |(1236,-4606115807525894*power(2.0,-51)),
-      |(1237,-4559647033270286*power(2.0,-51)),
-      |(1238,-6987299793217026*power(2.0,-50)),
-      |(1239,-7283679702748946*power(2.0,-50)),
-      |(1241,-5291368601651986*power(2.0,-49)),
-      |(1242,-8335392609430002*power(2.0,-50)),
-      |(1243,-5230143802155248*power(2.0,-52)),
-      |(1244,-8642977933782049*power(2.0,-50)),
-      |(1245,-4835551021126788*power(2.0,-49)),
-      |(1246,-5080035876517690*power(2.0,-49)),
-      |(1247,-7596619128428852*power(2.0,-50)),
-      |(1248,-5748528827172214*power(2.0,-49)),
-      |(1249,-8967773228829100*power(2.0,-50)),
-      |(1251,-8270840033534618*power(2.0,-50)),
-      |(1252,-5953972071686245*power(2.0,-50)),
-      |(1253,-6908384002959782*power(2.0,-49)),
-      |(1254,-4636497042705399*power(2.0,-49)),
-      |(1255,-7245266386437108*power(2.0,-49)),
-      |(1256,-6788775735375807*power(2.0,-50)),
-      |(1257,-4536538991063828*power(2.0,-49)),
-      |(1258,-5348736839134987*power(2.0,-49)),
-      |(1259,-5282302052048212*power(2.0,-49)),
-      |(1261,-7243754016405208*power(2.0,-51)),
-      |(1262,-7128756176938312*power(2.0,-50)),
-      |(1263,-8072711281814851*power(2.0,-50)),
-      |(1264,-7782464641743344*power(2.0,-50)),
-      |(1265,-5188064693165510*power(2.0,-49)),
-      |(1266,-6020921442664244*power(2.0,-49)),
-      |(1267,-6898121630899321*power(2.0,-50)),
-      |(1268,-5417311596597842*power(2.0,-49)),
-      |(1269,-6383197440100889*power(2.0,-49)),
-      |(1271,-4926291495839670*power(2.0,-49)),
-      |(1272,-6033544192718147*power(2.0,-49)),
-      |(1273,-8042963189390869*power(2.0,-50)),
-      |(1274,-6018628590001640*power(2.0,-52)),
-      |(1275,-6262754273061168*power(2.0,-51)),
-      |(1276,-5124884234431264*power(2.0,-49)),
-      |(1277,-7764339712295742*power(2.0,-49)),
-      |(1278,-5867904772247068*power(2.0,-49)),
-      |(1279,-5739033201755160*power(2.0,-49)),
-      |(1281,-8893274507494304*power(2.0,-50)),
-      |(1282,-5144188863783795*power(2.0,-50)),
-      |(1283,-6075256458110984*power(2.0,-49)),
-      |(1284,-4568216946502764*power(2.0,-52)),
-      |(1285,-4859080084749668*power(2.0,-50)),
-      |(1286,-5752054211198752*power(2.0,-51)),
-      |(1287,-5641109565395772*power(2.0,-49)),
-      |(1288,-7994888679954980*power(2.0,-50)),
-      |(1289,-4533096341084606*power(2.0,-49)),
-      |(1291,-6002739759611369*power(2.0,-50)),
-      |(1292,-4760419877022552*power(2.0,-49)),
-      |(1293,-5907812948461076*power(2.0,-49)),
-      |(1294,-5952983866747882*power(2.0,-49)),
-      |(1295,-6333751450267524*power(2.0,-52)),""".stripMargin,
-    """(1296,-4507435752976677*power(2.0,-50)),
-      |(1297,-4669509171518445*power(2.0,-50)),
-      |(1298,-7427739140814966*power(2.0,-51)),
-      |(1299,-7150858153370548*power(2.0,-49)),
-      |(1301,-4552271947450284*power(2.0,-51)),
-      |(1302,-7979215369922777*power(2.0,-50)),
-      |(1303,-6394546087725627*power(2.0,-49)),
-      |(1304,-8828573017191954*power(2.0,-51)),
-      |(1305,-8265894622184716*power(2.0,-50)),
-      |(1306,-7320161974362123*power(2.0,-50)),
-      |(1307,-5137504468064176*power(2.0,-49)),
-      |(1308,-5494757155345577*power(2.0,-50)),
-      |(1309,-8580117435751716*power(2.0,-51)),
-      |(1311,-5878686291870092*power(2.0,-50)),
-      |(1312,-4672495109401928*power(2.0,-49)),
-      |(1313,-8128396203044493*power(2.0,-49)),
-      |(1314,-7565764727196540*power(2.0,-51)),
-      |(1315,-5528263351191554*power(2.0,-51)),
-      |(1316,-5726183683194276*power(2.0,-49)),
-      |(1317,-7933239276776283*power(2.0,-50)),
-      |(1318,-5453932769598249*power(2.0,-49)),
-      |(1319,-8791755198431324*power(2.0,-49)),
-      |(1321,-6054818109835214*power(2.0,-50)),
-      |(1322,-5691441469847014*power(2.0,-50)),
-      |(1323,-7606020479302471*power(2.0,-50)),
-      |(1324,-5929806083075751*power(2.0,-49)),
-      |(1325,-6408328880670780*power(2.0,-49)),
-      |(1326,-7038439979899162*power(2.0,-49)),
-      |(1327,-8196147621846842*power(2.0,-51)),
-      |(1328,-4734994464991765*power(2.0,-50)),
-      |(1329,-7396440400787295*power(2.0,-50)),
-      |(1331,-5356437225518231*power(2.0,-50)),
-      |(1332,-6648121351424503*power(2.0,-49)),
-      |(1333,-5700764433699833*power(2.0,-49)),
-      |(1334,-7964412806451722*power(2.0,-50)),
-      |(1335,-7012036405820680*power(2.0,-52)),
-      |(1336,-7564719653614942*power(2.0,-49)),
-      |(1337,-7011804821011140*power(2.0,-50)),
-      |(1338,-5306192078281156*power(2.0,-49)),
-      |(1339,-5173628181762880*power(2.0,-49)),
-      |(1341,-4825079500480884*power(2.0,-50)),
-      |(1342,-6045085102256736*power(2.0,-54)),
-      |(1343,-8526217271755036*power(2.0,-51)),
-      |(1344,-6676273593005422*power(2.0,-50)),
-      |(1345,-6896830709163028*power(2.0,-52)),
-      |(1346,-5086966599578623*power(2.0,-50)),
-      |(1347,-6659602203633973*power(2.0,-50)),
-      |(1348,-5764872208268486*power(2.0,-49)),
-      |(1349,-8231288313103077*power(2.0,-50)),
-      |(1351,-5498626709065343*power(2.0,-49)),
-      |(1352,-7970164296629671*power(2.0,-50)),
-      |(1353,-5001120705134894*power(2.0,-49)),
-      |(1354,-8894309221288293*power(2.0,-50)),
-      |(1355,-5582241734452208*power(2.0,-52)),
-      |(1356,-6265346101989102*power(2.0,-50)),
-      |(1357,-8263597067985284*power(2.0,-50)),
-      |(1358,-7593134695841368*power(2.0,-51)),
-      |(1359,-7380327955371821*power(2.0,-50)),
-      |(1361,-6494832129258432*power(2.0,-49)),
-      |(1362,-6060719418371998*power(2.0,-51)),
-      |(1363,-8853165243709798*power(2.0,-51)),
-      |(1364,-5744447212686329*power(2.0,-50)),
-      |(1365,-5397568807321406*power(2.0,-49)),
-      |(1366,-5823918444833766*power(2.0,-50)),
-      |(1367,-4882408920767961*power(2.0,-50)),
-      |(1368,-4638123668256752*power(2.0,-50)),
-      |(1369,-7632219408502013*power(2.0,-50)),
-      |(1371,-5605229884087434*power(2.0,-49)),
-      |(1372,-6475888610264599*power(2.0,-49)),
-      |(1373,-8319031778487938*power(2.0,-51)),
-      |(1374,-6348171936347314*power(2.0,-51)),
-      |(1375,-7940175927600146*power(2.0,-49)),
-      |(1376,-5205757700461257*power(2.0,-49)),
-      |(1377,-8947781361135050*power(2.0,-51)),
-      |(1378,-8368630341024709*power(2.0,-50)),
-      |(1379,-4657294355377325*power(2.0,-50)),
-      |(1381,-5888249084657739*power(2.0,-50)),
-      |(1382,-7568917567407394*power(2.0,-50)),
-      |(1383,-6507789432683003*power(2.0,-50)),
-      |(1384,-8464081835996373*power(2.0,-50)),
-      |(1385,-7005307239883115*power(2.0,-50)),
-      |(1386,-5384725455780920*power(2.0,-49)),
-      |(1387,-5384297554457712*power(2.0,-52)),
-      |(1388,-5036927673117180*power(2.0,-52)),
-      |(1389,-4891934822859966*power(2.0,-50)),
-      |(1391,-5316656419027213*power(2.0,-50)),
-      |(1392,-5846094399567890*power(2.0,-50)),
-      |(1393,-6723523770398585*power(2.0,-50)),
-      |(1394,-8437924427290336*power(2.0,-50)),
-      |(1395,-6311034451160520*power(2.0,-49)),
-      |(1396,-7189941840315532*power(2.0,-49)),
-      |(1397,-5467314897906411*power(2.0,-50)),
-      |(1398,-7066469174769775*power(2.0,-50)),
-      |(1399,-4780974908173898*power(2.0,-51)),
-      |(1401,-4836740202566814*power(2.0,-49)),
-      |(1402,-5662605715049308*power(2.0,-49)),
-      |(1403,-5528895525916630*power(2.0,-51)),
-      |(1404,-7749764558565315*power(2.0,-50)),
-      |(1405,-7487047323829641*power(2.0,-50)),
-      |(1406,-6765426997741590*power(2.0,-51)),
-      |(1407,-7788434875542288*power(2.0,-52)),
-      |(1408,-7446134828484525*power(2.0,-50)),
-      |(1409,-6507569263381952*power(2.0,-49)),
-      |(1411,-8695534949690024*power(2.0,-52)),
-      |(1412,-7183718957006824*power(2.0,-53)),
-      |(1413,-7779539317225864*power(2.0,-51)),
-      |(1414,-5827907273439244*power(2.0,-49)),
-      |(1415,-6145649653793638*power(2.0,-49)),
-      |(1416,-4996242485247267*power(2.0,-49)),
-      |(1417,-5062273191236014*power(2.0,-51)),
-      |(1418,-6016077663783000*power(2.0,-53)),
-      |(1419,-6486821018802188*power(2.0,-49)),
-      |(1421,-6383663485033895*power(2.0,-50)),
-      |(1422,-5305909186197894*power(2.0,-49)),
-      |(1423,-5532536192571962*power(2.0,-50)),
-      |(1424,-4568759333270528*power(2.0,-51)),
-      |(1425,-4880643861448995*power(2.0,-50)),
-      |(1426,-5663237455402682*power(2.0,-50)),
-      |(1427,-7711796872454604*power(2.0,-52)),
-      |(1428,-8000477839120448*power(2.0,-49)),
-      |(1429,-7966511177633223*power(2.0,-50)),
-      |(1431,-4514888262754648*power(2.0,-50)),
-      |(1432,-8489049293864916*power(2.0,-50)),
-      |(1433,-5988234923204263*power(2.0,-49)),
-      |(1434,-8914410447183615*power(2.0,-50)),
-      |(1435,-4533569723052660*power(2.0,-50)),
-      |(1436,-8211181148306074*power(2.0,-51)),
-      |(1437,-7546852070561837*power(2.0,-49)),
-      |(1438,-5574273358822473*power(2.0,-49)),
-      |(1439,-8993221061799630*power(2.0,-51)),
-      |(1441,-5968626754419956*power(2.0,-51)),
-      |(1442,-6984729198797650*power(2.0,-49)),
-      |(1443,-6260739252863492*power(2.0,-49)),
-      |(1444,-8543351952186883*power(2.0,-50)),
-      |(1445,-7437463050528395*power(2.0,-49)),
-      |(1446,-6683230843165008*power(2.0,-51)),
-      |(1447,-8978516804547824*power(2.0,-53)),
-      |(1448,-6966412484263755*power(2.0,-50)),
-      |(1449,-7448748172795206*power(2.0,-51)),
-      |(1451,-5985457600508222*power(2.0,-50)),
-      |(1452,-5820371663063302*power(2.0,-49)),
-      |(1453,-7827152459205903*power(2.0,-50)),
-      |(1454,-5106067999154949*power(2.0,-50)),
-      |(1455,-8684422032222057*power(2.0,-50)),
-      |(1456,-6516988091109416*power(2.0,-51)),
-      |(1457,-4594190760291250*power(2.0,-49)),
-      |(1458,-6854047038303072*power(2.0,-49)),
-      |(1459,-8087213161869190*power(2.0,-50)),
-      |(1461,-6398655366070802*power(2.0,-50)),
-      |(1462,-7258846545090828*power(2.0,-51)),
-      |(1463,-4677673801899286*power(2.0,-49)),
-      |(1464,-6351597599859704*power(2.0,-50)),
-      |(1465,-4628087665565192*power(2.0,-49)),
-      |(1466,-7716706855712822*power(2.0,-51)),
-      |(1467,-8977671854711904*power(2.0,-52)),
-      |(1468,-4780585151218035*power(2.0,-50)),
-      |(1469,-6663990099594566*power(2.0,-51)),
-      |(1471,-8785887787838180*power(2.0,-50)),
-      |(1472,-6360217881297972*power(2.0,-51)),
-      |(1473,-8123771290022762*power(2.0,-50)),
-      |(1474,-6339652985093454*power(2.0,-49)),
-      |(1475,-7666251757508704*power(2.0,-50)),
-      |(1476,-8259691937316135*power(2.0,-50)),
-      |(1477,-8545461735653455*power(2.0,-50)),
-      |(1478,-7103936165547693*power(2.0,-50)),
-      |(1479,-5111880811417247*power(2.0,-49)),
-      |(1481,-5015158143541464*power(2.0,-50)),
-      |(1482,-5187571833052522*power(2.0,-49)),
-      |(1483,-7311233124749553*power(2.0,-50)),
-      |(1484,-8688671566012975*power(2.0,-50)),
-      |(1485,-7406707990964098*power(2.0,-51)),
-      |(1486,-4967933639422144*power(2.0,-49)),
-      |(1487,-6486881372555288*power(2.0,-50)),
-      |(1488,-5899110633380828*power(2.0,-49)),
-      |(1489,-4982896980339492*power(2.0,-49)),
-      |(1491,-8398276533187320*power(2.0,-50)),
-      |(1492,-8597834711221409*power(2.0,-50)),
-      |(1493,-4872709366256516*power(2.0,-48)),
-      |(1494,-7603451603463264*power(2.0,-50)),
-      |(1495,-6402040174807180*power(2.0,-51)),
-      |(1496,-6196176503068954*power(2.0,-50)),
-      |(1497,-4926897107253208*power(2.0,-50)),
-      |(1498,-7576912642833307*power(2.0,-50)),
-      |(1499,-7188821654382015*power(2.0,-50)),
-      |(1501,-5282640332899618*power(2.0,-49)),
-      |(1502,-5766301863153752*power(2.0,-50)),
-      |(1503,-4772648937510745*power(2.0,-49)),
-      |(1504,-7905571531981129*power(2.0,-50)),
-      |(1505,-5575856485516949*power(2.0,-50)),
-      |(1506,-7281087513601214*power(2.0,-50)),
-      |(1507,-5960135641446818*power(2.0,-49)),
-      |(1508,-8461047014285198*power(2.0,-51)),
-      |(1509,-7505043876477675*power(2.0,-50)),
-      |(1511,-6652294001330076*power(2.0,-51)),
-      |(1512,-6071175654494360*power(2.0,-50)),
-      |(1513,-5445817864820064*power(2.0,-49)),
-      |(1514,-6668278464921329*power(2.0,-49)),
-      |(1515,-4997838410447740*power(2.0,-52)),
-      |(1516,5502000721152288*power(2.0,-55)),
-      |(1517,-5596558157743314*power(2.0,-51)),
-      |(1518,-8085214402949153*power(2.0,-50)),
-      |(1519,-6482200249598392*power(2.0,-49)),
-      |(1521,-7513213459949588*power(2.0,-51)),
-      |(1522,-6603600055661908*power(2.0,-51)),
-      |(1523,-8855843839046604*power(2.0,-52)),
-      |(1524,-5815150627712246*power(2.0,-50)),
-      |(1525,-7475120473052926*power(2.0,-51)),
-      |(1526,-7793475006443336*power(2.0,-51)),
-      |(1527,-7823549750071636*power(2.0,-51)),
-      |(1528,-5831050701644664*power(2.0,-49)),
-      |(1529,-6124822336946734*power(2.0,-51)),
-      |(1531,-8793353876011563*power(2.0,-50)),
-      |(1532,-5006378139650938*power(2.0,-49)),
-      |(1533,-6774506843766338*power(2.0,-49)),
-      |(1534,-6055515396073342*power(2.0,-49)),
-      |(1535,-6054507688472992*power(2.0,-49)),
-      |(1536,-5827434306313749*power(2.0,-50)),
-      |(1537,-7570339610345068*power(2.0,-49)),
-      |(1538,-6415667097379340*power(2.0,-49)),
-      |(1539,-5139145978400912*power(2.0,-49)),
-      |(1541,-7114420554536976*power(2.0,-50)),
-      |(1542,-4822514300602096*power(2.0,-49)),
-      |(1543,-5407362465778924*power(2.0,-49)),
-      |(1544,-4626002399329497*power(2.0,-50)),
-      |(1545,-6718531995846018*power(2.0,-51)),
-      |(1546,-6934764135287877*power(2.0,-50)),
-      |(1547,-8436226938557076*power(2.0,-51)),
-      |(1548,-4899964460061584*power(2.0,-49)),
-      |(1549,-5586679565418490*power(2.0,-51)),
-      |(1551,-7105297682211899*power(2.0,-50)),
-      |(1552,-8832647478507603*power(2.0,-50)),
-      |(1553,-6944822214408952*power(2.0,-49)),
-      |(1554,-7816582093561966*power(2.0,-50)),
-      |(1555,-8329231302421710*power(2.0,-50)),
-      |(1556,-8348972128436282*power(2.0,-49)),
-      |(1557,-7456533952955581*power(2.0,-49)),
-      |(1558,-4593052689200471*power(2.0,-50)),
-      |(1559,-7481988039125798*power(2.0,-49)),
-      |(1561,-7594228774463404*power(2.0,-51)),
-      |(1562,-5207136384141880*power(2.0,-51)),
-      |(1563,-4526163177845750*power(2.0,-49)),
-      |(1564,-7315177386673783*power(2.0,-50)),
-      |(1565,-6737723832163499*power(2.0,-50)),
-      |(1566,-7138160302625743*power(2.0,-50)),
-      |(1567,-6038126048608927*power(2.0,-50)),
-      |(1568,-6273312840273556*power(2.0,-52)),
-      |(1569,-6986667743355998*power(2.0,-51)),
-      |(1571,-5659805392933158*power(2.0,-51)),
-      |(1572,-6412576160586674*power(2.0,-50)),
-      |(1573,-4893960252097504*power(2.0,-52)),
-      |(1574,-6909892983787676*power(2.0,-51)),
-      |(1575,-5822635569036144*power(2.0,-50)),
-      |(1576,-6841573515412653*power(2.0,-50)),
-      |(1577,-5687953993440280*power(2.0,-51)),
-      |(1578,-4606717766079091*power(2.0,-50)),
-      |(1579,-7175257380033168*power(2.0,-52)),
-      |(1581,-7476649336014964*power(2.0,-49)),
-      |(1582,-5526921722641526*power(2.0,-49)),
-      |(1583,-5633887340246106*power(2.0,-49)),
-      |(1584,-8128307959266218*power(2.0,-49)),
-      |(1585,-5107530909612263*power(2.0,-49)),
-      |(1586,-8466810195719258*power(2.0,-51)),
-      |(1587,-5914417881516443*power(2.0,-50)),
-      |(1588,-7374638037111908*power(2.0,-50)),
-      |(1589,-7336652415051400*power(2.0,-50)),
-      |(1591,-6421775403468600*power(2.0,-52)),
-      |(1592,-5547978667881360*power(2.0,-49)),
-      |(1593,-8103420444513064*power(2.0,-52)),
-      |(1594,-6318620894864058*power(2.0,-50)),
-      |(1595,-4781831622520344*power(2.0,-52)),
-      |(1596,-5239320179662364*power(2.0,-49)),
-      |(1597,-4509401463619122*power(2.0,-51)),
-      |(1598,-5921905126520928*power(2.0,-50)),
-      |(1599,-7641313655452143*power(2.0,-50)),
-      |(1601,-7570892671355996*power(2.0,-52)),
-      |(1602,-5916154703033009*power(2.0,-49)),
-      |(1603,-4748737014168568*power(2.0,-49)),
-      |(1604,-7128627087589082*power(2.0,-49)),
-      |(1605,-6218948349622276*power(2.0,-49)),
-      |(1606,-5438749009916371*power(2.0,-49)),
-      |(1607,-8816828470342544*power(2.0,-50)),
-      |(1608,-5422432152926824*power(2.0,-50)),
-      |(1609,-6411305520959621*power(2.0,-50)),
-      |(1611,-4835936999073216*power(2.0,-51)),
-      |(1612,-6110398883033692*power(2.0,-49)),
-      |(1613,-6069441514308399*power(2.0,-50)),
-      |(1614,-6506895009863006*power(2.0,-49)),
-      |(1615,-4809959547550921*power(2.0,-49)),
-      |(1616,-6595960582179430*power(2.0,-51)),
-      |(1617,-7035231768720758*power(2.0,-51)),
-      |(1618,-6313989521065496*power(2.0,-50)),
-      |(1619,-6669251863197702*power(2.0,-51)),
-      |(1621,-4871970823822337*power(2.0,-49)),
-      |(1622,-5954921284692274*power(2.0,-49)),
-      |(1623,-7326879254276464*power(2.0,-53)),
-      |(1624,-6129750442120290*power(2.0,-51)),
-      |(1625,-7342124337579756*power(2.0,-50)),
-      |(1626,-5758193796247520*power(2.0,-49)),
-      |(1627,-6048434883176202*power(2.0,-49)),
-      |(1628,-7249904777061343*power(2.0,-50)),
-      |(1629,-4884872853821358*power(2.0,-51)),
-      |(1631,-6599806858343120*power(2.0,-52)),
-      |(1632,-6510876033381828*power(2.0,-50)),
-      |(1633,-7308485015713286*power(2.0,-50)),
-      |(1634,-6804293373618981*power(2.0,-49)),
-      |(1635,-7798120274192223*power(2.0,-50)),
-      |(1636,-7338135145683604*power(2.0,-49)),
-      |(1637,-6117557796173542*power(2.0,-51)),
-      |(1638,-5590739853999916*power(2.0,-49)),
-      |(1639,-4777621323256382*power(2.0,-49)),
-      |(1641,-7647159952808040*power(2.0,-53)),
-      |(1642,-5134052037175895*power(2.0,-49)),
-      |(1643,-4611328366699143*power(2.0,-49)),
-      |(1644,-5519245480544795*power(2.0,-49)),
-      |(1645,-8883312869273008*power(2.0,-50)),
-      |(1646,-7388716627499656*power(2.0,-52)),
-      |(1647,-5857171804961144*power(2.0,-49)),
-      |(1648,-6907184992900216*power(2.0,-49)),
-      |(1649,-7445783483032672*power(2.0,-49)),
-      |(1651,-6295273843785232*power(2.0,-49)),
-      |(1652,-8390993157239060*power(2.0,-52)),
-      |(1653,-4813775492568628*power(2.0,-50)),
-      |(1654,-4962944840809554*power(2.0,-50)),
-      |(1655,-6661004674108022*power(2.0,-51)),
-      |(1656,-7437574672224924*power(2.0,-52)),
-      |(1657,-5228460990644788*power(2.0,-49)),
-      |(1658,-5416599879055491*power(2.0,-49)),
-      |(1659,-5123436126071787*power(2.0,-50)),
-      |(1661,-4632853255251184*power(2.0,-51)),
-      |(1662,-5786235623240997*power(2.0,-49)),
-      |(1663,-5063162066529447*power(2.0,-49)),
-      |(1664,-7507629693775161*power(2.0,-50)),
-      |(1665,-7354367789953032*power(2.0,-51)),
-      |(1666,-5199726127164102*power(2.0,-50)),
-      |(1667,-6766409239647078*power(2.0,-51)),
-      |(1668,-5807506673216438*power(2.0,-50)),
-      |(1669,-4963032292220991*power(2.0,-50)),
-      |(1671,-8588985591873703*power(2.0,-50)),
-      |(1672,-6049762984046367*power(2.0,-50)),
-      |(1673,-7211966090797336*power(2.0,-52)),
-      |(1674,-5171802309900644*power(2.0,-49)),
-      |(1675,-6608210216671656*power(2.0,-49)),
-      |(1676,-8520134254323920*power(2.0,-52)),
-      |(1677,-5487913417400328*power(2.0,-51)),
-      |(1678,-8591936443248508*power(2.0,-50)),
-      |(1679,-7915063410996753*power(2.0,-50)),
-      |(1681,-7722184928613458*power(2.0,-51)),
-      |(1682,-8648940682478383*power(2.0,-50)),
-      |(1683,-7098269808043116*power(2.0,-49)),
-      |(1684,-6795628602920134*power(2.0,-49)),
-      |(1685,-5839108783469392*power(2.0,-52)),
-      |(1686,-6630165733162594*power(2.0,-50)),
-      |(1687,-7141947146736785*power(2.0,-50)),
-      |(1688,-4872013928785666*power(2.0,-49)),
-      |(1689,-8381900082618765*power(2.0,-50)),
-      |(1691,-7931444954804468*power(2.0,-51)),
-      |(1692,-8250858051515552*power(2.0,-51)),
-      |(1693,-5217929392831767*power(2.0,-50)),
-      |(1694,-5856715975095784*power(2.0,-49)),
-      |(1695,-8078941876209098*power(2.0,-51)),
-      |(1696,-5525645150046378*power(2.0,-50)),
-      |(1697,-7419584253103736*power(2.0,-52)),
-      |(1698,-8260309723854630*power(2.0,-51)),
-      |(1699,-6245917711529020*power(2.0,-52)),
-      |(1701,-6543095537377512*power(2.0,-49)),
-      |(1702,-6179773677682368*power(2.0,-49)),
-      |(1703,-4874919413734601*power(2.0,-49)),
-      |(1704,-8266432190429191*power(2.0,-50)),
-      |(1705,-7101114970540218*power(2.0,-49)),
-      |(1706,-8468355343736632*power(2.0,-50)),
-      |(1707,-8998153839169280*power(2.0,-52)),
-      |(1708,-7591304535807232*power(2.0,-52)),
-      |(1709,-7583921758780170*power(2.0,-49)),
-      |(1711,-7870910475929639*power(2.0,-50)),
-      |(1712,-8990008065153156*power(2.0,-52)),
-      |(1713,-8158615972533506*power(2.0,-51)),
-      |(1714,-8956108627153582*power(2.0,-51)),
-      |(1715,-4694986546589330*power(2.0,-50)),
-      |(1716,-4948883281209744*power(2.0,-53)),
-      |(1717,-4783629186926018*power(2.0,-49)),
-      |(1718,-5985833937501482*power(2.0,-49)),
-      |(1719,-5975171260885464*power(2.0,-53)),
-      |(1721,-7019446533130216*power(2.0,-52)),
-      |(1722,-5512096461004913*power(2.0,-49)),
-      |(1723,-8710736438019404*power(2.0,-50)),
-      |(1724,-5842032996875114*power(2.0,-51)),
-      |(1725,-6605563069375426*power(2.0,-50)),
-      |(1726,-6535203606256035*power(2.0,-50)),
-      |(1727,-8170072373653136*power(2.0,-49)),
-      |(1728,-5797005014109204*power(2.0,-50)),
-      |(1729,-4871716568251053*power(2.0,-49)),
-      |(1731,-5225405044267308*power(2.0,-49)),
-      |(1732,-8315073672883276*power(2.0,-49)),
-      |(1733,-8508799443855284*power(2.0,-51)),
-      |(1734,-4568847258863478*power(2.0,-49)),
-      |(1735,-5588612803955977*power(2.0,-50)),
-      |(1736,-6984416330936948*power(2.0,-50)),
-      |(1737,-6363290823040852*power(2.0,-51)),
-      |(1738,-5836218605950293*power(2.0,-49)),
-      |(1739,7220761116759424*power(2.0,-57)),
-      |(1741,-4939700018779299*power(2.0,-49)),
-      |(1742,-4736895725228537*power(2.0,-50)),
-      |(1743,-5799374478477848*power(2.0,-49)),
-      |(1744,-4971537278982360*power(2.0,-49)),
-      |(1745,-5001314073849500*power(2.0,-51)),
-      |(1746,-4562895607325563*power(2.0,-49)),
-      |(1747,-5042477258629269*power(2.0,-50)),
-      |(1748,-5273709211286800*power(2.0,-49)),
-      |(1749,-7766988075465174*power(2.0,-50)),
-      |(1751,-5965598555164697*power(2.0,-50)),
-      |(1752,-7214261898048620*power(2.0,-50)),
-      |(1753,-5771647984255631*power(2.0,-49)),
-      |(1754,-6190402759381128*power(2.0,-50)),
-      |(1755,-7198353633808759*power(2.0,-50)),
-      |(1756,-6585193677227502*power(2.0,-50)),
-      |(1757,-5997747486507872*power(2.0,-53)),
-      |(1758,-6890742541194224*power(2.0,-51)),
-      |(1759,-4984184451405114*power(2.0,-49)),
-      |(1761,-8519184988507638*power(2.0,-50)),
-      |(1762,-8987203267528448*power(2.0,-52)),
-      |(1763,-8427942880921436*power(2.0,-50)),
-      |(1764,-5832616790669834*power(2.0,-50)),
-      |(1765,-5343180852159259*power(2.0,-49)),
-      |(1766,-7880504386624072*power(2.0,-52)),
-      |(1767,-7219118001836996*power(2.0,-50)),
-      |(1768,-8177205555731296*power(2.0,-50)),
-      |(1769,-7131982673099772*power(2.0,-50)),
-      |(1771,-5506073648025644*power(2.0,-52)),
-      |(1772,-6910459340924346*power(2.0,-49)),
-      |(1773,-6354101936719068*power(2.0,-50)),
-      |(1774,-6513299439939302*power(2.0,-51)),
-      |(1775,-5958305861067480*power(2.0,-52)),
-      |(1776,-6510614966800736*power(2.0,-49)),
-      |(1777,-7350750812829040*power(2.0,-50)),
-      |(1778,-5402607966335564*power(2.0,-51)),
-      |(1779,-5702827717111245*power(2.0,-49)),
-      |(1781,-4852067785132594*power(2.0,-50)),
-      |(1782,-7210959932603926*power(2.0,-50)),
-      |(1783,-5064544670324793*power(2.0,-49)),
-      |(1784,-7700813184815906*power(2.0,-51)),
-      |(1785,-6534804126588577*power(2.0,-50)),
-      |(1786,-5672635636624527*power(2.0,-49)),
-      |(1787,-5879596599133466*power(2.0,-50)),
-      |(1788,-7300146941994818*power(2.0,-50)),
-      |(1789,-5527140588134600*power(2.0,-49)),
-      |(1791,-5771227316825277*power(2.0,-49)),
-      |(1792,-5676608729343985*power(2.0,-50)),
-      |(1793,-5151192171661869*power(2.0,-50)),
-      |(1794,-6942082099953180*power(2.0,-51)),
-      |(1795,-4616103721704770*power(2.0,-49)),
-      |(1796,-5197849718161012*power(2.0,-51)),
-      |(1797,-5798482429336190*power(2.0,-51)),
-      |(1798,-6046643592181904*power(2.0,-52)),
-      |(1799,-6751609238001941*power(2.0,-50)),
-      |(1801,-4964929140750596*power(2.0,-50)),
-      |(1802,-5703043697110557*power(2.0,-50)),
-      |(1803,-7783782782557462*power(2.0,-51)),
-      |(1804,-5539584736693448*power(2.0,-50)),
-      |(1805,-4779127763976791*power(2.0,-49)),
-      |(1806,-6154953019730071*power(2.0,-50)),
-      |(1807,-7779908650249768*power(2.0,-53)),
-      |(1808,-5587440186653745*power(2.0,-49)),
-      |(1809,-7963884031640888*power(2.0,-51)),
-      |(1811,-5351993577659193*power(2.0,-49)),
-      |(1812,-4912913156107761*power(2.0,-50)),
-      |(1813,-8897639894561213*power(2.0,-50)),
-      |(1814,-7909656505885688*power(2.0,-50)),
-      |(1815,-6457768749571494*power(2.0,-51)),
-      |(1816,-5325918157517251*power(2.0,-50)),
-      |(1817,-5692842591905447*power(2.0,-49)),
-      |(1818,-6795530018557794*power(2.0,-49)),
-      |(1819,-6994089178028908*power(2.0,-50)),
-      |(1821,-8394476866664473*power(2.0,-50)),
-      |(1822,-5707046278245864*power(2.0,-49)),
-      |(1823,-6142330561851744*power(2.0,-51)),
-      |(1824,-7911753547657261*power(2.0,-50)),
-      |(1825,-6825724298932266*power(2.0,-50)),
-      |(1826,-8084649229377105*power(2.0,-50)),
-      |(1827,-8358168366566046*power(2.0,-51)),
-      |(1828,-4650661166516788*power(2.0,-49)),
-      |(1829,-4779733866091670*power(2.0,-51)),
-      |(1831,-4532084587973432*power(2.0,-50)),
-      |(1832,-4922579593799450*power(2.0,-49)),
-      |(1833,-4850365416089726*power(2.0,-49)),
-      |(1834,-5440164866163534*power(2.0,-49)),
-      |(1835,-7728598134488750*power(2.0,-49)),
-      |(1836,-5704474310262491*power(2.0,-50)),
-      |(1837,-4903549649780784*power(2.0,-50)),
-      |(1838,-5979660406700126*power(2.0,-49)),
-      |(1839,-8794774049133788*power(2.0,-51)),
-      |(1841,-5470898254862904*power(2.0,-49)),
-      |(1842,-5435693467259600*power(2.0,-52)),
-      |(1843,-6763895330125200*power(2.0,-49)),
-      |(1844,-6796318667776449*power(2.0,-50)),
-      |(1845,-7654003959150821*power(2.0,-50)),
-      |(1846,-8991314105536954*power(2.0,-51)),
-      |(1847,-4535714315727733*power(2.0,-49)),
-      |(1848,-4720531710612676*power(2.0,-49)),
-      |(1849,-7707804801783202*power(2.0,-51)),
-      |(1851,-7687784297456062*power(2.0,-51)),
-      |(1852,-5545279994813074*power(2.0,-51)),
-      |(1853,-8035426759466878*power(2.0,-50)),
-      |(1854,-5187885593764811*power(2.0,-50)),
-      |(1855,-8612249825428838*power(2.0,-51)),
-      |(1856,-6335129408432866*power(2.0,-51)),
-      |(1857,-7656545041064733*power(2.0,-50)),
-      |(1858,-8345671941220871*power(2.0,-50)),
-      |(1859,-6977462180886243*power(2.0,-49)),
-      |(1861,-8038859252647084*power(2.0,-49)),
-      |(1862,-6076272962072300*power(2.0,-51)),
-      |(1863,-5666507580092079*power(2.0,-49)),
-      |(1864,-4811301724155136*power(2.0,-49)),
-      |(1865,-6586274240949084*power(2.0,-52)),
-      |(1866,-5459362881624717*power(2.0,-50)),
-      |(1867,-8000116480336308*power(2.0,-50)),
-      |(1868,-5536962533171229*power(2.0,-49)),
-      |(1869,-6713923264184008*power(2.0,-50)),
-      |(1871,-4809907937797208*power(2.0,-49)),
-      |(1872,-6803512622537287*power(2.0,-50)),
-      |(1873,-6945308844263486*power(2.0,-51)),
-      |(1874,-8767816028808822*power(2.0,-50)),
-      |(1875,-4931745012838966*power(2.0,-51)),
-      |(1876,-6926826865666917*power(2.0,-50)),
-      |(1877,-5227175458759768*power(2.0,-49)),
-      |(1878,-7141797202157862*power(2.0,-50)),
-      |(1879,-8359965844968400*power(2.0,-53)),
-      |(1881,-5669621390099359*power(2.0,-50)),
-      |(1882,-8289226916864696*power(2.0,-50)),
-      |(1883,-4913148478994511*power(2.0,-49)),
-      |(1884,-5356172099221991*power(2.0,-49)),
-      |(1885,-8464614300994616*power(2.0,-51)),
-      |(1886,-5153786916172574*power(2.0,-50)),
-      |(1887,-7243688647704910*power(2.0,-49)),
-      |(1888,-8232712993977444*power(2.0,-52)),
-      |(1889,-7830155105446898*power(2.0,-50)),
-      |(1891,-7832084785850106*power(2.0,-50)),
-      |(1892,-5909155531784061*power(2.0,-50)),
-      |(1893,-8175892114197644*power(2.0,-49)),
-      |(1894,-5946516407200797*power(2.0,-50)),
-      |(1895,-8495007874171864*power(2.0,-49)),
-      |(1896,-5142548085754094*power(2.0,-49)),
-      |(1897,-7466662354312250*power(2.0,-49)),
-      |(1898,-8786966294478656*power(2.0,-52)),
-      |(1899,-5976408072708352*power(2.0,-52)),
-      |(1901,-8391998142632904*power(2.0,-51)),
-      |(1902,-6683751594948280*power(2.0,-49)),
-      |(1903,-5185783679804354*power(2.0,-50)),
-      |(1904,-5158181985965650*power(2.0,-49)),
-      |(1905,-5110585543990474*power(2.0,-51)),
-      |(1906,-7675072640050104*power(2.0,-50)),
-      |(1907,-5725675412116692*power(2.0,-49)),
-      |(1908,-5303772133678336*power(2.0,-49)),
-      |(1909,-6119570570109436*power(2.0,-51)),
-      |(1911,-8320402321475401*power(2.0,-50)),
-      |(1912,-6095235506486824*power(2.0,-52)),
-      |(1913,-5976583382681534*power(2.0,-49)),
-      |(1914,-7825234434434783*power(2.0,-50)),
-      |(1915,-5444031815035116*power(2.0,-49)),
-      |(1916,-7087510816485303*power(2.0,-50)),
-      |(1917,-8442925892457148*power(2.0,-50)),
-      |(1918,-5550074003438351*power(2.0,-49)),
-      |(1919,-6274296802389850*power(2.0,-51)),
-      |(1921,-8219448472789908*power(2.0,-51)),
-      |(1922,-6328432194276194*power(2.0,-49)),
-      |(1923,-7138237181422172*power(2.0,-50)),
-      |(1924,-8763200572218377*power(2.0,-50)),
-      |(1925,-6152265169553685*power(2.0,-49)),
-      |(1926,-8529127608663077*power(2.0,-50)),
-      |(1927,-7392940794079850*power(2.0,-51)),
-      |(1928,-4686413677760740*power(2.0,-49)),
-      |(1929,-5761024987349116*power(2.0,-49)),
-      |(1931,-8816523534237101*power(2.0,-50)),
-      |(1932,-8143172375136918*power(2.0,-51)),
-      |(1933,-4710620183129495*power(2.0,-50)),
-      |(1934,-4826547837467238*power(2.0,-50)),
-      |(1935,-5874979248852085*power(2.0,-49)),
-      |(1936,-4843735981978951*power(2.0,-50)),
-      |(1937,-4613874663212846*power(2.0,-51)),
-      |(1938,-7222958838256831*power(2.0,-50)),
-      |(1939,-5064280383377291*power(2.0,-50)),
-      |(1941,-5290004074572457*power(2.0,-50)),
-      |(1942,-7773159906425204*power(2.0,-50)),
-      |(1943,-5684461941717840*power(2.0,-49)),
-      |(1944,-5851126236385479*power(2.0,-50)),
-      |(1945,-4840166887080181*power(2.0,-50)),
-      |(1946,-4589015408731861*power(2.0,-50)),
-      |(1947,-5541667057134718*power(2.0,-50)),
-      |(1948,-6182611788724404*power(2.0,-50)),
-      |(1949,-7285126589773072*power(2.0,-51)),
-      |(1951,-5666167895552592*power(2.0,-49)),
-      |(1952,-6110893220327721*power(2.0,-49)),
-      |(1953,-6404463933236268*power(2.0,-50)),
-      |(1954,-8642834362321692*power(2.0,-51)),
-      |(1955,-5758281633894956*power(2.0,-50)),
-      |(1956,-5357347203910054*power(2.0,-49)),
-      |(1957,-8578653679225841*power(2.0,-50)),
-      |(1958,-5601269114087175*power(2.0,-50)),
-      |(1959,-4936671610986431*power(2.0,-49)),
-      |(1961,-5770299848520434*power(2.0,-49)),
-      |(1962,-8411213473521809*power(2.0,-50)),
-      |(1963,-8566475817327356*power(2.0,-50)),
-      |(1964,-7915155806643522*power(2.0,-49)),
-      |(1965,-4515938250266746*power(2.0,-50)),
-      |(1966,-8700805273937512*power(2.0,-49)),
-      |(1967,-5339505376547904*power(2.0,-49)),
-      |(1968,-8255193950697168*power(2.0,-52)),
-      |(1969,-7039060998446884*power(2.0,-51)),
-      |(1971,-6287815511119588*power(2.0,-49)),
-      |(1972,-7428885719383872*power(2.0,-51)),
-      |(1973,-8007076835440136*power(2.0,-51)),
-      |(1974,-7053750622230880*power(2.0,-52)),
-      |(1975,-5337461763777191*power(2.0,-50)),
-      |(1976,-8315603818447376*power(2.0,-52)),
-      |(1977,-9000828523520095*power(2.0,-50)),
-      |(1978,-6515936846038514*power(2.0,-51)),
-      |(1979,-8672352435510533*power(2.0,-50)),
-      |(1981,-6377235996927550*power(2.0,-49)),
-      |(1982,-8695755001635060*power(2.0,-51)),
-      |(1983,-6657220930313615*power(2.0,-50)),
-      |(1984,-8286427017596444*power(2.0,-49)),
-      |(1985,-7465282538175252*power(2.0,-52)),
-      |(1986,-4635920657705245*power(2.0,-49)),
-      |(1987,-7070267711719229*power(2.0,-49)),
-      |(1988,-5348555877501110*power(2.0,-49)),
-      |(1989,-5588134940634167*power(2.0,-50)),
-      |(1991,-5289952840923170*power(2.0,-49)),
-      |(1992,-5998029866456838*power(2.0,-51)),
-      |(1993,-7259779957047940*power(2.0,-50)),
-      |(1994,-4565741753934500*power(2.0,-49)),
-      |(1995,-5937945849687934*power(2.0,-49)),
-      |(1996,-8895893690721064*power(2.0,-51)),
-      |(1997,-5084837345538943*power(2.0,-50)),
-      |(1998,-6456398496279752*power(2.0,-52)),
-      |(1999,-7677232682935126*power(2.0,-49)),
-      |(2001,-5273725192794434*power(2.0,-49)),
-      |(2002,-5103703584192620*power(2.0,-50)),
-      |(2003,-7688063219757200*power(2.0,-50)),
-      |(2004,-6167439811076730*power(2.0,-51)),
-      |(2005,-6856683067648588*power(2.0,-51)),
-      |(2006,-4813753899143273*power(2.0,-50)),
-      |(2007,-5643358876923714*power(2.0,-51)),
-      |(2008,-4584412602283589*power(2.0,-49)),
-      |(2009,-6762965390867800*power(2.0,-50)),
-      |(2011,-5344303401851229*power(2.0,-50)),
-      |(2012,-8453765013706296*power(2.0,-53)),
-      |(2013,-5594224967851122*power(2.0,-51)),
-      |(2014,-7148342111379890*power(2.0,-50)),
-      |(2015,-5850534986056576*power(2.0,-50)),
-      |(2016,-5791404477069463*power(2.0,-50)),
-      |(2017,-4537160954412751*power(2.0,-50)),
-      |(2018,-7081871046701227*power(2.0,-50)),
-      |(2019,-8943283071898188*power(2.0,-51)),
-      |(2021,-5408606247767388*power(2.0,-49)),
-      |(2022,-5385905776594093*power(2.0,-50)),
-      |(2023,-4840068860431365*power(2.0,-50)),
-      |(2024,-7395971183104270*power(2.0,-50)),
-      |(2025,-7340466888233645*power(2.0,-50)),
-      |(2026,-6214521255940536*power(2.0,-53)),
-      |(2027,-6910034785575532*power(2.0,-51)),
-      |(2028,-7877040536479701*power(2.0,-50)),
-      |(2029,-5682629983369226*power(2.0,-50)),
-      |(2031,-7629112991263937*power(2.0,-49)),
-      |(2032,-7431998282506416*power(2.0,-49)),
-      |(2033,-6755634542217548*power(2.0,-51)),
-      |(2034,-8557165711689004*power(2.0,-52)),
-      |(2035,-5827889755317462*power(2.0,-51)),
-      |(2036,-8770160629268821*power(2.0,-50)),
-      |(2037,-8177741536974229*power(2.0,-50)),
-      |(2038,-6258330723849544*power(2.0,-51)),
-      |(2039,-7679312865400666*power(2.0,-50)),
-      |(2041,-6836485045933353*power(2.0,-50)),
-      |(2042,-5033318159848782*power(2.0,-51)),
-      |(2043,-8907484105934618*power(2.0,-50)),
-      |(2044,-4727567297559667*power(2.0,-50)),
-      |(2045,-5489435071555683*power(2.0,-49)),
-      |(2046,-5157771426003010*power(2.0,-49)),
-      |(2047,-5133313732833570*power(2.0,-50)),
-      |(2048,-8419083187094259*power(2.0,-50)),
-      |(2049,-5633863822052440*power(2.0,-49)),
-      |(2051,-7511822731607028*power(2.0,-50)),
-      |(2052,-5153468128973685*power(2.0,-50)),
-      |(2053,-6203220514599125*power(2.0,-50)),
-      |(2054,-5682239171390350*power(2.0,-49)),
-      |(2055,-6384396804368008*power(2.0,-51)),
-      |(2056,-8575599377120816*power(2.0,-50)),
-      |(2057,-5666763118800807*power(2.0,-50)),
-      |(2058,-7144774050219848*power(2.0,-52)),
-      |(2059,-4616201545172847*power(2.0,-49)),
-      |(2061,-7351105404366454*power(2.0,-51)),
-      |(2062,-5803187369114580*power(2.0,-52)),
-      |(2063,-6344036281864360*power(2.0,-53)),
-      |(2064,-5745367391800582*power(2.0,-50)),
-      |(2065,-5941226771070266*power(2.0,-49)),
-      |(2066,-8523294146095618*power(2.0,-50)),
-      |(2067,-4671845457047694*power(2.0,-50)),
-      |(2068,-4965955647688581*power(2.0,-49)),
-      |(2069,-4717122551965538*power(2.0,-50)),
-      |(2071,-5324070093625371*power(2.0,-49)),
-      |(2072,-5525575676001691*power(2.0,-49)),
-      |(2073,-6109119845217135*power(2.0,-50)),
-      |(2074,-6660076871585830*power(2.0,-50)),
-      |(2075,-8325205114034023*power(2.0,-50)),
-      |(2076,-7033161350684838*power(2.0,-49)),
-      |(2077,-6706583948538833*power(2.0,-50)),
-      |(2078,-5312293419800708*power(2.0,-49)),
-      |(2079,-8392423432856584*power(2.0,-53)),
-      |(2081,-4705069848346156*power(2.0,-52)),
-      |(2082,-8551297460818740*power(2.0,-51)),
-      |(2083,-4596458506497070*power(2.0,-49)),
-      |(2084,-6559767849966143*power(2.0,-49)),
-      |(2085,-8377123008475452*power(2.0,-51)),
-      |(2086,-7327133239240561*power(2.0,-50)),
-      |(2087,-5893333888725266*power(2.0,-50)),
-      |(2088,-8021304004507662*power(2.0,-49)),
-      |(2089,-6355931012907666*power(2.0,-49)),
-      |(2091,-5695912646224400*power(2.0,-49)),
-      |(2092,-5323713268345618*power(2.0,-49)),
-      |(2093,-6721278560645520*power(2.0,-51)),
-      |(2094,-7668503256535754*power(2.0,-50)),
-      |(2095,-4725318184939670*power(2.0,-51)),
-      |(2096,-4899671976960669*power(2.0,-50)),
-      |(2097,-8455487757380728*power(2.0,-52)),
-      |(2098,-8783018962519119*power(2.0,-50)),
-      |(2099,-8655999178322943*power(2.0,-50)),
-      |(2101,-7108860323669626*power(2.0,-49)),
-      |(2102,-5428030871187034*power(2.0,-49)),
-      |(2103,-6688211138891352*power(2.0,-52)),
-      |(2104,-5577036421089964*power(2.0,-50)),
-      |(2105,-7164114391900849*power(2.0,-49)),
-      |(2106,-6700531057368798*power(2.0,-50)),
-      |(2107,-6430800707293604*power(2.0,-52)),
-      |(2108,-6573012065655772*power(2.0,-49)),
-      |(2109,-5016761880181476*power(2.0,-50)),
-      |(2111,-9004200195161436*power(2.0,-50)),
-      |(2112,5595232385868640*power(2.0,-55)),
-      |(2113,-7689876942235136*power(2.0,-53)),
-      |(2114,-5419860666929978*power(2.0,-51)),
-      |(2115,-4740558798845078*power(2.0,-49)),
-      |(2116,-8601927773180064*power(2.0,-53)),
-      |(2117,-8605045327982926*power(2.0,-50)),
-      |(2118,-4600432497228417*power(2.0,-50)),
-      |(2119,-4593268261273621*power(2.0,-49)),
-      |(2121,-5512548289378900*power(2.0,-49)),
-      |(2122,-8538538615971990*power(2.0,-51)),
-      |(2123,-8675257244751216*power(2.0,-52)),
-      |(2124,-6234412539917877*power(2.0,-49)),
-      |(2125,-5056118187898783*power(2.0,-50)),
-      |(2126,-6921814759597634*power(2.0,-49)),
-      |(2127,-5950119901211772*power(2.0,-49)),
-      |(2128,-6663188979221480*power(2.0,-50)),
-      |(2129,-6022413029872896*power(2.0,-49)),
-      |(2131,-4609795541784092*power(2.0,-50)),
-      |(2132,-4998735755511405*power(2.0,-50)),
-      |(2133,-4517475028530176*power(2.0,-49)),
-      |(2134,-6174166285406009*power(2.0,-49)),
-      |(2135,-8872285736976885*power(2.0,-50)),
-      |(2136,-7101120299056568*power(2.0,-49)),
-      |(2137,-7799805930277767*power(2.0,-50)),
-      |(2138,-7479305482406270*power(2.0,-50)),
-      |(2139,-5608488743212092*power(2.0,-50)),
-      |(2141,-6907842036578636*power(2.0,-49)),
-      |(2142,-5097954761604770*power(2.0,-50)),
-      |(2143,-4917008100160752*power(2.0,-49)),
-      |(2144,-4794469976749968*power(2.0,-49)),
-      |(2145,-4538559586737950*power(2.0,-49)),
-      |(2146,-5530574515999390*power(2.0,-49)),
-      |(2147,-5670842171059962*power(2.0,-51)),
-      |(2148,-8987417149515242*power(2.0,-50)),
-      |(2149,-8900585074237452*power(2.0,-49)),
-      |(2151,-7988065780256814*power(2.0,-50)),
-      |(2152,-7481707650146447*power(2.0,-50)),
-      |(2153,-7794033396837634*power(2.0,-50)),
-      |(2154,-7073218540524208*power(2.0,-52)),
-      |(2155,-5393561873428516*power(2.0,-50)),
-      |(2156,-8789509961402426*power(2.0,-50)),
-      |(2157,-5477986688034890*power(2.0,-49)),
-      |(2158,-4575098685234572*power(2.0,-52)),
-      |(2159,-6570281213257614*power(2.0,-50)),
-      |(2161,-7854600235455298*power(2.0,-50)),
-      |(2162,-5477165846737274*power(2.0,-49)),
-      |(2163,-4615385483270314*power(2.0,-50)),
-      |(2164,-4814598936994070*power(2.0,-49)),
-      |(2165,-4929074746447012*power(2.0,-49)),
-      |(2166,-8262275728281260*power(2.0,-50)),
-      |(2167,-6906307227871304*power(2.0,-51)),
-      |(2168,-6070061782967404*power(2.0,-50)),
-      |(2169,-7694513520975550*power(2.0,-50)),
-      |(2171,-7054340918355279*power(2.0,-50)),
-      |(2172,-8664154819158312*power(2.0,-50)),
-      |(2173,-7578456258742516*power(2.0,-50)),
-      |(2174,-7705982936149200*power(2.0,-51)),
-      |(2175,-7642332970197782*power(2.0,-51)),
-      |(2176,-8669309685163003*power(2.0,-50)),
-      |(2177,-7541558099898364*power(2.0,-50)),
-      |(2178,-4722872448201638*power(2.0,-49)),
-      |(2179,-5032236632055766*power(2.0,-51)),
-      |(2181,-6585998572790482*power(2.0,-51)),
-      |(2182,-8478285206174426*power(2.0,-49)),
-      |(2183,-6130441946705565*power(2.0,-50)),
-      |(2184,-6979763026655612*power(2.0,-49)),
-      |(2185,-5687666367194414*power(2.0,-50)),
-      |(2186,-5008398503971433*power(2.0,-50)),
-      |(2187,-5987753697706160*power(2.0,-51)),
-      |(2188,-5796969606072648*power(2.0,-49)),
-      |(2189,-6247567718553820*power(2.0,-50)),
-      |(2191,-7789778004508529*power(2.0,-50)),
-      |(2192,-5448876989186651*power(2.0,-49)),
-      |(2193,-7224106209463982*power(2.0,-49)),
-      |(2194,-7088448317148352*power(2.0,-51)),
-      |(2195,-7391935517436412*power(2.0,-52)),
-      |(2196,-7383663219433728*power(2.0,-52)),
-      |(2197,-8978507754198846*power(2.0,-50)),
-      |(2198,-5359253350569881*power(2.0,-50)),
-      |(2199,-7255791346537610*power(2.0,-49)),
-      |(2201,-5058733488621866*power(2.0,-49)),
-      |(2202,-6247116044260588*power(2.0,-49)),
-      |(2203,-6993389031867715*power(2.0,-50)),
-      |(2204,-6001950872325128*power(2.0,-49)),
-      |(2205,-5882775620079328*power(2.0,-49)),
-      |(2206,-8344939614507879*power(2.0,-50)),
-      |(2207,-6993484632261578*power(2.0,-51)),
-      |(2208,-6391120293243288*power(2.0,-51)),
-      |(2209,-4972228216385162*power(2.0,-49)),
-      |(2211,-6886190756000817*power(2.0,-49)),
-      |(2212,-4677280886624530*power(2.0,-50)),
-      |(2213,-6734897426584704*power(2.0,-49)),
-      |(2214,-5164092927466040*power(2.0,-52)),
-      |(2215,-7313299335830152*power(2.0,-52)),
-      |(2216,-5240159222190990*power(2.0,-50)),
-      |(2217,-6369247998624140*power(2.0,-50)),
-      |(2218,-6546477622003314*power(2.0,-50)),
-      |(2219,-4680873405041993*power(2.0,-49)),
-      |(2221,-7911753547657261*power(2.0,-50)),
-      |(2222,-4736341044760908*power(2.0,-49)),
-      |(2223,-5527227677151724*power(2.0,-49)),
-      |(2224,-8160931315087596*power(2.0,-51)),
-      |(2225,-6895581561531811*power(2.0,-49)),
-      |(2226,-6543006492170467*power(2.0,-50)),
-      |(2227,-7695800431720311*power(2.0,-50)),
-      |(2228,-5930461381815049*power(2.0,-49)),
-      |(2229,-5289434084599323*power(2.0,-49)),
-      |(2231,-7824574466269702*power(2.0,-50)),
-      |(2232,-5526821943007710*power(2.0,-49)),
-      |(2233,-6925306205162656*power(2.0,-50)),
-      |(2234,-5627166262462660*power(2.0,-49)),
-      |(2235,-5411459366249228*power(2.0,-51)),
-      |(2236,-4814390034332724*power(2.0,-49)),
-      |(2237,-5419243417165949*power(2.0,-50)),
-      |(2238,-6231957392248557*power(2.0,-50)),
-      |(2239,-4617405300523772*power(2.0,-50)),
-      |(2241,-4836289113770126*power(2.0,-49)),
-      |(2242,-5735885547668310*power(2.0,-51)),
-      |(2243,-7105463480561120*power(2.0,-53)),
-      |(2244,-6327203199014001*power(2.0,-49)),
-      |(2245,-5846537504287638*power(2.0,-50)),
-      |(2246,-6749000852051408*power(2.0,-50)),
-      |(2247,-7386895616996902*power(2.0,-51)),
-      |(2248,-7425026305820374*power(2.0,-49)),
-      |(2249,-7074993257499700*power(2.0,-50)),
-      |(2251,-8355903652837056*power(2.0,-51)),
-      |(2252,-6694527249428720*power(2.0,-52)),
-      |(2253,-5721553747350072*power(2.0,-49)),
-      |(2254,-8549124596856126*power(2.0,-51)),
-      |(2255,-6565746568404007*power(2.0,-50)),
-      |(2256,-8775275122899120*power(2.0,-53)),
-      |(2257,-5729072792557662*power(2.0,-49)),
-      |(2258,-4723213012685407*power(2.0,-49)),
-      |(2259,-4861404559358126*power(2.0,-49)),
-      |(2261,-6415428446673872*power(2.0,-49)),
-      |(2262,-7702897110024920*power(2.0,-51)),
-      |(2263,-4630367099289736*power(2.0,-52)),
-      |(2264,-7929649482924628*power(2.0,-49)),
-      |(2265,-6727568054261300*power(2.0,-49)),
-      |(2266,-6938976814676661*power(2.0,-50)),
-      |(2267,-8716642896812196*power(2.0,-52)),
-      |(2268,-5358605997991716*power(2.0,-50)),
-      |(2269,-4873192351558626*power(2.0,-49)),
-      |(2271,-5924677484286232*power(2.0,-50)),
-      |(2272,-4701218985717605*power(2.0,-50)),
-      |(2273,-5737308110064126*power(2.0,-49)),
-      |(2274,-4712021102564558*power(2.0,-49)),
-      |(2275,-5605507386583906*power(2.0,-49)),
-      |(2276,-6882358654555618*power(2.0,-51)),
-      |(2277,-7716119730320192*power(2.0,-51)),
-      |(2278,-6655151336689720*power(2.0,-52)),
-      |(2279,-8026599684533880*power(2.0,-51)),
-      |(2281,-8231796075790198*power(2.0,-49)),
-      |(2282,-4692889353632440*power(2.0,-49)),
-      |(2283,-6589227018069300*power(2.0,-49)),
-      |(2284,-6829938631724508*power(2.0,-51)),
-      |(2285,-5746031208302404*power(2.0,-52)),
-      |(2286,-4557946533441783*power(2.0,-50)),
-      |(2287,-6586173054891618*power(2.0,-50)),
-      |(2288,-8924784163931148*power(2.0,-50)),
-      |(2289,-5379153919839916*power(2.0,-49)),
-      |(2291,-7414227455421544*power(2.0,-50)),
-      |(2292,-5107527030195166*power(2.0,-49)),
-      |(2293,-4699621770153762*power(2.0,-49)),
-      |(2294,-5717852251736900*power(2.0,-49)),
-      |(2295,-5480759971258338*power(2.0,-49)),
-      |(2296,-8476048581711742*power(2.0,-50)),
-      |(2297,-7691321305180928*power(2.0,-51)),
-      |(2298,-5981332222120541*power(2.0,-50)),
-      |(2299,-7475902977122908*power(2.0,-49)),
-      |(2301,-6376689599459384*power(2.0,-51)),
-      |(2302,-5407029344414845*power(2.0,-49)),
-      |(2303,-4632997803167778*power(2.0,-49)),
-      |(2304,-7588126406894868*power(2.0,-51)),
-      |(2305,-6309851522548205*power(2.0,-50)),
-      |(2306,-4544880112895296*power(2.0,-49)),
-      |(2307,-5397909192395352*power(2.0,-49)),
-      |(2308,-4794487329748928*power(2.0,-49)),
-      |(2309,-5147502302487235*power(2.0,-49)),
-      |(2311,-6310167144981540*power(2.0,-50)),
-      |(2312,-5390094028517141*power(2.0,-50)),
-      |(2313,-5947362823820110*power(2.0,-50)),
-      |(2314,-5797298698940644*power(2.0,-50)),
-      |(2315,-4635340679512374*power(2.0,-50)),
-      |(2316,-8663170343611112*power(2.0,-50)),
-      |(2317,-7860034685002112*power(2.0,-50)),
-      |(2318,-8139702770318466*power(2.0,-51)),
-      |(2319,-6522620854518364*power(2.0,-49)),
-      |(2321,-8793175959926814*power(2.0,-50)),
-      |(2322,-4718556955337322*power(2.0,-51)),
-      |(2323,-6829103292508054*power(2.0,-50)),
-      |(2324,-6999887291582512*power(2.0,-51)),
-      |(2325,-5228681009358602*power(2.0,-49)),
-      |(2326,4660555580175568*power(2.0,-54)),
-      |(2327,-7300445448667424*power(2.0,-50)),
-      |(2328,-6545165685526207*power(2.0,-49)),
-      |(2329,-7789350286257396*power(2.0,-50)),
-      |(2331,-4726463697035316*power(2.0,-50)),
-      |(2332,-6047006637916104*power(2.0,-50)),
-      |(2333,-5357568500064654*power(2.0,-51)),
-      |(2334,-4519362836203077*power(2.0,-49)),
-      |(2335,-6154849731372520*power(2.0,-50)),
-      |(2336,-7707089641266144*power(2.0,-52)),
-      |(2337,-6821963212049458*power(2.0,-50)),
-      |(2338,-4606178544101882*power(2.0,-51)),
-      |(2339,-5982083838933191*power(2.0,-49)),
-      |(2341,-5435182751761996*power(2.0,-49)),
-      |(2342,-5161549143674327*power(2.0,-50)),
-      |(2343,-5155373490269776*power(2.0,-49)),
-      |(2344,-7349111854904822*power(2.0,-51)),
-      |(2345,-7996410929821880*power(2.0,-49)),
-      |(2346,-8076991859815312*power(2.0,-51)),
-      |(2347,-5234265179369931*power(2.0,-49)),
-      |(2348,-8045668804508338*power(2.0,-50)),
-      |(2349,-5732690868663526*power(2.0,-49)),
-      |(2351,-5577428829133905*power(2.0,-50)),
-      |(2352,-4843987387422064*power(2.0,-50)),
-      |(2353,-4810758158478266*power(2.0,-50)),
-      |(2354,-5000944614554652*power(2.0,-51)),
-      |(2355,-5382759234812587*power(2.0,-49)),
-      |(2356,-6010117844916527*power(2.0,-49)),
-      |(2357,-7771323526382436*power(2.0,-49)),
-      |(2358,-4839482694524405*power(2.0,-50)),
-      |(2359,-8137697935391772*power(2.0,-49)),
-      |(2361,-7035639435926302*power(2.0,-50)),
-      |(2362,-6230409503975380*power(2.0,-50)),
-      |(2363,-5895260594536544*power(2.0,-49)),
-      |(2364,-8098123624513520*power(2.0,-52)),
-      |(2365,-5443271651832062*power(2.0,-51)),
-      |(2366,-8773907970725866*power(2.0,-51)),
-      |(2367,-5167640480259583*power(2.0,-50)),
-      |(2368,-5235384401024592*power(2.0,-49)),
-      |(2369,-7936535090749894*power(2.0,-51)),
-      |(2371,-6822677531475888*power(2.0,-49)),
-      |(2372,-6006277267928682*power(2.0,-50)),
-      |(2373,-5397939548630986*power(2.0,-50)),
-      |(2374,-5682856015729872*power(2.0,-49)),
-      |(2375,-6878219284868784*power(2.0,-50)),
-      |(2376,-8396974856353046*power(2.0,-51)),
-      |(2377,-8622892773170376*power(2.0,-51)),
-      |(2378,-6033552502448404*power(2.0,-50)),
-      |(2379,-7309822551147552*power(2.0,-49)),
-      |(2381,-4514470106505096*power(2.0,-49)),
-      |(2382,-4855018703133792*power(2.0,-50)),
-      |(2383,-6017439395351426*power(2.0,-49)),
-      |(2384,-6802833015500183*power(2.0,-50)),
-      |(2385,-5338545732647600*power(2.0,-49)),
-      |(2386,-5356548064642558*power(2.0,-51)),
-      |(2387,-8015132957450166*power(2.0,-51)),
-      |(2388,-6635766378262670*power(2.0,-49)),
-      |(2389,-5442205177808381*power(2.0,-49)),
-      |(2391,-5680288839429030*power(2.0,-50)),
-      |(2392,-7218142304276114*power(2.0,-49)),
-      |(2393,-5684275201491304*power(2.0,-50)),
-      |(2394,-6325079196313272*power(2.0,-51)),
-      |(2395,-7134743244665373*power(2.0,-50)),
-      |(2396,-6458458707889216*power(2.0,-52)),
-      |(2397,-5690495708387977*power(2.0,-49)),
-      |(2398,-6810432999562380*power(2.0,-50)),
-      |(2399,-6368833728044191*power(2.0,-50)),
-      |(2401,-8902286866445072*power(2.0,-51)),
-      |(2402,-5627554289610587*power(2.0,-49)),
-      |(2403,-4870810318373330*power(2.0,-51)),
-      |(2404,-5376418065560150*power(2.0,-49)),
-      |(2405,-5402535947314156*power(2.0,-49)),
-      |(2406,-6606179420584896*power(2.0,-51)),
-      |(2407,-5562441444610756*power(2.0,-52)),
-      |(2408,-4623106635868005*power(2.0,-50)),
-      |(2409,-8169090952486776*power(2.0,-51)),
-      |(2411,-5954289891541568*power(2.0,-49)),
-      |(2412,-7155565270423936*power(2.0,-52)),
-      |(2413,-6778118486364060*power(2.0,-49)),
-      |(2414,-5927997245403157*power(2.0,-50)),
-      |(2415,-7072608688402116*power(2.0,-50)),
-      |(2416,-8603885385988936*power(2.0,-51)),
-      |(2417,-5795331705910326*power(2.0,-51)),
-      |(2418,-4734141909073699*power(2.0,-50)),
-      |(2419,-6929833886853504*power(2.0,-49)),
-      |(2421,-5515383389925332*power(2.0,-49)),
-      |(2422,-6511302314328676*power(2.0,-50)),
-      |(2423,-6560044518474438*power(2.0,-50)),
-      |(2424,-4903928117749658*power(2.0,-49)),
-      |(2425,-5692004969897299*power(2.0,-49)),
-      |(2426,-8705310532736576*power(2.0,-50)),
-      |(2427,-5609169898271640*power(2.0,-49)),
-      |(2428,-6282076659963772*power(2.0,-52)),
-      |(2429,-6105797881648674*power(2.0,-49)),
-      |(2431,-8163359957727930*power(2.0,-51)),
-      |(2432,-4812890959644227*power(2.0,-50)),
-      |(2433,-6764734528413398*power(2.0,-50)),
-      |(2434,-6680930876657362*power(2.0,-49)),
-      |(2435,-7986772456036548*power(2.0,-51)),
-      |(2436,-7820881153309398*power(2.0,-51)),
-      |(2437,-5430415209822126*power(2.0,-49)),
-      |(2438,-5546773972377328*power(2.0,-52)),
-      |(2439,-6292211200611432*power(2.0,-50)),
-      |(2441,-4808154675055846*power(2.0,-51)),
-      |(2442,-6570814234798064*power(2.0,-51)),
-      |(2443,-7474297499212383*power(2.0,-49)),
-      |(2444,-5159832432101876*power(2.0,-49)),
-      |(2445,-6069792287562996*power(2.0,-49)),
-      |(2446,-6233849529355725*power(2.0,-50)),
-      |(2447,-4548553624314266*power(2.0,-48)),
-      |(2448,-5787938936838402*power(2.0,-50)),
-      |(2449,-5569584598956900*power(2.0,-50)),
-      |(2451,-7825421394776277*power(2.0,-49)),
-      |(2452,-6047756719742872*power(2.0,-51)),
-      |(2453,-5165390835389829*power(2.0,-49)),
-      |(2454,-6086459473977425*power(2.0,-49)),
-      |(2455,-8719572938920566*power(2.0,-51)),
-      |(2456,-6817010066838840*power(2.0,-50)),
-      |(2457,-7031614252177134*power(2.0,-50)),
-      |(2458,-7713732887107914*power(2.0,-49)),
-      |(2459,-6638443315596978*power(2.0,-50)),
-      |(2461,-7225105581362046*power(2.0,-50)),
-      |(2462,-5615130178384144*power(2.0,-49)),
-      |(2463,-6460507381184070*power(2.0,-49)),
-      |(2464,-5821728922872397*power(2.0,-50)),
-      |(2465,-5166008501792028*power(2.0,-52)),
-      |(2466,8055350216209216*power(2.0,-56)),
-      |(2467,-6695571932658120*power(2.0,-52)),
-      |(2468,-7992021298863450*power(2.0,-50)),
-      |(2469,-6205884078488542*power(2.0,-51)),
-      |(2471,-5309438094152424*power(2.0,-49)),
-      |(2472,-5544698720515083*power(2.0,-49)),
-      |(2473,-8961542046864212*power(2.0,-50)),
-      |(2474,-6071678975887674*power(2.0,-50)),
-      |(2475,-7635516484703627*power(2.0,-49)),
-      |(2476,-5805618452046882*power(2.0,-51)),
-      |(2477,-7325899533532439*power(2.0,-50)),
-      |(2478,-6269325072835526*power(2.0,-49)),
-      |(2479,-7410018677102768*power(2.0,-51)),
-      |(2481,-4706530377393267*power(2.0,-50)),
-      |(2482,-5473419470846528*power(2.0,-51)),
-      |(2483,-7239889953135518*power(2.0,-49)),
-      |(2484,-4988002408954253*power(2.0,-49)),
-      |(2485,-5638835067192307*power(2.0,-49)),
-      |(2486,-8786783262724846*power(2.0,-50)),
-      |(2487,-6013966357014783*power(2.0,-49)),
-      |(2488,-7452639695893601*power(2.0,-50)),
-      |(2489,-4912457966088460*power(2.0,-49)),
-      |(2491,-7922883157875336*power(2.0,-49)),
-      |(2492,-6977683288301760*power(2.0,-53)),
-      |(2493,-4679886660575874*power(2.0,-49)),
-      |(2494,-6851550462229432*power(2.0,-50)),
-      |(2495,-4909016848669184*power(2.0,-50)),
-      |(2496,-5448977891870249*power(2.0,-50)),
-      |(2497,-6047148065893990*power(2.0,-49)),
-      |(2498,-5570426695484241*power(2.0,-49)),
-      |(2499,-5286346105322830*power(2.0,-49)),
-      |(2501,-8732412795558696*power(2.0,-52)),
-      |(2502,-8735301389645024*power(2.0,-53)),
-      |(2503,-8611725637683286*power(2.0,-50)),
-      |(2504,-5917991784993310*power(2.0,-49)),
-      |(2505,-5727717874392456*power(2.0,-49)),
-      |(2506,-4638447484620354*power(2.0,-50)),
-      |(2507,-4873325101488629*power(2.0,-50)),
-      |(2508,-8473390331625532*power(2.0,-50)),
-      |(2509,-4868592834673198*power(2.0,-49)),
-      |(2511,-4534292667250196*power(2.0,-51)),
-      |(2512,-5137055723098964*power(2.0,-49)),
-      |(2513,-5152600934441930*power(2.0,-49)),
-      |(2514,-4582193608805576*power(2.0,-50)),
-      |(2515,-5198522261023222*power(2.0,-49)),
-      |(2516,-5612781311627773*power(2.0,-49)),
-      |(2517,-4918861328288428*power(2.0,-49)),
-      |(2518,-4508311496850220*power(2.0,-51)),
-      |(2519,-5112626511546550*power(2.0,-49)),
-      |(2521,-7296784920901410*power(2.0,-50)),
-      |(2522,-5931192203498168*power(2.0,-50)),
-      |(2523,8169681932995200*power(2.0,-54)),
-      |(2524,-6279706877215909*power(2.0,-50)),
-      |(2525,-7928592536396552*power(2.0,-51)),
-      |(2526,-8917558217148680*power(2.0,-51)),
-      |(2527,-8737439710647568*power(2.0,-50)),
-      |(2528,-7985808314270521*power(2.0,-49)),
-      |(2529,-4646403727557860*power(2.0,-49)),
-      |(2531,-8076772688163272*power(2.0,-52)),
-      |(2532,-6491612506339192*power(2.0,-52)),
-      |(2533,-6298703678114191*power(2.0,-50)),
-      |(2534,-5113866639165125*power(2.0,-49)),
-      |(2535,-8634534572237020*power(2.0,-51)),
-      |(2536,-4557565684278150*power(2.0,-51)),
-      |(2537,-5118318680906336*power(2.0,-49)),
-      |(2538,-5169519878619961*power(2.0,-49)),
-      |(2539,-7691551095024288*power(2.0,-51)),
-      |(2541,-6240020821908148*power(2.0,-50)),
-      |(2542,-6630581045418898*power(2.0,-49)),
-      |(2543,-7155445216061652*power(2.0,-52)),
-      |(2544,-7766053711615667*power(2.0,-49)),
-      |(2545,-8772201015366477*power(2.0,-50)),
-      |(2546,-7008493536348693*power(2.0,-50)),
-      |(2547,-5942079720497115*power(2.0,-50)),
-      |(2548,-6263688466406154*power(2.0,-50)),
-      |(2549,-8821057768783555*power(2.0,-50)),
-      |(2551,4867922445883776*power(2.0,-53)),
-      |(2552,-5958462817952788*power(2.0,-49)),
-      |(2553,-7505203209675029*power(2.0,-50)),
-      |(2554,-5498419222481176*power(2.0,-50)),
-      |(2555,-6186760462783326*power(2.0,-49)),
-      |(2556,-8306146038473596*power(2.0,-50)),
-      |(2557,-6456729407668677*power(2.0,-50)),
-      |(2558,-5015345847308889*power(2.0,-49)),
-      |(2559,-8832412207958540*power(2.0,-50)),
-      |(2561,-8926991380664834*power(2.0,-51)),
-      |(2562,-6720944754711654*power(2.0,-49)),
-      |(2563,-5598108430291038*power(2.0,-49)),
-      |(2564,-7569341168535117*power(2.0,-50)),
-      |(2565,-6598758702141598*power(2.0,-49)),
-      |(2566,-8176615899222920*power(2.0,-50)),
-      |(2567,-4932351336439313*power(2.0,-50)),
-      |(2568,-4592515620653904*power(2.0,-50)),""".stripMargin,
-    """(2569,-4641582968455231*power(2.0,-50)),
-      |(2571,-6606857918115763*power(2.0,-50)),
-      |(2572,-5673476620761059*power(2.0,-49)),
-      |(2573,-5355049150726439*power(2.0,-49)),
-      |(2574,-8938385444461306*power(2.0,-51)),
-      |(2575,-7871042538456136*power(2.0,-51)),
-      |(2576,-7837967922572798*power(2.0,-50)),
-      |(2577,-6148120517042134*power(2.0,-50)),
-      |(2578,-8585461977551270*power(2.0,-51)),
-      |(2579,-5746017451303849*power(2.0,-49)),
-      |(2581,-4880549670842510*power(2.0,-49)),
-      |(2582,-5631091619163314*power(2.0,-49)),
-      |(2583,-6686698988728614*power(2.0,-49)),
-      |(2584,-7061346342694610*power(2.0,-51)),
-      |(2585,-7139275530509067*power(2.0,-50)),
-      |(2586,-6679273864985738*power(2.0,-49)),
-      |(2587,-7550399582570072*power(2.0,-49)),
-      |(2588,-5159790054450140*power(2.0,-52)),
-      |(2589,-8176955616517468*power(2.0,-50)),
-      |(2591,-6623224973030420*power(2.0,-50)),
-      |(2592,-5304365160267270*power(2.0,-51)),
-      |(2593,-5779431359966487*power(2.0,-49)),
-      |(2594,-7632573488041097*power(2.0,-50)),
-      |(2595,-7006874199178077*power(2.0,-50)),
-      |(2596,-5469348027702352*power(2.0,-54)),
-      |(2597,-5463944648281515*power(2.0,-49)),
-      |(2598,-5482927351285210*power(2.0,-49)),
-      |(2599,-8711106268735299*power(2.0,-50)),
-      |(2601,-4900420320371950*power(2.0,-49)),
-      |(2602,-7641294704192269*power(2.0,-50)),
-      |(2603,-5619774350318154*power(2.0,-49)),
-      |(2604,-7020019446139657*power(2.0,-50)),
-      |(2605,-7510922536653024*power(2.0,-50)),
-      |(2606,-8866061776921812*power(2.0,-52)),
-      |(2607,-6020069998424122*power(2.0,-49)),
-      |(2608,-7419110488972784*power(2.0,-50)),
-      |(2609,-4989753521267106*power(2.0,-50)),
-      |(2611,-5316732024886194*power(2.0,-50)),
-      |(2612,-6642308886271799*power(2.0,-49)),
-      |(2613,-7700570592307992*power(2.0,-49)),
-      |(2614,-5591030593001906*power(2.0,-50)),
-      |(2615,-5462458964132972*power(2.0,-51)),
-      |(2616,-8937242367272857*power(2.0,-50)),
-      |(2617,-4924109947174084*power(2.0,-50)),
-      |(2618,-7276691529631206*power(2.0,-49)),
-      |(2619,-6256108130478180*power(2.0,-51)),
-      |(2621,-6094972513666126*power(2.0,-49)),
-      |(2622,-5387470526216290*power(2.0,-49)),
-      |(2623,-5772149890926329*power(2.0,-50)),
-      |(2624,-7038343919004640*power(2.0,-50)),
-      |(2625,-5468542412749732*power(2.0,-49)),
-      |(2626,-6532473146316104*power(2.0,-53)),
-      |(2627,-6835133962296912*power(2.0,-52)),
-      |(2628,-4742428840493595*power(2.0,-49)),
-      |(2629,-5994321160075168*power(2.0,-52)),
-      |(2631,-8138086553396736*power(2.0,-50)),
-      |(2632,-6305190689991568*power(2.0,-53)),
-      |(2633,-5535191699281106*power(2.0,-49)),
-      |(2634,-5330259084542500*power(2.0,-52)),
-      |(2635,-7494957394462436*power(2.0,-52)),
-      |(2636,-7815755325677298*power(2.0,-51)),
-      |(2637,-6685030346805799*power(2.0,-50)),
-      |(2638,-5989193930012577*power(2.0,-50)),
-      |(2639,-5014545617700308*power(2.0,-49)),
-      |(2641,-8548925451031352*power(2.0,-53)),
-      |(2642,-5593536242403427*power(2.0,-50)),
-      |(2643,-5015270386824915*power(2.0,-50)),
-      |(2644,-8141200322264951*power(2.0,-50)),
-      |(2645,-6499581577321346*power(2.0,-51)),
-      |(2646,-7310280214772440*power(2.0,-52)),
-      |(2647,-5390287648950616*power(2.0,-52)),
-      |(2648,-7531911494380745*power(2.0,-50)),
-      |(2649,-6110740868149368*power(2.0,-51)),
-      |(2651,-8916321367743362*power(2.0,-51)),
-      |(2652,-6089700986825916*power(2.0,-49)),
-      |(2653,-8308994120383149*power(2.0,-50)),
-      |(2654,-5291477480182889*power(2.0,-50)),
-      |(2655,-4823267163986222*power(2.0,-51)),
-      |(2656,-8946297771805999*power(2.0,-50)),
-      |(2657,-6597539332078040*power(2.0,-52)),
-      |(2658,-6175867841101048*power(2.0,-50)),
-      |(2659,-4857828804228087*power(2.0,-50)),
-      |(2661,-7200211478801316*power(2.0,-52)),
-      |(2662,-4964575503374852*power(2.0,-49)),
-      |(2663,-6164440871246266*power(2.0,-49)),
-      |(2664,-6472966506450969*power(2.0,-50)),
-      |(2665,-8896393403500287*power(2.0,-50)),
-      |(2666,-6686230047198916*power(2.0,-52)),
-      |(2667,-4619751771855537*power(2.0,-49)),
-      |(2668,-8853996122754064*power(2.0,-51)),
-      |(2669,-5234141426409968*power(2.0,-51)),
-      |(2671,-8646720361759450*power(2.0,-50)),
-      |(2672,-5854497227794720*power(2.0,-49)),
-      |(2673,-6938374214781994*power(2.0,-50)),
-      |(2674,-5207412132421174*power(2.0,-50)),
-      |(2675,-7787382060361288*power(2.0,-53)),
-      |(2676,-6218662752174939*power(2.0,-49)),
-      |(2677,-5797698193903288*power(2.0,-49)),
-      |(2678,-8880112618090056*power(2.0,-51)),
-      |(2679,-6133691784727788*power(2.0,-50)),
-      |(2681,-5029609439697392*power(2.0,-49)),
-      |(2682,-5308590386739848*power(2.0,-49)),
-      |(2683,-5535201809257548*power(2.0,-49)),
-      |(2684,-6764073958168373*power(2.0,-50)),
-      |(2685,-4751396865537306*power(2.0,-49)),
-      |(2686,-4666058254666932*power(2.0,-49)),
-      |(2687,-8175453608115895*power(2.0,-50)),
-      |(2688,-7173920394866759*power(2.0,-50)),
-      |(2689,-5974731528139519*power(2.0,-49)),
-      |(2691,-5319900637650869*power(2.0,-50)),
-      |(2692,-6189504201044132*power(2.0,-49)),
-      |(2693,-5149852863233979*power(2.0,-49)),
-      |(2694,-7317906861691482*power(2.0,-50)),
-      |(2695,-6224374751345844*power(2.0,-50)),
-      |(2696,-8120915631160466*power(2.0,-50)),
-      |(2697,-4809572679923168*power(2.0,-49)),
-      |(2698,-4636014527045264*power(2.0,-50)),
-      |(2699,-8786445122257375*power(2.0,-50)),
-      |(2701,-6178326839999415*power(2.0,-49)),
-      |(2702,-8466912986214390*power(2.0,-50)),
-      |(2703,-4872325066985742*power(2.0,-50)),
-      |(2704,-5220460015746938*power(2.0,-49)),
-      |(2705,-6592102932028758*power(2.0,-49)),
-      |(2706,-7836911557886996*power(2.0,-52)),
-      |(2707,-4811261239020209*power(2.0,-49)),
-      |(2708,-6205102894362048*power(2.0,-55)),
-      |(2709,-5638623626679717*power(2.0,-50)),
-      |(2711,-6812104922113692*power(2.0,-52)),
-      |(2712,-5038621079266192*power(2.0,-49)),
-      |(2713,-7077802743654265*power(2.0,-50)),
-      |(2714,-7869399155327841*power(2.0,-50)),
-      |(2715,-4886910865594176*power(2.0,-52)),
-      |(2716,-8684130900401952*power(2.0,-52)),
-      |(2717,-5400739828565460*power(2.0,-51)),
-      |(2718,-5519020873482268*power(2.0,-49)),
-      |(2719,-7100975028096266*power(2.0,-50)),
-      |(2721,-5670590623552738*power(2.0,-51)),
-      |(2722,-6509443474232285*power(2.0,-50)),
-      |(2723,-5106595355717962*power(2.0,-49)),
-      |(2724,-4823539342611014*power(2.0,-49)),
-      |(2725,-5882122839814883*power(2.0,-50)),
-      |(2726,-6877161023742656*power(2.0,-51)),
-      |(2727,-4888407563635748*power(2.0,-52)),
-      |(2728,-6362841242553974*power(2.0,-49)),
-      |(2729,-6910159437299776*power(2.0,-49)),
-      |(2731,-5667330790371467*power(2.0,-50)),
-      |(2732,-5219480027481772*power(2.0,-51)),
-      |(2733,-8131697558322652*power(2.0,-52)),
-      |(2734,-6822232463763386*power(2.0,-50)),
-      |(2735,-7992548179996428*power(2.0,-50)),
-      |(2736,-7255441317003790*power(2.0,-49)),
-      |(2737,-8034339830157192*power(2.0,-52)),
-      |(2738,-7387330036809788*power(2.0,-52)),
-      |(2739,-5310809441293852*power(2.0,-50)),
-      |(2741,-8728248918735366*power(2.0,-50)),
-      |(2742,-6573176774539904*power(2.0,-51)),
-      |(2743,-4987438087517806*power(2.0,-51)),
-      |(2744,-6757934182326634*power(2.0,-51)),
-      |(2745,-6649876654319561*power(2.0,-49)),
-      |(2746,-7560480489121406*power(2.0,-51)),
-      |(2747,-7801181096341590*power(2.0,-50)),
-      |(2748,-5245904863090611*power(2.0,-49)),
-      |(2749,-6799652340969873*power(2.0,-50)),
-      |(2751,-6237781118867209*power(2.0,-49)),
-      |(2752,-6779731508582780*power(2.0,-50)),
-      |(2753,-6061960097771772*power(2.0,-51)),
-      |(2754,-8169023131822641*power(2.0,-50)),
-      |(2755,-5111976892864896*power(2.0,-49)),
-      |(2756,-7228128007917488*power(2.0,-53)),
-      |(2757,-8472143314065309*power(2.0,-49)),
-      |(2758,-6528211268862528*power(2.0,-50)),
-      |(2759,-4574798781403940*power(2.0,-49)),
-      |(2761,-7110014806397720*power(2.0,-52)),
-      |(2762,-8143609127634452*power(2.0,-50)),
-      |(2763,-7710584558409366*power(2.0,-51)),
-      |(2764,-8007075535370468*power(2.0,-52)),
-      |(2765,-7756897778354870*power(2.0,-50)),
-      |(2766,-8936993367196510*power(2.0,-51)),
-      |(2767,-4987890472783274*power(2.0,-49)),
-      |(2768,-5001240304961857*power(2.0,-50)),
-      |(2769,-6635218882000909*power(2.0,-49)),
-      |(2771,-4751616349781659*power(2.0,-49)),
-      |(2772,-7597382292096342*power(2.0,-51)),
-      |(2773,-8227481098418342*power(2.0,-50)),
-      |(2774,-5804658318002764*power(2.0,-49)),
-      |(2775,-5965941535319372*power(2.0,-50)),
-      |(2776,-4504790211188952*power(2.0,-49)),
-      |(2777,-7021294937902419*power(2.0,-49)),
-      |(2778,-6546138511765479*power(2.0,-50)),
-      |(2779,-7190682382980212*power(2.0,-52)),
-      |(2781,-6232876927710616*power(2.0,-49)),
-      |(2782,-7069324780567075*power(2.0,-49)),
-      |(2783,-4550222363252568*power(2.0,-50)),
-      |(2784,-7042609364300894*power(2.0,-49)),
-      |(2785,-5452290003560649*power(2.0,-49)),
-      |(2786,-7894418610665608*power(2.0,-50)),
-      |(2787,-4561479974612974*power(2.0,-49)),
-      |(2788,-7724976213188180*power(2.0,-51)),
-      |(2789,-7769392768733196*power(2.0,-50)),
-      |(2791,-7562554564273634*power(2.0,-51)),
-      |(2792,-8900350741121372*power(2.0,-50)),
-      |(2793,-6912458262897370*power(2.0,-51)),
-      |(2794,-4710829017118737*power(2.0,-49)),
-      |(2795,-5058436534690709*power(2.0,-50)),
-      |(2796,-8058926514721358*power(2.0,-49)),
-      |(2797,-7376023527646232*power(2.0,-50)),
-      |(2798,-6649756531354869*power(2.0,-49)),
-      |(2799,-6399653522770488*power(2.0,-49)),
-      |(2801,-6742824617637048*power(2.0,-53)),
-      |(2802,-5004104453252645*power(2.0,-49)),
-      |(2803,-4561294632520291*power(2.0,-50)),
-      |(2804,-8222505125834184*power(2.0,-50)),
-      |(2805,-6032552126790180*power(2.0,-51)),
-      |(2806,-5649384095584670*power(2.0,-49)),
-      |(2807,-4620222362424474*power(2.0,-51)),
-      |(2808,-5820219182955250*power(2.0,-49)),
-      |(2809,-5085564332775404*power(2.0,-51)),
-      |(2811,-5996184168518663*power(2.0,-49)),
-      |(2812,-6529045480833036*power(2.0,-51)),
-      |(2813,-7328695850853344*power(2.0,-53)),
-      |(2814,-5187198616679912*power(2.0,-49)),
-      |(2815,-8092327228126386*power(2.0,-51)),
-      |(2816,-5054976812510208*power(2.0,-49)),
-      |(2817,-6408851426259270*power(2.0,-50)),
-      |(2818,-4850929198356933*power(2.0,-50)),
-      |(2819,-7986453850538375*power(2.0,-50)),
-      |(2821,-8160859921861493*power(2.0,-50)),
-      |(2822,-4733455145852386*power(2.0,-49)),
-      |(2823,-8624662447885808*power(2.0,-53)),
-      |(2824,-6954333228107394*power(2.0,-49)),
-      |(2825,-6537994452795520*power(2.0,-50)),
-      |(2826,-5522037071463438*power(2.0,-51)),
-      |(2827,-5966889896549297*power(2.0,-50)),
-      |(2828,-5071708299342320*power(2.0,-49)),
-      |(2829,-7280890440847793*power(2.0,-50)),
-      |(2831,-5888827745489338*power(2.0,-49)),
-      |(2832,-4905824697090720*power(2.0,-53)),
-      |(2833,-5187649239560613*power(2.0,-49)),
-      |(2834,-6178815782507794*power(2.0,-49)),
-      |(2835,-4696493808682730*power(2.0,-49)),
-      |(2836,-6317838210467630*power(2.0,-49)),
-      |(2837,-7873301628406457*power(2.0,-50)),
-      |(2838,-8118835661160888*power(2.0,-50)),
-      |(2839,-8467200327302981*power(2.0,-50)),
-      |(2841,-7683222957800595*power(2.0,-50)),
-      |(2842,-5956937276705257*power(2.0,-50)),
-      |(2843,-5137934843393922*power(2.0,-49)),
-      |(2844,-7556770875502482*power(2.0,-51)),
-      |(2845,-4732002214704722*power(2.0,-49)),
-      |(2846,-8941001291033562*power(2.0,-51)),
-      |(2847,-5955016769508508*power(2.0,-51)),
-      |(2848,-6100798699658931*power(2.0,-50)),
-      |(2849,-5869438519786568*power(2.0,-50)),
-      |(2851,-7389803079979538*power(2.0,-51)),
-      |(2852,-7435928665916972*power(2.0,-50)),
-      |(2853,-6563889852830664*power(2.0,-49)),
-      |(2854,-5459195335252974*power(2.0,-49)),
-      |(2855,-4662149766264590*power(2.0,-50)),
-      |(2856,-7402782675395368*power(2.0,-51)),
-      |(2857,-5795675508499934*power(2.0,-49)),
-      |(2858,-5919050205754376*power(2.0,-52)),
-      |(2859,-4786928906289130*power(2.0,-49)),
-      |(2861,-6736993727001448*power(2.0,-52)),
-      |(2862,-7188536188686980*power(2.0,-50)),
-      |(2863,-6803539413365015*power(2.0,-49)),
-      |(2864,-6870510340296512*power(2.0,-51)),
-      |(2865,-5732506071974726*power(2.0,-49)),
-      |(2866,-8504115284854012*power(2.0,-52)),
-      |(2867,-8753224438718791*power(2.0,-50)),
-      |(2868,-4725844471117230*power(2.0,-49)),
-      |(2869,-7187308618854935*power(2.0,-50)),
-      |(2871,-4786835547245544*power(2.0,-49)),
-      |(2872,-6167272845244116*power(2.0,-49)),
-      |(2873,-7573366239753746*power(2.0,-51)),
-      |(2874,-7989869494165582*power(2.0,-50)),
-      |(2875,-6669251863197702*power(2.0,-51)),
-      |(2876,-7812984444535740*power(2.0,-50)),
-      |(2877,-7313361154512958*power(2.0,-50)),
-      |(2878,-4939383482292034*power(2.0,-49)),
-      |(2879,-7468090353837044*power(2.0,-51)),
-      |(2881,-7675023814912506*power(2.0,-49)),
-      |(2882,-6312962157562763*power(2.0,-50)),
-      |(2883,-4852854184616300*power(2.0,-51)),
-      |(2884,-6826936664098871*power(2.0,-50)),
-      |(2885,-5387689908052992*power(2.0,-49)),
-      |(2886,-7425000109938096*power(2.0,-51)),
-      |(2887,-7579644260652518*power(2.0,-50)),
-      |(2888,-7532023122922052*power(2.0,-51)),
-      |(2889,-4840672988983100*power(2.0,-52)),
-      |(2891,-6553243185582040*power(2.0,-50)),
-      |(2892,-6246644334818226*power(2.0,-49)),
-      |(2893,-7030730255962724*power(2.0,-50)),
-      |(2894,-7055615549214510*power(2.0,-50)),
-      |(2895,-5256457675205390*power(2.0,-49)),
-      |(2896,-5238954271292214*power(2.0,-49)),
-      |(2897,-5692026415040856*power(2.0,-49)),
-      |(2898,-6369179127857124*power(2.0,-52)),
-      |(2899,-8918811479089700*power(2.0,-51)),
-      |(2901,-6177128255421519*power(2.0,-49)),
-      |(2902,-4957371867651618*power(2.0,-49)),
-      |(2903,-4892108145307383*power(2.0,-49)),
-      |(2904,-6448575809774827*power(2.0,-50)),
-      |(2905,-8321996463925040*power(2.0,-51)),
-      |(2906,-7707511276162678*power(2.0,-50)),
-      |(2907,-6301008536922942*power(2.0,-51)),
-      |(2908,-8931161249950239*power(2.0,-50)),
-      |(2909,-6401438613366660*power(2.0,-52)),
-      |(2911,-5774676729777701*power(2.0,-50)),
-      |(2912,-4653720672806164*power(2.0,-52)),
-      |(2913,-5285468407649087*power(2.0,-49)),
-      |(2914,-4674108640063025*power(2.0,-50)),
-      |(2915,-6899090052102185*power(2.0,-50)),
-      |(2916,-5552139794309315*power(2.0,-50)),
-      |(2917,-4948667441814239*power(2.0,-49)),
-      |(2918,-4883798401499504*power(2.0,-51)),
-      |(2919,-8481866237780848*power(2.0,-51)),
-      |(2921,-7335754744706460*power(2.0,-50)),
-      |(2922,-6670989613782713*power(2.0,-49)),
-      |(2923,-8129004017517848*power(2.0,-50)),
-      |(2924,-8721356224032160*power(2.0,-51)),
-      |(2925,-6807939223460279*power(2.0,-50)),
-      |(2926,-5165827763214370*power(2.0,-49)),
-      |(2927,-6027224800160828*power(2.0,-51)),
-      |(2928,-4724212840016691*power(2.0,-49)),
-      |(2929,-5182867382990598*power(2.0,-49)),
-      |(2931,-5759406081184694*power(2.0,-49)),
-      |(2932,-7671794237884921*power(2.0,-49)),
-      |(2933,-5316045075305066*power(2.0,-51)),
-      |(2934,-4695636194571755*power(2.0,-49)),
-      |(2935,-5273930764497092*power(2.0,-50)),
-      |(2936,-5271491781194912*power(2.0,-49)),
-      |(2937,-7205284055296132*power(2.0,-49)),
-      |(2938,-5180563703443924*power(2.0,-49)),
-      |(2939,-8462338632130818*power(2.0,-51)),
-      |(2941,-4585607997170644*power(2.0,-50)),
-      |(2942,-6136391761203448*power(2.0,-51)),
-      |(2943,-5271960597933113*power(2.0,-50)),
-      |(2944,-7178673799884600*power(2.0,-52)),
-      |(2945,-6281657179227338*power(2.0,-49)),
-      |(2946,-5055117786529404*power(2.0,-49)),
-      |(2947,-5392191775886741*power(2.0,-49)),
-      |(2948,-5658268194654388*power(2.0,-49)),
-      |(2949,-5022252452906260*power(2.0,-51)),
-      |(2951,-5303825161768690*power(2.0,-51)),
-      |(2952,-5306422460300732*power(2.0,-49)),
-      |(2953,-7229414867411286*power(2.0,-49)),
-      |(2954,-7725197476944521*power(2.0,-50)),
-      |(2955,-4707820413992889*power(2.0,-49)),
-      |(2956,-5436848815252030*power(2.0,-49)),
-      |(2957,-4614848271887226*power(2.0,-49)),
-      |(2958,-5622029419801081*power(2.0,-50)),
-      |(2959,-7109258933506483*power(2.0,-50)),
-      |(2961,-6486408887238617*power(2.0,-50)),
-      |(2962,-8449830622206756*power(2.0,-51)),
-      |(2963,-6916179119663242*power(2.0,-51)),
-      |(2964,-8936545545579524*power(2.0,-51)),
-      |(2965,-7107693145372470*power(2.0,-50)),
-      |(2966,-7776705452088617*power(2.0,-50)),
-      |(2967,-5166628114777035*power(2.0,-49)),
-      |(2968,-7453316303559924*power(2.0,-52)),
-      |(2969,-5297455063156114*power(2.0,-50)),
-      |(2971,-7928802880162563*power(2.0,-50)),
-      |(2972,-4891151097302638*power(2.0,-49)),
-      |(2973,-4738663948665959*power(2.0,-50)),
-      |(2974,-7819577559471847*power(2.0,-50)),
-      |(2975,-7186194365399224*power(2.0,-51)),
-      |(2976,-7413812513314354*power(2.0,-49)),
-      |(2977,-8045789204821381*power(2.0,-50)),
-      |(2978,-8463240404484383*power(2.0,-49)),
-      |(2979,-6839782453013541*power(2.0,-50)),
-      |(2981,-6716422977386848*power(2.0,-49)),
-      |(2982,-4945874870612930*power(2.0,-51)),
-      |(2983,-5188692360814014*power(2.0,-49)),
-      |(2984,-7234142204740122*power(2.0,-49)),
-      |(2985,-4905283994058989*power(2.0,-50)),
-      |(2986,-7583257084685379*power(2.0,-50)),
-      |(2987,-5638968908564257*power(2.0,-50)),
-      |(2988,-8790332650715103*power(2.0,-50)),
-      |(2989,-5339841842848536*power(2.0,-53)),
-      |(2991,-8032080746661460*power(2.0,-50)),
-      |(2992,-5514224137905853*power(2.0,-49)),
-      |(2993,-6226948162551840*power(2.0,-50)),
-      |(2994,-4919777669639947*power(2.0,-49)),
-      |(2995,-7781193970666846*power(2.0,-50)),
-      |(2996,-4842951581896346*power(2.0,-49)),
-      |(2997,-4510979225891464*power(2.0,-50)),
-      |(2998,-6680743842217357*power(2.0,-49)),
-      |(2999,-8614591712251598*power(2.0,-51)),
-      |(3001,-7201280990182055*power(2.0,-50)),
-      |(3002,-5423941857493266*power(2.0,-50)),
-      |(3003,-5629785433067156*power(2.0,-49)),
-      |(3004,-5323820290484780*power(2.0,-50)),
-      |(3005,-6482479484432014*power(2.0,-50)),
-      |(3006,-4518554467240515*power(2.0,-49)),
-      |(3007,-7548732461992608*power(2.0,-50)),
-      |(3008,-6077875258219188*power(2.0,-51)),
-      |(3009,-4740171087839960*power(2.0,-49)),
-      |(3011,-5332530528074224*power(2.0,-51)),
-      |(3012,-5864158109584260*power(2.0,-49)),
-      |(3013,-8604053714155418*power(2.0,-50)),
-      |(3014,-5265094003916178*power(2.0,-49)),
-      |(3015,-6499449143357908*power(2.0,-49)),
-      |(3016,-8052192902970209*power(2.0,-50)),
-      |(3017,-5817579008597713*power(2.0,-50)),
-      |(3018,-7181495255836612*power(2.0,-50)),
-      |(3019,-7618837441938246*power(2.0,-49)),
-      |(3021,-6998140761625250*power(2.0,-49)),
-      |(3022,-6956987843335474*power(2.0,-50)),
-      |(3023,-6245530781259256*power(2.0,-50)),
-      |(3024,-5388674678274870*power(2.0,-49)),
-      |(3025,-8609252004652656*power(2.0,-49)),
-      |(3026,-5403817708088126*power(2.0,-51)),
-      |(3027,-6197524162472925*power(2.0,-50)),
-      |(3028,-5123482714475152*power(2.0,-49)),
-      |(3029,-5138472682965465*power(2.0,-50)),
-      |(3031,-5751067377284587*power(2.0,-50)),
-      |(3032,-8422993448145014*power(2.0,-51)),
-      |(3033,-5601308910434821*power(2.0,-49)),
-      |(3034,-6037437679164944*power(2.0,-49)),
-      |(3035,-7722262661404406*power(2.0,-51)),
-      |(3036,-7406755050553596*power(2.0,-50)),
-      |(3037,-8307083353328607*power(2.0,-50)),
-      |(3038,-4638338773763749*power(2.0,-50)),
-      |(3039,-7976062029008546*power(2.0,-51)),
-      |(3041,-6613034939726718*power(2.0,-51)),
-      |(3042,-8186175440371485*power(2.0,-50)),
-      |(3043,-8626007595108663*power(2.0,-50)),
-      |(3044,-4562544395206897*power(2.0,-50)),
-      |(3045,-7375844555774569*power(2.0,-50)),
-      |(3046,-6283580139167106*power(2.0,-49)),
-      |(3047,-4981341673490791*power(2.0,-50)),
-      |(3048,-6286812882048402*power(2.0,-51)),
-      |(3049,-5250224546896309*power(2.0,-49)),
-      |(3051,-6534664852366392*power(2.0,-49)),
-      |(3052,-7369038333084586*power(2.0,-49)),
-      |(3053,-6202347804018436*power(2.0,-49)),
-      |(3054,-5806328241641646*power(2.0,-51)),
-      |(3055,-6338147775398080*power(2.0,-49)),
-      |(3056,-6705098395895177*power(2.0,-49)),
-      |(3057,-6201462859753626*power(2.0,-51)),
-      |(3058,-5301248426877604*power(2.0,-49)),
-      |(3059,-4770372998710582*power(2.0,-49)),
-      |(3061,-4944550389687327*power(2.0,-50)),
-      |(3062,-5295495348596792*power(2.0,-52)),
-      |(3063,-7941587393091676*power(2.0,-52)),
-      |(3064,-5465705004059456*power(2.0,-49)),
-      |(3065,-5787030911042492*power(2.0,-50)),
-      |(3066,-8861860185359896*power(2.0,-50)),
-      |(3067,-5169728540082866*power(2.0,-49)),
-      |(3068,-5243925342006517*power(2.0,-49)),
-      |(3069,-5795475567738513*power(2.0,-49)),
-      |(3071,-4524816312848952*power(2.0,-49)),
-      |(3072,-4753801829417432*power(2.0,-50)),
-      |(3073,-4700570137003018*power(2.0,-51)),
-      |(3074,-4783277156474783*power(2.0,-50)),
-      |(3075,-4813178841318756*power(2.0,-49)),
-      |(3076,-5969070110373309*power(2.0,-50)),
-      |(3077,-8134064590442556*power(2.0,-50)),
-      |(3078,-8011416237128106*power(2.0,-51)),
-      |(3079,-7137254092929418*power(2.0,-50)),
-      |(3081,-6269889262997801*power(2.0,-50)),
-      |(3082,-5368747527922890*power(2.0,-49)),
-      |(3083,-7820561975192300*power(2.0,-49)),
-      |(3084,-5549343194211010*power(2.0,-50)),
-      |(3085,-8957996684185478*power(2.0,-50)),
-      |(3086,-5617878834080990*power(2.0,-49)),
-      |(3087,-8083185416057812*power(2.0,-51)),
-      |(3088,-7368333210436082*power(2.0,-49)),
-      |(3089,-6195739691752668*power(2.0,-51)),
-      |(3091,-4976741862418156*power(2.0,-49)),
-      |(3092,-6887777771000570*power(2.0,-49)),
-      |(3093,-5003918499114459*power(2.0,-49)),
-      |(3094,-5734895741854426*power(2.0,-50)),
-      |(3095,-4844105881825895*power(2.0,-50)),
-      |(3096,-5279411645736306*power(2.0,-49)),
-      |(3097,-8410779676627484*power(2.0,-52)),
-      |(3098,-8524375589120060*power(2.0,-50)),
-      |(3099,-8127891534182646*power(2.0,-50)),
-      |(3101,-6955083951993034*power(2.0,-51)),
-      |(3102,-5715912644743646*power(2.0,-49)),
-      |(3103,-7155650457531923*power(2.0,-50)),
-      |(3104,-4741747717142178*power(2.0,-51)),
-      |(3105,-4786359058201720*power(2.0,-49)),
-      |(3106,-8726761283979932*power(2.0,-50)),
-      |(3107,-7457343170284398*power(2.0,-50)),
-      |(3108,-7254624967028476*power(2.0,-51)),
-      |(3109,-7054074524493091*power(2.0,-50)),
-      |(3111,-5276417841706566*power(2.0,-49)),
-      |(3112,-6687683525231949*power(2.0,-49)),
-      |(3113,-6272209718928812*power(2.0,-50)),
-      |(3114,-4780195829998905*power(2.0,-49)),
-      |(3115,-5508929298228657*power(2.0,-50)),
-      |(3116,-5064969443849425*power(2.0,-50)),
-      |(3117,-4720245785811174*power(2.0,-49)),
-      |(3118,-6049567160403542*power(2.0,-49)),
-      |(3119,-8347042384011694*power(2.0,-51)),
-      |(3121,-8815576336180163*power(2.0,-50)),
-      |(3122,-8403621178302848*power(2.0,-54)),
-      |(3123,-4771692241861201*power(2.0,-49)),
-      |(3124,-8674022331835887*power(2.0,-50)),
-      |(3125,-7034289378128733*power(2.0,-49)),
-      |(3126,-8437927027375363*power(2.0,-50)),
-      |(3127,-4675988942321326*power(2.0,-49)),
-      |(3128,-6747634181175878*power(2.0,-50)),
-      |(3129,-4955847976991096*power(2.0,-49)),
-      |(3131,-5202245394589914*power(2.0,-51)),
-      |(3132,-6316182501870618*power(2.0,-49)),
-      |(3133,-6269619107230623*power(2.0,-50)),
-      |(3134,-5497723590597584*power(2.0,-49)),
-      |(3135,-8716954934293462*power(2.0,-50)),
-      |(3136,-7972679623439008*power(2.0,-53)),
-      |(3137,-8921758850236008*power(2.0,-50)),
-      |(3138,-6810204829676760*power(2.0,-53)),
-      |(3139,-5216052761769520*power(2.0,-51)),
-      |(3141,-6415053586503146*power(2.0,-50)),
-      |(3142,-8846470968570908*power(2.0,-51)),
-      |(3143,-4985612222815630*power(2.0,-50)),
-      |(3144,-4565734920859664*power(2.0,-49)),
-      |(3145,-5680582591226973*power(2.0,-49)),
-      |(3146,-4812164730110636*power(2.0,-49)),
-      |(3147,-6184608686393454*power(2.0,-50)),
-      |(3148,-6022612915404338*power(2.0,-50)),
-      |(3149,-5833814502004942*power(2.0,-49)),
-      |(3151,-7893522781434981*power(2.0,-50)),
-      |(3152,-6520903457423302*power(2.0,-50)),
-      |(3153,-6132487012658153*power(2.0,-50)),
-      |(3154,-7032927921249141*power(2.0,-50)),
-      |(3155,-6578759955434527*power(2.0,-50)),
-      |(3156,-5761559509693970*power(2.0,-50)),
-      |(3157,-6409900867509671*power(2.0,-50)),
-      |(3158,-5321234633589479*power(2.0,-50)),
-      |(3159,-5402702339556344*power(2.0,-53)),
-      |(3161,-6683671703131811*power(2.0,-50)),
-      |(3162,-8768164567516238*power(2.0,-51)),
-      |(3163,-8595113605520756*power(2.0,-50)),
-      |(3164,-5944681260648704*power(2.0,-52)),
-      |(3165,-8089714398404930*power(2.0,-51)),
-      |(3166,-4525547626594990*power(2.0,-50)),
-      |(3167,-8205980799505930*power(2.0,-51)),
-      |(3168,-5557141651030278*power(2.0,-49)),
-      |(3169,-6540786509537576*power(2.0,-49)),
-      |(3171,-4881298097518900*power(2.0,-49)),
-      |(3172,-4670582958397284*power(2.0,-51)),
-      |(3173,-5305807300686845*power(2.0,-50)),
-      |(3174,-8667761769306696*power(2.0,-50)),
-      |(3175,-7205806670865141*power(2.0,-49)),
-      |(3176,-4860010247926195*power(2.0,-49)),
-      |(3177,-5659606825686004*power(2.0,-50)),
-      |(3178,-7259329012810346*power(2.0,-50)),
-      |(3179,-5658881413201384*power(2.0,-49)),
-      |(3181,-5304372571345774*power(2.0,-51)),
-      |(3182,-7679342657110474*power(2.0,-51)),
-      |(3183,-7353469289758546*power(2.0,-51)),
-      |(3184,-5919245276357224*power(2.0,-52)),
-      |(3185,-4953369850252243*power(2.0,-49)),
-      |(3186,-6783032478111560*power(2.0,-51)),
-      |(3187,-7822262418925172*power(2.0,-50)),
-      |(3188,-7186310318577152*power(2.0,-51)),
-      |(3189,-5510185581684608*power(2.0,-50)),
-      |(3191,-4600247670666614*power(2.0,-51)),
-      |(3192,-6392144918005599*power(2.0,-50)),
-      |(3193,-8677879789116425*power(2.0,-50)),
-      |(3194,-5646912529883502*power(2.0,-51)),
-      |(3195,-5230291258039044*power(2.0,-51)),
-      |(3196,-7773629119431680*power(2.0,-52)),
-      |(3197,-6761482444102128*power(2.0,-50)),
-      |(3198,-5171036154022570*power(2.0,-50)),
-      |(3199,-6755474039282303*power(2.0,-50)),
-      |(3201,-8206134949076562*power(2.0,-50)),
-      |(3202,-6371223401980210*power(2.0,-49)),
-      |(3203,-7341939333548633*power(2.0,-50)),
-      |(3204,-5983350971109006*power(2.0,-50)),
-      |(3205,-6064690650405606*power(2.0,-49)),
-      |(3206,-5479288460852102*power(2.0,-49)),
-      |(3207,-5473221770496624*power(2.0,-49)),
-      |(3208,-6071174626174826*power(2.0,-49)),
-      |(3209,-8886624622391216*power(2.0,-50)),
-      |(3211,-4871736687886662*power(2.0,-50)),
-      |(3212,-7736410001772122*power(2.0,-51)),
-      |(3213,-7963851156818852*power(2.0,-50)),
-      |(3214,-7874302686234241*power(2.0,-50)),
-      |(3215,-5259670080327368*power(2.0,-49)),
-      |(3216,-8329957705065682*power(2.0,-51)),
-      |(3217,-4576958654974874*power(2.0,-49)),
-      |(3218,-8329688138638380*power(2.0,-52)),
-      |(3219,-7990777004094472*power(2.0,-50)),
-      |(3221,-8440713083455969*power(2.0,-50)),
-      |(3222,-7194769380011002*power(2.0,-51)),
-      |(3223,-5269640355885694*power(2.0,-50)),
-      |(3224,-4757733882514622*power(2.0,-51)),
-      |(3225,-5045171585033114*power(2.0,-51)),
-      |(3226,-5365933576089816*power(2.0,-49)),
-      |(3227,-6246821207481681*power(2.0,-49)),
-      |(3228,-5862310310341163*power(2.0,-50)),
-      |(3229,-5429539189418702*power(2.0,-49)),
-      |(3231,-6487708848641450*power(2.0,-49)),
-      |(3232,-4528957945741215*power(2.0,-50)),
-      |(3233,-8931549342445464*power(2.0,-53)),
-      |(3234,-4891328385069860*power(2.0,-50)),
-      |(3235,-6698821157157494*power(2.0,-49)),
-      |(3236,-5685876647935538*power(2.0,-49)),
-      |(3237,-7179184726788259*power(2.0,-50)),
-      |(3238,-5287448894835358*power(2.0,-49)),
-      |(3239,-4574706987528004*power(2.0,-49)),
-      |(3241,-8174029880486377*power(2.0,-50)),
-      |(3242,-4869034110788941*power(2.0,-49)),
-      |(3243,-5271226731875162*power(2.0,-49)),
-      |(3244,-6261042267476464*power(2.0,-51)),
-      |(3245,-7303463863763540*power(2.0,-50)),
-      |(3246,-7017863191990465*power(2.0,-50)),
-      |(3247,-6234116864712622*power(2.0,-49)),
-      |(3248,-6726097450898419*power(2.0,-50)),
-      |(3249,-8365498635039196*power(2.0,-51)),
-      |(3251,-8239350785259840*power(2.0,-54)),
-      |(3252,-6438847975938367*power(2.0,-49)),
-      |(3253,-5835880648678657*power(2.0,-50)),
-      |(3254,-8548598145837552*power(2.0,-53)),
-      |(3255,-4637753491527172*power(2.0,-49)),
-      |(3256,-7579495143063716*power(2.0,-51)),
-      |(3257,-5678544507270064*power(2.0,-52)),
-      |(3258,-8589154603341851*power(2.0,-50)),
-      |(3259,-6654063264497032*power(2.0,-49)),
-      |(3261,-5061046796245221*power(2.0,-50)),
-      |(3262,-8089663670470860*power(2.0,-51)),
-      |(3263,-8041618473032802*power(2.0,-49)),
-      |(3264,-6678444142449276*power(2.0,-50)),
-      |(3265,-5832387271697036*power(2.0,-49)),
-      |(3266,-5401677432188072*power(2.0,-50)),
-      |(3267,-5556541247592333*power(2.0,-50)),
-      |(3268,-6273819725103406*power(2.0,-49)),
-      |(3269,-6437919009955449*power(2.0,-50)),
-      |(3271,-4990773817209512*power(2.0,-51)),
-      |(3272,-7963726294359430*power(2.0,-50)),
-      |(3273,-5673209886282436*power(2.0,-51)),
-      |(3274,-4726692064449365*power(2.0,-50)),
-      |(3275,-4730694386365250*power(2.0,-49)),
-      |(3276,-5035838413677858*power(2.0,-49)),
-      |(3277,-6035402230708258*power(2.0,-49)),
-      |(3278,-4864233340703330*power(2.0,-49)),
-      |(3279,-4864537822530952*power(2.0,-52)),
-      |(3281,-5756653887738618*power(2.0,-49)),
-      |(3282,-4622606529456722*power(2.0,-49)),
-      |(3283,-6641127553737384*power(2.0,-50)),
-      |(3284,-6850611807370556*power(2.0,-49)),
-      |(3285,-5999990854515160*power(2.0,-49)),
-      |(3286,-5022992719223750*power(2.0,-51)),
-      |(3287,-5675852839092365*power(2.0,-49)),
-      |(3288,-6129019681394682*power(2.0,-49)),
-      |(3289,-5499169982470931*power(2.0,-49)),
-      |(3291,-5016537136011631*power(2.0,-49)),
-      |(3292,-8459220982366958*power(2.0,-50)),
-      |(3293,-8390392225145112*power(2.0,-50)),
-      |(3294,-4692854761076010*power(2.0,-49)),
-      |(3295,-6888614380890810*power(2.0,-50)),
-      |(3296,-8088736923655125*power(2.0,-49)),
-      |(3297,-5983529424791002*power(2.0,-49)),
-      |(3298,-4845054353308420*power(2.0,-50)),
-      |(3299,-4750865476059992*power(2.0,-49)),
-      |(3301,-7658336629126825*power(2.0,-50)),
-      |(3302,-6274508090767690*power(2.0,-51)),
-      |(3303,-6335784957295357*power(2.0,-50)),
-      |(3304,-7830145078241165*power(2.0,-49)),
-      |(3305,-8534021304095592*power(2.0,-51)),
-      |(3306,-7387315836695849*power(2.0,-50)),
-      |(3307,-6895696180968457*power(2.0,-49)),
-      |(3308,-7887542089828209*power(2.0,-50)),
-      |(3309,-7312494500199332*power(2.0,-49)),
-      |(3311,-5587670783319559*power(2.0,-49)),
-      |(3312,-5653943444491752*power(2.0,-49)),
-      |(3313,-7244202099186842*power(2.0,-51)),
-      |(3314,-6472020243696224*power(2.0,-51)),
-      |(3315,-5064009072965776*power(2.0,-49)),
-      |(3316,-6320213509550129*power(2.0,-50)),
-      |(3317,-6024348281758216*power(2.0,-53)),
-      |(3318,-6161805112220378*power(2.0,-50)),
-      |(3319,-7216396384886322*power(2.0,-50)),
-      |(3321,-6534321599123544*power(2.0,-50)),
-      |(3322,-4607547369927214*power(2.0,-51)),
-      |(3323,-4900858971436872*power(2.0,-52)),
-      |(3324,-7214480705003440*power(2.0,-49)),
-      |(3325,-5001863801735923*power(2.0,-50)),
-      |(3326,-6268885854572170*power(2.0,-49)),
-      |(3327,-5200729501079152*power(2.0,-49)),
-      |(3328,-4813204148247334*power(2.0,-49)),
-      |(3329,-8492145844732225*power(2.0,-50)),
-      |(3331,-7659731342810317*power(2.0,-50)),
-      |(3332,-6913660632450543*power(2.0,-50)),
-      |(3333,-7364236254894125*power(2.0,-50)),
-      |(3334,-7157045237451006*power(2.0,-51)),
-      |(3335,-5885296223582631*power(2.0,-49)),
-      |(3336,-7259814652880808*power(2.0,-50)),
-      |(3337,-8610489704817340*power(2.0,-52)),
-      |(3338,-6675528557412770*power(2.0,-50)),
-      |(3339,-8092346861373973*power(2.0,-50)),
-      |(3341,-5522286672444946*power(2.0,-49)),
-      |(3342,-7825173304128594*power(2.0,-51)),
-      |(3343,-6760393671189916*power(2.0,-52)),
-      |(3344,-6412371720207740*power(2.0,-50)),
-      |(3345,-5468359614765731*power(2.0,-50)),
-      |(3346,-4881690187772745*power(2.0,-50)),
-      |(3347,-4932240298382680*power(2.0,-50)),
-      |(3348,-6382444235474312*power(2.0,-50)),
-      |(3349,-4934604637305016*power(2.0,-49)),
-      |(3351,-8159055601591296*power(2.0,-50)),
-      |(3352,-5422907419925710*power(2.0,-49)),
-      |(3353,-6446879937768838*power(2.0,-50)),
-      |(3354,-5456425058884680*power(2.0,-53)),
-      |(3355,-4683656280151884*power(2.0,-50)),
-      |(3356,-6918334656139584*power(2.0,-51)),
-      |(3357,-5728706052017090*power(2.0,-49)),
-      |(3358,-8752851229324766*power(2.0,-50)),
-      |(3359,-4696059287777948*power(2.0,-51)),
-      |(3361,-4612844953020901*power(2.0,-50)),
-      |(3362,-5960474529615506*power(2.0,-51)),
-      |(3363,-7399103648744798*power(2.0,-51)),
-      |(3364,-7385805544433262*power(2.0,-50)),
-      |(3365,-5578587808337360*power(2.0,-51)),
-      |(3366,-5795710928238619*power(2.0,-49)),
-      |(3367,-8907979429924851*power(2.0,-50)),
-      |(3368,-6913458443827206*power(2.0,-49)),
-      |(3369,-6200029716023568*power(2.0,-49)),
-      |(3371,-7370102313274315*power(2.0,-50)),
-      |(3372,-8313856221082703*power(2.0,-49)),
-      |(3373,-8644068520540354*power(2.0,-50)),
-      |(3374,-5744927476590610*power(2.0,-50)),
-      |(3375,-8617700721183737*power(2.0,-50)),
-      |(3376,-6213452567657272*power(2.0,-50)),
-      |(3377,-7659136727928576*power(2.0,-53)),
-      |(3378,-7370764266297876*power(2.0,-51)),
-      |(3379,-5267799579793312*power(2.0,-50)),
-      |(3381,-7729559530546026*power(2.0,-50)),
-      |(3382,-5132776371155254*power(2.0,-51)),
-      |(3383,-4720574915304669*power(2.0,-49)),
-      |(3384,-7607482153497085*power(2.0,-50)),
-      |(3385,-5267314296328327*power(2.0,-50)),
-      |(3386,-8349875798104031*power(2.0,-50)),
-      |(3387,-7632774718575504*power(2.0,-51)),
-      |(3388,-8450449105290606*power(2.0,-50)),
-      |(3389,-5710496505918056*power(2.0,-51)),
-      |(3391,-4996771166474674*power(2.0,-49)),
-      |(3392,-8060661307418839*power(2.0,-50)),
-      |(3393,-7566187880487495*power(2.0,-50)),
-      |(3394,-8685679373442628*power(2.0,-51)),
-      |(3395,-4631546323075857*power(2.0,-50)),
-      |(3396,-8379454719010991*power(2.0,-50)),
-      |(3397,-6356028761802923*power(2.0,-49)),
-      |(3398,-5504215397080944*power(2.0,-49)),
-      |(3399,-7369432088148816*power(2.0,-51)),
-      |(3401,-5393654888595848*power(2.0,-51)),
-      |(3402,-8069187318348832*power(2.0,-51)),
-      |(3403,-8471078811400857*power(2.0,-50)),
-      |(3404,-6274646255857476*power(2.0,-49)),
-      |(3405,-7242344182260900*power(2.0,-51)),
-      |(3406,-8196579279586348*power(2.0,-51)),
-      |(3407,-5089766512472252*power(2.0,-49)),
-      |(3408,-8231984478088912*power(2.0,-51)),
-      |(3409,-6676974489361205*power(2.0,-50)),
-      |(3411,-6733660218806660*power(2.0,-52)),
-      |(3412,-7731464798503852*power(2.0,-50)),
-      |(3413,-5885565847547503*power(2.0,-50)),
-      |(3414,-5683286582291584*power(2.0,-52)),
-      |(3415,-7084740700542373*power(2.0,-50)),
-      |(3416,-8084513992672094*power(2.0,-50)),
-      |(3417,-7043782773468974*power(2.0,-50)),
-      |(3418,-4790649054254884*power(2.0,-49)),
-      |(3419,-5797954167481135*power(2.0,-49)),
-      |(3421,-5259761430880155*power(2.0,-50)),
-      |(3422,-7736778041273396*power(2.0,-49)),
-      |(3423,-4827353963492430*power(2.0,-51)),
-      |(3424,-8910663013297732*power(2.0,-52)),
-      |(3425,-5458218585724864*power(2.0,-52)),
-      |(3426,-5463085880506004*power(2.0,-50)),
-      |(3427,-4752184486583299*power(2.0,-49)),
-      |(3428,-5540004182098758*power(2.0,-51)),
-      |(3429,-5155969161401080*power(2.0,-49)),
-      |(3431,-5424823168275546*power(2.0,-50)),
-      |(3432,-6421103010802048*power(2.0,-49)),
-      |(3433,-8728201612979518*power(2.0,-50)),
-      |(3434,-7993942423009454*power(2.0,-51)),
-      |(3435,-4687988083407488*power(2.0,-49)),
-      |(3436,-6374557825551036*power(2.0,-52)),
-      |(3437,-4550062835102264*power(2.0,-49)),
-      |(3438,-8200480037470050*power(2.0,-50)),
-      |(3439,-7279305369270878*power(2.0,-51)),
-      |(3441,-8928713539768574*power(2.0,-50)),
-      |(3442,-5164651302671190*power(2.0,-49)),
-      |(3443,-7472032958762928*power(2.0,-52)),
-      |(3444,-8670079605040968*power(2.0,-52)),
-      |(3445,-8004752235477010*power(2.0,-51)),
-      |(3446,-9002151177053064*power(2.0,-50)),
-      |(3447,-8054736941875262*power(2.0,-49)),
-      |(3448,-6359526513894386*power(2.0,-51)),
-      |(3449,-6329427503073012*power(2.0,-50)),
-      |(3451,-6907236104855978*power(2.0,-49)),
-      |(3452,-5219735642269200*power(2.0,-49)),
-      |(3453,-6104546700330886*power(2.0,-50)),
-      |(3454,-4602700554770444*power(2.0,-51)),
-      |(3455,-6643489944708020*power(2.0,-50)),
-      |(3456,-6620992741904912*power(2.0,-49)),
-      |(3457,-7704322023763875*power(2.0,-50)),
-      |(3458,-4515514502296724*power(2.0,-49)),
-      |(3459,-5747049793995856*power(2.0,-51)),
-      |(3461,-6786416894922584*power(2.0,-50)),
-      |(3462,-6193398697992034*power(2.0,-51)),
-      |(3463,-5835679017226058*power(2.0,-51)),
-      |(3464,-6700105894526984*power(2.0,-49)),
-      |(3465,-5077710704510413*power(2.0,-49)),
-      |(3466,-4881626986007036*power(2.0,-49)),
-      |(3467,-6448884998398524*power(2.0,-51)),
-      |(3468,-5425575883922982*power(2.0,-49)),
-      |(3469,-5159029321443885*power(2.0,-49)),
-      |(3471,-8888110755518402*power(2.0,-50)),
-      |(3472,-8878064559971772*power(2.0,-50)),
-      |(3473,-5273212178891912*power(2.0,-49)),
-      |(3474,-4969164689402721*power(2.0,-50)),
-      |(3475,-8692162357267988*power(2.0,-52)),
-      |(3476,-5901496978083095*power(2.0,-50)),
-      |(3477,-9004406644483612*power(2.0,-50)),
-      |(3478,-5157000091589727*power(2.0,-50)),
-      |(3479,-6689649555489510*power(2.0,-49)),
-      |(3481,-7938037784361956*power(2.0,-52)),
-      |(3482,-8979502587218917*power(2.0,-50)),
-      |(3483,-7047819977163004*power(2.0,-52)),
-      |(3484,-5622334656559300*power(2.0,-51)),
-      |(3485,-6691222939929536*power(2.0,-49)),
-      |(3486,-5330470012429692*power(2.0,-51)),
-      |(3487,-5627429086369368*power(2.0,-51)),
-      |(3488,-8094773239163660*power(2.0,-50)),
-      |(3489,-6713070354942364*power(2.0,-49)),
-      |(3491,-7904040122812540*power(2.0,-51)),
-      |(3492,-6971684241302070*power(2.0,-51)),
-      |(3493,-6934513550039649*power(2.0,-49)),
-      |(3494,-5253369434405170*power(2.0,-49)),
-      |(3495,-7708054431569994*power(2.0,-51)),
-      |(3496,-6900053471152028*power(2.0,-52)),
-      |(3497,-6676396773007378*power(2.0,-49)),
-      |(3498,-5139734157700145*power(2.0,-50)),
-      |(3499,-5630580498940040*power(2.0,-50)),
-      |(3501,-5581235621069242*power(2.0,-49)),
-      |(3502,-5075234756941982*power(2.0,-50)),
-      |(3503,-4837798994660450*power(2.0,-49)),
-      |(3504,-5168109737749898*power(2.0,-51)),
-      |(3505,-6251057746655466*power(2.0,-51)),
-      |(3506,-5846716466346707*power(2.0,-49)),
-      |(3507,-5536321763350008*power(2.0,-53)),
-      |(3508,-4842761314447128*power(2.0,-49)),
-      |(3509,-4941188412786820*power(2.0,-49)),
-      |(3511,-8882608739478893*power(2.0,-50)),
-      |(3512,-6554433103481186*power(2.0,-50)),
-      |(3513,-5062649825096166*power(2.0,-49)),
-      |(3514,-8313438877779807*power(2.0,-49)),
-      |(3515,-5419628533151609*power(2.0,-50)),
-      |(3516,-5262788251869402*power(2.0,-51)),
-      |(3517,-6249526003897400*power(2.0,-50)),
-      |(3518,-5142604293834846*power(2.0,-49)),
-      |(3519,-8183602581791476*power(2.0,-51)),
-      |(3521,-5415007958647849*power(2.0,-49)),
-      |(3522,-5899078294645760*power(2.0,-49)),
-      |(3523,-5586252646628788*power(2.0,-49)),
-      |(3524,-5550175238427828*power(2.0,-49)),
-      |(3525,-6717771180555716*power(2.0,-50)),
-      |(3526,-8535212902191322*power(2.0,-50)),
-      |(3527,-6048499571199788*power(2.0,-50)),
-      |(3528,-5892221712970899*power(2.0,-49)),
-      |(3529,-8450866361415934*power(2.0,-50)),
-      |(3531,-4823172077712818*power(2.0,-51)),
-      |(3532,-7653483367254493*power(2.0,-50)),
-      |(3533,-8986537185481796*power(2.0,-51)),
-      |(3534,-5473202563527672*power(2.0,-51)),
-      |(3535,-4812868147989415*power(2.0,-50)),
-      |(3536,-7343582759774846*power(2.0,-51)),
-      |(3537,-6854439116428502*power(2.0,-51)),
-      |(3538,-8785562840127328*power(2.0,-51)),
-      |(3539,-8947139966792826*power(2.0,-51)),
-      |(3541,-5032190401907970*power(2.0,-50)),
-      |(3542,-8317830882482488*power(2.0,-52)),
-      |(3543,-5925602157352201*power(2.0,-50)),
-      |(3544,-6735689336712157*power(2.0,-49)),
-      |(3545,-7980370368440168*power(2.0,-49)),
-      |(3546,-7736230524165864*power(2.0,-49)),
-      |(3547,-4641783281618734*power(2.0,-50)),
-      |(3548,-6918690339117226*power(2.0,-50)),
-      |(3549,-6663322039497204*power(2.0,-50)),
-      |(3551,-5157881114046337*power(2.0,-50)),
-      |(3552,-6234960580423427*power(2.0,-49)),
-      |(3553,-6221304686849662*power(2.0,-51)),
-      |(3554,-7789727029874681*power(2.0,-49)),
-      |(3555,-6232008855993880*power(2.0,-52)),
-      |(3556,-5482622706116124*power(2.0,-49)),
-      |(3557,-5800916722162526*power(2.0,-49)),
-      |(3558,-5516245346541044*power(2.0,-49)),
-      |(3559,-7186929905379736*power(2.0,-52)),
-      |(3561,-7308337634974216*power(2.0,-52)),
-      |(3562,-8442925892457148*power(2.0,-50)),
-      |(3563,-6596038606559155*power(2.0,-49)),
-      |(3564,-5217385412490889*power(2.0,-50)),
-      |(3565,-5426047075385989*power(2.0,-49)),
-      |(3566,-8564377357458360*power(2.0,-51)),
-      |(3567,-6682969131593550*power(2.0,-49)),
-      |(3568,-8632510377092743*power(2.0,-50)),
-      |(3569,-8305434954527370*power(2.0,-49)),
-      |(3571,-6254603023167332*power(2.0,-50)),
-      |(3572,-5141055133110823*power(2.0,-50)),
-      |(3573,-6801632627286740*power(2.0,-50)),
-      |(3574,-7238449192504954*power(2.0,-51)),
-      |(3575,-7006971482907244*power(2.0,-52)),
-      |(3576,-7644834622210710*power(2.0,-50)),
-      |(3577,-7319332869406186*power(2.0,-51)),
-      |(3578,-6408867545197104*power(2.0,-54)),
-      |(3579,-8921539296836428*power(2.0,-52)),
-      |(3581,-4743362910782321*power(2.0,-50)),
-      |(3582,-8457727303801076*power(2.0,-50)),
-      |(3583,-8917035172562056*power(2.0,-50)),
-      |(3584,-5955398295163365*power(2.0,-49)),
-      |(3585,-6702563352227560*power(2.0,-49)),
-      |(3586,-8595082846070734*power(2.0,-50)),
-      |(3587,-7423794892584260*power(2.0,-49)),
-      |(3588,-6922779172920003*power(2.0,-50)),
-      |(3589,-8512522200816117*power(2.0,-50)),
-      |(3591,-8251798583913055*power(2.0,-50)),
-      |(3592,-6057856821400174*power(2.0,-50)),
-      |(3593,-4922329752577910*power(2.0,-49)),
-      |(3594,-5300284086506234*power(2.0,-49)),
-      |(3595,-7012224728657732*power(2.0,-49)),
-      |(3596,-4968285822531100*power(2.0,-49)),
-      |(3597,-6484676243737892*power(2.0,-50)),
-      |(3598,-5816952137040877*power(2.0,-50)),
-      |(3599,-6444075247065650*power(2.0,-49)),
-      |(3601,-7335948129051288*power(2.0,-51)),
-      |(3602,-8159392375654231*power(2.0,-50)),
-      |(3603,-8207556313081992*power(2.0,-52)),
-      |(3604,-6159170121385328*power(2.0,-50)),
-      |(3605,-8185670944122093*power(2.0,-50)),
-      |(3606,-6695105441780391*power(2.0,-50)),
-      |(3607,-7073285041739498*power(2.0,-50)),
-      |(3608,-8656221159944540*power(2.0,-52)),
-      |(3609,-4675622420858738*power(2.0,-49)),
-      |(3611,-6025172968992718*power(2.0,-51)),
-      |(3612,-4790444588022990*power(2.0,-49)),
-      |(3613,-5613094254013109*power(2.0,-49)),
-      |(3614,-6375318088478385*power(2.0,-50)),
-      |(3615,-4616922287501196*power(2.0,-51)),
-      |(3616,-4919393018532310*power(2.0,-49)),
-      |(3617,-6416025105645558*power(2.0,-51)),
-      |(3618,-8843926545594852*power(2.0,-50)),
-      |(3619,-8084181132934696*power(2.0,-51)),
-      |(3621,-6844717105344654*power(2.0,-50)),
-      |(3622,-6467775000684906*power(2.0,-51)),
-      |(3623,-6671248204430114*power(2.0,-50)),
-      |(3624,-8588878520324576*power(2.0,-53)),
-      |(3625,-5807567551599704*power(2.0,-51)),
-      |(3626,-5942247447434276*power(2.0,-50)),
-      |(3627,-5506116662995868*power(2.0,-51)),
-      |(3628,-5638997489765343*power(2.0,-50)),
-      |(3629,-5207116817377612*power(2.0,-51)),
-      |(3631,-4572454695818420*power(2.0,-50)),
-      |(3632,-6517943536554684*power(2.0,-52)),
-      |(3633,-7535419762276482*power(2.0,-51)),
-      |(3634,-6466890766949408*power(2.0,-51)),
-      |(3635,-6601493490929944*power(2.0,-50)),
-      |(3636,-8786209537001488*power(2.0,-51)),
-      |(3637,-8701937668058420*power(2.0,-50)),
-      |(3638,-4947794836292727*power(2.0,-49)),
-      |(3639,-6594839840206634*power(2.0,-51)),
-      |(3641,-6145125689651210*power(2.0,-51)),
-      |(3642,-7123005463212009*power(2.0,-50)),
-      |(3643,-6353705690335533*power(2.0,-50)),
-      |(3644,-5675952848352274*power(2.0,-49)),
-      |(3645,-5381775557176770*power(2.0,-51)),
-      |(3646,-8121745835985868*power(2.0,-50)),
-      |(3647,-8091689653728608*power(2.0,-51)),
-      |(3648,-5243468993576512*power(2.0,-49)),
-      |(3649,-6802336608916970*power(2.0,-49)),
-      |(3651,-7365850296138432*power(2.0,-51)),
-      |(3652,-8542574756560204*power(2.0,-50)),
-      |(3653,-7429231326721836*power(2.0,-49)),
-      |(3654,-7582005094547282*power(2.0,-51)),
-      |(3655,-7352461463988978*power(2.0,-49)),
-      |(3656,-5521779965230302*power(2.0,-49)),
-      |(3657,-4642852948307442*power(2.0,-50)),
-      |(3658,-6751968080719882*power(2.0,-50)),
-      |(3659,-6024893286356405*power(2.0,-49)),
-      |(3661,-4845107026182332*power(2.0,-49)),
-      |(3662,-6136567767541912*power(2.0,-49)),
-      |(3663,-5689260843903294*power(2.0,-49)),
-      |(3664,-6971926148237404*power(2.0,-49)),
-      |(3665,-5996185290518976*power(2.0,-50)),
-      |(3666,-6158383357617750*power(2.0,-51)),
-      |(3667,-7454929124727613*power(2.0,-50)),
-      |(3668,-5099190330237394*power(2.0,-50)),
-      |(3669,-8583405491210803*power(2.0,-50)),
-      |(3671,-8671673668590653*power(2.0,-50)),
-      |(3672,-7208990610383931*power(2.0,-49)),
-      |(3673,-4676493224525096*power(2.0,-49)),
-      |(3674,-8582862241601280*power(2.0,-53)),
-      |(3675,-5381330278899324*power(2.0,-51)),
-      |(3676,-4823309644871676*power(2.0,-51)),
-      |(3677,-7465857812532729*power(2.0,-50)),
-      |(3678,-5612288633660126*power(2.0,-51)),
-      |(3679,-7516976160428020*power(2.0,-52)),
-      |(3681,-7645382289046482*power(2.0,-51)),
-      |(3682,-8116756378759524*power(2.0,-51)),
-      |(3683,-6124354561956580*power(2.0,-52)),
-      |(3684,-5564909890344404*power(2.0,-52)),
-      |(3685,-5403699626944254*power(2.0,-51)),
-      |(3686,-7323874611716106*power(2.0,-50)),
-      |(3687,-8369381711245694*power(2.0,-50)),
-      |(3688,-6852699777943388*power(2.0,-49)),
-      |(3689,-7738908756404364*power(2.0,-51)),
-      |(3691,-4881589343897316*power(2.0,-51)),
-      |(3692,-6510104081140778*power(2.0,-50)),
-      |(3693,-5989314941601462*power(2.0,-49)),
-      |(3694,-5160353005856252*power(2.0,-51)),
-      |(3695,-7474293153072282*power(2.0,-51)),
-      |(3696,-6278391489867718*power(2.0,-51)),
-      |(3697,-5745788046055194*power(2.0,-51)),
-      |(3698,-5144717995230285*power(2.0,-49)),
-      |(3699,-5252333651774956*power(2.0,-51)),
-      |(3701,-7385979617074422*power(2.0,-51)),
-      |(3702,-4814131942740798*power(2.0,-49)),
-      |(3703,-6433035917312576*power(2.0,-55)),
-      |(3704,-7510738835647344*power(2.0,-52)),
-      |(3705,-6413995889676058*power(2.0,-50)),
-      |(3706,-7670945891039836*power(2.0,-52)),
-      |(3707,-8564954670094847*power(2.0,-50)),
-      |(3708,-5126347616612914*power(2.0,-49)),
-      |(3709,-5380662010174538*power(2.0,-50)),
-      |(3711,-6663107192708048*power(2.0,-54)),
-      |(3712,-6341493134470114*power(2.0,-50)),
-      |(3713,-6438311994670430*power(2.0,-49)),
-      |(3714,-5761551668766688*power(2.0,-51)),
-      |(3715,-4797225929602524*power(2.0,-48)),
-      |(3716,-6721961956539808*power(2.0,-52)),
-      |(3717,-6620457724826148*power(2.0,-49)),
-      |(3718,-7553543794032751*power(2.0,-50)),
-      |(3719,-8898705997477240*power(2.0,-52)),
-      |(3721,-5171285582677538*power(2.0,-51)),
-      |(3722,-5732511814603621*power(2.0,-49)),
-      |(3723,-4527416879855770*power(2.0,-50)),
-      |(3724,-5679810747791310*power(2.0,-49)),
-      |(3725,-5074413687290521*power(2.0,-49)),
-      |(3726,-8398404930312924*power(2.0,-50)),
-      |(3727,-7343010982860378*power(2.0,-50)),
-      |(3728,-7711652454597446*power(2.0,-49)),
-      |(3729,-7049169638518995*power(2.0,-50)),
-      |(3731,-7127905522408854*power(2.0,-49)),
-      |(3732,-8014124664829606*power(2.0,-50)),
-      |(3733,-6523747401492362*power(2.0,-49)),
-      |(3734,-6321874845354184*power(2.0,-49)),
-      |(3735,-8268612393566100*power(2.0,-51)),
-      |(3736,-4646275179922726*power(2.0,-51)),
-      |(3737,-5610578406672832*power(2.0,-49)),
-      |(3738,-4860291236724623*power(2.0,-50)),
-      |(3739,-6041753021629794*power(2.0,-49)),
-      |(3741,-8810819060029448*power(2.0,-50)),
-      |(3742,-5303943460522380*power(2.0,-51)),
-      |(3743,-7674193279680457*power(2.0,-49)),
-      |(3744,-5054240094124278*power(2.0,-49)),
-      |(3745,-5921982098949656*power(2.0,-49)),
-      |(3746,-8811850831960351*power(2.0,-50)),
-      |(3747,-6832372946285874*power(2.0,-51)),
-      |(3748,-5986264931230948*power(2.0,-51)),
-      |(3749,-8304876129688244*power(2.0,-51)),
-      |(3751,-5620460395113825*power(2.0,-49)),
-      |(3752,-6312908712743828*power(2.0,-51)),
-      |(3753,-6258733474100855*power(2.0,-49)),
-      |(3754,-5359236032822282*power(2.0,-51)),
-      |(3755,-6256651375825498*power(2.0,-49)),
-      |(3756,-5468087665832538*power(2.0,-49)),
-      |(3757,-8629025840404914*power(2.0,-51)),
-      |(3758,-7781973535130902*power(2.0,-49)),
-      |(3759,-8669949489807212*power(2.0,-50)),
-      |(3761,-5648981980310667*power(2.0,-50)),
-      |(3762,-8788509486771832*power(2.0,-51)),
-      |(3763,-5328877080748824*power(2.0,-49)),
-      |(3764,-5756524320319820*power(2.0,-49)),
-      |(3765,-5137200474903020*power(2.0,-51)),
-      |(3766,-6133360331254207*power(2.0,-50)),
-      |(3767,-7197452752057360*power(2.0,-50)),
-      |(3768,-6371891020721510*power(2.0,-50)),
-      |(3769,-8468992057151642*power(2.0,-51)),
-      |(3771,-7205214306758240*power(2.0,-52)),
-      |(3772,-6024173874078784*power(2.0,-49)),
-      |(3773,-7155607017501183*power(2.0,-50)),
-      |(3774,-6239935070527953*power(2.0,-50)),
-      |(3775,-4667009078288154*power(2.0,-51)),
-      |(3776,-5229264886033522*power(2.0,-49)),
-      |(3777,-7576427279628368*power(2.0,-52)),
-      |(3778,-6324656890353515*power(2.0,-50)),
-      |(3779,-5055287536101311*power(2.0,-49)),
-      |(3781,-6893098832352814*power(2.0,-49)),
-      |(3782,-5902997547030384*power(2.0,-49)),
-      |(3783,-8131249284685178*power(2.0,-51)),
-      |(3784,-4745376479977324*power(2.0,-51)),
-      |(3785,-5196901481718828*power(2.0,-50)),
-      |(3786,-7468471187798100*power(2.0,-49)),
-      |(3787,-5845265096406527*power(2.0,-50)),
-      |(3788,-6321053980958823*power(2.0,-50)),
-      |(3789,-7314634270749744*power(2.0,-52)),
-      |(3791,-5297286347152400*power(2.0,-49)),
-      |(3792,-5947783449075325*power(2.0,-49)),
-      |(3793,-7078234655031361*power(2.0,-50)),
-      |(3794,-6165469265061882*power(2.0,-51)),
-      |(3795,-5106378864350280*power(2.0,-49)),
-      |(3796,-5953939836982250*power(2.0,-50)),
-      |(3797,-4798167577115994*power(2.0,-49)),
-      |(3798,-7809321963466315*power(2.0,-50)),
-      |(3799,-4515213615797410*power(2.0,-49)),
-      |(3801,-5724884426564803*power(2.0,-49)),
-      |(3802,-6744652728065616*power(2.0,-49)),
-      |(3803,-6979746954757671*power(2.0,-49)),
-      |(3804,-6727690775025925*power(2.0,-49)),
-      |(3805,-5688698330514702*power(2.0,-49)),
-      |(3806,-5484643148471004*power(2.0,-50)),
-      |(3807,-7828038732304430*power(2.0,-50)),
-      |(3808,-7962854226618321*power(2.0,-50)),
-      |(3809,-7525501106660704*power(2.0,-49)),
-      |(3811,-4754915740895232*power(2.0,-55)),
-      |(3812,-8894985186395336*power(2.0,-50)),
-      |(3813,8509241364798208*power(2.0,-57)),
-      |(3814,-7255939406747535*power(2.0,-50)),
-      |(3815,-6241508684515206*power(2.0,-49)),
-      |(3816,-6890407923611408*power(2.0,-50)),
-      |(3817,-5038180905086024*power(2.0,-51)),
-      |(3818,-4696341972067776*power(2.0,-52)),
-      |(3819,-8102981426704534*power(2.0,-51)),
-      |(3821,-6478660585896540*power(2.0,-50)),
-      |(3822,-6563201424511421*power(2.0,-50)),
-      |(3823,-6592024001461538*power(2.0,-49)),
-      |(3824,-5304200096389301*power(2.0,-49)),
-      |(3825,-8425973840815339*power(2.0,-49)),
-      |(3826,-5645095000660946*power(2.0,-49)),
-      |(3827,-5215228752351540*power(2.0,-50)),
-      |(3828,-8034939609319758*power(2.0,-51)),
-      |(3829,-7485479790130652*power(2.0,-49)),
-      |(3831,-4997681931709004*power(2.0,-52)),
-      |(3832,-7115265031493344*power(2.0,-53)),
-      |(3833,-6498659180751612*power(2.0,-52)),
-      |(3834,-6952359088456552*power(2.0,-49)),
-      |(3835,-4799060107042296*power(2.0,-49)),
-      |(3836,-6758440293020846*power(2.0,-49)),
-      |(3837,-5358940282211814*power(2.0,-49)),
-      |(3838,-7420361798679386*power(2.0,-49)),
-      |(3839,-5619979084429562*power(2.0,-49)),
-      |(3841,-6524676147500799*power(2.0,-50)),
-      |(3842,-5882233154449855*power(2.0,-49)),""".stripMargin,
-    """(3843,-6323669680812994*power(2.0,-51)),
-      |(3844,-5151339189624722*power(2.0,-49)),
-      |(3845,-8615200434579212*power(2.0,-52)),
-      |(3846,-6263815172890496*power(2.0,-49)),
-      |(3847,-4588599705123398*power(2.0,-50)),
-      |(3848,-5668542114692456*power(2.0,-51)),
-      |(3849,-5734524879023668*power(2.0,-51)),
-      |(3851,-7857517655130560*power(2.0,-53)),
-      |(3852,-6487138092440620*power(2.0,-52)),
-      |(3853,-6210302938024818*power(2.0,-50)),
-      |(3854,-8284329226643363*power(2.0,-50)),
-      |(3855,-5960155538769070*power(2.0,-50)),
-      |(3856,-8688422614139588*power(2.0,-51)),
-      |(3857,-5904576174667844*power(2.0,-49)),
-      |(3858,-4823922366392430*power(2.0,-51)),
-      |(3859,-5386062871065206*power(2.0,-49)),
-      |(3861,-5313769036088282*power(2.0,-49)),
-      |(3862,-5634557821479873*power(2.0,-50)),
-      |(3863,-6800987920277826*power(2.0,-50)),
-      |(3864,-6721530151346966*power(2.0,-51)),
-      |(3865,-7022604910659316*power(2.0,-52)),
-      |(3866,-4902428117954027*power(2.0,-50)),
-      |(3867,-5664284577008990*power(2.0,-49)),
-      |(3868,-7649434905103361*power(2.0,-50)),
-      |(3869,-4617237015804292*power(2.0,-49)),
-      |(3871,-6563359109144690*power(2.0,-50)),
-      |(3872,-5417104001186981*power(2.0,-49)),
-      |(3873,-8606882389794224*power(2.0,-52)),
-      |(3874,-6099927337061943*power(2.0,-50)),
-      |(3875,-5766228493719021*power(2.0,-49)),
-      |(3876,-6582082787161252*power(2.0,-52)),
-      |(3877,-4556744672896675*power(2.0,-48)),
-      |(3878,-6856284202740880*power(2.0,-52)),
-      |(3879,-8071998441406972*power(2.0,-51)),
-      |(3881,-8390513805573643*power(2.0,-50)),
-      |(3882,-4872124199411178*power(2.0,-49)),
-      |(3883,-7636226142973124*power(2.0,-51)),
-      |(3884,-4916024098225335*power(2.0,-49)),
-      |(3885,-6375940953089197*power(2.0,-50)),
-      |(3886,-8307543637525906*power(2.0,-51)),
-      |(3887,-5456968431592367*power(2.0,-50)),
-      |(3888,-6591158984014564*power(2.0,-50)),
-      |(3889,-4740074181830656*power(2.0,-53)),
-      |(3891,-6379582638799530*power(2.0,-51)),
-      |(3892,-8002420189393194*power(2.0,-51)),
-      |(3893,-4897273333346446*power(2.0,-49)),
-      |(3894,-5163649305061154*power(2.0,-51)),
-      |(3895,-7596052527511974*power(2.0,-50)),
-      |(3896,-7826840598857322*power(2.0,-50)),
-      |(3897,-5338328339788495*power(2.0,-50)),
-      |(3898,-5610793773893588*power(2.0,-52)),
-      |(3899,-5463358831890706*power(2.0,-49)),
-      |(3901,-6747524795326922*power(2.0,-50)),
-      |(3902,-6734888049424962*power(2.0,-50)),
-      |(3903,-6600865899713182*power(2.0,-49)),
-      |(3904,-5302647175136235*power(2.0,-50)),
-      |(3905,-4590082706813079*power(2.0,-50)),
-      |(3906,-5864318406658686*power(2.0,-51)),
-      |(3907,-7167290858187712*power(2.0,-51)),
-      |(3908,-8520740847809160*power(2.0,-52)),
-      |(3909,-5291332738930724*power(2.0,-52)),
-      |(3911,5457295874717872*power(2.0,-54)),
-      |(3912,-5099993360837422*power(2.0,-49)),
-      |(3913,-5660283716350963*power(2.0,-50)),
-      |(3914,-6625262820121778*power(2.0,-51)),
-      |(3915,-6549640715768720*power(2.0,-49)),
-      |(3916,-6945247953697489*power(2.0,-49)),
-      |(3917,-4503881168016687*power(2.0,-50)),
-      |(3918,-6803717950997266*power(2.0,-49)),
-      |(3919,-7242296679687944*power(2.0,-50)),
-      |(3921,-7791958672953132*power(2.0,-49)),
-      |(3922,-5668648641337770*power(2.0,-51)),
-      |(3923,-6161507009045956*power(2.0,-52)),
-      |(3924,-4715517563657940*power(2.0,-50)),
-      |(3925,-6292980898622508*power(2.0,-50)),
-      |(3926,-6238115333879636*power(2.0,-52)),
-      |(3927,-5402274882642884*power(2.0,-52)),
-      |(3928,-7203269897357720*power(2.0,-50)),
-      |(3929,-5212134409051466*power(2.0,-49)),
-      |(3931,-5968908207181635*power(2.0,-50)),
-      |(3932,-6643745313466874*power(2.0,-51)),
-      |(3933,-5023676571155370*power(2.0,-49)),
-      |(3934,-5293799973607855*power(2.0,-50)),
-      |(3935,-6765685300937476*power(2.0,-52)),
-      |(3936,-4872924809383380*power(2.0,-49)),
-      |(3937,-8947372407601847*power(2.0,-50)),
-      |(3938,-8421409061038376*power(2.0,-52)),
-      |(3939,-5508772395832210*power(2.0,-49)),
-      |(3941,-5532223194401020*power(2.0,-49)),
-      |(3942,-5097126082445425*power(2.0,-50)),
-      |(3943,-4797727145925983*power(2.0,-49)),
-      |(3944,-8797522116818902*power(2.0,-51)),
-      |(3945,-8894289196619776*power(2.0,-55)),
-      |(3946,-7016466464273476*power(2.0,-50)),
-      |(3947,-7712570261374418*power(2.0,-51)),
-      |(3948,-6933611958854879*power(2.0,-50)),
-      |(3949,-4716381716747171*power(2.0,-50)),
-      |(3951,-6100905825044340*power(2.0,-51)),
-      |(3952,-7786615835532070*power(2.0,-49)),
-      |(3953,-5947003268248228*power(2.0,-49)),
-      |(3954,-6493370359635316*power(2.0,-50)),
-      |(3955,-6057940378136330*power(2.0,-49)),
-      |(3956,-5351726820933898*power(2.0,-50)),
-      |(3957,-8551188543011441*power(2.0,-50)),
-      |(3958,-5005688412051470*power(2.0,-49)),
-      |(3959,-7750152186589784*power(2.0,-51)),
-      |(3961,-5649645109329884*power(2.0,-49)),
-      |(3962,-5561925731739990*power(2.0,-49)),
-      |(3963,-6791749743487587*power(2.0,-50)),
-      |(3964,-5499843642593628*power(2.0,-49)),
-      |(3965,-6282402130210841*power(2.0,-50)),
-      |(3966,-4586662361479382*power(2.0,-51)),
-      |(3967,-7187572398431498*power(2.0,-51)),
-      |(3968,-4548485166709638*power(2.0,-49)),
-      |(3969,-5737024796260928*power(2.0,-55)),
-      |(3971,-4704517972230340*power(2.0,-50)),
-      |(3972,-6174614083832238*power(2.0,-49)),
-      |(3973,-6056325644533244*power(2.0,-49)),
-      |(3974,-4551600261213070*power(2.0,-49)),
-      |(3975,-5778430125723934*power(2.0,-51)),
-      |(3976,-5316001588956514*power(2.0,-51)),
-      |(3977,-6277916634073270*power(2.0,-50)),
-      |(3978,-6127223164580842*power(2.0,-49)),
-      |(3979,-5619891741672334*power(2.0,-49)),
-      |(3981,-4688902660088018*power(2.0,-49)),
-      |(3982,-7400215699155400*power(2.0,-51)),
-      |(3983,-4696536449720242*power(2.0,-49)),
-      |(3984,-5119166022386822*power(2.0,-49)),
-      |(3985,-6640935338542582*power(2.0,-51)),
-      |(3986,-4516567874105350*power(2.0,-50)),
-      |(3987,-7595784608392596*power(2.0,-52)),
-      |(3988,-4982934140105475*power(2.0,-49)),
-      |(3989,-7743408563550996*power(2.0,-51)),
-      |(3991,-5620958740774096*power(2.0,-51)),
-      |(3992,-6053416424369032*power(2.0,-49)),
-      |(3993,-5415813614647921*power(2.0,-50)),
-      |(3994,-5137279323789818*power(2.0,-49)),
-      |(3995,-9005731849068432*power(2.0,-50)),
-      |(3996,-8362165432869675*power(2.0,-50)),
-      |(3997,-8280825383074346*power(2.0,-51)),
-      |(3998,-6357360938905284*power(2.0,-52)),
-      |(3999,-6918947343325152*power(2.0,-51)),
-      |(4001,-5718528786971066*power(2.0,-49)),
-      |(4002,-5347679895709848*power(2.0,-51)),
-      |(4003,-5103546687011969*power(2.0,-50)),
-      |(4004,-8875095069240936*power(2.0,-52)),
-      |(4005,-5523418471711142*power(2.0,-50)),
-      |(4006,-7508025847782410*power(2.0,-50)),
-      |(4007,-4561988921225410*power(2.0,-49)),
-      |(4008,-6850104600049329*power(2.0,-50)),
-      |(4009,-7152450941496824*power(2.0,-50)),
-      |(4011,-6597307241466190*power(2.0,-49)),
-      |(4012,-8442771067874124*power(2.0,-51)),
-      |(4013,-7575059077702804*power(2.0,-51)),
-      |(4014,-8833923047282912*power(2.0,-52)),
-      |(4015,-5849508303095098*power(2.0,-49)),
-      |(4016,-5869093238820092*power(2.0,-50)),
-      |(4017,-4982748742549754*power(2.0,-50)),
-      |(4018,-6537362130655568*power(2.0,-49)),
-      |(4019,-7508675948638114*power(2.0,-50)),
-      |(4021,-6678470975264146*power(2.0,-49)),
-      |(4022,-7720682497084465*power(2.0,-50)),
-      |(4023,-7234790749582772*power(2.0,-52)),
-      |(4024,-4694391523146375*power(2.0,-50)),
-      |(4025,-8516110588494099*power(2.0,-50)),
-      |(4026,-6435828340117120*power(2.0,-49)),
-      |(4027,-5591625927823165*power(2.0,-49)),
-      |(4028,-4603914854255991*power(2.0,-50)),
-      |(4029,-8948024377109022*power(2.0,-50)),
-      |(4031,-5945134369363868*power(2.0,-50)),
-      |(4032,-4738424323286758*power(2.0,-51)),
-      |(4033,-6451456029981657*power(2.0,-50)),
-      |(4034,-4508044927807862*power(2.0,-49)),
-      |(4035,-5259240103365760*power(2.0,-49)),
-      |(4036,-5957082772989345*power(2.0,-50)),
-      |(4037,-6280108443614931*power(2.0,-49)),
-      |(4038,-7963406536201456*power(2.0,-51)),
-      |(4039,-7396974774342580*power(2.0,-51)),
-      |(4041,-5625900372260542*power(2.0,-51)),
-      |(4042,-6350563745622208*power(2.0,-50)),
-      |(4043,-7773546007885612*power(2.0,-50)),
-      |(4044,-7051721572298284*power(2.0,-50)),
-      |(4045,-4728224057559336*power(2.0,-50)),
-      |(4046,-6345190635569018*power(2.0,-49)),
-      |(4047,-7447459574311008*power(2.0,-49)),
-      |(4048,-7286593594404909*power(2.0,-49)),
-      |(4049,-6911046063461400*power(2.0,-49)),
-      |(4051,-5889284855628816*power(2.0,-49)),
-      |(4052,-4801917545510670*power(2.0,-49)),
-      |(4053,-7232277095930692*power(2.0,-51)),
-      |(4054,-5520438912971827*power(2.0,-49)),
-      |(4055,-5504195623047772*power(2.0,-49)),
-      |(4056,-8088277338121220*power(2.0,-52)),
-      |(4057,-7116951778047068*power(2.0,-51)),
-      |(4058,-5274235968408064*power(2.0,-58)),
-      |(4059,-4745423418236701*power(2.0,-50)),
-      |(4061,-5901803542925846*power(2.0,-49)),
-      |(4062,-5809241194001888*power(2.0,-51)),
-      |(4063,-4595613060510312*power(2.0,-49)),
-      |(4064,-7770293497482788*power(2.0,-52)),
-      |(4065,-8175134820917006*power(2.0,-50)),
-      |(4066,-8831045857488217*power(2.0,-50)),
-      |(4067,-6277939651364940*power(2.0,-49)),
-      |(4068,-5014471791354099*power(2.0,-49)),
-      |(4069,-4539398380734466*power(2.0,-49)),
-      |(4071,-4858703791222010*power(2.0,-51)),
-      |(4072,-7672321159026956*power(2.0,-52)),
-      |(4073,-5951555060039624*power(2.0,-49)),
-      |(4074,-5411333663713406*power(2.0,-51)),
-      |(4075,-5226590131149657*power(2.0,-50)),
-      |(4076,-4988387918288892*power(2.0,-50)),
-      |(4077,-6034660319565128*power(2.0,-49)),
-      |(4078,-8056089684781022*power(2.0,-50)),
-      |(4079,-7307180566214250*power(2.0,-49)),
-      |(4081,-5901514695517966*power(2.0,-49)),
-      |(4082,-5958966786419458*power(2.0,-49)),
-      |(4083,-5887181984954699*power(2.0,-50)),
-      |(4084,-6009144031260400*power(2.0,-53)),
-      |(4085,-5677364699473000*power(2.0,-50)),
-      |(4086,-6883222057013467*power(2.0,-49)),
-      |(4087,-7988334114441928*power(2.0,-50)),
-      |(4088,-8127482577658776*power(2.0,-51)),
-      |(4089,-7540021002657858*power(2.0,-51)),
-      |(4091,-7932139615294436*power(2.0,-50)),
-      |(4092,-5129606126780061*power(2.0,-49)),
-      |(4093,-4987957395332060*power(2.0,-49)),
-      |(4094,-4792036027463542*power(2.0,-49)),
-      |(4095,-6770198322076186*power(2.0,-49)),
-      |(4096,-7705584186413604*power(2.0,-52)),
-      |(4097,-8558526775288553*power(2.0,-50)),
-      |(4098,-6032926450347532*power(2.0,-49)),
-      |(4099,-8220057998853593*power(2.0,-50)),
-      |(4101,-5924055702240186*power(2.0,-50)),
-      |(4102,-6163588584094560*power(2.0,-52)),
-      |(4103,-4608127704881758*power(2.0,-49)),
-      |(4104,-8555557777092960*power(2.0,-50)),
-      |(4105,-5597348666216254*power(2.0,-51)),
-      |(4106,-6521458069548848*power(2.0,-52)),
-      |(4107,-4812463803235710*power(2.0,-50)),
-      |(4108,-6405527137275430*power(2.0,-49)),
-      |(4109,-4849367929855328*power(2.0,-53)),
-      |(4111,-6522845313369598*power(2.0,-49)),
-      |(4112,-4896041638244186*power(2.0,-49)),
-      |(4113,-8316132458111196*power(2.0,-50)),
-      |(4114,-5509620506278436*power(2.0,-51)),
-      |(4115,-6457181127870498*power(2.0,-51)),
-      |(4116,-7132561419058416*power(2.0,-52)),
-      |(4117,-7570432843351621*power(2.0,-50)),
-      |(4118,-6197474462495032*power(2.0,-51)),
-      |(4119,-5052750273926488*power(2.0,-53)),
-      |(4121,-5692774210918265*power(2.0,-50)),
-      |(4122,-6289897641745380*power(2.0,-50)),
-      |(4123,-4718989192930478*power(2.0,-49)),
-      |(4124,-7362463559117678*power(2.0,-50)),
-      |(4125,-6040601078719462*power(2.0,-50)),
-      |(4126,-7383851506446880*power(2.0,-52)),
-      |(4127,-6637394007374908*power(2.0,-49)),
-      |(4128,-4939567557444344*power(2.0,-49)),
-      |(4129,-7411759020927861*power(2.0,-50)),
-      |(4131,-5456443849614732*power(2.0,-52)),
-      |(4132,-4953705902279914*power(2.0,-50)),
-      |(4133,-8524675835413296*power(2.0,-51)),
-      |(4134,-5226911149815276*power(2.0,-49)),
-      |(4135,-6004004152201236*power(2.0,-49)),
-      |(4136,-4538878770267832*power(2.0,-49)),
-      |(4137,-5578090316842375*power(2.0,-50)),
-      |(4138,-8352368181936748*power(2.0,-50)),
-      |(4139,-5852839693984986*power(2.0,-49)),
-      |(4141,-5416474094660297*power(2.0,-49)),
-      |(4142,-6140103106276718*power(2.0,-51)),
-      |(4143,-4693970923821218*power(2.0,-49)),
-      |(4144,-6282911621263608*power(2.0,-53)),
-      |(4145,-4592130681079742*power(2.0,-50)),
-      |(4146,-6025116551363130*power(2.0,-49)),
-      |(4147,-7185406873452516*power(2.0,-51)),
-      |(4148,-7753886399363929*power(2.0,-50)),
-      |(4149,-5278807718142086*power(2.0,-49)),
-      |(4151,-6123365777194399*power(2.0,-49)),
-      |(4152,-5885285592702756*power(2.0,-51)),
-      |(4153,-4540364036588256*power(2.0,-49)),
-      |(4154,-6443515430696369*power(2.0,-50)),
-      |(4155,-6997315590480512*power(2.0,-49)),
-      |(4156,-7269579969601710*power(2.0,-50)),
-      |(4157,-5719738295905204*power(2.0,-49)),
-      |(4158,-6422356789944432*power(2.0,-52)),
-      |(4159,-8607345662502638*power(2.0,-51)),
-      |(4161,-5638347951793429*power(2.0,-49)),
-      |(4162,-5750740890865764*power(2.0,-52)),
-      |(4163,-6027407895751356*power(2.0,-49)),
-      |(4164,-4816333965190312*power(2.0,-53)),
-      |(4165,-8326507899606648*power(2.0,-50)),
-      |(4166,-7913595754419540*power(2.0,-49)),
-      |(4167,-6675180331601432*power(2.0,-52)),
-      |(4168,-5852359786408818*power(2.0,-49)),
-      |(4169,-4829959231392724*power(2.0,-51)),
-      |(4171,-6264981413355376*power(2.0,-51)),
-      |(4172,-5963077072141084*power(2.0,-49)),
-      |(4173,-6089073091792832*power(2.0,-50)),
-      |(4174,-6126758220644095*power(2.0,-50)),
-      |(4175,-4699061999576586*power(2.0,-51)),
-      |(4176,-6000897781696744*power(2.0,-49)),
-      |(4177,-6130290406117989*power(2.0,-50)),
-      |(4178,-4970606874062168*power(2.0,-49)),
-      |(4179,-4807152703775579*power(2.0,-50)),
-      |(4181,-4804032956891944*power(2.0,-49)),
-      |(4182,-7738637679529270*power(2.0,-51)),
-      |(4183,-5909662193213576*power(2.0,-51)),
-      |(4184,-6382843995786120*power(2.0,-51)),
-      |(4185,-8157967511055144*power(2.0,-52)),
-      |(4186,-6026430798013678*power(2.0,-51)),
-      |(4187,-6407385605174380*power(2.0,-51)),
-      |(4188,-7180094466700233*power(2.0,-49)),
-      |(4189,-7034292845518607*power(2.0,-50)),
-      |(4191,-7195952987524994*power(2.0,-51)),
-      |(4192,-4671118582604608*power(2.0,-50)),
-      |(4193,-6323867128895924*power(2.0,-49)),
-      |(4194,-4945838775311836*power(2.0,-49)),
-      |(4195,-7135864726835104*power(2.0,-49)),
-      |(4196,-6862782532325040*power(2.0,-50)),
-      |(4197,-8077332230404119*power(2.0,-50)),
-      |(4198,-6195653349361939*power(2.0,-50)),
-      |(4199,-4619307236418364*power(2.0,-49)),
-      |(4201,-5572664516455488*power(2.0,-49)),
-      |(4202,-6553602918154518*power(2.0,-51)),
-      |(4203,-4814457080645866*power(2.0,-50)),
-      |(4204,-7007834821919861*power(2.0,-50)),
-      |(4205,-4626607952257948*power(2.0,-49)),
-      |(4206,-5817251740828094*power(2.0,-50)),
-      |(4207,-7562142021403138*power(2.0,-49)),
-      |(4208,-8695484719127134*power(2.0,-51)),
-      |(4209,-8803394669067229*power(2.0,-50)),
-      |(4211,-9005481980206381*power(2.0,-50)),
-      |(4212,-6632986838913014*power(2.0,-51)),
-      |(4213,-8743571790037071*power(2.0,-50)),
-      |(4214,-6816982360541764*power(2.0,-50)),
-      |(4215,-7608660669607555*power(2.0,-50)),
-      |(4216,-8586219174437560*power(2.0,-53)),
-      |(4217,-7383894377933823*power(2.0,-50)),
-      |(4218,-7043491993337055*power(2.0,-50)),
-      |(4219,-4787499213772024*power(2.0,-49)),
-      |(4221,-7636283543425381*power(2.0,-50)),
-      |(4222,-6274753653626183*power(2.0,-50)),
-      |(4223,-5887166133998585*power(2.0,-49)),
-      |(4224,-5437665149025271*power(2.0,-50)),
-      |(4225,-7846616148215712*power(2.0,-50)),
-      |(4226,-4514277926002864*power(2.0,-48)),
-      |(4227,-6721510958762464*power(2.0,-52)),
-      |(4228,-8683399021782682*power(2.0,-50)),
-      |(4229,-5212017196853134*power(2.0,-49)),
-      |(4231,-6578817208102945*power(2.0,-49)),
-      |(4232,-8288647917422232*power(2.0,-51)),
-      |(4233,-7409126844898190*power(2.0,-51)),
-      |(4234,-7562105638138573*power(2.0,-49)),
-      |(4235,-8192694710396537*power(2.0,-50)),
-      |(4236,-6938284508649823*power(2.0,-50)),
-      |(4237,-7670118155042000*power(2.0,-53)),
-      |(4238,-6786921748681702*power(2.0,-51)),
-      |(4239,-5718055072069056*power(2.0,-50)),
-      |(4241,-6441022003085008*power(2.0,-52)),
-      |(4242,-7168639118234364*power(2.0,-49)),
-      |(4243,-6190930382960000*power(2.0,-51)),
-      |(4244,-5768461295664448*power(2.0,-50)),
-      |(4245,-8256462310583210*power(2.0,-50)),
-      |(4246,-4559647033270286*power(2.0,-51)),
-      |(4247,-5925071366768172*power(2.0,-51)),
-      |(4248,-5276184620238945*power(2.0,-49)),
-      |(4249,-6021028032016466*power(2.0,-51)),
-      |(4251,-5451952247316558*power(2.0,-49)),
-      |(4252,-5818817695177036*power(2.0,-52)),
-      |(4253,-7493067222907279*power(2.0,-50)),
-      |(4254,-8647882487093804*power(2.0,-51)),
-      |(4255,-5600517968731598*power(2.0,-49)),
-      |(4256,-5426724792894930*power(2.0,-49)),
-      |(4257,-8216869896360816*power(2.0,-51)),
-      |(4258,-7126571361373603*power(2.0,-50)),
-      |(4259,-8309590454295316*power(2.0,-51)),
-      |(4261,-7478899066712874*power(2.0,-49)),
-      |(4262,-5076278999854126*power(2.0,-49)),
-      |(4263,-5101226805982424*power(2.0,-50)),
-      |(4264,-5346000298398772*power(2.0,-50)),
-      |(4265,-8889194876878020*power(2.0,-49)),
-      |(4266,-6346630324676102*power(2.0,-49)),
-      |(4267,-7290694841331872*power(2.0,-50)),
-      |(4268,-8059526622795031*power(2.0,-50)),
-      |(4269,-4847270456666433*power(2.0,-49)),
-      |(4271,-5878599795018320*power(2.0,-51)),
-      |(4272,-8245110430261128*power(2.0,-52)),
-      |(4273,-5477445609324418*power(2.0,-50)),
-      |(4274,-8282216277406398*power(2.0,-50)),
-      |(4275,-5070933081092430*power(2.0,-50)),
-      |(4276,-5336266746342226*power(2.0,-50)),
-      |(4277,-5959052005109776*power(2.0,-49)),
-      |(4278,-4899576381062656*power(2.0,-51)),
-      |(4279,-5864514015500318*power(2.0,-51)),
-      |(4281,-7715252285293175*power(2.0,-49)),
-      |(4282,-4814716979293847*power(2.0,-50)),
-      |(4283,-4781397709260842*power(2.0,-51)),
-      |(4284,-5878503122574144*power(2.0,-49)),
-      |(4285,-4812698798635062*power(2.0,-49)),
-      |(4286,-7565409555625472*power(2.0,-52)),
-      |(4287,-7797239741846408*power(2.0,-51)),
-      |(4288,-6503755680280038*power(2.0,-51)),
-      |(4289,-5420557384578651*power(2.0,-50)),
-      |(4291,-4720081644597638*power(2.0,-50)),
-      |(4292,-4731076245155173*power(2.0,-50)),
-      |(4293,-4506401839219400*power(2.0,-51)),
-      |(4294,-5531726151579244*power(2.0,-50)),
-      |(4295,-6310005268740196*power(2.0,-51)),
-      |(4296,-5327849086925416*power(2.0,-50)),
-      |(4297,-5870284763751080*power(2.0,-49)),
-      |(4298,-6462403582516897*power(2.0,-50)),
-      |(4299,-6895357181094461*power(2.0,-50)),
-      |(4301,-7955746462120124*power(2.0,-52)),
-      |(4302,-8101587870708220*power(2.0,-50)),
-      |(4303,-6616495046644966*power(2.0,-49)),
-      |(4304,-6548468196276678*power(2.0,-49)),
-      |(4305,-6259426718700608*power(2.0,-50)),
-      |(4306,-8178250116198352*power(2.0,-53)),
-      |(4307,-8600513244386213*power(2.0,-50)),
-      |(4308,-6193762978118855*power(2.0,-49)),
-      |(4309,-6960831850556242*power(2.0,-49)),
-      |(4311,-7502757197836217*power(2.0,-50)),
-      |(4312,-5119513417658127*power(2.0,-49)),
-      |(4313,-8693910429211282*power(2.0,-50)),
-      |(4314,-6332322583725306*power(2.0,-50)),
-      |(4315,-6079184745238916*power(2.0,-51)),
-      |(4316,-5824717524313383*power(2.0,-50)),
-      |(4317,-6149365931558910*power(2.0,-49)),
-      |(4318,-8914239406906764*power(2.0,-50)),
-      |(4319,-5313426481197664*power(2.0,-49)),
-      |(4321,-8097717242065526*power(2.0,-49)),
-      |(4322,-6972745230676753*power(2.0,-49)),
-      |(4323,-8222024888637176*power(2.0,-51)),
-      |(4324,-7076598897242445*power(2.0,-50)),
-      |(4325,-5823553454041580*power(2.0,-52)),
-      |(4326,-8039405991163148*power(2.0,-51)),
-      |(4327,-8273247562130035*power(2.0,-50)),
-      |(4328,-6828197373225926*power(2.0,-50)),
-      |(4329,-5454858761307757*power(2.0,-50)),
-      |(4331,-5918367277205846*power(2.0,-51)),
-      |(4332,-7150870163142648*power(2.0,-51)),
-      |(4333,-7141668927761350*power(2.0,-50)),
-      |(4334,-5334395932865856*power(2.0,-50)),
-      |(4335,-6757771804657608*power(2.0,-49)),
-      |(4336,-7902015602542030*power(2.0,-50)),
-      |(4337,-7292814504165544*power(2.0,-53)),
-      |(4338,-4998483327380512*power(2.0,-50)),
-      |(4339,-6764850278768999*power(2.0,-50)),
-      |(4341,-4765035308308448*power(2.0,-50)),
-      |(4342,-5620648882175531*power(2.0,-50)),
-      |(4343,-6334398727238283*power(2.0,-50)),
-      |(4344,-5508103028296149*power(2.0,-49)),
-      |(4345,-5533575167974710*power(2.0,-50)),
-      |(4346,-8016329738150924*power(2.0,-52)),
-      |(4347,-8103575572041959*power(2.0,-50)),
-      |(4348,-4723059212455030*power(2.0,-49)),
-      |(4349,-5269234560490772*power(2.0,-49)),
-      |(4351,-5288873498619442*power(2.0,-49)),
-      |(4352,-4816408789275720*power(2.0,-49)),
-      |(4353,-5372814507573105*power(2.0,-49)),
-      |(4354,-5715290248050322*power(2.0,-49)),
-      |(4355,-8528112750130044*power(2.0,-52)),
-      |(4356,-5960919053220184*power(2.0,-49)),
-      |(4357,-6542213345918980*power(2.0,-49)),
-      |(4358,-8167179179525904*power(2.0,-53)),
-      |(4359,-6082370283142992*power(2.0,-49)),
-      |(4361,-4757805528541187*power(2.0,-50)),
-      |(4362,-6093434604383680*power(2.0,-50)),
-      |(4363,-8524839892546644*power(2.0,-52)),
-      |(4364,-5117094404524738*power(2.0,-49)),
-      |(4365,-4851245092458738*power(2.0,-50)),
-      |(4366,-6255591939975166*power(2.0,-51)),
-      |(4367,-5074102903010369*power(2.0,-50)),
-      |(4368,4834537105500416*power(2.0,-53)),
-      |(4369,-8967804743275664*power(2.0,-54)),
-      |(4371,-5424066805171870*power(2.0,-49)),
-      |(4372,-8186180161693380*power(2.0,-50)),
-      |(4373,-4544297053813834*power(2.0,-51)),
-      |(4374,-5929758662529622*power(2.0,-51)),
-      |(4375,-5421458780345106*power(2.0,-51)),
-      |(4376,-7226550671165108*power(2.0,-49)),
-      |(4377,-6046226047653469*power(2.0,-50)),
-      |(4378,-7333864898511400*power(2.0,-49)),
-      |(4379,-8508959570136410*power(2.0,-49)),
-      |(4381,-7152572014732740*power(2.0,-49)),
-      |(4382,-8263295615199826*power(2.0,-50)),
-      |(4383,-5866928079131134*power(2.0,-49)),
-      |(4384,-5232534739396528*power(2.0,-50)),
-      |(4385,-6737426678287144*power(2.0,-49)),
-      |(4386,-6341245286427299*power(2.0,-49)),
-      |(4387,-8820282255008772*power(2.0,-52)),
-      |(4388,-7374319550459600*power(2.0,-50)),
-      |(4389,-6926855244379479*power(2.0,-50)),
-      |(4391,-7284254480521578*power(2.0,-50)),
-      |(4392,-5470175126952482*power(2.0,-49)),
-      |(4393,-4947514484390426*power(2.0,-50)),
-      |(4394,-7195052578288744*power(2.0,-49)),
-      |(4395,-5944917105692061*power(2.0,-50)),
-      |(4396,-7226270157054702*power(2.0,-50)),
-      |(4397,-5731885752896462*power(2.0,-49)),
-      |(4398,-7173497006598530*power(2.0,-49)),
-      |(4399,-4700108978138616*power(2.0,-50)),
-      |(4401,-7754230801181380*power(2.0,-52)),
-      |(4402,-5186893366169484*power(2.0,-49)),
-      |(4403,-5473257808966905*power(2.0,-49)),
-      |(4404,-4913048418634732*power(2.0,-49)),
-      |(4405,-8017076350470712*power(2.0,-52)),
-      |(4406,-5786450579130040*power(2.0,-51)),
-      |(4407,-4811175587154234*power(2.0,-49)),
-      |(4408,-5888530350664648*power(2.0,-50)),
-      |(4409,-8872645231101056*power(2.0,-50)),
-      |(4411,-6768402772551111*power(2.0,-50)),
-      |(4412,-8241067604082325*power(2.0,-50)),
-      |(4413,-5715083813272830*power(2.0,-51)),
-      |(4414,-4582250718180385*power(2.0,-49)),
-      |(4415,-4855063870050320*power(2.0,-52)),
-      |(4416,-6017136462842791*power(2.0,-50)),
-      |(4417,-8108974376175902*power(2.0,-50)),
-      |(4418,-5072690128485272*power(2.0,-49)),
-      |(4419,-8600493664450772*power(2.0,-52)),
-      |(4421,-8786830663064222*power(2.0,-50)),
-      |(4422,-4769223928438017*power(2.0,-50)),
-      |(4423,-6065761776002357*power(2.0,-49)),
-      |(4424,-8477567769354304*power(2.0,-50)),
-      |(4425,-7795961027677239*power(2.0,-50)),
-      |(4426,-6486438954843214*power(2.0,-50)),
-      |(4427,-8097445667392467*power(2.0,-50)),
-      |(4428,-4971294124291044*power(2.0,-50)),
-      |(4429,-4958620605253542*power(2.0,-49)),
-      |(4431,-6079357651319470*power(2.0,-49)),
-      |(4432,-5943665365503522*power(2.0,-49)),
-      |(4433,-6666789305074435*power(2.0,-50)),
-      |(4434,-6672759320006388*power(2.0,-51)),
-      |(4435,-5216819893564196*power(2.0,-49)),
-      |(4436,-7809749889455190*power(2.0,-50)),
-      |(4437,-6931032888195339*power(2.0,-50)),
-      |(4438,-6546448113218332*power(2.0,-50)),
-      |(4439,-5278690714933824*power(2.0,-56)),
-      |(4441,-7186672824562330*power(2.0,-51)),
-      |(4442,-6171276745237597*power(2.0,-50)),
-      |(4443,-6971948772334848*power(2.0,-50)),
-      |(4444,-6002394925304103*power(2.0,-50)),
-      |(4445,-6121154882874799*power(2.0,-49)),
-      |(4446,-5990025642565832*power(2.0,-50)),
-      |(4447,-6851231014779383*power(2.0,-50)),
-      |(4448,-5256835278893967*power(2.0,-50)),
-      |(4449,-7257771978055420*power(2.0,-52)),
-      |(4451,-6230492359046911*power(2.0,-50)),
-      |(4452,-4778981075059622*power(2.0,-49)),
-      |(4453,-6447543934370925*power(2.0,-49)),
-      |(4454,-6159033788329560*power(2.0,-53)),
-      |(4455,-7810358353902042*power(2.0,-50)),
-      |(4456,-5430361983491082*power(2.0,-49)),
-      |(4457,-5009475683580229*power(2.0,-49)),
-      |(4458,-6450260694865126*power(2.0,-50)),
-      |(4459,-5099257259137016*power(2.0,-49)),
-      |(4461,-6269919761136204*power(2.0,-51)),
-      |(4462,-7025919391206060*power(2.0,-50)),
-      |(4463,-7264582134183241*power(2.0,-50)),
-      |(4464,-7128010683953895*power(2.0,-49)),
-      |(4465,-5143676307983440*power(2.0,-50)),
-      |(4466,-5578867062957952*power(2.0,-49)),
-      |(4467,-6188337220525633*power(2.0,-49)),
-      |(4468,-4845411568498056*power(2.0,-49)),
-      |(4469,-7977126148097552*power(2.0,-52)),
-      |(4471,-6204335289388838*power(2.0,-50)),
-      |(4472,-8594083072811128*power(2.0,-51)),
-      |(4473,-6376494878086028*power(2.0,-50)),
-      |(4474,-7513396246680840*power(2.0,-51)),
-      |(4475,-8688443297951944*power(2.0,-52)),
-      |(4476,-7248119352544814*power(2.0,-51)),
-      |(4477,-8647614145003984*power(2.0,-50)),
-      |(4478,-7055392181942282*power(2.0,-49)),
-      |(4479,-5746919760783984*power(2.0,-51)),
-      |(4481,-6261121327505916*power(2.0,-52)),
-      |(4482,-8211629752196688*power(2.0,-53)),
-      |(4483,-6710522779006922*power(2.0,-49)),
-      |(4484,-5350150307446974*power(2.0,-50)),
-      |(4485,-6497271927502973*power(2.0,-50)),
-      |(4486,-6254558318280332*power(2.0,-49)),
-      |(4487,-4988721651381390*power(2.0,-49)),
-      |(4488,-6611512207293580*power(2.0,-50)),
-      |(4489,-8498378526453219*power(2.0,-50)),
-      |(4491,-8289676467153023*power(2.0,-50)),
-      |(4492,-7707534370969286*power(2.0,-49)),
-      |(4493,-4640253330077661*power(2.0,-50)),
-      |(4494,-7332472585549992*power(2.0,-51)),
-      |(4495,-7674091277178233*power(2.0,-50)),
-      |(4496,-7580003901604397*power(2.0,-49)),
-      |(4497,-7283431892334219*power(2.0,-50)),
-      |(4498,-7119250475943903*power(2.0,-50)),
-      |(4499,-5308827452747478*power(2.0,-51)),
-      |(4501,-8696349436280727*power(2.0,-50)),
-      |(4502,-8372210662968288*power(2.0,-52)),
-      |(4503,-7682510230301440*power(2.0,-52)),
-      |(4504,-7643053093517522*power(2.0,-51)),
-      |(4505,-6536472711458950*power(2.0,-50)),
-      |(4506,-6530687178638460*power(2.0,-51)),
-      |(4507,-5322087929808327*power(2.0,-50)),
-      |(4508,-8005942384531573*power(2.0,-50)),
-      |(4509,-7420573579123903*power(2.0,-50)),
-      |(4511,-5698200806734271*power(2.0,-50)),
-      |(4512,-8292843177804824*power(2.0,-51)),
-      |(4513,-6458950064675764*power(2.0,-49)),
-      |(4514,-6182516809257185*power(2.0,-50)),
-      |(4515,-5344460472322240*power(2.0,-51)),
-      |(4516,-5764599569242763*power(2.0,-50)),
-      |(4517,-6030905349175832*power(2.0,-51)),
-      |(4518,-6608465725572202*power(2.0,-49)),
-      |(4519,-4933289952932928*power(2.0,-51)),
-      |(4521,-6794360032021546*power(2.0,-50)),
-      |(4522,-5539145571611094*power(2.0,-49)),
-      |(4523,-8504868489768608*power(2.0,-51)),
-      |(4524,-5600626665126534*power(2.0,-49)),
-      |(4525,-6360923694876640*power(2.0,-50)),
-      |(4526,-5471476700879080*power(2.0,-49)),
-      |(4527,-7090238187575658*power(2.0,-51)),
-      |(4528,-4891845364653784*power(2.0,-49)),
-      |(4529,-7919432316074208*power(2.0,-51)),
-      |(4531,-4751924581299914*power(2.0,-49)),
-      |(4532,-5834468135999900*power(2.0,-49)),
-      |(4533,-5903263307345542*power(2.0,-50)),
-      |(4534,-5376192070277485*power(2.0,-50)),
-      |(4535,-5800035372094360*power(2.0,-53)),
-      |(4536,-7503944867387195*power(2.0,-49)),
-      |(4537,-6573126537124021*power(2.0,-50)),
-      |(4538,-5134253337096639*power(2.0,-50)),
-      |(4539,-8969199293335074*power(2.0,-51)),
-      |(4541,-4813387924179238*power(2.0,-49)),
-      |(4542,-5120037244969266*power(2.0,-49)),
-      |(4543,-5265094041995416*power(2.0,-50)),
-      |(4544,-5385555630613868*power(2.0,-49)),
-      |(4545,-6331577920518466*power(2.0,-49)),
-      |(4546,-8099922359520664*power(2.0,-51)),
-      |(4547,-5180445114578558*power(2.0,-51)),
-      |(4548,-7779146082679782*power(2.0,-51)),
-      |(4549,-5950782180049046*power(2.0,-51)),
-      |(4551,-5568043443203666*power(2.0,-51)),
-      |(4552,-4789458947983394*power(2.0,-50)),
-      |(4553,-5444829622883500*power(2.0,-49)),
-      |(4554,-7569919941373302*power(2.0,-51)),
-      |(4555,-5387185213969929*power(2.0,-50)),
-      |(4556,-5314375555743995*power(2.0,-49)),
-      |(4557,-4542476894484940*power(2.0,-51)),
-      |(4558,-6659509072689087*power(2.0,-50)),
-      |(4559,-7719073249134212*power(2.0,-50)),
-      |(4561,-8609021219981462*power(2.0,-49)),
-      |(4562,-4832438167444581*power(2.0,-50)),
-      |(4563,-5471125026169452*power(2.0,-49)),
-      |(4564,-6108446163422013*power(2.0,-50)),
-      |(4565,-8519615679036696*power(2.0,-51)),
-      |(4566,-5043038031772376*power(2.0,-49)),
-      |(4567,-5038264320590052*power(2.0,-49)),
-      |(4568,-5188978358123492*power(2.0,-51)),
-      |(4569,-8390954776784801*power(2.0,-50)),
-      |(4571,-7246429813756768*power(2.0,-55)),
-      |(4572,-4587121711198396*power(2.0,-49)),
-      |(4573,-6131436432326176*power(2.0,-54)),
-      |(4574,-5607500255015083*power(2.0,-50)),
-      |(4575,-5797005053509252*power(2.0,-50)),
-      |(4576,6340175012943264*power(2.0,-53)),
-      |(4577,-8985697863798656*power(2.0,-51)),
-      |(4578,-8846641082790321*power(2.0,-50)),
-      |(4579,-6794237544686378*power(2.0,-50)),
-      |(4581,-4965771473999586*power(2.0,-50)),
-      |(4582,-7900289726148553*power(2.0,-50)),
-      |(4583,-5938573869182232*power(2.0,-49)),
-      |(4584,-7450982437293192*power(2.0,-51)),
-      |(4585,-5830582484586534*power(2.0,-49)),
-      |(4586,-8635574738502278*power(2.0,-51)),
-      |(4587,-5049671135660504*power(2.0,-50)),
-      |(4588,-6452020452488949*power(2.0,-50)),
-      |(4589,-4874994641895288*power(2.0,-49)),
-      |(4591,-5354458278016128*power(2.0,-49)),
-      |(4592,-7654162291063816*power(2.0,-51)),
-      |(4593,-5310217280182212*power(2.0,-51)),
-      |(4594,-5455661368643554*power(2.0,-49)),
-      |(4595,-7316515732321092*power(2.0,-49)),
-      |(4596,-5531442221537336*power(2.0,-49)),
-      |(4597,-4964188173007115*power(2.0,-49)),
-      |(4598,-8645556529613390*power(2.0,-50)),
-      |(4599,-6904006638759696*power(2.0,-52)),
-      |(4601,-4812284539360759*power(2.0,-49)),
-      |(4602,-6779605673856282*power(2.0,-50)),
-      |(4603,-4850832114546036*power(2.0,-49)),
-      |(4604,-8467488198353470*power(2.0,-50)),
-      |(4605,-4971671037206566*power(2.0,-51)),
-      |(4606,-6358213422423593*power(2.0,-49)),
-      |(4607,-8526582898362238*power(2.0,-50)),
-      |(4608,-5339929662844168*power(2.0,-52)),
-      |(4609,-7827687477878728*power(2.0,-50)),
-      |(4611,-5336835372983484*power(2.0,-49)),
-      |(4612,-8238977021795986*power(2.0,-50)),
-      |(4613,-6729620063581836*power(2.0,-51)),
-      |(4614,-6680865162932945*power(2.0,-49)),
-      |(4615,-8848474035177240*power(2.0,-50)),
-      |(4616,-6460133824763033*power(2.0,-50)),
-      |(4617,-4518402646487961*power(2.0,-50)),
-      |(4618,-5001287154429588*power(2.0,-50)),
-      |(4619,-4713387488156256*power(2.0,-49)),
-      |(4621,-7758024319478318*power(2.0,-49)),
-      |(4622,-5265382432400208*power(2.0,-52)),
-      |(4623,-8190959601960166*power(2.0,-50)),
-      |(4624,-7792851444658532*power(2.0,-50)),
-      |(4625,-5037287588379450*power(2.0,-49)),
-      |(4626,-4858322067965420*power(2.0,-49)),
-      |(4627,-6889853326208103*power(2.0,-50)),
-      |(4628,-5034272737907936*power(2.0,-51)),
-      |(4629,-8027122272907752*power(2.0,-51)),
-      |(4631,-8404882339201032*power(2.0,-52)),
-      |(4632,-5292405600191284*power(2.0,-49)),
-      |(4633,-7249739338000143*power(2.0,-50)),
-      |(4634,-5499380035334226*power(2.0,-49)),
-      |(4635,-5532075624932724*power(2.0,-49)),
-      |(4636,-8345124811850359*power(2.0,-50)),
-      |(4637,-5009174286641866*power(2.0,-49)),
-      |(4638,-4605423801174380*power(2.0,-50)),
-      |(4639,-6464139021880397*power(2.0,-50)),
-      |(4641,-4916856401139063*power(2.0,-50)),
-      |(4642,-5554846030152547*power(2.0,-49)),
-      |(4643,-5426847790260056*power(2.0,-52)),
-      |(4644,-7821951527546850*power(2.0,-51)),
-      |(4645,-8118849032262546*power(2.0,-49)),
-      |(4646,-8218723752465914*power(2.0,-50)),
-      |(4647,-5354623113605200*power(2.0,-50)),
-      |(4648,-6172550982523410*power(2.0,-49)),
-      |(4649,-7938208622684410*power(2.0,-49)),
-      |(4651,-7856262694687226*power(2.0,-50)),
-      |(4652,-6958119307319166*power(2.0,-49)),
-      |(4653,-5473423404995316*power(2.0,-49)),
-      |(4654,-8667898492925036*power(2.0,-52)),
-      |(4655,-8768592735445902*power(2.0,-51)),
-      |(4656,-7601795815303091*power(2.0,-50)),
-      |(4657,-4631845685695514*power(2.0,-49)),
-      |(4658,-8699616989558840*power(2.0,-51)),
-      |(4659,-5323293094812238*power(2.0,-49)),
-      |(4661,-4794948257587827*power(2.0,-50)),
-      |(4662,-6187664480312239*power(2.0,-49)),
-      |(4663,-5833799675313776*power(2.0,-50)),
-      |(4664,-4506142300936258*power(2.0,-51)),
-      |(4665,-7879540117316248*power(2.0,-51)),
-      |(4666,-5290402433851643*power(2.0,-50)),
-      |(4667,-7286728222346872*power(2.0,-49)),
-      |(4668,-5917251095655463*power(2.0,-49)),
-      |(4669,-6175127730029651*power(2.0,-49)),
-      |(4671,-6162138630975632*power(2.0,-49)),
-      |(4672,-4845165477849457*power(2.0,-49)),
-      |(4673,-5622662926690132*power(2.0,-49)),
-      |(4674,-5272927653325992*power(2.0,-49)),
-      |(4675,-7180720985813623*power(2.0,-49)),
-      |(4676,-6871775060725315*power(2.0,-50)),
-      |(4677,-8289226916864696*power(2.0,-50)),
-      |(4678,-5984643405026072*power(2.0,-49)),
-      |(4679,-5923921282037096*power(2.0,-51)),
-      |(4681,-4620124476626629*power(2.0,-50)),
-      |(4682,-7382467900487144*power(2.0,-50)),
-      |(4683,-5938975530902960*power(2.0,-50)),
-      |(4684,-7927402131265680*power(2.0,-53)),
-      |(4685,-4767075397672077*power(2.0,-50)),
-      |(4686,-5979417211715763*power(2.0,-49)),
-      |(4687,-7316045717741668*power(2.0,-52)),
-      |(4688,-8978708178974816*power(2.0,-50)),
-      |(4689,-5289141316048524*power(2.0,-51)),
-      |(4691,-8055453030759514*power(2.0,-50)),
-      |(4692,-8357047357689382*power(2.0,-51)),
-      |(4693,-5599883741746806*power(2.0,-50)),
-      |(4694,-7411611608601152*power(2.0,-50)),
-      |(4695,-7099855986251725*power(2.0,-49)),
-      |(4696,-6031187182884226*power(2.0,-51)),
-      |(4697,-8551119947627492*power(2.0,-50)),
-      |(4698,-5085370101724924*power(2.0,-52)),
-      |(4699,-8362804941037417*power(2.0,-50)),
-      |(4701,-8210126943125240*power(2.0,-53)),
-      |(4702,-8106425541408675*power(2.0,-50)),
-      |(4703,-6353924810447944*power(2.0,-49)),
-      |(4704,-6599528517409492*power(2.0,-50)),
-      |(4705,-5054699640847016*power(2.0,-52)),
-      |(4706,-5655845412776643*power(2.0,-49)),
-      |(4707,-5034022045191512*power(2.0,-52)),
-      |(4708,-6268655493651812*power(2.0,-49)),
-      |(4709,-8544363818952833*power(2.0,-50)),
-      |(4711,-4565756651182964*power(2.0,-51)),
-      |(4712,-5741059575008316*power(2.0,-49)),
-      |(4713,-5546256806045858*power(2.0,-51)),
-      |(4714,-8836244005499394*power(2.0,-50)),
-      |(4715,-7800045153127925*power(2.0,-50)),
-      |(4716,-6463407154137408*power(2.0,-49)),
-      |(4717,-8373262079385072*power(2.0,-50)),
-      |(4718,-8992589323287399*power(2.0,-50)),
-      |(4719,-4542710582957476*power(2.0,-50)),
-      |(4721,-7581261529360612*power(2.0,-50)),
-      |(4722,-8954043270380312*power(2.0,-50)),
-      |(4723,-7014733455040266*power(2.0,-49)),
-      |(4724,-7404121959239564*power(2.0,-49)),
-      |(4725,-8906254941204312*power(2.0,-51)),
-      |(4726,-4563883498581106*power(2.0,-49)),
-      |(4727,-5908773831404144*power(2.0,-49)),
-      |(4728,-4716714745408097*power(2.0,-50)),
-      |(4729,-6839633206242637*power(2.0,-49)),
-      |(4731,-6680983899129708*power(2.0,-50)),
-      |(4732,-8649599644088214*power(2.0,-50)),
-      |(4733,-6189817766723784*power(2.0,-49)),
-      |(4734,-6772061894739880*power(2.0,-52)),
-      |(4735,-5143068772797626*power(2.0,-49)),
-      |(4736,-7813294446464022*power(2.0,-51)),
-      |(4737,-5739420833914826*power(2.0,-50)),
-      |(4738,-4641767188602562*power(2.0,-49)),
-      |(4739,-6734763577742424*power(2.0,-52)),
-      |(4741,-5638524767652854*power(2.0,-49)),
-      |(4742,-8272882466913706*power(2.0,-51)),
-      |(4743,-4652574408164278*power(2.0,-49)),
-      |(4744,-8168391983284804*power(2.0,-50)),
-      |(4745,-5904240933812761*power(2.0,-49)),
-      |(4746,-5665952662938863*power(2.0,-49)),
-      |(4747,-6906126732976627*power(2.0,-49)),
-      |(4748,-8193265766769716*power(2.0,-52)),
-      |(4749,-6447986247792099*power(2.0,-49)),
-      |(4751,-7714163944339629*power(2.0,-50)),
-      |(4752,-6552846727959759*power(2.0,-50)),
-      |(4753,-4764489815608777*power(2.0,-49)),
-      |(4754,-8253669858928721*power(2.0,-50)),
-      |(4755,-8751670005839066*power(2.0,-50)),
-      |(4756,-4579270943200465*power(2.0,-49)),
-      |(4757,-5688377865593206*power(2.0,-51)),
-      |(4758,-5482340741831008*power(2.0,-53)),
-      |(4759,-6447563696091012*power(2.0,-49)),
-      |(4761,-5692343610400140*power(2.0,-50)),
-      |(4762,-5698211791603234*power(2.0,-49)),
-      |(4763,-4841619883691324*power(2.0,-49)),
-      |(4764,-7044196381332066*power(2.0,-50)),
-      |(4765,-4543645045793884*power(2.0,-52)),
-      |(4766,-6901831967339037*power(2.0,-50)),
-      |(4767,-6807230657918625*power(2.0,-49)),
-      |(4768,-4876110999957214*power(2.0,-49)),
-      |(4769,-6617033245452668*power(2.0,-52)),
-      |(4771,-8225956473567266*power(2.0,-51)),
-      |(4772,-7300921128104194*power(2.0,-51)),
-      |(4773,-4836543049324586*power(2.0,-49)),
-      |(4774,-7183195494847576*power(2.0,-51)),
-      |(4775,-6078594058380244*power(2.0,-50)),
-      |(4776,-4854771205773188*power(2.0,-49)),
-      |(4777,-5026726496583403*power(2.0,-49)),
-      |(4778,-5714382156546996*power(2.0,-50)),
-      |(4779,-7669928752670671*power(2.0,-49)),
-      |(4781,-5606764675212896*power(2.0,-49)),
-      |(4782,-7624480186761219*power(2.0,-50)),
-      |(4783,-5944164935630646*power(2.0,-51)),
-      |(4784,-5767068148761237*power(2.0,-49)),
-      |(4785,-5185462827443825*power(2.0,-48)),
-      |(4786,-4883051925329080*power(2.0,-49)),
-      |(4787,-5007758825190793*power(2.0,-50)),
-      |(4788,-5526446396216016*power(2.0,-50)),
-      |(4789,-6240503520061346*power(2.0,-49)),
-      |(4791,-5520653311643624*power(2.0,-49)),
-      |(4792,-5130433974677868*power(2.0,-50)),
-      |(4793,-6459538225804989*power(2.0,-49)),
-      |(4794,-5027486195512276*power(2.0,-49)),
-      |(4795,-6568603629549492*power(2.0,-49)),
-      |(4796,-8315466382500852*power(2.0,-52)),
-      |(4797,-8127333898940715*power(2.0,-50)),
-      |(4798,-5557258537597096*power(2.0,-52)),
-      |(4799,-5255981757607656*power(2.0,-49)),
-      |(4801,-7437872045200152*power(2.0,-49)),
-      |(4802,-6810598247845860*power(2.0,-49)),
-      |(4803,-6984722182135540*power(2.0,-51)),
-      |(4804,-7514454911307184*power(2.0,-50)),
-      |(4805,-7896943183013436*power(2.0,-49)),
-      |(4806,-6219590921079945*power(2.0,-49)),
-      |(4807,-5477934899587857*power(2.0,-50)),
-      |(4808,-6111645704660353*power(2.0,-50)),
-      |(4809,-5954263891740884*power(2.0,-49)),
-      |(4811,-6442262903691272*power(2.0,-52)),
-      |(4812,-5630017424171670*power(2.0,-49)),
-      |(4813,-7519593396769200*power(2.0,-50)),
-      |(4814,-8062390679409544*power(2.0,-50)),
-      |(4815,-5718768572493132*power(2.0,-49)),
-      |(4816,-5737063142237576*power(2.0,-52)),
-      |(4817,-4762262685061995*power(2.0,-50)),
-      |(4818,-7503471771182530*power(2.0,-51)),
-      |(4819,-5396753071075519*power(2.0,-50)),
-      |(4821,-4746160008300808*power(2.0,-50)),
-      |(4822,-5001762480034220*power(2.0,-49)),
-      |(4823,-6548671012288428*power(2.0,-49)),
-      |(4824,-5149387138049268*power(2.0,-49)),
-      |(4825,-5748088151271335*power(2.0,-50)),
-      |(4826,-5937105978733052*power(2.0,-52)),
-      |(4827,-6669038737880649*power(2.0,-50)),
-      |(4828,-8986595538368352*power(2.0,-54)),
-      |(4829,-5495402467398760*power(2.0,-52)),
-      |(4831,-8795730931494084*power(2.0,-52)),
-      |(4832,-5650175398904644*power(2.0,-50)),
-      |(4833,-5856262972398881*power(2.0,-49)),
-      |(4834,-8403820332238611*power(2.0,-50)),
-      |(4835,-5474696289356729*power(2.0,-50)),
-      |(4836,-6958779775620894*power(2.0,-49)),
-      |(4837,-8662994349204692*power(2.0,-52)),
-      |(4838,-8522680731572158*power(2.0,-50)),
-      |(4839,-7863854537400600*power(2.0,-53)),
-      |(4841,-4943296454993549*power(2.0,-49)),
-      |(4842,-8830241953457185*power(2.0,-50)),
-      |(4843,-8822800237708574*power(2.0,-51)),
-      |(4844,-7001584159840896*power(2.0,-50)),
-      |(4845,-5810226931487612*power(2.0,-49)),
-      |(4846,-7468547399660408*power(2.0,-50)),
-      |(4847,-7318755557217838*power(2.0,-51)),
-      |(4848,-5852150458355598*power(2.0,-50)),
-      |(4849,-4730318500193720*power(2.0,-49)),
-      |(4851,-7190146219509363*power(2.0,-50)),
-      |(4852,-6522144453157864*power(2.0,-49)),
-      |(4853,-5407079064763516*power(2.0,-52)),
-      |(4854,-6734825135701124*power(2.0,-52)),
-      |(4855,-6518403568289784*power(2.0,-51)),
-      |(4856,-6189209655146810*power(2.0,-50)),
-      |(4857,-5259841231731702*power(2.0,-49)),
-      |(4858,-6354845801753540*power(2.0,-49)),
-      |(4859,-7078289404091019*power(2.0,-50)),
-      |(4861,-8842254609599888*power(2.0,-52)),
-      |(4862,-8653822587131294*power(2.0,-51)),
-      |(4863,-7573315749953216*power(2.0,-52)),
-      |(4864,-6227923235718376*power(2.0,-52)),
-      |(4865,-7924927602565315*power(2.0,-50)),
-      |(4866,-6462249254066213*power(2.0,-50)),
-      |(4867,-7854493808769804*power(2.0,-50)),
-      |(4868,-5296729753898294*power(2.0,-50)),
-      |(4869,-7887069639466096*power(2.0,-51)),
-      |(4871,-4574212588826316*power(2.0,-52)),
-      |(4872,-6181100444782210*power(2.0,-50)),
-      |(4873,-4515553761571252*power(2.0,-52)),
-      |(4874,-4738217380806572*power(2.0,-49)),
-      |(4875,-8995172851972531*power(2.0,-50)),
-      |(4876,-6610530751737770*power(2.0,-49)),
-      |(4877,-4930053403570170*power(2.0,-51)),
-      |(4878,-8575625121904490*power(2.0,-50)),
-      |(4879,-4971651898345111*power(2.0,-50)),
-      |(4881,-8551969727564835*power(2.0,-50)),
-      |(4882,-5868087478282548*power(2.0,-52)),
-      |(4883,-8291179870779960*power(2.0,-53)),
-      |(4884,-7855251215791544*power(2.0,-50)),
-      |(4885,-6811917092507926*power(2.0,-49)),
-      |(4886,-5976796224640164*power(2.0,-49)),
-      |(4887,-5666177434943455*power(2.0,-49)),
-      |(4888,-6369599862596662*power(2.0,-49)),
-      |(4889,-4636201117901342*power(2.0,-50)),
-      |(4891,-4631718684863472*power(2.0,-50)),
-      |(4892,-7695922951411876*power(2.0,-51)),
-      |(4893,-6623457738479440*power(2.0,-49)),
-      |(4894,-6905596254110861*power(2.0,-50)),
-      |(4895,-5921445788435612*power(2.0,-51)),
-      |(4896,-6140996922871767*power(2.0,-49)),
-      |(4897,-4719786382965959*power(2.0,-50)),
-      |(4898,-7366429111535856*power(2.0,-50)),
-      |(4899,-8110068212866789*power(2.0,-50)),
-      |(4901,-8901766938892884*power(2.0,-52)),
-      |(4902,-8391533801983529*power(2.0,-50)),
-      |(4903,-5436396100900212*power(2.0,-49)),
-      |(4904,-7433320042381560*power(2.0,-51)),
-      |(4905,-5912589743638191*power(2.0,-49)),
-      |(4906,-6129114622848566*power(2.0,-50)),
-      |(4907,-6669936569022256*power(2.0,-53)),
-      |(4908,-5047481589355690*power(2.0,-49)),
-      |(4909,-4531444564065785*power(2.0,-49)),
-      |(4911,-8456576763116290*power(2.0,-51)),
-      |(4912,-5822921881110052*power(2.0,-49)),
-      |(4913,-6369514544877116*power(2.0,-49)),
-      |(4914,-8561909159171676*power(2.0,-50)),
-      |(4915,-4761415404134348*power(2.0,-49)),
-      |(4916,-5564660594186824*power(2.0,-51)),
-      |(4917,-8819724487599472*power(2.0,-51)),
-      |(4918,-5578735840293920*power(2.0,-49)),
-      |(4919,-7712662272807756*power(2.0,-50)),
-      |(4921,-6645245251149560*power(2.0,-50)),
-      |(4922,-5189277156484297*power(2.0,-50)),
-      |(4923,-7396371910481792*power(2.0,-55)),
-      |(4924,-7377390489571544*power(2.0,-52)),
-      |(4925,-6312229207545706*power(2.0,-49)),
-      |(4926,-7825076139442320*power(2.0,-52)),
-      |(4927,-5280140755769599*power(2.0,-50)),
-      |(4928,-5906599705189120*power(2.0,-49)),
-      |(4929,-5365271481837086*power(2.0,-51)),
-      |(4931,-4964281222155099*power(2.0,-50)),
-      |(4932,-4735239280896442*power(2.0,-49)),
-      |(4933,-5898279775582000*power(2.0,-51)),
-      |(4934,-6010167442914892*power(2.0,-49)),
-      |(4935,-5508899422420340*power(2.0,-49)),
-      |(4936,-7295827927213442*power(2.0,-49)),
-      |(4937,-4603107676073740*power(2.0,-49)),
-      |(4938,-6533907157622926*power(2.0,-49)),
-      |(4939,-7169320380472264*power(2.0,-52)),
-      |(4941,-7445574665105407*power(2.0,-50)),
-      |(4942,-7538603564916148*power(2.0,-50)),
-      |(4943,-6071778302646530*power(2.0,-49)),
-      |(4944,-4972269510251975*power(2.0,-50)),
-      |(4945,-6768666053954956*power(2.0,-50)),
-      |(4946,-5352560156255218*power(2.0,-49)),
-      |(4947,-4953510106789562*power(2.0,-50)),
-      |(4948,-6520582928304908*power(2.0,-51)),
-      |(4949,-6965972126673066*power(2.0,-50)),
-      |(4951,-7847268294941790*power(2.0,-51)),
-      |(4952,-5434110597762112*power(2.0,-49)),
-      |(4953,-4509773143462058*power(2.0,-49)),
-      |(4954,-7894706155911792*power(2.0,-51)),
-      |(4955,-4732736842423136*power(2.0,-54)),
-      |(4956,-8552437339204974*power(2.0,-51)),
-      |(4957,-7908077600563536*power(2.0,-51)),
-      |(4958,-8999541055682678*power(2.0,-50)),
-      |(4959,-5559918276419514*power(2.0,-49)),
-      |(4961,-5479564434221602*power(2.0,-50)),
-      |(4962,-7724066129098943*power(2.0,-50)),
-      |(4963,-6219008190744069*power(2.0,-50)),
-      |(4964,-4745821226257318*power(2.0,-51)),
-      |(4965,-6908308137995765*power(2.0,-50)),
-      |(4966,-5035027710363232*power(2.0,-49)),
-      |(4967,-5982669228122893*power(2.0,-50)),
-      |(4968,-5195724630143596*power(2.0,-49)),
-      |(4969,-4818365588234381*power(2.0,-49)),
-      |(4971,-5290057999977950*power(2.0,-49)),
-      |(4972,-6637899563780316*power(2.0,-49)),
-      |(4973,-7014279064054177*power(2.0,-50)),
-      |(4974,-6220584084516426*power(2.0,-49)),
-      |(4975,-6333717897100237*power(2.0,-50)),
-      |(4976,-7109560228749988*power(2.0,-51)),
-      |(4977,-6082653520751156*power(2.0,-49)),
-      |(4978,-4962225785763299*power(2.0,-50)),
-      |(4979,-8207048744175178*power(2.0,-51)),
-      |(4981,-7717697826262283*power(2.0,-50)),
-      |(4982,-6601521703227226*power(2.0,-51)),
-      |(4983,-5332237533487712*power(2.0,-52)),
-      |(4984,-6945767795089080*power(2.0,-49)),
-      |(4985,-6999284780944050*power(2.0,-50)),
-      |(4986,-5469400078772806*power(2.0,-51)),
-      |(4987,-5668702391759921*power(2.0,-50)),
-      |(4988,-4665332046232316*power(2.0,-49)),
-      |(4989,-6620757957338407*power(2.0,-50)),
-      |(4991,-6662389814970850*power(2.0,-49)),
-      |(4992,-5986766578957266*power(2.0,-49)),
-      |(4993,-8632867462071408*power(2.0,-54)),
-      |(4994,-5087411740595348*power(2.0,-51)),
-      |(4995,-8592422558838927*power(2.0,-50)),
-      |(4996,-4724988780297559*power(2.0,-49)),
-      |(4997,-5590102459957218*power(2.0,-51)),
-      |(4998,-7388004077489020*power(2.0,-51)),
-      |(4999,-8912434378569444*power(2.0,-52))""".stripMargin).mkString(" ").replace("\n", " ")
+    Pins.resource("dsir_score_dyadic_sf01.txt")
 
   private val dsirScoreDyadicSf001: String =
-    """(1,-8137376785351406*power(2.0,-47)),
-      |(2,-5385726470839711*power(2.0,-47)),
-      |(3,-5868563662668016*power(2.0,-48)),
-      |(4,-5121847291751195*power(2.0,-47)),
-      |(5,-7503837134077830*power(2.0,-47)),
-      |(6,-4594184403693264*power(2.0,-48)),
-      |(7,-8665522502858052*power(2.0,-47)),
-      |(8,-4567641981123097*power(2.0,-46)),
-      |(9,-4915804631218120*power(2.0,-46)),
-      |(11,-7143242949642291*power(2.0,-47)),
-      |(12,-7330740237423656*power(2.0,-47)),
-      |(13,-6849507309655184*power(2.0,-47)),
-      |(14,-5129128830603899*power(2.0,-46)),
-      |(15,-5191446330334116*power(2.0,-47)),
-      |(16,-7950404253905048*power(2.0,-49)),
-      |(17,-4841478005610286*power(2.0,-46)),
-      |(18,-4597091134208445*power(2.0,-46)),
-      |(19,-8693940078784477*power(2.0,-50)),
-      |(21,-7320418474299774*power(2.0,-48)),
-      |(22,-4859034132135138*power(2.0,-46)),
-      |(23,-8985921969344660*power(2.0,-48)),
-      |(24,-5658769886574876*power(2.0,-46)),
-      |(25,-5575805408078400*power(2.0,-46)),
-      |(26,-8000903979930166*power(2.0,-50)),
-      |(27,-7976415420927604*power(2.0,-47)),
-      |(28,-6143426737792722*power(2.0,-47)),
-      |(29,-8789303557537276*power(2.0,-48)),
-      |(31,-5647996389169663*power(2.0,-47)),
-      |(32,-5556627346402841*power(2.0,-46)),
-      |(33,-6242729400220714*power(2.0,-47)),
-      |(34,-5521223931300762*power(2.0,-48)),
-      |(35,-4851223830875677*power(2.0,-46)),
-      |(36,-5546028326334998*power(2.0,-48)),
-      |(37,-7647567850625386*power(2.0,-47)),
-      |(38,-7364769368064090*power(2.0,-48)),
-      |(39,-6052356392026332*power(2.0,-48)),
-      |(41,-6226684035073238*power(2.0,-47)),
-      |(42,-6529625027326720*power(2.0,-47)),
-      |(43,-8023432119672494*power(2.0,-48)),
-      |(44,-5480061262829960*power(2.0,-48)),
-      |(45,-5255213980137192*power(2.0,-46)),
-      |(46,-5338986302768612*power(2.0,-46)),
-      |(47,-5449444073453717*power(2.0,-47)),
-      |(48,-6920734850785941*power(2.0,-48)),
-      |(49,-4534042986836926*power(2.0,-47)),
-      |(51,-7036266186523814*power(2.0,-47)),
-      |(52,-8689943434398987*power(2.0,-50)),
-      |(53,-6953920510319819*power(2.0,-48)),
-      |(54,-7616704896855204*power(2.0,-47)),
-      |(55,-5478518027453124*power(2.0,-47)),
-      |(56,-6095820531579276*power(2.0,-46)),
-      |(57,-4541884347897334*power(2.0,-46)),
-      |(58,-8666795926234202*power(2.0,-47)),
-      |(59,-7461650311280251*power(2.0,-48)),
-      |(61,-6722020009978326*power(2.0,-47)),
-      |(62,-8542856700774182*power(2.0,-47)),
-      |(63,-4797303559777646*power(2.0,-46)),
-      |(64,-6684755836275758*power(2.0,-48)),
-      |(65,-5536410598686682*power(2.0,-48)),
-      |(66,-6619455974963848*power(2.0,-47)),
-      |(67,-7077059946087057*power(2.0,-47)),
-      |(68,-8319609337227090*power(2.0,-48)),
-      |(69,-6092136174417493*power(2.0,-47)),
-      |(71,-6594754753410492*power(2.0,-47)),
-      |(72,-4742372525537818*power(2.0,-47)),
-      |(73,-6100937042211172*power(2.0,-46)),
-      |(74,-7220682328053500*power(2.0,-49)),
-      |(75,-6484936316334291*power(2.0,-47)),
-      |(76,-8437373471925345*power(2.0,-47)),
-      |(77,-6259148904928774*power(2.0,-47)),
-      |(78,-5183836158423522*power(2.0,-47)),
-      |(79,-7013246781862279*power(2.0,-50)),
-      |(81,-7249716212085354*power(2.0,-47)),
-      |(82,-5431675041745700*power(2.0,-47)),
-      |(83,-7302156504379516*power(2.0,-49)),
-      |(84,-8884916561919260*power(2.0,-47)),
-      |(85,-7353995967171139*power(2.0,-48)),
-      |(86,-6990777425789396*power(2.0,-48)),
-      |(87,-5782125068204860*power(2.0,-48)),
-      |(88,-6015739972171918*power(2.0,-47)),
-      |(89,-6078168315966968*power(2.0,-48)),
-      |(91,-8931778239662362*power(2.0,-47)),
-      |(92,-6415340908527389*power(2.0,-49)),
-      |(93,-4795413808649138*power(2.0,-48)),
-      |(94,-8481503099520970*power(2.0,-49)),
-      |(95,-6927168176274818*power(2.0,-47)),
-      |(96,-5149088185811449*power(2.0,-46)),
-      |(97,-7262760983428607*power(2.0,-47)),
-      |(98,-8344493311568628*power(2.0,-47)),
-      |(99,-8375766718972798*power(2.0,-48)),
-      |(101,-5592385995768585*power(2.0,-47)),
-      |(102,-5004781171742292*power(2.0,-46)),
-      |(103,-6198096543298925*power(2.0,-46)),
-      |(104,-5085799726034582*power(2.0,-47)),
-      |(105,-7524939212286555*power(2.0,-47)),
-      |(106,-6359555568422236*power(2.0,-49)),
-      |(107,-4808878541652428*power(2.0,-47)),
-      |(108,-4589259728372029*power(2.0,-48)),
-      |(109,-8366445977793470*power(2.0,-47)),
-      |(111,-5585801145901946*power(2.0,-46)),
-      |(112,-5554795206689781*power(2.0,-47)),
-      |(113,-4673814206745409*power(2.0,-46)),
-      |(114,-8550988716752217*power(2.0,-48)),
-      |(115,-6203310428952032*power(2.0,-48)),
-      |(116,-6863797074301572*power(2.0,-50)),
-      |(117,-6096709749660855*power(2.0,-47)),
-      |(118,-8385758818070035*power(2.0,-47)),
-      |(119,-7302367607639404*power(2.0,-49)),
-      |(121,-6997265181431108*power(2.0,-48)),
-      |(122,-8044272527977254*power(2.0,-49)),
-      |(123,-5619149435409328*power(2.0,-48)),
-      |(124,-7618298538301334*power(2.0,-47)),
-      |(125,-8556455299336654*power(2.0,-48)),
-      |(126,-5173530672671845*power(2.0,-46)),
-      |(127,-4882372438816723*power(2.0,-46)),
-      |(128,-4943428485994647*power(2.0,-46)),
-      |(129,-4884913983045634*power(2.0,-46)),
-      |(131,-6508439492139691*power(2.0,-47)),
-      |(132,-8053413831678991*power(2.0,-47)),
-      |(133,-5892841556122468*power(2.0,-46)),
-      |(134,-5520491299795938*power(2.0,-48)),
-      |(135,-5537449485204696*power(2.0,-46)),
-      |(136,-7959593468264227*power(2.0,-47)),
-      |(137,-5795559158913001*power(2.0,-47)),
-      |(138,-8048353954909015*power(2.0,-47)),
-      |(139,-6189927093194768*power(2.0,-47)),
-      |(141,-8412654577895280*power(2.0,-47)),
-      |(142,-5454235088640223*power(2.0,-46)),
-      |(143,-7770178211409986*power(2.0,-47)),
-      |(144,-4637307068861469*power(2.0,-48)),
-      |(145,-7833277462600363*power(2.0,-47)),
-      |(146,-5385352385766824*power(2.0,-48)),
-      |(147,-5370930834626395*power(2.0,-46)),
-      |(148,-8437356914260220*power(2.0,-48)),
-      |(149,-6996154197816682*power(2.0,-48)),
-      |(151,-6047329991617305*power(2.0,-46)),
-      |(152,-8620163370588274*power(2.0,-48)),
-      |(153,-8436981897390226*power(2.0,-47)),
-      |(154,-8315030958865129*power(2.0,-47)),
-      |(155,-7910830649364036*power(2.0,-47)),
-      |(156,-4956075770003474*power(2.0,-48)),
-      |(157,-8259349485713707*power(2.0,-49)),
-      |(158,-8474995674669643*power(2.0,-49)),
-      |(159,-8036802567408388*power(2.0,-47)),
-      |(161,-5789006225663274*power(2.0,-46)),
-      |(162,-4891641524143108*power(2.0,-46)),
-      |(163,-5679711437087373*power(2.0,-47)),
-      |(164,-8154585217204498*power(2.0,-49)),
-      |(165,-8820414735609775*power(2.0,-49)),
-      |(166,-7359909086330148*power(2.0,-47)),
-      |(167,-4869027563131393*power(2.0,-46)),
-      |(168,-8235260841584293*power(2.0,-48)),
-      |(169,-8491875156134316*power(2.0,-47)),
-      |(171,-7484540349709345*power(2.0,-47)),
-      |(172,-4550147172940518*power(2.0,-48)),
-      |(173,-5757278600957833*power(2.0,-46)),
-      |(174,-6841685148336527*power(2.0,-47)),
-      |(175,-5436532069628634*power(2.0,-48)),
-      |(176,-5465477757720667*power(2.0,-46)),
-      |(177,-5790630498104676*power(2.0,-47)),
-      |(178,-8881797138997196*power(2.0,-48)),
-      |(179,-8591804772340288*power(2.0,-47)),
-      |(181,-4825424724683598*power(2.0,-48)),
-      |(182,-7942477153748488*power(2.0,-47)),
-      |(183,-8657321686377062*power(2.0,-49)),
-      |(184,-4873275823768426*power(2.0,-46)),
-      |(185,-6950388687435373*power(2.0,-47)),
-      |(186,-8936761981904484*power(2.0,-47)),
-      |(187,-4505137705006608*power(2.0,-46)),
-      |(188,-6091356560891070*power(2.0,-47)),
-      |(189,-7114411323153340*power(2.0,-48)),
-      |(191,-8989330189676378*power(2.0,-49)),
-      |(192,-5527223397905206*power(2.0,-48)),
-      |(193,-7813483298038287*power(2.0,-48)),
-      |(194,-5900421894751387*power(2.0,-48)),
-      |(195,-6658640140611694*power(2.0,-47)),
-      |(196,-6607236517267032*power(2.0,-47)),
-      |(197,-5651158937012924*power(2.0,-46)),
-      |(198,-5363221592860789*power(2.0,-47)),
-      |(199,-6230819422938350*power(2.0,-48)),
-      |(201,-5855460178964366*power(2.0,-47)),
-      |(202,-5078634441980552*power(2.0,-46)),
-      |(203,-5620166939372476*power(2.0,-48)),
-      |(204,-5783405328525236*power(2.0,-48)),
-      |(205,-8013550340059385*power(2.0,-47)),
-      |(206,-4802291567222203*power(2.0,-48)),
-      |(207,-4882795047746998*power(2.0,-46)),
-      |(208,-6604324901680827*power(2.0,-48)),
-      |(209,-5255003303524569*power(2.0,-47)),
-      |(211,-5964024073859026*power(2.0,-47)),
-      |(212,-4869588146824472*power(2.0,-47)),
-      |(213,-5629260643098379*power(2.0,-46)),
-      |(214,-4940258402819017*power(2.0,-49)),
-      |(215,-5007481792140394*power(2.0,-46)),
-      |(216,-5525126493340018*power(2.0,-46)),
-      |(217,-7473077477607667*power(2.0,-47)),
-      |(218,-4912626549254940*power(2.0,-46)),
-      |(219,-6721289220669880*power(2.0,-48)),
-      |(221,-4677509276873641*power(2.0,-47)),
-      |(222,-5656947314492019*power(2.0,-47)),
-      |(223,-4628267119149446*power(2.0,-46)),
-      |(224,-8983921054049842*power(2.0,-47)),
-      |(225,-5133943279510739*power(2.0,-46)),
-      |(226,-4951206256205579*power(2.0,-48)),
-      |(227,-8218711623432385*power(2.0,-47)),
-      |(228,-5529092938181792*power(2.0,-46)),
-      |(229,-8022292215478939*power(2.0,-47)),
-      |(231,-6095825512649371*power(2.0,-48)),
-      |(232,-7293480236725884*power(2.0,-47)),
-      |(233,-4908039437810811*power(2.0,-46)),
-      |(234,-7174747230438767*power(2.0,-47)),
-      |(235,-4652694041614406*power(2.0,-47)),
-      |(236,-6158972328655841*power(2.0,-49)),
-      |(237,-4575293194624294*power(2.0,-46)),
-      |(238,-5846751224713418*power(2.0,-47)),
-      |(239,-5696348614030368*power(2.0,-48)),
-      |(241,-4985503389223154*power(2.0,-46)),
-      |(242,-7701570369601832*power(2.0,-47)),
-      |(243,-8613816800811695*power(2.0,-48)),
-      |(244,-7623999670399853*power(2.0,-47)),
-      |(245,-4633050423225327*power(2.0,-46)),
-      |(246,-7612664998579716*power(2.0,-48)),
-      |(247,-4619763518230032*power(2.0,-46)),
-      |(248,-4860254849474980*power(2.0,-46)),
-      |(249,-4739842234338034*power(2.0,-46)),
-      |(251,-4980733197160871*power(2.0,-46)),
-      |(252,-5423859314979070*power(2.0,-47)),
-      |(253,-7891226301725824*power(2.0,-48)),
-      |(254,-7705987540968742*power(2.0,-49)),
-      |(255,-7305089619062164*power(2.0,-48)),
-      |(256,-5766153107741632*power(2.0,-49)),
-      |(257,-5953189021790536*power(2.0,-48)),
-      |(258,-7977855143174738*power(2.0,-47)),
-      |(259,-4763325504887649*power(2.0,-47)),
-      |(261,-4885572703203201*power(2.0,-46)),
-      |(262,-5230898117506160*power(2.0,-47)),
-      |(263,-4876920493858244*power(2.0,-46)),
-      |(264,-5729394841158408*power(2.0,-46)),
-      |(265,-4774341861008718*power(2.0,-47)),
-      |(266,-5423207905017167*power(2.0,-47)),
-      |(267,-5266069881951566*power(2.0,-46)),
-      |(268,-8915433745582731*power(2.0,-48)),
-      |(269,-5040028476346227*power(2.0,-46)),
-      |(271,-6390782274621686*power(2.0,-47)),
-      |(272,-5737975284143785*power(2.0,-46)),
-      |(273,-6687811611789172*power(2.0,-48)),
-      |(274,-5116576857799194*power(2.0,-46)),
-      |(275,-7848886292216220*power(2.0,-50)),
-      |(276,-6591089100508797*power(2.0,-46)),
-      |(277,-4632138588178195*power(2.0,-47)),
-      |(278,-8456175677503172*power(2.0,-47)),
-      |(279,-5961497157817761*power(2.0,-47)),
-      |(281,-7869483407603095*power(2.0,-48)),
-      |(282,-7957542843842247*power(2.0,-48)),
-      |(283,-4855949443452764*power(2.0,-46)),
-      |(284,-5740083936460835*power(2.0,-47)),
-      |(285,-5742368609184520*power(2.0,-46)),
-      |(286,-5286082832850302*power(2.0,-47)),
-      |(287,-4627234847271150*power(2.0,-48)),
-      |(288,-7334139905206930*power(2.0,-48)),
-      |(289,-8040073252998404*power(2.0,-48)),
-      |(291,-4718651006780259*power(2.0,-46)),
-      |(292,-5575161001448119*power(2.0,-46)),
-      |(293,-8740548669507798*power(2.0,-47)),
-      |(294,-8953236606520824*power(2.0,-47)),
-      |(295,-6896636447470779*power(2.0,-48)),
-      |(296,-8195999801898178*power(2.0,-47)),
-      |(297,-7446606596965156*power(2.0,-47)),
-      |(298,-5842352432014092*power(2.0,-48)),
-      |(299,-5318092922488136*power(2.0,-46)),
-      |(301,-5828020877447611*power(2.0,-46)),
-      |(302,-4963167297207448*power(2.0,-46)),
-      |(303,-5629641462543528*power(2.0,-46)),
-      |(304,-4956604467889680*power(2.0,-47)),
-      |(305,-5905378148148646*power(2.0,-49)),
-      |(306,-4527696414086264*power(2.0,-46)),
-      |(307,-6780714716030724*power(2.0,-47)),
-      |(308,-8861606742016632*power(2.0,-49)),
-      |(309,-5929127508130273*power(2.0,-47)),
-      |(311,-5802355106107863*power(2.0,-46)),
-      |(312,-8778825541676143*power(2.0,-47)),
-      |(313,-6724143970878853*power(2.0,-49)),
-      |(314,-8173969138889870*power(2.0,-48)),
-      |(315,-5660783218767892*power(2.0,-46)),
-      |(316,-4569637296740120*power(2.0,-46)),
-      |(317,-4941185503277556*power(2.0,-46)),
-      |(318,-4887726194636740*power(2.0,-46)),
-      |(319,-5122480459143392*power(2.0,-46)),
-      |(321,-4926041304801333*power(2.0,-47)),
-      |(322,-4860445167459576*power(2.0,-47)),
-      |(323,-7286156343056552*power(2.0,-47)),
-      |(324,-5110872029030286*power(2.0,-47)),
-      |(325,-6671990402209517*power(2.0,-47)),
-      |(326,-5142919654247533*power(2.0,-47)),
-      |(327,-8103865041470900*power(2.0,-48)),
-      |(328,-5992103160664405*power(2.0,-46)),
-      |(329,-7445200199593401*power(2.0,-47)),
-      |(331,-6624994753836459*power(2.0,-47)),
-      |(332,-5419062793537461*power(2.0,-48)),
-      |(333,-6555635079969782*power(2.0,-48)),
-      |(334,-5143383048998009*power(2.0,-46)),
-      |(335,-7294442770862070*power(2.0,-47)),
-      |(336,-4598450668773244*power(2.0,-46)),
-      |(337,-5524843662866548*power(2.0,-47)),
-      |(338,-8786783312834889*power(2.0,-49)),
-      |(339,-7508354803848516*power(2.0,-48)),
-      |(341,-8775746919654293*power(2.0,-47)),
-      |(342,-5227178095256054*power(2.0,-48)),
-      |(343,-7670746817953923*power(2.0,-48)),
-      |(344,-4599183952283215*power(2.0,-46)),
-      |(345,-7023902013176088*power(2.0,-47)),
-      |(346,-9002031872350644*power(2.0,-47)),
-      |(347,-5890868496932848*power(2.0,-47)),
-      |(348,-6769396662104599*power(2.0,-48)),
-      |(349,-4940275766839222*power(2.0,-46)),
-      |(351,-7701265188013704*power(2.0,-47)),
-      |(352,-6188804297357905*power(2.0,-46)),
-      |(353,-6579953812693389*power(2.0,-47)),
-      |(354,-4562035243023582*power(2.0,-46)),
-      |(355,-7798676754739013*power(2.0,-47)),
-      |(356,-8768334187885388*power(2.0,-47)),
-      |(357,-5570351473700298*power(2.0,-47)),
-      |(358,-7665501837889632*power(2.0,-49)),
-      |(359,-8508535560255714*power(2.0,-47)),
-      |(361,-8342382983882935*power(2.0,-47)),
-      |(362,-7433030539446118*power(2.0,-49)),
-      |(363,-6981492825914458*power(2.0,-47)),
-      |(364,-5936587417469626*power(2.0,-47)),
-      |(365,-6617461390873050*power(2.0,-49)),
-      |(366,-6805527653748407*power(2.0,-47)),
-      |(367,-5161799131641590*power(2.0,-47)),
-      |(368,-7612860032547294*power(2.0,-49)),
-      |(369,-6347008574736534*power(2.0,-47)),
-      |(371,-6845644115138703*power(2.0,-47)),
-      |(372,-6998231163901391*power(2.0,-48)),
-      |(373,-8278786863757978*power(2.0,-47)),
-      |(374,-6678426286319355*power(2.0,-48)),
-      |(375,-7859420143475825*power(2.0,-47)),
-      |(376,-8878534853300167*power(2.0,-47)),
-      |(377,-4668619782264222*power(2.0,-47)),
-      |(378,-7581972631237943*power(2.0,-47)),
-      |(379,-8577716113822041*power(2.0,-47)),
-      |(381,-6946981682553469*power(2.0,-47)),
-      |(382,-6025226721648594*power(2.0,-48)),
-      |(383,-5476691852643483*power(2.0,-47)),
-      |(384,-7151516420923233*power(2.0,-49)),
-      |(385,-7840335738867868*power(2.0,-47)),
-      |(386,-5306133521070339*power(2.0,-46)),
-      |(387,-4713187176397071*power(2.0,-47)),
-      |(388,-7337858169405693*power(2.0,-47)),
-      |(389,-8116990355160217*power(2.0,-49)),
-      |(391,-4950796846590862*power(2.0,-47)),
-      |(392,-5436393103201580*power(2.0,-48)),
-      |(393,-6397200901949889*power(2.0,-47)),
-      |(394,-8659267814329902*power(2.0,-47)),
-      |(395,-5088995413033246*power(2.0,-46)),
-      |(396,-5457579553970295*power(2.0,-47)),
-      |(397,-5375846158283560*power(2.0,-47)),
-      |(398,-4516613750799753*power(2.0,-48)),
-      |(399,-6179258038810267*power(2.0,-47)),
-      |(401,-4711755622786641*power(2.0,-46)),
-      |(402,-7437081430692178*power(2.0,-48)),
-      |(403,-5088264643095757*power(2.0,-46)),
-      |(404,-6029072351518806*power(2.0,-47)),
-      |(405,-6405634806378157*power(2.0,-47)),
-      |(406,-4736872095386366*power(2.0,-46)),
-      |(407,-7652604330388302*power(2.0,-49)),
-      |(408,-8435325542680112*power(2.0,-49)),
-      |(409,-5979930535854733*power(2.0,-47)),
-      |(411,-4905839588222269*power(2.0,-46)),
-      |(412,-7950841464979311*power(2.0,-47)),
-      |(413,-5320622422239422*power(2.0,-46)),
-      |(414,-8942997815511586*power(2.0,-47)),
-      |(415,-5868114497731579*power(2.0,-47)),
-      |(416,-6006928222161320*power(2.0,-47)),
-      |(417,-5640521941767137*power(2.0,-46)),
-      |(418,-5406958870107680*power(2.0,-46)),
-      |(419,-4703350036903725*power(2.0,-48)),
-      |(421,-5688050020937858*power(2.0,-46)),
-      |(422,-7569253042108394*power(2.0,-47)),
-      |(423,-7514334095798361*power(2.0,-47)),
-      |(424,-8183531656444236*power(2.0,-47)),
-      |(425,-5708470885349121*power(2.0,-48)),
-      |(426,-4758836554679920*power(2.0,-46)),
-      |(427,-8814207947733976*power(2.0,-47)),
-      |(428,-7970262275375213*power(2.0,-48)),
-      |(429,-5927587281475796*power(2.0,-46)),
-      |(431,-5206835324581338*power(2.0,-47)),
-      |(432,-7161427846642148*power(2.0,-47)),
-      |(433,-5590747927780594*power(2.0,-48)),
-      |(434,-5117335342934131*power(2.0,-46)),
-      |(435,-4530658101747259*power(2.0,-47)),
-      |(436,-6096175737159521*power(2.0,-47)),
-      |(437,-4846988779837393*power(2.0,-46)),
-      |(438,-8242659639097745*power(2.0,-48)),
-      |(439,-6429148920689954*power(2.0,-48)),
-      |(441,-6432128085907022*power(2.0,-46)),
-      |(442,-5473755355723021*power(2.0,-46)),
-      |(443,-5707058014625426*power(2.0,-47)),
-      |(444,-7874581142920184*power(2.0,-47)),
-      |(445,-6975326738644549*power(2.0,-47)),
-      |(446,-5218427494421036*power(2.0,-48)),
-      |(447,-7378931367121842*power(2.0,-47)),
-      |(448,-6731686252116528*power(2.0,-47)),
-      |(449,-7250935664113686*power(2.0,-48)),
-      |(451,-5117018263840220*power(2.0,-48)),
-      |(452,-8472261201429634*power(2.0,-47)),
-      |(453,-5650879592204556*power(2.0,-46)),
-      |(454,-6904892044174970*power(2.0,-48)),
-      |(455,-8590925926118940*power(2.0,-50)),
-      |(456,-5484733714350709*power(2.0,-48)),
-      |(457,-5194043734048022*power(2.0,-47)),
-      |(458,-7224689518971528*power(2.0,-47)),
-      |(459,-7281051538640386*power(2.0,-47)),
-      |(461,-7919253390644040*power(2.0,-47)),
-      |(462,-7320380884226883*power(2.0,-47)),
-      |(463,-5073524428892111*power(2.0,-46)),
-      |(464,-7136610836243336*power(2.0,-48)),
-      |(465,-6921014630137900*power(2.0,-47)),
-      |(466,-4772775063693267*power(2.0,-46)),
-      |(467,-7516610321006324*power(2.0,-47)),
-      |(468,-5060386296873512*power(2.0,-47)),
-      |(469,-5215639730937906*power(2.0,-49)),
-      |(471,-6973101046301186*power(2.0,-47)),
-      |(472,-8516704657235064*power(2.0,-48)),
-      |(473,-6540003986968084*power(2.0,-47)),
-      |(474,-7469905306112258*power(2.0,-47)),
-      |(475,-7778931796638992*power(2.0,-49)),
-      |(476,-4653013416809430*power(2.0,-48)),
-      |(477,-5760400852769626*power(2.0,-48)),
-      |(478,-5862545959672442*power(2.0,-47)),
-      |(479,-8838978102425429*power(2.0,-47)),
-      |(481,-8313805258472004*power(2.0,-49)),
-      |(482,-7851911601307666*power(2.0,-48)),
-      |(483,-5538743948836739*power(2.0,-47)),
-      |(484,-4635095634016460*power(2.0,-47)),
-      |(485,-5050398950724484*power(2.0,-48)),
-      |(486,-8799682435085594*power(2.0,-48)),
-      |(487,-7395092155105592*power(2.0,-47)),
-      |(488,-7782777231223041*power(2.0,-48)),
-      |(489,-7111720784282313*power(2.0,-47)),
-      |(491,-8115741026419646*power(2.0,-47)),
-      |(492,-4525674418316935*power(2.0,-49)),
-      |(493,-5035868386252611*power(2.0,-46)),
-      |(494,-4824951466622447*power(2.0,-47)),
-      |(495,-7759197897591202*power(2.0,-47)),
-      |(496,-4626990519495545*power(2.0,-46)),
-      |(497,-5104749221122966*power(2.0,-48)),
-      |(498,-5473417749011050*power(2.0,-46)),
-      |(499,-6096690804580743*power(2.0,-48))""".stripMargin.replace("\n", " ")
+    Pins.resource("dsir_score_dyadic_sf001.txt")
 
   /** Pinned r13 at the driver SF: lmScore's per-doc sum now folds the
     * doc's distinct bigrams in sorted order (see Curation.lmScore),
@@ -6949,6011 +1551,13 @@ object CurationQueries {
       lmScoreDyadicSf0001)
 
   private val lmScoreDyadicSf0001: String =
-    """(0,22,5573829093867455*power(2.0,-50)),
-      |(1,77,5515711369338676*power(2.0,-50)),
-      |(2,64,5496402417855801*power(2.0,-50)),
-      |(3,48,5558998257890623*power(2.0,-50)),
-      |(4,30,5502389056452682*power(2.0,-50)),
-      |(5,42,5595045691905991*power(2.0,-50)),
-      |(6,85,5493771137809386*power(2.0,-50)),
-      |(7,43,5513274129305126*power(2.0,-50)),
-      |(8,75,5413740684771820*power(2.0,-50)),
-      |(9,35,5420174634179117*power(2.0,-50)),
-      |(10,52,5506242106203410*power(2.0,-50)),
-      |(11,85,5521542067325737*power(2.0,-50)),
-      |(12,77,5334989383921144*power(2.0,-50)),
-      |(13,46,5609937731959192*power(2.0,-50)),
-      |(14,31,5525535962488318*power(2.0,-50)),
-      |(15,24,5487590140711442*power(2.0,-50)),
-      |(16,87,5495806438879059*power(2.0,-50)),
-      |(17,61,5445849211451800*power(2.0,-50)),
-      |(18,32,5481147540201247*power(2.0,-50)),
-      |(19,45,5430001205623764*power(2.0,-50)),
-      |(20,57,5497920587620730*power(2.0,-50)),
-      |(21,88,5513978597297521*power(2.0,-50)),
-      |(22,86,5484972108425458*power(2.0,-50)),
-      |(23,51,5528334706574074*power(2.0,-50)),
-      |(24,59,5468907760614749*power(2.0,-50)),
-      |(25,31,5501359101798819*power(2.0,-50)),
-      |(26,87,5469785061268901*power(2.0,-50)),
-      |(27,9,5476849159176338*power(2.0,-50)),
-      |(28,85,5492944521454111*power(2.0,-50)),
-      |(29,80,5513217529329392*power(2.0,-50)),
-      |(30,94,5529179843672389*power(2.0,-50)),
-      |(31,83,5508655023052892*power(2.0,-50)),
-      |(32,24,5484248879907071*power(2.0,-50)),
-      |(33,10,5820632633310327*power(2.0,-50)),
-      |(34,78,5507837105211665*power(2.0,-50)),
-      |(35,90,5506698039564137*power(2.0,-50)),
-      |(36,77,5519981379557995*power(2.0,-50)),
-      |(37,41,5462435977604992*power(2.0,-50)),
-      |(38,77,5502675276112934*power(2.0,-50)),
-      |(39,56,5528184688468527*power(2.0,-50)),
-      |(40,21,5656930850740780*power(2.0,-50)),
-      |(41,44,5447816859827565*power(2.0,-50)),
-      |(42,79,5511276573371589*power(2.0,-50)),
-      |(43,75,5567859758526671*power(2.0,-50)),
-      |(44,39,5446556267219536*power(2.0,-50)),
-      |(45,29,5535039382102781*power(2.0,-50)),
-      |(46,31,5492655486055099*power(2.0,-50)),
-      |(47,29,5463147432018655*power(2.0,-50)),
-      |(48,41,5491779700197398*power(2.0,-50)),
-      |(49,70,5463693239068860*power(2.0,-50)),
-      |(50,21,5403918599046418*power(2.0,-50)),
-      |(51,38,5496766828824259*power(2.0,-50)),
-      |(52,40,5521460857856340*power(2.0,-50)),
-      |(53,68,5465842100603533*power(2.0,-50)),
-      |(54,89,5517875106957757*power(2.0,-50)),
-      |(55,45,5528006891460599*power(2.0,-50)),
-      |(56,55,5494775924542824*power(2.0,-50)),
-      |(57,14,5549066841642797*power(2.0,-50)),
-      |(58,17,5637066740500157*power(2.0,-50)),
-      |(59,66,5537334553249427*power(2.0,-50)),
-      |(60,75,5525767114152416*power(2.0,-50)),
-      |(61,34,5512744384678598*power(2.0,-50)),
-      |(62,45,5505154587493458*power(2.0,-50)),
-      |(63,74,5554097666615820*power(2.0,-50)),
-      |(64,31,5521929044068074*power(2.0,-50)),
-      |(65,15,5671116205865984*power(2.0,-50)),
-      |(66,23,5618808670759753*power(2.0,-50)),
-      |(67,64,5528113929786617*power(2.0,-50)),
-      |(68,26,5488787169169445*power(2.0,-50)),
-      |(69,11,5486931283939627*power(2.0,-50)),
-      |(70,40,5419982769241721*power(2.0,-50)),
-      |(71,53,5435043026231914*power(2.0,-50)),
-      |(72,86,5510109124378809*power(2.0,-50)),
-      |(73,16,5429279619397650*power(2.0,-50)),
-      |(74,13,5502685801565426*power(2.0,-50)),
-      |(75,41,5474875983836473*power(2.0,-50)),
-      |(76,54,5481193559809683*power(2.0,-50)),
-      |(77,79,5525494821131094*power(2.0,-50)),
-      |(78,23,5469395852387830*power(2.0,-50)),
-      |(79,40,5438980367857900*power(2.0,-50)),
-      |(80,86,5483355273119878*power(2.0,-50)),
-      |(81,97,5531118786098959*power(2.0,-50)),
-      |(82,23,5435045898569774*power(2.0,-50)),
-      |(83,81,5547634007616929*power(2.0,-50)),
-      |(84,13,5519181888177424*power(2.0,-50)),
-      |(85,85,5497104655340955*power(2.0,-50)),
-      |(86,57,5449386954210807*power(2.0,-50)),
-      |(87,75,5567478912578653*power(2.0,-50)),
-      |(88,88,5546846105248734*power(2.0,-50)),
-      |(89,14,5593560071941007*power(2.0,-50)),
-      |(90,75,5611741434236393*power(2.0,-50)),
-      |(91,11,5494148434117725*power(2.0,-50)),
-      |(92,25,5553211262881649*power(2.0,-50)),
-      |(93,81,5494742101457139*power(2.0,-50)),
-      |(94,45,5440260920021779*power(2.0,-50)),
-      |(95,46,5421732435934426*power(2.0,-50)),
-      |(96,65,5477986087201564*power(2.0,-50)),
-      |(97,60,5445342986444988*power(2.0,-50)),
-      |(98,84,5553406577992497*power(2.0,-50)),
-      |(99,85,5524560908329717*power(2.0,-50)),
-      |(100,88,5576048118973336*power(2.0,-50)),
-      |(101,50,5542239769394653*power(2.0,-50)),
-      |(102,70,5522730682806279*power(2.0,-50)),
-      |(103,52,5474271202834596*power(2.0,-50)),
-      |(104,62,5416124378903967*power(2.0,-50)),
-      |(105,42,5529258588443092*power(2.0,-50)),
-      |(106,76,5509682548487529*power(2.0,-50)),
-      |(107,62,5501599166620748*power(2.0,-50)),
-      |(108,95,5528345165085672*power(2.0,-50)),
-      |(109,87,5470938661469233*power(2.0,-50)),
-      |(110,93,5459655003984377*power(2.0,-50)),
-      |(111,77,5544140080211278*power(2.0,-50)),
-      |(112,59,5552488852367898*power(2.0,-50)),
-      |(113,65,5482892925963485*power(2.0,-50)),
-      |(114,15,5866332799049198*power(2.0,-50)),
-      |(115,30,5522033942056623*power(2.0,-50)),
-      |(116,27,5502465593304436*power(2.0,-50)),
-      |(117,24,5577966856205617*power(2.0,-50)),
-      |(118,14,5359430838205229*power(2.0,-50)),
-      |(119,36,5560042763381753*power(2.0,-50)),
-      |(120,74,5369377684535820*power(2.0,-50)),
-      |(121,37,5436870273603262*power(2.0,-50)),
-      |(122,10,5500142142068862*power(2.0,-50)),
-      |(123,60,5540025176020175*power(2.0,-50)),
-      |(124,80,5542779529880209*power(2.0,-50)),
-      |(125,60,5483231460662346*power(2.0,-50)),
-      |(126,57,5588449232524334*power(2.0,-50)),
-      |(127,27,5555438911800365*power(2.0,-50)),
-      |(128,96,5514849190475444*power(2.0,-50)),
-      |(129,49,5522953954028274*power(2.0,-50)),
-      |(130,27,5585072398641600*power(2.0,-50)),
-      |(131,55,5541306842824988*power(2.0,-50)),
-      |(132,37,5634818594205014*power(2.0,-50)),
-      |(133,66,5528867990751271*power(2.0,-50)),
-      |(134,81,5514169179806109*power(2.0,-50)),
-      |(135,66,5469719898389137*power(2.0,-50)),
-      |(136,67,5455069050601350*power(2.0,-50)),
-      |(137,95,5432564056624605*power(2.0,-50)),
-      |(138,40,5544444065862185*power(2.0,-50)),
-      |(139,45,5562200086362819*power(2.0,-50)),
-      |(140,20,5598804341285569*power(2.0,-50)),
-      |(141,23,5575085975202714*power(2.0,-50)),
-      |(142,91,5524782265799549*power(2.0,-50)),
-      |(143,65,5494688114030075*power(2.0,-50)),
-      |(144,88,5387032831665223*power(2.0,-50)),
-      |(145,39,5434594809526148*power(2.0,-50)),
-      |(146,46,5455896560221229*power(2.0,-50)),
-      |(147,15,5509198070992531*power(2.0,-50)),
-      |(148,74,5473415603599877*power(2.0,-50)),
-      |(149,98,5506949881056297*power(2.0,-50)),
-      |(150,13,5530733555933754*power(2.0,-50)),
-      |(151,96,5500132575328993*power(2.0,-50)),
-      |(152,64,5491685785329350*power(2.0,-50)),
-      |(153,86,5517267887316345*power(2.0,-50)),
-      |(154,97,5537578405153712*power(2.0,-50)),
-      |(155,18,5565606179107903*power(2.0,-50)),
-      |(156,76,5486785399555119*power(2.0,-50)),
-      |(157,54,5419795112605208*power(2.0,-50)),
-      |(158,38,5472364269895553*power(2.0,-50)),
-      |(159,25,5457037041307167*power(2.0,-50)),
-      |(160,51,5423336238947637*power(2.0,-50)),
-      |(161,89,5443665155516934*power(2.0,-50)),
-      |(162,97,5466319279090818*power(2.0,-50)),
-      |(163,35,5420823982484745*power(2.0,-50)),
-      |(164,17,5515552900012797*power(2.0,-50)),
-      |(165,22,5473312156513110*power(2.0,-50)),
-      |(166,53,5529816552057298*power(2.0,-50)),
-      |(167,37,5506968944344787*power(2.0,-50)),
-      |(168,97,5507192233828299*power(2.0,-50)),
-      |(169,12,5297884542548483*power(2.0,-50)),
-      |(170,37,5442752815179623*power(2.0,-50)),
-      |(171,17,5486979910371196*power(2.0,-50)),
-      |(172,64,5554431696019886*power(2.0,-50)),
-      |(173,39,5444112645989188*power(2.0,-50)),
-      |(174,84,5465595038319368*power(2.0,-50)),
-      |(175,87,5494290351062440*power(2.0,-50)),
-      |(176,88,5510660487388537*power(2.0,-50)),
-      |(177,28,5437802095759347*power(2.0,-50)),
-      |(178,25,5474725696975165*power(2.0,-50)),
-      |(179,87,5484191179991648*power(2.0,-50)),
-      |(180,23,5478199018998602*power(2.0,-50)),
-      |(181,28,5517640869053557*power(2.0,-50)),
-      |(182,23,5469563327596570*power(2.0,-50)),
-      |(183,39,5487359943948351*power(2.0,-50)),
-      |(184,67,5498957126721106*power(2.0,-50)),
-      |(185,37,5499157026437960*power(2.0,-50)),
-      |(186,65,5512002477875341*power(2.0,-50)),
-      |(187,74,5511828146672292*power(2.0,-50)),
-      |(188,43,5487521819222605*power(2.0,-50)),
-      |(189,92,5459674337796881*power(2.0,-50)),
-      |(190,87,5506589983332196*power(2.0,-50)),
-      |(191,15,5466715157700484*power(2.0,-50)),
-      |(192,93,5466321661488921*power(2.0,-50)),
-      |(193,21,5518320020664139*power(2.0,-50)),
-      |(194,56,5453123779094287*power(2.0,-50)),
-      |(195,60,5526307129168794*power(2.0,-50)),
-      |(196,49,5544573469875662*power(2.0,-50)),
-      |(197,82,5504482038654328*power(2.0,-50)),
-      |(198,48,5508538054781930*power(2.0,-50)),
-      |(199,54,5474746568796232*power(2.0,-50)),
-      |(200,58,5527777319266295*power(2.0,-50)),
-      |(201,65,5504804957010613*power(2.0,-50)),
-      |(202,9,5548114772651599*power(2.0,-50)),
-      |(203,41,5574486334902913*power(2.0,-50)),
-      |(204,94,5565141905261746*power(2.0,-50)),
-      |(205,41,5521719568639177*power(2.0,-50)),
-      |(206,63,5469194519124073*power(2.0,-50)),
-      |(207,42,5486664869840104*power(2.0,-50)),
-      |(208,93,5451807769198158*power(2.0,-50)),
-      |(209,47,5484536281958394*power(2.0,-50)),
-      |(210,58,5521375532725818*power(2.0,-50)),
-      |(211,65,5494827128849868*power(2.0,-50)),
-      |(212,78,5505388910309628*power(2.0,-50)),
-      |(213,69,5516940160517350*power(2.0,-50)),
-      |(214,89,5532298450293979*power(2.0,-50)),
-      |(215,69,5441380667035094*power(2.0,-50)),
-      |(216,40,5558861075600940*power(2.0,-50)),
-      |(217,70,5508091347308458*power(2.0,-50)),
-      |(218,97,5485982050806667*power(2.0,-50)),
-      |(219,46,5556417483297557*power(2.0,-50)),
-      |(220,59,5529205469699961*power(2.0,-50)),
-      |(221,12,5584998190271972*power(2.0,-50)),
-      |(222,41,5533003712458317*power(2.0,-50)),
-      |(223,85,5516357673135356*power(2.0,-50)),
-      |(224,57,5456905426929131*power(2.0,-50)),
-      |(225,26,5505178806903326*power(2.0,-50)),
-      |(226,44,5580678477711140*power(2.0,-50)),
-      |(227,80,5480292333878974*power(2.0,-50)),
-      |(228,33,5545481205281080*power(2.0,-50)),
-      |(229,23,5470918362962390*power(2.0,-50)),
-      |(230,69,5547347260427866*power(2.0,-50)),
-      |(231,55,5501889807696304*power(2.0,-50)),
-      |(232,68,5505189998749489*power(2.0,-50)),
-      |(233,21,5429247844554696*power(2.0,-50)),
-      |(234,79,5486472712316924*power(2.0,-50)),
-      |(235,75,5468469006127781*power(2.0,-50)),
-      |(236,35,5479032999792994*power(2.0,-50)),
-      |(237,35,5356149848505630*power(2.0,-50)),
-      |(238,52,5515038124826377*power(2.0,-50)),
-      |(239,28,5518655755534688*power(2.0,-50)),
-      |(240,82,5529695208837573*power(2.0,-50)),
-      |(241,53,5477184076518750*power(2.0,-50)),
-      |(242,91,5548832236640492*power(2.0,-50)),
-      |(243,93,5512909061613159*power(2.0,-50)),
-      |(244,38,5460097417328979*power(2.0,-50)),
-      |(245,83,5481743429411700*power(2.0,-50)),
-      |(246,73,5490854374679245*power(2.0,-50)),
-      |(247,42,5580881943817833*power(2.0,-50)),
-      |(248,89,5485791549197248*power(2.0,-50)),
-      |(249,80,5526408439110512*power(2.0,-50)),
-      |(250,35,5535176842109150*power(2.0,-50)),
-      |(251,61,5500536721786609*power(2.0,-50)),
-      |(252,97,5530396371688801*power(2.0,-50)),
-      |(253,49,5481181236531476*power(2.0,-50)),
-      |(254,30,5457326245817606*power(2.0,-50)),
-      |(255,47,5406072381744769*power(2.0,-50)),
-      |(256,14,5470534123919937*power(2.0,-50)),
-      |(257,20,5523908410317982*power(2.0,-50)),
-      |(258,40,5441372023724259*power(2.0,-50)),
-      |(259,86,5457674976518207*power(2.0,-50)),
-      |(260,89,5439943157452819*power(2.0,-50)),
-      |(261,92,5469232127608790*power(2.0,-50)),
-      |(262,41,5526005700764426*power(2.0,-50)),
-      |(263,24,5679033205239253*power(2.0,-50)),
-      |(264,60,5532565337613115*power(2.0,-50)),
-      |(265,42,5432585442538083*power(2.0,-50)),
-      |(266,24,5591203927206416*power(2.0,-50)),
-      |(267,96,5526657113192385*power(2.0,-50)),
-      |(268,97,5501652084681809*power(2.0,-50)),
-      |(269,61,5443338892923274*power(2.0,-50)),
-      |(270,85,5475314334825556*power(2.0,-50)),
-      |(271,35,5499181198450895*power(2.0,-50)),
-      |(272,82,5499646670964329*power(2.0,-50)),
-      |(273,21,5506176598162696*power(2.0,-50)),
-      |(274,89,5517380310433921*power(2.0,-50)),
-      |(275,63,5516535823059753*power(2.0,-50)),
-      |(276,11,5465734844633808*power(2.0,-50)),
-      |(277,66,5447348883263411*power(2.0,-50)),
-      |(278,26,5517927245467300*power(2.0,-50)),
-      |(279,57,5598901786778231*power(2.0,-50)),
-      |(280,95,5510260308849254*power(2.0,-50)),
-      |(281,10,5499893313893849*power(2.0,-50)),
-      |(282,65,5469279536859000*power(2.0,-50)),
-      |(283,81,5491635891028807*power(2.0,-50)),
-      |(284,80,5477282474042229*power(2.0,-50)),
-      |(285,67,5505571072096161*power(2.0,-50)),
-      |(286,31,5602434755858351*power(2.0,-50)),
-      |(287,88,5521548600873014*power(2.0,-50)),
-      |(288,79,5477283100813067*power(2.0,-50)),
-      |(289,36,5504639442711443*power(2.0,-50)),
-      |(290,19,5537519489992582*power(2.0,-50)),
-      |(291,88,5542496304846374*power(2.0,-50)),
-      |(292,54,5514126661725114*power(2.0,-50)),
-      |(293,75,5540710095751157*power(2.0,-50)),
-      |(294,30,5464113477990880*power(2.0,-50)),
-      |(295,77,5489307565279953*power(2.0,-50)),
-      |(296,87,5531798107080054*power(2.0,-50)),
-      |(297,55,5475316192207928*power(2.0,-50)),
-      |(298,86,5553933697691056*power(2.0,-50)),
-      |(299,63,5530710165129075*power(2.0,-50)),
-      |(300,78,5475006297589339*power(2.0,-50)),
-      |(301,69,5466403461548509*power(2.0,-50)),
-      |(302,17,5457732271350783*power(2.0,-50)),
-      |(303,84,5459964308545602*power(2.0,-50)),
-      |(304,20,5541236754026953*power(2.0,-50)),
-      |(305,82,5524203847447557*power(2.0,-50)),
-      |(306,80,5530111604094134*power(2.0,-50)),
-      |(307,10,5545260619704463*power(2.0,-50)),
-      |(308,18,5369685905011636*power(2.0,-50)),
-      |(309,58,5458718171523038*power(2.0,-50)),
-      |(310,34,5606737947415674*power(2.0,-50)),
-      |(311,15,5429194309790719*power(2.0,-50)),
-      |(312,38,5569956819105148*power(2.0,-50)),
-      |(313,33,5516236123144022*power(2.0,-50)),
-      |(314,62,5458326394976471*power(2.0,-50)),
-      |(315,54,5551993757337459*power(2.0,-50)),
-      |(316,60,5457489753646556*power(2.0,-50)),
-      |(317,92,5487740904161728*power(2.0,-50)),
-      |(318,71,5534331937727330*power(2.0,-50)),
-      |(319,61,5455438793977273*power(2.0,-50)),
-      |(320,56,5424193861453117*power(2.0,-50)),
-      |(321,61,5524375316097950*power(2.0,-50)),
-      |(322,38,5520685899359186*power(2.0,-50)),
-      |(323,89,5543452661562147*power(2.0,-50)),
-      |(324,50,5545187501232364*power(2.0,-50)),
-      |(325,17,5520560814485367*power(2.0,-50)),
-      |(326,39,5492387642286224*power(2.0,-50)),
-      |(327,11,5417677551987366*power(2.0,-50)),
-      |(328,39,5427237461001520*power(2.0,-50)),
-      |(329,84,5432558284528278*power(2.0,-50)),
-      |(330,94,5503938246709763*power(2.0,-50)),
-      |(331,53,5494909442535127*power(2.0,-50)),
-      |(332,76,5556167289724101*power(2.0,-50)),
-      |(333,57,5552812341872602*power(2.0,-50)),
-      |(334,93,5510683372004779*power(2.0,-50)),
-      |(335,33,5467707491685036*power(2.0,-50)),
-      |(336,32,5492578496855365*power(2.0,-50)),
-      |(337,17,5581569834797080*power(2.0,-50)),
-      |(338,48,5542254521067076*power(2.0,-50)),
-      |(339,38,5517781966505825*power(2.0,-50)),
-      |(340,56,5454653903279389*power(2.0,-50)),
-      |(341,41,5464203639255052*power(2.0,-50)),
-      |(342,93,5516007046775608*power(2.0,-50)),
-      |(343,98,5483045825125637*power(2.0,-50)),
-      |(344,17,5450843485054705*power(2.0,-50)),
-      |(345,58,5491535009786010*power(2.0,-50)),
-      |(346,40,5475845044984482*power(2.0,-50)),
-      |(347,28,5499316398940250*power(2.0,-50)),
-      |(348,50,5505109748754840*power(2.0,-50)),
-      |(349,53,5556358498391452*power(2.0,-50)),
-      |(350,52,5506218683327979*power(2.0,-50)),
-      |(351,69,5538021392021998*power(2.0,-50)),
-      |(352,14,5386124004207979*power(2.0,-50)),
-      |(353,16,5523324876721254*power(2.0,-50)),
-      |(354,67,5478251491545473*power(2.0,-50)),
-      |(355,75,5462924403657546*power(2.0,-50)),
-      |(356,94,5487315562854431*power(2.0,-50)),
-      |(357,76,5528217690656269*power(2.0,-50)),
-      |(358,89,5529782012910521*power(2.0,-50)),
-      |(359,35,5460961261913532*power(2.0,-50)),
-      |(360,76,5373846933682990*power(2.0,-50)),
-      |(361,47,5463398321601930*power(2.0,-50)),
-      |(362,53,5533356820716644*power(2.0,-50)),
-      |(363,85,5455940294825805*power(2.0,-50)),
-      |(364,72,5482436726682407*power(2.0,-50)),
-      |(365,48,5514349052940774*power(2.0,-50)),
-      |(366,47,5467470276550475*power(2.0,-50)),
-      |(367,82,5537217119927842*power(2.0,-50)),
-      |(368,50,5436953911223544*power(2.0,-50)),
-      |(369,86,5438299936991224*power(2.0,-50)),
-      |(370,12,5510396082920879*power(2.0,-50)),
-      |(371,42,5514503348124125*power(2.0,-50)),
-      |(372,71,5474127788960273*power(2.0,-50)),
-      |(373,48,5478809007120732*power(2.0,-50)),
-      |(374,95,5464119007781346*power(2.0,-50)),
-      |(375,34,5517414518550684*power(2.0,-50)),
-      |(376,86,5523195193282070*power(2.0,-50)),
-      |(377,27,5459184337728092*power(2.0,-50)),
-      |(378,72,5541216232024943*power(2.0,-50)),
-      |(379,46,5509689094105939*power(2.0,-50)),
-      |(380,95,5495984403022793*power(2.0,-50)),
-      |(381,70,5560682110877547*power(2.0,-50)),
-      |(382,10,5339916645763019*power(2.0,-50)),
-      |(383,23,5520480173439651*power(2.0,-50)),
-      |(384,22,5620986122442660*power(2.0,-50)),
-      |(385,36,5467553671968866*power(2.0,-50)),
-      |(386,70,5502235319461681*power(2.0,-50)),
-      |(387,82,5544310666391890*power(2.0,-50)),
-      |(388,46,5612306495533166*power(2.0,-50)),
-      |(389,33,5529189909579691*power(2.0,-50)),
-      |(390,97,5469671679399607*power(2.0,-50)),
-      |(391,90,5494901653449948*power(2.0,-50)),
-      |(392,50,5426266529798857*power(2.0,-50)),
-      |(393,86,5527115032760659*power(2.0,-50)),
-      |(394,95,5501521360605765*power(2.0,-50)),
-      |(395,42,5514751083761378*power(2.0,-50)),
-      |(396,98,5460212817365962*power(2.0,-50)),
-      |(397,11,5591842244018697*power(2.0,-50)),
-      |(398,23,5584671640259981*power(2.0,-50)),
-      |(399,88,5482462136424552*power(2.0,-50)),
-      |(400,14,5525720543746021*power(2.0,-50)),
-      |(401,89,5476904768946842*power(2.0,-50)),
-      |(402,45,5474324519178357*power(2.0,-50)),
-      |(403,20,5485037495043032*power(2.0,-50)),
-      |(404,66,5556476438618635*power(2.0,-50)),
-      |(405,66,5568025791940426*power(2.0,-50)),
-      |(406,98,5467935719761793*power(2.0,-50)),
-      |(407,28,5513597629835635*power(2.0,-50)),
-      |(408,61,5516139958768265*power(2.0,-50)),
-      |(409,79,5464357961448198*power(2.0,-50)),
-      |(410,97,5535890307187506*power(2.0,-50)),
-      |(411,52,5462890636943239*power(2.0,-50)),
-      |(412,91,5461166485744256*power(2.0,-50)),
-      |(413,11,5390323646757655*power(2.0,-50)),
-      |(414,16,5430913507814414*power(2.0,-50)),
-      |(415,57,5597624587236871*power(2.0,-50)),
-      |(416,39,5461912120147321*power(2.0,-50)),
-      |(417,33,5577496950783746*power(2.0,-50)),
-      |(418,22,5503485648814229*power(2.0,-50)),
-      |(419,60,5476466936101323*power(2.0,-50)),
-      |(420,83,5457308947458728*power(2.0,-50)),
-      |(421,64,5489761405481016*power(2.0,-50)),
-      |(422,26,5455658790487459*power(2.0,-50)),
-      |(423,71,5462330136266636*power(2.0,-50)),
-      |(424,36,5523893091028191*power(2.0,-50)),
-      |(425,35,5421180105061667*power(2.0,-50)),
-      |(426,45,5498310857867720*power(2.0,-50)),
-      |(427,24,5450177476394393*power(2.0,-50)),
-      |(428,40,5550710938611146*power(2.0,-50)),
-      |(429,44,5496269245868964*power(2.0,-50)),
-      |(430,55,5498590683204848*power(2.0,-50)),
-      |(431,63,5573704531911761*power(2.0,-50)),
-      |(432,51,5542332688071514*power(2.0,-50)),
-      |(433,78,5513107905878429*power(2.0,-50)),
-      |(434,68,5469118872571688*power(2.0,-50)),
-      |(435,80,5484811957765982*power(2.0,-50)),
-      |(436,9,5391241706059933*power(2.0,-50)),
-      |(437,81,5464172968432107*power(2.0,-50)),
-      |(438,37,5613595554748876*power(2.0,-50)),
-      |(439,33,5512627892098968*power(2.0,-50)),
-      |(440,82,5536620706321912*power(2.0,-50)),
-      |(441,73,5464443962658364*power(2.0,-50)),
-      |(442,15,5414293945916497*power(2.0,-50)),
-      |(443,68,5588355659392673*power(2.0,-50)),
-      |(444,76,5542694372570009*power(2.0,-50)),
-      |(445,12,5530678262177922*power(2.0,-50)),
-      |(446,91,5467412753506333*power(2.0,-50)),
-      |(447,17,5451810119439011*power(2.0,-50)),
-      |(448,52,5460894261247292*power(2.0,-50)),
-      |(449,28,5410928872859681*power(2.0,-50)),
-      |(450,41,5519397959946726*power(2.0,-50)),
-      |(451,74,5502998147585012*power(2.0,-50)),
-      |(452,36,5564757578683116*power(2.0,-50)),
-      |(453,86,5484686833018396*power(2.0,-50)),
-      |(454,53,5519891743574662*power(2.0,-50)),
-      |(455,11,5552077446104942*power(2.0,-50)),
-      |(456,40,5548292757460207*power(2.0,-50)),
-      |(457,89,5514337865999075*power(2.0,-50)),
-      |(458,53,5534462174497514*power(2.0,-50)),
-      |(459,78,5473723196099590*power(2.0,-50)),
-      |(460,58,5444810328699980*power(2.0,-50)),
-      |(461,13,5548649124598754*power(2.0,-50)),
-      |(462,50,5539537902643028*power(2.0,-50)),
-      |(463,23,5600247982752278*power(2.0,-50)),
-      |(464,78,5493567639533913*power(2.0,-50)),
-      |(465,79,5523890093197502*power(2.0,-50)),
-      |(466,22,5555792837757812*power(2.0,-50)),
-      |(467,94,5512332609790443*power(2.0,-50)),
-      |(468,72,5466440041580324*power(2.0,-50)),
-      |(469,86,5565820088025248*power(2.0,-50)),
-      |(470,55,5572547332047526*power(2.0,-50)),
-      |(471,63,5440373028011520*power(2.0,-50)),
-      |(472,19,5525322133829875*power(2.0,-50)),
-      |(473,79,5426858250810688*power(2.0,-50)),
-      |(474,95,5522607888176470*power(2.0,-50)),
-      |(475,67,5431833610968366*power(2.0,-50)),
-      |(476,74,5506814160780656*power(2.0,-50)),
-      |(477,67,5484690041362800*power(2.0,-50)),
-      |(478,38,5509400461303855*power(2.0,-50)),
-      |(479,42,5553931543373196*power(2.0,-50)),
-      |(480,10,5480447849810503*power(2.0,-50)),
-      |(481,90,5503187311642145*power(2.0,-50)),
-      |(482,60,5483700256012156*power(2.0,-50)),
-      |(483,70,5559214578729218*power(2.0,-50)),
-      |(484,39,5496523083916249*power(2.0,-50)),
-      |(485,97,5546136740728567*power(2.0,-50)),
-      |(486,94,5493642817716027*power(2.0,-50)),
-      |(487,28,5406221164138265*power(2.0,-50)),
-      |(488,68,5558865629821141*power(2.0,-50)),
-      |(489,18,5606982543732537*power(2.0,-50)),
-      |(490,9,5551675635053316*power(2.0,-50)),
-      |(491,46,5452780376108959*power(2.0,-50)),
-      |(492,60,5518239331763753*power(2.0,-50)),
-      |(493,17,5720777402320379*power(2.0,-50)),
-      |(494,82,5512111823645750*power(2.0,-50)),
-      |(495,16,5406082416844376*power(2.0,-50)),
-      |(496,25,5485008636378605*power(2.0,-50)),
-      |(497,12,5400097544364205*power(2.0,-50)),
-      |(498,94,5479829889442453*power(2.0,-50)),
-      |(499,44,5484066586569284*power(2.0,-50))""".stripMargin.replace("\n", " ")
+    Pins.resource("lm_score_dyadic_sf0001.txt")
 
   private val lmScoreDyadicSf01: String =
-    Seq(
-    """(0,53,5520649625168514*power(2.0,-50)),
-      |(1,15,5529456092397805*power(2.0,-50)),
-      |(2,61,5526433101761639*power(2.0,-50)),
-      |(3,40,5533234440732664*power(2.0,-50)),
-      |(4,64,5529565696603648*power(2.0,-50)),
-      |(5,79,5544482507291067*power(2.0,-50)),
-      |(6,47,5524285533661313*power(2.0,-50)),
-      |(7,63,5531599495065567*power(2.0,-50)),
-      |(8,96,5531018656532540*power(2.0,-50)),
-      |(9,43,5511528409997193*power(2.0,-50)),
-      |(10,36,5499946772345431*power(2.0,-50)),
-      |(11,85,5572607502212909*power(2.0,-50)),
-      |(12,54,5516741583197787*power(2.0,-50)),
-      |(13,52,5526215892562348*power(2.0,-50)),
-      |(14,42,5545443602049234*power(2.0,-50)),
-      |(15,45,5537300473402934*power(2.0,-50)),
-      |(16,39,5532002415274775*power(2.0,-50)),
-      |(17,69,5525941228025286*power(2.0,-50)),
-      |(18,74,5517953687195687*power(2.0,-50)),
-      |(19,62,5519755667118854*power(2.0,-50)),
-      |(20,65,5521716187500016*power(2.0,-50)),
-      |(21,47,5513099811451718*power(2.0,-50)),
-      |(22,91,5540450795782613*power(2.0,-50)),
-      |(23,25,5583997238019539*power(2.0,-50)),
-      |(24,33,5517181697740653*power(2.0,-50)),
-      |(25,69,5507173054662301*power(2.0,-50)),
-      |(26,92,5515993573274422*power(2.0,-50)),
-      |(27,77,5538485271870273*power(2.0,-50)),
-      |(28,43,5636623171268144*power(2.0,-50)),
-      |(29,32,5512401536049687*power(2.0,-50)),
-      |(30,42,5503409640152302*power(2.0,-50)),
-      |(31,26,5530572954839771*power(2.0,-50)),
-      |(32,89,5522464891489284*power(2.0,-50)),
-      |(33,45,5515221054996777*power(2.0,-50)),
-      |(34,37,5536513430301631*power(2.0,-50)),
-      |(35,97,5514612268652618*power(2.0,-50)),
-      |(36,72,5514993475482855*power(2.0,-50)),
-      |(37,38,5516784390687484*power(2.0,-50)),
-      |(38,66,5523785830052139*power(2.0,-50)),
-      |(39,21,5528809494455040*power(2.0,-50)),
-      |(40,89,5507106925765512*power(2.0,-50)),
-      |(41,23,5490084197495855*power(2.0,-50)),
-      |(42,15,5532878752835874*power(2.0,-50)),
-      |(43,69,5517346945595458*power(2.0,-50)),
-      |(44,61,5510945117782032*power(2.0,-50)),
-      |(45,22,5534866468634723*power(2.0,-50)),
-      |(46,36,5526079438400021*power(2.0,-50)),
-      |(47,77,5512920126792332*power(2.0,-50)),
-      |(48,67,5507691250087070*power(2.0,-50)),
-      |(49,30,5517368610062998*power(2.0,-50)),
-      |(50,67,5518424981377151*power(2.0,-50)),
-      |(51,91,5520647187254591*power(2.0,-50)),
-      |(52,96,5518100841345199*power(2.0,-50)),
-      |(53,40,5511936653183030*power(2.0,-50)),
-      |(54,86,5536597648159454*power(2.0,-50)),
-      |(55,91,5503527220963125*power(2.0,-50)),
-      |(56,93,5529486440428036*power(2.0,-50)),
-      |(57,63,5518310052278101*power(2.0,-50)),
-      |(58,39,5495915769736800*power(2.0,-50)),
-      |(59,20,5528610376041614*power(2.0,-50)),
-      |(60,27,5513113539183687*power(2.0,-50)),
-      |(61,49,5507327040509769*power(2.0,-50)),
-      |(62,87,5532988011399252*power(2.0,-50)),
-      |(63,88,5511493775604101*power(2.0,-50)),
-      |(64,23,5531960325282296*power(2.0,-50)),
-      |(65,82,5524788003282583*power(2.0,-50)),
-      |(66,87,5531998304190140*power(2.0,-50)),
-      |(67,88,5533526447799835*power(2.0,-50)),
-      |(68,58,5513291612244028*power(2.0,-50)),
-      |(69,19,5544973113530533*power(2.0,-50)),
-      |(70,54,5509597518316127*power(2.0,-50)),
-      |(71,84,5525236692805114*power(2.0,-50)),
-      |(72,72,5531857991270524*power(2.0,-50)),
-      |(73,16,5528344698492501*power(2.0,-50)),
-      |(74,74,5533096817724332*power(2.0,-50)),
-      |(75,57,5543282256520753*power(2.0,-50)),
-      |(76,18,5522372582302196*power(2.0,-50)),
-      |(77,11,5560767192419519*power(2.0,-50)),
-      |(78,33,5520149456973614*power(2.0,-50)),
-      |(79,25,5559637374014659*power(2.0,-50)),
-      |(80,54,5555113226166741*power(2.0,-50)),
-      |(81,85,5537670686551472*power(2.0,-50)),
-      |(82,29,5529341671019474*power(2.0,-50)),
-      |(83,50,5527622355286899*power(2.0,-50)),
-      |(84,37,5540619804136070*power(2.0,-50)),
-      |(85,43,5520959507708964*power(2.0,-50)),
-      |(86,30,5555484376788105*power(2.0,-50)),
-      |(87,61,5512989022302439*power(2.0,-50)),
-      |(88,95,5515012653880599*power(2.0,-50)),
-      |(89,22,5492103734859994*power(2.0,-50)),
-      |(90,55,5537790691474750*power(2.0,-50)),
-      |(91,16,5528920507777512*power(2.0,-50)),
-      |(92,21,5505545634389352*power(2.0,-50)),
-      |(93,24,5535340694456761*power(2.0,-50)),
-      |(94,24,5556939662548345*power(2.0,-50)),
-      |(95,32,5516624104074330*power(2.0,-50)),
-      |(96,55,5531771674290406*power(2.0,-50)),
-      |(97,60,5523199113650789*power(2.0,-50)),
-      |(98,90,5581985112264225*power(2.0,-50)),
-      |(99,40,5517926009531994*power(2.0,-50)),
-      |(100,46,5510923458001937*power(2.0,-50)),
-      |(101,28,5508240192361967*power(2.0,-50)),
-      |(102,76,5526658063600798*power(2.0,-50)),
-      |(103,40,5514008626731476*power(2.0,-50)),
-      |(104,19,5540232998431030*power(2.0,-50)),
-      |(105,56,5514437939718415*power(2.0,-50)),
-      |(106,52,5520737909713248*power(2.0,-50)),
-      |(107,67,5536119419399935*power(2.0,-50)),
-      |(108,38,5525448792495992*power(2.0,-50)),
-      |(109,52,5538262212027949*power(2.0,-50)),
-      |(110,44,5541320195991452*power(2.0,-50)),
-      |(111,20,5497786678018563*power(2.0,-50)),
-      |(112,40,5539569187987945*power(2.0,-50)),
-      |(113,82,5522952600313943*power(2.0,-50)),
-      |(114,44,5547724075448386*power(2.0,-50)),
-      |(115,45,5500208182690396*power(2.0,-50)),
-      |(116,82,5520384122827281*power(2.0,-50)),
-      |(117,71,5529399757678363*power(2.0,-50)),
-      |(118,76,5513312599914138*power(2.0,-50)),
-      |(119,83,5518344233818718*power(2.0,-50)),
-      |(120,77,5532860778264107*power(2.0,-50)),
-      |(121,42,5502111490186034*power(2.0,-50)),
-      |(122,92,5536518586430600*power(2.0,-50)),
-      |(123,45,5522613614134588*power(2.0,-50)),
-      |(124,36,5530749678843683*power(2.0,-50)),
-      |(125,31,5510135680819069*power(2.0,-50)),
-      |(126,51,5651649712506939*power(2.0,-50)),
-      |(127,93,5526840508983140*power(2.0,-50)),
-      |(128,46,5631223318557490*power(2.0,-50)),
-      |(129,15,5503840215830769*power(2.0,-50)),
-      |(130,20,5516139415044934*power(2.0,-50)),
-      |(131,13,5508877949195158*power(2.0,-50)),
-      |(132,86,5509217005584227*power(2.0,-50)),
-      |(133,19,5519341746895731*power(2.0,-50)),
-      |(134,95,5533169651268409*power(2.0,-50)),
-      |(135,76,5517209152191658*power(2.0,-50)),
-      |(136,78,5521101228937179*power(2.0,-50)),
-      |(137,84,5532702688772125*power(2.0,-50)),
-      |(138,16,5523879054684682*power(2.0,-50)),
-      |(139,97,5554123798063415*power(2.0,-50)),
-      |(140,47,5511508255657597*power(2.0,-50)),
-      |(141,61,5519587843543882*power(2.0,-50)),
-      |(142,38,5513845573778485*power(2.0,-50)),
-      |(143,63,5508749394919911*power(2.0,-50)),
-      |(144,52,5535778587664627*power(2.0,-50)),
-      |(145,22,5532908182465308*power(2.0,-50)),
-      |(146,41,5517296084640924*power(2.0,-50)),
-      |(147,90,5510024761997995*power(2.0,-50)),
-      |(148,83,5517243731786973*power(2.0,-50)),
-      |(149,68,5516537362512032*power(2.0,-50)),
-      |(150,20,5496306096441156*power(2.0,-50)),
-      |(151,64,5517113783128820*power(2.0,-50)),
-      |(152,25,5537068751903083*power(2.0,-50)),
-      |(153,33,5510085021133454*power(2.0,-50)),
-      |(154,31,5555920893771514*power(2.0,-50)),
-      |(155,16,5540893555452549*power(2.0,-50)),
-      |(156,57,5502954000278772*power(2.0,-50)),
-      |(157,24,5519157121216506*power(2.0,-50)),
-      |(158,57,5529512862238344*power(2.0,-50)),
-      |(159,90,5536045022536183*power(2.0,-50)),
-      |(160,62,5526493292587311*power(2.0,-50)),
-      |(161,25,5514606924711124*power(2.0,-50)),
-      |(162,70,5603778587120517*power(2.0,-50)),
-      |(163,75,5530124759754485*power(2.0,-50)),
-      |(164,58,5525698971900509*power(2.0,-50)),
-      |(165,90,5517459401810529*power(2.0,-50)),
-      |(166,16,5469355203200132*power(2.0,-50)),
-      |(167,62,5534089573814231*power(2.0,-50)),
-      |(168,70,5551730458602054*power(2.0,-50)),
-      |(169,37,5541818582172832*power(2.0,-50)),
-      |(170,13,5900626869185519*power(2.0,-50)),
-      |(171,76,5508382884189849*power(2.0,-50)),
-      |(172,20,5502535492719559*power(2.0,-50)),
-      |(173,97,5513826350230832*power(2.0,-50)),
-      |(174,23,5495121282780570*power(2.0,-50)),
-      |(175,78,5508477292934591*power(2.0,-50)),
-      |(176,72,5522335051355159*power(2.0,-50)),
-      |(177,52,5525540821789557*power(2.0,-50)),
-      |(178,42,5506874360871893*power(2.0,-50)),
-      |(179,10,6044785487988950*power(2.0,-50)),
-      |(180,14,5502501982362798*power(2.0,-50)),
-      |(181,54,5525274446448169*power(2.0,-50)),
-      |(182,61,5540549881828699*power(2.0,-50)),
-      |(183,46,5519494504643599*power(2.0,-50)),
-      |(184,64,5523315777430760*power(2.0,-50)),
-      |(185,79,5521662222947447*power(2.0,-50)),
-      |(186,67,5526537626891040*power(2.0,-50)),
-      |(187,55,5537197561431771*power(2.0,-50)),
-      |(188,43,5519343829370983*power(2.0,-50)),
-      |(189,57,5536227194838210*power(2.0,-50)),
-      |(190,63,5511254236134848*power(2.0,-50)),
-      |(191,89,5523195777808048*power(2.0,-50)),
-      |(192,21,5549365339313161*power(2.0,-50)),
-      |(193,95,5509365699747214*power(2.0,-50)),
-      |(194,41,5517071189583491*power(2.0,-50)),
-      |(195,40,5527036594495638*power(2.0,-50)),
-      |(196,82,5522260905067964*power(2.0,-50)),
-      |(197,51,5528258875646332*power(2.0,-50)),
-      |(198,40,5517828138892262*power(2.0,-50)),
-      |(199,87,5533599444875103*power(2.0,-50)),
-      |(200,22,5515773552078694*power(2.0,-50)),
-      |(201,36,5520535907196613*power(2.0,-50)),
-      |(202,83,5521741350559139*power(2.0,-50)),
-      |(203,92,5518559732016161*power(2.0,-50)),
-      |(204,10,5554908153780608*power(2.0,-50)),
-      |(205,53,5531294544635584*power(2.0,-50)),
-      |(206,42,5523007783642651*power(2.0,-50)),
-      |(207,9,5545527820396501*power(2.0,-50)),
-      |(208,64,5547048163777465*power(2.0,-50)),
-      |(209,80,5531854126182473*power(2.0,-50)),
-      |(210,33,5492610090550927*power(2.0,-50)),
-      |(211,78,5521208302706009*power(2.0,-50)),
-      |(212,56,5515610441669834*power(2.0,-50)),
-      |(213,68,5553571931653336*power(2.0,-50)),
-      |(214,72,5517768817517358*power(2.0,-50)),
-      |(215,52,5536350030609641*power(2.0,-50)),
-      |(216,79,5600454289715249*power(2.0,-50)),
-      |(217,28,5504165874854120*power(2.0,-50)),
-      |(218,55,5524576149480408*power(2.0,-50)),
-      |(219,98,5521673124421524*power(2.0,-50)),
-      |(220,72,5533102770125196*power(2.0,-50)),
-      |(221,79,5583654240837162*power(2.0,-50)),
-      |(222,26,5517462802782764*power(2.0,-50)),
-      |(223,46,5511647674638128*power(2.0,-50)),
-      |(224,16,5540992482501724*power(2.0,-50)),
-      |(225,56,5521111052970486*power(2.0,-50)),
-      |(226,87,5522905807467429*power(2.0,-50)),
-      |(227,93,5516420246656507*power(2.0,-50)),
-      |(228,48,5527653647360851*power(2.0,-50)),
-      |(229,16,5510102315802745*power(2.0,-50)),
-      |(230,43,5536204217009312*power(2.0,-50)),
-      |(231,98,5522308215073046*power(2.0,-50)),
-      |(232,39,5522318959163371*power(2.0,-50)),
-      |(233,94,5522177333346588*power(2.0,-50)),
-      |(234,53,5531774110884072*power(2.0,-50)),
-      |(235,73,5517352441925256*power(2.0,-50)),
-      |(236,50,5510260276985710*power(2.0,-50)),
-      |(237,62,5508265938571640*power(2.0,-50)),
-      |(238,42,5535727913071386*power(2.0,-50)),
-      |(239,65,5511780745015117*power(2.0,-50)),
-      |(240,92,5536987728305104*power(2.0,-50)),
-      |(241,46,5499091644237238*power(2.0,-50)),
-      |(242,40,5551546492732338*power(2.0,-50)),
-      |(243,71,5541765258563106*power(2.0,-50)),
-      |(244,19,5508662946054067*power(2.0,-50)),
-      |(245,77,5527338611644101*power(2.0,-50)),
-      |(246,70,5524597822620031*power(2.0,-50)),
-      |(247,51,5631705535534615*power(2.0,-50)),
-      |(248,67,5505496633170051*power(2.0,-50)),
-      |(249,71,5550895313093520*power(2.0,-50)),
-      |(250,12,5498415542631041*power(2.0,-50)),
-      |(251,70,5525022288495307*power(2.0,-50)),
-      |(252,60,5519105457410975*power(2.0,-50)),
-      |(253,36,5509149662069540*power(2.0,-50)),
-      |(254,38,5498069600093090*power(2.0,-50)),
-      |(255,24,5533302152747075*power(2.0,-50)),
-      |(256,98,5507357258872510*power(2.0,-50)),
-      |(257,72,5523382641093509*power(2.0,-50)),
-      |(258,42,5498436748411001*power(2.0,-50)),
-      |(259,14,5508865045760027*power(2.0,-50)),
-      |(260,82,5533360954594665*power(2.0,-50)),
-      |(261,35,5495436621555781*power(2.0,-50)),
-      |(262,91,5526026386836562*power(2.0,-50)),
-      |(263,62,5512560869204241*power(2.0,-50)),
-      |(264,80,5519369368183388*power(2.0,-50)),
-      |(265,15,5514839580309676*power(2.0,-50)),
-      |(266,34,5505743170154136*power(2.0,-50)),
-      |(267,93,5516320114093374*power(2.0,-50)),
-      |(268,82,5579912388215596*power(2.0,-50)),
-      |(269,9,5546111722644550*power(2.0,-50)),
-      |(270,37,5527581799057110*power(2.0,-50)),
-      |(271,29,5549798207776842*power(2.0,-50)),
-      |(272,19,5481024962337261*power(2.0,-50)),
-      |(273,49,5516122303537018*power(2.0,-50)),
-      |(274,15,5536292010960294*power(2.0,-50)),
-      |(275,45,5515810580905576*power(2.0,-50)),
-      |(276,90,5529402589700171*power(2.0,-50)),
-      |(277,22,5527861967798687*power(2.0,-50)),
-      |(278,15,5572441252905958*power(2.0,-50)),
-      |(279,56,5543734853782255*power(2.0,-50)),
-      |(280,67,5522352857990262*power(2.0,-50)),
-      |(281,74,5519891425436560*power(2.0,-50)),
-      |(282,88,5513903576883076*power(2.0,-50)),
-      |(283,86,5507328454446809*power(2.0,-50)),
-      |(284,82,5536497635551810*power(2.0,-50)),
-      |(285,14,5514782587043249*power(2.0,-50)),
-      |(286,66,5528128816230225*power(2.0,-50)),
-      |(287,86,5518681718457226*power(2.0,-50)),
-      |(288,65,5538661232013858*power(2.0,-50)),
-      |(289,58,5530984560927105*power(2.0,-50)),
-      |(290,83,5526543482116589*power(2.0,-50)),
-      |(291,34,5492553518293457*power(2.0,-50)),
-      |(292,30,5745189521691522*power(2.0,-50)),
-      |(293,78,5514414393351749*power(2.0,-50)),
-      |(294,41,5529647627893533*power(2.0,-50)),
-      |(295,46,5498078961337596*power(2.0,-50)),
-      |(296,68,5525249717109043*power(2.0,-50)),
-      |(297,85,5509004934176843*power(2.0,-50)),
-      |(298,62,5551181033263985*power(2.0,-50)),
-      |(299,66,5531511652350917*power(2.0,-50)),
-      |(300,17,5515014049732393*power(2.0,-50)),
-      |(301,84,5513764482807739*power(2.0,-50)),
-      |(302,40,5542502501876356*power(2.0,-50)),
-      |(303,37,5526922151087677*power(2.0,-50)),
-      |(304,63,5510774946515909*power(2.0,-50)),
-      |(305,54,5503624282417414*power(2.0,-50)),
-      |(306,70,5541369523541167*power(2.0,-50)),
-      |(307,73,5512274187221510*power(2.0,-50)),
-      |(308,14,5526099612331832*power(2.0,-50)),
-      |(309,77,5527631852673252*power(2.0,-50)),
-      |(310,63,5516636179607702*power(2.0,-50)),
-      |(311,18,5524057716797830*power(2.0,-50)),
-      |(312,34,5523789863266460*power(2.0,-50)),
-      |(313,29,5546283872878671*power(2.0,-50)),
-      |(314,45,5541443756326123*power(2.0,-50)),
-      |(315,20,5484284167106916*power(2.0,-50)),
-      |(316,14,5511335012688146*power(2.0,-50)),
-      |(317,90,5535008848383624*power(2.0,-50)),
-      |(318,38,5551931111641913*power(2.0,-50)),
-      |(319,34,5503185906153086*power(2.0,-50)),
-      |(320,91,5530299401213129*power(2.0,-50)),
-      |(321,84,5530355622058977*power(2.0,-50)),
-      |(322,92,5516102744389063*power(2.0,-50)),
-      |(323,68,5519502635052760*power(2.0,-50)),
-      |(324,83,5541680880553885*power(2.0,-50)),
-      |(325,91,5536001960109520*power(2.0,-50)),
-      |(326,76,5515076705875893*power(2.0,-50)),
-      |(327,56,5534753225009327*power(2.0,-50)),
-      |(328,77,5518607888866511*power(2.0,-50)),
-      |(329,69,5526537256062311*power(2.0,-50)),
-      |(330,34,5504749081547192*power(2.0,-50)),
-      |(331,14,5517301060304145*power(2.0,-50)),
-      |(332,33,5524394704877492*power(2.0,-50)),
-      |(333,65,5526932262045511*power(2.0,-50)),
-      |(334,55,5528347324927331*power(2.0,-50)),
-      |(335,83,5511494655432762*power(2.0,-50)),
-      |(336,91,5526203105158631*power(2.0,-50)),
-      |(337,14,5533023250293763*power(2.0,-50)),
-      |(338,15,5509694176994668*power(2.0,-50)),
-      |(339,36,5512994020097570*power(2.0,-50)),
-      |(340,93,5518385605594868*power(2.0,-50)),
-      |(341,13,5567648233437287*power(2.0,-50)),
-      |(342,24,5544623414900223*power(2.0,-50)),
-      |(343,95,5526415632212161*power(2.0,-50)),
-      |(344,16,5537743524055719*power(2.0,-50)),
-      |(345,97,5524212574304957*power(2.0,-50)),
-      |(346,86,5513281120301932*power(2.0,-50)),
-      |(347,27,5529379443865525*power(2.0,-50)),
-      |(348,81,5515705582062310*power(2.0,-50)),
-      |(349,45,5527917203405274*power(2.0,-50)),
-      |(350,58,5521405920066993*power(2.0,-50)),
-      |(351,34,5508853384263621*power(2.0,-50)),
-      |(352,76,5532006298820476*power(2.0,-50)),
-      |(353,63,5507586316349562*power(2.0,-50)),
-      |(354,33,5536085436982970*power(2.0,-50)),
-      |(355,11,5562670271810405*power(2.0,-50)),
-      |(356,54,5524217393621020*power(2.0,-50)),
-      |(357,92,5517315999027670*power(2.0,-50)),
-      |(358,31,5502230370905725*power(2.0,-50)),
-      |(359,34,5545963173842962*power(2.0,-50)),
-      |(360,47,5506971959905024*power(2.0,-50)),
-      |(361,20,5503643232247436*power(2.0,-50)),
-      |(362,93,5512161844130102*power(2.0,-50)),
-      |(363,25,5508769600627306*power(2.0,-50)),
-      |(364,67,5533798283079334*power(2.0,-50)),
-      |(365,79,5519539876341523*power(2.0,-50)),
-      |(366,26,5540194715594486*power(2.0,-50)),
-      |(367,16,5522808969307505*power(2.0,-50)),
-      |(368,46,5545885877742916*power(2.0,-50)),
-      |(369,40,5539635241242414*power(2.0,-50)),
-      |(370,12,5460271074836965*power(2.0,-50)),
-      |(371,17,5544927522940141*power(2.0,-50)),
-      |(372,85,5522715411461780*power(2.0,-50)),
-      |(373,66,5531241637881776*power(2.0,-50)),
-      |(374,42,5534432540227180*power(2.0,-50)),
-      |(375,23,5527610466251824*power(2.0,-50)),
-      |(376,93,5532521479663895*power(2.0,-50)),
-      |(377,96,5519770141083917*power(2.0,-50)),
-      |(378,22,5514561088839012*power(2.0,-50)),
-      |(379,74,5578768902070731*power(2.0,-50)),
-      |(380,17,5509188489382743*power(2.0,-50)),
-      |(381,95,5508419721951446*power(2.0,-50)),
-      |(382,86,5523785456105954*power(2.0,-50)),
-      |(383,96,5526635978479857*power(2.0,-50)),
-      |(384,39,5529719853383893*power(2.0,-50)),
-      |(385,91,5525397057057840*power(2.0,-50)),
-      |(386,38,5476363403422749*power(2.0,-50)),
-      |(387,56,5524936244874637*power(2.0,-50)),
-      |(388,24,5522774812164132*power(2.0,-50)),
-      |(389,18,5557562340509562*power(2.0,-50)),
-      |(390,70,5513267430848977*power(2.0,-50)),
-      |(391,60,5518781485906531*power(2.0,-50)),
-      |(392,72,5530332863594892*power(2.0,-50)),
-      |(393,69,5539119364617661*power(2.0,-50)),
-      |(394,68,5523794416415373*power(2.0,-50)),
-      |(395,66,5515382326504713*power(2.0,-50)),
-      |(396,93,5518428639922632*power(2.0,-50)),
-      |(397,21,5534259117909001*power(2.0,-50)),
-      |(398,59,5526328535327357*power(2.0,-50)),
-      |(399,62,5514227169929350*power(2.0,-50)),
-      |(400,89,5519100834448231*power(2.0,-50)),
-      |(401,13,5543181852591039*power(2.0,-50)),
-      |(402,33,5517824322137973*power(2.0,-50)),
-      |(403,87,5530736638276431*power(2.0,-50)),
-      |(404,81,5539481228754581*power(2.0,-50)),
-      |(405,66,5531018210708447*power(2.0,-50)),
-      |(406,41,5516158104804381*power(2.0,-50)),
-      |(407,16,5525224876553998*power(2.0,-50)),
-      |(408,22,5586071084189455*power(2.0,-50)),
-      |(409,41,5531782001398267*power(2.0,-50)),
-      |(410,40,5516645031926563*power(2.0,-50)),
-      |(411,40,5516624949656336*power(2.0,-50)),
-      |(412,26,5511043653765067*power(2.0,-50)),
-      |(413,78,5524962165904799*power(2.0,-50)),
-      |(414,48,5524140098899736*power(2.0,-50)),
-      |(415,10,5496804751017282*power(2.0,-50)),
-      |(416,23,5499774710862961*power(2.0,-50)),
-      |(417,68,5523495949454755*power(2.0,-50)),
-      |(418,13,5510322282304618*power(2.0,-50)),
-      |(419,53,5539461906268622*power(2.0,-50)),
-      |(420,62,5502843538614906*power(2.0,-50)),
-      |(421,89,5531482753528873*power(2.0,-50)),
-      |(422,61,5537269237566030*power(2.0,-50)),
-      |(423,40,5501440043774322*power(2.0,-50)),
-      |(424,21,5523176421596161*power(2.0,-50)),
-      |(425,46,5631715610895064*power(2.0,-50)),
-      |(426,58,5516947490009367*power(2.0,-50)),
-      |(427,60,5506709503387922*power(2.0,-50)),
-      |(428,40,5543229109522818*power(2.0,-50)),
-      |(429,28,5501819838688261*power(2.0,-50)),
-      |(430,66,5561202141137689*power(2.0,-50)),
-      |(431,85,5521313605262496*power(2.0,-50)),
-      |(432,28,5541534965616654*power(2.0,-50)),
-      |(433,39,5526428927647435*power(2.0,-50)),
-      |(434,57,5522719777114005*power(2.0,-50)),
-      |(435,64,5528820894464508*power(2.0,-50)),
-      |(436,56,5535161589174701*power(2.0,-50)),
-      |(437,15,5509651468423673*power(2.0,-50)),
-      |(438,70,5524709626401360*power(2.0,-50)),
-      |(439,58,5530004506407784*power(2.0,-50)),
-      |(440,33,5501085926007873*power(2.0,-50)),
-      |(441,15,5540459569618910*power(2.0,-50)),
-      |(442,29,5509582763925143*power(2.0,-50)),
-      |(443,98,5528426842864021*power(2.0,-50)),
-      |(444,19,5541977941408823*power(2.0,-50)),
-      |(445,52,5542721302412413*power(2.0,-50)),
-      |(446,61,5534719328168388*power(2.0,-50)),
-      |(447,71,5536990076078087*power(2.0,-50)),
-      |(448,54,5513538426464563*power(2.0,-50)),
-      |(449,61,5542853675513557*power(2.0,-50)),
-      |(450,20,5524933902731142*power(2.0,-50)),
-      |(451,69,5538343685296976*power(2.0,-50)),
-      |(452,52,5527245959195111*power(2.0,-50)),
-      |(453,80,5513238925125157*power(2.0,-50)),
-      |(454,66,5512775907616255*power(2.0,-50)),
-      |(455,64,5590950155748443*power(2.0,-50)),
-      |(456,79,5530583101722438*power(2.0,-50)),
-      |(457,42,5533014135805176*power(2.0,-50)),
-      |(458,41,5519385616017181*power(2.0,-50)),
-      |(459,57,5515780431935882*power(2.0,-50)),
-      |(460,92,5521747196183158*power(2.0,-50)),
-      |(461,22,5541108510647744*power(2.0,-50)),
-      |(462,13,5549726819687284*power(2.0,-50)),
-      |(463,64,5547888338279323*power(2.0,-50)),
-      |(464,38,5515529228437450*power(2.0,-50)),
-      |(465,24,5544630494922868*power(2.0,-50)),
-      |(466,16,5554784393533334*power(2.0,-50)),
-      |(467,14,5454639766051462*power(2.0,-50)),
-      |(468,48,5550791642508968*power(2.0,-50)),
-      |(469,92,5531705007544497*power(2.0,-50)),
-      |(470,76,5524511826748583*power(2.0,-50)),
-      |(471,56,5524086710892565*power(2.0,-50)),
-      |(472,82,5509001509274724*power(2.0,-50)),
-      |(473,55,5534559359694088*power(2.0,-50)),
-      |(474,62,5512113075646784*power(2.0,-50)),
-      |(475,89,5528525870867429*power(2.0,-50)),
-      |(476,35,5564118479143400*power(2.0,-50)),
-      |(477,29,5510413709661962*power(2.0,-50)),
-      |(478,91,5516582993037327*power(2.0,-50)),
-      |(479,95,5540329365081025*power(2.0,-50)),
-      |(480,28,5517673798733640*power(2.0,-50)),
-      |(481,47,5540585844081091*power(2.0,-50)),
-      |(482,95,5544663884002399*power(2.0,-50)),
-      |(483,94,5520571101865178*power(2.0,-50)),
-      |(484,11,5552535484676989*power(2.0,-50)),
-      |(485,86,5535574603801838*power(2.0,-50)),
-      |(486,47,5513922212559323*power(2.0,-50)),
-      |(487,35,5524872391505139*power(2.0,-50)),
-      |(488,64,5525217343317475*power(2.0,-50)),
-      |(489,34,5513691588707942*power(2.0,-50)),
-      |(490,72,5517843628853397*power(2.0,-50)),
-      |(491,71,5598666916910727*power(2.0,-50)),
-      |(492,96,5540792319736087*power(2.0,-50)),
-      |(493,71,5533166807254373*power(2.0,-50)),
-      |(494,88,5523777895657314*power(2.0,-50)),
-      |(495,81,5518391266604808*power(2.0,-50)),
-      |(496,25,5519687505707203*power(2.0,-50)),
-      |(497,38,5511453571769443*power(2.0,-50)),
-      |(498,41,5536647597995191*power(2.0,-50)),
-      |(499,88,5533818589724092*power(2.0,-50)),
-      |(500,75,5554402059725310*power(2.0,-50)),
-      |(501,73,5521828177597850*power(2.0,-50)),
-      |(502,63,5524908873730661*power(2.0,-50)),
-      |(503,43,5531242648107790*power(2.0,-50)),
-      |(504,71,5529063488634686*power(2.0,-50)),
-      |(505,85,5525038592376956*power(2.0,-50)),
-      |(506,85,5542680914197640*power(2.0,-50)),
-      |(507,20,5569474045356491*power(2.0,-50)),
-      |(508,23,5536751331019869*power(2.0,-50)),
-      |(509,89,5513518043204616*power(2.0,-50)),
-      |(510,12,5591423008002343*power(2.0,-50)),
-      |(511,26,5541883173287249*power(2.0,-50)),
-      |(512,56,5512945388593119*power(2.0,-50)),
-      |(513,85,5506575206518941*power(2.0,-50)),
-      |(514,53,5535944638447713*power(2.0,-50)),
-      |(515,92,5523710074439118*power(2.0,-50)),
-      |(516,29,5529473211053992*power(2.0,-50)),
-      |(517,88,5515977462877353*power(2.0,-50)),
-      |(518,54,5516348199766187*power(2.0,-50)),
-      |(519,58,5551319392956822*power(2.0,-50)),
-      |(520,40,5510903686740323*power(2.0,-50)),
-      |(521,80,5525480779855569*power(2.0,-50)),
-      |(522,94,5520953091113353*power(2.0,-50)),
-      |(523,81,5518152515697033*power(2.0,-50)),
-      |(524,84,5521496350571980*power(2.0,-50)),
-      |(525,46,5561320189330721*power(2.0,-50)),
-      |(526,85,5524299180495264*power(2.0,-50)),
-      |(527,10,5563037252637345*power(2.0,-50)),
-      |(528,50,5514978552411540*power(2.0,-50)),
-      |(529,90,5531993570510476*power(2.0,-50)),
-      |(530,30,5510024321711489*power(2.0,-50)),
-      |(531,40,5525910668823463*power(2.0,-50)),
-      |(532,27,5486242750638170*power(2.0,-50)),
-      |(533,44,5526328906347141*power(2.0,-50)),
-      |(534,97,5506845017795323*power(2.0,-50)),
-      |(535,24,5533899741196343*power(2.0,-50)),
-      |(536,27,5540501620091575*power(2.0,-50)),
-      |(537,52,5527080500243592*power(2.0,-50)),
-      |(538,80,5547089300456168*power(2.0,-50)),
-      |(539,73,5517302160032720*power(2.0,-50)),
-      |(540,51,5652552879567120*power(2.0,-50)),
-      |(541,77,5540814677224558*power(2.0,-50)),
-      |(542,50,5532447764324828*power(2.0,-50)),
-      |(543,75,5537692799658995*power(2.0,-50)),
-      |(544,19,5515186220335528*power(2.0,-50)),
-      |(545,79,5518293318938255*power(2.0,-50)),
-      |(546,53,5521164644825616*power(2.0,-50)),
-      |(547,19,5503467157974173*power(2.0,-50)),
-      |(548,60,5530550755641888*power(2.0,-50)),
-      |(549,97,5519623768361797*power(2.0,-50)),
-      |(550,66,5535765343728786*power(2.0,-50)),
-      |(551,12,5527344042315391*power(2.0,-50)),
-      |(552,20,5519986270070828*power(2.0,-50)),
-      |(553,99,5579823510874549*power(2.0,-50)),
-      |(554,38,5531356724046146*power(2.0,-50)),
-      |(555,44,5527931799640408*power(2.0,-50)),
-      |(556,37,5507996319014678*power(2.0,-50)),
-      |(557,14,5511995130728769*power(2.0,-50)),
-      |(558,33,5569041701586441*power(2.0,-50)),
-      |(559,54,5527853795402586*power(2.0,-50)),
-      |(560,29,5520646271725441*power(2.0,-50)),
-      |(561,90,5582989579063139*power(2.0,-50)),
-      |(562,95,5515446318341963*power(2.0,-50)),
-      |(563,15,5526570427967094*power(2.0,-50)),
-      |(564,91,5517103140869062*power(2.0,-50)),
-      |(565,76,5530345464646810*power(2.0,-50)),
-      |(566,58,5502883321478232*power(2.0,-50)),
-      |(567,46,5539130643432134*power(2.0,-50)),
-      |(568,43,5511737488047469*power(2.0,-50)),
-      |(569,17,5525198251386350*power(2.0,-50)),
-      |(570,85,5614386097689585*power(2.0,-50)),
-      |(571,52,5502475415818544*power(2.0,-50)),
-      |(572,77,5511265498077074*power(2.0,-50)),
-      |(573,72,5528162630403284*power(2.0,-50)),
-      |(574,96,5521852474300691*power(2.0,-50)),
-      |(575,71,5526621080883181*power(2.0,-50)),
-      |(576,79,5522223501603935*power(2.0,-50)),
-      |(577,16,5566396696035371*power(2.0,-50)),
-      |(578,19,5512068509020947*power(2.0,-50)),
-      |(579,94,5515119753196677*power(2.0,-50)),
-      |(580,40,5523919344777105*power(2.0,-50)),
-      |(581,30,5509582989042697*power(2.0,-50)),
-      |(582,57,5511617441270888*power(2.0,-50)),
-      |(583,84,5514040387916611*power(2.0,-50)),
-      |(584,55,5528617513557129*power(2.0,-50)),
-      |(585,9,5494705650714757*power(2.0,-50)),
-      |(586,27,5533023968183373*power(2.0,-50)),
-      |(587,92,5524214252943122*power(2.0,-50)),
-      |(588,76,5524373010155168*power(2.0,-50)),
-      |(589,46,5543688794310742*power(2.0,-50)),
-      |(590,79,5520476608485679*power(2.0,-50)),
-      |(591,21,5534251361710655*power(2.0,-50)),
-      |(592,73,5527767346978950*power(2.0,-50)),
-      |(593,48,5531166358203271*power(2.0,-50)),
-      |(594,95,5529277397269512*power(2.0,-50)),
-      |(595,98,5542649513195589*power(2.0,-50)),
-      |(596,47,5542847383302876*power(2.0,-50)),
-      |(597,23,5523901589662541*power(2.0,-50)),
-      |(598,45,5536378534051168*power(2.0,-50)),
-      |(599,13,5473891394067390*power(2.0,-50)),
-      |(600,29,5557855148472543*power(2.0,-50)),
-      |(601,18,5527985619808711*power(2.0,-50)),
-      |(602,38,5547498011637149*power(2.0,-50)),
-      |(603,22,5515896361042229*power(2.0,-50)),
-      |(604,84,5532928695351599*power(2.0,-50)),
-      |(605,88,5521503919201360*power(2.0,-50)),
-      |(606,63,5550060134031917*power(2.0,-50)),
-      |(607,15,5555625853408521*power(2.0,-50)),
-      |(608,76,5529844245750091*power(2.0,-50)),
-      |(609,18,5546586632123936*power(2.0,-50)),
-      |(610,82,5512745970167217*power(2.0,-50)),
-      |(611,18,5486857779597337*power(2.0,-50)),
-      |(612,65,5511728560837886*power(2.0,-50)),
-      |(613,67,5510986455209265*power(2.0,-50)),
-      |(614,93,5535246013804550*power(2.0,-50)),
-      |(615,78,5519052016340836*power(2.0,-50)),
-      |(616,13,5523765622486163*power(2.0,-50)),
-      |(617,32,5498747759880330*power(2.0,-50)),
-      |(618,21,5503911030678075*power(2.0,-50)),
-      |(619,22,5524624243927013*power(2.0,-50)),
-      |(620,10,5491415034200440*power(2.0,-50)),
-      |(621,26,5750248833465132*power(2.0,-50)),
-      |(622,70,5534696064992403*power(2.0,-50)),
-      |(623,24,5539490518503213*power(2.0,-50)),
-      |(624,90,5519051706678439*power(2.0,-50)),
-      |(625,71,5519228750443629*power(2.0,-50)),
-      |(626,83,5543365609634920*power(2.0,-50)),
-      |(627,51,5617661924154709*power(2.0,-50)),
-      |(628,89,5526163095703375*power(2.0,-50)),
-      |(629,24,5555126714659852*power(2.0,-50)),
-      |(630,50,5546490497279932*power(2.0,-50)),
-      |(631,42,5509140403866158*power(2.0,-50)),
-      |(632,46,5520004809511167*power(2.0,-50)),
-      |(633,33,5520889047531487*power(2.0,-50)),
-      |(634,34,5515562110956105*power(2.0,-50)),
-      |(635,34,5499597827836467*power(2.0,-50)),
-      |(636,93,5519356978832190*power(2.0,-50)),
-      |(637,44,5489822111353036*power(2.0,-50)),
-      |(638,98,5525205330429947*power(2.0,-50)),
-      |(639,11,5542527959263949*power(2.0,-50)),
-      |(640,98,5527550200100383*power(2.0,-50)),
-      |(641,11,5480200184993703*power(2.0,-50)),
-      |(642,18,5488138797393224*power(2.0,-50)),
-      |(643,45,5519931814374803*power(2.0,-50)),
-      |(644,53,5642192605533138*power(2.0,-50)),
-      |(645,65,5520955973303587*power(2.0,-50)),
-      |(646,88,5578491350451142*power(2.0,-50)),
-      |(647,18,5504080620746411*power(2.0,-50)),
-      |(648,68,5521024737793961*power(2.0,-50)),
-      |(649,50,5524524830161752*power(2.0,-50)),
-      |(650,58,5515184055621498*power(2.0,-50)),
-      |(651,68,5509180716915410*power(2.0,-50)),
-      |(652,74,5505831367817702*power(2.0,-50)),
-      |(653,67,5582988264509044*power(2.0,-50)),
-      |(654,24,5542274857652285*power(2.0,-50)),
-      |(655,18,5520049457641388*power(2.0,-50)),
-      |(656,79,5525320730884670*power(2.0,-50)),
-      |(657,69,5528923672778463*power(2.0,-50)),
-      |(658,20,5510472393153853*power(2.0,-50)),
-      |(659,69,5518979725675699*power(2.0,-50)),
-      |(660,80,5498468652491963*power(2.0,-50)),
-      |(661,59,5524933083504465*power(2.0,-50)),
-      |(662,71,5530938739740344*power(2.0,-50)),
-      |(663,31,5522816061003330*power(2.0,-50)),
-      |(664,86,5524885405049488*power(2.0,-50)),
-      |(665,75,5519581438200013*power(2.0,-50)),
-      |(666,29,5531542392043168*power(2.0,-50)),
-      |(667,38,5529611063543060*power(2.0,-50)),
-      |(668,20,5561023286384372*power(2.0,-50)),
-      |(669,25,5765225710982307*power(2.0,-50)),
-      |(670,26,5547310973329237*power(2.0,-50)),
-      |(671,75,5507841826021722*power(2.0,-50)),
-      |(672,11,5540739430937716*power(2.0,-50)),
-      |(673,22,5511742906796267*power(2.0,-50)),
-      |(674,59,5501910335508495*power(2.0,-50)),
-      |(675,25,5536808142878963*power(2.0,-50)),
-      |(676,44,5514860528965479*power(2.0,-50)),
-      |(677,34,5533110820041913*power(2.0,-50)),
-      |(678,26,5542908461089148*power(2.0,-50)),
-      |(679,36,5509925156656358*power(2.0,-50)),
-      |(680,21,5562730513507701*power(2.0,-50)),
-      |(681,41,5525082911987241*power(2.0,-50)),
-      |(682,16,5527333525596601*power(2.0,-50)),
-      |(683,12,5520870156937963*power(2.0,-50)),
-      |(684,69,5503870437389160*power(2.0,-50)),
-      |(685,52,5524718611579458*power(2.0,-50)),
-      |(686,93,5515799825989534*power(2.0,-50)),
-      |(687,20,5482744550615338*power(2.0,-50)),
-      |(688,70,5531492481329230*power(2.0,-50)),
-      |(689,64,5521790513008544*power(2.0,-50)),
-      |(690,61,5522197103531933*power(2.0,-50)),
-      |(691,41,5526819885114944*power(2.0,-50)),
-      |(692,91,5519549523897957*power(2.0,-50)),
-      |(693,39,5509964888135767*power(2.0,-50)),
-      |(694,60,5538016650395585*power(2.0,-50)),
-      |(695,79,5518418897844334*power(2.0,-50)),
-      |(696,55,5512894035123255*power(2.0,-50)),
-      |(697,37,5529723756950871*power(2.0,-50)),
-      |(698,85,5505585511108679*power(2.0,-50)),
-      |(699,27,5511757756176833*power(2.0,-50)),
-      |(700,29,5533509478978854*power(2.0,-50)),
-      |(701,44,5520475038968919*power(2.0,-50)),
-      |(702,83,5528111023863060*power(2.0,-50)),
-      |(703,23,5722359476965142*power(2.0,-50)),
-      |(704,86,5531030002417407*power(2.0,-50)),
-      |(705,66,5517754235333809*power(2.0,-50)),
-      |(706,88,5582847397600082*power(2.0,-50)),
-      |(707,47,5511852185393391*power(2.0,-50)),
-      |(708,50,5504080266208610*power(2.0,-50)),
-      |(709,29,5508026360305434*power(2.0,-50)),
-      |(710,85,5533456110123172*power(2.0,-50)),
-      |(711,72,5523207602240340*power(2.0,-50)),
-      |(712,96,5525593968304287*power(2.0,-50)),
-      |(713,43,5504328123140854*power(2.0,-50)),
-      |(714,42,5509160450176786*power(2.0,-50)),
-      |(715,43,5537293747182618*power(2.0,-50)),
-      |(716,90,5586080729342176*power(2.0,-50)),
-      |(717,55,5544109721065780*power(2.0,-50)),
-      |(718,64,5519948368681776*power(2.0,-50)),
-      |(719,53,5544925523142198*power(2.0,-50)),
-      |(720,63,5525751129219124*power(2.0,-50)),
-      |(721,88,5520738255428425*power(2.0,-50)),
-      |(722,67,5499428794177298*power(2.0,-50)),
-      |(723,36,5504660385545052*power(2.0,-50)),
-      |(724,25,5735576284012995*power(2.0,-50)),
-      |(725,97,5528994258131680*power(2.0,-50)),
-      |(726,42,5550808329759443*power(2.0,-50)),
-      |(727,24,5527678481111292*power(2.0,-50)),
-      |(728,92,5525401880300570*power(2.0,-50)),
-      |(729,17,5809944649769595*power(2.0,-50)),
-      |(730,20,5568730415712388*power(2.0,-50)),
-      |(731,23,5523161372903922*power(2.0,-50)),
-      |(732,40,5681031213081176*power(2.0,-50)),
-      |(733,58,5541528425067656*power(2.0,-50)),
-      |(734,13,5545371594002022*power(2.0,-50)),
-      |(735,29,5542678974757250*power(2.0,-50)),
-      |(736,39,5506894329996735*power(2.0,-50)),
-      |(737,37,5524132749985351*power(2.0,-50)),
-      |(738,66,5529669089872583*power(2.0,-50)),
-      |(739,22,5517428212368049*power(2.0,-50)),
-      |(740,13,5492109887168590*power(2.0,-50)),
-      |(741,47,5488620936800246*power(2.0,-50)),
-      |(742,18,5542267880895607*power(2.0,-50)),
-      |(743,19,5550543346309950*power(2.0,-50)),
-      |(744,53,5536115697093714*power(2.0,-50)),
-      |(745,79,5522205892059904*power(2.0,-50)),
-      |(746,16,5555131097735183*power(2.0,-50)),
-      |(747,72,5531500483596720*power(2.0,-50)),
-      |(748,28,5539414417321984*power(2.0,-50)),
-      |(749,44,5517022596103371*power(2.0,-50)),
-      |(750,55,5516104507336472*power(2.0,-50)),
-      |(751,65,5528215781844403*power(2.0,-50)),
-      |(752,57,5527632697229402*power(2.0,-50)),
-      |(753,47,5516927190787274*power(2.0,-50)),
-      |(754,35,5511015668270715*power(2.0,-50)),
-      |(755,13,6039131808886985*power(2.0,-50)),
-      |(756,69,5527164776391338*power(2.0,-50)),
-      |(757,57,5505042642823942*power(2.0,-50)),
-      |(758,56,5524850199496960*power(2.0,-50)),
-      |(759,65,5513083916317439*power(2.0,-50)),
-      |(760,52,5525632021081692*power(2.0,-50)),
-      |(761,20,5520060702438641*power(2.0,-50)),
-      |(762,66,5522687662371394*power(2.0,-50)),
-      |(763,13,5497594169918178*power(2.0,-50)),
-      |(764,62,5529630953960771*power(2.0,-50)),
-      |(765,55,5513844749859249*power(2.0,-50)),
-      |(766,49,5533520231167467*power(2.0,-50)),
-      |(767,31,5502243656356221*power(2.0,-50)),
-      |(768,31,5530442911031929*power(2.0,-50)),
-      |(769,88,5512339509257388*power(2.0,-50)),
-      |(770,29,5513788263612572*power(2.0,-50)),
-      |(771,73,5507206869783216*power(2.0,-50)),
-      |(772,59,5507230124800964*power(2.0,-50)),
-      |(773,85,5541869012748659*power(2.0,-50)),
-      |(774,93,5510866295779828*power(2.0,-50)),
-      |(775,25,5525750198058453*power(2.0,-50)),
-      |(776,40,5515173595847998*power(2.0,-50)),
-      |(777,46,5540689938343255*power(2.0,-50)),
-      |(778,13,5488398493190599*power(2.0,-50)),
-      |(779,88,5524667341302602*power(2.0,-50)),
-      |(780,91,5521856191459288*power(2.0,-50)),
-      |(781,62,5527267869947748*power(2.0,-50)),
-      |(782,11,5544977082895139*power(2.0,-50)),
-      |(783,57,5503337840508855*power(2.0,-50)),
-      |(784,57,5508733268770768*power(2.0,-50)),
-      |(785,30,5526678758515809*power(2.0,-50)),
-      |(786,90,5515097145819819*power(2.0,-50)),
-      |(787,12,5543571654757324*power(2.0,-50)),
-      |(788,80,5539952899443420*power(2.0,-50)),
-      |(789,95,5510018573699199*power(2.0,-50)),
-      |(790,49,5510639769466962*power(2.0,-50)),
-      |(791,59,5526131893737911*power(2.0,-50)),
-      |(792,69,5528148181102436*power(2.0,-50)),
-      |(793,39,5509966817206310*power(2.0,-50)),
-      |(794,11,5521293417608363*power(2.0,-50)),
-      |(795,47,5526748941893364*power(2.0,-50)),
-      |(796,60,5516199296800579*power(2.0,-50)),
-      |(797,61,5510004030803842*power(2.0,-50)),
-      |(798,86,5539870539839393*power(2.0,-50)),
-      |(799,66,5520816040258098*power(2.0,-50)),
-      |(800,37,5533004948773148*power(2.0,-50)),
-      |(801,73,5516460128781297*power(2.0,-50)),
-      |(802,11,5465335955196145*power(2.0,-50)),
-      |(803,67,5536847607847592*power(2.0,-50)),
-      |(804,54,5540776038496574*power(2.0,-50)),
-      |(805,46,5532110233921928*power(2.0,-50)),
-      |(806,76,5523024171767433*power(2.0,-50)),
-      |(807,16,5524308081413439*power(2.0,-50)),
-      |(808,15,5514106663265916*power(2.0,-50)),
-      |(809,45,5551826415616661*power(2.0,-50)),
-      |(810,32,5525641782482778*power(2.0,-50)),
-      |(811,44,5536134750295940*power(2.0,-50)),
-      |(812,43,5511858755444726*power(2.0,-50)),
-      |(813,34,5508122721585251*power(2.0,-50)),
-      |(814,74,5510520194896848*power(2.0,-50)),
-      |(815,84,5524368770123660*power(2.0,-50)),
-      |(816,35,5513887955670824*power(2.0,-50)),
-      |(817,76,5526203078441026*power(2.0,-50)),
-      |(818,17,5535311297833167*power(2.0,-50)),
-      |(819,47,5545429635693301*power(2.0,-50)),
-      |(820,62,5629792420663404*power(2.0,-50)),
-      |(821,35,5543475291912651*power(2.0,-50)),
-      |(822,9,5529062727168509*power(2.0,-50)),
-      |(823,69,5524230425189560*power(2.0,-50)),
-      |(824,15,5488252286206571*power(2.0,-50)),
-      |(825,29,5524276898504218*power(2.0,-50)),
-      |(826,51,5534841472190559*power(2.0,-50)),
-      |(827,54,5503681313071526*power(2.0,-50)),
-      |(828,37,5500951671711025*power(2.0,-50)),
-      |(829,23,5520200533094826*power(2.0,-50)),
-      |(830,98,5517214116535788*power(2.0,-50)),
-      |(831,52,5538090151483100*power(2.0,-50)),
-      |(832,12,5514072261273972*power(2.0,-50)),
-      |(833,39,5506188468467682*power(2.0,-50)),
-      |(834,35,5528590968500884*power(2.0,-50)),
-      |(835,29,5490101138637202*power(2.0,-50)),
-      |(836,73,5512407969534604*power(2.0,-50)),
-      |(837,70,5516151748070457*power(2.0,-50)),
-      |(838,59,5522906667551894*power(2.0,-50)),
-      |(839,52,5506149110160661*power(2.0,-50)),
-      |(840,55,5520824976151234*power(2.0,-50)),
-      |(841,96,5510505710299788*power(2.0,-50)),
-      |(842,49,5503944186648201*power(2.0,-50)),
-      |(843,68,5520468210648668*power(2.0,-50)),
-      |(844,95,5535446502520732*power(2.0,-50)),
-      |(845,55,5505799622664808*power(2.0,-50)),
-      |(846,88,5517720833801536*power(2.0,-50)),
-      |(847,25,5536713970255535*power(2.0,-50)),
-      |(848,32,5502228837390321*power(2.0,-50)),
-      |(849,40,5523103154045284*power(2.0,-50)),
-      |(850,27,5550075335922798*power(2.0,-50)),
-      |(851,68,5518805942728558*power(2.0,-50)),
-      |(852,70,5523850062966945*power(2.0,-50)),
-      |(853,23,5512644681303056*power(2.0,-50)),
-      |(854,24,5536221073025819*power(2.0,-50)),
-      |(855,86,5526961543510864*power(2.0,-50)),
-      |(856,96,5528589232265547*power(2.0,-50)),
-      |(857,85,5526620943626236*power(2.0,-50)),
-      |(858,63,5518227493244648*power(2.0,-50)),
-      |(859,64,5525979467066348*power(2.0,-50)),
-      |(860,20,5552727794544278*power(2.0,-50)),
-      |(861,10,5502391630817331*power(2.0,-50)),
-      |(862,57,5622615367769080*power(2.0,-50)),
-      |(863,22,5504313768025795*power(2.0,-50)),
-      |(864,24,5514932204740916*power(2.0,-50)),
-      |(865,85,5541958025782544*power(2.0,-50)),
-      |(866,16,5545046195342385*power(2.0,-50)),
-      |(867,71,5517354525083479*power(2.0,-50)),
-      |(868,13,5542653998231263*power(2.0,-50)),
-      |(869,30,5516944663758846*power(2.0,-50)),
-      |(870,56,5519811911837879*power(2.0,-50)),
-      |(871,77,5525088291851714*power(2.0,-50)),
-      |(872,56,5504168631347806*power(2.0,-50)),
-      |(873,11,5523351461138176*power(2.0,-50)),
-      |(874,43,5638769852902085*power(2.0,-50)),
-      |(875,75,5530007263622193*power(2.0,-50)),
-      |(876,63,5526300603505032*power(2.0,-50)),
-      |(877,20,5515902186004558*power(2.0,-50)),
-      |(878,49,5513731663552031*power(2.0,-50)),
-      |(879,17,5488628574545081*power(2.0,-50)),
-      |(880,57,5531087313719468*power(2.0,-50)),
-      |(881,61,5531455496147578*power(2.0,-50)),
-      |(882,20,5525161258868621*power(2.0,-50)),
-      |(883,49,5527915812626744*power(2.0,-50)),
-      |(884,32,5542016685197523*power(2.0,-50)),
-      |(885,51,5517548045796068*power(2.0,-50)),
-      |(886,66,5525744468578650*power(2.0,-50)),
-      |(887,89,5536374532333326*power(2.0,-50)),
-      |(888,92,5518078615120324*power(2.0,-50)),
-      |(889,90,5526938104515054*power(2.0,-50)),
-      |(890,35,5513479242249516*power(2.0,-50)),
-      |(891,18,5533324927027584*power(2.0,-50)),
-      |(892,56,5525810837061137*power(2.0,-50)),
-      |(893,75,5528650715913551*power(2.0,-50)),
-      |(894,21,5710665867084027*power(2.0,-50)),
-      |(895,89,5516407933356618*power(2.0,-50)),
-      |(896,36,5520297085661572*power(2.0,-50)),
-      |(897,55,5539354251406642*power(2.0,-50)),
-      |(898,62,5539679678164504*power(2.0,-50)),
-      |(899,47,5527483729160016*power(2.0,-50)),
-      |(900,69,5587580261852027*power(2.0,-50)),
-      |(901,75,5587152509063608*power(2.0,-50)),
-      |(902,96,5526614138330885*power(2.0,-50)),
-      |(903,60,5514422552263965*power(2.0,-50)),
-      |(904,49,5508619707206279*power(2.0,-50)),
-      |(905,87,5525396107014827*power(2.0,-50)),
-      |(906,90,5516229354943235*power(2.0,-50)),
-      |(907,90,5538945026439214*power(2.0,-50)),
-      |(908,76,5605821149043166*power(2.0,-50)),
-      |(909,23,5539888414778195*power(2.0,-50)),
-      |(910,18,5528899438802860*power(2.0,-50)),
-      |(911,47,5521518988173582*power(2.0,-50)),
-      |(912,45,5494397002456525*power(2.0,-50)),
-      |(913,10,5516216223810232*power(2.0,-50)),
-      |(914,35,5527357937618216*power(2.0,-50)),
-      |(915,66,5513941657342461*power(2.0,-50)),
-      |(916,28,5523300684723339*power(2.0,-50)),
-      |(917,33,5681737256997407*power(2.0,-50)),
-      |(918,11,6023734806549153*power(2.0,-50)),
-      |(919,95,5521148052482658*power(2.0,-50)),
-      |(920,58,5529419732361583*power(2.0,-50)),
-      |(921,24,5528032334907858*power(2.0,-50)),
-      |(922,57,5542878739526338*power(2.0,-50)),
-      |(923,78,5529526455831359*power(2.0,-50)),
-      |(924,81,5523173507819648*power(2.0,-50)),
-      |(925,73,5524263425416746*power(2.0,-50)),
-      |(926,43,5495006448022637*power(2.0,-50)),
-      |(927,54,5520406209208491*power(2.0,-50)),
-      |(928,69,5521154100098900*power(2.0,-50)),
-      |(929,36,5532997936380559*power(2.0,-50)),
-      |(930,82,5512293435302580*power(2.0,-50)),
-      |(931,43,5534012382647936*power(2.0,-50)),
-      |(932,87,5576625940370592*power(2.0,-50)),
-      |(933,65,5537813900517726*power(2.0,-50)),
-      |(934,38,5509988616384508*power(2.0,-50)),
-      |(935,42,5523201878565370*power(2.0,-50)),
-      |(936,18,5509838464585066*power(2.0,-50)),
-      |(937,61,5527065625788463*power(2.0,-50)),
-      |(938,95,5521729111593946*power(2.0,-50)),
-      |(939,37,5513299017640778*power(2.0,-50)),
-      |(940,74,5513672632433911*power(2.0,-50)),
-      |(941,43,5656597202311087*power(2.0,-50)),
-      |(942,87,5514419414015968*power(2.0,-50)),
-      |(943,64,5513592665289339*power(2.0,-50)),
-      |(944,24,5501928044852409*power(2.0,-50)),
-      |(945,79,5515606982445920*power(2.0,-50)),
-      |(946,35,5525265681659505*power(2.0,-50)),
-      |(947,52,5504780026531371*power(2.0,-50)),
-      |(948,39,5527608333220816*power(2.0,-50)),
-      |(949,16,5499187351247704*power(2.0,-50)),
-      |(950,84,5526186668037283*power(2.0,-50)),
-      |(951,44,5526502233343288*power(2.0,-50)),
-      |(952,86,5520680610645427*power(2.0,-50)),
-      |(953,18,5563238361110728*power(2.0,-50)),
-      |(954,89,5524621712884018*power(2.0,-50)),
-      |(955,88,5523066608642221*power(2.0,-50)),
-      |(956,57,5546464113171270*power(2.0,-50)),
-      |(957,21,5530817184617240*power(2.0,-50)),
-      |(958,13,5495817083452839*power(2.0,-50)),
-      |(959,43,5527971605074580*power(2.0,-50)),
-      |(960,80,5501613117985738*power(2.0,-50)),
-      |(961,41,5538136158335709*power(2.0,-50)),
-      |(962,47,5513095853624189*power(2.0,-50)),
-      |(963,21,5516411344248396*power(2.0,-50)),
-      |(964,71,5535877865986165*power(2.0,-50)),
-      |(965,43,5535899069673061*power(2.0,-50)),
-      |(966,26,5523918554399470*power(2.0,-50)),
-      |(967,16,5564892572959797*power(2.0,-50)),
-      |(968,29,5534363191111892*power(2.0,-50)),
-      |(969,44,5528702180082258*power(2.0,-50)),
-      |(970,55,5524666536402161*power(2.0,-50)),
-      |(971,26,5507789064898262*power(2.0,-50)),
-      |(972,56,5525542962842185*power(2.0,-50)),
-      |(973,23,5546602999057379*power(2.0,-50)),
-      |(974,43,5546716294924042*power(2.0,-50)),
-      |(975,66,5509995075574492*power(2.0,-50)),
-      |(976,29,5533528324672147*power(2.0,-50)),
-      |(977,59,5518174312641482*power(2.0,-50)),
-      |(978,38,5542790033867894*power(2.0,-50)),
-      |(979,35,5545838100044315*power(2.0,-50)),
-      |(980,78,5514479158814023*power(2.0,-50)),
-      |(981,63,5515984667047909*power(2.0,-50)),
-      |(982,49,5524637705832878*power(2.0,-50)),
-      |(983,69,5519972613766824*power(2.0,-50)),
-      |(984,27,5512321904089239*power(2.0,-50)),
-      |(985,97,5515348470063025*power(2.0,-50)),
-      |(986,37,5526605522839299*power(2.0,-50)),
-      |(987,58,5543071059143372*power(2.0,-50)),
-      |(988,64,5533503640907642*power(2.0,-50)),
-      |(989,90,5536673246794017*power(2.0,-50)),
-      |(990,11,5564784624817233*power(2.0,-50)),
-      |(991,45,5516788939839232*power(2.0,-50)),
-      |(992,28,5537209456221831*power(2.0,-50)),
-      |(993,27,5520466308273175*power(2.0,-50)),
-      |(994,14,5522588879792976*power(2.0,-50)),
-      |(995,45,5530652668876771*power(2.0,-50)),
-      |(996,73,5594374505319866*power(2.0,-50)),
-      |(997,26,5553004015741077*power(2.0,-50)),
-      |(998,83,5525231478852610*power(2.0,-50)),
-      |(999,33,5538918057166055*power(2.0,-50)),
-      |(1000,15,5536042903075474*power(2.0,-50)),
-      |(1001,34,5531673208278156*power(2.0,-50)),
-      |(1002,47,5504429571048171*power(2.0,-50)),
-      |(1003,88,5528762798262017*power(2.0,-50)),
-      |(1004,53,5537702633511075*power(2.0,-50)),
-      |(1005,20,5497569294061472*power(2.0,-50)),
-      |(1006,52,5526546432921954*power(2.0,-50)),
-      |(1007,68,5510383642534848*power(2.0,-50)),
-      |(1008,30,5510721370454047*power(2.0,-50)),
-      |(1009,37,5528013321106817*power(2.0,-50)),
-      |(1010,85,5507667209237735*power(2.0,-50)),
-      |(1011,57,5530252164192824*power(2.0,-50)),
-      |(1012,61,5533772607696140*power(2.0,-50)),
-      |(1013,78,5536050975714897*power(2.0,-50)),
-      |(1014,12,5574307383726983*power(2.0,-50)),
-      |(1015,82,5526483791484109*power(2.0,-50)),
-      |(1016,69,5537917178784295*power(2.0,-50)),
-      |(1017,79,5526737668585348*power(2.0,-50)),
-      |(1018,13,6032730441732170*power(2.0,-50)),
-      |(1019,38,5527450375233071*power(2.0,-50)),
-      |(1020,42,5529692705465160*power(2.0,-50)),
-      |(1021,36,5521339306076568*power(2.0,-50)),
-      |(1022,57,5530125969369784*power(2.0,-50)),
-      |(1023,79,5508839547788232*power(2.0,-50)),
-      |(1024,18,5522737190517938*power(2.0,-50)),
-      |(1025,62,5517775040386831*power(2.0,-50)),
-      |(1026,53,5525400391681512*power(2.0,-50)),
-      |(1027,32,5552822893537278*power(2.0,-50)),
-      |(1028,46,5554531011972682*power(2.0,-50)),
-      |(1029,81,5514482464376435*power(2.0,-50)),
-      |(1030,61,5527906277361392*power(2.0,-50)),
-      |(1031,49,5517321396949385*power(2.0,-50)),
-      |(1032,17,5514717074374309*power(2.0,-50)),
-      |(1033,87,5528395798063292*power(2.0,-50)),
-      |(1034,10,5439995762134662*power(2.0,-50)),
-      |(1035,97,5549253366508093*power(2.0,-50)),
-      |(1036,68,5518634949595263*power(2.0,-50)),
-      |(1037,33,5555936877828296*power(2.0,-50)),
-      |(1038,38,5634713383012577*power(2.0,-50)),
-      |(1039,16,5528057655548890*power(2.0,-50)),
-      |(1040,55,5508716099642347*power(2.0,-50)),
-      |(1041,54,5609788152018095*power(2.0,-50)),
-      |(1042,50,5515162573604008*power(2.0,-50)),
-      |(1043,47,5503981781802213*power(2.0,-50)),
-      |(1044,57,5526882991270360*power(2.0,-50)),
-      |(1045,9,5500923057712599*power(2.0,-50)),
-      |(1046,66,5524176706691755*power(2.0,-50)),
-      |(1047,33,5512012907070704*power(2.0,-50)),
-      |(1048,13,5493222794345426*power(2.0,-50)),
-      |(1049,47,5521281945178083*power(2.0,-50)),
-      |(1050,79,5511910287078577*power(2.0,-50)),
-      |(1051,25,5529285882246426*power(2.0,-50)),
-      |(1052,43,5508899764069296*power(2.0,-50)),
-      |(1053,69,5510013105929350*power(2.0,-50)),
-      |(1054,85,5539947071011039*power(2.0,-50)),
-      |(1055,79,5516197822289069*power(2.0,-50)),
-      |(1056,31,5550708182822087*power(2.0,-50)),
-      |(1057,89,5537274427600641*power(2.0,-50)),
-      |(1058,11,5557579779447604*power(2.0,-50)),
-      |(1059,36,5523819619126764*power(2.0,-50)),
-      |(1060,62,5525053155222510*power(2.0,-50)),
-      |(1061,23,5508228164471009*power(2.0,-50)),
-      |(1062,47,5519251415028802*power(2.0,-50)),
-      |(1063,21,5529238183038846*power(2.0,-50)),
-      |(1064,38,5537409004611091*power(2.0,-50)),
-      |(1065,82,5529250906094806*power(2.0,-50)),
-      |(1066,50,5554449009669428*power(2.0,-50)),
-      |(1067,49,5523502619239600*power(2.0,-50)),
-      |(1068,26,5544353754706857*power(2.0,-50)),
-      |(1069,31,5534371598985752*power(2.0,-50)),
-      |(1070,36,5495537845609177*power(2.0,-50)),
-      |(1071,45,5509550860550230*power(2.0,-50)),
-      |(1072,92,5537316414478773*power(2.0,-50)),
-      |(1073,62,5605261319839193*power(2.0,-50)),
-      |(1074,39,5506113159556439*power(2.0,-50)),
-      |(1075,16,5528617535992037*power(2.0,-50)),
-      |(1076,30,5533397563549862*power(2.0,-50)),
-      |(1077,36,5522958033748565*power(2.0,-50)),
-      |(1078,82,5544066747475468*power(2.0,-50)),
-      |(1079,75,5511040771500111*power(2.0,-50)),
-      |(1080,18,5564999077270827*power(2.0,-50)),
-      |(1081,41,5508259064594387*power(2.0,-50)),
-      |(1082,59,5541309265007508*power(2.0,-50)),
-      |(1083,12,5538446421627881*power(2.0,-50)),
-      |(1084,39,5505356186558397*power(2.0,-50)),
-      |(1085,59,5541975129493656*power(2.0,-50)),
-      |(1086,97,5538426383064139*power(2.0,-50)),
-      |(1087,29,5535377216858894*power(2.0,-50)),
-      |(1088,39,5539834881789981*power(2.0,-50)),
-      |(1089,78,5529845433092634*power(2.0,-50)),
-      |(1090,66,5591751280154158*power(2.0,-50)),
-      |(1091,67,5533790240853656*power(2.0,-50)),
-      |(1092,53,5524582772360796*power(2.0,-50)),
-      |(1093,90,5532456708218872*power(2.0,-50)),
-      |(1094,25,5511677493336076*power(2.0,-50)),
-      |(1095,62,5512857925269268*power(2.0,-50)),
-      |(1096,60,5530764302958649*power(2.0,-50)),
-      |(1097,25,5541824879324829*power(2.0,-50)),
-      |(1098,43,5501993585223256*power(2.0,-50)),
-      |(1099,26,5504730745935185*power(2.0,-50)),
-      |(1100,87,5521269042337718*power(2.0,-50)),
-      |(1101,37,5537920987102587*power(2.0,-50)),
-      |(1102,36,5655549826546844*power(2.0,-50)),
-      |(1103,10,6102400359912036*power(2.0,-50)),
-      |(1104,15,5504622904512991*power(2.0,-50)),
-      |(1105,87,5521431074216478*power(2.0,-50)),
-      |(1106,66,5520226842639496*power(2.0,-50)),
-      |(1107,17,5502729635201198*power(2.0,-50)),
-      |(1108,52,5520836878926206*power(2.0,-50)),
-      |(1109,74,5512073182910925*power(2.0,-50)),
-      |(1110,52,5521308213247505*power(2.0,-50)),
-      |(1111,34,5505532977840989*power(2.0,-50)),
-      |(1112,86,5510639353956703*power(2.0,-50)),
-      |(1113,97,5529826325739198*power(2.0,-50)),
-      |(1114,71,5502731833619326*power(2.0,-50)),
-      |(1115,15,5521199432906993*power(2.0,-50)),
-      |(1116,43,5548731565372740*power(2.0,-50)),
-      |(1117,44,5512773131874553*power(2.0,-50)),
-      |(1118,55,5532928545476833*power(2.0,-50)),
-      |(1119,59,5543942457215295*power(2.0,-50)),
-      |(1120,52,5519008936827377*power(2.0,-50)),
-      |(1121,42,5529571504463445*power(2.0,-50)),""".stripMargin,
-    """(1122,58,5511071508031926*power(2.0,-50)),
-      |(1123,50,5514449464881875*power(2.0,-50)),
-      |(1124,11,5510512160013731*power(2.0,-50)),
-      |(1125,91,5532804843168385*power(2.0,-50)),
-      |(1126,50,5519507191939491*power(2.0,-50)),
-      |(1127,24,5518816186831122*power(2.0,-50)),
-      |(1128,90,5520281722679110*power(2.0,-50)),
-      |(1129,29,5525502512497044*power(2.0,-50)),
-      |(1130,61,5520788857731072*power(2.0,-50)),
-      |(1131,37,5495035440416718*power(2.0,-50)),
-      |(1132,75,5570443243200137*power(2.0,-50)),
-      |(1133,19,5500157793014088*power(2.0,-50)),
-      |(1134,13,5502206805621577*power(2.0,-50)),
-      |(1135,13,5474036803838735*power(2.0,-50)),
-      |(1136,75,5514248573377442*power(2.0,-50)),
-      |(1137,71,5528244867288627*power(2.0,-50)),
-      |(1138,79,5519782631376036*power(2.0,-50)),
-      |(1139,67,5529788990387551*power(2.0,-50)),
-      |(1140,86,5517424558342642*power(2.0,-50)),
-      |(1141,80,5525064061895062*power(2.0,-50)),
-      |(1142,46,5544689928712794*power(2.0,-50)),
-      |(1143,47,5503906498969494*power(2.0,-50)),
-      |(1144,42,5536852878301722*power(2.0,-50)),
-      |(1145,21,5499167664899774*power(2.0,-50)),
-      |(1146,17,5499055899755224*power(2.0,-50)),
-      |(1147,16,5565506151245742*power(2.0,-50)),
-      |(1148,83,5507409661882391*power(2.0,-50)),
-      |(1149,47,5533333665177941*power(2.0,-50)),
-      |(1150,36,5655242328315699*power(2.0,-50)),
-      |(1151,80,5514682288617135*power(2.0,-50)),
-      |(1152,78,5522469821152817*power(2.0,-50)),
-      |(1153,91,5534671419806854*power(2.0,-50)),
-      |(1154,57,5522793582423331*power(2.0,-50)),
-      |(1155,73,5518604292357861*power(2.0,-50)),
-      |(1156,63,5540142330220101*power(2.0,-50)),
-      |(1157,67,5524866239622687*power(2.0,-50)),
-      |(1158,27,5501315807460237*power(2.0,-50)),
-      |(1159,69,5526223606690765*power(2.0,-50)),
-      |(1160,66,5536893150372598*power(2.0,-50)),
-      |(1161,47,5508614954737925*power(2.0,-50)),
-      |(1162,90,5521188081549727*power(2.0,-50)),
-      |(1163,92,5526641004353423*power(2.0,-50)),
-      |(1164,10,5482219043644602*power(2.0,-50)),
-      |(1165,62,5617318102112134*power(2.0,-50)),
-      |(1166,11,5537689193128275*power(2.0,-50)),
-      |(1167,42,5524856442261608*power(2.0,-50)),
-      |(1168,40,5527434495194356*power(2.0,-50)),
-      |(1169,46,5494917306382538*power(2.0,-50)),
-      |(1170,27,5509965592278887*power(2.0,-50)),
-      |(1171,10,6073447737020779*power(2.0,-50)),
-      |(1172,25,5530992129312114*power(2.0,-50)),
-      |(1173,88,5518068847117423*power(2.0,-50)),
-      |(1174,65,5549528792091527*power(2.0,-50)),
-      |(1175,77,5528084713436459*power(2.0,-50)),
-      |(1176,33,5539538264262120*power(2.0,-50)),
-      |(1177,41,5641715900763188*power(2.0,-50)),
-      |(1178,27,5755961382369025*power(2.0,-50)),
-      |(1179,48,5514402030233835*power(2.0,-50)),
-      |(1180,49,5517476187314723*power(2.0,-50)),
-      |(1181,32,5502713931297096*power(2.0,-50)),
-      |(1182,47,5503828002254825*power(2.0,-50)),
-      |(1183,22,5534998530971667*power(2.0,-50)),
-      |(1184,31,5505110005138844*power(2.0,-50)),
-      |(1185,25,5545877681217858*power(2.0,-50)),
-      |(1186,93,5516034627871505*power(2.0,-50)),
-      |(1187,89,5519530623306775*power(2.0,-50)),
-      |(1188,95,5527412595580081*power(2.0,-50)),
-      |(1189,34,5507615902595417*power(2.0,-50)),
-      |(1190,70,5519290814544932*power(2.0,-50)),
-      |(1191,21,5541287182114455*power(2.0,-50)),
-      |(1192,89,5524416952587721*power(2.0,-50)),
-      |(1193,31,5530114219268940*power(2.0,-50)),
-      |(1194,85,5514575376178150*power(2.0,-50)),
-      |(1195,16,5509526684213254*power(2.0,-50)),
-      |(1196,30,5523570483863017*power(2.0,-50)),
-      |(1197,75,5538645652214214*power(2.0,-50)),
-      |(1198,90,5521831686127926*power(2.0,-50)),
-      |(1199,90,5534507742403241*power(2.0,-50)),
-      |(1200,95,5522592205507651*power(2.0,-50)),
-      |(1201,44,5503899321878636*power(2.0,-50)),
-      |(1202,90,5506977797990411*power(2.0,-50)),
-      |(1203,12,5526670020384310*power(2.0,-50)),
-      |(1204,52,5533882413063915*power(2.0,-50)),
-      |(1205,51,5498328582815322*power(2.0,-50)),
-      |(1206,88,5537538383941005*power(2.0,-50)),
-      |(1207,71,5547601038378658*power(2.0,-50)),
-      |(1208,32,5546635515631073*power(2.0,-50)),
-      |(1209,33,5545881607944299*power(2.0,-50)),
-      |(1210,98,5525506718235521*power(2.0,-50)),
-      |(1211,21,5533333005253615*power(2.0,-50)),
-      |(1212,96,5513770954586343*power(2.0,-50)),
-      |(1213,26,5526590076246603*power(2.0,-50)),
-      |(1214,59,5531600424525983*power(2.0,-50)),
-      |(1215,45,5519870996313636*power(2.0,-50)),
-      |(1216,37,5518103662035779*power(2.0,-50)),
-      |(1217,51,5498817445960515*power(2.0,-50)),
-      |(1218,53,5516306172942981*power(2.0,-50)),
-      |(1219,33,5527405150547505*power(2.0,-50)),
-      |(1220,11,5538979248462694*power(2.0,-50)),
-      |(1221,36,5547731007776239*power(2.0,-50)),
-      |(1222,38,5558562274636636*power(2.0,-50)),
-      |(1223,13,5554831781502948*power(2.0,-50)),
-      |(1224,13,5547229885510623*power(2.0,-50)),
-      |(1225,45,5519417640510733*power(2.0,-50)),
-      |(1226,50,5528358992814624*power(2.0,-50)),
-      |(1227,26,5506316112714649*power(2.0,-50)),
-      |(1228,13,5550893393435028*power(2.0,-50)),
-      |(1229,70,5511454780878789*power(2.0,-50)),
-      |(1230,60,5516394205526209*power(2.0,-50)),
-      |(1231,12,5576717106522273*power(2.0,-50)),
-      |(1232,18,5544255769982568*power(2.0,-50)),
-      |(1233,77,5531648651659227*power(2.0,-50)),
-      |(1234,11,5548132154376610*power(2.0,-50)),
-      |(1235,22,5484563598504668*power(2.0,-50)),
-      |(1236,24,5529431127520863*power(2.0,-50)),
-      |(1237,31,5681443219436988*power(2.0,-50)),
-      |(1238,85,5504419098151528*power(2.0,-50)),
-      |(1239,55,5539078898432178*power(2.0,-50)),
-      |(1240,10,6238603710482868*power(2.0,-50)),
-      |(1241,57,5526487309403838*power(2.0,-50)),
-      |(1242,52,5526026115878733*power(2.0,-50)),
-      |(1243,20,5530697154540683*power(2.0,-50)),
-      |(1244,71,5515835932653236*power(2.0,-50)),
-      |(1245,62,5535424087170662*power(2.0,-50)),
-      |(1246,81,5543516038977538*power(2.0,-50)),
-      |(1247,55,5518502198999066*power(2.0,-50)),
-      |(1248,80,5523739027791095*power(2.0,-50)),
-      |(1249,71,5522591896511331*power(2.0,-50)),
-      |(1250,16,5522493467982466*power(2.0,-50)),
-      |(1251,57,5519262118669634*power(2.0,-50)),
-      |(1252,48,5522787850834415*power(2.0,-50)),
-      |(1253,92,5518430661800837*power(2.0,-50)),
-      |(1254,40,5534847734440655*power(2.0,-50)),
-      |(1255,92,5517451217581228*power(2.0,-50)),
-      |(1256,48,5523936545146204*power(2.0,-50)),
-      |(1257,63,5523354468602684*power(2.0,-50)),
-      |(1258,84,5525406378194688*power(2.0,-50)),
-      |(1259,74,5531318224346060*power(2.0,-50)),
-      |(1260,86,5515183151471983*power(2.0,-50)),
-      |(1261,17,5492263261548389*power(2.0,-50)),
-      |(1262,65,5527801594859894*power(2.0,-50)),
-      |(1263,64,5522660117410405*power(2.0,-50)),
-      |(1264,65,5520623940014002*power(2.0,-50)),
-      |(1265,97,5503882854351720*power(2.0,-50)),
-      |(1266,82,5518056456743664*power(2.0,-50)),
-      |(1267,64,5514324419667968*power(2.0,-50)),
-      |(1268,83,5516760209364320*power(2.0,-50)),
-      |(1269,94,5522674918110510*power(2.0,-50)),
-      |(1270,81,5535175883904461*power(2.0,-50)),
-      |(1271,63,5516856986055481*power(2.0,-50)),
-      |(1272,86,5534892443650811*power(2.0,-50)),
-      |(1273,68,5591031536308234*power(2.0,-50)),
-      |(1274,15,5508666549781523*power(2.0,-50)),
-      |(1275,24,5509147165388028*power(2.0,-50)),
-      |(1276,80,5513158954345935*power(2.0,-50)),
-      |(1277,96,5535642012651303*power(2.0,-50)),
-      |(1278,70,5536135795195224*power(2.0,-50)),
-      |(1279,71,5531770264045974*power(2.0,-50)),
-      |(1280,34,5534947728085263*power(2.0,-50)),
-      |(1281,63,5490093850480203*power(2.0,-50)),
-      |(1282,50,5539196254478422*power(2.0,-50)),
-      |(1283,79,5514205435922884*power(2.0,-50)),
-      |(1284,13,5532387262648825*power(2.0,-50)),
-      |(1285,51,5506401118546584*power(2.0,-50)),
-      |(1286,35,5546779274399835*power(2.0,-50)),
-      |(1287,72,5522093641866339*power(2.0,-50)),
-      |(1288,69,5513027629989166*power(2.0,-50)),
-      |(1289,67,5526360705449760*power(2.0,-50)),
-      |(1290,17,5489469586441783*power(2.0,-50)),
-      |(1291,43,5538631125259522*power(2.0,-50)),
-      |(1292,88,5506017652003856*power(2.0,-50)),
-      |(1293,61,5509774934223789*power(2.0,-50)),
-      |(1294,79,5518388749165418*power(2.0,-50)),
-      |(1295,11,5487736606604740*power(2.0,-50)),
-      |(1296,66,5538257595932070*power(2.0,-50)),
-      |(1297,45,5527127971445999*power(2.0,-50)),
-      |(1298,25,5514982099356886*power(2.0,-50)),
-      |(1299,93,5519333612509646*power(2.0,-50)),
-      |(1300,30,5520495869410009*power(2.0,-50)),
-      |(1301,22,5498725759145321*power(2.0,-50)),
-      |(1302,54,5504078411565128*power(2.0,-50)),
-      |(1303,91,5529906807117783*power(2.0,-50)),
-      |(1304,28,5524968145896810*power(2.0,-50)),
-      |(1305,66,5520865503195814*power(2.0,-50)),
-      |(1306,71,5535156637005811*power(2.0,-50)),
-      |(1307,58,5501242256769172*power(2.0,-50)),
-      |(1308,50,5530551998272116*power(2.0,-50)),
-      |(1309,40,5520984364918050*power(2.0,-50)),
-      |(1310,67,5521964571301781*power(2.0,-50)),
-      |(1311,43,5497285342201786*power(2.0,-50)),
-      |(1312,56,5515440791110249*power(2.0,-50)),
-      |(1313,93,5532756102527105*power(2.0,-50)),
-      |(1314,34,5515459338127619*power(2.0,-50)),
-      |(1315,20,5558033843577997*power(2.0,-50)),
-      |(1316,72,5513340995705987*power(2.0,-50)),
-      |(1317,74,5521627213741098*power(2.0,-50)),
-      |(1318,83,5516629829822693*power(2.0,-50)),
-      |(1319,95,5531834491575544*power(2.0,-50)),
-      |(1320,97,5523638674219438*power(2.0,-50)),
-      |(1321,52,5517107572687370*power(2.0,-50)),
-      |(1322,33,5498568524459865*power(2.0,-50)),
-      |(1323,67,5540233018823321*power(2.0,-50)),
-      |(1324,93,5524129826220281*power(2.0,-50)),
-      |(1325,76,5527842254604840*power(2.0,-50)),
-      |(1326,89,5532882972807407*power(2.0,-50)),
-      |(1327,26,5522146256568721*power(2.0,-50)),
-      |(1328,35,5559351524431742*power(2.0,-50)),
-      |(1329,38,5491302184270874*power(2.0,-50)),
-      |(1330,44,5526551492297495*power(2.0,-50)),
-      |(1331,34,5551031057033511*power(2.0,-50)),
-      |(1332,78,5534385299474130*power(2.0,-50)),
-      |(1333,70,5529803581004283*power(2.0,-50)),
-      |(1334,52,5529416477942161*power(2.0,-50)),
-      |(1335,14,5545461179613494*power(2.0,-50)),
-      |(1336,88,5536359278701527*power(2.0,-50)),
-      |(1337,38,5507397129249237*power(2.0,-50)),
-      |(1338,88,5524317624662131*power(2.0,-50)),
-      |(1339,67,5542548333892406*power(2.0,-50)),
-      |(1340,38,5481803355203293*power(2.0,-50)),
-      |(1341,39,5526025999739215*power(2.0,-50)),
-      |(1342,13,5861221042754185*power(2.0,-50)),
-      |(1343,27,5564635770167034*power(2.0,-50)),
-      |(1344,40,5526195687035037*power(2.0,-50)),
-      |(1345,10,5465781489133854*power(2.0,-50)),
-      |(1346,32,5519426750366856*power(2.0,-50)),
-      |(1347,64,5523870950779387*power(2.0,-50)),
-      |(1348,73,5497714375728144*power(2.0,-50)),
-      |(1349,57,5515771643630118*power(2.0,-50)),
-      |(1350,26,5549755838727766*power(2.0,-50)),
-      |(1351,85,5512952096048544*power(2.0,-50)),
-      |(1352,59,5529806721014411*power(2.0,-50)),
-      |(1353,86,5533396816843815*power(2.0,-50)),
-      |(1354,65,5539152732911534*power(2.0,-50)),
-      |(1355,16,5526040233855348*power(2.0,-50)),
-      |(1356,59,5618315519442260*power(2.0,-50)),
-      |(1357,70,5520923596416212*power(2.0,-50)),
-      |(1358,60,5509386725983122*power(2.0,-50)),
-      |(1359,54,5531047546270016*power(2.0,-50)),
-      |(1360,54,5511572138980386*power(2.0,-50)),
-      |(1361,96,5524227557507857*power(2.0,-50)),
-      |(1362,37,5505918607083434*power(2.0,-50)),
-      |(1363,45,5511558188171161*power(2.0,-50)),
-      |(1364,42,5527836173410441*power(2.0,-50)),
-      |(1365,84,5544440658765757*power(2.0,-50)),
-      |(1366,53,5532032432320356*power(2.0,-50)),
-      |(1367,24,5540159677352274*power(2.0,-50)),
-      |(1368,37,5534804329619645*power(2.0,-50)),
-      |(1369,72,5509167270117742*power(2.0,-50)),
-      |(1370,51,5541919302006157*power(2.0,-50)),
-      |(1371,79,5511565034692128*power(2.0,-50)),
-      |(1372,88,5514208227449575*power(2.0,-50)),
-      |(1373,42,5631570221558870*power(2.0,-50)),
-      |(1374,25,5517442959264904*power(2.0,-50)),
-      |(1375,98,5532506250438266*power(2.0,-50)),
-      |(1376,94,5508267502568355*power(2.0,-50)),
-      |(1377,46,5513189802680718*power(2.0,-50)),
-      |(1378,64,5531620974197837*power(2.0,-50)),
-      |(1379,31,5533203345444614*power(2.0,-50)),
-      |(1380,60,5526253721803777*power(2.0,-50)),
-      |(1381,29,5526174059896858*power(2.0,-50)),
-      |(1382,58,5525215300302833*power(2.0,-50)),
-      |(1383,60,5521323725351328*power(2.0,-50)),
-      |(1384,61,5536452230685072*power(2.0,-50)),
-      |(1385,51,5535891442404759*power(2.0,-50)),
-      |(1386,74,5500568345988992*power(2.0,-50)),
-      |(1387,18,5523799684170904*power(2.0,-50)),
-      |(1388,11,5566344061270773*power(2.0,-50)),
-      |(1389,63,5609702099852180*power(2.0,-50)),
-      |(1390,87,5518711741462823*power(2.0,-50)),
-      |(1391,29,5516536310835020*power(2.0,-50)),
-      |(1392,41,5524281106976138*power(2.0,-50)),
-      |(1393,49,5541488027795299*power(2.0,-50)),
-      |(1394,55,5521293932808560*power(2.0,-50)),
-      |(1395,74,5599994277145494*power(2.0,-50)),
-      |(1396,78,5517319849854553*power(2.0,-50)),
-      |(1397,57,5507821802132016*power(2.0,-50)),
-      |(1398,41,5514890801756556*power(2.0,-50)),
-      |(1399,18,5505199236936141*power(2.0,-50)),
-      |(1400,72,5516478530819508*power(2.0,-50)),
-      |(1401,78,5527485749987685*power(2.0,-50)),
-      |(1402,91,5517162842310628*power(2.0,-50)),
-      |(1403,12,5494393309140011*power(2.0,-50)),
-      |(1404,52,5500066989786876*power(2.0,-50)),
-      |(1405,58,5618365656987826*power(2.0,-50)),
-      |(1406,29,5522100919760374*power(2.0,-50)),
-      |(1407,21,5530550945043976*power(2.0,-50)),
-      |(1408,84,5533747012086457*power(2.0,-50)),
-      |(1409,92,5506611399829411*power(2.0,-50)),
-      |(1410,39,5535771756395564*power(2.0,-50)),
-      |(1411,9,5534273592611492*power(2.0,-50)),
-      |(1412,22,5530231710389141*power(2.0,-50)),
-      |(1413,26,5743683321013026*power(2.0,-50)),
-      |(1414,79,5514728029674672*power(2.0,-50)),
-      |(1415,81,5587000017792110*power(2.0,-50)),
-      |(1416,73,5528998946509835*power(2.0,-50)),
-      |(1417,10,5517573263467230*power(2.0,-50)),
-      |(1418,14,5486279052201318*power(2.0,-50)),
-      |(1419,65,5524266484913538*power(2.0,-50)),
-      |(1420,16,5568032036504410*power(2.0,-50)),
-      |(1421,44,5500767280518520*power(2.0,-50)),
-      |(1422,73,5522504724378727*power(2.0,-50)),
-      |(1423,29,5525532110614126*power(2.0,-50)),
-      |(1424,30,5715426557320577*power(2.0,-50)),
-      |(1425,27,5529863609475919*power(2.0,-50)),
-      |(1426,53,5522886651774212*power(2.0,-50)),
-      |(1427,9,5549370334109984*power(2.0,-50)),
-      |(1428,92,5545009174645031*power(2.0,-50)),
-      |(1429,79,5537488753098110*power(2.0,-50)),
-      |(1430,92,5510378692232023*power(2.0,-50)),
-      |(1431,28,5536602093904629*power(2.0,-50)),
-      |(1432,63,5543961644175417*power(2.0,-50)),
-      |(1433,77,5529819920298825*power(2.0,-50)),
-      |(1434,68,5513056640866362*power(2.0,-50)),
-      |(1435,39,5520190184203129*power(2.0,-50)),
-      |(1436,38,5531762052286324*power(2.0,-50)),
-      |(1437,94,5518465577995154*power(2.0,-50)),
-      |(1438,76,5548024384742303*power(2.0,-50)),
-      |(1439,59,5527570968362179*power(2.0,-50)),
-      |(1440,81,5513047770345056*power(2.0,-50)),
-      |(1441,36,5497468881133668*power(2.0,-50)),
-      |(1442,82,5519352098920795*power(2.0,-50)),
-      |(1443,96,5526143768936379*power(2.0,-50)),
-      |(1444,73,5512280116617866*power(2.0,-50)),
-      |(1445,83,5530661685161401*power(2.0,-50)),
-      |(1446,57,5528245437144024*power(2.0,-50)),
-      |(1447,9,5551236945782891*power(2.0,-50)),
-      |(1448,76,5534332910427532*power(2.0,-50)),
-      |(1449,27,5517768957496713*power(2.0,-50)),
-      |(1450,97,5572056728145706*power(2.0,-50)),
-      |(1451,46,5504428339684735*power(2.0,-50)),
-      |(1452,88,5517314408971862*power(2.0,-50)),
-      |(1453,79,5527558349003393*power(2.0,-50)),
-      |(1454,40,5513445699699276*power(2.0,-50)),
-      |(1455,58,5530592038709073*power(2.0,-50)),
-      |(1456,39,5706562778513645*power(2.0,-50)),
-      |(1457,72,5538939855856585*power(2.0,-50)),
-      |(1458,91,5520745617633196*power(2.0,-50)),
-      |(1459,56,5559372474153320*power(2.0,-50)),
-      |(1460,11,5497235586107389*power(2.0,-50)),
-      |(1461,51,5526220242769136*power(2.0,-50)),
-      |(1462,38,5500885776243987*power(2.0,-50)),
-      |(1463,61,5524652687860175*power(2.0,-50)),
-      |(1464,36,5504377977596969*power(2.0,-50)),
-      |(1465,53,5517285238289573*power(2.0,-50)),
-      |(1466,21,5558123130382434*power(2.0,-50)),
-      |(1467,20,5514353924091050*power(2.0,-50)),
-      |(1468,21,5521226522774921*power(2.0,-50)),
-      |(1469,16,5514825652612565*power(2.0,-50)),
-      |(1470,88,5525161509578434*power(2.0,-50)),
-      |(1471,67,5512350281931309*power(2.0,-50)),
-      |(1472,18,5514198161128746*power(2.0,-50)),
-      |(1473,58,5521367414590061*power(2.0,-50)),
-      |(1474,89,5509520696979560*power(2.0,-50)),
-      |(1475,39,5536215166453587*power(2.0,-50)),
-      |(1476,91,5522581889858397*power(2.0,-50)),
-      |(1477,47,5507597424123306*power(2.0,-50)),
-      |(1478,53,5524843114174837*power(2.0,-50)),
-      |(1479,67,5514743792534881*power(2.0,-50)),
-      |(1480,40,5530073666589605*power(2.0,-50)),
-      |(1481,31,5550507332755775*power(2.0,-50)),
-      |(1482,67,5523452757591232*power(2.0,-50)),
-      |(1483,44,5531015517903502*power(2.0,-50)),
-      |(1484,49,5495128785073202*power(2.0,-50)),
-      |(1485,20,5538851035332417*power(2.0,-50)),
-      |(1486,49,5515248152796087*power(2.0,-50)),
-      |(1487,66,5538637282596845*power(2.0,-50)),
-      |(1488,94,5522618753177645*power(2.0,-50)),
-      |(1489,69,5513331012608487*power(2.0,-50)),
-      |(1490,27,5526331276902773*power(2.0,-50)),
-      |(1491,60,5525117213780123*power(2.0,-50)),
-      |(1492,81,5541078010888028*power(2.0,-50)),
-      |(1493,92,5528311546486879*power(2.0,-50)),
-      |(1494,72,5599435465832700*power(2.0,-50)),
-      |(1495,12,5510065659911676*power(2.0,-50)),
-      |(1496,44,5503846408095916*power(2.0,-50)),
-      |(1497,33,5503607505490040*power(2.0,-50)),
-      |(1498,61,5538155764100013*power(2.0,-50)),
-      |(1499,39,5531185364032979*power(2.0,-50)),
-      |(1500,83,5524861398336537*power(2.0,-50)),
-      |(1501,71,5517952902792026*power(2.0,-50)),
-      |(1502,58,5524199285179847*power(2.0,-50)),
-      |(1503,73,5524182640850690*power(2.0,-50)),
-      |(1504,58,5527812100555628*power(2.0,-50)),
-      |(1505,41,5513341589480687*power(2.0,-50)),
-      |(1506,85,5522349314830252*power(2.0,-50)),
-      |(1507,63,5535284458982817*power(2.0,-50)),
-      |(1508,55,5528091505153816*power(2.0,-50)),
-      |(1509,40,5527227085613222*power(2.0,-50)),
-      |(1510,90,5525274507977641*power(2.0,-50)),
-      |(1511,21,5530135561457422*power(2.0,-50)),
-      |(1512,36,5532939307489110*power(2.0,-50)),
-      |(1513,73,5587820257146264*power(2.0,-50)),
-      |(1514,80,5527915264706113*power(2.0,-50)),
-      |(1515,11,5529358097859109*power(2.0,-50)),
-      |(1516,9,5501835146716048*power(2.0,-50)),
-      |(1517,18,5511506316418130*power(2.0,-50)),
-      |(1518,47,5536187786802936*power(2.0,-50)),
-      |(1519,96,5526488711233375*power(2.0,-50)),
-      |(1520,53,5491109807761756*power(2.0,-50)),
-      |(1521,20,5514513724949094*power(2.0,-50)),
-      |(1522,16,5510261798935780*power(2.0,-50)),
-      |(1523,14,5518324738820136*power(2.0,-50)),
-      |(1524,30,5518774642853619*power(2.0,-50)),
-      |(1525,24,5530558338649337*power(2.0,-50)),
-      |(1526,56,5497831857034478*power(2.0,-50)),
-      |(1527,23,5564721071795293*power(2.0,-50)),
-      |(1528,83,5528362135481192*power(2.0,-50)),
-      |(1529,38,5519555610892520*power(2.0,-50)),
-      |(1530,65,5524158040596023*power(2.0,-50)),
-      |(1531,84,5518735714183682*power(2.0,-50)),
-      |(1532,65,5512677231692150*power(2.0,-50)),
-      |(1533,92,5539982091860505*power(2.0,-50)),
-      |(1534,93,5543109554785054*power(2.0,-50)),
-      |(1535,96,5533030102621233*power(2.0,-50)),
-      |(1536,43,5517484455583274*power(2.0,-50)),
-      |(1537,85,5548723557168672*power(2.0,-50)),
-      |(1538,98,5523714872326676*power(2.0,-50)),
-      |(1539,55,5527327258466280*power(2.0,-50)),
-      |(1540,96,5580164239641123*power(2.0,-50)),
-      |(1541,60,5522400815269325*power(2.0,-50)),
-      |(1542,91,5529619322869305*power(2.0,-50)),
-      |(1543,70,5524149732258851*power(2.0,-50)),
-      |(1544,34,5544253881105309*power(2.0,-50)),
-      |(1545,38,5538722298544918*power(2.0,-50)),
-      |(1546,49,5510291682666305*power(2.0,-50)),
-      |(1547,28,5501379253439782*power(2.0,-50)),
-      |(1548,49,5527011293027635*power(2.0,-50)),
-      |(1549,19,5559245191659710*power(2.0,-50)),
-      |(1550,18,5494269948321243*power(2.0,-50)),
-      |(1551,70,5529422431046459*power(2.0,-50)),
-      |(1552,84,5531037044944030*power(2.0,-50)),
-      |(1553,92,5518715489248824*power(2.0,-50)),
-      |(1554,50,5530106492429837*power(2.0,-50)),
-      |(1555,49,5526235111043155*power(2.0,-50)),
-      |(1556,93,5525593221452280*power(2.0,-50)),
-      |(1557,85,5543304793659435*power(2.0,-50)),
-      |(1558,32,5541550501157899*power(2.0,-50)),
-      |(1559,97,5528562178163294*power(2.0,-50)),
-      |(1560,89,5525541109050863*power(2.0,-50)),
-      |(1561,35,5494083994108577*power(2.0,-50)),
-      |(1562,9,5536499409956553*power(2.0,-50)),
-      |(1563,74,5526407097784534*power(2.0,-50)),
-      |(1564,58,5509699278374654*power(2.0,-50)),
-      |(1565,51,5501932135069114*power(2.0,-50)),
-      |(1566,57,5544375192616396*power(2.0,-50)),
-      |(1567,26,5516548882350036*power(2.0,-50)),
-      |(1568,9,5548970422723100*power(2.0,-50)),
-      |(1569,24,5467750473313502*power(2.0,-50)),
-      |(1570,71,5535843257822686*power(2.0,-50)),
-      |(1571,43,5523504308501111*power(2.0,-50)),
-      |(1572,81,5524666776064577*power(2.0,-50)),
-      |(1573,28,5506986489342970*power(2.0,-50)),
-      |(1574,20,5568963511141284*power(2.0,-50)),
-      |(1575,41,5502053218570163*power(2.0,-50)),
-      |(1576,29,5504222128008321*power(2.0,-50)),
-      |(1577,26,5509714707754385*power(2.0,-50)),
-      |(1578,30,5516029437407194*power(2.0,-50)),
-      |(1579,40,5524066507870772*power(2.0,-50)),
-      |(1580,39,5484355261732359*power(2.0,-50)),
-      |(1581,82,5533495150777473*power(2.0,-50)),
-      |(1582,67,5539374708911989*power(2.0,-50)),
-      |(1583,89,5499523450683823*power(2.0,-50)),
-      |(1584,97,5524038676597150*power(2.0,-50)),
-      |(1585,84,5514068455162898*power(2.0,-50)),
-      |(1586,46,5523503296512877*power(2.0,-50)),
-      |(1587,51,5532860940031288*power(2.0,-50)),
-      |(1588,41,5530178322415734*power(2.0,-50)),
-      |(1589,44,5519860705219496*power(2.0,-50)),
-      |(1590,70,5581622886896926*power(2.0,-50)),
-      |(1591,33,5507142755774885*power(2.0,-50)),
-      |(1592,76,5537183467995325*power(2.0,-50)),
-      |(1593,10,5536148607141541*power(2.0,-50)),
-      |(1594,63,5532523719997392*power(2.0,-50)),
-      |(1595,20,5542105868055032*power(2.0,-50)),
-      |(1596,74,5518638456268061*power(2.0,-50)),
-      |(1597,21,5550587051370685*power(2.0,-50)),
-      |(1598,56,5529320861312581*power(2.0,-50)),
-      |(1599,44,5549643352479166*power(2.0,-50)),
-      |(1600,48,5619650589364668*power(2.0,-50)),
-      |(1601,23,5507966938859437*power(2.0,-50)),
-      |(1602,75,5511720933593562*power(2.0,-50)),
-      |(1603,67,5522931413652094*power(2.0,-50)),
-      |(1604,78,5526430168689964*power(2.0,-50)),
-      |(1605,80,5520136789407441*power(2.0,-50)),
-      |(1606,85,5496602093460456*power(2.0,-50)),
-      |(1607,66,5527858772886622*power(2.0,-50)),
-      |(1608,66,5515494706525384*power(2.0,-50)),
-      |(1609,75,5536977237361299*power(2.0,-50)),
-      |(1610,94,5533450919366598*power(2.0,-50)),
-      |(1611,18,5527336331331216*power(2.0,-50)),
-      |(1612,97,5524337100658844*power(2.0,-50)),
-      |(1613,44,5497509128018826*power(2.0,-50)),
-      |(1614,76,5506966855375403*power(2.0,-50)),
-      |(1615,40,5498576790665063*power(2.0,-50)),
-      |(1616,25,5529665423172677*power(2.0,-50)),
-      |(1617,27,5546696480440908*power(2.0,-50)),
-      |(1618,51,5525901057360552*power(2.0,-50)),
-      |(1619,28,5718732603674431*power(2.0,-50)),
-      |(1620,24,5497774278769593*power(2.0,-50)),
-      |(1621,71,5534119545301179*power(2.0,-50)),
-      |(1622,77,5513822198661008*power(2.0,-50)),
-      |(1623,13,5541327000622595*power(2.0,-50)),
-      |(1624,24,5545542116525749*power(2.0,-50)),
-      |(1625,63,5514906436792530*power(2.0,-50)),
-      |(1626,83,5525029434809086*power(2.0,-50)),
-      |(1627,79,5522660131029499*power(2.0,-50)),
-      |(1628,58,5534281178760909*power(2.0,-50)),
-      |(1629,9,5499138844742739*power(2.0,-50)),
-      |(1630,74,5504593083054155*power(2.0,-50)),
-      |(1631,9,5557936690539408*power(2.0,-50)),
-      |(1632,46,5515841826499392*power(2.0,-50)),
-      |(1633,76,5520338440398103*power(2.0,-50)),
-      |(1634,85,5514527708527407*power(2.0,-50)),
-      |(1635,64,5528710680374806*power(2.0,-50)),
-      |(1636,79,5516932460443910*power(2.0,-50)),
-      |(1637,14,5549355858437109*power(2.0,-50)),
-      |(1638,80,5519476216089937*power(2.0,-50)),
-      |(1639,73,5522195246178336*power(2.0,-50)),
-      |(1640,57,5521305005444479*power(2.0,-50)),
-      |(1641,25,5765225710982307*power(2.0,-50)),
-      |(1642,79,5549615236519440*power(2.0,-50)),
-      |(1643,56,5543391974206525*power(2.0,-50)),
-      |(1644,81,5511292181825936*power(2.0,-50)),
-      |(1645,79,5540145629309630*power(2.0,-50)),
-      |(1646,12,5542915104528969*power(2.0,-50)),
-      |(1647,68,5550481457520699*power(2.0,-50)),
-      |(1648,97,5525980987617644*power(2.0,-50)),
-      |(1649,98,5534780806091412*power(2.0,-50)),
-      |(1650,27,5486076608773764*power(2.0,-50)),
-      |(1651,92,5511157018364849*power(2.0,-50)),
-      |(1652,9,5520956779095141*power(2.0,-50)),
-      |(1653,24,5527860158197492*power(2.0,-50)),
-      |(1654,45,5529630943542439*power(2.0,-50)),
-      |(1655,27,5508483554328661*power(2.0,-50)),
-      |(1656,11,5518974017587639*power(2.0,-50)),
-      |(1657,81,5534225681213924*power(2.0,-50)),
-      |(1658,72,5551986770231904*power(2.0,-50)),
-      |(1659,67,5511663995118096*power(2.0,-50)),
-      |(1660,61,5511430133934361*power(2.0,-50)),
-      |(1661,49,5544945760601422*power(2.0,-50)),
-      |(1662,71,5542778489287541*power(2.0,-50)),
-      |(1663,76,5535096444114220*power(2.0,-50)),
-      |(1664,40,5522807914861966*power(2.0,-50)),
-      |(1665,67,5520678586183529*power(2.0,-50)),
-      |(1666,47,5505692028414201*power(2.0,-50)),
-      |(1667,29,5512584392887057*power(2.0,-50)),
-      |(1668,44,5529763645293471*power(2.0,-50)),
-      |(1669,36,5536142212268700*power(2.0,-50)),
-      |(1670,68,5621921467240517*power(2.0,-50)),
-      |(1671,65,5504585037372194*power(2.0,-50)),
-      |(1672,61,5519845112674462*power(2.0,-50)),
-      |(1673,24,5490902183308575*power(2.0,-50)),
-      |(1674,59,5537912230683362*power(2.0,-50)),
-      |(1675,84,5535252966959545*power(2.0,-50)),
-      |(1676,13,5547847492216348*power(2.0,-50)),
-      |(1677,21,5539797479999566*power(2.0,-50)),
-      |(1678,63,5551111473644764*power(2.0,-50)),
-      |(1679,49,5533504730108152*power(2.0,-50)),
-      |(1680,72,5515854653128152*power(2.0,-50)),
-      |(1681,26,5544726019323994*power(2.0,-50)),
-      |(1682,68,5514197874587328*power(2.0,-50)),
-      |(1683,91,5531242429053558*power(2.0,-50)),
-      |(1684,91,5542610581266559*power(2.0,-50)),
-      |(1685,9,5530491034404909*power(2.0,-50)),
-      |(1686,38,5520376443048761*power(2.0,-50)),
-      |(1687,58,5511838394361306*power(2.0,-50)),
-      |(1688,75,5524989753559107*power(2.0,-50)),
-      |(1689,51,5520702892312318*power(2.0,-50)),
-      |(1690,43,5524615186701547*power(2.0,-50)),
-      |(1691,27,5539916596965402*power(2.0,-50)),
-      |(1692,27,5509993001536025*power(2.0,-50)),
-      |(1693,31,5505896883490047*power(2.0,-50)),
-      |(1694,75,5532498336484850*power(2.0,-50)),
-      |(1695,32,5517253031255217*power(2.0,-50)),
-      |(1696,42,5513197408231045*power(2.0,-50)),
-      |(1697,10,5540370855900502*power(2.0,-50)),
-      |(1698,48,5524393772178098*power(2.0,-50)),
-      |(1699,13,5559360898504613*power(2.0,-50)),
-      |(1700,20,5505652536390852*power(2.0,-50)),
-      |(1701,91,5534374290230642*power(2.0,-50)),
-      |(1702,95,5537663917171340*power(2.0,-50)),
-      |(1703,67,5518446869893172*power(2.0,-50)),
-      |(1704,65,5513545143827501*power(2.0,-50)),
-      |(1705,96,5517029871472446*power(2.0,-50)),
-      |(1706,61,5525106826650716*power(2.0,-50)),
-      |(1707,10,5530616538247412*power(2.0,-50)),
-      |(1708,9,5578411782128708*power(2.0,-50)),
-      |(1709,93,5540392152938672*power(2.0,-50)),
-      |(1710,23,5498506887170712*power(2.0,-50)),
-      |(1711,79,5516699757971787*power(2.0,-50)),
-      |(1712,22,5488190496415509*power(2.0,-50)),
-      |(1713,24,5546200409396499*power(2.0,-50)),
-      |(1714,28,5536888396392330*power(2.0,-50)),
-      |(1715,27,5501158940552440*power(2.0,-50)),
-      |(1716,12,6135268022301323*power(2.0,-50)),
-      |(1717,79,5522547565951727*power(2.0,-50)),
-      |(1718,98,5526440636583158*power(2.0,-50)),
-      |(1719,22,5528299954322992*power(2.0,-50)),
-      |(1720,15,5554281068055274*power(2.0,-50)),
-      |(1721,11,5496684905441817*power(2.0,-50)),
-      |(1722,83,5511697665669184*power(2.0,-50)),
-      |(1723,78,5529096347142229*power(2.0,-50)),
-      |(1724,23,5516672509037553*power(2.0,-50)),
-      |(1725,35,5565909220823370*power(2.0,-50)),
-      |(1726,43,5540569357070198*power(2.0,-50)),
-      |(1727,95,5533201126613246*power(2.0,-50)),
-      |(1728,46,5540902228741049*power(2.0,-50)),
-      |(1729,89,5536306390959618*power(2.0,-50)),
-      |(1730,42,5543815443618342*power(2.0,-50)),
-      |(1731,82,5524223516614153*power(2.0,-50)),
-      |(1732,89,5524986470736065*power(2.0,-50)),
-      |(1733,42,5524219387612030*power(2.0,-50)),
-      |(1734,71,5542233287167244*power(2.0,-50)),
-      |(1735,40,5522980585145975*power(2.0,-50)),
-      |(1736,83,5520965037772177*power(2.0,-50)),
-      |(1737,28,5525558196083065*power(2.0,-50)),
-      |(1738,87,5531207798467243*power(2.0,-50)),
-      |(1739,12,5548090193982550*power(2.0,-50)),
-      |(1740,10,5517205680405182*power(2.0,-50)),
-      |(1741,63,5534390000025464*power(2.0,-50)),
-      |(1742,39,5496840448324779*power(2.0,-50)),
-      |(1743,81,5531196538651157*power(2.0,-50)),
-      |(1744,80,5522095685286900*power(2.0,-50)),
-      |(1745,26,5525779478505167*power(2.0,-50)),
-      |(1746,63,5524862450666131*power(2.0,-50)),
-      |(1747,31,5515768296268782*power(2.0,-50)),
-      |(1748,70,5506026052866171*power(2.0,-50)),
-      |(1749,45,5549873179544710*power(2.0,-50)),
-      |(1750,85,5511127804634742*power(2.0,-50)),
-      |(1751,40,5496306513168603*power(2.0,-50)),
-      |(1752,46,5493953324648145*power(2.0,-50)),
-      |(1753,79,5526620529540160*power(2.0,-50)),
-      |(1754,55,5519756656476551*power(2.0,-50)),
-      |(1755,57,5516551207916186*power(2.0,-50)),
-      |(1756,39,5521680629100432*power(2.0,-50)),
-      |(1757,18,5517215068603449*power(2.0,-50)),
-      |(1758,20,5567747727164560*power(2.0,-50)),
-      |(1759,67,5535613781034738*power(2.0,-50)),
-      |(1760,15,5848892748923037*power(2.0,-50)),
-      |(1761,67,5532577862455551*power(2.0,-50)),
-      |(1762,43,5529030143112976*power(2.0,-50)),
-      |(1763,38,5515379032508679*power(2.0,-50)),
-      |(1764,74,5521629353919188*power(2.0,-50)),
-      |(1765,77,5506221179830175*power(2.0,-50)),
-      |(1766,24,5518817225847955*power(2.0,-50)),
-      |(1767,43,5533452705434579*power(2.0,-50)),
-      |(1768,57,5508768970031137*power(2.0,-50)),
-      |(1769,54,5643160800014711*power(2.0,-50)),
-      |(1770,81,5541755266587371*power(2.0,-50)),
-      |(1771,15,5904437602479070*power(2.0,-50)),
-      |(1772,89,5514918406732934*power(2.0,-50)),
-      |(1773,49,5525512890172614*power(2.0,-50)),
-      |(1774,24,5514106566864167*power(2.0,-50)),
-      |(1775,10,5467584581143734*power(2.0,-50)),
-      |(1776,87,5549484049159673*power(2.0,-50)),
-      |(1777,77,5516382619551067*power(2.0,-50)),
-      |(1778,18,5548631277259550*power(2.0,-50)),
-      |(1779,86,5532953270139797*power(2.0,-50)),
-      |(1780,47,5536978729489960*power(2.0,-50)),
-      |(1781,74,5511469949346469*power(2.0,-50)),
-      |(1782,50,5524372305357572*power(2.0,-50)),
-      |(1783,87,5516789619962847*power(2.0,-50)),
-      |(1784,26,5541476820777850*power(2.0,-50)),
-      |(1785,42,5503608895949894*power(2.0,-50)),
-      |(1786,96,5531520711190989*power(2.0,-50)),
-      |(1787,72,5525158342816065*power(2.0,-50)),
-      |(1788,48,5519828235254540*power(2.0,-50)),
-      |(1789,98,5514130377152955*power(2.0,-50)),
-      |(1790,10,5547464340304597*power(2.0,-50)),
-      |(1791,78,5539024918100461*power(2.0,-50)),
-      |(1792,47,5508528519854606*power(2.0,-50)),
-      |(1793,50,5626154409303503*power(2.0,-50)),
-      |(1794,32,5581497096799652*power(2.0,-50)),
-      |(1795,59,5520657865500821*power(2.0,-50)),
-      |(1796,33,5681843708106687*power(2.0,-50)),
-      |(1797,28,5518063331060877*power(2.0,-50)),
-      |(1798,18,5490649481130080*power(2.0,-50)),
-      |(1799,56,5535034438563816*power(2.0,-50)),
-      |(1800,53,5530974270694966*power(2.0,-50)),
-      |(1801,56,5527460978843617*power(2.0,-50)),
-      |(1802,28,5540549467461802*power(2.0,-50)),
-      |(1803,18,5550213749776632*power(2.0,-50)),
-      |(1804,45,5541820286720737*power(2.0,-50)),
-      |(1805,70,5522095122103463*power(2.0,-50)),
-      |(1806,46,5656129507510195*power(2.0,-50)),
-      |(1807,12,5514245502648981*power(2.0,-50)),
-      |(1808,73,5507989877638502*power(2.0,-50)),
-      |(1809,37,5525600848433245*power(2.0,-50)),
-      |(1810,31,5506806334584419*power(2.0,-50)),
-      |(1811,98,5501431871644180*power(2.0,-50)),
-      |(1812,23,5535868730830689*power(2.0,-50)),
-      |(1813,47,5532836890070124*power(2.0,-50)),
-      |(1814,77,5531867778519013*power(2.0,-50)),
-      |(1815,30,5534925745545169*power(2.0,-50)),
-      |(1816,51,5501494346986910*power(2.0,-50)),
-      |(1817,73,5589641390211556*power(2.0,-50)),
-      |(1818,69,5516438134550606*power(2.0,-50)),
-      |(1819,45,5652402856902012*power(2.0,-50)),
-      |(1820,54,5529895297492974*power(2.0,-50)),
-      |(1821,67,5514068862994004*power(2.0,-50)),
-      |(1822,89,5543384630936909*power(2.0,-50)),
-      |(1823,40,5515523683322687*power(2.0,-50)),
-      |(1824,57,5615096581322262*power(2.0,-50)),
-      |(1825,51,5542052490267078*power(2.0,-50)),
-      |(1826,37,5527781192519766*power(2.0,-50)),
-      |(1827,37,5650246995475467*power(2.0,-50)),
-      |(1828,95,5525322343603473*power(2.0,-50)),
-      |(1829,17,5510127809733048*power(2.0,-50)),
-      |(1830,23,5502571473862307*power(2.0,-50)),
-      |(1831,26,5511981630834734*power(2.0,-50)),
-      |(1832,89,5517234352128506*power(2.0,-50)),
-      |(1833,67,5533589355774076*power(2.0,-50)),
-      |(1834,71,5515544895605311*power(2.0,-50)),
-      |(1835,90,5523711704179172*power(2.0,-50)),
-      |(1836,40,5512119907983670*power(2.0,-50)),
-      |(1837,17,5550750386167990*power(2.0,-50)),
-      |(1838,78,5528032715982562*power(2.0,-50)),
-      |(1839,25,5539293792908166*power(2.0,-50)),
-      |(1840,15,5516864908360287*power(2.0,-50)),
-      |(1841,70,5512931734923496*power(2.0,-50)),
-      |(1842,17,5486913046647022*power(2.0,-50)),
-      |(1843,82,5515510789373034*power(2.0,-50)),
-      |(1844,59,5513628062213938*power(2.0,-50)),
-      |(1845,57,5516771176939510*power(2.0,-50)),
-      |(1846,24,5511944509261594*power(2.0,-50)),
-      |(1847,65,5524821817834336*power(2.0,-50)),
-      |(1848,49,5503858080968588*power(2.0,-50)),
-      |(1849,33,5532708825732515*power(2.0,-50)),
-      |(1850,24,5531857628978949*power(2.0,-50)),
-      |(1851,41,5507321608505956*power(2.0,-50)),
-      |(1852,63,5536834685143735*power(2.0,-50)),
-      |(1853,45,5529152808120395*power(2.0,-50)),
-      |(1854,37,5542765768262770*power(2.0,-50)),
-      |(1855,20,5541811652154425*power(2.0,-50)),
-      |(1856,41,5513587701680442*power(2.0,-50)),
-      |(1857,44,5540666357615639*power(2.0,-50)),
-      |(1858,70,5523076996410403*power(2.0,-50)),
-      |(1859,73,5520496363642073*power(2.0,-50)),
-      |(1860,26,5499305201982926*power(2.0,-50)),
-      |(1861,95,5530418797540100*power(2.0,-50)),
-      |(1862,25,5508251966004595*power(2.0,-50)),
-      |(1863,70,5529526067644960*power(2.0,-50)),
-      |(1864,72,5492477856554603*power(2.0,-50)),
-      |(1865,23,5548781567983691*power(2.0,-50)),
-      |(1866,56,5532118802764045*power(2.0,-50)),
-      |(1867,79,5520112720327890*power(2.0,-50)),
-      |(1868,62,5529083574983160*power(2.0,-50)),
-      |(1869,41,5528105177569947*power(2.0,-50)),
-      |(1870,62,5522995363563580*power(2.0,-50)),
-      |(1871,68,5554168787250062*power(2.0,-50)),
-      |(1872,55,5522256893792100*power(2.0,-50)),
-      |(1873,34,5485768994618004*power(2.0,-50)),
-      |(1874,60,5555791479776326*power(2.0,-50)),
-      |(1875,11,5512343110982212*power(2.0,-50)),
-      |(1876,55,5502878353726515*power(2.0,-50)),
-      |(1877,66,5535013122468560*power(2.0,-50)),
-      |(1878,68,5523829292382805*power(2.0,-50)),
-      |(1879,12,5519075295385583*power(2.0,-50)),
-      |(1880,66,5542994904919802*power(2.0,-50)),
-      |(1881,35,5536167270899333*power(2.0,-50)),
-      |(1882,70,5585348683234065*power(2.0,-50)),
-      |(1883,43,5492620711440534*power(2.0,-50)),
-      |(1884,75,5536626099566164*power(2.0,-50)),
-      |(1885,28,5537076858156882*power(2.0,-50)),
-      |(1886,33,5538639318830154*power(2.0,-50)),
-      |(1887,89,5523799283869475*power(2.0,-50)),
-      |(1888,20,5559641072566581*power(2.0,-50)),
-      |(1889,43,5550740241285798*power(2.0,-50)),
-      |(1890,95,5529989595856875*power(2.0,-50)),
-      |(1891,65,5515872293925717*power(2.0,-50)),
-      |(1892,44,5507063334713116*power(2.0,-50)),
-      |(1893,98,5537294519823440*power(2.0,-50)),
-      |(1894,57,5499273670622396*power(2.0,-50)),
-      |(1895,97,5512488110647811*power(2.0,-50)),
-      |(1896,59,5540067512671741*power(2.0,-50)),
-      |(1897,85,5520307778745169*power(2.0,-50)),
-      |(1898,10,5523016833663862*power(2.0,-50)),
-      |(1899,9,5548409714404541*power(2.0,-50)),
-      |(1900,63,5597418965486957*power(2.0,-50)),
-      |(1901,37,5523064973165677*power(2.0,-50)),
-      |(1902,70,5534159536320107*power(2.0,-50)),
-      |(1903,40,5553446059436712*power(2.0,-50)),
-      |(1904,78,5529630478252708*power(2.0,-50)),
-      |(1905,41,5532382227909761*power(2.0,-50)),
-      |(1906,41,5542621347386215*power(2.0,-50)),
-      |(1907,60,5520652348725086*power(2.0,-50)),
-      |(1908,59,5514145533957328*power(2.0,-50)),
-      |(1909,28,5528107008566192*power(2.0,-50)),
-      |(1910,72,5530842190922174*power(2.0,-50)),
-      |(1911,63,5533602472739896*power(2.0,-50)),
-      |(1912,18,5528944953658068*power(2.0,-50)),
-      |(1913,91,5538498755091807*power(2.0,-50)),
-      |(1914,67,5515031417902439*power(2.0,-50)),
-      |(1915,66,5513493029493636*power(2.0,-50)),
-      |(1916,36,5542218049217491*power(2.0,-50)),
-      |(1917,73,5629121206677405*power(2.0,-50)),
-      |(1918,89,5514580493335852*power(2.0,-50)),
-      |(1919,22,5557097859793264*power(2.0,-50)),
-      |(1920,68,5606397119482017*power(2.0,-50)),
-      |(1921,39,5513107995700548*power(2.0,-50)),
-      |(1922,72,5513533787228181*power(2.0,-50)),
-      |(1923,67,5514376445297019*power(2.0,-50)),
-      |(1924,71,5530359638870800*power(2.0,-50)),
-      |(1925,89,5523029737640027*power(2.0,-50)),
-      |(1926,69,5506413935094317*power(2.0,-50)),
-      |(1927,24,5513220823919881*power(2.0,-50)),
-      |(1928,98,5541524607164858*power(2.0,-50)),
-      |(1929,81,5511402805393962*power(2.0,-50)),
-      |(1930,43,5510188738233026*power(2.0,-50)),
-      |(1931,74,5531432709966037*power(2.0,-50)),
-      |(1932,15,5538042666187148*power(2.0,-50)),
-      |(1933,37,5546589027098495*power(2.0,-50)),
-      |(1934,39,5504081104142704*power(2.0,-50)),
-      |(1935,84,5530768459373831*power(2.0,-50)),
-      |(1936,40,5512686152230078*power(2.0,-50)),
-      |(1937,16,5560899035048896*power(2.0,-50)),
-      |(1938,43,5516910881026171*power(2.0,-50)),
-      |(1939,51,5510267270569708*power(2.0,-50)),
-      |(1940,56,5512435651878210*power(2.0,-50)),
-      |(1941,57,5532601756949019*power(2.0,-50)),
-      |(1942,56,5523068874733838*power(2.0,-50)),
-      |(1943,68,5518808544755528*power(2.0,-50)),
-      |(1944,39,5521180702232230*power(2.0,-50)),
-      |(1945,37,5536038034179545*power(2.0,-50)),
-      |(1946,42,5516011714166942*power(2.0,-50)),
-      |(1947,50,5508501148124002*power(2.0,-50)),
-      |(1948,56,5536280531970886*power(2.0,-50)),
-      |(1949,27,5551333092675607*power(2.0,-50)),
-      |(1950,58,5519393706984138*power(2.0,-50)),
-      |(1951,74,5530013092370935*power(2.0,-50)),
-      |(1952,66,5534483432372214*power(2.0,-50)),
-      |(1953,35,5541456148076035*power(2.0,-50)),
-      |(1954,42,5521854173119694*power(2.0,-50)),
-      |(1955,49,5515405234685832*power(2.0,-50)),
-      |(1956,78,5522851275355099*power(2.0,-50)),
-      |(1957,64,5526397050615955*power(2.0,-50)),
-      |(1958,36,5543627976574350*power(2.0,-50)),
-      |(1959,67,5515633978491427*power(2.0,-50)),
-      |(1960,11,5528664892750890*power(2.0,-50)),
-      |(1961,76,5547394775643312*power(2.0,-50)),
-      |(1962,80,5513259526674081*power(2.0,-50)),
-      |(1963,46,5520031656886749*power(2.0,-50)),
-      |(1964,88,5525397475609273*power(2.0,-50)),
-      |(1965,42,5536386367126788*power(2.0,-50)),
-      |(1966,88,5515435690782782*power(2.0,-50)),
-      |(1967,78,5521757967128359*power(2.0,-50)),
-      |(1968,37,5545482414197576*power(2.0,-50)),
-      |(1969,28,5531804987572869*power(2.0,-50)),
-      |(1970,69,5514987793150288*power(2.0,-50)),
-      |(1971,79,5535401530820691*power(2.0,-50)),
-      |(1972,23,5556486108703334*power(2.0,-50)),
-      |(1973,29,5526825067379907*power(2.0,-50)),
-      |(1974,20,5508066490823760*power(2.0,-50)),
-      |(1975,46,5501919070472351*power(2.0,-50)),
-      |(1976,20,5521688798487405*power(2.0,-50)),
-      |(1977,55,5530522412832719*power(2.0,-50)),
-      |(1978,32,5520941089933721*power(2.0,-50)),
-      |(1979,73,5519681220911351*power(2.0,-50)),
-      |(1980,87,5521695272099829*power(2.0,-50)),
-      |(1981,88,5527646096110900*power(2.0,-50)),
-      |(1982,24,5553607712735193*power(2.0,-50)),
-      |(1983,47,5531018919391749*power(2.0,-50)),
-      |(1984,90,5517903189735326*power(2.0,-50)),
-      |(1985,66,5486287834839454*power(2.0,-50)),
-      |(1986,78,5535252796642937*power(2.0,-50)),
-      |(1987,89,5517280490170956*power(2.0,-50)),
-      |(1988,67,5534341313307844*power(2.0,-50)),
-      |(1989,41,5549749239783410*power(2.0,-50)),
-      |(1990,92,5506949762700409*power(2.0,-50)),
-      |(1991,94,5513648048273120*power(2.0,-50)),
-      |(1992,25,5727008158529569*power(2.0,-50)),
-      |(1993,55,5527806591101519*power(2.0,-50)),
-      |(1994,58,5528731552131107*power(2.0,-50)),
-      |(1995,76,5529635321430189*power(2.0,-50)),
-      |(1996,28,5557383497236766*power(2.0,-50)),
-      |(1997,44,5541418254733154*power(2.0,-50)),
-      |(1998,12,5497878461993588*power(2.0,-50)),
-      |(1999,94,5519892576903290*power(2.0,-50)),
-      |(2000,23,5783579018710054*power(2.0,-50)),
-      |(2001,73,5525645948561867*power(2.0,-50)),
-      |(2002,35,5533363439275775*power(2.0,-50)),
-      |(2003,63,5545079223123935*power(2.0,-50)),
-      |(2004,16,5547377241506930*power(2.0,-50)),
-      |(2005,27,5514051937997669*power(2.0,-50)),
-      |(2006,26,5497569560962775*power(2.0,-50)),
-      |(2007,15,5522534974294935*power(2.0,-50)),
-      |(2008,74,5510298858997808*power(2.0,-50)),
-      |(2009,44,5506007630973642*power(2.0,-50)),
-      |(2010,32,5541904292598770*power(2.0,-50)),
-      |(2011,49,5534217398247935*power(2.0,-50)),
-      |(2012,12,5517288265274755*power(2.0,-50)),
-      |(2013,37,5517167409829295*power(2.0,-50)),
-      |(2014,54,5537971673560537*power(2.0,-50)),
-      |(2015,31,5519159038745611*power(2.0,-50)),
-      |(2016,42,5522785966067917*power(2.0,-50)),
-      |(2017,43,5500059501925877*power(2.0,-50)),
-      |(2018,74,5517259353991402*power(2.0,-50)),
-      |(2019,49,5643609392990680*power(2.0,-50)),
-      |(2020,21,5501393351657130*power(2.0,-50)),
-      |(2021,71,5511250875248480*power(2.0,-50)),
-      |(2022,32,5508236904177068*power(2.0,-50)),
-      |(2023,27,5547455092114705*power(2.0,-50)),
-      |(2024,68,5518081669318920*power(2.0,-50)),
-      |(2025,66,5508923609711383*power(2.0,-50)),
-      |(2026,13,5500343935637345*power(2.0,-50)),
-      |(2027,15,5487836105130843*power(2.0,-50)),
-      |(2028,63,5503764508731550*power(2.0,-50)),
-      |(2029,60,5518348216988747*power(2.0,-50)),
-      |(2030,46,5524650182574845*power(2.0,-50)),
-      |(2031,94,5527327796743494*power(2.0,-50)),
-      |(2032,84,5498321168858024*power(2.0,-50)),
-      |(2033,21,5529255016010696*power(2.0,-50)),
-      |(2034,12,5489369604566179*power(2.0,-50)),
-      |(2035,22,5521240595484918*power(2.0,-50)),
-      |(2036,64,5536508348673632*power(2.0,-50)),
-      |(2037,49,5544597885082742*power(2.0,-50)),
-      |(2038,17,5523398144641378*power(2.0,-50)),
-      |(2039,80,5529248269553794*power(2.0,-50)),
-      |(2040,60,5516401697410498*power(2.0,-50)),
-      |(2041,30,5551145812797524*power(2.0,-50)),
-      |(2042,27,5492463536152001*power(2.0,-50)),
-      |(2043,74,5528152976905080*power(2.0,-50)),
-      |(2044,35,5502124365715440*power(2.0,-50)),
-      |(2045,70,5511529055314148*power(2.0,-50)),
-      |(2046,91,5523927926330995*power(2.0,-50)),
-      |(2047,46,5521228145657731*power(2.0,-50)),
-      |(2048,51,5522196782705190*power(2.0,-50)),
-      |(2049,73,5513992323799003*power(2.0,-50)),
-      |(2050,92,5503715635504882*power(2.0,-50)),
-      |(2051,45,5508195649705659*power(2.0,-50)),
-      |(2052,34,5707335886333172*power(2.0,-50)),
-      |(2053,57,5535464453413751*power(2.0,-50)),
-      |(2054,62,5515321108168384*power(2.0,-50)),
-      |(2055,16,5548999374436631*power(2.0,-50)),
-      |(2056,52,5497786426648574*power(2.0,-50)),
-      |(2057,73,5540823467298590*power(2.0,-50)),
-      |(2058,9,5480292861785649*power(2.0,-50)),
-      |(2059,80,5538941263246726*power(2.0,-50)),
-      |(2060,69,5524352296492289*power(2.0,-50)),
-      |(2061,23,5543829276569948*power(2.0,-50)),
-      |(2062,30,5536818755503615*power(2.0,-50)),
-      |(2063,9,5518261262514449*power(2.0,-50)),
-      |(2064,62,5502214767301324*power(2.0,-50)),
-      |(2065,77,5528320661055466*power(2.0,-50)),
-      |(2066,66,5522122111742239*power(2.0,-50)),
-      |(2067,52,5522133762594261*power(2.0,-50)),
-      |(2068,84,5525067015719048*power(2.0,-50)),
-      |(2069,37,5515787724205682*power(2.0,-50)),
-      |(2070,18,5521421578851412*power(2.0,-50)),
-      |(2071,77,5513912292898631*power(2.0,-50)),
-      |(2072,57,5527558880285949*power(2.0,-50)),
-      |(2073,49,5510884610781117*power(2.0,-50)),
-      |(2074,54,5539485069919025*power(2.0,-50)),
-      |(2075,62,5531481220656259*power(2.0,-50)),
-      |(2076,79,5533495176356684*power(2.0,-50)),
-      |(2077,53,5517251144380146*power(2.0,-50)),
-      |(2078,80,5521246084955990*power(2.0,-50)),
-      |(2079,9,5517925408376110*power(2.0,-50)),
-      |(2080,18,5539560316852200*power(2.0,-50)),
-      |(2081,24,5707376828066173*power(2.0,-50)),
-      |(2082,54,5530382775746812*power(2.0,-50)),
-      |(2083,98,5533150817753500*power(2.0,-50)),
-      |(2084,84,5525554171197705*power(2.0,-50)),
-      |(2085,26,5523632139856399*power(2.0,-50)),
-      |(2086,46,5551850594933878*power(2.0,-50)),
-      |(2087,59,5506560953927045*power(2.0,-50)),
-      |(2088,97,5529556599140035*power(2.0,-50)),
-      |(2089,98,5515033298711104*power(2.0,-50)),
-      |(2090,52,5519935189782345*power(2.0,-50)),
-      |(2091,91,5517277355434149*power(2.0,-50)),
-      |(2092,94,5521663896383310*power(2.0,-50)),
-      |(2093,20,5522446819701490*power(2.0,-50)),
-      |(2094,74,5538448219682317*power(2.0,-50)),
-      |(2095,29,5532649890207741*power(2.0,-50)),
-      |(2096,43,5544996866259087*power(2.0,-50)),
-      |(2097,43,5514918633199527*power(2.0,-50)),
-      |(2098,52,5534473892170694*power(2.0,-50)),
-      |(2099,75,5537910238951670*power(2.0,-50)),
-      |(2100,86,5499090705019170*power(2.0,-50)),
-      |(2101,76,5509231663228408*power(2.0,-50)),
-      |(2102,72,5523190057243163*power(2.0,-50)),
-      |(2103,15,5540845948490427*power(2.0,-50)),
-      |(2104,41,5520399106281321*power(2.0,-50)),
-      |(2105,76,5550282864246637*power(2.0,-50)),
-      |(2106,88,5538815796274572*power(2.0,-50)),
-      |(2107,16,5533460174060547*power(2.0,-50)),
-      |(2108,86,5517065036314143*power(2.0,-50)),
-      |(2109,24,5535845047273411*power(2.0,-50)),
-      |(2110,19,5505509070712029*power(2.0,-50)),
-      |(2111,55,5518178132164224*power(2.0,-50)),
-      |(2112,11,5517268139216021*power(2.0,-50)),
-      |(2113,9,5542638803672963*power(2.0,-50)),
-      |(2114,22,5491298797979531*power(2.0,-50)),
-      |(2115,60,5512221266363951*power(2.0,-50)),
-      |(2116,11,5521108554586627*power(2.0,-50)),
-      |(2117,52,5533034900768450*power(2.0,-50)),
-      |(2118,42,5521035095168021*power(2.0,-50)),
-      |(2119,88,5526601227706039*power(2.0,-50)),
-      |(2120,28,5526232094563383*power(2.0,-50)),
-      |(2121,87,5532187850063256*power(2.0,-50)),
-      |(2122,29,5503276845407443*power(2.0,-50)),
-      |(2123,17,5510005028844521*power(2.0,-50)),
-      |(2124,82,5510659155739401*power(2.0,-50)),
-      |(2125,53,5530466574681415*power(2.0,-50)),
-      |(2126,96,5530014938442375*power(2.0,-50)),
-      |(2127,83,5532898975775989*power(2.0,-50)),
-      |(2128,64,5528876167114511*power(2.0,-50)),
-      |(2129,84,5518610967113305*power(2.0,-50)),
-      |(2130,14,5522635091848701*power(2.0,-50)),
-      |(2131,29,5513187715318582*power(2.0,-50)),
-      |(2132,42,5495283473726179*power(2.0,-50)),
-      |(2133,57,5521797246467172*power(2.0,-50)),
-      |(2134,70,5530128727768559*power(2.0,-50)),
-      |(2135,56,5530423702633698*power(2.0,-50)),
-      |(2136,83,5515265333016061*power(2.0,-50)),
-      |(2137,57,5519941363040110*power(2.0,-50)),
-      |(2138,87,5510927097801864*power(2.0,-50)),
-      |(2139,38,5495532543479510*power(2.0,-50)),
-      |(2140,75,5527750995924550*power(2.0,-50)),
-      |(2141,83,5509183588789919*power(2.0,-50)),
-      |(2142,26,5528794263908246*power(2.0,-50)),
-      |(2143,86,5530710773588249*power(2.0,-50)),
-      |(2144,43,5503870019309226*power(2.0,-50)),
-      |(2145,43,5509521211881435*power(2.0,-50)),
-      |(2146,80,5507442740181602*power(2.0,-50)),
-      |(2147,16,5832288766991218*power(2.0,-50)),
-      |(2148,72,5524318554352646*power(2.0,-50)),
-      |(2149,88,5505526403296031*power(2.0,-50)),
-      |(2150,93,5520078189830108*power(2.0,-50)),
-      |(2151,53,5528534641985552*power(2.0,-50)),
-      |(2152,59,5521693273484894*power(2.0,-50)),
-      |(2153,37,5540482565683020*power(2.0,-50)),
-      |(2154,16,5500031519612917*power(2.0,-50)),
-      |(2155,41,5531997363291936*power(2.0,-50)),
-      |(2156,61,5493354414448644*power(2.0,-50)),
-      |(2157,79,5508112510765882*power(2.0,-50)),
-      |(2158,15,5527315379238394*power(2.0,-50)),
-      |(2159,39,5519021010348116*power(2.0,-50)),
-      |(2160,45,5541231228379623*power(2.0,-50)),
-      |(2161,59,5530399434604668*power(2.0,-50)),
-      |(2162,83,5540319230286573*power(2.0,-50)),
-      |(2163,22,5544272375615091*power(2.0,-50)),
-      |(2164,75,5520968673308400*power(2.0,-50)),
-      |(2165,67,5524047878414081*power(2.0,-50)),
-      |(2166,53,5533495292930431*power(2.0,-50)),
-      |(2167,31,5486586919828064*power(2.0,-50)),
-      |(2168,54,5536225947904452*power(2.0,-50)),
-      |(2169,46,5513240527143494*power(2.0,-50)),
-      |(2170,22,5492307475133583*power(2.0,-50)),
-      |(2171,76,5526501255605149*power(2.0,-50)),
-      |(2172,79,5540016895393626*power(2.0,-50)),
-      |(2173,45,5507063139395384*power(2.0,-50)),
-      |(2174,35,5494332999570652*power(2.0,-50)),
-      |(2175,25,5527809991273100*power(2.0,-50)),
-      |(2176,72,5537618883178686*power(2.0,-50)),
-      |(2177,57,5505094890766855*power(2.0,-50)),
-      |(2178,62,5512100279517658*power(2.0,-50)),
-      |(2179,26,5787646578304236*power(2.0,-50)),
-      |(2180,34,5531192309624319*power(2.0,-50)),
-      |(2181,21,5519804600381916*power(2.0,-50)),
-      |(2182,94,5533829201507461*power(2.0,-50)),
-      |(2183,57,5522669698344440*power(2.0,-50)),
-      |(2184,84,5515047984020081*power(2.0,-50)),
-      |(2185,38,5514325825899346*power(2.0,-50)),
-      |(2186,23,5538351453775681*power(2.0,-50)),
-      |(2187,18,5514280047082198*power(2.0,-50)),
-      |(2188,98,5509441028921459*power(2.0,-50)),
-      |(2189,41,5528234529573440*power(2.0,-50)),
-      |(2190,76,5542189669046262*power(2.0,-50)),
-      |(2191,69,5513708544615755*power(2.0,-50)),
-      |(2192,80,5579326778143428*power(2.0,-50)),
-      |(2193,97,5506486176351728*power(2.0,-50)),
-      |(2194,27,5522630092890263*power(2.0,-50)),
-      |(2195,18,5507863812846667*power(2.0,-50)),
-      |(2196,31,5504999836074497*power(2.0,-50)),
-      |(2197,59,5536574010709200*power(2.0,-50)),
-      |(2198,40,5549111711280203*power(2.0,-50)),
-      |(2199,97,5516892148379839*power(2.0,-50)),
-      |(2200,38,5537582420822712*power(2.0,-50)),
-      |(2201,98,5526198425235615*power(2.0,-50)),
-      |(2202,81,5528962654599337*power(2.0,-50)),
-      |(2203,53,5545809168711981*power(2.0,-50)),
-      |(2204,69,5516716234865719*power(2.0,-50)),
-      |(2205,70,5518117212737779*power(2.0,-50)),
-      |(2206,52,5536140527427050*power(2.0,-50)),
-      |(2207,18,5507075933976057*power(2.0,-50)),
-      |(2208,35,5528929743058055*power(2.0,-50)),
-      |(2209,62,5498075837191486*power(2.0,-50)),
-      |(2210,77,5527333844311022*power(2.0,-50)),
-      |(2211,97,5536461046336870*power(2.0,-50)),
-      |(2212,28,5535003681391790*power(2.0,-50)),
-      |(2213,84,5530343079454686*power(2.0,-50)),
-      |(2214,23,5522424133929498*power(2.0,-50)),
-      |(2215,13,5497608619585748*power(2.0,-50)),
-      |(2216,33,5502200426007349*power(2.0,-50)),
-      |(2217,56,5521979591732207*power(2.0,-50)),
-      |(2218,34,5514539773155587*power(2.0,-50)),
-      |(2219,49,5511339718553640*power(2.0,-50)),
-      |(2220,13,5574068126788442*power(2.0,-50)),
-      |(2221,57,5615096581322262*power(2.0,-50)),""".stripMargin,
-    """(2222,65,5518872028219800*power(2.0,-50)),
-      |(2223,96,5521464329245975*power(2.0,-50)),
-      |(2224,19,5538653063172525*power(2.0,-50)),
-      |(2225,95,5539062451035804*power(2.0,-50)),
-      |(2226,57,5602082730262538*power(2.0,-50)),
-      |(2227,36,5518891260745077*power(2.0,-50)),
-      |(2228,77,5513307796700591*power(2.0,-50)),
-      |(2229,73,5533988916692666*power(2.0,-50)),
-      |(2230,83,5519103500266353*power(2.0,-50)),
-      |(2231,46,5530193043995328*power(2.0,-50)),
-      |(2232,68,5543769404719459*power(2.0,-50)),
-      |(2233,51,5504038936811798*power(2.0,-50)),
-      |(2234,86,5505334745361209*power(2.0,-50)),
-      |(2235,43,5517442587187482*power(2.0,-50)),
-      |(2236,54,5542171056559169*power(2.0,-50)),
-      |(2237,44,5526373369316732*power(2.0,-50)),
-      |(2238,74,5514954856583424*power(2.0,-50)),
-      |(2239,47,5525202650082257*power(2.0,-50)),
-      |(2240,21,5506402053420243*power(2.0,-50)),
-      |(2241,75,5514172182828838*power(2.0,-50)),
-      |(2242,30,5503658406697718*power(2.0,-50)),
-      |(2243,17,5496167095710784*power(2.0,-50)),
-      |(2244,88,5536276636075572*power(2.0,-50)),
-      |(2245,38,5503483413266060*power(2.0,-50)),
-      |(2246,55,5540409089668272*power(2.0,-50)),
-      |(2247,25,5558577695056017*power(2.0,-50)),
-      |(2248,85,5530757771666593*power(2.0,-50)),
-      |(2249,61,5520789570694355*power(2.0,-50)),
-      |(2250,57,5521345947737799*power(2.0,-50)),
-      |(2251,42,5536505297632540*power(2.0,-50)),
-      |(2252,17,5515127094820387*power(2.0,-50)),
-      |(2253,83,5505466161133715*power(2.0,-50)),
-      |(2254,27,5538520003377058*power(2.0,-50)),
-      |(2255,33,5529178164108509*power(2.0,-50)),
-      |(2256,22,5498439646611679*power(2.0,-50)),
-      |(2257,63,5530691771727236*power(2.0,-50)),
-      |(2258,78,5520465558101779*power(2.0,-50)),
-      |(2259,87,5524294640790288*power(2.0,-50)),
-      |(2260,88,5517672824846879*power(2.0,-50)),
-      |(2261,78,5544660301496642*power(2.0,-50)),
-      |(2262,51,5542038585406067*power(2.0,-50)),
-      |(2263,13,5550272648369648*power(2.0,-50)),
-      |(2264,94,5525382412545183*power(2.0,-50)),
-      |(2265,94,5511360267252525*power(2.0,-50)),
-      |(2266,46,5516368714329683*power(2.0,-50)),
-      |(2267,43,5540024785937321*power(2.0,-50)),
-      |(2268,76,5523939459744152*power(2.0,-50)),
-      |(2269,84,5509072642854673*power(2.0,-50)),
-      |(2270,65,5528816726463983*power(2.0,-50)),
-      |(2271,54,5530165303533708*power(2.0,-50)),
-      |(2272,26,5501850066438394*power(2.0,-50)),
-      |(2273,71,5510286376678176*power(2.0,-50)),
-      |(2274,66,5525891526271119*power(2.0,-50)),
-      |(2275,67,5507554371621882*power(2.0,-50)),
-      |(2276,38,5508803462147403*power(2.0,-50)),
-      |(2277,19,5496339288271163*power(2.0,-50)),
-      |(2278,10,5502385353363039*power(2.0,-50)),
-      |(2279,33,5515623918537532*power(2.0,-50)),
-      |(2280,16,5534532248114367*power(2.0,-50)),
-      |(2281,97,5534523061336999*power(2.0,-50)),
-      |(2282,63,5510865509889040*power(2.0,-50)),
-      |(2283,78,5507632316304527*power(2.0,-50)),
-      |(2284,19,5483431866314097*power(2.0,-50)),
-      |(2285,13,5555285798527168*power(2.0,-50)),
-      |(2286,29,5516999519733268*power(2.0,-50)),
-      |(2287,45,5518091634413179*power(2.0,-50)),
-      |(2288,61,5520924967535237*power(2.0,-50)),
-      |(2289,70,5538090824550960*power(2.0,-50)),
-      |(2290,79,5519789917403860*power(2.0,-50)),
-      |(2291,65,5516658549981941*power(2.0,-50)),
-      |(2292,52,5547449142820016*power(2.0,-50)),
-      |(2293,87,5511033292815623*power(2.0,-50)),
-      |(2294,75,5533402608202913*power(2.0,-50)),
-      |(2295,77,5519687960641868*power(2.0,-50)),
-      |(2296,67,5540297297606278*power(2.0,-50)),
-      |(2297,28,5500467875864362*power(2.0,-50)),
-      |(2298,35,5531791084762232*power(2.0,-50)),
-      |(2299,93,5530595798082336*power(2.0,-50)),
-      |(2300,55,5530947969103894*power(2.0,-50)),
-      |(2301,29,5517602886117143*power(2.0,-50)),
-      |(2302,86,5509984315106376*power(2.0,-50)),
-      |(2303,50,5519812452366457*power(2.0,-50)),
-      |(2304,45,5515767393785380*power(2.0,-50)),
-      |(2305,72,5514825956135885*power(2.0,-50)),
-      |(2306,39,5533323387818137*power(2.0,-50)),
-      |(2307,73,5602162640721445*power(2.0,-50)),
-      |(2308,53,5545332081535307*power(2.0,-50)),
-      |(2309,81,5538770771494642*power(2.0,-50)),
-      |(2310,21,5498232219392002*power(2.0,-50)),
-      |(2311,62,5526445848508483*power(2.0,-50)),
-      |(2312,34,5511080015630503*power(2.0,-50)),
-      |(2313,36,5517478062827593*power(2.0,-50)),
-      |(2314,50,5542209677084960*power(2.0,-50)),
-      |(2315,28,5510861849117645*power(2.0,-50)),
-      |(2316,53,5520339240186837*power(2.0,-50)),
-      |(2317,56,5527574407398575*power(2.0,-50)),
-      |(2318,39,5522990416493419*power(2.0,-50)),
-      |(2319,96,5511568738526807*power(2.0,-50)),
-      |(2320,66,5511213290375834*power(2.0,-50)),
-      |(2321,81,5517597519714922*power(2.0,-50)),
-      |(2322,28,5530989100437311*power(2.0,-50)),
-      |(2323,48,5524074778041777*power(2.0,-50)),
-      |(2324,29,5508082870640839*power(2.0,-50)),
-      |(2325,65,5522419872822781*power(2.0,-50)),
-      |(2326,12,5948327961993720*power(2.0,-50)),
-      |(2327,47,5521860630847257*power(2.0,-50)),
-      |(2328,73,5516032758434113*power(2.0,-50)),
-      |(2329,43,5526260026168041*power(2.0,-50)),
-      |(2330,54,5540038400671061*power(2.0,-50)),
-      |(2331,30,5518120160388295*power(2.0,-50)),
-      |(2332,45,5528015585709084*power(2.0,-50)),
-      |(2333,33,5664493843366392*power(2.0,-50)),
-      |(2334,70,5548256912353941*power(2.0,-50)),
-      |(2335,56,5528753118242314*power(2.0,-50)),
-      |(2336,13,5560136891884806*power(2.0,-50)),
-      |(2337,73,5536135159355411*power(2.0,-50)),
-      |(2338,10,5588113646876294*power(2.0,-50)),
-      |(2339,96,5514049106830566*power(2.0,-50)),
-      |(2340,69,5532461397820554*power(2.0,-50)),
-      |(2341,94,5526228924927357*power(2.0,-50)),
-      |(2342,28,5544423890563009*power(2.0,-50)),
-      |(2343,63,5526589974975519*power(2.0,-50)),
-      |(2344,29,5563181103673023*power(2.0,-50)),
-      |(2345,96,5522643556844891*power(2.0,-50)),
-      |(2346,51,5517216253164992*power(2.0,-50)),
-      |(2347,60,5530740680532486*power(2.0,-50)),
-      |(2348,51,5529021221731602*power(2.0,-50)),
-      |(2349,96,5516493775227035*power(2.0,-50)),
-      |(2350,93,5520505131872296*power(2.0,-50)),
-      |(2351,38,5545328535568332*power(2.0,-50)),
-      |(2352,57,5518435029969424*power(2.0,-50)),
-      |(2353,42,5521950204188526*power(2.0,-50)),
-      |(2354,11,5576934031436887*power(2.0,-50)),
-      |(2355,84,5522893219224933*power(2.0,-50)),
-      |(2356,76,5536752045052789*power(2.0,-50)),
-      |(2357,81,5542407083496744*power(2.0,-50)),
-      |(2358,33,5516927154135913*power(2.0,-50)),
-      |(2359,97,5528062819226426*power(2.0,-50)),
-      |(2360,84,5537122242613359*power(2.0,-50)),
-      |(2361,65,5514073290672148*power(2.0,-50)),
-      |(2362,67,5539097623406062*power(2.0,-50)),
-      |(2363,87,5533170560089089*power(2.0,-50)),
-      |(2364,12,5525467354255395*power(2.0,-50)),
-      |(2365,13,5526351455264007*power(2.0,-50)),
-      |(2366,22,5540708754890721*power(2.0,-50)),
-      |(2367,52,5520263661653584*power(2.0,-50)),
-      |(2368,80,5516127924770886*power(2.0,-50)),
-      |(2369,24,5545289996317337*power(2.0,-50)),
-      |(2370,71,5522168471309345*power(2.0,-50)),
-      |(2371,82,5536602790889505*power(2.0,-50)),
-      |(2372,54,5513082913697570*power(2.0,-50)),
-      |(2373,40,5517501073200922*power(2.0,-50)),
-      |(2374,68,5533395519533672*power(2.0,-50)),
-      |(2375,56,5521404136009221*power(2.0,-50)),
-      |(2376,21,5540771322036107*power(2.0,-50)),
-      |(2377,36,5502874078851826*power(2.0,-50)),
-      |(2378,68,5519052730822904*power(2.0,-50)),
-      |(2379,89,5518437303083869*power(2.0,-50)),
-      |(2380,20,5537081246667638*power(2.0,-50)),
-      |(2381,58,5524384445887358*power(2.0,-50)),
-      |(2382,30,5509838452918641*power(2.0,-50)),
-      |(2383,78,5543523160419088*power(2.0,-50)),
-      |(2384,59,5520816962716541*power(2.0,-50)),
-      |(2385,70,5516347381240699*power(2.0,-50)),
-      |(2386,19,5565183538885251*power(2.0,-50)),
-      |(2387,20,5502851283652550*power(2.0,-50)),
-      |(2388,77,5512912493509286*power(2.0,-50)),
-      |(2389,63,5527147998677400*power(2.0,-50)),
-      |(2390,47,5515178377370964*power(2.0,-50)),
-      |(2391,38,5538220475327054*power(2.0,-50)),
-      |(2392,78,5526397401145740*power(2.0,-50)),
-      |(2393,48,5536642146865789*power(2.0,-50)),
-      |(2394,16,5505160724048246*power(2.0,-50)),
-      |(2395,49,5513580932266519*power(2.0,-50)),
-      |(2396,13,5485673314061288*power(2.0,-50)),
-      |(2397,78,5526118979965246*power(2.0,-50)),
-      |(2398,48,5528949202015761*power(2.0,-50)),
-      |(2399,29,5500090806212577*power(2.0,-50)),
-      |(2400,63,5523664039334774*power(2.0,-50)),
-      |(2401,42,5513721307464928*power(2.0,-50)),
-      |(2402,79,5524135270151686*power(2.0,-50)),
-      |(2403,19,5527227807525895*power(2.0,-50)),
-      |(2404,65,5517782343922681*power(2.0,-50)),
-      |(2405,78,5522282575476532*power(2.0,-50)),
-      |(2406,22,5548893326525961*power(2.0,-50)),
-      |(2407,10,5461705375162213*power(2.0,-50)),
-      |(2408,36,5535109319726221*power(2.0,-50)),
-      |(2409,22,5516233947355692*power(2.0,-50)),
-      |(2410,65,5528194012862455*power(2.0,-50)),
-      |(2411,73,5527789439899655*power(2.0,-50)),
-      |(2412,17,5517825261988870*power(2.0,-50)),
-      |(2413,83,5531619259597772*power(2.0,-50)),
-      |(2414,37,5512753757085049*power(2.0,-50)),
-      |(2415,49,5536572002956843*power(2.0,-50)),
-      |(2416,25,5534742555477325*power(2.0,-50)),
-      |(2417,26,5509367177041802*power(2.0,-50)),
-      |(2418,32,5492754510557442*power(2.0,-50)),
-      |(2419,78,5514550842710579*power(2.0,-50)),
-      |(2420,95,5507066283334855*power(2.0,-50)),
-      |(2421,87,5514841313545443*power(2.0,-50)),
-      |(2422,46,5518167949127377*power(2.0,-50)),
-      |(2423,78,5573525190021238*power(2.0,-50)),
-      |(2424,61,5524265748458095*power(2.0,-50)),
-      |(2425,77,5538416913863284*power(2.0,-50)),
-      |(2426,75,5529351472110203*power(2.0,-50)),
-      |(2427,63,5528155149045801*power(2.0,-50)),
-      |(2428,55,5616523688126235*power(2.0,-50)),
-      |(2429,95,5529301434735729*power(2.0,-50)),
-      |(2430,42,5536245583161824*power(2.0,-50)),
-      |(2431,43,5517187464538186*power(2.0,-50)),
-      |(2432,24,5521258887234342*power(2.0,-50)),
-      |(2433,73,5521905543010513*power(2.0,-50)),
-      |(2434,66,5530206505681511*power(2.0,-50)),
-      |(2435,47,5535786664383875*power(2.0,-50)),
-      |(2436,51,5527754268028442*power(2.0,-50)),
-      |(2437,50,5538404699725007*power(2.0,-50)),
-      |(2438,13,5528607117290611*power(2.0,-50)),
-      |(2439,65,5542219498043940*power(2.0,-50)),
-      |(2440,49,5519068843347900*power(2.0,-50)),
-      |(2441,48,5511517552865885*power(2.0,-50)),
-      |(2442,21,5495370356571914*power(2.0,-50)),
-      |(2443,83,5524135728445215*power(2.0,-50)),
-      |(2444,83,5525426031327443*power(2.0,-50)),
-      |(2445,82,5530206132431364*power(2.0,-50)),
-      |(2446,44,5526086920626012*power(2.0,-50)),
-      |(2447,92,5535656134844118*power(2.0,-50)),
-      |(2448,83,5523226200316178*power(2.0,-50)),
-      |(2449,30,5511908437671451*power(2.0,-50)),
-      |(2450,9,5491934681463304*power(2.0,-50)),
-      |(2451,98,5530195637577320*power(2.0,-50)),
-      |(2452,33,5520606338263335*power(2.0,-50)),
-      |(2453,80,5519789813335404*power(2.0,-50)),
-      |(2454,80,5508038238297834*power(2.0,-50)),
-      |(2455,39,5524907968366216*power(2.0,-50)),
-      |(2456,55,5526562314507257*power(2.0,-50)),
-      |(2457,60,5490100349481558*power(2.0,-50)),
-      |(2458,98,5531392068954480*power(2.0,-50)),
-      |(2459,36,5561842898417107*power(2.0,-50)),
-      |(2460,27,5701204186618095*power(2.0,-50)),
-      |(2461,40,5550960263807340*power(2.0,-50)),
-      |(2462,76,5534328470330128*power(2.0,-50)),
-      |(2463,87,5542846123906181*power(2.0,-50)),
-      |(2464,50,5524868400756131*power(2.0,-50)),
-      |(2465,12,5518617447745547*power(2.0,-50)),
-      |(2466,11,5741917924079292*power(2.0,-50)),
-      |(2467,13,5503694684210471*power(2.0,-50)),
-      |(2468,43,5504321864876194*power(2.0,-50)),
-      |(2469,33,5525873349521367*power(2.0,-50)),
-      |(2470,36,5565753415641875*power(2.0,-50)),
-      |(2471,59,5508815582966180*power(2.0,-50)),
-      |(2472,76,5529059671572515*power(2.0,-50)),
-      |(2473,48,5534764600654005*power(2.0,-50)),
-      |(2474,59,5520912897590523*power(2.0,-50)),
-      |(2475,84,5529198569792924*power(2.0,-50)),
-      |(2476,15,5517691491772820*power(2.0,-50)),
-      |(2477,64,5497496241625934*power(2.0,-50)),
-      |(2478,76,5518702675467992*power(2.0,-50)),
-      |(2479,31,5520346416007494*power(2.0,-50)),
-      |(2480,64,5512092188659778*power(2.0,-50)),
-      |(2481,30,5513934737301580*power(2.0,-50)),
-      |(2482,13,5523925715134610*power(2.0,-50)),
-      |(2483,98,5534370384545844*power(2.0,-50)),
-      |(2484,75,5505580056034180*power(2.0,-50)),
-      |(2485,81,5529844812066934*power(2.0,-50)),
-      |(2486,64,5512024555531467*power(2.0,-50)),
-      |(2487,59,5530339930989673*power(2.0,-50)),
-      |(2488,57,5527988342161780*power(2.0,-50)),
-      |(2489,57,5530564844338827*power(2.0,-50)),
-      |(2490,40,5529473170807862*power(2.0,-50)),
-      |(2491,97,5522389862230392*power(2.0,-50)),
-      |(2492,14,5488744098544664*power(2.0,-50)),
-      |(2493,80,5510292387370219*power(2.0,-50)),
-      |(2494,65,5530038555155427*power(2.0,-50)),
-      |(2495,18,5542985066628903*power(2.0,-50)),
-      |(2496,38,5539958778596109*power(2.0,-50)),
-      |(2497,86,5527504672803087*power(2.0,-50)),
-      |(2498,83,5515381170033389*power(2.0,-50)),
-      |(2499,79,5542244740166219*power(2.0,-50)),
-      |(2500,43,5539731098275216*power(2.0,-50)),
-      |(2501,17,5543751108067903*power(2.0,-50)),
-      |(2502,9,5490299641945602*power(2.0,-50)),
-      |(2503,56,5531360802724550*power(2.0,-50)),
-      |(2504,76,5519740389890354*power(2.0,-50)),
-      |(2505,89,5582107587994673*power(2.0,-50)),
-      |(2506,34,5518072360953024*power(2.0,-50)),
-      |(2507,36,5507833618102724*power(2.0,-50)),
-      |(2508,58,5525806744593370*power(2.0,-50)),
-      |(2509,72,5514247747544092*power(2.0,-50)),
-      |(2510,76,5519584612126594*power(2.0,-50)),
-      |(2511,31,5531324920499062*power(2.0,-50)),
-      |(2512,67,5511800892630422*power(2.0,-50)),
-      |(2513,59,5525117176931543*power(2.0,-50)),
-      |(2514,43,5538070772231388*power(2.0,-50)),
-      |(2515,64,5524516867915523*power(2.0,-50)),
-      |(2516,82,5532315859865218*power(2.0,-50)),
-      |(2517,87,5547664436895449*power(2.0,-50)),
-      |(2518,11,5516760114439772*power(2.0,-50)),
-      |(2519,91,5536176837698994*power(2.0,-50)),
-      |(2520,98,5532216545770238*power(2.0,-50)),
-      |(2521,48,5632621562098727*power(2.0,-50)),
-      |(2522,71,5502085496148348*power(2.0,-50)),
-      |(2523,10,6044785487988950*power(2.0,-50)),
-      |(2524,41,5544242003690579*power(2.0,-50)),
-      |(2525,38,5541497929595693*power(2.0,-50)),
-      |(2526,26,5507476769592514*power(2.0,-50)),
-      |(2527,63,5502397206333154*power(2.0,-50)),
-      |(2528,93,5519482231246452*power(2.0,-50)),
-      |(2529,65,5522842677016140*power(2.0,-50)),
-      |(2530,10,5529111553474042*power(2.0,-50)),
-      |(2531,20,5488522649090127*power(2.0,-50)),
-      |(2532,26,5541826530179998*power(2.0,-50)),
-      |(2533,52,5538035736115072*power(2.0,-50)),
-      |(2534,50,5518307682909124*power(2.0,-50)),
-      |(2535,40,5512716295997840*power(2.0,-50)),
-      |(2536,23,5551821193403931*power(2.0,-50)),
-      |(2537,90,5532158825365266*power(2.0,-50)),
-      |(2538,86,5516501566697428*power(2.0,-50)),
-      |(2539,16,5547262768584555*power(2.0,-50)),
-      |(2540,48,5530818889729728*power(2.0,-50)),
-      |(2541,46,5532973855000917*power(2.0,-50)),
-      |(2542,81,5515588536672358*power(2.0,-50)),
-      |(2543,28,5531362193285177*power(2.0,-50)),
-      |(2544,98,5524925551614767*power(2.0,-50)),
-      |(2545,66,5531137047697470*power(2.0,-50)),
-      |(2546,74,5521443046346326*power(2.0,-50)),
-      |(2547,50,5502152610859508*power(2.0,-50)),
-      |(2548,63,5535805066204426*power(2.0,-50)),
-      |(2549,77,5509324298301770*power(2.0,-50)),
-      |(2550,70,5501628474362163*power(2.0,-50)),
-      |(2551,12,5964402635809121*power(2.0,-50)),
-      |(2552,67,5514953567852993*power(2.0,-50)),
-      |(2553,63,5528144193289919*power(2.0,-50)),
-      |(2554,54,5530103693671863*power(2.0,-50)),
-      |(2555,92,5523544377761243*power(2.0,-50)),
-      |(2556,98,5527951836051136*power(2.0,-50)),
-      |(2557,46,5520508628456419*power(2.0,-50)),
-      |(2558,79,5507169400823839*power(2.0,-50)),
-      |(2559,80,5520105895733218*power(2.0,-50)),
-      |(2560,41,5507000721676553*power(2.0,-50)),
-      |(2561,36,5520168256412628*power(2.0,-50)),
-      |(2562,86,5586916096456403*power(2.0,-50)),
-      |(2563,78,5510155506402631*power(2.0,-50)),
-      |(2564,44,5512143442162331*power(2.0,-50)),
-      |(2565,85,5527525926223490*power(2.0,-50)),
-      |(2566,73,5523151439047833*power(2.0,-50)),
-      |(2567,45,5524295573553679*power(2.0,-50)),
-      |(2568,23,5481863722216737*power(2.0,-50)),
-      |(2569,32,5556647883305740*power(2.0,-50)),
-      |(2570,53,5513111469119265*power(2.0,-50)),
-      |(2571,43,5515909327373288*power(2.0,-50)),
-      |(2572,61,5530759132300638*power(2.0,-50)),
-      |(2573,54,5552949564650458*power(2.0,-50)),
-      |(2574,37,5512040399552844*power(2.0,-50)),
-      |(2575,21,5489234725870175*power(2.0,-50)),
-      |(2576,71,5528992926077614*power(2.0,-50)),
-      |(2577,47,5533222414345469*power(2.0,-50)),
-      |(2578,36,5515915345811687*power(2.0,-50)),
-      |(2579,87,5550172919467293*power(2.0,-50)),
-      |(2580,14,5520558619709701*power(2.0,-50)),
-      |(2581,68,5526076896038526*power(2.0,-50)),
-      |(2582,69,5518759834252234*power(2.0,-50)),
-      |(2583,79,5528477559417687*power(2.0,-50)),
-      |(2584,32,5512276208611314*power(2.0,-50)),
-      |(2585,47,5538125119891578*power(2.0,-50)),
-      |(2586,79,5525035169510881*power(2.0,-50)),
-      |(2587,81,5545654951626025*power(2.0,-50)),
-      |(2588,11,5509577699357263*power(2.0,-50)),
-      |(2589,49,5522654561934414*power(2.0,-50)),
-      |(2590,18,5499960248401891*power(2.0,-50)),
-      |(2591,77,5529338202281322*power(2.0,-50)),
-      |(2592,32,5536289700412141*power(2.0,-50)),
-      |(2593,67,5520871789914988*power(2.0,-50)),
-      |(2594,44,5522391019602447*power(2.0,-50)),
-      |(2595,42,5514733295171202*power(2.0,-50)),
-      |(2596,10,5580549509051901*power(2.0,-50)),
-      |(2597,76,5531634105014747*power(2.0,-50)),
-      |(2598,91,5519533475449626*power(2.0,-50)),
-      |(2599,52,5522532228563739*power(2.0,-50)),
-      |(2600,51,5510286837276959*power(2.0,-50)),
-      |(2601,75,5525064155203715*power(2.0,-50)),
-      |(2602,39,5506765548932917*power(2.0,-50)),
-      |(2603,75,5519620692302543*power(2.0,-50)),
-      |(2604,47,5517500305702563*power(2.0,-50)),
-      |(2605,45,5513309695540721*power(2.0,-50)),
-      |(2606,14,5500719652618432*power(2.0,-50)),
-      |(2607,50,5502929298326724*power(2.0,-50)),
-      |(2608,66,5527430926681619*power(2.0,-50)),
-      |(2609,32,5558805527295487*power(2.0,-50)),
-      |(2610,56,5516661709199935*power(2.0,-50)),
-      |(2611,53,5513299286841270*power(2.0,-50)),
-      |(2612,87,5577820579104319*power(2.0,-50)),
-      |(2613,84,5533272955038568*power(2.0,-50)),
-      |(2614,41,5521984083130443*power(2.0,-50)),
-      |(2615,9,5566556136536180*power(2.0,-50)),
-      |(2616,60,5504969309304655*power(2.0,-50)),
-      |(2617,44,5526934270748854*power(2.0,-50)),
-      |(2618,78,5536344541414207*power(2.0,-50)),
-      |(2619,18,5521347376740448*power(2.0,-50)),
-      |(2620,14,5518413124959848*power(2.0,-50)),
-      |(2621,66,5508272666007626*power(2.0,-50)),
-      |(2622,96,5526440852024914*power(2.0,-50)),
-      |(2623,43,5523145956021655*power(2.0,-50)),
-      |(2624,86,5578441900801960*power(2.0,-50)),
-      |(2625,75,5502995244718663*power(2.0,-50)),
-      |(2626,15,5528408533497756*power(2.0,-50)),
-      |(2627,23,5563185368051450*power(2.0,-50)),
-      |(2628,79,5529601549076000*power(2.0,-50)),
-      |(2629,20,5474031405738086*power(2.0,-50)),
-      |(2630,66,5526730447865973*power(2.0,-50)),
-      |(2631,93,5506420204254993*power(2.0,-50)),
-      |(2632,13,5539497403612820*power(2.0,-50)),
-      |(2633,95,5530361991322276*power(2.0,-50)),
-      |(2634,21,5482732977754867*power(2.0,-50)),
-      |(2635,21,5522827541884558*power(2.0,-50)),
-      |(2636,28,5522975265052387*power(2.0,-50)),
-      |(2637,59,5513783541812778*power(2.0,-50)),
-      |(2638,36,5540019623445125*power(2.0,-50)),
-      |(2639,71,5526527259449968*power(2.0,-50)),
-      |(2640,96,5523006368899557*power(2.0,-50)),
-      |(2641,24,5742618997500340*power(2.0,-50)),
-      |(2642,41,5520063228757848*power(2.0,-50)),
-      |(2643,40,5557833986794254*power(2.0,-50)),
-      |(2644,71,5585313629571378*power(2.0,-50)),
-      |(2645,26,5518059713171345*power(2.0,-50)),
-      |(2646,15,5519310992285068*power(2.0,-50)),
-      |(2647,10,5522831320822715*power(2.0,-50)),
-      |(2648,73,5511506027246720*power(2.0,-50)),
-      |(2649,33,5691394877108587*power(2.0,-50)),
-      |(2650,42,5527722224122862*power(2.0,-50)),
-      |(2651,41,5507258236395774*power(2.0,-50)),
-      |(2652,73,5516251056781671*power(2.0,-50)),
-      |(2653,65,5517461082338490*power(2.0,-50)),
-      |(2654,38,5518660267660458*power(2.0,-50)),
-      |(2655,19,5515379305063495*power(2.0,-50)),
-      |(2656,64,5517729793251654*power(2.0,-50)),
-      |(2657,11,5516044272705071*power(2.0,-50)),
-      |(2658,42,5531435536639050*power(2.0,-50)),
-      |(2659,25,5533210273767745*power(2.0,-50)),
-      |(2660,43,5549119352299996*power(2.0,-50)),
-      |(2661,12,5437444304405967*power(2.0,-50)),
-      |(2662,81,5522250229979120*power(2.0,-50)),
-      |(2663,97,5521861888838194*power(2.0,-50)),
-      |(2664,54,5526167502783349*power(2.0,-50)),
-      |(2665,53,5529874107644514*power(2.0,-50)),
-      |(2666,22,5500602184036999*power(2.0,-50)),
-      |(2667,74,5516635778059921*power(2.0,-50)),
-      |(2668,31,5544008538479331*power(2.0,-50)),
-      |(2669,21,5554928765387007*power(2.0,-50)),
-      |(2670,92,5530499086520831*power(2.0,-50)),
-      |(2671,69,5523243545882132*power(2.0,-50)),
-      |(2672,90,5510789713731387*power(2.0,-50)),
-      |(2673,76,5552144652902589*power(2.0,-50)),
-      |(2674,31,5555724620903013*power(2.0,-50)),
-      |(2675,14,5521340987784483*power(2.0,-50)),
-      |(2676,81,5583167371675262*power(2.0,-50)),
-      |(2677,86,5544617223793423*power(2.0,-50)),
-      |(2678,31,5506705291975314*power(2.0,-50)),
-      |(2679,48,5529175467644971*power(2.0,-50)),
-      |(2680,63,5539549628818741*power(2.0,-50)),
-      |(2681,71,5520645005125094*power(2.0,-50)),
-      |(2682,63,5522076035193730*power(2.0,-50)),
-      |(2683,60,5519943989336137*power(2.0,-50)),
-      |(2684,39,5545784013572319*power(2.0,-50)),
-      |(2685,85,5529662175777883*power(2.0,-50)),
-      |(2686,53,5547490232186643*power(2.0,-50)),
-      |(2687,49,5538566553572018*power(2.0,-50)),
-      |(2688,55,5521928825051016*power(2.0,-50)),
-      |(2689,83,5574624045234384*power(2.0,-50)),
-      |(2690,50,5516268609495750*power(2.0,-50)),
-      |(2691,39,5553367945151716*power(2.0,-50)),
-      |(2692,89,5513056183342107*power(2.0,-50)),
-      |(2693,82,5540206721705759*power(2.0,-50)),
-      |(2694,46,5529444106368555*power(2.0,-50)),
-      |(2695,40,5517177418357811*power(2.0,-50)),
-      |(2696,50,5538865225786570*power(2.0,-50)),
-      |(2697,70,5547115528503161*power(2.0,-50)),
-      |(2698,26,5515875954708444*power(2.0,-50)),
-      |(2699,60,5531416906685116*power(2.0,-50)),
-      |(2700,57,5583142981648751*power(2.0,-50)),
-      |(2701,87,5518317915034161*power(2.0,-50)),
-      |(2702,67,5533011628097304*power(2.0,-50)),
-      |(2703,29,5539699686373930*power(2.0,-50)),
-      |(2704,72,5526637016172741*power(2.0,-50)),
-      |(2705,98,5516060232042526*power(2.0,-50)),
-      |(2706,9,5533306979048872*power(2.0,-50)),
-      |(2707,70,5522314344191838*power(2.0,-50)),
-      |(2708,10,5530628255680928*power(2.0,-50)),
-      |(2709,47,5527068690409998*power(2.0,-50)),
-      |(2710,68,5525832588871462*power(2.0,-50)),
-      |(2711,17,5508539228246429*power(2.0,-50)),
-      |(2712,63,5527088575899963*power(2.0,-50)),
-      |(2713,51,5543279076301829*power(2.0,-50)),
-      |(2714,57,5522858122621160*power(2.0,-50)),
-      |(2715,11,5545032541108154*power(2.0,-50)),
-      |(2716,34,5539487186093765*power(2.0,-50)),
-      |(2717,25,5504279579882914*power(2.0,-50)),
-      |(2718,91,5536641991078222*power(2.0,-50)),
-      |(2719,39,5557028873026335*power(2.0,-50)),
-      |(2720,9,5529976393154808*power(2.0,-50)),
-      |(2721,29,5555677815802016*power(2.0,-50)),
-      |(2722,40,5520225180576017*power(2.0,-50)),
-      |(2723,76,5522824640705964*power(2.0,-50)),
-      |(2724,71,5521660662372156*power(2.0,-50)),
-      |(2725,33,5536773984979024*power(2.0,-50)),
-      |(2726,23,5483455068048070*power(2.0,-50)),
-      |(2727,17,5534271156028718*power(2.0,-50)),
-      |(2728,71,5625028467617612*power(2.0,-50)),
-      |(2729,87,5505925412570989*power(2.0,-50)),
-      |(2730,24,5508398258738710*power(2.0,-50)),
-      |(2731,40,5544409161208766*power(2.0,-50)),
-      |(2732,11,5512779631956395*power(2.0,-50)),
-      |(2733,17,5519057944510520*power(2.0,-50)),
-      |(2734,41,5513514595533855*power(2.0,-50)),
-      |(2735,49,5501202749346989*power(2.0,-50)),
-      |(2736,81,5524258801921999*power(2.0,-50)),
-      |(2737,11,5541818049484452*power(2.0,-50)),
-      |(2738,14,5518908890839698*power(2.0,-50)),
-      |(2739,49,5545043469379546*power(2.0,-50)),
-      |(2740,36,5525289207044156*power(2.0,-50)),
-      |(2741,65,5522986116676163*power(2.0,-50)),
-      |(2742,42,5515710103570159*power(2.0,-50)),
-      |(2743,31,5535540519316826*power(2.0,-50)),
-      |(2744,34,5518899735242628*power(2.0,-50)),
-      |(2745,93,5504754994670081*power(2.0,-50)),
-      |(2746,37,5535886148010622*power(2.0,-50)),
-      |(2747,67,5525314216918291*power(2.0,-50)),
-      |(2748,55,5499342713827285*power(2.0,-50)),
-      |(2749,40,5494994462423815*power(2.0,-50)),
-      |(2750,21,5546789749990848*power(2.0,-50)),
-      |(2751,82,5526116169830034*power(2.0,-50)),
-      |(2752,35,5540899963885403*power(2.0,-50)),
-      |(2753,19,5525199339614687*power(2.0,-50)),
-      |(2754,70,5528136063632767*power(2.0,-50)),
-      |(2755,61,5509829040636076*power(2.0,-50)),
-      |(2756,24,5489996613120337*power(2.0,-50)),
-      |(2757,91,5533412450082242*power(2.0,-50)),
-      |(2758,38,5517177254235486*power(2.0,-50)),
-      |(2759,63,5523548626173687*power(2.0,-50)),
-      |(2760,34,5514794535410501*power(2.0,-50)),
-      |(2761,15,5501129177926270*power(2.0,-50)),
-      |(2762,68,5510581000747503*power(2.0,-50)),
-      |(2763,20,5511854778827606*power(2.0,-50)),
-      |(2764,15,5525849145579246*power(2.0,-50)),
-      |(2765,56,5544093113854302*power(2.0,-50)),
-      |(2766,52,5598972953907243*power(2.0,-50)),
-      |(2767,59,5518153578459229*power(2.0,-50)),
-      |(2768,48,5510045705345267*power(2.0,-50)),
-      |(2769,78,5547392400872800*power(2.0,-50)),
-      |(2770,12,5881499230212151*power(2.0,-50)),
-      |(2771,78,5528801468007008*power(2.0,-50)),
-      |(2772,19,5548242420304643*power(2.0,-50)),
-      |(2773,45,5527025246585415*power(2.0,-50)),
-      |(2774,87,5526806832794149*power(2.0,-50)),
-      |(2775,49,5528472710626644*power(2.0,-50)),
-      |(2776,58,5512188554543378*power(2.0,-50)),
-      |(2777,92,5527677334216660*power(2.0,-50)),
-      |(2778,43,5504671983875233*power(2.0,-50)),
-      |(2779,10,5531305494756371*power(2.0,-50)),
-      |(2780,80,5526204203134333*power(2.0,-50)),
-      |(2781,83,5535352713084358*power(2.0,-50)),
-      |(2782,84,5508549121358978*power(2.0,-50)),
-      |(2783,30,5527562485823285*power(2.0,-50)),
-      |(2784,85,5518777233517271*power(2.0,-50)),
-      |(2785,67,5520152000332043*power(2.0,-50)),
-      |(2786,51,5515501815594382*power(2.0,-50)),
-      |(2787,61,5523244036545185*power(2.0,-50)),
-      |(2788,47,5532908801017746*power(2.0,-50)),
-      |(2789,81,5592900010085310*power(2.0,-50)),
-      |(2790,38,5524663156232253*power(2.0,-50)),
-      |(2791,23,5520078501760315*power(2.0,-50)),
-      |(2792,76,5515525178305352*power(2.0,-50)),
-      |(2793,40,5555456536145042*power(2.0,-50)),
-      |(2794,66,5541647961330583*power(2.0,-50)),
-      |(2795,36,5496569338220653*power(2.0,-50)),
-      |(2796,98,5522275658625981*power(2.0,-50)),
-      |(2797,57,5524331027487805*power(2.0,-50)),
-      |(2798,80,5526919629671930*power(2.0,-50)),
-      |(2799,91,5523926825183750*power(2.0,-50)),
-      |(2800,37,5545845458858996*power(2.0,-50)),
-      |(2801,9,5565183925917298*power(2.0,-50)),
-      |(2802,72,5514227841028850*power(2.0,-50)),
-      |(2803,28,5494645569140280*power(2.0,-50)),
-      |(2804,56,5537341923105225*power(2.0,-50)),
-      |(2805,16,5534045731222763*power(2.0,-50)),
-      |(2806,90,5523716447670748*power(2.0,-50)),
-      |(2807,15,5523551687713657*power(2.0,-50)),
-      |(2808,88,5523231296394412*power(2.0,-50)),
-      |(2809,22,5520320445015608*power(2.0,-50)),
-      |(2810,74,5517874908448638*power(2.0,-50)),
-      |(2811,91,5523344862760817*power(2.0,-50)),
-      |(2812,30,5507487320641807*power(2.0,-50)),
-      |(2813,11,5548493301061201*power(2.0,-50)),
-      |(2814,69,5507991293563431*power(2.0,-50)),
-      |(2815,37,5493309572898058*power(2.0,-50)),
-      |(2816,96,5520472484682450*power(2.0,-50)),
-      |(2817,51,5505957177349854*power(2.0,-50)),
-      |(2818,35,5512293498644920*power(2.0,-50)),
-      |(2819,71,5519440997684494*power(2.0,-50)),
-      |(2820,15,5491480003944986*power(2.0,-50)),
-      |(2821,89,5539094908891252*power(2.0,-50)),
-      |(2822,83,5505639521827506*power(2.0,-50)),
-      |(2823,16,5502029926654146*power(2.0,-50)),
-      |(2824,98,5514866334431139*power(2.0,-50)),
-      |(2825,54,5514961692001918*power(2.0,-50)),
-      |(2826,9,5569602149666814*power(2.0,-50)),
-      |(2827,33,5510373203711024*power(2.0,-50)),
-      |(2828,60,5518182554719459*power(2.0,-50)),
-      |(2829,46,5503005969442236*power(2.0,-50)),
-      |(2830,59,5505756896133829*power(2.0,-50)),
-      |(2831,93,5532057562263485*power(2.0,-50)),
-      |(2832,13,5515126744423952*power(2.0,-50)),
-      |(2833,69,5525751577914415*power(2.0,-50)),
-      |(2834,92,5528394963723802*power(2.0,-50)),
-      |(2835,53,5511907034784931*power(2.0,-50)),
-      |(2836,82,5544540932261701*power(2.0,-50)),
-      |(2837,74,5512342125296738*power(2.0,-50)),
-      |(2838,49,5524906941362385*power(2.0,-50)),
-      |(2839,55,5512360219262928*power(2.0,-50)),
-      |(2840,27,5547614397651661*power(2.0,-50)),
-      |(2841,69,5521931753251481*power(2.0,-50)),
-      |(2842,63,5518317328919372*power(2.0,-50)),
-      |(2843,57,5533378330129255*power(2.0,-50)),
-      |(2844,24,5541462469041910*power(2.0,-50)),
-      |(2845,79,5502658258305261*power(2.0,-50)),
-      |(2846,36,5532252697371933*power(2.0,-50)),
-      |(2847,18,5528673388110692*power(2.0,-50)),
-      |(2848,47,5501366969097906*power(2.0,-50)),
-      |(2849,45,5536047889217640*power(2.0,-50)),
-      |(2850,49,5496944817000978*power(2.0,-50)),
-      |(2851,30,5524937247659931*power(2.0,-50)),
-      |(2852,86,5520333054258995*power(2.0,-50)),
-      |(2853,88,5518418177167034*power(2.0,-50)),
-      |(2854,91,5513903539216479*power(2.0,-50)),
-      |(2855,29,5496878439476401*power(2.0,-50)),
-      |(2856,35,5530419124925327*power(2.0,-50)),
-      |(2857,57,5518400654317738*power(2.0,-50)),
-      |(2858,12,5494894594838073*power(2.0,-50)),
-      |(2859,64,5521726792535329*power(2.0,-50)),
-      |(2860,95,5531858399807860*power(2.0,-50)),
-      |(2861,16,5473240693351569*power(2.0,-50)),
-      |(2862,59,5588905090075099*power(2.0,-50)),
-      |(2863,87,5512638026782047*power(2.0,-50)),
-      |(2864,18,5505865864310562*power(2.0,-50)),
-      |(2865,64,5627470351077365*power(2.0,-50)),
-      |(2866,23,5534228093568266*power(2.0,-50)),
-      |(2867,37,5521151719260318*power(2.0,-50)),
-      |(2868,96,5533871070091235*power(2.0,-50)),
-      |(2869,33,5532474561468896*power(2.0,-50)),
-      |(2870,80,5540568785940678*power(2.0,-50)),
-      |(2871,62,5516391552331495*power(2.0,-50)),
-      |(2872,98,5521745379494405*power(2.0,-50)),
-      |(2873,27,5512968652425099*power(2.0,-50)),
-      |(2874,66,5499862355429866*power(2.0,-50)),
-      |(2875,28,5718732603674431*power(2.0,-50)),
-      |(2876,34,5556589864556508*power(2.0,-50)),
-      |(2877,61,5532428825571967*power(2.0,-50)),
-      |(2878,65,5519492597090361*power(2.0,-50)),
-      |(2879,29,5546191081479201*power(2.0,-50)),
-      |(2880,25,5524479537907871*power(2.0,-50)),
-      |(2881,80,5526144299232564*power(2.0,-50)),
-      |(2882,45,5527300094731933*power(2.0,-50)),
-      |(2883,32,5498251786802946*power(2.0,-50)),
-      |(2884,70,5528125063590802*power(2.0,-50)),
-      |(2885,78,5499951924443034*power(2.0,-50)),
-      |(2886,44,5556823387900460*power(2.0,-50)),
-      |(2887,72,5534542337302446*power(2.0,-50)),
-      |(2888,26,5533574398734732*power(2.0,-50)),
-      |(2889,12,5481157870753576*power(2.0,-50)),
-      |(2890,31,5530316123157938*power(2.0,-50)),
-      |(2891,32,5501045672631649*power(2.0,-50)),
-      |(2892,87,5512578689548744*power(2.0,-50)),
-      |(2893,64,5515419700525705*power(2.0,-50)),
-      |(2894,76,5528978331568514*power(2.0,-50)),
-      |(2895,90,5518665380664567*power(2.0,-50)),
-      |(2896,87,5540514840485243*power(2.0,-50)),
-      |(2897,82,5540447976373129*power(2.0,-50)),
-      |(2898,14,5567443941171651*power(2.0,-50)),
-      |(2899,29,5505979270433356*power(2.0,-50)),
-      |(2900,94,5524646877958203*power(2.0,-50)),
-      |(2901,79,5521213436353699*power(2.0,-50)),
-      |(2902,91,5518597825604085*power(2.0,-50)),
-      |(2903,89,5510841301150820*power(2.0,-50)),
-      |(2904,46,5548955693412021*power(2.0,-50)),
-      |(2905,46,5520483167571699*power(2.0,-50)),
-      |(2906,43,5553755154702867*power(2.0,-50)),
-      |(2907,14,5556972130560527*power(2.0,-50)),
-      |(2908,80,5521083613449430*power(2.0,-50)),
-      |(2909,16,5516610153430403*power(2.0,-50)),
-      |(2910,63,5517283029877278*power(2.0,-50)),
-      |(2911,39,5514189967950393*power(2.0,-50)),
-      |(2912,24,5540508563062065*power(2.0,-50)),
-      |(2913,73,5524976920513148*power(2.0,-50)),
-      |(2914,36,5508147486587180*power(2.0,-50)),
-      |(2915,46,5493416502002369*power(2.0,-50)),
-      |(2916,37,5524121359086618*power(2.0,-50)),
-      |(2917,65,5545089497027166*power(2.0,-50)),
-      |(2918,17,5924833796887912*power(2.0,-50)),
-      |(2919,38,5537963233979705*power(2.0,-50)),
-      |(2920,73,5521227822211467*power(2.0,-50)),
-      |(2921,66,5538734004135748*power(2.0,-50)),
-      |(2922,84,5512924230020688*power(2.0,-50)),
-      |(2923,51,5543715885006926*power(2.0,-50)),
-      |(2924,40,5519452676375219*power(2.0,-50)),
-      |(2925,53,5530435527064339*power(2.0,-50)),
-      |(2926,96,5513848834356481*power(2.0,-50)),
-      |(2927,66,5549542368547088*power(2.0,-50)),
-      |(2928,45,5518334720854443*power(2.0,-50)),
-      |(2929,91,5531138668111573*power(2.0,-50)),
-      |(2930,79,5525222124811747*power(2.0,-50)),
-      |(2931,89,5528451697091102*power(2.0,-50)),
-      |(2932,89,5576778902244128*power(2.0,-50)),
-      |(2933,20,5770649045212963*power(2.0,-50)),
-      |(2934,91,5515634563957839*power(2.0,-50)),
-      |(2935,36,5531347346463689*power(2.0,-50)),
-      |(2936,86,5511791938258989*power(2.0,-50)),
-      |(2937,95,5529837416520093*power(2.0,-50)),
-      |(2938,87,5515220072189222*power(2.0,-50)),
-      |(2939,45,5517281909587398*power(2.0,-50)),
-      |(2940,15,5850683091992313*power(2.0,-50)),
-      |(2941,33,5529660564554814*power(2.0,-50)),
-      |(2942,24,5531622916440135*power(2.0,-50)),
-      |(2943,39,5498760695511081*power(2.0,-50)),
-      |(2944,17,5494694682010700*power(2.0,-50)),
-      |(2945,94,5538844897374613*power(2.0,-50)),
-      |(2946,76,5532422892029387*power(2.0,-50)),
-      |(2947,73,5525051612574121*power(2.0,-50)),
-      |(2948,68,5521005028024552*power(2.0,-50)),
-      |(2949,20,5567234049067101*power(2.0,-50)),
-      |(2950,51,5543259785802708*power(2.0,-50)),
-      |(2951,27,5507000879179245*power(2.0,-50)),
-      |(2952,62,5533758063432399*power(2.0,-50)),
-      |(2953,78,5506277051516740*power(2.0,-50)),
-      |(2954,56,5520723297602000*power(2.0,-50)),
-      |(2955,73,5524387223521380*power(2.0,-50)),
-      |(2956,61,5527511941255886*power(2.0,-50)),
-      |(2957,59,5510943602685175*power(2.0,-50)),
-      |(2958,43,5539599100216523*power(2.0,-50)),
-      |(2959,39,5518425542115683*power(2.0,-50)),
-      |(2960,96,5518328518886872*power(2.0,-50)),
-      |(2961,41,5526039183671169*power(2.0,-50)),
-      |(2962,29,5540452250886174*power(2.0,-50)),
-      |(2963,31,5509744860448097*power(2.0,-50)),
-      |(2964,36,5526106610601171*power(2.0,-50)),
-      |(2965,53,5525649892808290*power(2.0,-50)),
-      |(2966,76,5504976931589874*power(2.0,-50)),
-      |(2967,85,5513144528227440*power(2.0,-50)),
-      |(2968,27,5723939799743931*power(2.0,-50)),
-      |(2969,47,5536831722513298*power(2.0,-50)),
-      |(2970,34,5561177726115085*power(2.0,-50)),
-      |(2971,58,5515545988015334*power(2.0,-50)),
-      |(2972,60,5523970372195429*power(2.0,-50)),
-      |(2973,43,5516905944494620*power(2.0,-50)),
-      |(2974,49,5528130209197805*power(2.0,-50)),
-      |(2975,22,5533453274288063*power(2.0,-50)),
-      |(2976,68,5525283006406607*power(2.0,-50)),
-      |(2977,49,5518282422096455*power(2.0,-50)),
-      |(2978,96,5573219361754829*power(2.0,-50)),
-      |(2979,43,5533743825935300*power(2.0,-50)),
-      |(2980,58,5519409488340787*power(2.0,-50)),
-      |(2981,64,5549758762478894*power(2.0,-50)),
-      |(2982,23,5514055527014753*power(2.0,-50)),
-      |(2983,98,5527290780265571*power(2.0,-50)),
-      |(2984,89,5518626712711460*power(2.0,-50)),
-      |(2985,24,5574131436936489*power(2.0,-50)),
-      |(2986,62,5550401658029208*power(2.0,-50)),
-      |(2987,37,5515064595883914*power(2.0,-50)),
-      |(2988,56,5514633332173550*power(2.0,-50)),
-      |(2989,14,5522008736546005*power(2.0,-50)),
-      |(2990,70,5590252303494704*power(2.0,-50)),
-      |(2991,81,5516850729544533*power(2.0,-50)),
-      |(2992,64,5512144574992451*power(2.0,-50)),
-      |(2993,56,5533844384322775*power(2.0,-50)),
-      |(2994,70,5516443465386365*power(2.0,-50)),
-      |(2995,54,5555118611660382*power(2.0,-50)),
-      |(2996,73,5527544749969825*power(2.0,-50)),
-      |(2997,31,5511500614842061*power(2.0,-50)),
-      |(2998,91,5532878753768683*power(2.0,-50)),
-      |(2999,29,5524684281664258*power(2.0,-50)),
-      |(3000,20,5498965289357466*power(2.0,-50)),
-      |(3001,55,5510883640606742*power(2.0,-50)),
-      |(3002,61,5535510521964588*power(2.0,-50)),
-      |(3003,79,5520422083381518*power(2.0,-50)),
-      |(3004,24,5518525725873499*power(2.0,-50)),
-      |(3005,42,5504655893712658*power(2.0,-50)),
-      |(3006,42,5514078401125494*power(2.0,-50)),
-      |(3007,54,5550063264913307*power(2.0,-50)),
-      |(3008,28,5514763060301910*power(2.0,-50)),
-      |(3009,83,5522477129412917*power(2.0,-50)),
-      |(3010,68,5524440457474872*power(2.0,-50)),
-      |(3011,23,5518502437933232*power(2.0,-50)),
-      |(3012,73,5521850894784689*power(2.0,-50)),
-      |(3013,66,5508819072164367*power(2.0,-50)),
-      |(3014,65,5520452510898192*power(2.0,-50)),
-      |(3015,99,5574321313961309*power(2.0,-50)),
-      |(3016,42,5516823686843745*power(2.0,-50)),
-      |(3017,56,5497244980117366*power(2.0,-50)),
-      |(3018,41,5509421947291228*power(2.0,-50)),
-      |(3019,92,5527955968577016*power(2.0,-50)),
-      |(3020,72,5540256640960966*power(2.0,-50)),
-      |(3021,77,5520989347065977*power(2.0,-50)),
-      |(3022,65,5517111221479563*power(2.0,-50)),
-      |(3023,37,5540264090609240*power(2.0,-50)),
-      |(3024,75,5536780678930761*power(2.0,-50)),
-      |(3025,93,5519683618887915*power(2.0,-50)),
-      |(3026,24,5733245728306141*power(2.0,-50)),
-      |(3027,32,5526298136898109*power(2.0,-50)),
-      |(3028,82,5502697925299074*power(2.0,-50)),
-      |(3029,38,5499665489259457*power(2.0,-50)),
-      |(3030,19,5526719292139909*power(2.0,-50)),
-      |(3031,76,5523111624782683*power(2.0,-50)),
-      |(3032,33,5538931549250510*power(2.0,-50)),
-      |(3033,71,5529980964494553*power(2.0,-50)),
-      |(3034,79,5526771810727359*power(2.0,-50)),
-      |(3035,32,5528596695853351*power(2.0,-50)),
-      |(3036,61,5517088632517244*power(2.0,-50)),
-      |(3037,64,5527737527333291*power(2.0,-50)),
-      |(3038,48,5516602733044213*power(2.0,-50)),
-      |(3039,45,5512250879148531*power(2.0,-50)),
-      |(3040,45,5519373690614140*power(2.0,-50)),
-      |(3041,15,5550022662377210*power(2.0,-50)),
-      |(3042,50,5537404703843777*power(2.0,-50)),
-      |(3043,73,5538543050788685*power(2.0,-50)),
-      |(3044,39,5502900101939801*power(2.0,-50)),
-      |(3045,33,5509211163763592*power(2.0,-50)),
-      |(3046,74,5517603724871107*power(2.0,-50)),
-      |(3047,27,5513652706253542*power(2.0,-50)),
-      |(3048,15,5478145488960060*power(2.0,-50)),
-      |(3049,78,5529905752627904*power(2.0,-50)),
-      |(3050,41,5522862193070933*power(2.0,-50)),
-      |(3051,78,5512724674840958*power(2.0,-50)),
-      |(3052,81,5495437552004572*power(2.0,-50)),
-      |(3053,79,5524300410335864*power(2.0,-50)),
-      |(3054,16,5560508817601422*power(2.0,-50)),
-      |(3055,79,5522229738469932*power(2.0,-50)),
-      |(3056,94,5525329297243071*power(2.0,-50)),
-      |(3057,23,5485667463191603*power(2.0,-50)),
-      |(3058,68,5516591746695573*power(2.0,-50)),
-      |(3059,74,5524282940982033*power(2.0,-50)),
-      |(3060,28,5534016316722275*power(2.0,-50)),
-      |(3061,43,5523011133117855*power(2.0,-50)),
-      |(3062,19,5573504992302388*power(2.0,-50)),
-      |(3063,14,5538448314709046*power(2.0,-50)),
-      |(3064,69,5530579305922235*power(2.0,-50)),
-      |(3065,34,5530613172354168*power(2.0,-50)),
-      |(3066,64,5511477727183640*power(2.0,-50)),
-      |(3067,70,5515174243364205*power(2.0,-50)),
-      |(3068,65,5548844418030686*power(2.0,-50)),
-      |(3069,98,5530793839271986*power(2.0,-50)),
-      |(3070,95,5512868293284113*power(2.0,-50)),
-      |(3071,56,5523532758963536*power(2.0,-50)),
-      |(3072,34,5528078002161288*power(2.0,-50)),
-      |(3073,14,5561585438619239*power(2.0,-50)),
-      |(3074,30,5517432605580944*power(2.0,-50)),
-      |(3075,74,5538930057435551*power(2.0,-50)),
-      |(3076,55,5506621015500942*power(2.0,-50)),
-      |(3077,70,5538890420259284*power(2.0,-50)),
-      |(3078,33,5519376117387240*power(2.0,-50)),
-      |(3079,36,5688274110828673*power(2.0,-50)),
-      |(3080,82,5511410546280926*power(2.0,-50)),
-      |(3081,45,5525789946208624*power(2.0,-50)),
-      |(3082,79,5522214310428238*power(2.0,-50)),
-      |(3083,95,5520859401027927*power(2.0,-50)),
-      |(3084,41,5523293008698959*power(2.0,-50)),
-      |(3085,73,5503487138051794*power(2.0,-50)),
-      |(3086,62,5532817978248486*power(2.0,-50)),
-      |(3087,24,5527055192771301*power(2.0,-50)),
-      |(3088,82,5526747488113598*power(2.0,-50)),
-      |(3089,20,5508581018193517*power(2.0,-50)),
-      |(3090,87,5514324057201352*power(2.0,-50)),
-      |(3091,95,5583368912743150*power(2.0,-50)),
-      |(3092,86,5540226751488155*power(2.0,-50)),
-      |(3093,74,5542238094440965*power(2.0,-50)),
-      |(3094,51,5508019925206098*power(2.0,-50)),
-      |(3095,20,5510795187072886*power(2.0,-50)),
-      |(3096,95,5532340879173004*power(2.0,-50)),
-      |(3097,12,5538124408624499*power(2.0,-50)),
-      |(3098,81,5521023385779629*power(2.0,-50)),
-      |(3099,49,5515998372575719*power(2.0,-50)),
-      |(3100,82,5532958205596781*power(2.0,-50)),
-      |(3101,28,5722862210158917*power(2.0,-50)),
-      |(3102,88,5510580667527866*power(2.0,-50)),
-      |(3103,34,5530126195069756*power(2.0,-50)),
-      |(3104,12,5526846936215653*power(2.0,-50)),
-      |(3105,78,5529492844671312*power(2.0,-50)),
-      |(3106,65,5605521280572022*power(2.0,-50)),
-      |(3107,42,5514538815031728*power(2.0,-50)),
-      |(3108,22,5566960007675395*power(2.0,-50)),
-      |(3109,69,5523045567515291*power(2.0,-50)),
-      |(3110,91,5526332152154011*power(2.0,-50)),
-      |(3111,45,5492539561862380*power(2.0,-50)),
-      |(3112,97,5593923909624168*power(2.0,-50)),
-      |(3113,64,5524584098988671*power(2.0,-50)),
-      |(3114,54,5539889106340744*power(2.0,-50)),
-      |(3115,35,5511784745673819*power(2.0,-50)),
-      |(3116,36,5526158916883930*power(2.0,-50)),
-      |(3117,66,5529829779457065*power(2.0,-50)),
-      |(3118,79,5526737824300455*power(2.0,-50)),
-      |(3119,36,5515342656015564*power(2.0,-50)),
-      |(3120,68,5508340143040442*power(2.0,-50)),
-      |(3121,67,5513870129068456*power(2.0,-50)),
-      |(3122,9,5543156119661482*power(2.0,-50)),
-      |(3123,69,5524365671069909*power(2.0,-50)),
-      |(3124,98,5526357145810043*power(2.0,-50)),
-      |(3125,78,5527863657398645*power(2.0,-50)),
-      |(3126,78,5532289583522448*power(2.0,-50)),
-      |(3127,76,5545343622462304*power(2.0,-50)),
-      |(3128,41,5500252436100241*power(2.0,-50)),
-      |(3129,53,5530128847570675*power(2.0,-50)),
-      |(3130,98,5524702347323528*power(2.0,-50)),
-      |(3131,11,5453354270470101*power(2.0,-50)),
-      |(3132,81,5530878764519333*power(2.0,-50)),
-      |(3133,44,5533621127251815*power(2.0,-50)),
-      |(3134,87,5505391373420923*power(2.0,-50)),
-      |(3135,49,5530407729131926*power(2.0,-50)),
-      |(3136,17,5545475588780350*power(2.0,-50)),
-      |(3137,81,5519707167202660*power(2.0,-50)),
-      |(3138,10,5529647752090507*power(2.0,-50)),
-      |(3139,11,5528303745850761*power(2.0,-50)),
-      |(3140,78,5511315826459779*power(2.0,-50)),
-      |(3141,56,5503859345556875*power(2.0,-50)),
-      |(3142,26,5539683665775439*power(2.0,-50)),
-      |(3143,64,5502052576690691*power(2.0,-50)),
-      |(3144,46,5512008500809915*power(2.0,-50)),
-      |(3145,84,5532066381147267*power(2.0,-50)),
-      |(3146,62,5517865795945498*power(2.0,-50)),
-      |(3147,67,5534396139270896*power(2.0,-50)),
-      |(3148,40,5528600295628372*power(2.0,-50)),
-      |(3149,88,5522200388104625*power(2.0,-50)),
-      |(3150,40,5552826137137226*power(2.0,-50)),
-      |(3151,52,5515477457457369*power(2.0,-50)),
-      |(3152,54,5521458002091014*power(2.0,-50)),
-      |(3153,52,5531470788760116*power(2.0,-50)),
-      |(3154,29,5507778466154572*power(2.0,-50)),
-      |(3155,46,5521061826555015*power(2.0,-50)),
-      |(3156,34,5499187725765372*power(2.0,-50)),
-      |(3157,41,5693949403773437*power(2.0,-50)),
-      |(3158,56,5525553439216423*power(2.0,-50)),
-      |(3159,11,5480815832374907*power(2.0,-50)),
-      |(3160,20,5518799773349202*power(2.0,-50)),
-      |(3161,75,5517144538014251*power(2.0,-50)),
-      |(3162,39,5652323182184199*power(2.0,-50)),
-      |(3163,75,5525298528164543*power(2.0,-50)),
-      |(3164,9,5544019748480136*power(2.0,-50)),
-      |(3165,66,5518589135181159*power(2.0,-50)),
-      |(3166,23,5768010467733474*power(2.0,-50)),
-      |(3167,32,5515806791932147*power(2.0,-50)),
-      |(3168,92,5519345519382381*power(2.0,-50)),
-      |(3169,92,5536828336991521*power(2.0,-50)),
-      |(3170,67,5527558399389963*power(2.0,-50)),
-      |(3171,81,5515029445803434*power(2.0,-50)),
-      |(3172,24,5537575769590025*power(2.0,-50)),
-      |(3173,51,5513553290465470*power(2.0,-50)),
-      |(3174,57,5527775170073402*power(2.0,-50)),
-      |(3175,95,5569060075401021*power(2.0,-50)),
-      |(3176,60,5530047646955515*power(2.0,-50)),
-      |(3177,26,5540623008520388*power(2.0,-50)),
-      |(3178,52,5635693938644517*power(2.0,-50)),
-      |(3179,86,5507489868296036*power(2.0,-50)),
-      |(3180,37,5513608044282526*power(2.0,-50)),
-      |(3181,24,5533817913481729*power(2.0,-50)),
-      |(3182,36,5530122306380336*power(2.0,-50)),
-      |(3183,24,5548563681381887*power(2.0,-50)),
-      |(3184,15,5514114944469289*power(2.0,-50)),
-      |(3185,49,5555661495069867*power(2.0,-50)),
-      |(3186,25,5488246491232794*power(2.0,-50)),
-      |(3187,51,5513501355828317*power(2.0,-50)),
-      |(3188,31,5545044331594668*power(2.0,-50)),
-      |(3189,44,5507856428764215*power(2.0,-50)),
-      |(3190,94,5526157767534053*power(2.0,-50)),
-      |(3191,23,5509154841354321*power(2.0,-50)),
-      |(3192,58,5519789229383945*power(2.0,-50)),
-      |(3193,50,5524641640184140*power(2.0,-50)),
-      |(3194,19,5520891668695169*power(2.0,-50)),
-      |(3195,42,5535406889548822*power(2.0,-50)),
-      |(3196,28,5540439755466797*power(2.0,-50)),
-      |(3197,84,5527888907375726*power(2.0,-50)),
-      |(3198,41,5514414864504784*power(2.0,-50)),
-      |(3199,62,5535207112886792*power(2.0,-50)),
-      |(3200,48,5519794826598312*power(2.0,-50)),
-      |(3201,49,5513163506727131*power(2.0,-50)),
-      |(3202,94,5531883950358521*power(2.0,-50)),
-      |(3203,47,5522823238518597*power(2.0,-50)),
-      |(3204,61,5539500076571241*power(2.0,-50)),
-      |(3205,95,5513708134414707*power(2.0,-50)),
-      |(3206,66,5509805324554913*power(2.0,-50)),
-      |(3207,94,5509594511622966*power(2.0,-50)),
-      |(3208,89,5523738523055069*power(2.0,-50)),
-      |(3209,95,5524336388592582*power(2.0,-50)),
-      |(3210,58,5505200321665016*power(2.0,-50)),
-      |(3211,28,5503068554994093*power(2.0,-50)),
-      |(3212,43,5694357455284778*power(2.0,-50)),
-      |(3213,74,5526463675743738*power(2.0,-50)),
-      |(3214,54,5519913121955979*power(2.0,-50)),
-      |(3215,83,5531282092912359*power(2.0,-50)),
-      |(3216,32,5549429301528543*power(2.0,-50)),
-      |(3217,62,5538561208541713*power(2.0,-50)),
-      |(3218,27,5494037346804403*power(2.0,-50)),
-      |(3219,86,5548427416105756*power(2.0,-50)),
-      |(3220,98,5525637521353745*power(2.0,-50)),
-      |(3221,67,5514787038980926*power(2.0,-50)),
-      |(3222,35,5539934387801685*power(2.0,-50)),
-      |(3223,59,5631302868783692*power(2.0,-50)),
-      |(3224,26,5518813767103297*power(2.0,-50)),
-      |(3225,22,5537234628480188*power(2.0,-50)),
-      |(3226,69,5503934503524248*power(2.0,-50)),
-      |(3227,98,5517979189357499*power(2.0,-50)),
-      |(3228,42,5509887543035371*power(2.0,-50)),
-      |(3229,79,5536183840029930*power(2.0,-50)),
-      |(3230,51,5534255623217315*power(2.0,-50)),
-      |(3231,88,5519894465748392*power(2.0,-50)),
-      |(3232,24,5524292971935099*power(2.0,-50)),
-      |(3233,16,5551077550878203*power(2.0,-50)),
-      |(3234,31,5526753721477794*power(2.0,-50)),
-      |(3235,83,5523827172435655*power(2.0,-50)),
-      |(3236,86,5533384935362256*power(2.0,-50)),
-      |(3237,34,5503442684575472*power(2.0,-50)),
-      |(3238,63,5520203246846664*power(2.0,-50)),
-      |(3239,59,5519202603046836*power(2.0,-50)),
-      |(3240,24,5532010469259693*power(2.0,-50)),
-      |(3241,69,5526671446992886*power(2.0,-50)),
-      |(3242,73,5526992601655247*power(2.0,-50)),
-      |(3243,80,5525322789466047*power(2.0,-50)),
-      |(3244,11,5499382250521762*power(2.0,-50)),
-      |(3245,87,5540727881664262*power(2.0,-50)),
-      |(3246,49,5547409764082036*power(2.0,-50)),
-      |(3247,75,5521915130571008*power(2.0,-50)),
-      |(3248,51,5528167926193560*power(2.0,-50)),
-      |(3249,29,5508887476290345*power(2.0,-50)),
-      |(3250,72,5529026879852044*power(2.0,-50)),
-      |(3251,25,5542092564807688*power(2.0,-50)),
-      |(3252,82,5534212966438893*power(2.0,-50)),
-      |(3253,28,5522545073413370*power(2.0,-50)),
-      |(3254,9,5535809494225417*power(2.0,-50)),
-      |(3255,68,5506406734829153*power(2.0,-50)),
-      |(3256,31,5551542544957459*power(2.0,-50)),
-      |(3257,17,5521773643328932*power(2.0,-50)),
-      |(3258,80,5528917473950212*power(2.0,-50)),
-      |(3259,92,5522292113203791*power(2.0,-50)),
-      |(3260,18,5533408286991395*power(2.0,-50)),
-      |(3261,54,5533266891941604*power(2.0,-50)),
-      |(3262,34,5561671958573551*power(2.0,-50)),
-      |(3263,92,5527982241330488*power(2.0,-50)),
-      |(3264,61,5525600740828613*power(2.0,-50)),
-      |(3265,73,5529288346485151*power(2.0,-50)),
-      |(3266,45,5625646645984139*power(2.0,-50)),
-      |(3267,33,5516141908813894*power(2.0,-50)),
-      |(3268,66,5531053682808269*power(2.0,-50)),
-      |(3269,40,5654937284937577*power(2.0,-50)),
-      |(3270,18,5484320587735900*power(2.0,-50)),
-      |(3271,14,5564630690365985*power(2.0,-50)),
-      |(3272,91,5518409026287233*power(2.0,-50)),
-      |(3273,16,5508825705851984*power(2.0,-50)),
-      |(3274,42,5546872026879012*power(2.0,-50)),
-      |(3275,62,5549206411433391*power(2.0,-50)),
-      |(3276,84,5511069550101401*power(2.0,-50)),
-      |(3277,98,5529626164807042*power(2.0,-50)),
-      |(3278,77,5521580551687620*power(2.0,-50)),
-      |(3279,29,5700563350209999*power(2.0,-50)),
-      |(3280,18,5854522181060005*power(2.0,-50)),
-      |(3281,79,5518587747035645*power(2.0,-50)),
-      |(3282,83,5519339085416258*power(2.0,-50)),
-      |(3283,55,5535767834807558*power(2.0,-50)),
-      |(3284,94,5519161072581929*power(2.0,-50)),
-      |(3285,87,5514305981767276*power(2.0,-50)),
-      |(3286,17,5535463908249592*power(2.0,-50)),
-      |(3287,85,5522341560884585*power(2.0,-50)),
-      |(3288,57,5508945941372804*power(2.0,-50)),
-      |(3289,91,5527013470778594*power(2.0,-50)),
-      |(3290,98,5507932765311506*power(2.0,-50)),
-      |(3291,80,5524525122355413*power(2.0,-50)),
-      |(3292,70,5541851456374922*power(2.0,-50)),
-      |(3293,58,5590919930649728*power(2.0,-50)),
-      |(3294,79,5528606357506410*power(2.0,-50)),
-      |(3295,57,5515508240531508*power(2.0,-50)),
-      |(3296,86,5541843862106219*power(2.0,-50)),
-      |(3297,75,5534151038584184*power(2.0,-50)),
-      |(3298,33,5545975885171772*power(2.0,-50)),
-      |(3299,84,5524680050968343*power(2.0,-50)),
-      |(3300,84,5521256104840619*power(2.0,-50)),
-      |(3301,50,5515478375430670*power(2.0,-50)),
-      |(3302,32,5532365089873128*power(2.0,-50)),
-      |(3303,36,5538653892940418*power(2.0,-50)),
-      |(3304,94,5505871820384611*power(2.0,-50)),
-      |(3305,31,5504118840363356*power(2.0,-50)),
-      |(3306,44,5517139025378413*power(2.0,-50)),
-      |(3307,76,5528111768271400*power(2.0,-50)),
-      |(3308,56,5507842307627789*power(2.0,-50)),
-      |(3309,81,5529058996553877*power(2.0,-50)),
-      |(3310,22,5517207053003743*power(2.0,-50)),
-      |(3311,81,5533465186015542*power(2.0,-50)),
-      |(3312,88,5524579859258287*power(2.0,-50)),
-      |(3313,55,5518829291335372*power(2.0,-50)),
-      |(3314,20,5481079831171609*power(2.0,-50)),
-      |(3315,62,5516925962278721*power(2.0,-50)),
-      |(3316,47,5529903714796844*power(2.0,-50)),
-      |(3317,12,5548298517132787*power(2.0,-50)),
-      |(3318,40,5538148551865754*power(2.0,-50)),
-      |(3319,52,5643766943108987*power(2.0,-50)),
-      |(3320,56,5530909276797672*power(2.0,-50)),
-      |(3321,39,5506036936637839*power(2.0,-50)),""".stripMargin,
-    """(3322,16,5560779968862274*power(2.0,-50)),
-      |(3323,16,5555094866239627*power(2.0,-50)),
-      |(3324,89,5536146033412621*power(2.0,-50)),
-      |(3325,43,5535787827459033*power(2.0,-50)),
-      |(3326,79,5531050293572546*power(2.0,-50)),
-      |(3327,93,5510650867671148*power(2.0,-50)),
-      |(3328,72,5517175141111427*power(2.0,-50)),
-      |(3329,58,5499343048227094*power(2.0,-50)),
-      |(3330,37,5527557018411346*power(2.0,-50)),
-      |(3331,55,5524694754476541*power(2.0,-50)),
-      |(3332,52,5513703333738135*power(2.0,-50)),
-      |(3333,48,5517781934870069*power(2.0,-50)),
-      |(3334,57,5545185699623411*power(2.0,-50)),
-      |(3335,69,5544683988842799*power(2.0,-50)),
-      |(3336,56,5547588976299640*power(2.0,-50)),
-      |(3337,16,5537860076261010*power(2.0,-50)),
-      |(3338,59,5530540754496929*power(2.0,-50)),
-      |(3339,62,5506074490358531*power(2.0,-50)),
-      |(3340,53,5521418024766264*power(2.0,-50)),
-      |(3341,86,5532336978494768*power(2.0,-50)),
-      |(3342,37,5505836004238314*power(2.0,-50)),
-      |(3343,13,5522009290726039*power(2.0,-50)),
-      |(3344,31,5515637443869053*power(2.0,-50)),
-      |(3345,44,5501609756242586*power(2.0,-50)),
-      |(3346,24,5502697965897107*power(2.0,-50)),
-      |(3347,55,5521477728324756*power(2.0,-50)),
-      |(3348,48,5516225453239215*power(2.0,-50)),
-      |(3349,63,5536444169026819*power(2.0,-50)),
-      |(3350,50,5500784946865304*power(2.0,-50)),
-      |(3351,40,5533592011284888*power(2.0,-50)),
-      |(3352,49,5521671461701209*power(2.0,-50)),
-      |(3353,41,5511948255854909*power(2.0,-50)),
-      |(3354,20,5829196125542404*power(2.0,-50)),
-      |(3355,34,5521311936913319*power(2.0,-50)),
-      |(3356,21,5547499583926037*power(2.0,-50)),
-      |(3357,84,5510391743389724*power(2.0,-50)),
-      |(3358,76,5524094810387549*power(2.0,-50)),
-      |(3359,16,5501965092276776*power(2.0,-50)),
-      |(3360,15,5558196567713873*power(2.0,-50)),
-      |(3361,29,5538539163167544*power(2.0,-50)),
-      |(3362,30,5525436479490794*power(2.0,-50)),
-      |(3363,25,5518920012381745*power(2.0,-50)),
-      |(3364,40,5560026493901603*power(2.0,-50)),
-      |(3365,32,5531671392198655*power(2.0,-50)),
-      |(3366,89,5522732026214721*power(2.0,-50)),
-      |(3367,72,5542786853995731*power(2.0,-50)),
-      |(3368,80,5521608556675894*power(2.0,-50)),
-      |(3369,62,5535430207606314*power(2.0,-50)),
-      |(3370,66,5530066554920554*power(2.0,-50)),
-      |(3371,70,5522795853121055*power(2.0,-50)),
-      |(3372,95,5533121878023433*power(2.0,-50)),
-      |(3373,77,5510280645813684*power(2.0,-50)),
-      |(3374,40,5527723336017283*power(2.0,-50)),
-      |(3375,69,5524838287195239*power(2.0,-50)),
-      |(3376,42,5542551601947610*power(2.0,-50)),
-      |(3377,11,5442834499725559*power(2.0,-50)),
-      |(3378,27,5740693831734600*power(2.0,-50)),
-      |(3379,34,5508961271347206*power(2.0,-50)),
-      |(3380,39,5500392189281935*power(2.0,-50)),
-      |(3381,61,5532689618647571*power(2.0,-50)),
-      |(3382,19,5549395770440634*power(2.0,-50)),
-      |(3383,70,5608539292097683*power(2.0,-50)),
-      |(3384,64,5523528508079740*power(2.0,-50)),
-      |(3385,40,5528176446513841*power(2.0,-50)),
-      |(3386,56,5501649191130058*power(2.0,-50)),
-      |(3387,40,5522923021597108*power(2.0,-50)),
-      |(3388,79,5547560932883384*power(2.0,-50)),
-      |(3389,21,5524017057125384*power(2.0,-50)),
-      |(3390,30,5538449273250711*power(2.0,-50)),
-      |(3391,73,5528896043578831*power(2.0,-50)),
-      |(3392,84,5530972636607685*power(2.0,-50)),
-      |(3393,80,5530752843978229*power(2.0,-50)),
-      |(3394,27,5545595623536210*power(2.0,-50)),
-      |(3395,21,5555175008140138*power(2.0,-50)),
-      |(3396,75,5524971668468521*power(2.0,-50)),
-      |(3397,89,5512905469989376*power(2.0,-50)),
-      |(3398,78,5529343177380827*power(2.0,-50)),
-      |(3399,28,5510752422248343*power(2.0,-50)),
-      |(3400,26,5534406646504487*power(2.0,-50)),
-      |(3401,15,5500921534186673*power(2.0,-50)),
-      |(3402,25,5775992290639176*power(2.0,-50)),
-      |(3403,70,5513285836034239*power(2.0,-50)),
-      |(3404,96,5527779439295217*power(2.0,-50)),
-      |(3405,28,5484870536948017*power(2.0,-50)),
-      |(3406,22,5510510117795399*power(2.0,-50)),
-      |(3407,64,5532095269615568*power(2.0,-50)),
-      |(3408,29,5532176175240996*power(2.0,-50)),
-      |(3409,42,5550038538768347*power(2.0,-50)),
-      |(3410,42,5508944951061177*power(2.0,-50)),
-      |(3411,16,5536371026064644*power(2.0,-50)),
-      |(3412,80,5534002175581716*power(2.0,-50)),
-      |(3413,54,5518726536460873*power(2.0,-50)),
-      |(3414,11,5515493587160876*power(2.0,-50)),
-      |(3415,52,5507138820917826*power(2.0,-50)),
-      |(3416,66,5556295775146626*power(2.0,-50)),
-      |(3417,46,5541834744584038*power(2.0,-50)),
-      |(3418,77,5518604628936047*power(2.0,-50)),
-      |(3419,88,5527932811335055*power(2.0,-50)),
-      |(3420,55,5539642211442768*power(2.0,-50)),
-      |(3421,41,5521919854070783*power(2.0,-50)),
-      |(3422,92,5535101855750680*power(2.0,-50)),
-      |(3423,11,5553365015072371*power(2.0,-50)),
-      |(3424,34,5529744482596953*power(2.0,-50)),
-      |(3425,10,5527293573923357*power(2.0,-50)),
-      |(3426,32,5515201190151266*power(2.0,-50)),
-      |(3427,63,5587873156762747*power(2.0,-50)),
-      |(3428,22,5496136242002393*power(2.0,-50)),
-      |(3429,82,5515055154700620*power(2.0,-50)),
-      |(3430,94,5525166996754715*power(2.0,-50)),
-      |(3431,41,5525886475717836*power(2.0,-50)),
-      |(3432,89,5528540359453984*power(2.0,-50)),
-      |(3433,70,5526009703020517*power(2.0,-50)),
-      |(3434,25,5513438636790264*power(2.0,-50)),
-      |(3435,98,5535675020735250*power(2.0,-50)),
-      |(3436,11,6028182712871828*power(2.0,-50)),
-      |(3437,73,5533119067653713*power(2.0,-50)),
-      |(3438,61,5516761679535570*power(2.0,-50)),
-      |(3439,22,5508428967347092*power(2.0,-50)),
-      |(3440,63,5541219746557276*power(2.0,-50)),
-      |(3441,69,5531877577058746*power(2.0,-50)),
-      |(3442,69,5531449966865164*power(2.0,-50)),
-      |(3443,28,5495629971615765*power(2.0,-50)),
-      |(3444,17,5498109867333871*power(2.0,-50)),
-      |(3445,29,5518939551089441*power(2.0,-50)),
-      |(3446,85,5525266531272004*power(2.0,-50)),
-      |(3447,95,5591034878490755*power(2.0,-50)),
-      |(3448,36,5529183758792092*power(2.0,-50)),
-      |(3449,48,5520799701242690*power(2.0,-50)),
-      |(3450,98,5527156432483794*power(2.0,-50)),
-      |(3451,96,5541475039134732*power(2.0,-50)),
-      |(3452,85,5540534870778268*power(2.0,-50)),
-      |(3453,44,5503879447874290*power(2.0,-50)),
-      |(3454,19,5503223809211830*power(2.0,-50)),
-      |(3455,41,5518673302197560*power(2.0,-50)),
-      |(3456,70,5528747106730728*power(2.0,-50)),
-      |(3457,46,5525447658352293*power(2.0,-50)),
-      |(3458,56,5537286725459233*power(2.0,-50)),
-      |(3459,26,5539181593965081*power(2.0,-50)),
-      |(3460,39,5657342229243004*power(2.0,-50)),
-      |(3461,53,5518886549824950*power(2.0,-50)),
-      |(3462,16,5540749094406499*power(2.0,-50)),
-      |(3463,22,5508557530490949*power(2.0,-50)),
-      |(3464,98,5512884464400964*power(2.0,-50)),
-      |(3465,96,5514059639625532*power(2.0,-50)),
-      |(3466,66,5516345472090673*power(2.0,-50)),
-      |(3467,20,5542866844676333*power(2.0,-50)),
-      |(3468,86,5513120410387629*power(2.0,-50)),
-      |(3469,66,5522765080660496*power(2.0,-50)),
-      |(3470,86,5515751905936455*power(2.0,-50)),
-      |(3471,60,5522026684561861*power(2.0,-50)),
-      |(3472,86,5527518898121625*power(2.0,-50)),
-      |(3473,90,5522663853555178*power(2.0,-50)),
-      |(3474,45,5513576975985311*power(2.0,-50)),
-      |(3475,16,5527280312280967*power(2.0,-50)),
-      |(3476,53,5521125539118037*power(2.0,-50)),
-      |(3477,71,5537256896885685*power(2.0,-50)),
-      |(3478,35,5515603193461253*power(2.0,-50)),
-      |(3479,90,5517670142514127*power(2.0,-50)),
-      |(3480,32,5514130207409246*power(2.0,-50)),
-      |(3481,32,5669488845893231*power(2.0,-50)),
-      |(3482,59,5539135279597780*power(2.0,-50)),
-      |(3483,16,5535809728129363*power(2.0,-50)),
-      |(3484,31,5494282987269835*power(2.0,-50)),
-      |(3485,79,5531506217893149*power(2.0,-50)),
-      |(3486,13,5521144633156076*power(2.0,-50)),
-      |(3487,29,5527295680689559*power(2.0,-50)),
-      |(3488,59,5520297889267069*power(2.0,-50)),
-      |(3489,96,5525332962117874*power(2.0,-50)),
-      |(3490,46,5527726699580810*power(2.0,-50)),
-      |(3491,27,5511036868980183*power(2.0,-50)),
-      |(3492,32,5531692479832428*power(2.0,-50)),
-      |(3493,78,5509549034616496*power(2.0,-50)),
-      |(3494,49,5508053840961083*power(2.0,-50)),
-      |(3495,28,5541400492640586*power(2.0,-50)),
-      |(3496,9,5569691453054713*power(2.0,-50)),
-      |(3497,93,5518748888434759*power(2.0,-50)),
-      |(3498,44,5530049831897583*power(2.0,-50)),
-      |(3499,39,5517840204786952*power(2.0,-50)),
-      |(3500,21,5472663673365353*power(2.0,-50)),
-      |(3501,89,5511625079175006*power(2.0,-50)),
-      |(3502,59,5501331319528350*power(2.0,-50)),
-      |(3503,85,5507891180065388*power(2.0,-50)),
-      |(3504,20,5524579026889850*power(2.0,-50)),
-      |(3505,28,5519490362270979*power(2.0,-50)),
-      |(3506,79,5529356419056476*power(2.0,-50)),
-      |(3507,13,5546481360843527*power(2.0,-50)),
-      |(3508,72,5529082270205155*power(2.0,-50)),
-      |(3509,87,5530404543841384*power(2.0,-50)),
-      |(3510,69,5532927876004419*power(2.0,-50)),
-      |(3511,89,5519810492634671*power(2.0,-50)),
-      |(3512,43,5536689470643651*power(2.0,-50)),
-      |(3513,74,5520002189232832*power(2.0,-50)),
-      |(3514,96,5521181584113907*power(2.0,-50)),
-      |(3515,66,5530887804572517*power(2.0,-50)),
-      |(3516,32,5510109571042614*power(2.0,-50)),
-      |(3517,49,5509915314665483*power(2.0,-50)),
-      |(3518,49,5546910544288785*power(2.0,-50)),
-      |(3519,30,5521491842213605*power(2.0,-50)),
-      |(3520,10,5530476720603758*power(2.0,-50)),
-      |(3521,85,5513613497687363*power(2.0,-50)),
-      |(3522,72,5524627245882819*power(2.0,-50)),
-      |(3523,81,5541398009925250*power(2.0,-50)),
-      |(3524,90,5508897774137744*power(2.0,-50)),
-      |(3525,37,5526175857850720*power(2.0,-50)),
-      |(3526,73,5537430251933975*power(2.0,-50)),
-      |(3527,58,5517196714117684*power(2.0,-50)),
-      |(3528,79,5531120389783550*power(2.0,-50)),
-      |(3529,86,5526732897634449*power(2.0,-50)),
-      |(3530,45,5502542047378642*power(2.0,-50)),
-      |(3531,27,5534584491206737*power(2.0,-50)),
-      |(3532,58,5648813735036257*power(2.0,-50)),
-      |(3533,35,5535299348080842*power(2.0,-50)),
-      |(3534,11,5529403003948993*power(2.0,-50)),
-      |(3535,37,5556805891896279*power(2.0,-50)),
-      |(3536,35,5520378150971084*power(2.0,-50)),
-      |(3537,28,5511259198817707*power(2.0,-50)),
-      |(3538,61,5519860639273630*power(2.0,-50)),
-      |(3539,44,5534858515318576*power(2.0,-50)),
-      |(3540,65,5539874677240357*power(2.0,-50)),
-      |(3541,51,5519597159327051*power(2.0,-50)),
-      |(3542,10,5518393073674801*power(2.0,-50)),
-      |(3543,32,5535039081694873*power(2.0,-50)),
-      |(3544,96,5508829300371693*power(2.0,-50)),
-      |(3545,92,5534668531757336*power(2.0,-50)),
-      |(3546,97,5526733656026862*power(2.0,-50)),
-      |(3547,31,5527708367146816*power(2.0,-50)),
-      |(3548,68,5531333825501820*power(2.0,-50)),
-      |(3549,49,5529016768850308*power(2.0,-50)),
-      |(3550,23,5511100630223883*power(2.0,-50)),
-      |(3551,23,5503504173956963*power(2.0,-50)),
-      |(3552,91,5526059648145992*power(2.0,-50)),
-      |(3553,27,5542553286886291*power(2.0,-50)),
-      |(3554,92,5530979998006106*power(2.0,-50)),
-      |(3555,31,5700310847988924*power(2.0,-50)),
-      |(3556,95,5507725014258484*power(2.0,-50)),
-      |(3557,77,5511430275158919*power(2.0,-50)),
-      |(3558,73,5518769824159587*power(2.0,-50)),
-      |(3559,18,5548547110527920*power(2.0,-50)),
-      |(3560,77,5514884019358212*power(2.0,-50)),
-      |(3561,19,5500938244471587*power(2.0,-50)),
-      |(3562,73,5629121206677405*power(2.0,-50)),
-      |(3563,95,5531221198267553*power(2.0,-50)),
-      |(3564,28,5536215141935802*power(2.0,-50)),
-      |(3565,80,5526027270334274*power(2.0,-50)),
-      |(3566,52,5611077645746587*power(2.0,-50)),
-      |(3567,98,5522948379915128*power(2.0,-50)),
-      |(3568,59,5534871389407289*power(2.0,-50)),
-      |(3569,92,5544748292746810*power(2.0,-50)),
-      |(3570,24,5513784177704105*power(2.0,-50)),
-      |(3571,37,5489556652829746*power(2.0,-50)),
-      |(3572,31,5543408733834674*power(2.0,-50)),
-      |(3573,94,5520442162379673*power(2.0,-50)),
-      |(3574,29,5537329668875255*power(2.0,-50)),
-      |(3575,14,5517007464368064*power(2.0,-50)),
-      |(3576,50,5525408808186651*power(2.0,-50)),
-      |(3577,31,5522290741837727*power(2.0,-50)),
-      |(3578,10,5511283332574332*power(2.0,-50)),
-      |(3579,19,5528975500075443*power(2.0,-50)),
-      |(3580,47,5534405397146222*power(2.0,-50)),
-      |(3581,52,5525413570330154*power(2.0,-50)),
-      |(3582,39,5509254461393571*power(2.0,-50)),
-      |(3583,56,5530036775830003*power(2.0,-50)),
-      |(3584,83,5526497581391371*power(2.0,-50)),
-      |(3585,96,5515880713952216*power(2.0,-50)),
-      |(3586,55,5524682422056413*power(2.0,-50)),
-      |(3587,92,5533613804673754*power(2.0,-50)),
-      |(3588,31,5513285573971911*power(2.0,-50)),
-      |(3589,53,5523780229036364*power(2.0,-50)),
-      |(3590,46,5519073550903519*power(2.0,-50)),
-      |(3591,57,5500082593463336*power(2.0,-50)),
-      |(3592,43,5516188747907454*power(2.0,-50)),
-      |(3593,85,5522224518084436*power(2.0,-50)),
-      |(3594,82,5543476066509271*power(2.0,-50)),
-      |(3595,84,5533177616893475*power(2.0,-50)),
-      |(3596,96,5538764734822954*power(2.0,-50)),
-      |(3597,36,5517031699609676*power(2.0,-50)),
-      |(3598,32,5523533028037633*power(2.0,-50)),
-      |(3599,76,5533687671560940*power(2.0,-50)),
-      |(3600,20,5538706069311798*power(2.0,-50)),
-      |(3601,26,5534955753990872*power(2.0,-50)),
-      |(3602,63,5547958664529007*power(2.0,-50)),
-      |(3603,31,5504597759418621*power(2.0,-50)),
-      |(3604,38,5537917954162771*power(2.0,-50)),
-      |(3605,51,5643970637059406*power(2.0,-50)),
-      |(3606,45,5515154839691616*power(2.0,-50)),
-      |(3607,62,5534501993036810*power(2.0,-50)),
-      |(3608,12,5566239927086928*power(2.0,-50)),
-      |(3609,79,5525693899090060*power(2.0,-50)),
-      |(3610,78,5529307923992944*power(2.0,-50)),
-      |(3611,24,5549381251533613*power(2.0,-50)),
-      |(3612,77,5529633257509087*power(2.0,-50)),
-      |(3613,93,5517941088948728*power(2.0,-50)),
-      |(3614,36,5546415292302104*power(2.0,-50)),
-      |(3615,36,5532327416911989*power(2.0,-50)),
-      |(3616,57,5520706343327971*power(2.0,-50)),
-      |(3617,24,5517314060721002*power(2.0,-50)),
-      |(3618,68,5523007217370210*power(2.0,-50)),
-      |(3619,39,5510801972946075*power(2.0,-50)),
-      |(3620,44,5536234340322844*power(2.0,-50)),
-      |(3621,52,5530178384262815*power(2.0,-50)),
-      |(3622,20,5559719142833723*power(2.0,-50)),
-      |(3623,45,5511627016367190*power(2.0,-50)),
-      |(3624,18,5870554074703454*power(2.0,-50)),
-      |(3625,39,5510677593393159*power(2.0,-50)),
-      |(3626,48,5512279845221681*power(2.0,-50)),
-      |(3627,16,5469605601031612*power(2.0,-50)),
-      |(3628,31,5523089093100778*power(2.0,-50)),
-      |(3629,9,5501729436255287*power(2.0,-50)),
-      |(3630,35,5520834945777988*power(2.0,-50)),
-      |(3631,33,5505116138555488*power(2.0,-50)),
-      |(3632,12,5515330803785269*power(2.0,-50)),
-      |(3633,30,5528646248714291*power(2.0,-50)),
-      |(3634,28,5533788523627936*power(2.0,-50)),
-      |(3635,54,5521698766623699*power(2.0,-50)),
-      |(3636,29,5531940939176326*power(2.0,-50)),
-      |(3637,64,5608553798599296*power(2.0,-50)),
-      |(3638,70,5539928628571330*power(2.0,-50)),
-      |(3639,25,5510487692510641*power(2.0,-50)),
-      |(3640,77,5518815773494693*power(2.0,-50)),
-      |(3641,31,5525077234116416*power(2.0,-50)),
-      |(3642,62,5494096294631516*power(2.0,-50)),
-      |(3643,58,5530924112293639*power(2.0,-50)),
-      |(3644,96,5502124193172367*power(2.0,-50)),
-      |(3645,13,5500443715204391*power(2.0,-50)),
-      |(3646,57,5542140552439062*power(2.0,-50)),
-      |(3647,38,5645441495030550*power(2.0,-50)),
-      |(3648,81,5512135108373840*power(2.0,-50)),
-      |(3649,91,5522128884625127*power(2.0,-50)),
-      |(3650,12,5499661327019978*power(2.0,-50)),
-      |(3651,30,5493839603513548*power(2.0,-50)),
-      |(3652,58,5495425236228734*power(2.0,-50)),
-      |(3653,87,5501656443943632*power(2.0,-50)),
-      |(3654,31,5514555995090406*power(2.0,-50)),
-      |(3655,86,5516020120898487*power(2.0,-50)),
-      |(3656,65,5522382351714740*power(2.0,-50)),
-      |(3657,42,5531619021440994*power(2.0,-50)),
-      |(3658,60,5501333347674418*power(2.0,-50)),
-      |(3659,77,5525675678631349*power(2.0,-50)),
-      |(3660,17,5533550256785061*power(2.0,-50)),
-      |(3661,56,5513360191498872*power(2.0,-50)),
-      |(3662,79,5521679001711728*power(2.0,-50)),
-      |(3663,74,5532533557322701*power(2.0,-50)),
-      |(3664,90,5538520656336396*power(2.0,-50)),
-      |(3665,35,5528789315127307*power(2.0,-50)),
-      |(3666,18,5519444925994742*power(2.0,-50)),
-      |(3667,59,5522868521910465*power(2.0,-50)),
-      |(3668,33,5701921528100178*power(2.0,-50)),
-      |(3669,49,5529494895640493*power(2.0,-50)),
-      |(3670,93,5516718504313438*power(2.0,-50)),
-      |(3671,61,5491822893818574*power(2.0,-50)),
-      |(3672,93,5530707726981231*power(2.0,-50)),
-      |(3673,74,5529164347426014*power(2.0,-50)),
-      |(3674,11,5435258763575260*power(2.0,-50)),
-      |(3675,17,5516754103133048*power(2.0,-50)),
-      |(3676,20,5568654401852352*power(2.0,-50)),
-      |(3677,54,5541375504740753*power(2.0,-50)),
-      |(3678,22,5520910483603959*power(2.0,-50)),
-      |(3679,19,5531300432368580*power(2.0,-50)),
-      |(3680,12,5526226519333781*power(2.0,-50)),
-      |(3681,19,5495596069229205*power(2.0,-50)),
-      |(3682,26,5526180161848820*power(2.0,-50)),
-      |(3683,13,5489808077873700*power(2.0,-50)),
-      |(3684,25,5539801274040097*power(2.0,-50)),
-      |(3685,27,5532203200342443*power(2.0,-50)),
-      |(3686,72,5526332179175671*power(2.0,-50)),
-      |(3687,79,5508760745963539*power(2.0,-50)),
-      |(3688,98,5505000823867452*power(2.0,-50)),
-      |(3689,16,5480284129421943*power(2.0,-50)),
-      |(3690,35,5520256405258510*power(2.0,-50)),
-      |(3691,13,5537141712910012*power(2.0,-50)),
-      |(3692,56,5545708178519346*power(2.0,-50)),
-      |(3693,85,5516015021798812*power(2.0,-50)),
-      |(3694,26,5492189660017585*power(2.0,-50)),
-      |(3695,33,5542781096094792*power(2.0,-50)),
-      |(3696,20,5535464565092854*power(2.0,-50)),
-      |(3697,15,5525976860926207*power(2.0,-50)),
-      |(3698,71,5525348501263267*power(2.0,-50)),
-      |(3699,27,5555037143744041*power(2.0,-50)),
-      |(3700,18,5580179794724306*power(2.0,-50)),
-      |(3701,35,5518439106438923*power(2.0,-50)),
-      |(3702,67,5545969136154588*power(2.0,-50)),
-      |(3703,10,6077398299035838*power(2.0,-50)),
-      |(3704,35,5513035638556737*power(2.0,-50)),
-      |(3705,67,5531721022421551*power(2.0,-50)),
-      |(3706,14,5564218912397354*power(2.0,-50)),
-      |(3707,46,5529930324163873*power(2.0,-50)),
-      |(3708,65,5543065646307508*power(2.0,-50)),
-      |(3709,36,5550842717280397*power(2.0,-50)),
-      |(3710,61,5540339036056567*power(2.0,-50)),
-      |(3711,17,5492691214204026*power(2.0,-50)),
-      |(3712,41,5516549482546600*power(2.0,-50)),
-      |(3713,91,5511646898086975*power(2.0,-50)),
-      |(3714,28,5515441963153043*power(2.0,-50)),
-      |(3715,97,5531096745661116*power(2.0,-50)),
-      |(3716,13,5482680557536584*power(2.0,-50)),
-      |(3717,85,5524696656978631*power(2.0,-50)),
-      |(3718,58,5526396531877248*power(2.0,-50)),
-      |(3719,17,5492603536929016*power(2.0,-50)),
-      |(3720,41,5532790422112812*power(2.0,-50)),
-      |(3721,19,5544300159150175*power(2.0,-50)),
-      |(3722,93,5525890896556249*power(2.0,-50)),
-      |(3723,23,5523871921096873*power(2.0,-50)),
-      |(3724,87,5517597517438735*power(2.0,-50)),
-      |(3725,66,5528988788798723*power(2.0,-50)),
-      |(3726,65,5512919670330857*power(2.0,-50)),
-      |(3727,44,5499717994872623*power(2.0,-50)),
-      |(3728,85,5536439651669731*power(2.0,-50)),
-      |(3729,39,5524259354755547*power(2.0,-50)),
-      |(3730,82,5541850705466644*power(2.0,-50)),
-      |(3731,91,5519447457189528*power(2.0,-50)),
-      |(3732,60,5528138315885792*power(2.0,-50)),
-      |(3733,89,5520631857879587*power(2.0,-50)),
-      |(3734,92,5503726908576447*power(2.0,-50)),
-      |(3735,34,5675859555699744*power(2.0,-50)),
-      |(3736,17,5545120159206936*power(2.0,-50)),
-      |(3737,93,5525707661056442*power(2.0,-50)),
-      |(3738,40,5530268135269558*power(2.0,-50)),
-      |(3739,89,5529047281775863*power(2.0,-50)),
-      |(3740,95,5538229875894239*power(2.0,-50)),
-      |(3741,58,5528040914354125*power(2.0,-50)),
-      |(3742,15,5508122750968594*power(2.0,-50)),
-      |(3743,89,5577596947851875*power(2.0,-50)),
-      |(3744,63,5528273577075599*power(2.0,-50)),
-      |(3745,97,5520764297284374*power(2.0,-50)),
-      |(3746,73,5523850390886243*power(2.0,-50)),
-      |(3747,32,5508687194185400*power(2.0,-50)),
-      |(3748,31,5532560078933359*power(2.0,-50)),
-      |(3749,26,5530290239901369*power(2.0,-50)),
-      |(3750,27,5533881998947537*power(2.0,-50)),
-      |(3751,87,5585933522337104*power(2.0,-50)),
-      |(3752,18,5548850538217423*power(2.0,-50)),
-      |(3753,79,5523316434167624*power(2.0,-50)),
-      |(3754,21,5541742276524105*power(2.0,-50)),
-      |(3755,54,5523623840328153*power(2.0,-50)),
-      |(3756,62,5523862117085076*power(2.0,-50)),
-      |(3757,23,5514342559259917*power(2.0,-50)),
-      |(3758,88,5544756852348441*power(2.0,-50)),
-      |(3759,58,5622535170883154*power(2.0,-50)),
-      |(3760,98,5526924499736760*power(2.0,-50)),
-      |(3761,41,5537344096119638*power(2.0,-50)),
-      |(3762,30,5536150539113860*power(2.0,-50)),
-      |(3763,86,5531424748660758*power(2.0,-50)),
-      |(3764,84,5527026842698099*power(2.0,-50)),
-      |(3765,19,5779385603870745*power(2.0,-50)),
-      |(3766,41,5511410803478636*power(2.0,-50)),
-      |(3767,67,5512885239788952*power(2.0,-50)),
-      |(3768,52,5523841646309724*power(2.0,-50)),
-      |(3769,33,5476300729231525*power(2.0,-50)),
-      |(3770,44,5521553920412743*power(2.0,-50)),
-      |(3771,18,5518382059995318*power(2.0,-50)),
-      |(3772,90,5507025752964955*power(2.0,-50)),
-      |(3773,54,5487192823798150*power(2.0,-50)),
-      |(3774,62,5506752001692907*power(2.0,-50)),
-      |(3775,10,5541343293834903*power(2.0,-50)),
-      |(3776,91,5579834487421764*power(2.0,-50)),
-      |(3777,23,5531698329463931*power(2.0,-50)),
-      |(3778,44,5522716288922991*power(2.0,-50)),
-      |(3779,91,5518755386460719*power(2.0,-50)),
-      |(3780,56,5521436375643377*power(2.0,-50)),
-      |(3781,86,5525709816944066*power(2.0,-50)),
-      |(3782,86,5538938188738529*power(2.0,-50)),
-      |(3783,41,5518898203176709*power(2.0,-50)),
-      |(3784,14,5551837184833162*power(2.0,-50)),
-      |(3785,38,5505556219603810*power(2.0,-50)),
-      |(3786,97,5533926444023045*power(2.0,-50)),
-      |(3787,33,5523599863632889*power(2.0,-50)),
-      |(3788,71,5498710450013714*power(2.0,-50)),
-      |(3789,13,5496278842889664*power(2.0,-50)),
-      |(3790,15,5488944623899297*power(2.0,-50)),
-      |(3791,75,5521930950465702*power(2.0,-50)),
-      |(3792,62,5517436537491812*power(2.0,-50)),
-      |(3793,39,5505887509402946*power(2.0,-50)),
-      |(3794,25,5491671670814706*power(2.0,-50)),
-      |(3795,79,5508448776049495*power(2.0,-50)),
-      |(3796,36,5541521118757195*power(2.0,-50)),
-      |(3797,69,5546298374819615*power(2.0,-50)),
-      |(3798,38,5545076379523981*power(2.0,-50)),
-      |(3799,64,5538046469233186*power(2.0,-50)),
-      |(3800,93,5513161114326123*power(2.0,-50)),
-      |(3801,85,5496285283283838*power(2.0,-50)),
-      |(3802,98,5532144907958508*power(2.0,-50)),
-      |(3803,93,5517764430731175*power(2.0,-50)),
-      |(3804,73,5526470960373726*power(2.0,-50)),
-      |(3805,80,5522122416626976*power(2.0,-50)),
-      |(3806,48,5532931455895609*power(2.0,-50)),
-      |(3807,70,5526726800147125*power(2.0,-50)),
-      |(3808,38,5547053709681667*power(2.0,-50)),
-      |(3809,96,5526834238772841*power(2.0,-50)),
-      |(3810,70,5515039596979766*power(2.0,-50)),
-      |(3811,23,5510674650705299*power(2.0,-50)),
-      |(3812,53,5552465344479216*power(2.0,-50)),
-      |(3813,37,5526360077311654*power(2.0,-50)),
-      |(3814,35,5532613076510637*power(2.0,-50)),
-      |(3815,92,5534643834398406*power(2.0,-50)),
-      |(3816,26,5522561610640106*power(2.0,-50)),
-      |(3817,24,5548283344910893*power(2.0,-50)),
-      |(3818,14,5501564627278877*power(2.0,-50)),
-      |(3819,36,5547585331269386*power(2.0,-50)),
-      |(3820,56,5536395222557218*power(2.0,-50)),
-      |(3821,50,5508998629515657*power(2.0,-50)),
-      |(3822,55,5512442752979229*power(2.0,-50)),
-      |(3823,85,5516705242287319*power(2.0,-50)),
-      |(3824,90,5510333367443698*power(2.0,-50)),
-      |(3825,87,5523467140032402*power(2.0,-50)),
-      |(3826,90,5527566326563814*power(2.0,-50)),
-      |(3827,68,5511492175534510*power(2.0,-50)),
-      |(3828,38,5680271381079448*power(2.0,-50)),
-      |(3829,65,5535904762162790*power(2.0,-50)),
-      |(3830,97,5540283528268549*power(2.0,-50)),
-      |(3831,9,5543431677777965*power(2.0,-50)),
-      |(3832,10,5510575889067450*power(2.0,-50)),
-      |(3833,10,5513131582897082*power(2.0,-50)),
-      |(3834,86,5534100254564027*power(2.0,-50)),
-      |(3835,42,5517953534190649*power(2.0,-50)),
-      |(3836,81,5508171584408324*power(2.0,-50)),
-      |(3837,56,5537584909539759*power(2.0,-50)),
-      |(3838,92,5501812575792596*power(2.0,-50)),
-      |(3839,94,5510282836069281*power(2.0,-50)),
-      |(3840,39,5514149006917109*power(2.0,-50)),
-      |(3841,53,5538435089721966*power(2.0,-50)),
-      |(3842,94,5519904927679066*power(2.0,-50)),
-      |(3843,22,5505949045027537*power(2.0,-50)),
-      |(3844,97,5516780566897984*power(2.0,-50)),
-      |(3845,26,5552784022809360*power(2.0,-50)),
-      |(3846,84,5528851563523393*power(2.0,-50)),
-      |(3847,49,5530076110965411*power(2.0,-50)),
-      |(3848,23,5506183716757427*power(2.0,-50)),
-      |(3849,22,5508952711132094*power(2.0,-50)),
-      |(3850,82,5527376241563177*power(2.0,-50)),
-      |(3851,26,5531681473574342*power(2.0,-50)),
-      |(3852,17,5528004771203341*power(2.0,-50)),
-      |(3853,56,5547204054197361*power(2.0,-50)),
-      |(3854,90,5519799278320377*power(2.0,-50)),
-      |(3855,44,5527145505150979*power(2.0,-50)),
-      |(3856,45,5555056311074711*power(2.0,-50)),
-      |(3857,82,5516730246313031*power(2.0,-50)),
-      |(3858,9,5583888919904817*power(2.0,-50)),
-      |(3859,77,5515498751581792*power(2.0,-50)),
-      |(3860,40,5514284331831981*power(2.0,-50)),
-      |(3861,96,5518936914034123*power(2.0,-50)),
-      |(3862,33,5519451835937975*power(2.0,-50)),
-      |(3863,59,5539060786282010*power(2.0,-50)),
-      |(3864,27,5488546923187399*power(2.0,-50)),
-      |(3865,9,5492536686791711*power(2.0,-50)),
-      |(3866,44,5506374289135937*power(2.0,-50)),
-      |(3867,79,5524615146171714*power(2.0,-50)),
-      |(3868,52,5534369957136650*power(2.0,-50)),
-      |(3869,73,5554437289621905*power(2.0,-50)),
-      |(3870,42,5646376378609549*power(2.0,-50)),
-      |(3871,63,5507480103361586*power(2.0,-50)),
-      |(3872,85,5532411131280907*power(2.0,-50)),
-      |(3873,24,5509885860595367*power(2.0,-50)),
-      |(3874,54,5509678767647737*power(2.0,-50)),
-      |(3875,88,5530224453315503*power(2.0,-50)),
-      |(3876,20,5529394230729141*power(2.0,-50)),
-      |(3877,92,5529112885704664*power(2.0,-50)),
-      |(3878,23,5562038878351357*power(2.0,-50)),
-      |(3879,46,5616092500543546*power(2.0,-50)),
-      |(3880,73,5530326153505632*power(2.0,-50)),
-      |(3881,88,5518555837445231*power(2.0,-50)),
-      |(3882,76,5542654167948097*power(2.0,-50)),
-      |(3883,44,5518207273320746*power(2.0,-50)),
-      |(3884,79,5515855278869818*power(2.0,-50)),
-      |(3885,44,5511036533250311*power(2.0,-50)),
-      |(3886,32,5512425068281016*power(2.0,-50)),
-      |(3887,41,5507288891220621*power(2.0,-50)),
-      |(3888,55,5524991959093163*power(2.0,-50)),
-      |(3889,13,5548872847443431*power(2.0,-50)),
-      |(3890,87,5528287697420273*power(2.0,-50)),
-      |(3891,48,5524244576800820*power(2.0,-50)),
-      |(3892,27,5508599017294180*power(2.0,-50)),
-      |(3893,82,5531469213554446*power(2.0,-50)),
-      |(3894,33,5520704800038374*power(2.0,-50)),
-      |(3895,68,5522105794054024*power(2.0,-50)),
-      |(3896,53,5621395418192372*power(2.0,-50)),
-      |(3897,41,5530286738962794*power(2.0,-50)),
-      |(3898,20,5814361079467609*power(2.0,-50)),
-      |(3899,96,5508427849237901*power(2.0,-50)),
-      |(3900,68,5589978734387673*power(2.0,-50)),
-      |(3901,70,5516561029470672*power(2.0,-50)),
-      |(3902,64,5543035673428868*power(2.0,-50)),
-      |(3903,76,5509215254562226*power(2.0,-50)),
-      |(3904,32,5508448667449181*power(2.0,-50)),
-      |(3905,20,5556798039340897*power(2.0,-50)),
-      |(3906,20,5536082321494090*power(2.0,-50)),
-      |(3907,17,5544020313373888*power(2.0,-50)),
-      |(3908,23,5501315588198995*power(2.0,-50)),
-      |(3909,13,5522377239807606*power(2.0,-50)),
-      |(3910,59,5508142170647088*power(2.0,-50)),
-      |(3911,17,5853190538657069*power(2.0,-50)),
-      |(3912,83,5520797591482080*power(2.0,-50)),
-      |(3913,34,5553835105416616*power(2.0,-50)),
-      |(3914,23,5539853383411932*power(2.0,-50)),
-      |(3915,91,5528493517875445*power(2.0,-50)),
-      |(3916,79,5519236675680015*power(2.0,-50)),
-      |(3917,37,5510723529102007*power(2.0,-50)),
-      |(3918,81,5511391167884608*power(2.0,-50)),
-      |(3919,58,5512741111652062*power(2.0,-50)),
-      |(3920,22,5549704957745919*power(2.0,-50)),
-      |(3921,82,5547061399634185*power(2.0,-50)),
-      |(3922,17,5508859417802459*power(2.0,-50)),
-      |(3923,22,5506965984070196*power(2.0,-50)),
-      |(3924,39,5508160842691520*power(2.0,-50)),
-      |(3925,39,5517073345357786*power(2.0,-50)),
-      |(3926,20,5524660317331319*power(2.0,-50)),
-      |(3927,16,5546557807552981*power(2.0,-50)),
-      |(3928,64,5520488566270865*power(2.0,-50)),
-      |(3929,76,5533409819945744*power(2.0,-50)),
-      |(3930,25,5507164773684973*power(2.0,-50)),
-      |(3931,65,5520777340064695*power(2.0,-50)),
-      |(3932,47,5515462208587484*power(2.0,-50)),
-      |(3933,79,5502842531215174*power(2.0,-50)),
-      |(3934,32,5528355616890776*power(2.0,-50)),
-      |(3935,14,5564391755531534*power(2.0,-50)),
-      |(3936,84,5517358869569371*power(2.0,-50)),
-      |(3937,76,5526632083221268*power(2.0,-50)),
-      |(3938,42,5531061774462307*power(2.0,-50)),
-      |(3939,75,5535516189599710*power(2.0,-50)),
-      |(3940,78,5521108972942004*power(2.0,-50)),
-      |(3941,63,5558023805368669*power(2.0,-50)),
-      |(3942,51,5529404758985440*power(2.0,-50)),
-      |(3943,81,5531930068777605*power(2.0,-50)),
-      |(3944,31,5535406374265042*power(2.0,-50)),
-      |(3945,17,5490152396094931*power(2.0,-50)),
-      |(3946,59,5537170885724859*power(2.0,-50)),
-      |(3947,25,5758285213584175*power(2.0,-50)),
-      |(3948,64,5514949384707636*power(2.0,-50)),
-      |(3949,23,5536760350349863*power(2.0,-50)),
-      |(3950,76,5534991793815032*power(2.0,-50)),
-      |(3951,24,5517568936277862*power(2.0,-50)),
-      |(3952,98,5513795328545185*power(2.0,-50)),
-      |(3953,74,5539290954000558*power(2.0,-50)),
-      |(3954,67,5610806183961196*power(2.0,-50)),
-      |(3955,83,5513556936729921*power(2.0,-50)),
-      |(3956,52,5513897292137687*power(2.0,-50)),
-      |(3957,61,5530723456708659*power(2.0,-50)),
-      |(3958,71,5516602386986162*power(2.0,-50)),
-      |(3959,35,5512354042868789*power(2.0,-50)),
-      |(3960,98,5538576891397975*power(2.0,-50)),
-      |(3961,68,5505846957152419*power(2.0,-50)),
-      |(3962,87,5524125011595095*power(2.0,-50)),
-      |(3963,37,5551367969468368*power(2.0,-50)),
-      |(3964,68,5514520844147016*power(2.0,-50)),
-      |(3965,74,5509341553844513*power(2.0,-50)),
-      |(3966,34,5524117426366748*power(2.0,-50)),
-      |(3967,31,5503723929083928*power(2.0,-50)),
-      |(3968,85,5527382211368268*power(2.0,-50)),
-      |(3969,11,5521674986332873*power(2.0,-50)),
-      |(3970,69,5538133156317887*power(2.0,-50)),
-      |(3971,27,5531645436288670*power(2.0,-50)),
-      |(3972,81,5509835165331868*power(2.0,-50)),
-      |(3973,89,5600210226024744*power(2.0,-50)),
-      |(3974,58,5506128005464664*power(2.0,-50)),
-      |(3975,23,5537700828174205*power(2.0,-50)),
-      |(3976,18,5538027159910948*power(2.0,-50)),
-      |(3977,48,5538492514753871*power(2.0,-50)),
-      |(3978,95,5511181333738424*power(2.0,-50)),
-      |(3979,67,5526595686315528*power(2.0,-50)),
-      |(3980,65,5517027492167398*power(2.0,-50)),
-      |(3981,72,5523600811012290*power(2.0,-50)),
-      |(3982,31,5530769512179544*power(2.0,-50)),
-      |(3983,55,5539468161811425*power(2.0,-50)),
-      |(3984,76,5511219617704454*power(2.0,-50)),
-      |(3985,22,5492396228884937*power(2.0,-50)),
-      |(3986,44,5530667316378623*power(2.0,-50)),
-      |(3987,13,5557242112507762*power(2.0,-50)),
-      |(3988,79,5536880996284328*power(2.0,-50)),
-      |(3989,17,5521920188949212*power(2.0,-50)),
-      |(3990,65,5498632935732174*power(2.0,-50)),
-      |(3991,19,5523449566926907*power(2.0,-50)),
-      |(3992,63,5526543631912833*power(2.0,-50)),
-      |(3993,32,5512187919680125*power(2.0,-50)),
-      |(3994,69,5518921765589420*power(2.0,-50)),
-      |(3995,77,5513272550265460*power(2.0,-50)),
-      |(3996,86,5500241248714155*power(2.0,-50)),
-      |(3997,17,5484708333081530*power(2.0,-50)),
-      |(3998,13,5492931457507860*power(2.0,-50)),
-      |(3999,27,5487553015910417*power(2.0,-50)),
-      |(4000,25,5519536399295855*power(2.0,-50)),
-      |(4001,78,5512708176900966*power(2.0,-50)),
-      |(4002,19,5551400198929997*power(2.0,-50)),
-      |(4003,63,5584518146504521*power(2.0,-50)),
-      |(4004,21,5511536623108929*power(2.0,-50)),
-      |(4005,33,5512133196350954*power(2.0,-50)),
-      |(4006,65,5522198709471647*power(2.0,-50)),
-      |(4007,86,5505838329889695*power(2.0,-50)),
-      |(4008,49,5544659320194507*power(2.0,-50)),
-      |(4009,47,5513470691017121*power(2.0,-50)),
-      |(4010,76,5529658910752000*power(2.0,-50)),
-      |(4011,79,5529446718499937*power(2.0,-50)),
-      |(4012,28,5525714034406473*power(2.0,-50)),
-      |(4013,24,5525961686504513*power(2.0,-50)),
-      |(4014,36,5518785044618708*power(2.0,-50)),
-      |(4015,89,5513023473590783*power(2.0,-50)),
-      |(4016,82,5591979930347990*power(2.0,-50)),
-      |(4017,63,5508222423949857*power(2.0,-50)),
-      |(4018,82,5516196744177856*power(2.0,-50)),
-      |(4019,73,5513214267220884*power(2.0,-50)),
-      |(4020,51,5553678961867339*power(2.0,-50)),
-      |(4021,97,5530131632818503*power(2.0,-50)),
-      |(4022,47,5524050178281324*power(2.0,-50)),
-      |(4023,9,5528819896254670*power(2.0,-50)),
-      |(4024,45,5532087567055509*power(2.0,-50)),
-      |(4025,61,5541334995167108*power(2.0,-50)),
-      |(4026,86,5525275596041525*power(2.0,-50)),
-      |(4027,60,5508907782660398*power(2.0,-50)),
-      |(4028,38,5515287173877101*power(2.0,-50)),
-      |(4029,72,5530909570959261*power(2.0,-50)),
-      |(4030,91,5514863503744005*power(2.0,-50)),
-      |(4031,58,5622001381855779*power(2.0,-50)),
-      |(4032,17,5514618975616944*power(2.0,-50)),
-      |(4033,53,5495701917471920*power(2.0,-50)),
-      |(4034,74,5600358856486325*power(2.0,-50)),
-      |(4035,55,5507835039474289*power(2.0,-50)),
-      |(4036,40,5516905021558260*power(2.0,-50)),
-      |(4037,62,5591705829481534*power(2.0,-50)),
-      |(4038,27,5499814741613445*power(2.0,-50)),
-      |(4039,16,5513498165966402*power(2.0,-50)),
-      |(4040,67,5535233002163227*power(2.0,-50)),
-      |(4041,9,5560226741703092*power(2.0,-50)),
-      |(4042,54,5525867248634888*power(2.0,-50)),
-      |(4043,59,5527582688149211*power(2.0,-50)),
-      |(4044,40,5536651797406701*power(2.0,-50)),
-      |(4045,25,5504834413220066*power(2.0,-50)),
-      |(4046,83,5520883474556827*power(2.0,-50)),
-      |(4047,88,5527361082837519*power(2.0,-50)),
-      |(4048,83,5517999438515660*power(2.0,-50)),
-      |(4049,96,5533272381488729*power(2.0,-50)),
-      |(4050,38,5519415191363649*power(2.0,-50)),
-      |(4051,79,5520959132782075*power(2.0,-50)),
-      |(4052,68,5533185085068110*power(2.0,-50)),
-      |(4053,33,5521937352597010*power(2.0,-50)),
-      |(4054,94,5525053946738636*power(2.0,-50)),
-      |(4055,83,5525832210277354*power(2.0,-50)),
-      |(4056,11,5520799711134128*power(2.0,-50)),
-      |(4057,34,5722472736239619*power(2.0,-50)),
-      |(4058,11,5507131094155986*power(2.0,-50)),
-      |(4059,36,5534702579126385*power(2.0,-50)),
-      |(4060,93,5541760201609674*power(2.0,-50)),
-      |(4061,83,5520531105409292*power(2.0,-50)),
-      |(4062,21,5480074186115361*power(2.0,-50)),
-      |(4063,76,5535911703881720*power(2.0,-50)),
-      |(4064,15,5551600313151373*power(2.0,-50)),
-      |(4065,50,5653281674779233*power(2.0,-50)),
-      |(4066,71,5531682322453890*power(2.0,-50)),
-      |(4067,75,5535481433487944*power(2.0,-50)),
-      |(4068,77,5520100767522672*power(2.0,-50)),
-      |(4069,77,5521649710674269*power(2.0,-50)),
-      |(4070,10,5520463245692262*power(2.0,-50)),
-      |(4071,14,5525125919391378*power(2.0,-50)),
-      |(4072,11,5487555418884478*power(2.0,-50)),
-      |(4073,93,5531883683672897*power(2.0,-50)),
-      |(4074,15,5498753659103968*power(2.0,-50)),
-      |(4075,48,5513202565499429*power(2.0,-50)),
-      |(4076,31,5518588554476079*power(2.0,-50)),
-      |(4077,81,5524175556486895*power(2.0,-50)),
-      |(4078,54,5528115910267895*power(2.0,-50)),
-      |(4079,96,5515587738649435*power(2.0,-50)),
-      |(4080,91,5515357010576187*power(2.0,-50)),
-      |(4081,70,5533854966734240*power(2.0,-50)),
-      |(4082,76,5520764994402459*power(2.0,-50)),
-      |(4083,45,5532699136769825*power(2.0,-50)),
-      |(4084,9,5519067384105035*power(2.0,-50)),
-      |(4085,40,5538271007833864*power(2.0,-50)),
-      |(4086,69,5530579136705296*power(2.0,-50)),
-      |(4087,67,5525551340158289*power(2.0,-50)),
-      |(4088,29,5532423107475277*power(2.0,-50)),
-      |(4089,42,5496075848246423*power(2.0,-50)),
-      |(4090,85,5508618294724192*power(2.0,-50)),
-      |(4091,81,5502699151611161*power(2.0,-50)),
-      |(4092,83,5579860715040052*power(2.0,-50)),
-      |(4093,54,5526935092631927*power(2.0,-50)),
-      |(4094,69,5511258030026679*power(2.0,-50)),
-      |(4095,88,5576461792118758*power(2.0,-50)),
-      |(4096,9,5455272375435276*power(2.0,-50)),
-      |(4097,69,5517510987323844*power(2.0,-50)),
-      |(4098,94,5509816405761020*power(2.0,-50)),
-      |(4099,73,5610653187855889*power(2.0,-50)),
-      |(4100,90,5511965814956309*power(2.0,-50)),
-      |(4101,49,5538428846969576*power(2.0,-50)),
-      |(4102,9,5532468868179331*power(2.0,-50)),
-      |(4103,63,5537854725749248*power(2.0,-50)),
-      |(4104,47,5528402411120896*power(2.0,-50)),
-      |(4105,28,5526407248062718*power(2.0,-50)),
-      |(4106,19,5499385070004047*power(2.0,-50)),
-      |(4107,39,5518231195057831*power(2.0,-50)),
-      |(4108,71,5516881897566567*power(2.0,-50)),
-      |(4109,10,5544915905537625*power(2.0,-50)),
-      |(4110,20,5565623239272113*power(2.0,-50)),
-      |(4111,91,5542098109050637*power(2.0,-50)),
-      |(4112,75,5526707375601058*power(2.0,-50)),
-      |(4113,74,5518340626772188*power(2.0,-50)),
-      |(4114,20,5531107796465014*power(2.0,-50)),
-      |(4115,38,5480212047997414*power(2.0,-50)),
-      |(4116,19,5529206217849843*power(2.0,-50)),
-      |(4117,67,5528655091965395*power(2.0,-50)),
-      |(4118,17,5506334076506504*power(2.0,-50)),
-      |(4119,20,5512457962878112*power(2.0,-50)),
-      |(4120,80,5509409213888486*power(2.0,-50)),
-      |(4121,52,5507844218990849*power(2.0,-50)),
-      |(4122,42,5526221421165867*power(2.0,-50)),
-      |(4123,53,5540875798347123*power(2.0,-50)),
-      |(4124,55,5520379374865529*power(2.0,-50)),
-      |(4125,47,5520398930683056*power(2.0,-50)),
-      |(4126,22,5518572417567248*power(2.0,-50)),
-      |(4127,97,5529790609074249*power(2.0,-50)),
-      |(4128,79,5527587331163732*power(2.0,-50)),
-      |(4129,46,5642560224852465*power(2.0,-50)),
-      |(4130,33,5522367637232351*power(2.0,-50)),
-      |(4131,12,5523404770770637*power(2.0,-50)),
-      |(4132,45,5648784657776743*power(2.0,-50)),
-      |(4133,37,5521571292016670*power(2.0,-50)),
-      |(4134,95,5521507388072174*power(2.0,-50)),
-      |(4135,80,5517839530930551*power(2.0,-50)),
-      |(4136,65,5527799725133926*power(2.0,-50)),
-      |(4137,38,5501870392744648*power(2.0,-50)),
-      |(4138,50,5522051468392173*power(2.0,-50)),
-      |(4139,85,5538928258824618*power(2.0,-50)),
-      |(4140,70,5542531989485690*power(2.0,-50)),
-      |(4141,45,5538656381704053*power(2.0,-50)),
-      |(4142,18,5570784729560595*power(2.0,-50)),
-      |(4143,51,5536480288658338*power(2.0,-50)),
-      |(4144,10,5524229985956449*power(2.0,-50)),
-      |(4145,33,5540471310624258*power(2.0,-50)),
-      |(4146,98,5519929761980101*power(2.0,-50)),
-      |(4147,31,5503800421383008*power(2.0,-50)),
-      |(4148,51,5517971949951129*power(2.0,-50)),
-      |(4149,73,5543360662339563*power(2.0,-50)),
-      |(4150,13,5533519801028674*power(2.0,-50)),
-      |(4151,77,5519971088956852*power(2.0,-50)),
-      |(4152,33,5531608430358364*power(2.0,-50)),
-      |(4153,62,5513772440458368*power(2.0,-50)),
-      |(4154,51,5518813132763673*power(2.0,-50)),
-      |(4155,75,5524033043424794*power(2.0,-50)),
-      |(4156,75,5531591330259808*power(2.0,-50)),
-      |(4157,88,5520194131646777*power(2.0,-50)),
-      |(4158,17,5525173908443368*power(2.0,-50)),
-      |(4159,33,5516851059316756*power(2.0,-50)),
-      |(4160,73,5520694660924201*power(2.0,-50)),
-      |(4161,66,5525218675159785*power(2.0,-50)),
-      |(4162,12,5543542135412157*power(2.0,-50)),
-      |(4163,94,5524075605030486*power(2.0,-50)),
-      |(4164,14,5887753471975666*power(2.0,-50)),
-      |(4165,70,5503905147965225*power(2.0,-50)),
-      |(4166,92,5521506040128194*power(2.0,-50)),
-      |(4167,21,5518504749973948*power(2.0,-50)),
-      |(4168,88,5524484378044126*power(2.0,-50)),
-      |(4169,21,5493819817983575*power(2.0,-50)),
-      |(4170,35,5494279381164133*power(2.0,-50)),
-      |(4171,33,5519576612436554*power(2.0,-50)),
-      |(4172,77,5500101416770326*power(2.0,-50)),
-      |(4173,48,5523285898173473*power(2.0,-50)),
-      |(4174,30,5531466851757225*power(2.0,-50)),
-      |(4175,26,5528216054482484*power(2.0,-50)),
-      |(4176,76,5514217741430385*power(2.0,-50)),
-      |(4177,45,5529756858925214*power(2.0,-50)),
-      |(4178,71,5515997472687118*power(2.0,-50)),
-      |(4179,33,5547130817733441*power(2.0,-50)),
-      |(4180,62,5507546187452893*power(2.0,-50)),
-      |(4181,87,5521183904594355*power(2.0,-50)),
-      |(4182,39,5510996192640345*power(2.0,-50)),
-      |(4183,16,5510404525222444*power(2.0,-50)),
-      |(4184,35,5486663433401985*power(2.0,-50)),
-      |(4185,11,5547398526735735*power(2.0,-50)),
-      |(4186,21,5540247808341291*power(2.0,-50)),
-      |(4187,31,5536458403859021*power(2.0,-50)),
-      |(4188,86,5513909216703310*power(2.0,-50)),
-      |(4189,40,5695184896065989*power(2.0,-50)),
-      |(4190,69,5531730965293350*power(2.0,-50)),
-      |(4191,30,5548795722900227*power(2.0,-50)),
-      |(4192,27,5545103365151106*power(2.0,-50)),
-      |(4193,74,5519492876898019*power(2.0,-50)),
-      |(4194,54,5547409780490063*power(2.0,-50)),
-      |(4195,82,5519338219917012*power(2.0,-50)),
-      |(4196,31,5533894644001436*power(2.0,-50)),
-      |(4197,64,5520466931400330*power(2.0,-50)),
-      |(4198,71,5536974986760637*power(2.0,-50)),
-      |(4199,76,5584115619150406*power(2.0,-50)),
-      |(4200,89,5514272481884352*power(2.0,-50)),
-      |(4201,90,5517140921936864*power(2.0,-50)),
-      |(4202,12,5574970422613421*power(2.0,-50)),
-      |(4203,27,5535804202203324*power(2.0,-50)),
-      |(4204,45,5526238516052759*power(2.0,-50)),
-      |(4205,57,5519733360573312*power(2.0,-50)),
-      |(4206,38,5525215949136235*power(2.0,-50)),
-      |(4207,85,5520101725850838*power(2.0,-50)),
-      |(4208,42,5520431270095441*power(2.0,-50)),
-      |(4209,78,5516044138256788*power(2.0,-50)),
-      |(4210,46,5493842539470895*power(2.0,-50)),
-      |(4211,53,5536983696880391*power(2.0,-50)),
-      |(4212,29,5536354923907402*power(2.0,-50)),
-      |(4213,66,5520000328773067*power(2.0,-50)),
-      |(4214,51,5525930708825950*power(2.0,-50)),
-      |(4215,47,5481949035908359*power(2.0,-50)),
-      |(4216,13,5524324019668510*power(2.0,-50)),
-      |(4217,70,5525984206382563*power(2.0,-50)),
-      |(4218,41,5511168115723116*power(2.0,-50)),
-      |(4219,79,5514026298510366*power(2.0,-50)),
-      |(4220,55,5529303151878649*power(2.0,-50)),
-      |(4221,98,5524656696542505*power(2.0,-50)),
-      |(4222,64,5523067589520867*power(2.0,-50)),
-      |(4223,79,5512776551037806*power(2.0,-50)),
-      |(4224,63,5518416963716842*power(2.0,-50)),
-      |(4225,56,5509557359066165*power(2.0,-50)),
-      |(4226,98,5508866293620411*power(2.0,-50)),
-      |(4227,9,5597210976070789*power(2.0,-50)),
-      |(4228,76,5516325083516863*power(2.0,-50)),
-      |(4229,74,5519452340872278*power(2.0,-50)),
-      |(4230,62,5510412883868614*power(2.0,-50)),
-      |(4231,93,5542186957746898*power(2.0,-50)),
-      |(4232,36,5533646520889272*power(2.0,-50)),
-      |(4233,32,5533838302372126*power(2.0,-50)),
-      |(4234,93,5529323034652178*power(2.0,-50)),
-      |(4235,72,5515372591264090*power(2.0,-50)),
-      |(4236,49,5515803603052589*power(2.0,-50)),
-      |(4237,10,5542125169747918*power(2.0,-50)),
-      |(4238,28,5537316418580754*power(2.0,-50)),
-      |(4239,34,5501890562308823*power(2.0,-50)),
-      |(4240,75,5523021423070188*power(2.0,-50)),
-      |(4241,13,5541162887711764*power(2.0,-50)),
-      |(4242,98,5523737513702088*power(2.0,-50)),
-      |(4243,31,5532722487716630*power(2.0,-50)),
-      |(4244,38,5510102255293930*power(2.0,-50)),
-      |(4245,65,5511123153841274*power(2.0,-50)),
-      |(4246,31,5681443219436988*power(2.0,-50)),
-      |(4247,35,5531192105949693*power(2.0,-50)),
-      |(4248,64,5509326871300412*power(2.0,-50)),
-      |(4249,18,5580137068503801*power(2.0,-50)),
-      |(4250,18,5538284759870236*power(2.0,-50)),
-      |(4251,81,5533143530953026*power(2.0,-50)),
-      |(4252,27,5532548653538552*power(2.0,-50)),
-      |(4253,58,5512965059657699*power(2.0,-50)),
-      |(4254,20,5546099123977598*power(2.0,-50)),
-      |(4255,73,5516608664166585*power(2.0,-50)),
-      |(4256,77,5529839955445556*power(2.0,-50)),
-      |(4257,34,5505131712651228*power(2.0,-50)),
-      |(4258,38,5523306912450567*power(2.0,-50)),
-      |(4259,24,5524969280712789*power(2.0,-50)),
-      |(4260,15,5506175022607574*power(2.0,-50)),
-      |(4261,96,5516805445004304*power(2.0,-50)),
-      |(4262,59,5523914905257680*power(2.0,-50)),
-      |(4263,36,5535388984689993*power(2.0,-50)),
-      |(4264,22,5534121622924713*power(2.0,-50)),
-      |(4265,87,5523148859126291*power(2.0,-50)),
-      |(4266,72,5525927332452487*power(2.0,-50)),
-      |(4267,66,5521891437893294*power(2.0,-50)),
-      |(4268,65,5526740899324006*power(2.0,-50)),
-      |(4269,64,5504564071203568*power(2.0,-50)),
-      |(4270,80,5516518140402017*power(2.0,-50)),
-      |(4271,38,5514834534133213*power(2.0,-50)),
-      |(4272,23,5529300186766045*power(2.0,-50)),
-      |(4273,42,5516629893440848*power(2.0,-50)),
-      |(4274,60,5534263722682814*power(2.0,-50)),
-      |(4275,60,5521204129236667*power(2.0,-50)),
-      |(4276,40,5508004734907569*power(2.0,-50)),
-      |(4277,93,5529306510530746*power(2.0,-50)),
-      |(4278,18,5792353208955164*power(2.0,-50)),
-      |(4279,29,5503752538681388*power(2.0,-50)),
-      |(4280,47,5532064226742331*power(2.0,-50)),
-      |(4281,88,5517717702953787*power(2.0,-50)),
-      |(4282,28,5515876765075403*power(2.0,-50)),
-      |(4283,27,5510522760056149*power(2.0,-50)),
-      |(4284,97,5526310778467373*power(2.0,-50)),
-      |(4285,67,5529622836376378*power(2.0,-50)),
-      |(4286,19,5495070369265697*power(2.0,-50)),
-      |(4287,11,5532582489474304*power(2.0,-50)),
-      |(4288,20,5532156711018558*power(2.0,-50)),
-      |(4289,44,5532615919756763*power(2.0,-50)),
-      |(4290,92,5527294399553173*power(2.0,-50)),
-      |(4291,23,5520120902943922*power(2.0,-50)),
-      |(4292,21,5518121171189858*power(2.0,-50)),
-      |(4293,21,5502246802264763*power(2.0,-50)),
-      |(4294,38,5541523687334781*power(2.0,-50)),
-      |(4295,57,5504704709834008*power(2.0,-50)),
-      |(4296,42,5531397165686463*power(2.0,-50)),
-      |(4297,71,5533680055132898*power(2.0,-50)),
-      |(4298,61,5508433464049783*power(2.0,-50)),
-      |(4299,47,5514400404745114*power(2.0,-50)),
-      |(4300,56,5530868406827211*power(2.0,-50)),
-      |(4301,16,5534676566544561*power(2.0,-50)),
-      |(4302,79,5527396410038079*power(2.0,-50)),
-      |(4303,74,5530933736208660*power(2.0,-50)),
-      |(4304,76,5543380647451693*power(2.0,-50)),
-      |(4305,45,5530544439399026*power(2.0,-50)),
-      |(4306,16,5489066904779600*power(2.0,-50)),
-      |(4307,78,5515777655000674*power(2.0,-50)),
-      |(4308,93,5537156869324263*power(2.0,-50)),
-      |(4309,86,5529732598930422*power(2.0,-50)),
-      |(4310,58,5529859947553059*power(2.0,-50)),
-      |(4311,71,5517948690935365*power(2.0,-50)),
-      |(4312,92,5530553668716058*power(2.0,-50)),
-      |(4313,71,5545422318089482*power(2.0,-50)),
-      |(4314,45,5543000184195624*power(2.0,-50)),
-      |(4315,33,5488185793940589*power(2.0,-50)),
-      |(4316,48,5527002835903860*power(2.0,-50)),
-      |(4317,80,5518348861942778*power(2.0,-50)),
-      |(4318,66,5505982917805918*power(2.0,-50)),
-      |(4319,70,5519176316128597*power(2.0,-50)),
-      |(4320,97,5533773437321854*power(2.0,-50)),
-      |(4321,89,5513535930057930*power(2.0,-50)),
-      |(4322,89,5521639646943640*power(2.0,-50)),
-      |(4323,39,5540300002409232*power(2.0,-50)),
-      |(4324,70,5536558860394352*power(2.0,-50)),
-      |(4325,15,5484741707403671*power(2.0,-50)),
-      |(4326,24,5499620444314177*power(2.0,-50)),
-      |(4327,51,5533086717420296*power(2.0,-50)),
-      |(4328,57,5527721752391458*power(2.0,-50)),
-      |(4329,37,5524366020852650*power(2.0,-50)),
-      |(4330,27,5524359053500830*power(2.0,-50)),
-      |(4331,18,5527121662013516*power(2.0,-50)),
-      |(4332,37,5532489444382320*power(2.0,-50)),
-      |(4333,49,5517211018299662*power(2.0,-50)),
-      |(4334,38,5508723834299277*power(2.0,-50)),
-      |(4335,93,5538499559263592*power(2.0,-50)),
-      |(4336,70,5527430040937509*power(2.0,-50)),
-      |(4337,23,5749981720324305*power(2.0,-50)),
-      |(4338,27,5506374569079543*power(2.0,-50)),
-      |(4339,43,5542114747836428*power(2.0,-50)),
-      |(4340,55,5528683950612173*power(2.0,-50)),
-      |(4341,51,5511007046939285*power(2.0,-50)),
-      |(4342,50,5531525928352132*power(2.0,-50)),
-      |(4343,42,5639396865568113*power(2.0,-50)),
-      |(4344,78,5522930108574805*power(2.0,-50)),
-      |(4345,47,5527502279162734*power(2.0,-50)),
-      |(4346,23,5517564827950543*power(2.0,-50)),
-      |(4347,71,5523997879658550*power(2.0,-50)),
-      |(4348,65,5539294769231242*power(2.0,-50)),
-      |(4349,89,5515415038458835*power(2.0,-50)),
-      |(4350,35,5515021828243281*power(2.0,-50)),
-      |(4351,93,5526236296613381*power(2.0,-50)),
-      |(4352,60,5524624424623246*power(2.0,-50)),
-      |(4353,88,5529570443257480*power(2.0,-50)),
-      |(4354,93,5508228342173636*power(2.0,-50)),
-      |(4355,11,5528959030070068*power(2.0,-50)),
-      |(4356,85,5512645385943531*power(2.0,-50)),
-      |(4357,71,5515649059716481*power(2.0,-50)),
-      |(4358,9,5534082053358133*power(2.0,-50)),
-      |(4359,84,5514454151205109*power(2.0,-50)),
-      |(4360,97,5522208861622676*power(2.0,-50)),
-      |(4361,25,5566048330274782*power(2.0,-50)),
-      |(4362,79,5520129526573902*power(2.0,-50)),
-      |(4363,19,5518180015932664*power(2.0,-50)),
-      |(4364,74,5506939641494639*power(2.0,-50)),
-      |(4365,34,5520969771825783*power(2.0,-50)),
-      |(4366,29,5534835385203164*power(2.0,-50)),
-      |(4367,32,5542595664880499*power(2.0,-50)),
-      |(4368,9,5560092794608908*power(2.0,-50)),
-      |(4369,10,5528500586927382*power(2.0,-50)),
-      |(4370,35,5536455008230329*power(2.0,-50)),
-      |(4371,91,5519015265244933*power(2.0,-50)),
-      |(4372,59,5511913222683134*power(2.0,-50)),
-      |(4373,11,5495290755816381*power(2.0,-50)),
-      |(4374,17,5539674780523713*power(2.0,-50)),
-      |(4375,21,5498677886367674*power(2.0,-50)),
-      |(4376,84,5532277112185205*power(2.0,-50)),
-      |(4377,37,5522489094232717*power(2.0,-50)),
-      |(4378,92,5513349117658130*power(2.0,-50)),
-      |(4379,72,5530629817938923*power(2.0,-50)),
-      |(4380,59,5530011699246465*power(2.0,-50)),
-      |(4381,82,5508246879606114*power(2.0,-50)),
-      |(4382,46,5547938634211065*power(2.0,-50)),
-      |(4383,97,5523368990630017*power(2.0,-50)),
-      |(4384,59,5537770882689382*power(2.0,-50)),
-      |(4385,84,5587093136230550*power(2.0,-50)),
-      |(4386,89,5534388640744955*power(2.0,-50)),
-      |(4387,20,5537260985747178*power(2.0,-50)),
-      |(4388,66,5530268292538169*power(2.0,-50)),
-      |(4389,73,5513188171917913*power(2.0,-50)),
-      |(4390,43,5514448295677530*power(2.0,-50)),
-      |(4391,88,5591955229434650*power(2.0,-50)),
-      |(4392,72,5520688369091220*power(2.0,-50)),
-      |(4393,34,5532847574896984*power(2.0,-50)),
-      |(4394,89,5528323528646140*power(2.0,-50)),
-      |(4395,40,5509719899410507*power(2.0,-50)),
-      |(4396,67,5533828207921012*power(2.0,-50)),
-      |(4397,88,5508928018654427*power(2.0,-50)),
-      |(4398,97,5509095437472273*power(2.0,-50)),
-      |(4399,22,5502722942833721*power(2.0,-50)),
-      |(4400,39,5491616835052747*power(2.0,-50)),
-      |(4401,44,5542409535311196*power(2.0,-50)),
-      |(4402,96,5537904383718265*power(2.0,-50)),
-      |(4403,96,5520611654352983*power(2.0,-50)),
-      |(4404,78,5507198532768487*power(2.0,-50)),
-      |(4405,24,5548367135300965*power(2.0,-50)),
-      |(4406,17,5544742476571890*power(2.0,-50)),
-      |(4407,77,5526667130515838*power(2.0,-50)),
-      |(4408,38,5539336451172919*power(2.0,-50)),
-      |(4409,64,5537405311619196*power(2.0,-50)),
-      |(4410,67,5517823802649654*power(2.0,-50)),
-      |(4411,50,5522762909105464*power(2.0,-50)),
-      |(4412,55,5522320086324911*power(2.0,-50)),
-      |(4413,27,5529706825919567*power(2.0,-50)),
-      |(4414,59,5532493223293835*power(2.0,-50)),
-      |(4415,16,5525062435915125*power(2.0,-50)),
-      |(4416,40,5523425917217681*power(2.0,-50)),
-      |(4417,80,5510088494898340*power(2.0,-50)),
-      |(4418,71,5509481623055787*power(2.0,-50)),
-      |(4419,34,5507831848541456*power(2.0,-50)),
-      |(4420,38,5525460700957990*power(2.0,-50)),
-      |(4421,56,5525540445272425*power(2.0,-50)),""".stripMargin,
-    """(4422,34,5548490009062777*power(2.0,-50)),
-      |(4423,92,5524678428756405*power(2.0,-50)),
-      |(4424,72,5534347265269161*power(2.0,-50)),
-      |(4425,57,5551212269388217*power(2.0,-50)),
-      |(4426,62,5536475430747328*power(2.0,-50)),
-      |(4427,78,5532307349751598*power(2.0,-50)),
-      |(4428,48,5503956503013771*power(2.0,-50)),
-      |(4429,66,5535086581270752*power(2.0,-50)),
-      |(4430,99,5580138391292797*power(2.0,-50)),
-      |(4431,81,5520981987054316*power(2.0,-50)),
-      |(4432,76,5535744742749324*power(2.0,-50)),
-      |(4433,28,5539959344843695*power(2.0,-50)),
-      |(4434,28,5537783140641665*power(2.0,-50)),
-      |(4435,81,5515268179824317*power(2.0,-50)),
-      |(4436,92,5526408257650634*power(2.0,-50)),
-      |(4437,61,5524031419964905*power(2.0,-50)),
-      |(4438,38,5665697568163213*power(2.0,-50)),
-      |(4439,29,5504964170650443*power(2.0,-50)),
-      |(4440,97,5531393292216169*power(2.0,-50)),
-      |(4441,13,5509566931913866*power(2.0,-50)),
-      |(4442,36,5523695188806761*power(2.0,-50)),
-      |(4443,47,5535412316184571*power(2.0,-50)),
-      |(4444,35,5532163905233243*power(2.0,-50)),
-      |(4445,77,5520761568892926*power(2.0,-50)),
-      |(4446,53,5513985519846687*power(2.0,-50)),
-      |(4447,43,5528868499555487*power(2.0,-50)),
-      |(4448,29,5513140819627510*power(2.0,-50)),
-      |(4449,12,5551170463069147*power(2.0,-50)),
-      |(4450,25,5579768240770931*power(2.0,-50)),
-      |(4451,37,5540722072036701*power(2.0,-50)),
-      |(4452,71,5540803640431210*power(2.0,-50)),
-      |(4453,78,5534628994636424*power(2.0,-50)),
-      |(4454,11,5544930616204367*power(2.0,-50)),
-      |(4455,64,5591660834789067*power(2.0,-50)),
-      |(4456,64,5514750873058658*power(2.0,-50)),
-      |(4457,71,5537229119675111*power(2.0,-50)),
-      |(4458,56,5520264084638944*power(2.0,-50)),
-      |(4459,84,5517153056882712*power(2.0,-50)),
-      |(4460,72,5581102924578230*power(2.0,-50)),
-      |(4461,30,5525898888619174*power(2.0,-50)),
-      |(4462,39,5514251399081806*power(2.0,-50)),
-      |(4463,61,5529714321116267*power(2.0,-50)),
-      |(4464,97,5526315061844280*power(2.0,-50)),
-      |(4465,27,5535262465000102*power(2.0,-50)),
-      |(4466,82,5514675376286805*power(2.0,-50)),
-      |(4467,81,5538498370612945*power(2.0,-50)),
-      |(4468,68,5525014570498248*power(2.0,-50)),
-      |(4469,10,5473725807162227*power(2.0,-50)),
-      |(4470,33,5547937825922305*power(2.0,-50)),
-      |(4471,40,5523360489253848*power(2.0,-50)),
-      |(4472,27,5509159387805568*power(2.0,-50)),
-      |(4473,51,5539433988674864*power(2.0,-50)),
-      |(4474,20,5539079366908984*power(2.0,-50)),
-      |(4475,31,5523440871651947*power(2.0,-50)),
-      |(4476,28,5494134039005465*power(2.0,-50)),
-      |(4477,80,5535186275766397*power(2.0,-50)),
-      |(4478,90,5517702682873458*power(2.0,-50)),
-      |(4479,23,5513573979642796*power(2.0,-50)),
-      |(4480,36,5532502419970990*power(2.0,-50)),
-      |(4481,20,5512821566298723*power(2.0,-50)),
-      |(4482,22,5504528001224759*power(2.0,-50)),
-      |(4483,91,5522507958285259*power(2.0,-50)),
-      |(4484,37,5535743474724775*power(2.0,-50)),
-      |(4485,56,5515748048940064*power(2.0,-50)),
-      |(4486,77,5535975005694425*power(2.0,-50)),
-      |(4487,71,5503326343480344*power(2.0,-50)),
-      |(4488,50,5523470495897773*power(2.0,-50)),
-      |(4489,44,5511406272670889*power(2.0,-50)),
-      |(4490,26,5502294558478679*power(2.0,-50)),
-      |(4491,64,5542585882505978*power(2.0,-50)),
-      |(4492,88,5514511352072775*power(2.0,-50)),
-      |(4493,44,5536769770139020*power(2.0,-50)),
-      |(4494,19,5527344728255415*power(2.0,-50)),
-      |(4495,68,5526406449570936*power(2.0,-50)),
-      |(4496,95,5523294702432119*power(2.0,-50)),
-      |(4497,48,5524355608305662*power(2.0,-50)),
-      |(4498,61,5540770657182371*power(2.0,-50)),
-      |(4499,15,5506529390712322*power(2.0,-50)),
-      |(4500,79,5522546338582357*power(2.0,-50)),
-      |(4501,61,5543896563685169*power(2.0,-50)),
-      |(4502,9,5525933410258234*power(2.0,-50)),
-      |(4503,18,5517117972838006*power(2.0,-50)),
-      |(4504,25,5536191300639684*power(2.0,-50)),
-      |(4505,46,5537253584711353*power(2.0,-50)),
-      |(4506,17,5534530426506088*power(2.0,-50)),
-      |(4507,48,5507155548241334*power(2.0,-50)),
-      |(4508,50,5556885015387588*power(2.0,-50)),
-      |(4509,56,5528190328099312*power(2.0,-50)),
-      |(4510,32,5538115927745978*power(2.0,-50)),
-      |(4511,48,5521264579310411*power(2.0,-50)),
-      |(4512,44,5497731047321183*power(2.0,-50)),
-      |(4513,91,5529823468219526*power(2.0,-50)),
-      |(4514,48,5528952646972251*power(2.0,-50)),
-      |(4515,26,5516187208898349*power(2.0,-50)),
-      |(4516,26,5525800194919033*power(2.0,-50)),
-      |(4517,34,5512687029550141*power(2.0,-50)),
-      |(4518,78,5529870611813701*power(2.0,-50)),
-      |(4519,19,5529092025794734*power(2.0,-50)),
-      |(4520,94,5521311500468984*power(2.0,-50)),
-      |(4521,35,5509477581193093*power(2.0,-50)),
-      |(4522,76,5523961248813310*power(2.0,-50)),
-      |(4523,48,5542705064296769*power(2.0,-50)),
-      |(4524,91,5524311607067727*power(2.0,-50)),
-      |(4525,34,5484601222044637*power(2.0,-50)),
-      |(4526,79,5535845365433706*power(2.0,-50)),
-      |(4527,39,5512129814941777*power(2.0,-50)),
-      |(4528,76,5521604184083131*power(2.0,-50)),
-      |(4529,44,5504725518216954*power(2.0,-50)),
-      |(4530,38,5509673938125623*power(2.0,-50)),
-      |(4531,67,5533513503726954*power(2.0,-50)),
-      |(4532,85,5517676971378110*power(2.0,-50)),
-      |(4533,58,5537551947688642*power(2.0,-50)),
-      |(4534,44,5533268359145391*power(2.0,-50)),
-      |(4535,12,5524894577554858*power(2.0,-50)),
-      |(4536,87,5523965309565364*power(2.0,-50)),
-      |(4537,36,5519646604353444*power(2.0,-50)),
-      |(4538,52,5521087373925212*power(2.0,-50)),
-      |(4539,32,5527875787353020*power(2.0,-50)),
-      |(4540,13,5507722200885951*power(2.0,-50)),
-      |(4541,79,5528846775785276*power(2.0,-50)),
-      |(4542,96,5517701648613704*power(2.0,-50)),
-      |(4543,39,5536501081729104*power(2.0,-50)),
-      |(4544,65,5523223410367881*power(2.0,-50)),
-      |(4545,86,5523600866748783*power(2.0,-50)),
-      |(4546,26,5534802652556287*power(2.0,-50)),
-      |(4547,27,5511132241975925*power(2.0,-50)),
-      |(4548,35,5529832250851927*power(2.0,-50)),
-      |(4549,19,5482673123643057*power(2.0,-50)),
-      |(4550,87,5518222817352972*power(2.0,-50)),
-      |(4551,23,5513046228146867*power(2.0,-50)),
-      |(4552,27,5487339321355915*power(2.0,-50)),
-      |(4553,87,5515167117031059*power(2.0,-50)),
-      |(4554,39,5521553911757922*power(2.0,-50)),
-      |(4555,43,5529640479471824*power(2.0,-50)),
-      |(4556,87,5576625940370592*power(2.0,-50)),
-      |(4557,15,5489518608900145*power(2.0,-50)),
-      |(4558,54,5523531694583895*power(2.0,-50)),
-      |(4559,48,5508018028893835*power(2.0,-50)),
-      |(4560,19,5514080714736589*power(2.0,-50)),
-      |(4561,98,5540025470291205*power(2.0,-50)),
-      |(4562,33,5507106269418468*power(2.0,-50)),
-      |(4563,62,5542442617324387*power(2.0,-50)),
-      |(4564,52,5516646037949331*power(2.0,-50)),
-      |(4565,51,5523503978691805*power(2.0,-50)),
-      |(4566,68,5485256880064231*power(2.0,-50)),
-      |(4567,39,5519392439082455*power(2.0,-50)),
-      |(4568,18,5514143639380409*power(2.0,-50)),
-      |(4569,78,5514971000956530*power(2.0,-50)),
-      |(4570,37,5550122850229776*power(2.0,-50)),
-      |(4571,12,5555160179472355*power(2.0,-50)),
-      |(4572,51,5503319269900580*power(2.0,-50)),
-      |(4573,9,5506801809000744*power(2.0,-50)),
-      |(4574,28,5508632140713269*power(2.0,-50)),
-      |(4575,33,5526242695791370*power(2.0,-50)),
-      |(4576,13,5897443420534571*power(2.0,-50)),
-      |(4577,31,5512583889306557*power(2.0,-50)),
-      |(4578,66,5534981018951479*power(2.0,-50)),
-      |(4579,49,5528167276929157*power(2.0,-50)),
-      |(4580,17,5478622575385482*power(2.0,-50)),
-      |(4581,63,5528976606639695*power(2.0,-50)),
-      |(4582,39,5494222349543026*power(2.0,-50)),
-      |(4583,79,5533667817050412*power(2.0,-50)),
-      |(4584,39,5512542213461874*power(2.0,-50)),
-      |(4585,96,5524654807136929*power(2.0,-50)),
-      |(4586,30,5511335455826500*power(2.0,-50)),
-      |(4587,39,5517535007152974*power(2.0,-50)),
-      |(4588,53,5513103173306588*power(2.0,-50)),
-      |(4589,97,5525287654526536*power(2.0,-50)),
-      |(4590,92,5526902963272419*power(2.0,-50)),
-      |(4591,92,5513009833232591*power(2.0,-50)),
-      |(4592,20,5527742348899214*power(2.0,-50)),
-      |(4593,25,5531578764447438*power(2.0,-50)),
-      |(4594,85,5532505731801866*power(2.0,-50)),
-      |(4595,93,5523392948853083*power(2.0,-50)),
-      |(4596,64,5583927319332114*power(2.0,-50)),
-      |(4597,72,5509481528270706*power(2.0,-50)),
-      |(4598,60,5515621576702953*power(2.0,-50)),
-      |(4599,10,5535433784766356*power(2.0,-50)),
-      |(4600,49,5515051980328381*power(2.0,-50)),
-      |(4601,65,5525284990841200*power(2.0,-50)),
-      |(4602,59,5534082676352868*power(2.0,-50)),
-      |(4603,76,5519707962120457*power(2.0,-50)),
-      |(4604,46,5524772492502960*power(2.0,-50)),
-      |(4605,10,5498303774673663*power(2.0,-50)),
-      |(4606,86,5524627913051397*power(2.0,-50)),
-      |(4607,60,5512543458125741*power(2.0,-50)),
-      |(4608,14,5521971321818408*power(2.0,-50)),
-      |(4609,61,5525085752647025*power(2.0,-50)),
-      |(4610,30,5536974186047061*power(2.0,-50)),
-      |(4611,93,5528382233874639*power(2.0,-50)),
-      |(4612,45,5549746716699247*power(2.0,-50)),
-      |(4613,14,5503290255481632*power(2.0,-50)),
-      |(4614,72,5534544963771420*power(2.0,-50)),
-      |(4615,56,5528583989612368*power(2.0,-50)),
-      |(4616,39,5576379614581317*power(2.0,-50)),
-      |(4617,34,5548458944213402*power(2.0,-50)),
-      |(4618,42,5516296918804810*power(2.0,-50)),
-      |(4619,69,5503399145934962*power(2.0,-50)),
-      |(4620,44,5523903843435284*power(2.0,-50)),
-      |(4621,90,5518966696330382*power(2.0,-50)),
-      |(4622,10,5507349547392038*power(2.0,-50)),
-      |(4623,48,5538032433643055*power(2.0,-50)),
-      |(4624,61,5519541985053139*power(2.0,-50)),
-      |(4625,65,5525015807953099*power(2.0,-50)),
-      |(4626,58,5502510244285433*power(2.0,-50)),
-      |(4627,44,5540902322082380*power(2.0,-50)),
-      |(4628,20,5543850265096124*power(2.0,-50)),
-      |(4629,23,5507163791008967*power(2.0,-50)),
-      |(4630,17,5522564409433430*power(2.0,-50)),
-      |(4631,17,5546395697696958*power(2.0,-50)),
-      |(4632,65,5529483412836236*power(2.0,-50)),
-      |(4633,65,5523159457519886*power(2.0,-50)),
-      |(4634,96,5518525926927033*power(2.0,-50)),
-      |(4635,81,5514040400624867*power(2.0,-50)),
-      |(4636,54,5527559534814561*power(2.0,-50)),
-      |(4637,78,5524258081638683*power(2.0,-50)),
-      |(4638,40,5531789244776307*power(2.0,-50)),
-      |(4639,41,5523342847375635*power(2.0,-50)),
-      |(4640,22,5505767084867511*power(2.0,-50)),
-      |(4641,42,5527467376522709*power(2.0,-50)),
-      |(4642,83,5512920802067333*power(2.0,-50)),
-      |(4643,17,5504296196876902*power(2.0,-50)),
-      |(4644,30,5564640441001133*power(2.0,-50)),
-      |(4645,86,5541652222212639*power(2.0,-50)),
-      |(4646,68,5527815304880575*power(2.0,-50)),
-      |(4647,71,5531160942135807*power(2.0,-50)),
-      |(4648,77,5526043787023726*power(2.0,-50)),
-      |(4649,98,5531128815803469*power(2.0,-50)),
-      |(4650,47,5494949877139724*power(2.0,-50)),
-      |(4651,68,5515169964855633*power(2.0,-50)),
-      |(4652,91,5510061915724062*power(2.0,-50)),
-      |(4653,79,5533210124804666*power(2.0,-50)),
-      |(4654,21,5466447593485253*power(2.0,-50)),
-      |(4655,29,5513997160323750*power(2.0,-50)),
-      |(4656,44,5512600539642652*power(2.0,-50)),
-      |(4657,77,5535247902504267*power(2.0,-50)),
-      |(4658,21,5506591163365225*power(2.0,-50)),
-      |(4659,66,5502028065414512*power(2.0,-50)),
-      |(4660,76,5529503520962337*power(2.0,-50)),
-      |(4661,17,5505866157939680*power(2.0,-50)),
-      |(4662,87,5520028284979263*power(2.0,-50)),
-      |(4663,43,5525499470154912*power(2.0,-50)),
-      |(4664,25,5524431242351887*power(2.0,-50)),
-      |(4665,22,5523367750030966*power(2.0,-50)),
-      |(4666,51,5517306010027767*power(2.0,-50)),
-      |(4667,93,5511074074012183*power(2.0,-50)),
-      |(4668,69,5533567666319123*power(2.0,-50)),
-      |(4669,97,5509709217832895*power(2.0,-50)),
-      |(4670,56,5513917389748175*power(2.0,-50)),
-      |(4671,53,5521023925845799*power(2.0,-50)),
-      |(4672,48,5510883730839967*power(2.0,-50)),
-      |(4673,90,5530462516420564*power(2.0,-50)),
-      |(4674,77,5501634505814537*power(2.0,-50)),
-      |(4675,98,5528055255142228*power(2.0,-50)),
-      |(4676,63,5520438425184273*power(2.0,-50)),
-      |(4677,70,5585348683234065*power(2.0,-50)),
-      |(4678,88,5522930807591033*power(2.0,-50)),
-      |(4679,15,5520428515309603*power(2.0,-50)),
-      |(4680,18,5510291290331405*power(2.0,-50)),
-      |(4681,33,5536009524233401*power(2.0,-50)),
-      |(4682,53,5496658542820451*power(2.0,-50)),
-      |(4683,30,5502575356210874*power(2.0,-50)),
-      |(4684,23,5541780282805144*power(2.0,-50)),
-      |(4685,39,5474323799992331*power(2.0,-50)),
-      |(4686,84,5504331333035763*power(2.0,-50)),
-      |(4687,15,5564605876734620*power(2.0,-50)),
-      |(4688,76,5525212194424988*power(2.0,-50)),
-      |(4689,9,5537846514835265*power(2.0,-50)),
-      |(4690,66,5518802998940468*power(2.0,-50)),
-      |(4691,78,5501987203232770*power(2.0,-50)),
-      |(4692,42,5533729189176435*power(2.0,-50)),
-      |(4693,35,5507182019660863*power(2.0,-50)),
-      |(4694,51,5519965989788431*power(2.0,-50)),
-      |(4695,82,5507151869873367*power(2.0,-50)),
-      |(4696,18,5505634985827586*power(2.0,-50)),
-      |(4697,74,5522162893699197*power(2.0,-50)),
-      |(4698,11,5496252598196672*power(2.0,-50)),
-      |(4699,47,5545477337277778*power(2.0,-50)),
-      |(4700,19,5527563177640107*power(2.0,-50)),
-      |(4701,10,5587825157905244*power(2.0,-50)),
-      |(4702,51,5531131692050872*power(2.0,-50)),
-      |(4703,98,5510189142816798*power(2.0,-50)),
-      |(4704,48,5542953492034513*power(2.0,-50)),
-      |(4705,13,5849713138336502*power(2.0,-50)),
-      |(4706,96,5528846687016648*power(2.0,-50)),
-      |(4707,15,5464830256500650*power(2.0,-50)),
-      |(4708,71,5507301170576046*power(2.0,-50)),
-      |(4709,47,5527260380773547*power(2.0,-50)),
-      |(4710,60,5518176514275989*power(2.0,-50)),
-      |(4711,24,5501465607532653*power(2.0,-50)),
-      |(4712,85,5514943266508266*power(2.0,-50)),
-      |(4713,18,5506892924624747*power(2.0,-50)),
-      |(4714,79,5523255295486773*power(2.0,-50)),
-      |(4715,74,5521904789535627*power(2.0,-50)),
-      |(4716,82,5537080233363498*power(2.0,-50)),
-      |(4717,79,5515438125165609*power(2.0,-50)),
-      |(4718,54,5533761960930206*power(2.0,-50)),
-      |(4719,99,5566468833211250*power(2.0,-50)),
-      |(4720,23,5528726810477823*power(2.0,-50)),
-      |(4721,57,5540783826461722*power(2.0,-50)),
-      |(4722,61,5540074302499298*power(2.0,-50)),
-      |(4723,86,5535629469099883*power(2.0,-50)),
-      |(4724,84,5596764162654866*power(2.0,-50)),
-      |(4725,38,5529543999266220*power(2.0,-50)),
-      |(4726,87,5521049105908371*power(2.0,-50)),
-      |(4727,85,5531150557341019*power(2.0,-50)),
-      |(4728,55,5529420300004217*power(2.0,-50)),
-      |(4729,90,5519597767264110*power(2.0,-50)),
-      |(4730,27,5710258241131388*power(2.0,-50)),
-      |(4731,45,5513131751789468*power(2.0,-50)),
-      |(4732,88,5519257470741183*power(2.0,-50)),
-      |(4733,81,5503272228738076*power(2.0,-50)),
-      |(4734,9,5534073458544391*power(2.0,-50)),
-      |(4735,71,5541730145841334*power(2.0,-50)),
-      |(4736,50,5521679053480410*power(2.0,-50)),
-      |(4737,38,5528606316940808*power(2.0,-50)),
-      |(4738,98,5512423761589008*power(2.0,-50)),
-      |(4739,16,5504520917312645*power(2.0,-50)),
-      |(4740,65,5613880734605162*power(2.0,-50)),
-      |(4741,81,5533014585267468*power(2.0,-50)),
-      |(4742,21,5517727300183671*power(2.0,-50)),
-      |(4743,68,5508451022836316*power(2.0,-50)),
-      |(4744,87,5532156371061437*power(2.0,-50)),
-      |(4745,71,5499657224570937*power(2.0,-50)),
-      |(4746,69,5537878193054331*power(2.0,-50)),
-      |(4747,84,5514936007488219*power(2.0,-50)),
-      |(4748,29,5512145812408084*power(2.0,-50)),
-      |(4749,90,5522196258851044*power(2.0,-50)),
-      |(4750,19,5502489079943741*power(2.0,-50)),
-      |(4751,61,5508336534339933*power(2.0,-50)),
-      |(4752,54,5509630012333295*power(2.0,-50)),
-      |(4753,88,5521090198911843*power(2.0,-50)),
-      |(4754,55,5511782938031169*power(2.0,-50)),
-      |(4755,92,5497343709967780*power(2.0,-50)),
-      |(4756,74,5578910415691528*power(2.0,-50)),
-      |(4757,28,5509729074793753*power(2.0,-50)),
-      |(4758,11,5538000538778353*power(2.0,-50)),
-      |(4759,95,5524342824804472*power(2.0,-50)),
-      |(4760,26,5532632051401893*power(2.0,-50)),
-      |(4761,57,5517781614740305*power(2.0,-50)),
-      |(4762,76,5530579302990617*power(2.0,-50)),
-      |(4763,66,5519781846059676*power(2.0,-50)),
-      |(4764,57,5607186157279592*power(2.0,-50)),
-      |(4765,16,5523408019385504*power(2.0,-50)),
-      |(4766,58,5528471191291712*power(2.0,-50)),
-      |(4767,88,5515243537279175*power(2.0,-50)),
-      |(4768,94,5518058737786425*power(2.0,-50)),
-      |(4769,12,5477177853422803*power(2.0,-50)),
-      |(4770,32,5523444238116389*power(2.0,-50)),
-      |(4771,55,5629805748670032*power(2.0,-50)),
-      |(4772,25,5551528166938105*power(2.0,-50)),
-      |(4773,72,5533773821227936*power(2.0,-50)),
-      |(4774,24,5526587847325387*power(2.0,-50)),
-      |(4775,35,5508175377925945*power(2.0,-50)),
-      |(4776,51,5529661422641856*power(2.0,-50)),
-      |(4777,74,5536071911515114*power(2.0,-50)),
-      |(4778,37,5543559964992182*power(2.0,-50)),
-      |(4779,73,5520154583391460*power(2.0,-50)),
-      |(4780,67,5512022379194445*power(2.0,-50)),
-      |(4781,91,5526630581920411*power(2.0,-50)),
-      |(4782,47,5501613100681709*power(2.0,-50)),
-      |(4783,15,5525444098067537*power(2.0,-50)),
-      |(4784,92,5526719854247396*power(2.0,-50)),
-      |(4785,95,5530439123879784*power(2.0,-50)),
-      |(4786,84,5531012288933611*power(2.0,-50)),
-      |(4787,51,5530251563701068*power(2.0,-50)),
-      |(4788,61,5513554363938516*power(2.0,-50)),
-      |(4789,79,5508931708113431*power(2.0,-50)),
-      |(4790,30,5559103276678351*power(2.0,-50)),
-      |(4791,94,5504591414293488*power(2.0,-50)),
-      |(4792,64,5512921532325784*power(2.0,-50)),
-      |(4793,79,5529891705010703*power(2.0,-50)),
-      |(4794,92,5533126801005872*power(2.0,-50)),
-      |(4795,83,5573397846817947*power(2.0,-50)),
-      |(4796,24,5537794235730266*power(2.0,-50)),
-      |(4797,65,5541168947134952*power(2.0,-50)),
-      |(4798,16,5525795368305473*power(2.0,-50)),
-      |(4799,88,5534353999282019*power(2.0,-50)),
-      |(4800,92,5532141733192335*power(2.0,-50)),
-      |(4801,89,5524896341197096*power(2.0,-50)),
-      |(4802,94,5502807783831414*power(2.0,-50)),
-      |(4803,26,5521662588030941*power(2.0,-50)),
-      |(4804,65,5532296376319262*power(2.0,-50)),
-      |(4805,97,5519378404394410*power(2.0,-50)),
-      |(4806,68,5528954638735454*power(2.0,-50)),
-      |(4807,24,5511422935903490*power(2.0,-50)),
-      |(4808,38,5532140641306242*power(2.0,-50)),
-      |(4809,94,5530560240824068*power(2.0,-50)),
-      |(4810,13,5497038171053850*power(2.0,-50)),
-      |(4811,9,5520074927675642*power(2.0,-50)),
-      |(4812,93,5525523501546362*power(2.0,-50)),
-      |(4813,57,5519956858555714*power(2.0,-50)),
-      |(4814,35,5517248654148749*power(2.0,-50)),
-      |(4815,61,5519372604908739*power(2.0,-50)),
-      |(4816,20,5530200727026962*power(2.0,-50)),
-      |(4817,25,5523619036679533*power(2.0,-50)),
-      |(4818,47,5531078547426540*power(2.0,-50)),
-      |(4819,32,5519373383889785*power(2.0,-50)),
-      |(4820,42,5519736050442575*power(2.0,-50)),
-      |(4821,27,5538363211145246*power(2.0,-50)),
-      |(4822,65,5539799273657593*power(2.0,-50)),
-      |(4823,85,5510205580620534*power(2.0,-50)),
-      |(4824,84,5535495806523552*power(2.0,-50)),
-      |(4825,48,5515405711486345*power(2.0,-50)),
-      |(4826,14,5543257585250547*power(2.0,-50)),
-      |(4827,53,5500305839248797*power(2.0,-50)),
-      |(4828,12,5966825731792811*power(2.0,-50)),
-      |(4829,17,5862746744691253*power(2.0,-50)),
-      |(4830,80,5513694227589986*power(2.0,-50)),
-      |(4831,20,5527494096954608*power(2.0,-50)),
-      |(4832,57,5611408057115157*power(2.0,-50)),
-      |(4833,97,5509046666308297*power(2.0,-50)),
-      |(4834,64,5548124807189281*power(2.0,-50)),
-      |(4835,34,5512850471961646*power(2.0,-50)),
-      |(4836,89,5544998010913896*power(2.0,-50)),
-      |(4837,22,5524536720589978*power(2.0,-50)),
-      |(4838,60,5618407130523983*power(2.0,-50)),
-      |(4839,13,5521196527276012*power(2.0,-50)),
-      |(4840,44,5521994008466097*power(2.0,-50)),
-      |(4841,61,5527098495655408*power(2.0,-50)),
-      |(4842,56,5519428238173179*power(2.0,-50)),
-      |(4843,36,5558351252698093*power(2.0,-50)),
-      |(4844,75,5517333341203423*power(2.0,-50)),
-      |(4845,87,5541940125652675*power(2.0,-50)),
-      |(4846,56,5508300001777736*power(2.0,-50)),
-      |(4847,27,5712037241620902*power(2.0,-50)),
-      |(4848,41,5493165270813653*power(2.0,-50)),
-      |(4849,79,5527948915908090*power(2.0,-50)),
-      |(4850,79,5510612511998412*power(2.0,-50)),
-      |(4851,62,5514974683919638*power(2.0,-50)),
-      |(4852,68,5517041278456274*power(2.0,-50)),
-      |(4853,16,5546905291278319*power(2.0,-50)),
-      |(4854,12,5522399269783729*power(2.0,-50)),
-      |(4855,16,5501763172766595*power(2.0,-50)),
-      |(4856,39,5514630671557394*power(2.0,-50)),
-      |(4857,84,5536102959544248*power(2.0,-50)),
-      |(4858,72,5519053319904008*power(2.0,-50)),
-      |(4859,56,5529126721189423*power(2.0,-50)),
-      |(4860,37,5527320933407573*power(2.0,-50)),
-      |(4861,14,5530818108736829*power(2.0,-50)),
-      |(4862,45,5542749524751620*power(2.0,-50)),
-      |(4863,9,5509258172796988*power(2.0,-50)),
-      |(4864,49,5622881858213936*power(2.0,-50)),
-      |(4865,81,5541130312948427*power(2.0,-50)),
-      |(4866,35,5521615472645238*power(2.0,-50)),
-      |(4867,54,5517439171184819*power(2.0,-50)),
-      |(4868,46,5538868171361562*power(2.0,-50)),
-      |(4869,24,5523406260469943*power(2.0,-50)),
-      |(4870,27,5494307247252107*power(2.0,-50)),
-      |(4871,17,5530315234838278*power(2.0,-50)),
-      |(4872,46,5560126934546403*power(2.0,-50)),
-      |(4873,9,5508991072872967*power(2.0,-50)),
-      |(4874,55,5526863383174832*power(2.0,-50)),
-      |(4875,69,5527536753870625*power(2.0,-50)),
-      |(4876,79,5535188637665056*power(2.0,-50)),
-      |(4877,21,5512041787097837*power(2.0,-50)),
-      |(4878,70,5528231116564463*power(2.0,-50)),
-      |(4879,27,5543436502445287*power(2.0,-50)),
-      |(4880,35,5512512051113031*power(2.0,-50)),
-      |(4881,56,5522524525348917*power(2.0,-50)),
-      |(4882,13,5434435955815095*power(2.0,-50)),
-      |(4883,20,5514679748926306*power(2.0,-50)),
-      |(4884,43,5512049072697529*power(2.0,-50)),
-      |(4885,72,5536416523992292*power(2.0,-50)),
-      |(4886,93,5522383756696510*power(2.0,-50)),
-      |(4887,83,5523302852306287*power(2.0,-50)),
-      |(4888,84,5508402020173255*power(2.0,-50)),
-      |(4889,21,5507901365337022*power(2.0,-50)),
-      |(4890,84,5510693744215280*power(2.0,-50)),
-      |(4891,22,5495835957864182*power(2.0,-50)),
-      |(4892,22,5512497549354533*power(2.0,-50)),
-      |(4893,68,5526373237644613*power(2.0,-50)),
-      |(4894,56,5537333328977593*power(2.0,-50)),
-      |(4895,25,5528792773406142*power(2.0,-50)),
-      |(4896,73,5516902872481090*power(2.0,-50)),
-      |(4897,62,5529148473087147*power(2.0,-50)),
-      |(4898,47,5497013117801195*power(2.0,-50)),
-      |(4899,80,5526622234966202*power(2.0,-50)),
-      |(4900,50,5512264202380924*power(2.0,-50)),
-      |(4901,23,5734099447913425*power(2.0,-50)),
-      |(4902,71,5513642847106903*power(2.0,-50)),
-      |(4903,74,5532216189297328*power(2.0,-50)),
-      |(4904,18,5569301401714108*power(2.0,-50)),
-      |(4905,93,5527161938848650*power(2.0,-50)),
-      |(4906,38,5516165702092652*power(2.0,-50)),
-      |(4907,12,5524888692285772*power(2.0,-50)),
-      |(4908,88,5516143533484588*power(2.0,-50)),
-      |(4909,58,5527559741367299*power(2.0,-50)),
-      |(4910,60,5522527207639975*power(2.0,-50)),
-      |(4911,24,5524737577337340*power(2.0,-50)),
-      |(4912,98,5565926494148135*power(2.0,-50)),
-      |(4913,95,5517072879635763*power(2.0,-50)),
-      |(4914,69,5515228411993726*power(2.0,-50)),
-      |(4915,76,5508998283234135*power(2.0,-50)),
-      |(4916,15,5509243359544555*power(2.0,-50)),
-      |(4917,40,5496388467478245*power(2.0,-50)),
-      |(4918,90,5589149427953340*power(2.0,-50)),
-      |(4919,69,5514094258839999*power(2.0,-50)),
-      |(4920,69,5517258337712417*power(2.0,-50)),
-      |(4921,54,5524050747129143*power(2.0,-50)),
-      |(4922,51,5629805229369048*power(2.0,-50)),
-      |(4923,18,5815753130808979*power(2.0,-50)),
-      |(4924,24,5536730465557135*power(2.0,-50)),
-      |(4925,85,5512813539099246*power(2.0,-50)),
-      |(4926,14,5531282956974658*power(2.0,-50)),
-      |(4927,35,5496455760924515*power(2.0,-50)),
-      |(4928,71,5541664086610153*power(2.0,-50)),
-      |(4929,11,5547712216328113*power(2.0,-50)),
-      |(4930,93,5521206279160283*power(2.0,-50)),
-      |(4931,47,5532136278149463*power(2.0,-50)),
-      |(4932,51,5506172902597827*power(2.0,-50)),
-      |(4933,60,5513192465316514*power(2.0,-50)),
-      |(4934,70,5538631624601863*power(2.0,-50)),
-      |(4935,84,5520239386013321*power(2.0,-50)),
-      |(4936,97,5517428587471531*power(2.0,-50)),
-      |(4937,61,5520615634094360*power(2.0,-50)),
-      |(4938,91,5546413261523336*power(2.0,-50)),
-      |(4939,12,5513041638441044*power(2.0,-50)),
-      |(4940,81,5525498480849532*power(2.0,-50)),
-      |(4941,84,5534257337503170*power(2.0,-50)),
-      |(4942,67,5526693465997677*power(2.0,-50)),
-      |(4943,83,5536110467447497*power(2.0,-50)),
-      |(4944,37,5538466732437568*power(2.0,-50)),
-      |(4945,53,5543042834121856*power(2.0,-50)),
-      |(4946,75,5526561407764667*power(2.0,-50)),
-      |(4947,56,5513544159085647*power(2.0,-50)),
-      |(4948,23,5501464729547186*power(2.0,-50)),
-      |(4949,69,5532170722613041*power(2.0,-50)),
-      |(4950,59,5517434483047713*power(2.0,-50)),
-      |(4951,34,5495225998241099*power(2.0,-50)),
-      |(4952,91,5516867513055451*power(2.0,-50)),
-      |(4953,51,5540731091947322*power(2.0,-50)),
-      |(4954,26,5542423826887820*power(2.0,-50)),
-      |(4955,11,5507120959971814*power(2.0,-50)),
-      |(4956,42,5511622883279496*power(2.0,-50)),
-      |(4957,44,5519182951215175*power(2.0,-50)),
-      |(4958,62,5517114770908438*power(2.0,-50)),
-      |(4959,83,5523185605447043*power(2.0,-50)),
-      |(4960,38,5549598998166872*power(2.0,-50)),
-      |(4961,50,5532328257928823*power(2.0,-50)),
-      |(4962,41,5514019216150862*power(2.0,-50)),
-      |(4963,49,5520739676303879*power(2.0,-50)),
-      |(4964,19,5543780166682632*power(2.0,-50)),
-      |(4965,89,5513910905644185*power(2.0,-50)),
-      |(4966,64,5518370259155528*power(2.0,-50)),
-      |(4967,42,5524152439781544*power(2.0,-50)),
-      |(4968,62,5525184210771730*power(2.0,-50)),
-      |(4969,62,5501295756163330*power(2.0,-50)),
-      |(4970,57,5549020505666595*power(2.0,-50)),
-      |(4971,66,5532773521175640*power(2.0,-50)),
-      |(4972,79,5522793011731872*power(2.0,-50)),
-      |(4973,41,5519685928896846*power(2.0,-50)),
-      |(4974,71,5535225437435532*power(2.0,-50)),
-      |(4975,32,5523866478192230*power(2.0,-50)),
-      |(4976,33,5669114771908854*power(2.0,-50)),
-      |(4977,86,5518144313489237*power(2.0,-50)),
-      |(4978,40,5513300435201473*power(2.0,-50)),
-      |(4979,31,5523140408294379*power(2.0,-50)),
-      |(4980,37,5513097726653218*power(2.0,-50)),
-      |(4981,48,5522635263502123*power(2.0,-50)),
-      |(4982,20,5547463988526958*power(2.0,-50)),
-      |(4983,12,5535891738389255*power(2.0,-50)),
-      |(4984,96,5521850280345000*power(2.0,-50)),
-      |(4985,49,5525942807869533*power(2.0,-50)),
-      |(4986,16,5510565992067668*power(2.0,-50)),
-      |(4987,55,5518742209727554*power(2.0,-50)),
-      |(4988,81,5531404534958150*power(2.0,-50)),
-      |(4989,45,5538261778526145*power(2.0,-50)),
-      |(4990,91,5518287068099576*power(2.0,-50)),
-      |(4991,94,5574879201383792*power(2.0,-50)),
-      |(4992,76,5541914066119060*power(2.0,-50)),
-      |(4993,14,5897997456533177*power(2.0,-50)),
-      |(4994,29,5530499378789707*power(2.0,-50)),
-      |(4995,74,5534286949365691*power(2.0,-50)),
-      |(4996,51,5532247759763780*power(2.0,-50)),
-      |(4997,36,5530874794977647*power(2.0,-50)),
-      |(4998,25,5554541469529505*power(2.0,-50)),
-      |(4999,37,5538140559746181*power(2.0,-50))""".stripMargin).mkString(" ").replace("\n", " ")
+    Pins.resource("lm_score_dyadic_sf01.txt")
 
   private val lmScoreDyadicSf001: String =
-    """(0,31,5554873370317263*power(2.0,-50)),
-      |(1,71,5526308499994249*power(2.0,-50)),
-      |(2,44,5508040893851236*power(2.0,-50)),
-      |(3,26,5578756630861387*power(2.0,-50)),
-      |(4,44,5459830283531654*power(2.0,-50)),
-      |(5,55,5517931618056520*power(2.0,-50)),
-      |(6,14,5482282351620143*power(2.0,-50)),
-      |(7,71,5480850672935849*power(2.0,-50)),
-      |(8,83,5522134238393053*power(2.0,-50)),
-      |(9,73,5456798543709187*power(2.0,-50)),
-      |(10,38,5382741071964753*power(2.0,-50)),
-      |(11,57,5530457460252882*power(2.0,-50)),
-      |(12,64,5515814840031710*power(2.0,-50)),
-      |(13,59,5529072989720863*power(2.0,-50)),
-      |(14,86,5486236416181311*power(2.0,-50)),
-      |(15,40,5472631480019753*power(2.0,-50)),
-      |(16,15,5511567166570422*power(2.0,-50)),
-      |(17,76,5497830276395607*power(2.0,-50)),
-      |(18,74,5445922489599631*power(2.0,-50)),
-      |(19,10,5649365024757166*power(2.0,-50)),
-      |(20,67,5479115938839769*power(2.0,-50)),
-      |(21,36,5458902623381187*power(2.0,-50)),
-      |(22,80,5577127403576474*power(2.0,-50)),
-      |(23,29,5576541401439534*power(2.0,-50)),
-      |(24,96,5409388104986290*power(2.0,-50)),
-      |(25,93,5521676572370434*power(2.0,-50)),
-      |(26,11,5890017720184286*power(2.0,-50)),
-      |(27,63,5457296462249141*power(2.0,-50)),
-      |(28,59,5469487634798621*power(2.0,-50)),
-      |(29,33,5543576042418435*power(2.0,-50)),
-      |(30,30,5460033283743937*power(2.0,-50)),
-      |(31,42,5490155062630994*power(2.0,-50)),
-      |(32,92,5473594780456673*power(2.0,-50)),
-      |(33,45,5394507219022499*power(2.0,-50)),
-      |(34,28,5552955097902368*power(2.0,-50)),
-      |(35,84,5506798146472225*power(2.0,-50)),
-      |(36,21,5409106103509989*power(2.0,-50)),
-      |(37,68,5497292967463243*power(2.0,-50)),
-      |(38,35,5531984239129460*power(2.0,-50)),
-      |(39,22,5381349427627402*power(2.0,-50)),
-      |(40,72,5490668676687871*power(2.0,-50)),
-      |(41,60,5517489372545243*power(2.0,-50)),
-      |(42,55,5565424764413936*power(2.0,-50)),
-      |(43,27,5598572254946721*power(2.0,-50)),
-      |(44,23,5447172050622225*power(2.0,-50)),
-      |(45,79,5397810167169896*power(2.0,-50)),
-      |(46,85,5530475571685340*power(2.0,-50)),
-      |(47,40,5568020144504946*power(2.0,-50)),
-      |(48,29,5523243079160152*power(2.0,-50)),
-      |(49,45,5497921742417436*power(2.0,-50)),
-      |(50,44,5516500233253641*power(2.0,-50)),
-      |(51,57,5534460961218169*power(2.0,-50)),
-      |(52,12,5455196438106118*power(2.0,-50)),
-      |(53,33,5511989778238630*power(2.0,-50)),
-      |(54,64,5498086885386403*power(2.0,-50)),
-      |(55,36,5479935768311017*power(2.0,-50)),
-      |(56,96,5507637677093894*power(2.0,-50)),
-      |(57,82,5514093350761160*power(2.0,-50)),
-      |(58,71,5507041235883623*power(2.0,-50)),
-      |(59,23,5473832175870508*power(2.0,-50)),
-      |(60,92,5511743725088712*power(2.0,-50)),
-      |(61,58,5482670516417195*power(2.0,-50)),
-      |(62,71,5465175878892591*power(2.0,-50)),
-      |(63,95,5534023849895445*power(2.0,-50)),
-      |(64,24,5299163112048636*power(2.0,-50)),
-      |(65,18,5453119669244015*power(2.0,-50)),
-      |(66,61,5499076537480479*power(2.0,-50)),
-      |(67,60,5527657286670082*power(2.0,-50)),
-      |(68,32,5477650465450514*power(2.0,-50)),
-      |(69,56,5527832185856355*power(2.0,-50)),
-      |(70,93,5540511745317064*power(2.0,-50)),
-      |(71,59,5540017881095805*power(2.0,-50)),
-      |(72,41,5418590540509769*power(2.0,-50)),
-      |(73,92,5540433044389987*power(2.0,-50)),
-      |(74,9,5554164537780563*power(2.0,-50)),
-      |(75,59,5505686405521192*power(2.0,-50)),
-      |(76,70,5465768622676445*power(2.0,-50)),
-      |(77,56,5522479316453359*power(2.0,-50)),
-      |(78,41,5516568186213572*power(2.0,-50)),
-      |(79,11,5497213438380765*power(2.0,-50)),
-      |(80,31,5463396989328232*power(2.0,-50)),
-      |(81,62,5509325533554799*power(2.0,-50)),
-      |(82,46,5513088941228432*power(2.0,-50)),
-      |(83,14,5470223825333315*power(2.0,-50)),
-      |(84,71,5468306512805066*power(2.0,-50)),
-      |(85,30,5598272885946955*power(2.0,-50)),
-      |(86,22,5541921674389287*power(2.0,-50)),
-      |(87,22,5379392920622737*power(2.0,-50)),
-      |(88,50,5472316514996900*power(2.0,-50)),
-      |(89,26,5503730770914171*power(2.0,-50)),
-      |(90,23,5454539602339173*power(2.0,-50)),
-      |(91,76,5485406873531394*power(2.0,-50)),
-      |(92,25,5740626344680895*power(2.0,-50)),
-      |(93,24,5482158957296713*power(2.0,-50)),
-      |(94,23,5504303405930028*power(2.0,-50)),
-      |(95,54,5406191213820855*power(2.0,-50)),
-      |(96,80,5554787416883941*power(2.0,-50)),
-      |(97,58,5526099635743181*power(2.0,-50)),
-      |(98,92,5361512255724567*power(2.0,-50)),
-      |(99,37,5443549534811452*power(2.0,-50)),
-      |(100,82,5522303059324434*power(2.0,-50)),
-      |(101,41,5421342126738544*power(2.0,-50)),
-      |(102,90,5489358358198401*power(2.0,-50)),
-      |(103,92,5489962594277537*power(2.0,-50)),
-      |(104,43,5437335129546207*power(2.0,-50)),
-      |(105,59,5519239088282624*power(2.0,-50)),
-      |(106,12,5574940989479641*power(2.0,-50)),
-      |(107,39,5507526757613706*power(2.0,-50)),
-      |(108,15,5430908228054715*power(2.0,-50)),
-      |(109,69,5471416694244344*power(2.0,-50)),
-      |(110,10,5496267433426605*power(2.0,-50)),
-      |(111,93,5453517505763376*power(2.0,-50)),
-      |(112,57,5541786726800176*power(2.0,-50)),
-      |(113,78,5535250567715597*power(2.0,-50)),
-      |(114,35,5500748248333560*power(2.0,-50)),
-      |(115,23,5603459811146867*power(2.0,-50)),
-      |(116,9,5483956731686847*power(2.0,-50)),
-      |(117,46,5490603381533381*power(2.0,-50)),
-      |(118,69,5481471043042426*power(2.0,-50)),
-      |(119,15,5503653325389326*power(2.0,-50)),
-      |(120,36,5589919012794344*power(2.0,-50)),
-      |(121,29,5443651146808843*power(2.0,-50)),
-      |(122,18,5573549481574876*power(2.0,-50)),
-      |(123,27,5473202587962642*power(2.0,-50)),
-      |(124,59,5437442399994711*power(2.0,-50)),
-      |(125,33,5473525226418155*power(2.0,-50)),
-      |(126,89,5468780296967620*power(2.0,-50)),
-      |(127,82,5455284063225431*power(2.0,-50)),
-      |(128,80,5504311685664354*power(2.0,-50)),
-      |(129,80,5442417161673116*power(2.0,-50)),
-      |(130,28,5390032867144830*power(2.0,-50)),
-      |(131,53,5522502211185110*power(2.0,-50)),
-      |(132,61,5474965515301688*power(2.0,-50)),
-      |(133,93,5480806595493859*power(2.0,-50)),
-      |(134,23,5599402586910072*power(2.0,-50)),
-      |(135,96,5539960399537824*power(2.0,-50)),
-      |(136,62,5469887646705691*power(2.0,-50)),
-      |(137,42,5422222686831525*power(2.0,-50)),
-      |(138,65,5492075691443337*power(2.0,-50)),
-      |(139,55,5547859911711717*power(2.0,-50)),
-      |(140,27,5534144021464162*power(2.0,-50)),
-      |(141,74,5572512596029899*power(2.0,-50)),
-      |(142,94,5561293770295734*power(2.0,-50)),
-      |(143,71,5491141983743296*power(2.0,-50)),
-      |(144,17,5519923006846872*power(2.0,-50)),
-      |(145,71,5587586401917195*power(2.0,-50)),
-      |(146,21,5500982542441907*power(2.0,-50)),
-      |(147,83,5503939951139863*power(2.0,-50)),
-      |(148,36,5445638304793350*power(2.0,-50)),
-      |(149,26,5558776726556864*power(2.0,-50)),
-      |(150,47,5537838086758227*power(2.0,-50)),
-      |(151,93,5511612678934116*power(2.0,-50)),
-      |(152,38,5483844316162366*power(2.0,-50)),
-      |(153,77,5532081085122846*power(2.0,-50)),
-      |(154,82,5496142192231462*power(2.0,-50)),
-      |(155,66,5572795408923261*power(2.0,-50)),
-      |(156,20,5512930327592229*power(2.0,-50)),
-      |(157,16,5404585050157270*power(2.0,-50)),
-      |(158,16,5592018006017180*power(2.0,-50)),
-      |(159,68,5484723126665781*power(2.0,-50)),
-      |(160,43,5412172988407202*power(2.0,-50)),
-      |(161,85,5512398447254385*power(2.0,-50)),
-      |(162,81,5448537760928925*power(2.0,-50)),
-      |(163,44,5435771177149516*power(2.0,-50)),
-      |(164,18,5550086425978310*power(2.0,-50)),
-      |(165,20,5569382054661644*power(2.0,-50)),
-      |(166,60,5489978185493424*power(2.0,-50)),
-      |(167,84,5456703160207738*power(2.0,-50)),
-      |(168,39,5423699271961797*power(2.0,-50)),
-      |(169,68,5453603317652102*power(2.0,-50)),
-      |(170,21,5483803362353888*power(2.0,-50)),
-      |(171,60,5569797387785203*power(2.0,-50)),
-      |(172,19,5542040538334639*power(2.0,-50)),
-      |(173,96,5500526849824386*power(2.0,-50)),
-      |(174,56,5473995567229921*power(2.0,-50)),
-      |(175,28,5415311258016733*power(2.0,-50)),
-      |(176,87,5471914971158238*power(2.0,-50)),
-      |(177,48,5539375539476170*power(2.0,-50)),
-      |(178,37,5350764920592509*power(2.0,-50)),
-      |(179,86,5512164224303870*power(2.0,-50)),
-      |(180,31,5441796330323706*power(2.0,-50)),
-      |(181,18,5523714792609771*power(2.0,-50)),
-      |(182,63,5554298973830329*power(2.0,-50)),
-      |(183,19,5458271045896410*power(2.0,-50)),
-      |(184,79,5503132842636145*power(2.0,-50)),
-      |(185,57,5409988394503745*power(2.0,-50)),
-      |(186,79,5475926542525622*power(2.0,-50)),
-      |(187,90,5541919551783579*power(2.0,-50)),
-      |(188,46,5509470539624486*power(2.0,-50)),
-      |(189,36,5496144382339233*power(2.0,-50)),
-      |(190,77,5476619417969352*power(2.0,-50)),
-      |(191,20,5395092694402776*power(2.0,-50)),
-      |(192,25,5469227655503594*power(2.0,-50)),
-      |(193,30,5514928208787890*power(2.0,-50)),
-      |(194,28,5601743601121006*power(2.0,-50)),
-      |(195,57,5571510455676213*power(2.0,-50)),
-      |(196,58,5542255266913443*power(2.0,-50)),
-      |(197,94,5476987987796783*power(2.0,-50)),
-      |(198,46,5464884870811404*power(2.0,-50)),
-      |(199,29,5523249294622374*power(2.0,-50)),
-      |(200,52,5528768168199495*power(2.0,-50)),
-      |(201,55,5568234919638462*power(2.0,-50)),
-      |(202,90,5543643479781836*power(2.0,-50)),
-      |(203,23,5413106196509214*power(2.0,-50)),
-      |(204,20,5526835184057565*power(2.0,-50)),
-      |(205,68,5492955376044488*power(2.0,-50)),
-      |(206,24,5624593610358189*power(2.0,-50)),
-      |(207,72,5443058375231523*power(2.0,-50)),
-      |(208,21,5433866741098383*power(2.0,-50)),
-      |(209,43,5528180967134049*power(2.0,-50)),
-      |(210,93,5536890740082889*power(2.0,-50)),
-      |(211,50,5487554262565676*power(2.0,-50)),
-      |(212,42,5412932503891262*power(2.0,-50)),
-      |(213,87,5561694086564865*power(2.0,-50)),
-      |(214,12,5588332944422477*power(2.0,-50)),
-      |(215,97,5493785349907469*power(2.0,-50)),
-      |(216,91,5457802433734774*power(2.0,-50)),
-      |(217,65,5528670032842481*power(2.0,-50)),
-      |(218,80,5497409457326729*power(2.0,-50)),
-      |(219,28,5417354502837219*power(2.0,-50)),
-      |(220,98,5537431588233627*power(2.0,-50)),
-      |(221,41,5558676971580947*power(2.0,-50)),
-      |(222,50,5524948511695198*power(2.0,-50)),
-      |(223,84,5522645957817130*power(2.0,-50)),
-      |(224,76,5449356044690344*power(2.0,-50)),
-      |(225,75,5465693456328463*power(2.0,-50)),
-      |(226,19,5430449668721667*power(2.0,-50)),
-      |(227,80,5494021029708759*power(2.0,-50)),
-      |(228,85,5482186746775989*power(2.0,-50)),
-      |(229,73,5550908403175112*power(2.0,-50)),
-      |(230,54,5506033765751223*power(2.0,-50)),
-      |(231,26,5575522156389414*power(2.0,-50)),
-      |(232,57,5547686232680804*power(2.0,-50)),
-      |(233,82,5502305776882909*power(2.0,-50)),
-      |(234,65,5510242943524224*power(2.0,-50)),
-      |(235,38,5463602635292291*power(2.0,-50)),
-      |(236,11,5832169734841094*power(2.0,-50)),
-      |(237,78,5466245903186979*power(2.0,-50)),
-      |(238,47,5490398899993355*power(2.0,-50)),
-      |(239,29,5563665014631434*power(2.0,-50)),
-      |(240,69,5518637841901315*power(2.0,-50)),
-      |(241,91,5459199347234096*power(2.0,-50)),
-      |(242,68,5456965790211585*power(2.0,-50)),
-      |(243,32,5661082332478042*power(2.0,-50)),
-      |(244,66,5416462149222914*power(2.0,-50)),
-      |(245,82,5463285272039693*power(2.0,-50)),
-      |(246,33,5481682905384655*power(2.0,-50)),
-      |(247,79,5519726886047630*power(2.0,-50)),
-      |(248,78,5521935064963190*power(2.0,-50)),
-      |(249,81,5495286800311957*power(2.0,-50)),
-      |(250,43,5447375829942955*power(2.0,-50)),
-      |(251,93,5511649870566678*power(2.0,-50)),
-      |(252,45,5510074445900804*power(2.0,-50)),
-      |(253,37,5538638219032019*power(2.0,-50)),
-      |(254,18,5621598093587926*power(2.0,-50)),
-      |(255,27,5647920023699602*power(2.0,-50)),
-      |(256,10,5529027532060216*power(2.0,-50)),
-      |(257,20,5491006014455246*power(2.0,-50)),
-      |(258,73,5535063356296612*power(2.0,-50)),
-      |(259,44,5441546695394399*power(2.0,-50)),
-      |(260,25,5482395065019632*power(2.0,-50)),
-      |(261,83,5512842460481956*power(2.0,-50)),
-      |(262,46,5480049888551370*power(2.0,-50)),
-      |(263,82,5511512025130405*power(2.0,-50)),
-      |(264,98,5455119598925272*power(2.0,-50)),
-      |(265,46,5413792124563333*power(2.0,-50)),
-      |(266,40,5425052851326317*power(2.0,-50)),
-      |(267,77,5369860359332989*power(2.0,-50)),
-      |(268,38,5499807003764739*power(2.0,-50)),
-      |(269,85,5534689082237812*power(2.0,-50)),
-      |(270,92,5517229531006086*power(2.0,-50)),
-      |(271,52,5472514531621080*power(2.0,-50)),
-      |(272,91,5453914759785218*power(2.0,-50)),
-      |(273,27,5440326431920740*power(2.0,-50)),
-      |(274,95,5479029807624411*power(2.0,-50)),
-      |(275,9,5376792166601703*power(2.0,-50)),
-      |(276,95,5489217643536928*power(2.0,-50)),
-      |(277,31,5577672916760086*power(2.0,-50)),
-      |(278,71,5543942923915668*power(2.0,-50)),
-      |(279,50,5514666589531213*power(2.0,-50)),
-      |(280,87,5457921643052056*power(2.0,-50)),
-      |(281,29,5471413851973833*power(2.0,-50)),
-      |(282,31,5400458364646063*power(2.0,-50)),
-      |(283,83,5473692489959125*power(2.0,-50)),
-      |(284,50,5578761329620138*power(2.0,-50)),
-      |(285,93,5482544495711439*power(2.0,-50)),
-      |(286,45,5509285669455078*power(2.0,-50)),
-      |(287,17,5504444935356154*power(2.0,-50)),
-      |(288,31,5441187015655948*power(2.0,-50)),
-      |(289,37,5526171102571571*power(2.0,-50)),
-      |(290,93,5407362139700473*power(2.0,-50)),
-      |(291,75,5452779048622513*power(2.0,-50)),
-      |(292,85,5569837240472791*power(2.0,-50)),
-      |(293,70,5449847964717942*power(2.0,-50)),
-      |(294,82,5487931335676379*power(2.0,-50)),
-      |(295,31,5535590110119249*power(2.0,-50)),
-      |(296,65,5492332211652878*power(2.0,-50)),
-      |(297,61,5546398650905903*power(2.0,-50)),
-      |(298,31,5523824067092977*power(2.0,-50)),
-      |(299,93,5452855494309867*power(2.0,-50)),
-      |(300,38,5469221509510370*power(2.0,-50)),
-      |(301,92,5443358471511713*power(2.0,-50)),
-      |(302,87,5534389611015440*power(2.0,-50)),
-      |(303,82,5514626998745200*power(2.0,-50)),
-      |(304,41,5421803483502898*power(2.0,-50)),
-      |(305,10,5448198022925738*power(2.0,-50)),
-      |(306,74,5491947779172572*power(2.0,-50)),
-      |(307,53,5415208910394728*power(2.0,-50)),
-      |(308,16,5554571343644771*power(2.0,-50)),
-      |(309,43,5457486879497232*power(2.0,-50)),
-      |(310,26,5413374142343598*power(2.0,-50)),
-      |(311,89,5499589144183350*power(2.0,-50)),
-      |(312,66,5557859579276204*power(2.0,-50)),
-      |(313,17,5491280962318592*power(2.0,-50)),
-      |(314,36,5526120106381468*power(2.0,-50)),
-      |(315,86,5526666355603824*power(2.0,-50)),
-      |(316,73,5483775559803880*power(2.0,-50)),
-      |(317,71,5519483460842409*power(2.0,-50)),
-      |(318,82,5554519136441051*power(2.0,-50)),
-      |(319,86,5514519946698608*power(2.0,-50)),
-      |(320,74,5526133180884151*power(2.0,-50)),
-      |(321,49,5585471890765857*power(2.0,-50)),
-      |(322,44,5543306122497734*power(2.0,-50)),
-      |(323,61,5555950499657940*power(2.0,-50)),
-      |(324,42,5401966154278792*power(2.0,-50)),
-      |(325,59,5443951839309080*power(2.0,-50)),
-      |(326,35,5396116813045816*power(2.0,-50)),
-      |(327,32,5455352732721549*power(2.0,-50)),
-      |(328,88,5472376245201135*power(2.0,-50)),
-      |(329,65,5535054148012833*power(2.0,-50)),
-      |(330,58,5459112589390720*power(2.0,-50)),
-      |(331,50,5552952906911614*power(2.0,-50)),
-      |(332,35,5489983592528861*power(2.0,-50)),
-      |(333,31,5504673288263893*power(2.0,-50)),
-      |(334,91,5522759868606949*power(2.0,-50)),
-      |(335,60,5432132113948348*power(2.0,-50)),
-      |(336,67,5507123867818202*power(2.0,-50)),
-      |(337,42,5513684863147358*power(2.0,-50)),
-      |(338,17,5471846308964614*power(2.0,-50)),
-      |(339,31,5477186230000574*power(2.0,-50)),
-      |(340,43,5444058050117476*power(2.0,-50)),
-      |(341,79,5506496332305785*power(2.0,-50)),
-      |(342,20,5422331303854469*power(2.0,-50)),
-      |(343,28,5506860497747474*power(2.0,-50)),
-      |(344,76,5539573919932897*power(2.0,-50)),
-      |(345,58,5488491713467498*power(2.0,-50)),
-      |(346,73,5433508864513468*power(2.0,-50)),
-      |(347,50,5529380305324537*power(2.0,-50)),
-      |(348,23,5511506345475670*power(2.0,-50)),
-      |(349,83,5476015518744852*power(2.0,-50)),
-      |(350,84,5550398387387786*power(2.0,-50)),
-      |(351,66,5529566231474312*power(2.0,-50)),
-      |(352,96,5481459127933006*power(2.0,-50)),
-      |(353,58,5474596374226001*power(2.0,-50)),
-      |(354,75,5527925218231619*power(2.0,-50)),
-      |(355,60,5492594477177356*power(2.0,-50)),
-      |(356,66,5513009591879056*power(2.0,-50)),
-      |(357,46,5517558806127205*power(2.0,-50)),
-      |(358,10,5672533583069021*power(2.0,-50)),
-      |(359,59,5525490489271549*power(2.0,-50)),
-      |(360,78,5534637085121921*power(2.0,-50)),
-      |(361,64,5468208018639176*power(2.0,-50)),
-      |(362,14,5444250944789285*power(2.0,-50)),
-      |(363,63,5494941776065553*power(2.0,-50)),
-      |(364,46,5492296207432857*power(2.0,-50)),
-      |(365,11,5423640959646364*power(2.0,-50)),
-      |(366,54,5483007017567528*power(2.0,-50)),
-      |(367,38,5535572781311337*power(2.0,-50)),
-      |(368,12,5631679816236917*power(2.0,-50)),
-      |(369,49,5595567459635252*power(2.0,-50)),
-      |(370,40,5562899565832580*power(2.0,-50)),
-      |(371,64,5507640849373104*power(2.0,-50)),
-      |(372,27,5362594980003725*power(2.0,-50)),
-      |(373,69,5521335802514230*power(2.0,-50)),
-      |(374,30,5418350387102242*power(2.0,-50)),
-      |(375,62,5496313886699833*power(2.0,-50)),
-      |(376,68,5516434684404113*power(2.0,-50)),
-      |(377,42,5516107178819748*power(2.0,-50)),
-      |(378,63,5496680318495023*power(2.0,-50)),
-      |(379,71,5434572596103736*power(2.0,-50)),
-      |(380,79,5496997228396073*power(2.0,-50)),
-      |(381,62,5511912942788812*power(2.0,-50)),
-      |(382,24,5489662475326995*power(2.0,-50)),
-      |(383,43,5573817938432278*power(2.0,-50)),
-      |(384,16,5514582677509380*power(2.0,-50)),
-      |(385,69,5479237209468687*power(2.0,-50)),
-      |(386,87,5515102796429408*power(2.0,-50)),
-      |(387,38,5427259798344430*power(2.0,-50)),
-      |(388,62,5516660841333975*power(2.0,-50)),
-      |(389,27,5529829589288140*power(2.0,-50)),
-      |(390,25,5396422161120824*power(2.0,-50)),
-      |(391,42,5485260274126670*power(2.0,-50)),
-      |(392,22,5508034163246211*power(2.0,-50)),
-      |(393,80,5505954194544505*power(2.0,-50)),
-      |(394,70,5498787825496857*power(2.0,-50)),
-      |(395,80,5484188141884950*power(2.0,-50)),
-      |(396,43,5500934027401657*power(2.0,-50)),
-      |(397,52,5494945074051023*power(2.0,-50)),
-      |(398,18,5416951502324722*power(2.0,-50)),
-      |(399,56,5513017627678510*power(2.0,-50)),
-      |(400,24,5644905298408372*power(2.0,-50)),
-      |(401,75,5470121984211816*power(2.0,-50)),
-      |(402,30,5634266147199349*power(2.0,-50)),
-      |(403,84,5493829769618667*power(2.0,-50)),
-      |(404,42,5508265882916149*power(2.0,-50)),
-      |(405,55,5529467802733377*power(2.0,-50)),
-      |(406,82,5510914456079068*power(2.0,-50)),
-      |(407,19,5555707790926722*power(2.0,-50)),
-      |(408,15,5501012021293748*power(2.0,-50)),
-      |(409,52,5477620533480353*power(2.0,-50)),
-      |(410,74,5491719892362287*power(2.0,-50)),
-      |(411,78,5490187060109372*power(2.0,-50)),
-      |(412,70,5463265221873530*power(2.0,-50)),
-      |(413,78,5417077300888072*power(2.0,-50)),
-      |(414,77,5556367029244944*power(2.0,-50)),
-      |(415,57,5500480313009689*power(2.0,-50)),
-      |(416,52,5507415826410273*power(2.0,-50)),
-      |(417,92,5487744453260595*power(2.0,-50)),
-      |(418,76,5479328714165875*power(2.0,-50)),
-      |(419,19,5401223094263234*power(2.0,-50)),
-      |(420,79,5467324865236888*power(2.0,-50)),
-      |(421,82,5489293427312716*power(2.0,-50)),
-      |(422,65,5517968160866740*power(2.0,-50)),
-      |(423,64,5475536077089869*power(2.0,-50)),
-      |(424,72,5542327741653620*power(2.0,-50)),
-      |(425,23,5411249543483085*power(2.0,-50)),
-      |(426,81,5545627655197676*power(2.0,-50)),
-      |(427,78,5591318943750879*power(2.0,-50)),
-      |(428,47,5512017733403022*power(2.0,-50)),
-      |(429,94,5478837844630628*power(2.0,-50)),
-      |(430,71,5502253341513984*power(2.0,-50)),
-      |(431,55,5526019809486257*power(2.0,-50)),
-      |(432,64,5467576995709014*power(2.0,-50)),
-      |(433,30,5532560248346164*power(2.0,-50)),
-      |(434,78,5465602854360894*power(2.0,-50)),
-      |(435,30,5410318205405645*power(2.0,-50)),
-      |(436,50,5497086777486235*power(2.0,-50)),
-      |(437,80,5551321066814186*power(2.0,-50)),
-      |(438,30,5630298735804097*power(2.0,-50)),
-      |(439,32,5526632234566494*power(2.0,-50)),
-      |(440,41,5553600396714800*power(2.0,-50)),
-      |(441,98,5500539725054496*power(2.0,-50)),
-      |(442,83,5501103828613219*power(2.0,-50)),
-      |(443,50,5455906048015320*power(2.0,-50)),
-      |(444,74,5524096767770987*power(2.0,-50)),
-      |(445,57,5541885543239585*power(2.0,-50)),
-      |(446,24,5655844088483875*power(2.0,-50)),
-      |(447,92,5487548492399183*power(2.0,-50)),
-      |(448,53,5490634652044618*power(2.0,-50)),
-      |(449,32,5583484123859880*power(2.0,-50)),
-      |(450,24,5546385141643045*power(2.0,-50)),
-      |(451,19,5508043163523234*power(2.0,-50)),
-      |(452,64,5499533411388677*power(2.0,-50)),
-      |(453,96,5516491639800989*power(2.0,-50)),
-      |(454,27,5510192776827854*power(2.0,-50)),
-      |(455,10,5527962470454580*power(2.0,-50)),
-      |(456,22,5465981569035958*power(2.0,-50)),
-      |(457,36,5535031087478385*power(2.0,-50)),
-      |(458,58,5423460008799706*power(2.0,-50)),
-      |(459,68,5512657482084219*power(2.0,-50)),
-      |(460,48,5458437258529157*power(2.0,-50)),
-      |(461,66,5526276260521986*power(2.0,-50)),
-      |(462,59,5476582232546256*power(2.0,-50)),
-      |(463,90,5449004280895500*power(2.0,-50)),
-      |(464,34,5480959166018047*power(2.0,-50)),
-      |(465,61,5549489863107840*power(2.0,-50)),
-      |(466,85,5525202878032938*power(2.0,-50)),
-      |(467,65,5448515643760383*power(2.0,-50)),
-      |(468,38,5531533540547571*power(2.0,-50)),
-      |(469,9,5583438594967968*power(2.0,-50)),
-      |(470,41,5524653777782572*power(2.0,-50)),
-      |(471,62,5468143227954804*power(2.0,-50)),
-      |(472,37,5470196847421566*power(2.0,-50)),
-      |(473,52,5464291707452031*power(2.0,-50)),
-      |(474,66,5509529025087541*power(2.0,-50)),
-      |(475,14,5727842804843547*power(2.0,-50)),
-      |(476,15,5386159617887233*power(2.0,-50)),
-      |(477,27,5581979089789499*power(2.0,-50)),
-      |(478,49,5469155905828726*power(2.0,-50)),
-      |(479,68,5531309133804932*power(2.0,-50)),
-      |(480,63,5517298520144801*power(2.0,-50)),
-      |(481,15,5476915386944779*power(2.0,-50)),
-      |(482,29,5529773415438229*power(2.0,-50)),
-      |(483,46,5530484082781955*power(2.0,-50)),
-      |(484,42,5478493685242795*power(2.0,-50)),
-      |(485,22,5540451582213057*power(2.0,-50)),
-      |(486,31,5574494473035071*power(2.0,-50)),
-      |(487,58,5483048807019276*power(2.0,-50)),
-      |(488,35,5570287771473328*power(2.0,-50)),
-      |(489,56,5560147334245344*power(2.0,-50)),
-      |(490,49,5487931352990272*power(2.0,-50)),
-      |(491,66,5470609463394540*power(2.0,-50)),
-      |(492,12,5526957707967277*power(2.0,-50)),
-      |(493,87,5471970223340442*power(2.0,-50)),
-      |(494,37,5503829697512892*power(2.0,-50)),
-      |(495,69,5513769061497710*power(2.0,-50)),
-      |(496,80,5538928967657388*power(2.0,-50)),
-      |(497,19,5324733862509746*power(2.0,-50)),
-      |(498,88,5524536473772117*power(2.0,-50)),
-      |(499,32,5450782030727063*power(2.0,-50))""".stripMargin.replace("\n", " ")
+    Pins.resource("lm_score_dyadic_sf001.txt")
 
   val oracles: Map[String, String] = Map(
     // H21 score leg — hash-gated via the pinned dyadic scores

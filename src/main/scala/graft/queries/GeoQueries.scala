@@ -100,306 +100,7 @@ object GeoQueries {
     * arithmetic cross-check.
     */
   private val geoDistDyadic: String =
-    """(0,1,4876557895658347*power(2.0,-43)),
-      |(0,2,4906204817694426*power(2.0,-42)),
-      |(0,3,7400632242090820*power(2.0,-42)),
-      |(0,4,4959309846633152*power(2.0,-41)),
-      |(0,5,6228702155892043*power(2.0,-41)),
-      |(0,6,7507188830651684*power(2.0,-41)),
-      |(0,7,8793531142929059*power(2.0,-41)),
-      |(0,8,5043272214741545*power(2.0,-40)),
-      |(0,9,5692543407934495*power(2.0,-40)),
-      |(0,10,6344023950097559*power(2.0,-40)),
-      |(0,11,6997168577941584*power(2.0,-40)),
-      |(0,12,7651435873970265*power(2.0,-40)),
-      |(0,13,8306281685075446*power(2.0,-40)),
-      |(0,14,8961151794674436*power(2.0,-40)),
-      |(0,15,4807736752558430*power(2.0,-39)),
-      |(0,16,5134322830951099*power(2.0,-39)),
-      |(0,17,5460013233491135*power(2.0,-39)),
-      |(0,18,5784459076575242*power(2.0,-39)),
-      |(0,19,6107273587020735*power(2.0,-39)),
-      |(0,20,6428018960573540*power(2.0,-39)),
-      |(0,21,6746188486281665*power(2.0,-39)),
-      |(0,22,7061181638546005*power(2.0,-39)),
-      |(0,23,7372268546285584*power(2.0,-39)),
-      |(0,24,7678538136521331*power(2.0,-39)),
-      |(1,2,4937773600324090*power(2.0,-43)),
-      |(1,3,4965096284997767*power(2.0,-42)),
-      |(1,4,7485561523996611*power(2.0,-42)),
-      |(1,5,5013703180130750*power(2.0,-41)),
-      |(1,6,6293959490947855*power(2.0,-41)),
-      |(1,7,7582263196759038*power(2.0,-41)),
-      |(1,8,8877384777697378*power(2.0,-41)),
-      |(1,9,5089069716902533*power(2.0,-40)),
-      |(1,10,5741687395999781*power(2.0,-40)),
-      |(1,11,6395979158572828*power(2.0,-40)),
-      |(1,12,7051382050079156*power(2.0,-40)),
-      |(1,13,7707329304252576*power(2.0,-40)),
-      |(1,14,8363242432352735*power(2.0,-40)),
-      |(1,15,4509261087724152*power(2.0,-39)),
-      |(1,16,4836268924881130*power(2.0,-39)),
-      |(1,17,5162307221930006*power(2.0,-39)),
-      |(1,18,5487008288570583*power(2.0,-39)),
-      |(1,19,5809964030972090*power(2.0,-39)),
-      |(1,20,6130712632404072*power(2.0,-39)),
-      |(1,21,6448720819735287*power(2.0,-39)),
-      |(1,22,6763359776972188*power(2.0,-39)),
-      |(1,23,7073871811184360*power(2.0,-39)),
-      |(1,24,7379323413154236*power(2.0,-39)),
-      |(2,3,4994044646417138*power(2.0,-43)),
-      |(2,4,5018981145471017*power(2.0,-42)),
-      |(2,5,7562881743423409*power(2.0,-42)),
-      |(2,6,5062952474787602*power(2.0,-41)),
-      |(2,7,6352689728222384*power(2.0,-41)),
-      |(2,8,7649377460126996*power(2.0,-41)),
-      |(2,9,8951787759310682*power(2.0,-41)),
-      |(2,10,5129363380264409*power(2.0,-40)),
-      |(2,11,5784510581185575*power(2.0,-40)),
-      |(2,12,6440752069646499*power(2.0,-40)),
-      |(2,13,7097500112734362*power(2.0,-40)),
-      |(2,14,7754154317747731*power(2.0,-40)),
-      |(2,15,8410092166098498*power(2.0,-40)),
-      |(2,16,4532328984023842*power(2.0,-39)),
-      |(2,17,4858574816858547*power(2.0,-39)),
-      |(2,18,5183401220079142*power(2.0,-39)),
-      |(2,19,5506384332780902*power(2.0,-39)),
-      |(2,20,5827045758380530*power(2.0,-39)),
-      |(2,21,6144835565718894*power(2.0,-39)),
-      |(2,22,6459109749798056*power(2.0,-39)),
-      |(2,23,6769099895231962*power(2.0,-39)),
-      |(2,24,7073871811184360*power(2.0,-39)),
-      |(3,4,5045266265782764*power(2.0,-43)),
-      |(3,5,5067758993961494*power(2.0,-42)),
-      |(3,6,7632447749043506*power(2.0,-42)),
-      |(3,7,5106963921122188*power(2.0,-41)),
-      |(3,8,6404778508874859*power(2.0,-41)),
-      |(3,9,7708396984146221*power(2.0,-41)),
-      |(3,10,4508292537429134*power(2.0,-40)),
-      |(3,11,5164065299477350*power(2.0,-40)),
-      |(3,12,5820914315582277*power(2.0,-40)),
-      |(3,13,6478232853919071*power(2.0,-40)),
-      |(3,14,7135401273761860*power(2.0,-40)),
-      |(3,15,7791777313519211*power(2.0,-40)),
-      |(3,16,8446684882041962*power(2.0,-40)),
-      |(3,17,4549700399292225*power(2.0,-39)),
-      |(3,18,4874569373130887*power(2.0,-39)),
-      |(3,19,5197514726176230*power(2.0,-39)),
-      |(3,20,5518047878782079*power(2.0,-39)),
-      |(3,21,5835610372904465*power(2.0,-39)),
-      |(3,22,6149553211807558*power(2.0,-39)),
-      |(3,23,6459109749798056*power(2.0,-39)),
-      |(3,24,6763359776972188*power(2.0,-39)),
-      |(4,5,5091344457524125*power(2.0,-43)),
-      |(4,6,5111340112830280*power(2.0,-42)),
-      |(4,7,7694130410472378*power(2.0,-42)),
-      |(4,8,5145654469200217*power(2.0,-41)),
-      |(4,9,6450125147333426*power(2.0,-41)),
-      |(4,10,7759203983945287*power(2.0,-41)),
-      |(4,11,4535821064522165*power(2.0,-40)),
-      |(4,12,5193099830640533*power(2.0,-40)),
-      |(4,13,5850814630457037*power(2.0,-40)),
-      |(4,14,6508329265240632*power(2.0,-40)),
-      |(4,15,7164985170727851*power(2.0,-40)),
-      |(4,16,7820090212253000*power(2.0,-40)),
-      |(4,17,8472905601777239*power(2.0,-40)),
-      |(4,18,4561315144702889*power(2.0,-39)),
-      |(4,19,4884190990875543*power(2.0,-39)),
-      |(4,20,5204586834111377*power(2.0,-39)),
-      |(4,21,5521942085396962*power(2.0,-39)),
-      |(4,22,5835610372904465*power(2.0,-39)),
-      |(4,23,6144835565718894*power(2.0,-39)),
-      |(4,24,6448720819735287*power(2.0,-39)),
-      |(5,6,5132195716235080*power(2.0,-43)),
-      |(5,7,5149645238126158*power(2.0,-42)),
-      |(5,8,7747816333280080*power(2.0,-42)),
-      |(5,9,5178951688267066*power(2.0,-41)),
-      |(5,10,6488642525274130*power(2.0,-41)),
-      |(5,11,7801697491925617*power(2.0,-41)),
-      |(5,12,4558422412107205*power(2.0,-40)),
-      |(5,13,5216403713362792*power(2.0,-40)),
-      |(5,14,5874142469015923*power(2.0,-40)),
-      |(5,15,6530967017135101*power(2.0,-40)),
-      |(5,16,7186173128433683*power(2.0,-40)),
-      |(5,17,7839011236258037*power(2.0,-40)),
-      |(5,18,8488671418516551*power(2.0,-40)),
-      |(5,19,4567132705368517*power(2.0,-39)),
-      |(5,20,4887402361674660*power(2.0,-39)),
-      |(5,21,5204586834111377*power(2.0,-39)),
-      |(5,22,5518047878782079*power(2.0,-39)),
-      |(5,23,5827045758380530*power(2.0,-39)),
-      |(5,24,6130712632404072*power(2.0,-39)),
-      |(6,7,5167746808157216*power(2.0,-43)),
-      |(6,8,5182605368826546*power(2.0,-42)),
-      |(6,9,7793407630471883*power(2.0,-42)),
-      |(6,10,5206793657837299*power(2.0,-41)),
-      |(6,11,6520257015891259*power(2.0,-41)),
-      |(6,12,7835793346714060*power(2.0,-41)),
-      |(6,13,4576049824644537*power(2.0,-40)),
-      |(6,14,5233926184784345*power(2.0,-40)),
-      |(6,15,5890843891295297*power(2.0,-40)),
-      |(6,16,6546090101051416*power(2.0,-40)),
-      |(6,17,7198908612803798*power(2.0,-40)),
-      |(6,18,7848485518147512*power(2.0,-40)),
-      |(6,19,8493932270942172*power(2.0,-40)),
-      |(6,20,4567132705368517*power(2.0,-39)),
-      |(6,21,4884190990875543*power(2.0,-39)),
-      |(6,22,5197514726176230*power(2.0,-39)),
-      |(6,23,5506384332780902*power(2.0,-39)),
-      |(6,24,5809964030972090*power(2.0,-39)),
-      |(7,8,5197934588092176*power(2.0,-43)),
-      |(7,9,5210161612532271*power(2.0,-42)),
-      |(7,10,7830821741154071*power(2.0,-42)),
-      |(7,11,5229128884335562*power(2.0,-41)),
-      |(7,12,6544908431233674*power(2.0,-41)),
-      |(7,13,7861424196768955*power(2.0,-41)),
-      |(7,14,4588666883434448*power(2.0,-40)),
-      |(7,15,5245629078847319*power(2.0,-40)),
-      |(7,16,5900880242582140*power(2.0,-40)),
-      |(7,17,6553661035174919*power(2.0,-40)),
-      |(7,18,7203157566148303*power(2.0,-40)),
-      |(7,19,7848485518147512*power(2.0,-40)),
-      |(7,20,8488671418516551*power(2.0,-40)),
-      |(7,21,4561315144702889*power(2.0,-39)),
-      |(7,22,4874569373130887*power(2.0,-39)),
-      |(7,23,5183401220079142*power(2.0,-39)),
-      |(7,24,5487008288570583*power(2.0,-39)),
-      |(8,9,5222705851193278*power(2.0,-43)),
-      |(8,10,5232265062208894*power(2.0,-42)),
-      |(8,11,7859991288809314*power(2.0,-42)),
-      |(8,12,5245916238478646*power(2.0,-41)),
-      |(8,13,6562549986732691*power(2.0,-41)),
-      |(8,14,7878539511533115*power(2.0,-41)),
-      |(8,15,4596247544923786*power(2.0,-40)),
-      |(8,16,5251486905448695*power(2.0,-40)),
-      |(8,17,5904228278599621*power(2.0,-40)),
-      |(8,18,6553661035174919*power(2.0,-40)),
-      |(8,19,7198908612803798*power(2.0,-40)),
-      |(8,20,7839011236258037*power(2.0,-40)),
-      |(8,21,8472905601777239*power(2.0,-40)),
-      |(8,22,4549700399292225*power(2.0,-39)),
-      |(8,23,4858574816858547*power(2.0,-39)),
-      |(8,24,5162307221930006*power(2.0,-39)),
-      |(9,10,5242017214866846*power(2.0,-43)),
-      |(9,11,5248876699607253*power(2.0,-42)),
-      |(9,12,7880863973096262*power(2.0,-42)),
-      |(9,13,5257124909558964*power(2.0,-41)),
-      |(9,14,6573148278269910*power(2.0,-41)),
-      |(9,15,7887105594568996*power(2.0,-41)),
-      |(9,16,4598776170431052*power(2.0,-40)),
-      |(9,17,5251486905448695*power(2.0,-40)),
-      |(9,18,5900880242582140*power(2.0,-40)),
-      |(9,19,6546090101051416*power(2.0,-40)),
-      |(9,20,7186173128433683*power(2.0,-40)),
-      |(9,21,7820090212253000*power(2.0,-40)),
-      |(9,22,8446684882041962*power(2.0,-40)),
-      |(9,23,4532328984023842*power(2.0,-39)),
-      |(9,24,4836268924881130*power(2.0,-39)),
-      |(10,11,5255835026970703*power(2.0,-43)),
-      |(10,12,5259967321903981*power(2.0,-42)),
-      |(10,13,7893402490406136*power(2.0,-42)),
-      |(10,14,5262734373663527*power(2.0,-41)),
-      |(10,15,6576683268258936*power(2.0,-41)),
-      |(10,16,7887105594568996*power(2.0,-41)),
-      |(10,17,4596247544923786*power(2.0,-40)),
-      |(10,18,5245629078847319*power(2.0,-40)),
-      |(10,19,5890843891295297*power(2.0,-40)),
-      |(10,20,6530967017135101*power(2.0,-40)),
-      |(10,21,7164985170727851*power(2.0,-40)),
-      |(10,22,7791777313519211*power(2.0,-40)),
-      |(10,23,8410092166098498*power(2.0,-40)),
-      |(10,24,4509261087724152*power(2.0,-39)),
-      |(11,12,5264135297336565*power(2.0,-43)),
-      |(11,13,5265517488908190*power(2.0,-42)),
-      |(11,14,7897584479595831*power(2.0,-42)),
-      |(11,15,5262734373663527*power(2.0,-41)),
-      |(11,16,6573148278269910*power(2.0,-41)),
-      |(11,17,7878539511533115*power(2.0,-41)),
-      |(11,18,4588666883434448*power(2.0,-40)),
-      |(11,19,5233926184784345*power(2.0,-40)),
-      |(11,20,5874142469015923*power(2.0,-40)),
-      |(11,21,6508329265240632*power(2.0,-40)),
-      |(11,22,7135401273761860*power(2.0,-40)),
-      |(11,23,7754154317747731*power(2.0,-40)),
-      |(11,24,8363242432352735*power(2.0,-40)),
-      |(12,13,5266903650391690*power(2.0,-43)),
-      |(12,14,5265517488908190*power(2.0,-42)),
-      |(12,15,7893402490406136*power(2.0,-42)),
-      |(12,16,5257124909558964*power(2.0,-41)),
-      |(12,17,6562549986732691*power(2.0,-41)),
-      |(12,18,7861424196768955*power(2.0,-41)),
-      |(12,19,4576049824644537*power(2.0,-40)),
-      |(12,20,5216403713362792*power(2.0,-40)),
-      |(12,21,5850814630457037*power(2.0,-40)),
-      |(12,22,6478232853919071*power(2.0,-40)),
-      |(12,23,7097500112734362*power(2.0,-40)),
-      |(12,24,7707329304252576*power(2.0,-40)),
-      |(13,14,5264135297336565*power(2.0,-43)),
-      |(13,15,5259967321903981*power(2.0,-42)),
-      |(13,16,7880863973096262*power(2.0,-42)),
-      |(13,17,5245916238478646*power(2.0,-41)),
-      |(13,18,6544908431233674*power(2.0,-41)),
-      |(13,19,7835793346714060*power(2.0,-41)),
-      |(13,20,4558422412107205*power(2.0,-40)),
-      |(13,21,5193099830640533*power(2.0,-40)),
-      |(13,22,5820914315582277*power(2.0,-40)),
-      |(13,23,6440752069646499*power(2.0,-40)),
-      |(13,24,7051382050079156*power(2.0,-40)),
-      |(14,15,5255835026970703*power(2.0,-43)),
-      |(14,16,5248876699607253*power(2.0,-42)),
-      |(14,17,7859991288809314*power(2.0,-42)),
-      |(14,18,5229128884335562*power(2.0,-41)),
-      |(14,19,6520257015891259*power(2.0,-41)),
-      |(14,20,7801697491925617*power(2.0,-41)),
-      |(14,21,4535821064522165*power(2.0,-40)),
-      |(14,22,5164065299477350*power(2.0,-40)),
-      |(14,23,5784510581185575*power(2.0,-40)),
-      |(14,24,6395979158572828*power(2.0,-40)),
-      |(15,16,5242017214866846*power(2.0,-43)),
-      |(15,17,5232265062208894*power(2.0,-42)),
-      |(15,18,7830821741154071*power(2.0,-42)),
-      |(15,19,5206793657837299*power(2.0,-41)),
-      |(15,20,6488642525274130*power(2.0,-41)),
-      |(15,21,7759203983945287*power(2.0,-41)),
-      |(15,22,4508292537429134*power(2.0,-40)),
-      |(15,23,5129363380264409*power(2.0,-40)),
-      |(15,24,5741687395999781*power(2.0,-40)),
-      |(16,17,5222705851193278*power(2.0,-43)),
-      |(16,18,5210161612532271*power(2.0,-42)),
-      |(16,19,7793407630471883*power(2.0,-42)),
-      |(16,20,5178951688267066*power(2.0,-41)),
-      |(16,21,6450125147333426*power(2.0,-41)),
-      |(16,22,7708396984146221*power(2.0,-41)),
-      |(16,23,8951787759310682*power(2.0,-41)),
-      |(16,24,5089069716902533*power(2.0,-40)),
-      |(17,18,5197934588092176*power(2.0,-43)),
-      |(17,19,5182605368826546*power(2.0,-42)),
-      |(17,20,7747816333280080*power(2.0,-42)),
-      |(17,21,5145654469200217*power(2.0,-41)),
-      |(17,22,6404778508874859*power(2.0,-41)),
-      |(17,23,7649377460126996*power(2.0,-41)),
-      |(17,24,8877384777697378*power(2.0,-41)),
-      |(18,19,5167746808157216*power(2.0,-43)),
-      |(18,20,5149645238126158*power(2.0,-42)),
-      |(18,21,7694130410472378*power(2.0,-42)),
-      |(18,22,5106963921122188*power(2.0,-41)),
-      |(18,23,6352689728222384*power(2.0,-41)),
-      |(18,24,7582263196759038*power(2.0,-41)),
-      |(19,20,5132195716235080*power(2.0,-43)),
-      |(19,21,5111340112830280*power(2.0,-42)),
-      |(19,22,7632447749043506*power(2.0,-42)),
-      |(19,23,5062952474787602*power(2.0,-41)),
-      |(19,24,6293959490947855*power(2.0,-41)),
-      |(20,21,5091344457524125*power(2.0,-43)),
-      |(20,22,5067758993961494*power(2.0,-42)),
-      |(20,23,7562881743423409*power(2.0,-42)),
-      |(20,24,5013703180130750*power(2.0,-41)),
-      |(21,22,5045266265782764*power(2.0,-43)),
-      |(21,23,5018981145471017*power(2.0,-42)),
-      |(21,24,7485561523996611*power(2.0,-42)),
-      |(22,23,4994044646417138*power(2.0,-43)),
-      |(22,24,4965096284997767*power(2.0,-42)),
-      |(23,24,4937773600324090*power(2.0,-43))""".stripMargin.replace("\n", " ")
+    Pins.resource("geo_dist_dyadic.txt")
 
   val oracles: Map[String, String] = Map(
     // D1 — hash-gated via the SF-independent pinned distances (see

@@ -12,10 +12,20 @@ package graft.queries
   * lists, per query, the SFs a pin exists for and falls back to
   * rows-only elsewhere. The default (no property — the driver's
   * correctness run, tests) is the sf0.01 pin, the driver's SF.
+  *
+  * ONE-SF-PER-JVM CONTRACT (r14, per ADVICE r13): the property is
+  * consumed during query-object static initialization, so a second
+  * Verify at a different SF in the same JVM (sbt interactive with
+  * fork disabled) silently keeps the first run's pins. Verify is
+  * always forked one-shot by the driver and tools/check.py; if you
+  * dump two SFs by hand, use two JVMs.
   */
 object Pins {
-  def dir: String =
-    System.getProperty("graft.pin.sf", "/root/testdata/sf0.01")
+  /** The pin-tier tag. Only the trailing `sfX` segment is ever
+    * inspected (suffix match below), so the default is the bare
+    * driver-SF tag, not a filesystem path.
+    */
+  def dir: String = System.getProperty("graft.pin.sf", "sf0.01")
 
   /** True when the current dump targets the sf0.1 tier. (Suffix
     * matching is unambiguous: "sf0.01" does not end in "sf0.1".)
@@ -33,4 +43,32 @@ object Pins {
   /** Three-tier variant: adds the sf0.001 twin. */
   def at[T](sf001: => T, sf01: => T, sf0001: => T): T =
     if (isSf01) sf01 else if (isSf0001) sf0001 else sf001
+
+  /** Load a pinned-VALUES payload from a classpath resource under
+    * `graft/pins/` (r14: the multi-thousand-row pins that used to
+    * live as main-source string literals — oracle test DATA, not
+    * engine logic — moved out so the compile unit stays small).
+    *
+    * The files store one VALUES tuple per line; the join with " "
+    * reproduces the previous in-source value byte-for-byte: both
+    * pingen shapes (`\"\"\"…\"\"\".stripMargin.replace("\n"," ")` and
+    * `Seq(chunks…).mkString(" ").replace("\n"," ")`) reduce to
+    * margin-stripped lines joined by a single space. Verified by
+    * tools/DumpOracles before/after diffs at every pin SF.
+    */
+  def resource(name: String): String = load(name, " ")
+
+  /** Newline-preserving variant for payloads that were plain
+    * `\"\"\"…\"\"\".stripMargin` (interpolated into other margin blocks,
+    * where the line structure is part of the value).
+    */
+  def resourceLines(name: String): String = load(name, "\n")
+
+  private def load(name: String, sep: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/pins/$name")
+    require(in != null, s"missing pin resource graft/pins/$name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().mkString(sep)
+    finally src.close()
+  }
 }

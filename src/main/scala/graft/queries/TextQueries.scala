@@ -374,6013 +374,15 @@ object TextQueries {
       qualityProbDyadicSf0001)
 
   private val qualityProbDyadicSf0001: String =
-    """(0,7421928889797456*power(2.0,-62)),
-      |(1,9000536716074794*power(2.0,-53)),
-      |(2,8996796528211487*power(2.0,-53)),
-      |(3,8768763197642958*power(2.0,-53)),
-      |(4,8436941976461866*power(2.0,-60)),
-      |(5,8994753907639099*power(2.0,-53)),
-      |(6,9006939452684361*power(2.0,-53)),
-      |(7,8996437788141039*power(2.0,-53)),
-      |(8,9006999477045622*power(2.0,-53)),
-      |(9,8578115453477998*power(2.0,-53)),
-      |(10,6938174122661350*power(2.0,-53)),
-      |(11,9007187768705823*power(2.0,-53)),
-      |(12,9007011975018067*power(2.0,-53)),
-      |(13,8817316093283207*power(2.0,-53)),
-      |(14,5217499145826849*power(2.0,-64)),
-      |(15,6875635488327762*power(2.0,-54)),
-      |(16,9007185675411078*power(2.0,-53)),
-      |(17,9005587384915918*power(2.0,-53)),
-      |(18,7659996976835845*power(2.0,-54)),
-      |(19,8630300951650255*power(2.0,-53)),
-      |(20,8994908518016398*power(2.0,-53)),
-      |(21,9007148097998518*power(2.0,-53)),
-      |(22,9007196823670570*power(2.0,-53)),
-      |(23,8994659675821197*power(2.0,-53)),
-      |(24,8996275005784571*power(2.0,-53)),
-      |(25,7020250299850896*power(2.0,-54)),
-      |(26,9006896238958665*power(2.0,-53)),
-      |(27,6019442651829544*power(2.0,-81)),
-      |(28,9007156937163923*power(2.0,-53)),
-      |(29,9007190592597536*power(2.0,-53)),
-      |(30,8994997097938085*power(2.0,-53)),
-      |(31,9006289225598810*power(2.0,-53)),
-      |(32,4925844529149251*power(2.0,-68)),
-      |(33,7063412081241074*power(2.0,-79)),
-      |(34,9001993571813413*power(2.0,-53)),
-      |(35,9007030054364955*power(2.0,-53)),
-      |(36,9006139012647321*power(2.0,-53)),
-      |(37,5461770299213040*power(2.0,-56)),
-      |(38,9001869414379595*power(2.0,-53)),
-      |(39,8106144977283822*power(2.0,-53)),
-      |(40,4858523732951659*power(2.0,-60)),
-      |(41,8992026189781796*power(2.0,-53)),
-      |(42,9007198852152698*power(2.0,-53)),
-      |(43,9006898952247855*power(2.0,-53)),
-      |(44,4571775629728249*power(2.0,-53)),
-      |(45,4849610871502096*power(2.0,-65)),
-      |(46,8811504258050490*power(2.0,-53)),
-      |(47,9002327623267357*power(2.0,-53)),
-      |(48,8992585406482036*power(2.0,-53)),
-      |(49,9007189075517878*power(2.0,-53)),
-      |(50,6398937500428926*power(2.0,-62)),
-      |(51,8255281345402690*power(2.0,-61)),
-      |(52,4799086858798272*power(2.0,-61)),
-      |(53,8999767235046944*power(2.0,-53)),
-      |(54,9006062762429436*power(2.0,-53)),
-      |(55,5491325384166325*power(2.0,-53)),
-      |(56,8842320285417163*power(2.0,-53)),
-      |(57,8530575681352204*power(2.0,-76)),
-      |(58,8625582334145947*power(2.0,-63)),
-      |(59,9006956264630225*power(2.0,-53)),
-      |(60,8977844271576546*power(2.0,-53)),
-      |(61,9007098326680686*power(2.0,-53)),
-      |(62,8047910326899918*power(2.0,-56)),
-      |(63,8970525201701741*power(2.0,-53)),
-      |(64,8849058685903286*power(2.0,-53)),
-      |(65,5669280442934886*power(2.0,-64)),
-      |(66,5446659031182549*power(2.0,-54)),
-      |(67,8858012261041710*power(2.0,-53)),
-      |(68,9006310162080437*power(2.0,-53)),
-      |(69,5495277360623988*power(2.0,-64)),
-      |(70,8995154824457114*power(2.0,-53)),
-      |(71,8856920483646578*power(2.0,-53)),
-      |(72,8992125205488151*power(2.0,-53)),
-      |(73,6479268774467982*power(2.0,-53)),
-      |(74,6342404909357300*power(2.0,-64)),
-      |(75,8713471178082594*power(2.0,-53)),
-      |(76,9006998168489447*power(2.0,-53)),
-      |(77,9001229650654785*power(2.0,-53)),
-      |(78,9007197405605048*power(2.0,-53)),
-      |(79,9006758219594772*power(2.0,-53)),
-      |(80,9007145961189650*power(2.0,-53)),
-      |(81,9007198482560296*power(2.0,-53)),
-      |(82,5658532934900245*power(2.0,-61)),
-      |(83,8983819042004258*power(2.0,-53)),
-      |(84,4991035265821439*power(2.0,-75)),
-      |(85,9007187117166560*power(2.0,-53)),
-      |(86,4660053787502740*power(2.0,-53)),
-      |(87,8788071854356707*power(2.0,-53)),
-      |(88,9007196339972271*power(2.0,-53)),
-      |(89,5255956413293557*power(2.0,-75)),
-      |(90,8999314681682211*power(2.0,-53)),
-      |(91,8894778197799933*power(2.0,-64)),
-      |(92,9007199231620822*power(2.0,-53)),
-      |(93,9007197299321695*power(2.0,-53)),
-      |(94,8738617318071199*power(2.0,-53)),
-      |(95,9007099926287706*power(2.0,-53)),
-      |(96,8946176813661704*power(2.0,-53)),
-      |(97,8991882255640372*power(2.0,-53)),
-      |(98,9007016488572868*power(2.0,-53)),
-      |(99,9002234404894395*power(2.0,-53)),
-      |(100,9006993255196471*power(2.0,-53)),
-      |(101,9006058527790779*power(2.0,-53)),
-      |(102,9007190555942905*power(2.0,-53)),
-      |(103,7508637987269534*power(2.0,-53)),
-      |(104,8993544107209568*power(2.0,-53)),
-      |(105,7552005972439440*power(2.0,-53)),
-      |(106,9006074131322565*power(2.0,-53)),
-      |(107,9005751067105743*power(2.0,-53)),
-      |(108,9006330237593836*power(2.0,-53)),
-      |(109,9005949719026511*power(2.0,-53)),
-      |(110,9007184208887609*power(2.0,-53)),
-      |(111,8998870441579402*power(2.0,-53)),
-      |(112,9005596274689898*power(2.0,-53)),
-      |(113,8994883501325392*power(2.0,-53)),
-      |(114,4768464838891240*power(2.0,-74)),
-      |(115,6276919086668414*power(2.0,-59)),
-      |(116,8821988607710782*power(2.0,-53)),
-      |(117,5024117491001500*power(2.0,-54)),
-      |(118,8065006613396726*power(2.0,-53)),
-      |(119,8280240987624604*power(2.0,-54)),
-      |(120,9007010294383311*power(2.0,-53)),
-      |(121,8758602304323531*power(2.0,-53)),
-      |(122,8815316884182780*power(2.0,-53)),
-      |(123,9005117016817853*power(2.0,-53)),
-      |(124,8974021598079884*power(2.0,-53)),
-      |(125,8990862075609250*power(2.0,-53)),
-      |(126,8160498677557731*power(2.0,-53)),
-      |(127,5904603534835703*power(2.0,-60)),
-      |(128,9007181500585709*power(2.0,-53)),
-      |(129,9007191351353093*power(2.0,-53)),
-      |(130,5647184011658522*power(2.0,-60)),
-      |(131,8994266972259858*power(2.0,-53)),
-      |(132,8809696170288362*power(2.0,-53)),
-      |(133,8994135754658203*power(2.0,-53)),
-      |(134,7316648301205222*power(2.0,-53)),
-      |(135,8996422665639512*power(2.0,-53)),
-      |(136,8942406659953829*power(2.0,-53)),
-      |(137,9007148277644197*power(2.0,-53)),
-      |(138,8988215080623808*power(2.0,-53)),
-      |(139,8933883463894639*power(2.0,-60)),
-      |(140,6818155088568292*power(2.0,-71)),
-      |(141,7425521466291941*power(2.0,-61)),
-      |(142,9006971689925752*power(2.0,-53)),
-      |(143,8997095331287129*power(2.0,-53)),
-      |(144,9007150479542456*power(2.0,-53)),
-      |(145,5222361664775587*power(2.0,-53)),
-      |(146,8828044535283776*power(2.0,-53)),
-      |(147,6887993807911525*power(2.0,-75)),
-      |(148,9006979599917715*power(2.0,-53)),
-      |(149,9007184107152000*power(2.0,-53)),
-      |(150,6182736199624141*power(2.0,-64)),
-      |(151,9007139355971209*power(2.0,-53)),
-      |(152,9005048016206284*power(2.0,-53)),
-      |(153,9007121144559357*power(2.0,-53)),
-      |(154,9006986507357265*power(2.0,-53)),
-      |(155,4781387308044777*power(2.0,-70)),
-      |(156,9006958958267895*power(2.0,-53)),
-      |(157,8841925773999576*power(2.0,-53)),
-      |(158,4560308616277648*power(2.0,-53)),
-      |(159,9007193615992320*power(2.0,-53)),
-      |(160,8985070632070166*power(2.0,-53)),
-      |(161,9007148141895722*power(2.0,-53)),
-      |(162,9007161434839597*power(2.0,-53)),
-      |(163,8699131159571901*power(2.0,-53)),
-      |(164,5473232652049082*power(2.0,-73)),
-      |(165,6971844065253381*power(2.0,-62)),
-      |(166,8993054597134485*power(2.0,-53)),
-      |(167,6313501676334358*power(2.0,-62)),
-      |(168,9006522037232527*power(2.0,-53)),
-      |(169,7161162166937334*power(2.0,-63)),
-      |(170,6059112705865489*power(2.0,-57)),
-      |(171,8428212101564643*power(2.0,-63)),
-      |(172,8474479867073994*power(2.0,-53)),
-      |(173,8996342440116676*power(2.0,-53)),
-      |(174,9002228649023930*power(2.0,-53)),
-      |(175,9007196434722427*power(2.0,-53)),
-      |(176,9006887819309099*power(2.0,-53)),
-      |(177,9007171273772097*power(2.0,-53)),
-      |(178,7025408150426207*power(2.0,-59)),
-      |(179,9003183899232186*power(2.0,-53)),
-      |(180,8985170419704932*power(2.0,-61)),
-      |(181,9005462923489488*power(2.0,-53)),
-      |(182,6001657268890712*power(2.0,-61)),
-      |(183,8813357074901116*power(2.0,-53)),
-      |(184,8999640588256487*power(2.0,-53)),
-      |(185,6378596211765684*power(2.0,-54)),
-      |(186,8934523120438283*power(2.0,-53)),
-      |(187,9007197859300884*power(2.0,-53)),
-      |(188,8985407444112242*power(2.0,-53)),
-      |(189,9007188872334708*power(2.0,-53)),
-      |(190,9003968252811282*power(2.0,-53)),
-      |(191,4966224128859134*power(2.0,-63)),
-      |(192,9003669069370914*power(2.0,-53)),
-      |(193,6049320422464395*power(2.0,-69)),
-      |(194,8989728360243992*power(2.0,-53)),
-      |(195,8996870304784205*power(2.0,-53)),
-      |(196,8995896778918641*power(2.0,-53)),
-      |(197,9007144518776092*power(2.0,-53)),
-      |(198,9006146822183278*power(2.0,-53)),
-      |(199,8992308785318175*power(2.0,-53)),
-      |(200,8988629936417097*power(2.0,-53)),
-      |(201,8995708392553960*power(2.0,-53)),
-      |(202,7005819277173774*power(2.0,-62)),
-      |(203,8123494621991031*power(2.0,-57)),
-      |(204,9007008687636613*power(2.0,-53)),
-      |(205,4788603728049164*power(2.0,-53)),
-      |(206,8994613300252309*power(2.0,-53)),
-      |(207,6104415412748675*power(2.0,-53)),
-      |(208,9007198162200355*power(2.0,-53)),
-      |(209,6958911622550663*power(2.0,-53)),
-      |(210,8194844893806051*power(2.0,-53)),
-      |(211,9007159339912355*power(2.0,-53)),
-      |(212,8983466539573433*power(2.0,-53)),
-      |(213,9006991732996538*power(2.0,-53)),
-      |(214,9006206668932871*power(2.0,-53)),
-      |(215,9005476220199751*power(2.0,-53)),
-      |(216,4718192768325786*power(2.0,-53)),
-      |(217,9005349307340876*power(2.0,-53)),
-      |(218,9007150247673125*power(2.0,-53)),
-      |(219,8687694862507614*power(2.0,-53)),
-      |(220,9005575411332277*power(2.0,-53)),
-      |(221,5184771946145287*power(2.0,-64)),
-      |(222,8583953605933586*power(2.0,-54)),
-      |(223,9006933828120629*power(2.0,-53)),
-      |(224,7912203368792069*power(2.0,-53)),
-      |(225,5148117390935438*power(2.0,-68)),
-      |(226,9006584166018182*power(2.0,-53)),
-      |(227,8979184102007134*power(2.0,-53)),
-      |(228,8828855244463148*power(2.0,-53)),
-      |(229,6568529779921959*power(2.0,-62)),
-      |(230,9007163708562177*power(2.0,-53)),
-      |(231,7973125785367775*power(2.0,-53)),
-      |(232,9000429970662850*power(2.0,-53)),
-      |(233,6147681031379625*power(2.0,-54)),
-      |(234,9005771504901368*power(2.0,-53)),
-      |(235,9005843140386268*power(2.0,-53)),
-      |(236,8747785637282972*power(2.0,-53)),
-      |(237,6860839318312576*power(2.0,-58)),
-      |(238,5412536782135868*power(2.0,-54)),
-      |(239,5005861373477817*power(2.0,-54)),
-      |(240,9007123662760937*power(2.0,-53)),
-      |(241,8075286968421984*power(2.0,-53)),
-      |(242,9007195570961779*power(2.0,-53)),
-      |(243,9007037985649775*power(2.0,-53)),
-      |(244,4833685893814871*power(2.0,-53)),
-      |(245,9006957541430160*power(2.0,-53)),
-      |(246,9006935048929261*power(2.0,-53)),
-      |(247,5016654392101077*power(2.0,-53)),
-      |(248,9007025735068091*power(2.0,-53)),
-      |(249,9006114780252480*power(2.0,-53)),
-      |(250,8640673439072124*power(2.0,-53)),
-      |(251,9007164441825197*power(2.0,-53)),
-      |(252,9006967780940405*power(2.0,-53)),
-      |(253,6541115015672709*power(2.0,-58)),
-      |(254,7865606783476069*power(2.0,-60)),
-      |(255,8981619014634686*power(2.0,-53)),
-      |(256,6077467962080142*power(2.0,-53)),
-      |(257,6043446200711411*power(2.0,-61)),
-      |(258,4653523107671952*power(2.0,-53)),
-      |(259,9006836136716043*power(2.0,-53)),
-      |(260,9007195330137264*power(2.0,-53)),
-      |(261,9007004535893593*power(2.0,-53)),
-      |(262,5179405714320665*power(2.0,-56)),
-      |(263,7721949291264872*power(2.0,-62)),
-      |(264,8990837458191601*power(2.0,-53)),
-      |(265,8983143263188604*power(2.0,-53)),
-      |(266,8822303181231885*power(2.0,-53)),
-      |(267,9006522556828810*power(2.0,-53)),
-      |(268,9007181238779923*power(2.0,-53)),
-      |(269,9006910497663948*power(2.0,-53)),
-      |(270,9006443562967578*power(2.0,-53)),
-      |(271,8803821720386519*power(2.0,-53)),
-      |(272,9007148581868594*power(2.0,-53)),
-      |(273,7929071105743529*power(2.0,-61)),
-      |(274,9007184902418629*power(2.0,-53)),
-      |(275,8143179812907812*power(2.0,-53)),
-      |(276,6293160172616647*power(2.0,-63)),
-      |(277,8927291042315234*power(2.0,-53)),
-      |(278,7848119654656838*power(2.0,-60)),
-      |(279,8867066379514097*power(2.0,-53)),
-      |(280,9005435706824321*power(2.0,-53)),
-      |(281,8931148951132740*power(2.0,-64)),
-      |(282,9007175650140135*power(2.0,-53)),
-      |(283,9006090924125621*power(2.0,-53)),
-      |(284,9006937953553577*power(2.0,-53)),
-      |(285,8688001915359942*power(2.0,-53)),
-      |(286,8816548314788084*power(2.0,-53)),
-      |(287,9006917496941190*power(2.0,-53)),
-      |(288,8971658423114000*power(2.0,-53)),
-      |(289,8126144871319689*power(2.0,-54)),
-      |(290,6395332527956990*power(2.0,-63)),
-      |(291,9007196533927182*power(2.0,-53)),
-      |(292,8835275933413039*power(2.0,-53)),
-      |(293,9006966544203025*power(2.0,-53)),
-      |(294,4630032440689731*power(2.0,-53)),
-      |(295,9006052320372664*power(2.0,-53)),
-      |(296,9006094469487109*power(2.0,-53)),
-      |(297,7724985222002374*power(2.0,-53)),
-      |(298,8921299843320126*power(2.0,-53)),
-      |(299,9007144590405338*power(2.0,-53)),
-      |(300,9005807382559381*power(2.0,-53)),
-      |(301,9005146547815608*power(2.0,-53)),
-      |(302,7314626430873153*power(2.0,-64)),
-      |(303,9006322576556128*power(2.0,-53)),
-      |(304,8980266356482915*power(2.0,-53)),
-      |(305,9005847081515327*power(2.0,-53)),
-      |(306,8998694153622296*power(2.0,-53)),
-      |(307,8982250851837748*power(2.0,-53)),
-      |(308,6564176455056849*power(2.0,-62)),
-      |(309,8112344814213388*power(2.0,-53)),
-      |(310,8793883938199066*power(2.0,-53)),
-      |(311,4696574514769235*power(2.0,-62)),
-      |(312,8992016266637852*power(2.0,-53)),
-      |(313,7207451045608228*power(2.0,-54)),
-      |(314,8991614787974803*power(2.0,-53)),
-      |(315,8804458157883185*power(2.0,-53)),
-      |(316,9007167406554419*power(2.0,-53)),
-      |(317,9007194984043731*power(2.0,-53)),
-      |(318,9005427063272157*power(2.0,-53)),
-      |(319,8857373757473155*power(2.0,-53)),
-      |(320,9005152604509720*power(2.0,-53)),
-      |(321,8859796087497157*power(2.0,-53)),
-      |(322,4732676467135348*power(2.0,-53)),
-      |(323,9003671923571092*power(2.0,-53)),
-      |(324,9007121048289570*power(2.0,-53)),
-      |(325,8309540934771577*power(2.0,-62)),
-      |(326,8751845508889125*power(2.0,-53)),
-      |(327,4775169451130526*power(2.0,-79)),
-      |(328,6879410431560432*power(2.0,-57)),
-      |(329,9006459791191819*power(2.0,-53)),
-      |(330,9006993040839794*power(2.0,-53)),
-      |(331,6746513121502856*power(2.0,-54)),
-      |(332,9006922934081860*power(2.0,-53)),
-      |(333,8993422196653811*power(2.0,-53)),
-      |(334,9006314246389187*power(2.0,-53)),
-      |(335,8742496831401145*power(2.0,-53)),
-      |(336,6984470358725925*power(2.0,-54)),
-      |(337,5203535052844730*power(2.0,-53)),
-      |(338,7459668997314528*power(2.0,-55)),
-      |(339,8716703983518312*power(2.0,-53)),
-      |(340,8842162133773009*power(2.0,-53)),
-      |(341,8030930592109457*power(2.0,-57)),
-      |(342,9006486699378735*power(2.0,-53)),
-      |(343,9004197024224428*power(2.0,-53)),
-      |(344,4650902283253109*power(2.0,-63)),
-      |(345,9005083383152250*power(2.0,-53)),
-      |(346,7666294626876576*power(2.0,-61)),
-      |(347,7848530409801179*power(2.0,-54)),
-      |(348,5704650073839894*power(2.0,-53)),
-      |(349,9007018826095546*power(2.0,-53)),
-      |(350,9006154582875705*power(2.0,-53)),
-      |(351,9005493565719488*power(2.0,-53)),
-      |(352,6406386749391683*power(2.0,-53)),
-      |(353,7881875083111956*power(2.0,-64)),
-      |(354,8484565862581068*power(2.0,-53)),
-      |(355,9007016859424400*power(2.0,-53)),
-      |(356,8994643220192101*power(2.0,-53)),
-      |(357,8849729875239195*power(2.0,-53)),
-      |(358,8991913617135966*power(2.0,-53)),
-      |(359,7545845855277984*power(2.0,-58)),
-      |(360,9007005780142097*power(2.0,-53)),
-      |(361,8801630140207801*power(2.0,-53)),
-      |(362,8992682345488732*power(2.0,-53)),
-      |(363,9007189409035024*power(2.0,-53)),
-      |(364,9005656247512418*power(2.0,-53)),
-      |(365,8829196239303938*power(2.0,-53)),
-      |(366,8992211565039683*power(2.0,-53)),
-      |(367,9007199109835192*power(2.0,-53)),
-      |(368,9007105342901388*power(2.0,-53)),
-      |(369,9007186526771480*power(2.0,-53)),
-      |(370,8434844933419009*power(2.0,-77)),
-      |(371,7627543325956134*power(2.0,-56)),
-      |(372,9005860325238539*power(2.0,-53)),
-      |(373,6729810342571129*power(2.0,-55)),
-      |(374,9006418522023320*power(2.0,-53)),
-      |(375,8950086524613450*power(2.0,-54)),
-      |(376,8983668464739761*power(2.0,-53)),
-      |(377,5990977100356568*power(2.0,-54)),
-      |(378,9007158900305110*power(2.0,-53)),
-      |(379,8982733262301425*power(2.0,-53)),
-      |(380,9006545753931512*power(2.0,-53)),
-      |(381,9007168528591566*power(2.0,-53)),
-      |(382,9007197436875241*power(2.0,-53)),
-      |(383,8129965814916312*power(2.0,-54)),
-      |(384,8420480037859478*power(2.0,-62)),
-      |(385,5116591631615330*power(2.0,-53)),
-      |(386,8996194672327245*power(2.0,-53)),
-      |(387,9006977059772327*power(2.0,-53)),
-      |(388,8704384711101825*power(2.0,-53)),
-      |(389,8865471408922387*power(2.0,-53)),
-      |(390,9007017788032431*power(2.0,-53)),
-      |(391,9007195033421598*power(2.0,-53)),
-      |(392,8769574781438932*power(2.0,-53)),
-      |(393,9007198620983703*power(2.0,-53)),
-      |(394,9004379590573862*power(2.0,-53)),
-      |(395,8985030780680251*power(2.0,-53)),
-      |(396,9007184492912107*power(2.0,-53)),
-      |(397,7537194058528099*power(2.0,-78)),
-      |(398,8700766539487926*power(2.0,-69)),
-      |(399,9007186459757270*power(2.0,-53)),
-      |(400,7483674875857287*power(2.0,-76)),
-      |(401,9006996459761924*power(2.0,-53)),
-      |(402,7034661581579053*power(2.0,-56)),
-      |(403,8007381835267722*power(2.0,-62)),
-      |(404,9007155081849373*power(2.0,-53)),
-      |(405,8967629714531913*power(2.0,-55)),
-      |(406,8996665778440429*power(2.0,-53)),
-      |(407,8632973109411708*power(2.0,-55)),
-      |(408,9005350408079246*power(2.0,-53)),
-      |(409,9006015852756454*power(2.0,-53)),
-      |(410,9007184654646008*power(2.0,-53)),
-      |(411,9007041299010190*power(2.0,-53)),
-      |(412,9006494549983232*power(2.0,-53)),
-      |(413,8680266581806963*power(2.0,-53)),
-      |(414,7000761788180236*power(2.0,-74)),
-      |(415,8843370299229005*power(2.0,-53)),
-      |(416,8645353285796648*power(2.0,-53)),
-      |(417,5726682709965303*power(2.0,-58)),
-      |(418,7421928889797456*power(2.0,-62)),
-      |(419,9004906554240643*power(2.0,-53)),
-      |(420,9006223840483310*power(2.0,-53)),
-      |(421,8993536177002798*power(2.0,-53)),
-      |(422,5641680557268294*power(2.0,-54)),
-      |(423,9006933720786800*power(2.0,-53)),
-      |(424,8732888871330976*power(2.0,-63)),
-      |(425,8170358091225726*power(2.0,-54)),
-      |(426,4636724948336984*power(2.0,-55)),
-      |(427,5276722610895826*power(2.0,-53)),
-      |(428,7644745393096277*power(2.0,-57)),
-      |(429,6184982418170634*power(2.0,-55)),
-      |(430,8997382922864721*power(2.0,-53)),
-      |(431,9007174038636458*power(2.0,-53)),
-      |(432,9005910644908186*power(2.0,-53)),
-      |(433,9006948998511152*power(2.0,-53)),
-      |(434,8994811059567120*power(2.0,-53)),
-      |(435,9007157372141003*power(2.0,-53)),
-      |(436,5788722757356246*power(2.0,-80)),
-      |(437,9006103740302609*power(2.0,-53)),
-      |(438,8990823188613442*power(2.0,-53)),
-      |(439,5554714497341502*power(2.0,-58)),
-      |(440,9003402975332172*power(2.0,-53)),
-      |(441,7322679578730313*power(2.0,-53)),
-      |(442,5778735435362788*power(2.0,-62)),
-      |(443,9007009306705108*power(2.0,-53)),
-      |(444,9000172926031871*power(2.0,-53)),
-      |(445,9007199251180852*power(2.0,-53)),
-      |(446,9007144532953843*power(2.0,-53)),
-      |(447,8811911244060057*power(2.0,-64)),
-      |(448,7791119687038871*power(2.0,-53)),
-      |(449,6864458396778368*power(2.0,-54)),
-      |(450,8996076360403669*power(2.0,-53)),
-      |(451,9005673014919292*power(2.0,-53)),
-      |(452,4596249854323063*power(2.0,-53)),
-      |(453,9007155526782583*power(2.0,-53)),
-      |(454,8994056059716417*power(2.0,-53)),
-      |(455,6129673676046553*power(2.0,-79)),
-      |(456,8746136026326424*power(2.0,-53)),
-      |(457,9007183459243034*power(2.0,-53)),
-      |(458,7665126663719418*power(2.0,-53)),
-      |(459,9001254449226123*power(2.0,-53)),
-      |(460,9007176849652818*power(2.0,-53)),
-      |(461,6670907368927817*power(2.0,-53)),
-      |(462,8993221912422053*power(2.0,-53)),
-      |(463,6207009864778224*power(2.0,-54)),
-      |(464,8813216776376369*power(2.0,-53)),
-      |(465,8851025139422368*power(2.0,-53)),
-      |(466,4758156928765471*power(2.0,-69)),
-      |(467,9007183408665890*power(2.0,-53)),
-      |(468,8729672309811511*power(2.0,-53)),
-      |(469,8984425760595724*power(2.0,-53)),
-      |(470,7624436011391779*power(2.0,-53)),
-      |(471,9006980790377324*power(2.0,-53)),
-      |(472,6452356877670487*power(2.0,-62)),
-      |(473,8999759635999292*power(2.0,-53)),
-      |(474,9006468640801265*power(2.0,-53)),
-      |(475,8931681925968366*power(2.0,-53)),
-      |(476,9006829190494857*power(2.0,-53)),
-      |(477,9007199086502993*power(2.0,-53)),
-      |(478,8566238333805113*power(2.0,-53)),
-      |(479,8560261440672259*power(2.0,-57)),
-      |(480,6040469357573267*power(2.0,-63)),
-      |(481,9006934331083841*power(2.0,-53)),
-      |(482,5046362636142848*power(2.0,-53)),
-      |(483,9007193338277508*power(2.0,-53)),
-      |(484,5025326233412510*power(2.0,-53)),
-      |(485,9007155592973938*power(2.0,-53)),
-      |(486,9006513972375872*power(2.0,-53)),
-      |(487,7375870515873263*power(2.0,-66)),
-      |(488,9006106819216352*power(2.0,-53)),
-      |(489,5150999430618182*power(2.0,-53)),
-      |(490,8127951293996999*power(2.0,-63)),
-      |(491,6583055670369480*power(2.0,-53)),
-      |(492,8448974406193750*power(2.0,-53)),
-      |(493,9007199254729406*power(2.0,-53)),
-      |(494,9007196906866962*power(2.0,-53)),
-      |(495,8824077728887203*power(2.0,-64)),
-      |(496,8000602257001237*power(2.0,-61)),
-      |(497,5816454480997734*power(2.0,-64)),
-      |(498,9006476029014640*power(2.0,-53)),
-      |(499,7119081651970479*power(2.0,-56))""".stripMargin.replace("\n", " ")
+    Pins.resource("quality_prob_dyadic_sf0001.txt")
 
   // sf0.1 twin of the pinned canonical-feed quality model probs
   // (r13: fresh-JVM 8/32-thread byte equality proven at sf0.1 too)
   private val qualityProbDyadicSf01: String =
-    Seq(
-    """(0,8849327549774437*power(2.0,-53)),
-      |(1,7560765426352047*power(2.0,-73)),
-      |(2,8238470380478690*power(2.0,-53)),
-      |(3,9007180539800292*power(2.0,-53)),
-      |(4,8509837949457769*power(2.0,-53)),
-      |(5,9007195978110686*power(2.0,-53)),
-      |(6,8813997248207387*power(2.0,-53)),
-      |(7,8993981684678756*power(2.0,-53)),
-      |(8,9006197755800752*power(2.0,-53)),
-      |(9,8841096185170465*power(2.0,-53)),
-      |(10,5369695175008914*power(2.0,-53)),
-      |(11,8980429351027404*power(2.0,-53)),
-      |(12,8994038330868854*power(2.0,-53)),
-      |(13,9005671672105790*power(2.0,-53)),
-      |(14,8653175682204059*power(2.0,-53)),
-      |(15,7008557738252289*power(2.0,-53)),
-      |(16,8151950137612738*power(2.0,-57)),
-      |(17,9006888127190563*power(2.0,-53)),
-      |(18,8964252364348329*power(2.0,-53)),
-      |(19,9006963276759670*power(2.0,-53)),
-      |(20,8991361974681968*power(2.0,-53)),
-      |(21,6221757666908678*power(2.0,-55)),
-      |(22,9002832155287179*power(2.0,-53)),
-      |(23,8488538092112712*power(2.0,-54)),
-      |(24,8719671570488674*power(2.0,-58)),
-      |(25,9005499589698575*power(2.0,-53)),
-      |(26,9007125469020359*power(2.0,-53)),
-      |(27,8999801098860725*power(2.0,-53)),
-      |(28,8077992360351787*power(2.0,-56)),
-      |(29,5127287499960826*power(2.0,-53)),
-      |(30,7540160044694242*power(2.0,-56)),
-      |(31,4820585366588588*power(2.0,-66)),
-      |(32,8988329205031787*power(2.0,-53)),
-      |(33,6833266198367565*power(2.0,-53)),
-      |(34,5917356799256981*power(2.0,-53)),
-      |(35,9007128762482284*power(2.0,-53)),
-      |(36,8995802071804664*power(2.0,-53)),
-      |(37,5679235582387637*power(2.0,-53)),
-      |(38,8994605090430318*power(2.0,-53)),
-      |(39,4969184484744586*power(2.0,-69)),
-      |(40,9007194923441605*power(2.0,-53)),
-      |(41,7335676276416673*power(2.0,-68)),
-      |(42,6931883242344661*power(2.0,-62)),
-      |(43,9005335490076174*power(2.0,-53)),
-      |(44,8268100655500346*power(2.0,-53)),
-      |(45,8938575131856184*power(2.0,-53)),
-      |(46,9000870731149954*power(2.0,-53)),
-      |(47,8967647060322384*power(2.0,-53)),
-      |(48,6499614287740796*power(2.0,-53)),
-      |(49,8842702683136580*power(2.0,-53)),
-      |(50,8571504387830876*power(2.0,-53)),
-      |(51,9007181394381353*power(2.0,-53)),
-      |(52,9006290598168046*power(2.0,-53)),
-      |(53,8996729831552933*power(2.0,-53)),
-      |(54,9007182751216501*power(2.0,-53)),
-      |(55,9006920484103125*power(2.0,-53)),
-      |(56,9003459968749074*power(2.0,-53)),
-      |(57,9006930818195675*power(2.0,-53)),
-      |(58,5986830601164743*power(2.0,-56)),
-      |(59,6533185763313442*power(2.0,-70)),
-      |(60,7473025729795156*power(2.0,-59)),
-      |(61,9006164347736575*power(2.0,-53)),
-      |(62,9007199204948032*power(2.0,-53)),
-      |(63,9006146443059080*power(2.0,-53)),
-      |(64,8144384638690633*power(2.0,-54)),
-      |(65,9006934668464966*power(2.0,-53)),
-      |(66,9007180153290550*power(2.0,-53)),
-      |(67,8985667072480604*power(2.0,-53)),
-      |(68,9006984724917836*power(2.0,-53)),
-      |(69,7386126885844937*power(2.0,-62)),
-      |(70,8993471312341108*power(2.0,-53)),
-      |(71,9007183198766759*power(2.0,-53)),
-      |(72,9005576190640089*power(2.0,-53)),
-      |(73,5143898731351151*power(2.0,-61)),
-      |(74,9006837368812485*power(2.0,-53)),
-      |(75,9005473027405131*power(2.0,-53)),
-      |(76,5017595277230093*power(2.0,-61)),
-      |(77,8422629220261511*power(2.0,-76)),
-      |(78,4720479088317541*power(2.0,-58)),
-      |(79,7985927569010302*power(2.0,-54)),
-      |(80,6937996768638107*power(2.0,-54)),
-      |(81,9006923089540534*power(2.0,-53)),
-      |(82,5482845183945328*power(2.0,-64)),
-      |(83,5260738827419585*power(2.0,-54)),
-      |(84,8998029266077785*power(2.0,-53)),
-      |(85,8994733982380214*power(2.0,-53)),
-      |(86,9007199243282540*power(2.0,-53)),
-      |(87,9006945015382023*power(2.0,-53)),
-      |(88,9006916270194663*power(2.0,-53)),
-      |(89,8969180337273990*power(2.0,-53)),
-      |(90,9005993611148511*power(2.0,-53)),
-      |(91,6539056580522632*power(2.0,-73)),
-      |(92,4513924943107370*power(2.0,-53)),
-      |(93,5260745424588604*power(2.0,-60)),
-      |(94,4598849319242112*power(2.0,-53)),
-      |(95,8993674604461190*power(2.0,-54)),
-      |(96,8904257884170604*power(2.0,-53)),
-      |(97,9007166564055182*power(2.0,-53)),
-      |(98,9006898931596080*power(2.0,-53)),
-      |(99,5469736261882976*power(2.0,-56)),
-      |(100,6843328996142067*power(2.0,-55)),
-      |(101,8921310903705905*power(2.0,-53)),
-      |(102,9007141379808034*power(2.0,-53)),
-      |(103,8801306335889767*power(2.0,-53)),
-      |(104,4860811617594758*power(2.0,-53)),
-      |(105,9005922163759800*power(2.0,-53)),
-      |(106,7645314160916185*power(2.0,-53)),
-      |(107,9005677733101572*power(2.0,-53)),
-      |(108,5338481924837020*power(2.0,-53)),
-      |(109,9005556403224603*power(2.0,-53)),
-      |(110,6174127208081138*power(2.0,-53)),
-      |(111,5583670563775516*power(2.0,-70)),
-      |(112,5764209804750376*power(2.0,-53)),
-      |(113,9005874548558751*power(2.0,-53)),
-      |(114,8997902558296505*power(2.0,-53)),
-      |(115,6683876002645823*power(2.0,-53)),
-      |(116,9007196302530002*power(2.0,-53)),
-      |(117,9006870073427492*power(2.0,-53)),
-      |(118,9006932700950721*power(2.0,-53)),
-      |(119,9007128269852552*power(2.0,-53)),
-      |(120,9005657945501086*power(2.0,-53)),
-      |(121,5877208914400132*power(2.0,-53)),
-      |(122,9007131128054056*power(2.0,-53)),
-      |(123,9006498416264577*power(2.0,-53)),
-      |(124,9001073893839901*power(2.0,-53)),
-      |(125,9003381802931280*power(2.0,-53)),
-      |(126,8990647797255492*power(2.0,-53)),
-      |(127,9006155975017216*power(2.0,-53)),
-      |(128,8816604747931426*power(2.0,-53)),
-      |(129,6842766712570383*power(2.0,-53)),
-      |(130,8991193988800769*power(2.0,-53)),
-      |(131,7471628473366384*power(2.0,-62)),
-      |(132,9005963087684412*power(2.0,-53)),
-      |(133,6496166456619146*power(2.0,-70)),
-      |(134,9007193799432014*power(2.0,-53)),
-      |(135,9007133308021114*power(2.0,-53)),
-      |(136,9007196860308793*power(2.0,-53)),
-      |(137,9007198478606191*power(2.0,-53)),
-      |(138,4796604344038385*power(2.0,-61)),
-      |(139,9007178703945833*power(2.0,-53)),
-      |(140,6499811303650081*power(2.0,-55)),
-      |(141,9007198589815861*power(2.0,-53)),
-      |(142,8827389383820356*power(2.0,-53)),
-      |(143,8995692307733582*power(2.0,-53)),
-      |(144,9005481238676985*power(2.0,-53)),
-      |(145,8647380886173379*power(2.0,-68)),
-      |(146,5752245787049062*power(2.0,-53)),
-      |(147,9007124950241657*power(2.0,-53)),
-      |(148,9007184895315484*power(2.0,-53)),
-      |(149,9006911698074396*power(2.0,-53)),
-      |(150,9007170472896253*power(2.0,-53)),
-      |(151,8458198432077185*power(2.0,-53)),
-      |(152,4545585942511632*power(2.0,-59)),
-      |(153,6142522990761772*power(2.0,-58)),
-      |(154,6240374451645258*power(2.0,-58)),
-      |(155,6237267934139769*power(2.0,-73)),
-      |(156,9005664826893994*power(2.0,-53)),
-      |(157,9006768709717733*power(2.0,-53)),
-      |(158,8991061349969765*power(2.0,-53)),
-      |(159,9007126682621899*power(2.0,-53)),
-      |(160,8916217197490942*power(2.0,-53)),
-      |(161,6326109890837113*power(2.0,-60)),
-      |(162,8659832863551000*power(2.0,-53)),
-      |(163,8997908806936707*power(2.0,-53)),
-      |(164,9007182632919896*power(2.0,-53)),
-      |(165,9007199237721500*power(2.0,-53)),
-      |(166,5942443733991565*power(2.0,-72)),
-      |(167,9005163230595372*power(2.0,-53)),
-      |(168,8949185043454209*power(2.0,-53)),
-      |(169,5030982859917308*power(2.0,-53)),
-      |(170,4924401166032778*power(2.0,-74)),
-      |(171,8782016139309261*power(2.0,-53)),
-      |(172,5827071232616646*power(2.0,-61)),
-      |(173,9007197826634574*power(2.0,-53)),
-      |(174,8977410426319434*power(2.0,-53)),
-      |(175,9005431113450246*power(2.0,-53)),
-      |(176,9005610038016345*power(2.0,-53)),
-      |(177,7545861921655026*power(2.0,-53)),
-      |(178,6045424390938869*power(2.0,-53)),
-      |(179,7398386107808294*power(2.0,-62)),
-      |(180,8322701636549088*power(2.0,-62)),
-      |(181,9005146523785079*power(2.0,-53)),
-      |(182,8995288209083808*power(2.0,-53)),
-      |(183,6634248561777862*power(2.0,-53)),
-      |(184,9006944454138791*power(2.0,-53)),
-      |(185,8856026046976121*power(2.0,-53)),
-      |(186,8998012778541955*power(2.0,-53)),
-      |(187,8990345979684755*power(2.0,-53)),
-      |(188,9007199176428295*power(2.0,-53)),
-      |(189,8887554059805538*power(2.0,-53)),
-      |(190,9005580412220761*power(2.0,-53)),
-      |(191,8919899592245239*power(2.0,-53)),
-      |(192,7449647132457387*power(2.0,-70)),
-      |(193,8955903270263999*power(2.0,-53)),
-      |(194,9006663589054814*power(2.0,-53)),
-      |(195,9006754897437730*power(2.0,-53)),
-      |(196,9001263932345328*power(2.0,-53)),
-      |(197,7619805925009704*power(2.0,-53)),
-      |(198,8995943534641005*power(2.0,-53)),
-      |(199,9007132914650954*power(2.0,-53)),
-      |(200,5094583713057101*power(2.0,-68)),
-      |(201,8764645602552063*power(2.0,-53)),
-      |(202,9000158610625434*power(2.0,-53)),
-      |(203,9007110689134683*power(2.0,-53)),
-      |(204,8998858354866103*power(2.0,-78)),
-      |(205,7708493767586637*power(2.0,-53)),
-      |(206,9007143482919241*power(2.0,-53)),
-      |(207,9002591124138934*power(2.0,-53)),
-      |(208,9005026773280346*power(2.0,-53)),
-      |(209,9006902402910942*power(2.0,-53)),
-      |(210,5343172139657024*power(2.0,-53)),
-      |(211,9005745142992002*power(2.0,-53)),
-      |(212,8034168938687192*power(2.0,-53)),
-      |(213,8996082481079888*power(2.0,-53)),
-      |(214,8948691570776037*power(2.0,-53)),
-      |(215,9005794851594602*power(2.0,-53)),
-      |(216,8970041397167482*power(2.0,-53)),
-      |(217,5934701643275582*power(2.0,-65)),
-      |(218,7602387270551957*power(2.0,-54)),
-      |(219,9007179684930737*power(2.0,-53)),
-      |(220,8997160512187801*power(2.0,-53)),
-      |(221,8968084661081153*power(2.0,-53)),
-      |(222,6017454755308992*power(2.0,-60)),
-      |(223,6710259163221175*power(2.0,-53)),
-      |(224,5240883955366065*power(2.0,-72)),
-      |(225,8861432991188382*power(2.0,-53)),
-      |(226,9007199028897596*power(2.0,-53)),
-      |(227,9007198930908058*power(2.0,-53)),
-      |(228,9006139634863073*power(2.0,-53)),
-      |(229,5240883955366065*power(2.0,-72)),
-      |(230,6104837726100967*power(2.0,-53)),
-      |(231,8966743462007862*power(2.0,-53)),
-      |(232,8994567647680598*power(2.0,-53)),
-      |(233,8955162938646140*power(2.0,-53)),
-      |(234,8883387662519279*power(2.0,-53)),
-      |(235,8953798903354320*power(2.0,-53)),
-      |(236,7208394856128560*power(2.0,-53)),
-      |(237,8921170384032800*power(2.0,-53)),
-      |(238,8725351385567184*power(2.0,-53)),
-      |(239,9006882154522454*power(2.0,-53)),
-      |(240,9007194474688543*power(2.0,-53)),
-      |(241,5326752237575612*power(2.0,-55)),
-      |(242,8873741440771491*power(2.0,-53)),
-      |(243,8951070778283259*power(2.0,-53)),
-      |(244,5110280627829776*power(2.0,-61)),
-      |(245,9006947845837122*power(2.0,-53)),
-      |(246,8996304020071633*power(2.0,-53)),
-      |(247,8827071896980907*power(2.0,-53)),
-      |(248,9005645916349170*power(2.0,-53)),
-      |(249,9007199245879254*power(2.0,-53)),
-      |(250,5128584774178772*power(2.0,-75)),
-      |(251,8994428090317079*power(2.0,-53)),
-      |(252,8888427823637256*power(2.0,-53)),
-      |(253,8999227472813474*power(2.0,-53)),
-      |(254,8772590143103055*power(2.0,-53)),
-      |(255,4752738261121907*power(2.0,-60)),
-      |(256,8995316866738730*power(2.0,-53)),
-      |(257,9007197562397488*power(2.0,-53)),
-      |(258,6231585972308250*power(2.0,-53)),
-      |(259,7943181134823886*power(2.0,-62)),
-      |(260,9005377355943169*power(2.0,-53)),
-      |(261,6828390878997218*power(2.0,-63)),
-      |(262,8991660266358890*power(2.0,-53)),
-      |(263,5637547421508835*power(2.0,-53)),
-      |(264,9005630418759774*power(2.0,-53)),
-      |(265,4795383796364232*power(2.0,-72)),
-      |(266,5642344360917096*power(2.0,-57)),
-      |(267,9006938756299073*power(2.0,-53)),
-      |(268,9007196012188655*power(2.0,-53)),
-      |(269,4543965040481552*power(2.0,-61)),
-      |(270,4538250180155164*power(2.0,-53)),
-      |(271,9003922224176587*power(2.0,-53)),
-      |(272,4606853289606235*power(2.0,-61)),
-      |(273,8815895610502345*power(2.0,-53)),
-      |(274,5381005367980644*power(2.0,-74)),
-      |(275,8780830863495663*power(2.0,-53)),
-      |(276,9006053120481141*power(2.0,-53)),
-      |(277,7010454225718177*power(2.0,-54)),
-      |(278,7363217620184145*power(2.0,-53)),
-      |(279,9005444533880493*power(2.0,-53)),
-      |(280,8566827355450628*power(2.0,-53)),
-      |(281,8960136881267537*power(2.0,-53)),
-      |(282,9006908128123649*power(2.0,-53)),
-      |(283,9006898269185530*power(2.0,-53)),
-      |(284,7032320128436229*power(2.0,-53)),
-      |(285,8984351735475441*power(2.0,-63)),
-      |(286,8931201145146681*power(2.0,-53)),
-      |(287,9006913627447602*power(2.0,-53)),
-      |(288,8927724720099472*power(2.0,-53)),
-      |(289,8994582657675111*power(2.0,-53)),
-      |(290,9005820446846878*power(2.0,-53)),
-      |(291,4685997090114892*power(2.0,-62)),
-      |(292,8735580992908658*power(2.0,-53)),
-      |(293,9006888063286253*power(2.0,-53)),
-      |(294,8577099665051376*power(2.0,-57)),
-      |(295,8717930430884299*power(2.0,-53)),
-      |(296,8994272566151222*power(2.0,-53)),
-      |(297,9007127436917347*power(2.0,-53)),
-      |(298,9007194839338762*power(2.0,-53)),
-      |(299,8995400418832127*power(2.0,-53)),
-      |(300,6030872764725074*power(2.0,-53)),
-      |(301,9006884874848937*power(2.0,-53)),
-      |(302,5238614012811844*power(2.0,-53)),
-      |(303,5622009861992887*power(2.0,-53)),
-      |(304,5862586542141953*power(2.0,-53)),
-      |(305,9007028633621720*power(2.0,-53)),
-      |(306,9005361019543607*power(2.0,-53)),
-      |(307,8964564276059453*power(2.0,-53)),
-      |(308,8526183640657378*power(2.0,-74)),
-      |(309,9006871015404479*power(2.0,-53)),
-      |(310,9007164314573514*power(2.0,-53)),
-      |(311,6257693023378244*power(2.0,-61)),
-      |(312,9007194170594124*power(2.0,-53)),
-      |(313,8816876808867017*power(2.0,-53)),
-      |(314,5955406598697818*power(2.0,-53)),
-      |(315,4728988283986114*power(2.0,-61)),
-      |(316,7628127318027337*power(2.0,-53)),
-      |(317,9006038031227408*power(2.0,-53)),
-      |(318,8997115650609343*power(2.0,-53)),
-      |(319,8801519979970330*power(2.0,-53)),
-      |(320,9002675941722819*power(2.0,-53)),
-      |(321,9007184693482708*power(2.0,-53)),
-      |(322,8935408140543671*power(2.0,-53)),
-      |(323,8954327970623096*power(2.0,-53)),
-      |(324,9007199090038197*power(2.0,-53)),
-      |(325,9007199235110062*power(2.0,-53)),
-      |(326,9005576840924819*power(2.0,-53)),
-      |(327,9007199228624554*power(2.0,-53)),
-      |(328,9006910789650332*power(2.0,-53)),
-      |(329,8954374503508505*power(2.0,-53)),
-      |(330,5475356069140383*power(2.0,-57)),
-      |(331,8103566369158512*power(2.0,-53)),
-      |(332,7251506021347029*power(2.0,-54)),
-      |(333,8928365669855401*power(2.0,-53)),
-      |(334,8993045008712875*power(2.0,-53)),
-      |(335,9005741504646063*power(2.0,-53)),
-      |(336,9005987387263009*power(2.0,-53)),
-      |(337,9006797278589520*power(2.0,-53)),
-      |(338,7190921812930195*power(2.0,-62)),
-      |(339,5477830727135639*power(2.0,-62)),
-      |(340,9007181163674030*power(2.0,-53)),
-      |(341,8336513916787806*power(2.0,-62)),
-      |(342,6870790016221302*power(2.0,-54)),
-      |(343,8992072017113095*power(2.0,-53)),
-      |(344,6543612901137121*power(2.0,-53)),
-      |(345,9006935986411654*power(2.0,-53)),
-      |(346,9005898069624910*power(2.0,-53)),
-      |(347,5564221293541750*power(2.0,-59)),
-      |(348,9005732552266493*power(2.0,-53)),
-      |(349,5580114600366475*power(2.0,-55)),
-      |(350,8883757161489088*power(2.0,-53)),
-      |(351,8759894505279564*power(2.0,-53)),
-      |(352,8969846433800895*power(2.0,-53)),
-      |(353,8994811093904550*power(2.0,-53)),
-      |(354,6750272218817123*power(2.0,-54)),
-      |(355,6564603278215045*power(2.0,-77)),
-      |(356,7171827344398968*power(2.0,-54)),
-      |(357,9006947473831875*power(2.0,-53)),
-      |(358,9002260042765841*power(2.0,-53)),
-      |(359,4872773044751636*power(2.0,-53)),
-      |(360,6705485131913243*power(2.0,-53)),
-      |(361,8100954501381924*power(2.0,-62)),
-      |(362,9007123755745307*power(2.0,-53)),
-      |(363,8850241643989396*power(2.0,-67)),
-      |(364,9007153129877957*power(2.0,-53)),
-      |(365,9006866186840447*power(2.0,-53)),
-      |(366,8897216519539916*power(2.0,-53)),
-      |(367,7704970263808211*power(2.0,-72)),
-      |(368,8763345592569148*power(2.0,-53)),
-      |(369,8732037543055517*power(2.0,-53)),
-      |(370,9007173242912384*power(2.0,-53)),
-      |(371,6124086640744851*power(2.0,-62)),
-      |(372,9006049059906003*power(2.0,-53)),
-      |(373,8996449961506245*power(2.0,-53)),
-      |(374,9006593621483583*power(2.0,-53)),
-      |(375,8183727390764903*power(2.0,-61)),
-      |(376,8994587598989281*power(2.0,-53)),
-      |(377,9007133477924891*power(2.0,-53)),
-      |(378,4583449109312373*power(2.0,-68)),
-      |(379,9006871208924846*power(2.0,-53)),
-      |(380,6359897444446135*power(2.0,-62)),
-      |(381,9007194441466486*power(2.0,-53)),
-      |(382,8984533549846237*power(2.0,-53)),
-      |(383,9007178892168530*power(2.0,-53)),
-      |(384,4912383575787612*power(2.0,-56)),
-      |(385,9002915777184756*power(2.0,-53)),
-      |(386,5102379008622877*power(2.0,-53)),
-      |(387,9007180342666097*power(2.0,-53)),
-      |(388,6934124785622365*power(2.0,-60)),
-      |(389,8634079141741581*power(2.0,-62)),
-      |(390,9007155170132596*power(2.0,-53)),
-      |(391,8189113008811770*power(2.0,-53)),
-      |(392,9006869346810968*power(2.0,-53)),
-      |(393,8667679867831232*power(2.0,-53)),
-      |(394,9006954756158004*power(2.0,-53)),
-      |(395,8931850379399045*power(2.0,-53)),
-      |(396,9007126017247417*power(2.0,-53)),
-      |(397,7850344868712256*power(2.0,-61)),
-      |(398,8145782461305392*power(2.0,-53)),
-      |(399,8916653907089565*power(2.0,-53)),
-      |(400,9007194669814712*power(2.0,-53)),
-      |(401,4835332006277217*power(2.0,-75)),
-      |(402,6644800506593542*power(2.0,-58)),
-      |(403,9007129193623326*power(2.0,-53)),
-      |(404,9007184524615271*power(2.0,-53)),
-      |(405,8467159638271786*power(2.0,-53)),
-      |(406,6021251433197339*power(2.0,-53)),
-      |(407,7359735789213640*power(2.0,-53)),
-      |(408,8123283191638446*power(2.0,-61)),
-      |(409,9007172682768414*power(2.0,-53)),
-      |(410,8056957598233010*power(2.0,-57)),
-      |(411,5897522815390699*power(2.0,-56)),
-      |(412,5274436787615961*power(2.0,-59)),
-      |(413,8999538207432208*power(2.0,-53)),
-      |(414,7358703636113126*power(2.0,-53)),
-      |(415,5142505829677709*power(2.0,-77)),
-      |(416,9006922210051181*power(2.0,-53)),
-      |(417,9006933329711122*power(2.0,-53)),
-      |(418,8336513916787806*power(2.0,-62)),
-      |(419,7703482383311285*power(2.0,-53)),
-      |(420,8996311086332256*power(2.0,-53)),
-      |(421,9005932599460657*power(2.0,-53)),
-      |(422,9006960482339398*power(2.0,-53)),
-      |(423,8995921202417981*power(2.0,-53)),
-      |(424,6250801585343506*power(2.0,-69)),
-      |(425,9006315959201006*power(2.0,-53)),
-      |(426,8996616236048662*power(2.0,-53)),
-      |(427,9005730176873327*power(2.0,-53)),
-      |(428,5604516371340112*power(2.0,-53)),
-      |(429,8560610156529623*power(2.0,-54)),
-      |(430,9007162028714593*power(2.0,-53)),
-      |(431,9006893211793640*power(2.0,-53)),
-      |(432,8248885323567827*power(2.0,-54)),
-      |(433,6020532379038379*power(2.0,-53)),
-      |(434,9007182155034253*power(2.0,-53)),
-      |(435,8409064425899387*power(2.0,-53)),
-      |(436,9005675133421100*power(2.0,-53)),
-      |(437,6669111047737704*power(2.0,-62)),
-      |(438,8996971529582145*power(2.0,-53)),
-      |(439,9005332738856064*power(2.0,-53)),
-      |(440,9007091363161889*power(2.0,-53)),
-      |(441,7465689075420804*power(2.0,-53)),
-      |(442,6589825407632013*power(2.0,-54)),
-      |(443,9007194162208001*power(2.0,-53)),
-      |(444,7510820021569251*power(2.0,-71)),
-      |(445,8995319410069914*power(2.0,-53)),
-      |(446,8993852222622520*power(2.0,-53)),
-      |(447,9005482203733383*power(2.0,-53)),
-      |(448,7819044599889304*power(2.0,-53)),
-      |(449,8905370195889622*power(2.0,-53)),
-      |(450,5751400428186700*power(2.0,-61)),
-      |(451,9007158042412555*power(2.0,-53)),
-      |(452,9007084977008821*power(2.0,-53)),
-      |(453,8999666395465764*power(2.0,-53)),
-      |(454,8994983367974614*power(2.0,-53)),
-      |(455,9005161408172275*power(2.0,-53)),
-      |(456,8851119458738640*power(2.0,-53)),
-      |(457,9006482024449448*power(2.0,-53)),
-      |(458,5899736556302950*power(2.0,-60)),
-      |(459,8864568300249140*power(2.0,-53)),
-      |(460,9007133456027371*power(2.0,-53)),
-      |(461,4702424610165987*power(2.0,-53)),
-      |(462,5450894030340898*power(2.0,-62)),
-      |(463,8934988181628598*power(2.0,-53)),
-      |(464,4755266877031518*power(2.0,-56)),
-      |(465,4793281008774665*power(2.0,-60)),
-      |(466,6579970014547288*power(2.0,-53)),
-      |(467,4819416567396805*power(2.0,-62)),
-      |(468,8820425728994330*power(2.0,-53)),
-      |(469,9007181332758260*power(2.0,-53)),
-      |(470,8968420164049906*power(2.0,-53)),
-      |(471,8883362312161530*power(2.0,-53)),
-      |(472,8977443133405875*power(2.0,-53)),
-      |(473,8860060097459949*power(2.0,-53)),
-      |(474,9006972694546015*power(2.0,-53)),
-      |(475,9002136937472286*power(2.0,-53)),
-      |(476,8811583288891480*power(2.0,-53)),
-      |(477,7026973463761814*power(2.0,-59)),
-      |(478,9002508113986848*power(2.0,-53)),
-      |(479,9007132780835717*power(2.0,-53)),
-      |(480,9007173064861060*power(2.0,-53)),
-      |(481,9006140924315172*power(2.0,-53)),
-      |(482,9007133292549451*power(2.0,-53)),
-      |(483,9003310521008630*power(2.0,-53)),
-      |(484,4680953040114176*power(2.0,-77)),
-      |(485,9007183625863067*power(2.0,-53)),
-      |(486,6877735605079425*power(2.0,-53)),
-      |(487,9001847065085618*power(2.0,-53)),
-      |(488,9007162432217900*power(2.0,-53)),
-      |(489,9001584438747400*power(2.0,-53)),
-      |(490,9006908986725501*power(2.0,-53)),
-      |(491,8996140469588696*power(2.0,-53)),
-      |(492,9007197628326856*power(2.0,-53)),
-      |(493,8997542878909741*power(2.0,-53)),
-      |(494,9007120959057362*power(2.0,-53)),
-      |(495,8836302080219515*power(2.0,-53)),
-      |(496,6797003136236354*power(2.0,-54)),
-      |(497,6124401539708314*power(2.0,-56)),
-      |(498,8800776712413349*power(2.0,-53)),
-      |(499,9002363172872670*power(2.0,-53)),
-      |(500,9007197114062173*power(2.0,-53)),
-      |(501,9007189181828963*power(2.0,-53)),
-      |(502,9005575987757573*power(2.0,-53)),
-      |(503,8787962269426939*power(2.0,-53)),
-      |(504,9006890705010123*power(2.0,-53)),
-      |(505,9006872989892180*power(2.0,-53)),
-      |(506,9007195807159386*power(2.0,-53)),
-      |(507,4590437452263197*power(2.0,-61)),
-      |(508,6321793440654120*power(2.0,-61)),
-      |(509,9006919165091020*power(2.0,-53)),
-      |(510,5159340133387310*power(2.0,-76)),
-      |(511,9006202628345656*power(2.0,-53)),
-      |(512,8866592672198180*power(2.0,-53)),
-      |(513,8893294284028224*power(2.0,-53)),
-      |(514,9007185654353802*power(2.0,-53)),
-      |(515,9007135464746327*power(2.0,-53)),
-      |(516,5665656997916932*power(2.0,-59)),
-      |(517,9006917766940355*power(2.0,-53)),
-      |(518,6286434785752872*power(2.0,-54)),
-      |(519,8003545669478713*power(2.0,-53)),
-      |(520,8798115628138817*power(2.0,-53)),
-      |(521,8999212298535164*power(2.0,-53)),
-      |(522,9007179387564579*power(2.0,-53)),
-      |(523,9005911233487309*power(2.0,-53)),
-      |(524,9007131684000612*power(2.0,-53)),
-      |(525,9006229713993133*power(2.0,-53)),
-      |(526,9006925795597199*power(2.0,-53)),
-      |(527,8984319416135024*power(2.0,-53)),
-      |(528,8991860259995665*power(2.0,-53)),
-      |(529,9006928717764991*power(2.0,-53)),
-      |(530,8836737276684795*power(2.0,-53)),
-      |(531,6358306505418130*power(2.0,-53)),
-      |(532,8466684772021462*power(2.0,-54)),
-      |(533,9006381570930867*power(2.0,-53)),
-      |(534,9003544521647323*power(2.0,-53)),
-      |(535,6778089094839373*power(2.0,-60)),
-      |(536,4719286712350936*power(2.0,-59)),
-      |(537,7713501386720047*power(2.0,-53)),
-      |(538,9007132299934981*power(2.0,-53)),
-      |(539,8751129967271617*power(2.0,-53)),
-      |(540,8995438737293300*power(2.0,-53)),
-      |(541,9007199239101262*power(2.0,-53)),
-      |(542,8827234529584526*power(2.0,-53)),
-      |(543,8812096997147197*power(2.0,-53)),
-      |(544,5114432709438668*power(2.0,-61)),
-      |(545,8999000481238791*power(2.0,-53)),
-      |(546,9005628098610924*power(2.0,-53)),
-      |(547,6685639137132777*power(2.0,-70)),
-      |(548,5940548086234292*power(2.0,-55)),
-      |(549,9007179530350999*power(2.0,-53)),
-      |(550,8995939565602851*power(2.0,-53)),
-      |(551,6395983340461850*power(2.0,-62)),
-      |(552,6741593969485300*power(2.0,-62)),
-      |(553,9006225799563749*power(2.0,-53)),
-      |(554,8998945599288153*power(2.0,-53)),
-      |(555,9006482114822429*power(2.0,-53)),
-      |(556,8809525746570384*power(2.0,-53)),
-      |(557,7833230611756823*power(2.0,-53)),
-      |(558,8884196412032860*power(2.0,-53)),
-      |(559,9005744001677691*power(2.0,-53)),
-      |(560,4752596559713095*power(2.0,-59)),
-      |(561,9007198934182887*power(2.0,-53)),
-      |(562,9007129135654090*power(2.0,-53)),
-      |(563,5406930251943865*power(2.0,-73)),
-      |(564,9006925777700664*power(2.0,-53)),
-      |(565,9007142096912518*power(2.0,-53)),
-      |(566,9005690798259623*power(2.0,-53)),
-      |(567,8805476949241712*power(2.0,-53)),
-      |(568,9006624777224682*power(2.0,-53)),
-      |(569,6105567387837001*power(2.0,-53)),
-      |(570,9001525966484650*power(2.0,-53)),
-      |(571,7504150273261787*power(2.0,-53)),
-      |(572,9007131661596854*power(2.0,-53)),
-      |(573,9007141331242631*power(2.0,-53)),
-      |(574,8993689458215333*power(2.0,-53)),
-      |(575,8948068480727403*power(2.0,-53)),
-      |(576,9006882023373261*power(2.0,-53)),
-      |(577,5314655394743297*power(2.0,-62)),
-      |(578,5192449515700734*power(2.0,-61)),
-      |(579,9003927811759562*power(2.0,-53)),
-      |(580,8776688540970621*power(2.0,-53)),
-      |(581,9004089530616371*power(2.0,-53)),
-      |(582,9007038554889446*power(2.0,-53)),
-      |(583,9000740816755750*power(2.0,-53)),
-      |(584,7868664060180782*power(2.0,-53)),
-      |(585,5522297840156266*power(2.0,-79)),
-      |(586,9006447989870309*power(2.0,-53)),
-      |(587,8946261606933552*power(2.0,-53)),
-      |(588,9006889540491529*power(2.0,-53)),
-      |(589,7200262399439792*power(2.0,-53)),
-      |(590,8860335227367454*power(2.0,-53)),
-      |(591,6989047090081509*power(2.0,-60)),
-      |(592,9007150587125254*power(2.0,-53)),
-      |(593,8808819809233171*power(2.0,-53)),
-      |(594,9007177671093654*power(2.0,-53)),
-      |(595,9007129329570589*power(2.0,-53)),
-      |(596,9006339718665425*power(2.0,-53)),
-      |(597,8930786577108202*power(2.0,-53)),
-      |(598,9007125647602277*power(2.0,-53)),
-      |(599,8097486462985671*power(2.0,-75)),
-      |(600,9007159042205509*power(2.0,-53)),
-      |(601,7895954248338512*power(2.0,-61)),
-      |(602,9007180602324748*power(2.0,-53)),
-      |(603,5888921413781101*power(2.0,-60)),
-      |(604,9001728057652740*power(2.0,-53)),
-      |(605,9006861040082034*power(2.0,-53)),
-      |(606,8481520565077534*power(2.0,-53)),
-      |(607,7075830107225434*power(2.0,-53)),
-      |(608,8998964327851074*power(2.0,-53)),
-      |(609,4616444108547462*power(2.0,-62)),
-      |(610,8977041498027483*power(2.0,-53)),
-      |(611,5419128489089195*power(2.0,-53)),
-      |(612,8931888317213366*power(2.0,-53)),
-      |(613,8995371244009118*power(2.0,-53)),
-      |(614,9006963380572824*power(2.0,-53)),
-      |(615,9007127470294187*power(2.0,-53)),
-      |(616,5637314959232207*power(2.0,-75)),
-      |(617,8844372327017548*power(2.0,-53)),
-      |(618,5301693845207264*power(2.0,-69)),
-      |(619,5054634031735204*power(2.0,-60)),
-      |(620,5171798876809517*power(2.0,-78)),
-      |(621,5532632367258489*power(2.0,-66)),
-      |(622,9006936874906657*power(2.0,-53)),
-      |(623,6423411398813160*power(2.0,-67)),
-      |(624,9002399558660355*power(2.0,-53)),
-      |(625,9006911847025038*power(2.0,-53)),
-      |(626,9000847440359157*power(2.0,-53)),
-      |(627,7194644455327948*power(2.0,-53)),
-      |(628,9005697576024113*power(2.0,-53)),
-      |(629,5035667788295828*power(2.0,-67)),
-      |(630,8996254133184556*power(2.0,-53)),
-      |(631,5670126518616297*power(2.0,-53)),
-      |(632,8823386691161618*power(2.0,-53)),
-      |(633,7729555642762280*power(2.0,-58)),
-      |(634,8735508377277899*power(2.0,-53)),
-      |(635,7493681794706669*power(2.0,-57)),
-      |(636,9002293897081395*power(2.0,-53)),
-      |(637,8735760305915460*power(2.0,-53)),
-      |(638,9006928608478005*power(2.0,-53)),
-      |(639,7144973871125296*power(2.0,-77)),
-      |(640,8995164582706631*power(2.0,-53)),
-      |(641,5725317826355549*power(2.0,-62)),
-      |(642,6460563756365849*power(2.0,-61)),
-      |(643,8736552293234734*power(2.0,-53)),
-      |(644,8844623396236422*power(2.0,-53)),
-      |(645,9005559396690111*power(2.0,-53)),
-      |(646,8984046582338543*power(2.0,-53)),
-      |(647,6033246055075399*power(2.0,-71)),
-      |(648,9005749843459314*power(2.0,-53)),
-      |(649,8990163758449720*power(2.0,-53)),
-      |(650,8994951851347018*power(2.0,-53)),
-      |(651,9005466189442680*power(2.0,-53)),
-      |(652,8998874088993283*power(2.0,-53)),
-      |(653,9005190095749847*power(2.0,-53)),
-      |(654,8938998938167022*power(2.0,-53)),
-      |(655,8092852106190723*power(2.0,-62)),
-      |(656,8851817943460455*power(2.0,-53)),
-      |(657,9005125281665438*power(2.0,-53)),
-      |(658,5220883933706822*power(2.0,-69)),
-      |(659,9006873094421840*power(2.0,-53)),
-      |(660,6723949843552875*power(2.0,-53)),
-      |(661,8992538339628270*power(2.0,-53)),
-      |(662,9006943749105319*power(2.0,-53)),
-      |(663,4693573417368739*power(2.0,-58)),
-      |(664,9006925118196092*power(2.0,-53)),
-      |(665,9006904636850528*power(2.0,-53)),
-      |(666,4983928796844805*power(2.0,-58)),
-      |(667,8996901354776295*power(2.0,-53)),
-      |(668,8015279606586566*power(2.0,-54)),
-      |(669,8922520005025810*power(2.0,-53)),
-      |(670,8911853001826400*power(2.0,-53)),
-      |(671,9006878292219273*power(2.0,-53)),
-      |(672,5327407266423479*power(2.0,-62)),
-      |(673,7824467689613777*power(2.0,-61)),
-      |(674,8874964451598886*power(2.0,-53)),
-      |(675,5760733956218059*power(2.0,-59)),
-      |(676,6508144512116152*power(2.0,-53)),
-      |(677,4644191624943349*power(2.0,-57)),
-      |(678,4610654829075090*power(2.0,-59)),
-      |(679,5455481058695209*power(2.0,-53)),
-      |(680,5006030985679927*power(2.0,-68)),
-      |(681,8815663708089293*power(2.0,-53)),
-      |(682,5035704093243125*power(2.0,-71)),
-      |(683,8883617371661651*power(2.0,-63)),
-      |(684,8933475277666956*power(2.0,-53)),
-      |(685,8861484060344310*power(2.0,-53)),
-      |(686,9002994825482863*power(2.0,-53)),
-      |(687,7299797937447565*power(2.0,-61)),
-      |(688,9007199033000963*power(2.0,-53)),
-      |(689,8995287020436994*power(2.0,-53)),
-      |(690,8917553205657948*power(2.0,-53)),
-      |(691,8753485027050310*power(2.0,-53)),
-      |(692,9007198958131082*power(2.0,-53)),
-      |(693,8714327714763173*power(2.0,-53)),
-      |(694,8204380063280776*power(2.0,-53)),
-      |(695,9007140543652225*power(2.0,-53)),
-      |(696,7776348188827893*power(2.0,-53)),
-      |(697,7739495796680836*power(2.0,-57)),
-      |(698,9007181690282868*power(2.0,-53)),
-      |(699,8871048329968777*power(2.0,-53)),
-      |(700,7516223979287440*power(2.0,-54)),
-      |(701,8736518046791021*power(2.0,-53)),
-      |(702,9000728587399777*power(2.0,-53)),
-      |(703,6689788298217011*power(2.0,-54)),
-      |(704,8984805045342388*power(2.0,-53)),
-      |(705,8534746149070372*power(2.0,-53)),
-      |(706,9002379738383692*power(2.0,-53)),
-      |(707,9007194867251945*power(2.0,-53)),
-      |(708,8821947997334701*power(2.0,-53)),
-      |(709,8337443352227117*power(2.0,-54)),
-      |(710,9005896336663742*power(2.0,-53)),
-      |(711,8998207144502170*power(2.0,-53)),
-      |(712,9006946154520504*power(2.0,-53)),
-      |(713,4856986806711408*power(2.0,-55)),
-      |(714,8996007484878924*power(2.0,-53)),
-      |(715,6728481752169658*power(2.0,-56)),
-      |(716,9001898699299061*power(2.0,-53)),
-      |(717,7851025308397633*power(2.0,-53)),
-      |(718,9007163349707763*power(2.0,-53)),
-      |(719,7576182187285205*power(2.0,-53)),
-      |(720,8889587302205645*power(2.0,-53)),
-      |(721,8926388202896256*power(2.0,-53)),
-      |(722,6887619079126996*power(2.0,-53)),
-      |(723,5301618506073275*power(2.0,-53)),
-      |(724,6573799530220012*power(2.0,-66)),
-      |(725,9006912672979351*power(2.0,-53)),
-      |(726,8995051682626823*power(2.0,-53)),
-      |(727,8611536269803561*power(2.0,-54)),
-      |(728,9006947473831875*power(2.0,-53)),
-      |(729,6078734829782384*power(2.0,-71)),
-      |(730,8998563072932469*power(2.0,-53)),
-      |(731,9007198487090871*power(2.0,-53)),
-      |(732,5249731124760753*power(2.0,-53)),
-      |(733,9006969725936709*power(2.0,-53)),
-      |(734,8336513916787806*power(2.0,-62)),
-      |(735,9004875013167997*power(2.0,-53)),
-      |(736,8943959752415929*power(2.0,-57)),
-      |(737,5141552815655310*power(2.0,-56)),
-      |(738,9006926668090113*power(2.0,-53)),
-      |(739,4743076601907057*power(2.0,-60)),
-      |(740,5160626412217414*power(2.0,-74)),
-      |(741,8996047260553237*power(2.0,-53)),
-      |(742,8448804317071031*power(2.0,-62)),
-      |(743,8996955682375882*power(2.0,-53)),
-      |(744,9005508574585859*power(2.0,-53)),
-      |(745,9007145695136702*power(2.0,-53)),
-      |(746,9005734402460343*power(2.0,-53)),
-      |(747,8997283368942501*power(2.0,-53)),
-      |(748,8847093954025104*power(2.0,-53)),
-      |(749,6279067174898013*power(2.0,-53)),
-      |(750,8878062266852488*power(2.0,-53)),
-      |(751,9005328489449399*power(2.0,-53)),
-      |(752,8994414806145150*power(2.0,-53)),
-      |(753,8786788818029552*power(2.0,-53)),
-      |(754,5001427719152810*power(2.0,-57)),
-      |(755,8188245569742142*power(2.0,-53)),
-      |(756,9007190706134273*power(2.0,-53)),
-      |(757,9005135053524547*power(2.0,-53)),
-      |(758,8989107718935722*power(2.0,-53)),
-      |(759,8395419928597550*power(2.0,-53)),
-      |(760,9007093256800871*power(2.0,-53)),
-      |(761,5292335550028569*power(2.0,-61)),
-      |(762,8923893941337200*power(2.0,-53)),
-      |(763,8642950582068588*power(2.0,-63)),
-      |(764,8917857646403376*power(2.0,-53)),
-      |(765,9007032355458793*power(2.0,-53)),
-      |(766,9005802092413387*power(2.0,-53)),
-      |(767,8779826457153870*power(2.0,-53)),
-      |(768,9007198061758794*power(2.0,-53)),
-      |(769,9006921249766204*power(2.0,-53)),
-      |(770,8801148846492970*power(2.0,-53)),
-      |(771,9006889536506247*power(2.0,-53)),
-      |(772,9005394895624302*power(2.0,-53)),
-      |(773,9007183260817598*power(2.0,-53)),
-      |(774,9006919161834793*power(2.0,-53)),
-      |(775,6547801126438254*power(2.0,-54)),
-      |(776,9000061663777813*power(2.0,-53)),
-      |(777,8818539658005358*power(2.0,-53)),
-      |(778,4599516505172123*power(2.0,-74)),
-      |(779,9007194860760264*power(2.0,-53)),
-      |(780,9006925663751933*power(2.0,-53)),
-      |(781,9007194482010167*power(2.0,-53)),
-      |(782,8885026461558323*power(2.0,-53)),
-      |(783,8886397501057213*power(2.0,-53)),
-      |(784,7761767039725409*power(2.0,-53)),
-      |(785,5579123441149433*power(2.0,-58)),
-      |(786,9006885373408614*power(2.0,-53)),
-      |(787,8614522802254000*power(2.0,-53)),
-      |(788,8999279394436346*power(2.0,-53)),
-      |(789,9007177497542689*power(2.0,-53)),
-      |(790,7148077092157224*power(2.0,-53)),
-      |(791,8885512742494929*power(2.0,-53)),
-      |(792,9005334123764170*power(2.0,-53)),
-      |(793,8806190022093720*power(2.0,-53)),
-      |(794,6757868218343223*power(2.0,-77)),
-      |(795,9006113760793595*power(2.0,-53)),
-      |(796,9006972047894735*power(2.0,-53)),
-      |(797,8993050932988699*power(2.0,-53)),
-      |(798,9007198369002589*power(2.0,-53)),
-      |(799,8927917853076522*power(2.0,-53)),
-      |(800,9006943073687974*power(2.0,-53)),
-      |(801,9007188628782424*power(2.0,-53)),
-      |(802,8282886082214082*power(2.0,-78)),
-      |(803,8938192977398183*power(2.0,-53)),
-      |(804,7386894207774837*power(2.0,-53)),
-      |(805,8993224774010084*power(2.0,-53)),
-      |(806,9006854333471095*power(2.0,-53)),
-      |(807,5039680790296032*power(2.0,-62)),
-      |(808,9007199117925132*power(2.0,-53)),
-      |(809,8994993833557808*power(2.0,-53)),
-      |(810,4987743947158604*power(2.0,-53)),
-      |(811,8807746900861238*power(2.0,-53)),
-      |(812,6491426812642477*power(2.0,-53)),
-      |(813,8214753141488194*power(2.0,-58)),
-      |(814,9006879934922749*power(2.0,-53)),
-      |(815,9005904832780171*power(2.0,-53)),
-      |(816,8757480647009338*power(2.0,-53)),
-      |(817,9006898617857196*power(2.0,-53)),
-      |(818,5455159245049058*power(2.0,-61)),
-      |(819,9007134412277142*power(2.0,-53)),
-      |(820,8992687951109134*power(2.0,-53)),
-      |(821,8997753707476139*power(2.0,-53)),
-      |(822,6783006604356779*power(2.0,-79)),
-      |(823,8996296876598517*power(2.0,-53)),
-      |(824,7857469386364375*power(2.0,-53)),
-      |(825,8755892667746613*power(2.0,-54)),
-      |(826,8988643903432820*power(2.0,-53)),
-      |(827,7300582600524406*power(2.0,-54)),
-      |(828,7281150838311356*power(2.0,-62)),
-      |(829,8967362231946238*power(2.0,-53)),
-      |(830,9007193881333634*power(2.0,-53)),
-      |(831,8995372150802461*power(2.0,-53)),
-      |(832,9007179283728564*power(2.0,-53)),
-      |(833,8022579792556068*power(2.0,-57)),
-      |(834,8820974819609494*power(2.0,-53)),
-      |(835,9004802238049183*power(2.0,-53)),
-      |(836,9007188972561350*power(2.0,-53)),
-      |(837,9007199000479975*power(2.0,-53)),
-      |(838,9005556137930275*power(2.0,-53)),
-      |(839,8993542142075751*power(2.0,-53)),
-      |(840,8991216121288412*power(2.0,-53)),
-      |(841,9007198867192871*power(2.0,-53)),
-      |(842,7201333672591558*power(2.0,-53)),
-      |(843,8937191037808333*power(2.0,-53)),
-      |(844,9007140279762627*power(2.0,-53)),
-      |(845,9005308687120607*power(2.0,-53)),
-      |(846,9007198249962738*power(2.0,-53)),
-      |(847,6407380812363566*power(2.0,-60)),
-      |(848,8518168277789170*power(2.0,-54)),
-      |(849,8759227885953781*power(2.0,-53)),
-      |(850,6120359426097582*power(2.0,-59)),
-      |(851,6992090089405997*power(2.0,-53)),
-      |(852,9007197846631972*power(2.0,-53)),
-      |(853,8408501991504371*power(2.0,-68)),
-      |(854,8859879015441307*power(2.0,-54)),
-      |(855,9001592088210615*power(2.0,-53)),
-      |(856,9007134070598110*power(2.0,-53)),
-      |(857,8982501295440860*power(2.0,-53)),
-      |(858,8927662461410196*power(2.0,-53)),
-      |(859,8993529353547099*power(2.0,-53)),
-      |(860,8750526097771073*power(2.0,-70)),
-      |(861,6336416562945441*power(2.0,-61)),
-      |(862,8825288691376985*power(2.0,-53)),
-      |(863,8982590221343081*power(2.0,-53)),
-      |(864,5487530265482887*power(2.0,-60)),
-      |(865,8901295486180596*power(2.0,-53)),
-      |(866,6077870721004977*power(2.0,-53)),
-      |(867,9005583338948853*power(2.0,-53)),
-      |(868,4847014174090636*power(2.0,-75)),
-      |(869,7455948933862284*power(2.0,-54)),
-      |(870,7924624976707874*power(2.0,-53)),
-      |(871,8819040479156428*power(2.0,-53)),
-      |(872,9005417602512381*power(2.0,-53)),
-      |(873,5725317826355549*power(2.0,-62)),
-      |(874,7559823586525595*power(2.0,-56)),
-      |(875,8762080716902466*power(2.0,-53)),
-      |(876,9005473475969675*power(2.0,-53)),
-      |(877,9007156310544819*power(2.0,-53)),
-      |(878,8818982244217470*power(2.0,-53)),
-      |(879,4958535917107940*power(2.0,-61)),
-      |(880,9007171017658860*power(2.0,-53)),
-      |(881,9007003957618188*power(2.0,-53)),
-      |(882,7299797937447565*power(2.0,-61)),
-      |(883,8992809990744911*power(2.0,-53)),
-      |(884,8856074971378495*power(2.0,-53)),
-      |(885,8991213699517537*power(2.0,-53)),
-      |(886,6793674968334215*power(2.0,-53)),
-      |(887,9007194408069650*power(2.0,-53)),
-      |(888,9006125811196628*power(2.0,-53)),
-      |(889,9006131309809111*power(2.0,-53)),
-      |(890,5442620783720748*power(2.0,-53)),
-      |(891,8997503677920535*power(2.0,-53)),
-      |(892,8862181087844060*power(2.0,-53)),
-      |(893,9006872806904751*power(2.0,-53)),
-      |(894,7773164641868987*power(2.0,-54)),
-      |(895,9007198966567907*power(2.0,-53)),
-      |(896,5648885123176022*power(2.0,-53)),
-      |(897,9007079774129509*power(2.0,-53)),
-      |(898,8265589260264045*power(2.0,-53)),
-      |(899,8781459633533112*power(2.0,-53)),
-      |(900,9007190368353613*power(2.0,-53)),
-      |(901,8997654617327434*power(2.0,-53)),
-      |(902,9007125787215755*power(2.0,-53)),
-      |(903,8329241550011883*power(2.0,-53)),
-      |(904,8841736787002550*power(2.0,-53)),
-      |(905,9007124400449219*power(2.0,-53)),
-      |(906,9006928311640021*power(2.0,-53)),
-      |(907,9002888324804694*power(2.0,-53)),
-      |(908,8998691644685265*power(2.0,-53)),
-      |(909,8078336006444735*power(2.0,-61)),
-      |(910,5086192364483215*power(2.0,-61)),
-      |(911,8784012619442381*power(2.0,-53)),
-      |(912,8851800170216662*power(2.0,-53)),
-      |(913,5252500807738616*power(2.0,-61)),
-      |(914,5408497608935631*power(2.0,-53)),
-      |(915,8933645359455435*power(2.0,-53)),
-      |(916,6171150257330416*power(2.0,-59)),
-      |(917,7747947971497770*power(2.0,-58)),
-      |(918,5602986482077162*power(2.0,-62)),
-      |(919,9003047056263904*power(2.0,-53)),
-      |(920,9007174700467547*power(2.0,-53)),
-      |(921,6914309404948975*power(2.0,-59)),
-      |(922,8872283725066549*power(2.0,-53)),
-      |(923,8820750318207910*power(2.0,-53)),
-      |(924,9005649873445706*power(2.0,-53)),
-      |(925,9007190835324900*power(2.0,-53)),
-      |(926,8409632195543457*power(2.0,-56)),
-      |(927,6411939432986261*power(2.0,-54)),
-      |(928,6969605048552849*power(2.0,-53)),
-      |(929,6830561793656406*power(2.0,-62)),
-      |(930,9001008514176475*power(2.0,-53)),
-      |(931,8740503620072337*power(2.0,-53)),
-      |(932,9007195491742646*power(2.0,-53)),
-      |(933,9005200874475988*power(2.0,-53)),
-      |(934,8798488311097275*power(2.0,-53)),
-      |(935,6440795992144264*power(2.0,-53)),
-      |(936,6073989620845996*power(2.0,-61)),
-      |(937,8991999445077348*power(2.0,-53)),
-      |(938,9006924926795257*power(2.0,-53)),
-      |(939,4785202781157063*power(2.0,-61)),
-      |(940,9005313053807797*power(2.0,-53)),
-      |(941,5296191658643076*power(2.0,-53)),
-      |(942,9001879135478656*power(2.0,-53)),
-      |(943,8603281147583380*power(2.0,-53)),
-      |(944,8326701216292116*power(2.0,-54)),
-      |(945,8829408847965543*power(2.0,-53)),
-      |(946,4716132528564731*power(2.0,-57)),
-      |(947,7356818739090102*power(2.0,-53)),
-      |(948,5678759357117679*power(2.0,-53)),
-      |(949,4560749234448554*power(2.0,-61)),
-      |(950,9005887429272481*power(2.0,-53)),
-      |(951,5757177779549998*power(2.0,-55)),
-      |(952,8979957723280011*power(2.0,-53)),
-      |(953,4638733701210115*power(2.0,-60)),
-      |(954,9006907889954496*power(2.0,-53)),
-      |(955,8987328264191869*power(2.0,-53)),
-      |(956,8994674109957487*power(2.0,-53)),
-      |(957,8981128436833838*power(2.0,-53)),
-      |(958,8466311243910557*power(2.0,-75)),
-      |(959,6163693473195008*power(2.0,-53)),
-      |(960,9005625359612817*power(2.0,-53)),
-      |(961,8755157670006664*power(2.0,-53)),
-      |(962,8862022702404033*power(2.0,-53)),
-      |(963,8689284867573824*power(2.0,-62)),
-      |(964,9006852030500824*power(2.0,-53)),
-      |(965,8991636433248727*power(2.0,-53)),
-      |(966,6633630298160392*power(2.0,-54)),
-      |(967,8355417356853122*power(2.0,-62)),
-      |(968,7256657718092200*power(2.0,-59)),
-      |(969,8325138770835001*power(2.0,-56)),
-      |(970,9007185282283403*power(2.0,-53)),
-      |(971,8840653071129628*power(2.0,-53)),
-      |(972,9007182239897672*power(2.0,-53)),
-      |(973,7684855014775358*power(2.0,-54)),
-      |(974,6529080559284986*power(2.0,-53)),
-      |(975,8946893225248869*power(2.0,-53)),
-      |(976,8791239711229340*power(2.0,-53)),
-      |(977,5132071280188497*power(2.0,-53)),
-      |(978,8419101831637836*power(2.0,-57)),
-      |(979,5404738408359589*power(2.0,-53)),
-      |(980,8823144847869137*power(2.0,-53)),
-      |(981,8365108264764471*power(2.0,-53)),
-      |(982,9006057466891919*power(2.0,-53)),
-      |(983,8997139621596102*power(2.0,-53)),
-      |(984,8910957688295780*power(2.0,-53)),
-      |(985,9007197823269371*power(2.0,-53)),
-      |(986,8770674377840041*power(2.0,-53)),
-      |(987,8991937273345588*power(2.0,-53)),
-      |(988,6214924815244986*power(2.0,-53)),
-      |(989,9006892809614649*power(2.0,-53)),
-      |(990,8873417658988856*power(2.0,-62)),
-      |(991,9006322483709313*power(2.0,-53)),
-      |(992,5488951074507262*power(2.0,-59)),
-      |(993,9005676271851365*power(2.0,-53)),
-      |(994,5358630255903233*power(2.0,-62)),
-      |(995,7077689893348915*power(2.0,-55)),
-      |(996,9006854672375630*power(2.0,-53)),
-      |(997,8905720884659802*power(2.0,-53)),
-      |(998,9000915078175307*power(2.0,-53)),
-      |(999,8399747189607667*power(2.0,-54)),
-      |(1000,7568398176702621*power(2.0,-62)),
-      |(1001,7147723783913861*power(2.0,-58)),
-      |(1002,6539452159400854*power(2.0,-53)),
-      |(1003,9007118890440167*power(2.0,-53)),
-      |(1004,8991034753239823*power(2.0,-53)),
-      |(1005,5173860707487597*power(2.0,-53)),
-      |(1006,9007191759894710*power(2.0,-53)),
-      |(1007,8995035760485342*power(2.0,-53)),
-      |(1008,4653952740752186*power(2.0,-53)),
-      |(1009,9007198789270084*power(2.0,-53)),
-      |(1010,8594810260210938*power(2.0,-53)),
-      |(1011,9005826779350160*power(2.0,-53)),
-      |(1012,9005708585828264*power(2.0,-53)),
-      |(1013,9005665374990011*power(2.0,-53)),
-      |(1014,5264822877460619*power(2.0,-76)),
-      |(1015,9006897318598966*power(2.0,-53)),
-      |(1016,9005355165624293*power(2.0,-53)),
-      |(1017,9007126737303128*power(2.0,-53)),
-      |(1018,5504853571833714*power(2.0,-75)),
-      |(1019,8997947114510845*power(2.0,-53)),
-      |(1020,5977097359740017*power(2.0,-53)),
-      |(1021,5632673383474443*power(2.0,-57)),
-      |(1022,9007032706544265*power(2.0,-53)),
-      |(1023,9007150905105311*power(2.0,-53)),
-      |(1024,7568747766410278*power(2.0,-71)),
-      |(1025,8926465160077489*power(2.0,-53)),
-      |(1026,5700376046125527*power(2.0,-54)),
-      |(1027,9003350903177596*power(2.0,-53)),
-      |(1028,9006354104012418*power(2.0,-53)),
-      |(1029,8999897899464109*power(2.0,-53)),
-      |(1030,8904432680812645*power(2.0,-53)),
-      |(1031,9005981805615135*power(2.0,-53)),
-      |(1032,8050696772341632*power(2.0,-72)),
-      |(1033,9002388448074253*power(2.0,-53)),
-      |(1034,9007198827218986*power(2.0,-53)),
-      |(1035,9007197675991387*power(2.0,-53)),
-      |(1036,8996836081461215*power(2.0,-53)),
-      |(1037,8900592278037691*power(2.0,-54)),
-      |(1038,8811731009303581*power(2.0,-53)),
-      |(1039,8006520610934600*power(2.0,-72)),
-      |(1040,8856755851535724*power(2.0,-53)),
-      |(1041,8991321496940002*power(2.0,-53)),
-      |(1042,8992385703908009*power(2.0,-53)),
-      |(1043,9006116414331381*power(2.0,-53)),
-      |(1044,7912565671678515*power(2.0,-54)),
-      |(1045,5107588806263313*power(2.0,-79)),
-      |(1046,9005551421732889*power(2.0,-53)),
-      |(1047,5094781052650745*power(2.0,-53)),
-      |(1048,8276644575785646*power(2.0,-53)),
-      |(1049,8993100402806290*power(2.0,-53)),
-      |(1050,8971545060226963*power(2.0,-53)),
-      |(1051,8417179771007931*power(2.0,-67)),
-      |(1052,8775999633976110*power(2.0,-53)),
-      |(1053,9006915733351764*power(2.0,-53)),
-      |(1054,8984382502521343*power(2.0,-53)),
-      |(1055,9006850426741765*power(2.0,-53)),
-      |(1056,8801635147681840*power(2.0,-53)),
-      |(1057,9007199238705980*power(2.0,-53)),
-      |(1058,9007199254695224*power(2.0,-53)),
-      |(1059,9006868516186881*power(2.0,-53)),
-      |(1060,5928444593278925*power(2.0,-53)),
-      |(1061,6571148584615699*power(2.0,-54)),
-      |(1062,8805972042250290*power(2.0,-53)),
-      |(1063,7067607055500130*power(2.0,-61)),
-      |(1064,9006678491379706*power(2.0,-53)),
-      |(1065,9001013415686021*power(2.0,-53)),
-      |(1066,9006298010699324*power(2.0,-53)),
-      |(1067,7181979853118079*power(2.0,-53)),
-      |(1068,8897581393272003*power(2.0,-53)),
-      |(1069,5345095789178963*power(2.0,-58)),
-      |(1070,5349723194323955*power(2.0,-53)),
-      |(1071,9006442442668101*power(2.0,-53)),
-      |(1072,9006939505482051*power(2.0,-53)),
-      |(1073,9005449462482951*power(2.0,-53)),
-      |(1074,4811638913252412*power(2.0,-60)),
-      |(1075,4994873314048834*power(2.0,-72)),
-      |(1076,7462986544450721*power(2.0,-64)),
-      |(1077,5002243228251831*power(2.0,-53)),
-      |(1078,9007196072373226*power(2.0,-53)),
-      |(1079,8997568090545622*power(2.0,-53)),
-      |(1080,5420116845741284*power(2.0,-61)),
-      |(1081,5749063527833316*power(2.0,-53)),
-      |(1082,9007177492306051*power(2.0,-53)),
-      |(1083,5987252017888964*power(2.0,-76)),
-      |(1084,8740551841636098*power(2.0,-53)),
-      |(1085,8891669774729085*power(2.0,-53)),
-      |(1086,9007133800527229*power(2.0,-53)),
-      |(1087,6709574213498697*power(2.0,-54)),
-      |(1088,8996792347009534*power(2.0,-53)),
-      |(1089,9005629982452673*power(2.0,-53)),
-      |(1090,8924738536057815*power(2.0,-53)),
-      |(1091,8998288534368232*power(2.0,-53)),
-      |(1092,7527300026966442*power(2.0,-53)),
-      |(1093,9006923230581849*power(2.0,-53)),
-      |(1094,6926004297229600*power(2.0,-67)),
-      |(1095,8214819036971067*power(2.0,-53)),
-      |(1096,8889836470224852*power(2.0,-53)),
-      |(1097,4849042527321786*power(2.0,-53)),
-      |(1098,7479832239061427*power(2.0,-56)),
-      |(1099,6229237773590753*power(2.0,-60)),
-      |(1100,8920429340133308*power(2.0,-53)),
-      |(1101,7337957081753115*power(2.0,-57)),
-      |(1102,5387927754166025*power(2.0,-53)),
-      |(1103,4890104660907982*power(2.0,-61)),
-      |(1104,7444380304373687*power(2.0,-62)),
-      |(1105,9001989114592788*power(2.0,-53)),
-      |(1106,8521052382245688*power(2.0,-53)),
-      |(1107,5694796833137671*power(2.0,-62)),
-      |(1108,7052687336741851*power(2.0,-53)),
-      |(1109,8997401519661008*power(2.0,-53)),
-      |(1110,9007198072364829*power(2.0,-53)),
-      |(1111,8809434354200692*power(2.0,-53)),
-      |(1112,9006115060949154*power(2.0,-53)),
-      |(1113,9007179136484404*power(2.0,-53)),
-      |(1114,9005391557090186*power(2.0,-53)),
-      |(1115,4660182665733898*power(2.0,-61)),
-      |(1116,8994212315339939*power(2.0,-53)),
-      |(1117,8753148792810795*power(2.0,-53)),
-      |(1118,7847977042969545*power(2.0,-53)),
-      |(1119,9005611882394254*power(2.0,-53)),
-      |(1120,9005856867748691*power(2.0,-53)),
-      |(1121,5632791571474413*power(2.0,-53)),
-      |(1122,8873221620331637*power(2.0,-53)),
-      |(1123,7693884028536413*power(2.0,-55)),
-      |(1124,4811250329128898*power(2.0,-77)),
-      |(1125,8986403120740531*power(2.0,-53)),
-      |(1126,7297070758065490*power(2.0,-53)),
-      |(1127,8919592353276620*power(2.0,-53)),
-      |(1128,9006905134484593*power(2.0,-53)),
-      |(1129,5821870576918905*power(2.0,-59)),
-      |(1130,9005543695853080*power(2.0,-53)),
-      |(1131,8827281289203629*power(2.0,-53)),
-      |(1132,8754426829086983*power(2.0,-53)),
-      |(1133,5997593740645875*power(2.0,-61)),
-      |(1134,5942951832070638*power(2.0,-62)),
-      |(1135,6032345832072666*power(2.0,-75)),
-      |(1136,9007188660120784*power(2.0,-53)),
-      |(1137,8948593191751777*power(2.0,-53)),
-      |(1138,8844205662094892*power(2.0,-53)),
-      |(1139,9004906216070983*power(2.0,-53)),
-      |(1140,9006899129910428*power(2.0,-53)),
-      |(1141,9000006515655126*power(2.0,-53)),
-      |(1142,6312627349596814*power(2.0,-53)),
-      |(1143,7116531845450826*power(2.0,-53)),
-      |(1144,7479100852531230*power(2.0,-56)),
-      |(1145,5859780710329165*power(2.0,-61)),
-      |(1146,6946195774939104*power(2.0,-62)),
-      |(1147,4581248625634077*power(2.0,-72)),
-      |(1148,8978076889816799*power(2.0,-53)),
-      |(1149,8829542619236745*power(2.0,-53)),
-      |(1150,8999498916444235*power(2.0,-53)),
-      |(1151,9007184149674961*power(2.0,-53)),
-      |(1152,9005689277760283*power(2.0,-53)),
-      |(1153,9002151817091471*power(2.0,-53)),
-      |(1154,8991527077602754*power(2.0,-53)),
-      |(1155,9005730116938171*power(2.0,-53)),
-      |(1156,9006899252762502*power(2.0,-53)),
-      |(1157,9007151098888575*power(2.0,-53)),
-      |(1158,8707989051975671*power(2.0,-54)),
-      |(1159,9007154865870846*power(2.0,-53)),
-      |(1160,9006923407426265*power(2.0,-53)),
-      |(1161,9006212560181682*power(2.0,-53)),
-      |(1162,8740405882136646*power(2.0,-53)),
-      |(1163,9007181086757000*power(2.0,-53)),
-      |(1164,8984671041589814*power(2.0,-53)),
-      |(1165,8327263117660243*power(2.0,-53)),
-      |(1166,8849667448698501*power(2.0,-53)),
-      |(1167,7503236369740860*power(2.0,-60)),
-      |(1168,5116403504000187*power(2.0,-56)),
-      |(1169,5885762329777964*power(2.0,-55)),
-      |(1170,5302674139391764*power(2.0,-59)),
-      |(1171,5469936476375944*power(2.0,-60)),
-      |(1172,5899911003873279*power(2.0,-66)),
-      |(1173,9007182943649678*power(2.0,-53)),
-      |(1174,9007157019067042*power(2.0,-53)),
-      |(1175,9005530123527097*power(2.0,-53)),
-      |(1176,5349086976519545*power(2.0,-53)),
-      |(1177,5716987879215758*power(2.0,-53)),
-      |(1178,8516325118575820*power(2.0,-54)),
-      |(1179,9007199251536452*power(2.0,-53)),
-      |(1180,7420722992718015*power(2.0,-53)),
-      |(1181,7895969582536360*power(2.0,-64)),
-      |(1182,9006300237735544*power(2.0,-53)),
-      |(1183,9007055217670385*power(2.0,-53)),
-      |(1184,7097641217789885*power(2.0,-54)),
-      |(1185,8899719278602855*power(2.0,-60)),
-      |(1186,9003316853183089*power(2.0,-53)),
-      |(1187,9006912688531279*power(2.0,-53)),
-      |(1188,9006299629386393*power(2.0,-53)),
-      |(1189,8698839010551189*power(2.0,-53)),
-      |(1190,8693718170462153*power(2.0,-53)),
-      |(1191,8988658011315759*power(2.0,-53)),
-      |(1192,8986140793981318*power(2.0,-53)),
-      |(1193,9003236737304610*power(2.0,-53)),""".stripMargin,
-    """(1194,9007182246842929*power(2.0,-53)),
-      |(1195,6795231822169289*power(2.0,-53)),
-      |(1196,4600424131891809*power(2.0,-58)),
-      |(1197,8769938609369613*power(2.0,-53)),
-      |(1198,9007136811110010*power(2.0,-53)),
-      |(1199,9007183768760945*power(2.0,-53)),
-      |(1200,9006323478127123*power(2.0,-53)),
-      |(1201,7131797815850388*power(2.0,-59)),
-      |(1202,9002205830524233*power(2.0,-53)),
-      |(1203,8734999734918633*power(2.0,-53)),
-      |(1204,8846825679825905*power(2.0,-53)),
-      |(1205,8797953315707254*power(2.0,-53)),
-      |(1206,9007134217511720*power(2.0,-53)),
-      |(1207,9007139390563231*power(2.0,-53)),
-      |(1208,8864679025923097*power(2.0,-53)),
-      |(1209,7619938009004171*power(2.0,-58)),
-      |(1210,9007197783425490*power(2.0,-53)),
-      |(1211,7605450786713173*power(2.0,-54)),
-      |(1212,9006191916016051*power(2.0,-53)),
-      |(1213,6045017960363059*power(2.0,-59)),
-      |(1214,8994616059008923*power(2.0,-53)),
-      |(1215,8993584923327309*power(2.0,-53)),
-      |(1216,9006815499542895*power(2.0,-53)),
-      |(1217,5701668709643721*power(2.0,-54)),
-      |(1218,8994520789994518*power(2.0,-53)),
-      |(1219,7140573628060344*power(2.0,-63)),
-      |(1220,9007196075752532*power(2.0,-53)),
-      |(1221,9007189991043156*power(2.0,-53)),
-      |(1222,8777139806847523*power(2.0,-53)),
-      |(1223,5575231373546041*power(2.0,-62)),
-      |(1224,6053353173322662*power(2.0,-62)),
-      |(1225,9005892338107311*power(2.0,-53)),
-      |(1226,4989401201005766*power(2.0,-54)),
-      |(1227,8893124819877828*power(2.0,-53)),
-      |(1228,7911891087612840*power(2.0,-75)),
-      |(1229,8661997066364832*power(2.0,-53)),
-      |(1230,8998093063244229*power(2.0,-53)),
-      |(1231,4650573484141893*power(2.0,-62)),
-      |(1232,5573464050486442*power(2.0,-62)),
-      |(1233,8998113396270942*power(2.0,-53)),
-      |(1234,8881011996631848*power(2.0,-53)),
-      |(1235,4923021682135228*power(2.0,-53)),
-      |(1236,5388439301826492*power(2.0,-60)),
-      |(1237,4717992998127054*power(2.0,-53)),
-      |(1238,9007182770210571*power(2.0,-53)),
-      |(1239,8875448099495427*power(2.0,-53)),
-      |(1240,7592054461369186*power(2.0,-78)),
-      |(1241,9005305537878152*power(2.0,-53)),
-      |(1242,8818563957437511*power(2.0,-53)),
-      |(1243,5751400428186700*power(2.0,-61)),
-      |(1244,9007199206886076*power(2.0,-53)),
-      |(1245,8994821887279100*power(2.0,-53)),
-      |(1246,9007186078228276*power(2.0,-53)),
-      |(1247,8039699444357278*power(2.0,-53)),
-      |(1248,9007128789975539*power(2.0,-53)),
-      |(1249,8996885751156037*power(2.0,-53)),
-      |(1250,5291773473278035*power(2.0,-62)),
-      |(1251,8882747337309281*power(2.0,-53)),
-      |(1252,7089557058131124*power(2.0,-53)),
-      |(1253,9007180450470726*power(2.0,-53)),
-      |(1254,8996934476891046*power(2.0,-53)),
-      |(1255,9006922152341232*power(2.0,-53)),
-      |(1256,9006117705625007*power(2.0,-53)),
-      |(1257,8992568774280809*power(2.0,-53)),
-      |(1258,9001382355632778*power(2.0,-53)),
-      |(1259,9006859861246643*power(2.0,-53)),
-      |(1260,9006887613811859*power(2.0,-53)),
-      |(1261,7661485587090141*power(2.0,-62)),
-      |(1262,9006929223030538*power(2.0,-53)),
-      |(1263,9006943299146812*power(2.0,-53)),
-      |(1264,6098003458310392*power(2.0,-53)),
-      |(1265,9007176388094082*power(2.0,-53)),
-      |(1266,9000662844083819*power(2.0,-53)),
-      |(1267,9007167381123763*power(2.0,-53)),
-      |(1268,9007132461295449*power(2.0,-53)),
-      |(1269,9006899889803033*power(2.0,-53)),
-      |(1270,8999633718034838*power(2.0,-53)),
-      |(1271,8932231907482872*power(2.0,-53)),
-      |(1272,9006036484364255*power(2.0,-53)),
-      |(1273,9005568090640563*power(2.0,-53)),
-      |(1274,7497533661521619*power(2.0,-73)),
-      |(1275,6934124785622365*power(2.0,-60)),
-      |(1276,9000396834243070*power(2.0,-53)),
-      |(1277,9007181275641984*power(2.0,-53)),
-      |(1278,9007199214224524*power(2.0,-53)),
-      |(1279,9006854821473638*power(2.0,-53)),
-      |(1280,5612873981643026*power(2.0,-57)),
-      |(1281,8486171159189615*power(2.0,-53)),
-      |(1282,8991690134167516*power(2.0,-53)),
-      |(1283,9005669746365893*power(2.0,-53)),
-      |(1284,4791324686707989*power(2.0,-61)),
-      |(1285,8985448026512565*power(2.0,-53)),
-      |(1286,7254381826572269*power(2.0,-58)),
-      |(1287,8960622262594795*power(2.0,-53)),
-      |(1288,8996759271496367*power(2.0,-53)),
-      |(1289,6666823078011228*power(2.0,-54)),
-      |(1290,5554784592704779*power(2.0,-71)),
-      |(1291,9007197344556025*power(2.0,-53)),
-      |(1292,9002973060595543*power(2.0,-53)),
-      |(1293,8992218860539617*power(2.0,-53)),
-      |(1294,8977990384089764*power(2.0,-53)),
-      |(1295,4811250329128898*power(2.0,-77)),
-      |(1296,9007193057199800*power(2.0,-53)),
-      |(1297,9007195480409164*power(2.0,-53)),
-      |(1298,7925417784705990*power(2.0,-54)),
-      |(1299,9007194392159047*power(2.0,-53)),
-      |(1300,8864508933666344*power(2.0,-53)),
-      |(1301,6599868397174433*power(2.0,-68)),
-      |(1302,8992469526667724*power(2.0,-53)),
-      |(1303,9006083395255697*power(2.0,-53)),
-      |(1304,8479330297597899*power(2.0,-54)),
-      |(1305,9007198308154333*power(2.0,-53)),
-      |(1306,9007191615530757*power(2.0,-53)),
-      |(1307,9007198959018936*power(2.0,-53)),
-      |(1308,8828248376015326*power(2.0,-53)),
-      |(1309,5919025382679256*power(2.0,-53)),
-      |(1310,9005225612872480*power(2.0,-53)),
-      |(1311,6437575275262354*power(2.0,-53)),
-      |(1312,7940037904994696*power(2.0,-53)),
-      |(1313,9007194020467178*power(2.0,-53)),
-      |(1314,9000629947315212*power(2.0,-53)),
-      |(1315,5417218105944076*power(2.0,-53)),
-      |(1316,9006893377803691*power(2.0,-53)),
-      |(1317,9007199184777331*power(2.0,-53)),
-      |(1318,8978396145459116*power(2.0,-53)),
-      |(1319,9006928988256447*power(2.0,-53)),
-      |(1320,9006967972781189*power(2.0,-53)),
-      |(1321,9005688514585837*power(2.0,-53)),
-      |(1322,9000264564384765*power(2.0,-53)),
-      |(1323,9007162055602085*power(2.0,-53)),
-      |(1324,9006187427971502*power(2.0,-53)),
-      |(1325,8800227863139476*power(2.0,-53)),
-      |(1326,9002821274770489*power(2.0,-53)),
-      |(1327,6647248912165828*power(2.0,-60)),
-      |(1328,5459847874442367*power(2.0,-57)),
-      |(1329,4763939158837260*power(2.0,-53)),
-      |(1330,6393775487012043*power(2.0,-53)),
-      |(1331,4606806524255735*power(2.0,-53)),
-      |(1332,8999387869323016*power(2.0,-53)),
-      |(1333,9006908256011425*power(2.0,-53)),
-      |(1334,8991665025495072*power(2.0,-53)),
-      |(1335,5568801311039499*power(2.0,-74)),
-      |(1336,9002052102925871*power(2.0,-53)),
-      |(1337,4985451516572983*power(2.0,-53)),
-      |(1338,9007128625618918*power(2.0,-53)),
-      |(1339,8997881364862291*power(2.0,-53)),
-      |(1340,8994853163927264*power(2.0,-53)),
-      |(1341,9007183785444274*power(2.0,-53)),
-      |(1342,6162353920331496*power(2.0,-75)),
-      |(1343,7970937183516649*power(2.0,-66)),
-      |(1344,8996733871219906*power(2.0,-53)),
-      |(1345,6087986791461927*power(2.0,-78)),
-      |(1346,9002564942967302*power(2.0,-53)),
-      |(1347,8430237283092365*power(2.0,-53)),
-      |(1348,9006865507530810*power(2.0,-53)),
-      |(1349,8876262607006047*power(2.0,-53)),
-      |(1350,8272403122707663*power(2.0,-59)),
-      |(1351,8982873613036282*power(2.0,-53)),
-      |(1352,4555331639106641*power(2.0,-53)),
-      |(1353,9006844812645298*power(2.0,-53)),
-      |(1354,9005626605621666*power(2.0,-53)),
-      |(1355,8990111278993975*power(2.0,-73)),
-      |(1356,9006960066116266*power(2.0,-53)),
-      |(1357,7392855278627502*power(2.0,-53)),
-      |(1358,9007165790114970*power(2.0,-53)),
-      |(1359,8856152757408518*power(2.0,-53)),
-      |(1360,6756421808907213*power(2.0,-54)),
-      |(1361,9004108145041617*power(2.0,-53)),
-      |(1362,6463016331600160*power(2.0,-57)),
-      |(1363,6073998468939781*power(2.0,-53)),
-      |(1364,8997699531608580*power(2.0,-53)),
-      |(1365,9007130982340106*power(2.0,-53)),
-      |(1366,9007065841248825*power(2.0,-53)),
-      |(1367,4925647005852480*power(2.0,-60)),
-      |(1368,9006962786550056*power(2.0,-53)),
-      |(1369,8997168855843530*power(2.0,-53)),
-      |(1370,8840544344949812*power(2.0,-53)),
-      |(1371,9005784630799883*power(2.0,-53)),
-      |(1372,9006866578330209*power(2.0,-53)),
-      |(1373,5791961964530655*power(2.0,-53)),
-      |(1374,6832366471837222*power(2.0,-54)),
-      |(1375,9007129321431791*power(2.0,-53)),
-      |(1376,9007126609744506*power(2.0,-53)),
-      |(1377,6528190532668858*power(2.0,-53)),
-      |(1378,8325215262200395*power(2.0,-53)),
-      |(1379,8827766426700222*power(2.0,-53)),
-      |(1380,9007174574082688*power(2.0,-53)),
-      |(1381,8805611992910909*power(2.0,-53)),
-      |(1382,8880379685376586*power(2.0,-53)),
-      |(1383,9005360374374941*power(2.0,-53)),
-      |(1384,8894702898074045*power(2.0,-53)),
-      |(1385,7523098168606881*power(2.0,-53)),
-      |(1386,8998323989230476*power(2.0,-53)),
-      |(1387,6228519810674169*power(2.0,-62)),
-      |(1388,4950443967062589*power(2.0,-62)),
-      |(1389,8916343573235918*power(2.0,-53)),
-      |(1390,9007130450195459*power(2.0,-53)),
-      |(1391,5173366514631233*power(2.0,-53)),
-      |(1392,9006571304363117*power(2.0,-53)),
-      |(1393,8855407343619111*power(2.0,-53)),
-      |(1394,9005579565740434*power(2.0,-53)),
-      |(1395,8953699358538857*power(2.0,-53)),
-      |(1396,8970258551150176*power(2.0,-53)),
-      |(1397,8886200757094654*power(2.0,-53)),
-      |(1398,5983624797883484*power(2.0,-53)),
-      |(1399,9007191950612743*power(2.0,-53)),
-      |(1400,8684458838248713*power(2.0,-53)),
-      |(1401,8999683208949823*power(2.0,-53)),
-      |(1402,9006920484103125*power(2.0,-53)),
-      |(1403,8717348994942532*power(2.0,-53)),
-      |(1404,9005744468056385*power(2.0,-53)),
-      |(1405,8993848471531610*power(2.0,-53)),
-      |(1406,7308660694554628*power(2.0,-59)),
-      |(1407,6152556439254632*power(2.0,-69)),
-      |(1408,8582504980229739*power(2.0,-53)),
-      |(1409,9006929329259773*power(2.0,-53)),
-      |(1410,6307582622883490*power(2.0,-57)),
-      |(1411,5451091584049129*power(2.0,-78)),
-      |(1412,4727536591181068*power(2.0,-53)),
-      |(1413,4629629419847095*power(2.0,-53)),
-      |(1414,9007127799803313*power(2.0,-53)),
-      |(1415,8998971773862499*power(2.0,-53)),
-      |(1416,9007148031738620*power(2.0,-53)),
-      |(1417,8940665892495291*power(2.0,-53)),
-      |(1418,5233669751224854*power(2.0,-72)),
-      |(1419,8994946366458908*power(2.0,-53)),
-      |(1420,5687597002810593*power(2.0,-53)),
-      |(1421,6041645136545566*power(2.0,-53)),
-      |(1422,9005439856833668*power(2.0,-53)),
-      |(1423,8832970814784195*power(2.0,-53)),
-      |(1424,8052425831449764*power(2.0,-59)),
-      |(1425,9007199252647454*power(2.0,-53)),
-      |(1426,8872185397044633*power(2.0,-53)),
-      |(1427,8713195854637217*power(2.0,-60)),
-      |(1428,9006925627323930*power(2.0,-53)),
-      |(1429,9005600475898656*power(2.0,-53)),
-      |(1430,9006350562191475*power(2.0,-53)),
-      |(1431,4995925114434585*power(2.0,-65)),
-      |(1432,9007193642128717*power(2.0,-53)),
-      |(1433,9007136400455329*power(2.0,-53)),
-      |(1434,8995241925722627*power(2.0,-53)),
-      |(1435,8408272879141276*power(2.0,-54)),
-      |(1436,8998353486522193*power(2.0,-53)),
-      |(1437,8992244492378015*power(2.0,-53)),
-      |(1438,9007139832159019*power(2.0,-53)),
-      |(1439,9007176236682803*power(2.0,-53)),
-      |(1440,9007187272967057*power(2.0,-53)),
-      |(1441,6496067791232368*power(2.0,-57)),
-      |(1442,9007184049582826*power(2.0,-53)),
-      |(1443,9007125994217025*power(2.0,-53)),
-      |(1444,9007197591236115*power(2.0,-53)),
-      |(1445,9000979023697887*power(2.0,-53)),
-      |(1446,9005473027405131*power(2.0,-53)),
-      |(1447,6119992817506770*power(2.0,-61)),
-      |(1448,5697578551291882*power(2.0,-53)),
-      |(1449,8906194739723913*power(2.0,-53)),
-      |(1450,9003682120509119*power(2.0,-53)),
-      |(1451,8786189863850010*power(2.0,-53)),
-      |(1452,8985976354773367*power(2.0,-53)),
-      |(1453,8837571790523186*power(2.0,-53)),
-      |(1454,8996097665077933*power(2.0,-53)),
-      |(1455,9005802123985165*power(2.0,-53)),
-      |(1456,8996892250200776*power(2.0,-53)),
-      |(1457,9007141552715040*power(2.0,-53)),
-      |(1458,9007180507668553*power(2.0,-53)),
-      |(1459,9007029433414788*power(2.0,-53)),
-      |(1460,8323919504032285*power(2.0,-78)),
-      |(1461,8848073916772064*power(2.0,-53)),
-      |(1462,8988772846259686*power(2.0,-57)),
-      |(1463,8908600653029219*power(2.0,-53)),
-      |(1464,7712330143012337*power(2.0,-57)),
-      |(1465,7840972743913788*power(2.0,-53)),
-      |(1466,5040711236775595*power(2.0,-61)),
-      |(1467,7316316253936029*power(2.0,-70)),
-      |(1468,6599258391651957*power(2.0,-61)),
-      |(1469,5242360513418357*power(2.0,-53)),
-      |(1470,8984881225616215*power(2.0,-53)),
-      |(1471,9005612311563622*power(2.0,-53)),
-      |(1472,5494203788322850*power(2.0,-61)),
-      |(1473,9005364744063437*power(2.0,-53)),
-      |(1474,9006892057035070*power(2.0,-53)),
-      |(1475,5321962006495634*power(2.0,-56)),
-      |(1476,9007177353684823*power(2.0,-53)),
-      |(1477,8306409568500396*power(2.0,-55)),
-      |(1478,9007038693782336*power(2.0,-53)),
-      |(1479,8996819942709538*power(2.0,-53)),
-      |(1480,6099973334222040*power(2.0,-53)),
-      |(1481,9003700252845393*power(2.0,-53)),
-      |(1482,9006953217311204*power(2.0,-53)),
-      |(1483,8757057370793398*power(2.0,-53)),
-      |(1484,8812207731447440*power(2.0,-53)),
-      |(1485,8904966112931942*power(2.0,-61)),
-      |(1486,9005879589725836*power(2.0,-53)),
-      |(1487,8995365974799696*power(2.0,-53)),
-      |(1488,9007199153629753*power(2.0,-53)),
-      |(1489,8930388306598706*power(2.0,-53)),
-      |(1490,7285425629652418*power(2.0,-66)),
-      |(1491,8070364170794606*power(2.0,-53)),
-      |(1492,8974509422360259*power(2.0,-53)),
-      |(1493,9007130850632509*power(2.0,-53)),
-      |(1494,8995436381203441*power(2.0,-53)),
-      |(1495,5987252017888964*power(2.0,-76)),
-      |(1496,6501379972236074*power(2.0,-53)),
-      |(1497,8767028934593918*power(2.0,-53)),
-      |(1498,8993950966418171*power(2.0,-53)),
-      |(1499,8995708000013129*power(2.0,-53)),
-      |(1500,9005877706520789*power(2.0,-53)),
-      |(1501,9007190569697822*power(2.0,-53)),
-      |(1502,9007174373923985*power(2.0,-53)),
-      |(1503,9007198966638729*power(2.0,-53)),
-      |(1504,8890618514065330*power(2.0,-53)),
-      |(1505,9006599193936541*power(2.0,-53)),
-      |(1506,9007198366342974*power(2.0,-53)),
-      |(1507,9007199173935331*power(2.0,-53)),
-      |(1508,9007178917466587*power(2.0,-53)),
-      |(1509,5624664578642339*power(2.0,-53)),
-      |(1510,9007198069351356*power(2.0,-53)),
-      |(1511,5069945183856641*power(2.0,-68)),
-      |(1512,9006939320783408*power(2.0,-53)),
-      |(1513,8960994828670901*power(2.0,-53)),
-      |(1514,9007196360526364*power(2.0,-53)),
-      |(1515,5448580683078978*power(2.0,-76)),
-      |(1516,6783006604356779*power(2.0,-79)),
-      |(1517,4717948068743459*power(2.0,-61)),
-      |(1518,7727340429115804*power(2.0,-55)),
-      |(1519,9006218704168455*power(2.0,-53)),
-      |(1520,9007186218707211*power(2.0,-53)),
-      |(1521,4836320229071912*power(2.0,-53)),
-      |(1522,4752705695940854*power(2.0,-72)),
-      |(1523,6654627687725273*power(2.0,-73)),
-      |(1524,5711428211653548*power(2.0,-58)),
-      |(1525,7432998982370900*power(2.0,-60)),
-      |(1526,8992023347165909*power(2.0,-53)),
-      |(1527,6674734324595933*power(2.0,-60)),
-      |(1528,9000349879416615*power(2.0,-53)),
-      |(1529,5279931318408516*power(2.0,-53)),
-      |(1530,8488187763164323*power(2.0,-53)),
-      |(1531,9005847556722454*power(2.0,-53)),
-      |(1532,8935497522105132*power(2.0,-53)),
-      |(1533,9007127328321224*power(2.0,-53)),
-      |(1534,9007129534846434*power(2.0,-53)),
-      |(1535,8994719485525485*power(2.0,-53)),
-      |(1536,5937786262754936*power(2.0,-53)),
-      |(1537,9007128099571183*power(2.0,-53)),
-      |(1538,8995200313391162*power(2.0,-53)),
-      |(1539,9005655189014642*power(2.0,-53)),
-      |(1540,9007197978461187*power(2.0,-53)),
-      |(1541,8908241374176163*power(2.0,-53)),
-      |(1542,9007125550491663*power(2.0,-53)),
-      |(1543,9005722955685917*power(2.0,-53)),
-      |(1544,4662772568786239*power(2.0,-53)),
-      |(1545,9000579252375859*power(2.0,-53)),
-      |(1546,8762806248598265*power(2.0,-53)),
-      |(1547,4590342236399640*power(2.0,-58)),
-      |(1548,7488658473559413*power(2.0,-53)),
-      |(1549,4688562794742729*power(2.0,-53)),
-      |(1550,5266636407785938*power(2.0,-71)),
-      |(1551,9007162402060750*power(2.0,-53)),
-      |(1552,9007195000379549*power(2.0,-53)),
-      |(1553,9006054942046595*power(2.0,-53)),
-      |(1554,7313975710084362*power(2.0,-53)),
-      |(1555,4803200534179886*power(2.0,-54)),
-      |(1556,9006947453531746*power(2.0,-53)),
-      |(1557,8981226069109513*power(2.0,-53)),
-      |(1558,9007197370288344*power(2.0,-53)),
-      |(1559,9007199245573320*power(2.0,-53)),
-      |(1560,9006941042789664*power(2.0,-53)),
-      |(1561,5556331910061266*power(2.0,-57)),
-      |(1562,9007199229048102*power(2.0,-53)),
-      |(1563,9005449855372619*power(2.0,-53)),
-      |(1564,8852513588270065*power(2.0,-53)),
-      |(1565,9005411578522502*power(2.0,-53)),
-      |(1566,4748554605819838*power(2.0,-53)),
-      |(1567,7926591154480938*power(2.0,-54)),
-      |(1568,7228113783553051*power(2.0,-61)),
-      |(1569,8903723663119821*power(2.0,-53)),
-      |(1570,9006893755347420*power(2.0,-53)),
-      |(1571,8088534773673917*power(2.0,-56)),
-      |(1572,9006840579703696*power(2.0,-53)),
-      |(1573,5357733813049725*power(2.0,-59)),
-      |(1574,5151943261221942*power(2.0,-53)),
-      |(1575,5176764274478694*power(2.0,-53)),
-      |(1576,8772584282544595*power(2.0,-59)),
-      |(1577,8705876169239617*power(2.0,-54)),
-      |(1578,6182321814893740*power(2.0,-59)),
-      |(1579,9006517121909207*power(2.0,-53)),
-      |(1580,8806841229777692*power(2.0,-53)),
-      |(1581,9006918629595245*power(2.0,-53)),
-      |(1582,9005333022574587*power(2.0,-53)),
-      |(1583,9007125462605706*power(2.0,-53)),
-      |(1584,9006203667336440*power(2.0,-53)),
-      |(1585,9005701278270073*power(2.0,-53)),
-      |(1586,9006066736086661*power(2.0,-53)),
-      |(1587,8993941613745354*power(2.0,-53)),
-      |(1588,8836854932129419*power(2.0,-53)),
-      |(1589,5989183812331534*power(2.0,-53)),
-      |(1590,8934264188532692*power(2.0,-53)),
-      |(1591,8776515688673011*power(2.0,-53)),
-      |(1592,9006927460331463*power(2.0,-53)),
-      |(1593,5281830909529704*power(2.0,-77)),
-      |(1594,9005252003344939*power(2.0,-53)),
-      |(1595,4539044428897088*power(2.0,-69)),
-      |(1596,9005319958819485*power(2.0,-53)),
-      |(1597,4888095126621928*power(2.0,-53)),
-      |(1598,8898440052593467*power(2.0,-53)),
-      |(1599,8768369158262396*power(2.0,-53)),
-      |(1600,6221472737662537*power(2.0,-55)),
-      |(1601,6806077902182875*power(2.0,-61)),
-      |(1602,8998506291242970*power(2.0,-53)),
-      |(1603,8944116805854640*power(2.0,-53)),
-      |(1604,9006879587762856*power(2.0,-53)),
-      |(1605,9006875107237971*power(2.0,-53)),
-      |(1606,9001638736614033*power(2.0,-53)),
-      |(1607,9007167775534617*power(2.0,-53)),
-      |(1608,8928666040780908*power(2.0,-53)),
-      |(1609,9006861493558156*power(2.0,-53)),
-      |(1610,9003198345599832*power(2.0,-53)),
-      |(1611,5420116845741284*power(2.0,-61)),
-      |(1612,9006236394158652*power(2.0,-53)),
-      |(1613,5971939530955136*power(2.0,-53)),
-      |(1614,9006894265972815*power(2.0,-53)),
-      |(1615,5905911048503214*power(2.0,-53)),
-      |(1616,6542323633837649*power(2.0,-67)),
-      |(1617,8904320049333103*power(2.0,-53)),
-      |(1618,8813632776831446*power(2.0,-53)),
-      |(1619,8642449695172592*power(2.0,-54)),
-      |(1620,4562625808152946*power(2.0,-54)),
-      |(1621,8951965208688244*power(2.0,-53)),
-      |(1622,9005597511164928*power(2.0,-53)),
-      |(1623,6441381398519661*power(2.0,-75)),
-      |(1624,5588670807311119*power(2.0,-67)),
-      |(1625,9006920918439251*power(2.0,-53)),
-      |(1626,9007198505186732*power(2.0,-53)),
-      |(1627,9007196846932584*power(2.0,-53)),
-      |(1628,8994776688059042*power(2.0,-53)),
-      |(1629,4640723071680404*power(2.0,-78)),
-      |(1630,8745819838352823*power(2.0,-53)),
-      |(1631,5107588806263313*power(2.0,-79)),
-      |(1632,7951301508442817*power(2.0,-59)),
-      |(1633,9005373778098074*power(2.0,-53)),
-      |(1634,8900694427176593*power(2.0,-53)),
-      |(1635,9005461772858050*power(2.0,-53)),
-      |(1636,9007137400534214*power(2.0,-53)),
-      |(1637,5349038686203558*power(2.0,-73)),
-      |(1638,8838628027103599*power(2.0,-53)),
-      |(1639,9006877382613189*power(2.0,-53)),
-      |(1640,9006998397352399*power(2.0,-53)),
-      |(1641,8922520005025810*power(2.0,-53)),
-      |(1642,8999313455229471*power(2.0,-53)),
-      |(1643,8842478677883281*power(2.0,-53)),
-      |(1644,8974381369711147*power(2.0,-53)),
-      |(1645,8966010366234850*power(2.0,-53)),
-      |(1646,4546691779155652*power(2.0,-62)),
-      |(1647,8562099633166001*power(2.0,-53)),
-      |(1648,9007197758246395*power(2.0,-53)),
-      |(1649,9006919439859363*power(2.0,-53)),
-      |(1650,8911890106051208*power(2.0,-53)),
-      |(1651,9007199168342741*power(2.0,-53)),
-      |(1652,5548355674457505*power(2.0,-61)),
-      |(1653,6889992644712311*power(2.0,-68)),
-      |(1654,5193933077007608*power(2.0,-55)),
-      |(1655,9007191041045480*power(2.0,-53)),
-      |(1656,5461779118372215*power(2.0,-62)),
-      |(1657,9005651893179270*power(2.0,-53)),
-      |(1658,8997680762772502*power(2.0,-53)),
-      |(1659,9005402796393132*power(2.0,-53)),
-      |(1660,9007199246477638*power(2.0,-53)),
-      |(1661,9007199201434556*power(2.0,-53)),
-      |(1662,9006889858759680*power(2.0,-53)),
-      |(1663,9007142096912518*power(2.0,-53)),
-      |(1664,8999079186511505*power(2.0,-53)),
-      |(1665,8533137802600178*power(2.0,-53)),
-      |(1666,6942021125351116*power(2.0,-53)),
-      |(1667,5230768748120860*power(2.0,-64)),
-      |(1668,6709192911601496*power(2.0,-53)),
-      |(1669,9007004236420460*power(2.0,-53)),
-      |(1670,8938581888223867*power(2.0,-53)),
-      |(1671,8993479984934264*power(2.0,-53)),
-      |(1672,5520248078763876*power(2.0,-53)),
-      |(1673,8944165588152526*power(2.0,-53)),
-      |(1674,8888551611978512*power(2.0,-53)),
-      |(1675,9001498369872925*power(2.0,-53)),
-      |(1676,8629425791130413*power(2.0,-63)),
-      |(1677,8962890714802388*power(2.0,-53)),
-      |(1678,8362208229565452*power(2.0,-53)),
-      |(1679,8814258456076590*power(2.0,-53)),
-      |(1680,9007189675123510*power(2.0,-53)),
-      |(1681,8914414427585478*power(2.0,-53)),
-      |(1682,8679698109181365*power(2.0,-53)),
-      |(1683,9006936171968581*power(2.0,-53)),
-      |(1684,9006051190139608*power(2.0,-53)),
-      |(1685,6357754419526712*power(2.0,-61)),
-      |(1686,5974720130472472*power(2.0,-53)),
-      |(1687,9005418611742284*power(2.0,-53)),
-      |(1688,7877491854391306*power(2.0,-53)),
-      |(1689,8848958911639786*power(2.0,-53)),
-      |(1690,5839864606533917*power(2.0,-53)),
-      |(1691,6497903301660686*power(2.0,-59)),
-      |(1692,8568771117043985*power(2.0,-54)),
-      |(1693,9003381802931280*power(2.0,-53)),
-      |(1694,9007146478974734*power(2.0,-53)),
-      |(1695,8776210442690041*power(2.0,-53)),
-      |(1696,8792309354852168*power(2.0,-53)),
-      |(1697,8137018147567658*power(2.0,-62)),
-      |(1698,8995560625924258*power(2.0,-53)),
-      |(1699,5326103138962037*power(2.0,-62)),
-      |(1700,5487239377897012*power(2.0,-53)),
-      |(1701,9007194927492923*power(2.0,-53)),
-      |(1702,9007130042848167*power(2.0,-53)),
-      |(1703,8996286833651845*power(2.0,-53)),
-      |(1704,6590853309130891*power(2.0,-53)),
-      |(1705,9007199151529311*power(2.0,-53)),
-      |(1706,8994883292340174*power(2.0,-53)),
-      |(1707,6471307230462260*power(2.0,-61)),
-      |(1708,8819578918595846*power(2.0,-62)),
-      |(1709,9007180465195820*power(2.0,-53)),
-      |(1710,6492604059271763*power(2.0,-54)),
-      |(1711,8973441662001399*power(2.0,-53)),
-      |(1712,6904937454992387*power(2.0,-61)),
-      |(1713,7275183221061114*power(2.0,-54)),
-      |(1714,8601893653564571*power(2.0,-54)),
-      |(1715,4517909735760927*power(2.0,-53)),
-      |(1716,9007199253499230*power(2.0,-53)),
-      |(1717,9006931852714955*power(2.0,-53)),
-      |(1718,9007127659087632*power(2.0,-53)),
-      |(1719,5108091745402302*power(2.0,-53)),
-      |(1720,6343801198219546*power(2.0,-61)),
-      |(1721,6180741326795589*power(2.0,-77)),
-      |(1722,8870390550894547*power(2.0,-53)),
-      |(1723,8841423840923553*power(2.0,-53)),
-      |(1724,4541589481905688*power(2.0,-53)),
-      |(1725,8834904056578269*power(2.0,-53)),
-      |(1726,8993060379273510*power(2.0,-53)),
-      |(1727,9006243220070267*power(2.0,-53)),
-      |(1728,9006182653362379*power(2.0,-53)),
-      |(1729,9006926510551796*power(2.0,-53)),
-      |(1730,5230906967931036*power(2.0,-53)),
-      |(1731,9006854408405562*power(2.0,-53)),
-      |(1732,9006920639032161*power(2.0,-53)),
-      |(1733,9007180150699221*power(2.0,-53)),
-      |(1734,9007145144223477*power(2.0,-53)),
-      |(1735,8633575914798675*power(2.0,-61)),
-      |(1736,9006876889643860*power(2.0,-53)),
-      |(1737,4689493502698609*power(2.0,-53)),
-      |(1738,9005913702393882*power(2.0,-53)),
-      |(1739,8391486183568530*power(2.0,-76)),
-      |(1740,6247305254669937*power(2.0,-62)),
-      |(1741,9005324123459919*power(2.0,-53)),
-      |(1742,9007198583476612*power(2.0,-53)),
-      |(1743,9007196542430861*power(2.0,-53)),
-      |(1744,8974019639663265*power(2.0,-53)),
-      |(1745,8867079028952307*power(2.0,-53)),
-      |(1746,9005393382338358*power(2.0,-53)),
-      |(1747,8389865619881650*power(2.0,-54)),
-      |(1748,8997944819497777*power(2.0,-53)),
-      |(1749,8993230946512032*power(2.0,-53)),
-      |(1750,9006914557670623*power(2.0,-53)),
-      |(1751,5116403504000187*power(2.0,-56)),
-      |(1752,8990682304959176*power(2.0,-53)),
-      |(1753,8826249032590497*power(2.0,-53)),
-      |(1754,8875187113463683*power(2.0,-53)),
-      |(1755,9006053790364149*power(2.0,-53)),
-      |(1756,5422784798113602*power(2.0,-53)),
-      |(1757,4588739566058310*power(2.0,-61)),
-      |(1758,5363885596016331*power(2.0,-53)),
-      |(1759,8996253663221531*power(2.0,-53)),
-      |(1760,8668413521834243*power(2.0,-74)),
-      |(1761,8944617101925881*power(2.0,-53)),
-      |(1762,8992280553350802*power(2.0,-53)),
-      |(1763,6725111482781419*power(2.0,-61)),
-      |(1764,8998807679171836*power(2.0,-53)),
-      |(1765,9005640769627022*power(2.0,-53)),
-      |(1766,4828248862022433*power(2.0,-67)),
-      |(1767,6371079728289624*power(2.0,-53)),
-      |(1768,8073015085238813*power(2.0,-53)),
-      |(1769,9007027112015338*power(2.0,-53)),
-      |(1770,9007133578208878*power(2.0,-53)),
-      |(1771,5756117037943486*power(2.0,-62)),
-      |(1772,9006891014216205*power(2.0,-53)),
-      |(1773,8711100361931313*power(2.0,-58)),
-      |(1774,5805192873528759*power(2.0,-60)),
-      |(1775,6228790687226353*power(2.0,-78)),
-      |(1776,9007134220402130*power(2.0,-53)),
-      |(1777,9007136877314874*power(2.0,-53)),
-      |(1778,6310844598995533*power(2.0,-71)),
-      |(1779,9005820279516856*power(2.0,-53)),
-      |(1780,9006278027938886*power(2.0,-53)),
-      |(1781,8997846109764498*power(2.0,-53)),
-      |(1782,7512702248697393*power(2.0,-53)),
-      |(1783,8983663143574698*power(2.0,-53)),
-      |(1784,4960202814950894*power(2.0,-59)),
-      |(1785,8790797534934811*power(2.0,-53)),
-      |(1786,9007131410784446*power(2.0,-53)),
-      |(1787,8714990771962674*power(2.0,-53)),
-      |(1788,8799245908335963*power(2.0,-53)),
-      |(1789,8970104464928832*power(2.0,-53)),
-      |(1790,8389614971820510*power(2.0,-78)),
-      |(1791,9005818424861319*power(2.0,-53)),
-      |(1792,9006041751626377*power(2.0,-53)),
-      |(1793,7400771602988334*power(2.0,-53)),
-      |(1794,8711931675891554*power(2.0,-59)),
-      |(1795,8133373384891047*power(2.0,-53)),
-      |(1796,7498103238548319*power(2.0,-54)),
-      |(1797,8894533581745972*power(2.0,-53)),
-      |(1798,8409901011680796*power(2.0,-72)),
-      |(1799,7849495143218893*power(2.0,-53)),
-      |(1800,6719149918954385*power(2.0,-54)),
-      |(1801,9007045567848208*power(2.0,-53)),
-      |(1802,5403310125753366*power(2.0,-65)),
-      |(1803,7602634920477800*power(2.0,-62)),
-      |(1804,8997765408064166*power(2.0,-53)),
-      |(1805,8943110306539647*power(2.0,-53)),
-      |(1806,8991598787915398*power(2.0,-53)),
-      |(1807,4595319428401431*power(2.0,-62)),
-      |(1808,8952845742655594*power(2.0,-53)),
-      |(1809,9007186803782955*power(2.0,-53)),
-      |(1810,5591401314272051*power(2.0,-58)),
-      |(1811,8995431009613735*power(2.0,-53)),
-      |(1812,8261371686433541*power(2.0,-54)),
-      |(1813,9007192961262393*power(2.0,-53)),
-      |(1814,9000523561531632*power(2.0,-53)),
-      |(1815,7574073866309536*power(2.0,-65)),
-      |(1816,8991612009020382*power(2.0,-53)),
-      |(1817,9006874526275504*power(2.0,-53)),
-      |(1818,8589648622275329*power(2.0,-53)),
-      |(1819,9006356245758383*power(2.0,-53)),
-      |(1820,8992854262018181*power(2.0,-53)),
-      |(1821,8941145252755673*power(2.0,-53)),
-      |(1822,9002365993893720*power(2.0,-53)),
-      |(1823,8786070739791902*power(2.0,-53)),
-      |(1824,9005334924314456*power(2.0,-53)),
-      |(1825,8837862883184172*power(2.0,-53)),
-      |(1826,5009352322021879*power(2.0,-61)),
-      |(1827,4927753327812454*power(2.0,-53)),
-      |(1828,9007198076901858*power(2.0,-53)),
-      |(1829,4828846450066644*power(2.0,-71)),
-      |(1830,9006936347903124*power(2.0,-53)),
-      |(1831,8084494609497373*power(2.0,-60)),
-      |(1832,9006033839050840*power(2.0,-53)),
-      |(1833,9006929971807198*power(2.0,-53)),
-      |(1834,8664481725926681*power(2.0,-53)),
-      |(1835,8987131086222243*power(2.0,-53)),
-      |(1836,5056991111049751*power(2.0,-60)),
-      |(1837,4828846450066644*power(2.0,-71)),
-      |(1838,8999731782059022*power(2.0,-53)),
-      |(1839,6192571966502409*power(2.0,-60)),
-      |(1840,5618761792785867*power(2.0,-74)),
-      |(1841,9005639563428343*power(2.0,-53)),
-      |(1842,6387704957848695*power(2.0,-71)),
-      |(1843,8977800325496079*power(2.0,-53)),
-      |(1844,9006932115867827*power(2.0,-53)),
-      |(1845,9007169861387318*power(2.0,-53)),
-      |(1846,7667018082678056*power(2.0,-60)),
-      |(1847,8994906410270742*power(2.0,-53)),
-      |(1848,8093095113053520*power(2.0,-55)),
-      |(1849,5269796696466558*power(2.0,-53)),
-      |(1850,8068627103089977*power(2.0,-54)),
-      |(1851,9006695111339027*power(2.0,-53)),
-      |(1852,9005418080762096*power(2.0,-53)),
-      |(1853,8787774630557898*power(2.0,-53)),
-      |(1854,8996135692688976*power(2.0,-53)),
-      |(1855,7066800315637577*power(2.0,-61)),
-      |(1856,8804991190657232*power(2.0,-53)),
-      |(1857,8996898522188477*power(2.0,-53)),
-      |(1858,9006850514616901*power(2.0,-53)),
-      |(1859,9007139304940192*power(2.0,-53)),
-      |(1860,8925672140127398*power(2.0,-53)),
-      |(1861,9007130403669134*power(2.0,-53)),
-      |(1862,6192571966502409*power(2.0,-60)),
-      |(1863,9006951880333894*power(2.0,-53)),
-      |(1864,8998269248191014*power(2.0,-53)),
-      |(1865,7589386294987216*power(2.0,-54)),
-      |(1866,7941823195379073*power(2.0,-53)),
-      |(1867,9007136469170898*power(2.0,-53)),
-      |(1868,9005662230782329*power(2.0,-53)),
-      |(1869,8778307904805954*power(2.0,-53)),
-      |(1870,8411187442709789*power(2.0,-53)),
-      |(1871,9006882844057826*power(2.0,-53)),
-      |(1872,8054608168629008*power(2.0,-54)),
-      |(1873,8526435389111002*power(2.0,-54)),
-      |(1874,8994512193509254*power(2.0,-53)),
-      |(1875,6757868218343223*power(2.0,-77)),
-      |(1876,9007182007136007*power(2.0,-53)),
-      |(1877,9007168391522645*power(2.0,-53)),
-      |(1878,8927634114830264*power(2.0,-53)),
-      |(1879,6800322225610868*power(2.0,-76)),
-      |(1880,8914222847191167*power(2.0,-53)),
-      |(1881,5954463117271427*power(2.0,-53)),
-      |(1882,9006895743212796*power(2.0,-53)),
-      |(1883,6019157943463971*power(2.0,-53)),
-      |(1884,8956173271938222*power(2.0,-53)),
-      |(1885,4728299750701039*power(2.0,-58)),
-      |(1886,6869549473749542*power(2.0,-58)),
-      |(1887,9001887089162863*power(2.0,-53)),
-      |(1888,8055687351547895*power(2.0,-62)),
-      |(1889,8997725427160059*power(2.0,-53)),
-      |(1890,9003261463970169*power(2.0,-53)),
-      |(1891,9005629886616518*power(2.0,-53)),
-      |(1892,6479308523118537*power(2.0,-53)),
-      |(1893,9007130991953935*power(2.0,-53)),
-      |(1894,8110820951239018*power(2.0,-53)),
-      |(1895,9006361515248271*power(2.0,-53)),
-      |(1896,8994589458471398*power(2.0,-53)),
-      |(1897,9007131538637035*power(2.0,-53)),
-      |(1898,6001255717900925*power(2.0,-61)),
-      |(1899,4816012697861474*power(2.0,-79)),
-      |(1900,9005738043230898*power(2.0,-53)),
-      |(1901,8994671543701405*power(2.0,-53)),
-      |(1902,8993890181283436*power(2.0,-53)),
-      |(1903,5805527330828015*power(2.0,-53)),
-      |(1904,8971509903972473*power(2.0,-53)),
-      |(1905,8997673764223888*power(2.0,-53)),
-      |(1906,8772121477650450*power(2.0,-53)),
-      |(1907,9007198933617419*power(2.0,-53)),
-      |(1908,9005703418389901*power(2.0,-53)),
-      |(1909,6950482868810249*power(2.0,-54)),
-      |(1910,8997244934498987*power(2.0,-53)),
-      |(1911,5766035029101411*power(2.0,-53)),
-      |(1912,6021839972510570*power(2.0,-60)),
-      |(1913,9002554264470041*power(2.0,-53)),
-      |(1914,8996388079626643*power(2.0,-53)),
-      |(1915,8928180774875415*power(2.0,-53)),
-      |(1916,8088088799957281*power(2.0,-57)),
-      |(1917,8997121807943241*power(2.0,-53)),
-      |(1918,9005986847568367*power(2.0,-53)),
-      |(1919,8972100150827487*power(2.0,-68)),
-      |(1920,8929539607916713*power(2.0,-53)),
-      |(1921,9006841545008858*power(2.0,-53)),
-      |(1922,8997718057842583*power(2.0,-53)),
-      |(1923,9004956506528615*power(2.0,-53)),
-      |(1924,8997434678176351*power(2.0,-53)),
-      |(1925,9007130637019248*power(2.0,-53)),
-      |(1926,9007191233515835*power(2.0,-53)),
-      |(1927,6093764746936567*power(2.0,-60)),
-      |(1928,9006206530987303*power(2.0,-53)),
-      |(1929,8850198334910128*power(2.0,-53)),
-      |(1930,8994272586045899*power(2.0,-53)),
-      |(1931,9005608237408904*power(2.0,-53)),
-      |(1932,5442396655410260*power(2.0,-62)),
-      |(1933,9007189232404304*power(2.0,-53)),
-      |(1934,8805888359741398*power(2.0,-53)),
-      |(1935,9007185937905665*power(2.0,-53)),
-      |(1936,5816738162009212*power(2.0,-56)),
-      |(1937,9007197964748367*power(2.0,-53)),
-      |(1938,9005468750360617*power(2.0,-56)),
-      |(1939,5458956397076718*power(2.0,-54)),
-      |(1940,8884567907830635*power(2.0,-53)),
-      |(1941,8866552339784209*power(2.0,-53)),
-      |(1942,9005481002827350*power(2.0,-53)),
-      |(1943,8939438454720864*power(2.0,-53)),
-      |(1944,8994538276684368*power(2.0,-53)),
-      |(1945,8997724991201134*power(2.0,-53)),
-      |(1946,9007197870358025*power(2.0,-53)),
-      |(1947,6978652767136764*power(2.0,-53)),
-      |(1948,6978404432168521*power(2.0,-56)),
-      |(1949,7434138294366074*power(2.0,-59)),
-      |(1950,9007174330747570*power(2.0,-53)),
-      |(1951,8998675821561659*power(2.0,-53)),
-      |(1952,9005481183560365*power(2.0,-53)),
-      |(1953,4727722298055064*power(2.0,-62)),
-      |(1954,8778750099027958*power(2.0,-53)),
-      |(1955,9005694943977629*power(2.0,-53)),
-      |(1956,9005770171926020*power(2.0,-53)),
-      |(1957,8995887332246711*power(2.0,-53)),
-      |(1958,5217212257103042*power(2.0,-57)),
-      |(1959,8538663691092862*power(2.0,-53)),
-      |(1960,6018549680108557*power(2.0,-77)),
-      |(1961,9007198784159753*power(2.0,-53)),
-      |(1962,8969061902215992*power(2.0,-53)),
-      |(1963,6142654359048607*power(2.0,-53)),
-      |(1964,9002553821486068*power(2.0,-53)),
-      |(1965,6031817831352070*power(2.0,-53)),
-      |(1966,9007138616614050*power(2.0,-53)),
-      |(1967,6035136506206597*power(2.0,-53)),
-      |(1968,5671878966686506*power(2.0,-57)),
-      |(1969,8870895879851713*power(2.0,-53)),
-      |(1970,9005456350108466*power(2.0,-53)),
-      |(1971,9007132919225958*power(2.0,-53)),
-      |(1972,8517875735255650*power(2.0,-54)),
-      |(1973,5065133583675301*power(2.0,-53)),
-      |(1974,6718715054968925*power(2.0,-69)),
-      |(1975,8993604923203181*power(2.0,-53)),
-      |(1976,8989200302185097*power(2.0,-53)),
-      |(1977,8835284388904461*power(2.0,-53)),
-      |(1978,4538471193428370*power(2.0,-53)),
-      |(1979,8997746771139190*power(2.0,-53)),
-      |(1980,9007194832419745*power(2.0,-53)),
-      |(1981,9002346038740462*power(2.0,-53)),
-      |(1982,8931887263052767*power(2.0,-53)),
-      |(1983,7076198138078728*power(2.0,-55)),
-      |(1984,9002550587698666*power(2.0,-53)),
-      |(1985,9005241912122727*power(2.0,-53)),
-      |(1986,9007135244860953*power(2.0,-53)),
-      |(1987,8989069418702209*power(2.0,-53)),
-      |(1988,8994197710369925*power(2.0,-53)),
-      |(1989,8996728992647313*power(2.0,-53)),
-      |(1990,9007198013403203*power(2.0,-53)),
-      |(1991,9006957767675886*power(2.0,-53)),
-      |(1992,7584478071985390*power(2.0,-60)),
-      |(1993,9005492117014681*power(2.0,-53)),
-      |(1994,8135933393427488*power(2.0,-53)),
-      |(1995,9005512416489360*power(2.0,-53)),
-      |(1996,6520006316214836*power(2.0,-54)),
-      |(1997,8706581771838841*power(2.0,-53)),
-      |(1998,4942698534639824*power(2.0,-76)),
-      |(1999,8951521322186233*power(2.0,-53)),
-      |(2000,5498439375573804*power(2.0,-60)),
-      |(2001,8739635081943181*power(2.0,-53)),
-      |(2002,8497933505843911*power(2.0,-54)),
-      |(2003,8306914811000252*power(2.0,-53)),
-      |(2004,5997994725104996*power(2.0,-53)),
-      |(2005,7250316444451593*power(2.0,-54)),
-      |(2006,9007189984364775*power(2.0,-53)),
-      |(2007,6044294819983400*power(2.0,-73)),
-      |(2008,8997747892929130*power(2.0,-53)),
-      |(2009,8750847455758632*power(2.0,-53)),
-      |(2010,7076986911972511*power(2.0,-58)),
-      |(2011,9007191562493927*power(2.0,-53)),
-      |(2012,5144646555202176*power(2.0,-62)),
-      |(2013,9006980144880822*power(2.0,-53)),
-      |(2014,9005622829982666*power(2.0,-53)),
-      |(2015,9002161868068664*power(2.0,-53)),
-      |(2016,8998706168237157*power(2.0,-53)),
-      |(2017,5923659537181781*power(2.0,-53)),
-      |(2018,9007199242278416*power(2.0,-53)),
-      |(2019,6670895692275955*power(2.0,-58)),
-      |(2020,8233609205747609*power(2.0,-62)),
-      |(2021,8996761437079171*power(2.0,-53)),
-      |(2022,7302653052790401*power(2.0,-63)),
-      |(2023,8885710122523278*power(2.0,-53)),
-      |(2024,9007191180967225*power(2.0,-53)),
-      |(2025,9005228953383900*power(2.0,-53)),
-      |(2026,7017281419749639*power(2.0,-61)),
-      |(2027,7694064198278078*power(2.0,-53)),
-      |(2028,8993035048290611*power(2.0,-53)),
-      |(2029,8989944223426329*power(2.0,-53)),
-      |(2030,9006029287424169*power(2.0,-53)),
-      |(2031,9006226033849122*power(2.0,-53)),
-      |(2032,9005825757366887*power(2.0,-53)),
-      |(2033,6867734399679187*power(2.0,-61)),
-      |(2034,8159222333363440*power(2.0,-76)),
-      |(2035,4866535213500799*power(2.0,-60)),
-      |(2036,9007160430573492*power(2.0,-53)),
-      |(2037,8867122788050267*power(2.0,-53)),
-      |(2038,6612997803846140*power(2.0,-72)),
-      |(2039,9001174906629576*power(2.0,-53)),
-      |(2040,8992279702692452*power(2.0,-53)),
-      |(2041,4784599436923529*power(2.0,-59)),
-      |(2042,9007188015627012*power(2.0,-53)),
-      |(2043,8965372940032718*power(2.0,-53)),
-      |(2044,6515504142846935*power(2.0,-62)),
-      |(2045,8996704331424349*power(2.0,-53)),
-      |(2046,9007130147123297*power(2.0,-53)),
-      |(2047,8761789282637405*power(2.0,-53)),
-      |(2048,8814576819817087*power(2.0,-53)),
-      |(2049,8997117307030051*power(2.0,-53)),
-      |(2050,9007124991243366*power(2.0,-53)),
-      |(2051,7820570348822550*power(2.0,-59)),
-      |(2052,7552670089736754*power(2.0,-58)),
-      |(2053,9007005639612758*power(2.0,-53)),
-      |(2054,8994414053483385*power(2.0,-53)),
-      |(2055,5023457459766312*power(2.0,-61)),
-      |(2056,8859960666035894*power(2.0,-53)),
-      |(2057,8952389330849828*power(2.0,-53)),
-      |(2058,7944769209248762*power(2.0,-61)),
-      |(2059,9007136937276746*power(2.0,-53)),
-      |(2060,9005268712158932*power(2.0,-53)),
-      |(2061,5425027507820386*power(2.0,-53)),
-      |(2062,8871013282077757*power(2.0,-53)),
-      |(2063,5261609829325390*power(2.0,-61)),
-      |(2064,4764181475499915*power(2.0,-54)),
-      |(2065,9005760109842191*power(2.0,-53)),
-      |(2066,9005485563147342*power(2.0,-53)),
-      |(2067,5381610448816258*power(2.0,-54)),
-      |(2068,8979995374874651*power(2.0,-53)),
-      |(2069,8996810953652998*power(2.0,-53)),
-      |(2070,9002459075522292*power(2.0,-53)),
-      |(2071,9005510464253079*power(2.0,-53)),
-      |(2072,9005708931427157*power(2.0,-53)),
-      |(2073,7475903277140746*power(2.0,-55)),
-      |(2074,4755160672588780*power(2.0,-56)),
-      |(2075,9006957707972974*power(2.0,-53)),
-      |(2076,8973354886195839*power(2.0,-53)),
-      |(2077,9005642929915571*power(2.0,-53)),
-      |(2078,9005700427246324*power(2.0,-53)),
-      |(2079,7022697227293051*power(2.0,-79)),
-      |(2080,6033246055075399*power(2.0,-71)),
-      |(2081,7054985514576967*power(2.0,-61)),
-      |(2082,7573543809639477*power(2.0,-53)),
-      |(2083,9006949615345111*power(2.0,-53)),
-      |(2084,9001087257891652*power(2.0,-53)),
-      |(2085,4672641362971657*power(2.0,-53)),
-      |(2086,9006483060730673*power(2.0,-53)),
-      |(2087,9007195422002677*power(2.0,-53)),
-      |(2088,9006290102575246*power(2.0,-53)),
-      |(2089,9006956316174356*power(2.0,-53)),
-      |(2090,8989488349539761*power(2.0,-53)),
-      |(2091,8989810538592799*power(2.0,-53)),
-      |(2092,9006905362754051*power(2.0,-53)),
-      |(2093,8217316364456714*power(2.0,-62)),
-      |(2094,8960927695791743*power(2.0,-53)),
-      |(2095,5671741445281205*power(2.0,-59)),
-      |(2096,9006277413422327*power(2.0,-53)),
-      |(2097,8649115473053653*power(2.0,-53)),
-      |(2098,8850656753502333*power(2.0,-53)),
-      |(2099,9007187812416118*power(2.0,-53)),
-      |(2100,9001396108356968*power(2.0,-53)),
-      |(2101,9006915647803982*power(2.0,-53)),
-      |(2102,7605366862159860*power(2.0,-53)),
-      |(2103,6004634424412697*power(2.0,-61)),
-      |(2104,5837086765867947*power(2.0,-53)),
-      |(2105,5770022296381233*power(2.0,-53)),
-      |(2106,9007194919480287*power(2.0,-53)),
-      |(2107,6018397843568130*power(2.0,-73)),
-      |(2108,9006883666240536*power(2.0,-53)),
-      |(2109,6423411398813160*power(2.0,-67)),
-      |(2110,7869299326996916*power(2.0,-70)),
-      |(2111,9005482008142290*power(2.0,-53)),
-      |(2112,4645281559134858*power(2.0,-62)),
-      |(2113,8994511459332896*power(2.0,-53)),
-      |(2114,6394863585968393*power(2.0,-60)),
-      |(2115,9007001108201543*power(2.0,-53)),
-      |(2116,4941149606096752*power(2.0,-77)),
-      |(2117,8990687647509785*power(2.0,-53)),
-      |(2118,6286045383826348*power(2.0,-60)),
-      |(2119,9002054558678258*power(2.0,-53)),
-      |(2120,5595206600142237*power(2.0,-59)),
-      |(2121,9005918498354919*power(2.0,-53)),
-      |(2122,7296616717278689*power(2.0,-54)),
-      |(2123,9005278394405741*power(2.0,-53)),
-      |(2124,9006859406250822*power(2.0,-53)),
-      |(2125,7051254529804623*power(2.0,-54)),
-      |(2126,9007177342861903*power(2.0,-53)),
-      |(2127,9007182839497416*power(2.0,-53)),
-      |(2128,9006932308011024*power(2.0,-53)),
-      |(2129,8982496312867143*power(2.0,-53)),
-      |(2130,7069123764430234*power(2.0,-74)),
-      |(2131,8902156045847702*power(2.0,-53)),
-      |(2132,5719863447593808*power(2.0,-53)),
-      |(2133,9005718307598002*power(2.0,-53)),
-      |(2134,9005508467716609*power(2.0,-53)),
-      |(2135,7930745713723983*power(2.0,-53)),
-      |(2136,8975872479954794*power(2.0,-53)),
-      |(2137,9007198964159189*power(2.0,-53)),
-      |(2138,9005795897421402*power(2.0,-53)),
-      |(2139,8744664874246446*power(2.0,-53)),
-      |(2140,9007197111513910*power(2.0,-53)),
-      |(2141,8979109466780303*power(2.0,-53)),
-      |(2142,8358159625463138*power(2.0,-54)),
-      |(2143,9005776232576989*power(2.0,-53)),
-      |(2144,8800843904072281*power(2.0,-53)),
-      |(2145,6217816304483750*power(2.0,-53)),
-      |(2146,9007199127347756*power(2.0,-53)),
-      |(2147,4949072980352466*power(2.0,-61)),
-      |(2148,9005460835196105*power(2.0,-53)),
-      |(2149,8987983183824935*power(2.0,-53)),
-      |(2150,9007123755745307*power(2.0,-53)),
-      |(2151,8988967072177122*power(2.0,-53)),
-      |(2152,8993743782089253*power(2.0,-53)),
-      |(2153,5839096172440880*power(2.0,-61)),
-      |(2154,5706794822761434*power(2.0,-61)),
-      |(2155,6201801142115849*power(2.0,-56)),
-      |(2156,9006982114300409*power(2.0,-53)),
-      |(2157,8999722748857836*power(2.0,-53)),
-      |(2158,9007198999279791*power(2.0,-53)),
-      |(2159,8996183553566180*power(2.0,-53)),
-      |(2160,8994012338805996*power(2.0,-53)),
-      |(2161,9005529737149346*power(2.0,-53)),
-      |(2162,9005834838697273*power(2.0,-53)),
-      |(2163,8945377670210344*power(2.0,-53)),
-      |(2164,9006912313220435*power(2.0,-53)),
-      |(2165,8940303274175771*power(2.0,-53)),
-      |(2166,7906930996336524*power(2.0,-53)),
-      |(2167,9007130779363850*power(2.0,-53)),
-      |(2168,9005829594725310*power(2.0,-53)),
-      |(2169,8826936490661278*power(2.0,-53)),
-      |(2170,7228446092232109*power(2.0,-54)),
-      |(2171,9007197094386202*power(2.0,-53)),
-      |(2172,9006883563103363*power(2.0,-53)),
-      |(2173,8993232967697216*power(2.0,-53)),
-      |(2174,8997523693871423*power(2.0,-53)),
-      |(2175,9006747413807546*power(2.0,-53)),
-      |(2176,9006897255077779*power(2.0,-53)),
-      |(2177,8380321224731959*power(2.0,-56)),
-      |(2178,9007169225758016*power(2.0,-53)),
-      |(2179,6257704019353691*power(2.0,-54)),
-      |(2180,9001482916493850*power(2.0,-53)),
-      |(2181,8978366840174788*power(2.0,-53)),
-      |(2182,9007124826847660*power(2.0,-53)),
-      |(2183,8984632727509327*power(2.0,-54)),
-      |(2184,8979799970184446*power(2.0,-53)),
-      |(2185,9006819111332922*power(2.0,-53)),
-      |(2186,8078336006444735*power(2.0,-61)),
-      |(2187,5280170227710400*power(2.0,-53)),
-      |(2188,9006285866569871*power(2.0,-53)),
-      |(2189,5391369669685005*power(2.0,-53)),
-      |(2190,9006883605269419*power(2.0,-53)),
-      |(2191,9007157086501668*power(2.0,-53)),
-      |(2192,8978303913338711*power(2.0,-53)),
-      |(2193,8995567831992544*power(2.0,-53)),
-      |(2194,7103299550705603*power(2.0,-54)),
-      |(2195,9007193240224912*power(2.0,-53)),
-      |(2196,8724068523240587*power(2.0,-53)),
-      |(2197,9005650491371024*power(2.0,-53)),
-      |(2198,5702049924631885*power(2.0,-56)),
-      |(2199,8860380468582196*power(2.0,-53)),
-      |(2200,8003679114007928*power(2.0,-57)),
-      |(2201,9007131170497026*power(2.0,-53)),
-      |(2202,9007196533009874*power(2.0,-53)),
-      |(2203,9007049234145357*power(2.0,-53)),
-      |(2204,7268594999400191*power(2.0,-53)),
-      |(2205,9007149444346478*power(2.0,-53)),
-      |(2206,5781304108259360*power(2.0,-54)),
-      |(2207,7486648364333978*power(2.0,-71)),
-      |(2208,5543288672594473*power(2.0,-53)),
-      |(2209,8993932441358274*power(2.0,-53)),
-      |(2210,9005781157755255*power(2.0,-53)),
-      |(2211,9007129080053326*power(2.0,-53)),
-      |(2212,8432496907057273*power(2.0,-54)),
-      |(2213,9005931073789171*power(2.0,-53)),
-      |(2214,5838262843840770*power(2.0,-67)),
-      |(2215,6296768833721079*power(2.0,-62)),
-      |(2216,8779968550967374*power(2.0,-53)),
-      |(2217,8993007842215798*power(2.0,-53)),
-      |(2218,5191073595556804*power(2.0,-57)),
-      |(2219,7382020747795477*power(2.0,-53)),
-      |(2220,5637314959232207*power(2.0,-75)),
-      |(2221,9005334924314456*power(2.0,-53)),
-      |(2222,8992406911831773*power(2.0,-53)),
-      |(2223,9007180172043671*power(2.0,-53)),
-      |(2224,7199649076345774*power(2.0,-62)),
-      |(2225,9007122571931477*power(2.0,-53)),
-      |(2226,7841862951785649*power(2.0,-53)),
-      |(2227,8822683767795178*power(2.0,-53)),
-      |(2228,9005744492377029*power(2.0,-53)),
-      |(2229,8948232737940441*power(2.0,-53)),
-      |(2230,8978193101981164*power(2.0,-53)),
-      |(2231,8994089687482440*power(2.0,-53)),
-      |(2232,9007199010772913*power(2.0,-53)),
-      |(2233,7398105362910981*power(2.0,-53)),
-      |(2234,9001833672919108*power(2.0,-53)),
-      |(2235,6827153056834713*power(2.0,-53)),
-      |(2236,7651702148587206*power(2.0,-53)),
-      |(2237,8794365208215593*power(2.0,-53)),
-      |(2238,8998295650875640*power(2.0,-53)),
-      |(2239,8756914612430556*power(2.0,-53)),
-      |(2240,8381418943479956*power(2.0,-69)),
-      |(2241,9007198813819800*power(2.0,-53)),
-      |(2242,6216926260621665*power(2.0,-64)),
-      |(2243,5681095823591929*power(2.0,-61)),
-      |(2244,9007194805081948*power(2.0,-53)),
-      |(2245,5268629148108136*power(2.0,-53)),
-      |(2246,8877929983528914*power(2.0,-53)),
-      |(2247,6547801126438254*power(2.0,-54)),
-      |(2248,9005900771062437*power(2.0,-53)),
-      |(2249,8994758354255159*power(2.0,-53)),
-      |(2250,8992817939015587*power(2.0,-53)),
-      |(2251,8788026802175505*power(2.0,-53)),
-      |(2252,6341895233958513*power(2.0,-71)),
-      |(2253,9007183063247732*power(2.0,-53)),
-      |(2254,7020039567310535*power(2.0,-60)),
-      |(2255,8255530661719120*power(2.0,-58)),
-      |(2256,4984945115189917*power(2.0,-68)),
-      |(2257,9006948016277456*power(2.0,-53)),
-      |(2258,9007185512154200*power(2.0,-53)),
-      |(2259,8915266605097885*power(2.0,-53)),
-      |(2260,8922692562087385*power(2.0,-53)),
-      |(2261,8972154418522493*power(2.0,-53)),
-      |(2262,9007189541375453*power(2.0,-53)),
-      |(2263,6528717289832668*power(2.0,-63)),
-      |(2264,8992663290371107*power(2.0,-53)),
-      |(2265,9003224290009674*power(2.0,-53)),
-      |(2266,8991779134439340*power(2.0,-53)),
-      |(2267,5622984147998103*power(2.0,-53)),
-      |(2268,9006840366660697*power(2.0,-53)),
-      |(2269,8885670060081649*power(2.0,-53)),
-      |(2270,9007192773849389*power(2.0,-53)),
-      |(2271,7690898193855160*power(2.0,-53)),
-      |(2272,8881411710491334*power(2.0,-60)),
-      |(2273,7973923585763847*power(2.0,-54)),
-      |(2274,8996654087759857*power(2.0,-53)),
-      |(2275,9007151101964544*power(2.0,-53)),
-      |(2276,8998599627396307*power(2.0,-53)),
-      |(2277,4797887967749611*power(2.0,-53)),
-      |(2278,9007199021425548*power(2.0,-53)),
-      |(2279,5212396602532620*power(2.0,-63)),
-      |(2280,7107604854822147*power(2.0,-53)),
-      |(2281,9006946287622591*power(2.0,-53)),
-      |(2282,8908109307500708*power(2.0,-53)),
-      |(2283,9007185794258698*power(2.0,-53)),
-      |(2284,7745896357268951*power(2.0,-61)),
-      |(2285,8627967090377223*power(2.0,-53)),
-      |(2286,5097071708259154*power(2.0,-59)),
-      |(2287,9007139140191535*power(2.0,-53)),
-      |(2288,8470773718356081*power(2.0,-53)),
-      |(2289,8660502067758159*power(2.0,-53)),
-      |(2290,9007137877473355*power(2.0,-53)),
-      |(2291,8997142389418996*power(2.0,-53)),
-      |(2292,9005927219473752*power(2.0,-53)),
-      |(2293,9006906469552361*power(2.0,-53)),
-      |(2294,9006945909354919*power(2.0,-53)),
-      |(2295,9005858897386747*power(2.0,-53)),
-      |(2296,9007158451516048*power(2.0,-53)),
-      |(2297,8448320584154049*power(2.0,-59)),
-      |(2298,9000893237948245*power(2.0,-53)),
-      |(2299,9006938671646128*power(2.0,-53)),
-      |(2300,8991795436055589*power(2.0,-53)),
-      |(2301,8774280715795376*power(2.0,-53)),
-      |(2302,9007195800471817*power(2.0,-53)),
-      |(2303,7562501352591505*power(2.0,-53)),
-      |(2304,9007153788659827*power(2.0,-53)),
-      |(2305,9006874296236769*power(2.0,-53)),
-      |(2306,5599692045067174*power(2.0,-53)),
-      |(2307,9007197328055874*power(2.0,-53)),
-      |(2308,9007197916358939*power(2.0,-53)),
-      |(2309,9000262534991152*power(2.0,-53)),
-      |(2310,5469406986551157*power(2.0,-53)),
-      |(2311,8993611953746930*power(2.0,-53)),
-      |(2312,8769214023223840*power(2.0,-53)),
-      |(2313,4985182774020244*power(2.0,-53)),
-      |(2314,9006108446042542*power(2.0,-53)),
-      |(2315,9007166176910743*power(2.0,-53)),
-      |(2316,9005767971895000*power(2.0,-53)),
-      |(2317,7905231614399513*power(2.0,-53)),
-      |(2318,5854843556962358*power(2.0,-53)),
-      |(2319,8994464435702711*power(2.0,-53)),
-      |(2320,9005283796239561*power(2.0,-53)),
-      |(2321,9007195615320769*power(2.0,-53)),
-      |(2322,5194001332573814*power(2.0,-65)),
-      |(2323,8561044652593637*power(2.0,-55)),
-      |(2324,6961781451709603*power(2.0,-65)),
-      |(2325,8995978956854924*power(2.0,-53)),
-      |(2326,6475884516933212*power(2.0,-76)),
-      |(2327,8991813049800122*power(2.0,-53)),
-      |(2328,8953075241656275*power(2.0,-53)),
-      |(2329,8992580981978562*power(2.0,-53)),
-      |(2330,9007197358252895*power(2.0,-53)),
-      |(2331,8845514334405653*power(2.0,-53)),
-      |(2332,8995494037604301*power(2.0,-53)),
-      |(2333,8821552555311979*power(2.0,-53)),
-      |(2334,9006947806380395*power(2.0,-53)),
-      |(2335,8989215403464680*power(2.0,-53)),
-      |(2336,6296768833721079*power(2.0,-62)),
-      |(2337,8718072048704882*power(2.0,-53)),
-      |(2338,7021466156809397*power(2.0,-62)),
-      |(2339,9003758995917830*power(2.0,-53)),
-      |(2340,9007152949041683*power(2.0,-53)),
-      |(2341,9003200874319399*power(2.0,-53)),
-      |(2342,5816205434780358*power(2.0,-59)),
-      |(2343,9006979362224061*power(2.0,-53)),
-      |(2344,8844218022002911*power(2.0,-53)),
-      |(2345,8994171633050905*power(2.0,-53)),
-      |(2346,8993313477238571*power(2.0,-53)),
-      |(2347,8910169083583126*power(2.0,-53)),
-      |(2348,9007104813577681*power(2.0,-53)),
-      |(2349,9007193784647290*power(2.0,-53)),
-      |(2350,9007180469916570*power(2.0,-53)),
-      |(2351,7528643199454278*power(2.0,-57)),
-      |(2352,8991773416503639*power(2.0,-53)),
-      |(2353,6273424301418610*power(2.0,-53)),
-      |(2354,5070303485981523*power(2.0,-77)),
-      |(2355,9001535696896715*power(2.0,-53)),
-      |(2356,9007141884544424*power(2.0,-53)),
-      |(2357,9007199221921494*power(2.0,-53)),
-      |(2358,8824195001632898*power(2.0,-58)),
-      |(2359,9007130692132509*power(2.0,-53)),
-      |(2360,9005894360197667*power(2.0,-53)),
-      |(2361,8925938331850364*power(2.0,-53)),
-      |(2362,9007192842939808*power(2.0,-53)),
-      |(2363,9002055509913985*power(2.0,-53)),""".stripMargin,
-    """(2364,9007178966028010*power(2.0,-53)),
-      |(2365,5090293288261469*power(2.0,-61)),
-      |(2366,7792906690936236*power(2.0,-54)),
-      |(2367,9005600224855643*power(2.0,-53)),
-      |(2368,9007136128116110*power(2.0,-53)),
-      |(2369,5546642677872788*power(2.0,-60)),
-      |(2370,8945023506369758*power(2.0,-53)),
-      |(2371,9007198554309164*power(2.0,-53)),
-      |(2372,9007184521087473*power(2.0,-53)),
-      |(2373,6466436676829893*power(2.0,-56)),
-      |(2374,8559321711543682*power(2.0,-53)),
-      |(2375,8062160855801719*power(2.0,-56)),
-      |(2376,8977678939118774*power(2.0,-53)),
-      |(2377,4914759655826279*power(2.0,-53)),
-      |(2378,8936391354048543*power(2.0,-53)),
-      |(2379,8719543495643147*power(2.0,-53)),
-      |(2380,7526180958025639*power(2.0,-54)),
-      |(2381,9005455370921097*power(2.0,-53)),
-      |(2382,5416594410024212*power(2.0,-53)),
-      |(2383,9000726101861644*power(2.0,-53)),
-      |(2384,9005465182232749*power(2.0,-53)),
-      |(2385,9007199002001447*power(2.0,-53)),
-      |(2386,8996443277422941*power(2.0,-53)),
-      |(2387,5674991064147113*power(2.0,-61)),
-      |(2388,9006911124403186*power(2.0,-53)),
-      |(2389,8623712804930591*power(2.0,-55)),
-      |(2390,8784012619442381*power(2.0,-53)),
-      |(2391,9000501735946074*power(2.0,-53)),
-      |(2392,9006941701916226*power(2.0,-53)),
-      |(2393,8823431598799918*power(2.0,-53)),
-      |(2394,5131939572519116*power(2.0,-62)),
-      |(2395,8805458324592423*power(2.0,-53)),
-      |(2396,4791324686707989*power(2.0,-61)),
-      |(2397,9007129059571261*power(2.0,-53)),
-      |(2398,6872890563527242*power(2.0,-53)),
-      |(2399,7244441657079297*power(2.0,-59)),
-      |(2400,9005529879982822*power(2.0,-53)),
-      |(2401,9006531110882277*power(2.0,-53)),
-      |(2402,9007196573495176*power(2.0,-53)),
-      |(2403,5346995147893685*power(2.0,-61)),
-      |(2404,8926285494915971*power(2.0,-53)),
-      |(2405,8804335573735390*power(2.0,-53)),
-      |(2406,4989179279275084*power(2.0,-61)),
-      |(2407,8967502173433207*power(2.0,-53)),
-      |(2408,8777436846444232*power(2.0,-53)),
-      |(2409,4848519195067397*power(2.0,-60)),
-      |(2410,9007199133309718*power(2.0,-53)),
-      |(2411,9007189379949740*power(2.0,-53)),
-      |(2412,6055401311855744*power(2.0,-61)),
-      |(2413,8977934343515531*power(2.0,-53)),
-      |(2414,7029796307094545*power(2.0,-57)),
-      |(2415,9005894687636029*power(2.0,-53)),
-      |(2416,4884942195949414*power(2.0,-53)),
-      |(2417,6876205279882401*power(2.0,-60)),
-      |(2418,7072905618833591*power(2.0,-58)),
-      |(2419,9006935147748437*power(2.0,-53)),
-      |(2420,9007119495494803*power(2.0,-53)),
-      |(2421,9006918002692246*power(2.0,-53)),
-      |(2422,7164095236643098*power(2.0,-55)),
-      |(2423,9007128771914986*power(2.0,-53)),
-      |(2424,8234979760295339*power(2.0,-53)),
-      |(2425,8838334926182666*power(2.0,-53)),
-      |(2426,9005677464389436*power(2.0,-53)),
-      |(2427,8911669446915627*power(2.0,-53)),
-      |(2428,7069434485998152*power(2.0,-54)),
-      |(2429,9007180734950349*power(2.0,-53)),
-      |(2430,8815660209849217*power(2.0,-53)),
-      |(2431,9006360110225155*power(2.0,-53)),
-      |(2432,4699357680575540*power(2.0,-60)),
-      |(2433,9006858521714229*power(2.0,-53)),
-      |(2434,8485638451571427*power(2.0,-53)),
-      |(2435,8790726941601342*power(2.0,-53)),
-      |(2436,8823105330414766*power(2.0,-53)),
-      |(2437,7097298205712553*power(2.0,-53)),
-      |(2438,6180881805825387*power(2.0,-62)),
-      |(2439,9005371670917314*power(2.0,-53)),
-      |(2440,8781361384898612*power(2.0,-53)),
-      |(2441,6789240212585891*power(2.0,-53)),
-      |(2442,8506334458927792*power(2.0,-54)),
-      |(2443,9006874319389637*power(2.0,-53)),
-      |(2444,8536037490469332*power(2.0,-53)),
-      |(2445,9007141117211441*power(2.0,-53)),
-      |(2446,7396689910408957*power(2.0,-56)),
-      |(2447,9003403679366289*power(2.0,-53)),
-      |(2448,8875470631293462*power(2.0,-53)),
-      |(2449,6132020362169986*power(2.0,-59)),
-      |(2450,5564878675075580*power(2.0,-61)),
-      |(2451,9006233492302276*power(2.0,-53)),
-      |(2452,5970906931875505*power(2.0,-58)),
-      |(2453,9006882518308809*power(2.0,-53)),
-      |(2454,9007184644549479*power(2.0,-53)),
-      |(2455,5393828342477181*power(2.0,-53)),
-      |(2456,9007181964689770*power(2.0,-53)),
-      |(2457,9007008715863441*power(2.0,-53)),
-      |(2458,9003962323919211*power(2.0,-53)),
-      |(2459,4985197755062637*power(2.0,-53)),
-      |(2460,5539658824418819*power(2.0,-60)),
-      |(2461,8994176781743130*power(2.0,-53)),
-      |(2462,9006895394923269*power(2.0,-53)),
-      |(2463,9007133746444406*power(2.0,-53)),
-      |(2464,9005723451747601*power(2.0,-53)),
-      |(2465,4608252910043884*power(2.0,-76)),
-      |(2466,5566256735638538*power(2.0,-61)),
-      |(2467,6291049343931038*power(2.0,-75)),
-      |(2468,8805999687868185*power(2.0,-53)),
-      |(2469,7055744814939925*power(2.0,-63)),
-      |(2470,9001119823495590*power(2.0,-53)),
-      |(2471,5121054163582412*power(2.0,-53)),
-      |(2472,8965318736858337*power(2.0,-53)),
-      |(2473,8990763128259943*power(2.0,-53)),
-      |(2474,8539198159691295*power(2.0,-56)),
-      |(2475,9001807735392883*power(2.0,-53)),
-      |(2476,9006264389258777*power(2.0,-53)),
-      |(2477,9007199253014692*power(2.0,-53)),
-      |(2478,9006864504055994*power(2.0,-53)),
-      |(2479,9004559856780591*power(2.0,-53)),
-      |(2480,8916197855043935*power(2.0,-53)),
-      |(2481,9007171946930491*power(2.0,-53)),
-      |(2482,8027207744362011*power(2.0,-53)),
-      |(2483,9006941293704984*power(2.0,-53)),
-      |(2484,9005541203439200*power(2.0,-53)),
-      |(2485,9000784425300267*power(2.0,-53)),
-      |(2486,9005188681940365*power(2.0,-53)),
-      |(2487,9007177245092124*power(2.0,-53)),
-      |(2488,8992617700464853*power(2.0,-53)),
-      |(2489,8992521716087089*power(2.0,-53)),
-      |(2490,8784653297267632*power(2.0,-53)),
-      |(2491,9007197558814717*power(2.0,-53)),
-      |(2492,7948658602434888*power(2.0,-53)),
-      |(2493,8972905224785745*power(2.0,-53)),
-      |(2494,8500760668259841*power(2.0,-53)),
-      |(2495,8962809196460170*power(2.0,-54)),
-      |(2496,7947960593200164*power(2.0,-57)),
-      |(2497,9006060467334048*power(2.0,-53)),
-      |(2498,9005945827968716*power(2.0,-53)),
-      |(2499,9006906310336877*power(2.0,-53)),
-      |(2500,8718368020165953*power(2.0,-53)),
-      |(2501,8373594218530018*power(2.0,-72)),
-      |(2502,8993482846635747*power(2.0,-53)),
-      |(2503,8865770294403135*power(2.0,-53)),
-      |(2504,9005799275495921*power(2.0,-53)),
-      |(2505,8986312703495579*power(2.0,-53)),
-      |(2506,5301118765734417*power(2.0,-53)),
-      |(2507,6369396728854759*power(2.0,-57)),
-      |(2508,8475638402974841*power(2.0,-54)),
-      |(2509,9005299390933094*power(2.0,-53)),
-      |(2510,9007186994196327*power(2.0,-53)),
-      |(2511,8852316440212331*power(2.0,-53)),
-      |(2512,9005666176822454*power(2.0,-53)),
-      |(2513,9005176562118905*power(2.0,-53)),
-      |(2514,6421118756808804*power(2.0,-53)),
-      |(2515,9005103992397027*power(2.0,-53)),
-      |(2516,9007185732206157*power(2.0,-53)),
-      |(2517,9006899002231558*power(2.0,-53)),
-      |(2518,8792085105578003*power(2.0,-53)),
-      |(2519,8990317368381286*power(2.0,-53)),
-      |(2520,9007180796873531*power(2.0,-53)),
-      |(2521,8796711541158382*power(2.0,-55)),
-      |(2522,9007198998888825*power(2.0,-53)),
-      |(2523,7398386107808294*power(2.0,-62)),
-      |(2524,5484634416636144*power(2.0,-53)),
-      |(2525,6439529423673154*power(2.0,-53)),
-      |(2526,6518657595390702*power(2.0,-66)),
-      |(2527,9006898150132179*power(2.0,-53)),
-      |(2528,9006169031472108*power(2.0,-53)),
-      |(2529,9005704559435248*power(2.0,-53)),
-      |(2530,7523881644749931*power(2.0,-78)),
-      |(2531,5764700102589914*power(2.0,-69)),
-      |(2532,8629876317484933*power(2.0,-67)),
-      |(2533,7531285636002842*power(2.0,-53)),
-      |(2534,7640805112773889*power(2.0,-53)),
-      |(2535,8122833072764928*power(2.0,-61)),
-      |(2536,8944373739742679*power(2.0,-68)),
-      |(2537,9002568806509884*power(2.0,-53)),
-      |(2538,9000797759896034*power(2.0,-53)),
-      |(2539,6305762344738900*power(2.0,-53)),
-      |(2540,8991528566087085*power(2.0,-53)),
-      |(2541,7101293236647119*power(2.0,-53)),
-      |(2542,9007196316304755*power(2.0,-53)),
-      |(2543,6536226391782976*power(2.0,-54)),
-      |(2544,9007198829688334*power(2.0,-53)),
-      |(2545,8945110638592100*power(2.0,-53)),
-      |(2546,8952185167849901*power(2.0,-53)),
-      |(2547,7997297454056169*power(2.0,-58)),
-      |(2548,8912081210897381*power(2.0,-53)),
-      |(2549,9005675476519211*power(2.0,-53)),
-      |(2550,9005573757902052*power(2.0,-53)),
-      |(2551,8312388333516549*power(2.0,-77)),
-      |(2552,8995316421202486*power(2.0,-53)),
-      |(2553,8994071805113569*power(2.0,-53)),
-      |(2554,8801386649328989*power(2.0,-53)),
-      |(2555,9002712036263048*power(2.0,-53)),
-      |(2556,9006962789019432*power(2.0,-53)),
-      |(2557,8990163562510634*power(2.0,-53)),
-      |(2558,9005742365963978*power(2.0,-53)),
-      |(2559,8969245599075156*power(2.0,-53)),
-      |(2560,8754472481478699*power(2.0,-53)),
-      |(2561,9007192276468930*power(2.0,-53)),
-      |(2562,8904017129193776*power(2.0,-53)),
-      |(2563,8970707536404041*power(2.0,-53)),
-      |(2564,8832977892287055*power(2.0,-53)),
-      |(2565,9005882868948153*power(2.0,-53)),
-      |(2566,9007189362932687*power(2.0,-53)),
-      |(2567,8987619039689064*power(2.0,-53)),
-      |(2568,8967352402107382*power(2.0,-53)),
-      |(2569,4538539382083925*power(2.0,-63)),
-      |(2570,8991707780201222*power(2.0,-53)),
-      |(2571,4598062952977962*power(2.0,-59)),
-      |(2572,9005581523031584*power(2.0,-53)),
-      |(2573,9006151831804715*power(2.0,-53)),
-      |(2574,7571314587852779*power(2.0,-57)),
-      |(2575,5308884882532152*power(2.0,-69)),
-      |(2576,9007140873833517*power(2.0,-53)),
-      |(2577,9006046659306166*power(2.0,-53)),
-      |(2578,5807217065112357*power(2.0,-62)),
-      |(2579,9007199028036120*power(2.0,-53)),
-      |(2580,8433281714091705*power(2.0,-53)),
-      |(2581,8937780068092155*power(2.0,-53)),
-      |(2582,9007190517846863*power(2.0,-53)),
-      |(2583,9005611188991638*power(2.0,-53)),
-      |(2584,7845950698533777*power(2.0,-54)),
-      |(2585,8994888195272183*power(2.0,-53)),
-      |(2586,8836282360531223*power(2.0,-53)),
-      |(2587,8975862132880364*power(2.0,-53)),
-      |(2588,7337881506688111*power(2.0,-77)),
-      |(2589,6952183192656637*power(2.0,-53)),
-      |(2590,4518658752785242*power(2.0,-70)),
-      |(2591,9005548466427200*power(2.0,-53)),
-      |(2592,8801219635573062*power(2.0,-53)),
-      |(2593,9007154546560077*power(2.0,-53)),
-      |(2594,8858112057041926*power(2.0,-53)),
-      |(2595,8993165681483326*power(2.0,-53)),
-      |(2596,7095963188441498*power(2.0,-78)),
-      |(2597,9006882188841806*power(2.0,-53)),
-      |(2598,9006170936762419*power(2.0,-53)),
-      |(2599,8993529608685064*power(2.0,-53)),
-      |(2600,7479497024157941*power(2.0,-53)),
-      |(2601,9007197192812076*power(2.0,-53)),
-      |(2602,8721035883059984*power(2.0,-53)),
-      |(2603,8999556441612550*power(2.0,-53)),
-      |(2604,5367728500965993*power(2.0,-55)),
-      |(2605,6319902424296930*power(2.0,-55)),
-      |(2606,9007199222521268*power(2.0,-53)),
-      |(2607,7587424873219383*power(2.0,-53)),
-      |(2608,9005415274309716*power(2.0,-53)),
-      |(2609,9003286977181226*power(2.0,-53)),
-      |(2610,8847701257656617*power(2.0,-53)),
-      |(2611,9006011315800636*power(2.0,-53)),
-      |(2612,9006872806379203*power(2.0,-53)),
-      |(2613,9005810248877303*power(2.0,-53)),
-      |(2614,8707304366301839*power(2.0,-53)),
-      |(2615,5100801353750788*power(2.0,-60)),
-      |(2616,8909383199339784*power(2.0,-53)),
-      |(2617,5718432785394498*power(2.0,-53)),
-      |(2618,9005738184469736*power(2.0,-53)),
-      |(2619,4557575264767504*power(2.0,-61)),
-      |(2620,7444308823832566*power(2.0,-53)),
-      |(2621,6657447089855059*power(2.0,-53)),
-      |(2622,9006921844616043*power(2.0,-53)),
-      |(2623,5971410186130380*power(2.0,-53)),
-      |(2624,9007123601837946*power(2.0,-53)),
-      |(2625,8998235290832002*power(2.0,-53)),
-      |(2626,4621286969178418*power(2.0,-61)),
-      |(2627,6240315223585320*power(2.0,-61)),
-      |(2628,9007196268514852*power(2.0,-53)),
-      |(2629,8597432391174371*power(2.0,-54)),
-      |(2630,9007198410534835*power(2.0,-53)),
-      |(2631,9007198038432964*power(2.0,-53)),
-      |(2632,9007106864229187*power(2.0,-53)),
-      |(2633,8993005637545835*power(2.0,-53)),
-      |(2634,8014341307042672*power(2.0,-54)),
-      |(2635,6781280956408565*power(2.0,-53)),
-      |(2636,6837972645119179*power(2.0,-59)),
-      |(2637,9007173711202451*power(2.0,-53)),
-      |(2638,8998904792282121*power(2.0,-53)),
-      |(2639,9005712683408182*power(2.0,-53)),
-      |(2640,9007197729171322*power(2.0,-53)),
-      |(2641,9007197584678406*power(2.0,-53)),
-      |(2642,4935540781122292*power(2.0,-60)),
-      |(2643,8751172346922802*power(2.0,-53)),
-      |(2644,8996768479701427*power(2.0,-53)),
-      |(2645,8261468825099603*power(2.0,-54)),
-      |(2646,6839612694674556*power(2.0,-73)),
-      |(2647,5960247404733178*power(2.0,-77)),
-      |(2648,9007144880376261*power(2.0,-53)),
-      |(2649,4897944331333445*power(2.0,-63)),
-      |(2650,8997247174536045*power(2.0,-53)),
-      |(2651,8748134601769474*power(2.0,-53)),
-      |(2652,9006896016451035*power(2.0,-53)),
-      |(2653,8499179584264771*power(2.0,-53)),
-      |(2654,4853211546675501*power(2.0,-56)),
-      |(2655,7002817943031730*power(2.0,-54)),
-      |(2656,8504242836187560*power(2.0,-53)),
-      |(2657,9007195474135729*power(2.0,-53)),
-      |(2658,5719863447593808*power(2.0,-53)),
-      |(2659,9006808920102227*power(2.0,-53)),
-      |(2660,7194604740127915*power(2.0,-56)),
-      |(2661,6800322225610868*power(2.0,-76)),
-      |(2662,8861836836215939*power(2.0,-53)),
-      |(2663,9006966159181605*power(2.0,-53)),
-      |(2664,9005713332620178*power(2.0,-53)),
-      |(2665,7633472784604997*power(2.0,-53)),
-      |(2666,8958733857203664*power(2.0,-53)),
-      |(2667,8958067807918406*power(2.0,-53)),
-      |(2668,9003990354306795*power(2.0,-53)),
-      |(2669,8693567406365836*power(2.0,-69)),
-      |(2670,8766827392873396*power(2.0,-53)),
-      |(2671,9005677302343891*power(2.0,-53)),
-      |(2672,9007132903920360*power(2.0,-53)),
-      |(2673,8999169278854692*power(2.0,-53)),
-      |(2674,6168604090880243*power(2.0,-58)),
-      |(2675,6697025967638741*power(2.0,-74)),
-      |(2676,8976637150618105*power(2.0,-53)),
-      |(2677,9006881790174130*power(2.0,-53)),
-      |(2678,9007138297277695*power(2.0,-53)),
-      |(2679,7688083891347668*power(2.0,-55)),
-      |(2680,9006962438550760*power(2.0,-53)),
-      |(2681,8997542878909741*power(2.0,-53)),
-      |(2682,8934538087340909*power(2.0,-53)),
-      |(2683,9005669419855400*power(2.0,-53)),
-      |(2684,5213482626429674*power(2.0,-53)),
-      |(2685,9007183104931014*power(2.0,-53)),
-      |(2686,8991087292689192*power(2.0,-53)),
-      |(2687,9006061049973169*power(2.0,-53)),
-      |(2688,8990611864308468*power(2.0,-53)),
-      |(2689,8977857454685854*power(2.0,-53)),
-      |(2690,7148817126470740*power(2.0,-53)),
-      |(2691,8716935078552417*power(2.0,-53)),
-      |(2692,9007195557130542*power(2.0,-53)),
-      |(2693,8980392236618669*power(2.0,-53)),
-      |(2694,8810965714229948*power(2.0,-53)),
-      |(2695,5142509602607790*power(2.0,-53)),
-      |(2696,8823124076360138*power(2.0,-53)),
-      |(2697,9007148199181292*power(2.0,-53)),
-      |(2698,7312425449414264*power(2.0,-60)),
-      |(2699,8995589128052470*power(2.0,-53)),
-      |(2700,9006997419742222*power(2.0,-53)),
-      |(2701,9005789029617320*power(2.0,-53)),
-      |(2702,9005504283005912*power(2.0,-53)),
-      |(2703,8825070885039403*power(2.0,-53)),
-      |(2704,9007154867740366*power(2.0,-53)),
-      |(2705,9003570869985888*power(2.0,-53)),
-      |(2706,4582954984411366*power(2.0,-60)),
-      |(2707,8945944021715934*power(2.0,-53)),
-      |(2708,7523881644749931*power(2.0,-78)),
-      |(2709,6856798480382706*power(2.0,-53)),
-      |(2710,6800825391799899*power(2.0,-53)),
-      |(2711,6867547801948953*power(2.0,-53)),
-      |(2712,9005529879982822*power(2.0,-53)),
-      |(2713,8992770845731404*power(2.0,-53)),
-      |(2714,9007016737758346*power(2.0,-53)),
-      |(2715,5143391922366022*power(2.0,-77)),
-      |(2716,5340990908913048*power(2.0,-57)),
-      |(2717,8951883488645667*power(2.0,-53)),
-      |(2718,9007180861690849*power(2.0,-53)),
-      |(2719,9007198476582441*power(2.0,-53)),
-      |(2720,8819578918595846*power(2.0,-62)),
-      |(2721,4781375425714537*power(2.0,-64)),
-      |(2722,5582817675457591*power(2.0,-53)),
-      |(2723,9005622032155433*power(2.0,-53)),
-      |(2724,8697983926528225*power(2.0,-53)),
-      |(2725,8350059181392121*power(2.0,-54)),
-      |(2726,8925539905943770*power(2.0,-54)),
-      |(2727,9004337804502293*power(2.0,-53)),
-      |(2728,8993730431531170*power(2.0,-53)),
-      |(2729,8919188693919538*power(2.0,-53)),
-      |(2730,4537120227998465*power(2.0,-60)),
-      |(2731,9007169136901529*power(2.0,-53)),
-      |(2732,5853591099460018*power(2.0,-62)),
-      |(2733,8734036831951026*power(2.0,-62)),
-      |(2734,5513901053016657*power(2.0,-53)),
-      |(2735,8095837440488531*power(2.0,-58)),
-      |(2736,9007196718789960*power(2.0,-53)),
-      |(2737,7638222570251580*power(2.0,-77)),
-      |(2738,4841654951485001*power(2.0,-74)),
-      |(2739,4695097882982455*power(2.0,-54)),
-      |(2740,5088489623805986*power(2.0,-53)),
-      |(2741,8994673581274546*power(2.0,-53)),
-      |(2742,8997386867043756*power(2.0,-53)),
-      |(2743,8841741304204297*power(2.0,-53)),
-      |(2744,8739011814305586*power(2.0,-53)),
-      |(2745,9006931602211708*power(2.0,-53)),
-      |(2746,7805871017335287*power(2.0,-62)),
-      |(2747,8582288458021133*power(2.0,-53)),
-      |(2748,9007046254803561*power(2.0,-53)),
-      |(2749,8724889818618388*power(2.0,-53)),
-      |(2750,5120396907827377*power(2.0,-69)),
-      |(2751,9007198643365945*power(2.0,-53)),
-      |(2752,5483656300570719*power(2.0,-62)),
-      |(2753,5542273712966584*power(2.0,-53)),
-      |(2754,9007197529866274*power(2.0,-53)),
-      |(2755,9005630750997042*power(2.0,-53)),
-      |(2756,7431249104799087*power(2.0,-54)),
-      |(2757,9007194592667239*power(2.0,-53)),
-      |(2758,5188264304963469*power(2.0,-53)),
-      |(2759,8990694915164337*power(2.0,-53)),
-      |(2760,9001026900765103*power(2.0,-53)),
-      |(2761,6264797307967088*power(2.0,-61)),
-      |(2762,8601478435542841*power(2.0,-53)),
-      |(2763,4653682225707164*power(2.0,-68)),
-      |(2764,8402559405764388*power(2.0,-63)),
-      |(2765,7386537417525186*power(2.0,-56)),
-      |(2766,8984228611357038*power(2.0,-53)),
-      |(2767,9005336402618569*power(2.0,-53)),
-      |(2768,9006154232717013*power(2.0,-53)),
-      |(2769,8853800724826273*power(2.0,-53)),
-      |(2770,5051855679117166*power(2.0,-76)),
-      |(2771,9007183928244209*power(2.0,-53)),
-      |(2772,5413643251059817*power(2.0,-53)),
-      |(2773,8823275494081534*power(2.0,-53)),
-      |(2774,9007127135765174*power(2.0,-53)),
-      |(2775,6852398136848512*power(2.0,-53)),
-      |(2776,9007176368261345*power(2.0,-53)),
-      |(2777,9006138005628137*power(2.0,-53)),
-      |(2778,8788980231890984*power(2.0,-53)),
-      |(2779,5002397740495697*power(2.0,-78)),
-      |(2780,8999857198297528*power(2.0,-53)),
-      |(2781,9007195676073522*power(2.0,-53)),
-      |(2782,9007183710871108*power(2.0,-53)),
-      |(2783,8574468274721823*power(2.0,-54)),
-      |(2784,9007126671005852*power(2.0,-53)),
-      |(2785,9007193204763724*power(2.0,-53)),
-      |(2786,9007060512580606*power(2.0,-53)),
-      |(2787,8994082035992992*power(2.0,-53)),
-      |(2788,9007115144694911*power(2.0,-53)),
-      |(2789,8969651125951828*power(2.0,-53)),
-      |(2790,6428695463018549*power(2.0,-53)),
-      |(2791,5530654963502090*power(2.0,-68)),
-      |(2792,8792208589622771*power(2.0,-53)),
-      |(2793,8766988520107369*power(2.0,-53)),
-      |(2794,9007198338082737*power(2.0,-53)),
-      |(2795,5745304005116267*power(2.0,-57)),
-      |(2796,9004113769836604*power(2.0,-53)),
-      |(2797,9005629670360816*power(2.0,-53)),
-      |(2798,8998997102083443*power(2.0,-53)),
-      |(2799,9006140492660420*power(2.0,-53)),
-      |(2800,5793779378108101*power(2.0,-53)),
-      |(2801,7544380672087027*power(2.0,-80)),
-      |(2802,8996472004004490*power(2.0,-53)),
-      |(2803,7586179419293885*power(2.0,-59)),
-      |(2804,8991627702785025*power(2.0,-53)),
-      |(2805,7491189987955141*power(2.0,-62)),
-      |(2806,9007123257822178*power(2.0,-53)),
-      |(2807,4986634702913557*power(2.0,-73)),
-      |(2808,9007119349717729*power(2.0,-53)),
-      |(2809,4558681802888550*power(2.0,-53)),
-      |(2810,8755583674089094*power(2.0,-53)),
-      |(2811,9006904628809278*power(2.0,-53)),
-      |(2812,8316951455096572*power(2.0,-54)),
-      |(2813,8883674465177574*power(2.0,-53)),
-      |(2814,7108924975129493*power(2.0,-53)),
-      |(2815,7935573722158469*power(2.0,-62)),
-      |(2816,9003810701439045*power(2.0,-53)),
-      |(2817,5934064681786844*power(2.0,-57)),
-      |(2818,4538812430182419*power(2.0,-62)),
-      |(2819,9007191112241061*power(2.0,-53)),
-      |(2820,6927985769114353*power(2.0,-72)),
-      |(2821,9006910716267913*power(2.0,-53)),
-      |(2822,9007198541673664*power(2.0,-53)),
-      |(2823,4973861256353580*power(2.0,-53)),
-      |(2824,9006922878715083*power(2.0,-53)),
-      |(2825,8851025696646614*power(2.0,-53)),
-      |(2826,5249577887335247*power(2.0,-79)),
-      |(2827,9007035259949941*power(2.0,-53)),
-      |(2828,9007176130981815*power(2.0,-53)),
-      |(2829,8995670388251044*power(2.0,-53)),
-      |(2830,8300148718161662*power(2.0,-53)),
-      |(2831,9007194249168600*power(2.0,-53)),
-      |(2832,8430558032342604*power(2.0,-53)),
-      |(2833,9007198114347250*power(2.0,-53)),
-      |(2834,8950942507772898*power(2.0,-53)),
-      |(2835,9007072459062829*power(2.0,-53)),
-      |(2836,9007133341716947*power(2.0,-53)),
-      |(2837,8996674899897272*power(2.0,-53)),
-      |(2838,9006060022951581*power(2.0,-53)),
-      |(2839,8102514681397694*power(2.0,-53)),
-      |(2840,6104590348110261*power(2.0,-65)),
-      |(2841,9005341928191475*power(2.0,-53)),
-      |(2842,9005633155312856*power(2.0,-53)),
-      |(2843,7926851867638862*power(2.0,-53)),
-      |(2844,8924873434608624*power(2.0,-53)),
-      |(2845,8972599168395274*power(2.0,-53)),
-      |(2846,5156483927013054*power(2.0,-57)),
-      |(2847,6592388040356937*power(2.0,-53)),
-      |(2848,8990950327143660*power(2.0,-53)),
-      |(2849,8825526943568234*power(2.0,-53)),
-      |(2850,7173116094545233*power(2.0,-58)),
-      |(2851,8791342626031692*power(2.0,-53)),
-      |(2852,8912747860599479*power(2.0,-53)),
-      |(2853,9006893141569701*power(2.0,-53)),
-      |(2854,9005854165399945*power(2.0,-53)),
-      |(2855,8814491291277953*power(2.0,-53)),
-      |(2856,9007192915441178*power(2.0,-53)),
-      |(2857,9007058704948592*power(2.0,-53)),
-      |(2858,4650573484141893*power(2.0,-62)),
-      |(2859,8926747012294066*power(2.0,-53)),
-      |(2860,9007177647236427*power(2.0,-53)),
-      |(2861,5485948571894402*power(2.0,-72)),
-      |(2862,8881986023759589*power(2.0,-53)),
-      |(2863,9006926420841064*power(2.0,-53)),
-      |(2864,7367221774210643*power(2.0,-54)),
-      |(2865,6167473263851642*power(2.0,-53)),
-      |(2866,8963032042393062*power(2.0,-53)),
-      |(2867,4945075356272626*power(2.0,-53)),
-      |(2868,9007179441237081*power(2.0,-53)),
-      |(2869,6650198746458695*power(2.0,-58)),
-      |(2870,9000818130144890*power(2.0,-53)),
-      |(2871,5940870562580689*power(2.0,-53)),
-      |(2872,8996199074887212*power(2.0,-53)),
-      |(2873,9007191928483613*power(2.0,-53)),
-      |(2874,9007193430612108*power(2.0,-53)),
-      |(2875,8642449695172592*power(2.0,-54)),
-      |(2876,6732523907796542*power(2.0,-57)),
-      |(2877,8992047051211865*power(2.0,-53)),
-      |(2878,8928807628198468*power(2.0,-53)),
-      |(2879,6861083000983379*power(2.0,-58)),
-      |(2880,4741448652903073*power(2.0,-59)),
-      |(2881,9000053895110771*power(2.0,-53)),
-      |(2882,5844169096731001*power(2.0,-55)),
-      |(2883,4535496306350531*power(2.0,-53)),
-      |(2884,8669694202339991*power(2.0,-53)),
-      |(2885,9001257981978817*power(2.0,-53)),
-      |(2886,5648268634718480*power(2.0,-53)),
-      |(2887,8998721278203937*power(2.0,-53)),
-      |(2888,6431484045839426*power(2.0,-60)),
-      |(2889,6312928586184266*power(2.0,-76)),
-      |(2890,8821719221019518*power(2.0,-54)),
-      |(2891,8818184180401184*power(2.0,-53)),
-      |(2892,9006923510189902*power(2.0,-53)),
-      |(2893,8489943054917714*power(2.0,-53)),
-      |(2894,9007186263094433*power(2.0,-53)),
-      |(2895,9006931321608464*power(2.0,-53)),
-      |(2896,9007131163427541*power(2.0,-53)),
-      |(2897,8977800187430905*power(2.0,-53)),
-      |(2898,7967657603189959*power(2.0,-63)),
-      |(2899,9005208682760754*power(2.0,-53)),
-      |(2900,9003395612240578*power(2.0,-53)),
-      |(2901,9000139854616370*power(2.0,-53)),
-      |(2902,9006897876430869*power(2.0,-53)),
-      |(2903,9006900980037501*power(2.0,-53)),
-      |(2904,6586951257350449*power(2.0,-55)),
-      |(2905,5729654399858585*power(2.0,-55)),
-      |(2906,8813583522780164*power(2.0,-53)),
-      |(2907,7057155762297398*power(2.0,-75)),
-      |(2908,9000807959383507*power(2.0,-53)),
-      |(2909,6476092764795189*power(2.0,-73)),
-      |(2910,8920066140784466*power(2.0,-53)),
-      |(2911,7936493643656339*power(2.0,-57)),
-      |(2912,7756374591613284*power(2.0,-60)),
-      |(2913,8997363001729713*power(2.0,-53)),
-      |(2914,4569653915204602*power(2.0,-57)),
-      |(2915,8993615709103093*power(2.0,-53)),
-      |(2916,8400967611947937*power(2.0,-57)),
-      |(2917,8475257280942119*power(2.0,-53)),
-      |(2918,5230419940925837*power(2.0,-53)),
-      |(2919,9006866955120702*power(2.0,-53)),
-      |(2920,9005548596520351*power(2.0,-53)),
-      |(2921,9006931479260475*power(2.0,-53)),
-      |(2922,9001481991255375*power(2.0,-53)),
-      |(2923,8885283927190823*power(2.0,-53)),
-      |(2924,8784979727791996*power(2.0,-53)),
-      |(2925,6380923379447801*power(2.0,-54)),
-      |(2926,9007124900444067*power(2.0,-53)),
-      |(2927,9005537235368173*power(2.0,-53)),
-      |(2928,5461903452164003*power(2.0,-55)),
-      |(2929,8989846635193358*power(2.0,-53)),
-      |(2930,8998758296352869*power(2.0,-53)),
-      |(2931,9006903920004848*power(2.0,-53)),
-      |(2932,9006127602998124*power(2.0,-53)),
-      |(2933,5773812820236195*power(2.0,-61)),
-      |(2934,9007179691535862*power(2.0,-53)),
-      |(2935,7508152752980518*power(2.0,-57)),
-      |(2936,8983950009037389*power(2.0,-53)),
-      |(2937,8827707137042433*power(2.0,-53)),
-      |(2938,9006939896730303*power(2.0,-53)),
-      |(2939,6379280377819331*power(2.0,-53)),
-      |(2940,5830644727408600*power(2.0,-73)),
-      |(2941,4928103918312011*power(2.0,-53)),
-      |(2942,8903226258883954*power(2.0,-68)),
-      |(2943,4638778476579086*power(2.0,-60)),
-      |(2944,7909108873411571*power(2.0,-62)),
-      |(2945,8993066724807950*power(2.0,-53)),
-      |(2946,9006904773639821*power(2.0,-53)),
-      |(2947,8998545875841207*power(2.0,-53)),
-      |(2948,9007149195772702*power(2.0,-53)),
-      |(2949,4864960856035381*power(2.0,-53)),
-      |(2950,7277379436957678*power(2.0,-53)),
-      |(2951,8874002893504542*power(2.0,-53)),
-      |(2952,9005527638625508*power(2.0,-53)),
-      |(2953,8842630913605805*power(2.0,-53)),
-      |(2954,9007032995815011*power(2.0,-53)),
-      |(2955,9005529113597341*power(2.0,-53)),
-      |(2956,8295283555121951*power(2.0,-53)),
-      |(2957,9005126698907987*power(2.0,-53)),
-      |(2958,6152126832364880*power(2.0,-53)),
-      |(2959,6200552997978708*power(2.0,-56)),
-      |(2960,9007130180009069*power(2.0,-53)),
-      |(2961,8995897747783213*power(2.0,-53)),
-      |(2962,9005255118496402*power(2.0,-53)),
-      |(2963,8424580334569740*power(2.0,-64)),
-      |(2964,8195543300062678*power(2.0,-57)),
-      |(2965,7569433458560512*power(2.0,-53)),
-      |(2966,9005312180934647*power(2.0,-53)),
-      |(2967,8554893761706782*power(2.0,-53)),
-      |(2968,5539658824418819*power(2.0,-60)),
-      |(2969,9006030962066365*power(2.0,-53)),
-      |(2970,8819808447199169*power(2.0,-53)),
-      |(2971,8880219551510822*power(2.0,-53)),
-      |(2972,9007174298202838*power(2.0,-53)),
-      |(2973,6417004840222167*power(2.0,-53)),
-      |(2974,8758788971133328*power(2.0,-53)),
-      |(2975,6369784565687118*power(2.0,-61)),
-      |(2976,8996507851426507*power(2.0,-53)),
-      |(2977,6905277523876717*power(2.0,-55)),
-      |(2978,9007194114429320*power(2.0,-53)),
-      |(2979,8994651231633010*power(2.0,-53)),
-      |(2980,9006996695456849*power(2.0,-53)),
-      |(2981,9007168557373240*power(2.0,-53)),
-      |(2982,7077323839767496*power(2.0,-68)),
-      |(2983,9006241802550608*power(2.0,-53)),
-      |(2984,9007128272101776*power(2.0,-53)),
-      |(2985,7316408603912697*power(2.0,-60)),
-      |(2986,9006973088364258*power(2.0,-53)),
-      |(2987,8802410366013097*power(2.0,-53)),
-      |(2988,9005931777875255*power(2.0,-53)),
-      |(2989,7069123764430234*power(2.0,-74)),
-      |(2990,9005380665604520*power(2.0,-53)),
-      |(2991,9007196589338709*power(2.0,-53)),
-      |(2992,8923803246388120*power(2.0,-53)),
-      |(2993,8992041339660010*power(2.0,-53)),
-      |(2994,9007191738396164*power(2.0,-53)),
-      |(2995,8994170752676202*power(2.0,-53)),
-      |(2996,9007197365508056*power(2.0,-53)),
-      |(2997,7674773912405580*power(2.0,-59)),
-      |(2998,9007121216082471*power(2.0,-53)),
-      |(2999,8416837224853763*power(2.0,-65)),
-      |(3000,7299797937447565*power(2.0,-61)),
-      |(3001,8896889226189231*power(2.0,-53)),
-      |(3002,9005461044191137*power(2.0,-53)),
-      |(3003,9007197083855419*power(2.0,-53)),
-      |(3004,6989516257586828*power(2.0,-67)),
-      |(3005,9004373669671928*power(2.0,-56)),
-      |(3006,7479100852531230*power(2.0,-56)),
-      |(3007,8993207663800692*power(2.0,-53)),
-      |(3008,7738298773264527*power(2.0,-59)),
-      |(3009,9005738142889809*power(2.0,-53)),
-      |(3010,8946093972760174*power(2.0,-53)),
-      |(3011,7280485581453027*power(2.0,-54)),
-      |(3012,9006943738277949*power(2.0,-53)),
-      |(3013,9005374413259962*power(2.0,-53)),
-      |(3014,6327744498021673*power(2.0,-53)),
-      |(3015,9003590624894994*power(2.0,-53)),
-      |(3016,9007157292901159*power(2.0,-53)),
-      |(3017,9007020244270794*power(2.0,-53)),
-      |(3018,5268544327071186*power(2.0,-56)),
-      |(3019,9006010928640570*power(2.0,-53)),
-      |(3020,9007197769397421*power(2.0,-53)),
-      |(3021,9007196957649484*power(2.0,-53)),
-      |(3022,8924309001288804*power(2.0,-53)),
-      |(3023,9007189493765716*power(2.0,-53)),
-      |(3024,9007188798853252*power(2.0,-53)),
-      |(3025,9007197958391639*power(2.0,-53)),
-      |(3026,5868576586617501*power(2.0,-60)),
-      |(3027,5674445918723544*power(2.0,-58)),
-      |(3028,9006863910926077*power(2.0,-53)),
-      |(3029,8998753495371450*power(2.0,-53)),
-      |(3030,8041019520858005*power(2.0,-54)),
-      |(3031,9007196992115884*power(2.0,-53)),
-      |(3032,6936854787155581*power(2.0,-58)),
-      |(3033,9006889933376502*power(2.0,-53)),
-      |(3034,8998734053509946*power(2.0,-53)),
-      |(3035,9001690796301355*power(2.0,-53)),
-      |(3036,9007000793518380*power(2.0,-53)),
-      |(3037,8410774664117735*power(2.0,-53)),
-      |(3038,5863908637130039*power(2.0,-58)),
-      |(3039,9007153619669412*power(2.0,-53)),
-      |(3040,6696555502085985*power(2.0,-55)),
-      |(3041,9007199014530168*power(2.0,-53)),
-      |(3042,9005908165781879*power(2.0,-53)),
-      |(3043,8955141020894852*power(2.0,-53)),
-      |(3044,8996278270735574*power(2.0,-53)),
-      |(3045,5143254438455348*power(2.0,-58)),
-      |(3046,8755883246356767*power(2.0,-53)),
-      |(3047,7609196048051367*power(2.0,-54)),
-      |(3048,5275946874198278*power(2.0,-72)),
-      |(3049,8969540644901181*power(2.0,-53)),
-      |(3050,9006645344513020*power(2.0,-53)),
-      |(3051,9005834484494401*power(2.0,-53)),
-      |(3052,8406990081768875*power(2.0,-53)),
-      |(3053,9007196329406516*power(2.0,-53)),
-      |(3054,9007199254740764*power(2.0,-53)),
-      |(3055,9007127046522912*power(2.0,-53)),
-      |(3056,9007130407383829*power(2.0,-53)),
-      |(3057,4832482107639349*power(2.0,-59)),
-      |(3058,9006919827563948*power(2.0,-53)),
-      |(3059,8961446372972224*power(2.0,-53)),
-      |(3060,7276875502716580*power(2.0,-59)),
-      |(3061,8789385150984271*power(2.0,-53)),
-      |(3062,9007199226669880*power(2.0,-53)),
-      |(3063,5253913305862463*power(2.0,-74)),
-      |(3064,9007150056235080*power(2.0,-53)),
-      |(3065,5436805417731581*power(2.0,-58)),
-      |(3066,8994409888326211*power(2.0,-53)),
-      |(3067,9006871602509854*power(2.0,-53)),
-      |(3068,8567580392971906*power(2.0,-53)),
-      |(3069,9007194615242500*power(2.0,-53)),
-      |(3070,9003717119911464*power(2.0,-53)),
-      |(3071,8991722790229339*power(2.0,-53)),
-      |(3072,8214753141488194*power(2.0,-58)),
-      |(3073,5569374377282284*power(2.0,-62)),
-      |(3074,8509857794405752*power(2.0,-59)),
-      |(3075,9006910657269703*power(2.0,-53)),
-      |(3076,8990327292983289*power(2.0,-53)),
-      |(3077,9007197792566393*power(2.0,-53)),
-      |(3078,8892666238846862*power(2.0,-53)),
-      |(3079,5096037049921378*power(2.0,-61)),
-      |(3080,9005884568688287*power(2.0,-53)),
-      |(3081,8992201618276180*power(2.0,-53)),
-      |(3082,8966887952780173*power(2.0,-53)),
-      |(3083,8992434720920943*power(2.0,-53)),
-      |(3084,9006645344513020*power(2.0,-53)),
-      |(3085,9007137494984504*power(2.0,-53)),
-      |(3086,9007167555423705*power(2.0,-53)),
-      |(3087,9006678718790444*power(2.0,-53)),
-      |(3088,9006924883333301*power(2.0,-53)),
-      |(3089,8994040509920893*power(2.0,-53)),
-      |(3090,9006886091398030*power(2.0,-53)),
-      |(3091,9003405173815478*power(2.0,-53)),
-      |(3092,9001334104365148*power(2.0,-53)),
-      |(3093,8777627906452306*power(2.0,-53)),
-      |(3094,8992933411634559*power(2.0,-53)),
-      |(3095,8990710330766922*power(2.0,-53)),
-      |(3096,9007199151091699*power(2.0,-53)),
-      |(3097,8672380480154193*power(2.0,-63)),
-      |(3098,9005748111148477*power(2.0,-53)),
-      |(3099,6994389324408659*power(2.0,-53)),
-      |(3100,9005921499032583*power(2.0,-53)),
-      |(3101,6901483039960699*power(2.0,-54)),
-      |(3102,8986018844773025*power(2.0,-53)),
-      |(3103,4564824253575758*power(2.0,-53)),
-      |(3104,5410469524214141*power(2.0,-76)),
-      |(3105,8965097560081861*power(2.0,-53)),
-      |(3106,8927021019168984*power(2.0,-53)),
-      |(3107,9007197210778518*power(2.0,-53)),
-      |(3108,4753674177164764*power(2.0,-53)),
-      |(3109,8952807192474535*power(2.0,-53)),
-      |(3110,9005975291313611*power(2.0,-53)),
-      |(3111,9006167961564229*power(2.0,-53)),
-      |(3112,9007176259183156*power(2.0,-53)),
-      |(3113,8993147479054749*power(2.0,-53)),
-      |(3114,9007197747182118*power(2.0,-53)),
-      |(3115,5402163808747011*power(2.0,-53)),
-      |(3116,5702149816534449*power(2.0,-57)),
-      |(3117,9006929572207116*power(2.0,-53)),
-      |(3118,9007124855289770*power(2.0,-53)),
-      |(3119,4896596615249735*power(2.0,-53)),
-      |(3120,9006934285730309*power(2.0,-53)),
-      |(3121,8996390303758887*power(2.0,-53)),
-      |(3122,6922757060000962*power(2.0,-62)),
-      |(3123,8648354640801563*power(2.0,-53)),
-      |(3124,9007193503659974*power(2.0,-53)),
-      |(3125,9005727670295923*power(2.0,-53)),
-      |(3126,8999025569379557*power(2.0,-53)),
-      |(3127,9005582664588191*power(2.0,-53)),
-      |(3128,6151884612061566*power(2.0,-53)),
-      |(3129,8867400063802863*power(2.0,-53)),
-      |(3130,9007122031869451*power(2.0,-53)),
-      |(3131,8867831749946030*power(2.0,-53)),
-      |(3132,9006909781993324*power(2.0,-53)),
-      |(3133,5923734144835204*power(2.0,-55)),
-      |(3134,9007195404642792*power(2.0,-53)),
-      |(3135,8990743489113464*power(2.0,-53)),
-      |(3136,6235527339321483*power(2.0,-53)),
-      |(3137,8999997914709980*power(2.0,-53)),
-      |(3138,5422290809612556*power(2.0,-78)),
-      |(3139,7705988037342696*power(2.0,-62)),
-      |(3140,9007187010586346*power(2.0,-53)),
-      |(3141,8880231332996346*power(2.0,-53)),
-      |(3142,5960245181019101*power(2.0,-54)),
-      |(3143,8993057731431054*power(2.0,-53)),
-      |(3144,8993604923203181*power(2.0,-53)),
-      |(3145,9001354740557288*power(2.0,-53)),
-      |(3146,9006964543319467*power(2.0,-53)),
-      |(3147,8991738041326822*power(2.0,-53)),
-      |(3148,5965223524078400*power(2.0,-53)),
-      |(3149,9006005424679487*power(2.0,-53)),
-      |(3150,5670170646420026*power(2.0,-53)),
-      |(3151,9006085039738467*power(2.0,-53)),
-      |(3152,9007198181302146*power(2.0,-53)),
-      |(3153,8994641386742366*power(2.0,-53)),
-      |(3154,8603756779092735*power(2.0,-54)),
-      |(3155,9007121008606335*power(2.0,-53)),
-      |(3156,8736763290590109*power(2.0,-53)),
-      |(3157,9007197952097600*power(2.0,-53)),
-      |(3158,9007181871498266*power(2.0,-53)),
-      |(3159,5590998007532396*power(2.0,-76)),
-      |(3160,4728988283986114*power(2.0,-61)),
-      |(3161,9005740651641670*power(2.0,-53)),
-      |(3162,5694823222028796*power(2.0,-53)),
-      |(3163,9007141678929492*power(2.0,-53)),
-      |(3164,5305074852786737*power(2.0,-60)),
-      |(3165,8925154059564698*power(2.0,-53)),
-      |(3166,7225982711128061*power(2.0,-54)),
-      |(3167,8837622858444948*power(2.0,-53)),
-      |(3168,9007182999776955*power(2.0,-53)),
-      |(3169,9007195137319134*power(2.0,-53)),
-      |(3170,9005520551681872*power(2.0,-53)),
-      |(3171,9007184504971516*power(2.0,-53)),
-      |(3172,6870790016221302*power(2.0,-54)),
-      |(3173,8868457182946077*power(2.0,-53)),
-      |(3174,8993569086169984*power(2.0,-53)),
-      |(3175,8953931906699884*power(2.0,-53)),
-      |(3176,8991734946774704*power(2.0,-53)),
-      |(3177,8542211421840437*power(2.0,-54)),
-      |(3178,6972886736035036*power(2.0,-53)),
-      |(3179,9006925656833767*power(2.0,-53)),
-      |(3180,8918123519263411*power(2.0,-57)),
-      |(3181,5920895917031650*power(2.0,-67)),
-      |(3182,8999110064004371*power(2.0,-53)),
-      |(3183,9007196066180137*power(2.0,-53)),
-      |(3184,6185727863480126*power(2.0,-72)),
-      |(3185,7627262197598454*power(2.0,-53)),
-      |(3186,6791660241002584*power(2.0,-67)),
-      |(3187,4551889016812722*power(2.0,-54)),
-      |(3188,8820991626980494*power(2.0,-53)),
-      |(3189,6444559333429570*power(2.0,-53)),
-      |(3190,9003298584824965*power(2.0,-53)),
-      |(3191,4955080671273378*power(2.0,-53)),
-      |(3192,8889436562571507*power(2.0,-53)),
-      |(3193,5001483670564562*power(2.0,-57)),
-      |(3194,4825385469981355*power(2.0,-61)),
-      |(3195,6193506075508263*power(2.0,-53)),
-      |(3196,6124749107775065*power(2.0,-59)),
-      |(3197,9006865663307154*power(2.0,-53)),
-      |(3198,5020249932903472*power(2.0,-53)),
-      |(3199,9007169052834586*power(2.0,-53)),
-      |(3200,8993996914015037*power(2.0,-53)),
-      |(3201,8840117640894430*power(2.0,-53)),
-      |(3202,9007194125928882*power(2.0,-53)),
-      |(3203,6461116181936188*power(2.0,-53)),
-      |(3204,6094501494848815*power(2.0,-55)),
-      |(3205,9003449278002715*power(2.0,-53)),
-      |(3206,8499611401242132*power(2.0,-53)),
-      |(3207,9007180684872045*power(2.0,-53)),
-      |(3208,9006910792164967*power(2.0,-53)),
-      |(3209,9006915459572946*power(2.0,-53)),
-      |(3210,4862522165393925*power(2.0,-53)),
-      |(3211,6921644907212136*power(2.0,-59)),
-      |(3212,8805902745509533*power(2.0,-53)),
-      |(3213,8999001644944988*power(2.0,-53)),
-      |(3214,8991274363177968*power(2.0,-53)),
-      |(3215,9005896159116798*power(2.0,-53)),
-      |(3216,8501801689629185*power(2.0,-54)),
-      |(3217,9007013050906508*power(2.0,-53)),
-      |(3218,6265908165145141*power(2.0,-54)),
-      |(3219,9007195913036076*power(2.0,-53)),
-      |(3220,9007129334721789*power(2.0,-53)),
-      |(3221,8489956044999908*power(2.0,-53)),
-      |(3222,9007002618072656*power(2.0,-53)),
-      |(3223,8880085707945647*power(2.0,-53)),
-      |(3224,4908447812032179*power(2.0,-60)),
-      |(3225,4606674656813616*power(2.0,-68)),
-      |(3226,9005597748448909*power(2.0,-53)),
-      |(3227,9007180627580542*power(2.0,-53)),
-      |(3228,8990635701105833*power(2.0,-53)),
-      |(3229,9007131446913651*power(2.0,-53)),
-      |(3230,7259320865758704*power(2.0,-53)),
-      |(3231,9005980794866891*power(2.0,-53)),
-      |(3232,6839491707964842*power(2.0,-67)),
-      |(3233,8403752206733180*power(2.0,-73)),
-      |(3234,8891556856815089*power(2.0,-53)),
-      |(3235,9005739538000618*power(2.0,-53)),
-      |(3236,9006937437382449*power(2.0,-53)),
-      |(3237,8634394929509503*power(2.0,-58)),
-      |(3238,8993917664286983*power(2.0,-53)),
-      |(3239,9007014557913018*power(2.0,-53)),
-      |(3240,8128769530943987*power(2.0,-67)),
-      |(3241,9006868466293255*power(2.0,-53)),
-      |(3242,9006928229533159*power(2.0,-53)),
-      |(3243,9005756406058953*power(2.0,-53)),
-      |(3244,4941149606096752*power(2.0,-77)),
-      |(3245,9005970156281225*power(2.0,-53)),
-      |(3246,9007198735987966*power(2.0,-53)),
-      |(3247,9005541203439200*power(2.0,-53)),
-      |(3248,9005971091551741*power(2.0,-53)),
-      |(3249,5541752071172034*power(2.0,-64)),
-      |(3250,9005543985183580*power(2.0,-53)),
-      |(3251,8963045210087796*power(2.0,-53)),
-      |(3252,8999858302581989*power(2.0,-53)),
-      |(3253,6947230304715575*power(2.0,-54)),
-      |(3254,8819151657400216*power(2.0,-80)),
-      |(3255,9006906773018677*power(2.0,-53)),
-      |(3256,9004175155506462*power(2.0,-53)),
-      |(3257,5780170753548510*power(2.0,-53)),
-      |(3258,8976701887555797*power(2.0,-53)),
-      |(3259,9007182503662829*power(2.0,-53)),
-      |(3260,6367500593745275*power(2.0,-53)),
-      |(3261,9007033131831557*power(2.0,-53)),
-      |(3262,8999187607091084*power(2.0,-53)),
-      |(3263,9007177605850549*power(2.0,-53)),
-      |(3264,8993113481540345*power(2.0,-53)),
-      |(3265,9005281983069974*power(2.0,-53)),
-      |(3266,9006490229465045*power(2.0,-53)),
-      |(3267,7814661207366627*power(2.0,-58)),
-      |(3268,6938768990694731*power(2.0,-53)),
-      |(3269,8994539881564232*power(2.0,-53)),
-      |(3270,9001115117603698*power(2.0,-53)),
-      |(3271,5130000400947050*power(2.0,-74)),
-      |(3272,9006092198566919*power(2.0,-53)),
-      |(3273,5828287946062747*power(2.0,-72)),
-      |(3274,8722635607030164*power(2.0,-53)),
-      |(3275,8921076847745811*power(2.0,-53)),
-      |(3276,9005791241054171*power(2.0,-53)),
-      |(3277,9007180246902202*power(2.0,-53)),
-      |(3278,8998968480405918*power(2.0,-53)),
-      |(3279,9005117138520346*power(2.0,-53)),
-      |(3280,5420116845741284*power(2.0,-61)),
-      |(3281,9006906310336877*power(2.0,-53)),
-      |(3282,7327079315624342*power(2.0,-53)),
-      |(3283,8994856236067396*power(2.0,-53)),
-      |(3284,9007197899320724*power(2.0,-53)),
-      |(3285,9002075345908099*power(2.0,-53)),
-      |(3286,5022521814942143*power(2.0,-71)),
-      |(3287,8901086552470418*power(2.0,-53)),
-      |(3288,9007196565851033*power(2.0,-53)),
-      |(3289,9007194485258740*power(2.0,-53)),
-      |(3290,9006284977176660*power(2.0,-53)),
-      |(3291,9000147985612733*power(2.0,-53)),
-      |(3292,9005432859110915*power(2.0,-53)),
-      |(3293,9005667306911750*power(2.0,-53)),
-      |(3294,9007196743744804*power(2.0,-53)),
-      |(3295,8900770552391212*power(2.0,-53)),
-      |(3296,9007132354382478*power(2.0,-53)),
-      |(3297,9006941251393216*power(2.0,-53)),
-      |(3298,6974805057566950*power(2.0,-58)),
-      |(3299,9000253540502838*power(2.0,-53)),
-      |(3300,9007125552978013*power(2.0,-53)),
-      |(3301,8994307122219889*power(2.0,-53)),
-      |(3302,6011331446449706*power(2.0,-63)),
-      |(3303,8710323318115094*power(2.0,-53)),
-      |(3304,8952279552137985*power(2.0,-53)),
-      |(3305,9000970479924379*power(2.0,-53)),
-      |(3306,8993751791767213*power(2.0,-53)),
-      |(3307,9005621525082598*power(2.0,-53)),
-      |(3308,8882253523440915*power(2.0,-53)),
-      |(3309,8868888467076587*power(2.0,-53)),
-      |(3310,5322075788624382*power(2.0,-60)),
-      |(3311,9007130575237382*power(2.0,-53)),
-      |(3312,9005875371102189*power(2.0,-53)),
-      |(3313,8855381749298135*power(2.0,-53)),
-      |(3314,4963383635561313*power(2.0,-53)),
-      |(3315,5921664706962484*power(2.0,-53)),
-      |(3316,8852030483188167*power(2.0,-53)),
-      |(3317,6888131362142728*power(2.0,-75)),
-      |(3318,9007176768332759*power(2.0,-53)),
-      |(3319,8991845893996650*power(2.0,-53)),
-      |(3320,8885414715733533*power(2.0,-53)),
-      |(3321,8182495135169087*power(2.0,-57)),
-      |(3322,5341012907767063*power(2.0,-73)),
-      |(3323,5329609620947179*power(2.0,-72)),
-      |(3324,9007183901584532*power(2.0,-53)),
-      |(3325,6205919410601929*power(2.0,-53)),
-      |(3326,8972446980175085*power(2.0,-53)),
-      |(3327,9007193897933132*power(2.0,-53)),
-      |(3328,9007188824761538*power(2.0,-53)),
-      |(3329,8882170694752759*power(2.0,-53)),
-      |(3330,8740146485861627*power(2.0,-53)),
-      |(3331,8990783450269996*power(2.0,-53)),
-      |(3332,8772195394704895*power(2.0,-53)),
-      |(3333,8791528865244661*power(2.0,-53)),
-      |(3334,8852630140801904*power(2.0,-53)),
-      |(3335,8945749150564563*power(2.0,-53)),
-      |(3336,8868059950719332*power(2.0,-53)),
-      |(3337,9007198642773784*power(2.0,-53)),
-      |(3338,8090287980181198*power(2.0,-53)),
-      |(3339,9005320363973628*power(2.0,-53)),
-      |(3340,9007080111824692*power(2.0,-53)),
-      |(3341,9007195231810147*power(2.0,-53)),
-      |(3342,6580080359384792*power(2.0,-57)),
-      |(3343,7641417435728954*power(2.0,-63)),
-      |(3344,6162687740768388*power(2.0,-54)),
-      |(3345,9006599031138602*power(2.0,-53)),
-      |(3346,4910253561263961*power(2.0,-60)),
-      |(3347,8029321069388871*power(2.0,-53)),
-      |(3348,9007194151733069*power(2.0,-53)),
-      |(3349,8529246660190788*power(2.0,-53)),
-      |(3350,8835163762152701*power(2.0,-53)),
-      |(3351,5999575892699003*power(2.0,-53)),
-      |(3352,9006160836868753*power(2.0,-53)),
-      |(3353,8997936477710623*power(2.0,-53)),
-      |(3354,9007199166154259*power(2.0,-53)),
-      |(3355,4606806524255735*power(2.0,-53)),
-      |(3356,5619189190842735*power(2.0,-61)),
-      |(3357,9007128495420882*power(2.0,-53)),
-      |(3358,9006888536053672*power(2.0,-53)),
-      |(3359,4949072980352466*power(2.0,-61)),
-      |(3360,8901809545831765*power(2.0,-73)),
-      |(3361,4950742640639722*power(2.0,-59)),
-      |(3362,4904602638410866*power(2.0,-64)),
-      |(3363,5266080089541165*power(2.0,-60)),
-      |(3364,8996533223824896*power(2.0,-53)),
-      |(3365,9001691126424088*power(2.0,-53)),
-      |(3366,9006894163181913*power(2.0,-53)),
-      |(3367,9006900924403998*power(2.0,-53)),
-      |(3368,9007142853968741*power(2.0,-53)),
-      |(3369,9007161081538300*power(2.0,-53)),
-      |(3370,9007192573493788*power(2.0,-53)),
-      |(3371,8996304498972096*power(2.0,-53)),
-      |(3372,9007179132596409*power(2.0,-53)),
-      |(3373,9007133451180492*power(2.0,-53)),
-      |(3374,9006743350459561*power(2.0,-53)),
-      |(3375,8996255436833927*power(2.0,-53)),
-      |(3376,5734967412974379*power(2.0,-53)),
-      |(3377,6757868218343223*power(2.0,-77)),
-      |(3378,8886227072728486*power(2.0,-53)),
-      |(3379,8785240819789581*power(2.0,-53)),
-      |(3380,8745213437552417*power(2.0,-53)),
-      |(3381,9005657753649426*power(2.0,-53)),
-      |(3382,6099001329936418*power(2.0,-62)),
-      |(3383,9006866638879255*power(2.0,-53)),
-      |(3384,9005063656076144*power(2.0,-53)),
-      |(3385,8802878828023680*power(2.0,-53)),
-      |(3386,9005893718189074*power(2.0,-53)),
-      |(3387,5679747676732545*power(2.0,-53)),
-      |(3388,9007196682829026*power(2.0,-53)),
-      |(3389,6299670256342331*power(2.0,-53)),
-      |(3390,5739028112895859*power(2.0,-59)),
-      |(3391,8707861265529270*power(2.0,-53)),
-      |(3392,9000897203684600*power(2.0,-53)),
-      |(3393,9005509436945527*power(2.0,-53)),
-      |(3394,8931071877708088*power(2.0,-54)),
-      |(3395,7773164641868987*power(2.0,-54)),
-      |(3396,8966571859775435*power(2.0,-53)),
-      |(3397,9007195223320164*power(2.0,-53)),
-      |(3398,9007137233075901*power(2.0,-53)),
-      |(3399,6992486115064870*power(2.0,-54)),
-      |(3400,8868524404641336*power(2.0,-53)),
-      |(3401,5004533468703994*power(2.0,-61)),
-      |(3402,5439066623472685*power(2.0,-60)),
-      |(3403,9005067172510398*power(2.0,-53)),
-      |(3404,9006921388232500*power(2.0,-53)),
-      |(3405,8779062283330079*power(2.0,-53)),
-      |(3406,6856080477235156*power(2.0,-68)),
-      |(3407,8995236439072914*power(2.0,-53)),
-      |(3408,9007141817917508*power(2.0,-53)),
-      |(3409,8704995694061496*power(2.0,-53)),
-      |(3410,4656220990494512*power(2.0,-55)),
-      |(3411,7956296216515691*power(2.0,-73)),
-      |(3412,9006812826174441*power(2.0,-53)),
-      |(3413,9007038809552224*power(2.0,-53)),
-      |(3414,8861207839378057*power(2.0,-53)),
-      |(3415,8993165982576971*power(2.0,-53)),
-      |(3416,8996908927809139*power(2.0,-53)),
-      |(3417,8992324518576749*power(2.0,-53)),
-      |(3418,8966121152627789*power(2.0,-53)),
-      |(3419,9007180236584758*power(2.0,-53)),
-      |(3420,8257074139277034*power(2.0,-54)),
-      |(3421,5535838622604329*power(2.0,-53)),
-      |(3422,9007194136168483*power(2.0,-53)),
-      |(3423,7337881506688111*power(2.0,-77)),
-      |(3424,8808805307628526*power(2.0,-53)),
-      |(3425,5830626895864485*power(2.0,-61)),
-      |(3426,6656767937117248*power(2.0,-58)),
-      |(3427,8911102845437029*power(2.0,-53)),
-      |(3428,8969737998210479*power(2.0,-53)),
-      |(3429,9005729834228255*power(2.0,-53)),
-      |(3430,8819662190114243*power(2.0,-53)),
-      |(3431,8701856328046143*power(2.0,-53)),
-      |(3432,9007128548088787*power(2.0,-53)),
-      |(3433,8995399126026197*power(2.0,-53)),
-      |(3434,5343397967419791*power(2.0,-60)),
-      |(3435,9006300539952934*power(2.0,-53)),
-      |(3436,8274328118661450*power(2.0,-77)),
-      |(3437,8957766549770171*power(2.0,-53)),
-      |(3438,9005620787914575*power(2.0,-53)),
-      |(3439,7529378766359079*power(2.0,-61)),
-      |(3440,8921418333184468*power(2.0,-53)),
-      |(3441,9006917765417633*power(2.0,-53)),
-      |(3442,9007198065808405*power(2.0,-53)),
-      |(3443,8470681131361653*power(2.0,-60)),
-      |(3444,7968242148352554*power(2.0,-62)),
-      |(3445,4931190865967216*power(2.0,-64)),
-      |(3446,9006051600292452*power(2.0,-53)),
-      |(3447,9007121913187982*power(2.0,-53)),
-      |(3448,8748108053539460*power(2.0,-53)),
-      |(3449,4624397730159985*power(2.0,-54)),
-      |(3450,9007179867128577*power(2.0,-53)),
-      |(3451,9003586201479874*power(2.0,-53)),
-      |(3452,9006933975870803*power(2.0,-53)),
-      |(3453,6332861826416948*power(2.0,-53)),
-      |(3454,8439309949776779*power(2.0,-62)),
-      |(3455,8787302299376485*power(2.0,-53)),
-      |(3456,8997346679858160*power(2.0,-53)),
-      |(3457,8989906511537159*power(2.0,-53)),
-      |(3458,8895634909784765*power(2.0,-53)),
-      |(3459,8908435322745698*power(2.0,-53)),
-      |(3460,8756459802660686*power(2.0,-53)),
-      |(3461,8873542857128437*power(2.0,-53)),
-      |(3462,9005057313825870*power(2.0,-53)),
-      |(3463,7984476070568002*power(2.0,-61)),
-      |(3464,9007179465427226*power(2.0,-53)),
-      |(3465,9007179457278500*power(2.0,-53)),
-      |(3466,9007192322172080*power(2.0,-53)),
-      |(3467,5370314907369821*power(2.0,-53)),
-      |(3468,9001236400362220*power(2.0,-53)),
-      |(3469,8999403262391969*power(2.0,-53)),
-      |(3470,9001456656765895*power(2.0,-53)),
-      |(3471,5420554297826773*power(2.0,-53)),
-      |(3472,9000996933699181*power(2.0,-53)),
-      |(3473,9007195055367340*power(2.0,-53)),
-      |(3474,9007142928484731*power(2.0,-53)),
-      |(3475,4531601591471794*power(2.0,-61)),
-      |(3476,8877921322430522*power(2.0,-53)),
-      |(3477,8943700370384002*power(2.0,-53)),
-      |(3478,5354336793526044*power(2.0,-53)),
-      |(3479,9006917696632437*power(2.0,-53)),
-      |(3480,9002168880626949*power(2.0,-53)),
-      |(3481,8687552382908841*power(2.0,-53)),
-      |(3482,9006980711391405*power(2.0,-53)),
-      |(3483,5136181327438250*power(2.0,-72)),
-      |(3484,8024625572543887*power(2.0,-54)),
-      |(3485,9007198679567105*power(2.0,-53)),
-      |(3486,8097486462985671*power(2.0,-75)),
-      |(3487,7958681537735195*power(2.0,-54)),
-      |(3488,8884417248913104*power(2.0,-53)),
-      |(3489,9007125778945510*power(2.0,-53)),
-      |(3490,9005687451383673*power(2.0,-53)),
-      |(3491,7294045371370189*power(2.0,-54)),
-      |(3492,4723462370901467*power(2.0,-53)),
-      |(3493,9005621189067836*power(2.0,-53)),
-      |(3494,8767457567137016*power(2.0,-53)),
-      |(3495,8886453388980086*power(2.0,-53)),
-      |(3496,4518671251861534*power(2.0,-79)),
-      |(3497,9007194738159765*power(2.0,-53)),
-      |(3498,8736457446630276*power(2.0,-53)),
-      |(3499,4912383575787612*power(2.0,-56)),
-      |(3500,6335723946094142*power(2.0,-69)),
-      |(3501,9007199190146966*power(2.0,-53)),
-      |(3502,9007173648365654*power(2.0,-53)),
-      |(3503,9007199200870932*power(2.0,-53)),
-      |(3504,8420855814744092*power(2.0,-70)),
-      |(3505,7117709724472397*power(2.0,-60)),
-      |(3506,8969294010142056*power(2.0,-53)),
-      |(3507,6880005610982319*power(2.0,-74)),
-      |(3508,9006896007588375*power(2.0,-53)),
-      |(3509,9006910361647160*power(2.0,-53)),
-      |(3510,8997800301573996*power(2.0,-53)),
-      |(3511,9007129015373228*power(2.0,-53)),
-      |(3512,9006414951824608*power(2.0,-53)),
-      |(3513,9007197179779424*power(2.0,-53)),
-      |(3514,9007181172120846*power(2.0,-53)),
-      |(3515,8996859175166799*power(2.0,-53)),
-      |(3516,4844605456505205*power(2.0,-53)),
-      |(3517,7366162156991501*power(2.0,-53)),
-      |(3518,8862535612147490*power(2.0,-53)),
-      |(3519,8085135044666117*power(2.0,-54)),
-      |(3520,5030173351959694*power(2.0,-78)),
-      |(3521,9007184837267858*power(2.0,-53)),
-      |(3522,8948855884757824*power(2.0,-53)),
-      |(3523,9005868062187036*power(2.0,-53)),
-      |(3524,9006097808121422*power(2.0,-53)),
-      |(3525,5626153578851882*power(2.0,-53)),
-      |(3526,9005741990933827*power(2.0,-53)),
-      |(3527,8994826678287589*power(2.0,-53)),
-      |(3528,8970041397167482*power(2.0,-53)),
-      |(3529,8984939689140786*power(2.0,-53)),
-      |(3530,6670990326660752*power(2.0,-55)),
-      |(3531,9007183053787444*power(2.0,-53)),
-      |(3532,8991054022361154*power(2.0,-53)),
-      |(3533,4731790816737172*power(2.0,-62)),""".stripMargin,
-    """(3534,7307930092329424*power(2.0,-61)),
-      |(3535,9007186144541830*power(2.0,-53)),
-      |(3536,9001805105074129*power(2.0,-53)),
-      |(3537,8644905506627606*power(2.0,-54)),
-      |(3538,9007198792689338*power(2.0,-53)),
-      |(3539,8791632624476641*power(2.0,-53)),
-      |(3540,9007193153910440*power(2.0,-53)),
-      |(3541,9007199174390951*power(2.0,-53)),
-      |(3542,7398386107808294*power(2.0,-62)),
-      |(3543,9004133060299903*power(2.0,-53)),
-      |(3544,9007122560654769*power(2.0,-53)),
-      |(3545,9007131462391254*power(2.0,-53)),
-      |(3546,9006968223512563*power(2.0,-53)),
-      |(3547,9001358104685265*power(2.0,-53)),
-      |(3548,9005459098749887*power(2.0,-53)),
-      |(3549,8994120522165389*power(2.0,-53)),
-      |(3550,7547303550974863*power(2.0,-68)),
-      |(3551,8957508282078627*power(2.0,-53)),
-      |(3552,9007198141185204*power(2.0,-53)),
-      |(3553,8160321981289567*power(2.0,-66)),
-      |(3554,8990341105548065*power(2.0,-53)),
-      |(3555,6147624075152308*power(2.0,-64)),
-      |(3556,9007129166732388*power(2.0,-53)),
-      |(3557,9005570167495937*power(2.0,-53)),
-      |(3558,8996357748043738*power(2.0,-53)),
-      |(3559,7379312920819927*power(2.0,-62)),
-      |(3560,9007187919519745*power(2.0,-53)),
-      |(3561,7481522934676792*power(2.0,-71)),
-      |(3562,8997121807943241*power(2.0,-53)),
-      |(3563,9006275974454450*power(2.0,-53)),
-      |(3564,6992486115064870*power(2.0,-54)),
-      |(3565,9007195982877627*power(2.0,-53)),
-      |(3566,8991136096568068*power(2.0,-53)),
-      |(3567,9007199221124170*power(2.0,-53)),
-      |(3568,9007169919033730*power(2.0,-53)),
-      |(3569,9007181837389798*power(2.0,-53)),
-      |(3570,8928590469574481*power(2.0,-53)),
-      |(3571,4793771134886152*power(2.0,-57)),
-      |(3572,9003648930943492*power(2.0,-53)),
-      |(3573,9006943971087578*power(2.0,-53)),
-      |(3574,9007163202055847*power(2.0,-53)),
-      |(3575,5036241456052871*power(2.0,-62)),
-      |(3576,8830233516710274*power(2.0,-53)),
-      |(3577,8844472832961649*power(2.0,-53)),
-      |(3578,6474507725180680*power(2.0,-62)),
-      |(3579,7948282456333943*power(2.0,-62)),
-      |(3580,7031933170166326*power(2.0,-53)),
-      |(3581,9007197996976126*power(2.0,-53)),
-      |(3582,5047458086384775*power(2.0,-53)),
-      |(3583,9005674841311007*power(2.0,-53)),
-      |(3584,9006867775978000*power(2.0,-53)),
-      |(3585,8994720888281556*power(2.0,-53)),
-      |(3586,7293124180480848*power(2.0,-54)),
-      |(3587,9007179141311558*power(2.0,-53)),
-      |(3588,4972255652686971*power(2.0,-53)),
-      |(3589,8994900520269052*power(2.0,-53)),
-      |(3590,6799417813563632*power(2.0,-53)),
-      |(3591,9005785911525864*power(2.0,-53)),
-      |(3592,7073214306963460*power(2.0,-56)),
-      |(3593,8980070816819852*power(2.0,-53)),
-      |(3594,8975379217760971*power(2.0,-53)),
-      |(3595,9000916062098120*power(2.0,-53)),
-      |(3596,8995737660800731*power(2.0,-53)),
-      |(3597,6107262584845870*power(2.0,-62)),
-      |(3598,8866972509017148*power(2.0,-53)),
-      |(3599,8960018188651394*power(2.0,-53)),
-      |(3600,5200577292709655*power(2.0,-69)),
-      |(3601,6431484045839426*power(2.0,-60)),
-      |(3602,9007198553263837*power(2.0,-53)),
-      |(3603,5967176418858634*power(2.0,-64)),
-      |(3604,8999686684936230*power(2.0,-53)),
-      |(3605,7487149945483495*power(2.0,-53)),
-      |(3606,6244795268582068*power(2.0,-53)),
-      |(3607,8917418763749033*power(2.0,-53)),
-      |(3608,5013912500410568*power(2.0,-75)),
-      |(3609,8968843249970858*power(2.0,-53)),
-      |(3610,8965255146079379*power(2.0,-53)),
-      |(3611,6934114331530941*power(2.0,-60)),
-      |(3612,8969222204507929*power(2.0,-53)),
-      |(3613,9006932095220788*power(2.0,-53)),
-      |(3614,8712906691202538*power(2.0,-54)),
-      |(3615,8775264130820283*power(2.0,-53)),
-      |(3616,8995836393576156*power(2.0,-53)),
-      |(3617,6143549126222481*power(2.0,-67)),
-      |(3618,8938680623494061*power(2.0,-53)),
-      |(3619,4969636983092559*power(2.0,-53)),
-      |(3620,8993677814457405*power(2.0,-53)),
-      |(3621,7708835306474425*power(2.0,-53)),
-      |(3622,8980912227478101*power(2.0,-53)),
-      |(3623,8851853785285661*power(2.0,-53)),
-      |(3624,8321607957910414*power(2.0,-71)),
-      |(3625,8994929580897075*power(2.0,-53)),
-      |(3626,7832871997000818*power(2.0,-55)),
-      |(3627,7754627417252621*power(2.0,-72)),
-      |(3628,5497165271768663*power(2.0,-64)),
-      |(3629,4518671251861534*power(2.0,-79)),
-      |(3630,8792789519871063*power(2.0,-54)),
-      |(3631,8642769389396570*power(2.0,-58)),
-      |(3632,4879654780535821*power(2.0,-61)),
-      |(3633,8841340277465799*power(2.0,-53)),
-      |(3634,7811253593859693*power(2.0,-54)),
-      |(3635,9007053688820044*power(2.0,-53)),
-      |(3636,6078309008485827*power(2.0,-59)),
-      |(3637,9007194103060475*power(2.0,-53)),
-      |(3638,9006909501119309*power(2.0,-53)),
-      |(3639,8417179771007931*power(2.0,-67)),
-      |(3640,8963045317321518*power(2.0,-53)),
-      |(3641,8858918499083269*power(2.0,-53)),
-      |(3642,9005415031417164*power(2.0,-53)),
-      |(3643,8074564312333772*power(2.0,-53)),
-      |(3644,9006185641919479*power(2.0,-53)),
-      |(3645,6328693341805281*power(2.0,-62)),
-      |(3646,8991683692215179*power(2.0,-53)),
-      |(3647,4746194866686381*power(2.0,-61)),
-      |(3648,9001712697259568*power(2.0,-53)),
-      |(3649,9002775395214558*power(2.0,-53)),
-      |(3650,8554244837220086*power(2.0,-53)),
-      |(3651,6461456220434560*power(2.0,-64)),
-      |(3652,9006994458982398*power(2.0,-53)),
-      |(3653,9006913770752107*power(2.0,-53)),
-      |(3654,6027695703079785*power(2.0,-64)),
-      |(3655,9005875991197589*power(2.0,-53)),
-      |(3656,8918013046626211*power(2.0,-53)),
-      |(3657,5474211809145386*power(2.0,-53)),
-      |(3658,8127052206717162*power(2.0,-53)),
-      |(3659,8797588344488343*power(2.0,-53)),
-      |(3660,5436514883590457*power(2.0,-53)),
-      |(3661,7291525203131297*power(2.0,-54)),
-      |(3662,9007129647947081*power(2.0,-53)),
-      |(3663,9007188801803477*power(2.0,-53)),
-      |(3664,8933222354386255*power(2.0,-53)),
-      |(3665,8814346480514709*power(2.0,-53)),
-      |(3666,5452665980814208*power(2.0,-70)),
-      |(3667,9005531342729878*power(2.0,-53)),
-      |(3668,6252235442525677*power(2.0,-58)),
-      |(3669,9007104706164417*power(2.0,-53)),
-      |(3670,9006929430400216*power(2.0,-53)),
-      |(3671,9005603144560629*power(2.0,-53)),
-      |(3672,9007179932635454*power(2.0,-53)),
-      |(3673,8789021149226993*power(2.0,-53)),
-      |(3674,5198342110187318*power(2.0,-77)),
-      |(3675,4522671011006178*power(2.0,-71)),
-      |(3676,5726905062857071*power(2.0,-61)),
-      |(3677,8853463935311718*power(2.0,-53)),
-      |(3678,8976379398722190*power(2.0,-53)),
-      |(3679,6124371140721633*power(2.0,-70)),
-      |(3680,5674049789516082*power(2.0,-75)),
-      |(3681,5576294828919098*power(2.0,-53)),
-      |(3682,7312425449414264*power(2.0,-60)),
-      |(3683,8409517858400693*power(2.0,-76)),
-      |(3684,8926333116300628*power(2.0,-53)),
-      |(3685,7791659724570264*power(2.0,-60)),
-      |(3686,9006936230873600*power(2.0,-53)),
-      |(3687,9006846590562223*power(2.0,-53)),
-      |(3688,9006920808480507*power(2.0,-53)),
-      |(3689,6617549253172331*power(2.0,-72)),
-      |(3690,9001714457363332*power(2.0,-53)),
-      |(3691,8991536174194429*power(2.0,-62)),
-      |(3692,7753720927105929*power(2.0,-53)),
-      |(3693,8984862870429622*power(2.0,-53)),
-      |(3694,5788863145288292*power(2.0,-66)),
-      |(3695,8528219886406785*power(2.0,-58)),
-      |(3696,4632278152516742*power(2.0,-61)),
-      |(3697,5299556390877202*power(2.0,-73)),
-      |(3698,9005294184200798*power(2.0,-53)),
-      |(3699,5110931438983360*power(2.0,-59)),
-      |(3700,7039970439417303*power(2.0,-71)),
-      |(3701,9000833097135183*power(2.0,-53)),
-      |(3702,8949358949880025*power(2.0,-53)),
-      |(3703,8552614771712704*power(2.0,-79)),
-      |(3704,8609476004110494*power(2.0,-63)),
-      |(3705,8934854180577098*power(2.0,-53)),
-      |(3706,7209033033758345*power(2.0,-74)),
-      |(3707,8849868398517195*power(2.0,-53)),
-      |(3708,8918374199931512*power(2.0,-53)),
-      |(3709,9007199028328886*power(2.0,-53)),
-      |(3710,9006935733605374*power(2.0,-53)),
-      |(3711,6062813796568073*power(2.0,-72)),
-      |(3712,8990912653254261*power(2.0,-53)),
-      |(3713,8991164560817487*power(2.0,-53)),
-      |(3714,4516901200358630*power(2.0,-53)),
-      |(3715,9006289831051678*power(2.0,-53)),
-      |(3716,7020679083988009*power(2.0,-74)),
-      |(3717,8981931768469272*power(2.0,-53)),
-      |(3718,8906081327313979*power(2.0,-53)),
-      |(3719,6612997803846140*power(2.0,-72)),
-      |(3720,4694902742904809*power(2.0,-56)),
-      |(3721,5039996874115406*power(2.0,-61)),
-      |(3722,9006210663186287*power(2.0,-53)),
-      |(3723,7731071272515513*power(2.0,-54)),
-      |(3724,8918982536413143*power(2.0,-53)),
-      |(3725,9005233419521635*power(2.0,-53)),
-      |(3726,9006927061151381*power(2.0,-53)),
-      |(3727,5110577144756090*power(2.0,-55)),
-      |(3728,9005816734322239*power(2.0,-53)),
-      |(3729,9006742738791077*power(2.0,-53)),
-      |(3730,9006950986448856*power(2.0,-53)),
-      |(3731,8988549632688204*power(2.0,-53)),
-      |(3732,9005667976961769*power(2.0,-53)),
-      |(3733,9005919272443787*power(2.0,-53)),
-      |(3734,9003148682145821*power(2.0,-53)),
-      |(3735,8565194043287871*power(2.0,-58)),
-      |(3736,6896908268886915*power(2.0,-61)),
-      |(3737,9006088270471999*power(2.0,-53)),
-      |(3738,5259857239228985*power(2.0,-53)),
-      |(3739,8987338555277395*power(2.0,-53)),
-      |(3740,8962089250367894*power(2.0,-53)),
-      |(3741,8031672933765668*power(2.0,-53)),
-      |(3742,4986634702913557*power(2.0,-73)),
-      |(3743,8986650191277624*power(2.0,-53)),
-      |(3744,8921362946935297*power(2.0,-53)),
-      |(3745,9007193395954709*power(2.0,-53)),
-      |(3746,9007197365361628*power(2.0,-53)),
-      |(3747,7523477369394169*power(2.0,-59)),
-      |(3748,9002523250598850*power(2.0,-53)),
-      |(3749,8212011229842606*power(2.0,-54)),
-      |(3750,8799499546595474*power(2.0,-54)),
-      |(3751,9001450323419882*power(2.0,-53)),
-      |(3752,5344959104193110*power(2.0,-61)),
-      |(3753,8837847962056730*power(2.0,-53)),
-      |(3754,7863674694887020*power(2.0,-70)),
-      |(3755,8990154372777138*power(2.0,-53)),
-      |(3756,8994663492342164*power(2.0,-53)),
-      |(3757,5360659601403400*power(2.0,-60)),
-      |(3758,9001965722728741*power(2.0,-53)),
-      |(3759,8990895635044203*power(2.0,-53)),
-      |(3760,9007193422908282*power(2.0,-53)),
-      |(3761,7144988389663869*power(2.0,-56)),
-      |(3762,9003866540612860*power(2.0,-53)),
-      |(3763,9007195380897124*power(2.0,-53)),
-      |(3764,9002227871649848*power(2.0,-53)),
-      |(3765,8994419311620518*power(2.0,-53)),
-      |(3766,6025927790371114*power(2.0,-53)),
-      |(3767,9007147998558303*power(2.0,-53)),
-      |(3768,4730992155557000*power(2.0,-54)),
-      |(3769,4841671947420577*power(2.0,-53)),
-      |(3770,6575929653392406*power(2.0,-53)),
-      |(3771,8611478103760373*power(2.0,-62)),
-      |(3772,9006111914248826*power(2.0,-53)),
-      |(3773,7855171650254717*power(2.0,-53)),
-      |(3774,8897145899605652*power(2.0,-53)),
-      |(3775,8980732661346260*power(2.0,-53)),
-      |(3776,9006081575095573*power(2.0,-53)),
-      |(3777,8496665571350780*power(2.0,-54)),
-      |(3778,5813606434263356*power(2.0,-53)),
-      |(3779,9006889033566021*power(2.0,-53)),
-      |(3780,7777830542135211*power(2.0,-53)),
-      |(3781,9007182697815259*power(2.0,-53)),
-      |(3782,9006912150912634*power(2.0,-53)),
-      |(3783,8995088595602958*power(2.0,-53)),
-      |(3784,7796714705902749*power(2.0,-74)),
-      |(3785,5610414836020209*power(2.0,-56)),
-      |(3786,9006938463496938*power(2.0,-53)),
-      |(3787,4724355542243035*power(2.0,-53)),
-      |(3788,9005434173833339*power(2.0,-53)),
-      |(3789,8188245569742142*power(2.0,-53)),
-      |(3790,6244357657607018*power(2.0,-53)),
-      |(3791,8998637608029645*power(2.0,-53)),
-      |(3792,8904083754166730*power(2.0,-53)),
-      |(3793,9007177454539327*power(2.0,-53)),
-      |(3794,5480159988662198*power(2.0,-67)),
-      |(3795,9006845102075159*power(2.0,-53)),
-      |(3796,4768837331015663*power(2.0,-53)),
-      |(3797,8994461518815736*power(2.0,-53)),
-      |(3798,9006860533094529*power(2.0,-53)),
-      |(3799,8921039696337634*power(2.0,-53)),
-      |(3800,9007132553159153*power(2.0,-53)),
-      |(3801,9007195282809066*power(2.0,-53)),
-      |(3802,9006306027254984*power(2.0,-53)),
-      |(3803,9007194803004484*power(2.0,-53)),
-      |(3804,9007151042811447*power(2.0,-53)),
-      |(3805,9007125845843269*power(2.0,-53)),
-      |(3806,6940087166235834*power(2.0,-55)),
-      |(3807,8637655804120806*power(2.0,-53)),
-      |(3808,9006807059680187*power(2.0,-53)),
-      |(3809,9003358198590601*power(2.0,-53)),
-      |(3810,8997467114513160*power(2.0,-53)),
-      |(3811,9007000918433201*power(2.0,-53)),
-      |(3812,9005720564817439*power(2.0,-53)),
-      |(3813,8831380276446266*power(2.0,-53)),
-      |(3814,5559452317326164*power(2.0,-53)),
-      |(3815,9002811991813720*power(2.0,-53)),
-      |(3816,8795554788163320*power(2.0,-60)),
-      |(3817,4670857172614358*power(2.0,-53)),
-      |(3818,4802231645696177*power(2.0,-62)),
-      |(3819,5096939367583897*power(2.0,-56)),
-      |(3820,7915545976889666*power(2.0,-53)),
-      |(3821,8991416288909447*power(2.0,-53)),
-      |(3822,9007197251064542*power(2.0,-53)),
-      |(3823,8984583404851223*power(2.0,-53)),
-      |(3824,9006064549881890*power(2.0,-53)),
-      |(3825,9002092551463184*power(2.0,-53)),
-      |(3826,7974964085073308*power(2.0,-53)),
-      |(3827,8996738767372420*power(2.0,-53)),
-      |(3828,9006869167371091*power(2.0,-53)),
-      |(3829,8922939448537494*power(2.0,-53)),
-      |(3830,9007131182894666*power(2.0,-53)),
-      |(3831,8990852996613785*power(2.0,-53)),
-      |(3832,8552614771712704*power(2.0,-79)),
-      |(3833,4954557223938161*power(2.0,-61)),
-      |(3834,9001513026889426*power(2.0,-53)),
-      |(3835,9007170433395811*power(2.0,-53)),
-      |(3836,9000655121780577*power(2.0,-53)),
-      |(3837,9005488778149651*power(2.0,-53)),
-      |(3838,9006892069885445*power(2.0,-53)),
-      |(3839,9003167289079600*power(2.0,-53)),
-      |(3840,7316492724783801*power(2.0,-57)),
-      |(3841,7794261427925506*power(2.0,-53)),
-      |(3842,9002982651118318*power(2.0,-53)),
-      |(3843,8667225081869299*power(2.0,-61)),
-      |(3844,9006946278157311*power(2.0,-53)),
-      |(3845,7954224576960747*power(2.0,-54)),
-      |(3846,9005838593570965*power(2.0,-53)),
-      |(3847,7326350495648678*power(2.0,-53)),
-      |(3848,5360659601403400*power(2.0,-60)),
-      |(3849,4531578446204644*power(2.0,-53)),
-      |(3850,9007184042515384*power(2.0,-53)),
-      |(3851,8085911307684882*power(2.0,-54)),
-      |(3852,8743758826159385*power(2.0,-63)),
-      |(3853,9006973028822705*power(2.0,-53)),
-      |(3854,9007177225784116*power(2.0,-53)),
-      |(3855,6747040311865948*power(2.0,-53)),
-      |(3856,8777098816039760*power(2.0,-53)),
-      |(3857,9007183928523426*power(2.0,-53)),
-      |(3858,8995065134004052*power(2.0,-53)),
-      |(3859,9007196439984652*power(2.0,-53)),
-      |(3860,9007176239381359*power(2.0,-53)),
-      |(3861,9006958156040486*power(2.0,-53)),
-      |(3862,5152057979567955*power(2.0,-53)),
-      |(3863,9007179587795382*power(2.0,-53)),
-      |(3864,5169841321928671*power(2.0,-53)),
-      |(3865,6544445521249979*power(2.0,-79)),
-      |(3866,8798202350078852*power(2.0,-53)),
-      |(3867,9006910611462167*power(2.0,-53)),
-      |(3868,5504671931825017*power(2.0,-54)),
-      |(3869,9006858673993286*power(2.0,-53)),
-      |(3870,8996394200455132*power(2.0,-53)),
-      |(3871,9005812180458197*power(2.0,-53)),
-      |(3872,8981843537080144*power(2.0,-53)),
-      |(3873,7792827837384822*power(2.0,-54)),
-      |(3874,7844665642458442*power(2.0,-53)),
-      |(3875,9007181822170733*power(2.0,-53)),
-      |(3876,7655392898299578*power(2.0,-54)),
-      |(3877,9006230173995013*power(2.0,-53)),
-      |(3878,6066201764371725*power(2.0,-60)),
-      |(3879,6135950300473271*power(2.0,-53)),
-      |(3880,9007198901291960*power(2.0,-53)),
-      |(3881,9005948936458246*power(2.0,-53)),
-      |(3882,9006829572862243*power(2.0,-53)),
-      |(3883,8987398596329423*power(2.0,-53)),
-      |(3884,9005553368591826*power(2.0,-53)),
-      |(3885,9006348357403797*power(2.0,-53)),
-      |(3886,7518201643160892*power(2.0,-54)),
-      |(3887,5720626178713101*power(2.0,-56)),
-      |(3888,8994781145995267*power(2.0,-53)),
-      |(3889,6699946018930125*power(2.0,-75)),
-      |(3890,9001661103478680*power(2.0,-53)),
-      |(3891,9007098823328023*power(2.0,-53)),
-      |(3892,5161125135319333*power(2.0,-65)),
-      |(3893,9000466263856283*power(2.0,-53)),
-      |(3894,7947214785628896*power(2.0,-58)),
-      |(3895,9005256049491907*power(2.0,-53)),
-      |(3896,9005959931200040*power(2.0,-53)),
-      |(3897,8992533391982315*power(2.0,-53)),
-      |(3898,4919156625537395*power(2.0,-70)),
-      |(3899,9007177411803670*power(2.0,-53)),
-      |(3900,6613874854422091*power(2.0,-53)),
-      |(3901,9006870618413732*power(2.0,-53)),
-      |(3902,8917482999198023*power(2.0,-53)),
-      |(3903,9006890680087961*power(2.0,-53)),
-      |(3904,7603500068718280*power(2.0,-54)),
-      |(3905,5075180599506043*power(2.0,-61)),
-      |(3906,8790225495787524*power(2.0,-54)),
-      |(3907,7717149427857384*power(2.0,-72)),
-      |(3908,8925539905943770*power(2.0,-54)),
-      |(3909,5291208364122812*power(2.0,-74)),
-      |(3910,8902905999460705*power(2.0,-53)),
-      |(3911,6927756443221057*power(2.0,-62)),
-      |(3912,8885272972827606*power(2.0,-53)),
-      |(3913,4720114225377325*power(2.0,-53)),
-      |(3914,4881543337302405*power(2.0,-53)),
-      |(3915,9006893985056956*power(2.0,-53)),
-      |(3916,9007136645081471*power(2.0,-53)),
-      |(3917,7043444329888027*power(2.0,-57)),
-      |(3918,9000424169058928*power(2.0,-53)),
-      |(3919,9005800310243182*power(2.0,-53)),
-      |(3920,8973512861577779*power(2.0,-53)),
-      |(3921,8999977460712580*power(2.0,-53)),
-      |(3922,6157337293088408*power(2.0,-72)),
-      |(3923,5553247866283230*power(2.0,-68)),
-      |(3924,5694823222028796*power(2.0,-53)),
-      |(3925,6288015113486757*power(2.0,-53)),
-      |(3926,8814714612209844*power(2.0,-54)),
-      |(3927,4515428985692856*power(2.0,-72)),
-      |(3928,8995683512395113*power(2.0,-53)),
-      |(3929,8998254463608277*power(2.0,-53)),
-      |(3930,9007193354114512*power(2.0,-53)),
-      |(3931,8933533023030476*power(2.0,-53)),
-      |(3932,8996203627869923*power(2.0,-53)),
-      |(3933,8969664288268133*power(2.0,-53)),
-      |(3934,7196839847186846*power(2.0,-58)),
-      |(3935,8134522055713731*power(2.0,-74)),
-      |(3936,9006868204233838*power(2.0,-53)),
-      |(3937,8972814963428750*power(2.0,-53)),
-      |(3938,8708783572327221*power(2.0,-53)),
-      |(3939,9005648157515280*power(2.0,-53)),
-      |(3940,8969138776989991*power(2.0,-53)),
-      |(3941,8443593127658561*power(2.0,-53)),
-      |(3942,8837921166918003*power(2.0,-53)),
-      |(3943,9000484870875854*power(2.0,-53)),
-      |(3944,8841741304204297*power(2.0,-53)),
-      |(3945,9007195034830039*power(2.0,-53)),
-      |(3946,9005292818902202*power(2.0,-53)),
-      |(3947,9006356514303900*power(2.0,-53)),
-      |(3948,8994812537251162*power(2.0,-53)),
-      |(3949,4854391103898555*power(2.0,-53)),
-      |(3950,9005507632731947*power(2.0,-53)),
-      |(3951,7148254929369345*power(2.0,-54)),
-      |(3952,9003973508215080*power(2.0,-53)),
-      |(3953,9007147940492400*power(2.0,-53)),
-      |(3954,9005133970544502*power(2.0,-53)),
-      |(3955,8981393581119267*power(2.0,-53)),
-      |(3956,8810141235501376*power(2.0,-53)),
-      |(3957,8991329688828403*power(2.0,-53)),
-      |(3958,8995572594965726*power(2.0,-53)),
-      |(3959,8739127168881614*power(2.0,-53)),
-      |(3960,9003821670910230*power(2.0,-53)),
-      |(3961,9007192745198076*power(2.0,-53)),
-      |(3962,8985721931632584*power(2.0,-53)),
-      |(3963,8740146485861627*power(2.0,-53)),
-      |(3964,8586570682052336*power(2.0,-53)),
-      |(3965,8998770928149474*power(2.0,-53)),
-      |(3966,5382848452092568*power(2.0,-53)),
-      |(3967,4585808075046523*power(2.0,-53)),
-      |(3968,8982693258771945*power(2.0,-53)),
-      |(3969,6564603278215045*power(2.0,-77)),
-      |(3970,8947276162030200*power(2.0,-53)),
-      |(3971,8084095728695481*power(2.0,-54)),
-      |(3972,9006866646960820*power(2.0,-53)),
-      |(3973,9002345403396962*power(2.0,-53)),
-      |(3974,9005644934479244*power(2.0,-53)),
-      |(3975,5236228958420976*power(2.0,-60)),
-      |(3976,5484177078935729*power(2.0,-62)),
-      |(3977,8824745669803197*power(2.0,-53)),
-      |(3978,9006213959576693*power(2.0,-53)),
-      |(3979,9007198054221976*power(2.0,-53)),
-      |(3980,8931879284603716*power(2.0,-53)),
-      |(3981,9006879985223644*power(2.0,-53)),
-      |(3982,8827766426700222*power(2.0,-53)),
-      |(3983,8993256705008884*power(2.0,-53)),
-      |(3984,9007198804975530*power(2.0,-53)),
-      |(3985,8944159039586376*power(2.0,-53)),
-      |(3986,8740921357073651*power(2.0,-53)),
-      |(3987,5942951832070638*power(2.0,-62)),
-      |(3988,9000149295791049*power(2.0,-53)),
-      |(3989,5224028122847955*power(2.0,-61)),
-      |(3990,8995940995391416*power(2.0,-53)),
-      |(3991,6400358105407218*power(2.0,-70)),
-      |(3992,6041791812909158*power(2.0,-53)),
-      |(3993,9002227918701798*power(2.0,-53)),
-      |(3994,9005789229484761*power(2.0,-53)),
-      |(3995,9005360518303037*power(2.0,-53)),
-      |(3996,9007181769633605*power(2.0,-53)),
-      |(3997,5697770217592384*power(2.0,-71)),
-      |(3998,7947596901724283*power(2.0,-63)),
-      |(3999,8141761852010572*power(2.0,-60)),
-      |(4000,6942585303257701*power(2.0,-60)),
-      |(4001,9007196576873680*power(2.0,-53)),
-      |(4002,6871311374860527*power(2.0,-61)),
-      |(4003,5082282144067808*power(2.0,-54)),
-      |(4004,4860150818716107*power(2.0,-68)),
-      |(4005,8794403162895369*power(2.0,-53)),
-      |(4006,8507534999546961*power(2.0,-53)),
-      |(4007,9007182470093740*power(2.0,-53)),
-      |(4008,7997623637599940*power(2.0,-58)),
-      |(4009,6679735248809632*power(2.0,-53)),
-      |(4010,8966853957101034*power(2.0,-53)),
-      |(4011,9007186411708312*power(2.0,-53)),
-      |(4012,8909679436943012*power(2.0,-53)),
-      |(4013,8930289799031581*power(2.0,-53)),
-      |(4014,5632673383474443*power(2.0,-57)),
-      |(4015,9002591028311843*power(2.0,-53)),
-      |(4016,9007186262819621*power(2.0,-53)),
-      |(4017,9005272101394781*power(2.0,-53)),
-      |(4018,8867874030572647*power(2.0,-53)),
-      |(4019,9006883711071361*power(2.0,-53)),
-      |(4020,8828791147643477*power(2.0,-53)),
-      |(4021,8960889184847345*power(2.0,-53)),
-      |(4022,8832088495665487*power(2.0,-53)),
-      |(4023,6558620691662263*power(2.0,-61)),
-      |(4024,6257642781078535*power(2.0,-53)),
-      |(4025,8996041572277303*power(2.0,-53)),
-      |(4026,8905026947375018*power(2.0,-53)),
-      |(4027,8889663324163332*power(2.0,-53)),
-      |(4028,4963203684178332*power(2.0,-56)),
-      |(4029,8716983837318590*power(2.0,-53)),
-      |(4030,9007198115525796*power(2.0,-53)),
-      |(4031,4646810958551774*power(2.0,-53)),
-      |(4032,9003790090675990*power(2.0,-53)),
-      |(4033,8850223251375952*power(2.0,-53)),
-      |(4034,8997260405812458*power(2.0,-53)),
-      |(4035,7810227205354151*power(2.0,-53)),
-      |(4036,8996318318340899*power(2.0,-53)),
-      |(4037,9006919943843287*power(2.0,-53)),
-      |(4038,5344536454846667*power(2.0,-59)),
-      |(4039,6594779177474337*power(2.0,-73)),
-      |(4040,9006921459265396*power(2.0,-53)),
-      |(4041,5483641257481392*power(2.0,-78)),
-      |(4042,8991055319405093*power(2.0,-53)),
-      |(4043,9007198907381311*power(2.0,-53)),
-      |(4044,9007198340692795*power(2.0,-53)),
-      |(4045,6062579061473917*power(2.0,-66)),
-      |(4046,9006877921109648*power(2.0,-53)),
-      |(4047,9007181609452680*power(2.0,-53)),
-      |(4048,9001128538666441*power(2.0,-53)),
-      |(4049,9006941310456813*power(2.0,-53)),
-      |(4050,6666418543474328*power(2.0,-61)),
-      |(4051,9007132440698404*power(2.0,-53)),
-      |(4052,9005553196741858*power(2.0,-53)),
-      |(4053,4759871367409800*power(2.0,-53)),
-      |(4054,9003690818577370*power(2.0,-53)),
-      |(4055,9005914689535456*power(2.0,-53)),
-      |(4056,8910692270970448*power(2.0,-53)),
-      |(4057,6945564412932216*power(2.0,-58)),
-      |(4058,5070303485981523*power(2.0,-77)),
-      |(4059,8773864192583828*power(2.0,-53)),
-      |(4060,9007180745128771*power(2.0,-53)),
-      |(4061,9005963428796569*power(2.0,-53)),
-      |(4062,8762537693051581*power(2.0,-61)),
-      |(4063,8966355201591731*power(2.0,-53)),
-      |(4064,9006618678217504*power(2.0,-53)),
-      |(4065,9005914949352588*power(2.0,-53)),
-      |(4066,9006898068973752*power(2.0,-53)),
-      |(4067,8998123357849378*power(2.0,-53)),
-      |(4068,9006870326684157*power(2.0,-53)),
-      |(4069,8969416819926235*power(2.0,-53)),
-      |(4070,5807237658348213*power(2.0,-62)),
-      |(4071,6255934719196868*power(2.0,-62)),
-      |(4072,6582615475624655*power(2.0,-61)),
-      |(4073,9006932950443524*power(2.0,-53)),
-      |(4074,7428112744539944*power(2.0,-53)),
-      |(4075,9007193490728715*power(2.0,-53)),
-      |(4076,8886778715191825*power(2.0,-53)),
-      |(4077,9006879672400809*power(2.0,-53)),
-      |(4078,8862209433444133*power(2.0,-53)),
-      |(4079,8995118542367850*power(2.0,-53)),
-      |(4080,9007133395499178*power(2.0,-53)),
-      |(4081,8627054393799483*power(2.0,-53)),
-      |(4082,8958704660032623*power(2.0,-53)),
-      |(4083,8991195541827966*power(2.0,-53)),
-      |(4084,8993147362164679*power(2.0,-53)),
-      |(4085,8765270796209598*power(2.0,-53)),
-      |(4086,9005444684953024*power(2.0,-53)),
-      |(4087,9007192796828178*power(2.0,-53)),
-      |(4088,8872211655602783*power(2.0,-53)),
-      |(4089,6638430871593383*power(2.0,-53)),
-      |(4090,9006918490112877*power(2.0,-53)),
-      |(4091,9005864424016766*power(2.0,-53)),
-      |(4092,8977482291780620*power(2.0,-53)),
-      |(4093,9007182129006760*power(2.0,-53)),
-      |(4094,8998176173795270*power(2.0,-53)),
-      |(4095,9006917036584272*power(2.0,-53)),
-      |(4096,4949436841642545*power(2.0,-61)),
-      |(4097,8998307674291073*power(2.0,-53)),
-      |(4098,9006188860606736*power(2.0,-53)),
-      |(4099,9005515496372881*power(2.0,-53)),
-      |(4100,9002443298101906*power(2.0,-53)),
-      |(4101,9006301644824608*power(2.0,-53)),
-      |(4102,8819151657400216*power(2.0,-80)),
-      |(4103,8990844546420297*power(2.0,-53)),
-      |(4104,8995903406288793*power(2.0,-53)),
-      |(4105,6322967435293326*power(2.0,-59)),
-      |(4106,8994675905242452*power(2.0,-53)),
-      |(4107,4839035228458923*power(2.0,-56)),
-      |(4108,8999234985587011*power(2.0,-53)),
-      |(4109,5545945688720527*power(2.0,-61)),
-      |(4110,5748285174063575*power(2.0,-69)),
-      |(4111,9006946165577014*power(2.0,-53)),
-      |(4112,9005622597305005*power(2.0,-53)),
-      |(4113,9007196717080011*power(2.0,-53)),
-      |(4114,6719537751698563*power(2.0,-61)),
-      |(4115,8790488045545512*power(2.0,-53)),
-      |(4116,5192449515700734*power(2.0,-61)),
-      |(4117,9005350470873776*power(2.0,-53)),
-      |(4118,5259169089450319*power(2.0,-53)),
-      |(4119,7671217996710276*power(2.0,-61)),
-      |(4120,8998592339753070*power(2.0,-53)),
-      |(4121,9007186653482503*power(2.0,-53)),
-      |(4122,8836405421906168*power(2.0,-53)),
-      |(4123,8878993636836117*power(2.0,-53)),
-      |(4124,8004315737835791*power(2.0,-53)),
-      |(4125,8771628051448282*power(2.0,-53)),
-      |(4126,9007198257992788*power(2.0,-53)),
-      |(4127,9007198863224151*power(2.0,-53)),
-      |(4128,8966285912356922*power(2.0,-53)),
-      |(4129,8991893576857427*power(2.0,-53)),
-      |(4130,5054722461292069*power(2.0,-58)),
-      |(4131,6989526037662056*power(2.0,-62)),
-      |(4132,9006201718106850*power(2.0,-53)),
-      |(4133,5254495983389514*power(2.0,-53)),
-      |(4134,9007121848200344*power(2.0,-53)),
-      |(4135,8858811703898628*power(2.0,-53)),
-      |(4136,8922939448537494*power(2.0,-53)),
-      |(4137,9000200789646370*power(2.0,-53)),
-      |(4138,7451604740367572*power(2.0,-53)),
-      |(4139,9007183762425867*power(2.0,-53)),
-      |(4140,9007158687216259*power(2.0,-53)),
-      |(4141,5602470832731432*power(2.0,-55)),
-      |(4142,5809926568073632*power(2.0,-71)),
-      |(4143,8823851852234749*power(2.0,-53)),
-      |(4144,6636037297776174*power(2.0,-62)),
-      |(4145,7920285156350113*power(2.0,-54)),
-      |(4146,9007199221525776*power(2.0,-53)),
-      |(4147,8061574027505839*power(2.0,-59)),
-      |(4148,4826589389225804*power(2.0,-54)),
-      |(4149,9005195884585262*power(2.0,-53)),
-      |(4150,6162353920331496*power(2.0,-75)),
-      |(4151,9007186705947893*power(2.0,-53)),
-      |(4152,9007090721553126*power(2.0,-53)),
-      |(4153,9005830478958804*power(2.0,-53)),
-      |(4154,9007189172065949*power(2.0,-53)),
-      |(4155,8998776442385302*power(2.0,-53)),
-      |(4156,9006908060243230*power(2.0,-53)),
-      |(4157,9007182937128521*power(2.0,-53)),
-      |(4158,6774813612684002*power(2.0,-53)),
-      |(4159,5072660680608745*power(2.0,-53)),
-      |(4160,9006920614820145*power(2.0,-53)),
-      |(4161,9007162717391687*power(2.0,-53)),
-      |(4162,6989526037662056*power(2.0,-62)),
-      |(4163,9006893831987299*power(2.0,-53)),
-      |(4164,8768983523911315*power(2.0,-75)),
-      |(4165,8996928108711580*power(2.0,-53)),
-      |(4166,9007124501440264*power(2.0,-53)),
-      |(4167,6449416042787613*power(2.0,-54)),
-      |(4168,9007128813530279*power(2.0,-53)),
-      |(4169,8924588144196146*power(2.0,-54)),
-      |(4170,9006964661476021*power(2.0,-53)),
-      |(4171,4503727778847874*power(2.0,-53)),
-      |(4172,8968382051641133*power(2.0,-53)),
-      |(4173,9007124598897843*power(2.0,-53)),
-      |(4174,9002700121894936*power(2.0,-53)),
-      |(4175,4800194405591475*power(2.0,-54)),
-      |(4176,9006756672045067*power(2.0,-53)),
-      |(4177,9007194854235148*power(2.0,-53)),
-      |(4178,9006881027561337*power(2.0,-53)),
-      |(4179,6301469324991925*power(2.0,-58)),
-      |(4180,8910477822418464*power(2.0,-53)),
-      |(4181,9005998210835732*power(2.0,-53)),
-      |(4182,5694823222028796*power(2.0,-53)),
-      |(4183,9007198767530946*power(2.0,-53)),
-      |(4184,4564237613729587*power(2.0,-53)),
-      |(4185,5998969794257825*power(2.0,-61)),
-      |(4186,5242968358036743*power(2.0,-53)),
-      |(4187,6002844673231061*power(2.0,-58)),
-      |(4188,9006909769663383*power(2.0,-53)),
-      |(4189,9007198124621716*power(2.0,-53)),
-      |(4190,9007190109164524*power(2.0,-53)),
-      |(4191,8867314784169668*power(2.0,-53)),
-      |(4192,9005930775904401*power(2.0,-53)),
-      |(4193,9006891774075405*power(2.0,-53)),
-      |(4194,9007181321530077*power(2.0,-53)),
-      |(4195,8999846368388519*power(2.0,-53)),
-      |(4196,6019728838021045*power(2.0,-59)),
-      |(4197,9005260661683820*power(2.0,-53)),
-      |(4198,9007197388160557*power(2.0,-53)),
-      |(4199,9006896525658577*power(2.0,-53)),
-      |(4200,9005919272443787*power(2.0,-53)),
-      |(4201,9007183242068645*power(2.0,-53)),
-      |(4202,7432345122608007*power(2.0,-76)),
-      |(4203,7395381272381105*power(2.0,-59)),
-      |(4204,6658622877290738*power(2.0,-53)),
-      |(4205,8885808061051379*power(2.0,-53)),
-      |(4206,5031928096357498*power(2.0,-53)),
-      |(4207,9005868399634652*power(2.0,-53)),
-      |(4208,8998154412231149*power(2.0,-53)),
-      |(4209,8977485460020196*power(2.0,-53)),
-      |(4210,6353487786368708*power(2.0,-55)),
-      |(4211,8991034753239823*power(2.0,-53)),
-      |(4212,8891020384546458*power(2.0,-53)),
-      |(4213,9005398940940002*power(2.0,-53)),
-      |(4214,5526112402372120*power(2.0,-54)),
-      |(4215,8991733405562386*power(2.0,-53)),
-      |(4216,7725983431862902*power(2.0,-75)),
-      |(4217,9007199051784473*power(2.0,-53)),
-      |(4218,9007173444522140*power(2.0,-53)),
-      |(4219,9007126505194812*power(2.0,-53)),
-      |(4220,8345316533556347*power(2.0,-54)),
-      |(4221,9007193864863057*power(2.0,-53)),
-      |(4222,8926280473263494*power(2.0,-53)),
-      |(4223,9006889576185503*power(2.0,-53)),
-      |(4224,9007167378745038*power(2.0,-53)),
-      |(4225,7805026842245556*power(2.0,-53)),
-      |(4226,9006295035265804*power(2.0,-53)),
-      |(4227,8819578918595846*power(2.0,-62)),
-      |(4228,8968716364670246*power(2.0,-53)),
-      |(4229,9007189749078178*power(2.0,-53)),
-      |(4230,9005127827704723*power(2.0,-53)),
-      |(4231,9006931321274366*power(2.0,-53)),
-      |(4232,8461743744154174*power(2.0,-62)),
-      |(4233,8196927600541089*power(2.0,-54)),
-      |(4234,9006128727614502*power(2.0,-53)),
-      |(4235,8960279126702073*power(2.0,-53)),
-      |(4236,8255116191947500*power(2.0,-55)),
-      |(4237,7960854196075007*power(2.0,-78)),
-      |(4238,9007172209612380*power(2.0,-53)),
-      |(4239,5020948245743475*power(2.0,-53)),
-      |(4240,9007134620425646*power(2.0,-53)),
-      |(4241,4954894825757140*power(2.0,-75)),
-      |(4242,9006347436126879*power(2.0,-53)),
-      |(4243,7786446636271168*power(2.0,-59)),
-      |(4244,8773963603096262*power(2.0,-53)),
-      |(4245,9005061211676662*power(2.0,-53)),
-      |(4246,4717992998127054*power(2.0,-53)),
-      |(4247,8750986010593855*power(2.0,-53)),
-      |(4248,9007159921080663*power(2.0,-53)),
-      |(4249,4683222265794225*power(2.0,-62)),
-      |(4250,5233553834831136*power(2.0,-71)),
-      |(4251,8973389517258702*power(2.0,-53)),
-      |(4252,8911303955651580*power(2.0,-53)),
-      |(4253,9005659943577971*power(2.0,-53)),
-      |(4254,9007171925481644*power(2.0,-53)),
-      |(4255,9005614338213171*power(2.0,-53)),
-      |(4256,9006863085558931*power(2.0,-53)),
-      |(4257,6634701658127843*power(2.0,-58)),
-      |(4258,9006869034087852*power(2.0,-53)),
-      |(4259,5043644379567794*power(2.0,-66)),
-      |(4260,6365756026171122*power(2.0,-62)),
-      |(4261,9006940622437183*power(2.0,-53)),
-      |(4262,8926592159673760*power(2.0,-53)),
-      |(4263,8564779256820077*power(2.0,-58)),
-      |(4264,8776318121146937*power(2.0,-54)),
-      |(4265,9007195271564009*power(2.0,-53)),
-      |(4266,8998739849899064*power(2.0,-53)),
-      |(4267,8932836229327271*power(2.0,-53)),
-      |(4268,8994839071057658*power(2.0,-53)),
-      |(4269,8902868431879427*power(2.0,-53)),
-      |(4270,9007195944801164*power(2.0,-53)),
-      |(4271,5125847573141506*power(2.0,-61)),
-      |(4272,7145803958585713*power(2.0,-68)),
-      |(4273,6977255489552164*power(2.0,-56)),
-      |(4274,9007163957605004*power(2.0,-53)),
-      |(4275,9007025958569321*power(2.0,-53)),
-      |(4276,6478626172163660*power(2.0,-56)),
-      |(4277,9006162745494532*power(2.0,-53)),
-      |(4278,5153690984717075*power(2.0,-61)),
-      |(4279,4843710019756050*power(2.0,-59)),
-      |(4280,8847005486531512*power(2.0,-53)),
-      |(4281,9007130964607655*power(2.0,-53)),
-      |(4282,5208581151684753*power(2.0,-59)),
-      |(4283,5333570440908426*power(2.0,-59)),
-      |(4284,9007181384147192*power(2.0,-53)),
-      |(4285,8546205253663636*power(2.0,-53)),
-      |(4286,8996685751095634*power(2.0,-53)),
-      |(4287,6009115533584798*power(2.0,-76)),
-      |(4288,6360814274423241*power(2.0,-70)),
-      |(4289,8775845178196907*power(2.0,-53)),
-      |(4290,9007180248415438*power(2.0,-53)),
-      |(4291,5235861712757725*power(2.0,-53)),
-      |(4292,4920340100549126*power(2.0,-60)),
-      |(4293,8693567406365836*power(2.0,-69)),
-      |(4294,5679235582387637*power(2.0,-53)),
-      |(4295,9007178877589680*power(2.0,-53)),
-      |(4296,8740970365478426*power(2.0,-53)),
-      |(4297,8956932382553189*power(2.0,-53)),
-      |(4298,5416821800460706*power(2.0,-53)),
-      |(4299,7144109049870082*power(2.0,-55)),
-      |(4300,7781281206570911*power(2.0,-53)),
-      |(4301,7141097221048230*power(2.0,-73)),
-      |(4302,8999656086965404*power(2.0,-53)),
-      |(4303,9005529294995687*power(2.0,-53)),
-      |(4304,9005595906894139*power(2.0,-53)),
-      |(4305,6985851478513167*power(2.0,-53)),
-      |(4306,5659044669214118*power(2.0,-72)),
-      |(4307,9000265511693838*power(2.0,-53)),
-      |(4308,9006239563428920*power(2.0,-53)),
-      |(4309,9007182429925036*power(2.0,-53)),
-      |(4310,4581547275387018*power(2.0,-53)),
-      |(4311,9006923712526849*power(2.0,-53)),
-      |(4312,9007181606205202*power(2.0,-53)),
-      |(4313,9006943346841214*power(2.0,-53)),
-      |(4314,9007151645717243*power(2.0,-53)),
-      |(4315,8464157899102142*power(2.0,-54)),
-      |(4316,9007109719500716*power(2.0,-53)),
-      |(4317,8976244231946889*power(2.0,-53)),
-      |(4318,8939422872459133*power(2.0,-53)),
-      |(4319,7349959034090182*power(2.0,-53)),
-      |(4320,9006224617129773*power(2.0,-53)),
-      |(4321,9007194734561078*power(2.0,-53)),
-      |(4322,9007198275974456*power(2.0,-53)),
-      |(4323,8835802458423305*power(2.0,-53)),
-      |(4324,8993407064884665*power(2.0,-53)),
-      |(4325,4747598892211231*power(2.0,-61)),
-      |(4326,9006798489936853*power(2.0,-53)),
-      |(4327,8991027710879752*power(2.0,-53)),
-      |(4328,9005691241375622*power(2.0,-53)),
-      |(4329,6013422992783205*power(2.0,-57)),
-      |(4330,5385533255586730*power(2.0,-65)),
-      |(4331,9000250912690838*power(2.0,-53)),
-      |(4332,7242551205446355*power(2.0,-57)),
-      |(4333,8098657240108291*power(2.0,-58)),
-      |(4334,8839990504774872*power(2.0,-53)),
-      |(4335,9007180961091277*power(2.0,-53)),
-      |(4336,9007151026297871*power(2.0,-53)),
-      |(4337,6859587132059459*power(2.0,-68)),
-      |(4338,6232637043084752*power(2.0,-65)),
-      |(4339,8758780802301503*power(2.0,-53)),
-      |(4340,9007043164379649*power(2.0,-53)),
-      |(4341,4761852651434600*power(2.0,-54)),
-      |(4342,7483811342342026*power(2.0,-53)),
-      |(4343,5746911983348239*power(2.0,-56)),
-      |(4344,8967534417763914*power(2.0,-53)),
-      |(4345,9006354143491369*power(2.0,-53)),
-      |(4346,9007032770008658*power(2.0,-53)),
-      |(4347,8997552909659512*power(2.0,-53)),
-      |(4348,8924143411468720*power(2.0,-53)),
-      |(4349,9007132690492289*power(2.0,-53)),
-      |(4350,8787835309694341*power(2.0,-53)),
-      |(4351,9007129086472856*power(2.0,-53)),
-      |(4352,9006931508182460*power(2.0,-53)),
-      |(4353,9002319212902616*power(2.0,-53)),
-      |(4354,9007126819514481*power(2.0,-53)),
-      |(4355,8916841203772244*power(2.0,-53)),
-      |(4356,9007183547074477*power(2.0,-53)),
-      |(4357,8950570970272661*power(2.0,-53)),
-      |(4358,7502388081009151*power(2.0,-79)),
-      |(4359,9006904959088160*power(2.0,-53)),
-      |(4360,9006938481049989*power(2.0,-53)),
-      |(4361,8887528177195094*power(2.0,-53)),
-      |(4362,9005464898920518*power(2.0,-53)),
-      |(4363,4742477358354567*power(2.0,-70)),
-      |(4364,8764392484591814*power(2.0,-53)),
-      |(4365,8603305963063982*power(2.0,-54)),
-      |(4366,7099692251323542*power(2.0,-59)),
-      |(4367,4583964034965449*power(2.0,-53)),
-      |(4368,7034776064690045*power(2.0,-79)),
-      |(4369,8998858354866103*power(2.0,-78)),
-      |(4370,8842933645361147*power(2.0,-53)),
-      |(4371,9002481722514634*power(2.0,-53)),
-      |(4372,9007196194295258*power(2.0,-53)),
-      |(4373,7144973871125296*power(2.0,-77)),
-      |(4374,9007195520877144*power(2.0,-53)),
-      |(4375,6518878747008963*power(2.0,-61)),
-      |(4376,9000956064655392*power(2.0,-53)),
-      |(4377,7686897705429363*power(2.0,-57)),
-      |(4378,8989079275234221*power(2.0,-53)),
-      |(4379,8997603830537541*power(2.0,-53)),
-      |(4380,9005586856110461*power(2.0,-53)),
-      |(4381,7127619402072882*power(2.0,-53)),
-      |(4382,9007198951122712*power(2.0,-53)),
-      |(4383,9007122140082573*power(2.0,-53)),
-      |(4384,9006994921028764*power(2.0,-53)),
-      |(4385,9001106372489182*power(2.0,-53)),
-      |(4386,9007183805436505*power(2.0,-53)),
-      |(4387,5751400428186700*power(2.0,-61)),
-      |(4388,9005507677649515*power(2.0,-53)),
-      |(4389,8956749575036489*power(2.0,-53)),
-      |(4390,5786433898474557*power(2.0,-53)),
-      |(4391,9007126980521143*power(2.0,-53)),
-      |(4392,8997391848398473*power(2.0,-53)),
-      |(4393,8794083681176027*power(2.0,-53)),
-      |(4394,9007121118771923*power(2.0,-53)),
-      |(4395,8993808771677818*power(2.0,-53)),
-      |(4396,9005630388362539*power(2.0,-53)),
-      |(4397,8921183433537261*power(2.0,-53)),
-      |(4398,9007199225430398*power(2.0,-53)),
-      |(4399,5747999268296313*power(2.0,-68)),
-      |(4400,5722588759289743*power(2.0,-53)),
-      |(4401,6367608581821446*power(2.0,-53)),
-      |(4402,9007123130671420*power(2.0,-53)),
-      |(4403,9007125576846526*power(2.0,-53)),
-      |(4404,9006909558024400*power(2.0,-53)),
-      |(4405,4559777604105807*power(2.0,-53)),
-      |(4406,5068870721025135*power(2.0,-53)),
-      |(4407,9005703955986014*power(2.0,-53)),
-      |(4408,8816926880909169*power(2.0,-53)),
-      |(4409,8928178226796478*power(2.0,-53)),
-      |(4410,9005308038137604*power(2.0,-53)),
-      |(4411,9007190718407916*power(2.0,-53)),
-      |(4412,7160528329026266*power(2.0,-54)),
-      |(4413,5025212584964476*power(2.0,-53)),
-      |(4414,8993050176555174*power(2.0,-53)),
-      |(4415,6579781495315340*power(2.0,-62)),
-      |(4416,8668614956820691*power(2.0,-53)),
-      |(4417,8970827296749311*power(2.0,-53)),
-      |(4418,8996591705492224*power(2.0,-53)),
-      |(4419,8794083681176027*power(2.0,-53)),
-      |(4420,9007185516098216*power(2.0,-53)),
-      |(4421,9007011229971406*power(2.0,-53)),
-      |(4422,4541816965689681*power(2.0,-53)),
-      |(4423,9006899155770052*power(2.0,-53)),
-      |(4424,8720971702036806*power(2.0,-53)),
-      |(4425,8994335508660190*power(2.0,-53)),
-      |(4426,5874947648333531*power(2.0,-53)),
-      |(4427,9006841099066480*power(2.0,-53)),
-      |(4428,7080087030770357*power(2.0,-55)),
-      |(4429,8498256332294030*power(2.0,-53)),
-      |(4430,9007199217621184*power(2.0,-53)),
-      |(4431,9007196349259259*power(2.0,-53)),
-      |(4432,9005582664588191*power(2.0,-53)),
-      |(4433,7216484679758541*power(2.0,-65)),
-      |(4434,8821052507667651*power(2.0,-53)),
-      |(4435,9000133739306242*power(2.0,-53)),
-      |(4436,9007128747512590*power(2.0,-53)),
-      |(4437,8306303148844923*power(2.0,-53)),
-      |(4438,8003679114007928*power(2.0,-57)),
-      |(4439,8615952007317151*power(2.0,-54)),
-      |(4440,9007130129103128*power(2.0,-53)),
-      |(4441,7628510996924402*power(2.0,-63)),
-      |(4442,8712906691202538*power(2.0,-54)),
-      |(4443,9007126833100781*power(2.0,-53)),
-      |(4444,8817367822990722*power(2.0,-53)),
-      |(4445,9005686706511624*power(2.0,-53)),
-      |(4446,8992162035416253*power(2.0,-53)),
-      |(4447,8745393911839745*power(2.0,-53)),
-      |(4448,6606925091214653*power(2.0,-59)),
-      |(4449,8247478799905732*power(2.0,-63)),
-      |(4450,6415062384035004*power(2.0,-67)),
-      |(4451,8824688364611905*power(2.0,-54)),
-      |(4452,8997956360438898*power(2.0,-53)),
-      |(4453,9007186795083215*power(2.0,-53)),
-      |(4454,6009115533584798*power(2.0,-76)),
-      |(4455,8992676847854703*power(2.0,-53)),
-      |(4456,9007164302050837*power(2.0,-53)),
-      |(4457,7562162415316900*power(2.0,-53)),
-      |(4458,9007006775567138*power(2.0,-53)),
-      |(4459,8982508992137409*power(2.0,-53)),
-      |(4460,8997608559375024*power(2.0,-53)),
-      |(4461,6685149323197724*power(2.0,-54)),
-      |(4462,9006726722108071*power(2.0,-53)),
-      |(4463,8903312542773051*power(2.0,-53)),
-      |(4464,9006863222230367*power(2.0,-53)),
-      |(4465,8901305149060459*power(2.0,-53)),
-      |(4466,9007195784323445*power(2.0,-53)),
-      |(4467,8978843337043761*power(2.0,-53)),
-      |(4468,8997111263601141*power(2.0,-53)),
-      |(4469,7211342216271677*power(2.0,-62)),
-      |(4470,8750449311266853*power(2.0,-53)),
-      |(4471,9007199221449274*power(2.0,-53)),
-      |(4472,7115356498901628*power(2.0,-54)),
-      |(4473,8991616776174940*power(2.0,-53)),
-      |(4474,7755629861004242*power(2.0,-61)),
-      |(4475,6763454963861855*power(2.0,-59)),
-      |(4476,9005724781111917*power(2.0,-53)),
-      |(4477,8855462084681722*power(2.0,-53)),
-      |(4478,9006917443220969*power(2.0,-53)),
-      |(4479,5662131804808851*power(2.0,-68)),
-      |(4480,9006958827768406*power(2.0,-53)),
-      |(4481,6886615098478927*power(2.0,-60)),
-      |(4482,8733665177370878*power(2.0,-61)),
-      |(4483,9006914871924985*power(2.0,-53)),
-      |(4484,4857024179609132*power(2.0,-53)),
-      |(4485,8069983520681195*power(2.0,-53)),
-      |(4486,9005524250947818*power(2.0,-53)),
-      |(4487,8997749008069209*power(2.0,-53)),
-      |(4488,4655321156511912*power(2.0,-54)),
-      |(4489,7105436762796433*power(2.0,-53)),
-      |(4490,8928943425421658*power(2.0,-60)),
-      |(4491,8871539291104846*power(2.0,-55)),
-      |(4492,8986323086045111*power(2.0,-53)),
-      |(4493,8769852303621999*power(2.0,-53)),
-      |(4494,5382767389571092*power(2.0,-61)),
-      |(4495,8997540157043312*power(2.0,-53)),
-      |(4496,9006214638563607*power(2.0,-53)),
-      |(4497,8820425728994330*power(2.0,-53)),
-      |(4498,8395915193244404*power(2.0,-53)),
-      |(4499,7560765426352047*power(2.0,-73)),
-      |(4500,8975833319437711*power(2.0,-53)),
-      |(4501,5396830749821064*power(2.0,-53)),
-      |(4502,8992653754461924*power(2.0,-53)),
-      |(4503,8315065746300274*power(2.0,-62)),
-      |(4504,7618431118457441*power(2.0,-54)),
-      |(4505,8799653397863001*power(2.0,-53)),
-      |(4506,9003430346558963*power(2.0,-53)),
-      |(4507,9007128479556333*power(2.0,-53)),
-      |(4508,9007189935578698*power(2.0,-53)),
-      |(4509,6274825207038254*power(2.0,-56)),
-      |(4510,8821543282444461*power(2.0,-53)),
-      |(4511,8851821694966292*power(2.0,-53)),
-      |(4512,5677741151702104*power(2.0,-53)),
-      |(4513,8989485361528804*power(2.0,-53)),
-      |(4514,8807797839965993*power(2.0,-53)),
-      |(4515,8820936027657867*power(2.0,-54)),
-      |(4516,8361022444457229*power(2.0,-54)),
-      |(4517,8675993473547322*power(2.0,-54)),
-      |(4518,9006855651840223*power(2.0,-53)),
-      |(4519,6578942547951748*power(2.0,-61)),
-      |(4520,9002762497122989*power(2.0,-53)),
-      |(4521,5300706407656712*power(2.0,-62)),
-      |(4522,8974162139491194*power(2.0,-53)),
-      |(4523,8993967307388226*power(2.0,-53)),
-      |(4524,9006918244337859*power(2.0,-53)),
-      |(4525,9000710236755121*power(2.0,-53)),
-      |(4526,9007196652490248*power(2.0,-53)),
-      |(4527,8993358288639278*power(2.0,-53)),
-      |(4528,9005646084041247*power(2.0,-53)),
-      |(4529,6306263021999762*power(2.0,-53)),
-      |(4530,8732026808785845*power(2.0,-53)),
-      |(4531,9005349618170985*power(2.0,-53)),
-      |(4532,9005925631165628*power(2.0,-53)),
-      |(4533,4892132936776190*power(2.0,-53)),
-      |(4534,6920849818097296*power(2.0,-53)),
-      |(4535,6356440135262272*power(2.0,-61)),
-      |(4536,9001827788305475*power(2.0,-53)),
-      |(4537,5488274085201126*power(2.0,-62)),
-      |(4538,5891655354525349*power(2.0,-54)),
-      |(4539,8855788925719237*power(2.0,-53)),
-      |(4540,8115186182258270*power(2.0,-53)),
-      |(4541,9000230526697419*power(2.0,-53)),
-      |(4542,9003668811430741*power(2.0,-53)),
-      |(4543,8786383445029038*power(2.0,-53)),
-      |(4544,6436406627158057*power(2.0,-53)),
-      |(4545,9001452763386641*power(2.0,-53)),
-      |(4546,5093340657821365*power(2.0,-60)),
-      |(4547,6282279120143209*power(2.0,-66)),
-      |(4548,8739127168881614*power(2.0,-53)),
-      |(4549,4910157052380199*power(2.0,-69)),
-      |(4550,9005990507532696*power(2.0,-53)),
-      |(4551,7699303010767469*power(2.0,-61)),
-      |(4552,6251666713401426*power(2.0,-60)),
-      |(4553,9001205483098696*power(2.0,-53)),
-      |(4554,8752142093707740*power(2.0,-53)),
-      |(4555,9007171424083158*power(2.0,-53)),
-      |(4556,9007195491742646*power(2.0,-53)),
-      |(4557,4747598892211231*power(2.0,-61)),
-      |(4558,6592689357596183*power(2.0,-54)),
-      |(4559,9007198850297714*power(2.0,-53)),
-      |(4560,6838615002271351*power(2.0,-71)),
-      |(4561,9007130269848410*power(2.0,-53)),
-      |(4562,7973423389478628*power(2.0,-63)),
-      |(4563,8920358680046402*power(2.0,-53)),
-      |(4564,9007057101940002*power(2.0,-53)),
-      |(4565,9007198337861607*power(2.0,-53)),
-      |(4566,9007191456781947*power(2.0,-53)),
-      |(4567,8811368319093073*power(2.0,-53)),
-      |(4568,7366474277471595*power(2.0,-71)),
-      |(4569,8964141852429364*power(2.0,-53)),
-      |(4570,8812960214340110*power(2.0,-53)),
-      |(4571,5938159764351902*power(2.0,-62)),
-      |(4572,9007190101944941*power(2.0,-53)),
-      |(4573,8998660410079147*power(2.0,-53)),
-      |(4574,8475910101574803*power(2.0,-54)),
-      |(4575,7576778091216918*power(2.0,-54)),
-      |(4576,8596233829674380*power(2.0,-76)),
-      |(4577,6791365242354670*power(2.0,-64)),
-      |(4578,6959804167195277*power(2.0,-53)),
-      |(4579,7299782463433734*power(2.0,-53)),
-      |(4580,4983799206368871*power(2.0,-61)),
-      |(4581,9006983675085841*power(2.0,-53)),
-      |(4582,4870265382952855*power(2.0,-56)),
-      |(4583,8852930167587110*power(2.0,-53)),
-      |(4584,5663313066772334*power(2.0,-53)),
-      |(4585,9006931696658418*power(2.0,-53)),
-      |(4586,8795348997373894*power(2.0,-53)),
-      |(4587,9006762665157860*power(2.0,-53)),
-      |(4588,8992229692790439*power(2.0,-53)),
-      |(4589,9006256655365127*power(2.0,-53)),
-      |(4590,9007180850947963*power(2.0,-53)),
-      |(4591,9007180151558552*power(2.0,-53)),
-      |(4592,8551467447736093*power(2.0,-70)),
-      |(4593,6262548414866201*power(2.0,-60)),
-      |(4594,9006912200305019*power(2.0,-53)),
-      |(4595,9007197904041639*power(2.0,-53)),
-      |(4596,8995365110762904*power(2.0,-53)),
-      |(4597,8956120795026845*power(2.0,-53)),
-      |(4598,9006989307549993*power(2.0,-53)),
-      |(4599,8389614971820510*power(2.0,-78)),
-      |(4600,8994047288266005*power(2.0,-53)),
-      |(4601,8933790287236832*power(2.0,-53)),
-      |(4602,8887850833638952*power(2.0,-53)),
-      |(4603,9007188002336089*power(2.0,-53)),
-      |(4604,6184501495723768*power(2.0,-55)),
-      |(4605,5171798876809517*power(2.0,-78)),
-      |(4606,9007135588931398*power(2.0,-53)),
-      |(4607,8893430862094427*power(2.0,-53)),
-      |(4608,7967657603189959*power(2.0,-63)),
-      |(4609,8993714987804805*power(2.0,-53)),
-      |(4610,9004589485550737*power(2.0,-53)),
-      |(4611,9003011088497910*power(2.0,-53)),
-      |(4612,8992954128659045*power(2.0,-53)),
-      |(4613,5151948001653155*power(2.0,-74)),
-      |(4614,9005639272584627*power(2.0,-53)),
-      |(4615,8992278918171359*power(2.0,-53)),
-      |(4616,9006796994607598*power(2.0,-53)),
-      |(4617,8774068671322285*power(2.0,-53)),
-      |(4618,6151668123227307*power(2.0,-53)),
-      |(4619,7161471040763284*power(2.0,-53)),
-      |(4620,9007147492583476*power(2.0,-53)),
-      |(4621,9006911162011266*power(2.0,-53)),
-      |(4622,5449872773979897*power(2.0,-78)),
-      |(4623,8994398571484322*power(2.0,-53)),
-      |(4624,8991484366002032*power(2.0,-53)),
-      |(4625,8505674543314796*power(2.0,-53)),
-      |(4626,8880654287449855*power(2.0,-53)),
-      |(4627,9006548384826360*power(2.0,-53)),
-      |(4628,5284763344301372*power(2.0,-61)),
-      |(4629,5110074681462782*power(2.0,-60)),
-      |(4630,6946195774939104*power(2.0,-62)),
-      |(4631,9007193287194874*power(2.0,-53)),
-      |(4632,6452028514533409*power(2.0,-53)),
-      |(4633,8534662512330820*power(2.0,-53)),
-      |(4634,9006280110623154*power(2.0,-53)),
-      |(4635,9005729800665682*power(2.0,-53)),
-      |(4636,8993087444030156*power(2.0,-53)),
-      |(4637,9007138832538956*power(2.0,-53)),
-      |(4638,5450451866751289*power(2.0,-60)),
-      |(4639,6427810416051714*power(2.0,-56)),
-      |(4640,6658567537196872*power(2.0,-54)),
-      |(4641,9006460509132960*power(2.0,-53)),
-      |(4642,8977564634043052*power(2.0,-53)),
-      |(4643,5293753718759595*power(2.0,-61)),
-      |(4644,4633238662447634*power(2.0,-53)),
-      |(4645,9007128984993272*power(2.0,-53)),
-      |(4646,8931614320588440*power(2.0,-53)),
-      |(4647,9006901195239403*power(2.0,-53)),
-      |(4648,9007197046319757*power(2.0,-53)),
-      |(4649,9006923723074534*power(2.0,-53)),
-      |(4650,5794190489887115*power(2.0,-55)),
-      |(4651,8993621998496647*power(2.0,-53)),
-      |(4652,9002497029476312*power(2.0,-53)),
-      |(4653,9005763273353543*power(2.0,-53)),
-      |(4654,6356849577619252*power(2.0,-54)),
-      |(4655,7936449937549776*power(2.0,-65)),
-      |(4656,5016587752584828*power(2.0,-55)),
-      |(4657,9006897982225593*power(2.0,-53)),
-      |(4658,7649601629213206*power(2.0,-69)),
-      |(4659,8560023154390025*power(2.0,-53)),
-      |(4660,9005596525836991*power(2.0,-53)),
-      |(4661,6772136460099426*power(2.0,-62)),
-      |(4662,9002053166242563*power(2.0,-53)),
-      |(4663,8781224818906017*power(2.0,-53)),
-      |(4664,7283251931496644*power(2.0,-54)),
-      |(4665,8976243831515789*power(2.0,-53)),
-      |(4666,8992081960370771*power(2.0,-53)),
-      |(4667,9007125001737175*power(2.0,-53)),
-      |(4668,9007191544807248*power(2.0,-53)),
-      |(4669,9004009396275513*power(2.0,-53)),
-      |(4670,8825147124156879*power(2.0,-53)),
-      |(4671,9007050832444168*power(2.0,-53)),
-      |(4672,8833305026641525*power(2.0,-53)),
-      |(4673,9006952884736816*power(2.0,-53)),
-      |(4674,9007188539121164*power(2.0,-53)),
-      |(4675,9007198822130379*power(2.0,-53)),
-      |(4676,8993290081186070*power(2.0,-53)),
-      |(4677,9006895743212796*power(2.0,-53)),
-      |(4678,8987784997963946*power(2.0,-53)),
-      |(4679,5191936426636940*power(2.0,-73)),
-      |(4680,6103863353847530*power(2.0,-71)),
-      |(4681,5667820807616900*power(2.0,-63)),
-      |(4682,7594991724606200*power(2.0,-53)),
-      |(4683,8378889363056534*power(2.0,-58)),
-      |(4684,6468112293155516*power(2.0,-54)),
-      |(4685,5350302157129938*power(2.0,-57)),
-      |(4686,8980004670203878*power(2.0,-53)),
-      |(4687,6474928175041985*power(2.0,-61)),
-      |(4688,9006878620450666*power(2.0,-53)),
-      |(4689,8738616994989291*power(2.0,-80)),
-      |(4690,8992665536718840*power(2.0,-53)),
-      |(4691,8999013364418001*power(2.0,-53)),
-      |(4692,5543683417313713*power(2.0,-53)),
-      |(4693,5718640573742614*power(2.0,-62)),
-      |(4694,8810246457704316*power(2.0,-53)),
-      |(4695,8974356819052175*power(2.0,-53)),
-      |(4696,5691470504255618*power(2.0,-61)),
-      |(4697,9007197360528336*power(2.0,-53)),
-      |(4698,8806179184858502*power(2.0,-53)),
-      |(4699,8825534107518028*power(2.0,-53)),
-      |(4700,4920571545249972*power(2.0,-53)),
-      |(4701,8934034629450030*power(2.0,-53)),
-      |(4702,6913708492771453*power(2.0,-53)),
-      |(4703,9006948960804628*power(2.0,-53)),""".stripMargin,
-    """(4704,9006231174581700*power(2.0,-53)),
-      |(4705,6291049343931038*power(2.0,-75)),
-      |(4706,9006108008473924*power(2.0,-53)),
-      |(4707,5107465744231385*power(2.0,-61)),
-      |(4708,9007153380953773*power(2.0,-53)),
-      |(4709,6431427461147768*power(2.0,-55)),
-      |(4710,9007168257634377*power(2.0,-53)),
-      |(4711,5215784029750216*power(2.0,-60)),
-      |(4712,9007195461855547*power(2.0,-53)),
-      |(4713,5847354830553769*power(2.0,-61)),
-      |(4714,8972203767367979*power(2.0,-53)),
-      |(4715,9005233095795278*power(2.0,-53)),
-      |(4716,8979024546668496*power(2.0,-53)),
-      |(4717,8999739832616850*power(2.0,-53)),
-      |(4718,8989295666369199*power(2.0,-53)),
-      |(4719,9007193550025479*power(2.0,-53)),
-      |(4720,8095811608170710*power(2.0,-54)),
-      |(4721,8855665071123747*power(2.0,-53)),
-      |(4722,8989488722277877*power(2.0,-53)),
-      |(4723,8984650173227915*power(2.0,-53)),
-      |(4724,9000959074788498*power(2.0,-53)),
-      |(4725,5436735668625986*power(2.0,-53)),
-      |(4726,9005940430510885*power(2.0,-53)),
-      |(4727,9006903024520678*power(2.0,-53)),
-      |(4728,7530374785280197*power(2.0,-53)),
-      |(4729,9007127610741159*power(2.0,-53)),
-      |(4730,4672510987975314*power(2.0,-54)),
-      |(4731,5917959078116259*power(2.0,-55)),
-      |(4732,9007198351595757*power(2.0,-53)),
-      |(4733,9007186270815678*power(2.0,-53)),
-      |(4734,7976664121226626*power(2.0,-79)),
-      |(4735,8948068480727403*power(2.0,-53)),
-      |(4736,7327930366257017*power(2.0,-53)),
-      |(4737,8751658716740825*power(2.0,-53)),
-      |(4738,9006942615811638*power(2.0,-53)),
-      |(4739,6415119004213051*power(2.0,-53)),
-      |(4740,9007163473470108*power(2.0,-53)),
-      |(4741,8860751871008366*power(2.0,-53)),
-      |(4742,6586886849731509*power(2.0,-69)),
-      |(4743,9007191389598700*power(2.0,-53)),
-      |(4744,9005896934885577*power(2.0,-53)),
-      |(4745,9005390992534854*power(2.0,-53)),
-      |(4746,8996801196763663*power(2.0,-53)),
-      |(4747,9005876803593365*power(2.0,-53)),
-      |(4748,6483421315812654*power(2.0,-59)),
-      |(4749,9006022789330459*power(2.0,-53)),
-      |(4750,6612568126389997*power(2.0,-71)),
-      |(4751,9007169203309657*power(2.0,-53)),
-      |(4752,8991550174633620*power(2.0,-53)),
-      |(4753,9001257861247406*power(2.0,-53)),
-      |(4754,7924730209208835*power(2.0,-53)),
-      |(4755,9006936110293476*power(2.0,-53)),
-      |(4756,8964935326028298*power(2.0,-53)),
-      |(4757,8891988807244970*power(2.0,-53)),
-      |(4758,9007199254650104*power(2.0,-53)),
-      |(4759,9003652913512366*power(2.0,-53)),
-      |(4760,4911372338348157*power(2.0,-59)),
-      |(4761,8081902271968349*power(2.0,-53)),
-      |(4762,8971781193025013*power(2.0,-53)),
-      |(4763,8994654119910753*power(2.0,-53)),
-      |(4764,9005818990321705*power(2.0,-53)),
-      |(4765,5181810618077624*power(2.0,-72)),
-      |(4766,9006948197161595*power(2.0,-53)),
-      |(4767,9005897987770634*power(2.0,-53)),
-      |(4768,9006220079874298*power(2.0,-53)),
-      |(4769,6961054642559986*power(2.0,-76)),
-      |(4770,9000613927431269*power(2.0,-53)),
-      |(4771,9007197914763197*power(2.0,-53)),
-      |(4772,4879218091026103*power(2.0,-60)),
-      |(4773,9005259834269707*power(2.0,-53)),
-      |(4774,7898312137900881*power(2.0,-60)),
-      |(4775,4584513768288767*power(2.0,-57)),
-      |(4776,9006009137322426*power(2.0,-53)),
-      |(4777,9006891807610335*power(2.0,-53)),
-      |(4778,9007198830611708*power(2.0,-53)),
-      |(4779,8999367533655929*power(2.0,-53)),
-      |(4780,9005276259690740*power(2.0,-53)),
-      |(4781,9007135424653233*power(2.0,-53)),
-      |(4782,9005969992334511*power(2.0,-53)),
-      |(4783,5783454349821729*power(2.0,-72)),
-      |(4784,9006928478691651*power(2.0,-53)),
-      |(4785,9003174189736537*power(2.0,-53)),
-      |(4786,9000829515010204*power(2.0,-53)),
-      |(4787,8802525624035119*power(2.0,-53)),
-      |(4788,8994018014810412*power(2.0,-53)),
-      |(4789,9005788335160192*power(2.0,-53)),
-      |(4790,7556247563691475*power(2.0,-59)),
-      |(4791,9007120487754505*power(2.0,-53)),
-      |(4792,9006933583342457*power(2.0,-53)),
-      |(4793,8831295579430032*power(2.0,-53)),
-      |(4794,9007182168395228*power(2.0,-53)),
-      |(4795,8978211681710629*power(2.0,-53)),
-      |(4796,5348830587491171*power(2.0,-60)),
-      |(4797,8440166046372916*power(2.0,-53)),
-      |(4798,5143898731351151*power(2.0,-61)),
-      |(4799,8985245804960133*power(2.0,-53)),
-      |(4800,9006897390883268*power(2.0,-53)),
-      |(4801,9007181804641743*power(2.0,-53)),
-      |(4802,9003806274131167*power(2.0,-53)),
-      |(4803,7130096904647504*power(2.0,-67)),
-      |(4804,9007153262650004*power(2.0,-53)),
-      |(4805,9007180597932074*power(2.0,-53)),
-      |(4806,8934653120117252*power(2.0,-53)),
-      |(4807,4722318635013465*power(2.0,-53)),
-      |(4808,8689090292993173*power(2.0,-53)),
-      |(4809,9006943192191295*power(2.0,-53)),
-      |(4810,5289289898522913*power(2.0,-74)),
-      |(4811,8196210336200681*power(2.0,-61)),
-      |(4812,9007129512189409*power(2.0,-53)),
-      |(4813,9007033219568400*power(2.0,-53)),
-      |(4814,7977174363921158*power(2.0,-54)),
-      |(4815,8922946250305534*power(2.0,-53)),
-      |(4816,5424269408307027*power(2.0,-60)),
-      |(4817,7777128950498348*power(2.0,-60)),
-      |(4818,9007108293754785*power(2.0,-53)),
-      |(4819,5647848164238777*power(2.0,-53)),
-      |(4820,8747960661560420*power(2.0,-53)),
-      |(4821,8919375459693294*power(2.0,-53)),
-      |(4822,9007154094206050*power(2.0,-53)),
-      |(4823,9007130838854920*power(2.0,-53)),
-      |(4824,9006904828522159*power(2.0,-53)),
-      |(4825,8991144402801527*power(2.0,-53)),
-      |(4826,7566782315300712*power(2.0,-53)),
-      |(4827,8989231869076713*power(2.0,-53)),
-      |(4828,8605655264283127*power(2.0,-53)),
-      |(4829,5846463233846391*power(2.0,-53)),
-      |(4830,9007196365691537*power(2.0,-53)),
-      |(4831,5847898933050800*power(2.0,-53)),
-      |(4832,8094866549242643*power(2.0,-53)),
-      |(4833,8993336664751768*power(2.0,-53)),
-      |(4834,9005485329561173*power(2.0,-53)),
-      |(4835,8786571359294813*power(2.0,-53)),
-      |(4836,9005958333631169*power(2.0,-53)),
-      |(4837,8396613445326680*power(2.0,-54)),
-      |(4838,8992535728841054*power(2.0,-53)),
-      |(4839,8123901467382462*power(2.0,-63)),
-      |(4840,5839139530605560*power(2.0,-53)),
-      |(4841,8903902735302329*power(2.0,-53)),
-      |(4842,9005550778745586*power(2.0,-53)),
-      |(4843,6856173522509959*power(2.0,-57)),
-      |(4844,9005705344041279*power(2.0,-53)),
-      |(4845,9001826659424728*power(2.0,-53)),
-      |(4846,8992707324119751*power(2.0,-53)),
-      |(4847,5736014052803941*power(2.0,-60)),
-      |(4848,5629117500464389*power(2.0,-60)),
-      |(4849,9007133167986063*power(2.0,-53)),
-      |(4850,9007185841576558*power(2.0,-53)),
-      |(4851,9007195056441237*power(2.0,-53)),
-      |(4852,8591321655170992*power(2.0,-53)),
-      |(4853,6445265271047440*power(2.0,-53)),
-      |(4854,4697864721696018*power(2.0,-75)),
-      |(4855,4837729477243960*power(2.0,-72)),
-      |(4856,6656095030424918*power(2.0,-61)),
-      |(4857,9007138733732406*power(2.0,-53)),
-      |(4858,8998172241255988*power(2.0,-53)),
-      |(4859,8993463074242912*power(2.0,-53)),
-      |(4860,5829505049092319*power(2.0,-53)),
-      |(4861,7880440758275565*power(2.0,-74)),
-      |(4862,8834237131461532*power(2.0,-53)),
-      |(4863,7022697227293051*power(2.0,-79)),
-      |(4864,6842752138542572*power(2.0,-53)),
-      |(4865,9000103271643112*power(2.0,-53)),
-      |(4866,7878508083785321*power(2.0,-58)),
-      |(4867,8993545530811075*power(2.0,-53)),
-      |(4868,6359729829679574*power(2.0,-53)),
-      |(4869,8942385885672484*power(2.0,-53)),
-      |(4870,6124971887445658*power(2.0,-59)),
-      |(4871,5313010835972678*power(2.0,-71)),
-      |(4872,9005863131903154*power(2.0,-53)),
-      |(4873,8931222391456437*power(2.0,-61)),
-      |(4874,9007197195590741*power(2.0,-53)),
-      |(4875,8995731770106583*power(2.0,-53)),
-      |(4876,9007137752005698*power(2.0,-53)),
-      |(4877,5630179438861963*power(2.0,-61)),
-      |(4878,9005634409003353*power(2.0,-53)),
-      |(4879,5561443164338137*power(2.0,-65)),
-      |(4880,8999324032039477*power(2.0,-53)),
-      |(4881,8993644901713026*power(2.0,-53)),
-      |(4882,6032345832072666*power(2.0,-75)),
-      |(4883,9007137612909134*power(2.0,-53)),
-      |(4884,4805686212031064*power(2.0,-55)),
-      |(4885,8999019624808834*power(2.0,-53)),
-      |(4886,9007197937741749*power(2.0,-53)),
-      |(4887,9000863455170953*power(2.0,-53)),
-      |(4888,9005786398020880*power(2.0,-53)),
-      |(4889,7655344792113694*power(2.0,-61)),
-      |(4890,9005815153013363*power(2.0,-53)),
-      |(4891,7479014183479731*power(2.0,-54)),
-      |(4892,5010261988849801*power(2.0,-60)),
-      |(4893,9007199228644646*power(2.0,-53)),
-      |(4894,9005390102463280*power(2.0,-53)),
-      |(4895,6361748391447817*power(2.0,-66)),
-      |(4896,9006906846984408*power(2.0,-53)),
-      |(4897,9007163513586202*power(2.0,-53)),
-      |(4898,9005786522290049*power(2.0,-53)),
-      |(4899,9006896519083258*power(2.0,-53)),
-      |(4900,8991138301398418*power(2.0,-53)),
-      |(4901,8418321774230719*power(2.0,-54)),
-      |(4902,9006898852210179*power(2.0,-53)),
-      |(4903,9000165064195937*power(2.0,-53)),
-      |(4904,8465691664283463*power(2.0,-71)),
-      |(4905,9006916314462528*power(2.0,-53)),
-      |(4906,7511781081975114*power(2.0,-57)),
-      |(4907,4942698534639824*power(2.0,-76)),
-      |(4908,9002304509703305*power(2.0,-53)),
-      |(4909,9007011747400423*power(2.0,-53)),
-      |(4910,9007195697314433*power(2.0,-53)),
-      |(4911,8394996385203795*power(2.0,-68)),
-      |(4912,8993593793606613*power(2.0,-53)),
-      |(4913,9006925697804780*power(2.0,-53)),
-      |(4914,9007191908667957*power(2.0,-53)),
-      |(4915,9007187548370530*power(2.0,-53)),
-      |(4916,6669111047737704*power(2.0,-62)),
-      |(4917,8791079392990117*power(2.0,-53)),
-      |(4918,8989339864606343*power(2.0,-53)),
-      |(4919,9007155061513460*power(2.0,-53)),
-      |(4920,8648985517478884*power(2.0,-53)),
-      |(4921,9007053922737995*power(2.0,-53)),
-      |(4922,4926727672890324*power(2.0,-54)),
-      |(4923,4699830664592283*power(2.0,-71)),
-      |(4924,4667039005185743*power(2.0,-60)),
-      |(4925,9007198424623799*power(2.0,-53)),
-      |(4926,9006683705685977*power(2.0,-53)),
-      |(4927,5049554335640130*power(2.0,-57)),
-      |(4928,9007190287232362*power(2.0,-53)),
-      |(4929,5978899450249973*power(2.0,-62)),
-      |(4930,9007129372659372*power(2.0,-53)),
-      |(4931,8797080980582779*power(2.0,-53)),
-      |(4932,7521458276818080*power(2.0,-53)),
-      |(4933,9005328834212016*power(2.0,-53)),
-      |(4934,7439630777931567*power(2.0,-53)),
-      |(4935,9006900685513626*power(2.0,-53)),
-      |(4936,8965184936687870*power(2.0,-53)),
-      |(4937,9005559671626177*power(2.0,-53)),
-      |(4938,8750600959856423*power(2.0,-53)),
-      |(4939,7432923024070868*power(2.0,-76)),
-      |(4940,8977901739838140*power(2.0,-53)),
-      |(4941,9001542580556756*power(2.0,-53)),
-      |(4942,8928863015540749*power(2.0,-53)),
-      |(4943,8974564340357306*power(2.0,-53)),
-      |(4944,9006958661436381*power(2.0,-53)),
-      |(4945,8840588259436473*power(2.0,-53)),
-      |(4946,9007197188444916*power(2.0,-53)),
-      |(4947,8992041339660010*power(2.0,-53)),
-      |(4948,6284861215857740*power(2.0,-61)),
-      |(4949,9007150963498064*power(2.0,-53)),
-      |(4950,8986899619600956*power(2.0,-53)),
-      |(4951,6064953398762093*power(2.0,-62)),
-      |(4952,9007125512120577*power(2.0,-53)),
-      |(4953,8990712367589620*power(2.0,-53)),
-      |(4954,4908447812032179*power(2.0,-60)),
-      |(4955,4550582864117399*power(2.0,-77)),
-      |(4956,8998472153467892*power(2.0,-53)),
-      |(4957,8772680466610159*power(2.0,-53)),
-      |(4958,9005392181693716*power(2.0,-53)),
-      |(4959,9007132973942705*power(2.0,-53)),
-      |(4960,4774326336713360*power(2.0,-61)),
-      |(4961,8993633918599835*power(2.0,-53)),
-      |(4962,5544404224291644*power(2.0,-53)),
-      |(4963,7129502586478801*power(2.0,-58)),
-      |(4964,5192449515700734*power(2.0,-61)),
-      |(4965,8927332675500764*power(2.0,-53)),
-      |(4966,9005313400004840*power(2.0,-53)),
-      |(4967,8997012300749750*power(2.0,-53)),
-      |(4968,9006964543319467*power(2.0,-53)),
-      |(4969,8910901326437903*power(2.0,-53)),
-      |(4970,9007052855356133*power(2.0,-53)),
-      |(4971,9005362532478349*power(2.0,-53)),
-      |(4972,9005726174437316*power(2.0,-53)),
-      |(4973,9006581961108604*power(2.0,-53)),
-      |(4974,9007197777642340*power(2.0,-53)),
-      |(4975,8808245820921814*power(2.0,-53)),
-      |(4976,8416340159202960*power(2.0,-59)),
-      |(4977,9006068155713445*power(2.0,-53)),
-      |(4978,9006786431148460*power(2.0,-53)),
-      |(4979,8779826457153870*power(2.0,-53)),
-      |(4980,8642318950873918*power(2.0,-62)),
-      |(4981,9006196259565233*power(2.0,-53)),
-      |(4982,9007153754534377*power(2.0,-53)),
-      |(4983,8474892530570989*power(2.0,-53)),
-      |(4984,9007194010356396*power(2.0,-53)),
-      |(4985,8991959276279999*power(2.0,-53)),
-      |(4986,7260464507754836*power(2.0,-62)),
-      |(4987,7846254069499231*power(2.0,-53)),
-      |(4988,9007195721254456*power(2.0,-53)),
-      |(4989,8995494037604301*power(2.0,-53)),
-      |(4990,9006220112284978*power(2.0,-53)),
-      |(4991,9007121988052800*power(2.0,-53)),
-      |(4992,8999495681178809*power(2.0,-53)),
-      |(4993,8420080889671516*power(2.0,-63)),
-      |(4994,6385673220618471*power(2.0,-65)),
-      |(4995,9006888179858721*power(2.0,-53)),
-      |(4996,9006007438540166*power(2.0,-53)),
-      |(4997,8742871052192629*power(2.0,-53)),
-      |(4998,5267359845497823*power(2.0,-59)),
-      |(4999,6573811132177978*power(2.0,-57))""".stripMargin).mkString(" ").replace("\n", " ")
+    Pins.resource("quality_prob_dyadic_sf01.txt")
 
   private val qualityProbDyadicSf001: String =
-    """(0,9003139928019914*power(2.0,-53)),
-         |   (1,8960309045998384*power(2.0,-53)),
-         |   (2,8997557260284441*power(2.0,-53)),
-         |   (3,8932172807986076*power(2.0,-53)),
-         |   (4,7039886104260074*power(2.0,-53)),
-         |   (5,7883236471039619*power(2.0,-54)),
-         |   (6,7334397564575152*power(2.0,-78)),
-         |   (7,8998561361110165*power(2.0,-53)),
-         |   (8,9007191514398676*power(2.0,-53)),
-         |   (9,9006521306236721*power(2.0,-53)),
-         |   (10,8999130602353427*power(2.0,-53)),
-         |   (11,8999161240662078*power(2.0,-53)),
-         |   (12,9000732168058132*power(2.0,-53)),
-         |   (13,7944878283927690*power(2.0,-53)),
-         |   (14,8940869216464380*power(2.0,-53)),
-         |   (15,7374249487054580*power(2.0,-57)),
-         |   (16,6568236914577817*power(2.0,-75)),
-         |   (17,8974012998724331*power(2.0,-53)),
-         |   (18,9001627744307120*power(2.0,-53)),
-         |   (19,7922194995785076*power(2.0,-64)),
-         |   (20,8935858204166546*power(2.0,-53)),
-         |   (21,5193305767712844*power(2.0,-58)),
-         |   (22,9002098315696647*power(2.0,-53)),
-         |   (23,4726191370641976*power(2.0,-53)),
-         |   (24,9005558641112489*power(2.0,-53)),
-         |   (25,9007191385155414*power(2.0,-53)),
-         |   (26,5208028369289553*power(2.0,-79)),
-         |   (27,8954877968857546*power(2.0,-53)),
-         |   (28,8909896969070117*power(2.0,-53)),
-         |   (29,8799341740647971*power(2.0,-53)),
-         |   (30,8860329875185485*power(2.0,-53)),
-         |   (31,8770647465004180*power(2.0,-53)),
-         |   (32,9007171534421530*power(2.0,-53)),
-         |   (33,8988321637495618*power(2.0,-53)),
-         |   (34,6066854862808709*power(2.0,-66)),
-         |   (35,9006484541475518*power(2.0,-53)),
-         |   (36,5414190281280854*power(2.0,-71)),
-         |   (37,8954233134694137*power(2.0,-53)),
-         |   (38,8736105330603763*power(2.0,-53)),
-         |   (39,6621827723719963*power(2.0,-54)),
-         |   (40,9006041713252926*power(2.0,-53)),
-         |   (41,8996722854895308*power(2.0,-53)),
-         |   (42,8909578551577716*power(2.0,-53)),
-         |   (43,5992475466235571*power(2.0,-59)),
-         |   (44,6736685698400169*power(2.0,-54)),
-         |   (45,9006396435869450*power(2.0,-53)),
-         |   (46,9006994955296753*power(2.0,-53)),
-         |   (47,5928631557829227*power(2.0,-53)),
-         |   (48,6804056587155181*power(2.0,-66)),
-         |   (49,6382173773083037*power(2.0,-53)),
-         |   (50,5895886058503750*power(2.0,-53)),
-         |   (51,9007183907207389*power(2.0,-53)),
-         |   (52,8371627555677007*power(2.0,-53)),
-         |   (53,6399110174869586*power(2.0,-58)),
-         |   (54,8637255490925634*power(2.0,-53)),
-         |   (55,8851946343595392*power(2.0,-53)),
-         |   (56,9005388957583737*power(2.0,-53)),
-         |   (57,9007052950118430*power(2.0,-53)),
-         |   (58,9006414168907809*power(2.0,-53)),
-         |   (59,8955602503581350*power(2.0,-53)),
-         |   (60,9007172482006589*power(2.0,-53)),
-         |   (61,8995789455790455*power(2.0,-53)),
-         |   (62,9001499337666153*power(2.0,-53)),
-         |   (63,9006753505009490*power(2.0,-53)),
-         |   (64,7595011536493989*power(2.0,-61)),
-         |   (65,5091973667268575*power(2.0,-53)),
-         |   (66,8997967726356417*power(2.0,-53)),
-         |   (67,9006010053197417*power(2.0,-53)),
-         |   (68,6995838609331490*power(2.0,-54)),
-         |   (69,9007117891432637*power(2.0,-53)),
-         |   (70,9007197658626119*power(2.0,-53)),
-         |   (71,5306442730318848*power(2.0,-53)),
-         |   (72,6178528022464017*power(2.0,-56)),
-         |   (73,9007162415489180*power(2.0,-53)),
-         |   (74,7103906625716197*power(2.0,-84)),
-         |   (75,9007197981165438*power(2.0,-53)),
-         |   (76,9006283698351018*power(2.0,-53)),
-         |   (77,8996519220409221*power(2.0,-53)),
-         |   (78,6009149248578787*power(2.0,-53)),
-         |   (79,8852862888750136*power(2.0,-53)),
-         |   (80,9003271334502375*power(2.0,-53)),
-         |   (81,6134204345481197*power(2.0,-53)),
-         |   (82,7054912200929973*power(2.0,-53)),
-         |   (83,7464457065940722*power(2.0,-64)),
-         |   (84,9006139078414329*power(2.0,-53)),
-         |   (85,9007159516127736*power(2.0,-53)),
-         |   (86,6417709890816954*power(2.0,-71)),
-         |   (87,6926799159804492*power(2.0,-61)),
-         |   (88,6922653629245318*power(2.0,-53)),
-         |   (89,7559639217880980*power(2.0,-54)),
-         |   (90,9007008343879245*power(2.0,-53)),
-         |   (91,9003023878158338*power(2.0,-53)),
-         |   (92,8892552260531634*power(2.0,-53)),
-         |   (93,8889608404093084*power(2.0,-53)),
-         |   (94,7152010737673105*power(2.0,-62)),
-         |   (95,8999212411947815*power(2.0,-53)),
-         |   (96,8896242010219665*power(2.0,-53)),
-         |   (97,8998376963401814*power(2.0,-53)),
-         |   (98,9006998404497269*power(2.0,-53)),
-         |   (99,6220640467566702*power(2.0,-53)),
-         |   (100,9007033630009378*power(2.0,-53)),
-         |   (101,6977526709995961*power(2.0,-61)),
-         |   (102,9007198751840780*power(2.0,-53)),
-         |   (103,8996623132053478*power(2.0,-53)),
-         |   (104,5019069098974610*power(2.0,-56)),
-         |   (105,8999998143879478*power(2.0,-53)),
-         |   (106,5826716534477720*power(2.0,-78)),
-         |   (107,4871271677039566*power(2.0,-56)),
-         |   (108,6192473600747324*power(2.0,-64)),
-         |   (109,8760395229288189*power(2.0,-53)),
-         |   (110,4672152650114993*power(2.0,-80)),
-         |   (111,8969797992894132*power(2.0,-53)),
-         |   (112,9006322678206835*power(2.0,-53)),
-         |   (113,9007171724284805*power(2.0,-53)),
-         |   (114,8022285740000902*power(2.0,-54)),
-         |   (115,6514448562877545*power(2.0,-69)),
-         |   (116,5500903149967474*power(2.0,-85)),
-         |   (117,8996693854295078*power(2.0,-53)),
-         |   (118,9006208975741725*power(2.0,-53)),
-         |   (119,6299970028832654*power(2.0,-64)),
-         |   (120,7455111413420312*power(2.0,-54)),
-         |   (121,5713911813945237*power(2.0,-59)),
-         |   (122,5136946955406435*power(2.0,-53)),
-         |   (123,6573607984564067*power(2.0,-54)),
-         |   (124,9006368949618900*power(2.0,-53)),
-         |   (125,4891508933792689*power(2.0,-53)),
-         |   (126,9006460051636800*power(2.0,-53)),
-         |   (127,9003754210678995*power(2.0,-53)),
-         |   (128,8987743064078074*power(2.0,-53)),
-         |   (129,9006512681018594*power(2.0,-53)),
-         |   (130,8894512770267535*power(2.0,-53)),
-         |   (131,8915362470713368*power(2.0,-53)),
-         |   (132,9007090552393202*power(2.0,-53)),
-         |   (133,9007199227510224*power(2.0,-53)),
-         |   (134,4625533796825302*power(2.0,-60)),
-         |   (135,9007199217368298*power(2.0,-53)),
-         |   (136,8953561692181592*power(2.0,-53)),
-         |   (137,8998320835684950*power(2.0,-53)),
-         |   (138,8999024245887128*power(2.0,-53)),
-         |   (139,9007198251423998*power(2.0,-53)),
-         |   (140,6797300221214091*power(2.0,-60)),
-         |   (141,8020081085373564*power(2.0,-53)),
-         |   (142,9007199225036998*power(2.0,-53)),
-         |   (143,8949435543603569*power(2.0,-53)),
-         |   (144,7066519943019320*power(2.0,-63)),
-         |   (145,8963008526926361*power(2.0,-53)),
-         |   (146,5054774270880295*power(2.0,-62)),
-         |   (147,9007003060432762*power(2.0,-53)),
-         |   (148,8990942190780285*power(2.0,-53)),
-         |   (149,4519116707314105*power(2.0,-60)),
-         |   (150,6602744421968780*power(2.0,-53)),
-         |   (151,9005247288602623*power(2.0,-53)),
-         |   (152,8770213544334440*power(2.0,-53)),
-         |   (153,9007016363345118*power(2.0,-53)),
-         |   (154,9007176433825852*power(2.0,-53)),
-         |   (155,9007066476853784*power(2.0,-53)),
-         |   (156,7476589389934776*power(2.0,-71)),
-         |   (157,8165963572219047*power(2.0,-63)),
-         |   (158,7798007974049324*power(2.0,-75)),
-         |   (159,8671811517500169*power(2.0,-53)),
-         |   (160,8999127513397847*power(2.0,-53)),
-         |   (161,9004476863885139*power(2.0,-53)),
-         |   (162,9006551227442729*power(2.0,-53)),
-         |   (163,8748180870692573*power(2.0,-56)),
-         |   (164,4928436921042173*power(2.0,-62)),
-         |   (165,6932129656429038*power(2.0,-62)),
-         |   (166,9007066350123281*power(2.0,-53)),
-         |   (167,9007191582713487*power(2.0,-53)),
-         |   (168,8999663643694359*power(2.0,-53)),
-         |   (169,8940792197754143*power(2.0,-53)),
-         |   (170,7243220357736211*power(2.0,-63)),
-         |   (171,9000750468324344*power(2.0,-53)),
-         |   (172,5079856774407776*power(2.0,-53)),
-         |   (173,9007034822012905*power(2.0,-53)),
-         |   (174,8888228561054283*power(2.0,-53)),
-         |   (175,6641227896559150*power(2.0,-55)),
-         |   (176,9003889717440632*power(2.0,-53)),
-         |   (177,8886103152464687*power(2.0,-53)),
-         |   (178,8753280299341103*power(2.0,-53)),
-         |   (179,9007044998014064*power(2.0,-53)),
-         |   (180,7872280777652287*power(2.0,-54)),
-         |   (181,6215813214261165*power(2.0,-54)),
-         |   (182,9006312342383493*power(2.0,-53)),
-         |   (183,5372686210657747*power(2.0,-53)),
-         |   (184,9007028282512696*power(2.0,-53)),
-         |   (185,8994998107307405*power(2.0,-53)),
-         |   (186,9007198061368286*power(2.0,-53)),
-         |   (187,9007197685440725*power(2.0,-53)),
-         |   (188,9006549283842585*power(2.0,-53)),
-         |   (189,8699898011699348*power(2.0,-58)),
-         |   (190,9006509130562323*power(2.0,-53)),
-         |   (191,8672889284305712*power(2.0,-71)),
-         |   (192,9006653873708312*power(2.0,-53)),
-         |   (193,7970010577301127*power(2.0,-59)),
-         |   (194,4921501420317335*power(2.0,-53)),
-         |   (195,8935157716018947*power(2.0,-53)),
-         |   (196,4709595697616409*power(2.0,-53)),
-         |   (197,9007172669457768*power(2.0,-53)),
-         |   (198,6787416320745658*power(2.0,-53)),
-         |   (199,9007168899118191*power(2.0,-53)),
-         |   (200,7762212795899156*power(2.0,-53)),
-         |   (201,8872709462514005*power(2.0,-53)),
-         |   (202,9006663294342396*power(2.0,-53)),
-         |   (203,6145191255447126*power(2.0,-61)),
-         |   (204,8779609893567131*power(2.0,-71)),
-         |   (205,9000504211692696*power(2.0,-53)),
-         |   (206,7067920858820486*power(2.0,-54)),
-         |   (207,8978963176300266*power(2.0,-53)),
-         |   (208,7787209542761706*power(2.0,-62)),
-         |   (209,8783538689605147*power(2.0,-53)),
-         |   (210,9007169237091750*power(2.0,-53)),
-         |   (211,8891865938805537*power(2.0,-53)),
-         |   (212,8934941512161937*power(2.0,-54)),
-         |   (213,9007197940915180*power(2.0,-53)),
-         |   (214,7861251998362911*power(2.0,-64)),
-         |   (215,9007199251255568*power(2.0,-53)),
-         |   (216,9003450508397696*power(2.0,-53)),
-         |   (217,9006378440085811*power(2.0,-53)),
-         |   (218,9006291168607437*power(2.0,-53)),
-         |   (219,5828024509690338*power(2.0,-67)),
-         |   (220,9007088021836513*power(2.0,-53)),
-         |   (221,9006864623266198*power(2.0,-53)),
-         |   (222,9007198904439790*power(2.0,-53)),
-         |   (223,9006539102256894*power(2.0,-53)),
-         |   (224,9006050112233564*power(2.0,-53)),
-         |   (225,9006330258851531*power(2.0,-53)),
-         |   (226,6717988743994189*power(2.0,-54)),
-         |   (227,9006171496610177*power(2.0,-53)),
-         |   (228,9007076791835280*power(2.0,-53)),
-         |   (229,9007036351051634*power(2.0,-53)),
-         |   (230,9006292033081935*power(2.0,-53)),
-         |   (231,7953043813343138*power(2.0,-54)),
-         |   (232,8903099012096953*power(2.0,-53)),
-         |   (233,9002984083848737*power(2.0,-53)),
-         |   (234,9007184071765437*power(2.0,-53)),
-         |   (235,8503328418211936*power(2.0,-54)),
-         |   (236,5294931451111960*power(2.0,-79)),
-         |   (237,9006538332842068*power(2.0,-53)),
-         |   (238,8843574256756731*power(2.0,-53)),
-         |   (239,7914975011050364*power(2.0,-54)),
-         |   (240,9007021593441848*power(2.0,-53)),
-         |   (241,9007166642752867*power(2.0,-53)),
-         |   (242,8738309696897474*power(2.0,-53)),
-         |   (243,8778012171417632*power(2.0,-53)),
-         |   (244,8635770656693888*power(2.0,-53)),
-         |   (245,9007191478926809*power(2.0,-53)),
-         |   (246,9007196352852573*power(2.0,-53)),
-         |   (247,9007043656530050*power(2.0,-53)),
-         |   (248,8986987325209770*power(2.0,-53)),
-         |   (249,9007199211196088*power(2.0,-53)),
-         |   (250,8806443220330240*power(2.0,-53)),
-         |   (251,9006752419857825*power(2.0,-53)),
-         |   (252,8805359183247770*power(2.0,-53)),
-         |   (253,9002715960926934*power(2.0,-53)),
-         |   (254,7696317154905081*power(2.0,-74)),
-         |   (255,6612363142825950*power(2.0,-54)),
-         |   (256,7629164296524274*power(2.0,-83)),
-         |   (257,5660852600068173*power(2.0,-62)),
-         |   (258,9006382295721523*power(2.0,-53)),
-         |   (259,6579893999520653*power(2.0,-56)),
-         |   (260,5815159701125346*power(2.0,-54)),
-         |   (261,9003903373295555*power(2.0,-53)),
-         |   (262,9007161243583095*power(2.0,-53)),
-         |   (263,9007070736309510*power(2.0,-53)),
-         |   (264,9005928196715788*power(2.0,-53)),
-         |   (265,5447875064027665*power(2.0,-53)),
-         |   (266,5841712193612601*power(2.0,-53)),
-         |   (267,9006306370998394*power(2.0,-53)),
-         |   (268,8998597399512158*power(2.0,-53)),
-         |   (269,9007192262566986*power(2.0,-53)),
-         |   (270,9007197536541562*power(2.0,-53)),
-         |   (271,5948749810292188*power(2.0,-54)),
-         |   (272,9007169164377289*power(2.0,-53)),
-         |   (273,5569869247016895*power(2.0,-67)),
-         |   (274,9007171181916965*power(2.0,-53)),
-         |   (275,8966880362904637*power(2.0,-53)),
-         |   (276,8982680079761898*power(2.0,-53)),
-         |   (277,8821462249489473*power(2.0,-53)),
-         |   (278,8721345120803151*power(2.0,-53)),
-         |   (279,8995218218305792*power(2.0,-53)),
-         |   (280,9007194135202542*power(2.0,-53)),
-         |   (281,8300383190848374*power(2.0,-66)),
-         |   (282,8413058866591528*power(2.0,-54)),
-         |   (283,9003913322689387*power(2.0,-53)),
-         |   (284,8894600630252204*power(2.0,-53)),
-         |   (285,9006789530397604*power(2.0,-53)),
-         |   (286,8871293011329583*power(2.0,-53)),
-         |   (287,4935639318892163*power(2.0,-53)),
-         |   (288,8552285451330503*power(2.0,-54)),
-         |   (289,4614302165420884*power(2.0,-58)),
-         |   (290,9007008446752563*power(2.0,-53)),
-         |   (291,9007045862523975*power(2.0,-53)),
-         |   (292,9006514329586423*power(2.0,-53)),
-         |   (293,9006376361064513*power(2.0,-53)),
-         |   (294,9006340033518356*power(2.0,-53)),
-         |   (295,8098163385591295*power(2.0,-65)),
-         |   (296,9006108861587109*power(2.0,-53)),
-         |   (297,9007098308706411*power(2.0,-53)),
-         |   (298,7514494559321081*power(2.0,-65)),
-         |   (299,9006819837984853*power(2.0,-53)),
-         |   (300,5219707826495912*power(2.0,-53)),
-         |   (301,9006764633333127*power(2.0,-53)),
-         |   (302,9006571509796352*power(2.0,-53)),
-         |   (303,9006629058475302*power(2.0,-53)),
-         |   (304,9007183819159440*power(2.0,-53)),
-         |   (305,4724389656684274*power(2.0,-81)),
-         |   (306,9006225365578681*power(2.0,-53)),
-         |   (307,8903397968944333*power(2.0,-53)),
-         |   (308,6375981328909293*power(2.0,-74)),
-         |   (309,8875716167430495*power(2.0,-53)),
-         |   (310,6755460219551663*power(2.0,-54)),
-         |   (311,9007198834187250*power(2.0,-53)),
-         |   (312,9006256850856493*power(2.0,-53)),
-         |   (313,9007194619338586*power(2.0,-53)),
-         |   (314,9003308070280705*power(2.0,-53)),
-         |   (315,9007055612732375*power(2.0,-53)),
-         |   (316,8971676364176352*power(2.0,-53)),
-         |   (317,8726084387806183*power(2.0,-53)),
-         |   (318,8991856434804170*power(2.0,-53)),
-         |   (319,8987469455346279*power(2.0,-53)),
-         |   (320,9007176964137016*power(2.0,-53)),
-         |   (321,5781150440053441*power(2.0,-55)),
-         |   (322,5998384324284571*power(2.0,-53)),
-         |   (323,9007066314757648*power(2.0,-53)),
-         |   (324,8792369888036637*power(2.0,-53)),
-         |   (325,8932144137486525*power(2.0,-53)),
-         |   (326,8940017944196206*power(2.0,-54)),
-         |   (327,7062984195573540*power(2.0,-64)),
-         |   (328,9007071567298776*power(2.0,-53)),
-         |   (329,9007182542925955*power(2.0,-53)),
-         |   (330,8999011008866608*power(2.0,-53)),
-         |   (331,4625045061684783*power(2.0,-54)),
-         |   (332,6723365393844334*power(2.0,-54)),
-         |   (333,8945738614810413*power(2.0,-59)),
-         |   (334,9007199161007475*power(2.0,-53)),
-         |   (335,9005876686770243*power(2.0,-53)),
-         |   (336,8731442844653599*power(2.0,-53)),
-         |   (337,8804086338670078*power(2.0,-53)),
-         |   (338,9003527544041709*power(2.0,-53)),
-         |   (339,6728499548577891*power(2.0,-59)),
-         |   (340,7960912985398523*power(2.0,-56)),
-         |   (341,9006620038896474*power(2.0,-53)),
-         |   (342,5073165428677213*power(2.0,-71)),
-         |   (343,8814720982161543*power(2.0,-53)),
-         |   (344,8984446112171599*power(2.0,-53)),
-         |   (345,8996306345785822*power(2.0,-53)),
-         |   (346,8971204088630639*power(2.0,-53)),
-         |   (347,5644721147742338*power(2.0,-55)),
-         |   (348,6718937377504998*power(2.0,-69)),
-         |   (349,9007198896191772*power(2.0,-53)),
-         |   (350,9006277476344685*power(2.0,-53)),
-         |   (351,7485427738872675*power(2.0,-53)),
-         |   (352,9007191433545165*power(2.0,-53)),
-         |   (353,9007098237864140*power(2.0,-53)),
-         |   (354,9006280383985053*power(2.0,-53)),
-         |   (355,9007011495450074*power(2.0,-53)),
-         |   (356,9000261543019625*power(2.0,-53)),
-         |   (357,8831426939142022*power(2.0,-53)),
-         |   (358,6520194889473971*power(2.0,-81)),
-         |   (359,8998439375302735*power(2.0,-53)),
-         |   (360,9007035287077729*power(2.0,-53)),
-         |   (361,5741632181261650*power(2.0,-53)),
-         |   (362,5167166438047072*power(2.0,-63)),
-         |   (363,8946421835589611*power(2.0,-53)),
-         |   (364,6759053737984137*power(2.0,-53)),
-         |   (365,5428239772721092*power(2.0,-78)),
-         |   (366,7842846278515596*power(2.0,-53)),
-         |   (367,8796711889177339*power(2.0,-53)),
-         |   (368,7927547108617294*power(2.0,-80)),
-         |   (369,9006331562012939*power(2.0,-53)),
-         |   (370,7233579866125967*power(2.0,-62)),
-         |   (371,8950024666690963*power(2.0,-53)),
-         |   (372,6795350798592992*power(2.0,-60)),
-         |   (373,9007033489675211*power(2.0,-53)),
-         |   (374,5375018234497284*power(2.0,-65)),
-         |   (375,8999650346599559*power(2.0,-53)),
-         |   (376,9006256619365829*power(2.0,-53)),
-         |   (377,7571664949852254*power(2.0,-56)),
-         |   (378,9007187215644638*power(2.0,-53)),
-         |   (379,8973690593500742*power(2.0,-53)),
-         |   (380,9007046987960185*power(2.0,-53)),
-         |   (381,5797516922427451*power(2.0,-55)),
-         |   (382,8933718734389154*power(2.0,-53)),
-         |   (383,8790755596540792*power(2.0,-53)),
-         |   (384,7733262772958320*power(2.0,-74)),
-         |   (385,9006896573233788*power(2.0,-53)),
-         |   (386,9007198946165801*power(2.0,-53)),
-         |   (387,7820243171954945*power(2.0,-57)),
-         |   (388,8466921156696962*power(2.0,-53)),
-         |   (389,7257788680281734*power(2.0,-54)),
-         |   (390,8919745298213706*power(2.0,-53)),
-         |   (391,5753358736035806*power(2.0,-53)),
-         |   (392,5820015499798853*power(2.0,-70)),
-         |   (393,8902597771438681*power(2.0,-53)),
-         |   (394,8635457298724468*power(2.0,-53)),
-         |   (395,8982534785716579*power(2.0,-53)),
-         |   (396,7919550480221278*power(2.0,-56)),
-         |   (397,8871170443449940*power(2.0,-53)),
-         |   (398,5708427228495596*power(2.0,-62)),
-         |   (399,8028563675291334*power(2.0,-53)),
-         |   (400,5089832809177138*power(2.0,-61)),
-         |   (401,8969953145421701*power(2.0,-53)),
-         |   (402,9004329707994893*power(2.0,-53)),
-         |   (403,8935351710658338*power(2.0,-53)),
-         |   (404,7139755102539138*power(2.0,-53)),
-         |   (405,8993476387909184*power(2.0,-53)),
-         |   (406,9007168899802145*power(2.0,-53)),
-         |   (407,7756413626682430*power(2.0,-62)),
-         |   (408,5977340868183170*power(2.0,-63)),
-         |   (409,9007118065575936*power(2.0,-53)),
-         |   (410,9002192963690550*power(2.0,-53)),
-         |   (411,9007179017196154*power(2.0,-53)),
-         |   (412,9007198739082194*power(2.0,-53)),
-         |   (413,9006355186718236*power(2.0,-53)),
-         |   (414,9007199219251960*power(2.0,-53)),
-         |   (415,9006266200121720*power(2.0,-53)),
-         |   (416,8998627745233887*power(2.0,-53)),
-         |   (417,9004751006742346*power(2.0,-53)),
-         |   (418,8134867190812153*power(2.0,-53)),
-         |   (419,5058955329366603*power(2.0,-71)),
-         |   (420,8889493202336972*power(2.0,-53)),
-         |   (421,8920844855456837*power(2.0,-53)),
-         |   (422,8948860909513912*power(2.0,-53)),
-         |   (423,8999712615447976*power(2.0,-53)),
-         |   (424,9006319027917467*power(2.0,-53)),
-         |   (425,6531458576420445*power(2.0,-54)),
-         |   (426,9006593251017423*power(2.0,-53)),
-         |   (427,9007169733004104*power(2.0,-53)),
-         |   (428,6658505096994945*power(2.0,-59)),
-         |   (429,8976189267639523*power(2.0,-53)),
-         |   (430,9006203585418663*power(2.0,-53)),
-         |   (431,8997157228281297*power(2.0,-53)),
-         |   (432,8631870031742016*power(2.0,-53)),
-         |   (433,4518956545270142*power(2.0,-59)),
-         |   (434,8991105259577845*power(2.0,-53)),
-         |   (435,8156636442617775*power(2.0,-59)),
-         |   (436,8862287538723484*power(2.0,-53)),
-         |   (437,9003801756623386*power(2.0,-53)),
-         |   (438,4959714708625934*power(2.0,-65)),
-         |   (439,8830792924539163*power(2.0,-53)),
-         |   (440,6200344204717111*power(2.0,-53)),
-         |   (441,9000664843902946*power(2.0,-53)),
-         |   (442,9007197998155989*power(2.0,-53)),
-         |   (443,9006054438982336*power(2.0,-53)),
-         |   (444,9007164232725658*power(2.0,-53)),
-         |   (445,8913983836357320*power(2.0,-53)),
-         |   (446,7087052753648052*power(2.0,-54)),
-         |   (447,9007197659815318*power(2.0,-53)),
-         |   (448,8995407450721296*power(2.0,-53)),
-         |   (449,6475886054404610*power(2.0,-54)),
-         |   (450,8902556398807376*power(2.0,-53)),
-         |   (451,7425377002360794*power(2.0,-63)),
-         |   (452,9000020629042879*power(2.0,-53)),
-         |   (453,9007178665497514*power(2.0,-53)),
-         |   (454,8874005709398393*power(2.0,-53)),
-         |   (455,6826104493424920*power(2.0,-81)),
-         |   (456,5104885779778246*power(2.0,-53)),
-         |   (457,4818544989557657*power(2.0,-53)),
-         |   (458,8940472163383536*power(2.0,-53)),
-         |   (459,9000601302132858*power(2.0,-53)),
-         |   (460,7275125005154951*power(2.0,-53)),
-         |   (461,8967663478566617*power(2.0,-53)),
-         |   (462,8946672588090980*power(2.0,-53)),
-         |   (463,9007170052547129*power(2.0,-53)),
-         |   (464,8783134686419687*power(2.0,-53)),
-         |   (465,9007102109070518*power(2.0,-53)),
-         |   (466,9004569855692694*power(2.0,-53)),
-         |   (467,9007017734513323*power(2.0,-53)),
-         |   (468,8667335956775208*power(2.0,-54)),
-         |   (469,6390334746010592*power(2.0,-83)),
-         |   (470,6551521593662156*power(2.0,-53)),
-         |   (471,9007088335412959*power(2.0,-53)),
-         |   (472,5784733502349161*power(2.0,-57)),
-         |   (473,8902435368045145*power(2.0,-53)),
-         |   (474,9007061846926682*power(2.0,-53)),
-         |   (475,7309900832697633*power(2.0,-62)),
-         |   (476,6773244932159942*power(2.0,-64)),
-         |   (477,5563135844647977*power(2.0,-54)),
-         |   (478,8805256156234110*power(2.0,-53)),
-         |   (479,8626923745358525*power(2.0,-53)),
-         |   (480,8933682139164901*power(2.0,-53)),
-         |   (481,7695870095287205*power(2.0,-76)),
-         |   (482,7731244659412814*power(2.0,-54)),
-         |   (483,8997067330473633*power(2.0,-53)),
-         |   (484,8863496854078642*power(2.0,-53)),
-         |   (485,7002105258243147*power(2.0,-61)),
-         |   (486,5281270466896225*power(2.0,-58)),
-         |   (487,8216017452870263*power(2.0,-53)),
-         |   (488,8804422064898992*power(2.0,-53)),
-         |   (489,8107404908440215*power(2.0,-53)),
-         |   (490,9006356590468322*power(2.0,-53)),
-         |   (491,9005884943971409*power(2.0,-53)),
-         |   (492,7389285100678948*power(2.0,-79)),
-         |   (493,9007197565392625*power(2.0,-53)),
-         |   (494,6483690734702398*power(2.0,-62)),
-         |   (495,8971537349238635*power(2.0,-53)),
-         |   (496,9007011789812837*power(2.0,-53)),
-         |   (497,7610831341451245*power(2.0,-73)),
-         |   (498,8995041565385829*power(2.0,-53)),
-         |   (499,9007198282630267*power(2.0,-53))""".stripMargin
+    Pins.resourceLines("quality_prob_dyadic_sf001.txt")
 
   val oracles: Map[String, String] = Map(
     // H19 pinned scoring artifact (r11): the canonical training feed
@@ -6548,1207 +550,7 @@ object TextQueries {
          |   (497,'fr'), (498,'fr'), (499,'zh')) v(id, l)""".stripMargin,
       "SELECT CAST(col0 AS BIGINT) AS doc_id, " +
         "col1 AS lang_model FROM (VALUES " +
-    Seq(
-    """(0,'zh'),(1,'es'),(2,'fr'),(3,'en'),(4,'fr'),(5,'fr'),
-      |(6,'fr'),(7,'zh'),(8,'fr'),(9,'fr'),(10,'de'),(11,'fr'),
-      |(12,'fr'),(13,'fr'),(14,'es'),(15,'fr'),(16,'fr'),
-      |(17,'fr'),(18,'fr'),(19,'fr'),(20,'fr'),(21,'fr'),
-      |(22,'fr'),(23,'fr'),(24,'fr'),(25,'fr'),(26,'fr'),
-      |(27,'fr'),(28,'fr'),(29,'fr'),(30,'zh'),(31,'fr'),
-      |(32,'fr'),(33,'fr'),(34,'fr'),(35,'fr'),(36,'zh'),
-      |(37,'zh'),(38,'fr'),(39,'es'),(40,'fr'),(41,'fr'),
-      |(42,'es'),(43,'fr'),(44,'fr'),(45,'fr'),(46,'fr'),
-      |(47,'fr'),(48,'fr'),(49,'fr'),(50,'fr'),(51,'fr'),
-      |(52,'zh'),(53,'fr'),(54,'fr'),(55,'zh'),(56,'fr'),
-      |(57,'fr'),(58,'fr'),(59,'fr'),(60,'en'),(61,'en'),
-      |(62,'fr'),(63,'fr'),(64,'es'),(65,'zh'),(66,'zh'),
-      |(67,'zh'),(68,'fr'),(69,'fr'),(70,'zh'),(71,'fr'),
-      |(72,'fr'),(73,'fr'),(74,'zh'),(75,'fr'),(76,'fr'),
-      |(77,'zh'),(78,'zh'),(79,'fr'),(80,'zh'),(81,'zh'),
-      |(82,'es'),(83,'fr'),(84,'es'),(85,'fr'),(86,'fr'),
-      |(87,'fr'),(88,'fr'),(89,'fr'),(90,'fr'),(91,'zh'),
-      |(92,'fr'),(93,'fr'),(94,'fr'),(95,'fr'),(96,'fr'),
-      |(97,'zh'),(98,'fr'),(99,'fr'),(100,'fr'),(101,'en'),
-      |(102,'fr'),(103,'fr'),(104,'en'),(105,'es'),(106,'fr'),
-      |(107,'fr'),(108,'zh'),(109,'fr'),(110,'fr'),(111,'zh'),
-      |(112,'fr'),(113,'fr'),(114,'en'),(115,'fr'),(116,'fr'),
-      |(117,'fr'),(118,'fr'),(119,'fr'),(120,'fr'),(121,'fr'),
-      |(122,'zh'),(123,'fr'),(124,'fr'),(125,'fr'),(126,'zh'),
-      |(127,'fr'),(128,'en'),(129,'zh'),(130,'fr'),(131,'fr'),
-      |(132,'fr'),(133,'zh'),(134,'fr'),(135,'zh'),(136,'fr'),
-      |(137,'fr'),(138,'fr'),(139,'fr'),(140,'fr'),(141,'en'),
-      |(142,'de'),(143,'fr'),(144,'fr'),(145,'en'),(146,'fr'),
-      |(147,'fr'),(148,'fr'),(149,'en'),(150,'de'),(151,'fr'),
-      |(152,'fr'),(153,'zh'),(154,'fr'),(155,'zh'),(156,'zh'),
-      |(157,'en'),(158,'zh'),(159,'fr'),(160,'fr'),(161,'fr'),
-      |(162,'fr'),(163,'fr'),(164,'fr'),(165,'fr'),(166,'zh'),
-      |(167,'zh'),(168,'fr'),(169,'es'),(170,'fr'),(171,'fr'),
-      |(172,'en'),(173,'fr'),(174,'en'),(175,'zh'),(176,'fr'),
-      |(177,'fr'),(178,'fr'),(179,'zh'),(180,'fr'),(181,'fr'),
-      |(182,'es'),(183,'zh'),(184,'fr'),(185,'zh'),(186,'fr'),
-      |(187,'zh'),(188,'es'),(189,'fr'),(190,'es'),(191,'fr'),
-      |(192,'zh'),(193,'fr'),(194,'fr'),(195,'zh'),(196,'fr'),
-      |(197,'zh'),(198,'es'),(199,'fr'),(200,'fr'),(201,'de'),
-      |(202,'fr'),(203,'fr'),(204,'zh'),(205,'fr'),(206,'fr'),
-      |(207,'es'),(208,'es'),(209,'fr'),(210,'fr'),(211,'fr'),
-      |(212,'fr'),(213,'fr'),(214,'fr'),(215,'zh'),(216,'fr'),
-      |(217,'zh'),(218,'zh'),(219,'fr'),(220,'fr'),(221,'fr'),
-      |(222,'fr'),(223,'fr'),(224,'es'),(225,'fr'),(226,'fr'),
-      |(227,'fr'),(228,'fr'),(229,'zh'),(230,'zh'),(231,'fr'),
-      |(232,'fr'),(233,'fr'),(234,'fr'),(235,'zh'),(236,'fr'),
-      |(237,'fr'),(238,'fr'),(239,'zh'),(240,'en'),(241,'fr'),
-      |(242,'en'),(243,'zh'),(244,'fr'),(245,'fr'),(246,'fr'),
-      |(247,'fr'),(248,'fr'),(249,'fr'),(250,'zh'),(251,'fr'),
-      |(252,'fr'),(253,'fr'),(254,'de'),(255,'fr'),(256,'fr'),
-      |(257,'zh'),(258,'fr'),(259,'fr'),(260,'fr'),(261,'zh'),
-      |(262,'fr'),(263,'zh'),(264,'fr'),(265,'fr'),(266,'fr'),
-      |(267,'fr'),(268,'fr'),(269,'en'),(270,'fr'),(271,'en'),
-      |(272,'en'),(273,'fr'),(274,'fr'),(275,'fr'),(276,'fr'),
-      |(277,'fr'),(278,'fr'),(279,'zh'),(280,'zh'),(281,'fr'),
-      |(282,'fr'),(283,'fr'),(284,'zh'),(285,'fr'),(286,'fr'),
-      |(287,'fr'),(288,'fr'),(289,'fr'),(290,'fr'),(291,'zh'),
-      |(292,'zh'),(293,'fr'),(294,'es'),(295,'fr'),(296,'fr'),
-      |(297,'zh'),(298,'zh'),(299,'fr'),(300,'en'),(301,'fr'),
-      |(302,'fr'),(303,'zh'),(304,'fr'),(305,'fr'),(306,'en'),
-      |(307,'fr'),(308,'fr'),(309,'fr'),(310,'en'),(311,'fr'),
-      |(312,'fr'),(313,'fr'),(314,'fr'),(315,'fr'),(316,'es'),
-      |(317,'fr'),(318,'en'),(319,'fr'),(320,'zh'),(321,'fr'),
-      |(322,'fr'),(323,'es'),(324,'fr'),(325,'en'),(326,'fr'),
-      |(327,'en'),(328,'fr'),(329,'fr'),(330,'zh'),(331,'en'),
-      |(332,'de'),(333,'fr'),(334,'fr'),(335,'zh'),(336,'de'),
-      |(337,'de'),(338,'zh'),(339,'zh'),(340,'fr'),(341,'fr'),
-      |(342,'fr'),(343,'fr'),(344,'fr'),(345,'fr'),(346,'fr'),
-      |(347,'fr'),(348,'fr'),(349,'fr'),(350,'fr'),(351,'zh'),
-      |(352,'fr'),(353,'fr'),(354,'fr'),(355,'en'),(356,'fr'),
-      |(357,'fr'),(358,'fr'),(359,'es'),(360,'fr'),(361,'es'),
-      |(362,'fr'),(363,'zh'),(364,'zh'),(365,'fr'),(366,'fr'),
-      |(367,'en'),(368,'fr'),(369,'fr'),(370,'en'),(371,'fr'),
-      |(372,'fr'),(373,'fr'),(374,'fr'),(375,'en'),(376,'fr'),
-      |(377,'fr'),(378,'fr'),(379,'fr'),(380,'fr'),(381,'fr'),
-      |(382,'fr'),(383,'fr'),(384,'fr'),(385,'fr'),(386,'en'),
-      |(387,'zh'),(388,'fr'),(389,'zh'),(390,'fr'),(391,'fr'),
-      |(392,'fr'),(393,'fr'),(394,'fr'),(395,'fr'),(396,'fr'),
-      |(397,'fr'),(398,'fr'),(399,'zh'),(400,'fr'),(401,'fr'),
-      |(402,'fr'),(403,'en'),(404,'fr'),(405,'fr'),(406,'fr'),
-      |(407,'fr'),(408,'fr'),(409,'fr'),(410,'zh'),(411,'fr'),
-      |(412,'fr'),(413,'zh'),(414,'fr'),(415,'zh'),(416,'zh'),
-      |(417,'fr'),(418,'en'),(419,'es'),(420,'fr'),(421,'fr'),
-      |(422,'fr'),(423,'fr'),(424,'fr'),(425,'zh'),(426,'fr'),
-      |(427,'fr'),(428,'en'),(429,'fr'),(430,'es'),(431,'zh'),
-      |(432,'fr'),(433,'en'),(434,'fr'),(435,'fr'),(436,'fr'),
-      |(437,'en'),(438,'zh'),(439,'fr'),(440,'fr'),(441,'fr'),
-      |(442,'fr'),(443,'fr'),(444,'fr'),(445,'fr'),(446,'fr'),
-      |(447,'fr'),(448,'fr'),(449,'fr'),(450,'fr'),(451,'fr'),
-      |(452,'fr'),(453,'fr'),(454,'fr'),(455,'fr'),(456,'fr'),
-      |(457,'fr'),(458,'fr'),(459,'en'),(460,'fr'),(461,'fr'),
-      |(462,'fr'),(463,'en'),(464,'es'),(465,'en'),(466,'fr'),
-      |(467,'es'),(468,'zh'),(469,'fr'),(470,'fr'),(471,'fr'),
-      |(472,'fr'),(473,'de'),(474,'fr'),(475,'fr'),(476,'fr'),
-      |(477,'zh'),(478,'zh'),(479,'fr'),(480,'en'),(481,'fr'),
-      |(482,'fr'),(483,'zh'),(484,'fr'),(485,'en'),(486,'fr'),
-      |(487,'fr'),(488,'fr'),(489,'fr'),(490,'es'),(491,'fr'),
-      |(492,'en'),(493,'fr'),(494,'fr'),(495,'fr'),(496,'zh'),
-      |(497,'es'),(498,'fr'),(499,'fr'),(500,'zh'),(501,'fr'),
-      |(502,'fr'),(503,'fr'),(504,'fr'),(505,'fr'),(506,'de'),
-      |(507,'fr'),(508,'zh'),(509,'fr'),(510,'fr'),(511,'es'),
-      |(512,'fr'),(513,'zh'),(514,'fr'),(515,'fr'),(516,'fr'),
-      |(517,'fr'),(518,'fr'),(519,'fr'),(520,'zh'),(521,'fr'),
-      |(522,'fr'),(523,'fr'),(524,'fr'),(525,'zh'),(526,'fr'),
-      |(527,'es'),(528,'zh'),(529,'fr'),(530,'fr'),(531,'en'),
-      |(532,'es'),(533,'en'),(534,'fr'),(535,'zh'),(536,'fr'),
-      |(537,'fr'),(538,'fr'),(539,'zh'),(540,'zh'),(541,'fr'),
-      |(542,'fr'),(543,'fr'),(544,'fr'),(545,'fr'),(546,'fr'),
-      |(547,'fr'),(548,'zh'),(549,'zh'),(550,'fr'),(551,'fr'),
-      |(552,'fr'),(553,'fr'),(554,'es'),(555,'en'),(556,'fr'),
-      |(557,'en'),(558,'fr'),(559,'fr'),(560,'zh'),(561,'en'),
-      |(562,'fr'),(563,'fr'),(564,'fr'),(565,'fr'),(566,'fr'),
-      |(567,'fr'),(568,'zh'),(569,'fr'),(570,'fr'),(571,'fr'),
-      |(572,'fr'),(573,'fr'),(574,'fr'),(575,'fr'),(576,'zh'),
-      |(577,'fr'),(578,'de'),(579,'fr'),(580,'es'),(581,'fr'),
-      |(582,'fr'),(583,'fr'),(584,'fr'),(585,'fr'),(586,'zh'),
-      |(587,'fr'),(588,'fr'),(589,'zh'),(590,'fr'),(591,'zh'),
-      |(592,'en'),(593,'fr'),(594,'fr'),(595,'fr'),(596,'fr'),
-      |(597,'fr'),(598,'es'),(599,'fr'),(600,'en'),(601,'fr'),
-      |(602,'fr'),(603,'zh'),(604,'fr'),(605,'fr'),(606,'zh'),
-      |(607,'en'),(608,'fr'),(609,'fr'),(610,'fr'),(611,'es'),
-      |(612,'fr'),(613,'fr'),(614,'zh'),(615,'fr'),(616,'fr'),
-      |(617,'fr'),(618,'zh'),(619,'fr'),(620,'zh'),(621,'en'),
-      |(622,'fr'),(623,'fr'),(624,'fr'),(625,'fr'),(626,'fr'),
-      |(627,'fr'),(628,'zh'),(629,'zh'),(630,'zh'),(631,'fr'),
-      |(632,'fr'),(633,'en'),(634,'fr'),(635,'fr'),(636,'fr'),
-      |(637,'fr'),(638,'fr'),(639,'fr'),(640,'fr'),(641,'fr'),
-      |(642,'en'),(643,'zh'),(644,'en'),(645,'fr'),(646,'fr'),
-      |(647,'zh'),(648,'fr'),(649,'fr'),(650,'zh'),(651,'fr'),
-      |(652,'es'),(653,'en'),(654,'fr'),(655,'fr'),(656,'fr'),
-      |(657,'fr'),(658,'es'),(659,'fr'),(660,'zh'),(661,'zh'),
-      |(662,'fr'),(663,'fr'),(664,'fr'),(665,'fr'),(666,'fr'),
-      |(667,'fr'),(668,'fr'),(669,'fr'),(670,'fr'),(671,'es'),
-      |(672,'zh'),(673,'fr'),(674,'zh'),(675,'fr'),(676,'fr'),
-      |(677,'es'),(678,'fr'),(679,'zh'),(680,'zh'),(681,'fr'),
-      |(682,'fr'),(683,'fr'),(684,'zh'),(685,'fr'),(686,'fr'),
-      |(687,'fr'),(688,'en'),(689,'zh'),(690,'es'),(691,'de'),
-      |(692,'zh'),(693,'fr'),(694,'zh'),(695,'zh'),(696,'zh'),
-      |(697,'fr'),(698,'fr'),(699,'fr'),(700,'fr'),(701,'fr'),
-      |(702,'zh'),(703,'es'),(704,'fr'),(705,'fr'),(706,'zh'),
-      |(707,'es'),(708,'fr'),(709,'fr'),(710,'fr'),(711,'fr'),
-      |(712,'fr'),(713,'fr'),(714,'fr'),(715,'fr'),(716,'fr'),
-      |(717,'zh'),(718,'zh'),(719,'es'),(720,'zh'),(721,'fr'),
-      |(722,'fr'),(723,'fr'),(724,'fr'),(725,'fr'),(726,'fr'),
-      |(727,'fr'),(728,'fr'),(729,'fr'),(730,'fr'),(731,'en'),
-      |(732,'fr'),(733,'zh'),(734,'fr'),(735,'fr'),(736,'zh'),
-      |(737,'fr'),(738,'fr'),(739,'fr'),(740,'es'),(741,'zh'),
-      |(742,'fr'),(743,'en'),(744,'fr'),(745,'fr'),(746,'fr'),
-      |(747,'fr'),(748,'fr'),(749,'de'),(750,'fr'),(751,'fr'),
-      |(752,'fr'),(753,'fr'),(754,'fr'),(755,'de'),(756,'fr'),
-      |(757,'fr'),(758,'fr'),(759,'fr'),(760,'fr'),(761,'fr'),
-      |(762,'fr'),(763,'fr'),(764,'fr'),(765,'fr'),(766,'fr'),
-      |(767,'fr'),(768,'fr'),(769,'fr'),(770,'es'),(771,'fr'),
-      |(772,'en'),(773,'fr'),(774,'fr'),(775,'fr'),(776,'fr'),
-      |(777,'es'),(778,'zh'),(779,'fr'),(780,'fr'),(781,'fr'),
-      |(782,'en'),(783,'fr'),(784,'fr'),(785,'en'),(786,'fr'),
-      |(787,'de'),(788,'zh'),(789,'fr'),(790,'fr'),(791,'zh'),
-      |(792,'en'),(793,'zh'),(794,'zh'),(795,'fr'),(796,'fr'),
-      |(797,'fr'),(798,'es'),(799,'fr'),(800,'fr'),(801,'fr'),
-      |(802,'zh'),(803,'fr'),(804,'fr'),(805,'fr'),(806,'fr'),
-      |(807,'de'),(808,'es'),(809,'en'),(810,'zh'),(811,'fr'),
-      |(812,'fr'),(813,'fr'),(814,'fr'),(815,'fr'),(816,'de'),
-      |(817,'fr'),(818,'es'),(819,'fr'),(820,'fr'),(821,'zh'),
-      |(822,'zh'),(823,'fr'),(824,'fr'),(825,'fr'),(826,'de'),
-      |(827,'fr'),(828,'fr'),(829,'fr'),(830,'zh'),(831,'zh'),
-      |(832,'fr'),(833,'fr'),(834,'fr'),(835,'zh'),(836,'fr'),
-      |(837,'en'),(838,'fr'),(839,'fr'),(840,'fr'),(841,'en'),
-      |(842,'fr'),(843,'fr'),(844,'fr'),(845,'es'),(846,'fr'),
-      |(847,'fr'),(848,'zh'),(849,'fr'),(850,'de'),(851,'fr'),
-      |(852,'zh'),(853,'fr'),(854,'zh'),(855,'fr'),(856,'fr'),
-      |(857,'fr'),(858,'zh'),(859,'fr'),(860,'zh'),(861,'fr'),
-      |(862,'fr'),(863,'en'),(864,'en'),(865,'fr'),(866,'fr'),
-      |(867,'fr'),(868,'de'),(869,'fr'),(870,'zh'),(871,'fr'),
-      |(872,'fr'),(873,'en'),(874,'zh'),(875,'fr'),(876,'fr'),
-      |(877,'zh'),(878,'en'),(879,'fr'),(880,'en'),(881,'fr'),
-      |(882,'en'),(883,'fr'),(884,'fr'),(885,'fr'),(886,'fr'),
-      |(887,'zh'),(888,'fr'),(889,'fr'),(890,'fr'),(891,'zh'),
-      |(892,'zh'),(893,'zh'),(894,'zh'),(895,'en'),(896,'zh'),
-      |(897,'fr'),(898,'zh'),(899,'fr'),(900,'fr'),(901,'en'),
-      |(902,'fr'),(903,'zh'),(904,'de'),(905,'fr'),(906,'fr'),
-      |(907,'fr'),(908,'fr'),(909,'es'),(910,'zh'),(911,'fr'),
-      |(912,'fr'),(913,'fr'),(914,'fr'),(915,'fr'),(916,'fr'),
-      |(917,'fr'),(918,'es'),(919,'fr'),(920,'fr'),(921,'fr'),
-      |(922,'fr'),(923,'fr'),(924,'fr'),(925,'en'),(926,'fr'),
-      |(927,'fr'),(928,'es'),(929,'fr'),(930,'fr'),(931,'fr'),
-      |(932,'fr'),(933,'fr'),(934,'fr'),(935,'fr'),(936,'fr'),
-      |(937,'es'),(938,'fr'),(939,'zh'),(940,'fr'),(941,'zh'),
-      |(942,'fr'),(943,'fr'),(944,'fr'),(945,'es'),(946,'en'),
-      |(947,'fr'),(948,'zh'),(949,'zh'),(950,'fr'),(951,'zh'),
-      |(952,'zh'),(953,'fr'),(954,'fr'),(955,'zh'),(956,'zh'),
-      |(957,'fr'),(958,'de'),(959,'fr'),(960,'zh'),(961,'fr'),
-      |(962,'fr'),(963,'es'),(964,'es'),(965,'fr'),(966,'en'),
-      |(967,'en'),(968,'zh'),(969,'fr'),(970,'zh'),(971,'zh'),
-      |(972,'fr'),(973,'fr'),(974,'es'),(975,'fr'),(976,'zh'),
-      |(977,'fr'),(978,'fr'),(979,'es'),(980,'fr'),(981,'fr'),
-      |(982,'en'),(983,'fr'),(984,'fr'),(985,'fr'),(986,'zh'),
-      |(987,'zh'),(988,'es'),(989,'fr'),(990,'fr'),(991,'fr'),
-      |(992,'fr'),(993,'fr'),(994,'fr'),(995,'zh'),(996,'en'),
-      |(997,'en'),(998,'zh'),(999,'zh'),(1000,'zh'),(1001,'fr'),
-      |(1002,'fr'),(1003,'zh'),(1004,'zh'),(1005,'fr'),
-      |(1006,'fr'),(1007,'en'),(1008,'fr'),(1009,'es'),
-      |(1010,'fr'),(1011,'fr'),(1012,'fr'),(1013,'fr'),
-      |(1014,'fr'),(1015,'fr'),(1016,'fr'),(1017,'fr'),
-      |(1018,'zh'),(1019,'zh'),(1020,'fr'),(1021,'fr'),
-      |(1022,'fr'),(1023,'fr'),(1024,'de'),(1025,'zh'),
-      |(1026,'fr'),(1027,'fr'),(1028,'fr'),(1029,'fr'),
-      |(1030,'fr'),(1031,'fr'),(1032,'fr'),(1033,'zh'),
-      |(1034,'zh'),(1035,'fr'),(1036,'fr'),(1037,'zh'),
-      |(1038,'fr'),(1039,'fr'),(1040,'fr'),(1041,'fr'),
-      |(1042,'fr'),(1043,'fr'),(1044,'fr'),(1045,'es'),
-      |(1046,'zh'),(1047,'fr'),(1048,'de'),(1049,'fr'),
-      |(1050,'fr'),(1051,'en'),(1052,'fr'),(1053,'fr'),
-      |(1054,'fr'),(1055,'fr'),(1056,'fr'),(1057,'es'),
-      |(1058,'zh'),(1059,'en'),(1060,'fr'),(1061,'fr'),
-      |(1062,'fr'),(1063,'es'),(1064,'fr'),(1065,'fr'),
-      |(1066,'es'),(1067,'fr'),(1068,'de'),(1069,'fr'),
-      |(1070,'fr'),(1071,'zh'),(1072,'fr'),(1073,'zh'),
-      |(1074,'zh'),(1075,'zh'),(1076,'fr'),(1077,'fr'),
-      |(1078,'en'),(1079,'fr'),(1080,'fr'),(1081,'fr'),
-      |(1082,'fr'),(1083,'zh'),(1084,'es'),(1085,'fr'),
-      |(1086,'fr'),(1087,'fr'),(1088,'fr'),(1089,'fr'),
-      |(1090,'fr'),(1091,'zh'),(1092,'fr'),(1093,'fr'),
-      |(1094,'fr'),(1095,'zh'),(1096,'zh'),(1097,'fr'),
-      |(1098,'fr'),(1099,'fr'),(1100,'fr'),(1101,'fr'),
-      |(1102,'zh'),(1103,'fr'),(1104,'en'),(1105,'fr'),
-      |(1106,'fr'),(1107,'zh'),(1108,'fr'),(1109,'fr'),
-      |(1110,'zh'),(1111,'es'),(1112,'fr'),(1113,'zh'),
-      |(1114,'fr'),(1115,'fr'),(1116,'es'),(1117,'fr'),
-      |(1118,'zh'),(1119,'zh'),(1120,'fr'),(1121,'fr'),
-      |(1122,'fr'),(1123,'fr'),(1124,'fr'),(1125,'zh'),
-      |(1126,'fr'),(1127,'zh'),(1128,'fr'),(1129,'zh'),
-      |(1130,'fr'),(1131,'fr'),(1132,'fr'),(1133,'fr'),
-      |(1134,'fr'),(1135,'fr'),(1136,'fr'),(1137,'fr'),
-      |(1138,'fr'),(1139,'fr'),(1140,'fr'),(1141,'zh'),
-      |(1142,'fr'),(1143,'fr'),(1144,'zh'),(1145,'zh'),
-      |(1146,'fr'),(1147,'de'),(1148,'fr'),(1149,'fr'),
-      |(1150,'fr'),(1151,'zh'),(1152,'fr'),(1153,'fr'),
-      |(1154,'fr'),(1155,'fr'),(1156,'es'),(1157,'fr'),
-      |(1158,'zh'),(1159,'zh'),(1160,'fr'),(1161,'fr'),
-      |(1162,'zh'),(1163,'fr'),(1164,'zh'),(1165,'fr'),
-      |(1166,'en'),(1167,'fr'),(1168,'fr'),(1169,'zh'),
-      |(1170,'fr'),(1171,'fr'),(1172,'fr'),(1173,'fr'),
-      |(1174,'fr'),(1175,'fr'),(1176,'es'),(1177,'fr'),
-      |(1178,'fr'),(1179,'en'),(1180,'fr'),(1181,'fr'),
-      |(1182,'en'),(1183,'es'),(1184,'fr'),(1185,'zh'),
-      |(1186,'fr'),(1187,'de'),(1188,'fr'),(1189,'fr'),
-      |(1190,'fr'),(1191,'fr'),(1192,'zh'),(1193,'fr'),
-      |(1194,'zh'),(1195,'fr'),(1196,'fr'),(1197,'fr'),
-      |(1198,'fr'),(1199,'fr'),(1200,'fr'),(1201,'fr'),
-      |(1202,'fr'),(1203,'en'),(1204,'es'),(1205,'fr'),
-      |(1206,'es'),(1207,'zh'),(1208,'fr'),(1209,'fr'),
-      |(1210,'fr'),(1211,'fr'),(1212,'fr'),(1213,'de'),
-      |(1214,'fr'),(1215,'fr'),(1216,'en'),(1217,'zh'),
-      |(1218,'fr'),(1219,'zh'),(1220,'en'),(1221,'fr'),
-      |(1222,'fr'),(1223,'de'),(1224,'fr'),(1225,'en'),
-      |(1226,'fr'),(1227,'es'),(1228,'es'),(1229,'fr'),
-      |(1230,'fr'),(1231,'fr'),(1232,'fr'),(1233,'fr'),
-      |(1234,'es'),(1235,'fr'),(1236,'zh'),(1237,'zh'),
-      |(1238,'fr'),(1239,'fr'),(1240,'en'),(1241,'fr'),
-      |(1242,'fr'),(1243,'fr'),(1244,'en'),(1245,'fr'),
-      |(1246,'fr'),(1247,'fr'),(1248,'fr'),(1249,'fr'),
-      |(1250,'fr'),(1251,'zh'),(1252,'zh'),(1253,'zh'),
-      |(1254,'es'),(1255,'fr'),(1256,'fr'),(1257,'fr'),
-      |(1258,'fr'),(1259,'en'),(1260,'zh'),(1261,'fr'),
-      |(1262,'zh'),(1263,'fr'),(1264,'es'),(1265,'zh'),
-      |(1266,'fr'),(1267,'fr'),(1268,'zh'),(1269,'fr'),
-      |(1270,'fr'),(1271,'fr'),(1272,'fr'),(1273,'fr'),
-      |(1274,'de'),(1275,'de'),(1276,'fr'),(1277,'fr'),
-      |(1278,'fr'),(1279,'fr'),(1280,'zh'),(1281,'zh'),
-      |(1282,'zh'),(1283,'fr'),(1284,'fr'),(1285,'zh'),
-      |(1286,'fr'),(1287,'fr'),(1288,'fr'),(1289,'fr'),
-      |(1290,'de'),(1291,'fr'),(1292,'zh'),(1293,'fr'),
-      |(1294,'fr'),(1295,'zh'),(1296,'fr'),(1297,'fr'),
-      |(1298,'fr'),(1299,'fr'),(1300,'zh'),(1301,'fr'),
-      |(1302,'en'),(1303,'fr'),(1304,'en'),(1305,'zh'),
-      |(1306,'es'),(1307,'fr'),(1308,'fr'),(1309,'fr'),
-      |(1310,'zh'),(1311,'zh'),(1312,'zh'),(1313,'fr'),
-      |(1314,'es'),(1315,'fr'),(1316,'fr'),(1317,'fr'),
-      |(1318,'zh'),(1319,'fr'),(1320,'zh'),(1321,'zh'),
-      |(1322,'fr'),(1323,'fr'),(1324,'fr'),(1325,'fr'),
-      |(1326,'fr'),(1327,'fr'),(1328,'zh'),(1329,'fr'),
-      |(1330,'fr'),(1331,'fr'),(1332,'fr'),(1333,'zh'),
-      |(1334,'es'),(1335,'fr'),(1336,'fr'),(1337,'fr'),
-      |(1338,'fr'),(1339,'fr'),(1340,'zh'),(1341,'en'),
-      |(1342,'fr'),(1343,'fr'),(1344,'fr'),(1345,'fr'),
-      |(1346,'fr'),(1347,'fr'),(1348,'fr'),(1349,'fr'),
-      |(1350,'es'),(1351,'fr'),(1352,'fr'),(1353,'en'),
-      |(1354,'en'),(1355,'fr'),(1356,'fr'),(1357,'fr'),
-      |(1358,'fr'),(1359,'de'),(1360,'zh'),(1361,'fr'),
-      |(1362,'fr'),(1363,'es'),(1364,'fr'),(1365,'fr'),
-      |(1366,'en'),(1367,'de'),(1368,'zh'),(1369,'fr'),
-      |(1370,'zh'),(1371,'zh'),(1372,'fr'),(1373,'fr'),
-      |(1374,'zh'),(1375,'fr'),(1376,'fr'),(1377,'zh'),
-      |(1378,'fr'),(1379,'fr'),(1380,'fr'),(1381,'fr'),
-      |(1382,'fr'),(1383,'fr'),(1384,'zh'),(1385,'fr'),
-      |(1386,'fr'),(1387,'de'),(1388,'fr'),(1389,'fr'),
-      |(1390,'fr'),(1391,'fr'),(1392,'en'),(1393,'fr'),
-      |(1394,'en'),(1395,'fr'),(1396,'fr'),(1397,'zh'),
-      |(1398,'fr'),(1399,'fr'),(1400,'zh'),(1401,'fr'),
-      |(1402,'fr'),(1403,'fr'),(1404,'fr'),(1405,'fr'),
-      |(1406,'zh'),(1407,'zh'),(1408,'zh'),(1409,'fr'),
-      |(1410,'fr'),(1411,'zh'),(1412,'zh'),(1413,'fr'),
-      |(1414,'fr'),(1415,'es'),(1416,'fr'),(1417,'en'),
-      |(1418,'zh'),(1419,'fr'),(1420,'en'),(1421,'fr'),
-      |(1422,'fr'),(1423,'fr'),(1424,'zh'),(1425,'fr'),
-      |(1426,'zh'),(1427,'fr'),(1428,'fr'),(1429,'fr'),
-      |(1430,'fr'),(1431,'fr'),(1432,'fr'),(1433,'zh'),
-      |(1434,'zh'),(1435,'fr'),(1436,'fr'),(1437,'fr'),
-      |(1438,'fr'),(1439,'fr'),(1440,'fr'),(1441,'zh'),
-      |(1442,'fr'),(1443,'fr'),(1444,'fr'),(1445,'fr'),
-      |(1446,'fr'),(1447,'fr'),(1448,'fr'),(1449,'fr'),
-      |(1450,'fr'),(1451,'fr'),(1452,'fr'),(1453,'fr'),
-      |(1454,'en'),(1455,'fr'),(1456,'fr'),(1457,'fr'),
-      |(1458,'fr'),(1459,'es'),(1460,'zh'),(1461,'fr'),
-      |(1462,'zh'),(1463,'fr'),(1464,'fr'),(1465,'fr'),
-      |(1466,'fr'),(1467,'zh'),(1468,'fr'),(1469,'zh'),
-      |(1470,'es'),(1471,'fr'),(1472,'en'),(1473,'fr'),
-      |(1474,'es'),(1475,'fr'),(1476,'en'),(1477,'fr'),
-      |(1478,'de'),(1479,'fr'),(1480,'fr'),(1481,'fr'),
-      |(1482,'fr'),(1483,'fr'),(1484,'fr'),(1485,'fr'),
-      |(1486,'fr'),(1487,'fr'),(1488,'zh'),(1489,'fr'),
-      |(1490,'en'),(1491,'zh'),(1492,'fr'),(1493,'fr'),
-      |(1494,'fr'),(1495,'de'),(1496,'fr'),(1497,'es'),
-      |(1498,'fr'),(1499,'fr'),(1500,'fr'),(1501,'fr'),
-      |(1502,'fr'),(1503,'es'),(1504,'fr'),(1505,'fr'),
-      |(1506,'fr'),(1507,'en'),(1508,'fr'),(1509,'fr'),
-      |(1510,'fr'),(1511,'fr'),(1512,'es'),(1513,'fr'),
-      |(1514,'fr'),(1515,'en'),(1516,'de'),(1517,'fr'),
-      |(1518,'zh'),(1519,'fr'),(1520,'fr'),(1521,'zh'),
-      |(1522,'fr'),(1523,'fr'),(1524,'zh'),(1525,'es'),
-      |(1526,'fr'),(1527,'es'),(1528,'es'),(1529,'fr'),
-      |(1530,'fr'),(1531,'fr'),(1532,'fr'),(1533,'zh'),
-      |(1534,'fr'),(1535,'fr'),(1536,'es'),(1537,'zh'),
-      |(1538,'fr'),(1539,'fr'),(1540,'fr'),(1541,'fr'),
-      |(1542,'fr'),(1543,'fr'),(1544,'en'),(1545,'en'),
-      |(1546,'zh'),(1547,'fr'),(1548,'fr'),(1549,'zh'),
-      |(1550,'zh'),(1551,'zh'),(1552,'fr'),(1553,'fr'),
-      |(1554,'fr'),(1555,'fr'),(1556,'fr'),(1557,'fr'),
-      |(1558,'en'),(1559,'en'),(1560,'zh'),(1561,'de'),
-      |(1562,'zh'),(1563,'fr'),(1564,'fr'),(1565,'fr'),
-      |(1566,'fr'),(1567,'fr'),(1568,'fr'),(1569,'zh'),
-      |(1570,'en'),(1571,'fr'),(1572,'fr'),(1573,'fr'),
-      |(1574,'fr'),(1575,'fr'),(1576,'fr'),(1577,'zh'),
-      |(1578,'zh'),(1579,'de'),(1580,'fr'),(1581,'fr'),
-      |(1582,'es'),(1583,'fr'),(1584,'fr'),(1585,'fr'),
-      |(1586,'zh'),(1587,'en'),(1588,'fr'),(1589,'fr'),
-      |(1590,'zh'),(1591,'en'),(1592,'fr'),(1593,'es'),
-      |(1594,'fr'),(1595,'fr'),(1596,'fr'),(1597,'zh'),
-      |(1598,'fr'),(1599,'fr'),(1600,'fr'),(1601,'fr'),
-      |(1602,'fr'),(1603,'fr'),(1604,'fr'),(1605,'fr'),
-      |(1606,'fr'),(1607,'es'),(1608,'fr'),(1609,'fr'),
-      |(1610,'fr'),(1611,'fr'),(1612,'fr'),(1613,'zh'),
-      |(1614,'fr'),(1615,'fr'),(1616,'fr'),(1617,'fr'),
-      |(1618,'fr'),(1619,'es'),(1620,'zh'),(1621,'fr'),
-      |(1622,'fr'),(1623,'zh'),(1624,'fr'),(1625,'es'),
-      |(1626,'en'),(1627,'fr'),(1628,'fr'),(1629,'fr'),
-      |(1630,'fr'),(1631,'fr'),(1632,'fr'),(1633,'fr'),
-      |(1634,'fr'),(1635,'es'),(1636,'fr'),(1637,'fr'),
-      |(1638,'fr'),(1639,'fr'),(1640,'fr'),(1641,'fr'),
-      |(1642,'fr'),(1643,'fr'),(1644,'fr'),(1645,'fr'),
-      |(1646,'en'),(1647,'fr'),(1648,'fr'),(1649,'fr'),
-      |(1650,'fr'),(1651,'fr'),(1652,'es'),(1653,'fr'),
-      |(1654,'zh'),(1655,'fr'),(1656,'zh'),(1657,'es'),
-      |(1658,'fr'),(1659,'fr'),(1660,'en'),(1661,'zh'),
-      |(1662,'fr'),(1663,'fr'),(1664,'fr'),(1665,'fr'),
-      |(1666,'fr'),(1667,'zh'),(1668,'fr'),(1669,'fr'),
-      |(1670,'fr'),(1671,'zh'),(1672,'fr'),(1673,'fr'),
-      |(1674,'fr'),(1675,'fr'),(1676,'en'),(1677,'fr'),
-      |(1678,'fr'),(1679,'fr'),(1680,'fr'),(1681,'es'),
-      |(1682,'fr'),(1683,'fr'),(1684,'zh'),(1685,'zh'),
-      |(1686,'zh'),(1687,'fr'),(1688,'zh'),(1689,'fr'),
-      |(1690,'fr'),(1691,'fr'),(1692,'zh'),(1693,'es'),
-      |(1694,'fr'),(1695,'fr'),(1696,'fr'),(1697,'zh'),
-      |(1698,'fr'),(1699,'fr'),(1700,'fr'),(1701,'fr'),
-      |(1702,'fr'),(1703,'fr'),(1704,'zh'),(1705,'fr'),
-      |(1706,'zh'),(1707,'fr'),(1708,'fr'),(1709,'fr'),
-      |(1710,'fr'),(1711,'zh'),(1712,'zh'),(1713,'fr'),
-      |(1714,'en'),(1715,'en'),(1716,'en'),(1717,'fr'),
-      |(1718,'fr'),(1719,'zh'),(1720,'fr'),(1721,'fr'),
-      |(1722,'fr'),(1723,'zh'),(1724,'de'),(1725,'fr'),
-      |(1726,'fr'),(1727,'fr'),(1728,'fr'),(1729,'fr'),
-      |(1730,'zh'),(1731,'fr'),(1732,'fr'),(1733,'es'),
-      |(1734,'fr'),(1735,'fr'),(1736,'fr'),(1737,'es'),
-      |(1738,'fr'),(1739,'fr'),(1740,'es'),(1741,'fr'),
-      |(1742,'de'),(1743,'es'),(1744,'fr'),(1745,'zh'),
-      |(1746,'fr'),(1747,'de'),(1748,'zh'),(1749,'fr'),
-      |(1750,'fr'),(1751,'fr'),(1752,'fr'),(1753,'zh'),
-      |(1754,'en'),(1755,'en'),(1756,'fr'),(1757,'zh'),
-      |(1758,'fr'),(1759,'fr'),(1760,'fr'),(1761,'fr'),
-      |(1762,'zh'),(1763,'fr'),(1764,'fr'),(1765,'fr'),
-      |(1766,'fr'),(1767,'de'),(1768,'es'),(1769,'zh'),
-      |(1770,'es'),(1771,'fr'),(1772,'fr'),(1773,'zh'),
-      |(1774,'fr'),(1775,'fr'),(1776,'fr'),(1777,'fr'),
-      |(1778,'fr'),(1779,'fr'),(1780,'fr'),(1781,'fr'),
-      |(1782,'de'),(1783,'fr'),(1784,'es'),(1785,'fr'),
-      |(1786,'fr'),(1787,'zh'),(1788,'fr'),(1789,'fr'),
-      |(1790,'de'),(1791,'fr'),(1792,'fr'),(1793,'zh'),
-      |(1794,'fr'),(1795,'fr'),(1796,'zh'),(1797,'en'),
-      |(1798,'fr'),(1799,'zh'),(1800,'fr'),(1801,'fr'),
-      |(1802,'fr'),(1803,'fr'),(1804,'zh'),(1805,'fr'),
-      |(1806,'zh'),(1807,'en'),(1808,'zh'),(1809,'fr'),
-      |(1810,'fr'),(1811,'zh'),(1812,'zh'),(1813,'es'),
-      |(1814,'fr'),(1815,'fr'),(1816,'fr'),(1817,'fr'),
-      |(1818,'fr'),(1819,'en'),(1820,'fr'),(1821,'fr'),
-      |(1822,'fr'),(1823,'en'),(1824,'fr'),(1825,'fr'),
-      |(1826,'fr'),(1827,'fr'),(1828,'fr'),(1829,'fr'),
-      |(1830,'fr'),(1831,'fr'),(1832,'fr'),(1833,'fr'),
-      |(1834,'fr'),(1835,'fr'),(1836,'fr'),(1837,'fr'),
-      |(1838,'fr'),(1839,'zh'),(1840,'es'),(1841,'fr'),
-      |(1842,'es'),(1843,'fr'),(1844,'en'),(1845,'en'),
-      |(1846,'fr'),(1847,'fr'),(1848,'fr'),(1849,'fr'),
-      |(1850,'fr'),(1851,'es'),(1852,'de'),(1853,'fr'),
-      |(1854,'es'),(1855,'fr'),(1856,'fr'),(1857,'zh'),
-      |(1858,'es'),(1859,'fr'),(1860,'zh'),(1861,'zh'),
-      |(1862,'en'),(1863,'fr'),(1864,'zh'),(1865,'fr'),
-      |(1866,'fr'),(1867,'fr'),(1868,'fr'),(1869,'fr'),
-      |(1870,'fr'),(1871,'es'),(1872,'zh'),(1873,'fr'),
-      |(1874,'zh'),(1875,'fr'),(1876,'en'),(1877,'fr'),
-      |(1878,'fr'),(1879,'es'),(1880,'fr'),(1881,'fr'),
-      |(1882,'fr'),(1883,'fr'),(1884,'fr'),(1885,'fr'),
-      |(1886,'fr'),(1887,'fr'),(1888,'fr'),(1889,'fr'),
-      |(1890,'zh'),(1891,'fr'),(1892,'fr'),(1893,'fr'),
-      |(1894,'fr'),(1895,'fr'),(1896,'fr'),(1897,'fr'),
-      |(1898,'es'),(1899,'zh'),(1900,'fr'),(1901,'zh'),
-      |(1902,'fr'),(1903,'fr'),(1904,'zh'),(1905,'zh'),
-      |(1906,'fr'),(1907,'zh'),(1908,'fr'),(1909,'es'),
-      |(1910,'fr'),(1911,'zh'),(1912,'fr'),(1913,'fr'),
-      |(1914,'fr'),(1915,'fr'),(1916,'zh'),(1917,'fr'),
-      |(1918,'fr'),(1919,'fr'),(1920,'fr'),(1921,'zh'),
-      |(1922,'fr'),(1923,'en'),(1924,'fr'),(1925,'zh'),
-      |(1926,'fr'),(1927,'fr'),(1928,'fr'),(1929,'fr'),
-      |(1930,'fr'),(1931,'fr'),(1932,'fr'),(1933,'en'),
-      |(1934,'fr'),(1935,'fr'),(1936,'zh'),(1937,'en'),
-      |(1938,'es'),(1939,'fr'),(1940,'fr'),(1941,'fr'),
-      |(1942,'fr'),(1943,'fr'),(1944,'zh'),(1945,'de'),
-      |(1946,'en'),(1947,'fr'),(1948,'zh'),(1949,'fr'),
-      |(1950,'de'),(1951,'fr'),(1952,'fr'),(1953,'zh'),
-      |(1954,'es'),(1955,'fr'),(1956,'fr'),(1957,'zh'),
-      |(1958,'fr'),(1959,'zh'),(1960,'fr'),(1961,'es'),
-      |(1962,'zh'),(1963,'zh'),(1964,'fr'),(1965,'fr'),
-      |(1966,'fr'),(1967,'fr'),(1968,'zh'),(1969,'fr'),
-      |(1970,'fr'),(1971,'fr'),(1972,'fr'),(1973,'es'),
-      |(1974,'zh'),(1975,'fr'),(1976,'zh'),(1977,'fr'),
-      |(1978,'fr'),(1979,'fr'),(1980,'fr'),(1981,'es'),
-      |(1982,'fr'),(1983,'fr'),(1984,'fr'),(1985,'fr'),
-      |(1986,'es'),(1987,'fr'),(1988,'fr'),(1989,'fr'),
-      |(1990,'zh'),(1991,'fr'),(1992,'zh'),(1993,'fr'),
-      |(1994,'fr'),(1995,'fr'),(1996,'fr'),(1997,'fr'),
-      |(1998,'fr'),(1999,'fr'),(2000,'fr'),(2001,'fr'),
-      |(2002,'fr'),(2003,'fr'),(2004,'fr'),(2005,'en'),
-      |(2006,'en'),(2007,'fr'),(2008,'en'),(2009,'fr'),
-      |(2010,'zh'),(2011,'de'),(2012,'zh'),(2013,'zh'),
-      |(2014,'fr'),(2015,'es'),(2016,'fr'),(2017,'fr'),
-      |(2018,'en'),(2019,'zh'),(2020,'fr'),(2021,'fr'),
-      |(2022,'fr'),(2023,'es'),(2024,'zh'),(2025,'en'),
-      |(2026,'es'),(2027,'fr'),(2028,'fr'),(2029,'fr'),
-      |(2030,'fr'),(2031,'fr'),(2032,'fr'),(2033,'zh'),
-      |(2034,'fr'),(2035,'zh'),(2036,'fr'),(2037,'zh'),
-      |(2038,'fr'),(2039,'zh'),(2040,'fr'),(2041,'fr'),
-      |(2042,'en'),(2043,'fr'),(2044,'fr'),(2045,'zh'),
-      |(2046,'fr'),(2047,'es'),(2048,'fr'),(2049,'fr'),
-      |(2050,'en'),(2051,'fr'),(2052,'fr'),(2053,'fr'),
-      |(2054,'fr'),(2055,'en'),(2056,'fr'),(2057,'zh'),
-      |(2058,'fr'),(2059,'fr'),(2060,'fr'),(2061,'zh'),
-      |(2062,'de'),(2063,'zh'),(2064,'fr'),(2065,'fr'),
-      |(2066,'fr'),(2067,'fr'),(2068,'fr'),(2069,'fr'),
-      |(2070,'fr'),(2071,'fr'),(2072,'fr'),(2073,'fr'),
-      |(2074,'zh'),(2075,'fr'),(2076,'fr'),(2077,'fr'),
-      |(2078,'fr'),(2079,'fr'),(2080,'zh'),(2081,'fr'),
-      |(2082,'zh'),(2083,'zh'),(2084,'zh'),(2085,'zh'),
-      |(2086,'fr'),(2087,'fr'),(2088,'fr'),(2089,'fr'),
-      |(2090,'zh'),(2091,'fr'),(2092,'zh'),(2093,'de'),
-      |(2094,'fr'),(2095,'fr'),(2096,'fr'),(2097,'zh'),
-      |(2098,'fr'),(2099,'zh'),(2100,'fr'),(2101,'fr'),
-      |(2102,'fr'),(2103,'fr'),(2104,'zh'),(2105,'fr'),
-      |(2106,'en'),(2107,'es'),(2108,'fr'),(2109,'fr'),
-      |(2110,'zh'),(2111,'fr'),(2112,'zh'),(2113,'fr'),
-      |(2114,'zh'),(2115,'fr'),(2116,'fr'),(2117,'zh'),
-      |(2118,'fr'),(2119,'fr'),(2120,'fr'),(2121,'fr'),
-      |(2122,'de'),(2123,'es'),(2124,'en'),(2125,'fr'),
-      |(2126,'fr'),(2127,'fr'),(2128,'fr'),(2129,'fr'),
-      |(2130,'fr'),(2131,'fr'),(2132,'fr'),(2133,'fr'),
-      |(2134,'fr'),(2135,'fr'),(2136,'fr'),(2137,'fr'),
-      |(2138,'fr'),(2139,'fr'),(2140,'es'),(2141,'fr'),
-      |(2142,'fr'),(2143,'fr'),(2144,'fr'),(2145,'fr'),
-      |(2146,'de'),(2147,'fr'),(2148,'fr'),(2149,'fr'),
-      |(2150,'fr'),(2151,'fr'),(2152,'fr'),(2153,'fr'),
-      |(2154,'zh'),(2155,'es'),(2156,'fr'),(2157,'fr'),
-      |(2158,'zh'),(2159,'fr'),(2160,'zh'),(2161,'fr'),
-      |(2162,'zh'),(2163,'fr'),(2164,'fr'),(2165,'zh'),
-      |(2166,'fr'),(2167,'fr'),(2168,'zh'),(2169,'fr'),
-      |(2170,'es'),(2171,'fr'),(2172,'fr'),(2173,'zh'),
-      |(2174,'fr'),(2175,'fr'),(2176,'fr'),(2177,'fr'),
-      |(2178,'fr'),(2179,'fr'),(2180,'fr'),(2181,'fr'),
-      |(2182,'fr'),(2183,'fr'),(2184,'fr'),(2185,'fr'),
-      |(2186,'fr'),(2187,'zh'),(2188,'fr'),(2189,'zh'),
-      |(2190,'es'),(2191,'fr'),(2192,'fr'),(2193,'zh'),
-      |(2194,'es'),(2195,'es'),(2196,'de'),(2197,'fr'),
-      |(2198,'en'),(2199,'fr'),(2200,'fr'),(2201,'zh'),
-      |(2202,'fr'),(2203,'zh'),(2204,'fr'),(2205,'fr'),
-      |(2206,'fr'),(2207,'fr'),(2208,'fr'),(2209,'fr'),
-      |(2210,'fr'),(2211,'zh'),(2212,'fr'),(2213,'fr'),
-      |(2214,'fr'),(2215,'en'),(2216,'zh'),(2217,'fr'),
-      |(2218,'fr'),(2219,'fr'),(2220,'zh'),(2221,'fr'),
-      |(2222,'fr'),(2223,'fr'),(2224,'de'),(2225,'fr'),
-      |(2226,'fr'),(2227,'fr'),(2228,'fr'),(2229,'fr'),
-      |(2230,'zh'),(2231,'fr'),(2232,'fr'),(2233,'fr'),
-      |(2234,'fr'),(2235,'fr'),(2236,'fr'),(2237,'es'),
-      |(2238,'fr'),(2239,'zh'),(2240,'fr'),(2241,'fr'),
-      |(2242,'fr'),(2243,'de'),(2244,'fr'),(2245,'fr'),
-      |(2246,'es'),(2247,'fr'),(2248,'fr'),(2249,'fr'),
-      |(2250,'zh'),(2251,'fr'),(2252,'fr'),(2253,'fr'),
-      |(2254,'fr'),(2255,'zh'),(2256,'fr'),(2257,'fr'),
-      |(2258,'es'),(2259,'zh'),(2260,'zh'),(2261,'fr'),
-      |(2262,'en'),(2263,'de'),(2264,'fr'),(2265,'zh'),
-      |(2266,'zh'),(2267,'de'),(2268,'en'),(2269,'fr'),
-      |(2270,'en'),(2271,'zh'),(2272,'zh'),(2273,'fr'),
-      |(2274,'fr'),(2275,'fr'),(2276,'en'),(2277,'zh'),
-      |(2278,'es'),(2279,'zh'),(2280,'de'),(2281,'fr'),
-      |(2282,'fr'),(2283,'fr'),(2284,'fr'),(2285,'fr'),
-      |(2286,'fr'),(2287,'fr'),(2288,'fr'),(2289,'fr'),
-      |(2290,'fr'),(2291,'fr'),(2292,'fr'),(2293,'fr'),
-      |(2294,'fr'),(2295,'fr'),(2296,'zh'),(2297,'fr'),
-      |(2298,'fr'),(2299,'fr'),(2300,'zh'),(2301,'de'),
-      |(2302,'fr'),(2303,'fr'),(2304,'en'),(2305,'fr'),
-      |(2306,'fr'),(2307,'zh'),(2308,'fr'),(2309,'fr'),
-      |(2310,'en'),(2311,'fr'),(2312,'fr'),(2313,'fr'),
-      |(2314,'fr'),(2315,'de'),(2316,'fr'),(2317,'fr'),
-      |(2318,'es'),(2319,'fr'),(2320,'en'),(2321,'fr'),
-      |(2322,'fr'),(2323,'fr'),(2324,'zh'),(2325,'zh'),
-      |(2326,'zh'),(2327,'fr'),(2328,'fr'),(2329,'fr'),
-      |(2330,'fr'),(2331,'zh'),(2332,'fr'),(2333,'fr'),
-      |(2334,'en'),(2335,'fr'),(2336,'fr'),(2337,'fr'),
-      |(2338,'en'),(2339,'fr'),(2340,'fr'),(2341,'fr'),
-      |(2342,'fr'),(2343,'en'),(2344,'fr'),(2345,'fr'),
-      |(2346,'zh'),(2347,'fr'),(2348,'fr'),(2349,'de'),
-      |(2350,'zh'),(2351,'zh'),(2352,'fr'),(2353,'fr'),
-      |(2354,'fr'),(2355,'zh'),(2356,'fr'),(2357,'fr'),
-      |(2358,'fr'),(2359,'es'),(2360,'fr'),(2361,'fr'),
-      |(2362,'fr'),(2363,'zh'),(2364,'fr'),(2365,'fr'),
-      |(2366,'de'),(2367,'fr'),(2368,'fr'),(2369,'fr'),
-      |(2370,'fr'),(2371,'fr'),(2372,'fr'),(2373,'fr'),
-      |(2374,'fr'),(2375,'fr'),(2376,'en'),(2377,'fr'),
-      |(2378,'fr'),(2379,'fr'),(2380,'fr'),(2381,'en'),
-      |(2382,'fr'),(2383,'fr'),(2384,'fr'),(2385,'fr'),
-      |(2386,'en'),(2387,'fr'),(2388,'fr'),(2389,'fr'),
-      |(2390,'fr'),(2391,'en'),(2392,'fr'),(2393,'de'),
-      |(2394,'fr'),(2395,'fr'),(2396,'fr'),(2397,'fr'),
-      |(2398,'fr'),(2399,'zh'),(2400,'fr'),(2401,'fr'),
-      |(2402,'fr'),(2403,'fr'),(2404,'fr'),(2405,'fr'),
-      |(2406,'fr'),(2407,'fr'),(2408,'zh'),(2409,'fr'),
-      |(2410,'fr'),(2411,'fr'),(2412,'fr'),(2413,'fr'),
-      |(2414,'zh'),(2415,'fr'),(2416,'en'),(2417,'fr'),
-      |(2418,'fr'),(2419,'fr'),(2420,'fr'),(2421,'en'),
-      |(2422,'fr'),(2423,'fr'),(2424,'fr'),(2425,'fr'),
-      |(2426,'zh'),(2427,'fr'),(2428,'zh'),(2429,'fr'),
-      |(2430,'fr'),(2431,'zh'),(2432,'fr'),(2433,'fr'),
-      |(2434,'fr'),(2435,'zh'),(2436,'zh'),(2437,'fr'),
-      |(2438,'en'),(2439,'zh'),(2440,'zh'),(2441,'zh'),
-      |(2442,'fr'),(2443,'fr'),(2444,'fr'),(2445,'fr'),
-      |(2446,'fr'),(2447,'fr'),(2448,'fr'),(2449,'fr'),
-      |(2450,'fr'),(2451,'fr'),(2452,'fr'),(2453,'fr'),
-      |(2454,'fr'),(2455,'fr'),(2456,'en'),(2457,'zh'),
-      |(2458,'fr'),(2459,'fr'),(2460,'fr'),(2461,'fr'),
-      |(2462,'fr'),(2463,'fr'),(2464,'en'),(2465,'fr'),
-      |(2466,'fr'),(2467,'fr'),(2468,'de'),(2469,'zh'),
-      |(2470,'fr'),(2471,'fr'),(2472,'fr'),(2473,'fr'),
-      |(2474,'fr'),(2475,'fr'),(2476,'fr'),(2477,'zh'),
-      |(2478,'fr'),(2479,'zh'),(2480,'fr'),(2481,'en'),
-      |(2482,'fr'),(2483,'fr'),(2484,'fr'),(2485,'fr'),
-      |(2486,'fr'),(2487,'fr'),(2488,'es'),(2489,'fr'),
-      |(2490,'es'),(2491,'fr'),(2492,'fr'),(2493,'fr'),
-      |(2494,'fr'),(2495,'zh'),(2496,'fr'),(2497,'fr'),
-      |(2498,'zh'),(2499,'fr'),(2500,'fr'),(2501,'fr'),
-      |(2502,'en'),(2503,'fr'),(2504,'fr'),(2505,'fr'),
-      |(2506,'fr'),(2507,'zh'),(2508,'fr'),(2509,'fr'),
-      |(2510,'fr'),(2511,'es'),(2512,'fr'),(2513,'fr'),
-      |(2514,'zh'),(2515,'de'),(2516,'fr'),(2517,'fr'),
-      |(2518,'de'),(2519,'fr'),(2520,'zh'),(2521,'fr'),
-      |(2522,'en'),(2523,'zh'),(2524,'fr'),(2525,'fr'),
-      |(2526,'zh'),(2527,'fr'),(2528,'fr'),(2529,'es'),
-      |(2530,'fr'),(2531,'fr'),(2532,'zh'),(2533,'fr'),
-      |(2534,'fr'),(2535,'en'),(2536,'fr'),(2537,'fr'),
-      |(2538,'zh'),(2539,'fr'),(2540,'fr'),(2541,'fr'),
-      |(2542,'fr'),(2543,'en'),(2544,'fr'),(2545,'fr'),
-      |(2546,'en'),(2547,'fr'),(2548,'fr'),(2549,'fr'),
-      |(2550,'fr'),(2551,'zh'),(2552,'fr'),(2553,'en'),
-      |(2554,'fr'),(2555,'fr'),(2556,'fr'),(2557,'fr'),
-      |(2558,'fr'),(2559,'fr'),(2560,'fr'),(2561,'fr'),
-      |(2562,'fr'),(2563,'zh'),(2564,'fr'),(2565,'fr'),
-      |(2566,'fr'),(2567,'en'),(2568,'es'),(2569,'zh'),
-      |(2570,'fr'),(2571,'fr'),(2572,'fr'),(2573,'fr'),
-      |(2574,'es'),(2575,'fr'),(2576,'fr'),(2577,'fr'),
-      |(2578,'zh'),(2579,'fr'),(2580,'fr'),(2581,'fr'),
-      |(2582,'fr'),(2583,'de'),(2584,'fr'),(2585,'fr'),
-      |(2586,'fr'),(2587,'fr'),(2588,'zh'),(2589,'zh'),
-      |(2590,'fr'),(2591,'zh'),(2592,'fr'),(2593,'fr'),
-      |(2594,'fr'),(2595,'fr'),(2596,'zh'),(2597,'fr'),
-      |(2598,'fr'),(2599,'en'),(2600,'fr'),(2601,'en'),
-      |(2602,'fr'),(2603,'fr'),(2604,'fr'),(2605,'fr'),
-      |(2606,'en'),(2607,'fr'),(2608,'fr'),(2609,'fr'),
-      |(2610,'fr'),(2611,'fr'),(2612,'fr'),(2613,'fr'),
-      |(2614,'fr'),(2615,'zh'),(2616,'fr'),(2617,'zh'),
-      |(2618,'fr'),(2619,'en'),(2620,'de'),(2621,'fr'),
-      |(2622,'zh'),(2623,'fr'),(2624,'zh'),(2625,'fr'),
-      |(2626,'zh'),(2627,'fr'),(2628,'fr'),(2629,'zh'),
-      |(2630,'en'),(2631,'es'),(2632,'en'),(2633,'fr'),
-      |(2634,'zh'),(2635,'en'),(2636,'fr'),(2637,'en'),
-      |(2638,'es'),(2639,'fr'),(2640,'fr'),(2641,'en'),
-      |(2642,'fr'),(2643,'de'),(2644,'fr'),(2645,'fr'),
-      |(2646,'fr'),(2647,'zh'),(2648,'fr'),(2649,'fr'),
-      |(2650,'zh'),(2651,'fr'),(2652,'fr'),(2653,'fr'),
-      |(2654,'fr'),(2655,'fr'),(2656,'fr'),(2657,'es'),
-      |(2658,'fr'),(2659,'fr'),(2660,'fr'),(2661,'fr'),
-      |(2662,'fr'),(2663,'de'),(2664,'fr'),(2665,'fr'),
-      |(2666,'es'),(2667,'fr'),(2668,'es'),(2669,'es'),
-      |(2670,'fr'),(2671,'fr'),(2672,'zh'),(2673,'fr'),
-      |(2674,'es'),(2675,'zh'),(2676,'fr'),(2677,'en'),
-      |(2678,'fr'),(2679,'zh'),(2680,'fr'),(2681,'fr'),
-      |(2682,'fr'),(2683,'fr'),(2684,'fr'),(2685,'fr'),
-      |(2686,'fr'),(2687,'en'),(2688,'zh'),(2689,'fr'),
-      |(2690,'fr'),(2691,'de'),(2692,'fr'),(2693,'fr'),
-      |(2694,'zh'),(2695,'fr'),(2696,'fr'),(2697,'fr'),
-      |(2698,'zh'),(2699,'fr'),(2700,'fr'),(2701,'zh'),
-      |(2702,'fr'),(2703,'fr'),(2704,'fr'),(2705,'fr'),
-      |(2706,'es'),(2707,'zh'),(2708,'fr'),(2709,'fr'),
-      |(2710,'fr'),(2711,'en'),(2712,'es'),(2713,'es'),
-      |(2714,'zh'),(2715,'fr'),(2716,'zh'),(2717,'fr'),
-      |(2718,'zh'),(2719,'fr'),(2720,'fr'),(2721,'fr'),
-      |(2722,'fr'),(2723,'fr'),(2724,'zh'),(2725,'zh'),
-      |(2726,'zh'),(2727,'zh'),(2728,'fr'),(2729,'fr'),
-      |(2730,'zh'),(2731,'fr'),(2732,'fr'),(2733,'fr'),
-      |(2734,'fr'),(2735,'zh'),(2736,'fr'),(2737,'zh'),
-      |(2738,'fr'),(2739,'fr'),(2740,'fr'),(2741,'fr'),
-      |(2742,'zh'),(2743,'zh'),(2744,'zh'),(2745,'fr'),
-      |(2746,'fr'),(2747,'fr'),(2748,'fr'),(2749,'fr'),
-      |(2750,'en'),(2751,'fr'),(2752,'fr'),(2753,'es'),
-      |(2754,'es'),(2755,'fr'),(2756,'en'),(2757,'fr'),
-      |(2758,'zh'),(2759,'fr'),(2760,'en'),(2761,'es'),
-      |(2762,'fr'),(2763,'fr'),(2764,'zh'),(2765,'fr'),
-      |(2766,'zh'),(2767,'fr'),(2768,'zh'),(2769,'fr'),
-      |(2770,'de'),(2771,'es'),(2772,'zh'),(2773,'en'),
-      |(2774,'fr'),(2775,'fr'),(2776,'fr'),(2777,'fr'),
-      |(2778,'zh'),(2779,'fr'),(2780,'fr'),(2781,'fr'),
-      |(2782,'fr'),(2783,'zh'),(2784,'fr'),(2785,'fr'),
-      |(2786,'fr'),(2787,'zh'),(2788,'en'),(2789,'zh'),
-      |(2790,'en'),(2791,'fr'),(2792,'fr'),(2793,'fr'),
-      |(2794,'es'),(2795,'es'),(2796,'fr'),(2797,'en'),
-      |(2798,'es'),(2799,'fr'),(2800,'fr'),(2801,'fr'),
-      |(2802,'fr'),(2803,'fr'),(2804,'fr'),(2805,'fr'),
-      |(2806,'fr'),(2807,'de'),(2808,'zh'),(2809,'de'),
-      |(2810,'fr'),(2811,'fr'),(2812,'fr'),(2813,'en'),
-      |(2814,'fr'),(2815,'fr'),(2816,'fr'),(2817,'fr'),
-      |(2818,'fr'),(2819,'fr'),(2820,'fr'),(2821,'fr'),
-      |(2822,'fr'),(2823,'en'),(2824,'fr'),(2825,'fr'),
-      |(2826,'fr'),(2827,'fr'),(2828,'fr'),(2829,'en'),
-      |(2830,'zh'),(2831,'fr'),(2832,'en'),(2833,'fr'),
-      |(2834,'fr'),(2835,'zh'),(2836,'fr'),(2837,'zh'),
-      |(2838,'fr'),(2839,'fr'),(2840,'zh'),(2841,'fr'),
-      |(2842,'fr'),(2843,'es'),(2844,'fr'),(2845,'fr'),
-      |(2846,'fr'),(2847,'zh'),(2848,'fr'),(2849,'fr'),
-      |(2850,'fr'),(2851,'zh'),(2852,'zh'),(2853,'zh'),
-      |(2854,'fr'),(2855,'fr'),(2856,'en'),(2857,'fr'),
-      |(2858,'fr'),(2859,'fr'),(2860,'zh'),(2861,'zh'),
-      |(2862,'fr'),(2863,'fr'),(2864,'zh'),(2865,'fr'),
-      |(2866,'fr'),(2867,'fr'),(2868,'fr'),(2869,'zh'),
-      |(2870,'zh'),(2871,'zh'),(2872,'fr'),(2873,'en'),
-      |(2874,'fr'),(2875,'es'),(2876,'fr'),(2877,'fr'),
-      |(2878,'fr'),(2879,'fr'),(2880,'de'),(2881,'fr'),
-      |(2882,'fr'),(2883,'fr'),(2884,'fr'),(2885,'fr'),
-      |(2886,'fr'),(2887,'fr'),(2888,'zh'),(2889,'fr'),
-      |(2890,'zh'),(2891,'de'),(2892,'fr'),(2893,'fr'),
-      |(2894,'fr'),(2895,'fr'),(2896,'fr'),(2897,'fr'),
-      |(2898,'fr'),(2899,'fr'),(2900,'fr'),(2901,'fr'),
-      |(2902,'fr'),(2903,'fr'),(2904,'fr'),(2905,'zh'),
-      |(2906,'fr'),(2907,'fr'),(2908,'fr'),(2909,'zh'),
-      |(2910,'fr'),(2911,'fr'),(2912,'zh'),(2913,'zh'),
-      |(2914,'zh'),(2915,'fr'),(2916,'zh'),(2917,'fr'),
-      |(2918,'fr'),(2919,'de'),(2920,'fr'),(2921,'de'),
-      |(2922,'fr'),(2923,'fr'),(2924,'zh'),(2925,'fr'),
-      |(2926,'fr'),(2927,'zh'),(2928,'zh'),(2929,'fr'),
-      |(2930,'zh'),(2931,'fr'),(2932,'fr'),(2933,'fr'),
-      |(2934,'fr'),(2935,'fr'),(2936,'zh'),(2937,'zh'),
-      |(2938,'es'),(2939,'fr'),(2940,'fr'),(2941,'zh'),
-      |(2942,'fr'),(2943,'es'),(2944,'zh'),(2945,'fr'),
-      |(2946,'fr'),(2947,'fr'),(2948,'zh'),(2949,'fr'),
-      |(2950,'fr'),(2951,'fr'),(2952,'fr'),(2953,'fr'),
-      |(2954,'en'),(2955,'fr'),(2956,'fr'),(2957,'fr'),
-      |(2958,'fr'),(2959,'fr'),(2960,'fr'),(2961,'fr'),
-      |(2962,'fr'),(2963,'fr'),(2964,'fr'),(2965,'fr'),
-      |(2966,'zh'),(2967,'zh'),(2968,'de'),(2969,'fr'),
-      |(2970,'fr'),(2971,'fr'),(2972,'fr'),(2973,'zh'),
-      |(2974,'zh'),(2975,'fr'),(2976,'fr'),(2977,'fr'),
-      |(2978,'fr'),(2979,'fr'),(2980,'fr'),(2981,'fr'),
-      |(2982,'fr'),(2983,'fr'),(2984,'fr'),(2985,'zh'),
-      |(2986,'en'),(2987,'zh'),(2988,'fr'),(2989,'fr'),
-      |(2990,'fr'),(2991,'fr'),(2992,'fr'),(2993,'fr'),
-      |(2994,'fr'),(2995,'fr'),(2996,'fr'),(2997,'fr'),
-      |(2998,'fr'),(2999,'fr'),(3000,'fr'),(3001,'fr'),
-      |(3002,'fr'),(3003,'fr'),(3004,'fr'),(3005,'fr'),
-      |(3006,'fr'),(3007,'fr'),(3008,'fr'),(3009,'zh'),
-      |(3010,'zh'),(3011,'zh'),(3012,'fr'),(3013,'fr'),
-      |(3014,'fr'),(3015,'fr'),(3016,'fr'),(3017,'fr'),
-      |(3018,'fr'),(3019,'fr'),(3020,'zh'),(3021,'fr'),
-      |(3022,'fr'),(3023,'fr'),(3024,'zh'),(3025,'fr'),
-      |(3026,'zh'),(3027,'fr'),(3028,'fr'),(3029,'fr'),
-      |(3030,'en'),(3031,'fr'),(3032,'fr'),(3033,'fr'),
-      |(3034,'fr'),(3035,'en'),(3036,'fr'),(3037,'fr'),
-      |(3038,'zh'),(3039,'en'),(3040,'fr'),(3041,'en'),
-      |(3042,'fr'),(3043,'zh'),(3044,'en'),(3045,'fr'),
-      |(3046,'zh'),(3047,'fr'),(3048,'fr'),(3049,'fr'),
-      |(3050,'es'),(3051,'fr'),(3052,'fr'),(3053,'fr'),
-      |(3054,'es'),(3055,'fr'),(3056,'fr'),(3057,'zh'),
-      |(3058,'fr'),(3059,'fr'),(3060,'en'),(3061,'fr'),
-      |(3062,'en'),(3063,'fr'),(3064,'fr'),(3065,'zh'),
-      |(3066,'fr'),(3067,'fr'),(3068,'zh'),(3069,'fr'),
-      |(3070,'fr'),(3071,'zh'),(3072,'fr'),(3073,'es'),
-      |(3074,'fr'),(3075,'fr'),(3076,'de'),(3077,'fr'),
-      |(3078,'zh'),(3079,'fr'),(3080,'fr'),(3081,'fr'),
-      |(3082,'zh'),(3083,'fr'),(3084,'es'),(3085,'fr'),
-      |(3086,'fr'),(3087,'fr'),(3088,'fr'),(3089,'en'),
-      |(3090,'fr'),(3091,'fr'),(3092,'fr'),(3093,'zh'),
-      |(3094,'zh'),(3095,'es'),(3096,'zh'),(3097,'fr'),
-      |(3098,'fr'),(3099,'fr'),(3100,'fr'),(3101,'es'),
-      |(3102,'fr'),(3103,'fr'),(3104,'de'),(3105,'fr'),
-      |(3106,'fr'),(3107,'en'),(3108,'fr'),(3109,'zh'),
-      |(3110,'fr'),(3111,'fr'),(3112,'fr'),(3113,'fr'),
-      |(3114,'fr'),(3115,'de'),(3116,'zh'),(3117,'fr'),
-      |(3118,'fr'),(3119,'fr'),(3120,'fr'),(3121,'es'),
-      |(3122,'en'),(3123,'fr'),(3124,'en'),(3125,'fr'),
-      |(3126,'fr'),(3127,'es'),(3128,'fr'),(3129,'zh'),
-      |(3130,'fr'),(3131,'es'),(3132,'zh'),(3133,'fr'),
-      |(3134,'fr'),(3135,'fr'),(3136,'en'),(3137,'fr'),
-      |(3138,'es'),(3139,'es'),(3140,'fr'),(3141,'fr'),
-      |(3142,'fr'),(3143,'fr'),(3144,'zh'),(3145,'fr'),
-      |(3146,'fr'),(3147,'fr'),(3148,'es'),(3149,'fr'),
-      |(3150,'fr'),(3151,'fr'),(3152,'en'),(3153,'fr'),
-      |(3154,'fr'),(3155,'fr'),(3156,'fr'),(3157,'zh'),
-      |(3158,'fr'),(3159,'zh'),(3160,'fr'),(3161,'zh'),
-      |(3162,'zh'),(3163,'zh'),(3164,'de'),(3165,'zh'),
-      |(3166,'de'),(3167,'es'),(3168,'fr'),(3169,'fr'),
-      |(3170,'es'),(3171,'fr'),(3172,'fr'),(3173,'fr'),
-      |(3174,'zh'),(3175,'fr'),(3176,'fr'),(3177,'es'),
-      |(3178,'de'),(3179,'fr'),(3180,'de'),(3181,'de'),
-      |(3182,'en'),(3183,'de'),(3184,'fr'),(3185,'fr'),
-      |(3186,'fr'),(3187,'fr'),(3188,'fr'),(3189,'en'),
-      |(3190,'zh'),(3191,'en'),(3192,'zh'),(3193,'fr'),
-      |(3194,'fr'),(3195,'fr'),(3196,'fr'),(3197,'zh'),
-      |(3198,'zh'),(3199,'fr'),(3200,'fr'),(3201,'fr'),
-      |(3202,'fr'),(3203,'fr'),(3204,'fr'),(3205,'fr'),
-      |(3206,'fr'),(3207,'fr'),(3208,'fr'),(3209,'fr'),
-      |(3210,'fr'),(3211,'fr'),(3212,'fr'),(3213,'fr'),
-      |(3214,'fr'),(3215,'fr'),(3216,'en'),(3217,'fr'),
-      |(3218,'en'),(3219,'fr'),(3220,'fr'),(3221,'zh'),
-      |(3222,'es'),(3223,'fr'),(3224,'fr'),(3225,'fr'),
-      |(3226,'fr'),(3227,'zh'),(3228,'en'),(3229,'fr'),
-      |(3230,'fr'),(3231,'fr'),(3232,'zh'),(3233,'fr'),
-      |(3234,'fr'),(3235,'fr'),(3236,'zh'),(3237,'fr'),
-      |(3238,'fr'),(3239,'fr'),(3240,'fr'),(3241,'fr'),
-      |(3242,'fr'),(3243,'fr'),(3244,'fr'),(3245,'fr'),
-      |(3246,'fr'),(3247,'fr'),(3248,'fr'),(3249,'fr'),
-      |(3250,'fr'),(3251,'zh'),(3252,'fr'),(3253,'fr'),
-      |(3254,'zh'),(3255,'zh'),(3256,'zh'),(3257,'es'),
-      |(3258,'fr'),(3259,'en'),(3260,'en'),(3261,'zh'),
-      |(3262,'en'),(3263,'es'),(3264,'fr'),(3265,'fr'),
-      |(3266,'fr'),(3267,'fr'),(3268,'fr'),(3269,'fr'),
-      |(3270,'de'),(3271,'fr'),(3272,'zh'),(3273,'de'),
-      |(3274,'en'),(3275,'fr'),(3276,'fr'),(3277,'fr'),
-      |(3278,'zh'),(3279,'fr'),(3280,'fr'),(3281,'fr'),
-      |(3282,'fr'),(3283,'fr'),(3284,'zh'),(3285,'fr'),
-      |(3286,'fr'),(3287,'fr'),(3288,'fr'),(3289,'de'),
-      |(3290,'fr'),(3291,'fr'),(3292,'fr'),(3293,'fr'),
-      |(3294,'fr'),(3295,'zh'),(3296,'fr'),(3297,'fr'),
-      |(3298,'fr'),(3299,'fr'),(3300,'zh'),(3301,'fr'),
-      |(3302,'fr'),(3303,'fr'),(3304,'fr'),(3305,'en'),
-      |(3306,'zh'),(3307,'fr'),(3308,'fr'),(3309,'zh'),
-      |(3310,'zh'),(3311,'fr'),(3312,'fr'),(3313,'fr'),
-      |(3314,'fr'),(3315,'fr'),(3316,'fr'),(3317,'zh'),
-      |(3318,'fr'),(3319,'es'),(3320,'fr'),(3321,'fr'),
-      |(3322,'zh'),(3323,'fr'),(3324,'fr'),(3325,'de'),
-      |(3326,'fr'),(3327,'fr'),(3328,'es'),(3329,'fr'),
-      |(3330,'fr'),(3331,'fr'),(3332,'zh'),(3333,'fr'),
-      |(3334,'en'),(3335,'fr'),(3336,'zh'),(3337,'en'),
-      |(3338,'es'),(3339,'en'),(3340,'fr'),(3341,'zh'),
-      |(3342,'fr'),(3343,'fr'),(3344,'en'),(3345,'fr'),
-      |(3346,'fr'),(3347,'fr'),(3348,'es'),(3349,'fr'),
-      |(3350,'fr'),(3351,'fr'),(3352,'fr'),(3353,'fr'),
-      |(3354,'en'),(3355,'zh'),(3356,'fr'),(3357,'fr'),
-      |(3358,'zh'),(3359,'es'),(3360,'zh'),(3361,'fr'),
-      |(3362,'fr'),(3363,'de'),(3364,'zh'),(3365,'de'),
-      |(3366,'fr'),(3367,'zh'),(3368,'fr'),(3369,'fr'),
-      |(3370,'en'),(3371,'fr'),(3372,'fr'),(3373,'fr'),
-      |(3374,'es'),(3375,'fr'),(3376,'fr'),(3377,'zh'),
-      |(3378,'fr'),(3379,'fr'),(3380,'fr'),(3381,'fr'),
-      |(3382,'fr'),(3383,'fr'),(3384,'zh'),(3385,'fr'),
-      |(3386,'fr'),(3387,'fr'),(3388,'en'),(3389,'fr'),
-      |(3390,'fr'),(3391,'fr'),(3392,'fr'),(3393,'fr'),
-      |(3394,'es'),(3395,'fr'),(3396,'fr'),(3397,'fr'),
-      |(3398,'zh'),(3399,'fr'),(3400,'zh'),(3401,'fr'),
-      |(3402,'fr'),(3403,'fr'),(3404,'fr'),(3405,'de'),
-      |(3406,'zh'),(3407,'fr'),(3408,'zh'),(3409,'es'),
-      |(3410,'fr'),(3411,'zh'),(3412,'fr'),(3413,'fr'),
-      |(3414,'en'),(3415,'fr'),(3416,'es'),(3417,'fr'),
-      |(3418,'fr'),(3419,'fr'),(3420,'fr'),(3421,'fr'),
-      |(3422,'fr'),(3423,'fr'),(3424,'fr'),(3425,'en'),
-      |(3426,'fr'),(3427,'fr'),(3428,'fr'),(3429,'zh'),
-      |(3430,'fr'),(3431,'fr'),(3432,'fr'),(3433,'fr'),
-      |(3434,'fr'),(3435,'fr'),(3436,'en'),(3437,'fr'),
-      |(3438,'fr'),(3439,'fr'),(3440,'zh'),(3441,'fr'),
-      |(3442,'es'),(3443,'fr'),(3444,'fr'),(3445,'zh'),
-      |(3446,'zh'),(3447,'fr'),(3448,'fr'),(3449,'fr'),
-      |(3450,'zh'),(3451,'fr'),(3452,'zh'),(3453,'zh'),
-      |(3454,'fr'),(3455,'fr'),(3456,'zh'),(3457,'fr'),
-      |(3458,'zh'),(3459,'zh'),(3460,'de'),(3461,'fr'),
-      |(3462,'fr'),(3463,'fr'),(3464,'fr'),(3465,'fr'),
-      |(3466,'es'),(3467,'fr'),(3468,'fr'),(3469,'fr'),
-      |(3470,'fr'),(3471,'fr'),(3472,'zh'),(3473,'es'),
-      |(3474,'fr'),(3475,'zh'),(3476,'fr'),(3477,'fr'),
-      |(3478,'fr'),(3479,'fr'),(3480,'en'),(3481,'de'),
-      |(3482,'fr'),(3483,'fr'),(3484,'fr'),(3485,'fr'),
-      |(3486,'de'),(3487,'zh'),(3488,'zh'),(3489,'fr'),
-      |(3490,'en'),(3491,'fr'),(3492,'en'),(3493,'zh'),
-      |(3494,'fr'),(3495,'fr'),(3496,'fr'),(3497,'fr'),
-      |(3498,'en'),(3499,'fr'),(3500,'fr'),(3501,'fr'),
-      |(3502,'zh'),(3503,'fr'),(3504,'fr'),(3505,'fr'),
-      |(3506,'fr'),(3507,'es'),(3508,'zh'),(3509,'en'),
-      |(3510,'fr'),(3511,'fr'),(3512,'es'),(3513,'en'),
-      |(3514,'fr'),(3515,'fr'),(3516,'fr'),(3517,'zh'),
-      |(3518,'fr'),(3519,'de'),(3520,'fr'),(3521,'zh'),
-      |(3522,'fr'),(3523,'fr'),(3524,'fr'),(3525,'fr'),
-      |(3526,'en'),(3527,'fr'),(3528,'fr'),(3529,'fr'),
-      |(3530,'zh'),(3531,'en'),(3532,'fr'),(3533,'fr'),
-      |(3534,'es'),(3535,'fr'),(3536,'fr'),(3537,'zh'),
-      |(3538,'fr'),(3539,'zh'),(3540,'fr'),(3541,'fr'),
-      |(3542,'en'),(3543,'en'),(3544,'fr'),(3545,'fr'),
-      |(3546,'fr'),(3547,'es'),(3548,'zh'),(3549,'fr'),
-      |(3550,'zh'),(3551,'zh'),(3552,'fr'),(3553,'fr'),
-      |(3554,'fr'),(3555,'fr'),(3556,'fr'),(3557,'fr'),
-      |(3558,'de'),(3559,'fr'),(3560,'es'),(3561,'en'),
-      |(3562,'fr'),(3563,'fr'),(3564,'fr'),(3565,'fr'),
-      |(3566,'zh'),(3567,'en'),(3568,'fr'),(3569,'fr'),
-      |(3570,'fr'),(3571,'fr'),(3572,'es'),(3573,'fr'),
-      |(3574,'fr'),(3575,'fr'),(3576,'fr'),(3577,'zh'),
-      |(3578,'zh'),(3579,'fr'),(3580,'fr'),(3581,'en'),
-      |(3582,'fr'),(3583,'zh'),(3584,'fr'),(3585,'fr'),
-      |(3586,'fr'),(3587,'es'),(3588,'fr'),(3589,'fr'),
-      |(3590,'fr'),(3591,'fr'),(3592,'fr'),(3593,'fr'),
-      |(3594,'fr'),(3595,'zh'),(3596,'zh'),(3597,'fr'),
-      |(3598,'fr'),(3599,'fr'),(3600,'zh'),(3601,'fr'),
-      |(3602,'es'),(3603,'zh'),(3604,'es'),(3605,'fr'),
-      |(3606,'fr'),(3607,'fr'),(3608,'zh'),(3609,'fr'),
-      |(3610,'fr'),(3611,'fr'),(3612,'fr'),(3613,'fr'),
-      |(3614,'fr'),(3615,'fr'),(3616,'fr'),(3617,'en'),
-      |(3618,'fr'),(3619,'fr'),(3620,'fr'),(3621,'zh'),
-      |(3622,'fr'),(3623,'fr'),(3624,'de'),(3625,'fr'),
-      |(3626,'fr'),(3627,'fr'),(3628,'fr'),(3629,'zh'),
-      |(3630,'fr'),(3631,'zh'),(3632,'en'),(3633,'zh'),
-      |(3634,'fr'),(3635,'fr'),(3636,'fr'),(3637,'es'),
-      |(3638,'fr'),(3639,'zh'),(3640,'fr'),(3641,'fr'),
-      |(3642,'fr'),(3643,'zh'),(3644,'fr'),(3645,'es'),
-      |(3646,'fr'),(3647,'fr'),(3648,'zh'),(3649,'fr'),
-      |(3650,'fr'),(3651,'zh'),(3652,'fr'),(3653,'fr'),
-      |(3654,'fr'),(3655,'fr'),(3656,'zh'),(3657,'fr'),
-      |(3658,'fr'),(3659,'fr'),(3660,'fr'),(3661,'fr'),
-      |(3662,'fr'),(3663,'fr'),(3664,'zh'),(3665,'fr'),
-      |(3666,'zh'),(3667,'es'),(3668,'fr'),(3669,'fr'),
-      |(3670,'fr'),(3671,'fr'),(3672,'en'),(3673,'zh'),
-      |(3674,'de'),(3675,'zh'),(3676,'zh'),(3677,'zh'),
-      |(3678,'fr'),(3679,'de'),(3680,'fr'),(3681,'zh'),
-      |(3682,'de'),(3683,'fr'),(3684,'fr'),(3685,'fr'),
-      |(3686,'fr'),(3687,'fr'),(3688,'fr'),(3689,'fr'),
-      |(3690,'fr'),(3691,'en'),(3692,'fr'),(3693,'fr'),
-      |(3694,'zh'),(3695,'zh'),(3696,'zh'),(3697,'zh'),
-      |(3698,'fr'),(3699,'zh'),(3700,'zh'),(3701,'fr'),
-      |(3702,'zh'),(3703,'fr'),(3704,'zh'),(3705,'fr'),
-      |(3706,'de'),(3707,'zh'),(3708,'es'),(3709,'es'),
-      |(3710,'fr'),(3711,'en'),(3712,'fr'),(3713,'fr'),
-      |(3714,'es'),(3715,'fr'),(3716,'zh'),(3717,'fr'),
-      |(3718,'fr'),(3719,'zh'),(3720,'zh'),(3721,'fr'),
-      |(3722,'fr'),(3723,'fr'),(3724,'fr'),(3725,'fr'),
-      |(3726,'fr'),(3727,'zh'),(3728,'fr'),(3729,'fr'),
-      |(3730,'zh'),(3731,'fr'),(3732,'es'),(3733,'fr'),
-      |(3734,'fr'),(3735,'fr'),(3736,'es'),(3737,'en'),
-      |(3738,'fr'),(3739,'fr'),(3740,'zh'),(3741,'de'),
-      |(3742,'de'),(3743,'fr'),(3744,'fr'),(3745,'fr'),
-      |(3746,'en'),(3747,'en'),(3748,'fr'),(3749,'de'),
-      |(3750,'fr'),(3751,'fr'),(3752,'fr'),(3753,'fr'),
-      |(3754,'es'),(3755,'es'),(3756,'fr'),(3757,'fr'),
-      |(3758,'zh'),(3759,'fr'),(3760,'zh'),(3761,'fr'),
-      |(3762,'fr'),(3763,'fr'),(3764,'fr'),(3765,'fr'),
-      |(3766,'fr'),(3767,'zh'),(3768,'zh'),(3769,'fr'),
-      |(3770,'es'),(3771,'fr'),(3772,'fr'),(3773,'zh'),
-      |(3774,'fr'),(3775,'zh'),(3776,'fr'),(3777,'de'),
-      |(3778,'fr'),(3779,'fr'),(3780,'fr'),(3781,'fr'),
-      |(3782,'fr'),(3783,'fr'),(3784,'es'),(3785,'fr'),
-      |(3786,'fr'),(3787,'en'),(3788,'fr'),(3789,'es'),
-      |(3790,'fr'),(3791,'fr'),(3792,'fr'),(3793,'es'),
-      |(3794,'fr'),(3795,'zh'),(3796,'fr'),(3797,'fr'),
-      |(3798,'fr'),(3799,'fr'),(3800,'fr'),(3801,'fr'),
-      |(3802,'zh'),(3803,'fr'),(3804,'es'),(3805,'fr'),
-      |(3806,'zh'),(3807,'fr'),(3808,'fr'),(3809,'zh'),
-      |(3810,'fr'),(3811,'fr'),(3812,'fr'),(3813,'zh'),
-      |(3814,'fr'),(3815,'fr'),(3816,'fr'),(3817,'fr'),
-      |(3818,'fr'),(3819,'fr'),(3820,'fr'),(3821,'fr'),
-      |(3822,'fr'),(3823,'zh'),(3824,'fr'),(3825,'fr'),
-      |(3826,'zh'),(3827,'fr'),(3828,'fr'),(3829,'fr'),
-      |(3830,'fr'),(3831,'fr'),(3832,'fr'),(3833,'de'),
-      |(3834,'fr'),(3835,'fr'),(3836,'fr'),(3837,'en'),
-      |(3838,'fr'),(3839,'zh'),(3840,'fr'),(3841,'zh'),
-      |(3842,'fr'),(3843,'fr'),(3844,'en'),(3845,'en'),
-      |(3846,'fr'),(3847,'fr'),(3848,'fr'),(3849,'fr'),
-      |(3850,'fr'),(3851,'fr'),(3852,'en'),(3853,'en'),
-      |(3854,'fr'),(3855,'fr'),(3856,'fr'),(3857,'zh'),
-      |(3858,'es'),(3859,'de'),(3860,'es'),(3861,'zh'),
-      |(3862,'fr'),(3863,'fr'),(3864,'fr'),(3865,'zh'),
-      |(3866,'fr'),(3867,'fr'),(3868,'zh'),(3869,'fr'),
-      |(3870,'zh'),(3871,'zh'),(3872,'fr'),(3873,'fr'),
-      |(3874,'fr'),(3875,'fr'),(3876,'fr'),(3877,'fr'),
-      |(3878,'fr'),(3879,'es'),(3880,'fr'),(3881,'fr'),
-      |(3882,'fr'),(3883,'en'),(3884,'zh'),(3885,'fr'),
-      |(3886,'zh'),(3887,'fr'),(3888,'fr'),(3889,'zh'),
-      |(3890,'fr'),(3891,'fr'),(3892,'fr'),(3893,'fr'),
-      |(3894,'es'),(3895,'zh'),(3896,'fr'),(3897,'fr'),
-      |(3898,'fr'),(3899,'fr'),(3900,'fr'),(3901,'fr'),
-      |(3902,'fr'),(3903,'es'),(3904,'de'),(3905,'fr'),
-      |(3906,'fr'),(3907,'fr'),(3908,'fr'),(3909,'de'),
-      |(3910,'zh'),(3911,'zh'),(3912,'fr'),(3913,'zh'),
-      |(3914,'fr'),(3915,'zh'),(3916,'fr'),(3917,'fr'),
-      |(3918,'fr'),(3919,'fr'),(3920,'en'),(3921,'zh'),
-      |(3922,'zh'),(3923,'fr'),(3924,'fr'),(3925,'fr'),
-      |(3926,'de'),(3927,'fr'),(3928,'fr'),(3929,'fr'),
-      |(3930,'zh'),(3931,'fr'),(3932,'zh'),(3933,'fr'),
-      |(3934,'zh'),(3935,'de'),(3936,'fr'),(3937,'zh'),
-      |(3938,'zh'),(3939,'fr'),(3940,'fr'),(3941,'fr'),
-      |(3942,'zh'),(3943,'fr'),(3944,'en'),(3945,'fr'),
-      |(3946,'fr'),(3947,'fr'),(3948,'en'),(3949,'es'),
-      |(3950,'fr'),(3951,'fr'),(3952,'fr'),(3953,'fr'),
-      |(3954,'en'),(3955,'fr'),(3956,'fr'),(3957,'fr'),
-      |(3958,'fr'),(3959,'zh'),(3960,'en'),(3961,'fr'),
-      |(3962,'fr'),(3963,'fr'),(3964,'fr'),(3965,'fr'),
-      |(3966,'zh'),(3967,'fr'),(3968,'zh'),(3969,'fr'),
-      |(3970,'zh'),(3971,'fr'),(3972,'fr'),(3973,'es'),
-      |(3974,'zh'),(3975,'zh'),(3976,'zh'),(3977,'fr'),
-      |(3978,'fr'),(3979,'fr'),(3980,'fr'),(3981,'zh'),
-      |(3982,'zh'),(3983,'fr'),(3984,'fr'),(3985,'zh'),
-      |(3986,'fr'),(3987,'en'),(3988,'fr'),(3989,'fr'),
-      |(3990,'fr'),(3991,'fr'),(3992,'fr'),(3993,'fr'),
-      |(3994,'fr'),(3995,'zh'),(3996,'fr'),(3997,'fr'),
-      |(3998,'fr'),(3999,'fr'),(4000,'fr'),(4001,'fr'),
-      |(4002,'es'),(4003,'fr'),(4004,'en'),(4005,'fr'),
-      |(4006,'fr'),(4007,'fr'),(4008,'fr'),(4009,'fr'),
-      |(4010,'fr'),(4011,'fr'),(4012,'fr'),(4013,'zh'),
-      |(4014,'de'),(4015,'fr'),(4016,'fr'),(4017,'fr'),
-      |(4018,'fr'),(4019,'zh'),(4020,'fr'),(4021,'fr'),
-      |(4022,'es'),(4023,'fr'),(4024,'zh'),(4025,'fr'),
-      |(4026,'fr'),(4027,'fr'),(4028,'fr'),(4029,'fr'),
-      |(4030,'en'),(4031,'fr'),(4032,'fr'),(4033,'fr'),""".stripMargin,
-    """(4034,'zh'),(4035,'fr'),(4036,'fr'),(4037,'es'),
-      |(4038,'fr'),(4039,'fr'),(4040,'zh'),(4041,'zh'),
-      |(4042,'es'),(4043,'fr'),(4044,'zh'),(4045,'fr'),
-      |(4046,'fr'),(4047,'fr'),(4048,'fr'),(4049,'fr'),
-      |(4050,'fr'),(4051,'fr'),(4052,'zh'),(4053,'zh'),
-      |(4054,'fr'),(4055,'fr'),(4056,'es'),(4057,'fr'),
-      |(4058,'zh'),(4059,'fr'),(4060,'fr'),(4061,'fr'),
-      |(4062,'fr'),(4063,'zh'),(4064,'en'),(4065,'en'),
-      |(4066,'fr'),(4067,'es'),(4068,'fr'),(4069,'fr'),
-      |(4070,'zh'),(4071,'zh'),(4072,'zh'),(4073,'fr'),
-      |(4074,'zh'),(4075,'fr'),(4076,'fr'),(4077,'fr'),
-      |(4078,'fr'),(4079,'fr'),(4080,'en'),(4081,'fr'),
-      |(4082,'zh'),(4083,'fr'),(4084,'zh'),(4085,'en'),
-      |(4086,'fr'),(4087,'fr'),(4088,'fr'),(4089,'zh'),
-      |(4090,'fr'),(4091,'fr'),(4092,'fr'),(4093,'fr'),
-      |(4094,'fr'),(4095,'fr'),(4096,'fr'),(4097,'fr'),
-      |(4098,'fr'),(4099,'fr'),(4100,'fr'),(4101,'zh'),
-      |(4102,'es'),(4103,'fr'),(4104,'fr'),(4105,'fr'),
-      |(4106,'fr'),(4107,'fr'),(4108,'es'),(4109,'zh'),
-      |(4110,'fr'),(4111,'zh'),(4112,'fr'),(4113,'zh'),
-      |(4114,'zh'),(4115,'fr'),(4116,'fr'),(4117,'fr'),
-      |(4118,'fr'),(4119,'fr'),(4120,'en'),(4121,'en'),
-      |(4122,'zh'),(4123,'fr'),(4124,'fr'),(4125,'zh'),
-      |(4126,'en'),(4127,'en'),(4128,'fr'),(4129,'zh'),
-      |(4130,'fr'),(4131,'es'),(4132,'fr'),(4133,'fr'),
-      |(4134,'fr'),(4135,'fr'),(4136,'fr'),(4137,'es'),
-      |(4138,'fr'),(4139,'fr'),(4140,'fr'),(4141,'fr'),
-      |(4142,'fr'),(4143,'fr'),(4144,'fr'),(4145,'en'),
-      |(4146,'fr'),(4147,'zh'),(4148,'fr'),(4149,'fr'),
-      |(4150,'fr'),(4151,'fr'),(4152,'fr'),(4153,'fr'),
-      |(4154,'en'),(4155,'fr'),(4156,'fr'),(4157,'zh'),
-      |(4158,'zh'),(4159,'zh'),(4160,'fr'),(4161,'zh'),
-      |(4162,'fr'),(4163,'fr'),(4164,'fr'),(4165,'fr'),
-      |(4166,'fr'),(4167,'es'),(4168,'fr'),(4169,'fr'),
-      |(4170,'en'),(4171,'zh'),(4172,'fr'),(4173,'fr'),
-      |(4174,'zh'),(4175,'zh'),(4176,'zh'),(4177,'fr'),
-      |(4178,'fr'),(4179,'fr'),(4180,'fr'),(4181,'fr'),
-      |(4182,'fr'),(4183,'fr'),(4184,'fr'),(4185,'fr'),
-      |(4186,'en'),(4187,'zh'),(4188,'fr'),(4189,'fr'),
-      |(4190,'fr'),(4191,'fr'),(4192,'fr'),(4193,'es'),
-      |(4194,'fr'),(4195,'fr'),(4196,'fr'),(4197,'fr'),
-      |(4198,'fr'),(4199,'fr'),(4200,'fr'),(4201,'fr'),
-      |(4202,'fr'),(4203,'fr'),(4204,'fr'),(4205,'zh'),
-      |(4206,'fr'),(4207,'fr'),(4208,'fr'),(4209,'fr'),
-      |(4210,'fr'),(4211,'fr'),(4212,'zh'),(4213,'zh'),
-      |(4214,'fr'),(4215,'fr'),(4216,'fr'),(4217,'fr'),
-      |(4218,'fr'),(4219,'zh'),(4220,'fr'),(4221,'zh'),
-      |(4222,'zh'),(4223,'zh'),(4224,'fr'),(4225,'fr'),
-      |(4226,'fr'),(4227,'en'),(4228,'fr'),(4229,'fr'),
-      |(4230,'fr'),(4231,'fr'),(4232,'fr'),(4233,'es'),
-      |(4234,'fr'),(4235,'fr'),(4236,'fr'),(4237,'zh'),
-      |(4238,'fr'),(4239,'fr'),(4240,'en'),(4241,'fr'),
-      |(4242,'fr'),(4243,'fr'),(4244,'en'),(4245,'fr'),
-      |(4246,'zh'),(4247,'en'),(4248,'fr'),(4249,'es'),
-      |(4250,'fr'),(4251,'fr'),(4252,'fr'),(4253,'fr'),
-      |(4254,'es'),(4255,'fr'),(4256,'zh'),(4257,'fr'),
-      |(4258,'en'),(4259,'fr'),(4260,'fr'),(4261,'fr'),
-      |(4262,'zh'),(4263,'fr'),(4264,'fr'),(4265,'fr'),
-      |(4266,'fr'),(4267,'en'),(4268,'fr'),(4269,'fr'),
-      |(4270,'fr'),(4271,'fr'),(4272,'fr'),(4273,'zh'),
-      |(4274,'zh'),(4275,'fr'),(4276,'fr'),(4277,'fr'),
-      |(4278,'fr'),(4279,'fr'),(4280,'zh'),(4281,'fr'),
-      |(4282,'fr'),(4283,'zh'),(4284,'es'),(4285,'zh'),
-      |(4286,'en'),(4287,'fr'),(4288,'zh'),(4289,'fr'),
-      |(4290,'zh'),(4291,'fr'),(4292,'fr'),(4293,'es'),
-      |(4294,'fr'),(4295,'en'),(4296,'fr'),(4297,'fr'),
-      |(4298,'fr'),(4299,'fr'),(4300,'zh'),(4301,'zh'),
-      |(4302,'fr'),(4303,'fr'),(4304,'es'),(4305,'fr'),
-      |(4306,'en'),(4307,'fr'),(4308,'zh'),(4309,'fr'),
-      |(4310,'fr'),(4311,'fr'),(4312,'fr'),(4313,'fr'),
-      |(4314,'zh'),(4315,'fr'),(4316,'fr'),(4317,'fr'),
-      |(4318,'fr'),(4319,'fr'),(4320,'fr'),(4321,'fr'),
-      |(4322,'fr'),(4323,'fr'),(4324,'zh'),(4325,'zh'),
-      |(4326,'fr'),(4327,'fr'),(4328,'fr'),(4329,'fr'),
-      |(4330,'fr'),(4331,'fr'),(4332,'zh'),(4333,'fr'),
-      |(4334,'fr'),(4335,'fr'),(4336,'fr'),(4337,'fr'),
-      |(4338,'zh'),(4339,'fr'),(4340,'fr'),(4341,'fr'),
-      |(4342,'zh'),(4343,'fr'),(4344,'fr'),(4345,'fr'),
-      |(4346,'fr'),(4347,'fr'),(4348,'fr'),(4349,'zh'),
-      |(4350,'fr'),(4351,'fr'),(4352,'de'),(4353,'fr'),
-      |(4354,'fr'),(4355,'es'),(4356,'fr'),(4357,'zh'),
-      |(4358,'en'),(4359,'fr'),(4360,'fr'),(4361,'fr'),
-      |(4362,'zh'),(4363,'zh'),(4364,'zh'),(4365,'fr'),
-      |(4366,'fr'),(4367,'en'),(4368,'en'),(4369,'zh'),
-      |(4370,'fr'),(4371,'zh'),(4372,'zh'),(4373,'en'),
-      |(4374,'en'),(4375,'fr'),(4376,'fr'),(4377,'fr'),
-      |(4378,'fr'),(4379,'fr'),(4380,'zh'),(4381,'fr'),
-      |(4382,'fr'),(4383,'fr'),(4384,'fr'),(4385,'fr'),
-      |(4386,'fr'),(4387,'de'),(4388,'fr'),(4389,'zh'),
-      |(4390,'fr'),(4391,'fr'),(4392,'fr'),(4393,'zh'),
-      |(4394,'fr'),(4395,'en'),(4396,'zh'),(4397,'fr'),
-      |(4398,'fr'),(4399,'fr'),(4400,'en'),(4401,'fr'),
-      |(4402,'fr'),(4403,'fr'),(4404,'zh'),(4405,'fr'),
-      |(4406,'es'),(4407,'es'),(4408,'fr'),(4409,'zh'),
-      |(4410,'fr'),(4411,'fr'),(4412,'fr'),(4413,'fr'),
-      |(4414,'fr'),(4415,'zh'),(4416,'fr'),(4417,'fr'),
-      |(4418,'fr'),(4419,'fr'),(4420,'zh'),(4421,'fr'),
-      |(4422,'fr'),(4423,'fr'),(4424,'fr'),(4425,'fr'),
-      |(4426,'fr'),(4427,'zh'),(4428,'zh'),(4429,'fr'),
-      |(4430,'fr'),(4431,'fr'),(4432,'fr'),(4433,'fr'),
-      |(4434,'fr'),(4435,'fr'),(4436,'fr'),(4437,'fr'),
-      |(4438,'fr'),(4439,'zh'),(4440,'fr'),(4441,'fr'),
-      |(4442,'fr'),(4443,'fr'),(4444,'fr'),(4445,'zh'),
-      |(4446,'fr'),(4447,'fr'),(4448,'fr'),(4449,'fr'),
-      |(4450,'fr'),(4451,'fr'),(4452,'fr'),(4453,'en'),
-      |(4454,'zh'),(4455,'fr'),(4456,'fr'),(4457,'fr'),
-      |(4458,'fr'),(4459,'fr'),(4460,'fr'),(4461,'fr'),
-      |(4462,'es'),(4463,'en'),(4464,'fr'),(4465,'fr'),
-      |(4466,'fr'),(4467,'fr'),(4468,'en'),(4469,'fr'),
-      |(4470,'zh'),(4471,'en'),(4472,'fr'),(4473,'es'),
-      |(4474,'fr'),(4475,'fr'),(4476,'fr'),(4477,'zh'),
-      |(4478,'fr'),(4479,'zh'),(4480,'es'),(4481,'fr'),
-      |(4482,'de'),(4483,'fr'),(4484,'zh'),(4485,'zh'),
-      |(4486,'zh'),(4487,'fr'),(4488,'fr'),(4489,'fr'),
-      |(4490,'fr'),(4491,'zh'),(4492,'fr'),(4493,'zh'),
-      |(4494,'fr'),(4495,'fr'),(4496,'fr'),(4497,'zh'),
-      |(4498,'fr'),(4499,'en'),(4500,'zh'),(4501,'fr'),
-      |(4502,'fr'),(4503,'es'),(4504,'zh'),(4505,'zh'),
-      |(4506,'fr'),(4507,'fr'),(4508,'fr'),(4509,'fr'),
-      |(4510,'fr'),(4511,'fr'),(4512,'fr'),(4513,'fr'),
-      |(4514,'fr'),(4515,'zh'),(4516,'fr'),(4517,'zh'),
-      |(4518,'fr'),(4519,'en'),(4520,'fr'),(4521,'fr'),
-      |(4522,'zh'),(4523,'en'),(4524,'zh'),(4525,'fr'),
-      |(4526,'fr'),(4527,'es'),(4528,'fr'),(4529,'fr'),
-      |(4530,'fr'),(4531,'zh'),(4532,'fr'),(4533,'zh'),
-      |(4534,'zh'),(4535,'es'),(4536,'en'),(4537,'fr'),
-      |(4538,'zh'),(4539,'fr'),(4540,'fr'),(4541,'fr'),
-      |(4542,'fr'),(4543,'es'),(4544,'fr'),(4545,'fr'),
-      |(4546,'fr'),(4547,'fr'),(4548,'es'),(4549,'fr'),
-      |(4550,'zh'),(4551,'zh'),(4552,'fr'),(4553,'zh'),
-      |(4554,'fr'),(4555,'fr'),(4556,'fr'),(4557,'fr'),
-      |(4558,'fr'),(4559,'fr'),(4560,'fr'),(4561,'fr'),
-      |(4562,'zh'),(4563,'en'),(4564,'fr'),(4565,'en'),
-      |(4566,'en'),(4567,'fr'),(4568,'es'),(4569,'fr'),
-      |(4570,'fr'),(4571,'en'),(4572,'es'),(4573,'de'),
-      |(4574,'es'),(4575,'fr'),(4576,'fr'),(4577,'zh'),
-      |(4578,'fr'),(4579,'fr'),(4580,'fr'),(4581,'fr'),
-      |(4582,'fr'),(4583,'fr'),(4584,'fr'),(4585,'fr'),
-      |(4586,'zh'),(4587,'fr'),(4588,'fr'),(4589,'fr'),
-      |(4590,'zh'),(4591,'fr'),(4592,'fr'),(4593,'zh'),
-      |(4594,'fr'),(4595,'en'),(4596,'fr'),(4597,'fr'),
-      |(4598,'en'),(4599,'en'),(4600,'zh'),(4601,'fr'),
-      |(4602,'fr'),(4603,'zh'),(4604,'fr'),(4605,'es'),
-      |(4606,'fr'),(4607,'fr'),(4608,'en'),(4609,'fr'),
-      |(4610,'zh'),(4611,'zh'),(4612,'zh'),(4613,'fr'),
-      |(4614,'fr'),(4615,'zh'),(4616,'fr'),(4617,'en'),
-      |(4618,'fr'),(4619,'zh'),(4620,'fr'),(4621,'fr'),
-      |(4622,'fr'),(4623,'fr'),(4624,'fr'),(4625,'fr'),
-      |(4626,'fr'),(4627,'en'),(4628,'zh'),(4629,'zh'),
-      |(4630,'zh'),(4631,'es'),(4632,'fr'),(4633,'zh'),
-      |(4634,'fr'),(4635,'fr'),(4636,'fr'),(4637,'en'),
-      |(4638,'zh'),(4639,'zh'),(4640,'zh'),(4641,'en'),
-      |(4642,'fr'),(4643,'fr'),(4644,'de'),(4645,'fr'),
-      |(4646,'fr'),(4647,'fr'),(4648,'fr'),(4649,'fr'),
-      |(4650,'fr'),(4651,'fr'),(4652,'fr'),(4653,'zh'),
-      |(4654,'en'),(4655,'es'),(4656,'fr'),(4657,'fr'),
-      |(4658,'fr'),(4659,'fr'),(4660,'fr'),(4661,'fr'),
-      |(4662,'fr'),(4663,'fr'),(4664,'de'),(4665,'fr'),
-      |(4666,'zh'),(4667,'fr'),(4668,'fr'),(4669,'fr'),
-      |(4670,'fr'),(4671,'en'),(4672,'fr'),(4673,'fr'),
-      |(4674,'fr'),(4675,'fr'),(4676,'es'),(4677,'fr'),
-      |(4678,'fr'),(4679,'fr'),(4680,'es'),(4681,'zh'),
-      |(4682,'es'),(4683,'es'),(4684,'fr'),(4685,'fr'),
-      |(4686,'fr'),(4687,'fr'),(4688,'fr'),(4689,'zh'),
-      |(4690,'fr'),(4691,'fr'),(4692,'fr'),(4693,'fr'),
-      |(4694,'fr'),(4695,'fr'),(4696,'fr'),(4697,'fr'),
-      |(4698,'fr'),(4699,'zh'),(4700,'zh'),(4701,'fr'),
-      |(4702,'de'),(4703,'fr'),(4704,'fr'),(4705,'zh'),
-      |(4706,'zh'),(4707,'en'),(4708,'fr'),(4709,'fr'),
-      |(4710,'en'),(4711,'fr'),(4712,'fr'),(4713,'fr'),
-      |(4714,'fr'),(4715,'en'),(4716,'fr'),(4717,'fr'),
-      |(4718,'fr'),(4719,'zh'),(4720,'fr'),(4721,'fr'),
-      |(4722,'fr'),(4723,'fr'),(4724,'fr'),(4725,'zh'),
-      |(4726,'fr'),(4727,'fr'),(4728,'de'),(4729,'zh'),
-      |(4730,'zh'),(4731,'fr'),(4732,'fr'),(4733,'fr'),
-      |(4734,'de'),(4735,'zh'),(4736,'de'),(4737,'es'),
-      |(4738,'zh'),(4739,'de'),(4740,'fr'),(4741,'fr'),
-      |(4742,'fr'),(4743,'fr'),(4744,'en'),(4745,'fr'),
-      |(4746,'fr'),(4747,'fr'),(4748,'zh'),(4749,'fr'),
-      |(4750,'fr'),(4751,'zh'),(4752,'zh'),(4753,'en'),
-      |(4754,'fr'),(4755,'zh'),(4756,'fr'),(4757,'fr'),
-      |(4758,'en'),(4759,'fr'),(4760,'fr'),(4761,'fr'),
-      |(4762,'fr'),(4763,'fr'),(4764,'fr'),(4765,'de'),
-      |(4766,'zh'),(4767,'fr'),(4768,'fr'),(4769,'zh'),
-      |(4770,'en'),(4771,'en'),(4772,'de'),(4773,'fr'),
-      |(4774,'zh'),(4775,'fr'),(4776,'zh'),(4777,'fr'),
-      |(4778,'en'),(4779,'fr'),(4780,'fr'),(4781,'fr'),
-      |(4782,'es'),(4783,'fr'),(4784,'fr'),(4785,'fr'),
-      |(4786,'fr'),(4787,'fr'),(4788,'fr'),(4789,'fr'),
-      |(4790,'en'),(4791,'fr'),(4792,'fr'),(4793,'fr'),
-      |(4794,'fr'),(4795,'fr'),(4796,'zh'),(4797,'fr'),
-      |(4798,'zh'),(4799,'zh'),(4800,'zh'),(4801,'fr'),
-      |(4802,'fr'),(4803,'en'),(4804,'fr'),(4805,'fr'),
-      |(4806,'fr'),(4807,'fr'),(4808,'en'),(4809,'en'),
-      |(4810,'zh'),(4811,'fr'),(4812,'fr'),(4813,'fr'),
-      |(4814,'fr'),(4815,'zh'),(4816,'zh'),(4817,'fr'),
-      |(4818,'en'),(4819,'fr'),(4820,'zh'),(4821,'fr'),
-      |(4822,'fr'),(4823,'fr'),(4824,'fr'),(4825,'zh'),
-      |(4826,'zh'),(4827,'fr'),(4828,'en'),(4829,'fr'),
-      |(4830,'fr'),(4831,'fr'),(4832,'zh'),(4833,'fr'),
-      |(4834,'fr'),(4835,'fr'),(4836,'fr'),(4837,'fr'),
-      |(4838,'fr'),(4839,'zh'),(4840,'fr'),(4841,'fr'),
-      |(4842,'fr'),(4843,'fr'),(4844,'fr'),(4845,'zh'),
-      |(4846,'fr'),(4847,'fr'),(4848,'zh'),(4849,'fr'),
-      |(4850,'fr'),(4851,'en'),(4852,'fr'),(4853,'fr'),
-      |(4854,'fr'),(4855,'en'),(4856,'zh'),(4857,'fr'),
-      |(4858,'zh'),(4859,'fr'),(4860,'fr'),(4861,'fr'),
-      |(4862,'en'),(4863,'zh'),(4864,'zh'),(4865,'es'),
-      |(4866,'fr'),(4867,'fr'),(4868,'fr'),(4869,'en'),
-      |(4870,'en'),(4871,'zh'),(4872,'es'),(4873,'fr'),
-      |(4874,'fr'),(4875,'zh'),(4876,'fr'),(4877,'fr'),
-      |(4878,'fr'),(4879,'fr'),(4880,'en'),(4881,'fr'),
-      |(4882,'zh'),(4883,'fr'),(4884,'fr'),(4885,'fr'),
-      |(4886,'zh'),(4887,'fr'),(4888,'fr'),(4889,'fr'),
-      |(4890,'zh'),(4891,'fr'),(4892,'fr'),(4893,'fr'),
-      |(4894,'zh'),(4895,'es'),(4896,'fr'),(4897,'fr'),
-      |(4898,'fr'),(4899,'zh'),(4900,'fr'),(4901,'fr'),
-      |(4902,'fr'),(4903,'fr'),(4904,'fr'),(4905,'fr'),
-      |(4906,'fr'),(4907,'fr'),(4908,'fr'),(4909,'fr'),
-      |(4910,'fr'),(4911,'fr'),(4912,'fr'),(4913,'fr'),
-      |(4914,'fr'),(4915,'zh'),(4916,'zh'),(4917,'fr'),
-      |(4918,'fr'),(4919,'en'),(4920,'zh'),(4921,'fr'),
-      |(4922,'fr'),(4923,'en'),(4924,'zh'),(4925,'fr'),
-      |(4926,'fr'),(4927,'fr'),(4928,'fr'),(4929,'fr'),
-      |(4930,'fr'),(4931,'zh'),(4932,'fr'),(4933,'zh'),
-      |(4934,'fr'),(4935,'fr'),(4936,'fr'),(4937,'zh'),
-      |(4938,'fr'),(4939,'de'),(4940,'zh'),(4941,'fr'),
-      |(4942,'fr'),(4943,'fr'),(4944,'es'),(4945,'zh'),
-      |(4946,'fr'),(4947,'fr'),(4948,'fr'),(4949,'fr'),
-      |(4950,'zh'),(4951,'zh'),(4952,'fr'),(4953,'fr'),
-      |(4954,'de'),(4955,'de'),(4956,'fr'),(4957,'zh'),
-      |(4958,'fr'),(4959,'fr'),(4960,'fr'),(4961,'fr'),
-      |(4962,'fr'),(4963,'fr'),(4964,'en'),(4965,'zh'),
-      |(4966,'fr'),(4967,'zh'),(4968,'fr'),(4969,'fr'),
-      |(4970,'fr'),(4971,'zh'),(4972,'de'),(4973,'fr'),
-      |(4974,'fr'),(4975,'de'),(4976,'zh'),(4977,'fr'),
-      |(4978,'fr'),(4979,'de'),(4980,'fr'),(4981,'zh'),
-      |(4982,'fr'),(4983,'fr'),(4984,'en'),(4985,'fr'),
-      |(4986,'fr'),(4987,'fr'),(4988,'zh'),(4989,'en'),
-      |(4990,'fr'),(4991,'fr'),(4992,'fr'),(4993,'fr'),
-      |(4994,'fr'),(4995,'fr'),(4996,'fr'),(4997,'zh'),
-      |(4998,'en'),(4999,'fr')""".stripMargin).mkString(" ").replace("\n", " ") + ") t",
+    Pins.resource("langid_model_sf01.txt") + ") t",
       "SELECT CAST(col0 AS BIGINT) AS doc_id, " +
         "col1 AS lang_model FROM (VALUES " +
     """(0,'fr'),(1,'fr'),(2,'fr'),(3,'zh'),(4,'zh'),(5,'fr'),
