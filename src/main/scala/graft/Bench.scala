@@ -135,8 +135,13 @@ object Bench {
       "dedup_jaccard", "er_fuzzy_names", "text_tokens",
       "text_tfidf_topk", "dq_profile_orders", "pipe_clean_corpus",
       "export_shuffle", "bronze_partition_upsert")
+    // Path-normalized same-dir guard (ADVICE r13): a trailing slash
+    // or relative spelling of either dir must not double-run the sf1
+    // subset inside an sf1 bench.
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
     val sf1Timings: Seq[(String, Double)] =
-      if (only.nonEmpty || sfDir == sf1Dir ||
+      if (only.nonEmpty || norm(sfDir) == norm(sf1Dir) ||
           !new java.io.File(sf1Dir, "lineitem.parquet").exists()) Nil
       else sf1Subset.map { name =>
         try {
@@ -198,8 +203,12 @@ object Bench {
       s""""prepare_sec":${r3(prepare)},"floor_sec":${r3(floor)},""" +
       s""""floor_end_sec":${r3(floorEnd)},"noisy":$noisyAny,""" +
       (if (sf1Timings.isEmpty) ""
-       else s""""sf1_total":${r3(sf1Timings.filter(_._2 >= 0)
-         .map(_._2).sum)},"sf1_n":${sf1Timings.size},""") +
+       else {
+         // count only the >=0 rows so sf1_n and sf1_total agree even
+         // when a query errored to -1 (ADVICE r13)
+         val ok1 = sf1Timings.filter(_._2 >= 0)
+         s""""sf1_total":${r3(ok1.map(_._2).sum)},"sf1_n":${ok1.size},"""
+       }) +
       s""""full":"target/bench.json","queries":{"""
     val byCost = timings.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => (s"${jstr(k)}:${r3(v)}", v) }

@@ -30,8 +30,27 @@ object Profile {
 
   /** SUMMARIZE: (column_name, n_rows, n_nulls, n_distinct, min_str,
     * max_str) per profiled column.
+    *
+    * COST MODEL (r14, per ADVICE r13): this runs N+1 separate
+    * aggregation passes over the input (one per column plus the base
+    * null/min/max agg). For a plain parquet scan each pass is a
+    * column-pruned one-column read — the cheap, intended case. For a
+    * DERIVED input the upstream plan would recompute once per
+    * profiled column, so anything that is not a raw scan (modulo
+    * project/filter) is localCheckpointed once up front and the N+1
+    * passes read the materialized partitions instead.
     */
-  def summarize(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def summarize(df0: DataFrame, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project => LProject, SubqueryAlias}
+    def rawScan(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case pr: LProject => rawScan(pr.child)
+      case f: LFilter => rawScan(f.child)
+      case a: SubqueryAlias => rawScan(a.child)
+      case _ => false
+    }
+    val df = if (rawScan(df0.queryExecution.analyzed)) df0
+             else df0.localCheckpoint()
     val cols = df.schema.fields
     // min/max aggregate on the NATIVE type (string min of a formatted
     // double would order lexically), formatting happens on the 1-row

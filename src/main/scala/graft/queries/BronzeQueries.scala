@@ -935,6 +935,15 @@ object BronzeQueries {
     // actual data elements), so the single row pins exactly (dyadic
     // doubles). SF-scoped to sf0.01 in check.py; the exact-answer
     // tolerance cross-check (10% band) stays in TOLERANCE_ORACLES.
+    //
+    // STALE-PIN CAVEAT (ADVICE r13): QuantileSummaries merge results
+    // also depend on the input PARTITION LAYOUT (file split count,
+    // spark.sql.files.maxPartitionBytes), not just thread count — an
+    // innocuous read-config change can flip the pinned bits at the
+    // pinned SFs. If this gate fails after such a change, diagnose
+    // as a stale pin (re-pin via tools/pingen.py) rather than a
+    // correctness bug; the 10% tolerance cross-check carries the
+    // semantic guarantee either way.
     "approx_stats" -> Pins.at(
       "SELECT CAST(151 AS BIGINT) AS approx_users, " +
         "4868109722210796*power(2.0,-47) AS value_p50, " +

@@ -144,6 +144,24 @@ class SilverSpec extends SparkSpec {
       rows("i") shouldBe ((3L, 0L, 2L, "1", "2"))
       rows("s") shouldBe ((3L, 1L, 2L, "a", "b"))
     }
+    it("summarize checkpoints a derived input instead of recomputing " +
+        "it once per profiled column") {
+      // r14 (ADVICE r13): a non-raw-scan input is localCheckpointed
+      // up front, so the N+1 per-column passes read materialized
+      // partitions — same answers, upstream plan runs ONCE
+      val derived = Tables.orders(spark, sf)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), max($"o_totalprice").as("maxp"))
+      val p = Profile.summarize(derived)
+      // every leaf of the profile plan must be the checkpointed RDD —
+      // no parquet relation left to recompute per column
+      val leaves = p.queryExecution.optimizedPlan.collectLeaves()
+      leaves should not be empty
+      all(leaves.map(_.nodeName)) shouldBe "LogicalRDD"
+      val rows = p.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.keySet shouldBe Set("o_custkey", "n", "maxp")
+      rows.values.toSet shouldBe Set(derived.count())
+    }
     it("approx mode swaps exact distincts for HLL sketches within 5%") {
       val orders = Tables.orders(spark, sf)
       val exact = Profile.summarize(orders).collect()

@@ -53,7 +53,11 @@ for line in open("BASELINE.md"):
                  r"\s*([\d.]+)\s*\|", line)
     if m and m.group(1) != "query":
         pins[m.group(1)] = float(m.group(3))
-m = re.search(r"floor ([\d.]+) s", open("BASELINE.md").read())
+# Anchored to the labeled pin line ("Spark bench machine state:
+# floor X s") — a bare "floor X s" match anywhere in the prose would
+# silently shift every net-of-floor comparison (ADVICE r13).
+m = re.search(r"Spark bench machine state: floor ([\d.]+) s",
+              open("BASELINE.md").read())
 if m:
     pin_floor = float(m.group(1))
 
