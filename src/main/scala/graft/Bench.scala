@@ -167,6 +167,71 @@ object Bench {
         s""","sf1":{"dir":${jstr(sf1Dir)},"total":$tot1,"queries":$qs1}"""
       }
 
+    // ---- sf10 spot tier (r14) -----------------------------------------
+    // One more decade of the scaling curve for the heaviest rows —
+    // the queries whose sf0.1→sf1 ratios were ≥6× in r13 plus the
+    // biggest absolute costs. Runs only when the generated 100×
+    // tier exists (tools/gen_sf.py 10): lineitem 60M rows / 1.3 GB,
+    // comfortably in the 128 GiB sandbox. Same warmup+timed shape as
+    // the sf1 tier; a super-linear sf1→sf10 ratio here is a
+    // scale-killer the two smaller tiers could not see.
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      "/root/repo/testdata/sf10")
+    val sf10Subset = Seq(
+      "q1_agg", "q18_having", "q3_topn", "silver_fact_events",
+      "sess_gap_sessions", "dedup_exact", "dedup_minhash",
+      "dedup_jaccard", "pipe_clean_corpus", "text_lm_score",
+      "dq_profile_orders", "export_shuffle")
+    val sf10Timings: Seq[(String, Double)] =
+      if (only.nonEmpty || norm(sfDir) == norm(sf10Dir) ||
+          !new java.io.File(sf10Dir, "lineitem.parquet").exists()) Nil
+      else sf10Subset.map { name =>
+        try {
+          val fn = SparkEntry.queries(name)
+          fn(spark, sf10Dir).count()
+          val t0 = System.nanoTime()
+          fn(spark, sf10Dir).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          System.gc()
+          name -> s
+        } catch { case e: Throwable =>
+          errors(s"sf10:$name") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+          name -> -1.0
+        }
+      }
+    val sf10Json =
+      if (sf10Timings.isEmpty) ""
+      else {
+        val qs10 = sf10Timings.map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString("{", ",", "}")
+        val tot10 = sf10Timings.filter(_._2 >= 0).map(_._2).sum
+        s""","sf10":{"dir":${jstr(sf10Dir)},"total":$tot10,"queries":$qs10}"""
+      }
+
+    // ---- streaming throughput tier (r14) ------------------------------
+    // Rows/sec per exactly-once sink + backlog catch-up pacing (see
+    // StreamBench). Skipped for SPARK_GRAFT_ONLY iteration runs and
+    // for the sf1 scaling dir (one streaming price per round is the
+    // signal; it is SF-pinned to the main bench SF).
+    val streamTiers: Seq[StreamBench.Tier] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_STREAM").contains("0"))
+        Nil
+      else
+        try StreamBench.run(spark, sfDir)
+        catch { case e: Throwable =>
+          errors("streaming") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+          Nil
+        }
+    val streamJson =
+      if (streamTiers.isEmpty) ""
+      else streamTiers.map { t =>
+        jstr(t.name) + ":{\"rows_per_sec\":" + math.rint(t.rate) +
+          ",\"rows\":" + t.rows + ",\"batches\":" + t.batches +
+          ",\"sec\":" + t.sec + "}"
+      }.mkString(",\"streaming\":{", ",", "}")
+
     // the start-of-run floor cannot see a contention burst that
     // arrives MID-run (observed: identical code measured 32s vs 247s
     // total depending on bursts) — re-measure after the suite so a
@@ -179,7 +244,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json$sf10Json$streamJson}"""
 
     // ---- compact stdout twin ------------------------------------------
     // The FULL json above (~4 KB for 121 queries) overflows the
@@ -209,6 +274,13 @@ object Bench {
          val ok1 = sf1Timings.filter(_._2 >= 0)
          s""""sf1_total":${r3(ok1.map(_._2).sum)},"sf1_n":${ok1.size},"""
        }) +
+      (if (sf10Timings.isEmpty) ""
+       else {
+         val ok10 = sf10Timings.filter(_._2 >= 0)
+         s""""sf10_total":${r3(ok10.map(_._2).sum)},"sf10_n":${ok10.size},"""
+       }) +
+      (if (streamTiers.isEmpty) ""
+       else s""""stream_n":${streamTiers.size},""") +
       s""""full":"target/bench.json","queries":{"""
     val byCost = timings.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => (s"${jstr(k)}:${r3(v)}", v) }

@@ -944,7 +944,7 @@ object BronzeQueries {
     // as a stale pin (re-pin via tools/pingen.py) rather than a
     // correctness bug; the 10% tolerance cross-check carries the
     // semantic guarantee either way.
-    "approx_stats" -> Pins.at(
+    "approx_stats" -> Pins.sf1Or("approx_stats", Pins.at(
       "SELECT CAST(151 AS BIGINT) AS approx_users, " +
         "4868109722210796*power(2.0,-47) AS value_p50, " +
         "5181954321243177*power(2.0,-45) AS value_p95",
@@ -953,7 +953,7 @@ object BronzeQueries {
         "5243878816119521*power(2.0,-45) AS value_p95",
       "SELECT CAST(15 AS BIGINT) AS approx_users, " +
         "5013069335216783*power(2.0,-47) AS value_p50, " +
-        "5049309238468280*power(2.0,-45) AS value_p95"),
+        "5049309238468280*power(2.0,-45) AS value_p95")),
 
     "mm_image_dups" -> seedPairOracle(Seq(
       (0,0,0), (1,1,0), (2,2,0), (3,3,0), (4,4,0), (5,5,0), (6,6,0),

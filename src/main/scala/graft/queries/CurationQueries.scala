@@ -1562,26 +1562,26 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     // H21 score leg — hash-gated via the pinned dyadic scores
     // (dsirScoreDyadic; SF-scoped to sf0.01 in check.py).
-    "curate_dsir_score" ->
+    "curate_dsir_score" -> Pins.sf1Or("curate_dsir_score",
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, dsir_score " +
         "FROM (VALUES " + dsirScoreDyadic +
-        ") AS t(doc_id, dsir_score)"),
+        ") AS t(doc_id, dsir_score)")),
     // H12 — hash-gated via the pinned dyadic per-doc scores
     // (lmScoreDyadic; SF-scoped to sf0.01 in check.py).
-    "text_lm_score" ->
+    "text_lm_score" -> Pins.sf1Or("text_lm_score",
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll " +
         "FROM (VALUES " + lmScoreDyadic +
-        ") AS t(doc_id, n_bigrams, avg_nll)"),
+        ") AS t(doc_id, n_bigrams, avg_nll)")),
 
-    "bpe_tokenize" ->
+    "bpe_tokenize" -> Pins.sf1Or("bpe_tokenize",
       s"""SELECT CAST(c.id AS BIGINT) AS doc_id,
          |  '$bpeFirstMerges' AS first_merges,
          |  CAST(c.n AS INT) AS n_tokens
-         |FROM (VALUES $bpeCountsValues) c(id, n)""".stripMargin,
+         |FROM (VALUES $bpeCountsValues) c(id, n)""".stripMargin),
     // the H3 packing replay (export_pack_manifest's oracle) over the
     // PINNED BPE counts, budget 512
-    "export_bpe_pack" ->
+    "export_bpe_pack" -> Pins.sf1Or("export_bpe_pack",
       s"""WITH d AS (
          |  SELECT CAST(c.id AS BIGINT) AS doc_id,
          |    CAST(('0x' || substr(md5(CAST(c.id AS VARCHAR)), 1, 8))
@@ -1599,7 +1599,7 @@ object CurationQueries {
          |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
          |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
          |            ELSE (cum - 1) // 512 END AS BIGINT) AS seq_last
-         |FROM c""".stripMargin,
+         |FROM c""".stripMargin),
     "curate_dsir_counts" ->
       s"""WITH $dsirFeats,
          |agg AS (

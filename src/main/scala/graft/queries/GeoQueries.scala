@@ -115,7 +115,7 @@ object GeoQueries {
     // .scala) — avg_trips comes out of decimal-routed exactAvg, so
     // the doubles are bit-stable and pinnable. SF-scoped in check.py
     // (HASH_SF_SCOPED) like the gold_cluster_* family.
-    "consult_polygon_clusters" ->
+    "consult_polygon_clusters" -> Pins.sf1Or("consult_polygon_clusters",
       Pins.at(
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(0 AS INT), CAST(412.74583333333334 AS DOUBLE), CAST(12 AS BIGINT)),
@@ -337,7 +337,7 @@ object GeoQueries {
       |(CAST(2 AS BIGINT), CAST(20 AS INT), 6229041234606817*power(2.0,-48), CAST(1 AS BIGINT)),
       |(CAST(2 AS BIGINT), CAST(21 AS INT), 7913668970220093*power(2.0,-46), CAST(1 AS BIGINT)),
       |(CAST(2 AS BIGINT), CAST(22 AS INT), 5139381231015690*power(2.0,-45), CAST(2 AS BIGINT)),
-      |(CAST(2 AS BIGINT), CAST(23 AS INT), 7270498648436244*power(2.0,-48), CAST(2 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t"),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 7270498648436244*power(2.0,-48), CAST(2 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t")),
     // The consultation polygon and the zone polygons are axis-aligned
     // rectangles on THIS data, so the general kernels (ray cast,
     // edge-pair intersects) are oracle-checkable with pure interval

@@ -35,6 +35,11 @@ object Pins {
   /** True when the current dump targets the sf0.001 tier. */
   def isSf0001: Boolean = dir.stripSuffix("/").endsWith("sf0.001")
 
+  /** True when the current dump targets the generated sf1 tier
+    * (suffix "sf1" cannot collide: "sf0.1" ends in "0.1").
+    */
+  def isSf1: Boolean = dir.stripSuffix("/").endsWith("sf1")
+
   /** Select a pin payload: `sf001` is the driver-SF (sf0.01) default,
     * `sf01` the sf0.1 twin. By-name so unused literals cost nothing.
     */
@@ -43,6 +48,33 @@ object Pins {
   /** Three-tier variant: adds the sf0.001 twin. */
   def at[T](sf001: => T, sf01: => T, sf0001: => T): T =
     if (isSf01) sf01 else if (isSf0001) sf0001 else sf001
+
+  /** Four-tier variant (r14): adds the generated-sf1 twin. */
+  def at[T](sf001: => T, sf01: => T, sf0001: => T, sf1: => T): T =
+    if (isSf1) sf1
+    else if (isSf01) sf01
+    else if (isSf0001) sf0001
+    else sf001
+
+  /** sf1 pin tier (r14): at the generated 10× tier the pinned oracle
+    * is a COMPLETE generated SELECT-over-VALUES replay of the
+    * 8-vs-32-thread-proven dump (tools/pingen_sf1.py), swapped in
+    * front of the driver-SF builders — the recompute-style oracles
+    * (ANN cosine re-derivation etc.) stay at the three driver SFs
+    * where they carry the cross-engine correctness argument; the sf1
+    * pin carries the reproducibility + regression argument.
+    */
+  def sf1Or(name: String, other: => String): String =
+    if (isSf1) resource(s"oracle_sf1_$name.txt") else other
+
+  /** Parse pinned `(query, cand, rank)` ANN pick tuples from a
+    * resource of `(q,c,r)` terms (tools/pingen_sf1.py --picks).
+    */
+  def picksResource(name: String): Seq[(Int, Int, Int)] = {
+    val Tup = """\((\d+),(\d+),(\d+)\)""".r
+    Tup.findAllMatchIn(resource(name)).map(m =>
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)).toSeq
+  }
 
   /** Load a pinned-VALUES payload from a classpath resource under
     * `graft/pins/` (r14: the multi-thousand-row pins that used to

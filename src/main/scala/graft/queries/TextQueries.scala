@@ -400,7 +400,7 @@ object TextQueries {
     // dedup + the ws-token count — every stage engine-portable or
     // pinned, so the composition hash-gates end-to-end. SF-scoped
     // (the pin is the sf0.01 fit's).
-    "pipe_model_curation" -> {
+    "pipe_model_curation" -> Pins.sf1Or("pipe_model_curation", {
       val scores = TextFns.langMarkers.map { case (l, _) =>
         s"(${langScoreSql(l)}) AS score_$l"
       }
@@ -433,18 +433,18 @@ object TextQueries {
          |    t -> len(t) > 0)) AS INT) AS ws_tokens,
          |  quality_prob
          |FROM uniq""".stripMargin
-    },
-    "text_quality_model" ->
+    }),
+    "text_quality_model" -> Pins.sf1Or("text_quality_model",
       s"""SELECT CAST(v.id AS BIGINT) AS doc_id,
          |  CAST(v.p AS DOUBLE) AS quality_prob
          |FROM (VALUES
-         |   $qualityProbDyadic) v(id, p)""".stripMargin,
+         |   $qualityProbDyadic) v(id, p)""".stripMargin),
     // E7b pinned scoring artifact: same canonical-feed determinism;
     // the predicted labels over `documents` are out-of-domain for the
     // synthetic multilingual model (mostly arbitrary) — the gate pins
     // REPRODUCIBILITY of the featurize→train→plan-literal-argmax
     // chain, while LangIdSpec gates in-domain accuracy (>=0.95).
-    "text_langid_model" ->
+    "text_langid_model" -> Pins.sf1Or("text_langid_model",
       Pins.at(
       s"""SELECT CAST(v.id AS BIGINT) AS doc_id, v.l AS lang_model
          |FROM (VALUES
@@ -652,7 +652,7 @@ object TextQueries {
       |(482,'fr'),(483,'fr'),(484,'es'),(485,'fr'),(486,'fr'),
       |(487,'zh'),(488,'fr'),(489,'fr'),(490,'en'),(491,'fr'),
       |(492,'fr'),(493,'en'),(494,'fr'),(495,'fr'),(496,'fr'),
-      |(497,'es'),(498,'fr'),(499,'fr')""".stripMargin.replace("\n", " ") + ") t"),
+      |(497,'es'),(498,'fr'),(499,'fr')""".stripMargin.replace("\n", " ") + ") t")),
     "text_langid" -> {
       val scores = TextFns.langMarkers.map { case (l, _) =>
         s"(${langScoreSql(l)}) AS score_$l"

@@ -283,10 +283,15 @@ object VectorQueries {
     */
   private def pinnedAnnOracle(picks: Seq[(Int, Int, Int)],
       picksSf01: Seq[(Int, Int, Int)] = Nil,
-      picksSf0001: Seq[(Int, Int, Int)] = Nil): String = {
+      picksSf0001: Seq[(Int, Int, Int)] = Nil,
+      picksSf1: Seq[(Int, Int, Int)] = Nil): String = {
+    // r14: the sf1 twin keeps the same NON-circular shape — only the
+    // picks are pinned; DuckDB still re-derives every cosine from the
+    // sf1 parquet embeddings via the ordered fold.
     val chosen = Pins.at(picks,
       if (picksSf01.nonEmpty) picksSf01 else picks,
-      if (picksSf0001.nonEmpty) picksSf0001 else picks)
+      if (picksSf0001.nonEmpty) picksSf0001 else picks,
+      if (picksSf1.nonEmpty) picksSf1 else picks)
     val vals = chosen.map { case (q, c, r) =>
       s"  ($q, $c, CAST($r AS INT))" }.mkString(",\n")
     s"""WITH picks(query_id, cand_id, rank) AS (VALUES
@@ -356,7 +361,8 @@ object VectorQueries {
       (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
       (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
       (7,326,7), (7,198,8), (7,249,9), (7,340,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_ivf_topk_picks_sf1.txt")),
     "ann_index_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,7,3), (0,320,4), (0,190,5), (0,464,6),
       (0,388,7), (0,483,8), (0,323,9), (0,498,10), (1,386,1),
@@ -408,14 +414,15 @@ object VectorQueries {
       (6,352,6), (6,486,7), (6,25,8), (6,252,9), (6,8,10),
       (7,466,1), (7,329,2), (7,220,3), (7,18,4), (7,167,5),
       (7,326,6), (7,198,7), (7,341,8), (7,340,9), (7,82,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_index_topk_picks_sf1.txt")),
     // E13 pinned-model replay: the canonical-feed PCA fit is
     // bit-reproducible (one Gram partial — see Pca.fitCanonical), so
     // the model's mean and first axis pin as literals and DuckDB
     // replays pc1 = fold_i (x_i − mean_i)·axis_i in the kernel's
     // i-ascending double accumulation, FLOAT-cast at the end (the
     // mm_image_embed discipline). SF-scoped to sf0.01 in check.py.
-    "emb_pca_project" ->
+    "emb_pca_project" -> Pins.sf1Or("emb_pca_project",
       Pins.at(
       s"""WITH m(mean, ax) AS (SELECT
          |[0.0021647098540561274, -0.004547794351470656, 0.003930154383007902,
@@ -590,7 +597,7 @@ object VectorQueries {
          |    [(CAST(e.embedding[i] AS DOUBLE) - m.mean[i]) * m.ax[i]
          |     FOR i IN generate_series(1, len(e.embedding))]),
          |    (acc, v) -> acc + v) AS FLOAT) AS pc1
-         |FROM embeddings e CROSS JOIN m""".stripMargin),
+         |FROM embeddings e CROSS JOIN m""".stripMargin)),
     "ann_bq_topk" -> pinnedAnnOracle(Seq(
       (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,320,6),
       (0,190,7), (0,464,8), (0,483,9), (0,323,10), (1,386,1),
@@ -641,7 +648,8 @@ object VectorQueries {
       (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
       (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
       (7,326,7), (7,249,8), (7,340,9), (7,82,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_bq_topk_picks_sf1.txt")),
     // identical to ann_ivf_topk's picks — at refine=8 the SQ8
     // shortlist recovers the exact within-cell top-10, which is the
     // near-exact-tier claim made measurable
@@ -695,7 +703,8 @@ object VectorQueries {
       (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
       (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
       (7,326,7), (7,198,8), (7,249,9), (7,340,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_sq_topk_picks_sf1.txt")),
     // re-pinned r13 after the rotation-allocation LPT fix (ascending
     // eigenvalue order — correlated-corpus shortlist recall 0.4625 →
     // 0.625 in SimilaritySpec); two fresh-JVM index builds verified
@@ -751,7 +760,8 @@ object VectorQueries {
       (6,352,7), (6,486,8), (6,8,9), (6,86,10), (7,382,1),
       (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
       (7,326,7), (7,198,8), (7,249,9), (7,340,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_opq_topk_picks_sf1.txt")),
     "ann_rpq_topk" -> pinnedAnnOracle(Seq(
       (0,334,1), (0,387,2), (0,423,3), (0,73,4), (0,320,5), (0,190,6),
       (0,464,7), (0,388,8), (0,483,9), (0,344,10), (1,386,1),
@@ -802,7 +812,8 @@ object VectorQueries {
       (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
       (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,326,6),
       (7,198,7), (7,249,8), (7,340,9), (7,82,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_rpq_topk_picks_sf1.txt")),
     "ann_pq_topk" -> pinnedAnnOracle(Seq(
       (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5), (0,190,6),
       (0,464,7), (0,388,8), (0,483,9), (0,323,10), (1,386,1),
@@ -853,7 +864,8 @@ object VectorQueries {
       (6,312,7), (6,352,8), (6,486,9), (6,25,10), (7,382,1),
       (7,466,2), (7,209,3), (7,329,4), (7,220,5), (7,18,6),
       (7,326,7), (7,198,8), (7,249,9), (7,340,10)
-    )),
+    ),
+      picksSf1 = Pins.picksResource("ann_pq_topk_picks_sf1.txt")),
     // E2-family near-dup pairs, pinned at the driver SF (r12): the
     // pair ID SET is bit-stable across fresh JVMs (the quantizer
     // rides the canonical feed; the exact-cosine threshold margin is
@@ -862,7 +874,7 @@ object VectorQueries {
     // the bit-portable ordered fold — hash-exact on every column.
     // check.py keeps the all-pairs tolerance sweep as the
     // full-recall cross-check at this SF.
-    "dedup_embedding" -> {
+    "dedup_embedding" -> Pins.sf1Or("dedup_embedding", {
       // r13: dual-SF pins — sf0.1 twin generated from the same
       // bit-reproducible sweep (8/32-thread fresh-JVM byte equality)
       val picksSf01 = Seq(
@@ -1092,12 +1104,12 @@ object VectorQueries {
          |    AS cosine
          |FROM picks p JOIN n a ON a.vec_id = p.id1
          |  JOIN n b ON b.vec_id = p.id2""".stripMargin
-    },
+    }),
     // SemDeDup survivors: exact cosine pair join → recursive-CTE
     // components (the dedup_components pattern) → drop non-min group
     // members. Integer ids only — exact hash gate (SF-scoped, see the
     // query comment).
-    "dedup_semantic" -> Pins.at(
+    "dedup_semantic" -> Pins.sf1Or("dedup_semantic", Pins.at(
       // sf0.01: the margin between the cosine threshold and the
       // nearest pair (1.3e-4) dwarfs cross-engine float error, so the
       // recursive-CTE replay is exact there; at sf0.1 the margin is
@@ -1300,7 +1312,7 @@ object VectorQueries {
       |(459),(460),(461),(463),(464),(465),(466),(467),(468),
       |(469),(473),(475),(476),(478),(479),(480),(481),(482),
       |(484),(486),(489),(490),(491),(492),(495),(497),(498),
-      |(499)""".stripMargin.replace("\n", " ") + ") t"),
+      |(499)""".stripMargin.replace("\n", " ") + ") t")),
     // C8-C10 fixed-expectation oracles, pinned at the driver's
     // correctness SF (sf0.01): best-of-10 KMeans on the canonically
     // ordered profile table is bit-deterministic (Clustering.scala —
@@ -1308,7 +1320,7 @@ object VectorQueries {
     // size / typical-day outputs are pinned as VALUES, the same
     // pattern as lake_sql_maintenance. Valid ONLY at sf0.01 — local
     // harness runs at other SFs skip them via check.py SF_SCOPED.
-    "gold_cluster_assignments" ->
+    "gold_cluster_assignments" -> Pins.sf1Or("gold_cluster_assignments",
       Pins.at(
       """SELECT * FROM (VALUES
         |  (DATE '2024-01-01', CAST(0 AS BIGINT)),
@@ -1405,8 +1417,8 @@ object VectorQueries {
       |(DATE '2024-01-27', CAST(0 AS BIGINT)),
       |(DATE '2024-01-28', CAST(0 AS BIGINT)),
       |(DATE '2024-01-29', CAST(2 AS BIGINT)),
-      |(DATE '2024-01-30', CAST(0 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t"),
-    "gold_cluster_sizes" ->
+      |(DATE '2024-01-30', CAST(0 AS BIGINT))""".stripMargin.replace("\n", " ") + ") t")),
+    "gold_cluster_sizes" -> Pins.sf1Or("gold_cluster_sizes",
       Pins.at(
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(14 AS BIGINT), 'Monday'),
@@ -1424,8 +1436,8 @@ object VectorQueries {
         "col2 AS typical_day FROM (VALUES " +
     """(CAST(0 AS BIGINT), CAST(19 AS BIGINT), 'Tuesday'),
       |(CAST(1 AS BIGINT), CAST(8 AS BIGINT), 'Monday'),
-      |(CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'Monday')""".stripMargin.replace("\n", " ") + ") t"),
-    "gold_cluster_typical_day" ->
+      |(CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'Monday')""".stripMargin.replace("\n", " ") + ") t")),
+    "gold_cluster_typical_day" -> Pins.sf1Or("gold_cluster_typical_day",
       Pins.at(
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(0 AS INT), CAST(52.41 AS DOUBLE), CAST(9014.15 AS DOUBLE)),
@@ -1654,7 +1666,7 @@ object VectorQueries {
       |(CAST(2 AS BIGINT), CAST(20 AS INT), 7844707600925983*power(2.0,-48), 7843300226042429*power(2.0,-47)),
       |(CAST(2 AS BIGINT), CAST(21 AS INT), 5150288386363228*power(2.0,-46), 7725784423265731*power(2.0,-44)),
       |(CAST(2 AS BIGINT), CAST(22 AS INT), 5545760728641700*power(2.0,-46), 6238892858791690*power(2.0,-43)),
-      |(CAST(2 AS BIGINT), CAST(23 AS INT), 6465480215043768*power(2.0,-47), 8081498425083822*power(2.0,-45))""".stripMargin.replace("\n", " ") + ") t"),
+      |(CAST(2 AS BIGINT), CAST(23 AS INT), 6465480215043768*power(2.0,-47), 8081498425083822*power(2.0,-45))""".stripMargin.replace("\n", " ") + ") t")),
     "ann_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv,

@@ -42,6 +42,7 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
 
   it("concurrent writers/deleter/compactor: every read is a committed " +
       "snapshot and the commit log replays to every version's contents") {
+    var totalCrashes = 0 // non-vacuity witness for the r14 injection
     for (seed <- Seq(13L, 20260815L)) {
       val root = s"/root/repo/target/test-scratch/lake_cfuzz_$seed"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -65,15 +66,34 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
           try body
           catch { case t: Throwable => errs.add(t) }, name)
 
-      // 3 writers x 4 appends, globally unique id ranges
+      // 3 writers x 4 appends, globally unique id ranges. r14
+      // crash-point injection (VERDICT r13 item 7): with p=1/4 a
+      // writer "dies" between staging its data files and claiming a
+      // version — exactly the state stageFiles-without-commit leaves
+      // (AtomicLakeSpec's crash case, here randomized against live
+      // concurrency). The crashed batch's ids must NEVER surface in
+      // any snapshot, and the commit-log replay below must stay
+      // exact with the orphans sitting in the data plane.
+      val crashedIds =
+        new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+      val crashedFiles =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val writers = (0 until 3).map { w =>
         guard(s"writer-$w") {
           val rnd = new scala.util.Random(seed * 31 + w)
           for (b <- 0 until 4) {
             val base = 1000L * (1 + w) + 100L * b
             val ids = (base until base + 40L + rnd.nextInt(40))
-            val v = AtomicLake.append(batchDf(ids), root)
-            opLog.put(v, Appended(ids.toSet))
+            if (rnd.nextInt(4) == 0) {
+              val st = AtomicLake.stageFiles(batchDf(ids), root, Nil,
+                filesPerPartition = 1)
+              crashedFiles.addAll(
+                st.files.values.flatten.toSeq.asJava)
+              crashedIds.add(ids.toSet)
+            } else {
+              val v = AtomicLake.append(batchDf(ids), root)
+              opLog.put(v, Appended(ids.toSet))
+            }
             Thread.sleep(rnd.nextInt(30).toLong)
           }
         }
@@ -192,6 +212,28 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
         (opLog.keySet().iterator().asScala.toSet -- versions.toSet) shouldBe
           empty
       }
+      // ---- crash-point adjudication (r14) ----
+      // The invariants must hold FROM THE COMMIT LOG ALONE with dead
+      // writers' leftovers sitting in the data plane: no crashed
+      // batch's rows in any version (content witness), and no
+      // manifest of any version referencing a crashed writer's
+      // staged files (reference witness). Orphan EXISTENCE on disk
+      // is deliberately not asserted — maintenance may legally
+      // vacuum dead staging leftovers past the grace window.
+      val crashed = crashedIds.iterator().asScala.flatten.toSet
+      withClue(s"seed=$seed: ${crashedIds.size} writers crashed " +
+          "between stage and commit; their rows leaked into a snapshot: ") {
+        (contents.values.flatten.toSet & crashed) shouldBe empty
+      }
+      val orphanFiles = crashedFiles.iterator().asScala.toSet
+      for (v <- versions) {
+        val referenced =
+          AtomicLake.snapshotAt(root, v).files.values.flatten.toSet
+        withClue(s"seed=$seed version=$v references a dead writer's " +
+            "staged file: ") {
+          (referenced & orphanFiles) shouldBe empty
+        }
+      }
       // snapshot isolation: every concurrent read is SOME version
       val all = contents.values.toSet
       for (snap <- reads.iterator().asScala.toList) {
@@ -203,6 +245,18 @@ class LakeConcurrencyFuzzSpec extends SparkSpec {
       // row multiset agrees with the manifest's own row stats
       val statRows = AtomicLake.history(root).head._4
       statRows.foreach(_ shouldBe prev.size.toLong)
+      // the lake stays fully writable after the crashes: one healthy
+      // append on top of the chaos commits and reads back exactly
+      val post = AtomicLake.append(batchDf(90000L until 90010L), root)
+      idsAt(root, post) shouldBe (prev ++ (90000L until 90010L))
+      totalCrashes += crashedIds.size
+    }
+    // the injection must actually fire (seeds are fixed, so this is
+    // deterministic, not a flake source): p=1/4 over 24 writer
+    // batches across the two seeds
+    withClue("crash-point injection never fired — the crash " +
+        "invariants above were vacuous: ") {
+      totalCrashes should be > 0
     }
   }
 

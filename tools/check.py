@@ -266,36 +266,36 @@ def main():
     # these gate exactly at BOTH sf0.01 and sf0.1 and fall back to
     # rows-only elsewhere.
     HASH_SF_SCOPED = {
-        "gold_cluster_assignments": ("sf0.001", "sf0.01", "sf0.1"),
-        "gold_cluster_sizes": ("sf0.001", "sf0.01", "sf0.1"),
-        "gold_cluster_typical_day": ("sf0.001", "sf0.01", "sf0.1"),
-        "consult_polygon_clusters": ("sf0.001", "sf0.01", "sf0.1"),
+        "gold_cluster_assignments": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "gold_cluster_sizes": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "gold_cluster_typical_day": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "consult_polygon_clusters": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # survivor ids are exact only while the cosine-threshold margin
         # dwarfs cross-engine float error (1.3e-4 at sf0.01; 1e-5 at
         # sf0.1 is too thin to bet on)
-        "dedup_semantic": ("sf0.001", "sf0.01", "sf0.1"),
+        "dedup_semantic": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # pinned pair picks (same margin argument); the tolerance
         # sweep below keeps the all-pairs full-recall cross-check
-        "dedup_embedding": ("sf0.001", "sf0.01", "sf0.1"),
+        "dedup_embedding": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # pinned (query, cand, rank) picks from the bit-reproducible
         # quantizer fits (Similarity.canonicalTrainFeed); cosine is
         # recomputed by DuckDB so every column gates exactly
-        "ann_ivf_topk": ("sf0.001", "sf0.01", "sf0.1"),
-        "ann_index_topk": ("sf0.001", "sf0.01", "sf0.1"),
-        "ann_pq_topk": ("sf0.001", "sf0.01", "sf0.1"),
-        "ann_rpq_topk": ("sf0.001", "sf0.01", "sf0.1"),
-        "ann_opq_topk": ("sf0.001", "sf0.01", "sf0.1"),
-        "ann_sq_topk": ("sf0.001", "sf0.01", "sf0.1"),
-        "ann_bq_topk": ("sf0.001", "sf0.01", "sf0.1"),
+        "ann_ivf_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "ann_index_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "ann_pq_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "ann_rpq_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "ann_opq_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "ann_sq_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "ann_bq_topk": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # pinned PCA model (mean + first axis) from the canonical-feed
         # bit-reproducible fit; DuckDB replays the projection fold
-        "emb_pca_project": ("sf0.001", "sf0.01", "sf0.1"),
+        "emb_pca_project": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # pinned model-scoring artifacts (canonical-feed L-BFGS fits,
         # bit-reproducible — fresh-JVM 8/32-thread byte equality)
-        "text_quality_model": ("sf0.001", "sf0.01", "sf0.1"),
-        "text_langid_model": ("sf0.001", "sf0.01", "sf0.1"),
+        "text_quality_model": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "text_langid_model": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # composition over the pinned quality probs (E12c)
-        "pipe_model_curation": ("sf0.001", "sf0.01", "sf0.1"),
+        "pipe_model_curation": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # r13: the decode-REPLAY twins make DuckDB emulate the pixel
         # LCG / sine-quantize waveform in pure SQL — O(pixels) rows
         # through the SQL engine (~200M at sf1), priced out beyond
@@ -314,14 +314,14 @@ def main():
         # (nation identical at every SF) and is deliberately absent
         # here. TOLERANCE_ORACLES keeps the arithmetic replays at the
         # other SFs.
-        "approx_stats": ("sf0.001", "sf0.01", "sf0.1"),
-        "curate_dsir_score": ("sf0.001", "sf0.01", "sf0.1"),
-        "text_lm_score": ("sf0.001", "sf0.01", "sf0.1"),
+        "approx_stats": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "curate_dsir_score": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "text_lm_score": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         # pinned per-doc BPE token counts (deterministic training
         # chain proven by fresh-JVM byte equality); the pack oracle
         # replays the H3 layout arithmetic over the pinned counts
-        "bpe_tokenize": ("sf0.001", "sf0.01", "sf0.1"),
-        "export_bpe_pack": ("sf0.001", "sf0.01", "sf0.1"),
+        "bpe_tokenize": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
+        "export_bpe_pack": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
     }
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)

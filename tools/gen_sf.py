@@ -37,8 +37,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-OUT = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata/sf{SF:g}"
+# --open-vocab (r14): replace the closed 30-word documents vocabulary
+# with a Zipf(1.3) draw over token ids "w<k>" — distinct-token count
+# then grows with corpus size (Heaps' law), which is the PRODUCTION
+# text shape. The closed-vocab default keeps every shingle's document
+# frequency growing linearly with SF, so the dedup family's Σdf² pair
+# constant is a fixture artifact there (SURVEY §5.1); this tier lets
+# the scaling ladder measure the real thing. Dup planting, lengths,
+# langs, schema are identical. Default output dir gains an "ov"
+# suffix ("sf1ov" does not end in "sf1", so no pin tier ever matches).
+OPEN_VOCAB = "--open-vocab" in sys.argv
+argv = [a for a in sys.argv if a != "--open-vocab"]
+SF = float(argv[1]) if len(argv) > 1 else 1.0
+OUT = (argv[2] if len(argv) > 2
+       else f"/root/repo/testdata/sf{SF:g}" + ("ov" if OPEN_VOCAB else ""))
 os.makedirs(OUT, exist_ok=True)
 
 def rng(name):
@@ -168,7 +180,16 @@ vocab = np.array([
     "customer", "sort", "order", "slow", "line", "part", "fast", "row",
     "the", "agg", "key", "query", "a", "scan", "batch"])
 lengths = g.integers(10, 101, n_doc)
-texts = [" ".join(vocab[g.integers(0, 30, L)]) for L in lengths]
+if OPEN_VOCAB:
+    # Zipf token ids, capped so the tail stays printable; measured on
+    # this draw: 18.1k distinct tokens at sf0.1 (278k tokens), 96.3k
+    # at sf1 (2.76M) — Heaps-law growth, vs the constant 30 default.
+    toks = np.minimum(g.zipf(1.3, int(lengths.sum())), 1 << 22)
+    off = np.concatenate(([0], np.cumsum(lengths)))
+    texts = [" ".join(f"w{t}" for t in toks[off[i]:off[i + 1]])
+             for i in range(n_doc)]
+else:
+    texts = [" ".join(vocab[g.integers(0, 30, L)]) for L in lengths]
 # plant near/exact dup clusters: ~4.6% of docs copy an earlier doc,
 # usually with 1-3 'dup' tokens appended (prefix-cluster sizes 2-4 at
 # sf0.1), occasionally verbatim (8 exact dups per 5000 docs)
