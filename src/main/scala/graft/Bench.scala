@@ -177,11 +177,19 @@ object Bench {
     // scale-killer the two smaller tiers could not see.
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
       "/root/repo/testdata/sf10")
+    // The shared-shingle dedup rows (jaccard/minhash/pipe_clean) are
+    // EXCLUDED here by design: on the closed-30-word fixture their
+    // pair cardinality is the documented Σdf² ∝ SF² constant
+    // (SURVEY §5.1), which at 500k docs is infeasible for ANY engine
+    // — the r14 first run OOMed there, as arithmetic predicts. Their
+    // at-scale story is measured on the open-vocabulary ladder
+    // instead (§5.2: production caps ⇒ ~linear), which is the shape
+    // 100 TB of real text actually has.
     val sf10Subset = Seq(
       "q1_agg", "q18_having", "q3_topn", "silver_fact_events",
-      "sess_gap_sessions", "dedup_exact", "dedup_minhash",
-      "dedup_jaccard", "pipe_clean_corpus", "text_lm_score",
-      "dq_profile_orders", "export_shuffle")
+      "sess_gap_sessions", "dedup_exact", "text_lm_score",
+      "dq_profile_orders", "export_shuffle", "win_running_total",
+      "er_fuzzy_names", "silver_dim_customer")
     val sf10Timings: Seq[(String, Double)] =
       if (only.nonEmpty || norm(sfDir) == norm(sf10Dir) ||
           !new java.io.File(sf10Dir, "lineitem.parquet").exists()) Nil

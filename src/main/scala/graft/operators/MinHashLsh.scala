@@ -203,7 +203,7 @@ object MinHashLsh {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 0, seed: Long = 42L): DataFrame = {
+      bands: Int = 0, seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     // ONE corpus scan: tokenize → shingle → hash → sort each document
     // exactly once, pinned with a localCheckpoint — the band index,
@@ -221,7 +221,17 @@ object MinHashLsh {
     // cluster a persisted artifact table plays this role
     // ([[nearDuplicatesCached]]).
     val sh = hashedShingles(df, idCol, textCol, shingleN).localCheckpoint()
-    val cands = dedupKeyed(bucketPairsRaw(bandedIndex(sh, numHashes, b, seed)))
+    // maxBucket (r14, threaded from bucketPairsRaw): on Zipfian open-
+    // vocab text the head shingle's hash is the min for MANY
+    // permutations at once, so unrelated documents share whole bands
+    // and bucket sizes explode (measured: 19.5x wall for 10x docs on
+    // the sf1ov ladder uncapped vs ~linear capped). A bucket larger
+    // than the corpus's plausible dup-cluster width certifies
+    // nothing; dropping it is the same production posture as
+    // ngramJaccard's maxDf. 0 = uncapped (the closed-vocab gate
+    // setting, exact).
+    val cands = dedupKeyed(bucketPairsRaw(
+      bandedIndex(sh, numHashes, b, seed), maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash

@@ -54,12 +54,12 @@ object SimHash {
     * on ≥ 1 whole chunk).
     */
   private def bucketedPairs(fp: DataFrame, bits: Int, maxDist: Int,
-      chunks: Int): DataFrame = {
+      chunks: Int, maxBucket: Int = 0): DataFrame = {
     require(maxDist < chunks,
       "pigeonhole completeness needs maxDist < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
     val bitsPerChunk = bits / chunks
-    val chunked = fp.select(col("doc_id"), col("fp"), explode(
+    val chunked0 = fp.select(col("doc_id"), col("fp"), explode(
         array((0 until chunks).map(c =>
           struct(lit(c).as("chunk_idx"),
             shiftright(col("fp"), c * bitsPerChunk)
@@ -67,6 +67,26 @@ object SimHash {
         .as("ch"))
       .select(col("doc_id"), col("fp"),
         col("ch.chunk_idx"), col("ch.chunk_val"))
+    // Hot-bucket guard (r14, measured on the open-vocab ladder): on
+    // Zipfian text, unigram fingerprints CONCENTRATE — at sf0.1ov 98%
+    // of docs share one chunk value, making the bucket self-join
+    // quadratic (39.7M candidate pairs from 5k docs). A bucket with
+    // more than `maxBucket` members is a degenerate chunk value that
+    // certifies nothing about any single pair (the maxDf posture of
+    // Dedup.ngramJaccard); dropping it keeps the join linear. The
+    // pigeonhole guarantee then holds for pairs agreeing on ≥1
+    // SURVIVING chunk — pair with n-gram features (nGram > 1) so
+    // fingerprints decorrelate and true near-dup pairs keep private
+    // chunks. 0 = uncapped (exact; the closed-vocab gate setting).
+    val chunked =
+      if (maxBucket <= 0) chunked0
+      else {
+        val ok = chunked0.groupBy("chunk_idx", "chunk_val")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select("chunk_idx", "chunk_val")
+        chunked0.join(ok.hint("merge"), Seq("chunk_idx", "chunk_val"))
+      }
     // merge hint: chunked is chunks× the input — shuffle-join on the
     // (chunk_idx, chunk_val) bucket, never broadcast (see
     // Dedup.ngramJaccard).
@@ -87,20 +107,49 @@ object SimHash {
     * complete for maxDist < chunks.
     */
   def pairsFromFingerprints(fp: DataFrame, idCol: String, fpCol: String,
-      bits: Int = 64, maxDist: Int = 3, chunks: Int = 4): DataFrame =
+      bits: Int = 64, maxDist: Int = 3, chunks: Int = 4,
+      maxBucket: Int = 0): DataFrame =
     bucketedPairs(
       fp.select(col(idCol).as("doc_id"), col(fpCol).as("fp")),
-      bits = bits, maxDist = maxDist, chunks = chunks)
+      bits = bits, maxDist = maxDist, chunks = chunks,
+      maxBucket = maxBucket)
+
+  /** Word n-gram features for the fingerprint (r14): unigram SimHash
+    * is feature-degenerate on Zipfian text — every document's vote
+    * vector is dominated by the same few head tokens, so unrelated
+    * documents collapse onto near-identical fingerprints (measured:
+    * 98% of open-vocab docs share a chunk value at nGram=1; at
+    * nGram=3 the shingle space decorrelates them). nGram=1 returns
+    * the raw tokens (the closed-vocab gate semantics, bit-unchanged).
+    */
+  private def features(textCol: Column, nGram: Int): Column = {
+    val toks = graft.functions.TextFns.tokens(textCol)
+    if (nGram <= 1) toks
+    else {
+      // one n-gram per window start; documents shorter than nGram
+      // fall back to their whole token array joined (non-empty input
+      // keeps a fingerprint)
+      val grams = transform(
+        sequence(lit(0), greatest(size(toks) - nGram, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(nGram))))
+      when(size(toks) >= nGram, grams)
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+  }
 
   /** Near-dup pairs with Hamming distance ≤ maxDist, via pigeonhole
-    * chunk bucketing (guaranteed complete when maxDist < chunks).
+    * chunk bucketing (guaranteed complete when maxDist < chunks and
+    * maxBucket = 0; with a bucket cap, complete for pairs that agree
+    * on a surviving chunk — see [[bucketedPairs]]).
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, chunks: Int = 4): DataFrame =
+      maxDist: Int = 3, chunks: Int = 4, nGram: Int = 1,
+      maxBucket: Int = 0): DataFrame =
     bucketedPairs(
       df.select(col(idCol).as("doc_id"),
-        simHash64(graft.functions.TextFns.tokens(col(textCol))).as("fp")),
-      bits = 64, maxDist = maxDist, chunks = chunks)
+        simHash64(features(col(textCol), nGram)).as("fp")),
+      bits = 64, maxDist = maxDist, chunks = chunks,
+      maxBucket = maxBucket)
 
   /** [[nearDuplicates]] over the engine-portable 60-bit fingerprint
     * ([[graft.expressions.NativeKernels.simHashPortable60]]): the same
@@ -109,10 +158,12 @@ object SimHash {
     * bit-for-bit. Chunks are 15 bits (60/4).
     */
   def nearDuplicatesPortable(df: DataFrame, idCol: String,
-      textCol: String, maxDist: Int = 3, chunks: Int = 4): DataFrame =
+      textCol: String, maxDist: Int = 3, chunks: Int = 4,
+      nGram: Int = 1, maxBucket: Int = 0): DataFrame =
     bucketedPairs(
       df.select(col(idCol).as("doc_id"),
         graft.expressions.NativeKernels.simHashPortable60Col(
-          graft.functions.TextFns.tokens(col(textCol))).as("fp")),
-      bits = 60, maxDist = maxDist, chunks = chunks)
+          features(col(textCol), nGram)).as("fp")),
+      bits = 60, maxDist = maxDist, chunks = chunks,
+      maxBucket = maxBucket)
 }

@@ -313,5 +313,44 @@ class NearDupSpec extends SparkSpec {
         .select(SimHash.hamming($"a", $"b")).as[Int].collect() shouldBe
         Array(0, 1, 64)
     }
+    it("n-gram features + bucket cap tame Zipfian text; the planted " +
+        "near-dup still surfaces") {
+      // r14 open-vocab finding (SURVEY §5.1): on Zipf-distributed
+      // tokens, unigram fingerprints concentrate — at sf0.1ov 98% of
+      // docs shared one chunk value (39.7M candidate pairs from 5k
+      // docs). Reproduce the degeneracy in miniature, then prove the
+      // production configuration (nGram=3 + maxBucket) keeps the
+      // candidate set linear AND still finds a planted near-dup.
+      val rnd = new scala.util.Random(7L)
+      def zipfWord(): String = {
+        // crude Zipf(~1.2) over 10k ids: inverse-power transform
+        val u = rnd.nextDouble()
+        s"w${math.min((math.pow(u, -1.2) - 1).toInt, 9999)}"
+      }
+      val docs = (0L until 400L).map { i =>
+        i -> (0 until 60).map(_ => zipfWord()).mkString(" ")
+      }
+      // plant: 400 near-dups 399 (copy + one appended token)
+      val planted2 = (docs :+ (400L -> (docs(399)._2 + " extra")))
+        .toDF("doc_id", "text")
+
+      def pairCount(nGram: Int, maxBucket: Int): Long =
+        SimHash.nearDuplicates(planted2, "doc_id", "text",
+          maxDist = 10, chunks = 16, nGram = nGram,
+          maxBucket = maxBucket).count()
+
+      // unigram, uncapped: the degenerate shape — a large fraction of
+      // all 80k possible pairs collide within Hamming 10
+      val degenerate = pairCount(nGram = 1, maxBucket = 0)
+      degenerate should be > 1000L
+      // trigram shingles decorrelate the fingerprints...
+      val shingled = SimHash.nearDuplicates(planted2, "doc_id", "text",
+        maxDist = 10, chunks = 16, nGram = 3, maxBucket = 64)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // ...the candidate set collapses to near-nothing...
+      shingled.size.toLong should be < (degenerate / 10)
+      // ...and the planted near-dup pair is still found
+      shingled should contain((399L, 400L))
+    }
   }
 }
