@@ -217,6 +217,56 @@ object Bench {
         s""","sf10":{"dir":${jstr(sf10Dir)},"total":$tot10,"queries":$qs10}"""
       }
 
+    // ---- open-vocab production-shape tier (r14) -----------------------
+    // The dedup family in PRODUCTION configuration (the §5.2 caps) on
+    // the Heaps-law-vocabulary tier (tools/gen_sf.py --open-vocab):
+    // the catalog queries run oracle-exact settings, so this tier is
+    // the per-round tripwire for the capped path the 100-TB
+    // deployment would actually run. One timed pass per row (a
+    // scaling signal, not a pin — the warmup pass is skipped to keep
+    // the tier under ~90 s).
+    val ovDir = sys.env.getOrElse("SPARK_GRAFT_OV_DIR",
+      "/root/repo/testdata/sf1ov")
+    val ovTimings: Seq[(String, Double)] =
+      if (only.nonEmpty ||
+          !new java.io.File(ovDir, "documents.parquet").exists()) Nil
+      else {
+        def docs() = graft.sources.Tables.documents(spark, ovDir)
+        val rows: Seq[(String, () => Long)] = Seq(
+          "ov_dedup_exact" -> (() =>
+            graft.operators.Dedup.exact(docs(), "text", "doc_id").count()),
+          "ov_dedup_jaccard_cap" -> (() =>
+            graft.operators.Dedup.ngramJaccard(docs(), "doc_id", "text",
+              n = 3, threshold = 0.5, maxDf = 100).count()),
+          "ov_dedup_minhash_cap" -> (() =>
+            graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
+              "text", threshold = 0.5, maxBucket = 1000).count()),
+          "ov_dedup_simhash_ngram" -> (() =>
+            graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
+              "text", maxDist = 3, chunks = 4, nGram = 3,
+              maxBucket = 1000).count()))
+        rows.map { case (name, f) =>
+          try {
+            val t0 = System.nanoTime()
+            f()
+            val s = (System.nanoTime() - t0) / 1e9
+            System.gc()
+            name -> s
+          } catch { case e: Throwable =>
+            errors(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+            name -> -1.0
+          }
+        }
+      }
+    val ovJson =
+      if (ovTimings.isEmpty) ""
+      else {
+        val qs = ovTimings.map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString("{", ",", "}")
+        s""","ov":{"dir":${jstr(ovDir)},"queries":$qs}"""
+      }
+
     // ---- streaming throughput tier (r14) ------------------------------
     // Rows/sec per exactly-once sink + backlog catch-up pacing (see
     // StreamBench). Skipped for SPARK_GRAFT_ONLY iteration runs and
@@ -252,7 +302,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json$sf10Json$streamJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json$sf10Json$ovJson$streamJson}"""
 
     // ---- compact stdout twin ------------------------------------------
     // The FULL json above (~4 KB for 121 queries) overflows the
@@ -286,6 +336,11 @@ object Bench {
        else {
          val ok10 = sf10Timings.filter(_._2 >= 0)
          s""""sf10_total":${r3(ok10.map(_._2).sum)},"sf10_n":${ok10.size},"""
+       }) +
+      (if (ovTimings.isEmpty) ""
+       else {
+         val okOv = ovTimings.filter(_._2 >= 0)
+         s""""ov_total":${r3(okOv.map(_._2).sum)},"ov_n":${okOv.size},"""
        }) +
       (if (streamTiers.isEmpty) ""
        else s""""stream_n":${streamTiers.size},""") +
