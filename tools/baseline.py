@@ -458,6 +458,16 @@ Spark bench machine state: floor {floor if floor else 'n/a'} s
 noisy={bench_meta.get('noisy', 'n/a')} (quiet-machine floor pin 0.45 s —
 a noisy pin must be re-measured before grading against it).
 
+r14 pin adjudications (both rows code-untouched since r13, both
+hash-gate green at every SF): mm_audio_dims was re-pinned 0.254 ->
+0.369 s (quiet solo min-of-3, sbt and raw-JVM alike — javax.sound
+decode throughput drifted with the session environment) and
+bpe_tokenize 0.200 -> 0.423 s (high in-suite variance — 1.03 s in one
+full run, absent from the next run's top-46; solo sbt 0.423; the old
+pin was a warm-memo minimum). Min-merge may later reclaim luckier
+sessions; a benchdiff flag on these rows should be read against this
+note first.
+
 | query | duckdb_sec | spark_sec | rows |
 |---|---|---|---|
 """)
