@@ -167,6 +167,40 @@ object NativeKernels extends Serializable {
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
   }
 
+  /** ALL word n-grams from a token array (duplicates kept — the
+    * frequency-weighted feature stream SimHash votes over), one per
+    * window start, space-joined; a document shorter than `n` falls
+    * back to its whole token array joined (non-empty input keeps a
+    * fingerprint). Bit-exact twin of the declarative
+    * `transform(sequence(0, greatest(size - n, 0)), concat_ws(slice))`
+    * + short-doc fallback in [[graft.operators.SimHash]]: that
+    * higher-order form re-evaluates the captured token subplan inside
+    * the lambda for EVERY window (O(L²) re-tokenization per doc,
+    * interpreted — measured 22.4 s of a 27 s sf1ov fingerprint pass);
+    * this kernel is one pass over one materialized array.
+    */
+  def wordNGrams(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val space = UTF8String.fromString(" ")
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) { parts(j) = tokens.getUTF8String(j); j += 1 }
+      return new GenericArrayData(
+        Array[Any](UTF8String.concatWs(space, parts: _*)))
+    }
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Spread the low 31 bits of `v` to even bit positions (2-D Morton
     * magic-number spread — standard public bit-twiddling).
     */
@@ -1144,6 +1178,43 @@ object NativeKernels extends Serializable {
     acc
   }
 
+  /** Unit-normalize a float vector in ONE pass — bit-exact twin of
+    * the declarative `when(norm === 0, vec).otherwise(transform(vec,
+    * x => (x / norm).cast("float")))` in
+    * [[graft.operators.Similarity.unitReference]]. That form captures
+    * the norm subplan inside the lambda, so the O(D) dot re-evaluates
+    * for EVERY element — O(D²) per vector, interpreted (the SimHash
+    * features lesson, §5.2). Exact parity notes: the sum of float
+    * squares cannot underflow to 0.0 in double (min subnormal float²
+    * = 2e-90), so acc == 0 ⟺ all elements ±0.0 ⟺ the declarative
+    * zero-vector passthrough; a null element poisons the fold to a
+    * null norm there, making every output element null — mirrored.
+    */
+  def unitVec(v: ArrayData): ArrayData = {
+    val m = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      if (v.isNullAt(i))
+        return new GenericArrayData(new Array[Any](m)) // all-null, as x/null
+      val f = v.getFloat(i).toDouble
+      acc += f * f
+      i += 1
+    }
+    val n = java.lang.Math.sqrt(acc)
+    val out = new Array[Any](m)
+    i = 0
+    if (n == 0.0) { // zero vector passes through unchanged (±0.0f kept)
+      while (i < m) { out(i) = v.getFloat(i); i += 1 }
+    } else {
+      while (i < m) {
+        out(i) = (v.getFloat(i).toDouble / n).toFloat
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode (SURVEY §2 E6b): split the float
     * vector into `m` subvectors and replace each with the id of its
     * nearest codeword — `books` is the flat m*ks*dsub codebook
@@ -1767,6 +1838,10 @@ object NativeKernels extends Serializable {
       Seq(ArrayType(FloatType), ArrayType(FloatType)),
       returnNullable = true)
 
+  def unitVecCol(v: Column): Column =
+    invoke("unitVec", ArrayType(FloatType, containsNull = true),
+      Seq(v), Seq(ArrayType(FloatType)))
+
   def nearestCellsCol(v: Column, cents: Column, nprobe: Column): Column =
     invoke("nearestCells", ArrayType(IntegerType, containsNull = false),
       Seq(v, cents, nprobe),
@@ -1993,6 +2068,13 @@ object NativeKernels extends Serializable {
     invoke("wordShingles", ArrayType(StringType, containsNull = false),
       Seq(tokens, org.apache.spark.sql.functions.lit(n)),
       Seq(ArrayType(StringType), IntegerType))
+
+  def wordNGramsCol(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"wordNGrams: n must be >= 1, got $n")
+    invoke("wordNGrams", ArrayType(StringType, containsNull = false),
+      Seq(tokens, org.apache.spark.sql.functions.lit(n)),
+      Seq(ArrayType(StringType), IntegerType))
+  }
 
   def bloomMightContainCol(key: Column, bits: Array[Long], k: Int): Column =
     invoke("bloomMightContain", BooleanType,

@@ -59,7 +59,15 @@ object SimHash {
       "pigeonhole completeness needs maxDist < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
     val bitsPerChunk = bits / chunks
-    val chunked0 = fp.select(col("doc_id"), col("fp"), explode(
+    // The capped path evaluates the fingerprint subplan four times
+    // (hot-bucket census + bucket join, each on both sides of the
+    // pair self-join); fingerprints are 16 bytes/doc but computing
+    // them re-tokenizes the corpus. Pin them once — the capped path
+    // is the production setting, and the checkpoint is O(docs), not
+    // O(pairs). The uncapped gate path stays a pure plan (two
+    // evaluations, exchange-reused).
+    val fpPinned = if (maxBucket <= 0) fp else fp.localCheckpoint()
+    val chunked0 = fpPinned.select(col("doc_id"), col("fp"), explode(
         array((0 until chunks).map(c =>
           struct(lit(c).as("chunk_idx"),
             shiftright(col("fp"), c * bitsPerChunk)
@@ -90,14 +98,22 @@ object SimHash {
     // merge hint: chunked is chunks× the input — shuffle-join on the
     // (chunk_idx, chunk_val) bucket, never broadcast (see
     // Dedup.ngramJaccard).
+    // Verify BEFORE the pair-dedup shuffle (the MinHashLsh posture,
+    // Dedup.scala's id1-verify note): the Hamming cut is free inside
+    // the join stage, so `.distinct()` shuffles only surviving
+    // near-dup pairs, never the full candidate stream. With a healthy
+    // bucket histogram the two orders cost the same (capped sf1ov:
+    // 131k candidates); in the degenerate uncapped-Zipf shape the
+    // candidate stream is the quadratic term and this order keeps the
+    // shuffle off it.
     chunked.as("a").join(chunked.as("b").hint("merge"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         hamming(col("a.fp"), col("b.fp")).as("hamming_dist"))
-      .distinct()
       .filter(col("hamming_dist") <= maxDist)
+      .distinct()
   }
 
   /** Near-dup pairs from an arbitrary precomputed fingerprint frame —
@@ -125,10 +141,27 @@ object SimHash {
   private def features(textCol: Column, nGram: Int): Column = {
     val toks = graft.functions.TextFns.tokens(textCol)
     if (nGram <= 1) toks
+    // native kernel: one pass over the materialized token array.
+    // Parity with [[featuresReference]] is spec-gated — the
+    // declarative form re-evaluates the captured tokenize subplan
+    // inside its lambda for every window (O(L²) per doc, interpreted;
+    // it was 22.4 s of sf1ov's 27 s fingerprint pass). Null text →
+    // null features → the doc drops out of bucketing (the reference
+    // form maps null to the empty-string fingerprint instead; the
+    // corpus tables are non-null and a null doc certifies nothing).
+    else graft.expressions.NativeKernels.wordNGramsCol(toks, nGram)
+  }
+
+  /** Declarative reference for [[features]] (spec parity gate): one
+    * n-gram per window start; documents shorter than nGram fall back
+    * to their whole token array joined (non-empty input keeps a
+    * fingerprint).
+    */
+  private[graft] def featuresReference(textCol: Column, nGram: Int)
+      : Column = {
+    val toks = graft.functions.TextFns.tokens(textCol)
+    if (nGram <= 1) toks
     else {
-      // one n-gram per window start; documents shorter than nGram
-      // fall back to their whole token array joined (non-empty input
-      // keeps a fingerprint)
       val grams = transform(
         sequence(lit(0), greatest(size(toks) - nGram, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(nGram))))

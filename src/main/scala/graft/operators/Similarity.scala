@@ -168,6 +168,16 @@ object Similarity {
     * vectors; only bucketing is spherical.
     */
   private[operators] def unit(vec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    // one-pass codegen kernel; the declarative form below re-evaluates
+    // its captured norm subplan per element (O(D²) per vector,
+    // interpreted — the §5.2 higher-order-lambda capture trap).
+    // Bit-parity with [[unitReference]] is spec-gated, and every
+    // pinned ann_* gate re-proves it end-to-end.
+    graft.expressions.NativeKernels.unitVecCol(vec)
+
+  /** Declarative reference for [[unit]] (spec parity). */
+  private[graft] def unitReference(vec: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val n = VectorFns.norm(vec)
     when(n === 0d, vec)

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timer for the open-vocabulary production-shape rows (the
+  * Bench `ov` tier plus the wider §5.2 measurement set) against any
+  * generated tier dir — the iteration harness behind SURVEY §5.2's
+  * numbers, runnable on the raw compiled classes (tools/jrun.sh)
+  * without the sbt lock.
+  *
+  * Usage: OvBench <dir> [rowName ...]   (default: all rows, one
+  * warmup pass then one timed pass each, min wall printed)
+  */
+object OvBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/testdata/sf1ov")
+    val only = args.drop(1).toSet
+    val spark = graft.GraftSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ovbench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs() = graft.sources.Tables.documents(spark, dir)
+    val rows: Seq[(String, () => Long)] = Seq(
+      "ov_dedup_exact" -> (() =>
+        graft.operators.Dedup.exact(docs(), "text", "doc_id").count()),
+      "ov_dedup_jaccard_cap" -> (() =>
+        graft.operators.Dedup.ngramJaccard(docs(), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 100).count()),
+      "ov_dedup_minhash_cap" -> (() =>
+        graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
+          "text", threshold = 0.5, maxBucket = 1000).count()),
+      "ov_dedup_simhash_ngram" -> (() =>
+        graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
+          "text", maxDist = 3, chunks = 4, nGram = 3,
+          maxBucket = 1000).count()))
+    rows.filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, f) =>
+        // Bench's ov tier times ONE cold pass (no warmup); print both
+        // the cold and a warm pass so either comparison is available.
+        val t0 = System.nanoTime()
+        val n = f()
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        f()
+        val warm = (System.nanoTime() - t1) / 1e9
+        println(f"$name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$n")
+        System.gc()
+      }
+    spark.stop()
+  }
+}

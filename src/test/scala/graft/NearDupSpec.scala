@@ -308,6 +308,36 @@ class NearDupSpec extends SparkSpec {
       out should contain((1L, 2L))
       out should not contain ((1L, 3L))
     }
+    it("wordNGrams kernel features match the declarative reference " +
+        "bit-for-bit (incl. short docs and window counts)") {
+      // the kernel is the production path (the declarative
+      // higher-order form re-tokenizes per window — SURVEY §5.2);
+      // parity must hold on every doc shape: longer than n, exactly
+      // n, shorter than n, single-token, repeated tokens
+      val docs = Seq(
+        "a b c d e", "a b c", "a b", "a", "x x x x",
+        "one two three four five six seven").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (n <- Seq(2, 3, 5)) {
+        val got = docs.select($"doc_id",
+          graft.expressions.NativeKernels.wordNGramsCol(
+            graft.functions.TextFns.tokens($"text"), n).as("g"))
+          .as[(Long, Seq[String])].collect().toMap
+        val ref = docs.select($"doc_id",
+          SimHash.featuresReference($"text", n).as("g"))
+          .as[(Long, Seq[String])].collect().toMap
+        got shouldBe ref
+      }
+      // and the composed fingerprint is identical through the kernel
+      val viaKernel = docs.select($"doc_id", SimHash.simHash64(
+        graft.expressions.NativeKernels.wordNGramsCol(
+          graft.functions.TextFns.tokens($"text"), 3)).as("fp"))
+        .as[(Long, Long)].collect().toMap
+      val viaRef = docs.select($"doc_id", SimHash.simHash64(
+        SimHash.featuresReference($"text", 3)).as("fp"))
+        .as[(Long, Long)].collect().toMap
+      viaKernel shouldBe viaRef
+    }
     it("hamming is exact bit_count of xor") {
       Seq((0L, 0L), (1L, 0L), (-1L, 0L)).toDF("a", "b")
         .select(SimHash.hamming($"a", $"b")).as[Int].collect() shouldBe

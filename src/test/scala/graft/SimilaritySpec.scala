@@ -26,6 +26,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("unit kernel") {
+    it("unitVec matches the declarative reference bit-for-bit, " +
+        "including zero vectors and the corpus table") {
+      // corpus vectors: every element bit-equal through the kernel
+      val mismatch = emb.select(
+        Similarity.unitReference($"embedding").as("r"),
+        graft.expressions.NativeKernels.unitVecCol($"embedding").as("k"))
+        .filter(!($"r" <=> $"k")).count()
+      mismatch shouldBe 0
+      // zero vector passes through; signed zeros preserved
+      val edge = Seq(
+        Seq(0f, 0f, -0f), Seq(1f, 0f, 0f), Seq(3f, 4f, 0f),
+        Seq.empty[Float], Seq(1e-38f, -1e-38f, 2f))
+        .toDF("v").select($"v".cast("array<float>").as("v"))
+      val rows = edge.select(
+        Similarity.unitReference($"v").as("r"),
+        graft.expressions.NativeKernels.unitVecCol($"v").as("k"))
+        .as[(Seq[Float], Seq[Float])].collect()
+      rows.foreach { case (r, k) =>
+        // element-wise bit equality (NaN-safe via raw bits)
+        r.map(java.lang.Float.floatToRawIntBits) shouldBe
+          k.map(java.lang.Float.floatToRawIntBits)
+      }
+    }
+  }
+
   describe("cosineNearDup") {
     it("finds planted near-identical embeddings without all-pairs") {
       // plant: vec 9001 = vec 0 with a tiny perturbation

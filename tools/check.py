@@ -323,6 +323,16 @@ def main():
         "bpe_tokenize": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         "export_bpe_pack": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
     }
+    # On the open-vocab tiers (gen_sf.py --open-vocab; dir suffix
+    # "ov") the documents text is synthetic Zipf token ids ("w123
+    # w1 ..."), not natural language: the heuristic langid CORRECTLY
+    # scores every language 0 and answers "und" (measured sf0.1ov:
+    # all 5000 docs), so the model-gated curation composition's
+    # surviving corpus is empty by SEMANTICS (its quality gate alone
+    # passes 2031/5000 there). Expected-empty on ov dirs only; the
+    # 0-row vacuity guard stays armed everywhere else.
+    EXPECTED_EMPTY_ON_OV = {"pipe_model_curation"}
+    is_ov = SF_DIR.rstrip("/").endswith("ov")
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)
     for name, sql in sorted(oracles.items()):
@@ -339,7 +349,11 @@ def main():
                 n = len(pd.read_parquet(f"{OUT_DIR}/{name}"))
                 print(f"rows {name}: {n} rows (hash oracle scoped to "
                       f"{scopes})")
-                if n == 0:
+                if n == 0 and is_ov and name in EXPECTED_EMPTY_ON_OV:
+                    print(f"rows {name}: expected-empty on the "
+                          "open-vocab tier (langid has no language "
+                          "to find in Zipf token ids)")
+                elif n == 0:
                     print(f"FAIL {name}: sf-scoped query returned 0 rows")
                     n_fail += 1
                     failed.add(name)
