@@ -240,7 +240,8 @@ object Bench {
               n = 3, threshold = 0.5, maxDf = 100).count()),
           "ov_dedup_minhash_cap" -> (() =>
             graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
-              "text", threshold = 0.5, maxBucket = 1000).count()),
+              "text", threshold = 0.5, maxBucket = 1000,
+              sigMaxDf = 1000).count()),
           "ov_dedup_simhash_ngram" -> (() =>
             graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
               "text", maxDist = 3, chunks = 4, nGram = 3,

@@ -185,15 +185,52 @@ object MinHashLsh {
   private[operators] def dedupKeyed(rawPairs: DataFrame): DataFrame =
     rawPairs.repartition(col("id1")).dropDuplicates("id1", "id2")
 
+  /** Signature-input frame with head shingles removed (r14, measured
+    * on the two-decade open-vocab ladder): on Zipfian text the head
+    * shingles' hashes are the minimum for many permutations at once,
+    * so UNRELATED documents share signature rows and whole bands —
+    * maxBucket only trims the extreme tail of the resulting bucket
+    * histogram, and the mid-size degenerate buckets still grew the
+    * candidate set 21× for 10× docs (3.9M → 83M pairs, sf1ov →
+    * sf10ov). A shingle appearing in more than `sigMaxDf` documents
+    * certifies nothing about any single pair (ngramJaccard's maxDf
+    * posture), so it is dropped from the SIGNATURE input only — the
+    * exact-Jaccard verify still scores the FULL shingle sets.
+    * Distributed end to end: the ban set is a dataframe (≤
+    * total-instances / sigMaxDf rows by construction), never a
+    * driver collection; Spark picks broadcast vs shuffle for the
+    * anti join by its measured size. A document whose every shingle
+    * is banned is wall-to-wall boilerplate and drops out of banding
+    * (it cannot candidate — documented recall contract, same as the
+    * too-short-to-shingle drop).
+    */
+  private def signatureInput(sh: DataFrame, sigMaxDf: Int): DataFrame =
+    if (sigMaxDf <= 0) sh
+    else {
+      // `sh` must already be pinned by the caller: the instance frame
+      // feeds both the df census and the anti join.
+      val inst = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val banned = inst.groupBy("h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > sigMaxDf).select("h")
+      inst.join(banned, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("sh"))
+    }
+
   /** LSH candidate pairs: documents whose signatures collide in at
     * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
-    * for the `maxBucket` degenerate-bucket cap.
+    * for the `maxBucket` degenerate-bucket cap and [[signatureInput]]
+    * for the `sigMaxDf` head-shingle signature cut.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L, maxBucket: Int = 0): DataFrame =
-    bucketJoin(bandedIndex(hashedShingles(df, idCol, textCol, shingleN),
+      seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0)
+      : DataFrame = {
+    val sh0 = hashedShingles(df, idCol, textCol, shingleN)
+    val sh = if (sigMaxDf > 0) sh0.localCheckpoint() else sh0
+    bucketJoin(bandedIndex(signatureInput(sh, sigMaxDf),
       numHashes, bands, seed), maxBucket)
+  }
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
     * near-dedup output (id1, id2, jaccard). `bands = 0` (the default)
@@ -203,7 +240,8 @@ object MinHashLsh {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 0, seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
+      bands: Int = 0, seed: Long = 42L, maxBucket: Int = 0,
+      sigMaxDf: Int = 0): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     // ONE corpus scan: tokenize → shingle → hash → sort each document
     // exactly once, pinned with a localCheckpoint — the band index,
@@ -230,8 +268,12 @@ object MinHashLsh {
     // nothing; dropping it is the same production posture as
     // ngramJaccard's maxDf. 0 = uncapped (the closed-vocab gate
     // setting, exact).
+    // sigMaxDf (r14, two-decade ladder): head shingles out of the
+    // SIGNATURE input — see [[signatureInput]]. Verify below is
+    // untouched: it reads the full pinned `sh` sets.
     val cands = dedupKeyed(bucketPairsRaw(
-      bandedIndex(sh, numHashes, b, seed), maxBucket))
+      bandedIndex(signatureInput(sh, sigMaxDf), numHashes, b, seed),
+      maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash

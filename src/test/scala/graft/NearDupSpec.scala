@@ -54,6 +54,44 @@ class NearDupSpec extends SparkSpec {
       MinHashLsh.candidatePairs(df, "doc_id", "text")
         .count() shouldBe (30L * 29 / 2 + 1)
     }
+    it("sigMaxDf drops head shingles from the signature only: " +
+        "Zipf candidates collapse, planted pair survives, verify " +
+        "stays exact on full sets") {
+      // r14 two-decade ladder finding: the head shingles of Zipfian
+      // text are the min for many permutations at once, so unrelated
+      // docs share signature rows — candidates grew 21x for 10x docs
+      // under maxBucket alone (3.9M -> 83M, sf1ov -> sf10ov).
+      // Reproduce in miniature: every doc shares one dominant
+      // boilerplate run; only planted copies are truly similar.
+      val rnd = new scala.util.Random(11L)
+      val head = "nav nav nav menu menu footer footer footer"
+      val docs = (0L until 300L).map { i =>
+        val tail = (0 until 20).map(_ => s"t${rnd.nextInt(5000)}")
+          .mkString(" ")
+        i -> s"$head $tail"
+      }
+      val planted2 = (docs :+ (300L -> (docs(299)._2 + " extra")))
+        .toDF("doc_id", "text")
+      // head shingles have df ~= 300; tails are private
+      val uncut = MinHashLsh.candidatePairs(planted2, "doc_id", "text",
+        bands = 32, maxBucket = 0).count()
+      val cut = MinHashLsh.candidatePairs(planted2, "doc_id", "text",
+        bands = 32, maxBucket = 0, sigMaxDf = 50)
+        .as[(Long, Long)].collect().toSet
+      cut.size.toLong should be < (uncut / 10)
+      cut should contain((299L, 300L))
+      // end-to-end: the verified pair set still scores FULL-set
+      // jaccard (head shingles included in the score)
+      val out = MinHashLsh.nearDuplicates(planted2, "doc_id", "text",
+        threshold = 0.5, sigMaxDf = 50)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      val full = out.filter(r => r._1 == 299L && r._2 == 300L)
+      full should have size 1
+      // 26 shared + head shingles in both sets: jaccard well above
+      // what the 20-token private tails alone would give
+      full.head._3 should be > 0.5
+    }
     it("derives banding from the verify threshold (autoBands)") {
       // boundary-pair catch probability must be >= 98% AT the verify
       // threshold, with the sharpest banding (largest rows/band) that
