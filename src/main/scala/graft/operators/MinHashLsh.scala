@@ -306,13 +306,15 @@ object MinHashLsh {
   def nearDuplicatesAgainst(base: DataFrame, probe: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0)
+      : DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val shB = hashedShingles(base, idCol, textCol, shingleN)
       .localCheckpoint()
     val shP = hashedShingles(probe, idCol, textCol, shingleN)
       .localCheckpoint()
-    crossPairs(shB, shP, threshold, numHashes, b, seed)
+    crossPairs(shB, shP, threshold, numHashes, b, seed, maxBucket,
+      sigMaxDf)
   }
 
   /** [[nearDuplicatesAgainst]] when both corpora live in ONE table and
@@ -325,7 +327,8 @@ object MinHashLsh {
     */
   def nearDuplicatesSplit(df: DataFrame, idCol: String, textCol: String,
       probeSide: Column, threshold: Double = 0.7, shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 0, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, bands: Int = 0, seed: Long = 42L,
+      maxBucket: Int = 0, sigMaxDf: Int = 0): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val sh = df.select(col(idCol).as("doc_id"),
         probeSide.as("is_probe"),
@@ -335,20 +338,63 @@ object MinHashLsh {
     crossPairs(
       sh.filter(!col("is_probe")).select(col("doc_id"), col("sh")),
       sh.filter(col("is_probe")).select(col("doc_id"), col("sh")),
-      threshold, numHashes, b, seed)
+      threshold, numHashes, b, seed, maxBucket, sigMaxDf)
   }
 
   /** Banded bucket join ACROSS two (already pinned) shingle-hash
     * frames + exact verify — the shared tail of the cross-corpus
     * forms. No id ordering constraint: the sides are different
     * corpora. Returns (id1 = base id, id2 = probe id, jaccard).
+    *
+    * `sigMaxDf` bans head shingles from BOTH sides' signature input
+    * using ONE df census over the union of the two corpora's
+    * instances — the ban set MUST be symmetric: LSH only pairs rows
+    * whose signatures agree, so banning a shingle on one side only
+    * would desynchronize a true pair's signatures and silently lose
+    * it. `maxBucket` drops (band, bucket) values whose COMBINED
+    * membership across both sides exceeds the cap — the candidate
+    * cost of a bucket here is |A∩bucket|·|B∩bucket| ≤ (combined/2)²,
+    * so one combined census bounds the per-bucket work exactly like
+    * the self-join cap.
     */
   private def crossPairs(shB: DataFrame, shP: DataFrame,
-      threshold: Double, numHashes: Int, bands: Int, seed: Long)
-      : DataFrame = {
+      threshold: Double, numHashes: Int, bands: Int, seed: Long,
+      maxBucket: Int = 0, sigMaxDf: Int = 0): DataFrame = {
+    val (sigB, sigP) =
+      if (sigMaxDf <= 0) (shB, shP)
+      else {
+        val inst = shB.select(col("doc_id"), explode(col("sh")).as("h"))
+          .unionByName(
+            shP.select(col("doc_id"), explode(col("sh")).as("h")))
+        val banned = inst.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > sigMaxDf).select("h")
+          .localCheckpoint() // feeds both sides' anti joins once
+        def cut(sh: DataFrame) =
+          sh.select(col("doc_id"), explode(col("sh")).as("h"))
+            .join(banned, Seq("h"), "left_anti")
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(col("h"))).as("sh"))
+        (cut(shB), cut(shP))
+      }
+    val bandedB = bandedIndex(sigB, numHashes, bands, seed)
+    val bandedP = bandedIndex(sigP, numHashes, bands, seed)
+    val (okB, okP) =
+      if (maxBucket <= 0) (bandedB, bandedP)
+      else {
+        val pinB = bandedB.localCheckpoint()
+        val pinP = bandedP.localCheckpoint()
+        val ok = pinB.unionByName(pinP)
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select(col("band"), col("bucket"))
+          .localCheckpoint() // feeds both semi joins once
+        (pinB.join(ok, Seq("band", "bucket"), "left_semi"),
+          pinP.join(ok, Seq("band", "bucket"), "left_semi"))
+      }
     val cands = dedupKeyed(
-      bandedIndex(shB, numHashes, bands, seed).as("a")
-        .join(bandedIndex(shP, numHashes, bands, seed).as("b").hint("merge"),
+      okB.as("a")
+        .join(okP.as("b").hint("merge"),
           col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))

@@ -43,21 +43,36 @@ import graft.sources.{AtomicLake, CommitStore, HardlinkCommitStore}
   */
 object NearDupIndex {
 
+  /** `sigMaxDf` (r14, the §5.2 two-decade finding): shingles whose
+    * BUILD-corpus document frequency exceeds it are banned from the
+    * banding signature (the exact verify always scores full sets).
+    * The ban set is FROZEN at build time as a third lake table — a
+    * probe or append banding under a drifted census would
+    * desynchronize signatures from the persisted band rows and
+    * silently lose true pairs, so freezing is correctness, not
+    * convenience (the stale-IVF-centroids posture: geometry is
+    * build-time, rebuild to retrain). 0 = no ban table at all.
+    */
   final case class Params(shingleN: Int, numHashes: Int, bands: Int,
-      seed: Long)
+      seed: Long, sigMaxDf: Int = 0)
 
   private def shRoot(root: String) = s"$root/sh"
   private def bandRoot(root: String) = s"$root/bands"
+  private def bannedRoot(root: String) = s"$root/banned"
   private def paramsRoot(root: String) = s"$root/params"
 
   private def paramsJson(p: Params): String =
-    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed}}"""
+    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed},"sigMaxDf":${p.sigMaxDf}}"""
 
   private def parseParams(s: String): Params = {
     def field(k: String): Long =
       s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    // sigMaxDf absent in pre-r14 params JSON → 0 (exact banding),
+    // which is precisely what those indexes were built with
+    def opt(k: String): Long =
+      if (s.contains(s""""$k":""")) field(k) else 0L
     Params(field("shingleN").toInt, field("numHashes").toInt,
-      field("bands").toInt, field("seed"))
+      field("bands").toInt, field("seed"), opt("sigMaxDf").toInt)
   }
 
   /** Commit `p` as the index's immutable params (version 1 of the
@@ -92,25 +107,54 @@ object NearDupIndex {
 
   /** The (doc_id, sorted shingle hashes) frame + its banded index for
     * one corpus/batch — the two row shapes the lake tables hold.
+    * `banned` is the frozen ban-set frame when p.sigMaxDf > 0.
     */
   private def frames(df: DataFrame, idCol: String, textCol: String,
-      p: Params): (DataFrame, DataFrame) = {
+      p: Params, banned: Option[DataFrame]): (DataFrame, DataFrame) = {
     val sh = df.select(col(idCol).as("doc_id"),
         sort_array(Dedup.shingleHashes(col(textCol), p.shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    (sh, bandedFromSh(sh, p))
+    (sh, bandedFromSh(sh, p, banned))
   }
 
-  /** Band rows derived from a (doc_id, sh) frame — the sh table holds
-    * everything the band table is a function of, which is what makes
-    * [[repair]] possible without any source text. ONE implementation
-    * of the bucket layout: this delegates to
+  /** Band rows derived from a (doc_id, sh) frame — the sh + banned
+    * tables hold everything the band table is a function of, which is
+    * what makes [[repair]] possible without any source text. ONE
+    * implementation of the bucket layout: this delegates to
     * [[MinHashLsh.bandedIndex]], so the persisted index can never
     * silently desynchronize from the in-memory operator's banding.
+    * With a ban set, the signature input drops banned hashes first —
+    * a doc whose every shingle is banned leaves banding entirely
+    * (wall-to-wall boilerplate, the in-memory sigMaxDf contract).
     */
-  private def bandedFromSh(sh: DataFrame, p: Params): DataFrame =
-    MinHashLsh.bandedIndex(sh, p.numHashes, p.bands, p.seed)
+  private def bandedFromSh(sh: DataFrame, p: Params,
+      banned: Option[DataFrame]): DataFrame = {
+    val sig = banned match {
+      case None => sh
+      case Some(ban) =>
+        sh.select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(ban.select(col("h")), Seq("h"), "left_anti")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("h"))).as("sh"))
+    }
+    MinHashLsh.bandedIndex(sig, p.numHashes, p.bands, p.seed)
+  }
+
+  /** The frozen ban set for an index, None when p.sigMaxDf == 0. */
+  private def readBanned(spark: SparkSession, root: String, p: Params,
+      store: CommitStore): Option[DataFrame] =
+    if (p.sigMaxDf <= 0) None
+    else Some(AtomicLake.read(spark, bannedRoot(root), store))
+
+  /** Census a build corpus's sh frame into its ban-set rows:
+    * (h, df) for every shingle hash with df > sigMaxDf. Bounded by
+    * construction: ≤ total-instances / sigMaxDf rows.
+    */
+  private def bannedFrom(sh: DataFrame, sigMaxDf: Int): DataFrame =
+    sh.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > sigMaxDf)
 
   /** Build (overwrite) the index for a corpus. `threshold` drives the
     * banding via [[MinHashLsh.autoBands]] exactly like the in-memory
@@ -121,14 +165,29 @@ object NearDupIndex {
     */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       root: String, threshold: Double = 0.7, shingleN: Int = 3,
-      numHashes: Int = 64, seed: Long = 42L,
+      numHashes: Int = 64, seed: Long = 42L, sigMaxDf: Int = 0,
       store: CommitStore = HardlinkCommitStore): Params = {
     val p = Params(shingleN, numHashes,
-      MinHashLsh.autoBands(numHashes, threshold), seed)
+      MinHashLsh.autoBands(numHashes, threshold), seed, sigMaxDf)
     claimParams(root, p, store)
-    val (sh, banded) = frames(corpus, idCol, textCol, p)
+    val sh = corpus.select(col(idCol).as("doc_id"),
+        sort_array(Dedup.shingleHashes(col(textCol), p.shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    // commit order: params → banned → sh → bands. The ban set is
+    // geometry (every band row is a function of it), so it lands
+    // before any row hashed under it; a crash after any prefix leaves
+    // tables that correctly describe each other.
+    val banned =
+      if (p.sigMaxDf <= 0) None
+      else {
+        val b = bannedFrom(sh, p.sigMaxDf).localCheckpoint()
+        AtomicLake.overwrite(b, bannedRoot(root), store = store)
+        Some(b)
+      }
     AtomicLake.overwrite(sh, shRoot(root), store = store)
-    AtomicLake.overwrite(banded, bandRoot(root), store = store)
+    AtomicLake.overwrite(bandedFromSh(sh, p, banned), bandRoot(root),
+      store = store)
     p
   }
 
@@ -141,7 +200,8 @@ object NearDupIndex {
       idCol: String, textCol: String, root: String, threshold: Double,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
     val p = readParams(root, store)
-    val (shB, bandedB) = frames(batch, idCol, textCol, p)
+    val (shB, bandedB) = frames(batch, idCol, textCol, p,
+      readBanned(spark, root, p, store))
     val bandedIdx = AtomicLake.read(spark, bandRoot(root), store)
     val shIdx = AtomicLake.read(spark, shRoot(root), store)
     // dedup keyed by id1 so its exchange IS the first verify join's
@@ -197,10 +257,23 @@ object NearDupIndex {
     // batch at hand becomes the initial corpus under the CLAIMED
     // params (which correctly describe whatever tables exist: none).
     if (AtomicLake.currentVersion(shRoot(root), store).isEmpty) {
-      val (sh0, banded0) = frames(batch, idCol, textCol, p)
+      // the batch IS the initial corpus: re-freeze the ban set from
+      // it (no committed band row was hashed under any other census)
+      val sh0 = batch.select(col(idCol).as("doc_id"),
+          sort_array(Dedup.shingleHashes(col(textCol), p.shingleN))
+            .as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint()
+      val banned0 =
+        if (p.sigMaxDf <= 0) None
+        else {
+          val b = bannedFrom(sh0, p.sigMaxDf).localCheckpoint()
+          AtomicLake.overwrite(b, bannedRoot(root), store = store)
+          Some(b)
+        }
       val shV = AtomicLake.overwrite(sh0, shRoot(root), store = store)
-      val bandV = AtomicLake.overwrite(banded0, bandRoot(root),
-        store = store)
+      val bandV = AtomicLake.overwrite(bandedFromSh(sh0, p, banned0),
+        bandRoot(root), store = store)
       return (shV, bandV)
     }
     val existing = AtomicLake.read(spark, shRoot(root), store)
@@ -208,7 +281,7 @@ object NearDupIndex {
     val (sh, banded) = frames(
       batch.join(existing, batch(idCol) === existing("doc_id"),
         "left_anti"),
-      idCol, textCol, p)
+      idCol, textCol, p, readBanned(spark, root, p, store))
     // heal a previous torn append BEFORE committing new rows, so the
     // band rows this call derives are exactly its own batch's
     repair(spark, root, store)
@@ -269,7 +342,8 @@ object NearDupIndex {
     val pinned = orphans.localCheckpoint()
     val n = pinned.count()
     if (n > 0) {
-      val banded = bandedFromSh(pinned, p)
+      val banded = bandedFromSh(pinned, p,
+        readBanned(spark, root, p, store))
       if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty)
         AtomicLake.overwrite(banded, bandRoot(root), store = store)
       else

@@ -172,6 +172,95 @@ class NearDupSpec extends SparkSpec {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       split shouldBe brute
     }
+    it("cross-corpus sigMaxDf bans symmetrically from a union census " +
+        "and maxBucket caps combined membership — planted pair kept") {
+      // the §5.2 Zipf shape, split across two corpora: a shared
+      // boilerplate head on every doc, private tails, one true
+      // near-dup pair straddling the base/probe line
+      val rnd = new scala.util.Random(13L)
+      val head = "nav nav nav menu menu footer footer footer"
+      val mk = (i: Long) => i ->
+        (head + " " + (0 until 20).map(_ => s"t${rnd.nextInt(5000)}")
+          .mkString(" "))
+      val baseDocs = (0L until 150L).map(mk)
+      val twin = 150L -> (baseDocs(149)._2 + " extra")
+      val probeDocs = (151L until 300L).map(mk) :+ twin
+      val base = baseDocs.toDF("doc_id", "text")
+      val probe = probeDocs.toDF("doc_id", "text")
+      val uncut = MinHashLsh.nearDuplicatesAgainst(base, probe,
+        "doc_id", "text", threshold = 0.5, bands = 32).count()
+      val cut = MinHashLsh.nearDuplicatesAgainst(base, probe,
+        "doc_id", "text", threshold = 0.5, bands = 32,
+        maxBucket = 40, sigMaxDf = 50)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      cut should contain((149L, 150L))
+      // verified output is exact full-set jaccard either way, so the
+      // production dials can only shrink the found set, never add
+      cut.size.toLong should be <= uncut
+      // and the candidate machinery really was cut: the banned head
+      // means unrelated docs stop colliding
+      val candsCut = MinHashLsh.candidatePairs(
+        base.unionByName(probe), "doc_id", "text", bands = 32,
+        sigMaxDf = 50).count()
+      val candsRaw = MinHashLsh.candidatePairs(
+        base.unionByName(probe), "doc_id", "text", bands = 32).count()
+      candsCut should be < (candsRaw / 10)
+    }
+    it("index sigMaxDf: ban set frozen at build, probe/append/repair " +
+        "band under it, params pin it, pre-r14 params parse as 0") {
+      import graft.operators.NearDupIndex
+      val rnd = new scala.util.Random(17L)
+      val head = "nav nav nav menu menu footer footer footer"
+      val mk = (i: Long) => i ->
+        (head + " " + (0 until 20).map(_ => s"t${rnd.nextInt(5000)}")
+          .mkString(" "))
+      val base = (0L until 150L).map(mk).toDF("doc_id", "text")
+      val probeRows = (151L until 200L).map(mk) :+
+        (200L -> (base.filter($"doc_id" === 149L)
+          .select("text").as[String].head() + " extra"))
+      val probe = probeRows.toDF("doc_id", "text")
+      val root = "/root/repo/target/test-scratch/neardup_index_sigdf"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val p = NearDupIndex.build(base, "doc_id", "text", root,
+        threshold = 0.5, sigMaxDf = 50)
+      p.sigMaxDf shouldBe 50
+      // round-trips through the committed JSON
+      NearDupIndex.readParams(root) shouldBe p
+      // probe finds the planted cross pair through the banned banding
+      val got = NearDupIndex.pairsAgainstIndex(spark, probe,
+          "doc_id", "text", root, threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      got should contain((149L, 200L))
+      // append + re-delivery under shifted ids: exact copies share
+      // every shingle (incl. rare ones), so they survive the ban cut
+      NearDupIndex.append(probe, "doc_id", "text", root)
+      val redelivery = probe.select(($"doc_id" + 500000L).as("doc_id"),
+        $"text")
+      val self = NearDupIndex.pairsAgainstIndex(spark, redelivery,
+          "doc_id", "text", root, threshold = 0.5)
+        .filter($"jaccard" === 1.0)
+        .select($"id2" - 500000L, $"id1".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      probeRows.map(_._1).toSet.subsetOf(self.map(_._1)) shouldBe true
+      // a rebuild under a different sigMaxDf is refused loudly
+      val e = intercept[IllegalArgumentException] {
+        NearDupIndex.build(base, "doc_id", "text", root,
+          threshold = 0.5, sigMaxDf = 10)
+      }
+      e.getMessage should include("pinned")
+      // pre-r14 params JSON (no sigMaxDf key) parses as 0
+      val legacyRoot =
+        "/root/repo/target/test-scratch/neardup_index_legacy"
+      val lp = new org.apache.hadoop.fs.Path(legacyRoot)
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      graft.sources.HardlinkCommitStore.tryCommit(
+        s"$legacyRoot/params", 1L,
+        """{"shingleN":3,"numHashes":64,"bands":32,"seed":42}""") shouldBe true
+      NearDupIndex.readParams(legacyRoot).sigMaxDf shouldBe 0
+    }
     it("persistent index dedups a batch without the corpus text; append extends it") {
       import graft.operators.NearDupIndex
       import org.apache.spark.sql.{functions => F}
