@@ -245,7 +245,15 @@ object Bench {
           "ov_dedup_simhash_ngram" -> (() =>
             graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
               "text", maxDist = 3, chunks = 4, nGram = 3,
-              maxBucket = 1000).count()))
+              maxBucket = 1000).count()),
+          "ov_dedup_cross_cap" -> (() => {
+            import org.apache.spark.sql.functions.{col, lit, pmod}
+            graft.operators.MinHashLsh.nearDuplicatesSplit(docs(),
+              "doc_id", "text",
+              probeSide = pmod(col("doc_id"), lit(10)) === 0,
+              threshold = 0.5, maxBucket = 1000,
+              sigMaxDf = 1000).count()
+          }))
         rows.map { case (name, f) =>
           try {
             val t0 = System.nanoTime()

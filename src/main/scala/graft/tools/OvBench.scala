@@ -33,7 +33,13 @@ object OvBench {
       "ov_dedup_simhash_ngram" -> (() =>
         graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
           "text", maxDist = 3, chunks = 4, nGram = 3,
-          maxBucket = 1000).count()))
+          maxBucket = 1000).count()),
+      "ov_dedup_cross_cap" -> (() => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        graft.operators.MinHashLsh.nearDuplicatesSplit(docs(),
+          "doc_id", "text", probeSide = pmod(col("doc_id"), lit(10)) === 0,
+          threshold = 0.5, maxBucket = 1000, sigMaxDf = 1000).count()
+      }))
     rows.filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, f) =>
         // Bench's ov tier times ONE cold pass (no warmup); print both
