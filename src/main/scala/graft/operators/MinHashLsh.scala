@@ -108,18 +108,64 @@ object MinHashLsh {
   /** The banded LSH index over a shingle-hash frame: one row per
     * (doc, band) with the band's bucket hash.
     */
-  private[operators] def bandedIndex(sh: DataFrame, numHashes: Int,
-      bands: Int, seed: Long): DataFrame = {
+  private[graft] def bandedIndex(sh: DataFrame, numHashes: Int,
+      bands: Int, seed: Long): DataFrame =
+    bandRows(sh.select(col("doc_id"),
+      signatureFromHashes(col("sh"), numHashes, seed).as("sig")),
+      numHashes, bands)
+
+  /** The ONE bucket-layout implementation: band rows from a
+    * (doc_id, sig) frame. Both signature producers (the per-doc
+    * kernel fold and the instance-stream min aggregate) feed this, so
+    * their buckets can never diverge.
+    */
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int)
+      : DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    sh.select(col("doc_id"),
-        signatureFromHashes(col("sh"), numHashes, seed).as("sig"))
-      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+    sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
             .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
+
+  /** Banded index from an INSTANCE frame (doc_id, h) — the
+    * ban-filtered signature path. Re-assembling per-doc hash arrays
+    * just to fold them again costs a corpus-wide collect_list shuffle
+    * plus the array-build (measured 28.3 s of the 92 s sf10ov
+    * candidate stage); instead the signature IS an aggregate —
+    * sig_k = min over instances of (a_k·(h mod P) + b_k) mod P — so a
+    * 64-way min groupBy computes it with map-side partial combine:
+    * the shuffle carries numHashes longs per DOC, not per instance.
+    * Bit-parity with `bandedIndex ∘ signatureInput` is spec-gated
+    * (identical integer arithmetic to the kernel fold; min is
+    * order-free; a doc with zero surviving instances disappears from
+    * banding in both forms).
+    */
+  private def bandedFromInstances(inst: DataFrame, numHashes: Int,
+      bands: Int, seed: Long): DataFrame = {
+    val P = MersennePrime
+    val hm = pmod(col("h"), lit(P))
+    val ps = perms(numHashes, seed)
+    val mins = ps.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(hm * lit(a) + lit(b), lit(P))).as(s"__s$k") }
+    val sig = inst.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array(
+        (0 until numHashes).map(k => col(s"__s$k")): _*).as("sig"))
+    bandRows(sig, numHashes, bands)
+  }
+
+  /** Ban-filtered banded index: drop `banned` (an `h`-column frame)
+    * from the instance stream, then band via the min-aggregate path.
+    */
+  private[graft] def bandedCut(sh: DataFrame, banned: DataFrame,
+      numHashes: Int, bands: Int, seed: Long): DataFrame =
+    bandedFromInstances(
+      sh.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(banned.select(col("h")), Seq("h"), "left_anti"),
+      numHashes, bands, seed)
 
   /** Bucket self-join over a banded index: distinct (id1 < id2) pairs
     * colliding in at least one band. merge hint: the banded table is
@@ -203,8 +249,13 @@ object MinHashLsh {
     * is banned is wall-to-wall boilerplate and drops out of banding
     * (it cannot candidate — documented recall contract, same as the
     * too-short-to-shingle drop).
+    *
+    * The production path is [[bandedCut]] (instance-stream min
+    * aggregate — no per-doc array rebuild); this re-agg form is kept
+    * as the REFERENCE for its bit-parity spec.
     */
-  private def signatureInput(sh: DataFrame, sigMaxDf: Int): DataFrame =
+  private[graft] def signatureInput(sh: DataFrame, sigMaxDf: Int)
+      : DataFrame =
     if (sigMaxDf <= 0) sh
     else {
       // `sh` must already be pinned by the caller: the instance frame
@@ -217,6 +268,23 @@ object MinHashLsh {
         .agg(sort_array(collect_list(col("h"))).as("sh"))
     }
 
+  /** Head-shingle ban census of a pinned shingle-hash frame: the `h`
+    * values appearing in more than `sigMaxDf` documents.
+    */
+  private def bannedCensus(sh: DataFrame, sigMaxDf: Int): DataFrame =
+    sh.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > sigMaxDf).select("h")
+
+  /** Banded index of a pinned shingle-hash frame under the sigMaxDf
+    * dial: the kernel-fold path when off, the [[bandedCut]]
+    * instance-aggregate path under a self census when on.
+    */
+  private def bandedMaybeCut(sh: DataFrame, numHashes: Int, bands: Int,
+      seed: Long, sigMaxDf: Int): DataFrame =
+    if (sigMaxDf <= 0) bandedIndex(sh, numHashes, bands, seed)
+    else bandedCut(sh, bannedCensus(sh, sigMaxDf), numHashes, bands, seed)
+
   /** LSH candidate pairs: documents whose signatures collide in at
     * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
     * for the `maxBucket` degenerate-bucket cap and [[signatureInput]]
@@ -228,8 +296,8 @@ object MinHashLsh {
       : DataFrame = {
     val sh0 = hashedShingles(df, idCol, textCol, shingleN)
     val sh = if (sigMaxDf > 0) sh0.localCheckpoint() else sh0
-    bucketJoin(bandedIndex(signatureInput(sh, sigMaxDf),
-      numHashes, bands, seed), maxBucket)
+    bucketJoin(bandedMaybeCut(sh, numHashes, bands, seed, sigMaxDf),
+      maxBucket)
   }
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
@@ -269,11 +337,10 @@ object MinHashLsh {
     // ngramJaccard's maxDf. 0 = uncapped (the closed-vocab gate
     // setting, exact).
     // sigMaxDf (r14, two-decade ladder): head shingles out of the
-    // SIGNATURE input — see [[signatureInput]]. Verify below is
-    // untouched: it reads the full pinned `sh` sets.
+    // SIGNATURE input — see [[signatureInput]]/[[bandedCut]]. Verify
+    // below is untouched: it reads the full pinned `sh` sets.
     val cands = dedupKeyed(bucketPairsRaw(
-      bandedIndex(signatureInput(sh, sigMaxDf), numHashes, b, seed),
-      maxBucket))
+      bandedMaybeCut(sh, numHashes, b, seed, sigMaxDf), maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash
@@ -360,24 +427,16 @@ object MinHashLsh {
   private def crossPairs(shB: DataFrame, shP: DataFrame,
       threshold: Double, numHashes: Int, bands: Int, seed: Long,
       maxBucket: Int = 0, sigMaxDf: Int = 0): DataFrame = {
-    val (sigB, sigP) =
-      if (sigMaxDf <= 0) (shB, shP)
+    val (bandedB, bandedP) =
+      if (sigMaxDf <= 0)
+        (bandedIndex(shB, numHashes, bands, seed),
+          bandedIndex(shP, numHashes, bands, seed))
       else {
-        val inst = shB.select(col("doc_id"), explode(col("sh")).as("h"))
-          .unionByName(
-            shP.select(col("doc_id"), explode(col("sh")).as("h")))
-        val banned = inst.groupBy("h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > sigMaxDf).select("h")
+        val banned = bannedCensus(shB.unionByName(shP), sigMaxDf)
           .localCheckpoint() // feeds both sides' anti joins once
-        def cut(sh: DataFrame) =
-          sh.select(col("doc_id"), explode(col("sh")).as("h"))
-            .join(banned, Seq("h"), "left_anti")
-            .groupBy("doc_id")
-            .agg(sort_array(collect_list(col("h"))).as("sh"))
-        (cut(shB), cut(shP))
+        (bandedCut(shB, banned, numHashes, bands, seed),
+          bandedCut(shP, banned, numHashes, bands, seed))
       }
-    val bandedB = bandedIndex(sigB, numHashes, bands, seed)
-    val bandedP = bandedIndex(sigP, numHashes, bands, seed)
     val (okB, okP) =
       if (maxBucket <= 0) (bandedB, bandedP)
       else {

@@ -129,16 +129,11 @@ object NearDupIndex {
     * (wall-to-wall boilerplate, the in-memory sigMaxDf contract).
     */
   private def bandedFromSh(sh: DataFrame, p: Params,
-      banned: Option[DataFrame]): DataFrame = {
-    val sig = banned match {
-      case None => sh
-      case Some(ban) =>
-        sh.select(col("doc_id"), explode(col("sh")).as("h"))
-          .join(ban.select(col("h")), Seq("h"), "left_anti")
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("h"))).as("sh"))
-    }
-    MinHashLsh.bandedIndex(sig, p.numHashes, p.bands, p.seed)
+      banned: Option[DataFrame]): DataFrame = banned match {
+    case None =>
+      MinHashLsh.bandedIndex(sh, p.numHashes, p.bands, p.seed)
+    case Some(ban) => // instance-aggregate path, same bucket layout
+      MinHashLsh.bandedCut(sh, ban, p.numHashes, p.bands, p.seed)
   }
 
   /** The frozen ban set for an index, None when p.sigMaxDf == 0. */

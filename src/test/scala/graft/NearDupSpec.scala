@@ -54,6 +54,27 @@ class NearDupSpec extends SparkSpec {
       MinHashLsh.candidatePairs(df, "doc_id", "text")
         .count() shouldBe (30L * 29 / 2 + 1)
     }
+    it("bandedCut (instance min-aggregate) equals bandedIndex over " +
+        "the re-agg reference bit-for-bit") {
+      // the production ban path computes signatures as a 64-way min
+      // groupBy over the instance stream; the reference rebuilds
+      // per-doc arrays and folds the kernel. Same buckets, exactly.
+      val docs = Tables.documents(spark, sf)
+      val sh = docs.select($"doc_id",
+        sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+        .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+        .localCheckpoint()
+      for (df <- Seq(1, 5, 50)) {
+        val banned = sh.select(explode($"sh").as("h"))
+          .groupBy("h").count().filter($"count" > df).select("h")
+        val fast = MinHashLsh.bandedCut(sh, banned, 64, 32, 42L)
+          .as[(Long, Int, Long)].collect().toSet
+        val ref = MinHashLsh.bandedIndex(
+          MinHashLsh.signatureInput(sh, df), 64, 32, 42L)
+          .as[(Long, Int, Long)].collect().toSet
+        fast shouldBe ref
+      }
+    }
     it("sigMaxDf drops head shingles from the signature only: " +
         "Zipf candidates collapse, planted pair survives, verify " +
         "stays exact on full sets") {
