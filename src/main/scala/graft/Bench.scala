@@ -238,7 +238,11 @@ object Bench {
           "ov_dedup_jaccard_cap" -> (() =>
             graft.operators.Dedup.ngramJaccard(docs(), "doc_id", "text",
               n = 3, threshold = 0.5, maxDf = 100).count()),
-          "ov_dedup_minhash_cap" -> (() =>
+          // renamed from ov_dedup_minhash_cap when the row gained
+          // sigMaxDf=1000 (r15 ADVICE): a dial change is a workload
+          // change, and benchdiff comparisons must stay like-for-like
+          // — historical _cap timings measured maxBucket only.
+          "ov_dedup_minhash_sigdf" -> (() =>
             graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
               "text", threshold = 0.5, maxBucket = 1000,
               sigMaxDf = 1000).count()),

@@ -258,23 +258,30 @@ object MinHashLsh {
       : DataFrame =
     if (sigMaxDf <= 0) sh
     else {
-      // `sh` must already be pinned by the caller: the instance frame
-      // feeds both the df census and the anti join.
-      val inst = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-      val banned = inst.groupBy("h").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > sigMaxDf).select("h")
-      inst.join(banned, Seq("h"), "left_anti")
+      // `sh` must already be pinned by the caller: it feeds both the
+      // df census (via the ONE shared bannedCensus — see below) and
+      // the anti join's instance stream.
+      sh.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(bannedCensus(sh, sigMaxDf).select("h"), Seq("h"),
+          "left_anti")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("h"))).as("sh"))
     }
 
-  /** Head-shingle ban census of a pinned shingle-hash frame: the `h`
-    * values appearing in more than `sigMaxDf` documents.
+  /** Head-shingle ban census of a pinned shingle-hash frame: one row
+    * (h, df) per shingle hash appearing in more than `sigMaxDf`
+    * documents. THE census implementation — [[signatureInput]], the
+    * self/cross banding paths, and [[NearDupIndex]]'s frozen ban
+    * table all delegate here (r15 ADVICE: three inlined copies of
+    * this arithmetic could silently desynchronize, and the
+    * frozen-ban-set + parity contracts assume they cannot). Banding
+    * consumers select just `h`; the index keeps `df` in its table.
     */
-  private def bannedCensus(sh: DataFrame, sigMaxDf: Int): DataFrame =
+  private[graft] def bannedCensus(sh: DataFrame, sigMaxDf: Int)
+      : DataFrame =
     sh.select(explode(col("sh")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > sigMaxDf).select("h")
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > sigMaxDf)
 
   /** Banded index of a pinned shingle-hash frame under the sigMaxDf
     * dial: the kernel-fold path when off, the [[bandedCut]]
@@ -433,6 +440,7 @@ object MinHashLsh {
           bandedIndex(shP, numHashes, bands, seed))
       else {
         val banned = bannedCensus(shB.unionByName(shP), sigMaxDf)
+          .select("h")
           .localCheckpoint() // feeds both sides' anti joins once
         (bandedCut(shB, banned, numHashes, bands, seed),
           bandedCut(shP, banned, numHashes, bands, seed))

@@ -144,12 +144,52 @@ object NearDupIndex {
 
   /** Census a build corpus's sh frame into its ban-set rows:
     * (h, df) for every shingle hash with df > sigMaxDf. Bounded by
-    * construction: ≤ total-instances / sigMaxDf rows.
+    * construction: ≤ total-instances / sigMaxDf rows. ONE census
+    * implementation serves the in-memory operator and this index
+    * (delegation, r15 ADVICE): the frozen-ban-set and parity
+    * contracts both assume the arithmetic can never fork.
     */
   private def bannedFrom(sh: DataFrame, sigMaxDf: Int): DataFrame =
-    sh.select(explode(col("sh")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > sigMaxDf)
+    MinHashLsh.bannedCensus(sh, sigMaxDf)
+
+  /** Docs of `sh` that still have >= 1 unbanned shingle — the docs
+    * that legitimately CARRY band rows. A doc whose every shingle is
+    * banned (wall-to-wall boilerplate under sigMaxDf) produces zero
+    * band rows by contract, so it must never count as a band-table
+    * orphan: treating it as one makes [[repair]] report n > 0
+    * forever and commit empty band appends on every call (r15
+    * ADVICE), which also breaks the [[versionPair]] invariant
+    * (bands ∈ {sh, sh-1}) that detects genuinely torn appends.
+    */
+  private def withSurvivingShingles(sh: DataFrame,
+      banned: Option[DataFrame]): DataFrame = banned match {
+    case None => sh
+    case Some(ban) =>
+      sh.join(
+        sh.select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(ban.select(col("h")), Seq("h"), "left_anti")
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+  }
+
+  /** The sh rows a torn append left without band rows — ban-aware:
+    * fully-banned docs are excluded (see [[withSurvivingShingles]]).
+    * When the bands table has no commits at all (a build that died
+    * between the sh overwrite and the first bands commit), every
+    * bandable sh row is an orphan.
+    */
+  private def orphanSh(spark: SparkSession, root: String, p: Params,
+      banned: Option[DataFrame], store: CommitStore): DataFrame = {
+    val sh = AtomicLake.read(spark, shRoot(root), store)
+    val orphans =
+      if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty) sh
+      else {
+        val bandIds = AtomicLake.read(spark, bandRoot(root), store)
+          .select(col("doc_id")).distinct()
+        sh.join(bandIds, Seq("doc_id"), "left_anti")
+      }
+    withSurvivingShingles(orphans, banned)
+  }
 
   /** Build (overwrite) the index for a corpus. `threshold` drives the
     * banding via [[MinHashLsh.autoBands]] exactly like the in-memory
@@ -300,16 +340,16 @@ object NearDupIndex {
   /** Doc ids present in the sh table but absent from the band table —
     * the EXACT rows a torn append left invisible to candidate
     * generation (they verify fine once candidates name them, but
-    * never bucket). Empty on a consistent index.
+    * never bucket). Empty on a consistent index. Ban-aware: a doc
+    * whose every shingle the frozen ban set covers never bands by
+    * contract, so it is not "missing" — a repair-until-empty loop
+    * over this frame terminates.
     */
   def missingBandDocs(spark: SparkSession, root: String,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
-    val sh = AtomicLake.read(spark, shRoot(root), store)
-    if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty)
-      return sh.select(col("doc_id")) // bands never committed: all
-    val bands = AtomicLake.read(spark, bandRoot(root), store)
-      .select(col("doc_id")).distinct()
-    sh.select(col("doc_id")).join(bands, Seq("doc_id"), "left_anti")
+    val p = readParams(root, store)
+    orphanSh(spark, root, p, readBanned(spark, root, p, store), store)
+      .select(col("doc_id"))
   }
 
   /** Regenerate the band rows a torn append failed to commit: the sh
@@ -322,24 +362,24 @@ object NearDupIndex {
   def repair(spark: SparkSession, root: String,
       store: CommitStore = HardlinkCommitStore): Long = {
     val p = readParams(root, store)
-    val sh = AtomicLake.read(spark, shRoot(root), store)
+    val banned = readBanned(spark, root, p, store)
     // a build/bootstrap that died between the sh overwrite and the
     // FIRST bands commit leaves a bands table with no commits at all:
     // reading it would throw 'no commits' on every retry (a wedged
-    // ingest stream). Every sh row is an orphan then — band them all.
-    val orphans =
-      if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty) sh
-      else {
-        val bandIds = AtomicLake.read(spark, bandRoot(root), store)
-          .select(col("doc_id")).distinct()
-        sh.join(bandIds, Seq("doc_id"), "left_anti")
-      }
-    val pinned = orphans.localCheckpoint()
+    // ingest stream). Every bandable sh row is an orphan then — band
+    // them all and OVERWRITE so the table exists even when empty.
+    val bandsMissing =
+      AtomicLake.currentVersion(bandRoot(root), store).isEmpty
+    val pinned = orphanSh(spark, root, p, banned, store)
+      .localCheckpoint()
     val n = pinned.count()
-    if (n > 0) {
-      val banded = bandedFromSh(pinned, p,
-        readBanned(spark, root, p, store))
-      if (AtomicLake.currentVersion(bandRoot(root), store).isEmpty)
+    // n == 0 on a consistent index → NO commit: an empty append would
+    // advance bandsVersion past shVersion, breaking the versionPair
+    // torn-append detector (r15 ADVICE). The never-committed bands
+    // table is the one exception — it must gain a v1 to unwedge reads.
+    if (n > 0 || bandsMissing) {
+      val banded = bandedFromSh(pinned, p, banned)
+      if (bandsMissing)
         AtomicLake.overwrite(banded, bandRoot(root), store = store)
       else
         AtomicLake.append(banded, bandRoot(root), store = store)

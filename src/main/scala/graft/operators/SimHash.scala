@@ -145,11 +145,16 @@ object SimHash {
     // Parity with [[featuresReference]] is spec-gated — the
     // declarative form re-evaluates the captured tokenize subplan
     // inside its lambda for every window (O(L²) per doc, interpreted;
-    // it was 22.4 s of sf1ov's 27 s fingerprint pass). Null text →
-    // null features → the doc drops out of bucketing (the reference
-    // form maps null to the empty-string fingerprint instead; the
-    // corpus tables are non-null and a null doc certifies nothing).
-    else graft.expressions.NativeKernels.wordNGramsCol(toks, nGram)
+    // it was 22.4 s of sf1ov's 27 s fingerprint pass). The kernel's
+    // Invoke is null-propagating, so null text would yield null
+    // features and silently DROP the doc from bucketing — coalesce to
+    // [""] (= the reference form's short-doc fallback on a null token
+    // array), keeping the kernel path bit-identical to
+    // [[featuresReference]] INCLUDING null text (r15 ADVICE;
+    // spec-gated with a null-doc case).
+    else coalesce(
+      graft.expressions.NativeKernels.wordNGramsCol(toks, nGram),
+      array(lit("")))
   }
 
   /** Declarative reference for [[features]] (spec parity gate): one

@@ -26,7 +26,9 @@ object OvBench {
       "ov_dedup_jaccard_cap" -> (() =>
         graft.operators.Dedup.ngramJaccard(docs(), "doc_id", "text",
           n = 3, threshold = 0.5, maxDf = 100).count()),
-      "ov_dedup_minhash_cap" -> (() =>
+      // renamed from ov_dedup_minhash_cap with the sigMaxDf=1000 dial
+      // (r15 ADVICE — see Bench.scala)
+      "ov_dedup_minhash_sigdf" -> (() =>
         graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
           "text", threshold = 0.5, maxBucket = 1000,
           sigMaxDf = 1000).count()),

@@ -282,6 +282,66 @@ class NearDupSpec extends SparkSpec {
         """{"shingleN":3,"numHashes":64,"bands":32,"seed":42}""") shouldBe true
       NearDupIndex.readParams(legacyRoot).sigMaxDf shouldBe 0
     }
+    it("a fully-banned doc is not a band-table orphan: repair stays " +
+        "0, commits nothing, and versionPair holds (r15 ADVICE)") {
+      import graft.operators.NearDupIndex
+      // 60 identical boilerplate docs push every one of their
+      // shingles past sigMaxDf=50 — those docs legitimately produce
+      // ZERO band rows. Pre-fix, repair()/missingBandDocs() counted
+      // them as orphans forever: repair returned n>0 on every call
+      // and committed an EMPTY bands append each time, driving
+      // bandsVersion past shVersion (breaking the torn-append
+      // detector) and spinning any repair-until-0 loop.
+      val boiler = (0L until 60L).map(i =>
+        (i, "nav menu footer nav menu footer nav"))
+      val real = (100L until 110L).map(i =>
+        (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      val base = (boiler ++ real).toDF("doc_id", "text")
+      val root = "/root/repo/target/test-scratch/neardup_fullban"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      NearDupIndex.build(base, "doc_id", "text", root,
+        threshold = 0.5, sigMaxDf = 50)
+      // the boilerplate docs are in sh but (correctly) not in bands
+      graft.sources.AtomicLake.read(spark, s"$root/sh")
+        .count() shouldBe 70L
+      graft.sources.AtomicLake.read(spark, s"$root/bands")
+        .select("doc_id").distinct().count() shouldBe 10L
+      // …and none of that is an inconsistency
+      NearDupIndex.versionPair(root) shouldBe ((1L, 1L))
+      NearDupIndex.missingBandDocs(spark, root).count() shouldBe 0L
+      NearDupIndex.repair(spark, root) shouldBe 0L
+      NearDupIndex.repair(spark, root) shouldBe 0L
+      NearDupIndex.versionPair(root) shouldBe ((1L, 1L))
+      // an append whose batch mixes fully-banned and bandable docs
+      // commits one version on each table and converges the same way
+      val batch = Seq(
+        (200L, "nav menu footer nav menu footer nav"), // fully banned
+        (201L, "omega psi chi phi upsilon tau sigma"))
+        .toDF("doc_id", "text")
+      NearDupIndex.append(batch, "doc_id", "text", root) shouldBe
+        ((2L, 2L))
+      NearDupIndex.missingBandDocs(spark, root).count() shouldBe 0L
+      NearDupIndex.repair(spark, root) shouldBe 0L
+      NearDupIndex.versionPair(root) shouldBe ((2L, 2L))
+      // a REAL torn append among fully-banned docs still repairs:
+      // only the bandable doc counts, and one repair converges
+      val tornSh = Seq(
+        (300L, "nav menu footer nav menu footer nav"),
+        (301L, "kappa lambda mu nu xi omicron pi rho"))
+        .toDF("doc_id", "text")
+        .select($"doc_id",
+          sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+      graft.sources.AtomicLake.append(tornSh, s"$root/sh")
+      NearDupIndex.missingBandDocs(spark, root)
+        .as[Long].collect().toSet shouldBe Set(301L)
+      NearDupIndex.repair(spark, root) shouldBe 1L
+      NearDupIndex.missingBandDocs(spark, root).count() shouldBe 0L
+      NearDupIndex.repair(spark, root) shouldBe 0L
+      val pair = NearDupIndex.versionPair(root)
+      pair._1 shouldBe pair._2
+    }
     it("persistent index dedups a batch without the corpus text; append extends it") {
       import graft.operators.NearDupIndex
       import org.apache.spark.sql.{functions => F}
@@ -485,6 +545,28 @@ class NearDupSpec extends SparkSpec {
         SimHash.featuresReference($"text", 3)).as("fp"))
         .as[(Long, Long)].collect().toMap
       viaKernel shouldBe viaRef
+    }
+    it("null text keeps the empty-string fingerprint under nGram>1 — " +
+        "same contract as the declarative reference (r15 ADVICE)") {
+      // pre-fix the kernel's null-propagating Invoke made nGram>1
+      // silently DROP null-text docs from bucketing, whereas
+      // featuresReference (the pre-r14 code) fingerprints them as
+      // [""] — the same fallback empty/short docs get. Null and
+      // empty docs share that fingerprint, so they pair at hamming 0.
+      val docs = Seq[(Long, String)](
+        (1L, null), (2L, null), (3L, ""), (4L, "alpha beta gamma"))
+        .toDF("doc_id", "text")
+      val pairs = SimHash.nearDuplicates(docs, "doc_id", "text",
+        maxDist = 0, chunks = 4, nGram = 3)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      pairs should contain allOf ((1L, 2L), (1L, 3L), (2L, 3L))
+      pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+      // …matching the reference, under which null ≡ empty by the
+      // short-doc fallback
+      val viaRef = docs.select($"doc_id", SimHash.simHash64(
+        SimHash.featuresReference($"text", 3)).as("fp"))
+        .as[(Long, Long)].collect().toMap
+      viaRef(1L) shouldBe viaRef(3L)
     }
     it("hamming is exact bit_count of xor") {
       Seq((0L, 0L), (1L, 0L), (-1L, 0L)).toDF("a", "b")
