@@ -718,6 +718,51 @@ object NativeKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** [[wordShingleHashes]] with the engine-PORTABLE per-shingle hash
+    * instead of xxhash64: each distinct word n-gram (space-joined,
+    * exactly [[wordShingles]]' string form) is hashed with the two
+    * polynomial rolling hashes over its printable-ASCII projection
+    * (base 131 mod 1e9+7 / base 137 mod 998244353 — the
+    * [[simHashPortable60]] convention), combined as (h1 << 30) | h2.
+    * Every step is plain integer arithmetic a DuckDB oracle replays
+    * with one list_reduce per shingle, which is what lets the
+    * PRODUCTION MinHash-LSH configuration (sigMaxDf + maxBucket)
+    * hash-gate end to end: census, ban, signature, banding, bucket
+    * cap and verify all run on these values in both engines
+    * (xxhash64 stays the default — it mixes far better). The space
+    * separator (0x20) is printable, so folding token bytes and
+    * separators in sequence equals folding the concatenated shingle
+    * string — no concatenation is allocated.
+    */
+  def wordShinglePortableHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= m - n) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { // the joining space
+          h1 = (h1 * 131L + 0x20L) % 1000000007L
+          h2 = (h2 * 137L + 0x20L) % 998244353L
+        }
+        val t = tokens.getUTF8String(i + j)
+        h1 = polyFold1(t, h1)
+        h2 = polyFold2(t, h2)
+        j += 1
+      }
+      seen.add((h1 << 30) | h2)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two SORTED long arrays — one two-pointer
     * pass, zero allocation. The exact-Jaccard verify step over hashed
     * shingle sets: `array_intersect`/`array_union` build hash sets and
@@ -2022,6 +2067,12 @@ object NativeKernels extends Serializable {
 
   def wordShingleHashesCol(tokens: Column, n: Int): Column =
     invoke("wordShingleHashes", ArrayType(LongType, containsNull = false),
+      Seq(tokens, org.apache.spark.sql.functions.lit(n)),
+      Seq(ArrayType(StringType), IntegerType))
+
+  def wordShinglePortableHashesCol(tokens: Column, n: Int): Column =
+    invoke("wordShinglePortableHashes",
+      ArrayType(LongType, containsNull = false),
       Seq(tokens, org.apache.spark.sql.functions.lit(n)),
       Seq(ArrayType(StringType), IntegerType))
 

@@ -62,6 +62,19 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     graft.expressions.NativeKernels.wordShingleHashesCol(split(text, " "), n)
 
+  /** [[shingleHashes]] with the engine-portable polynomial hash
+    * ([[graft.expressions.NativeKernels.wordShinglePortableHashes]])
+    * instead of xxhash64 — the variant whose ENTIRE downstream chain
+    * (df census → sigMaxDf ban → MinHash signature → banding →
+    * maxBucket cut → exact verify) is plain integer arithmetic a
+    * DuckDB oracle replays bit-for-bit, which is how the production
+    * near-dedup configuration hash-gates (dedup_minhash_capped /
+    * dedup_cross_capped). xxhash64 stays the production default.
+    */
+  def shinglePortableHashes(text: Column, n: Int): Column =
+    graft.expressions.NativeKernels
+      .wordShinglePortableHashesCol(split(text, " "), n)
+
   /** Declarative reference form of [[shingles]]. */
   def shinglesReference(text: Column, n: Int): Column = {
     val w = split(text, " ")

@@ -100,32 +100,49 @@ object MinHashLsh {
     * shingle are dropped (they cannot pair).
     */
   private def hashedShingles(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        sort_array(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      textCol: String, shingleN: Int, portable: Boolean = false)
+      : DataFrame = {
+    val hashes =
+      if (portable) Dedup.shinglePortableHashes(col(textCol), shingleN)
+      else Dedup.shingleHashes(col(textCol), shingleN)
+    df.select(col(idCol).as("doc_id"), sort_array(hashes).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** The banded LSH index over a shingle-hash frame: one row per
     * (doc, band) with the band's bucket hash.
     */
   private[graft] def bandedIndex(sh: DataFrame, numHashes: Int,
-      bands: Int, seed: Long): DataFrame =
+      bands: Int, seed: Long, portable: Boolean = false): DataFrame =
     bandRows(sh.select(col("doc_id"),
       signatureFromHashes(col("sh"), numHashes, seed).as("sig")),
-      numHashes, bands)
+      numHashes, bands, portable)
+
+  /** Bucket value of one band's signature slice. Default: xxhash64 of
+    * the slice's string form (best mixing). Portable: the polynomial
+    * fold acc = (acc * 131 + s_k) mod 1e9+7 over the slice — plain
+    * integer arithmetic a DuckDB oracle replays term by term, which
+    * is what lets the production capped configuration hash-gate
+    * end to end (signature values are < 2^31, so every product stays
+    * under 2^62).
+    */
+  private def bucketOf(slice: Column, portable: Boolean): Column =
+    if (!portable) xxhash64(slice.cast("string"))
+    else aggregate(slice, lit(0L),
+      (acc, s) => pmod(acc * lit(131L) + s, lit(1000000007L)))
 
   /** The ONE bucket-layout implementation: band rows from a
     * (doc_id, sig) frame. Both signature producers (the per-doc
     * kernel fold and the instance-stream min aggregate) feed this, so
     * their buckets can never diverge.
     */
-  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int)
-      : DataFrame = {
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
+          bucketOf(slice(col("sig"), b * rows + 1, rows), portable)
             .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
@@ -144,7 +161,7 @@ object MinHashLsh {
     * banding in both forms).
     */
   private def bandedFromInstances(inst: DataFrame, numHashes: Int,
-      bands: Int, seed: Long): DataFrame = {
+      bands: Int, seed: Long, portable: Boolean = false): DataFrame = {
     val P = MersennePrime
     val hm = pmod(col("h"), lit(P))
     val ps = perms(numHashes, seed)
@@ -154,18 +171,19 @@ object MinHashLsh {
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array(
         (0 until numHashes).map(k => col(s"__s$k")): _*).as("sig"))
-    bandRows(sig, numHashes, bands)
+    bandRows(sig, numHashes, bands, portable)
   }
 
   /** Ban-filtered banded index: drop `banned` (an `h`-column frame)
     * from the instance stream, then band via the min-aggregate path.
     */
   private[graft] def bandedCut(sh: DataFrame, banned: DataFrame,
-      numHashes: Int, bands: Int, seed: Long): DataFrame =
+      numHashes: Int, bands: Int, seed: Long,
+      portable: Boolean = false): DataFrame =
     bandedFromInstances(
       sh.select(col("doc_id"), explode(col("sh")).as("h"))
         .join(banned.select(col("h")), Seq("h"), "left_anti"),
-      numHashes, bands, seed)
+      numHashes, bands, seed, portable)
 
   /** Bucket self-join over a banded index: distinct (id1 < id2) pairs
     * colliding in at least one band. merge hint: the banded table is
@@ -288,9 +306,10 @@ object MinHashLsh {
     * instance-aggregate path under a self census when on.
     */
   private def bandedMaybeCut(sh: DataFrame, numHashes: Int, bands: Int,
-      seed: Long, sigMaxDf: Int): DataFrame =
-    if (sigMaxDf <= 0) bandedIndex(sh, numHashes, bands, seed)
-    else bandedCut(sh, bannedCensus(sh, sigMaxDf), numHashes, bands, seed)
+      seed: Long, sigMaxDf: Int, portable: Boolean = false): DataFrame =
+    if (sigMaxDf <= 0) bandedIndex(sh, numHashes, bands, seed, portable)
+    else bandedCut(sh, bannedCensus(sh, sigMaxDf), numHashes, bands,
+      seed, portable)
 
   /** LSH candidate pairs: documents whose signatures collide in at
     * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
@@ -299,12 +318,12 @@ object MinHashLsh {
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0)
-      : DataFrame = {
-    val sh0 = hashedShingles(df, idCol, textCol, shingleN)
+      seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0,
+      portableHash: Boolean = false): DataFrame = {
+    val sh0 = hashedShingles(df, idCol, textCol, shingleN, portableHash)
     val sh = if (sigMaxDf > 0) sh0.localCheckpoint() else sh0
-    bucketJoin(bandedMaybeCut(sh, numHashes, bands, seed, sigMaxDf),
-      maxBucket)
+    bucketJoin(bandedMaybeCut(sh, numHashes, bands, seed, sigMaxDf,
+      portableHash), maxBucket)
   }
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
@@ -316,7 +335,7 @@ object MinHashLsh {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 0, seed: Long = 42L, maxBucket: Int = 0,
-      sigMaxDf: Int = 0): DataFrame = {
+      sigMaxDf: Int = 0, portableHash: Boolean = false): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     // ONE corpus scan: tokenize → shingle → hash → sort each document
     // exactly once, pinned with a localCheckpoint — the band index,
@@ -333,7 +352,8 @@ object MinHashLsh {
     // at 100 TB this frame is the materialized dedup artifact; on a
     // cluster a persisted artifact table plays this role
     // ([[nearDuplicatesCached]]).
-    val sh = hashedShingles(df, idCol, textCol, shingleN).localCheckpoint()
+    val sh = hashedShingles(df, idCol, textCol, shingleN, portableHash)
+      .localCheckpoint()
     // maxBucket (r14, threaded from bucketPairsRaw): on Zipfian open-
     // vocab text the head shingle's hash is the min for MANY
     // permutations at once, so unrelated documents share whole bands
@@ -347,7 +367,8 @@ object MinHashLsh {
     // SIGNATURE input — see [[signatureInput]]/[[bandedCut]]. Verify
     // below is untouched: it reads the full pinned `sh` sets.
     val cands = dedupKeyed(bucketPairsRaw(
-      bandedMaybeCut(sh, numHashes, b, seed, sigMaxDf), maxBucket))
+      bandedMaybeCut(sh, numHashes, b, seed, sigMaxDf, portableHash),
+      maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash
@@ -380,15 +401,15 @@ object MinHashLsh {
   def nearDuplicatesAgainst(base: DataFrame, probe: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 0,
-      seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0)
-      : DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0,
+      portableHash: Boolean = false): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
-    val shB = hashedShingles(base, idCol, textCol, shingleN)
-      .localCheckpoint()
-    val shP = hashedShingles(probe, idCol, textCol, shingleN)
-      .localCheckpoint()
+    val shB = hashedShingles(base, idCol, textCol, shingleN,
+      portableHash).localCheckpoint()
+    val shP = hashedShingles(probe, idCol, textCol, shingleN,
+      portableHash).localCheckpoint()
     crossPairs(shB, shP, threshold, numHashes, b, seed, maxBucket,
-      sigMaxDf)
+      sigMaxDf, portableHash)
   }
 
   /** [[nearDuplicatesAgainst]] when both corpora live in ONE table and
@@ -402,17 +423,20 @@ object MinHashLsh {
   def nearDuplicatesSplit(df: DataFrame, idCol: String, textCol: String,
       probeSide: Column, threshold: Double = 0.7, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 0, seed: Long = 42L,
-      maxBucket: Int = 0, sigMaxDf: Int = 0): DataFrame = {
+      maxBucket: Int = 0, sigMaxDf: Int = 0,
+      portableHash: Boolean = false): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val hashes =
+      if (portableHash) Dedup.shinglePortableHashes(col(textCol), shingleN)
+      else Dedup.shingleHashes(col(textCol), shingleN)
     val sh = df.select(col(idCol).as("doc_id"),
-        probeSide.as("is_probe"),
-        sort_array(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+        probeSide.as("is_probe"), sort_array(hashes).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     crossPairs(
       sh.filter(!col("is_probe")).select(col("doc_id"), col("sh")),
       sh.filter(col("is_probe")).select(col("doc_id"), col("sh")),
-      threshold, numHashes, b, seed, maxBucket, sigMaxDf)
+      threshold, numHashes, b, seed, maxBucket, sigMaxDf, portableHash)
   }
 
   /** Banded bucket join ACROSS two (already pinned) shingle-hash
@@ -433,17 +457,18 @@ object MinHashLsh {
     */
   private def crossPairs(shB: DataFrame, shP: DataFrame,
       threshold: Double, numHashes: Int, bands: Int, seed: Long,
-      maxBucket: Int = 0, sigMaxDf: Int = 0): DataFrame = {
+      maxBucket: Int = 0, sigMaxDf: Int = 0,
+      portable: Boolean = false): DataFrame = {
     val (bandedB, bandedP) =
       if (sigMaxDf <= 0)
-        (bandedIndex(shB, numHashes, bands, seed),
-          bandedIndex(shP, numHashes, bands, seed))
+        (bandedIndex(shB, numHashes, bands, seed, portable),
+          bandedIndex(shP, numHashes, bands, seed, portable))
       else {
         val banned = bannedCensus(shB.unionByName(shP), sigMaxDf)
           .select("h")
           .localCheckpoint() // feeds both sides' anti joins once
-        (bandedCut(shB, banned, numHashes, bands, seed),
-          bandedCut(shP, banned, numHashes, bands, seed))
+        (bandedCut(shB, banned, numHashes, bands, seed, portable),
+          bandedCut(shP, banned, numHashes, bands, seed, portable))
       }
     val (okB, okP) =
       if (maxBucket <= 0) (bandedB, bandedP)

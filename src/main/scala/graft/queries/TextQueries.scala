@@ -331,8 +331,114 @@ object TextQueries {
     "dedup_simhash" -> { (s, dir) =>
       graft.operators.SimHash.nearDuplicatesPortable(
         Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+    },
+
+    // E2 PRODUCTION configuration gate (r15, the r14 verdict's top
+    // item): the capped near-dedup chain — df census → sigMaxDf
+    // signature ban → instance-stream min-agg signatures → banding →
+    // maxBucket stop-bucket cut → bucket join → exact full-set
+    // verify — hash-gated END TO END via the portable polynomial
+    // shingle hash (Dedup.shinglePortableHashes): every stage is
+    // integer arithmetic DuckDB replays term for term, including
+    // WHICH shingles ban and WHICH buckets drop. Dials are
+    // fixture-scaled (sigMaxDf=5 bans 29-24.5k shingles, maxBucket=3
+    // drops 1-1435 buckets across sf0.001/0.01/0.1 — non-vacuous at
+    // every gate SF; production runs 1000/1000 on real Zipf text, the
+    // ov bench tier). The gated queries dedup_minhash/dedup_cross
+    // keep the uncapped oracle-exact semantics; this row gates the
+    // capped CODE PATH the 100-TB deployment ships.
+    "dedup_minhash_capped" -> { (s, dir) =>
+      graft.operators.MinHashLsh.nearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.5,
+        maxBucket = 3, sigMaxDf = 5, portableHash = true)
+    },
+
+    // G15 production configuration gate: the cross-corpus capped
+    // chain — symmetric union census, combined-membership bucket cap
+    // — replayed the same way (see dedup_minhash_capped).
+    "dedup_cross_capped" -> { (s, dir) =>
+      graft.operators.MinHashLsh.nearDuplicatesSplit(
+          Tables.documents(s, dir), "doc_id", "text",
+          probeSide = pmod(col("doc_id"), lit(10)) === 0,
+          threshold = 0.5, maxBucket = 3, sigMaxDf = 5,
+          portableHash = true)
+        .select(col("id1").as("base_id"), col("id2").as("probe_id"),
+          col("jaccard"))
+    },
+
+    // E3 production configuration gate: word-3-gram features + the
+    // hot-bucket cap (the r14 Zipf fixes), portable fingerprint so
+    // the n-gram build, votes, 15-bit chunk buckets, cap census and
+    // Hamming verify all replay in DuckDB. maxBucket=2 drops >= 1
+    // bucket at every gate SF (measured 3/1/57 across
+    // sf0.001/0.01/0.1); production runs nGram=3 maxBucket=1000.
+    "dedup_simhash_ngram" -> { (s, dir) =>
+      graft.operators.SimHash.nearDuplicatesPortable(
+        Tables.documents(s, dir), "doc_id", "text", maxDist = 3,
+        nGram = 3, maxBucket = 2)
     }
   )
+
+  /** DuckDB replay of the portable polynomial shingle hash
+    * ([[graft.operators.Dedup.shinglePortableHashes]]): two rolling
+    * hashes over the shingle string's printable-ASCII projection,
+    * combined as h1 * 2^30 + h2 — the dedup_simhash per-token
+    * arithmetic applied to shingle strings.
+    */
+  private def portablePoly(v: String, base: Int, mod: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_extract_all(regexp_replace($v, '[^ -~]', '', 'g'), '.'),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * $base + c) % $mod)""".stripMargin
+
+  private def portableHash(v: String): String =
+    s"${portablePoly(v, 131, 1000000007L)} * 1073741824\n" +
+      s"    + ${portablePoly(v, 137, 998244353L)}"
+
+  /** The MinHash permutation coefficients as a DuckDB VALUES table —
+    * interpolated from the SAME generator the kernel uses
+    * ([[graft.expressions.NativeKernels.perms]]), so the oracle can
+    * never drift from the engine's coefficients.
+    */
+  private def permsValues(numHashes: Int, seed: Long): String = {
+    val ab = graft.expressions.NativeKernels.perms(numHashes, seed)
+    (0 until numHashes)
+      .map(k => s"($k,${ab(2 * k)},${ab(2 * k + 1)})").mkString(", ")
+  }
+
+  /** Shared head of the capped production-config oracles: shingle →
+    * portable hash → df census → sigMaxDf ban → per-(doc, perm) min
+    * signature → 2-row band buckets (the polynomial slice fold) →
+    * maxBucket cut. Every step integer arithmetic; `bb` is the
+    * surviving banded index, `sh`/`card` the full verify sets.
+    */
+  private def cappedChainSql(sigMaxDf: Int, maxBucket: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS s
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+       |    greatest(len(w) - 2, 0))) AS gs) i),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  ${portableHash("s")} AS h
+       |  FROM win),
+       |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |banned AS (SELECT h FROM sh GROUP BY h HAVING count(*) > $sigMaxDf),
+       |inst AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM banned)),
+       |perms AS (SELECT CAST(k AS INT) AS k, CAST(a AS BIGINT) AS a,
+       |  CAST(b AS BIGINT) AS b FROM (VALUES ${permsValues(64, 42L)}) t(k, a, b)),
+       |sig AS (
+       |  SELECT i.doc_id, p.k,
+       |    min(((i.h % 2147483647) * p.a + p.b) % 2147483647) AS s
+       |  FROM inst i CROSS JOIN perms p GROUP BY 1, 2),
+       |bnd AS (
+       |  SELECT doc_id, k // 2 AS band,
+       |    ((max(CASE WHEN k % 2 = 0 THEN s END) % 1000000007) * 131
+       |      + max(CASE WHEN k % 2 = 1 THEN s END)) % 1000000007 AS bucket
+       |  FROM sig GROUP BY 1, 2),
+       |ok AS (SELECT band, bucket FROM bnd GROUP BY 1, 2
+       |       HAVING count(*) <= $maxBucket),
+       |bb AS (SELECT b.doc_id, b.band, b.bucket FROM bnd b
+       |       JOIN ok USING (band, bucket))""".stripMargin
 
   private val crossOracleSql: String =
     """WITH toks AS (
@@ -897,6 +1003,85 @@ object TextQueries {
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.fp AS f1, b.fp AS f2
          |  FROM ch a JOIN ch b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS INT) AS hamming_dist
+         |FROM pairs
+         |WHERE bit_count(xor(f1, f2)) <= 3""".stripMargin
+    },
+    // PRODUCTION-config replays (r15): unlike dedup_minhash's
+    // exact-pair oracle, these replay the full capped chain — the
+    // ban census decides WHICH shingles leave the signature input,
+    // the bucket census WHICH buckets drop — so caps that lose pairs
+    // are replayed losing exactly those pairs. Verified match at
+    // sf0.001/0.01/0.1 during construction (9/9 exact).
+    "dedup_minhash_capped" ->
+      (cappedChainSql(sigMaxDf = 5, maxBucket = 3) +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bb a JOIN bb b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id1, c.id2, count(*) AS inter
+           |  FROM cand c JOIN sh x ON x.doc_id = c.id1
+           |              JOIN sh y ON y.doc_id = c.id2 AND y.h = x.h
+           |  GROUP BY 1, 2)
+           |SELECT i.id1, i.id2,
+           |  CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) AS jaccard
+           |FROM inter i JOIN card ca ON i.id1 = ca.doc_id
+           |             JOIN card cb ON i.id2 = cb.doc_id
+           |WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) >= 0.5""".stripMargin),
+    "dedup_cross_capped" ->
+      (cappedChainSql(sigMaxDf = 5, maxBucket = 3) +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS probe_id
+           |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+           |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+           |inter AS (
+           |  SELECT c.base_id, c.probe_id, count(*) AS inter
+           |  FROM cand c JOIN sh x ON x.doc_id = c.base_id
+           |              JOIN sh y ON y.doc_id = c.probe_id AND y.h = x.h
+           |  GROUP BY 1, 2)
+           |SELECT i.base_id, i.probe_id,
+           |  CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) AS jaccard
+           |FROM inter i JOIN card ca ON i.base_id = ca.doc_id
+           |             JOIN card cb ON i.probe_id = cb.doc_id
+           |WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) >= 0.5""".stripMargin),
+    // nGram=3 + hot-bucket-cap SimHash (the r14 Zipf production
+    // fixes) — the dedup_simhash replay with windowed features
+    // (duplicates kept, short docs fall back to the whole token
+    // array) and the chunk-bucket cap census.
+    "dedup_simhash_ngram" -> {
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [array_to_string(w, ' ')] END AS fs
+         |  FROM toks),
+         |hs AS (SELECT doc_id, list_transform(fs, t ->
+         |    ${portablePoly("t", 131, 1000000007L)} * 1073741824
+         |    + ${portablePoly("t", 137, 998244353L)}) AS hh
+         |  FROM feats),
+         |fp AS (
+         |  SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(60), j ->
+         |    CASE WHEN COALESCE(list_sum(list_transform(hh, h ->
+         |        CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)), 0) AS BIGINT) AS fp
+         |  FROM hs),
+         |ch AS (
+         |  SELECT doc_id, fp, i.c AS chunk_idx, (fp >> (i.c * 15)) & 32767 AS chunk_val
+         |  FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) i),
+         |ok AS (SELECT chunk_idx, chunk_val FROM ch GROUP BY 1, 2
+         |       HAVING count(*) <= 2),
+         |cc AS (SELECT c.* FROM ch c JOIN ok USING (chunk_idx, chunk_val)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.fp AS f1, b.fp AS f2
+         |  FROM cc a JOIN cc b
          |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
          |   AND a.doc_id < b.doc_id)
          |SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS INT) AS hamming_dist

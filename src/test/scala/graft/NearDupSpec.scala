@@ -113,6 +113,65 @@ class NearDupSpec extends SparkSpec {
       // what the 20-token private tails alone would give
       full.head._3 should be > 0.5
     }
+    it("the production-config gate dials are NON-VACUOUS on the gate " +
+        "fixture: the ban set and the dropped-bucket set are non-empty") {
+      // dedup_minhash_capped / dedup_cross_capped gate the capped
+      // chain with sigMaxDf=5, maxBucket=3 (TextQueries). The oracle
+      // replays whatever the caps do — including nothing — so this
+      // spec pins that they DO something on the fixture corpus: if a
+      // testdata regeneration flattened the df/bucket histograms, the
+      // gate would silently stop exercising the ban and cap stages.
+      val docs = Tables.documents(spark, sf)
+      val sh = docs.select($"doc_id",
+          sort_array(Dedup.shinglePortableHashes($"text", 3)).as("sh"))
+        .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+        .localCheckpoint()
+      MinHashLsh.bannedCensus(sh, 5).count() should be > 0L
+      val banned = MinHashLsh.bannedCensus(sh, 5).select("h")
+      val oversized = MinHashLsh.bandedCut(sh, banned, 64, 32, 42L)
+        .groupBy("band", "bucket").count().filter($"count" > 3)
+      oversized.count() should be > 0L
+      // and the capped output still finds pairs (not everything died)
+      MinHashLsh.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 3, sigMaxDf = 5,
+        portableHash = true).count() should be > 0L
+      // dedup_simhash_ngram's maxBucket=2: >= 1 chunk bucket exceeds it
+      val fp = docs.select($"doc_id",
+        graft.expressions.NativeKernels.simHashPortable60Col(
+          graft.expressions.NativeKernels.wordNGramsCol(
+            graft.functions.TextFns.tokens($"text"), 3)).as("fp"))
+      val hist = fp.select($"doc_id", explode(array((0 until 4).map(c =>
+          struct(lit(c).as("ci"),
+            shiftright($"fp", c * 15).bitwiseAND(lit(32767L))
+              .as("cv"))): _*)).as("x"))
+        .groupBy($"x.ci", $"x.cv").count()
+      hist.filter($"count" > 2).count() should be > 0L
+    }
+    it("wordShinglePortableHashes equals the plain poly fold over " +
+        "wordShingles' string forms (order, dedup, non-ASCII skip)") {
+      // the kernel folds token bytes + separators without building
+      // the concatenated shingle; parity with hashing the actual
+      // shingle STRING is what the DuckDB oracle replays (one
+      // list_reduce per shingle over its printable-ASCII chars)
+      def poly(s: String, base: Long, mod: Long): Long =
+        s.filter(c => c >= 0x20 && c <= 0x7e)
+          .foldLeft(0L)((h, c) => (h * base + c.toLong) % mod)
+      def ph(s: String): Long =
+        (poly(s, 131L, 1000000007L) << 30) | poly(s, 137L, 998244353L)
+      val texts = Seq(
+        (1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z"),
+        (4L, "héllo wörld one two"), (5L, "a  b c d"))
+      val got = texts.toDF("doc_id", "text")
+        .select($"doc_id", Dedup.shinglePortableHashes($"text", 3).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = texts.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        id -> (if (w.length < 3) Seq.empty[Long]
+               else w.sliding(3).map(_.mkString(" ")).map(ph)
+                 .toSeq.distinct)
+      }.toMap
+      got shouldBe want
+    }
     it("derives banding from the verify threshold (autoBands)") {
       // boundary-pair catch probability must be >= 98% AT the verify
       // threshold, with the sharpest banding (largest rows/band) that
