@@ -28,6 +28,14 @@ object TextFns {
     * once per row no matter how many marker counts a projection needs
     * (langId + qualityScore stack 15+ of them). Non-marker words fall
     * back to the declarative form.
+    *
+    * CSE caveat (r15, measured): codegen subexpression elimination is
+    * per-PROJECT, and CollapseProject deliberately keeps expensive
+    * expressions in separate Projects — so a plan whose kernel
+    * consumers straddle operator boundaries (the model-score + langid
+    * composition) pays the kernel once per Project, not once per row.
+    * For those plans, materialize [[markerCounts]] as a column first
+    * and consume the `FromCounts` variants.
     */
   def tokenOccurrences(c: Column, word: String): Column = {
     val idx = kernelWords.indexOf(word)
@@ -61,17 +69,35 @@ object TextFns {
     "de" -> Seq("der", "die", "und"),
     "zh" -> Seq("的", "了", "是"))
 
+  /** The shared marker/stopword counts array (one slot per
+    * [[kernelWords]] entry, total word count in the final slot) — the
+    * ONE kernel pass every marker-count consumer derives from.
+    * Materialize it as a column when consumers span Projects (see the
+    * [[tokenOccurrences]] CSE caveat); the `FromCounts` helpers below
+    * read slots out of it. Bit-identical to the text-form helpers:
+    * those ARE these applied to `markerCounts(c)`.
+    */
+  def markerCounts(c: Column): Column = kernelCounts(c)
+
   /** Marker-token score for one language. */
   def langScore(c: Column, lang: String): Column =
+    langScoreFromCounts(markerCounts(c), lang)
+
+  /** [[langScore]] over a pre-materialized [[markerCounts]] column. */
+  def langScoreFromCounts(counts: Column, lang: String): Column =
     langMarkers.toMap.apply(lang)
-      .map(w => tokenOccurrences(c, w))
+      .map(w => counts.getItem(kernelWords.indexOf(w)))
       .reduce(_ + _)
 
   /** N-gram-marker language ID: argmax of marker-token counts with a
     * fixed priority tie-break; "und" when no marker appears.
     */
-  def langId(c: Column): Column = {
-    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+  def langId(c: Column): Column = langIdFromCounts(markerCounts(c))
+
+  /** [[langId]] over a pre-materialized [[markerCounts]] column. */
+  def langIdFromCounts(counts: Column): Column = {
+    val scores = langMarkers.map { case (l, _) =>
+      l -> langScoreFromCounts(counts, l) }
     val maxScore = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(maxScore > 0 && s === maxScore, lit(l)).otherwise(acc)
@@ -82,7 +108,11 @@ object TextFns {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
 
   def wordCount(c: Column): Column =
-    kernelCounts(c).getItem(kernelWords.length)
+    wordCountFromCounts(markerCounts(c))
+
+  /** [[wordCount]] over a pre-materialized [[markerCounts]] column. */
+  def wordCountFromCounts(counts: Column): Column =
+    counts.getItem(kernelWords.length)
 
   /** Declarative reference form of [[wordCount]] (parity spec-gated). */
   def wordCountReference(c: Column): Column = size(tokens(c))
@@ -94,9 +124,16 @@ object TextFns {
         .cast("double") / length(c).cast("double"))
 
   /** Ratio of stopword tokens to all tokens. */
-  def stopwordRatio(c: Column): Column = {
-    val n = wordCount(c)
-    val stops = stopwords.map(w => tokenOccurrences(c, w)).reduce(_ + _)
+  def stopwordRatio(c: Column): Column =
+    stopwordRatioFromCounts(markerCounts(c))
+
+  /** [[stopwordRatio]] over a pre-materialized [[markerCounts]]
+    * column.
+    */
+  def stopwordRatioFromCounts(counts: Column): Column = {
+    val n = wordCountFromCounts(counts)
+    val stops = stopwords
+      .map(w => counts.getItem(kernelWords.indexOf(w))).reduce(_ + _)
     when(n === 0, 0.0).otherwise(stops.cast("double") / n.cast("double"))
   }
 

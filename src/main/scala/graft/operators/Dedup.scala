@@ -222,11 +222,26 @@ object Dedup {
           .groupBy(col("shingle"))
           .agg(graft.expressions.BoundedCollect
             .boundedCollectLong(col("p"), maxDf).as("ps"))
+        // PAIR-AGG EXCHANGE PIN (r15, closing the r14 perf-weak
+        // audit): the pair stream is ~15 MB of packed longs at sf0.1,
+        // so AQE's bytes-based coalescing collapsed the final count
+        // agg of ~850k distinct pairs onto ONE task — the same
+        // CPU-vs-bytes mispricing as the postings exchange above,
+        // measured as +0.73 s of the row's 1.46 s cumulative profile.
+        // The explicit repartition pins reduce parallelism (exempt
+        // from coalescing; groupBy reuses the partitioning), and the
+        // agg keys (pk, nc) with a count-only aggregate — nc is a
+        // function of pk, so the grouping is unchanged, and dropping
+        // the `first(nc)` buffer halves the agg state. Isolated A/B
+        // min-of-3 at sf0.1: 1.50 s → 0.90 s for the cumulative
+        // stage; full query 1.66 → ~1.05 s.
         val g = postings
           .select(explode(graft.expressions.NativeKernels
             .idPairsFromPostingsCol(col("ps"), threshold)).as("p"))
-          .groupBy(col("p.pk").as("pk"))
-          .agg(count(lit(1)).as("inter"), first(col("p.nc")).as("nc"))
+          .select(col("p.pk").as("pk"), col("p.nc").as("nc"))
+          .repartition(explodeP, col("pk"))
+          .groupBy(col("pk"), col("nc"))
+          .agg(count(lit(1)).as("inter"))
         g.select(shiftrightunsigned(col("pk"), 32).as("id1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
           col("inter"),

@@ -41,19 +41,34 @@ object QualityModel {
   }
 
   /** Map-side featurization: cheap, engine-native text statistics.
-    * Appends the `f_*` columns (see [[featureNames]]).
+    * Appends the `f_*` columns (see [[featureNames]]). Both kernel
+    * passes (marker counts + word stats) are materialized as interim
+    * columns so each runs exactly once per row no matter how
+    * CollapseProject splits the downstream consumers (the
+    * TextFns.tokenOccurrences CSE caveat, r15 — measured: the score +
+    * langid composition paid the counts kernel twice per row).
     */
-  def featurize(df: DataFrame, textCol: String): DataFrame = {
+  def featurize(df: DataFrame, textCol: String): DataFrame =
+    featurizeWithCounts(
+      df.withColumn("_tc", TextFns.markerCounts(col(textCol))),
+      textCol, col("_tc")).drop("_tc")
+
+  /** [[featurize]] reading marker counts from a pre-materialized
+    * [[graft.functions.TextFns.markerCounts]] column — the form a
+    * composition uses to share ONE kernel pass between the quality
+    * features and other marker consumers (langid) across operator
+    * boundaries. Bit-identical f_* outputs: the text form IS this
+    * with a locally-materialized counts column.
+    */
+  def featurizeWithCounts(df: DataFrame, textCol: String,
+      counts: Column): DataFrame = {
     val t = col(textCol)
-    val st = NativeKernels.wordStatsCol(t)
-    val nWords = element_at(st, 1)
-    val nDistinct = element_at(st, 2)
-    val topFreq = element_at(st, 3)
     df.withColumn("f_log_chars", log1p(length(t)))
-      .withColumn("f_log_words", log1p(TextFns.wordCount(t)))
+      .withColumn("f_log_words",
+        log1p(TextFns.wordCountFromCounts(counts)))
       .withColumn("f_punct", TextFns.punctRatio(t))
-      .withColumn("f_stopword", TextFns.stopwordRatio(t))
-      .withColumn("_st", st)
+      .withColumn("f_stopword", TextFns.stopwordRatioFromCounts(counts))
+      .withColumn("_st", NativeKernels.wordStatsCol(t))
       .withColumn("f_ttr",
         when(element_at(col("_st"), 1) === 0, 0.0)
           .otherwise(element_at(col("_st"), 2).cast("double") /
@@ -119,5 +134,13 @@ object QualityModel {
   /** Featurize + score: appends `quality_prob`. */
   def score(df: DataFrame, textCol: String, model: Model): DataFrame =
     featurize(df, textCol)
+      .withColumn("quality_prob", probability(model))
+
+  /** [[score]] over a pre-materialized marker-counts column (shared
+    * kernel pass — see [[featurizeWithCounts]]).
+    */
+  def scoreWithCounts(df: DataFrame, textCol: String, counts: Column,
+      model: Model): DataFrame =
+    featurizeWithCounts(df, textCol, counts)
       .withColumn("quality_prob", probability(model))
 }

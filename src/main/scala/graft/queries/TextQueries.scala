@@ -187,17 +187,38 @@ object TextQueries {
       // (winner agg + semi-join back) — without the pin the scoring
       // kernels (featurize + langid) run twice per evaluation (the
       // pipe_clean_corpus round-5 lesson; measured 3.0s → pinned
-      // ~1.2s at sf0.1)
-      val gated = graft.operators.QualityModel
-        .score(docs, "text", qualityModelFor(s, dir))
-        .select(col("doc_id"), col("text"), col("quality_prob"))
-        .filter(col("quality_prob") >= 0.5)
-        .withColumn("lang_pred", TextFns.langId(col("text")))
-        .filter(col("lang_pred") =!= "und")
+      // ~1.2s at sf0.1).
+      // r15 restructure, measured (stage A/B at sf0.1): the r14
+      // audit blamed the dedup exchanges (0.22 s); the row's real
+      // cost was the SCORING scan — two compounding re-evaluations:
+      // (1) the text-form helpers evaluate the marker-counts kernel
+      // once per Project (CollapseProject keeps expensive exprs
+      // apart, codegen CSE is per-node), fixed by materializing ONE
+      // `_tc` counts column every consumer (quality features, langid
+      // CASE, post-dedup ws_tokens) reads; (2) PushDownPredicates
+      // rewrites the quality/lang filters through the projections,
+      // substituting the FULL scoring chains into the pushed
+      // predicates — each chain then runs in the filter AND the
+      // projection (filtered shape 0.95 s vs 0.32 s with the pin
+      // moved before the filters). So the checkpoint lands BEFORE
+      // the gates: the scored corpus is the materialized curation
+      // artifact (at 100 TB: the persisted score table every
+      // downstream gate reads), filters over it are column
+      // comparisons, and Dedup.exact's double consumption reads the
+      // pinned frame. Row total 1.37 -> ~0.75 s.
+      val scored = graft.operators.QualityModel
+        .scoreWithCounts(
+          docs.withColumn("_tc", TextFns.markerCounts(col("text"))),
+          "text", col("_tc"), qualityModelFor(s, dir))
+        .withColumn("lang_pred", TextFns.langIdFromCounts(col("_tc")))
+        .select(col("doc_id"), col("text"), col("quality_prob"),
+          col("lang_pred"), col("_tc"))
         .localCheckpoint()
+      val gated = scored.filter(col("quality_prob") >= 0.5 &&
+        col("lang_pred") =!= "und")
       Dedup.exact(gated, "text", "doc_id")
         .select(col("doc_id"), col("lang_pred"),
-          TextFns.wordCount(col("text")).as("ws_tokens"),
+          TextFns.wordCountFromCounts(col("_tc")).as("ws_tokens"),
           col("quality_prob"))
     },
 

@@ -1,0 +1,230 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch stage-level profiler for the two perf-weak rows (r14
+  * verdict #2): times cumulative sub-plans of dedup_jaccard and
+  * pipe_model_curation at sf0.1 so the per-exchange cost breakdown is
+  * measured, not argued. Diagnostic only — not part of the catalog.
+  */
+object PerfProbe {
+  private def time(name: String)(f: => Long): Unit = {
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      (s, n)
+    }
+    val best = runs.map(_._1).min
+    println(f"$name%-46s ${best}%7.3f s  (rows=${runs.head._2})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = args.lift(1).getOrElse("both")
+    val spark = graft.GraftSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("perf-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.sources.Tables.documents(spark, dir)
+
+    if (which == "both" || which == "jaccard") {
+      import graft.operators.Dedup
+      // warmup
+      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).count()
+      val sh = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Dedup.shingleHashes(col("text"), 3).as("shs"))
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+          explode(col("shs")).as("shingle"))
+      val packed = sh.select(col("shingle"),
+        shiftleft(col("doc_id"), 32).bitwiseOR(col("n_sh")).as("p"))
+      time("jaccard 1: scan+shingle+explode+pack")(packed.count())
+      val postings = packed
+        .repartition(32, col("shingle"))
+        .groupBy(col("shingle"))
+        .agg(graft.expressions.BoundedCollect
+          .boundedCollectLong(col("p"), 65536).as("ps"))
+      time("jaccard 2: + repartition + boundedCollect")(postings.count())
+      val pairsRaw = postings
+        .select(explode(graft.expressions.NativeKernels
+          .idPairsFromPostingsCol(col("ps"), 0.5)).as("p"))
+      time("jaccard 3: + pair kernel explode")(pairsRaw.count())
+      val agg = pairsRaw
+        .groupBy(col("p.pk").as("pk"))
+        .agg(count(lit(1)).as("inter"), first(col("p.nc")).as("nc"))
+      time("jaccard 4: + pair agg")(agg.count())
+      time("jaccard 5: full ngramJaccard")(
+        Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).count())
+    }
+
+    if (which == "jacvar") {
+      import graft.operators.Dedup
+      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).count() // warm
+      val sh = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Dedup.shingleHashes(col("text"), 3).as("shs"))
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+          explode(col("shs")).as("shingle"))
+      val packed = sh.select(col("shingle"),
+        shiftleft(col("doc_id"), 32).bitwiseOR(col("n_sh")).as("p"))
+      def postings = packed
+        .repartition(32, col("shingle"))
+        .groupBy(col("shingle"))
+        .agg(graft.expressions.BoundedCollect
+          .boundedCollectLong(col("p"), 65536).as("ps"))
+      def pairsRaw = postings
+        .select(explode(graft.expressions.NativeKernels
+          .idPairsFromPostingsCol(col("ps"), 0.5)).as("p"))
+      time("jacvar A: groupBy(pk).agg(count, first(nc))")(
+        pairsRaw.groupBy(col("p.pk").as("pk"))
+          .agg(count(lit(1)).as("inter"), first(col("p.nc")).as("nc"))
+          .count())
+      time("jacvar B: repartition(pk) + count,first")(
+        pairsRaw.repartition(32, col("p.pk"))
+          .groupBy(col("p.pk").as("pk"))
+          .agg(count(lit(1)).as("inter"), first(col("p.nc")).as("nc"))
+          .count())
+      time("jacvar C: groupBy(pk, nc).agg(count)")(
+        pairsRaw.groupBy(col("p.pk").as("pk"), col("p.nc").as("nc"))
+          .agg(count(lit(1)).as("inter"))
+          .count())
+      time("jacvar D: repartition(pk) + groupBy(pk,nc)")(
+        pairsRaw.repartition(32, col("p.pk"))
+          .groupBy(col("p.pk").as("pk"), col("p.nc").as("nc"))
+          .agg(count(lit(1)).as("inter"))
+          .count())
+    }
+
+    if (which == "curvar") {
+      import graft.functions.TextFns
+      import graft.operators.QualityModel
+      val labeled = docs.withColumn("label",
+        (TextFns.qualityScore(col("text")) >= 0.55).cast("int"))
+      val model = QualityModel.trainCanonical(
+        QualityModel.featurize(labeled, "text"), "label", "doc_id")
+      val scoreOnly = QualityModel.score(docs, "text", model)
+        .select(col("doc_id"), col("quality_prob"))
+        .filter(col("quality_prob") >= 0.5)
+      scoreOnly.count() // warmup
+      time("curvar A: featurize+prob+filter only")(scoreOnly.count())
+      val langOnly = docs.select(col("doc_id"),
+          TextFns.langId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") =!= "und")
+      time("curvar B: langId+filter only")(langOnly.count())
+      val combined = QualityModel.score(docs, "text", model)
+        .select(col("doc_id"), col("text"), col("quality_prob"))
+        .filter(col("quality_prob") >= 0.5)
+        .withColumn("lang_pred", TextFns.langId(col("text")))
+        .filter(col("lang_pred") =!= "und")
+      time("curvar C: combined (pipe stage 1)")(combined.count())
+      val oneProject = QualityModel.score(docs, "text", model)
+        .withColumn("lang_pred", TextFns.langId(col("text")))
+        .select(col("doc_id"), col("text"), col("quality_prob"),
+          col("lang_pred"))
+        .filter(col("quality_prob") >= 0.5 &&
+          col("lang_pred") =!= "und")
+      time("curvar D: one projection, one filter")(oneProject.count())
+    }
+
+    if (which == "cse") {
+      import graft.functions.TextFns
+      val one = docs.select((TextFns.wordCount(col("text")) > 0)
+        .as("x")).filter(col("x"))
+      one.count() // warmup
+      time("cse 1: ONE tokenCounts getItem")(one.count())
+      val twenty = docs.select(
+        TextFns.langMarkers.flatMap(_._2).distinct
+          .map(w => TextFns.tokenOccurrences(col("text"), w))
+          .reduce(_ + _).as("s"),
+        TextFns.wordCount(col("text")).as("n"))
+        .filter(col("s") >= 0 && col("n") >= 0)
+      twenty.count()
+      time("cse 2: 16 getItems of the same kernel call")(twenty.count())
+      val materialized = docs
+        .select(graft.expressions.NativeKernels
+          .tokenCountsCol(col("text"), TextFns.kernelWords).as("tc"))
+        .select((0 until 15).map(i => col("tc").getItem(i)).reduce(_ + _)
+          .as("s"), col("tc").getItem(15).as("n"))
+        .filter(col("s") >= 0 && col("n") >= 0)
+      materialized.count()
+      time("cse 3: kernel materialized as a column")(materialized.count())
+    }
+
+    if (which == "curvar2") {
+      import graft.functions.TextFns
+      import graft.operators.QualityModel
+      val labeled = docs.withColumn("label",
+        (TextFns.qualityScore(col("text")) >= 0.55).cast("int"))
+      val model = QualityModel.trainCanonical(
+        QualityModel.featurize(labeled, "text"), "label", "doc_id")
+      def newShape() = QualityModel
+        .scoreWithCounts(
+          docs.withColumn("_tc", TextFns.markerCounts(col("text"))),
+          "text", col("_tc"), model)
+        .select(col("doc_id"), col("text"), col("quality_prob"),
+          col("_tc"))
+        .filter(col("quality_prob") >= 0.5)
+        .withColumn("lang_pred", TextFns.langIdFromCounts(col("_tc")))
+        .filter(col("lang_pred") =!= "und")
+      newShape().count() // warmup
+      time("curvar2 G: new shape with filters")(newShape().count())
+      def noFilter() = QualityModel
+        .scoreWithCounts(
+          docs.withColumn("_tc", TextFns.markerCounts(col("text"))),
+          "text", col("_tc"), model)
+        .select(col("doc_id"), col("text"), col("quality_prob"),
+          col("_tc"))
+        .withColumn("lang_pred", TextFns.langIdFromCounts(col("_tc")))
+      time("curvar2 H: new shape NO filters")(noFilter().count())
+      time("curvar2 I: checkpoint-then-filter")({
+        noFilter().localCheckpoint()
+          .filter(col("quality_prob") >= 0.5 &&
+            col("lang_pred") =!= "und").count()
+      })
+      val justScore = QualityModel
+        .scoreWithCounts(
+          docs.withColumn("_tc", TextFns.markerCounts(col("text"))),
+          "text", col("_tc"), model)
+        .select(col("doc_id"), col("quality_prob"))
+      justScore.count()
+      time("curvar2 J: score only, no filter")(justScore.count())
+    }
+
+    if (which == "both" || which == "curation") {
+      import graft.functions.TextFns
+      import graft.operators.{Dedup, QualityModel}
+      val labeled = docs.withColumn("label",
+        (TextFns.qualityScore(col("text")) >= 0.55).cast("int"))
+      val model = QualityModel.trainCanonical(
+        QualityModel.featurize(labeled, "text"), "label", "doc_id")
+      def scored() = QualityModel.score(docs, "text", model)
+        .select(col("doc_id"), col("text"), col("quality_prob"))
+        .filter(col("quality_prob") >= 0.5)
+        .withColumn("lang_pred", TextFns.langId(col("text")))
+        .filter(col("lang_pred") =!= "und")
+      scored().count() // warmup
+      time("curation 1: score+langid+filters")(scored().count())
+      time("curation 2: + localCheckpoint")(
+        scored().localCheckpoint().count())
+      val gated = scored().localCheckpoint()
+      time("curation 3: exact dedup on pinned input")(
+        Dedup.exact(gated, "text", "doc_id").count())
+      time("curation 4: + final projection")(
+        Dedup.exact(gated, "text", "doc_id")
+          .select(col("doc_id"), col("lang_pred"),
+            TextFns.wordCount(col("text")).as("ws_tokens"),
+            col("quality_prob")).count())
+      time("curation 5: full pipe (fresh checkpoint)")({
+        val g = scored().localCheckpoint()
+        Dedup.exact(g, "text", "doc_id")
+          .select(col("doc_id"), col("lang_pred"),
+            TextFns.wordCount(col("text")).as("ws_tokens"),
+            col("quality_prob")).count()
+      })
+    }
+    spark.stop()
+  }
+}
