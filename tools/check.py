@@ -323,15 +323,12 @@ def main():
         "bpe_tokenize": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
         "export_bpe_pack": ("sf0.001", "sf0.01", "sf0.1", "sf1"),
     }
-    # On the open-vocab tiers (gen_sf.py --open-vocab; dir suffix
-    # "ov") the documents text is synthetic Zipf token ids ("w123
-    # w1 ..."), not natural language: the heuristic langid CORRECTLY
-    # scores every language 0 and answers "und" (measured sf0.1ov:
-    # all 5000 docs), so the model-gated curation composition's
-    # surviving corpus is empty by SEMANTICS (its quality gate alone
-    # passes 2031/5000 there). Expected-empty on ov dirs only; the
-    # 0-row vacuity guard stays armed everywhere else.
-    EXPECTED_EMPTY_ON_OV = {"pipe_model_curation"}
+    # r15: the ov tiers now carry language-marker tokens per doc
+    # (gen_sf.py injects the doc's assigned language's markers every
+    # 10th token), so langid classifies and pipe_model_curation
+    # SURVIVES on ov dirs — the r14 expected-empty adjudication is
+    # deleted and the 0-row vacuity guard is armed everywhere.
+    EXPECTED_EMPTY_ON_OV = set()
     is_ov = SF_DIR.rstrip("/").endswith("ov")
     n_pass = n_fail = 0
     failed = set()  # names already FAILed (guards double-counting)

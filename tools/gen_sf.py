@@ -184,10 +184,32 @@ if OPEN_VOCAB:
     # Zipf token ids, capped so the tail stays printable; measured on
     # this draw: 18.1k distinct tokens at sf0.1 (278k tokens), 96.3k
     # at sf1 (2.76M) — Heaps-law growth, vs the constant 30 default.
+    #
+    # Language realism (r15, verdict #3): every 10th token is a
+    # marker word of the doc's assigned language, so the heuristic
+    # langid CLASSIFIES on ov text (pre-r15 it correctly answered
+    # "und" for every pure-token-id doc, which made the model-gated
+    # curation composition vacuously empty on ov tiers — the
+    # adjudicated exception this removes from check.py). Markers are
+    # drawn BEFORE dup planting so near-copies inherit their source's
+    # markers (jaccard unaffected); they are also exactly the
+    # high-df stopword class sigMaxDf exists to ban, which makes the
+    # ov dedup ladder MORE production-shaped, not less.
+    MARKERS = {"en": ["the", "a", "and"], "fr": ["le", "la", "et"],
+               "es": ["el", "los", "y"], "de": ["der", "die", "und"],
+               "zh": ["的", "了", "是"]}
+    langs_list = np.array(["en", "de", "es", "fr", "zh"])
+    langs_choice = langs_list[g.choice(5, n_doc,
+        p=[0.4, 0.15, 0.15, 0.15, 0.15])]
     toks = np.minimum(g.zipf(1.3, int(lengths.sum())), 1 << 22)
     off = np.concatenate(([0], np.cumsum(lengths)))
-    texts = [" ".join(f"w{t}" for t in toks[off[i]:off[i + 1]])
-             for i in range(n_doc)]
+    texts = []
+    for i in range(n_doc):
+        ws = [f"w{t}" for t in toks[off[i]:off[i + 1]]]
+        ms = MARKERS[langs_choice[i]]
+        for j in range(0, len(ws), 10):
+            ws[j] = ms[(j // 10) % len(ms)]
+        texts.append(" ".join(ws))
 else:
     texts = [" ".join(vocab[g.integers(0, 30, L)]) for L in lengths]
 # plant near/exact dup clusters: ~4.6% of docs copy an earlier doc,
@@ -202,11 +224,14 @@ for t in dup_targets:
     texts[t] = texts[src_id] + (" dup" * extra if extra else
                                 " dup" if g.random() < 0.5 else "")
 langs = np.array(["en", "de", "es", "fr", "zh"])
+# ov: the lang column matches the injected markers (drawn above);
+# closed vocab: independent draw, as always
+lang_col = (langs_choice if OPEN_VOCAB
+            else langs[g.choice(5, n_doc, p=[0.4, 0.15, 0.15, 0.15, 0.15])])
 write("documents", pa.table({
     "doc_id": pa.array(range(n_doc), pa.int64()),
     "text": texts,
-    "lang": pa.array(langs[g.choice(5, n_doc,
-        p=[0.4, 0.15, 0.15, 0.15, 0.15])]),
+    "lang": pa.array(lang_col),
     "source": [f"src{i % 20}" for i in range(n_doc)],
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
