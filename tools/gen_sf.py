@@ -47,7 +47,12 @@ import pyarrow.parquet as pq
 # langs, schema are identical. Default output dir gains an "ov"
 # suffix ("sf1ov" does not end in "sf1", so no pin tier ever matches).
 OPEN_VOCAB = "--open-vocab" in sys.argv
-argv = [a for a in sys.argv if a != "--open-vocab"]
+# --docs-only (r15): emit just documents.parquet — the third
+# open-vocab decade (5M docs) only feeds the dedup ladder, and
+# sf100's lineitem (600M rows) would dwarf it for no consumer.
+DOCS_ONLY = "--docs-only" in sys.argv
+argv = [a for a in sys.argv
+        if a not in ("--open-vocab", "--docs-only")]
 SF = float(argv[1]) if len(argv) > 1 else 1.0
 OUT = (argv[2] if len(argv) > 2
        else f"/root/repo/testdata/sf{SF:g}" + ("ov" if OPEN_VOCAB else ""))
@@ -68,108 +73,109 @@ def ts_us(arr_us, base="2024-01-01"):
     base_us = np.datetime64(base, "us").astype("int64")
     return (base_us + arr_us).astype("datetime64[us]")
 
-# ---- region / nation (fixed) ----
-write("region", pa.table({
-    "r_regionkey": pa.array(range(5), pa.int32()),
-    "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}))
-write("nation", pa.table({
-    "n_nationkey": pa.array(range(25), pa.int32()),
-    "n_name": [f"NATION_{i}" for i in range(25)],
-    "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())}))
+if not DOCS_ONLY:
+    # ---- region / nation (fixed) ----
+    write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}))
+    write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())}))
 
-# ---- customer ----
-n_cust = int(150_000 * SF)
-g = rng("customer")
-write("customer", pa.table({
-    "c_custkey": pa.array(range(n_cust), pa.int64()),
-    "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-    "c_nationkey": pa.array(g.integers(0, 25, n_cust), pa.int32()),
-    "c_acctbal": np.round(g.uniform(-1000, 10000, n_cust), 2),
-    "c_mktsegment": pa.array(np.array(
-        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
-         "MACHINERY"])[g.integers(0, 5, n_cust)])}))
+    # ---- customer ----
+    n_cust = int(150_000 * SF)
+    g = rng("customer")
+    write("customer", pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(g.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(g.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": pa.array(np.array(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+             "MACHINERY"])[g.integers(0, 5, n_cust)])}))
 
-# ---- supplier ----
-n_supp = int(10_000 * SF)
-g = rng("supplier")
-write("supplier", pa.table({
-    "s_suppkey": pa.array(range(n_supp), pa.int64()),
-    "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-    "s_nationkey": pa.array(g.integers(0, 25, n_supp), pa.int32()),
-    "s_acctbal": np.round(g.uniform(-1000, 10000, n_supp), 2)}))
+    # ---- supplier ----
+    n_supp = int(10_000 * SF)
+    g = rng("supplier")
+    write("supplier", pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(g.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(g.uniform(-1000, 10000, n_supp), 2)}))
 
-# ---- part ----
-n_part = int(200_000 * SF)
-g = rng("part")
-adjs = np.array(["large", "hot", "blue", "old", "cold", "small",
-                 "new", "red"])
-nouns = np.array(["ring", "bolt", "plate", "gear", "screw", "wheel",
-                  "pin", "cap"])
-keys = np.arange(n_part)
-write("part", pa.table({
-    "p_partkey": pa.array(keys, pa.int64()),
-    "p_name": [f"{a} {n}" for a, n in
-               zip(adjs[g.integers(0, 8, n_part)],
-                   nouns[g.integers(0, 8, n_part)])],
-    "p_brand": [f"Brand#{b}" for b in g.integers(0, 25, n_part)],
-    "p_type": pa.array(np.array(
-        ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
-         "STANDARD"])[g.integers(0, 6, n_part)]),
-    "p_size": pa.array(g.integers(1, 51, n_part), pa.int32()),
-    "p_retailprice": np.round(900.0 + (keys % 1000) * 0.1, 1)}))
+    # ---- part ----
+    n_part = int(200_000 * SF)
+    g = rng("part")
+    adjs = np.array(["large", "hot", "blue", "old", "cold", "small",
+                     "new", "red"])
+    nouns = np.array(["ring", "bolt", "plate", "gear", "screw", "wheel",
+                      "pin", "cap"])
+    keys = np.arange(n_part)
+    write("part", pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_name": [f"{a} {n}" for a, n in
+                   zip(adjs[g.integers(0, 8, n_part)],
+                       nouns[g.integers(0, 8, n_part)])],
+        "p_brand": [f"Brand#{b}" for b in g.integers(0, 25, n_part)],
+        "p_type": pa.array(np.array(
+            ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+             "STANDARD"])[g.integers(0, 6, n_part)]),
+        "p_size": pa.array(g.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(900.0 + (keys % 1000) * 0.1, 1)}))
 
-# ---- orders ----
-n_ord = int(1_500_000 * SF)
-g = rng("orders")
-odate_days = g.integers(0, 2405, n_ord)  # 1995-01-01 .. 2001-08-01
-ODATE_BASE = np.datetime64("1995-01-01", "us").astype("int64")
-write("orders", pa.table({
-    "o_orderkey": pa.array(range(n_ord), pa.int64()),
-    "o_custkey": pa.array(g.integers(0, n_cust, n_ord), pa.int64()),
-    "o_orderstatus": pa.array(
-        np.array(["O", "F", "P"])[g.integers(0, 3, n_ord)]),
-    "o_totalprice": np.round(g.uniform(1000, 500000, n_ord), 2),
-    "o_orderdate": (ODATE_BASE + odate_days * DAY_US)
-        .astype("datetime64[us]"),
-    "o_orderpriority": pa.array(np.array(
-        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
-         "5-LOW"])[g.integers(0, 5, n_ord)])}))
+    # ---- orders ----
+    n_ord = int(1_500_000 * SF)
+    g = rng("orders")
+    odate_days = g.integers(0, 2405, n_ord)  # 1995-01-01 .. 2001-08-01
+    ODATE_BASE = np.datetime64("1995-01-01", "us").astype("int64")
+    write("orders", pa.table({
+        "o_orderkey": pa.array(range(n_ord), pa.int64()),
+        "o_custkey": pa.array(g.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[g.integers(0, 3, n_ord)]),
+        "o_totalprice": np.round(g.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": (ODATE_BASE + odate_days * DAY_US)
+            .astype("datetime64[us]"),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"])[g.integers(0, 5, n_ord)])}))
 
-# ---- lineitem (rows independent of orders, like the source data) ----
-n_li = int(6_000_000 * SF)
-g = rng("lineitem")
-sdate_days = g.integers(0, 2405, n_li) + g.integers(1, 96, n_li)
-write("lineitem", pa.table({
-    "l_orderkey": pa.array(g.integers(0, n_ord, n_li), pa.int64()),
-    "l_partkey": pa.array(g.integers(0, n_part, n_li), pa.int64()),
-    "l_suppkey": pa.array(g.integers(0, n_supp, n_li), pa.int64()),
-    "l_linenumber": pa.array(g.integers(1, 8, n_li), pa.int32()),
-    "l_quantity": g.integers(1, 51, n_li).astype("float64"),
-    "l_extendedprice": np.round(g.uniform(900, 105000, n_li), 2),
-    "l_discount": np.round(g.integers(0, 11, n_li) * 0.01, 2),
-    "l_tax": np.round(g.integers(0, 9, n_li) * 0.01, 2),
-    "l_returnflag": pa.array(
-        np.array(["A", "N", "R"])[g.integers(0, 3, n_li)]),
-    "l_linestatus": pa.array(
-        np.array(["F", "O"])[g.integers(0, 2, n_li)]),
-    "l_shipdate": (ODATE_BASE + sdate_days * DAY_US)
-        .astype("datetime64[us]")}))
+    # ---- lineitem (rows independent of orders, like the source data) ----
+    n_li = int(6_000_000 * SF)
+    g = rng("lineitem")
+    sdate_days = g.integers(0, 2405, n_li) + g.integers(1, 96, n_li)
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array(g.integers(0, n_ord, n_li), pa.int64()),
+        "l_partkey": pa.array(g.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(g.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(g.integers(1, 8, n_li), pa.int32()),
+        "l_quantity": g.integers(1, 51, n_li).astype("float64"),
+        "l_extendedprice": np.round(g.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(g.integers(0, 11, n_li) * 0.01, 2),
+        "l_tax": np.round(g.integers(0, 9, n_li) * 0.01, 2),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[g.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"])[g.integers(0, 2, n_li)]),
+        "l_shipdate": (ODATE_BASE + sdate_days * DAY_US)
+            .astype("datetime64[us]")}))
 
-# ---- events ----
-n_ev = int(1_000_000 * SF)
-g = rng("events")
-span_us = 30 * DAY_US  # [2024-01-01, 2024-01-31)
-ts = np.sort(g.integers(0, span_us, n_ev))
-write("events", pa.table({
-    "event_id": pa.array(range(n_ev), pa.int64()),
-    "ts": ts_us(ts),
-    "user_id": pa.array(
-        g.integers(0, max(int(15_000 * SF), 1), n_ev), pa.int64()),
-    "event_type": pa.array(np.array(
-        ["click", "error", "purchase", "signup",
-         "view"])[g.integers(0, 5, n_ev)]),
-    "value": np.round(g.exponential(50.0, n_ev), 2),
-    "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, n_ev)]}))
+    # ---- events ----
+    n_ev = int(1_000_000 * SF)
+    g = rng("events")
+    span_us = 30 * DAY_US  # [2024-01-01, 2024-01-31)
+    ts = np.sort(g.integers(0, span_us, n_ev))
+    write("events", pa.table({
+        "event_id": pa.array(range(n_ev), pa.int64()),
+        "ts": ts_us(ts),
+        "user_id": pa.array(
+            g.integers(0, max(int(15_000 * SF), 1), n_ev), pa.int64()),
+        "event_type": pa.array(np.array(
+            ["click", "error", "purchase", "signup",
+             "view"])[g.integers(0, 5, n_ev)]),
+        "value": np.round(g.exponential(50.0, n_ev), 2),
+        "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, n_ev)]}))
 
 # ---- documents ----
 n_doc = int(50_000 * SF)
@@ -235,14 +241,15 @@ write("documents", pa.table({
     "source": [f"src{i % 20}" for i in range(n_doc)],
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
-# ---- embeddings ----
-n_emb = {0.001: 500, 0.01: 500, 0.1: 2000}.get(SF, int(8000 * SF))
-g = rng("embeddings")
-v = g.standard_normal((n_emb, 64)).astype("float32")
-v /= np.linalg.norm(v, axis=1, keepdims=True)
-write("embeddings", pa.table({
-    "vec_id": pa.array(range(n_emb), pa.int64()),
-    "embedding": pa.array(list(v), pa.list_(pa.float32())),
-    "label": pa.array(g.integers(0, 10, n_emb), pa.int32())}))
+if not DOCS_ONLY:
+    # ---- embeddings ----
+    n_emb = {0.001: 500, 0.01: 500, 0.1: 2000}.get(SF, int(8000 * SF))
+    g = rng("embeddings")
+    v = g.standard_normal((n_emb, 64)).astype("float32")
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    write("embeddings", pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array(list(v), pa.list_(pa.float32())),
+        "label": pa.array(g.integers(0, 10, n_emb), pa.int32())}))
 
 print("done:", OUT)
