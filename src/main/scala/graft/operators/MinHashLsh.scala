@@ -161,18 +161,45 @@ object MinHashLsh {
     * banding in both forms).
     */
   private def bandedFromInstances(inst: DataFrame, numHashes: Int,
-      bands: Int, seed: Long, portable: Boolean = false): DataFrame = {
+      bands: Int, seed: Long, portable: Boolean = false): DataFrame =
+    bandRows(sigFromInstances(inst, numHashes, seed), numHashes, bands,
+      portable)
+
+  /** The (doc_id, sig) frame from an instance stream — the signature
+    * half of [[bandedFromInstances]], exposed separately so the
+    * capped pipelines can PIN signatures (one row per doc) instead of
+    * band rows (bands× that — at the 5M-doc ladder tier the band-row
+    * checkpoint was 160M rows and the scratch-disk wall; see
+    * [[bucketPairsFromSig]]).
+    */
+  private def sigFromInstances(inst: DataFrame, numHashes: Int,
+      seed: Long): DataFrame = {
     val P = MersennePrime
     val hm = pmod(col("h"), lit(P))
     val ps = perms(numHashes, seed)
     val mins = ps.zipWithIndex.map { case ((a, b), k) =>
       min(pmod(hm * lit(a) + lit(b), lit(P))).as(s"__s$k") }
-    val sig = inst.groupBy(col("doc_id"))
+    inst.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array(
         (0 until numHashes).map(k => col(s"__s$k")): _*).as("sig"))
-    bandRows(sig, numHashes, bands, portable)
   }
+
+  /** The (doc_id, sig) frame under the sigMaxDf dial: the per-doc
+    * kernel fold when off, the instance-stream min aggregate under a
+    * self census when on.
+    */
+  private def sigMaybeCut(sh: DataFrame, numHashes: Int, seed: Long,
+      sigMaxDf: Int): DataFrame =
+    if (sigMaxDf <= 0)
+      sh.select(col("doc_id"),
+        signatureFromHashes(col("sh"), numHashes, seed).as("sig"))
+    else
+      sigFromInstances(
+        sh.select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(bannedCensus(sh, sigMaxDf).select("h"), Seq("h"),
+            "left_anti"),
+        numHashes, seed)
 
   /** Ban-filtered banded index: drop `banned` (an `h`-column frame)
     * from the instance stream, then band via the min-aggregate path.
@@ -185,10 +212,11 @@ object MinHashLsh {
         .join(banned.select(col("h")), Seq("h"), "left_anti"),
       numHashes, bands, seed, portable)
 
-  /** Bucket self-join over a banded index: distinct (id1 < id2) pairs
-    * colliding in at least one band. merge hint: the banded table is
-    * bands× the corpus — never broadcast it (see Dedup.ngramJaccard);
-    * shuffle on (band,bucket) and let AQE split hot buckets.
+  /** Bucket self-join over a signature frame's banded index: distinct
+    * (id1 < id2) pairs colliding in at least one band. merge hint:
+    * the banded table is bands× the corpus — never broadcast it (see
+    * Dedup.ngramJaccard); shuffle on (band,bucket) and let AQE split
+    * hot buckets.
     *
     * `maxBucket > 0` drops buckets holding more than that many docs
     * BEFORE pair generation — the production-LSH "stop bucket" dial.
@@ -203,9 +231,10 @@ object MinHashLsh {
     * bands and a cap WILL drop them — dedup exactly first. 0 = off
     * (the gated queries' semantics).
     */
-  private def bucketJoin(banded: DataFrame, maxBucket: Int = 0)
-      : DataFrame =
-    bucketPairsRaw(banded, maxBucket).distinct()
+  private def bucketJoin(sig: DataFrame, numHashes: Int, bands: Int,
+      portable: Boolean, maxBucket: Int): DataFrame =
+    bucketPairsRaw(sig, numHashes, bands, portable, maxBucket)
+      .distinct()
 
   /** [[bucketJoin]] WITHOUT the pair dedup: one row per (pair, band
     * collision). The verify chain dedups these keyed by id1
@@ -215,19 +244,25 @@ object MinHashLsh {
     * Map-side pre-dedup loses nothing: a pair's duplicate rows come
     * from DIFFERENT bands, which live in different (band,bucket)
     * partitions, so a local combine never saw them together anyway.
+    *
+    * Takes the SIGNATURE frame, not band rows: the capped path must
+    * pin its input (the bucket census and the join side both consume
+    * it), and a signature checkpoint is one row per DOC where a
+    * band-row checkpoint is bands× that — at the 5M-doc open-vocab
+    * ladder tier the band-row pin was 160M rows and (together with
+    * the join's shuffle spill) the single-box scratch-disk wall
+    * (§5.2 r15). Band rows are a cheap projection of the pinned
+    * signatures, re-derived per consumer.
     */
-  private def bucketPairsRaw(banded: DataFrame, maxBucket: Int = 0)
-      : DataFrame = {
+  private def bucketPairsRaw(sig: DataFrame, numHashes: Int,
+      bands: Int, portable: Boolean, maxBucket: Int): DataFrame = {
     val side =
-      if (maxBucket <= 0) banded
+      if (maxBucket <= 0) bandRows(sig, numHashes, bands, portable)
       else {
-        // pin the banded index first: it feeds BOTH the size count
-        // and the semi join, and without the pin the signature kernel
-        // would run over the full corpus twice (exchange reuse across
-        // the two consumers is not guaranteed)
-        val pinned = banded.localCheckpoint()
-        pinned.join(
-          pinned.groupBy(col("band"), col("bucket"))
+        val sp = sig.localCheckpoint()
+        val b = bandRows(sp, numHashes, bands, portable)
+        b.join(
+          b.groupBy(col("band"), col("bucket"))
             .agg(count(lit(1)).as("__n"))
             .filter(col("__n") <= maxBucket)
             .select(col("band"), col("bucket")),
@@ -301,15 +336,6 @@ object MinHashLsh {
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > sigMaxDf)
 
-  /** Banded index of a pinned shingle-hash frame under the sigMaxDf
-    * dial: the kernel-fold path when off, the [[bandedCut]]
-    * instance-aggregate path under a self census when on.
-    */
-  private def bandedMaybeCut(sh: DataFrame, numHashes: Int, bands: Int,
-      seed: Long, sigMaxDf: Int, portable: Boolean = false): DataFrame =
-    if (sigMaxDf <= 0) bandedIndex(sh, numHashes, bands, seed, portable)
-    else bandedCut(sh, bannedCensus(sh, sigMaxDf), numHashes, bands,
-      seed, portable)
 
   /** LSH candidate pairs: documents whose signatures collide in at
     * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
@@ -322,8 +348,8 @@ object MinHashLsh {
       portableHash: Boolean = false): DataFrame = {
     val sh0 = hashedShingles(df, idCol, textCol, shingleN, portableHash)
     val sh = if (sigMaxDf > 0) sh0.localCheckpoint() else sh0
-    bucketJoin(bandedMaybeCut(sh, numHashes, bands, seed, sigMaxDf,
-      portableHash), maxBucket)
+    bucketJoin(sigMaybeCut(sh, numHashes, seed, sigMaxDf), numHashes,
+      bands, portableHash, maxBucket)
   }
 
   /** Candidates verified with exact Jaccard ≥ threshold — the full
@@ -367,8 +393,8 @@ object MinHashLsh {
     // SIGNATURE input — see [[signatureInput]]/[[bandedCut]]. Verify
     // below is untouched: it reads the full pinned `sh` sets.
     val cands = dedupKeyed(bucketPairsRaw(
-      bandedMaybeCut(sh, numHashes, b, seed, sigMaxDf, portableHash),
-      maxBucket))
+      sigMaybeCut(sh, numHashes, seed, sigMaxDf), numHashes, b,
+      portableHash, maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
     // arrays instead of array_intersect + array_union building hash
@@ -459,22 +485,32 @@ object MinHashLsh {
       threshold: Double, numHashes: Int, bands: Int, seed: Long,
       maxBucket: Int = 0, sigMaxDf: Int = 0,
       portable: Boolean = false): DataFrame = {
-    val (bandedB, bandedP) =
+    def instCut(sh: DataFrame, banned: DataFrame) =
+      sigFromInstances(
+        sh.select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(banned, Seq("h"), "left_anti"), numHashes, seed)
+    val (sigB, sigP) =
       if (sigMaxDf <= 0)
-        (bandedIndex(shB, numHashes, bands, seed, portable),
-          bandedIndex(shP, numHashes, bands, seed, portable))
+        (sigMaybeCut(shB, numHashes, seed, 0),
+          sigMaybeCut(shP, numHashes, seed, 0))
       else {
         val banned = bannedCensus(shB.unionByName(shP), sigMaxDf)
           .select("h")
           .localCheckpoint() // feeds both sides' anti joins once
-        (bandedCut(shB, banned, numHashes, bands, seed, portable),
-          bandedCut(shP, banned, numHashes, bands, seed, portable))
+        (instCut(shB, banned), instCut(shP, banned))
       }
     val (okB, okP) =
-      if (maxBucket <= 0) (bandedB, bandedP)
+      if (maxBucket <= 0)
+        (bandRows(sigB, numHashes, bands, portable),
+          bandRows(sigP, numHashes, bands, portable))
       else {
-        val pinB = bandedB.localCheckpoint()
-        val pinP = bandedP.localCheckpoint()
+        // pin the SIGNATURE frames (one row per doc), not the band
+        // rows (bands× that) — the 5M-doc-tier scratch-disk finding,
+        // see bucketPairsRaw
+        val pinB = bandRows(sigB.localCheckpoint(), numHashes, bands,
+          portable)
+        val pinP = bandRows(sigP.localCheckpoint(), numHashes, bands,
+          portable)
         val ok = pinB.unionByName(pinP)
           .groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("__n"))

@@ -20,6 +20,29 @@ object OvBench {
       .appName("graft-ovbench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def docs() = graft.sources.Tables.documents(spark, dir)
+    // Persisted-index scratch, keyed by the tier dir: the BUILD is a
+    // once-per-corpus cost (G18's contract), so the probe row prices
+    // the at-scale operation — dedup a batch against an EXISTING
+    // index — separately from index construction (r14 verdict #5:
+    // dedup_cross's in-query build dominated its decade ratio).
+    val idxRoot = "/root/repo/target/ovbench_idx_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def baseSide() = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      docs().filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    }
+    def probeSide() = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      docs().filter(pmod(col("doc_id"), lit(10)) === 0)
+    }
+    def buildIndex(): Long = {
+      val p = new org.apache.hadoop.fs.Path(idxRoot)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      graft.operators.NearDupIndex.build(baseSide(), "doc_id", "text",
+        idxRoot, threshold = 0.5, sigMaxDf = 1000)
+      graft.sources.AtomicLake.read(spark, s"$idxRoot/sh").count()
+    }
     val rows: Seq[(String, () => Long)] = Seq(
       "ov_dedup_exact" -> (() =>
         graft.operators.Dedup.exact(docs(), "text", "doc_id").count()),
@@ -41,18 +64,39 @@ object OvBench {
         graft.operators.MinHashLsh.nearDuplicatesSplit(docs(),
           "doc_id", "text", probeSide = pmod(col("doc_id"), lit(10)) === 0,
           threshold = 0.5, maxBucket = 1000, sigMaxDf = 1000).count()
-      }))
-    rows.filter { case (n, _) => only.isEmpty || only(n) }
-      .foreach { case (name, f) =>
+      }),
+      "ov_dedup_index_build" -> (() => buildIndex()),
+      "ov_dedup_index_probe" -> (() =>
+        graft.operators.NearDupIndex.pairsAgainstIndex(spark,
+          probeSide(), "doc_id", "text", idxRoot,
+          threshold = 0.5).count()))
+    val selected = rows.filter { case (n, _) => only.isEmpty || only(n) }
+    // probe-only invocations still need an index; build it untimed
+    if (selected.exists(_._1 == "ov_dedup_index_probe") &&
+        !selected.exists(_._1 == "ov_dedup_index_build") &&
+        !graft.operators.NearDupIndex.exists(idxRoot)) {
+      println(s"[prepare] building index at $idxRoot (untimed)")
+      buildIndex()
+    }
+    // SPARK_GRAFT_OVBENCH_COLD=1 skips the warm pass — the 5M-doc
+    // tier's rows run minutes each, and the cold pass is the
+    // comparable-to-Bench number anyway.
+    val coldOnly = sys.env.get("SPARK_GRAFT_OVBENCH_COLD").contains("1")
+    selected.foreach { case (name, f) =>
         // Bench's ov tier times ONE cold pass (no warmup); print both
         // the cold and a warm pass so either comparison is available.
         val t0 = System.nanoTime()
         val n = f()
         val cold = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        f()
-        val warm = (System.nanoTime() - t1) / 1e9
-        println(f"$name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$n")
+        if (coldOnly)
+          println(f"$name%-28s cold $cold%8.2f s  rows=$n")
+        else {
+          val t1 = System.nanoTime()
+          f()
+          val warm = (System.nanoTime() - t1) / 1e9
+          println(
+            f"$name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$n")
+        }
         System.gc()
       }
     spark.stop()

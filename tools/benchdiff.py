@@ -61,6 +61,46 @@ m = re.search(r"Spark bench machine state: floor ([\d.]+) s",
 if m:
     pin_floor = float(m.group(1))
 
+# ---- scaling-tier pins (r15, verdict #4) ----------------------------
+# The sf10 and ov tiers ran unpinned at ±30% session variance — the
+# exact way the sf0.1 tier drifted before r13 mechanized it. They pin
+# in BASELINE.md as single-numeric-column tables ("| name | sec |",
+# which the two-numeric main-pin regex above cannot match) under
+# "## sf10 tier pins" / "## ov tier pins". One timed pass per row and
+# no warmup means wider honest variance than the min-of-2 sf0.1 rows:
+# the gate is ratio 1.8 + 0.5 s slack, no floor arithmetic (every row
+# is multi-second).
+TIER_RATIO = float(opt("tier-ratio", "1.8"))
+TIER_SLACK = float(opt("tier-slack", "0.5"))
+tier_pins = {"sf10": {}, "ov": {}}
+cur_tier = None
+for line in open("BASELINE.md"):
+    if line.startswith("## sf10 tier pins"):
+        cur_tier = "sf10"
+    elif line.startswith("## ov tier pins"):
+        cur_tier = "ov"
+    elif line.startswith("## "):
+        cur_tier = None
+    m2 = re.match(r"\|\s*([a-z0-9_:]+)\s*\|\s*([\d.]+)\s*\|\s*$", line)
+    if cur_tier and m2 and m2.group(1) != "query":
+        tier_pins[cur_tier][m2.group(1)] = float(m2.group(2))
+
+tier_regressions, tier_notes = [], []
+for tier in ("sf10", "ov"):
+    tqueries = (bench.get(tier) or {}).get("queries", {})
+    pinned = tier_pins[tier]
+    for name, sec in sorted(tqueries.items()):
+        if sec < 0:
+            continue
+        if name not in pinned:
+            tier_notes.append(f"{tier}:{name} {sec:.2f}s (no pin)")
+            continue
+        if sec > TIER_RATIO * pinned[name] + TIER_SLACK:
+            tier_regressions.append((tier, name, sec, pinned[name]))
+    for name in sorted(set(pinned) - set(tqueries)):
+        if tqueries:
+            tier_notes.append(f"{tier}:{name} pinned but not benched")
+
 regressions, improved, nopin = [], [], []
 for name, sec in sorted(bqueries.items()):
     if sec < 0:
@@ -95,7 +135,18 @@ missing = sorted(set(pins) - set(bqueries))
 if missing and len(bqueries) > len(pins) / 2:
     print(f"\npinned but not benched ({len(missing)}): "
           + ", ".join(missing))
-print(f"\n{'FAIL' if regressions else 'ok'}: "
-      f"{len(regressions)} regression(s) over {RATIO}x gate "
-      f"({sum(1 for _ in bqueries)} benched, {len(pins)} pinned)")
-sys.exit(1 if regressions else 0)
+if tier_regressions:
+    print(f"\nTIER REGRESSIONS ({len(tier_regressions)}) over "
+          f"{TIER_RATIO}x + {TIER_SLACK}s:")
+    for t, n, s, p in tier_regressions:
+        print(f"  {t}:{n}: {s:.2f}s vs pin {p:.2f}s")
+if tier_notes:
+    print(f"\ntier notes: " + "; ".join(tier_notes))
+n_tier_pins = sum(len(v) for v in tier_pins.values())
+all_reg = regressions or tier_regressions
+print(f"\n{'FAIL' if all_reg else 'ok'}: "
+      f"{len(regressions)} regression(s) over {RATIO}x gate, "
+      f"{len(tier_regressions)} tier regression(s) "
+      f"({sum(1 for _ in bqueries)} benched, {len(pins)} pinned, "
+      f"{n_tier_pins} tier-pinned)")
+sys.exit(1 if all_reg else 0)
