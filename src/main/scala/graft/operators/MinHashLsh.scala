@@ -284,6 +284,43 @@ object MinHashLsh {
   private[operators] def dedupKeyed(rawPairs: DataFrame): DataFrame =
     rawPairs.repartition(col("id1")).dropDuplicates("id1", "id2")
 
+  /** THE exact-verify tail shared by the self-join, cross-corpus and
+    * persisted-index paths: candidates (id1, id2) against two pinned
+    * (doc_id, sh) frames → (id1, id2, jaccard >= threshold).
+    *
+    * Size prefilter first (r15, the 5M-doc ladder finding): jaccard =
+    * inter/(n1+n2-inter) <= min/max, so a pair whose smaller set is
+    * under threshold × the larger CANNOT qualify — the same
+    * cardinality filter [[graft.expressions.NativeKernels
+    * .idPairsFromPostings]] applies at pair emission (identical
+    * double arithmetic). The verify joins attach each doc's FULL
+    * shingle-hash array to every candidate row, so the pair stream's
+    * exchange payload is candidates × two arrays — at 5M docs / 77.7M
+    * candidates that was ~60 GB of shuffle+spill and the single-box
+    * scratch wall. The size joins carry ONE LONG per side; only
+    * size-compatible pairs ever ship arrays.
+    */
+  private[operators] def verifyPairs(cands: DataFrame, shLeft: DataFrame,
+      shRight: DataFrame, threshold: Double): DataFrame = {
+    val inter = graft.expressions.NativeKernels
+      .sortedIntersectCountCol(col("sh1"), col("sh2"))
+    cands
+      .join(shLeft.select(col("doc_id").as("id1"),
+        size(col("sh")).as("n1")), "id1")
+      .join(shRight.select(col("doc_id").as("id2"),
+        size(col("sh")).as("n2")), "id2")
+      .filter(least(col("n1"), col("n2")).cast("double") >=
+        lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
+      .join(shLeft.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(shRight.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .select(col("id1"), col("id2"),
+        (inter.cast("double") /
+          (col("n1") + col("n2") - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Signature-input frame with head shingles removed (r14, measured
     * on the two-decade open-vocab ladder): on Zipfian text the head
     * shingles' hashes are the minimum for many permutations at once,
@@ -400,17 +437,9 @@ object MinHashLsh {
     // arrays instead of array_intersect + array_union building hash
     // sets and result arrays per pair (same jaccard integers — the
     // 8-byte shingle hashes stand in for the strings exactly as in
-    // Dedup.ngramJaccard, collisions ~n²/2^65).
-    val inter = graft.expressions.NativeKernels
-      .sortedIntersectCountCol(col("sh1"), col("sh2"))
-    cands
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-      .select(col("id1"), col("id2"),
-        (inter.cast("double") /
-          (size(col("sh1")) + size(col("sh2")) - inter).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // Dedup.ngramJaccard, collisions ~n²/2^65). Size-incompatible
+    // pairs are cut before any array ships — see [[verifyPairs]].
+    verifyPairs(cands, sh, sh, threshold)
   }
 
   /** Cross-corpus near-duplicate pairs: every (base doc, probe doc)
@@ -526,16 +555,7 @@ object MinHashLsh {
           col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
-    val inter = graft.expressions.NativeKernels
-      .sortedIntersectCountCol(col("sh1"), col("sh2"))
-    cands
-      .join(shB.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(shP.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-      .select(col("id1"), col("id2"),
-        (inter.cast("double") /
-          (size(col("sh1")) + size(col("sh2")) - inter).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(cands, shB, shP, threshold)
   }
 
   /** Memoized near-dup pair table per (session, corpusTag, params) —

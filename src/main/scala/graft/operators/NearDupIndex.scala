@@ -246,18 +246,10 @@ object NearDupIndex {
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
-    val inter = graft.expressions.NativeKernels
-      .sortedIntersectCountCol(col("sh1"), col("sh2"))
-    cands
-      .join(shIdx.select(col("doc_id").as("id1"), col("sh").as("sh1")),
-        "id1")
-      .join(shB.select(col("doc_id").as("id2"), col("sh").as("sh2")),
-        "id2")
-      .select(col("id1"), col("id2"),
-        (inter.cast("double") /
-          (size(col("sh1")) + size(col("sh2")) - inter).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // shared verify tail (size prefilter + two-pointer kernel) — one
+    // implementation with the in-memory operator, so the index path
+    // can never drift
+    MinHashLsh.verifyPairs(cands, shIdx, shB, threshold)
   }
 
   /** Make a batch part of the corpus: append its rows to both index

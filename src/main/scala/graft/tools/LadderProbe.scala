@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
 object LadderProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata/sf100ov")
+    val sigMaxDf = args.lift(1).map(_.toInt).getOrElse(1000)
+    val skipJaccard = args.contains("--skip-jaccard")
     val spark = graft.GraftSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("ladder-probe").getOrCreate()
@@ -24,7 +26,7 @@ object LadderProbe {
     // jaccard workload census: Σ C(min(df,100),2) — the capped
     // posting-pair emissions dedup_jaccard(maxDf=100) actually pays,
     // for attributing decade wall ratios to workload vs plan
-    t("jaccard capped workload") {
+    if (!skipJaccard) t("jaccard capped workload") {
       val df100 = docs.select(explode(graft.operators.Dedup
           .shingleHashes(col("text"), 3)).as("h"))
         .groupBy("h").agg(least(count(lit(1)), lit(100L)).as("d"))
@@ -40,8 +42,8 @@ object LadderProbe {
           .shingleHashes(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0).localCheckpoint()
     println(s"docs=${sh.count()}")
-    val banned = t("census df>1000") {
-      val b = graft.operators.MinHashLsh.bannedCensus(sh, 1000)
+    val banned = t(s"census df>$sigMaxDf") {
+      val b = graft.operators.MinHashLsh.bannedCensus(sh, sigMaxDf)
         .select("h").localCheckpoint()
       println(s"banned=${b.count()}")
       b
