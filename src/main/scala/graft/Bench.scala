@@ -281,7 +281,8 @@ object Bench {
             import org.apache.spark.sql.functions.{col, lit, pmod}
             graft.operators.NearDupIndex.pairsAgainstIndex(spark,
               docs().filter(pmod(col("doc_id"), lit(10)) === 0),
-              "doc_id", "text", ovIdxRoot, threshold = 0.5).count()
+              "doc_id", "text", ovIdxRoot, threshold = 0.5,
+              maxBucket = 1000).count()
           }))
         rows.map { case (name, f) =>
           try {

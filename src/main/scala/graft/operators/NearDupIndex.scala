@@ -53,8 +53,18 @@ object NearDupIndex {
     * convenience (the stale-IVF-centroids posture: geometry is
     * build-time, rebuild to retrain). 0 = no ban table at all.
     */
+  /** `portableHash` (r15): hash shingles and band buckets with the
+    * engine-portable polynomial pair ([[Dedup.shinglePortableHashes]]
+    * + the polynomial bucket fold) instead of xxhash64 — the variant
+    * the production-configuration [O] gates replay in DuckDB term by
+    * term. GEOMETRY, like the seed: every persisted hash array and
+    * bucket value is a function of it, so it freezes in the params
+    * (an index probed under the other hash family would silently
+    * produce zero candidates). Pre-r15 params JSON parses as false —
+    * exactly what those indexes were built with.
+    */
   final case class Params(shingleN: Int, numHashes: Int, bands: Int,
-      seed: Long, sigMaxDf: Int = 0)
+      seed: Long, sigMaxDf: Int = 0, portableHash: Boolean = false)
 
   private def shRoot(root: String) = s"$root/sh"
   private def bandRoot(root: String) = s"$root/bands"
@@ -62,17 +72,19 @@ object NearDupIndex {
   private def paramsRoot(root: String) = s"$root/params"
 
   private def paramsJson(p: Params): String =
-    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed},"sigMaxDf":${p.sigMaxDf}}"""
+    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed},"sigMaxDf":${p.sigMaxDf},"portableHash":${if (p.portableHash) 1 else 0}}"""
 
   private def parseParams(s: String): Params = {
     def field(k: String): Long =
       s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
-    // sigMaxDf absent in pre-r14 params JSON → 0 (exact banding),
-    // which is precisely what those indexes were built with
+    // sigMaxDf / portableHash absent in pre-r14/r15 params JSON → 0 /
+    // false (exact banding, xx hashing) — precisely what those
+    // indexes were built with
     def opt(k: String): Long =
       if (s.contains(s""""$k":""")) field(k) else 0L
     Params(field("shingleN").toInt, field("numHashes").toInt,
-      field("bands").toInt, field("seed"), opt("sigMaxDf").toInt)
+      field("bands").toInt, field("seed"), opt("sigMaxDf").toInt,
+      opt("portableHash") != 0L)
   }
 
   /** Commit `p` as the index's immutable params (version 1 of the
@@ -109,12 +121,24 @@ object NearDupIndex {
     * one corpus/batch — the two row shapes the lake tables hold.
     * `banned` is the frozen ban-set frame when p.sigMaxDf > 0.
     */
+  /** The (doc_id, sorted shingle hashes) projection under the index's
+    * pinned hash family — ONE implementation for build, bootstrap
+    * append and probe, so a row can never be hashed under a family
+    * the params don't pin.
+    */
+  private def shFrame(df: DataFrame, idCol: String, textCol: String,
+      p: Params): DataFrame = {
+    val hashes =
+      if (p.portableHash)
+        Dedup.shinglePortableHashes(col(textCol), p.shingleN)
+      else Dedup.shingleHashes(col(textCol), p.shingleN)
+    df.select(col(idCol).as("doc_id"), sort_array(hashes).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
   private def frames(df: DataFrame, idCol: String, textCol: String,
       p: Params, banned: Option[DataFrame]): (DataFrame, DataFrame) = {
-    val sh = df.select(col(idCol).as("doc_id"),
-        sort_array(Dedup.shingleHashes(col(textCol), p.shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+    val sh = shFrame(df, idCol, textCol, p).localCheckpoint()
     (sh, bandedFromSh(sh, p, banned))
   }
 
@@ -131,9 +155,11 @@ object NearDupIndex {
   private def bandedFromSh(sh: DataFrame, p: Params,
       banned: Option[DataFrame]): DataFrame = banned match {
     case None =>
-      MinHashLsh.bandedIndex(sh, p.numHashes, p.bands, p.seed)
+      MinHashLsh.bandedIndex(sh, p.numHashes, p.bands, p.seed,
+        p.portableHash)
     case Some(ban) => // instance-aggregate path, same bucket layout
-      MinHashLsh.bandedCut(sh, ban, p.numHashes, p.bands, p.seed)
+      MinHashLsh.bandedCut(sh, ban, p.numHashes, p.bands, p.seed,
+        p.portableHash)
   }
 
   /** The frozen ban set for an index, None when p.sigMaxDf == 0. */
@@ -201,14 +227,13 @@ object NearDupIndex {
   def build(corpus: DataFrame, idCol: String, textCol: String,
       root: String, threshold: Double = 0.7, shingleN: Int = 3,
       numHashes: Int = 64, seed: Long = 42L, sigMaxDf: Int = 0,
+      portableHash: Boolean = false,
       store: CommitStore = HardlinkCommitStore): Params = {
     val p = Params(shingleN, numHashes,
-      MinHashLsh.autoBands(numHashes, threshold), seed, sigMaxDf)
+      MinHashLsh.autoBands(numHashes, threshold), seed, sigMaxDf,
+      portableHash)
     claimParams(root, p, store)
-    val sh = corpus.select(col(idCol).as("doc_id"),
-        sort_array(Dedup.shingleHashes(col(textCol), p.shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+    val sh = shFrame(corpus, idCol, textCol, p).localCheckpoint()
     // commit order: params → banned → sh → bands. The ban set is
     // geometry (every band row is a function of it), so it lands
     // before any row hashed under it; a crash after any prefix leaves
@@ -233,12 +258,37 @@ object NearDupIndex {
     */
   def pairsAgainstIndex(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, root: String, threshold: Double,
+      maxBucket: Int = 0,
       store: CommitStore = HardlinkCommitStore): DataFrame = {
     val p = readParams(root, store)
-    val (shB, bandedB) = frames(batch, idCol, textCol, p,
+    val (shB, bandedB0) = frames(batch, idCol, textCol, p,
       readBanned(spark, root, p, store))
-    val bandedIdx = AtomicLake.read(spark, bandRoot(root), store)
+    val bandedIdx0 = AtomicLake.read(spark, bandRoot(root), store)
     val shIdx = AtomicLake.read(spark, shRoot(root), store)
+    // maxBucket (r15): the cross-corpus stop-bucket dial
+    // (MinHashLsh.crossPairs semantics — COMBINED membership across
+    // index and batch), as a PROBE-TIME argument, not index geometry:
+    // the cap only filters which candidates this probe emits, it
+    // never touches a persisted row, so unlike seed/hash/sigMaxDf it
+    // needs no freezing. Census cost is one column-pruned
+    // (band, bucket) count over the band lake table per probe —
+    // key-only map-side-combined agg, no hash arrays move.
+    val (bandedIdx, bandedB) =
+      if (maxBucket <= 0) (bandedIdx0, bandedB0)
+      else {
+        // the batch band rows feed the census AND the join — pin them
+        // (batch-sized; the index side is already a materialized table)
+        val bB = bandedB0.localCheckpoint()
+        val ok = bandedIdx0.select(col("band"), col("bucket"))
+          .unionByName(bB.select(col("band"), col("bucket")))
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select(col("band"), col("bucket"))
+          .localCheckpoint() // feeds both semi joins once
+        (bandedIdx0.join(ok, Seq("band", "bucket"), "left_semi"),
+          bB.join(ok, Seq("band", "bucket"), "left_semi"))
+      }
     // dedup keyed by id1 so its exchange IS the first verify join's
     // partitioning (see MinHashLsh.dedupKeyed)
     val cands = MinHashLsh.dedupKeyed(bandedIdx.as("a")
@@ -286,11 +336,7 @@ object NearDupIndex {
     if (AtomicLake.currentVersion(shRoot(root), store).isEmpty) {
       // the batch IS the initial corpus: re-freeze the ban set from
       // it (no committed band row was hashed under any other census)
-      val sh0 = batch.select(col(idCol).as("doc_id"),
-          sort_array(Dedup.shingleHashes(col(textCol), p.shingleN))
-            .as("sh"))
-        .filter(size(col("sh")) > 0)
-        .localCheckpoint()
+      val sh0 = shFrame(batch, idCol, textCol, p).localCheckpoint()
       val banned0 =
         if (p.sigMaxDf <= 0) None
         else {

@@ -387,6 +387,33 @@ object TextQueries {
           col("jaccard"))
     },
 
+    // G18 production configuration gate (r15): the PERSISTED-index
+    // path under the full capped config — portable hash family frozen
+    // in the index params, sigMaxDf ban set frozen at BUILD time from
+    // the base corpus ONLY (the G18 geometry contract; the symmetric
+    // union census above is the in-memory cross form's), probe capped
+    // with the combined-membership stop-bucket dial. The whole chain
+    // runs through the lake tables (committed sh/band/ban reads) and
+    // DuckDB replays it term for term, so the 100-TB repeated
+    // operation — dedup a batch against an EXISTING index — is
+    // hash-gated in exactly the shape it ships.
+    "dedup_index_cross_capped" -> { (s, dir) =>
+      import graft.operators.NearDupIndex
+      val scratch = "/root/repo/target/lake_scratch/neardup_capped_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+      NearDupIndex.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", scratch, threshold = 0.5, sigMaxDf = 5,
+        portableHash = true)
+      NearDupIndex.pairsAgainstIndex(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", scratch, threshold = 0.5, maxBucket = 3)
+        .select(col("id1").as("base_id"), col("id2").as("probe_id"),
+          col("jaccard"))
+    },
+
     // E3 production configuration gate: word-3-gram features + the
     // hot-bucket cap (the r14 Zipf fixes), portable fingerprint so
     // the n-gram build, votes, 15-bit chunk buckets, cap census and
@@ -432,8 +459,13 @@ object TextQueries {
     * signature → 2-row band buckets (the polynomial slice fold) →
     * maxBucket cut. Every step integer arithmetic; `bb` is the
     * surviving banded index, `sh`/`card` the full verify sets.
+    * `censusWhere` scopes the df census (the persisted-index gate
+    * freezes its ban set from the BUILD corpus only — G18's
+    * frozen-geometry contract — where the symmetric cross form
+    * censuses the union).
     */
-  private def cappedChainSql(sigMaxDf: Int, maxBucket: Int): String =
+  private def cappedChainSql(sigMaxDf: Int, maxBucket: Int,
+      censusWhere: String = ""): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |win AS (
        |  SELECT doc_id, w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS s
@@ -443,7 +475,7 @@ object TextQueries {
        |  ${portableHash("s")} AS h
        |  FROM win),
        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       |banned AS (SELECT h FROM sh GROUP BY h HAVING count(*) > $sigMaxDf),
+       |banned AS (SELECT h FROM sh $censusWhere GROUP BY h HAVING count(*) > $sigMaxDf),
        |inst AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM banned)),
        |perms AS (SELECT CAST(k AS INT) AS k, CAST(a AS BIGINT) AS a,
        |  CAST(b AS BIGINT) AS b FROM (VALUES ${permsValues(64, 42L)}) t(k, a, b)),
@@ -1055,6 +1087,27 @@ object TextQueries {
            |WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) >= 0.5""".stripMargin),
     "dedup_cross_capped" ->
       (cappedChainSql(sigMaxDf = 5, maxBucket = 3) +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS probe_id
+           |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+           |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+           |inter AS (
+           |  SELECT c.base_id, c.probe_id, count(*) AS inter
+           |  FROM cand c JOIN sh x ON x.doc_id = c.base_id
+           |              JOIN sh y ON y.doc_id = c.probe_id AND y.h = x.h
+           |  GROUP BY 1, 2)
+           |SELECT i.base_id, i.probe_id,
+           |  CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) AS jaccard
+           |FROM inter i JOIN card ca ON i.base_id = ca.doc_id
+           |             JOIN card cb ON i.probe_id = cb.doc_id
+           |WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) >= 0.5""".stripMargin),
+    // G18 persisted-index production config: same replay with the ban
+    // census scoped to the BUILD corpus (base side) — the frozen-ban
+    // G18 geometry — and the combined-membership bucket cap.
+    "dedup_index_cross_capped" ->
+      (cappedChainSql(sigMaxDf = 5, maxBucket = 3,
+        censusWhere = "WHERE doc_id % 10 <> 0") +
         s""",
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS probe_id

@@ -69,7 +69,7 @@ object OvBench {
       "ov_dedup_index_probe" -> (() =>
         graft.operators.NearDupIndex.pairsAgainstIndex(spark,
           probeSide(), "doc_id", "text", idxRoot,
-          threshold = 0.5).count()))
+          threshold = 0.5, maxBucket = 1000).count()))
     val selected = rows.filter { case (n, _) => only.isEmpty || only(n) }
     // probe-only invocations still need an index; build it untimed
     if (selected.exists(_._1 == "ov_dedup_index_probe") &&

@@ -135,6 +135,16 @@ class NearDupSpec extends SparkSpec {
       MinHashLsh.nearDuplicates(docs, "doc_id", "text",
         threshold = 0.5, maxBucket = 3, sigMaxDf = 5,
         portableHash = true).count() should be > 0L
+      // dedup_index_cross_capped freezes its ban set from the BUILD
+      // corpus only (doc_id % 10 <> 0): that census must also be
+      // non-vacuous, and banding the whole corpus under it must still
+      // leave >= 1 oversized bucket for the maxBucket=3 probe cap
+      val shBase = sh.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val bannedBase = MinHashLsh.bannedCensus(shBase, 5).select("h")
+      bannedBase.count() should be > 0L
+      MinHashLsh.bandedCut(sh, bannedBase, 64, 32, 42L)
+        .groupBy("band", "bucket").count().filter($"count" > 3)
+        .count() should be > 0L
       // dedup_simhash_ngram's maxBucket=2: >= 1 chunk bucket exceeds it
       val fp = docs.select($"doc_id",
         graft.expressions.NativeKernels.simHashPortable60Col(
@@ -340,6 +350,93 @@ class NearDupSpec extends SparkSpec {
         s"$legacyRoot/params", 1L,
         """{"shingleN":3,"numHashes":64,"bands":32,"seed":42}""") shouldBe true
       NearDupIndex.readParams(legacyRoot).sigMaxDf shouldBe 0
+      // ... and as portableHash=false (no key pre-r15)
+      NearDupIndex.readParams(legacyRoot).portableHash shouldBe false
+    }
+    it("index portableHash is frozen geometry and the lake path " +
+        "equals the in-memory cross form pair for pair") {
+      import graft.operators.NearDupIndex
+      val rnd = new scala.util.Random(23L)
+      val mk = (i: Long) => i ->
+        (0 until 25).map(_ => s"t${rnd.nextInt(3000)}").mkString(" ")
+      val base = (0L until 120L).map(mk).toDF("doc_id", "text")
+      // plant one near-dup of a base doc + unrelated fillers
+      val nearDup = base.filter($"doc_id" === 7L)
+        .select("text").as[String].head() + " tail tail"
+      val probe = ((200L until 240L).map(mk) :+ (300L -> nearDup))
+        .toDF("doc_id", "text")
+      val root =
+        "/root/repo/target/test-scratch/neardup_index_portable"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val p = NearDupIndex.build(base, "doc_id", "text", root,
+        threshold = 0.5, portableHash = true)
+      p.portableHash shouldBe true
+      NearDupIndex.readParams(root) shouldBe p
+      // with no census in play (sigMaxDf=0) the lake path must equal
+      // the in-memory portable cross form EXACTLY — same hash family,
+      // same banding, same verify
+      val viaIndex = NearDupIndex.pairsAgainstIndex(spark, probe,
+          "doc_id", "text", root, threshold = 0.5)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val inMem = MinHashLsh.nearDuplicatesAgainst(base, probe,
+          "doc_id", "text", threshold = 0.5, bands = p.bands,
+          portableHash = true)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      viaIndex shouldBe inMem
+      viaIndex.map(t => (t._1, t._2)) should contain((7L, 300L))
+      // the hash family is pinned: rebuilding the same corpus under
+      // the other family is refused loudly (every persisted row is a
+      // function of it)
+      val e = intercept[IllegalArgumentException] {
+        NearDupIndex.build(base, "doc_id", "text", root,
+          threshold = 0.5)
+      }
+      e.getMessage should include("pinned")
+    }
+    it("probe maxBucket caps COMBINED index+batch bucket membership: " +
+        "a wall-to-wall hot cluster drops, a discriminative pair " +
+        "survives") {
+      import graft.operators.NearDupIndex
+      val rnd = new scala.util.Random(29L)
+      val spamText = (0 until 30).map(_ => "spam ham eggs").mkString(" ")
+      val mk = (i: Long) => i ->
+        (0 until 25).map(_ => s"t${rnd.nextInt(3000)}").mkString(" ")
+      // 10 exact copies in the corpus: every band row of theirs is
+      // identical, so each of their (band, bucket) values holds >= 10
+      // members — the degenerate-cluster shape maxBucket exists for
+      val base = ((0L until 100L).map(mk) ++
+        (100L until 110L).map(i => i -> spamText)).toDF("doc_id", "text")
+      val nearDup = base.filter($"doc_id" === 3L)
+        .select("text").as[String].head() + " tail"
+      val probe = Seq(500L -> spamText, 501L -> nearDup)
+        .toDF("doc_id", "text")
+      val root =
+        "/root/repo/target/test-scratch/neardup_index_maxbucket"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      NearDupIndex.build(base, "doc_id", "text", root, threshold = 0.5)
+      def probePairs(cap: Int) =
+        NearDupIndex.pairsAgainstIndex(spark, probe, "doc_id", "text",
+            root, threshold = 0.5, maxBucket = cap)
+          .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val uncapped = probePairs(0)
+      // uncapped: the spam probe pairs with all 10 spam corpus docs
+      uncapped.count(_._2 == 500L) shouldBe 10
+      uncapped should contain((3L, 501L))
+      // capped at 5: the spam cluster's combined membership is 11 in
+      // EVERY band it occupies, so all its buckets drop and the probe
+      // certifies nothing about it — while the discriminative planted
+      // pair (bucket size 2) is untouched. This is the documented
+      // recall contract: dedup exact duplicates FIRST (the cap is a
+      // stop-bucket guard, not a dup finder).
+      val capped = probePairs(5)
+      capped.count(_._2 == 500L) shouldBe 0
+      capped should contain((3L, 501L))
     }
     it("a fully-banned doc is not a band-table orphan: repair stays " +
         "0, commits nothing, and versionPair holds (r15 ADVICE)") {
