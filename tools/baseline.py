@@ -303,9 +303,23 @@ def main():
     # after an oracle or data change.
     prev_spark = {}
     prev_floor = None
+    prev_tier = {"sf10": {}, "ov": {}}
     if os.environ.get("BASELINE_MERGE", "1") != "0" and os.path.exists(OUT):
         import re
         prev_txt = open(OUT).read()
+        # previous scaling-tier pins (same state machine as benchdiff)
+        cur_tier = None
+        for line in prev_txt.splitlines():
+            if line.startswith("## sf10 tier pins"):
+                cur_tier = "sf10"
+            elif line.startswith("## ov tier pins"):
+                cur_tier = "ov"
+            elif line.startswith("## "):
+                cur_tier = None
+            m2 = re.match(r"\|\s*([a-z0-9_:]+)\s*\|\s*([\d.]+)\s*\|\s*$",
+                          line)
+            if cur_tier and m2 and m2.group(1) != "query":
+                prev_tier[cur_tier][m2.group(1)] = float(m2.group(2))
         for m in re.finditer(
                 r"\| (\w+) \| ([\d.]+) \| ([\d.]+) \| ", prev_txt):
             name, prev, prevs = (m.group(1), float(m.group(2)),
@@ -468,6 +482,29 @@ pin was a warm-memo minimum). Min-merge may later reclaim luckier
 sessions; a benchdiff flag on these rows should be read against this
 note first.
 
+Late-r14 session adjudication: a fresh full bench (after the SimHash/
+unitVec kernel work — neither touches these rows) flagged 8 rows at
+the 1.5× net-of-floor gate (dedup_jaccard 3.11, dedup_minhash 1.78,
+mm_audio_twin_recall 1.68, sess_gap_sessions 1.46, mm_video_dims 1.44,
+dedup_semantic 0.87, lake_cluster_scan 0.70, q1_agg 0.66 — q1_agg at
+3.7× pin is a plain 6-row groupBy, the tell for a mid-run contention
+burst). Quiet SPARK_GRAFT_ONLY re-measure of exactly those 8 cleared
+every row (1.18 / 1.33 / 1.19 / 0.43 / 0.62 / 0.72 / 0.67 / 0.23
+against that run's own 0.35 s floor — the session floor itself drifted
+0.185 → 0.23-0.35). No slow-side re-pins taken: the pins stay the
+min-merged quiet-machine numbers; grade flags against this note. One
+min-merge reclaim: bpe_tokenize re-pinned 0.423 → 0.216 after two
+consecutive quiet in-suite runs (0.222, 0.216) — the r14 prose above
+predicted exactly this. That session's closing full run came back
+51.57 s / benchdiff 0 regressions at a 0.202 s floor.
+
+r15 session note: the four production-config gates
+(dedup_minhash_capped, dedup_cross_capped, dedup_index_cross_capped,
+dedup_simhash_ngram) joined the table this round — their first pins
+are min-of-2 quiet full runs; the main-tier reclaims
+(pipe_model_curation 1.323 → ~0.44, dedup_cross 0.956 → ~0.88) are
+the r15 perf work landing, not drift.
+
 | query | duckdb_sec | spark_sec | rows |
 |---|---|---|---|
 """)
@@ -498,16 +535,27 @@ no single-process analogue.
 
 `dedup_jaccard [banded]` is not LSH but the capped-posting shape graft
 ships (hashed 8-byte shingle keys, df-capped postings, cardinality
-filter before pair counting). Measured finding, recorded honestly:
-DuckDB runs this same algorithm in ~0.15 s because at sf0.1 the whole
-posting set fits one process with zero exchange serialization; the
-Spark gap (~1.1 s net of floor) is per-row shuffle constants on two
-~1M-row exchanges, not plan shape — round-5/6/7 negative results on
-every alternative agg shape are recorded in Dedup.scala, and the df
-cap (round 10) removes the one genuine at-scale hazard, the
-quadratic posting cliff, while a single skewed key can no longer OOM
-an executor (BoundedCollectLong stops buffering at the cap). At the
-design point the exchanges are the same size per partition while the
+filter before pair counting). r15 closed most of the r14 gap (1.40 →
+~0.96 s raw): the cumulative stage profile (PerfProbe, min-of-3,
+sf0.1) read scan+explode 0.35 / +postings collect 0.55 / +pair kernel
+0.63 / +pair agg 1.46 — the pair-count aggregation was 60% of the
+query, because AQE's bytes-based coalescing collapsed the ~15 MB pair
+exchange onto ONE task that then hash-aggregated ~850k distinct pairs
+single-threaded (the same CPU-vs-bytes mispricing the r13 sf1 ladder
+found on the postings exchange). Fix: pin the pair agg's parallelism
+with an explicit repartition(pk) and key the agg (pk, nc) count-only
+(nc is a function of pk; the `first(nc)` buffer was pure state) —
+isolated A/B 1.50 → 0.90 s. The REMAINING ~0.55 s net-of-floor vs
+DuckDB's 0.148 s (~3.7×) is itemized per stage above: ~0.2 s postings
+exchange + ObjectHashAggregate collect, ~0.1 s pair-kernel explode,
+~0.16 s pinned pair agg, ~0.1 s verify/project — per-row exchange and
+aggregate-buffer constants a single-process vectorized engine does
+not pay, with no single stage left holding a mispriced plan. Recorded
+as the definitive breakdown per the r14 verdict; the df cap (round
+10) removes the one genuine at-scale hazard (the quadratic posting
+cliff), and a single skewed key cannot OOM an executor
+(BoundedCollectLong stops buffering at the cap). At the design point
+the exchanges are the same size per partition while the
 single-process baseline cannot run at all.
 
 `pipe_model_curation [banded]` prices the composed model pipeline
@@ -522,6 +570,30 @@ at sf0.1 they select the same ~73% survivor fraction, so the priced
 dedup stage sees comparable input. Survivor COUNTS differ slightly
 from the gated row (the bench-side model is sf0.1's own fit) — this
 row prices work, the hash gate proves correctness.
+
+r15 closed this row (1.37 → ~0.61 s raw, now UNDER its 0.421 s banded
+baseline net of floor): the r14 audit blamed the dedup exchanges, but
+the stage profile measured them at 0.22 s — the real cost was the
+scoring scan evaluated MULTIPLE times per row, from two compounding
+plan effects: (1) the marker-counts kernel ran once per Project
+(codegen subexpression elimination is per-node and CollapseProject
+keeps expensive expressions in separate Projects — the
+TextFns.markerCounts/`FromCounts` split now materializes ONE counts
+column all consumers read), and (2) PushDownPredicates substituted
+the full scoring chains into the pushed quality/lang filters, so each
+chain ran in the filter AND the projection (measured 0.95 s filtered
+vs 0.32 s with the localCheckpoint moved BEFORE the gates). The
+checkpoint-the-scored-corpus shape is also the production one: the
+score table is the materialized curation artifact downstream gates
+filter.
+
+The four `*_capped` / `_ngram` production-config gates (r15) need no
+re-tiered row at all: their ORACLES already replay the banded/capped
+chain itself (census → ban → signatures → banding → cap → bucket join
+→ verify), so their main-table duckdb_sec IS the like-for-like banded
+cost. `dedup_index_cross_capped`'s Spark side additionally pays the
+persisted-index lake protocol (build + committed sh/band/ban reads
+in-query), the same asymmetry class as `dedup_index_cross`.
 
 `pipe_crawl_corpus` has no like-for-like row: its Spark side parses
 real WARC bytes (framing, HTTP split, gzip inflate), strips HTML,
@@ -541,6 +613,39 @@ canon-dedup, band join) are priced like-for-like by the
                 ex = f"{best[name]:.3f}" if name in best else "—"
                 f.write(f"| {name} [banded] | {banded[name]:.3f} | {ex} "
                         f"| {sp} | {banded_counts[name]} |\n")
+        # scaling-tier pins (r15, verdict #4): the sf10 and ov tiers
+        # floated at ±30% session variance with no regression gate —
+        # exactly how the sf0.1 tier drifted before r13 mechanized it.
+        # Single-numeric-column tables (which the two-numeric main-pin
+        # regex cannot match) under headers benchdiff keys on; one cold
+        # pass per row (no warmup), so benchdiff gates them at ratio
+        # 1.8 + 0.5 s slack. Min-merged across sessions like every
+        # other pin; data regeneration invalidates them (BASELINE_MERGE=0
+        # and re-pin).
+        tier_prose = {
+            "sf10": "60M-row closed-vocab tier (tools/gen_sf.py 10; the"
+                    " 12 heaviest non-dedup rows — the dedup family's"
+                    " closed-vocab Σdf² makes it infeasible for ANY"
+                    " engine there, its at-scale story is the ov tier"
+                    " and SURVEY §5.2):",
+            "ov": "50k-doc open-vocab Zipf tier (tools/gen_sf.py 1"
+                  " --open-vocab; production capped dials — the"
+                  " 100-TB-shaped dedup workload; ov_dedup_index_probe"
+                  " prices the repeated probe-an-existing-index"
+                  " operation, its build is untimed fixture cost):",
+        }
+        for tier in ("sf10", "ov"):
+            tq = {k: v
+                  for k, v in (bench_meta.get(tier) or {})
+                  .get("queries", {}).items() if v >= 0}
+            merged = dict(prev_tier[tier])
+            for k, v in tq.items():
+                merged[k] = min(merged.get(k, v), v)
+            if merged:
+                f.write(f"\n## {tier} tier pins\n\n{tier_prose[tier]}\n\n"
+                        "| query | sec |\n|---|---|\n")
+                for k in sorted(merged):
+                    f.write(f"| {k} | {merged[k]:.2f} |\n")
     print(f"wrote {OUT}: duckdb {total:.2f}s spark {spark_total:.2f}s "
           f"banded={ {k: round(v, 3) for k, v in banded.items()} }")
 
