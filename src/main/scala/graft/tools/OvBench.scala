@@ -51,10 +51,16 @@ object OvBench {
           n = 3, threshold = 0.5, maxDf = 100).count()),
       // renamed from ov_dedup_minhash_cap with the sigMaxDf=1000 dial
       // (r15 ADVICE — see Bench.scala)
+      // SPARK_GRAFT_OV_SIGDF overrides the row's sigMaxDf dial for
+      // dial-scaling experiments (§5.2 third decade: candidates at a
+      // FIXED absolute cut grow ~15×/decade on Zipf(1.3), so the
+      // production dial tightens with corpus size); the bench-pinned
+      // row stays 1000.
       "ov_dedup_minhash_sigdf" -> (() =>
         graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
           "text", threshold = 0.5, maxBucket = 1000,
-          sigMaxDf = 1000).count()),
+          sigMaxDf = sys.env.getOrElse("SPARK_GRAFT_OV_SIGDF", "1000")
+            .toInt).count()),
       "ov_dedup_simhash_ngram" -> (() =>
         graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
           "text", maxDist = 3, chunks = 4, nGram = 3,
