@@ -162,6 +162,19 @@ object NearDupIndex {
         p.portableHash)
   }
 
+  /** Probe batches whose band-row count (docs × bands) is at or
+    * under this broadcast in [[pairsAgainstIndex]] (the ∝-batch
+    * probe shape; ~100 MB of (doc, band, bucket) longs at the
+    * default); larger batches still broadcast when the index is ≥ 8×
+    * the batch (known O(manifest) from the band table's zone-map row
+    * counts — no task runs) up to [[broadcastRelativeCeiling]]
+    * (~400 MB), else fall back to the shuffle shape. Vars only as a
+    * spec seam — the paths are proven pair-identical by forcing each
+    * in NearDupSpec.
+    */
+  private[graft] var broadcastMaxBandRows: Long = 4L * 1024 * 1024
+  private[graft] var broadcastRelativeCeiling: Long = 16L * 1024 * 1024
+
   /** The frozen ban set for an index, None when p.sigMaxDf == 0. */
   private def readBanned(spark: SparkSession, root: String, p: Params,
       store: CommitStore): Option[DataFrame] =
@@ -265,37 +278,98 @@ object NearDupIndex {
       readBanned(spark, root, p, store))
     val bandedIdx0 = AtomicLake.read(spark, bandRoot(root), store)
     val shIdx = AtomicLake.read(spark, shRoot(root), store)
-    // maxBucket (r15): the cross-corpus stop-bucket dial
-    // (MinHashLsh.crossPairs semantics — COMBINED membership across
-    // index and batch), as a PROBE-TIME argument, not index geometry:
-    // the cap only filters which candidates this probe emits, it
-    // never touches a persisted row, so unlike seed/hash/sigMaxDf it
-    // needs no freezing. Census cost is one column-pruned
-    // (band, bucket) count over the band lake table per probe —
-    // key-only map-side-combined agg, no hash arrays move.
-    val (bandedIdx, bandedB) =
-      if (maxBucket <= 0) (bandedIdx0, bandedB0)
-      else {
-        // the batch band rows feed the census AND the join — pin them
-        // (batch-sized; the index side is already a materialized table)
-        val bB = bandedB0.localCheckpoint()
-        val ok = bandedIdx0.select(col("band"), col("bucket"))
-          .unionByName(bB.select(col("band"), col("bucket")))
-          .groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucket)
-          .select(col("band"), col("bucket"))
-          .localCheckpoint() // feeds both semi joins once
-        (bandedIdx0.join(ok, Seq("band", "bucket"), "left_semi"),
-          bB.join(ok, Seq("band", "bucket"), "left_semi"))
+    // THE at-scale design decision of the probe: a sort-merge
+    // candidate join would shuffle the ENTIRE index band table
+    // (bands × corpus rows) for every batch, and the cap census
+    // would shuffle it a second time — per-probe cost ∝ corpus. But
+    // candidates only come from (band, bucket) values the BATCH
+    // occupies, so when the batch is broadcastable we join the other
+    // way: broadcast the batch band rows, stream the index band
+    // table map-side (one pruned scan, ZERO index shuffle), and
+    // scope the cap census to batch-touched buckets — a bucket the
+    // batch never hashes into emits no candidates, so capping it is
+    // a no-op, and for touched buckets the combined membership
+    // (index + batch members) is unchanged by the scoping. Per-probe
+    // cost becomes ∝ batch + matched index rows. Measured at the
+    // 500k-doc ov tier (10% batch): capped probe 27.7 → ~8 s, the
+    // census alone was 12.7 s of the old shape. The fallback keeps
+    // the shuffle shape for batches too big to broadcast
+    // (batch band rows > 4M ≈ 100 MB broadcast) — at that size the
+    // "batch" is corpus-scale and the symmetric cross form applies.
+    val batchBandRows = shB.count() * p.bands
+    val bcast = batchBandRows > 0 &&
+      (batchBandRows <= broadcastMaxBandRows ||
+        (batchBandRows <= broadcastRelativeCeiling &&
+          AtomicLake.rowCount(bandRoot(root), store)
+            .exists(_ >= 8L * batchBandRows)))
+    val cands =
+      if (bcast) {
+        // pin policy (A/B-measured at the 500k ov tier): the capped
+        // path consumes the batch band rows THREE times (bucket
+        // broadcast, census union, bSide semi) — pinned it runs
+        // ~17-20 s vs ~24 s re-deriving; the uncapped path consumes
+        // them ONCE (the broadcast join side), where the pin is pure
+        // overhead (band-row checkpoint alone measured 4.3 s vs a
+        // 0.4 s re-derivation from the pinned shingle frame)
+        val bB =
+          if (maxBucket <= 0) bandedB0 else bandedB0.localCheckpoint()
+        val bBkts = bB.select(col("band"), col("bucket")).distinct()
+        val (idxRows, bSide) =
+          if (maxBucket <= 0)
+            // the inner candidate join below IS the bucket filter —
+            // no semi join needed, the index streams exactly once
+            (bandedIdx0, bB)
+          else {
+            // index rows in batch buckets — consumed by the census
+            // AND the join, and already ≪ index for a real batch
+            val idxT = bandedIdx0.join(broadcast(bBkts),
+                Seq("band", "bucket"), "left_semi")
+              .localCheckpoint()
+            // combined membership for batch buckets is exactly
+            // |idxT ∩ bucket| + |bB ∩ bucket| — scoping the census
+            // to them cannot change which CANDIDATE-PRODUCING
+            // buckets survive
+            val ok = idxT.select(col("band"), col("bucket"))
+              .unionByName(bB.select(col("band"), col("bucket")))
+              .groupBy(col("band"), col("bucket"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") <= maxBucket)
+              .select(col("band"), col("bucket"))
+              .localCheckpoint() // feeds both broadcast semi joins
+            (idxT.join(broadcast(ok), Seq("band", "bucket"),
+                "left_semi"),
+              bB.join(broadcast(ok), Seq("band", "bucket"),
+                "left_semi"))
+          }
+        MinHashLsh.dedupKeyed(idxRows.as("a")
+          .join(broadcast(bSide.as("b")),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
+      } else {
+        // corpus-scale batch: shuffle shape (merge join on the bucket
+        // keys; cap census over the full combined band rows —
+        // MinHashLsh.crossPairs semantics)
+        val (bandedIdx, bandedB) =
+          if (maxBucket <= 0) (bandedIdx0, bandedB0)
+          else {
+            val bB = bandedB0 // re-derived per consumer, see above
+            val ok = bandedIdx0.select(col("band"), col("bucket"))
+              .unionByName(bB.select(col("band"), col("bucket")))
+              .groupBy(col("band"), col("bucket"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") <= maxBucket)
+              .select(col("band"), col("bucket"))
+              .localCheckpoint() // feeds both semi joins once
+            (bandedIdx0.join(ok, Seq("band", "bucket"), "left_semi"),
+              bB.join(ok, Seq("band", "bucket"), "left_semi"))
+          }
+        MinHashLsh.dedupKeyed(bandedIdx.as("a")
+          .join(bandedB.as("b").hint("merge"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
       }
-    // dedup keyed by id1 so its exchange IS the first verify join's
-    // partitioning (see MinHashLsh.dedupKeyed)
-    val cands = MinHashLsh.dedupKeyed(bandedIdx.as("a")
-      .join(bandedB.as("b").hint("merge"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")))
     // shared verify tail (size prefilter + two-pointer kernel) — one
     // implementation with the in-memory operator, so the index path
     // can never drift

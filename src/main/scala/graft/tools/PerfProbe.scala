@@ -225,6 +225,63 @@ object PerfProbe {
             col("quality_prob")).count()
       })
     }
+    // stage breakdown of the persisted-index PROBE (the at-scale
+    // repeated operation): which slice of pairsAgainstIndex pays —
+    // batch banding, the combined bucket census, the candidate join
+    // (which currently shuffles the INDEX band table), or verify.
+    // args: <ovDir> probe  (expects an OvBench index at the usual
+    // scratch root for that dir; builds one when absent)
+    if (which == "probe") {
+      import graft.operators.NearDupIndex
+      import graft.sources.AtomicLake
+      val idxRoot = "/root/repo/target/ovbench_idx_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!NearDupIndex.exists(idxRoot)) {
+        println(s"[prepare] building index at $idxRoot (untimed)")
+        NearDupIndex.build(docs.filter(pmod(col("doc_id"),
+            lit(10)) =!= 0), "doc_id", "text", idxRoot,
+          threshold = 0.5, sigMaxDf = 1000)
+      }
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val bandedIdx = AtomicLake.read(spark, s"$idxRoot/bands")
+      time("probe 0: index band table scan")(bandedIdx.count())
+      time("probe 1: census groupBy over index bands")(
+        bandedIdx.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= 1000).count())
+      time("probe 2: full pairsAgainstIndex uncapped")(
+        NearDupIndex.pairsAgainstIndex(spark, batch, "doc_id", "text",
+          idxRoot, threshold = 0.5).count())
+      time("probe 3: full pairsAgainstIndex maxBucket=1000")(
+        NearDupIndex.pairsAgainstIndex(spark, batch, "doc_id", "text",
+          idxRoot, threshold = 0.5, maxBucket = 1000).count())
+      // threshold > 1 makes the size prefilter reject every pair, so
+      // this times banding + candidates + the one-long size joins
+      // WITHOUT the array joins — the verify-array share is the
+      // probe-2 minus probe-4 difference
+      time("probe 4: cands + size joins only (threshold>1)")(
+        NearDupIndex.pairsAgainstIndex(spark, batch, "doc_id", "text",
+          idxRoot, threshold = 1.01).count())
+      // batch-side decomposition: the probe's ∝-batch floor is the
+      // batch's own shingling + ban-filtered signature computation
+      import graft.operators.{Dedup, MinHashLsh}
+      val pr = NearDupIndex.readParams(idxRoot)
+      val banned = AtomicLake.read(spark, s"$idxRoot/banned")
+        .select(col("h"))
+      val shB = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"),
+          sort_array(Dedup.shingleHashes(col("text"), pr.shingleN))
+            .as("sh"))
+        .filter(size(col("sh")) > 0)
+      time("probe 5: batch shingle + pin")(
+        shB.localCheckpoint().count())
+      val shBp = shB.localCheckpoint()
+      time("probe 6: batch bandedCut (sig under ban)")(
+        MinHashLsh.bandedCut(shBp, banned, pr.numHashes, pr.bands,
+          pr.seed).count())
+      time("probe 7: + band-row pin")(
+        MinHashLsh.bandedCut(shBp, banned, pr.numHashes, pr.bands,
+          pr.seed).localCheckpoint().count())
+    }
     spark.stop()
   }
 }

@@ -438,6 +438,50 @@ class NearDupSpec extends SparkSpec {
       capped.count(_._2 == 500L) shouldBe 0
       capped should contain((3L, 501L))
     }
+    it("the broadcast probe shape equals the shuffle shape pair for " +
+        "pair, capped and uncapped (incl. under a frozen ban set)") {
+      import graft.operators.NearDupIndex
+      val rnd = new scala.util.Random(31L)
+      val head = "nav nav menu menu menu footer"
+      val spamText = (0 until 20).map(_ => "spam ham eggs").mkString(" ")
+      val mk = (i: Long) => i -> (head + " " +
+        (0 until 22).map(_ => s"t${rnd.nextInt(2500)}").mkString(" "))
+      val base = ((0L until 130L).map(mk) ++
+        (200L until 206L).map(i => i -> spamText)).toDF("doc_id", "text")
+      val nearDup = base.filter($"doc_id" === 11L)
+        .select("text").as[String].head() + " coda"
+      val probe = ((300L until 330L).map(mk) ++
+        Seq(400L -> spamText, 401L -> nearDup)).toDF("doc_id", "text")
+      val root =
+        "/root/repo/target/test-scratch/neardup_index_bcast"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      // sigMaxDf > 0 so the probe also bands under the frozen ban
+      NearDupIndex.build(base, "doc_id", "text", root,
+        threshold = 0.5, sigMaxDf = 60)
+      def pairs(cap: Int) = NearDupIndex.pairsAgainstIndex(spark,
+          probe, "doc_id", "text", root, threshold = 0.5,
+          maxBucket = cap)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val saved = NearDupIndex.broadcastMaxBandRows
+      try {
+        for (cap <- Seq(0, 4)) {
+          NearDupIndex.broadcastMaxBandRows = Long.MaxValue // broadcast
+          val viaBcast = pairs(cap)
+          NearDupIndex.broadcastMaxBandRows = 0L // force shuffle shape
+          val viaShuffle = pairs(cap)
+          viaBcast shouldBe viaShuffle
+          // non-vacuity: the fixture exercises both the planted pair
+          // and (capped) a dropped hot cluster
+          viaBcast.map(t => (t._1, t._2)) should contain((11L, 401L))
+          if (cap == 0)
+            viaBcast.count(_._2 == 400L) shouldBe 6
+          else viaBcast.count(_._2 == 400L) shouldBe 0
+        }
+      } finally NearDupIndex.broadcastMaxBandRows = saved
+    }
     it("a fully-banned doc is not a band-table orphan: repair stays " +
         "0, commits nothing, and versionPair holds (r15 ADVICE)") {
       import graft.operators.NearDupIndex
