@@ -234,6 +234,12 @@ object PerfProbe {
     if (which == "probe") {
       import graft.operators.NearDupIndex
       import graft.sources.AtomicLake
+      // PROBE_STAGES=2,4 runs only those stage numbers (the 5M tier
+      // runs minutes per stage × min-of-3); default all
+      val stages = sys.env.get("PROBE_STAGES")
+        .map(_.split(",").map(_.trim.toInt).toSet)
+        .getOrElse((0 to 7).toSet)
+      def stg(n: Int)(f: => Unit): Unit = if (stages(n)) f
       val idxRoot = "/root/repo/target/ovbench_idx_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       if (!NearDupIndex.exists(idxRoot)) {
@@ -244,23 +250,23 @@ object PerfProbe {
       }
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       val bandedIdx = AtomicLake.read(spark, s"$idxRoot/bands")
-      time("probe 0: index band table scan")(bandedIdx.count())
-      time("probe 1: census groupBy over index bands")(
+      stg(0)(time("probe 0: index band table scan")(bandedIdx.count()))
+      stg(1)(time("probe 1: census groupBy over index bands")(
         bandedIdx.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("n")).filter(col("n") <= 1000).count())
-      time("probe 2: full pairsAgainstIndex uncapped")(
+          .agg(count(lit(1)).as("n")).filter(col("n") <= 1000).count()))
+      stg(2)(time("probe 2: full pairsAgainstIndex uncapped")(
         NearDupIndex.pairsAgainstIndex(spark, batch, "doc_id", "text",
-          idxRoot, threshold = 0.5).count())
-      time("probe 3: full pairsAgainstIndex maxBucket=1000")(
+          idxRoot, threshold = 0.5).count()))
+      stg(3)(time("probe 3: full pairsAgainstIndex maxBucket=1000")(
         NearDupIndex.pairsAgainstIndex(spark, batch, "doc_id", "text",
-          idxRoot, threshold = 0.5, maxBucket = 1000).count())
+          idxRoot, threshold = 0.5, maxBucket = 1000).count()))
       // threshold > 1 makes the size prefilter reject every pair, so
       // this times banding + candidates + the one-long size joins
       // WITHOUT the array joins — the verify-array share is the
       // probe-2 minus probe-4 difference
-      time("probe 4: cands + size joins only (threshold>1)")(
+      stg(4)(time("probe 4: cands + size joins only (threshold>1)")(
         NearDupIndex.pairsAgainstIndex(spark, batch, "doc_id", "text",
-          idxRoot, threshold = 1.01).count())
+          idxRoot, threshold = 1.01).count()))
       // batch-side decomposition: the probe's ∝-batch floor is the
       // batch's own shingling + ban-filtered signature computation
       import graft.operators.{Dedup, MinHashLsh}
@@ -272,15 +278,15 @@ object PerfProbe {
           sort_array(Dedup.shingleHashes(col("text"), pr.shingleN))
             .as("sh"))
         .filter(size(col("sh")) > 0)
-      time("probe 5: batch shingle + pin")(
-        shB.localCheckpoint().count())
+      stg(5)(time("probe 5: batch shingle + pin")(
+        shB.localCheckpoint().count()))
       val shBp = shB.localCheckpoint()
-      time("probe 6: batch bandedCut (sig under ban)")(
+      stg(6)(time("probe 6: batch bandedCut (sig under ban)")(
         MinHashLsh.bandedCut(shBp, banned, pr.numHashes, pr.bands,
-          pr.seed).count())
-      time("probe 7: + band-row pin")(
+          pr.seed).count()))
+      stg(7)(time("probe 7: + band-row pin")(
         MinHashLsh.bandedCut(shBp, banned, pr.numHashes, pr.bands,
-          pr.seed).localCheckpoint().count())
+          pr.seed).localCheckpoint().count()))
     }
     spark.stop()
   }

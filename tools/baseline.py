@@ -501,9 +501,12 @@ predicted exactly this. That session's closing full run came back
 r15 session note: the four production-config gates
 (dedup_minhash_capped, dedup_cross_capped, dedup_index_cross_capped,
 dedup_simhash_ngram) joined the table this round — their first pins
-are min-of-2 quiet full runs; the main-tier reclaims
-(pipe_model_curation 1.323 → ~0.44, dedup_cross 0.956 → ~0.88) are
-the r15 perf work landing, not drift.
+are min-of-3 quiet full runs; the main-tier reclaims
+(pipe_model_curation 1.323 → ~0.44, dedup_cross 0.956 → ~0.88,
+dedup_index_cross 1.287 → 1.213, dedup_index_cross_capped
+2.339 → 2.047, ov_dedup_index_probe 7.61 → 3.00) are the r15 perf
+work landing (the jaccard pair-agg pin, the one-pass curation scoring,
+and the broadcast probe shape — SURVEY §5.2), not drift.
 
 | query | duckdb_sec | spark_sec | rows |
 |---|---|---|---|
