@@ -140,9 +140,20 @@ object Bench {
     // subset inside an sf1 bench.
     def norm(p: String) =
       java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    // A skipped tier must be LOUD (r15 verdict: sf1 vanished from
+    // BENCH_r15 with no artifact trace when its dir was deleted). Each
+    // tier records WHY it did not run; the JSON carries the marker so
+    // benchdiff can fail on a pinned tier that silently disappeared.
+    // ONLY-subset runs are intentional local iteration, still marked.
+    def tierSkip(dir: String, probeFile: String): Option[String] =
+      if (only.nonEmpty) Some("only-subset run")
+      else if (norm(sfDir) == norm(dir)) Some("same dir as main run")
+      else if (!new java.io.File(dir, probeFile).exists())
+        Some(s"dir missing: $dir")
+      else None
+    val sf1Skip = tierSkip(sf1Dir, "lineitem.parquet")
     val sf1Timings: Seq[(String, Double)] =
-      if (only.nonEmpty || norm(sfDir) == norm(sf1Dir) ||
-          !new java.io.File(sf1Dir, "lineitem.parquet").exists()) Nil
+      if (sf1Skip.isDefined) Nil
       else sf1Subset.map { name =>
         try {
           val fn = SparkEntry.queries(name)
@@ -158,14 +169,15 @@ object Bench {
           name -> -1.0
         }
       }
-    val sf1Json =
-      if (sf1Timings.isEmpty) ""
-      else {
+    val sf1Json = sf1Skip match {
+      case Some(why) =>
+        s""","sf1":{"dir":${jstr(sf1Dir)},"skipped":${jstr(why)}}"""
+      case None =>
         val qs1 = sf1Timings.map { case (k, v) => s"${jstr(k)}:$v" }
           .mkString("{", ",", "}")
         val tot1 = sf1Timings.filter(_._2 >= 0).map(_._2).sum
         s""","sf1":{"dir":${jstr(sf1Dir)},"total":$tot1,"queries":$qs1}"""
-      }
+    }
 
     // ---- sf10 spot tier (r14) -----------------------------------------
     // One more decade of the scaling curve for the heaviest rows —
@@ -190,9 +202,9 @@ object Bench {
       "sess_gap_sessions", "dedup_exact", "text_lm_score",
       "dq_profile_orders", "export_shuffle", "win_running_total",
       "er_fuzzy_names", "silver_dim_customer")
+    val sf10Skip = tierSkip(sf10Dir, "lineitem.parquet")
     val sf10Timings: Seq[(String, Double)] =
-      if (only.nonEmpty || norm(sfDir) == norm(sf10Dir) ||
-          !new java.io.File(sf10Dir, "lineitem.parquet").exists()) Nil
+      if (sf10Skip.isDefined) Nil
       else sf10Subset.map { name =>
         try {
           val fn = SparkEntry.queries(name)
@@ -208,14 +220,15 @@ object Bench {
           name -> -1.0
         }
       }
-    val sf10Json =
-      if (sf10Timings.isEmpty) ""
-      else {
+    val sf10Json = sf10Skip match {
+      case Some(why) =>
+        s""","sf10":{"dir":${jstr(sf10Dir)},"skipped":${jstr(why)}}"""
+      case None =>
         val qs10 = sf10Timings.map { case (k, v) => s"${jstr(k)}:$v" }
           .mkString("{", ",", "}")
         val tot10 = sf10Timings.filter(_._2 >= 0).map(_._2).sum
         s""","sf10":{"dir":${jstr(sf10Dir)},"total":$tot10,"queries":$qs10}"""
-      }
+    }
 
     // ---- open-vocab production-shape tier (r14) -----------------------
     // The dedup family in PRODUCTION configuration (the §5.2 caps) on
@@ -227,9 +240,9 @@ object Bench {
     // the tier under ~90 s).
     val ovDir = sys.env.getOrElse("SPARK_GRAFT_OV_DIR",
       "/root/repo/testdata/sf1ov")
+    val ovSkip = tierSkip(ovDir, "documents.parquet")
     val ovTimings: Seq[(String, Double)] =
-      if (only.nonEmpty ||
-          !new java.io.File(ovDir, "documents.parquet").exists()) Nil
+      if (ovSkip.isDefined) Nil
       else {
         def docs() = graft.sources.Tables.documents(spark, ovDir)
         // Persisted-index probe row (r15): the index BUILD is a
@@ -298,13 +311,14 @@ object Bench {
           }
         }
       }
-    val ovJson =
-      if (ovTimings.isEmpty) ""
-      else {
+    val ovJson = ovSkip match {
+      case Some(why) =>
+        s""","ov":{"dir":${jstr(ovDir)},"skipped":${jstr(why)}}"""
+      case None =>
         val qs = ovTimings.map { case (k, v) => s"${jstr(k)}:$v" }
           .mkString("{", ",", "}")
         s""","ov":{"dir":${jstr(ovDir)},"queries":$qs}"""
-      }
+    }
 
     // ---- streaming throughput tier (r14) ------------------------------
     // Rows/sec per exactly-once sink + backlog catch-up pacing (see

@@ -374,6 +374,64 @@ object MinHashLsh {
       .filter(col("df") > sigMaxDf)
 
 
+  /** Resolve the `sigMaxDf` dial from a corpus's shingle-df census
+    * against a CANDIDATE budget — §5.2's production guidance made
+    * code (r16): at a FIXED absolute dial the LSH candidate set grew
+    * 14.9×/decade on Zipf(1.3) (mid-frequency shingles keep growing
+    * into the cut), so the scale-safe dial is the one that holds the
+    * candidate WORKLOAD constant and tightens itself as the corpus
+    * grows.
+    *
+    * The budget's unit is shared-shingle pair mass: every LSH
+    * candidate pair collides on a band bucket, i.e. agrees on
+    * signature slots, i.e. shares at least one KEPT shingle (equal
+    * slot values from different shingles need a 2^-61 hash
+    * collision), so the number of candidate pairs is bounded above by
+    * pairMass(t) = Σ_{h: df_h ≤ t} C(df_h, 2) — the same Σ C(df,2)
+    * workload bound [[Dedup.ngramJaccard]]'s maxDf prices. The
+    * resolver returns the LARGEST dial t with pairMass(t) ≤ budget
+    * (loosest ban that provably holds the budget):
+    *
+    *   - pairMass(max df) ≤ budget → 0 (banning off — nothing to cut)
+    *   - no t ≥ 2 fits → 1 (ban everything shared; df-1 singletons
+    *     carry zero pair mass, so the budget can never force an
+    *     empty signature input on its own)
+    *
+    * Deterministic: one aggregation pass over the census (df
+    * histogram — O(distinct df values) rows to the driver, bounded
+    * by the corpus's max df, in practice thousands), exact integer
+    * cumulative sums, no sampling. The same corpus always resolves
+    * the same dial, which is what lets [[NearDupIndex]] FREEZE the
+    * resolved value in its committed params.
+    *
+    * `sh` is the pinned (doc_id, sh) shingle-hash frame the caller
+    * already holds — the census is over hashes, so the resolved dial
+    * is hash-family-agnostic (df of a shingle is the same under xx
+    * and portable hashing, collisions aside).
+    */
+  def resolveSigMaxDf(sh: DataFrame, candidateBudget: Long): Int = {
+    require(candidateBudget > 0, "candidateBudget must be positive")
+    // df histogram: (df, number of shingles with that df), df >= 2
+    // (df=1 shingles pair nothing — C(1,2) = 0)
+    val hist = sh.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .groupBy("df").agg(count(lit(1)).as("n"))
+      .select(col("df").cast("long"), col("n").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (hist.isEmpty) return 0 // no shared shingle at all
+    var cum = 0L
+    var best = 1L
+    var fitsAll = true
+    hist.foreach { case (df, n) =>
+      cum += n * (df * (df - 1) / 2)
+      if (cum <= candidateBudget) best = df else fitsAll = false
+    }
+    if (fitsAll) 0 else best.toInt
+  }
+
   /** LSH candidate pairs: documents whose signatures collide in at
     * least one band. Returns distinct (id1 < id2). See [[bucketJoin]]
     * for the `maxBucket` degenerate-bucket cap and [[signatureInput]]
@@ -398,7 +456,11 @@ object MinHashLsh {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 0, seed: Long = 42L, maxBucket: Int = 0,
-      sigMaxDf: Int = 0, portableHash: Boolean = false): DataFrame = {
+      sigMaxDf: Int = 0, portableHash: Boolean = false,
+      candidateBudget: Long = 0L): DataFrame = {
+    require(candidateBudget <= 0 || sigMaxDf <= 0,
+      "pass candidateBudget OR an explicit sigMaxDf, not both — the " +
+        "budget RESOLVES the dial (resolveSigMaxDf)")
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     // ONE corpus scan: tokenize → shingle → hash → sort each document
     // exactly once, pinned with a localCheckpoint — the band index,
@@ -417,6 +479,12 @@ object MinHashLsh {
     // ([[nearDuplicatesCached]]).
     val sh = hashedShingles(df, idCol, textCol, shingleN, portableHash)
       .localCheckpoint()
+    // candidateBudget (r16): resolve the dial from THIS corpus's df
+    // census — the pinned sh frame feeds the resolver and, when a ban
+    // results, the same census arithmetic inside sigMaybeCut.
+    val dial =
+      if (candidateBudget > 0) resolveSigMaxDf(sh, candidateBudget)
+      else sigMaxDf
     // maxBucket (r14, threaded from bucketPairsRaw): on Zipfian open-
     // vocab text the head shingle's hash is the min for MANY
     // permutations at once, so unrelated documents share whole bands
@@ -430,7 +498,7 @@ object MinHashLsh {
     // SIGNATURE input — see [[signatureInput]]/[[bandedCut]]. Verify
     // below is untouched: it reads the full pinned `sh` sets.
     val cands = dedupKeyed(bucketPairsRaw(
-      sigMaybeCut(sh, numHashes, seed, sigMaxDf), numHashes, b,
+      sigMaybeCut(sh, numHashes, seed, dial), numHashes, b,
       portableHash, maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
@@ -457,14 +525,23 @@ object MinHashLsh {
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 0,
       seed: Long = 42L, maxBucket: Int = 0, sigMaxDf: Int = 0,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      candidateBudget: Long = 0L): DataFrame = {
+    require(candidateBudget <= 0 || sigMaxDf <= 0,
+      "pass candidateBudget OR an explicit sigMaxDf, not both")
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val shB = hashedShingles(base, idCol, textCol, shingleN,
       portableHash).localCheckpoint()
     val shP = hashedShingles(probe, idCol, textCol, shingleN,
       portableHash).localCheckpoint()
+    // the dial must resolve over the UNION census — the ban set it
+    // implies is symmetric by construction (crossPairs' contract)
+    val dial =
+      if (candidateBudget > 0)
+        resolveSigMaxDf(shB.unionByName(shP), candidateBudget)
+      else sigMaxDf
     crossPairs(shB, shP, threshold, numHashes, b, seed, maxBucket,
-      sigMaxDf, portableHash)
+      dial, portableHash)
   }
 
   /** [[nearDuplicatesAgainst]] when both corpora live in ONE table and
@@ -479,7 +556,10 @@ object MinHashLsh {
       probeSide: Column, threshold: Double = 0.7, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 0, seed: Long = 42L,
       maxBucket: Int = 0, sigMaxDf: Int = 0,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      candidateBudget: Long = 0L): DataFrame = {
+    require(candidateBudget <= 0 || sigMaxDf <= 0,
+      "pass candidateBudget OR an explicit sigMaxDf, not both")
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val hashes =
       if (portableHash) Dedup.shinglePortableHashes(col(textCol), shingleN)
@@ -488,10 +568,15 @@ object MinHashLsh {
         probeSide.as("is_probe"), sort_array(hashes).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
+    // resolve over the whole table's census — identical to the union
+    // of the two sides (the split partitions the pinned frame)
+    val dial =
+      if (candidateBudget > 0) resolveSigMaxDf(sh, candidateBudget)
+      else sigMaxDf
     crossPairs(
       sh.filter(!col("is_probe")).select(col("doc_id"), col("sh")),
       sh.filter(col("is_probe")).select(col("doc_id"), col("sh")),
-      threshold, numHashes, b, seed, maxBucket, sigMaxDf, portableHash)
+      threshold, numHashes, b, seed, maxBucket, dial, portableHash)
   }
 
   /** Banded bucket join ACROSS two (already pinned) shingle-hash

@@ -63,8 +63,20 @@ object NearDupIndex {
     * produce zero candidates). Pre-r15 params JSON parses as false —
     * exactly what those indexes were built with.
     */
+  /** `candidateBudget` (r16): when a build passes a budget instead of
+    * an absolute `sigMaxDf`, the dial is RESOLVED from the build
+    * corpus's df census ([[MinHashLsh.resolveSigMaxDf]]) and the
+    * params freeze BOTH numbers — the budget that was asked for and
+    * the dial it resolved to. The resolved dial is what every
+    * persisted row was banded under, so it is geometry like the seed;
+    * recording the budget too means a rebuild attempt whose corpus
+    * resolves a DIFFERENT dial (data drifted) or whose caller asks a
+    * different budget is refused loudly instead of silently pairing
+    * old band rows with a new census. 0 = dial was set absolutely.
+    */
   final case class Params(shingleN: Int, numHashes: Int, bands: Int,
-      seed: Long, sigMaxDf: Int = 0, portableHash: Boolean = false)
+      seed: Long, sigMaxDf: Int = 0, portableHash: Boolean = false,
+      candidateBudget: Long = 0L)
 
   private def shRoot(root: String) = s"$root/sh"
   private def bandRoot(root: String) = s"$root/bands"
@@ -72,11 +84,24 @@ object NearDupIndex {
   private def paramsRoot(root: String) = s"$root/params"
 
   private def paramsJson(p: Params): String =
-    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed},"sigMaxDf":${p.sigMaxDf},"portableHash":${if (p.portableHash) 1 else 0}}"""
+    s"""{"shingleN":${p.shingleN},"numHashes":${p.numHashes},"bands":${p.bands},"seed":${p.seed},"sigMaxDf":${p.sigMaxDf},"portableHash":${if (p.portableHash) 1 else 0},"candidateBudget":${p.candidateBudget}}"""
 
   private def parseParams(s: String): Params = {
-    def field(k: String): Long =
-      s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    // writes encode booleans as 0/1, but a hand-edited or externally-
+    // produced params file may spell "portableHash":true — accept the
+    // JSON tokens, and fail NAMING THE KEY (not with a bare
+    // NumberFormatException) on anything else (r16 ADVICE)
+    def field(k: String): Long = {
+      val tail = s.split(s""""$k":""")(1)
+      if (tail.startsWith("true")) 1L
+      else if (tail.startsWith("false")) 0L
+      else {
+        val tok = tail.takeWhile(c => c.isDigit || c == '-')
+        require(tok.nonEmpty, s"index params: key \"$k\" must be a " +
+          s"number or true/false, got '${tail.take(12)}...' in $s")
+        tok.toLong
+      }
+    }
     // sigMaxDf / portableHash absent in pre-r14/r15 params JSON → 0 /
     // false (exact banding, xx hashing) — precisely what those
     // indexes were built with
@@ -84,7 +109,7 @@ object NearDupIndex {
       if (s.contains(s""""$k":""")) field(k) else 0L
     Params(field("shingleN").toInt, field("numHashes").toInt,
       field("bands").toInt, field("seed"), opt("sigMaxDf").toInt,
-      opt("portableHash") != 0L)
+      opt("portableHash") != 0L, opt("candidateBudget"))
   }
 
   /** Commit `p` as the index's immutable params (version 1 of the
@@ -240,13 +265,34 @@ object NearDupIndex {
   def build(corpus: DataFrame, idCol: String, textCol: String,
       root: String, threshold: Double = 0.7, shingleN: Int = 3,
       numHashes: Int = 64, seed: Long = 42L, sigMaxDf: Int = 0,
-      portableHash: Boolean = false,
+      portableHash: Boolean = false, candidateBudget: Long = 0L,
       store: CommitStore = HardlinkCommitStore): Params = {
-    val p = Params(shingleN, numHashes,
+    require(candidateBudget <= 0 || sigMaxDf <= 0,
+      "pass candidateBudget OR an explicit sigMaxDf, not both — the " +
+        "budget RESOLVES the dial from the build corpus's census")
+    val p0 = Params(shingleN, numHashes,
       MinHashLsh.autoBands(numHashes, threshold), seed, sigMaxDf,
-      portableHash)
+      portableHash, candidateBudget)
+    // Resolution precedes the params claim (it needs the corpus
+    // census), but the claim still precedes every TABLE commit —
+    // a crash between resolution and claim leaves nothing at all.
+    // The shingle job runs once: the same pinned frame feeds the
+    // resolver, the ban census and the table writes. Both the budget
+    // and the dial it resolved freeze in the params, so a rebuild
+    // whose corpus resolves differently is refused by claimParams
+    // (existing != p), not silently re-banded.
+    val shPre =
+      if (candidateBudget > 0)
+        Some(shFrame(corpus, idCol, textCol, p0).localCheckpoint())
+      else None
+    val p = shPre match {
+      case Some(f) => p0.copy(sigMaxDf =
+        MinHashLsh.resolveSigMaxDf(f, candidateBudget))
+      case None => p0
+    }
     claimParams(root, p, store)
-    val sh = shFrame(corpus, idCol, textCol, p).localCheckpoint()
+    val sh = shPre.getOrElse(
+      shFrame(corpus, idCol, textCol, p).localCheckpoint())
     // commit order: params → banned → sh → bands. The ban set is
     // geometry (every band row is a function of it), so it lands
     // before any row hashed under it; a crash after any prefix leaves
@@ -297,11 +343,23 @@ object NearDupIndex {
     // (batch band rows > 4M ≈ 100 MB broadcast) — at that size the
     // "batch" is corpus-scale and the symmetric cross form applies.
     val batchBandRows = shB.count() * p.bands
+    // Broadcasting is only a win when the STREAMED side (the index)
+    // is the bigger one: below the absolute cap the index must be at
+    // least batch-sized (a tiny index under a ~100 MB batch would
+    // have the heuristic broadcast the LARGER join side and hold a
+    // pointless driver hash table — the shuffle shape moves almost
+    // nothing there); above it, up to the relative ceiling, only a
+    // strongly index-dominated probe (≥8×) justifies the bigger
+    // broadcast. The index row count is O(manifest) from the band
+    // table's zone maps — when a store can't provide it (None), the
+    // under-cap path keeps the broadcast default (forall), matching
+    // the pre-r16 behavior for stores without stats.
+    val idxBandRows = AtomicLake.rowCount(bandRoot(root), store)
     val bcast = batchBandRows > 0 &&
-      (batchBandRows <= broadcastMaxBandRows ||
+      ((batchBandRows <= broadcastMaxBandRows &&
+          idxBandRows.forall(_ >= batchBandRows)) ||
         (batchBandRows <= broadcastRelativeCeiling &&
-          AtomicLake.rowCount(bandRoot(root), store)
-            .exists(_ >= 8L * batchBandRows)))
+          idxBandRows.exists(_ >= 8L * batchBandRows)))
     val cands =
       if (bcast) {
         // pin policy (A/B-measured at the 500k ov tier): the capped

@@ -374,6 +374,23 @@ object TextQueries {
         maxBucket = 3, sigMaxDf = 5, portableHash = true)
     },
 
+    // E2 candidate-budget auto-dial gate (r16, §5.2's production
+    // guidance made code): instead of a FIXED sigMaxDf — whose
+    // candidate set grew 14.9×/decade on Zipf(1.3) — the dial is
+    // RESOLVED from the corpus's df census against a candidate
+    // budget (largest dial whose kept shared-shingle pair mass
+    // Σ C(df,2) fits), then the capped chain runs under it. The
+    // oracle replays the RESOLUTION itself (histogram → cumulative
+    // mass → dial) plus the full chain, so a resolver drift is a
+    // hash mismatch, not a silent dial change. Budget 13000 resolves
+    // dial 4 at all three gate SFs (measured cum mass 12762/12306/
+    // 5390 at df=4) — banning non-vacuously at each.
+    "dedup_minhash_budget" -> { (s, dir) =>
+      graft.operators.MinHashLsh.nearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.5,
+        maxBucket = 3, candidateBudget = 13000L, portableHash = true)
+    },
+
     // G15 production configuration gate: the cross-corpus capped
     // chain — symmetric union census, combined-membership bucket cap
     // — replayed the same way (see dedup_minhash_capped).
@@ -466,6 +483,39 @@ object TextQueries {
     */
   private def cappedChainSql(sigMaxDf: Int, maxBucket: Int,
       censusWhere: String = ""): String =
+    chainSql(
+      s"banned AS (SELECT h FROM sh $censusWhere GROUP BY h HAVING count(*) > $sigMaxDf)",
+      maxBucket)
+
+  /** The capped chain with the dial RESOLVED from the census against a
+    * candidate budget — the DuckDB replay of
+    * [[graft.operators.MinHashLsh.resolveSigMaxDf]], term for term:
+    * df histogram (df >= 2), exact integer cumulative pair mass
+    * n·C(df,2) ascending, dial = largest df whose mass fits (0 when
+    * everything fits = banning off; 1 when nothing >= 2 fits).
+    */
+  private def budgetChainSql(budget: Long, maxBucket: Int): String =
+    chainSql(
+      s"""hist AS (SELECT df, count(*) AS n
+         |  FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
+         |  WHERE df >= 2 GROUP BY df),
+         |cum AS (SELECT df, sum(n * df * (df - 1) // 2)
+         |  OVER (ORDER BY df) AS mass FROM hist),
+         |dial AS (SELECT CASE
+         |  WHEN (SELECT count(*) FROM cum) = 0 THEN 0
+         |  WHEN (SELECT max(mass) FROM cum) <= $budget THEN 0
+         |  ELSE COALESCE((SELECT max(df) FROM cum WHERE mass <= $budget), 1)
+         |  END AS t),
+         |banned AS (SELECT h FROM sh GROUP BY h
+         |  HAVING (SELECT t FROM dial) > 0
+         |     AND count(*) > (SELECT t FROM dial))""".stripMargin,
+      maxBucket)
+
+  /** Shared skeleton of the two: everything except HOW the ban set is
+    * chosen. `banCte` must define a CTE (chain) ending in
+    * `banned(h)`.
+    */
+  private def chainSql(banCte: String, maxBucket: Int): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |win AS (
        |  SELECT doc_id, w[i.gs] || ' ' || w[i.gs+1] || ' ' || w[i.gs+2] AS s
@@ -475,7 +525,7 @@ object TextQueries {
        |  ${portableHash("s")} AS h
        |  FROM win),
        |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       |banned AS (SELECT h FROM sh $censusWhere GROUP BY h HAVING count(*) > $sigMaxDf),
+       |$banCte,
        |inst AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM banned)),
        |perms AS (SELECT CAST(k AS INT) AS k, CAST(a AS BIGINT) AS a,
        |  CAST(b AS BIGINT) AS b FROM (VALUES ${permsValues(64, 42L)}) t(k, a, b)),
@@ -1070,6 +1120,25 @@ object TextQueries {
     // sf0.001/0.01/0.1 during construction (9/9 exact).
     "dedup_minhash_capped" ->
       (cappedChainSql(sigMaxDf = 5, maxBucket = 3) +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bb a JOIN bb b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id1, c.id2, count(*) AS inter
+           |  FROM cand c JOIN sh x ON x.doc_id = c.id1
+           |              JOIN sh y ON y.doc_id = c.id2 AND y.h = x.h
+           |  GROUP BY 1, 2)
+           |SELECT i.id1, i.id2,
+           |  CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) AS jaccard
+           |FROM inter i JOIN card ca ON i.id1 = ca.doc_id
+           |             JOIN card cb ON i.id2 = cb.doc_id
+           |WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) >= 0.5""".stripMargin),
+    // r16 auto-dial replay: same tail as dedup_minhash_capped, ban
+    // set resolved from the census against the candidate budget
+    "dedup_minhash_budget" ->
+      (budgetChainSql(budget = 13000L, maxBucket = 3) +
         s""",
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

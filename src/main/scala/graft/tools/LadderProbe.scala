@@ -42,6 +42,49 @@ object LadderProbe {
           .shingleHashes(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0).localCheckpoint()
     println(s"docs=${sh.count()}")
+    // --dial-census: the r16 candidate-budget resolver's view of this
+    // corpus — cumulative kept pair mass Σ n·C(df,2) at landmark
+    // dials, plus the dial a few budgets resolve to. One histogram
+    // job; used to pick the budget constants for the §5.2 ladder.
+    if (args.contains("--dial-census")) {
+      t("dial census (pair-mass curve)") {
+        val hist = sh.select(explode(col("sh")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .groupBy("df").agg(count(lit(1)).as("n"))
+          .select(col("df").cast("long"), col("n").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        var cum = 0L
+        val marks = Seq(50L, 100L, 200L, 500L, 1000L, 2000L, 5000L)
+        val curve = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        var mi = 0
+        hist.foreach { case (df, n) =>
+          while (mi < marks.size && df > marks(mi)) {
+            curve(marks(mi)) = cum; mi += 1
+          }
+          cum += n * (df * (df - 1) / 2)
+        }
+        while (mi < marks.size) { curve(marks(mi)) = cum; mi += 1 }
+        println(s"totalPairMass=$cum maxDf=${hist.lastOption.map(_._1)}")
+        curve.foreach { case (d, m) => println(s"  mass(df<=$d)=$m") }
+        // same arithmetic as MinHashLsh.resolveSigMaxDf, replayed
+        // over the already-collected histogram (the operator's own
+        // resolution is spec-gated; re-running its census job 5×
+        // at the 5M tier would cost minutes for no information)
+        Seq(1000000L, 10000000L, 100000000L, 1000000000L,
+            10000000000L).foreach { b =>
+          var c = 0L; var best = 1L; var fitsAll = true
+          hist.foreach { case (df, n) =>
+            c += n * (df * (df - 1) / 2)
+            if (c <= b) best = df else fitsAll = false
+          }
+          val r = if (hist.isEmpty || fitsAll) 0 else best
+          println(s"  resolve(budget=$b)=$r")
+        }
+      }
+      spark.stop(); return
+    }
     val banned = t(s"census df>$sigMaxDf") {
       val b = graft.operators.MinHashLsh.bannedCensus(sh, sigMaxDf)
         .select("h").localCheckpoint()

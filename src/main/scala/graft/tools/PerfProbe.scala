@@ -271,22 +271,32 @@ object PerfProbe {
       // batch's own shingling + ban-filtered signature computation
       import graft.operators.{Dedup, MinHashLsh}
       val pr = NearDupIndex.readParams(idxRoot)
-      val banned = AtomicLake.read(spark, s"$idxRoot/banned")
-        .select(col("h"))
+      // measure against the index's ACTUAL pinned geometry: the ban
+      // table only exists when the index was built with sigMaxDf > 0
+      // (an unconditional read throws), and the batch must shingle
+      // under the pinned hash family — xx hashes probed against a
+      // portable-family index band to zero candidates and stages 5-7
+      // mis-measure (r16 ADVICE)
+      val banned =
+        if (pr.sigMaxDf > 0)
+          AtomicLake.read(spark, s"$idxRoot/banned").select(col("h"))
+        else spark.range(0).select(col("id").as("h"))
+      val shHashes =
+        if (pr.portableHash)
+          Dedup.shinglePortableHashes(col("text"), pr.shingleN)
+        else Dedup.shingleHashes(col("text"), pr.shingleN)
       val shB = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"),
-          sort_array(Dedup.shingleHashes(col("text"), pr.shingleN))
-            .as("sh"))
+        .select(col("doc_id"), sort_array(shHashes).as("sh"))
         .filter(size(col("sh")) > 0)
       stg(5)(time("probe 5: batch shingle + pin")(
         shB.localCheckpoint().count()))
       val shBp = shB.localCheckpoint()
       stg(6)(time("probe 6: batch bandedCut (sig under ban)")(
         MinHashLsh.bandedCut(shBp, banned, pr.numHashes, pr.bands,
-          pr.seed).count()))
+          pr.seed, pr.portableHash).count()))
       stg(7)(time("probe 7: + band-row pin")(
         MinHashLsh.bandedCut(shBp, banned, pr.numHashes, pr.bands,
-          pr.seed).localCheckpoint().count()))
+          pr.seed, pr.portableHash).localCheckpoint().count()))
     }
     spark.stop()
   }

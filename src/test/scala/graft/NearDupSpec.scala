@@ -466,11 +466,20 @@ class NearDupSpec extends SparkSpec {
         .select("id1", "id2", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
       val saved = NearDupIndex.broadcastMaxBandRows
+      val savedCeil = NearDupIndex.broadcastRelativeCeiling
       try {
         for (cap <- Seq(0, 4)) {
           NearDupIndex.broadcastMaxBandRows = Long.MaxValue // broadcast
+          NearDupIndex.broadcastRelativeCeiling = Long.MaxValue
           val viaBcast = pairs(cap)
-          NearDupIndex.broadcastMaxBandRows = 0L // force shuffle shape
+          // force the shuffle shape through BOTH knobs: with only the
+          // absolute cap zeroed, the relative-ceiling branch would
+          // still pick broadcast whenever the fixture's index grows
+          // to ≥8× the batch band rows — a fixture tweak would
+          // silently turn this into broadcast-vs-broadcast (r16
+          // ADVICE)
+          NearDupIndex.broadcastMaxBandRows = 0L
+          NearDupIndex.broadcastRelativeCeiling = 0L
           val viaShuffle = pairs(cap)
           viaBcast shouldBe viaShuffle
           // non-vacuity: the fixture exercises both the planted pair
@@ -480,7 +489,10 @@ class NearDupSpec extends SparkSpec {
             viaBcast.count(_._2 == 400L) shouldBe 6
           else viaBcast.count(_._2 == 400L) shouldBe 0
         }
-      } finally NearDupIndex.broadcastMaxBandRows = saved
+      } finally {
+        NearDupIndex.broadcastMaxBandRows = saved
+        NearDupIndex.broadcastRelativeCeiling = savedCeil
+      }
     }
     it("a fully-banned doc is not a band-table orphan: repair stays " +
         "0, commits nothing, and versionPair holds (r15 ADVICE)") {
@@ -698,6 +710,153 @@ class NearDupSpec extends SparkSpec {
       NearDupIndex.repair(spark, root) shouldBe 0L
       val pair = NearDupIndex.versionPair(root)
       pair._1 shouldBe pair._2
+    }
+    it("resolveSigMaxDf picks the largest dial whose kept pair mass " +
+        "fits the budget, exactly and deterministically") {
+      // hand-built census: shingle hashes ARE the longs; dfs by
+      // construction — h=10 in 4 docs (mass C(4,2)=6), h=20 in 3
+      // (3), h=30 in 2 (1), h=40..43 in 1 (0 each). Cumulative pair
+      // mass by df: cum(2)=1, cum(3)=4, cum(4)=10.
+      val sh = Seq(
+        (1L, Seq(10L, 20L, 30L, 40L)), (2L, Seq(10L, 20L, 30L, 41L)),
+        (3L, Seq(10L, 20L, 42L)), (4L, Seq(10L, 43L))
+      ).toDF("doc_id", "sh")
+      MinHashLsh.resolveSigMaxDf(sh, 10L) shouldBe 0 // all fits → off
+      MinHashLsh.resolveSigMaxDf(sh, 100L) shouldBe 0
+      MinHashLsh.resolveSigMaxDf(sh, 9L) shouldBe 3  // cum(3)=4 ≤ 9
+      MinHashLsh.resolveSigMaxDf(sh, 4L) shouldBe 3
+      MinHashLsh.resolveSigMaxDf(sh, 3L) shouldBe 2  // cum(2)=1 ≤ 3
+      MinHashLsh.resolveSigMaxDf(sh, 1L) shouldBe 2
+      // nothing ≥ 2 fits → 1 (ban all shared; never resolves to an
+      // all-banned signature input on its own)
+      val sh2 = Seq((1L, Seq(10L, 20L)), (2L, Seq(10L, 20L)))
+        .toDF("doc_id", "sh")
+      MinHashLsh.resolveSigMaxDf(sh2, 1L) shouldBe 1
+      // no shared shingle at all → off
+      val sh3 = Seq((1L, Seq(10L)), (2L, Seq(20L))).toDF("doc_id", "sh")
+      MinHashLsh.resolveSigMaxDf(sh3, 1L) shouldBe 0
+      an[IllegalArgumentException] should be thrownBy
+        MinHashLsh.resolveSigMaxDf(sh, 0L)
+      // determinism on a real corpus: same frame, same dial, twice
+      val docs = Tables.documents(spark, sf)
+      val real = docs.select($"doc_id",
+          sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+        .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+      // 13000 is the dedup_minhash_budget gate's budget: measured
+      // pair-mass curves put the resolved dial at 4 across ALL of
+      // sf0.001/0.01/0.1 (cum mass 12762/12306/5390 at df=4, next
+      // step exceeds) — so the gate bans non-vacuously at every SF
+      val d1 = MinHashLsh.resolveSigMaxDf(real, 13000L)
+      val d2 = MinHashLsh.resolveSigMaxDf(real, 13000L)
+      d1 shouldBe d2
+      d1 shouldBe 4 // pinned: regen that flattens the census fails here
+    }
+    it("candidateBudget threads: the budget form equals the explicit " +
+        "form at the resolved dial, for self, split and index paths") {
+      import graft.operators.NearDupIndex
+      val rnd = new scala.util.Random(29L)
+      val head = "nav nav nav menu menu footer footer footer"
+      val mk = (i: Long) => i ->
+        (head + " " + (0 until 20).map(_ => s"t${rnd.nextInt(3000)}")
+          .mkString(" "))
+      val baseRows = (0L until 200L).map(mk)
+      val rows = baseRows :+ (200L -> (baseRows.last._2 + " extra"))
+      val df = rows.toDF("doc_id", "text").localCheckpoint()
+      val sh = df.select($"doc_id",
+          sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+        .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+      val budget = 5000L
+      val dial = MinHashLsh.resolveSigMaxDf(sh, budget)
+      dial should be > 0 // the head run's shingles must exceed it
+      def pairSet(out: org.apache.spark.sql.DataFrame) =
+        out.select("id1", "id2").as[(Long, Long)].collect().toSet
+      // self form
+      pairSet(MinHashLsh.nearDuplicates(df, "doc_id", "text",
+        threshold = 0.5, candidateBudget = budget)) shouldBe
+        pairSet(MinHashLsh.nearDuplicates(df, "doc_id", "text",
+          threshold = 0.5, sigMaxDf = dial))
+      // split form (union census == whole-table census here)
+      pairSet(MinHashLsh.nearDuplicatesSplit(df, "doc_id", "text",
+        probeSide = pmod($"doc_id", lit(10)) === 0, threshold = 0.5,
+        candidateBudget = budget)) shouldBe
+        pairSet(MinHashLsh.nearDuplicatesSplit(df, "doc_id", "text",
+          probeSide = pmod($"doc_id", lit(10)) === 0, threshold = 0.5,
+          sigMaxDf = dial))
+      // both dials set → refused
+      an[IllegalArgumentException] should be thrownBy
+        MinHashLsh.nearDuplicates(df, "doc_id", "text",
+          threshold = 0.5, sigMaxDf = 3, candidateBudget = budget)
+    }
+    it("index candidateBudget: the RESOLVED dial freezes in params " +
+        "with the budget, probes band under it, and a rebuild under " +
+        "a different budget is refused") {
+      import graft.operators.NearDupIndex
+      val rnd = new scala.util.Random(31L)
+      val head = "nav nav nav menu menu footer footer footer"
+      val mk = (i: Long) => i ->
+        (head + " " + (0 until 20).map(_ => s"t${rnd.nextInt(3000)}")
+          .mkString(" "))
+      val base = (0L until 150L).map(mk).toDF("doc_id", "text")
+      val probe = ((151L until 180L).map(mk) :+
+        (200L -> (base.filter($"doc_id" === 149L)
+          .select("text").as[String].head() + " extra")))
+        .toDF("doc_id", "text")
+      val root = "/root/repo/target/test-scratch/neardup_index_budget"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val budget = 4000L
+      val p = NearDupIndex.build(base, "doc_id", "text", root,
+        threshold = 0.5, candidateBudget = budget)
+      p.candidateBudget shouldBe budget
+      val shBase = base.select($"doc_id",
+          sort_array(Dedup.shingleHashes($"text", 3)).as("sh"))
+        .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+      p.sigMaxDf shouldBe MinHashLsh.resolveSigMaxDf(shBase, budget)
+      p.sigMaxDf should be > 0
+      // params (incl. budget + resolved dial) round-trip the JSON
+      NearDupIndex.readParams(root) shouldBe p
+      // probe works through the budget-resolved frozen ban set and
+      // equals a probe against an explicit-dial twin index
+      val got = NearDupIndex.pairsAgainstIndex(spark, probe,
+          "doc_id", "text", root, threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      got should contain((149L, 200L))
+      val twinRoot =
+        "/root/repo/target/test-scratch/neardup_index_budget_twin"
+      val tp = new org.apache.hadoop.fs.Path(twinRoot)
+      tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(tp, true)
+      NearDupIndex.build(base, "doc_id", "text", twinRoot,
+        threshold = 0.5, sigMaxDf = p.sigMaxDf)
+      NearDupIndex.pairsAgainstIndex(spark, probe, "doc_id", "text",
+          twinRoot, threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect()
+        .toSet shouldBe got
+      // same corpus + same budget re-resolves identically → claim ok
+      NearDupIndex.build(base, "doc_id", "text", root,
+        threshold = 0.5, candidateBudget = budget)
+      // a different budget (even one resolving near the same dial
+      // family) is a params mismatch → refused loudly
+      val e = intercept[IllegalArgumentException] {
+        NearDupIndex.build(base, "doc_id", "text", root,
+          threshold = 0.5, candidateBudget = budget * 100)
+      }
+      e.getMessage should include("pinned")
+      // budget + explicit dial together → refused before any commit
+      an[IllegalArgumentException] should be thrownBy
+        NearDupIndex.build(base, "doc_id", "text", root,
+          threshold = 0.5, sigMaxDf = 5, candidateBudget = budget)
+      // legacy params (no candidateBudget key) parse as 0
+      val legacyRoot =
+        "/root/repo/target/test-scratch/neardup_index_budget_legacy"
+      val lp = new org.apache.hadoop.fs.Path(legacyRoot)
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      graft.sources.HardlinkCommitStore.tryCommit(
+        s"$legacyRoot/params", 1L,
+        """{"shingleN":3,"numHashes":64,"bands":32,"seed":42,"sigMaxDf":50,"portableHash":0}""") shouldBe true
+      NearDupIndex.readParams(legacyRoot).candidateBudget shouldBe 0L
     }
   }
 

@@ -303,14 +303,16 @@ def main():
     # after an oracle or data change.
     prev_spark = {}
     prev_floor = None
-    prev_tier = {"sf10": {}, "ov": {}}
+    prev_tier = {"sf1": {}, "sf10": {}, "ov": {}}
     if os.environ.get("BASELINE_MERGE", "1") != "0" and os.path.exists(OUT):
         import re
         prev_txt = open(OUT).read()
         # previous scaling-tier pins (same state machine as benchdiff)
         cur_tier = None
         for line in prev_txt.splitlines():
-            if line.startswith("## sf10 tier pins"):
+            if line.startswith("## sf1 tier pins"):
+                cur_tier = "sf1"
+            elif line.startswith("## sf10 tier pins"):
                 cur_tier = "sf10"
             elif line.startswith("## ov tier pins"):
                 cur_tier = "ov"
@@ -626,6 +628,11 @@ canon-dedup, band join) are priced like-for-like by the
         # other pin; data regeneration invalidates them (BASELINE_MERGE=0
         # and re-pin).
         tier_prose = {
+            "sf1": "6M-row closed-vocab tier (tools/gen_sf.py 1; the"
+                   " 19-row cross-SF headline subset restored in r16"
+                   " after the sf1 dir was silently dropped in r15 —"
+                   " Bench now emits a skipped marker and benchdiff"
+                   " fails on a pinned tier with no marker):",
             "sf10": "60M-row closed-vocab tier (tools/gen_sf.py 10; the"
                     " 12 heaviest non-dedup rows — the dedup family's"
                     " closed-vocab Σdf² makes it infeasible for ANY"
@@ -637,7 +644,7 @@ canon-dedup, band join) are priced like-for-like by the
                   " prices the repeated probe-an-existing-index"
                   " operation, its build is untimed fixture cost):",
         }
-        for tier in ("sf10", "ov"):
+        for tier in ("sf1", "sf10", "ov"):
             tq = {k: v
                   for k, v in (bench_meta.get(tier) or {})
                   .get("queries", {}).items() if v >= 0}

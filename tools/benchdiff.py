@@ -72,23 +72,42 @@ if m:
 # is multi-second).
 TIER_RATIO = float(opt("tier-ratio", "1.8"))
 TIER_SLACK = float(opt("tier-slack", "0.5"))
-tier_pins = {"sf10": {}, "ov": {}}
+TIERS = ("sf1", "sf10", "ov")
+tier_pins = {t: {} for t in TIERS}
 cur_tier = None
 for line in open("BASELINE.md"):
-    if line.startswith("## sf10 tier pins"):
-        cur_tier = "sf10"
-    elif line.startswith("## ov tier pins"):
-        cur_tier = "ov"
-    elif line.startswith("## "):
-        cur_tier = None
+    for t in TIERS:
+        if line.startswith(f"## {t} tier pins"):
+            cur_tier = t
+            break
+    else:
+        if line.startswith("## "):
+            cur_tier = None
     m2 = re.match(r"\|\s*([a-z0-9_:]+)\s*\|\s*([\d.]+)\s*\|\s*$", line)
     if cur_tier and m2 and m2.group(1) != "query":
         tier_pins[cur_tier][m2.group(1)] = float(m2.group(2))
 
-tier_regressions, tier_notes = [], []
-for tier in ("sf10", "ov"):
-    tqueries = (bench.get(tier) or {}).get("queries", {})
+# A pinned tier that is ABSENT from the bench run is a failure unless
+# the run marked the skip intentional ("only-subset run" — local
+# iteration; the driver always runs full). r15 lesson: sf1's dir was
+# deleted and the tier silently vanished from three artifacts with
+# benchdiff still exiting 0.
+tier_regressions, tier_notes, tier_absent = [], [], []
+for tier in TIERS:
+    tblock = bench.get(tier) or {}
+    tqueries = tblock.get("queries", {})
     pinned = tier_pins[tier]
+    skipped = tblock.get("skipped")
+    if pinned and not tqueries:
+        if skipped == "only-subset run":
+            tier_notes.append(f"{tier}: skipped ({skipped})")
+        else:
+            tier_absent.append(
+                f"{tier}: {len(pinned)} pins but tier "
+                + (f"skipped ({skipped})" if skipped else
+                   "absent from bench run (no skip marker — "
+                   "pre-marker binary?)"))
+        continue
     for name, sec in sorted(tqueries.items()):
         if sec < 0:
             continue
@@ -140,13 +159,18 @@ if tier_regressions:
           f"{TIER_RATIO}x + {TIER_SLACK}s:")
     for t, n, s, p in tier_regressions:
         print(f"  {t}:{n}: {s:.2f}s vs pin {p:.2f}s")
+if tier_absent:
+    print(f"\nTIER ABSENT ({len(tier_absent)}):")
+    for t in tier_absent:
+        print(f"  {t}")
 if tier_notes:
     print(f"\ntier notes: " + "; ".join(tier_notes))
 n_tier_pins = sum(len(v) for v in tier_pins.values())
-all_reg = regressions or tier_regressions
+all_reg = regressions or tier_regressions or tier_absent
 print(f"\n{'FAIL' if all_reg else 'ok'}: "
       f"{len(regressions)} regression(s) over {RATIO}x gate, "
-      f"{len(tier_regressions)} tier regression(s) "
+      f"{len(tier_regressions)} tier regression(s), "
+      f"{len(tier_absent)} pinned tier(s) absent "
       f"({sum(1 for _ in bqueries)} benched, {len(pins)} pinned, "
       f"{n_tier_pins} tier-pinned)")
 sys.exit(1 if all_reg else 0)
