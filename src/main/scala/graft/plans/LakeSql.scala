@@ -37,6 +37,9 @@ import graft.sources.AtomicLake
   *    vectors (Delta's REORG … APPLY (PURGE))
   *  - `UPDATE LAKE '<root>' SET c1 = e1, c2 = e2 WHERE <pred>` —
   *    copy-on-write row-level UPDATE
+  *  - `MERGE INTO LAKE '<root>' USING <view|(query)> ON <keys>
+  *    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    — keyed copy-on-write upsert (G26)
   *
   * Implemented as a delegating [[ParserInterface]]: statements
   * matching the grammar become `LeafRunnableCommand`s over the
@@ -90,6 +93,40 @@ object LakeSql {
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val CreateBloom: Regex =
     """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\(([^)]+)\)(?:\s+WITH\s+FPP\s+([0-9.eE+-]+))?\s*;?\s*""".r
+  private val MergeInto: Regex =
+    """(?is)\s*MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+USING\s+(\(.+\)|[\w.]+)\s+ON\s+(.+?)\s+WHEN\s+(.+?)\s*;?\s*""".r
+  // the ONE clause pair AtomicLake.merge implements (upsert-all);
+  // other Delta merge shapes are refused with the grammar named
+  private val MergeClauses: Regex =
+    """(?is)\s*MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+
+  /** MERGE ON clause → key column list. Accepts a bare column, a
+    * parenthesized list `(k1, k2)`, or a Delta-style AND chain of
+    * same-name equalities `t.k1 = s.k1 AND t.k2 = s.k2` (the merge
+    * API keys on shared column names, so differing names are refused
+    * with the constraint named).
+    */
+  private[plans] def mergeKeys(on: String): Seq[String] = {
+    val t = on.trim
+    val inner =
+      if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1)
+      else t
+    val Eq = """(?i)\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*""".r
+    val parts = inner.split("(?i)\\s+AND\\s+").toSeq
+    if (parts.forall(Eq.matches)) parts.map {
+      case Eq(a, b) =>
+        require(a.equalsIgnoreCase(b),
+          s"MERGE INTO LAKE keys join on shared column names; got " +
+            s"'$a = $b' — alias the source column to '$a' first")
+        a
+    } else {
+      val cols = inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty && cols.forall(_.matches("\\w+")),
+        s"MERGE INTO LAKE: cannot parse ON clause '$on' — use " +
+          "ON (k1, k2, …) or ON t.k = s.k [AND …]")
+      cols
+    }
+  }
 
   /** Some(command plan) when `sqlText` is lake-maintenance DDL. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -133,6 +170,12 @@ object LakeSql {
       Some(CreateBloomIndexCommand(root,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         Option(fpp).map(_.toDouble).getOrElse(0.01)))
+    case MergeInto(root, source, on, clauses) =>
+      require(MergeClauses.matches(clauses),
+        "MERGE INTO LAKE supports exactly `WHEN MATCHED THEN UPDATE " +
+          "SET * WHEN NOT MATCHED THEN INSERT *` (the keyed-upsert " +
+          s"core); got 'WHEN $clauses'")
+      Some(MergeIntoLakeCommand(root, source.trim, mergeKeys(on)))
     case _ => None
   }
 
@@ -362,6 +405,34 @@ case class UpdateLakeCommand(root: String, sets: String,
     }
     val r = AtomicLake.updateWhere(spark, root, assignments)(
       org.apache.spark.sql.functions.expr(predicate))
+    Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
+  }
+}
+
+/** MERGE INTO LAKE '<root>' USING <view|(query)> ON <keys>
+  * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+  * the SQL spelling of [[AtomicLake.merge]] (G26): the reference
+  * operates its lakehouse entirely through `con.sql(...)`, and merge
+  * was the one mutation without one. The source is a registered
+  * temp view/table name or a parenthesized query (planned by the
+  * session's normal parser at run time). Only the upsert-all clause
+  * pair is accepted — that is the semantics the keyed copy-on-write
+  * merge implements; richer Delta clause shapes are refused at parse
+  * time with the grammar named, never silently approximated. Returns
+  * (version, rows_matched, files_rewritten).
+  */
+case class MergeIntoLakeCommand(root: String, source: String,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    LakeSql.attr("version", LongType),
+    LakeSql.attr("rows_matched", LongType),
+    LakeSql.attr("files_rewritten", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src =
+      if (source.startsWith("("))
+        spark.sql(source.drop(1).dropRight(1))
+      else spark.table(source)
+    val r = AtomicLake.merge(spark, root, src, keyCols)
     Seq(Row(r.version, r.rowsChanged, r.filesRewritten))
   }
 }

@@ -623,7 +623,14 @@ object BronzeQueries {
         .unionByName(hit
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
           .withColumn("o_totalprice", col("o_totalprice") + 1))
-      graft.sources.AtomicLake.merge(s, scratch, src, Seq("o_orderkey"))
+      // driven through the SQL spelling (r16, G26's last gap: the
+      // reference operates its lakehouse entirely via con.sql) — the
+      // gate now exercises parse → command → AtomicLake.merge
+      // end-to-end; LakeSqlSpec proves SQL ≡ API on planted data
+      src.createOrReplaceTempView("graft_merge_upsert_src")
+      s.sql(s"MERGE INTO LAKE '$scratch' USING graft_merge_upsert_src " +
+        "ON (o_orderkey) WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
       graft.sources.AtomicLake.read(s, scratch)
         .groupBy(col("o_month"))
         .agg(count(lit(1)).as("n_orders"),

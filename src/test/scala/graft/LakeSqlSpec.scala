@@ -99,6 +99,62 @@ class LakeSqlSpec extends SparkSpec {
         Set((101, 2.0), (102, 4.0), (103, 6.0))
     }
 
+    it("MERGE INTO LAKE upserts through a temp view and equals the " +
+        "Scala API result (r16, G26's SQL spelling)") {
+      val rows = (1 to 10).map(i => (i.toLong, s"v$i"))
+      val rootSql = freshRoot("merge_sql")
+      val rootApi = freshRoot("merge_api")
+      AtomicLake.append(rows.toDF("k", "v"), rootSql)
+      AtomicLake.append(rows.toDF("k", "v"), rootApi)
+      // 3 updates + 2 inserts
+      val src = Seq((1L, "u1"), (2L, "u2"), (3L, "u3"),
+        (11L, "n11"), (12L, "n12")).toDF("k", "v")
+      src.createOrReplaceTempView("merge_sql_src")
+      val r = spark.sql(s"MERGE INTO LAKE '$rootSql' " +
+          "USING merge_sql_src ON (k) " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        .as[(Long, Long, Int)].head()
+      r._2 shouldBe 3L // rows_matched
+      AtomicLake.merge(spark, rootApi, src, Seq("k"))
+      val got = AtomicLake.read(spark, rootSql)
+        .as[(Long, String)].collect().toSet
+      got shouldBe AtomicLake.read(spark, rootApi)
+        .as[(Long, String)].collect().toSet
+      got should contain allOf ((1L, "u1"), (11L, "n11"), (10L, "v10"))
+    }
+    it("MERGE INTO LAKE takes a subquery source and a Delta-style ON " +
+        "equality chain; unsupported clause shapes are refused") {
+      val root = freshRoot("merge_sql2")
+      AtomicLake.append(
+        (1 to 6).map(i => (i.toLong, i * 10.0)).toDF("k", "v"), root)
+      spark.range(4, 9)
+        .selectExpr("id AS k", "CAST(id * 100.0 AS DOUBLE) AS v")
+        .createOrReplaceTempView("merge_sql2_src")
+      spark.sql(s"MERGE INTO LAKE '$root' " +
+        "USING (SELECT k, v FROM merge_sql2_src WHERE k <= 7) " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+      AtomicLake.read(spark, root).as[(Long, Double)].collect()
+        .toSet shouldBe Set((1L, 10.0), (2L, 20.0), (3L, 30.0),
+        (4L, 400.0), (5L, 500.0), (6L, 600.0), (7L, 700.0))
+      // a clause shape the keyed upsert does not implement → loud
+      val e = intercept[IllegalArgumentException] {
+        spark.sql(s"MERGE INTO LAKE '$root' USING merge_sql2_src " +
+          "ON (k) WHEN MATCHED THEN DELETE")
+      }
+      e.getMessage should include("UPDATE SET *")
+      // ON equating DIFFERENT column names → refused with the
+      // constraint named (merge keys on shared names)
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql(s"MERGE INTO LAKE '$root' USING merge_sql2_src " +
+          "ON t.k = s.kk WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      e2.getMessage should include("shared column names")
+    }
+
     it("plain DELETE FROM (no LAKE keyword) delegates to Spark") {
       // parses as normal Spark SQL and fails on the unknown table —
       // NOT on the lake surface

@@ -510,6 +510,28 @@ dedup_index_cross 1.287 → 1.213, dedup_index_cross_capped
 work landing (the jaccard pair-agg pin, the one-pass curation scoring,
 and the broadcast probe shape — SURVEY §5.2), not drift.
 
+r16 adjudication of the r15 VERDICT's tier-gate failure (the round's
+one red signal): the driver's r15 bench recorded er_fuzzy_names@sf10
+164.59 s (pin 26.45, 6.2×) and silver_dim_customer@sf10 15.27 s (pin
+4.14, 3.7×). Re-measured in r16 — full bench in-suite cold
+31.37 / 5.09 s (1.19× / 1.23×, the session's broad floor-drift
+ballpark), and solo fresh-JVM cold min-of-3 via
+`tools/jrun.sh graft.tools.SoloTime testdata/sf10 …` 38.94 / 7.23 s
+(fresh-JVM numbers carry unamortized JIT the in-suite pins don't).
+Neither row's code path changed r14→r15 (Silver.scala untouched all
+round; Dedup.scala's one r15 change is ngramJaccard's pair-agg pin,
+not the blocked-ER kernel at :288). Verdict: the 6.2×/3.7× was a
+driver-environment burst, not a regression — pins stand; grade future
+flags on these rows against this note. The r15 main-tier flag
+dedup_components (0.714 vs 0.280) and the three ~1.4× drift rows
+re-measured quiet the same way (min-of-3 SPARK_GRAFT_ONLY, r16
+session floor 0.386 vs the 0.185 pin floor — the box itself runs ~2×
+slower at the floor than the pin sessions): dedup_components 0.391,
+dedup_semantic 0.516, lake_merge_upsert 0.989, lake_schema_evolution
+1.238, mm_audio_dups 1.64 — every row inside the floor-scaled
+envelope, no row-specific regression, no slow-side re-pins taken
+(min-merge policy).
+
 | query | duckdb_sec | spark_sec | rows |
 |---|---|---|---|
 """)

@@ -51,8 +51,13 @@ OPEN_VOCAB = "--open-vocab" in sys.argv
 # open-vocab decade (5M docs) only feeds the dedup ladder, and
 # sf100's lineitem (600M rows) would dwarf it for no consumer.
 DOCS_ONLY = "--docs-only" in sys.argv
+# --emb-only (r16): emit just embeddings.parquet — the ANN scaling
+# ladder's decade tiers (100k -> 1M vectors at sf 12.5 / 125) feed
+# only the vector family; the rest of an sf125 tier would be ~75 GB
+# of lineitem for no consumer.
+EMB_ONLY = "--emb-only" in sys.argv
 argv = [a for a in sys.argv
-        if a not in ("--open-vocab", "--docs-only")]
+        if a not in ("--open-vocab", "--docs-only", "--emb-only")]
 SF = float(argv[1]) if len(argv) > 1 else 1.0
 OUT = (argv[2] if len(argv) > 2
        else f"/root/repo/testdata/sf{SF:g}" + ("ov" if OPEN_VOCAB else ""))
@@ -73,7 +78,7 @@ def ts_us(arr_us, base="2024-01-01"):
     base_us = np.datetime64(base, "us").astype("int64")
     return (base_us + arr_us).astype("datetime64[us]")
 
-if not DOCS_ONLY:
+if not DOCS_ONLY and not EMB_ONLY:
     # ---- region / nation (fixed) ----
     write("region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
@@ -178,7 +183,7 @@ if not DOCS_ONLY:
         "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, n_ev)]}))
 
 # ---- documents ----
-n_doc = int(50_000 * SF)
+n_doc = 0 if EMB_ONLY else int(50_000 * SF)
 g = rng("documents")
 vocab = np.array([
     "spark", "window", "merge", "table", "column", "vector", "stream",
@@ -234,14 +239,15 @@ langs = np.array(["en", "de", "es", "fr", "zh"])
 # closed vocab: independent draw, as always
 lang_col = (langs_choice if OPEN_VOCAB
             else langs[g.choice(5, n_doc, p=[0.4, 0.15, 0.15, 0.15, 0.15])])
-write("documents", pa.table({
-    "doc_id": pa.array(range(n_doc), pa.int64()),
-    "text": texts,
-    "lang": pa.array(lang_col),
-    "source": [f"src{i % 20}" for i in range(n_doc)],
-    "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+if not EMB_ONLY:
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(lang_col),
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
-if not DOCS_ONLY:
+if not DOCS_ONLY or EMB_ONLY:
     # ---- embeddings ----
     n_emb = {0.001: 500, 0.01: 500, 0.1: 2000}.get(SF, int(8000 * SF))
     g = rng("embeddings")
