@@ -278,6 +278,16 @@ object Bench {
             graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
               "text", threshold = 0.5, maxBucket = 1000,
               sigMaxDf = 1000).count()),
+          // r16 candidate-budget form, same fixed budget as the §5.2
+          // ladder (OvBench): at this 50k tier the whole pair mass
+          // fits 1.6e9 so the dial resolves 0 (banning off) — the row
+          // prices the census+resolve pass on top of the maxBucket
+          // config, and the SCALE behavior (dial tightening to ~200
+          // at 5M) is the ladder's measurement
+          "ov_dedup_minhash_budget" -> (() =>
+            graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
+              "text", threshold = 0.5, maxBucket = 1000,
+              candidateBudget = 1600000000L).count()),
           "ov_dedup_simhash_ngram" -> (() =>
             graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
               "text", maxDist = 3, chunks = 4, nGram = 3,
@@ -320,6 +330,87 @@ object Bench {
         s""","ov":{"dir":${jstr(ovDir)},"queries":$qs}"""
     }
 
+    // ---- vector (ANN) tier (r16) --------------------------------------
+    // The vector family priced at index-worthy scale each round: the
+    // 100k-vector tier (gen_sf.py --emb-only 12.5) with a
+    // REGRESSION-SIZED geometry — nlist=64, nInit=2 — so the tier
+    // costs ~1 min, not the §5.3 ladder's full production build
+    // (nlist=sqrt(n), best-of-10: 338 s at 100k, quantizer-training
+    // dominated; VecBench measures that curve with recall referees).
+    // The probe rows serve from the tier-built persisted indexes;
+    // geometry is pinned so timings are like-for-like across rounds.
+    val vecDir = sys.env.getOrElse("SPARK_GRAFT_VEC_DIR",
+      "/root/repo/testdata/vec100k")
+    val vecSkip = tierSkip(vecDir, "embeddings.parquet")
+    val vecTimings: Seq[(String, Double)] =
+      if (vecSkip.isDefined) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        import graft.operators.VectorIndex
+        def emb() = graft.sources.Tables.embeddings(spark, vecDir)
+        def vq() = emb().filter(pmod(col("vec_id"), lit(390)) === 0)
+        val vroot = "/root/repo/target/vecbench_tier_" +
+          vecDir.replaceAll("[^A-Za-z0-9.]", "_")
+        def fresh(sub: String): String = {
+          val r = s"$vroot/$sub"
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          r
+        }
+        val rows: Seq[(String, () => Long)] = Seq(
+          "vec_ivf_build" -> (() => {
+            VectorIndex.build(emb(), "vec_id", "embedding",
+              fresh("ivf"), nlist = 64, nInit = 2)
+            1L
+          }),
+          "vec_ivf_probe" -> (() =>
+            VectorIndex.topK(spark, vq(), "vec_id", "embedding",
+              s"$vroot/ivf", k = 10, nprobe = 8).count()),
+          "vec_sq_build" -> (() => {
+            VectorIndex.buildSq(emb(), "vec_id", "embedding",
+              fresh("sq"), nlist = 64, nInit = 2)
+            1L
+          }),
+          "vec_sq_probe" -> (() =>
+            VectorIndex.topKSq(spark, vq(), emb(), "vec_id",
+              "embedding", s"$vroot/sq", k = 10, nprobe = 8,
+              refine = 4).count()),
+          "vec_ivf_append10k" -> (() => {
+            val d = 64
+            import org.apache.spark.sql.functions._
+            val batch = spark.range(10000).select(
+              (col("id") + 10000000L).as("vec_id"),
+              transform(sequence(lit(0), lit(d - 1)), j =>
+                (pmod(xxhash64(col("id") * lit(d) + j), lit(100000L))
+                  .cast("double") / 50000.0 - 1.0).cast("float"))
+                .as("embedding"))
+            VectorIndex.append(spark, batch, "vec_id", "embedding",
+              s"$vroot/ivf")
+          }))
+        rows.map { case (name, f) =>
+          try {
+            val t0 = System.nanoTime()
+            f()
+            val s = (System.nanoTime() - t0) / 1e9
+            System.gc()
+            name -> s
+          } catch { case e: Throwable =>
+            errors(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+            name -> -1.0
+          }
+        }
+      }
+    val vecJson = vecSkip match {
+      case Some(why) =>
+        s""","vec":{"dir":${jstr(vecDir)},"skipped":${jstr(why)}}"""
+      case None =>
+        val qs = vecTimings.map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString("{", ",", "}")
+        s""","vec":{"dir":${jstr(vecDir)},"queries":$qs}"""
+    }
+
     // ---- streaming throughput tier (r14) ------------------------------
     // Rows/sec per exactly-once sink + backlog catch-up pacing (see
     // StreamBench). Skipped for SPARK_GRAFT_ONLY iteration runs and
@@ -355,7 +446,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = timings.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json$sf10Json$ovJson$streamJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"prepare_sec":$prepare,"floor_sec":$floor,"floor_end_sec":$floorEnd,"noisy":$noisyAny,"sf":${jstr(sfDir)}$sf1Json$sf10Json$ovJson$vecJson$streamJson}"""
 
     // ---- compact stdout twin ------------------------------------------
     // The FULL json above (~4 KB for 121 queries) overflows the
@@ -394,6 +485,11 @@ object Bench {
        else {
          val okOv = ovTimings.filter(_._2 >= 0)
          s""""ov_total":${r3(okOv.map(_._2).sum)},"ov_n":${okOv.size},"""
+       }) +
+      (if (vecTimings.isEmpty) ""
+       else {
+         val okV = vecTimings.filter(_._2 >= 0)
+         s""""vec_total":${r3(okV.map(_._2).sum)},"vec_n":${okV.size},"""
        }) +
       (if (streamTiers.isEmpty) ""
        else s""""stream_n":${streamTiers.size},""") +

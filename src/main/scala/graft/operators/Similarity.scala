@@ -36,10 +36,40 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cosine"))
+    topKPerQuery(scored, "cosine", k)
+  }
+
+  /** Per-query top-k rank over a scored candidate frame — the shared
+    * ranking tail of every ANN path. TWO-LEVEL by design (r16, the
+    * §5.3 ladder's biggest single finding): a plain
+    * `row_number() OVER (PARTITION BY query_id ORDER BY …)` makes
+    * WindowExec buffer each query's ENTIRE candidate group and spill
+    * past the ~4k-row threshold — measured at the 257-query × 1M
+    * brute sweep, 930 of the 1002 s wall was this one spilling
+    * window (scoring alone: 73 s). Bucketing the pre-rank by
+    * `pmod(cand_id, buckets)` keeps every sorted group at
+    * candidates/buckets rows (spill-free at ladder scale) and prunes
+    * the final exact rank's input to ≤ buckets·k rows per query.
+    *
+    * Bit-identical to the single-level form (spec-gated): the order
+    * (score desc, cand_id asc) is total, every global top-k row is
+    * top-k within its own bucket, and the final rank re-ranks the
+    * surviving superset under the same total order. Cost on TINY
+    * inputs is one extra ~‰-sized exchange — noise next to the spill
+    * it removes at scale.
+    */
+  private[graft] def topKPerQuery(scored: DataFrame,
+      scoreCol: String, k: Int, rankCol: String = "rank",
+      buckets: Int = 256): DataFrame = {
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(col("cand_id"), lit(buckets)))
+      .orderBy(col(scoreCol).desc, col("cand_id"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .orderBy(col(scoreCol).desc, col("cand_id"))
+    scored.withColumn("__bk", row_number().over(w1))
+      .filter(col("__bk") <= k).drop("__bk")
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs: corpus vectors whose
@@ -196,7 +226,7 @@ object Similarity {
 
   private val ivfMemo =
     new graft.sources.SessionMemo[
-      (String, String, String, Int, Long, Int),
+      (String, String, String, Int, Long, Int, Int),
       IvfIndex](maxPerSession = 4,
         onEvict = _.corpusCells.unpersist(blocking = false))
 
@@ -224,18 +254,26 @@ object Similarity {
 
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long, corpusTag: String = "",
-      trainCap: Int = 65536): IvfIndex = {
+      trainCap: Int = 65536, nInit: Int = 10): IvfIndex = {
     def build: IvfIndex = {
       val train = canonicalTrainFeed(corpus, idCol, Seq(
         array_to_vector(unit(col(vecCol)).cast("array<double>"))
           .as("features")), trainCap).cache()
-      // coarse quantizer with the C8 restart discipline: 10 seeded
+      // coarse quantizer with the C8 restart discipline: nInit seeded
       // fits, lowest inertia wins (Clustering.bestOfFits) — a single
       // fit can land on a poor local optimum and cost measurable
       // probe recall; restarts on the bounded cached feed are cheap
-      // next to the corpus-sized cell-assignment pass
+      // next to the corpus-sized cell-assignment pass at SMALL nlist.
+      // nInit is a dial (r16, the §5.3 ladder finding): at ladder
+      // geometry (nlist ~ sqrt(corpus), 256-1024 cells) training is
+      // 10 × nlist × trainCap × iters flops and DOMINATES the build —
+      // 338 s of a 100k-vector build was the 10-restart fit. FAISS
+      // ships nredo=1 for exactly this reason; keep 10 where the
+      // quality/determinism discipline is worth 10× train cost,
+      // drop to 1-2 at large nlist (centroids freeze in the index
+      // params either way, so geometry stays pinned).
       val model =
-        try Clustering.bestOfFits(train, nlist, seed, nInit = 10)
+        try Clustering.bestOfFits(train, nlist, seed, nInit = nInit)
         finally train.unpersist(blocking = false)
       // centroids: O(nlist) doubles on the driver — shipped to
       // executors as an expression literal, never a join side
@@ -253,7 +291,7 @@ object Similarity {
     }
     if (corpusTag.isEmpty) build
     else ivfMemo.getOrElseUpdate(corpus.sparkSession,
-      (corpusTag, idCol, vecCol, nlist, seed, trainCap))(build)
+      (corpusTag, idCol, vecCol, nlist, seed, trainCap, nInit))(build)
   }
 
   /** IVF-bucketed ANN: KMeans coarse quantizer, probe the `nprobe`
@@ -280,10 +318,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, "cosine", k)
   }
 
   // ---- IVF-PQ: product-quantized ANN (E6b) --------------------------
@@ -322,9 +357,10 @@ object Similarity {
     */
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      corpusTag: String = ""): PqIndex = {
+      corpusTag: String = "", nInit: Int = 10): PqIndex = {
     def build: PqIndex = {
-      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag,
+        nInit = nInit)
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"pqIndex: dim $dim not divisible by m=$m")
       val dsub = dim / m
@@ -418,10 +454,11 @@ object Similarity {
   private def shortlistRefine(approx: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       refine: Int): DataFrame = {
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cosine").desc, col("cand_id"))
-    val short = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= k * refine)
+    // corpus-sized approx ranking — the two-level spill-free form;
+    // the exact re-rank below stays single-level (its input is the
+    // <= k*refine shortlist per query, bounded)
+    val short = topKPerQuery(approx, "approx_cosine", k * refine,
+        rankCol = "arank")
       .select(col("query_id"), col("cand_id"))
     val cand = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))
@@ -469,9 +506,10 @@ object Similarity {
     */
   def rpqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      corpusTag: String = ""): PqIndex = {
+      corpusTag: String = "", nInit: Int = 10): PqIndex = {
     def build: PqIndex = {
-      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag,
+        nInit = nInit)
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"rpqIndex: dim $dim not divisible by m=$m")
       val dsub = dim / m
@@ -603,10 +641,11 @@ object Similarity {
     * (cand_id, cell, codes BINARY, cn), one map-side encode pass.
     */
   def sqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L, corpusTag: String = "")
-      : SqIndex = {
+      nlist: Int = 16, seed: Long = 42L, corpusTag: String = "",
+      nInit: Int = 10): SqIndex = {
     def build: SqIndex = {
-      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag)
+      val ivf = ivfIndex(corpus, idCol, vecCol, nlist, seed, corpusTag,
+        nInit = nInit)
       val (lo, hi) = unitBounds(corpus, vecCol)
       val loLit = typedLit(lo.toSeq)
       val hiLit = typedLit(hi.toSeq)

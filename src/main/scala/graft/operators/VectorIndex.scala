@@ -143,7 +143,7 @@ object VectorIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       root: String, nlist: Int = 16, seed: Long = 42L,
-      filesPerPartition: Int = 1,
+      filesPerPartition: Int = 1, nInit: Int = 10,
       store: CommitStore = HardlinkCommitStore): Params = {
     import corpus.sparkSession.implicits._
     val dim = corpus.select(col(vecCol)).na.drop()
@@ -164,8 +164,11 @@ object VectorIndex {
           array_to_vector(Similarity.unit(col(vecCol))
             .cast("array<double>")).as("features")),
           trainCap = 65536).cache()
+        // nInit: see Similarity.ivfIndex — the restart count is a
+        // training dial, not geometry (the resulting centroids
+        // freeze in the params and the claim compares them)
         val model =
-          try Clustering.bestOfFits(train, nlist, seed, nInit = 10)
+          try Clustering.bestOfFits(train, nlist, seed, nInit = nInit)
           finally train.unpersist(blocking = false)
         Params(nlist, seed, dim,
           model.clusterCenters.map(_.toArray.toSeq).toSeq)
@@ -231,10 +234,7 @@ object VectorIndex {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.topKPerQuery(scored, "cosine", k)
   }
 
   /** (files planned, files total) for a probe of `cells` — the
@@ -405,6 +405,7 @@ object VectorIndex {
       root: String, nlist: Int = 16, m: Int = 8, ks: Int = 16,
       seed: Long = 42L, filesPerPartition: Int = 1,
       residual: Boolean = false, opq: Boolean = false,
+      nInit: Int = 10,
       store: CommitStore = HardlinkCommitStore): PqParams = {
     require(!opq || residual,
       "opq composes with residual coding (Similarity.opqTopK's shape)")
@@ -426,9 +427,9 @@ object VectorIndex {
           else corpus
         val idx =
           if (residual) Similarity.rpqIndex(feed, idCol, vecCol,
-            nlist, m, ks, seed)
+            nlist, m, ks, seed, nInit = nInit)
           else Similarity.pqIndex(feed, idCol, vecCol, nlist, m,
-            ks, seed)
+            ks, seed, nInit = nInit)
         PqParams(Params(nlist, seed, dim, idx.centroids), m, ks,
           idx.books, residual, rotation)
       }
@@ -523,10 +524,11 @@ object VectorIndex {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (if (p.residual) adc else adc / (col("qn") * col("cn")))
           .as("approx_cosine"))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cosine").desc, col("cand_id"))
-    val short = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= k * refine)
+    // two-level corpus-sized approx ranking (Similarity.topKPerQuery
+    // — the spilling-window §5.3 finding); exact refine below stays
+    // single-level on the bounded shortlist
+    val short = Similarity.topKPerQuery(approx, "approx_cosine",
+        k * refine, rankCol = "arank")
       .select(col("query_id"), col("cand_id"))
     val cand = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))
@@ -655,7 +657,7 @@ object VectorIndex {
     */
   def buildSq(corpus: DataFrame, idCol: String, vecCol: String,
       root: String, nlist: Int = 16, seed: Long = 42L,
-      filesPerPartition: Int = 1,
+      filesPerPartition: Int = 1, nInit: Int = 10,
       store: CommitStore = HardlinkCommitStore): SqParams = {
     import corpus.sparkSession.implicits._
     val dim = corpus.select(col(vecCol)).na.drop()
@@ -664,7 +666,7 @@ object VectorIndex {
       if (existsSq(root, store)) readSqParams(root, store)
       else {
         val idx = Similarity.sqIndex(corpus, idCol, vecCol, nlist,
-          seed)
+          seed, nInit = nInit)
         SqParams(Params(nlist, seed, dim, idx.centroids), idx.vmin,
           idx.vmax)
       }
@@ -727,10 +729,11 @@ object VectorIndex {
         graft.expressions.NativeKernels
           .sq8DotCol(col("uq"), col("codes"), loLit, hiLit)
           .as("approx_cosine"))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cosine").desc, col("cand_id"))
-    val short = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= k * refine)
+    // two-level corpus-sized approx ranking (Similarity.topKPerQuery
+    // — the spilling-window §5.3 finding); exact refine below stays
+    // single-level on the bounded shortlist
+    val short = Similarity.topKPerQuery(approx, "approx_cosine",
+        k * refine, rankCol = "arank")
       .select(col("query_id"), col("cand_id"))
     val cand = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).as("cv"), VectorFns.norm(col(vecCol)).as("cn"))

@@ -61,6 +61,18 @@ object OvBench {
           "text", threshold = 0.5, maxBucket = 1000,
           sigMaxDf = sys.env.getOrElse("SPARK_GRAFT_OV_SIGDF", "1000")
             .toInt).count()),
+      // r16 candidate-budget form: ONE budget across every tier —
+      // 1.6e9 kept-pair-mass, picked from the 5M dial census
+      // (LadderProbe --dial-census: mass(df<=200)=1.513e9 at 5M, so
+      // the dial resolves to ~200 there — the measured 2.45×-faster /
+      // 99.74%-retention point — while smaller tiers resolve looser
+      // automatically). SPARK_GRAFT_OV_BUDGET overrides for sweeps.
+      "ov_dedup_minhash_budget" -> (() =>
+        graft.operators.MinHashLsh.nearDuplicates(docs(), "doc_id",
+          "text", threshold = 0.5, maxBucket = 1000,
+          candidateBudget = sys.env
+            .getOrElse("SPARK_GRAFT_OV_BUDGET", "1600000000").toLong)
+          .count()),
       "ov_dedup_simhash_ngram" -> (() =>
         graft.operators.SimHash.nearDuplicates(docs(), "doc_id",
           "text", maxDist = 3, chunks = 4, nGram = 3,

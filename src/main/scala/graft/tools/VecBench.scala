@@ -32,6 +32,17 @@ object VecBench {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-vecbench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_VEC_SPLIT_MB: cap parquet split bytes for the run.
+    // The tier corpus is ONE snappy file (250 MB at 1M vectors), so
+    // the default 128 MB maxPartitionBytes yields 2 scan splits — and
+    // the brute-force row (64 flops × corpus per query row, CPU-dense)
+    // runs on 2 of 32 cores. Bytes-based splitting underestimates
+    // CPU-dense scans; at 100 TB the file COUNT provides parallelism,
+    // on a one-file fixture the split size must. Measured: the 1M
+    // brute row 1370 s at default splits vs the re-run below.
+    sys.env.get("SPARK_GRAFT_VEC_SPLIT_MB").foreach(mb =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (mb.toLong << 20).toString))
     import graft.operators.{Similarity, VectorIndex}
     import spark.implicits._
 
@@ -41,12 +52,18 @@ object VecBench {
       Integer.highestOneBit(math.sqrt(n.toDouble).toInt))
     val nprobe = sys.env.get("SPARK_GRAFT_VEC_NPROBE").map(_.toInt)
       .getOrElse(math.max(3, nlist / 16))
+    // restart dial for the quantizer fits (see Similarity.ivfIndex):
+    // the ladder's default keeps the production best-of-10 discipline;
+    // SPARK_GRAFT_VEC_NINIT=1 prices the FAISS-default single fit
+    val nInit = sys.env.get("SPARK_GRAFT_VEC_NINIT").map(_.toInt)
+      .getOrElse(10)
     val k = 10
     // deterministic ~256-query probe batch spread over the id range
     val qStep = math.max(1L, n / 256L)
     def queries() = emb().filter(pmod(col("vec_id"), lit(qStep)) === 0)
     val nq = queries().count()
-    println(s"corpus=$n queries=$nq nlist=$nlist nprobe=$nprobe k=$k")
+    println(s"corpus=$n queries=$nq nlist=$nlist nprobe=$nprobe " +
+      s"k=$k nInit=$nInit")
 
     val idxRoot = s"/root/repo/target/vecbench_idx_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -90,6 +107,27 @@ object VecBench {
     }
 
     val rows: Seq[(String, () => (Long, String))] = Seq(
+      // diagnostic: the SCORING half of the brute row alone (cross
+      // join + dot/cosine + count, no top-k window) — attributes the
+      // brute wall between the O(nq·n) scoring sweep and the
+      // 257M-row window sort downstream
+      "vec_brute_score" -> (() => {
+        import graft.functions.VectorFns
+        val q = queries().select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"),
+          VectorFns.norm(col("embedding")).as("qn"))
+        val c = emb().select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv"),
+          VectorFns.norm(col("embedding")).as("cn"))
+        val nOut = c.crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
+              col("qn"), col("cn")).as("cosine"))
+          .filter(col("cosine") > 2.0) // never true: forces full eval
+          .count()
+        (nOut, "scoring only")
+      }),
       "vec_brute_topk" -> (() => {
         val out = Similarity.bruteForceTopK(emb(), queries(),
           "vec_id", "embedding", k)
@@ -99,7 +137,7 @@ object VecBench {
       "vec_ivf_build" -> (() => {
         fresh("ivf")
         VectorIndex.build(emb(), "vec_id", "embedding", ivfRoot,
-          nlist = nlist)
+          nlist = nlist, nInit = nInit)
         (graft.sources.AtomicLake.read(spark, s"$ivfRoot/cells")
           .count(), "")
       }),
@@ -111,7 +149,8 @@ object VecBench {
       "vec_pq_build" -> (() => {
         fresh("pq")
         VectorIndex.buildPq(emb(), "vec_id", "embedding", pqRoot,
-          nlist = nlist, m = 8, ks = 16, residual = true)
+          nlist = nlist, m = 8, ks = 16, residual = true,
+          nInit = nInit)
         (graft.sources.AtomicLake.read(spark, s"$pqRoot/codes")
           .count(), "")
       }),
@@ -124,7 +163,7 @@ object VecBench {
       "vec_sq_build" -> (() => {
         fresh("sq")
         VectorIndex.buildSq(emb(), "vec_id", "embedding", sqRoot,
-          nlist = nlist)
+          nlist = nlist, nInit = nInit)
         (graft.sources.AtomicLake.read(spark, s"$sqRoot/sq_codes")
           .count(), "")
       }),

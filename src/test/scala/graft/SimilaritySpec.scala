@@ -24,6 +24,30 @@ class SimilaritySpec extends SparkSpec {
         .select("cosine").as[Double].collect()
       byRank.sliding(2).forall(p => p(0) >= p(1)) shouldBe true
     }
+    it("topKPerQuery (two-level bucketed rank) equals the " +
+        "single-level window bit-for-bit, ties included (r16)") {
+      // planted TIES: scores drawn from a tiny set so many candidates
+      // share a score and the cand_id tiebreak decides — the exact
+      // case where a buggy two-level rank would diverge. Buckets
+      // forced tiny (3) so every bucket boundary is exercised.
+      val scored = (0L until 4L).flatMap { q =>
+        (0L until 500L).map(c =>
+          (q, c, (c * 7 % 5).toDouble / 10.0))
+      }.toDF("query_id", "cand_id", "cosine")
+      val twoLevel = Similarity.topKPerQuery(scored, "cosine", 7,
+          buckets = 3)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"cand_id")
+      val oneLevel = scored.withColumn("rank",
+          row_number().over(w)).filter($"rank" <= 7)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      twoLevel shouldBe oneLevel
+      twoLevel.size shouldBe 4 * 7
+    }
   }
 
   describe("unit kernel") {

@@ -303,7 +303,7 @@ def main():
     # after an oracle or data change.
     prev_spark = {}
     prev_floor = None
-    prev_tier = {"sf1": {}, "sf10": {}, "ov": {}}
+    prev_tier = {"sf1": {}, "sf10": {}, "ov": {}, "vec": {}}
     if os.environ.get("BASELINE_MERGE", "1") != "0" and os.path.exists(OUT):
         import re
         prev_txt = open(OUT).read()
@@ -312,6 +312,8 @@ def main():
         for line in prev_txt.splitlines():
             if line.startswith("## sf1 tier pins"):
                 cur_tier = "sf1"
+            elif line.startswith("## vec tier pins"):
+                cur_tier = "vec"
             elif line.startswith("## sf10 tier pins"):
                 cur_tier = "sf10"
             elif line.startswith("## ov tier pins"):
@@ -666,7 +668,7 @@ canon-dedup, band join) are priced like-for-like by the
                   " prices the repeated probe-an-existing-index"
                   " operation, its build is untimed fixture cost):",
         }
-        for tier in ("sf1", "sf10", "ov"):
+        for tier in ("sf1", "sf10", "ov", "vec"):
             tq = {k: v
                   for k, v in (bench_meta.get(tier) or {})
                   .get("queries", {}).items() if v >= 0}

@@ -72,7 +72,7 @@ if m:
 # is multi-second).
 TIER_RATIO = float(opt("tier-ratio", "1.8"))
 TIER_SLACK = float(opt("tier-slack", "0.5"))
-TIERS = ("sf1", "sf10", "ov")
+TIERS = ("sf1", "sf10", "ov", "vec")
 tier_pins = {t: {} for t in TIERS}
 cur_tier = None
 for line in open("BASELINE.md"):

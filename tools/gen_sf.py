@@ -67,9 +67,20 @@ def rng(name):
     # crc32, not hash(): python's str hash is salted per process
     return np.random.default_rng([42, zlib.crc32(name.encode())])
 
+# Bounded row groups (r16): pyarrow's default writes up to 1Mi rows
+# per row group, and a Spark scan CANNOT split inside a row group —
+# byte-range splits assign each whole group to the split holding its
+# midpoint. vec1m's single-group embeddings file serialized every
+# scan to ONE task of 32 (measured: the 257×1M brute ANN sweep was
+# single-core; sf100ov's 5M docs got 5-way parallelism for the whole
+# §5.2 ladder). Production corpora have many files; a generated
+# one-file tier must carry the parallelism in its row groups.
+ROW_GROUP_ROWS = {"embeddings": 32768, "documents": 262144}
+
 def write(name, table):
     path = os.path.join(OUT, f"{name}.parquet")
-    pq.write_table(table, path, compression="snappy")
+    pq.write_table(table, path, compression="snappy",
+                   row_group_size=ROW_GROUP_ROWS.get(name))
     print(f"{name}: {table.num_rows} rows -> {path}")
 
 DAY_US = 86_400_000_000
