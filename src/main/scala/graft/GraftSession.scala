@@ -30,6 +30,17 @@ object GraftSession {
       // query compiles several codegen stages); eviction forces Janino
       // recompiles of identical source mid-session
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // ObjectHashAggregate (the exec for typed-imperative aggregates:
+      // TopKByScore, BoundedCollectLong) falls back to SORT-based
+      // aggregation — a full local sort of the remaining input — once
+      // a task's hash map holds this many keys (default 128). Both of
+      // graft's typed aggregates carry HARD-BOUNDED per-key state
+      // (16·k B top-k pairs, ≤ 8·maxDf B postings), so 4096 in-flight
+      // keys is ≤ a few MB per task, and the ANN ranking aggregate
+      // stays hash-mode through any realistic probe batch (hundreds
+      // of query groups) instead of sorting the candidate stream.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       // graft's Catalyst extensions (polygon bbox pruning rule)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // The events table carries TIMESTAMP(NANOS) which parquet-mr maps

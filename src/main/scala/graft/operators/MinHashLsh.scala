@@ -137,14 +137,15 @@ object MinHashLsh {
     * their buckets can never diverge.
     */
   private def bandRows(sig: DataFrame, numHashes: Int, bands: Int,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, extra: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
+    val keep = col("doc_id") +: extra.map(col)
+    sig.select(keep :+ explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           bucketOf(slice(col("sig"), b * rows + 1, rows), portable)
-            .as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+            .as("bucket"))): _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band") :+ col("bb.bucket"): _*)
   }
 
   /** Banded index from an INSTANCE frame (doc_id, h) — the
@@ -173,16 +174,20 @@ object MinHashLsh {
     * [[bucketPairsFromSig]]).
     */
   private def sigFromInstances(inst: DataFrame, numHashes: Int,
-      seed: Long): DataFrame = {
+      seed: Long, keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val P = MersennePrime
     val hm = pmod(col("h"), lit(P))
     val ps = perms(numHashes, seed)
     val mins = ps.zipWithIndex.map { case ((a, b), k) =>
       min(pmod(hm * lit(a) + lit(b), lit(P))).as(s"__s$k") }
-    inst.groupBy(col("doc_id"))
+    // extra grouping keys (r16): the cross-corpus joint path tags each
+    // instance with its side and aggregates BOTH corpora in one pass —
+    // a side flag is functionally dependent on doc_id within a side,
+    // so (doc_id, side) groups are exactly the per-side doc groups.
+    inst.groupBy(keys.map(col): _*)
       .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array(
-        (0 until numHashes).map(k => col(s"__s$k")): _*).as("sig"))
+      .select(keys.map(col) :+ array(
+        (0 until numHashes).map(k => col(s"__s$k")): _*).as("sig"): _*)
   }
 
   /** The (doc_id, sig) frame under the sigMaxDf dial: the per-doc
@@ -190,14 +195,15 @@ object MinHashLsh {
     * self census when on.
     */
   private def sigMaybeCut(sh: DataFrame, numHashes: Int, seed: Long,
-      sigMaxDf: Int): DataFrame =
+      sigMaxDf: Int, census: Option[DataFrame] = None): DataFrame =
     if (sigMaxDf <= 0)
       sh.select(col("doc_id"),
         signatureFromHashes(col("sh"), numHashes, seed).as("sig"))
     else
       sigFromInstances(
         sh.select(col("doc_id"), explode(col("sh")).as("h"))
-          .join(bannedCensus(sh, sigMaxDf).select("h"), Seq("h"),
+          .join(census.getOrElse(dfCensus(sh))
+            .filter(col("df") > sigMaxDf).select("h"), Seq("h"),
             "left_anti"),
         numHashes, seed)
 
@@ -369,9 +375,18 @@ object MinHashLsh {
     */
   private[graft] def bannedCensus(sh: DataFrame, sigMaxDf: Int)
       : DataFrame =
+    dfCensus(sh).filter(col("df") > sigMaxDf)
+
+  /** The full (h, df) census of a shingle-hash frame — the ONE
+    * aggregation both census consumers (the ban filter above, the
+    * budget resolver below) are filters/summaries of. Factored out
+    * (r16) so a budget path can materialize the census ONCE and
+    * derive the histogram AND the ban set from the same pass instead
+    * of re-aggregating the instance stream per consumer.
+    */
+  private[operators] def dfCensus(sh: DataFrame): DataFrame =
     sh.select(explode(col("sh")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > sigMaxDf)
 
 
   /** Resolve the `sigMaxDf` dial from a corpus's shingle-df census
@@ -409,12 +424,23 @@ object MinHashLsh {
     * is hash-family-agnostic (df of a shingle is the same under xx
     * and portable hashing, collisions aside).
     */
-  def resolveSigMaxDf(sh: DataFrame, candidateBudget: Long): Int = {
+  def resolveSigMaxDf(sh: DataFrame, candidateBudget: Long): Int =
+    resolveFromCensus(dfCensus(sh), candidateBudget)
+
+  /** [[resolveSigMaxDf]] over an ALREADY-AGGREGATED (h, df) census
+    * frame — the shared-pass form (r16): a budget caller pins
+    * `dfCensus(sh).filter(df >= 2)` once (df=1 shingles carry zero
+    * pair mass and can never ban — every positive dial keeps them),
+    * resolves the dial from it here, and filters the SAME frame into
+    * the ban set, instead of paying the explode + aggregate census
+    * pass twice (once to resolve, once to ban).
+    */
+  private[operators] def resolveFromCensus(census: DataFrame,
+      candidateBudget: Long): Int = {
     require(candidateBudget > 0, "candidateBudget must be positive")
     // df histogram: (df, number of shingles with that df), df >= 2
     // (df=1 shingles pair nothing — C(1,2) = 0)
-    val hist = sh.select(explode(col("sh")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
+    val hist = census
       .filter(col("df") >= 2)
       .groupBy("df").agg(count(lit(1)).as("n"))
       .select(col("df").cast("long"), col("n").cast("long"))
@@ -480,11 +506,20 @@ object MinHashLsh {
     val sh = hashedShingles(df, idCol, textCol, shingleN, portableHash)
       .localCheckpoint()
     // candidateBudget (r16): resolve the dial from THIS corpus's df
-    // census — the pinned sh frame feeds the resolver and, when a ban
-    // results, the same census arithmetic inside sigMaybeCut.
-    val dial =
-      if (candidateBudget > 0) resolveSigMaxDf(sh, candidateBudget)
-      else sigMaxDf
+    // census. The census is aggregated ONCE and pinned (df >= 2 only
+    // — df=1 shingles carry zero pair mass and no positive dial can
+    // ban them): the resolver summarizes it into the histogram and,
+    // when a ban results, sigMaybeCut filters the SAME frame into the
+    // ban set — previously the explode+aggregate census pass ran
+    // twice, once per consumer.
+    val census =
+      if (candidateBudget > 0)
+        Some(dfCensus(sh).filter(col("df") >= 2).localCheckpoint())
+      else None
+    val dial = census match {
+      case Some(c) => resolveFromCensus(c, candidateBudget)
+      case None => sigMaxDf
+    }
     // maxBucket (r14, threaded from bucketPairsRaw): on Zipfian open-
     // vocab text the head shingle's hash is the min for MANY
     // permutations at once, so unrelated documents share whole bands
@@ -498,7 +533,7 @@ object MinHashLsh {
     // SIGNATURE input — see [[signatureInput]]/[[bandedCut]]. Verify
     // below is untouched: it reads the full pinned `sh` sets.
     val cands = dedupKeyed(bucketPairsRaw(
-      sigMaybeCut(sh, numHashes, seed, dial), numHashes, b,
+      sigMaybeCut(sh, numHashes, seed, dial, census), numHashes, b,
       portableHash, maxBucket))
     // verify on the HASHED shingle sets, sorted once per document: the
     // per-candidate cost is one two-pointer kernel pass over two long
@@ -535,13 +570,18 @@ object MinHashLsh {
     val shP = hashedShingles(probe, idCol, textCol, shingleN,
       portableHash).localCheckpoint()
     // the dial must resolve over the UNION census — the ban set it
-    // implies is symmetric by construction (crossPairs' contract)
-    val dial =
+    // implies is symmetric by construction (crossPairs' contract).
+    // The census aggregates ONCE, pinned: resolver + ban set share it
+    // (see nearDuplicates).
+    val census =
       if (candidateBudget > 0)
-        resolveSigMaxDf(shB.unionByName(shP), candidateBudget)
-      else sigMaxDf
+        Some(dfCensus(shB.unionByName(shP)).filter(col("df") >= 2)
+          .localCheckpoint())
+      else None
+    val dial = census.map(resolveFromCensus(_, candidateBudget))
+      .getOrElse(sigMaxDf)
     crossPairs(shB, shP, threshold, numHashes, b, seed, maxBucket,
-      dial, portableHash)
+      dial, portableHash, census)
   }
 
   /** [[nearDuplicatesAgainst]] when both corpora live in ONE table and
@@ -569,14 +609,19 @@ object MinHashLsh {
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     // resolve over the whole table's census — identical to the union
-    // of the two sides (the split partitions the pinned frame)
-    val dial =
-      if (candidateBudget > 0) resolveSigMaxDf(sh, candidateBudget)
-      else sigMaxDf
+    // of the two sides (the split partitions the pinned frame). One
+    // aggregated census serves resolver + ban set (see nearDuplicates).
+    val census =
+      if (candidateBudget > 0)
+        Some(dfCensus(sh).filter(col("df") >= 2).localCheckpoint())
+      else None
+    val dial = census.map(resolveFromCensus(_, candidateBudget))
+      .getOrElse(sigMaxDf)
     crossPairs(
       sh.filter(!col("is_probe")).select(col("doc_id"), col("sh")),
       sh.filter(col("is_probe")).select(col("doc_id"), col("sh")),
-      threshold, numHashes, b, seed, maxBucket, dial, portableHash)
+      threshold, numHashes, b, seed, maxBucket, dial, portableHash,
+      census)
   }
 
   /** Banded bucket join ACROSS two (already pinned) shingle-hash
@@ -598,41 +643,73 @@ object MinHashLsh {
   private def crossPairs(shB: DataFrame, shP: DataFrame,
       threshold: Double, numHashes: Int, bands: Int, seed: Long,
       maxBucket: Int = 0, sigMaxDf: Int = 0,
-      portable: Boolean = false): DataFrame = {
-    def instCut(sh: DataFrame, banned: DataFrame) =
-      sigFromInstances(
-        sh.select(col("doc_id"), explode(col("sh")).as("h"))
-          .join(banned, Seq("h"), "left_anti"), numHashes, seed)
-    val (sigB, sigP) =
-      if (sigMaxDf <= 0)
-        (sigMaybeCut(shB, numHashes, seed, 0),
-          sigMaybeCut(shP, numHashes, seed, 0))
-      else {
-        val banned = bannedCensus(shB.unionByName(shP), sigMaxDf)
-          .select("h")
-          .localCheckpoint() // feeds both sides' anti joins once
-        (instCut(shB, banned), instCut(shP, banned))
-      }
+      portable: Boolean = false,
+      census: Option[DataFrame] = None): DataFrame = {
     val (okB, okP) =
-      if (maxBucket <= 0)
-        (bandRows(sigB, numHashes, bands, portable),
-          bandRows(sigP, numHashes, bands, portable))
-      else {
-        // pin the SIGNATURE frames (one row per doc), not the band
-        // rows (bands× that) — the 5M-doc-tier scratch-disk finding,
-        // see bucketPairsRaw
-        val pinB = bandRows(sigB.localCheckpoint(), numHashes, bands,
-          portable)
-        val pinP = bandRows(sigP.localCheckpoint(), numHashes, bands,
-          portable)
-        val ok = pinB.unionByName(pinP)
-          .groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucket)
-          .select(col("band"), col("bucket"))
-          .localCheckpoint() // feeds both semi joins once
-        (pinB.join(ok, Seq("band", "bucket"), "left_semi"),
-          pinP.join(ok, Seq("band", "bucket"), "left_semi"))
+      if (sigMaxDf <= 0) {
+        // per-doc kernel-fold signatures (map-side over the pinned sh
+        // frames — no instance shuffle, nothing shared across sides)
+        val sigB = sigMaybeCut(shB, numHashes, seed, 0)
+        val sigP = sigMaybeCut(shP, numHashes, seed, 0)
+        if (maxBucket <= 0)
+          (bandRows(sigB, numHashes, bands, portable),
+            bandRows(sigP, numHashes, bands, portable))
+        else {
+          // pin the SIGNATURE frames (one row per doc), not the band
+          // rows (bands× that) — the 5M-doc-tier scratch-disk
+          // finding, see bucketPairsRaw
+          val pinB = bandRows(sigB.localCheckpoint(), numHashes, bands,
+            portable)
+          val pinP = bandRows(sigP.localCheckpoint(), numHashes, bands,
+            portable)
+          val ok = pinB.unionByName(pinP)
+            .groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") <= maxBucket)
+            .select(col("band"), col("bucket"))
+            .localCheckpoint() // feeds both semi joins once
+          (pinB.join(ok, Seq("band", "bucket"), "left_semi"),
+            pinP.join(ok, Seq("band", "bucket"), "left_semi"))
+        }
+      } else {
+        // JOINT cut path (r16): the ban-filtered signature aggregate
+        // runs ONCE over both corpora instead of once per side. Each
+        // instance is tagged with its side, the union census bans
+        // symmetrically (same ban frame, consumed by ONE anti join
+        // now — no checkpoint needed), and the (doc, side) min
+        // aggregate computes both corpora's signatures in a single
+        // shuffle of the same total bytes the two per-side aggregates
+        // moved. The joint signature frame is pinned once (one row
+        // per doc — the 5M-doc-tier pin policy) and each consumer
+        // (cap census, join sides) re-derives band rows from it.
+        val tagged = shB
+          .select(col("doc_id"), col("sh"), lit(false).as("is_probe"))
+          .unionByName(shP.select(col("doc_id"), col("sh"),
+            lit(true).as("is_probe")))
+        val banned = census.getOrElse(dfCensus(tagged))
+          .filter(col("df") > sigMaxDf).select("h")
+        val inst = tagged
+          .select(col("doc_id"), col("is_probe"),
+            explode(col("sh")).as("h"))
+          .join(banned, Seq("h"), "left_anti")
+        val sig = sigFromInstances(inst, numHashes, seed,
+          keys = Seq("doc_id", "is_probe")).localCheckpoint()
+        val bandAll = bandRows(sig, numHashes, bands, portable,
+          extra = Seq("is_probe"))
+        val keep =
+          if (maxBucket <= 0) bandAll
+          else {
+            // combined membership per (band, bucket) — bandAll IS the
+            // union of the two sides' band rows
+            val ok = bandAll.groupBy(col("band"), col("bucket"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") <= maxBucket)
+              .select(col("band"), col("bucket"))
+              .localCheckpoint() // feeds both semi-join derivations
+            bandAll.join(ok, Seq("band", "bucket"), "left_semi")
+          }
+        (keep.filter(!col("is_probe")).drop("is_probe"),
+          keep.filter(col("is_probe")).drop("is_probe"))
       }
     val cands = dedupKeyed(
       okB.as("a")

@@ -285,9 +285,16 @@ object NearDupIndex {
       if (candidateBudget > 0)
         Some(shFrame(corpus, idCol, textCol, p0).localCheckpoint())
       else None
-    val p = shPre match {
-      case Some(f) => p0.copy(sigMaxDf =
-        MinHashLsh.resolveSigMaxDf(f, candidateBudget))
+    // budget path: the df census aggregates ONCE and pins (df >= 2 —
+    // df=1 shingles carry no pair mass and no positive dial bans
+    // them); the resolver reads its histogram and the ban table below
+    // filters the SAME frame, instead of re-running the explode +
+    // aggregate census per consumer (r16).
+    val censusPre = shPre.map(f =>
+      MinHashLsh.dfCensus(f).filter(col("df") >= 2).localCheckpoint())
+    val p = censusPre match {
+      case Some(c) => p0.copy(sigMaxDf =
+        MinHashLsh.resolveFromCensus(c, candidateBudget))
       case None => p0
     }
     claimParams(root, p, store)
@@ -300,7 +307,10 @@ object NearDupIndex {
     val banned =
       if (p.sigMaxDf <= 0) None
       else {
-        val b = bannedFrom(sh, p.sigMaxDf).localCheckpoint()
+        val b = censusPre
+          .map(_.filter(col("df") > p.sigMaxDf))
+          .getOrElse(bannedFrom(sh, p.sigMaxDf))
+          .localCheckpoint()
         AtomicLake.overwrite(b, bannedRoot(root), store = store)
         Some(b)
       }

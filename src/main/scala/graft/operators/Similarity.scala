@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.VectorFns
@@ -40,37 +39,32 @@ object Similarity {
   }
 
   /** Per-query top-k rank over a scored candidate frame — the shared
-    * ranking tail of every ANN path. TWO-LEVEL by design (r16, the
-    * §5.3 ladder's biggest single finding): a plain
-    * `row_number() OVER (PARTITION BY query_id ORDER BY …)` makes
-    * WindowExec buffer each query's ENTIRE candidate group and spill
-    * past the ~4k-row threshold — measured at the 257-query × 1M
-    * brute sweep, 930 of the 1002 s wall was this one spilling
-    * window (scoring alone: 73 s). Bucketing the pre-rank by
-    * `pmod(cand_id, buckets)` keeps every sorted group at
-    * candidates/buckets rows (spill-free at ladder scale) and prunes
-    * the final exact rank's input to ≤ buckets·k rows per query.
-    *
-    * Bit-identical to the single-level form (spec-gated): the order
-    * (score desc, cand_id asc) is total, every global top-k row is
-    * top-k within its own bucket, and the final rank re-ranks the
-    * surviving superset under the same total order. Cost on TINY
-    * inputs is one extra ~‰-sized exchange — noise next to the spill
-    * it removes at scale.
+    * ranking tail of every ANN path. ONE bounded AGGREGATION
+    * ([[graft.expressions.TopKByScore]]), not a rank window (r16, the
+    * §5.3 ladder's biggest single finding made structural): a plain
+    * `row_number() OVER (PARTITION BY query_id ORDER BY …)` sorts
+    * every candidate row — locally for the partial group-limit,
+    * again after the exchange — and WindowExec buffers whole query
+    * groups, spilling past ~4k rows (measured at the 257-query × 1M
+    * brute sweep: 930 of the 1002 s wall was that one spilling
+    * window; the r16 interim fix bucketed the pre-rank, paying TWO
+    * exchanges). The aggregate keeps k (score, id) pairs per query
+    * in the hash-agg buffer: map-side partial aggregation means the
+    * ONE exchange carries ≤ k rows per (query, map task) instead of
+    * every candidate, nothing sorts but the k-row buffers, and a
+    * degenerate query with 10^8 candidates costs 16·k bytes, not a
+    * spilling sort. Output parity with the window form is spec-gated
+    * (ties included — the order (score desc, cand_id asc) is total).
     */
   private[graft] def topKPerQuery(scored: DataFrame,
-      scoreCol: String, k: Int, rankCol: String = "rank",
-      buckets: Int = 256): DataFrame = {
-    val w1 = Window
-      .partitionBy(col("query_id"), pmod(col("cand_id"), lit(buckets)))
-      .orderBy(col(scoreCol).desc, col("cand_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col(scoreCol).desc, col("cand_id"))
-    scored.withColumn("__bk", row_number().over(w1))
-      .filter(col("__bk") <= k).drop("__bk")
-      .withColumn(rankCol, row_number().over(w))
-      .filter(col(rankCol) <= k)
-  }
+      scoreCol: String, k: Int, rankCol: String = "rank"): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore
+        .topKByScore(col(scoreCol), col("cand_id"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as("cand_id"),
+        col("__e.score").as(scoreCol),
+        (col("__p") + 1).cast("int").as(rankCol))
 
   /** Embedding-cosine near-duplicate pairs: corpus vectors whose
     * cosine similarity ≥ threshold, found WITHOUT an all-pairs join —
@@ -445,8 +439,8 @@ object Similarity {
   }
 
   /** Shared shortlist+refine tail for every quantized tier: keep the
-    * top k·refine candidates per query by `approx_cosine`
-    * (WindowGroupLimit partial/final — never a full sort), then
+    * top k·refine candidates per query by `approx_cosine` (bounded
+    * top-k aggregate — never a full sort), then
     * re-score ONLY the shortlist against the exact vectors (broadcast
     * point lookups), so reported cosines are bit-identical to brute
     * force regardless of which coding produced the shortlist.
@@ -454,9 +448,8 @@ object Similarity {
   private def shortlistRefine(approx: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       refine: Int): DataFrame = {
-    // corpus-sized approx ranking — the two-level spill-free form;
-    // the exact re-rank below stays single-level (its input is the
-    // <= k*refine shortlist per query, bounded)
+    // corpus-sized approx ranking — the bounded-aggregate form; the
+    // exact re-rank reuses it on the <= k*refine shortlist
     val short = topKPerQuery(approx, "approx_cosine", k * refine,
         rankCol = "arank")
       .select(col("query_id"), col("cand_id"))
@@ -469,10 +462,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(exact, "cosine", k)
   }
 
   // ---- Residual IVF-PQ (E6b's residual variant — FAISS IVFPQ) ------

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
@@ -524,9 +523,9 @@ object VectorIndex {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (if (p.residual) adc else adc / (col("qn") * col("cn")))
           .as("approx_cosine"))
-    // two-level corpus-sized approx ranking (Similarity.topKPerQuery
-    // — the spilling-window §5.3 finding); exact refine below stays
-    // single-level on the bounded shortlist
+    // bounded-aggregate corpus-sized approx ranking
+    // (Similarity.topKPerQuery — the spilling-window §5.3 finding);
+    // the exact refine reuses the same aggregate on the shortlist
     val short = Similarity.topKPerQuery(approx, "approx_cosine",
         k * refine, rankCol = "arank")
       .select(col("query_id"), col("cand_id"))
@@ -539,10 +538,7 @@ object VectorIndex {
       .select(col("query_id"), col("cand_id"),
         VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.topKPerQuery(exact, "cosine", k)
   }
 
   /** (files planned, files total) for a PQ probe of `cells`. */
@@ -729,9 +725,9 @@ object VectorIndex {
         graft.expressions.NativeKernels
           .sq8DotCol(col("uq"), col("codes"), loLit, hiLit)
           .as("approx_cosine"))
-    // two-level corpus-sized approx ranking (Similarity.topKPerQuery
-    // — the spilling-window §5.3 finding); exact refine below stays
-    // single-level on the bounded shortlist
+    // bounded-aggregate corpus-sized approx ranking
+    // (Similarity.topKPerQuery — the spilling-window §5.3 finding);
+    // the exact refine reuses the same aggregate on the shortlist
     val short = Similarity.topKPerQuery(approx, "approx_cosine",
         k * refine, rankCol = "arank")
       .select(col("query_id"), col("cand_id"))
@@ -744,10 +740,7 @@ object VectorIndex {
       .select(col("query_id"), col("cand_id"),
         VectorFns.cosine(VectorFns.dot(col("qv"), col("cv")),
           col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.topKPerQuery(exact, "cosine", k)
   }
 
   /** (files planned, files total) for an SQ probe of `cells`. */

@@ -24,18 +24,18 @@ class SimilaritySpec extends SparkSpec {
         .select("cosine").as[Double].collect()
       byRank.sliding(2).forall(p => p(0) >= p(1)) shouldBe true
     }
-    it("topKPerQuery (two-level bucketed rank) equals the " +
+    it("topKPerQuery (bounded top-k aggregate) equals the " +
         "single-level window bit-for-bit, ties included (r16)") {
       // planted TIES: scores drawn from a tiny set so many candidates
       // share a score and the cand_id tiebreak decides — the exact
-      // case where a buggy two-level rank would diverge. Buckets
-      // forced tiny (3) so every bucket boundary is exercised.
+      // case where a buggy bounded-insert order would diverge. 500
+      // candidates per query >> k exercises eviction at every rank
+      // boundary; 4 queries exercise the grouped (not windowed) path.
       val scored = (0L until 4L).flatMap { q =>
         (0L until 500L).map(c =>
           (q, c, (c * 7 % 5).toDouble / 10.0))
       }.toDF("query_id", "cand_id", "cosine")
-      val twoLevel = Similarity.topKPerQuery(scored, "cosine", 7,
-          buckets = 3)
+      val agg = Similarity.topKPerQuery(scored, "cosine", 7)
         .select("query_id", "cand_id", "rank")
         .as[(Long, Long, Int)].collect().toSet
       val w = org.apache.spark.sql.expressions.Window
@@ -45,8 +45,28 @@ class SimilaritySpec extends SparkSpec {
           row_number().over(w)).filter($"rank" <= 7)
         .select("query_id", "cand_id", "rank")
         .as[(Long, Long, Int)].collect().toSet
-      twoLevel shouldBe oneLevel
-      twoLevel.size shouldBe 4 * 7
+      agg shouldBe oneLevel
+      agg.size shouldBe 4 * 7
+    }
+    it("topKPerQuery keeps the score column bit-identical to the " +
+        "window form and ranks sequentially from 1 (r16)") {
+      // fractional scores with sign changes and exact ties; compare
+      // the FULL row (score included) against the window reference
+      val scored = (0L until 3L).flatMap { q =>
+        (0L until 97L).map(c =>
+          (q, c, math.sin((c * 31 + q).toDouble) / 3.0))
+      }.toDF("query_id", "cand_id", "cosine")
+      val agg = Similarity.topKPerQuery(scored, "cosine", 11)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"cand_id")
+      val ref = scored.withColumn("rank",
+          row_number().over(w)).filter($"rank" <= 11)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      agg shouldBe ref
     }
   }
 
