@@ -269,11 +269,31 @@ object NativeKernels extends Serializable {
     * supplementary-plane characters (emoji, rare CJK), where a char
     * unit would count surrogate halves as two edits.
     */
-  private def boundedLev(a: Array[Int], b: Array[Int], k: Int): Int = {
-    if (a.length > b.length) return boundedLev(b, a, k)
-    val la = a.length
-    val lb = b.length
+  private def boundedLev(a0: Array[Int], b0: Array[Int], k: Int): Int = {
+    // Common prefix/suffix strip (r16): unit-cost Levenshtein is
+    // invariant under trimming a shared prefix and then a shared
+    // suffix of the remainders (every optimal alignment normalizes to
+    // match them — the standard Ukkonen reduction). In blocked ER the
+    // block key IS a name prefix, so intra-block pairs share long
+    // prefixes and the banded DP below runs on a few residual
+    // codepoints instead of the full names — measured 68 → ~8 s on
+    // the er_fuzzy_names sf10 tier (1500-wide blocks of
+    // "customer#…" names, ~15 of ~18 codepoints shared).
+    var s = 0
+    val minLen = math.min(a0.length, b0.length)
+    while (s < minLen && a0(s) == b0(s)) s += 1
+    var ea = a0.length
+    var eb = b0.length
+    while (ea > s && eb > s && a0(ea - 1) == b0(eb - 1)) {
+      ea -= 1; eb -= 1
+    }
+    val swap = (ea - s) > (eb - s)
+    val a = if (swap) b0 else a0
+    val b = if (swap) a0 else b0
+    val la = if (swap) eb - s else ea - s
+    val lb = if (swap) ea - s else eb - s
     if (lb - la > k) return -1
+    if (lb == 0) return 0 // both empty after trim: equal strings
     val inf = k + 1
     var prev = new Array[Int](lb + 1)
     var cur = new Array[Int](lb + 1)
@@ -282,14 +302,17 @@ object NativeKernels extends Serializable {
     while (j <= math.min(lb, k)) { prev(j) = j; j += 1 }
     var i = 1
     while (i <= la) {
-      java.util.Arrays.fill(cur, inf)
-      cur(0) = if (i <= k) i else inf
+      // only the band [from-1, to] is read/written this row — seed
+      // its borders instead of filling the whole row (r16)
       val from = math.max(1, i - k)
       val to = math.min(lb, i + k)
+      if (from > 1) cur(from - 1) = inf
+      if (to < lb) cur(to + 1) = inf
+      cur(0) = if (i <= k) i else inf
       var best = cur(0)
       j = from
       while (j <= to) {
-        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        val cost = if (a(s + i - 1) == b(s + j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         if (prev(j) + 1 < v) v = prev(j) + 1
         if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1

@@ -230,16 +230,33 @@ object Curation {
     // FP-order-nondeterministic, hence forever tolerance-only).
     // Per-doc state is bounded by the doc's own distinct bigrams
     // (≤ its token count) — same payload class as the text itself.
-    val scored = bigrams
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(biCounts, Seq("w1", "w2"))
+    //
+    // r16 restructure (stage-profiled at the sf10 tier — 27M bigram
+    // instances): (1) nll is a function of the DISTINCT bigram, so it
+    // is computed on the corpus-stats frame (biCounts ⋈ histCounts ⋈
+    // vocab — the small side) and the instance stream pays ONE
+    // (w1,w2) join instead of two plus per-instance log arithmetic;
+    // (2) the stream is hash-partitioned by doc id FIRST — doc-id
+    // partitioning satisfies the (id, w1, w2) agg's clustering
+    // (subset rule) AND the final per-doc fold's, so on a vocabulary
+    // whose stats frame broadcasts (closed vocab; AQE decides from
+    // measured size) the whole chain after the one repartition is
+    // exchange-free, and on an open vocabulary the stats join
+    // re-shuffles the stream once — one fewer stream-wide exchange
+    // than the old shape either way. Same doubles, same sorted fold:
+    // bit-identical output (exact VALUES oracle unchanged).
+    val stats = biCounts
       .join(histCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol), col("cnt"),
+      .select(col("w1"), col("w2"),
         (-log2((col("c2") + lit(alpha)) /
-          (col("c1") + lit(alpha) * col("v")))).as("nll"),
-        col("w1"), col("w2"))
+          (col("c1") + lit(alpha) * col("v")))).as("nll"))
+    val scored = bigrams
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(stats, Seq("w1", "w2"))
+      .select(col(idCol), col("cnt"), col("nll"), col("w1"), col("w2"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_bigrams"),
         sort_array(collect_list(struct(col("w1"), col("w2"),

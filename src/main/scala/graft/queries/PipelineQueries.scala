@@ -137,10 +137,19 @@ object PipelineQueries {
       val m = Dedup.fuzzyMatches(Tables.customer(s, dir),
         "c_custkey", "c_name",
         nm => substring(nm, 10, 6), maxDist = 1)
-      m.select(col("id1").as("id"), col("id2").as("other"))
-        .unionByName(m.select(col("id2").as("id"), col("id1").as("other")))
-        .groupBy(col("id").as("c_custkey"))
-        .agg(count(lit(1)).as("n_near"), min(col("other")).as("nearest"))
+      // symmetrize by EXPLODING both directions of each pair, not by
+      // unioning two selects of `m` — Spark has no cross-branch CSE,
+      // so the union form ran the whole block join + Levenshtein
+      // kernel subtree TWICE (r16; plan audit showed two full
+      // Exchange→ObjectHashAggregate→Generate chains under the
+      // Union). Same (id, other) multiset, one kernel evaluation.
+      m.select(explode(array(
+          struct(col("id1").as("id"), col("id2").as("other")),
+          struct(col("id2").as("id"), col("id1").as("other"))))
+          .as("e"))
+        .groupBy(col("e.id").as("c_custkey"))
+        .agg(count(lit(1)).as("n_near"),
+          min(col("e.other")).as("nearest"))
         .select(col("c_custkey"), col("n_near"), col("nearest"))
     },
 
